@@ -1,0 +1,193 @@
+"""Vector-store naming + catalog (SURVEY.md §2.1 S12, §2.2 K3/K5).
+
+The reference names one Oracle table per (alias, model, chunk_size,
+chunk_overlap, distance_metric, index_type) combo and registers it in a
+catalog by writing a ``COMMENT ON TABLE ... 'GENAI: {json}'`` (reference:
+src/common/functions.py:47-75, src/server/utils/embedding.py:43-58,370-373).
+
+Spark-first equivalent: same naming function; catalog = table properties
+(``TBLPROPERTIES('genai'='{json}')``) on catalog tables, with a plain
+directory-of-parquet layout (a ``_genai.json`` sidecar) as the no-metastore
+fallback so the engine works against bare object storage too.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+GENAI_PROP = "genai"
+SIDECAR = "_genai.json"
+
+
+@dataclass
+class VectorStorage:
+    """Mirrors the reference's DatabaseVectorStorage (src/common/schema.py:25-35)."""
+
+    vector_store: str = ""
+    alias: str = ""
+    model: str = ""
+    chunk_size: int = 0
+    chunk_overlap: int = 0
+    distance_metric: str = "COSINE"
+    index_type: str = "HNSW"
+    extra: dict = field(default_factory=dict)
+
+
+def get_vs_table(
+    model: str,
+    chunk_size: int,
+    chunk_overlap: int,
+    distance_metric: str,
+    index_type: str = "HNSW",
+    alias: str | None = None,
+) -> tuple[str, str]:
+    """Vector-store table name + catalog JSON, matching the reference's
+    naming exactly (src/common/functions.py:47-75): ceil the overlap,
+    join params with '_', upper-case, and map every non-word char to '_'.
+    """
+    overlap_ceil = math.ceil(chunk_overlap)
+    parts = f"{model}_{chunk_size}_{overlap_ceil}_{distance_metric}_{index_type}"
+    if alias:
+        parts = f"{alias}_{parts}"
+    table_name = re.sub(r"\W", "_", parts.upper())
+    comment = json.dumps(
+        {
+            "alias": alias,
+            "model": model,
+            "chunk_size": chunk_size,
+            "chunk_overlap": overlap_ceil,
+            "distance_metric": distance_metric,
+            "index_type": index_type,
+        }
+    )
+    return table_name, comment
+
+
+class VectorStoreCatalog:
+    """Discover/register vector stores.
+
+    Two backends, chosen per call:
+      - metastore tables: ``CREATE TABLE ... TBLPROPERTIES('genai'=...)``;
+        discovery scans ``spark.catalog.listTables()`` and filters on the
+        property — the Spark analogue of the reference's
+        ``all_tab_comments JOIN all_tables`` + ``LIKE 'GENAI:%'`` scan (J1).
+      - directory backend: parquet dir per store + ``_genai.json`` sidecar;
+        works on bare object storage with no metastore.
+    """
+
+    def __init__(self, spark: SparkSession, root: str | None = None):
+        self.spark = spark
+        self.root = root
+
+    # -- directory backend -------------------------------------------------
+    def _store_path(self, name: str) -> str:
+        if not self.root:
+            raise ValueError("directory backend requires a root path")
+        return os.path.join(self.root, name)
+
+    def write_store(self, df: DataFrame, vs: VectorStorage, mode: str = "overwrite") -> str:
+        """Persist a vector store DataFrame + its catalog entry (K1/K5)."""
+        name, comment = get_vs_table(
+            vs.model, vs.chunk_size, vs.chunk_overlap, vs.distance_metric, vs.index_type, vs.alias
+        )
+        path = self._store_path(name)
+        df.write.mode(mode).parquet(path)
+        with open(os.path.join(path, SIDECAR), "w") as fh:
+            fh.write(comment)
+        return name
+
+    def read_store(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._store_path(name))
+
+    def list_stores(self) -> list[VectorStorage]:
+        """Catalog scan (S12): every store dir with a genai sidecar."""
+        out: list[VectorStorage] = []
+        if not self.root or not os.path.isdir(self.root):
+            return out
+        for entry in sorted(os.listdir(self.root)):
+            sidecar = os.path.join(self.root, entry, SIDECAR)
+            if os.path.isfile(sidecar):
+                with open(sidecar) as fh:
+                    meta = json.load(fh)
+                out.append(
+                    VectorStorage(
+                        vector_store=entry,
+                        alias=meta.get("alias") or "",
+                        model=meta.get("model", ""),
+                        chunk_size=meta.get("chunk_size", 0),
+                        chunk_overlap=meta.get("chunk_overlap", 0),
+                        distance_metric=meta.get("distance_metric", "COSINE"),
+                        index_type=meta.get("index_type", "HNSW"),
+                    )
+                )
+        return out
+
+    def drop_store(self, name: str) -> None:
+        """K3 drop: remove data + catalog entry."""
+        import shutil
+
+        path = self._store_path(name)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+
+    # -- metastore backend -------------------------------------------------
+    def register_table(self, table: str, comment: str) -> None:
+        """K5: attach the genai catalog JSON as a table property."""
+        escaped = comment.replace("'", "''")
+        self.spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ('{GENAI_PROP}'='{escaped}')")
+
+    def list_tables(self) -> list[VectorStorage]:
+        """S12 via metastore: listTables + property filter (J1 analogue)."""
+        out: list[VectorStorage] = []
+        for t in self.spark.catalog.listTables():
+            try:
+                props = self.spark.sql(f"SHOW TBLPROPERTIES {t.name}").collect()
+            except Exception:
+                continue
+            for row in props:
+                if row["key"] == GENAI_PROP:
+                    meta = json.loads(row["value"])
+                    out.append(
+                        VectorStorage(
+                            vector_store=t.name,
+                            alias=meta.get("alias") or "",
+                            model=meta.get("model", ""),
+                            chunk_size=meta.get("chunk_size", 0),
+                            chunk_overlap=meta.get("chunk_overlap", 0),
+                            distance_metric=meta.get("distance_metric", "COSINE"),
+                            index_type=meta.get("index_type", "HNSW"),
+                        )
+                    )
+        return out
+
+
+def filter_catalog(
+    stores: list[VectorStorage],
+    alias: str | None = None,
+    model: str | None = None,
+    chunk_size: int | None = None,
+    chunk_overlap: int | None = None,
+    distance_metric: str | None = None,
+    index_type: str | None = None,
+) -> list[VectorStorage]:
+    """Faceted catalog filter (P12; reference st_common.py:358-375)."""
+    out = stores
+    if alias is not None:
+        out = [s for s in out if s.alias == alias]
+    if model is not None:
+        out = [s for s in out if s.model == model]
+    if chunk_size is not None:
+        out = [s for s in out if s.chunk_size == chunk_size]
+    if chunk_overlap is not None:
+        out = [s for s in out if s.chunk_overlap == chunk_overlap]
+    if distance_metric is not None:
+        out = [s for s in out if s.distance_metric == distance_metric]
+    if index_type is not None:
+        out = [s for s in out if s.index_type == index_type]
+    return out

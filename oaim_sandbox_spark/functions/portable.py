@@ -1,0 +1,239 @@
+"""Dual-dialect (Spark SQL / DuckDB SQL) expression fragments.
+
+Every data-processing primitive in this engine that must be oracle-checked is
+defined ONCE here as a pair of SQL fragments. The Spark side runs JVM-side
+inside whole-stage codegen (no Python UDFs in the hot path); the DuckDB side is
+only used to build the correctness oracle. Both are exact-integer or
+double-precision computations engineered to produce bit-identical results.
+
+Core trick: a portable 60-bit hash
+    H(s) = int(md5(s)[:15 hex], 16)            # 0 <= H < 2^60
+which both engines can compute (md5 is md5), giving deterministic,
+engine-independent minhash / simhash / mock-embeddings.
+
+Conventions:
+  - ``e`` arguments are SQL fragments (column names or sub-expressions).
+  - All float math is done in DOUBLE on both sides (arrays cast first).
+  - DIALECT: 'spark' | 'duck'.
+"""
+
+from __future__ import annotations
+
+MOD = 1_000_000_007  # prime modulus for hash-space arithmetic (fits int64 headroom)
+
+
+def hash64(e: str, dialect: str) -> str:
+    """Portable 60-bit hash of a string expression."""
+    if dialect == "spark":
+        return f"cast(conv(substr(md5({e}),1,15),16,10) as bigint)"
+    return f"('0x' || substr(md5({e}),1,15))::BIGINT"
+
+
+def hash_mod(e: str, dialect: str) -> str:
+    """Portable hash reduced below MOD (safe for a*h+b in int64)."""
+    return f"({hash64(e, dialect)} % {MOD})"
+
+
+def to_double_array(e: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"cast({e} as array<double>)"
+    return f"({e})::DOUBLE[]"
+
+
+def dot(a: str, b: str, dialect: str) -> str:
+    """Dot product of two double arrays; sequential left-to-right fold on both
+    engines so the float addition order is identical."""
+    if dialect == "spark":
+        return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"
+    return f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), (s, x) -> s + x)"
+
+
+def norm2(a: str, dialect: str) -> str:
+    """L2 norm."""
+    if dialect == "spark":
+        return f"sqrt(aggregate(transform({a}, x -> x * x), cast(0 as double), (s, x) -> s + x))"
+    return f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform({a}, x -> x * x)), (s, x) -> s + x))"
+
+
+def cosine_distance(a: str, b: str, dialect: str) -> str:
+    """1 - cos(a,b): Oracle VECTOR_DISTANCE(..., COSINE) semantics
+    (reference retrieval path chatbot.py:183-210 via OracleVS)."""
+    return f"(1.0 - {dot(a, b, dialect)} / ({norm2(a, dialect)} * {norm2(b, dialect)}))"
+
+
+def euclidean_distance(a: str, b: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"sqrt(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), cast(0 as double), (s, x) -> s + x))"
+    return f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2]))), (s, x) -> s + x))"
+
+
+def dot_distance(a: str, b: str, dialect: str) -> str:
+    """Oracle DOT_PRODUCT distance = NEGATED inner product (larger dot product
+    -> smaller distance). Parity noted in SURVEY.md §2.6."""
+    return f"(-1.0 * {dot(a, b, dialect)})"
+
+
+def mock_embed(e: str, dim: int, dialect: str) -> str:
+    """Deterministic mock embedder (FIXTURES.md §3): dim doubles in [-1, 1],
+    each derived from H(text ':' i). Same text => same vector on both engines.
+    Replaces the reference's random 384-dim test embedder
+    (tests/conftest.py:304-316) with a reproducible one."""
+    if dialect == "spark":
+        seeded = "concat(" + e + ", ':', i)"
+        return (
+            f"transform(sequence(0, {dim - 1}), "
+            f"i -> cast({hash64(seeded, 'spark')} % 2000001 as double) / 1000000.0 - 1.0)"
+        )
+    seeded = "(" + e + " || ':' || i)"
+    return (
+        f"list_transform(generate_series(0, {dim - 1}), "
+        f"i -> ({hash64(seeded, 'duck')} % 2000001)::DOUBLE / 1000000.0 - 1.0)"
+    )
+
+
+def tokens(e: str, dialect: str) -> str:
+    """Whitespace tokens, empties removed (documents use single-space words)."""
+    if dialect == "spark":
+        return f"filter(split({e}, ' '), t -> t != '')"
+    return f"list_filter(string_split({e}, ' '), t -> t != '')"
+
+
+def array_slice_concat(arr: str, start_1based: str, n: int, dialect: str) -> str:
+    """Join arr[start .. start+n-1] with spaces (word n-gram shingle text)."""
+    if dialect == "spark":
+        return f"array_join(slice({arr}, {start_1based}, {n}), ' ')"
+    return f"array_to_string(({arr})[{start_1based}:({start_1based})+{n - 1}], ' ')"
+
+
+def word_ngrams(e: str, n: int, dialect: str) -> str:
+    """Array of word n-gram strings from a text expression."""
+    toks = tokens(e, dialect)
+    if dialect == "spark":
+        return (
+            f"CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(1, size({toks}) - {n - 1}), j -> {array_slice_concat(toks, 'j', n, 'spark')}) "
+            f"ELSE array(array_join({toks}, ' ')) END"
+        )
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), j -> {array_slice_concat(toks, 'j', n, 'duck')}) "
+        f"ELSE [array_to_string({toks}, ' ')] END"
+    )
+
+
+def shingle_hashes(e: str, ngram: int, dialect: str) -> str:
+    """Array of portable shingle hashes (< MOD) for the word n-grams of e.
+    Materialize this ONCE (subquery column) and feed minhash_from_hashes —
+    the md5 then runs once per shingle instead of once per permutation."""
+    sh = word_ngrams(e, ngram, dialect)
+    h = hash_mod("s", dialect)
+    if dialect == "spark":
+        return f"transform({sh}, s -> {h})"
+    return f"list_transform({sh}, s -> {h})"
+
+
+def minhash_from_hashes(hs: str, num_perm: int, dialect: str) -> str:
+    """MinHash signature (array of num_perm int64) from a precomputed
+    shingle-hash array. Permutations are (a_i * h + b_i) % MOD with fixed
+    literal constants derived from H('minhash:a:i') — identical literals on
+    both sides, so the whole signature is engine-independent."""
+    mins = []
+    for i in range(num_perm):
+        a, b = _perm_constants(i)
+        if dialect == "spark":
+            mins.append(f"array_min(transform({hs}, h -> ({a}L * h + {b}L) % {MOD}))")
+        else:
+            mins.append(f"list_min(list_transform({hs}, h -> ({a} * h + {b}) % {MOD}))")
+    if dialect == "spark":
+        return "array(" + ", ".join(mins) + ")"
+    return "[" + ", ".join(mins) + "]"
+
+
+def minhash_signature(e: str, num_perm: int, ngram: int, dialect: str) -> str:
+    """Convenience wrapper: signature straight from a text expression. Prefer
+    shingle_hashes + minhash_from_hashes with the hash array materialized in
+    a subquery when the signature is referenced more than once."""
+    return minhash_from_hashes(shingle_hashes(e, ngram, dialect), num_perm, dialect)
+
+
+def _perm_constants(i: int) -> tuple[int, int]:
+    """Fixed (a, b) for permutation i, generated from md5 so they're stable
+    source-code-independent constants. a in [1, MOD-1], b in [0, MOD-1]."""
+    import hashlib
+
+    ha = int(hashlib.md5(f"minhash:a:{i}".encode()).hexdigest()[:15], 16)
+    hb = int(hashlib.md5(f"minhash:b:{i}".encode()).hexdigest()[:15], 16)
+    return (ha % (MOD - 1)) + 1, hb % MOD
+
+
+def token_hashes(e: str, dialect: str) -> str:
+    """Array of full 60-bit hashes of the whitespace tokens of e."""
+    toks = tokens(e, dialect)
+    th = hash64("t", dialect)
+    if dialect == "spark":
+        return f"transform({toks}, t -> {th})"
+    return f"list_transform({toks}, t -> {th})"
+
+
+def simhash_from_hashes(hs: str, bits: int, dialect: str) -> str:
+    """SimHash fingerprint (int64, `bits` <= 60) from a precomputed
+    token-hash array (term-frequency weighted): bit j set iff
+    sum over tokens of (+1 if bit j of hash else -1) > 0.
+    Materialize hs once — the bit loop references it `bits` times."""
+    if dialect == "spark":
+        bit_sum = (
+            f"aggregate({hs}, 0, (acc, h) -> acc + CASE WHEN (h div cast(pow(2, j) as bigint)) % 2 = 1 THEN 1 ELSE -1 END)"
+        )
+        return (
+            f"aggregate(transform(sequence(0, {bits - 1}), j -> "
+            f"CASE WHEN {bit_sum} > 0 THEN cast(pow(2, j) as bigint) ELSE 0L END), "
+            f"0L, (s, x) -> s + x)"
+        )
+    bit_sum = (
+        f"list_reduce(list_prepend(0, list_transform({hs}, h -> CASE WHEN (h // (2**j)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END)), (a, b) -> a + b)"
+    )
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(0, {bits - 1}), j -> "
+        f"CASE WHEN {bit_sum} > 0 THEN (2**j)::BIGINT ELSE 0::BIGINT END)), (s, x) -> s + x)"
+    )
+
+
+def simhash(e: str, bits: int, dialect: str) -> str:
+    """Convenience wrapper: simhash straight from a text expression. Prefer
+    token_hashes + simhash_from_hashes with the hash array materialized."""
+    return simhash_from_hashes(token_hashes(e, dialect), bits, dialect)
+
+
+def hamming64(a: str, b: str, dialect: str) -> str:
+    """Hamming distance between two int64 fingerprints."""
+    if dialect == "spark":
+        return f"bit_count({a} ^ {b})"
+    return f"bit_count(xor({a}, {b}))"
+
+
+def normalize_text(e: str, dialect: str) -> str:
+    """Lowercase, collapse whitespace, trim — document fingerprint normalizer."""
+    if dialect == "spark":
+        return f"trim(regexp_replace(lower({e}), '\\\\s+', ' '))"
+    return f"trim(regexp_replace(lower({e}), '\\s+', ' ', 'g'))"
+
+
+def stopword_hits(toks: str, words: list[str], dialect: str) -> str:
+    """Count of tokens that are in the given stopword list."""
+    lit = ", ".join(f"'{w}'" for w in words)
+    if dialect == "spark":
+        return f"size(filter({toks}, t -> t IN ({lit})))"
+    return f"len(list_filter({toks}, t -> t IN ({lit})))"
+
+
+def regexp_count_portable(e: str, pattern: str, dialect: str) -> str:
+    """Count of non-overlapping regex matches (ASCII-safe patterns only)."""
+    if dialect == "spark":
+        return f"size(regexp_extract_all({e}, '{pattern}', 0))"
+    return f"len(regexp_extract_all({e}, '{pattern}'))"
+
+
+def round6(e: str, dialect: str) -> str:
+    """Round a double to 6 dp — used on every float output so hash-compare is
+    immune to sub-1e-6 cross-engine float noise."""
+    return f"round({e}, 6)"

@@ -1,0 +1,196 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Three tiers (SURVEY.md §4: reference uses Oracle HNSW/IVF indexes,
+embedding.py:348-368; Spark has no vector index, so):
+
+1. ``knn_join``      — exact brute-force k-NN for a *batch* of queries
+                       (the Spark sweet spot: one scan answers all queries).
+2. ``signed_projection_buckets`` / ``lsh_knn_join`` — random-hyperplane LSH
+                       bucketing; deterministic & oracle-checkable (hyperplane
+                       entries derive from the portable hash).
+3. ``IVFIndex``      — k-means coarse quantizer (pyspark.ml KMeans), store
+                       partitioned by centroid id; queries probe nprobe
+                       nearest centroids -> partition pruning on read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from oaim_sandbox_spark.functions import portable as P
+from oaim_sandbox_spark.operators.retrieval import distance_expr
+
+
+def knn_join(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    metric: str = "COSINE",
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact k-NN join: for every query row, the k nearest item rows.
+
+    Plan: broadcast(queries) nested-loop join — ONE scan of the items table
+    scores all queries (batch amortization is the whole point on 100 TB);
+    per-query top-k via a rank window partitioned by query_id. The window
+    shuffles (item_id, query_id, dist) tuples only — never embeddings.
+    """
+    dist = distance_expr(f"i.{item_vec}", f"{P.to_double_array(f'q.{query_vec}', 'spark')}", metric)
+    scored = (
+        items.alias("i")
+        .join(F.broadcast(queries.alias("q")))
+        .select(
+            F.col(f"q.{query_id}").alias("query_id"),
+            F.col(f"i.{item_id}").alias("neighbor_id"),
+            F.expr(f"round({dist}, 6)").alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "distance")
+    )
+
+
+def hyperplane_expr(vec_col: str, n_planes: int, dim: int, dialect: str) -> str:
+    """Bucket id from the signs of n_planes pseudo-random hyperplane dot
+    products. Hyperplane h's entry j = H('lshplane:h:j') scaled to [-1,1] —
+    a deterministic constant both engines compute identically, so LSH results
+    are oracle-checkable (unlike fitted k-means centroids)."""
+    a = P.to_double_array(vec_col, dialect)
+    bits = []
+    for h in range(n_planes):
+        if dialect == "spark":
+            seeded = f"concat('lshplane:{h}:', i)"
+            plane = (
+                f"transform(sequence(0, {dim - 1}), "
+                f"i -> cast({P.hash64(seeded, 'spark')} % 2000001 as double) / 1000000.0 - 1.0)"
+            )
+            d = P.dot(a, plane, "spark")
+            bits.append(f"CASE WHEN {d} > 0 THEN cast(pow(2, {h}) as bigint) ELSE 0L END")
+        else:
+            seeded = f"('lshplane:{h}:' || i)"
+            plane = (
+                f"list_transform(generate_series(0, {dim - 1}), "
+                f"i -> ({P.hash64(seeded, 'duck')} % 2000001)::DOUBLE / 1000000.0 - 1.0)"
+            )
+            d = P.dot(a, plane, "duck")
+            bits.append(f"CASE WHEN {d} > 0 THEN (2**{h})::BIGINT ELSE 0::BIGINT END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def signed_projection_buckets(
+    df: DataFrame, n_planes: int = 8, dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign every vector an LSH bucket id (0 .. 2^n_planes - 1). Narrow,
+    JVM-side; at scale, write the store partitioned by bucket so probes prune
+    partitions at scan time."""
+    return df.withColumn("bucket", F.expr(hyperplane_expr(vec_col, n_planes, dim, "spark")))
+
+
+def lsh_knn_join(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    metric: str = "COSINE",
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate k-NN join: score only item/query pairs sharing an LSH
+    bucket. Recall < 1 by construction (single probe); raise recall with
+    multi-probe (flip one bit) or more tables. The join is a hash join on
+    bucket — no nested loop, no full scan per query.
+    """
+    bi = signed_projection_buckets(items, n_planes, dim, item_id, item_vec)
+    bq = queries.withColumn("bucket", F.expr(hyperplane_expr(query_vec, n_planes, dim, "spark")))
+    dist = distance_expr(f"i.{item_vec}", f"{P.to_double_array(f'q.{query_vec}', 'spark')}", metric)
+    scored = (
+        bi.alias("i")
+        .join(F.broadcast(bq.alias("q")), F.col("i.bucket") == F.col("q.bucket"))
+        .select(
+            F.col(f"q.{query_id}").alias("query_id"),
+            F.col(f"i.{item_id}").alias("neighbor_id"),
+            F.expr(f"round({dist}, 6)").alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "distance")
+    )
+
+
+class IVFIndex:
+    """IVF-style ANN: k-means coarse quantizer + centroid-pruned probe.
+
+    Build: fit KMeans(n_centroids) on (a sample of) the store; persist the
+    store partitioned by centroid id (``partitionBy("centroid")``), so a probe
+    reading nprobe centroids is a partition-pruned scan — the Spark analogue
+    of Oracle's IVF index (reference K4, embedding.py:348-368).
+
+    Not oracle-checkable (fitted centroids aren't reproducible in DuckDB);
+    exact knn_join is the correctness oracle for recall measurement.
+    """
+
+    def __init__(self, n_centroids: int = 16, seed: int = 42, vec_col: str = "embedding"):
+        self.n_centroids = n_centroids
+        self.seed = seed
+        self.vec_col = vec_col
+        self.model = None
+
+    def fit(self, df: DataFrame, sample_fraction: float = 1.0) -> "IVFIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed=self.seed)
+        feats = train.select(array_to_vector(F.col(self.vec_col).cast("array<double>")).alias("features"))
+        self.model = KMeans(k=self.n_centroids, seed=self.seed, featuresCol="features").fit(feats)
+        return self
+
+    def assign(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.functions import array_to_vector
+
+        feats = df.withColumn("features", array_to_vector(F.col(self.vec_col).cast("array<double>")))
+        return self.model.transform(feats).withColumnRenamed("prediction", "centroid").drop("features")
+
+    def write_partitioned(self, df: DataFrame, path: str) -> None:
+        self.assign(df).write.mode("overwrite").partitionBy("centroid").parquet(path)
+
+    def probe_centroids(self, query_vec: list[float], nprobe: int = 2) -> list[int]:
+        import numpy as np
+
+        q = np.asarray(query_vec, dtype=np.float64)
+        cents = np.asarray([c.toArray() for c in self.model.clusterCenters()])
+        d = ((cents - q) ** 2).sum(axis=1)
+        return [int(i) for i in d.argsort()[:nprobe]]
+
+    def search(
+        self,
+        spark: SparkSession,
+        path: str,
+        query_vec: list[float],
+        k: int = 5,
+        nprobe: int = 2,
+        metric: str = "COSINE",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Partition-pruned probe: filter on centroid IN (...) hits only
+        nprobe/n_centroids of the data (verify with explain: PartitionFilters)."""
+        cents = self.probe_centroids(query_vec, nprobe)
+        store = spark.read.parquet(path).filter(F.col("centroid").isin(cents))
+        dist = distance_expr(self.vec_col, query_vec, metric)
+        return (
+            store.withColumn("distance", F.expr(f"round({dist}, 6)"))
+            .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+            .limit(k)
+        )

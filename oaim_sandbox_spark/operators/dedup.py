@@ -1,0 +1,228 @@
+"""Deduplication operators — exact and near-dup, designed for 100 TB.
+
+Reference behavior: exact text dedup before embedding, first occurrence wins
+(embedding.py:297-304). Beyond that, the LLM-data-pipeline suite: MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup (BASELINE.json north star).
+
+All hot-path math is JVM-side column expressions from functions/portable.py —
+no Python UDFs — so every operator here is whole-stage-codegen eligible and
+has a DuckDB-expressible oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from oaim_sandbox_spark.functions import portable as P
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", order_col: str | None = None) -> DataFrame:
+    """P7 exact dedup. With order_col: keep the first occurrence (reference
+    parity, embedding.py:297-304) via min-over-group; else dropDuplicates.
+
+    100 TB note: group/shuffle on a *hash of the text*, not the text itself —
+    shuffling full document bodies as keys would move the whole corpus through
+    the shuffle; hashing first keeps keys 8 bytes. Collisions are then broken
+    by an exact equality check within group (windowed).
+    """
+    if order_col is None:
+        return df.dropDuplicates([text_col])
+    w = Window.partitionBy(F.xxhash64(F.col(text_col)), F.col(text_col)).orderBy(order_col)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_perm: int = 16, ngram: int = 3
+) -> DataFrame:
+    """MinHash signature per doc (array<bigint> of num_perm values) over word
+    n-gram shingles. Narrow transformation — no shuffle."""
+    sig = P.minhash_signature(text_col, num_perm, ngram, "spark")
+    return df.select(F.col(id_col), F.expr(sig).alias("signature"))
+
+
+def minhash_band_keys(
+    sig_df: DataFrame, id_col: str = "doc_id", num_perm: int = 16, bands: int = 4
+) -> DataFrame:
+    """Explode a signature into (band_idx, band_hash) rows — the LSH bucketing
+    step. band_hash = portable hash of the band's joined values."""
+    rows = num_perm // bands
+    band_structs = ", ".join(
+        f"struct({b} as band_idx, {P.hash64(_band_concat('signature', b, rows), 'spark')} as band_hash)"
+        for b in range(bands)
+    )
+    return sig_df.select(
+        F.col(id_col), F.explode(F.expr(f"array({band_structs})")).alias("b")
+    ).select(id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
+
+
+def _band_concat(sig: str, band: int, rows: int, dialect: str = "spark") -> str:
+    """Join one band's signature values into a string (portable both dialects:
+    built by the caller with explicit element indexing, 1-based)."""
+    start = band * rows + 1
+    if dialect == "spark":
+        parts = ", ".join(f"element_at({sig}, {start + r})" for r in range(rows))
+        return f"concat_ws(',', {parts})"
+    parts = " || ',' || ".join(f"({sig})[{start + r}]" for r in range(rows))
+    return f"({parts})"
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """MinHash LSH candidate pairs + estimated Jaccard.
+
+    Plan: signature (narrow) -> band explode (xN) -> shuffle on band_hash ->
+    within-bucket self-join -> distinct pairs -> estimate sim as the fraction
+    of equal signature positions.
+
+    100 TB note: this is the canonical scale path — candidate generation cost
+    is O(sum over buckets of bucket²); with b bands of r rows the collision
+    probability is 1-(1-s^r)^b, so tune (b, r) to the target similarity. The
+    self-join shuffles only (id, band_hash, signature) — never document text.
+    Skewed buckets (boilerplate docs) are handled by AQE skew-join splitting.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, ngram)
+    banded = minhash_band_keys(sigs, id_col, num_perm, bands)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("signature").alias("sig_b"))
+    est = (
+        "cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) as double) / "
+        f"{num_perm}"
+    )
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.expr(f"round({est}, 6)").alias("est_jaccard"))
+    )
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60) -> DataFrame:
+    """SimHash fingerprint per doc (int64, <= 60 bits). Narrow, JVM-only."""
+    return df.select(F.col(id_col), F.expr(P.simhash(text_col, bits, "spark")).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 12,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the fingerprint into `bands` bit-slices;
+    by pigeonhole, any pair with hamming < bands must agree on >= 1 slice —
+    so the band join is exact for hamming <= bands-1, and a recall-bounded
+    prefilter above that. Pairs are then verified hamming <= max_hamming.
+
+    100 TB note: same LSH-shaped plan as minhash_lsh_pairs — shuffle carries
+    (id, fingerprint) only.
+    """
+    fp = simhash_fingerprints(df, id_col, text_col, bits)
+    slice_bits = bits // bands
+    band_structs = ", ".join(
+        f"struct({b} as band_idx, (simhash div cast(pow(2, {b * slice_bits}) as bigint)) % cast(pow(2, {slice_bits}) as bigint) as band_key)"
+        for b in range(bands)
+    )
+    banded = fp.select(
+        id_col, "simhash", F.explode(F.expr(f"array({band_structs})")).alias("b")
+    ).select(id_col, "simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "source",
+    ngram: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs within a blocking key.
+
+    Jaccard on DISTINCT shingle hash sets, computed set-theoretically:
+    |A∩B| via an equi-join on (block, shingle_hash), |A∪B| = |A|+|B|-|A∩B|.
+
+    100 TB note: exact all-pairs is quadratic — the block_col bounds the
+    quadratic term to within-block pairs; for unblocked corpora use
+    minhash_lsh_pairs to generate candidates and this only to verify them.
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        F.explode(F.expr(f"array_distinct(transform({P.word_ngrams(text_col, ngram, 'spark')}, s -> {P.hash64('s', 'spark')}))")).alias("sh"),
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    l, r = shingled.alias("l"), shingled.alias("r")
+    inter = (
+        l.join(r, (F.col("l._blk") == F.col("r._blk")) & (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .groupBy(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-dup: pairs with cosine similarity >= threshold.
+
+    This is the exact (brute-force) variant — the correctness oracle for any
+    approximate path. 100 TB note: all-pairs cosine is O(n²d); at scale,
+    bucket by random-hyperplane LSH first (see ann.signed_projection_buckets)
+    and run this join within buckets, or use a blocked matrix-multiply via
+    Pandas-UDF cross-bucket scoring. Kept exact here because the testdata
+    embedding tables are small; the plan broadcasts the smaller side.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    va = P.to_double_array("v_a", "spark")
+    vb = P.to_double_array("v_b", "spark")
+    sim = f"round({P.dot(va, vb, 'spark')} / ({P.norm2(va, 'spark')} * {P.norm2(vb, 'spark')}), 6)"
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.expr(sim))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

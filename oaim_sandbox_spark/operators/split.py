@@ -1,0 +1,215 @@
+"""Document splitters (SURVEY.md §2.3 P1-P5) — text -> chunk rows.
+
+Two implementations:
+
+1. ``split_fixed`` — fixed-stride character chunking, fully JVM-side
+   (``explode(transform(sequence(...)))``): zero Python in the hot path, scales
+   linearly, whole-stage-codegen friendly. This is the oracle-checked variant.
+
+2. ``RecursiveCharSplitter`` + ``split_documents`` — separator-aware recursive
+   splitting with the reference's semantics (chunk_size cap, chunk_overlap,
+   add_start_index, strip_whitespace; reference embedding.py:118-124 uses
+   LangChain's RecursiveCharacterTextSplitter). Runs as ``mapInPandas`` — one
+   doc in, N chunk rows out, embarrassingly parallel, Arrow-batched.
+
+Chunk ids follow the reference exactly: ``f"{stem}_{idx}"`` with idx 1-based
+per source document (embedding.py:78-89,199-201) — reproduced with a window
+ordered by (source, start_index), never monotonically_increasing_id.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+
+def split_fixed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 200,
+    chunk_overlap: int = 20,
+) -> DataFrame:
+    """Fixed-stride chunker: chunk i covers [i*stride, i*stride + chunk_size).
+
+    100 TB note: pure narrow transformation — no shuffle, no Python. Output
+    row count is ~len/stride per doc; partition sizing is inherited from the
+    scan, so set spark.sql.files.maxPartitionBytes to keep post-explode
+    partitions bounded.
+    """
+    stride = chunk_size - math.ceil(chunk_overlap)
+    if stride <= 0:
+        raise ValueError("chunk_overlap must be smaller than chunk_size")
+    chunks = (
+        f"transform(sequence(0, cast(floor((length({text_col}) - 1) / {stride}) as int)), "
+        f"i -> struct(i * {stride} as start_index, substr({text_col}, i * {stride} + 1, {chunk_size}) as text))"
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("source"),
+            F.explode(F.expr(chunks)).alias("c"),
+        )
+        .select(
+            F.concat(F.col("source").cast("string"), F.lit("_"), (F.col("c.start_index") / stride + 1).cast("int").cast("string")).alias("id"),
+            F.col("c.text").alias("text"),
+            "source",
+            F.col("c.start_index").alias("start_index"),
+        )
+    )
+
+
+# --- Recursive separator-aware splitter (reference P1 semantics) -----------
+
+DEFAULT_SEPARATORS = ["\n\n", "\n", " ", ""]
+
+CHUNK_OUT_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("text", StringType(), False),
+        StructField("source", StringType(), True),
+        StructField("filename", StringType(), True),
+        StructField("start_index", IntegerType(), True),
+    ]
+)
+
+
+class RecursiveCharSplitter:
+    """Separator-aware recursive character splitter.
+
+    Semantics (matching the public LangChain RecursiveCharacterTextSplitter
+    contract the reference relies on at embedding.py:118-124): try separators
+    in order; split on the first that occurs; recursively re-split fragments
+    longer than chunk_size; merge adjacent fragments into chunks of at most
+    chunk_size with chunk_overlap characters carried over; strip whitespace;
+    report each chunk's start index in the original text.
+    """
+
+    def __init__(
+        self,
+        chunk_size: int = 200,
+        chunk_overlap: int = 20,
+        separators: list[str] | None = None,
+        strip_whitespace: bool = True,
+    ):
+        if chunk_overlap >= chunk_size:
+            raise ValueError("chunk_overlap must be smaller than chunk_size")
+        self.chunk_size = chunk_size
+        self.chunk_overlap = math.ceil(chunk_overlap)
+        self.separators = separators or DEFAULT_SEPARATORS
+        self.strip_whitespace = strip_whitespace
+
+    def _split_recursive(self, text: str, separators: list[str]) -> list[str]:
+        sep = separators[-1]
+        rest: list[str] = []
+        for i, s in enumerate(separators):
+            if s == "" or s in text:
+                sep, rest = s, separators[i + 1 :]
+                break
+        pieces = list(text) if sep == "" else [p + sep for p in text.split(sep)]
+        if sep != "":
+            # the split above re-appends the separator; fix the tail
+            pieces[-1] = pieces[-1][: -len(sep)]
+            pieces = [p for p in pieces if p]
+        out: list[str] = []
+        for piece in pieces:
+            if len(piece) <= self.chunk_size or not rest:
+                out.append(piece)
+            else:
+                out.extend(self._split_recursive(piece, rest))
+        return out
+
+    def _merge(self, pieces: list[str]) -> list[str]:
+        chunks: list[str] = []
+        cur: list[str] = []
+        cur_len = 0
+        for piece in pieces:
+            if cur and cur_len + len(piece) > self.chunk_size:
+                chunks.append("".join(cur))
+                # carry overlap: drop from the front until within overlap budget
+                while cur and cur_len > self.chunk_overlap:
+                    cur_len -= len(cur[0])
+                    cur.pop(0)
+            cur.append(piece)
+            cur_len += len(piece)
+        if cur:
+            chunks.append("".join(cur))
+        return chunks
+
+    def split_text(self, text: str) -> list[tuple[str, int]]:
+        """Return (chunk, start_index) pairs; start_index found by forward scan
+        (mirrors add_start_index=True)."""
+        merged = self._merge(self._split_recursive(text, self.separators))
+        out: list[tuple[str, int]] = []
+        pos = 0
+        for chunk in merged:
+            idx = text.find(chunk, max(0, pos - self.chunk_overlap - len(chunk)))
+            if idx < 0:
+                idx = text.find(chunk)
+            stripped = chunk.strip() if self.strip_whitespace else chunk
+            if stripped:
+                out.append((stripped, idx + (len(chunk) - len(chunk.lstrip()) if self.strip_whitespace else 0)))
+            pos = idx + len(chunk)
+        return out
+
+
+def split_documents(
+    df: DataFrame,
+    splitter: RecursiveCharSplitter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """P1 as a distributed operator: mapInPandas over Arrow batches; each doc
+    yields its chunks with reference-parity ids (1-based per doc).
+
+    100 TB note: no shuffle; Python cost is per-character string ops which at
+    ~GB/s/core keeps up with scan throughput for typical document sizes. For
+    pure fixed-stride workloads prefer split_fixed (JVM-only).
+    """
+    size, overlap, seps, strip = (
+        splitter.chunk_size,
+        splitter.chunk_overlap,
+        splitter.separators,
+        splitter.strip_whitespace,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sp = RecursiveCharSplitter(size, overlap, seps, strip)
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for i, (chunk, start) in enumerate(sp.split_text(r[text_col]), start=1):
+                    rows.append(
+                        {
+                            "id": f"{r[id_col]}_{i}",
+                            "text": chunk,
+                            "source": r.get(source_col),
+                            "filename": str(r[id_col]),
+                            "start_index": start,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in CHUNK_OUT_SCHEMA.fields])
+
+    return df.mapInPandas(run, CHUNK_OUT_SCHEMA)
+
+
+def assign_chunk_ids(df: DataFrame, source_col: str = "source", order_col: str = "start_index") -> DataFrame:
+    """P6 metadata projection: 1-based per-source index -> id "{source}_{idx}".
+
+    Window partitioned by source: at 100 TB each source document's chunks are
+    a small group, so the shuffle is well-distributed (no global sort).
+    """
+    w = Window.partitionBy(source_col).orderBy(order_col)
+    return df.withColumn("chunk_idx", F.row_number().over(w)).withColumn(
+        "id", F.concat(F.col(source_col).cast("string"), F.lit("_"), F.col("chunk_idx").cast("string"))
+    )

@@ -1,0 +1,653 @@
+"""Oracle-checked query registry — the driver contract surface.
+
+Each entry pairs a Spark implementation with a DuckDB oracle built from the
+SAME dual-dialect fragments (functions/portable.py), so both engines compute
+identical values by construction. Conventions that make hash-compare robust:
+
+  - every float output is round(x, 6); money aggregates go through exact
+    DECIMAL sums and are cast to DOUBLE at the end (fp-order independent);
+  - timestamps: orders/lineitem are wall-clock (timestamp_ntz) and compared
+    via literals; events.ts is TIMESTAMP(NANOS) parquet which Spark reads as
+    BIGINT nanos (spark.sql.legacy.parquet.nanosAsLong — set per call) and
+    DuckDB truncates to micros, so both sides normalize to epoch-MICROS int64;
+  - every ORDER BY / LIMIT has a unique-key tiebreak, so top-k membership is
+    deterministic;
+  - aggregate outputs are explicitly cast (DuckDB sums integers into HUGEINT,
+    Spark into BIGINT — cast aligns schemas).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from oaim_sandbox_spark.functions import portable as P
+from oaim_sandbox_spark.operators import text_analysis as TA
+from oaim_sandbox_spark.operators.ann import hyperplane_expr
+from oaim_sandbox_spark.operators.dedup import _band_concat
+from oaim_sandbox_spark.operators.retrieval import distance_expr, score_expr
+
+ALL_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+EMBED_DIM = 64  # driver testdata embeddings are 64-dim
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
+    """Register sf_dir parquet tables as temp views. events.parquet uses
+    TIMESTAMP(NANOS) which Spark only reads with nanosAsLong (-> BIGINT)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _ts_us(dialect: str) -> str:
+    """events.ts normalized to epoch-micros int64 on both engines."""
+    return "(ts div 1000)" if dialect == "spark" else "epoch_us(ts)"
+
+
+def _dec(e: str, p: int = 18, s: int = 2) -> str:
+    return f"CAST({e} AS DECIMAL({p},{s}))"
+
+
+def _elem(arr: str, i: int, dialect: str) -> str:
+    """1-based array element access."""
+    return f"element_at({arr}, {i})" if dialect == "spark" else f"({arr})[{i}]"
+
+
+def _str(e: str, dialect: str) -> str:
+    """String cast (Spark: STRING, DuckDB: VARCHAR)."""
+    return f"CAST({e} AS STRING)" if dialect == "spark" else f"CAST({e} AS VARCHAR)"
+
+
+def _idiv(a: str, b: str, dialect: str) -> str:
+    """Integer (floor-toward-zero) division — both operands int64."""
+    return f"({a} div {b})" if dialect == "spark" else f"({a} // {b})"
+
+
+# ---------------------------------------------------------------------------
+# Query templates: name -> fn(dialect) -> SQL string (runs on both engines).
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(d: str) -> str:
+    """TPC-H Q1 shape — grouped aggregation with exact decimal sums (A1-A5
+    operator class; SURVEY §2.5). Catalyst: partial aggregation map-side, one
+    shuffle on the 4-value group key; scan prunes to 7 columns."""
+    disc_price = f"{_dec('l_extendedprice')} * (1 - {_dec('l_discount', 5, 2)})"
+    charge = f"{disc_price} * (1 + {_dec('l_tax', 5, 2)})"
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM({_dec('l_quantity')}) AS DOUBLE)        AS sum_qty,
+       CAST(SUM({_dec('l_extendedprice')}) AS DOUBLE)   AS sum_base_price,
+       CAST(SUM({disc_price}) AS DOUBLE)                AS sum_disc_price,
+       CAST(SUM({charge}) AS DOUBLE)                    AS sum_charge,
+       round(CAST(SUM({_dec('l_quantity')}) AS DOUBLE) / COUNT(*), 6)      AS avg_qty,
+       round(CAST(SUM({_dec('l_extendedprice')}) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       round(CAST(SUM({_dec('l_discount', 5, 2)}) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(d: str) -> str:
+    """TPC-H Q3 shape — 3-way join + agg + deterministic top-10 (J3 + T1
+    classes). Catalyst broadcasts the filtered customer side under AQE."""
+    revenue = f"SUM({_dec('l_extendedprice')} * (1 - {_dec('l_discount', 5, 2)}))"
+    return f"""
+SELECT o.o_orderkey, CAST({revenue} AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o.o_orderkey
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier(d: str) -> str:
+    """TPC-H Q5 shape — 6-way star join with co-located nation keys (J1/J3).
+    region/nation/supplier are broadcast-size at any SF; the orders-lineitem
+    join shuffles on orderkey."""
+    revenue = f"SUM({_dec('l_extendedprice')} * (1 - {_dec('l_discount', 5, 2)}))"
+    return f"""
+SELECT n.n_name, CAST({revenue} AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+def anti_join_merge(d: str) -> str:
+    """K2/J2 class — the reference's NOT-EXISTS merge (embedding.py:352-359)
+    as a left-anti join: customers with no open ('O') order. At 100 TB the
+    anti-join shuffles only the key column projections."""
+    return """
+SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 6) AS acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+)
+ORDER BY c.c_custkey
+"""
+
+
+def catalog_scan_events(d: str) -> str:
+    """S13/T4 class — filtered, ordered catalog scan (testbed.py:101-141
+    shape): latest 100 error events. Filter+projection push to the scan;
+    ORDER+LIMIT compiles to TakeOrderedAndProject."""
+    return f"""
+SELECT event_id, {_ts_us(d)} AS ts_us, user_id, round(value, 6) AS value
+FROM events
+WHERE event_type = 'error'
+ORDER BY ts_us DESC, event_id ASC
+LIMIT 100
+"""
+
+
+def events_json_props(d: str) -> str:
+    """§2.8 JSON scalar functions (reference json.loads paths): extract
+    props.k per event type, aggregate. JSON parse stays JVM-side
+    (get_json_object) — no Python."""
+    k = (
+        "CAST(get_json_object(props, '$.k') AS BIGINT)"
+        if d == "spark"
+        else "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    )
+    return f"""
+SELECT event_type,
+       CAST(SUM({k}) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(SUM({k}) AS DOUBLE) / COUNT(*), 6) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def events_hourly_windows(d: str) -> str:
+    """§2.9 — tumbling 1-hour windowed aggregation, the batch twin of the
+    Structured Streaming ingest path (streaming/ingest.py runs the same agg
+    with a watermark). Window id = epoch-micros div 3.6e9."""
+    return f"""
+SELECT {_idiv(_ts_us(d), '3600000000', d)} AS hour_id,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def user_activity_sessions(d: str) -> str:
+    """Sessionization-shaped window-function query (lag + gap flag): per-user
+    event ordering with 30-minute session breaks — the batch form of
+    stateful-streaming sessionization. Shuffles once on user_id."""
+    return f"""
+SELECT user_id, event_id, ts_us,
+       CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS session_start
+FROM (
+  SELECT user_id, event_id, {_ts_us(d)} AS ts_us,
+         lag({_ts_us(d)}) OVER (PARTITION BY user_id ORDER BY {_ts_us(d)}, event_id) AS prev_us
+  FROM events
+) t
+WHERE user_id < 50
+ORDER BY user_id, ts_us, event_id
+"""
+
+
+def chunk_ids_window(d: str) -> str:
+    """P6 metadata projection — 1-based per-source chunk index, reference id
+    scheme f"{file}_{idx}" (embedding.py:78-89). Window partitioned by source
+    (small groups -> well-distributed shuffle)."""
+    rn = _str("row_number() OVER (PARTITION BY source ORDER BY doc_id)", d)
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       source || '_' || {rn} AS chunk_ref
+FROM documents
+"""
+
+
+def split_fixed_chunks(d: str) -> str:
+    """P1/P4 — fixed-stride chunking (size=200, overlap=20 -> stride=180)
+    entirely in SQL (explode/unnest of a generated sequence): chunk id is
+    1-based per doc (reference parity), start_index 0-based. Narrow op — the
+    Spark plan has no shuffle."""
+    size, stride = 200, 180
+    cid = _str("doc_id", d) + " || '_' || " + _str(f"{_idiv('c.start_index', str(stride), d)} + 1", d)
+    head = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {cid} AS chunk_id,
+       CAST(c.start_index AS INT) AS start_index,
+       c.chunk AS chunk_text
+"""
+    if d == "spark":
+        gen = (
+            f"explode(transform(sequence(0, cast(floor((length(text) - 1) / {stride}) as int)), "
+            f"i -> struct(cast(i * {stride} as bigint) as start_index, substr(text, i * {stride} + 1, {size}) as chunk)))"
+        )
+        return head + f"FROM (SELECT doc_id, text, {gen} AS c FROM documents) t"
+    return head + f"""
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, CAST(floor((length(text) - 1) / {stride}) AS INT)),
+                i -> struct_pack(start_index := CAST(i * {stride} AS BIGINT), chunk := substr(text, i * {stride} + 1, {size})))) AS c
+  FROM documents
+) t
+"""
+
+
+def dedup_exact_first(d: str) -> str:
+    """P7 — exact dedup keeping first occurrence in doc_id order
+    (reference embedding.py:297-304 keeps first in file order). Group key is
+    the text fingerprint, not the text (8-byte shuffle keys at scale)."""
+    fp = TA.fingerprint_sql("text", d)
+    return f"""
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, {P.hash64('text', d)} AS text_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY {P.hash64('text', d)}, {fp}
+"""
+
+
+def vs_merge_content_ids(d: str) -> str:
+    """K2 + content-addressed ids (§2.8: sha2(text,256) like OracleVS chunk
+    ids): rows of the odd-doc half not already present (by content id) in the
+    even-doc half — the idempotent-merge anti-join on a derived store."""
+    cid = "sha2(text, 256)" if d == "spark" else "sha256(text)"
+    return f"""
+WITH existing AS (SELECT {cid} AS id FROM documents WHERE doc_id % 2 = 0),
+     incoming AS (SELECT {cid} AS id, doc_id FROM documents WHERE doc_id % 2 = 1)
+SELECT i.id AS id, CAST(i.doc_id AS BIGINT) AS doc_id
+FROM incoming i
+WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.id = i.id)
+ORDER BY doc_id
+"""
+
+
+def mock_embed_dims(d: str) -> str:
+    """P9 — deterministic mock embedder (FIXTURES.md §3) as a JVM expression,
+    unnested to scalar rows so values hash-compare exactly. 8 dims of the
+    first 50 docs keeps the check tight and cheap."""
+    vec = P.mock_embed("text", 8, d)
+    if d == "spark":
+        return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(p.i AS INT) AS dim_idx, round(p.v, 6) AS v
+FROM documents
+LATERAL VIEW posexplode({vec}) p AS i, v
+WHERE doc_id < 50
+"""
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(u.i - 1 AS INT) AS dim_idx,
+       round(u.v, 6) AS v
+FROM (
+  SELECT doc_id, unnest(list_transform(list_zip({vec}, generate_series(1, 8)), z -> struct_pack(v := z[1], i := z[2]))) AS u
+  FROM documents WHERE doc_id < 50
+) t
+"""
+
+
+def _topk_template(d: str, metric: str, k: int = 10, threshold: float | None = None) -> str:
+    """T1/T2 — exact top-k against the query vector = embeddings[vec_id=0].
+    Spark plan: broadcast 1-row side + TakeOrderedAndProject (no shuffle of
+    the store)."""
+    dist = distance_expr("e.embedding", P.to_double_array("q.qv", d), metric, d)
+    base = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS vec_id, round({dist}, 6) AS distance
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> 0
+"""
+    if threshold is None:
+        return base + f"ORDER BY distance ASC, vec_id ASC LIMIT {k}"
+    score = score_expr("distance", metric)
+    return (
+        f"SELECT vec_id, distance, round({score}, 6) AS score FROM ({base}) s "
+        f"WHERE round({score}, 6) >= {threshold} ORDER BY distance ASC, vec_id ASC LIMIT {k}"
+    )
+
+
+def topk_cosine(d: str) -> str:
+    return _topk_template(d, "COSINE")
+
+
+def topk_euclidean(d: str) -> str:
+    return _topk_template(d, "EUCLIDEAN_DISTANCE")
+
+
+def topk_dot_product(d: str) -> str:
+    """Oracle DOT_PRODUCT distance = negated inner product — parity case
+    called out in SURVEY §2.6."""
+    return _topk_template(d, "DOT_PRODUCT")
+
+
+def topk_score_threshold(d: str) -> str:
+    return _topk_template(d, "COSINE", k=10, threshold=0.55)
+
+
+def rag_topk_mock_query(d: str) -> str:
+    """End-to-end T1 with the mock embedder: embed a query STRING, retrieve
+    top-5 document chunks by cosine over mock-embedded documents — the
+    flagship retrieval path (§3.1 step c) without any network."""
+    qvec = P.mock_embed("'spark vector search'", EMBED_DIM, d)
+    dvec = P.mock_embed("text", EMBED_DIM, d)
+    dist = P.cosine_distance(dvec, qvec, d)
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round({dist}, 6) AS distance
+FROM documents
+ORDER BY distance ASC, doc_id ASC
+LIMIT 5
+"""
+
+
+def knn_join_batch(d: str) -> str:
+    """Batched exact k-NN join (ANN baseline): every 97th vector queries the
+    whole store; per-query top-5 via rank window. ONE scan answers all
+    queries; the window shuffles only (query_id, neighbor_id, distance)."""
+    dist = distance_expr("e.embedding", P.to_double_array("q.qv", d), "COSINE", d)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0)
+SELECT query_id, neighbor_id, rank, distance
+FROM (
+  SELECT query_id, neighbor_id, distance,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, neighbor_id ASC) AS rank
+  FROM (
+    SELECT q.query_id AS query_id, e.vec_id AS neighbor_id, round({dist}, 6) AS distance
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+  ) s
+) t
+WHERE rank <= 5
+"""
+
+
+def lsh_ann_topk(d: str) -> str:
+    """Approximate k-NN via random-hyperplane LSH buckets (the 100 TB scale
+    path: hash join on bucket instead of a full cross join). Hyperplanes are
+    portable-hash constants, so DuckDB reproduces the buckets exactly."""
+    bucket_e = hyperplane_expr("e.embedding", 6, EMBED_DIM, d)
+    bucket_q = hyperplane_expr("q.qv", 6, EMBED_DIM, d)
+    dist = distance_expr("e.embedding", P.to_double_array("q.qv", d), "COSINE", d)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 191 = 0)
+SELECT query_id, neighbor_id, rank, distance
+FROM (
+  SELECT query_id, neighbor_id, distance,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, neighbor_id ASC) AS rank
+  FROM (
+    SELECT q.query_id AS query_id, e.vec_id AS neighbor_id, round({dist}, 6) AS distance
+    FROM embeddings e JOIN q ON {bucket_e} = {bucket_q}
+    WHERE e.vec_id <> q.query_id
+  ) s
+) t
+WHERE rank <= 3
+"""
+
+
+# --- dedup suite -----------------------------------------------------------
+
+NUM_PERM, BANDS, NGRAM = 16, 4, 3
+
+
+def minhash_signatures_q(d: str) -> str:
+    """MinHash signatures (16 perms over word 3-gram shingles), unnested to
+    (doc_id, perm_idx, minhash) scalar rows. Narrow op, no shuffle."""
+    hs = P.shingle_hashes("text", NGRAM, d)
+    sig = P.minhash_from_hashes("hs", NUM_PERM, d)
+    if d == "spark":
+        return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(p.i AS INT) AS perm_idx, p.v AS minhash
+FROM (SELECT doc_id, {hs} AS hs FROM documents) h
+LATERAL VIEW posexplode({sig}) p AS i, v
+"""
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(u.i - 1 AS INT) AS perm_idx, u.v AS minhash
+FROM (
+  SELECT doc_id, unnest(list_transform(list_zip({sig}, generate_series(1, {NUM_PERM})), z -> struct_pack(v := z[1], i := z[2]))) AS u
+  FROM (SELECT doc_id, {hs} AS hs FROM documents) h
+) t
+"""
+
+
+def _banded_cte(d: str) -> str:
+    """CTE: sigs (doc_id, sig) + banded (doc_id, band_idx, band_hash) via
+    UNION ALL of per-band projections — the oracle twin of
+    operators.dedup.minhash_band_keys."""
+    hs = P.shingle_hashes("text", NGRAM, d)
+    sig = P.minhash_from_hashes("hs", NUM_PERM, d)
+    rows = NUM_PERM // BANDS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, {P.hash64(_band_concat('sig', b, rows, d), d)} AS band_hash FROM sigs"
+        for b in range(BANDS)
+    )
+    return (
+        f"WITH sigs AS (SELECT doc_id, {sig} AS sig "
+        f"FROM (SELECT doc_id, {hs} AS hs FROM documents) h), banded AS ({band_selects})"
+    )
+
+
+def minhash_lsh_pairs_q(d: str) -> str:
+    """MinHash LSH candidate pairs + signature-estimated Jaccard (scale path
+    for corpus dedup: cost ~ sum(bucket²), text never shuffles)."""
+    eq_terms = " + ".join(
+        f"CASE WHEN {_elem('a.sig', i + 1, d)} = {_elem('b.sig', i + 1, d)} THEN 1 ELSE 0 END"
+        for i in range(NUM_PERM)
+    )
+    return f"""
+{_banded_cte(d)},
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+)
+SELECT CAST(p.doc_a AS BIGINT) AS doc_a, CAST(p.doc_b AS BIGINT) AS doc_b,
+       round(({eq_terms}) / {NUM_PERM}.0, 6) AS est_jaccard
+FROM pairs p
+JOIN sigs a ON a.doc_id = p.doc_a
+JOIN sigs b ON b.doc_id = p.doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
+SIMHASH_BITS, SIMHASH_BANDS, MAX_HAMMING = 60, 4, 20
+
+
+def simhash_fingerprints_q(d: str) -> str:
+    """SimHash (60-bit, tf-weighted token hashes) per document."""
+    hs = P.token_hashes("text", d)
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {P.simhash_from_hashes('hs', SIMHASH_BITS, d)} AS simhash
+FROM (SELECT doc_id, {hs} AS hs FROM documents) h
+"""
+
+
+def simhash_near_pairs_q(d: str) -> str:
+    """SimHash near-dup pairs: band the fingerprint into 4 x 15-bit slices
+    (pigeonhole-exact for hamming <= 3, prefilter above), verify
+    hamming <= {MAX_HAMMING}."""
+    slice_bits = SIMHASH_BITS // SIMHASH_BANDS
+    if d == "spark":
+        def band_key(b: int) -> str:
+            return f"(simhash div cast(pow(2, {b * slice_bits}) as bigint)) % cast(pow(2, {slice_bits}) as bigint)"
+        ham = "bit_count(l.simhash ^ r.simhash)"
+    else:
+        def band_key(b: int) -> str:
+            return f"(simhash // (2**{b * slice_bits})::BIGINT) % (2**{slice_bits})::BIGINT"
+        ham = "bit_count(xor(l.simhash, r.simhash))"
+    bands_sql = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_idx, {band_key(b)} AS band_key FROM fps" for b in range(SIMHASH_BANDS)
+    )
+    hs = P.token_hashes("text", d)
+    return f"""
+WITH fps AS (SELECT doc_id, {P.simhash_from_hashes('hs', SIMHASH_BITS, d)} AS simhash
+             FROM (SELECT doc_id, {hs} AS hs FROM documents) h),
+banded AS ({bands_sql})
+SELECT DISTINCT CAST(l.doc_id AS BIGINT) AS doc_a, CAST(r.doc_id AS BIGINT) AS doc_b,
+       {ham} AS hamming
+FROM banded l JOIN banded r
+  ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+WHERE {ham} <= {MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+def ngram_jaccard_pairs_q(d: str) -> str:
+    """Exact n-gram Jaccard within a blocking key (source): set-theoretic
+    |A∩B| via shingle-hash equi-join. Quadratic only within blocks; use
+    minhash_lsh_pairs for unblocked corpora."""
+    sh = f"array_distinct(transform({P.word_ngrams('text', NGRAM, 'spark')}, s -> {P.hash64('s', 'spark')}))"
+    if d == "spark":
+        shingled = f"SELECT doc_id, source, explode({sh}) AS sh FROM documents"
+    else:
+        sh_d = f"list_distinct(list_transform({P.word_ngrams('text', NGRAM, 'duck')}, s -> {P.hash64('s', 'duck')}))"
+        shingled = f"SELECT doc_id, source, unnest({sh_d}) AS sh FROM documents"
+    return f"""
+WITH shingled AS ({shingled}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingled l JOIN shingled r
+    ON l.source = r.source AND l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       round(n_inter * 1.0 / (a.n_sh + b.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes a ON a.doc_id = doc_a
+JOIN sizes b ON b.doc_id = doc_b
+WHERE n_inter * 1.0 / (a.n_sh + b.n_sh - n_inter) >= 0.03
+ORDER BY doc_a, doc_b
+"""
+
+
+def embedding_cosine_pairs_q(d: str) -> str:
+    """Embedding near-dup: exact all-pairs cosine >= threshold — correctness
+    oracle for approximate variants; blocked/LSH'd at real scale."""
+    va = P.to_double_array("a.embedding", d)
+    vb = P.to_double_array("b.embedding", d)
+    sim = f"{P.dot(va, vb, d)} / ({P.norm2(va, d)} * {P.norm2(vb, d)})"
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({sim}, 6) AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({sim}, 6) >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+def lang_id_q(d: str) -> str:
+    """Language-ID heuristic (stopword-hit argmax, deterministic tie-break)."""
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {TA.lang_id_sql('text', d)} AS detected_lang
+FROM documents
+"""
+
+
+def quality_scores_q(d: str) -> str:
+    m = TA.quality_metrics_sql("text", d)
+    cols = ",\n       ".join(f"CAST({expr} AS DOUBLE) AS {name}" if name not in ("n_chars", "n_tokens") else f"CAST({expr} AS BIGINT) AS {name}" for name, expr in m.items())
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {cols},
+       CAST({TA.quality_score_sql('text', d)} AS DOUBLE) AS quality_score
+FROM documents
+"""
+
+
+def token_counts_q(d: str) -> str:
+    t = TA.token_counts_sql("text", d)
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({t['ws_tokens']} AS BIGINT) AS ws_tokens,
+       CAST({t['bpe_tokens']} AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def doc_fingerprints_q(d: str) -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {TA.fingerprint_sql('text', d)} AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+TEMPLATES: dict[str, Callable[[str], str]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "anti_join_merge": anti_join_merge,
+    "catalog_scan_events": catalog_scan_events,
+    "events_json_props": events_json_props,
+    "events_hourly_windows": events_hourly_windows,
+    "user_activity_sessions": user_activity_sessions,
+    "chunk_ids_window": chunk_ids_window,
+    "split_fixed_chunks": split_fixed_chunks,
+    "dedup_exact_first": dedup_exact_first,
+    "vs_merge_content_ids": vs_merge_content_ids,
+    "mock_embed_dims": mock_embed_dims,
+    "topk_cosine": topk_cosine,
+    "topk_euclidean": topk_euclidean,
+    "topk_dot_product": topk_dot_product,
+    "topk_score_threshold": topk_score_threshold,
+    "rag_topk_mock_query": rag_topk_mock_query,
+    "knn_join_batch": knn_join_batch,
+    "lsh_ann_topk": lsh_ann_topk,
+    "minhash_signatures": minhash_signatures_q,
+    "minhash_lsh_pairs": minhash_lsh_pairs_q,
+    "simhash_fingerprints": simhash_fingerprints_q,
+    "simhash_near_pairs": simhash_near_pairs_q,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs_q,
+    "embedding_cosine_pairs": embedding_cosine_pairs_q,
+    "lang_id": lang_id_q,
+    "quality_scores": quality_scores_q,
+    "token_counts": token_counts_q,
+    "doc_fingerprints": doc_fingerprints_q,
+}
+
+
+def _make_spark_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(TEMPLATES[name]("spark"))
+
+    run.__name__ = f"query_{name}"
+    return run
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _make_spark_runner(name) for name in TEMPLATES}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {name: fn("duck") for name, fn in TEMPLATES.items()}

@@ -1,0 +1,44 @@
+"""SparkSession factory tuned for the vector/RAG workload.
+
+Local testing uses local[N]; the same conf scales to a multi-executor cluster:
+AQE handles skew + dynamic coalescing, Arrow batches size the embed UDF batches
+(reference uses 500 chunks/batch — src/server/utils/embedding.py:320-324).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Reference batches embeddings 500 chunks at a time (embedding.py:320-324).
+EMBED_BATCH_SIZE = 500
+
+
+def get_spark(app_name: str = "oaim-sandbox-spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    Every knob here is chosen for the 100 TB target, not just local tests:
+      - AQE on: runtime coalescing, skew-join splitting, dynamic join selection.
+      - Arrow enabled + maxRecordsPerBatch=500: the embed UDF (P9) sees the same
+        batch size the reference uses for provider HTTP calls.
+      - shuffle.partitions modest locally; on a real cluster set to 2-3x cores.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(EMBED_BATCH_SIZE))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
