@@ -170,7 +170,9 @@ class IVFIndex:
         import numpy as np
 
         q = np.asarray(query_vec, dtype=np.float64)
-        cents = np.asarray([c.toArray() for c in self.model.clusterCenters()])
+        cents = np.asarray(
+            [c.toArray() if hasattr(c, "toArray") else np.asarray(c) for c in self.model.clusterCenters()]
+        )
         d = ((cents - q) ** 2).sum(axis=1)
         return [int(i) for i in d.argsort()[:nprobe]]
 
