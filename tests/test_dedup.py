@@ -1,0 +1,74 @@
+"""Dedup operators: exact first-wins (reference embedding.py:297-304) and the
+near-dup suite (minhash LSH / simhash / n-gram jaccard / embedding cosine)."""
+
+from oaim_sandbox_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+OTHER = "completely different words describing an unrelated topic entirely here now"
+
+
+def test_exact_dedup_first_wins(spark):
+    df = spark.createDataFrame(
+        [(3, "dup"), (1, "dup"), (2, "unique")], "doc_id INT, text STRING"
+    )
+    out = exact_dedup(df, order_col="doc_id").collect()
+    kept = {r.text: r.doc_id for r in out}
+    assert kept == {"dup": 1, "unique": 2}
+
+
+def test_exact_dedup_no_order(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id INT, text STRING")
+    assert exact_dedup(df).count() == 2
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    df = spark.createDataFrame([(1, BASE), (2, BASE)], "doc_id INT, text STRING")
+    sigs = {r.doc_id: r.signature for r in minhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    df = spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER)], "doc_id INT, text STRING"
+    )
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] > 0.5
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identical_zero_hamming(spark):
+    df = spark.createDataFrame([(1, BASE), (2, BASE), (3, OTHER)], "doc_id INT, text STRING")
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(df).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_pairs(df, max_hamming=5).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, BASE, "blk"), (2, NEAR, "blk"), (3, OTHER, "blk")],
+        "doc_id INT, text STRING, source STRING",
+    )
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.7
+    assert (1, 3) not in pairs
+
+
+def test_embedding_cosine_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.04]), (3, [0.0, 1.0])],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    pairs = {(r.id_a, r.id_b): r.cosine_sim for r in embedding_cosine_pairs(df, threshold=0.9).collect()}
+    assert set(pairs) == {(1, 2)}

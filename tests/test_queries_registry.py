@@ -1,0 +1,37 @@
+"""Driver-contract registry sanity: every template has an oracle, every Spark
+query compiles and returns rows at sf0.001, oracle SQL parses in DuckDB."""
+
+import duckdb
+import pytest
+
+from oaim_sandbox_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_every_template_has_oracle():
+    oracles = Q.oracle_sqls()
+    assert set(oracles) == set(Q.TEMPLATES)
+    for name, sql in oracles.items():
+        assert sql.strip().upper().startswith(("SELECT", "WITH")), name
+
+
+def test_non_oracle_queries_registered():
+    qs = Q.spark_queries()
+    for name in Q.NON_ORACLE:
+        assert name in qs
+        assert name not in Q.oracle_sqls()
+
+
+def test_oracle_sql_parses_in_duckdb():
+    duck = duckdb.connect()
+    for t in Q.ALL_TABLES:
+        duck.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    for name, sql in Q.oracle_sqls().items():
+        duck.sql(f"SELECT * FROM ({sql}) q LIMIT 1")  # parse + execute a row
+
+
+@pytest.mark.parametrize("name", sorted(Q.TEMPLATES))
+def test_spark_query_compiles(spark, name):
+    df = Q.spark_queries()[name](spark, SF)
+    assert df.limit(1).count() >= 0

@@ -1,0 +1,81 @@
+"""Distance-metric parity (Oracle semantics, SURVEY §2.6) + top-k/threshold/
+MMR behavior (reference chatbot.py:183-210, schema.py:168-183)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from oaim_sandbox_spark.operators.retrieval import mmr_rerank, similarity_topk
+
+VECS = [
+    (1, [1.0, 0.0, 0.0]),
+    (2, [0.9, 0.1, 0.0]),
+    (3, [0.0, 1.0, 0.0]),
+    (4, [-1.0, 0.0, 0.0]),
+    (5, [0.5, 0.5, 0.0]),
+]
+QUERY = [1.0, 0.0, 0.0]
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in VECS], "id INT, embedding ARRAY<FLOAT>"
+    )
+
+
+def _np_dist(v, metric):
+    a, q = np.asarray(v), np.asarray(QUERY)
+    if metric == "COSINE":
+        return 1 - a.dot(q) / (np.linalg.norm(a) * np.linalg.norm(q))
+    if metric == "EUCLIDEAN_DISTANCE":
+        return float(np.linalg.norm(a - q))
+    return -float(a.dot(q))  # Oracle DOT_PRODUCT: negated inner product
+
+
+@pytest.mark.parametrize("metric", ["COSINE", "EUCLIDEAN_DISTANCE", "DOT_PRODUCT"])
+def test_topk_matches_numpy(store, metric):
+    out = similarity_topk(store, QUERY, k=5, metric=metric).collect()
+    expected = sorted(VECS, key=lambda iv: (_np_dist(iv[1], metric), iv[0]))
+    assert [r.id for r in out] == [i for i, _ in expected]
+    for r in out:
+        v = dict(VECS)[r.id]
+        assert math.isclose(r.distance, round(_np_dist(v, metric), 6), abs_tol=1e-6)
+
+
+def test_dot_product_is_negated(store):
+    out = similarity_topk(store, QUERY, k=1, metric="DOT_PRODUCT").collect()
+    # largest dot product (id 1, dot=1.0) must rank first with distance -1.0
+    assert out[0].id == 1
+    assert out[0].distance == -1.0
+
+
+def test_topk_k_limits(store):
+    assert len(similarity_topk(store, QUERY, k=3).collect()) == 3
+
+
+def test_score_threshold(store):
+    out = similarity_topk(store, QUERY, k=10, metric="COSINE", score_threshold=0.9).collect()
+    # score = 1 - dist/2; cosine dist <= 0.2 <=> cos sim >= 0.8
+    assert {r.id for r in out} == {1, 2}
+    assert all(r.score >= 0.9 for r in out)
+
+
+def test_mmr_first_pick_is_most_similar(store):
+    rows = mmr_rerank(store, QUERY, k=3, fetch_k=5, lambda_mult=0.5)
+    assert rows[0]["id"] == 1
+
+
+def test_mmr_diversifies(store):
+    # with lambda=0 (pure diversity) the 2nd pick should NOT be the 2nd-nearest
+    # (id 2 is nearly parallel to id 1); it should pick something orthogonal.
+    rows = mmr_rerank(store, QUERY, k=2, fetch_k=5, lambda_mult=0.0)
+    assert rows[0]["id"] == 1
+    assert rows[1]["id"] != 2
+
+
+def test_mmr_lambda_one_equals_topk(store):
+    rows = mmr_rerank(store, QUERY, k=3, fetch_k=5, lambda_mult=1.0)
+    topk = similarity_topk(store, QUERY, k=3).collect()
+    assert [r["id"] for r in rows] == [r.id for r in topk]

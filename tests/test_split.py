@@ -1,0 +1,72 @@
+"""Splitter semantics (reference embedding.py:118-124, P1-P6) + the
+reference's own property test: smaller chunk_size => more chunks
+(test_endpoints_embed.py:224-266)."""
+
+import pytest
+
+from oaim_sandbox_spark.operators.split import (
+    RecursiveCharSplitter,
+    assign_chunk_ids,
+    split_documents,
+    split_fixed,
+)
+
+
+def test_split_fixed_boundaries(spark):
+    df = spark.createDataFrame([("d1", "a" * 450)], "doc_id STRING, text STRING")
+    out = split_fixed(df, chunk_size=200, chunk_overlap=20).orderBy("start_index").collect()
+    # stride 180: starts at 0, 180, 360
+    assert [r.start_index for r in out] == [0, 180, 360]
+    assert [len(r.text) for r in out] == [200, 200, 90]
+    assert [r.id for r in out] == ["d1_1", "d1_2", "d1_3"]
+    # overlap: chunk i's first 20 chars = chunk i-1's last 20 chars
+    assert out[0].text[180:] == out[1].text[:20]
+
+
+def test_split_fixed_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([("d", "xx")], "doc_id STRING, text STRING")
+    with pytest.raises(ValueError):
+        split_fixed(df, chunk_size=10, chunk_overlap=10)
+
+
+def test_recursive_splitter_respects_chunk_size():
+    text = "para one. " * 30 + "\n\n" + "para two. " * 30
+    sp = RecursiveCharSplitter(chunk_size=100, chunk_overlap=10)
+    chunks = sp.split_text(text)
+    assert len(chunks) > 1
+    assert all(len(c) <= 100 for c, _ in chunks)
+    # start_index points at the chunk in the original text (strip-aware)
+    for c, idx in chunks:
+        assert text[idx : idx + len(c)] == c
+
+
+def test_recursive_splitter_smaller_chunks_more_chunks():
+    text = ("word " * 200).strip()
+    n_small = len(RecursiveCharSplitter(chunk_size=50, chunk_overlap=5).split_text(text))
+    n_big = len(RecursiveCharSplitter(chunk_size=200, chunk_overlap=5).split_text(text))
+    assert n_small > n_big
+
+
+def test_split_documents_distributed(spark):
+    df = spark.createDataFrame(
+        [("d1", "alpha beta " * 40, "s1"), ("d2", "gamma delta " * 40, "s2")],
+        "doc_id STRING, text STRING, source STRING",
+    )
+    out = split_documents(df, RecursiveCharSplitter(chunk_size=80, chunk_overlap=8)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.filename, []).append(r)
+    # ids are 1-based per document (reference embedding.py:199-201)
+    for doc, rows in by_doc.items():
+        ids = sorted(int(r.id.split("_")[-1]) for r in rows)
+        assert ids == list(range(1, len(rows) + 1))
+
+
+def test_assign_chunk_ids_window(spark):
+    df = spark.createDataFrame(
+        [("s1", 0), ("s1", 180), ("s2", 0)], "source STRING, start_index INT"
+    )
+    out = {(r.source, r.start_index): r.id for r in assign_chunk_ids(df).collect()}
+    assert out[("s1", 0)] == "s1_1"
+    assert out[("s1", 180)] == "s1_2"
+    assert out[("s2", 0)] == "s2_1"
