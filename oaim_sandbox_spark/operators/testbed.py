@@ -1,0 +1,218 @@
+"""Testbed — Q&A test-set generation, storage, and evaluation (SURVEY §3.3,
+reference src/server/utils/testbed.py + endpoints.py:740-913), Spark-first:
+
+  - three parquet-backed tables (testsets / testset_qa / evaluations) replace
+    the reference's Oracle tables (testbed.py:60-98); reports are JSON rows,
+    never pickles (K8 improvement).
+  - test-set generation (S10/P5 + question generator) is deterministic: one
+    question per seed chunk, templated from the chunk's leading words —
+    the Giskard generate_testset shape ({question, reference_answer,
+    reference_context, metadata{topic,question_type,seed_document_id}},
+    testbed.py:247-297) with the LLM swapped for a template so tests are
+    hermetic.
+  - evaluation (A1-A3): one judge call per QA row as an Arrow-batched
+    mapInPandas (the reference loops rows through an HTTP judge,
+    endpoints.py:862-913 — at 100 TB the rows ARE a DataFrame, so the judge
+    runs data-parallel), then groupBy aggregations for overall / per-topic
+    correctness and the failures subset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+QA_FIELDS = "tid STRING, question STRING, reference_answer STRING, reference_context STRING, topic STRING, question_type STRING, seed_document_id STRING"
+EVAL_ROW_FIELDS = (
+    "eid STRING, tid STRING, question STRING, agent_answer STRING, correct BOOLEAN, topic STRING"
+)
+
+
+@dataclass
+class TestbedStore:
+    """Directory-backed testbed tables (one parquet dir per table)."""
+
+    root: str
+
+    def _p(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    # -- K7: upsert test set (match on name, replace QA rows) ---------------
+    def upsert_testset(self, spark: SparkSession, name: str, qa: DataFrame) -> str:
+        os.makedirs(self.root, exist_ok=True)
+        existing = self.get_testsets(spark)
+        tid = None
+        if existing is not None:
+            hit = [r for r in existing.collect() if r["name"] == name]
+            if hit:
+                tid = hit[0]["tid"]
+        created = time.time()
+        if tid is None:
+            tid = uuid.uuid4().hex
+            row = spark.createDataFrame(
+                [(tid, name, created)], "tid STRING, name STRING, created DOUBLE"
+            )
+            mode = "append" if os.path.isdir(self._p("testsets")) else "overwrite"
+            row.write.mode(mode).parquet(self._p("testsets"))
+        qa_rows = qa.withColumn("tid", F.lit(tid))
+        if os.path.isdir(self._p("testset_qa")):
+            kept = spark.read.parquet(self._p("testset_qa")).filter(F.col("tid") != tid)
+            kept.unionByName(qa_rows.select(*kept.columns)).write.mode("overwrite").parquet(
+                self._p("testset_qa") + "_tmp"
+            )
+            self._swap("testset_qa")
+        else:
+            qa_rows.write.mode("overwrite").parquet(self._p("testset_qa"))
+        return tid
+
+    def _swap(self, name: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._p(name))
+        os.rename(self._p(name) + "_tmp", self._p(name))
+
+    # -- K9: cascade delete --------------------------------------------------
+    def delete_testset(self, spark: SparkSession, tid: str) -> None:
+        for table in ("testsets", "testset_qa", "evaluations"):
+            path = self._p(table)
+            if os.path.isdir(path):
+                kept = spark.read.parquet(path).filter(F.col("tid") != tid)
+                kept.write.mode("overwrite").parquet(path + "_tmp")
+                self._swap(table)
+
+    # -- S13: ordered scans ----------------------------------------------------
+    def get_testsets(self, spark: SparkSession) -> DataFrame | None:
+        path = self._p("testsets")
+        if not os.path.isdir(path):
+            return None
+        return spark.read.parquet(path).orderBy("created")
+
+    def get_testset_qa(self, spark: SparkSession, tid: str) -> DataFrame:
+        return spark.read.parquet(self._p("testset_qa")).filter(F.col("tid") == tid)
+
+    def get_evaluations(self, spark: SparkSession, tid: str) -> DataFrame | None:
+        path = self._p("evaluations")
+        if not os.path.isdir(path):
+            return None
+        return (
+            spark.read.parquet(path).filter(F.col("tid") == tid).orderBy(F.col("evaluated").desc())
+        )
+
+    def insert_evaluation(self, spark: SparkSession, report: "EvaluationReport") -> str:
+        eid = uuid.uuid4().hex
+        row = spark.createDataFrame(
+            [
+                (
+                    eid,
+                    report.tid,
+                    time.time(),
+                    float(report.correctness),
+                    json.dumps(report.settings),
+                    json.dumps(report.by_topic),
+                )
+            ],
+            "eid STRING, tid STRING, evaluated DOUBLE, correctness DOUBLE, settings STRING, report STRING",
+        )
+        mode = "append" if os.path.isdir(self._p("evaluations")) else "overwrite"
+        row.write.mode(mode).parquet(self._p("evaluations"))
+        return eid
+
+
+def generate_testset(
+    chunks: DataFrame,
+    n_questions: int = 10,
+    text_col: str = "text",
+    id_col: str = "id",
+    topic_col: str | None = "source",
+) -> DataFrame:
+    """Deterministic Q&A generation from seed chunks (testbed §3.3 companion
+    path). One templated question per sampled chunk; 'simple' for short
+    chunks, 'complex' for long ones (question_type parity)."""
+    seeds = chunks.orderBy(id_col).limit(n_questions)
+    topic = F.col(topic_col) if topic_col else F.lit("general")
+    first_words = F.expr(f"array_join(slice(split({text_col}, ' '), 1, 5), ' ')")
+    return seeds.select(
+        F.concat(F.lit("What does the passage starting with '"), first_words, F.lit("' describe?")).alias("question"),
+        F.expr(f"substr({text_col}, 1, 120)").alias("reference_answer"),
+        F.col(text_col).alias("reference_context"),
+        topic.cast("string").alias("topic"),
+        F.when(F.length(text_col) > 400, "complex").otherwise("simple").alias("question_type"),
+        F.col(id_col).cast("string").alias("seed_document_id"),
+    )
+
+
+@dataclass
+class EvaluationReport:
+    """JSON-native report (replaces the reference's pickled Giskard RAGReport
+    BLOB, testbed.py:85): overall correctness (A1), per-topic (A2),
+    failures (A3)."""
+
+    tid: str
+    correctness: float
+    by_topic: dict[str, float]
+    failures: list[dict]
+    settings: dict
+
+
+def evaluate_testset(
+    spark: SparkSession,
+    qa: DataFrame,
+    answer_fn_factory: Callable[[], Callable[[str], str]],
+    judge_factory: Callable[[], Callable[[str, str, str], bool]],
+    tid: str = "",
+    settings: dict | None = None,
+) -> EvaluationReport:
+    """Run every QA row through the answerer + judge, data-parallel.
+
+    answer_fn_factory() -> (question -> answer); judge_factory() ->
+    (question, reference_answer, agent_answer -> correct). Factories are
+    constructed per executor task (picklable), mirroring the reference's
+    per-row get_answer + LLM judge (endpoints.py:871-900).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        answer = answer_fn_factory()
+        judge = judge_factory()
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                ans = answer(r["question"])
+                ok = bool(judge(r["question"], r["reference_answer"], ans))
+                rows.append(
+                    {
+                        "eid": uuid.uuid4().hex,
+                        "tid": r.get("tid", tid) or tid,
+                        "question": r["question"],
+                        "agent_answer": ans,
+                        "correct": ok,
+                        "topic": r.get("topic", "general"),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["eid", "tid", "question", "agent_answer", "correct", "topic"]
+            )
+
+    per_row = qa.mapInPandas(run, EVAL_ROW_FIELDS).cache()
+    overall = per_row.agg(F.avg(F.col("correct").cast("double")).alias("c")).collect()[0]["c"]
+    by_topic = {
+        r["topic"]: round(r["c"], 4)
+        for r in per_row.groupBy("topic").agg(F.avg(F.col("correct").cast("double")).alias("c")).collect()
+    }
+    failures = [
+        {"question": r["question"], "agent_answer": r["agent_answer"], "topic": r["topic"]}
+        for r in per_row.filter(~F.col("correct")).collect()
+    ]
+    return EvaluationReport(
+        tid=tid,
+        correctness=round(overall or 0.0, 4),
+        by_topic=by_topic,
+        failures=failures,
+        settings=settings or {},
+    )

@@ -1,0 +1,221 @@
+"""RAG chat pipeline (SURVEY §3.1) — the reference's LangGraph state machine
+(chatbot.py:347-372) re-expressed as plain composable functions over the
+Spark-backed vector store:
+
+    clean history (T5) -> use_rag? -> [rephrase -> retrieve -> grade] ->
+    generate -> OpenAI-compatible respond
+
+LLM calls are isolated behind ``LLMClient`` so every node is testable with a
+deterministic mock (the reference does the same in tests). Retrieval runs the
+operators in operators/retrieval.py against any DataFrame-shaped store.
+
+FastAPI is not in this container; an HTTP facade can wrap ``ChatPipeline``
+1:1 (endpoints §2.11) — the serving logic lives here, framework-free.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class Message:
+    role: str  # system | user | assistant | tool
+    content: str
+
+
+@dataclass
+class RagSettings:
+    """Parity with the reference RagSettings (schema.py:168-183)."""
+
+    rag_enabled: bool = True
+    search_type: str = "Similarity"  # | Similarity Score Threshold | Maximal Marginal Relevance
+    top_k: int = 4
+    score_threshold: float = 0.0
+    fetch_k: int = 20
+    lambda_mult: float = 0.5
+    grading: bool = True
+    distance_metric: str = "COSINE"
+
+
+@dataclass
+class Usage:
+    prompt_tokens: int = 0
+    completion_tokens: int = 0
+    total_tokens: int = 0
+
+
+@dataclass
+class Choice:
+    index: int
+    message: Message
+    finish_reason: str = "stop"
+
+
+@dataclass
+class ChatResponse:
+    """OpenAI-compatible response shape (reference schema.py:213-285)."""
+
+    id: str
+    object: str
+    created: int
+    model: str
+    choices: list[Choice]
+    usage: Usage
+
+
+class LLMClient:
+    """Chat-model client interface (reference factory models.py:59-122)."""
+
+    def complete(self, messages: list[Message]) -> str:  # pragma: no cover
+        raise NotImplementedError
+
+    def stream(self, messages: list[Message]) -> Iterator[str]:
+        yield self.complete(messages)
+
+
+class MockLLM(LLMClient):
+    """Deterministic mock: echoes behavior by role — grading says yes iff any
+    context word appears in the question; generation summarizes inputs."""
+
+    def complete(self, messages: list[Message]) -> str:
+        sys = next((m.content for m in messages if m.role == "system"), "")
+        user = next((m.content for m in messages if m.role == "user"), "")
+        if "relevance grader" in sys.lower():
+            ctx = sys.split("CONTEXT:", 1)[-1].lower()
+            words = [w for w in user.lower().split() if len(w) > 3]
+            return "yes" if any(w in ctx for w in words) else "no"
+        if "rephrase" in sys.lower():
+            return user  # identity rephrase
+        return f"ANSWER({user.strip()[:60]})"
+
+
+DEFAULT_SYS_PROMPT = "You are a helpful assistant. Use the provided context to answer."
+DEFAULT_CTX_PROMPT = (
+    "rephrase: given the chat history, rewrite the latest question standalone."
+)
+GRADER_PROMPT = "You are a relevance grader. Answer yes or no.\nCONTEXT: {context}"
+
+
+def clean_messages(history: list[Message], use_history: bool) -> list[Message]:
+    """T5 history truncation (reference get_messages, chatbot.py:50-73):
+    drop system messages; drop tool messages AND the assistant message that
+    triggered them; when history is off keep only the latest user message."""
+    out: list[Message] = []
+    for i, m in enumerate(history):
+        if m.role == "system":
+            continue
+        if m.role == "tool":
+            continue
+        if m.role == "assistant" and i + 1 < len(history) and history[i + 1].role == "tool":
+            continue
+        out.append(m)
+    if not use_history:
+        out = [m for m in out if m.role == "user"][-1:]
+    return out
+
+
+def _tok(s: str) -> int:
+    return max(1, len(s.split()))
+
+
+class ChatPipeline:
+    """One pipeline per (store, embedder, llm) triple. Thread history is kept
+    in-memory keyed by client id (reference MemorySaver keyed by thread_id,
+    chatbot.py:371-372) — serving-layer state, not engine state."""
+
+    def __init__(
+        self,
+        store: DataFrame | None,
+        embed_query,  # Callable[[str], list[float]]
+        llm: LLMClient,
+        settings: RagSettings | None = None,
+        sys_prompt: str = DEFAULT_SYS_PROMPT,
+        ctx_prompt: str = DEFAULT_CTX_PROMPT,
+        model_name: str = "mock-llm",
+    ):
+        self.store = store
+        self.embed_query = embed_query
+        self.llm = llm
+        self.settings = settings or RagSettings()
+        self.sys_prompt = sys_prompt
+        self.ctx_prompt = ctx_prompt
+        self.model_name = model_name
+        self._history: dict[str, list[Message]] = {}
+
+    # -- nodes ---------------------------------------------------------------
+    def rephrase(self, question: str, history: list[Message]) -> str:
+        if not history[:-1]:
+            return question
+        msgs = [Message("system", self.ctx_prompt), *history[:-1], Message("user", question)]
+        return self.llm.complete(msgs)
+
+    def retrieve(self, question: str) -> list:
+        from oaim_sandbox_spark.operators.retrieval import mmr_rerank, similarity_topk
+
+        qv = self.embed_query(question)
+        s = self.settings
+        if s.search_type == "Maximal Marginal Relevance":
+            return mmr_rerank(self.store, qv, k=s.top_k, fetch_k=s.fetch_k,
+                              lambda_mult=s.lambda_mult, metric=s.distance_metric)
+        threshold = s.score_threshold if s.search_type == "Similarity Score Threshold" else None
+        return similarity_topk(self.store, qv, k=s.top_k, metric=s.distance_metric,
+                               score_threshold=threshold).collect()
+
+    def grade(self, question: str, documents: list) -> bool:
+        """LLM binary relevance gate (chatbot.py:223-287): one yes/no on the
+        joined context; 'yes' routes to grounded generation."""
+        if not self.settings.grading:
+            return True
+        context = "\n\n".join(d["text"] for d in documents)
+        verdict = self.llm.complete(
+            [Message("system", GRADER_PROMPT.format(context=context)), Message("user", question)]
+        )
+        return verdict.strip().lower().startswith("yes")
+
+    def generate(self, question: str, documents: list | None, history: list[Message]) -> str:
+        if documents:
+            context = "\n\n".join(d["text"] for d in documents)
+            sys = f"{self.sys_prompt}\n\nCONTEXT:\n{context}"
+        else:
+            sys = self.sys_prompt
+        return self.llm.complete([Message("system", sys), *history[:-1], Message("user", question)])
+
+    # -- entry points ----------------------------------------------------------
+    def chat(self, question: str, client_id: str = "default", use_history: bool = True) -> ChatResponse:
+        history = self._history.setdefault(client_id, [])
+        history.append(Message("user", question))
+        msgs = clean_messages(history, use_history)
+        documents: list = []
+        if self.settings.rag_enabled and self.store is not None:
+            q = self.rephrase(question, msgs)
+            documents = self.retrieve(q)
+            if documents and not self.grade(q, documents):
+                documents = []
+        answer = self.generate(question, documents or None, msgs)
+        history.append(Message("assistant", answer))
+        prompt_toks = sum(_tok(m.content) for m in msgs) + sum(_tok(d["text"]) for d in documents)
+        return ChatResponse(
+            id=f"chatcmpl-{uuid.uuid4().hex[:12]}",
+            object="chat.completion",
+            created=int(time.time()),
+            model=self.model_name,
+            choices=[Choice(0, Message("assistant", answer))],
+            usage=Usage(prompt_toks, _tok(answer), prompt_toks + _tok(answer)),
+        )
+
+    def stream(self, question: str, client_id: str = "default", use_history: bool = True) -> Iterator[str]:
+        """Token streaming with the reference's end sentinel
+        (endpoints.py:669-685)."""
+        resp = self.chat(question, client_id, use_history)
+        for token in resp.choices[0].message.content.split(" "):
+            yield token + " "
+        yield "[stream_finished]"
+
+    def history(self, client_id: str = "default") -> list[Message]:
+        return list(self._history.get(client_id, []))

@@ -1,0 +1,225 @@
+"""Document loaders (SURVEY.md §2.1 S1-S11) — file -> Document rows
+(doc_id, text, source, filename, ext).
+
+The reference dispatches on extension (embedding.py:137-150,179-192):
+pdf -> PyPDFLoader, html -> UnstructuredHTMLLoader, md/txt -> TextLoader,
+csv -> CSVLoader (row per document). Spark-first equivalents:
+
+  - text/md:  spark.read.text(wholetext=True) — one row per file, no Python
+  - csv:      spark.read.csv + row->text projection (one Document per row,
+              matching CSVLoader's "key: value" line format)
+  - json(l):  spark.read.json (S9/S11 re-hydration)
+  - pdf/html: spark.read.format("binaryFile") + mapInPandas parse. pypdf /
+              beautifulsoup aren't in this container, so the parse step is a
+              GATED STUB: real scan + schema + batching, parser raises
+              NotImplementedError unless the lib is importable.
+  - web:      driver-side staging download (S5/S6) — the reference stages to
+              a temp dir too (endpoints.py:199-228); at scale parallelize
+              fetches with sc.parallelize(urls).
+
+All loaders emit DOCUMENT_ROW_SCHEMA so every downstream operator (split,
+dedup, embed, merge) composes without reshaping.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+DOCUMENT_ROW_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("text", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("filename", StringType(), True),
+        StructField("ext", StringType(), True),
+        StructField("page", IntegerType(), True),  # pdf page / csv row ordinal
+    ]
+)
+
+SUPPORTED_EXTS = ("pdf", "html", "md", "txt", "csv")
+
+
+def _with_doc_columns(df: DataFrame, path_col: str = "path") -> DataFrame:
+    fname = F.element_at(F.split(F.col(path_col), "/"), -1)
+    return (
+        df.withColumn("source", F.col(path_col))
+        .withColumn("filename", fname)
+        .withColumn("ext", F.lower(F.element_at(F.split(fname, "\\."), -1)))
+    )
+
+
+def load_text(spark: SparkSession, path: str) -> DataFrame:
+    """S3: one Document per text/markdown file (TextLoader parity)."""
+    df = spark.read.text(path, wholetext=True).withColumn(
+        "path", F.input_file_name()
+    )
+    df = _with_doc_columns(df)
+    return df.select(
+        F.col("filename").alias("doc_id"),
+        F.col("value").alias("text"),
+        "source",
+        "filename",
+        "ext",
+        F.lit(None).cast("int").alias("page"),
+    )
+
+
+def load_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S4: one Document per CSV row, "col: value" lines (CSVLoader parity).
+
+    Scale note: the row->text projection is concat_ws over columns — pure
+    JVM, pushes the header schema once; no Python.
+    """
+    df = spark.read.csv(path, header=True).withColumn("path", F.input_file_name())
+    cols = [c for c in df.columns if c != "path"]
+    line_exprs = [F.concat(F.lit(f"{c}: "), F.coalesce(F.col(c).cast("string"), F.lit(""))) for c in cols]
+    df = _with_doc_columns(df)
+    w_order = F.monotonically_increasing_id()
+    df = df.withColumn("_rid", w_order)
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("_rid"))
+    return df.withColumn("page", rn).select(
+        F.concat(F.col("filename"), F.lit("_row"), F.col("page").cast("string")).alias("doc_id"),
+        F.concat_ws("\n", *line_exprs).alias("text"),
+        "source",
+        "filename",
+        "ext",
+        "page",
+    )
+
+
+def load_json(spark: SparkSession, path: str, text_field: str = "text") -> DataFrame:
+    """S9/S11: JSON / JSONL re-hydration (jsonl is Spark's native json)."""
+    df = spark.read.json(path).withColumn("path", F.input_file_name())
+    df = _with_doc_columns(df)
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(Window.partitionBy("source").orderBy(F.monotonically_increasing_id()))
+    return df.withColumn("page", rn).select(
+        F.concat(F.col("filename"), F.lit("_"), F.col("page").cast("string")).alias("doc_id"),
+        F.col(text_field).cast("string").alias("text"),
+        "source",
+        "filename",
+        "ext",
+        "page",
+    )
+
+
+def _parse_pdf_bytes(content: bytes) -> list[str]:
+    """One text string per page. Gated on pypdf (not in this container)."""
+    try:
+        import io
+
+        from pypdf import PdfReader  # type: ignore
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "PDF parsing requires pypdf; install it or pre-convert PDFs to text"
+        ) from e
+    reader = PdfReader(io.BytesIO(content))
+    return [page.extract_text() or "" for page in reader.pages]
+
+
+def _parse_html_bytes(content: bytes) -> str:
+    """Visible text of an HTML document. Falls back to a tag-stripping regex
+    when beautifulsoup is unavailable (good enough for simple pages; the
+    reference uses UnstructuredHTMLLoader, embedding.py:183)."""
+    try:
+        from bs4 import BeautifulSoup  # type: ignore
+
+        return BeautifulSoup(content, "html.parser").get_text(separator="\n")
+    except ImportError:
+        import re
+
+        text = content.decode("utf-8", errors="replace")
+        text = re.sub(r"(?is)<(script|style)[^>]*>.*?</\1>", " ", text)
+        text = re.sub(r"(?s)<[^>]+>", " ", text)
+        return re.sub(r"\s+", " ", text).strip()
+
+
+def load_binary_documents(spark: SparkSession, path: str, kind: str) -> DataFrame:
+    """S1/S2: PDF (one Document per page) / HTML via binaryFile + mapInPandas.
+
+    Scale note: binaryFile scan distributes files across executors; the parse
+    is per-file Python (Arrow-batched). Oversized files are capped by
+    spark.sql.files.maxPartitionBytes like any other source.
+    """
+    if kind not in ("pdf", "html"):
+        raise ValueError("kind must be 'pdf' or 'html'")
+    binf = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                fname = r["path"].rsplit("/", 1)[-1]
+                ext = fname.rsplit(".", 1)[-1].lower()
+                if kind == "pdf":
+                    for i, text in enumerate(_parse_pdf_bytes(bytes(r["content"])), start=1):
+                        rows.append(
+                            {"doc_id": f"{fname}_p{i}", "text": text, "source": r["path"],
+                             "filename": fname, "ext": ext, "page": i}
+                        )
+                else:
+                    rows.append(
+                        {"doc_id": fname, "text": _parse_html_bytes(bytes(r["content"])),
+                         "source": r["path"], "filename": fname, "ext": ext, "page": None}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in DOCUMENT_ROW_SCHEMA.fields])
+
+    return binf.mapInPandas(parse, DOCUMENT_ROW_SCHEMA)
+
+
+def load_documents(spark: SparkSession, path: str, ext: str | None = None) -> DataFrame:
+    """P4 extension dispatch (reference embedding.py:137-150): route a path
+    to the right loader; unknown extensions raise ValueError like the
+    reference."""
+    ext = ext or path.rsplit(".", 1)[-1].lower()
+    if ext in ("txt", "md"):
+        return load_text(spark, path)
+    if ext == "csv":
+        return load_csv(spark, path)
+    if ext in ("json", "jsonl"):
+        return load_json(spark, path)
+    if ext == "pdf":
+        return load_binary_documents(spark, path, "pdf")
+    if ext in ("html", "htm"):
+        return load_binary_documents(spark, path, "html")
+    raise ValueError(f"unsupported file extension: {ext}")
+
+
+def stage_web_files(urls: list[str], directory: str, timeout: int = 30) -> list[str]:
+    """S5/S6: download URLs to a staging dir with content-type dispatch
+    (reference endpoints.py:199-228 stores to a temp dir the same way).
+    Unknown content types raise ValueError (reference returns 500).
+    """
+    import requests
+
+    os.makedirs(directory, exist_ok=True)
+    out = []
+    for url in urls:
+        resp = requests.get(url, timeout=timeout)
+        resp.raise_for_status()
+        ctype = resp.headers.get("content-type", "").split(";")[0].strip().lower()
+        name = url.rstrip("/").rsplit("/", 1)[-1] or "index"
+        if ctype == "application/pdf":
+            if not name.endswith(".pdf"):
+                name += ".pdf"
+        elif ctype in ("text/html",):
+            if not name.endswith((".html", ".htm")):
+                name += ".html"
+        elif ctype.startswith("text/"):
+            if "." not in name:
+                name += ".txt"
+        else:
+            raise ValueError(f"unsupported content type {ctype} for {url}")
+        dest = os.path.join(directory, name)
+        with open(dest, "wb") as fh:
+            fh.write(resp.content)
+        out.append(dest)
+    return out

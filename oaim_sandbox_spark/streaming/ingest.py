@@ -1,0 +1,106 @@
+"""Structured Streaming ingest — the continuous form of the reference's
+§3.2 batch ingest job (SURVEY §2.9: the reference has no data streaming; this
+is the 100 TB design the north star asks for).
+
+Two entry points:
+
+  - ``stream_ingest``: readStream over a landing directory of JSONL document
+    files -> foreachBatch runs the SAME batch operators (split -> dedup ->
+    content-id -> anti-join merge vs the store -> mock/provider embed ->
+    append). foreachBatch gives exactly-once append via the checkpoint +
+    idempotent content-id merge (re-processed batches anti-join to zero).
+
+  - ``windowed_event_counts``: watermarked tumbling-window aggregation over an
+    event stream — the streaming twin of the events_hourly_windows batch
+    query (late rows beyond the watermark are dropped, state is bounded).
+
+Scale notes: the landing scan is incremental (maxFilesPerTrigger); the merge
+anti-join shuffles only content ids; the store append is partitioned parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StringType, StructField, StructType
+
+STREAM_DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("text", StringType(), True),
+        StructField("source", StringType(), True),
+    ]
+)
+
+
+def stream_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    chunk_size: int = 200,
+    chunk_overlap: int = 20,
+    embed_dim: int = 64,
+    max_files_per_trigger: int = 16,
+) -> StreamingQuery:
+    """Continuous document ingest: landing JSONL -> vector-store parquet."""
+    from oaim_sandbox_spark.operators.dedup import exact_dedup
+    from oaim_sandbox_spark.operators.embed import mock_embed_column
+    from oaim_sandbox_spark.operators.merge import merge_new_rows, with_content_id
+    from oaim_sandbox_spark.operators.split import split_fixed
+
+    stream = (
+        spark.readStream.schema(STREAM_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(landing_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        chunks = split_fixed(batch_df, text_col="text", id_col="doc_id",
+                             chunk_size=chunk_size, chunk_overlap=chunk_overlap)
+        deduped = exact_dedup(chunks, text_col="text", order_col="id")
+        addressed = with_content_id(deduped, text_col="text", id_col="id")
+        try:
+            existing = batch_df.sparkSession.read.parquet(store_dir).select("id")
+        except Exception:  # first batch: store doesn't exist yet
+            existing = batch_df.sparkSession.createDataFrame([], "id STRING")
+        fresh = merge_new_rows(addressed, existing, id_col="id")
+        embedded = mock_embed_column(fresh, text_col="text", dim=embed_dim)
+        (
+            embedded.select("id", "text", "source", "start_index", "embedding")
+            .write.mode("append")
+            .parquet(store_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type over a stream.
+
+    State is bounded by the watermark: rows later than `watermark` behind the
+    max seen event time are dropped and their windows finalized."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

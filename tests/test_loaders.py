@@ -1,0 +1,67 @@
+"""Loader matrix (S1-S11): text/md, csv row-per-document, jsonl, html
+(regex fallback), extension dispatch incl. the reference's ValueError on
+unknown extensions (embedding.py:137-150)."""
+
+import pytest
+
+from oaim_sandbox_spark.sources.loaders import (
+    load_csv,
+    load_documents,
+    load_json,
+    load_text,
+)
+
+
+@pytest.fixture()
+def docs_dir(tmp_path):
+    (tmp_path / "a.md").write_text("# Title\n\nhello markdown world")
+    (tmp_path / "b.txt").write_text("plain text content")
+    (tmp_path / "c.csv").write_text("name,age\nalice,30\nbob,25\n")
+    (tmp_path / "d.jsonl").write_text('{"text": "json row one"}\n{"text": "json row two"}\n')
+    (tmp_path / "e.html").write_text("<html><body><h1>Head</h1><p>para text</p></body></html>")
+    return tmp_path
+
+
+def test_load_text(spark, docs_dir):
+    out = {r.filename: r for r in load_text(spark, str(docs_dir / "*.md")).collect()}
+    assert "a.md" in out
+    assert "hello markdown world" in out["a.md"].text
+    assert out["a.md"].ext == "md"
+
+
+def test_load_csv_row_per_document(spark, docs_dir):
+    rows = sorted(load_csv(spark, str(docs_dir / "c.csv")).collect(), key=lambda r: r.page)
+    assert len(rows) == 2
+    assert rows[0].text == "name: alice\nage: 30"
+    assert rows[0].doc_id == "c.csv_row1"
+
+
+def test_load_jsonl(spark, docs_dir):
+    rows = load_json(spark, str(docs_dir / "d.jsonl")).collect()
+    assert sorted(r.text for r in rows) == ["json row one", "json row two"]
+
+
+def test_load_html_fallback(spark, docs_dir):
+    rows = load_documents(spark, str(docs_dir / "e.html")).collect()
+    assert len(rows) == 1
+    assert "Head" in rows[0].text and "para text" in rows[0].text
+    assert "<h1>" not in rows[0].text
+
+
+def test_dispatch_unknown_ext(spark):
+    with pytest.raises(ValueError, match="unsupported file extension"):
+        load_documents(spark, "/tmp/whatever.xyz")
+
+
+def test_dispatch_by_ext(spark, docs_dir):
+    assert load_documents(spark, str(docs_dir / "b.txt")).count() == 1
+    assert load_documents(spark, str(docs_dir / "c.csv")).count() == 2
+
+
+def test_loader_feeds_split_pipeline(spark, docs_dir):
+    """Loaders compose with the ingest operators without reshaping."""
+    from oaim_sandbox_spark.operators.split import split_fixed
+
+    docs = load_text(spark, str(docs_dir / "*.txt"))
+    chunks = split_fixed(docs, text_col="text", id_col="doc_id", chunk_size=10, chunk_overlap=2)
+    assert chunks.count() >= 2

@@ -1,0 +1,92 @@
+"""Testbed (M4): deterministic test-set generation, parquet-backed upsert /
+cascade delete / ordered scans (K7-K9, S13), distributed evaluation with
+aggregations A1-A3."""
+
+import json
+
+from oaim_sandbox_spark.operators.testbed import (
+    TestbedStore,
+    evaluate_testset,
+    generate_testset,
+)
+
+
+def _chunks(spark):
+    return spark.createDataFrame(
+        [
+            ("c1", "spark runs distributed queries over parquet data " * 3, "topic_a"),
+            ("c2", "cats sleep on warm windowsills " * 30, "topic_b"),
+            ("c3", "minhash finds near duplicate documents quickly", "topic_a"),
+        ],
+        "id STRING, text STRING, source STRING",
+    )
+
+
+def test_generate_testset_shape(spark):
+    qa = generate_testset(_chunks(spark), n_questions=3).collect()
+    assert len(qa) == 3
+    for r in qa:
+        assert r.question.startswith("What does the passage starting with")
+        assert r.reference_context
+        assert r.question_type in ("simple", "complex")
+        assert r.seed_document_id in ("c1", "c2", "c3")
+    types = {r.seed_document_id: r.question_type for r in qa}
+    assert types["c2"] == "complex"  # > 400 chars
+    assert types["c3"] == "simple"
+
+
+def test_store_upsert_scan_delete(spark, tmp_path):
+    store = TestbedStore(str(tmp_path / "tb"))
+    qa = generate_testset(_chunks(spark), n_questions=2)
+    tid = store.upsert_testset(spark, "set-one", qa)
+    sets = store.get_testsets(spark).collect()
+    assert [r.name for r in sets] == ["set-one"]
+    assert store.get_testset_qa(spark, tid).count() == 2
+
+    # upsert same name replaces QA rows, keeps one testset row
+    tid2 = store.upsert_testset(spark, "set-one", generate_testset(_chunks(spark), n_questions=3))
+    assert tid2 == tid
+    assert store.get_testsets(spark).count() == 1
+    assert store.get_testset_qa(spark, tid).count() == 3
+
+    store.delete_testset(spark, tid)
+    assert store.get_testsets(spark).count() == 0
+
+
+def _factories():
+    """Defined as locals so cloudpickle serializes them by VALUE (test modules
+    aren't importable on executors)."""
+
+    def answerer():
+        return lambda q: "the passage describes spark data" if "spark" in q else "no idea"
+
+    def judge():
+        return lambda q, ref, ans: "spark" in ans
+
+    return answerer, judge
+
+
+def test_evaluate_testset_aggregations(spark):
+    answerer, judge = _factories()
+    qa = generate_testset(_chunks(spark), n_questions=3)
+    report = evaluate_testset(spark, qa, answerer, judge, tid="t0")
+    # questions quote the chunk's first words: c1 contains 'spark' -> correct;
+    # c2/c3 don't -> judged wrong
+    assert 0.0 < report.correctness < 1.0
+    assert set(report.by_topic) == {"topic_a", "topic_b"}
+    assert len(report.failures) == sum(
+        1 for _ in report.failures
+    ) and all("question" in f for f in report.failures)
+    assert json.dumps(report.by_topic)  # JSON-native, not pickled
+
+
+def test_insert_and_scan_evaluations(spark, tmp_path):
+    answerer, judge = _factories()
+    store = TestbedStore(str(tmp_path / "tb2"))
+    qa = generate_testset(_chunks(spark), n_questions=2)
+    tid = store.upsert_testset(spark, "s", qa)
+    report = evaluate_testset(spark, store.get_testset_qa(spark, tid), answerer, judge, tid=tid)
+    eid = store.insert_evaluation(spark, report)
+    evals = store.get_evaluations(spark, tid).collect()
+    assert evals[0].eid == eid
+    assert json.loads(evals[0].report) == report.by_topic
