@@ -203,6 +203,111 @@ def split_documents(
     return df.mapInPandas(run, CHUNK_OUT_SCHEMA)
 
 
+class TokenSplitter:
+    """P2 token-based split (reference embedding.py:107-116: tiktoken-encoded
+    CharacterTextSplitter for text-embedding* models, separator '\\n\\n').
+
+    tiktoken isn't in this container, so the tokenizer is injectable; the
+    default counts BPE-ish regex tokens (letters run / digits run / mark),
+    which preserves the contract (chunk_size measured in TOKENS, split on the
+    separator first).
+    """
+
+    def __init__(self, chunk_size: int = 100, chunk_overlap: int = 10, separator: str = "\n\n", count_tokens=None):
+        if chunk_overlap >= chunk_size:
+            raise ValueError("chunk_overlap must be smaller than chunk_size")
+        self.chunk_size = chunk_size
+        self.chunk_overlap = math.ceil(chunk_overlap)
+        self.separator = separator
+
+        if count_tokens is None:
+            import re
+
+            pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+            count_tokens = lambda s: len(pat.findall(s))  # noqa: E731
+        self.count_tokens = count_tokens
+
+    def split_text(self, text: str) -> list[str]:
+        pieces = [p for p in text.split(self.separator) if p.strip()]
+        chunks: list[str] = []
+        cur: list[str] = []
+        cur_tokens = 0
+        for piece in pieces:
+            n = self.count_tokens(piece)
+            if cur and cur_tokens + n > self.chunk_size:
+                chunks.append(self.separator.join(cur))
+                while cur and cur_tokens > self.chunk_overlap:
+                    cur_tokens -= self.count_tokens(cur[0])
+                    cur.pop(0)
+            cur.append(piece)
+            cur_tokens += n
+        if cur:
+            chunks.append(self.separator.join(cur))
+        return chunks
+
+
+HTML_HEADER_RE = r"(?i)(?=<h[1-5][\s>])"
+
+
+def split_html_sections(text: str) -> list[str]:
+    """P3 HTML section split (reference embedding.py:126-133): break on
+    h1-h5 headers BEFORE the character splitter runs, so chunks don't
+    straddle sections."""
+    import re
+
+    sections = [s for s in re.split(HTML_HEADER_RE, text) if s.strip()]
+    return sections or [text]
+
+
+def split_documents_by_ext(
+    df: DataFrame,
+    chunk_size: int = 200,
+    chunk_overlap: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    ext_col: str = "ext",
+) -> DataFrame:
+    """P4 extension dispatch as a distributed operator (embedding.py:137-150):
+    html rows get the section pre-split, everything else goes straight to the
+    recursive character splitter; unknown extensions raise like the
+    reference. One mapInPandas pass, no shuffle.
+
+    NOTE: section-aware splitting requires RAW html in text_col (headers are
+    matched as tags). Rows that went through a text-extracting loader carry
+    paragraph breaks at block boundaries instead, which the recursive
+    splitter already prefers as cut points."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    size, overlap = chunk_size, math.ceil(chunk_overlap)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sp = RecursiveCharSplitter(size, overlap)
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                ext = (r.get(ext_col) or "txt").lower()
+                if ext not in ("pdf", "html", "htm", "md", "txt", "csv", "json", "jsonl"):
+                    raise ValueError(f"unsupported file extension: {ext}")
+                texts = split_html_sections(r[text_col]) if ext in ("html", "htm") else [r[text_col]]
+                i = 0
+                for t in texts:
+                    for chunk, start in sp.split_text(t):
+                        i += 1
+                        rows.append(
+                            {
+                                "id": f"{r[id_col]}_{i}",
+                                "text": chunk,
+                                "source": r.get(source_col),
+                                "filename": str(r[id_col]),
+                                "start_index": start,
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in CHUNK_OUT_SCHEMA.fields])
+
+    return df.mapInPandas(run, CHUNK_OUT_SCHEMA)
+
+
 def assign_chunk_ids(df: DataFrame, source_col: str = "source", order_col: str = "start_index") -> DataFrame:
     """P6 metadata projection: 1-based per-source index -> id "{source}_{idx}".
 

@@ -138,8 +138,12 @@ def _parse_html_bytes(content: bytes) -> str:
 
         text = content.decode("utf-8", errors="replace")
         text = re.sub(r"(?is)<(script|style)[^>]*>.*?</\1>", " ", text)
+        # block boundaries become paragraph breaks so the downstream char
+        # splitter prefers section edges (it can't see tags post-extraction)
+        text = re.sub(r"(?i)</(p|div|li|h[1-6]|tr|section|article)>", "\n\n", text)
         text = re.sub(r"(?s)<[^>]+>", " ", text)
-        return re.sub(r"\s+", " ", text).strip()
+        text = re.sub(r"[ \t]+", " ", text)
+        return re.sub(r"\n\s*\n\s*", "\n\n", text).strip()
 
 
 def load_binary_documents(spark: SparkSession, path: str, kind: str) -> DataFrame:
