@@ -1,0 +1,85 @@
+"""Relational operators beyond the reference's surface — as-of joins, range
+(interval) joins, rollups — the time-series shapes a 100 TB event pipeline
+needs (SURVEY §2.4 notes the reference has no theta/range/as-of joins; these
+are the Spark-first additions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    partition_col: str,
+    order_col: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for every left row, the most recent right row with
+    right.order <= left.order within the same partition key.
+
+    Implementation: union the two streams with a side tag, then
+    last_value(ignorenulls) over (partition, order) — ONE shuffle on the
+    partition key, no row-by-row lookup, no skewed self-join. This is the
+    standard scale-out as-of pattern (vs. a merge-join per key, which Spark
+    lacks natively).
+    """
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.withColumn("_side", F.lit(0))
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    for c in right_cols:
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    all_cols = list(dict.fromkeys(left.columns + right_cols + ["_side"]))
+    unioned = lt.select(all_cols).unionByName(rt.select(all_cols))
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.col(order_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = unioned
+    for c in right_cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w),
+        )
+    return out.filter(F.col("_side") == 1).drop("_side", *right_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    partition_col: str,
+    left_point: str,
+    right_point: str,
+    lower: Column | int,
+    upper: Column | int,
+) -> DataFrame:
+    """Interval join: pairs (l, r) in the same partition with
+    r.point - l.point in [lower, upper].
+
+    Plan note: Spark executes equi-key + range predicates as a hash join on
+    the key with the range as a post-filter; for key-less range joins, bucket
+    the points into coarse bins first so the join is equi on bin (classic
+    range-bucketing — avoids the O(n·m) nested loop).
+    """
+    l, r = left.alias("l"), right.alias("r")
+    delta = F.col(f"r.{right_point}") - F.col(f"l.{left_point}")
+    return l.join(
+        r,
+        (F.col(f"l.{partition_col}") == F.col(f"r.{partition_col}"))
+        & (delta >= lower)
+        & (delta <= upper),
+    )
+
+
+def rollup_agg(df: DataFrame, dims: list[str], aggs: list[Column]) -> DataFrame:
+    """Hierarchical rollup (the reference has no grouping-sets machinery at
+    all, SURVEY §2.5 — Catalyst gives it for free). Partial aggregation
+    applies per grouping set; one shuffle."""
+    return df.rollup(*dims).agg(*aggs)

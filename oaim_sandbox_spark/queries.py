@@ -408,6 +408,117 @@ WHERE rank <= 3
 """
 
 
+def asof_clicks_before_errors(d: str) -> str:
+    """As-of join (beyond the reference, SURVEY §2.4 gap): each error event
+    paired with the user's most recent preceding click — union-the-streams +
+    last-value window, ONE shuffle on user_id (operators/relational.asof_join
+    is the DataFrame twin)."""
+    return f"""
+WITH tagged AS (
+  SELECT user_id, {_ts_us(d)} AS ts_us, event_id, event_type
+  FROM events WHERE event_type IN ('error', 'click')
+)
+SELECT user_id, event_id, ts_us, prev_click_us, CAST(ts_us - prev_click_us AS BIGINT) AS gap_us
+FROM (
+  SELECT *, max(CASE WHEN event_type = 'click' THEN ts_us END) OVER (
+    PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_us
+  FROM tagged
+) t
+WHERE event_type = 'error' AND prev_click_us IS NOT NULL
+ORDER BY user_id, ts_us, event_id
+"""
+
+
+def range_error_followups(d: str) -> str:
+    """Range (interval) join: clicks within 5 minutes AFTER each error by the
+    same user. Equi-key on user_id + range post-filter — the scalable interval
+    join shape (operators/relational.range_join)."""
+    return f"""
+WITH e AS (SELECT user_id, event_id, {_ts_us(d)} AS ts_us FROM events WHERE event_type = 'error'),
+c AS (SELECT user_id, {_ts_us(d)} AS ts_us FROM events WHERE event_type = 'click')
+SELECT e.user_id AS user_id, e.event_id AS event_id, CAST(COUNT(c.ts_us) AS BIGINT) AS n_clicks_5m
+FROM e LEFT JOIN c
+  ON e.user_id = c.user_id AND c.ts_us > e.ts_us AND c.ts_us <= e.ts_us + 300000000
+GROUP BY e.user_id, e.event_id
+ORDER BY user_id, event_id
+"""
+
+
+def events_rollup(d: str) -> str:
+    """ROLLUP grouping sets (absent from the reference entirely, §2.5 —
+    Catalyst provides it natively): per (event_type, day) with subtotal and
+    grand-total rows."""
+    day = _idiv(_ts_us(d), "86400000000", d)
+    return f"""
+SELECT COALESCE(event_type, 'ALL') AS event_type_lvl,
+       CAST(COALESCE(day_id, -1) AS BIGINT) AS day_lvl,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(day_id) AS INT) AS g_day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM (SELECT event_type, {day} AS day_id, value FROM events) t
+GROUP BY ROLLUP(event_type, day_id)
+"""
+
+
+def ingest_chunks_dedup(d: str) -> str:
+    """The M1 ingest core as ONE oracle-checked query: fixed-stride split ->
+    chunk-level exact dedup (first occurrence by (doc_id, start_index)) ->
+    content-addressed id (sha256). Mirrors bench.py's ingest_pipeline
+    composite, §3.2 steps 2+5."""
+    size, stride = 200, 180
+    cid = "sha2(c.chunk, 256)" if d == "spark" else "sha256(c.chunk)"
+    if d == "spark":
+        gen = (
+            f"explode(transform(sequence(0, cast(floor((length(text) - 1) / {stride}) as int)), "
+            f"i -> struct(cast(i * {stride} as bigint) as start_index, substr(text, i * {stride} + 1, {size}) as chunk)))"
+        )
+        chunks = f"SELECT doc_id, c.start_index AS start_index, c.chunk AS chunk, {cid} AS id FROM (SELECT doc_id, text, {gen} AS c FROM documents) t"
+    else:
+        chunks = f"""
+SELECT doc_id, c.start_index AS start_index, c.chunk AS chunk, {cid} AS id
+FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(0, CAST(floor((length(text) - 1) / {stride}) AS INT)),
+         i -> struct_pack(start_index := CAST(i * {stride} AS BIGINT), chunk := substr(text, i * {stride} + 1, {size})))) AS c
+  FROM documents
+) t"""
+    return f"""
+WITH chunks AS ({chunks})
+SELECT id, CAST(MIN(doc_id * 1000000 + start_index) AS BIGINT) AS first_slot,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM chunks
+GROUP BY id
+"""
+
+
+def vs_table_names_sql(d: str) -> str:
+    """§2.8 scalar string functions — the get_vs_table normalization
+    (upper + non-word -> '_', common/functions.py:60-63) as a SQL projection
+    over per-source vector-store names."""
+    raw = "'alias-' || source || '_mock.model_200_20_COSINE_HNSW'"
+    if d == "spark":
+        norm = f"upper(regexp_replace({raw}, '\\\\W', '_'))"
+    else:
+        norm = f"upper(regexp_replace({raw}, '\\W', '_', 'g'))"
+    return f"""
+SELECT DISTINCT source, {norm} AS vs_table
+FROM documents
+ORDER BY source
+"""
+
+
+def docs_union_distinct(d: str) -> str:
+    """§2.7 set ops (the reference only concatenates JSONL test sets,
+    endpoints.py:840-844): UNION-dedup of two document selections."""
+    return """
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE doc_id % 2 = 0
+UNION
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE n_chars > 300
+ORDER BY doc_id
+"""
+
+
 # --- dedup suite -----------------------------------------------------------
 
 NUM_PERM, BANDS, NGRAM = 16, 4, 3
@@ -669,6 +780,12 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "quality_scores": quality_scores_q,
     "token_counts": token_counts_q,
     "doc_fingerprints": doc_fingerprints_q,
+    "asof_clicks_before_errors": asof_clicks_before_errors,
+    "range_error_followups": range_error_followups,
+    "events_rollup": events_rollup,
+    "ingest_chunks_dedup": ingest_chunks_dedup,
+    "vs_table_names": vs_table_names_sql,
+    "docs_union_distinct": docs_union_distinct,
 }
 
 
@@ -747,6 +864,152 @@ def _simhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_simhash_pairs_body("spark"))
 
 
+MMR_K, MMR_FETCH_K, MMR_LAMBDA = 4, 20, 0.5
+
+
+def mmr_exact_oracle(d: str) -> str:
+    """T3 MMR with a FULL oracle: greedy selection as a DuckDB recursive CTE.
+    Every float op (candidate sims, pair sims, lambda mix) is the sequential
+    fold both engines share, so the greedy argmax sequence is bit-identical
+    to the Spark runner's exact-fold Python greedy."""
+    v = P.to_double_array("embedding", d)
+    ev = P.to_double_array("e.embedding", d)
+    dot_ab = P.dot("a.v", "b.v", d)
+    return f"""
+WITH RECURSIVE
+qv AS (SELECT {v} AS v, {P.norm2(v, d)} AS n FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id AS vid, {ev} AS v, {P.norm2(ev, d)} AS n,
+         {P.dot(ev, 'q.v', d)} / ({P.norm2(ev, d)} * q.n) AS sim_q
+  FROM embeddings e CROSS JOIN qv q
+  WHERE e.vec_id <> 0
+  ORDER BY round(1.0 - sim_q, 6) ASC, e.vec_id ASC
+  LIMIT {MMR_FETCH_K}
+),
+pair AS (
+  SELECT a.vid AS ia, b.vid AS ib, {dot_ab} / (a.n * b.n) AS sim
+  FROM cand a JOIN cand b ON a.vid <> b.vid
+),
+sel AS (
+  SELECT 1 AS mmr_rank,
+         (SELECT vid FROM cand ORDER BY sim_q DESC, vid ASC LIMIT 1) AS vid,
+         [(SELECT vid FROM cand ORDER BY sim_q DESC, vid ASC LIMIT 1)] AS chosen
+  UNION ALL
+  SELECT sel.mmr_rank + 1, nxt.vid, list_append(sel.chosen, nxt.vid)
+  FROM sel, LATERAL (
+    SELECT c.vid AS vid
+    FROM cand c
+    WHERE NOT list_contains(sel.chosen, c.vid)
+    ORDER BY {MMR_LAMBDA} * c.sim_q - {1 - MMR_LAMBDA} * (SELECT MAX(p.sim) FROM pair p WHERE p.ia = c.vid AND list_contains(sel.chosen, p.ib)) DESC,
+             c.vid ASC
+    LIMIT 1
+  ) nxt
+  WHERE sel.mmr_rank < {MMR_K}
+)
+SELECT CAST(vid AS BIGINT) AS vec_id, CAST(mmr_rank AS INT) AS mmr_rank FROM sel ORDER BY mmr_rank
+"""
+
+
+def _mmr_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for mmr_exact: distributed candidate fetch (the same
+    TakeOrderedAndProject plan as T1, sims computed by the shared fold
+    expression), then the greedy phase in exact-fold Python — identical
+    float semantics to the oracle's recursive CTE. The library's numpy
+    mmr_rerank is the fast path; this runner trades BLAS for bit-parity."""
+    import math
+
+    register_views(spark, sf_dir)
+    v = P.to_double_array("embedding", "spark")
+    ev = P.to_double_array("e.embedding", "spark")
+    cand_rows = spark.sql(f"""
+WITH qv AS (SELECT {v} AS v, {P.norm2(v, 'spark')} AS n FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS vid, cast(e.embedding as array<double>) AS v,
+       {P.dot(ev, 'q.v', 'spark')} / ({P.norm2(ev, 'spark')} * q.n) AS sim_q
+FROM embeddings e CROSS JOIN qv q
+WHERE e.vec_id <> 0
+ORDER BY round(1.0 - ({P.dot(ev, 'q.v', 'spark')} / ({P.norm2(ev, 'spark')} * q.n)), 6) ASC, e.vec_id ASC
+LIMIT {MMR_FETCH_K}
+""").collect()
+
+    def dot(a: list, b: list) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    sims = {r["vid"]: r["sim_q"] for r in cand_rows}
+    vecs = {r["vid"]: r["v"] for r in cand_rows}
+    norms = {k: math.sqrt(dot(x, x)) for k, x in vecs.items()}
+    chosen = [max(sims, key=lambda vid: (sims[vid], -vid))]
+    while len(chosen) < min(MMR_K, len(cand_rows)):
+        best = None
+        for vid in sims:
+            if vid in chosen:
+                continue
+            diversity = max(dot(vecs[vid], vecs[j]) / (norms[vid] * norms[j]) for j in chosen)
+            score = MMR_LAMBDA * sims[vid] - (1 - MMR_LAMBDA) * diversity
+            if best is None or (score, -vid) > best[0]:
+                best = ((score, -vid), vid)
+        chosen.append(best[1])
+    return spark.createDataFrame(
+        [(int(v_), i + 1) for i, v_ in enumerate(chosen)], "vec_id BIGINT, mmr_rank INT"
+    )
+
+
+def _streaming_hourly_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts THROUGH Structured Streaming (availableNow file
+    source -> complete-mode agg -> memory sink). Over a static directory the
+    stream result equals the batch aggregation, so the batch SQL is a valid
+    oracle — an end-to-end correctness check of the streaming path."""
+    import uuid as _uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    from pyspark.sql import functions as F
+
+    agg = (
+        stream.groupBy(
+            F.expr("(ts div 1000) div 3600000000").alias("hour_id"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_dec"),
+        )
+        .select(
+            F.col("hour_id").cast("long"),
+            "event_type",
+            F.col("n_events").cast("long"),
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
+    )
+    name = f"stream_hourly_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def streaming_hourly_oracle(d: str) -> str:
+    return f"""
+SELECT {_idiv(_ts_us(d), '3600000000', d)} AS hour_id,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def _mmr_rerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 MMR (reference chatbot.py:199-206): distributed top-fetch_k, greedy
     driver re-rank. Greedy selection isn't single-statement SQL — rows-only
@@ -783,10 +1046,16 @@ def _ivf_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# oracle templates defined below TEMPLATES (runner section) register here
+TEMPLATES["mmr_exact"] = mmr_exact_oracle
+TEMPLATES["streaming_hourly_counts"] = streaming_hourly_oracle
+
 SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": _minhash_pairs_spark,
     "simhash_near_pairs": _simhash_pairs_spark,
     "embedding_cosine_pairs": _embedding_pairs_spark,
+    "mmr_exact": _mmr_exact_spark,
+    "streaming_hourly_counts": _streaming_hourly_spark,
 }
 
 # Queries with no SQL-expressible oracle (iterative / ML-fitted); the driver
