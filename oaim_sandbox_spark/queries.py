@@ -519,6 +519,199 @@ ORDER BY doc_id
 """
 
 
+def q4_exists_late_lines(d: str) -> str:
+    """TPC-H Q4 shape — correlated EXISTS (semi-join). Catalyst rewrites the
+    subquery to a LeftSemi hash join on orderkey; only key columns shuffle.
+    (SURVEY §2.4 — the reference's NOT-EXISTS merge is the anti twin.)"""
+    return """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+def q12_priority_case_agg(d: str) -> str:
+    """TPC-H Q12 shape — conditional CASE aggregates over a join (§2.5 gap:
+    the reference has no conditional agg machinery). Both SUMs compute in one
+    pass; partial agg map-side."""
+    return """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+def q16_distinct_suppliers(d: str) -> str:
+    """TPC-H Q16 shape — COUNT(DISTINCT) per group over a join (distinct-agg
+    machinery, absent from the reference §2.5). Catalyst expands to a two-
+    level aggregate: dedup on (brand,type,suppkey) then count — both
+    shuffles on the group key, no global sort until the top-k."""
+    return """
+SELECT p.p_brand, p.p_type, CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_size BETWEEN 1 AND 15
+GROUP BY p.p_brand, p.p_type
+ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC
+LIMIT 20
+"""
+
+
+def q17_below_avg_quantity(d: str) -> str:
+    """TPC-H Q17 shape — correlated scalar subquery (per-part average).
+    Catalyst de-correlates into an aggregate + equi-join on partkey. The
+    threshold avg uses an exact DECIMAL sum so the float boundary compare is
+    bit-identical on both engines."""
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+       CAST(SUM({_dec('l.l_extendedprice')}) AS DOUBLE) AS sum_price
+FROM lineitem l
+WHERE l.l_quantity < (
+  SELECT 0.5 * CAST(SUM({_dec('l2.l_quantity')}) AS DOUBLE) / COUNT(*)
+  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+"""
+
+
+def q18_large_orders(d: str) -> str:
+    """TPC-H Q18 shape — HAVING over a grouped join (post-aggregation
+    filter). The heavy hitter list stays tiny, so the final join back to
+    customer broadcasts."""
+    qty = f"SUM({_dec('l.l_quantity')})"
+    return f"""
+SELECT c.c_name, o.o_orderkey, CAST({qty} AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY c.c_name, o.o_orderkey
+HAVING {qty} > 250
+ORDER BY total_qty DESC, o.o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q22_idle_rich_customers(d: str) -> str:
+    """TPC-H Q22 shape — uncorrelated scalar subquery (global average over a
+    filtered set) + NOT EXISTS anti-join + group. The scalar subquery is a
+    one-row broadcast; the anti-join shuffles only custkey projections."""
+    return f"""
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM({_dec('c.c_acctbal')}) AS DOUBLE) AS totacctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > (
+    SELECT CAST(SUM({_dec('c2.c_acctbal')}) AS DOUBLE) / COUNT(*)
+    FROM customer c2 WHERE c2.c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+# --- training-data pipeline suite ------------------------------------------
+
+
+def train_test_split(d: str) -> str:
+    """Deterministic hash-based train/valid/test split (8/1/1) of the corpus
+    — the canonical training-pipeline op. Salted content-independent hash of
+    the doc key: stable under re-runs, no shuffle (pure projection), and at
+    100 TB the split is a partition-local map with no coordination."""
+    key = _str("doc_id", d) + " || '-split-v1'"
+    h = f"({P.hash64(key, d)} % 10)"
+    return f"""
+SELECT doc_id,
+       CASE WHEN {h} < 8 THEN 'train' WHEN {h} = 8 THEN 'valid' ELSE 'test' END AS split,
+       n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def stratified_sample_counts(d: str) -> str:
+    """Stratified deterministic sampling: ~20% of each language stratum via
+    a hash threshold (no RNG — reproducible across engines and re-runs,
+    unlike df.sample). Returns per-stratum totals vs sampled counts."""
+    key = _str("doc_id", d) + " || '-sample-v1'"
+    keep = f"({P.hash64(key, d)} % 100) < 20"
+    return f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def bigram_topk(d: str) -> str:
+    """Corpus-level top-20 word bigrams — explode→count→top-k, the classic
+    shuffle-heavy text-statistics op. Partial agg combines map-side, so the
+    shuffle carries (gram, partial_count), not raw grams; the final top-k is
+    TakeOrderedAndProject."""
+    grams = P.word_ngrams("text", 2, d)
+    if d == "spark":
+        exploded = f"SELECT g FROM documents LATERAL VIEW explode({grams}) t AS g"
+    else:
+        exploded = f"SELECT unnest({grams}) AS g FROM documents"
+    return f"""
+SELECT g AS bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM ({exploded}) t
+GROUP BY g
+ORDER BY cnt DESC, bigram ASC
+LIMIT 20
+"""
+
+
+def doc_len_percentiles(d: str) -> str:
+    """Exact interpolated length percentiles per language stratum (corpus
+    profiling). Spark `percentile` and DuckDB `quantile_cont` both linear-
+    interpolate over the sorted values. At 100 TB swap to approx_percentile
+    (t-digest) — this exact form is the oracle for that approximation."""
+    if d == "spark":
+        pcts = "percentile(n_chars, array(0.5D, 0.9D, 0.99D))"
+    else:
+        pcts = "quantile_cont(n_chars, [0.5, 0.9, 0.99])"
+    e = lambda i: _elem("p", i, d)  # noqa: E731
+    return f"""
+SELECT lang, round({e(1)}, 6) AS p50, round({e(2)}, 6) AS p90, round({e(3)}, 6) AS p99
+FROM (SELECT lang, {pcts} AS p FROM documents GROUP BY lang) t
+ORDER BY lang
+"""
+
+
+def salted_user_counts(d: str) -> str:
+    """Per-user event counts, top-50 — the oracle for the SALTED two-phase
+    aggregation the Spark side runs (skew mitigation: hot users pre-combine
+    across 8 salt buckets before the final shuffle on user_id alone)."""
+    return """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC
+LIMIT 50
+"""
+
+
 # --- dedup suite -----------------------------------------------------------
 
 NUM_PERM, BANDS, NGRAM = 16, 4, 3
@@ -786,6 +979,17 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "ingest_chunks_dedup": ingest_chunks_dedup,
     "vs_table_names": vs_table_names_sql,
     "docs_union_distinct": docs_union_distinct,
+    "q4_exists_late_lines": q4_exists_late_lines,
+    "q12_priority_case_agg": q12_priority_case_agg,
+    "q16_distinct_suppliers": q16_distinct_suppliers,
+    "q17_below_avg_quantity": q17_below_avg_quantity,
+    "q18_large_orders": q18_large_orders,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
+    "train_test_split": train_test_split,
+    "stratified_sample_counts": stratified_sample_counts,
+    "bigram_topk": bigram_topk,
+    "doc_len_percentiles": doc_len_percentiles,
+    "salted_user_counts": salted_user_counts,
 }
 
 
@@ -1050,12 +1254,37 @@ def _ivf_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEMPLATES["mmr_exact"] = mmr_exact_oracle
 TEMPLATES["streaming_hourly_counts"] = streaming_hourly_oracle
 
+def _salted_user_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation (skew mitigation): phase 1 groups on
+    (user_id, salt) so a hot user's rows pre-combine across 8 buckets in
+    parallel; phase 2 re-aggregates the ≤8 partials per user. COUNT is
+    associative, so the result is identical to the oracle's plain GROUP BY —
+    the salt only reshapes the shuffle. At 100 TB the salt count scales with
+    observed skew (AQE's skew-join handles joins; salting handles aggs)."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    events = spark.table("events")
+    partial = (
+        events.select("user_id", (F.col("event_id") % 8).alias("_salt"))
+        .groupBy("user_id", "_salt")
+        .agg(F.count("*").alias("_pc"))
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(F.sum("_pc").cast("long").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(50)
+    )
+
+
 SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": _minhash_pairs_spark,
     "simhash_near_pairs": _simhash_pairs_spark,
     "embedding_cosine_pairs": _embedding_pairs_spark,
     "mmr_exact": _mmr_exact_spark,
     "streaming_hourly_counts": _streaming_hourly_spark,
+    "salted_user_counts": _salted_user_counts_spark,
 }
 
 # Queries with no SQL-expressible oracle (iterative / ML-fitted); the driver
