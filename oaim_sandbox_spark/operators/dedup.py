@@ -226,3 +226,94 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by min-label
+    propagation: every node starts labeled with itself; each round adopts the
+    minimum label among itself and its neighbors; fixpoint in O(component
+    diameter) rounds. Returns (node_col, cluster_id).
+
+    This completes corpus-level dedup: pairs (minhash_lsh_pairs /
+    simhash_near_pairs) -> clusters -> one canonical doc per cluster
+    (min id = first-occurrence-wins, the reference's P7 ordering semantics,
+    embedding.py:297-304, lifted from exact texts to near-dup classes).
+
+    100 TB notes: each round is one shuffle of (node, label) int64 pairs on
+    the edge key — vectors/texts never move. Near-dup graphs have tiny
+    diameters (dup clusters are quasi-cliques), so rounds stay single-digit.
+    labels are localCheckpoint'ed every round to truncate lineage (iterative
+    plans otherwise grow exponentially in Catalyst). For adversarial
+    long-chain graphs swap in large-star/small-star (same shuffle shape,
+    O(log n) rounds).
+    """
+    # localCheckpoint (not cache): materializes AND truncates lineage, so the
+    # per-round task binaries don't drag the upstream pair-generation plan
+    # (e.g. a 60-aggregate simhash pipeline) into every stage.
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Size-adaptive parallelism: ~2M int64 edge pairs per partition. Tiny
+    # test graphs collapse to 1 task/stage (iterations are scheduling-bound);
+    # a 10^10-edge graph fans out to thousands of tasks.
+    n_edges = sym.count()
+    parts = max(1, min(n_edges // 2_000_000 + 1, 20_000))
+    spark = edges.sparkSession
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # Iterative loops materialize each round via localCheckpoint, which
+    # bypasses AQE's post-shuffle coalesce — size the shuffle explicitly for
+    # the loop's tiny (node,label) frames and restore afterwards.
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    sym = sym.repartition(parts, "dst")
+    labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("label"))
+    labels = labels.repartition(parts, "node").localCheckpoint(eager=True)
+    # Monotone convergence metric: labels only ever decrease, so the exact
+    # integer sum of labels strictly decreases until fixpoint — one scan of
+    # the just-checkpointed frame, no compare join.
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # Pointer jumping: adopt my label's label (labels are node ids, so the
+        # parent row always exists) — contracts label chains exponentially,
+        # O(log diameter) rounds instead of O(diameter).
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            stepped.join(parent, stepped["label"] == parent["p_node"], "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = new_labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+    return labels.select(F.col("node").alias(node_col), F.col("label").alias("cluster_id"))

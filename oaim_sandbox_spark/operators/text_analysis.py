@@ -104,3 +104,40 @@ def fingerprint_sql(text_col: str, dialect: str) -> str:
 
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.expr(fingerprint_sql(text_col, "spark")))
+
+
+# PII-shaped patterns for corpus scrubbing (training-data hygiene; beyond the
+# reference, which only masks *password* config keys — api_call.py:129-135).
+# Most-specific first: SSN/IPv4 before the generic phone shape, which would
+# otherwise swallow any dotted/dashed digit run.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Redact PII-shaped spans with <KIND> placeholders and count hits per
+    kind. Pure JVM regexp_replace/regexp chain — codegen-eligible, no Python
+    in the hot path. Patterns apply in dict order and each kind counts
+    matches on the ALREADY-redacted text of the previous kinds, so a span
+    claimed by a more specific pattern is never double-counted by a broader
+    one (an SSN is not also a phone).
+    """
+    patterns = PII_PATTERNS if patterns is None else patterns
+    out_col = out_col or f"{text_col}_redacted"
+    cur = F.col(text_col)
+    for kind, pat in patterns.items():
+        df = df.withColumn(
+            f"n_{kind}",
+            F.coalesce(F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))), F.lit(0)),
+        )
+        cur = F.regexp_replace(cur, pat, f"<{kind.upper()}>")
+    return df.withColumn(out_col, cur)

@@ -699,6 +699,71 @@ ORDER BY lang
 """
 
 
+def sequence_packing(d: str) -> str:
+    """Training-sequence packing: concatenate docs in a deterministic order
+    and chop into fixed token-budget packs (GPT-style) — pack id = floor of
+    the preceding cumulative token count / capacity. Packing runs PER SOURCE
+    shard (window partitioned by source), so at 100 TB each shard packs
+    independently — no global sort, one shuffle on the shard key."""
+    n_tok = f"size({P.tokens('text', d)})" if d == "spark" else f"len({P.tokens('text', d)})"
+    w = "(PARTITION BY source ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    before = f"(SUM(n_tokens) OVER {w} - n_tokens)"
+    return f"""
+WITH toks AS (SELECT source, doc_id, {n_tok} AS n_tokens FROM documents)
+SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST({_idiv(before, '512', d)} AS BIGINT) AS pack_id,
+       CAST({before} % 512 AS BIGINT) AS pack_offset
+FROM toks
+ORDER BY source, doc_id
+"""
+
+
+def repetition_ratios(d: str) -> str:
+    """Within-document repetition quality signal (Gopher/C4-style filter):
+    distinct-token ratio per doc. Narrow projection — array ops are
+    codegen'd, no shuffle at all."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        n, nd = f"size({toks})", f"size(array_distinct({toks}))"
+    else:
+        n, nd = f"len({toks})", f"len(list_distinct({toks}))"
+    return f"""
+SELECT doc_id, CAST({n} AS BIGINT) AS n_tokens,
+       round(CAST({nd} AS DOUBLE) / {n}, 6) AS distinct_ratio,
+       CASE WHEN CAST({nd} AS DOUBLE) / {n} < 0.3 THEN 1 ELSE 0 END AS flag_repetitive
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def near_dup_clusters_oracle(d: str) -> str:
+    """Corpus dedup completion: connected components over the simhash
+    near-pair graph, canonical = min doc_id per component (first-occurrence-
+    wins lifted to near-dup classes). Oracle: recursive CTE computing the min
+    reachable label; Spark runner: operators/dedup.connected_components
+    (min-label propagation, one int64 shuffle per round)."""
+    pairs = _simhash_pairs_body(d).replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+WITH RECURSIVE fps AS ({_simhash_fps_sql(d)}),
+pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(src, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.src
+)
+SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id,
+       CASE WHEN MIN(lbl) = src THEN 1 ELSE 0 END AS is_canonical
+FROM reach
+GROUP BY src
+ORDER BY doc_id
+"""
+
+
 def salted_user_counts(d: str) -> str:
     """Per-user event counts, top-50 — the oracle for the SALTED two-phase
     aggregation the Spark side runs (skew mitigation: hot users pre-combine
@@ -990,6 +1055,9 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "bigram_topk": bigram_topk,
     "doc_len_percentiles": doc_len_percentiles,
     "salted_user_counts": salted_user_counts,
+    "sequence_packing": sequence_packing,
+    "repetition_ratios": repetition_ratios,
+    "near_dup_clusters": near_dup_clusters_oracle,
 }
 
 
@@ -1254,6 +1322,30 @@ def _ivf_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEMPLATES["mmr_exact"] = mmr_exact_oracle
 TEMPLATES["streaming_hourly_counts"] = streaming_hourly_oracle
 
+def _near_dup_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for near_dup_clusters: materialize the simhash pair graph
+    once (same banded plan as simhash_near_pairs), then
+    operators/dedup.connected_components min-label propagation — each round
+    shuffles only (node, label) int64 pairs; fixpoint in O(cluster diameter)
+    rounds. The oracle's recursive CTE is the sequential twin."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.dedup import connected_components
+
+    register_views(spark, sf_dir)
+    fps = spark.sql(
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash FROM ({_simhash_fps_sql('spark')}) f"
+    ).localCheckpoint(eager=True)  # banded join reads fps 8x — materialize once
+    fps.createOrReplaceTempView("fps")
+    pairs = spark.sql(_simhash_pairs_body("spark").replace("ORDER BY doc_a, doc_b", ""))
+    labels = connected_components(pairs, spark.table("documents"), node_col="doc_id")
+    return labels.select(
+        F.col("doc_id").cast("long"),
+        F.col("cluster_id").cast("long"),
+        F.when(F.col("cluster_id") == F.col("doc_id"), 1).otherwise(0).cast("int").alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
 def _salted_user_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase SALTED aggregation (skew mitigation): phase 1 groups on
     (user_id, salt) so a hot user's rows pre-combine across 8 buckets in
@@ -1285,6 +1377,7 @@ SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_exact": _mmr_exact_spark,
     "streaming_hourly_counts": _streaming_hourly_spark,
     "salted_user_counts": _salted_user_counts_spark,
+    "near_dup_clusters": _near_dup_clusters_spark,
 }
 
 # Queries with no SQL-expressible oracle (iterative / ML-fitted); the driver
