@@ -1271,6 +1271,72 @@ def _streaming_hourly_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _streaming_sessions_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization THROUGH Structured Streaming's native
+    session_window (30-min gap, users < 50), availableNow + complete mode.
+    Over a static directory the final session set equals batch gap
+    sessionization, so the windowed batch SQL is a full-value oracle — this
+    is the stateful-streaming twin of user_activity_sessions. At scale the
+    state store shards by user_id; watermarking bounds state for unbounded
+    sources."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("user_id") < 50)
+        .withColumn("ev_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.groupBy(F.session_window("ev_time", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.min("ev_time").alias("first_ev"))
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("first_ev"))).alias("session_start_us"),
+            F.col("n_events").cast("long"),
+        )
+    )
+    name = f"stream_sessions_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def streaming_sessions_oracle(d: str) -> str:
+    """Batch twin of session_window: new session when gap >= 30 min (streaming
+    session windows are [start, last+gap), so an event at exactly last+gap
+    opens a new session)."""
+    return f"""
+WITH marked AS (
+  SELECT user_id, {_ts_us(d)} AS ts_us,
+         CASE WHEN lag({_ts_us(d)}) OVER (PARTITION BY user_id ORDER BY {_ts_us(d)}) IS NULL
+                   OR {_ts_us(d)} - lag({_ts_us(d)}) OVER (PARTITION BY user_id ORDER BY {_ts_us(d)}) >= 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events WHERE user_id < 50
+),
+sessions AS (
+  SELECT user_id, ts_us,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(MIN(ts_us) AS BIGINT) AS session_start_us, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start_us
+"""
+
+
 def streaming_hourly_oracle(d: str) -> str:
     return f"""
 SELECT {_idiv(_ts_us(d), '3600000000', d)} AS hour_id,
@@ -1321,6 +1387,7 @@ def _ivf_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle templates defined below TEMPLATES (runner section) register here
 TEMPLATES["mmr_exact"] = mmr_exact_oracle
 TEMPLATES["streaming_hourly_counts"] = streaming_hourly_oracle
+TEMPLATES["streaming_sessions"] = streaming_sessions_oracle
 
 def _near_dup_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark runner for near_dup_clusters: materialize the simhash pair graph
@@ -1376,15 +1443,53 @@ SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_cosine_pairs": _embedding_pairs_spark,
     "mmr_exact": _mmr_exact_spark,
     "streaming_hourly_counts": _streaming_hourly_spark,
+    "streaming_sessions": _streaming_sessions_spark,
     "salted_user_counts": _salted_user_counts_spark,
     "near_dup_clusters": _near_dup_clusters_spark,
 }
 
 # Queries with no SQL-expressible oracle (iterative / ML-fitted); the driver
 # records a rows-only check for these.
+def _multimodal_features_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline over synthesized media: documents' text bytes
+    become opaque BINARY payloads (the 100 TB pattern: blobs as binary
+    columns + typed metadata), then the Arrow-batched mapInPandas decode →
+    16-dim feature stage runs (deterministic sha-fake decoder — codecs
+    aren't in this container; sources/multimodal.py). Python-side decode ⇒
+    no SQL oracle; rows-only check. Narrow plan: no shuffle, blobs never
+    leave their scan partition."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.sources.multimodal import extract_image_features
+
+    register_views(spark, sf_dir)
+    media = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            F.concat(F.lit("img_"), F.col("doc_id")).alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.encode(F.col("text"), "UTF-8").alias("content"),
+            F.lit("image/png").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        )
+    )
+    feats = extract_image_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1), 6).alias("f1"),
+        F.round(F.element_at("feature", 16), 6).alias("f16"),
+    ).orderBy("media_id")
+
+
 NON_ORACLE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_rerank": _mmr_rerank_spark,
     "ivf_ann_topk": _ivf_ann_spark,
+    "multimodal_features": _multimodal_features_spark,
 }
 
 
