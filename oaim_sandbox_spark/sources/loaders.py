@@ -227,3 +227,69 @@ def stage_web_files(urls: list[str], directory: str, timeout: int = 30) -> list[
             fh.write(resp.content)
         out.append(dest)
     return out
+
+
+def stage_local_files(files: list[tuple[str, bytes]], directory: str) -> list[str]:
+    """S7 (endpoints.py:230-245): store uploaded (filename, payload) pairs
+    into a per-client staging dir — the landing zone every loader reads from.
+    Rejects path traversal in filenames (the reference trusts FastAPI's
+    UploadFile.filename; we normalize to basename)."""
+    os.makedirs(directory, exist_ok=True)
+    out = []
+    for name, payload in files:
+        base = os.path.basename(name)
+        if not base:
+            raise ValueError(f"invalid filename {name!r}")
+        dest = os.path.join(directory, base)
+        with open(dest, "wb") as fh:
+            fh.write(payload)
+        out.append(dest)
+    return out
+
+
+class LocalObjectStore:
+    """S8 (server/utils/oci.py:101-188): object-storage list/download against
+    a directory-backed fake with the reference's surface — list compartments
+    (top-level dirs), list buckets, list objects, chunked get_object into a
+    staging dir. The real OCI SDK isn't in this container; production Spark
+    reads `oci://bucket@namespace/` directly through the Hadoop-OCI
+    connector, so this staging path (like the reference's) is only for
+    driver-side pre-processing of a handful of files.
+    """
+
+    CHUNK = 1024 * 1024  # reference streams 1 MiB chunks (oci.py:168-175)
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def list_buckets(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def list_objects(self, bucket: str) -> list[str]:
+        bdir = os.path.join(self.root, bucket)
+        out = []
+        for dirpath, _dirs, names in os.walk(bdir):
+            for n in names:
+                out.append(os.path.relpath(os.path.join(dirpath, n), bdir))
+        return sorted(out)
+
+    def get_object(self, directory: str, object_name: str, bucket: str) -> str:
+        """Chunked download into `directory`; returns the staged path."""
+        src = os.path.join(self.root, bucket, object_name)
+        os.makedirs(directory, exist_ok=True)
+        dest = os.path.join(directory, os.path.basename(object_name))
+        with open(src, "rb") as r, open(dest, "wb") as w:
+            while True:
+                chunk = r.read(self.CHUNK)
+                if not chunk:
+                    break
+                w.write(chunk)
+        return dest
+
+
+def chunks_to_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K6 (embedding.py:61-75 doc_to_json): chunk rows -> JSON files, the
+    debug/replay sink whose output S9 (load_json) re-hydrates losslessly."""
+    df.write.mode(mode).json(path)

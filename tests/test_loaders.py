@@ -65,3 +65,46 @@ def test_loader_feeds_split_pipeline(spark, docs_dir):
     docs = load_text(spark, str(docs_dir / "*.txt"))
     chunks = split_fixed(docs, text_col="text", id_col="doc_id", chunk_size=10, chunk_overlap=2)
     assert chunks.count() >= 2
+
+
+# --- S7 / S8 / K6 ----------------------------------------------------------
+
+
+def test_stage_local_files(tmp_path):
+    from oaim_sandbox_spark.sources.loaders import stage_local_files
+
+    staged = stage_local_files(
+        [("a.txt", b"hello"), ("../evil.txt", b"x")], str(tmp_path / "stage")
+    )
+    assert (tmp_path / "stage" / "a.txt").read_bytes() == b"hello"
+    # traversal normalized to basename, not written outside the staging dir
+    assert (tmp_path / "stage" / "evil.txt").exists()
+    assert not (tmp_path / "evil.txt").exists()
+    assert len(staged) == 2
+
+
+def test_local_object_store_roundtrip(tmp_path):
+    from oaim_sandbox_spark.sources.loaders import LocalObjectStore
+
+    (tmp_path / "bkt" / "sub").mkdir(parents=True)
+    (tmp_path / "bkt" / "sub" / "doc.md").write_bytes(b"# hi\n" * 500_000)  # >1 chunk
+    (tmp_path / "bkt" / "top.txt").write_bytes(b"t")
+    store = LocalObjectStore(str(tmp_path))
+    assert store.list_buckets() == ["bkt"]
+    assert store.list_objects("bkt") == ["sub/doc.md", "top.txt"]
+    dest = store.get_object(str(tmp_path / "stage"), "sub/doc.md", "bkt")
+    assert open(dest, "rb").read() == b"# hi\n" * 500_000
+
+
+def test_chunks_to_json_roundtrip(spark, tmp_path):
+    from oaim_sandbox_spark.sources.loaders import chunks_to_json
+
+    df = spark.createDataFrame(
+        [("d1", "alpha", 0), ("d2", "beta", 10)], "id STRING, text STRING, start_index INT"
+    )
+    out = str(tmp_path / "chunks_json")
+    chunks_to_json(df, out)
+    back = spark.read.json(out)
+    assert {tuple(sorted(r.asDict().items())) for r in back.collect()} == {
+        tuple(sorted(r.asDict().items())) for r in df.collect()
+    }
