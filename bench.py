@@ -56,8 +56,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     queries = Q.spark_queries()
-    # warm the JVM/session so the first measured query isn't paying startup
+    # warm the JVM/session (parquet reader, codegen, shuffle machinery) so the
+    # first measured query isn't paying one-time startup
     spark.sql("SELECT 1").collect()
+    warm = spark.read.parquet(f"{sf_dir}/region.parquet")
+    warm.groupBy("r_name").count().collect()
 
     for name, fn in queries.items():
         t0 = time.time()

@@ -1371,12 +1371,12 @@ def _ivf_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from oaim_sandbox_spark.operators.ann import IVFIndex
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("embeddings",))
     store = spark.table("embeddings")
     qv = [r[0] for r in spark.sql(
         "SELECT explode(cast(embedding as array<double>)) FROM embeddings WHERE vec_id = 0"
     ).collect()]
-    idx = IVFIndex(n_centroids=8, seed=42).fit(store)
+    idx = IVFIndex(n_centroids=8, seed=42, max_iter=5).fit(store, sample_fraction=0.25)
     path = tempfile.mkdtemp(prefix="ivf_store_")
     idx.write_partitioned(store, path)
     return idx.search(spark, path, qv, k=5, nprobe=2, id_col="vec_id").select(
@@ -1388,6 +1388,28 @@ def _ivf_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEMPLATES["mmr_exact"] = mmr_exact_oracle
 TEMPLATES["streaming_hourly_counts"] = streaming_hourly_oracle
 TEMPLATES["streaming_sessions"] = streaming_sessions_oracle
+
+def _ngram_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for ngram_jaccard_pairs: the shingle relation feeds the
+    self-join twice plus the sizes agg — materialize it ONCE (localCheckpoint)
+    instead of re-running the md5-per-shingle pipeline 3x. DuckDB's optimizer
+    materializes multiply-referenced CTEs on its own; Spark inlines them, so
+    the materialization is our job. Same SQL otherwise."""
+    register_views(spark, sf_dir)
+    sh = f"array_distinct(transform({P.word_ngrams('text', NGRAM, 'spark')}, s -> {P.hash64('s', 'spark')}))"
+    shingled = spark.sql(
+        f"SELECT doc_id, source, explode({sh}) AS sh FROM documents"
+    ).localCheckpoint(eager=True)
+    shingled.createOrReplaceTempView("shingled_v")
+    body = ngram_jaccard_pairs_q("spark")
+    start = body.index("sizes AS")
+    rest = (
+        body[start:]
+        .replace("FROM shingled", "FROM shingled_v")
+        .replace("JOIN shingled r", "JOIN shingled_v r")
+    )
+    return spark.sql("WITH " + rest)
+
 
 def _near_dup_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark runner for near_dup_clusters: materialize the simhash pair graph
@@ -1440,6 +1462,7 @@ def _salted_user_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": _minhash_pairs_spark,
     "simhash_near_pairs": _simhash_pairs_spark,
+    "ngram_jaccard_pairs": _ngram_jaccard_spark,
     "embedding_cosine_pairs": _embedding_pairs_spark,
     "mmr_exact": _mmr_exact_spark,
     "streaming_hourly_counts": _streaming_hourly_spark,
