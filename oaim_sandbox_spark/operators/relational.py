@@ -83,3 +83,27 @@ def rollup_agg(df: DataFrame, dims: list[str], aggs: list[Column]) -> DataFrame:
     all, SURVEY §2.5 — Catalyst gives it for free). Partial aggregation
     applies per grouping set; one shuffle."""
     return df.rollup(*dims).agg(*aggs)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key —
+    the metastore-backed layout that makes repeated big joins shuffle-free:
+    two tables bucketed on the same key with the same bucket count join as a
+    zero-Exchange SortMergeJoin (each task reads matching bucket files).
+
+    This is THE fix for the one irreducible shuffle in the TPC-H-shaped
+    plans (orders ⋈ lineitem on orderkey, PLANS.md): pay the shuffle once at
+    layout time, amortize it over every subsequent join/agg on that key. At
+    100 TB choose buckets so each bucket file lands in the 128MB-1GB range.
+    """
+    w = df.write.mode(mode).bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)

@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) — the randomized coverage the reference
+lacks entirely (SURVEY §5: "no property-based randomized testing").
+
+Driver-side properties run the same pure logic the Spark operators embed
+(splitter boundary math, dedup idempotence, MMR invariants); Spark-backed
+properties run on small generated frames.
+"""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from oaim_sandbox_spark.operators.split import RecursiveCharSplitter
+
+TEXT = st.text(
+    alphabet=st.sampled_from("ab \n"), min_size=0, max_size=400
+)  # worst-case: long runs without separators
+
+
+@given(text=TEXT, size=st.integers(20, 100), overlap_pct=st.integers(0, 40))
+@settings(max_examples=60, deadline=None)
+def test_splitter_chunks_bounded_and_cover(text, size, overlap_pct):
+    overlap = math.ceil(overlap_pct / 100 * size)  # reference pct->chars (split_embed.py:200)
+    chunks = RecursiveCharSplitter(chunk_size=size, chunk_overlap=min(overlap, size - 1)).split_text(text)
+    stripped = text.strip()
+    # every chunk fits the budget
+    assert all(len(c) <= size for c, _ in chunks)
+    # chunks are non-empty and stripped (reference strip_whitespace=True)
+    assert all(c == c.strip() and c for c, _ in chunks)
+    # start_index is the true position of the chunk (add_start_index parity)
+    assert all(text[s : s + len(c)] == c for c, s in chunks)
+    # every non-space char of the input appears in some chunk (coverage)
+    if stripped:
+        covered = set()
+        for c, s in chunks:
+            covered.update(range(s, s + len(c)))
+        missing = [i for i, ch in enumerate(text) if ch not in " \n" and i not in covered]
+        assert not missing
+
+
+@given(text=TEXT, size=st.integers(20, 100))
+@settings(max_examples=30, deadline=None)
+def test_splitter_monotone_in_chunk_size(text, size):
+    """Reference behavioral test: smaller chunk_size => not fewer chunks
+    (test_endpoints_embed.py:224-266 property)."""
+    small = RecursiveCharSplitter(chunk_size=size, chunk_overlap=0).split_text(text)
+    large = RecursiveCharSplitter(chunk_size=size * 2, chunk_overlap=0).split_text(text)
+    assert len(small) >= len(large)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_asof_join_matches_naive(spark, vals):
+    """asof_join == the obvious per-row max(right.t <= left.t) lookup."""
+    from oaim_sandbox_spark.operators.relational import asof_join
+
+    left = [(k, t) for k, t in vals]
+    right = [(k, t + 1) for k, t in vals[: len(vals) // 2]]
+    ldf = spark.createDataFrame(left, "k INT, t INT")
+    rdf = spark.createDataFrame(
+        [(k, t, t * 10) for k, t in right] or [(99, 0, 0)], "k INT, t INT, payload INT"
+    )
+    got = {
+        (r["k"], r["t"]): r["payload_asof"]
+        for r in asof_join(ldf, rdf, "k", "t", ["payload"]).collect()
+    }
+    rset = [(k, t, t * 10) for k, t in right] or [(99, 0, 0)]
+    for k, t in left:
+        cands = [(rt, p) for rk, rt, p in rset if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[(k, t)] == want
+
+
+@given(ids=st.lists(st.integers(0, 30), min_size=0, max_size=60))
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_connected_components_partition_properties(spark, ids):
+    """CC output is a valid partition refinement: endpoints of every edge share
+    a cluster, every cluster id is the min node of its member set."""
+    from oaim_sandbox_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in zip(ids[::2], ids[1::2]) if a != b]
+    nodes = sorted(set(ids))
+    if not nodes:
+        return
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id BIGINT")
+    edf = spark.createDataFrame(edges or [(-1, -2)], "doc_a BIGINT, doc_b BIGINT")
+    lab = {r["doc_id"]: r["cluster_id"] for r in connected_components(edf, ndf).collect()}
+    for a, b in edges:
+        assert lab[a] == lab[b]
+    for cid in set(lab.values()):
+        members = [n for n, c in lab.items() if c == cid]
+        assert cid == min(members)
