@@ -69,6 +69,29 @@ class DeterministicProvider(EmbeddingProvider):
         return out
 
 
+def _call_with_retry(
+    fn: Callable[[], list[list[float]]],
+    retries: int = 5,
+    backoff: float = 1.5,
+    base_sleep: float = 0.5,
+    sleeper: Callable[[float], None] = time.sleep,
+) -> list[list[float]]:
+    """Exponential-backoff retry around one provider call (reference client
+    policy: 5 POST retries, backoff factor 1.5 — api_call.py:204-220). Runs
+    inside the executor task; a batch that exhausts retries fails the task,
+    and Spark's own task retry takes over (different executor, fresh client)."""
+    last: Exception | None = None
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception as e:  # provider/network errors only reach here
+            last = e
+            if attempt == retries:
+                break
+            sleeper(base_sleep * (backoff**attempt))
+    raise last  # type: ignore[misc]
+
+
 def embed_with_provider(
     df: DataFrame,
     provider_factory: Callable[[], EmbeddingProvider],
@@ -76,6 +99,7 @@ def embed_with_provider(
     out_col: str = "embedding",
     batch_size: int = EMBED_BATCH_SIZE,
     rate_limit_rpm: int = 0,
+    retries: int = 5,
 ) -> DataFrame:
     """P8+P9: batched embedding via mapInPandas.
 
@@ -101,7 +125,10 @@ def embed_with_provider(
             embeddings: list[list[float]] = []
             texts = pdf[text_col].tolist()
             for off in range(0, len(texts), batch_size):
-                embeddings.extend(provider.embed_documents(texts[off : off + batch_size]))
+                chunk = texts[off : off + batch_size]
+                embeddings.extend(
+                    _call_with_retry(lambda c=chunk: provider.embed_documents(c), retries=retries)
+                )
                 if sleep_s and off + batch_size < len(texts):
                     time.sleep(sleep_s)
             pdf = pdf.copy()

@@ -764,6 +764,36 @@ ORDER BY doc_id
 """
 
 
+def quality_filter(d: str) -> str:
+    """C4/Gopher-style composite corpus filter with per-rule attribution:
+    each doc gets keep/drop plus the FIRST failing rule (too-short, too few
+    tokens, digit-heavy, repetitive, low-quality-score). Filters compose as
+    one JVM projection pass — a 100 TB filter costs one scan, and the reason
+    column makes filter-rate audits (drop % per rule) a cheap GROUP BY."""
+    m = TA.quality_metrics_sql("text", d)
+    toks = P.tokens("text", d)
+    if d == "spark":
+        n, nd = f"size({toks})", f"size(array_distinct({toks}))"
+    else:
+        n, nd = f"len({toks})", f"len(list_distinct({toks}))"
+    distinct_ratio = f"(CAST({nd} AS DOUBLE) / {n})"
+    score = TA.quality_score_sql("text", d)
+    return f"""
+SELECT doc_id,
+       CASE
+         WHEN {m['n_chars']} < 80 THEN 'too_short'
+         WHEN {m['n_tokens']} < 12 THEN 'too_few_tokens'
+         WHEN {m['digit_ratio']} > 0.2 THEN 'digit_heavy'
+         WHEN {distinct_ratio} < 0.3 THEN 'repetitive'
+         WHEN {score} < 0.35 THEN 'low_quality_score'
+         ELSE 'keep'
+       END AS verdict,
+       CAST({score} AS DOUBLE) AS quality_score
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def salted_user_counts(d: str) -> str:
     """Per-user event counts, top-50 — the oracle for the SALTED two-phase
     aggregation the Spark side runs (skew mitigation: hot users pre-combine
@@ -1057,6 +1087,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "salted_user_counts": salted_user_counts,
     "sequence_packing": sequence_packing,
     "repetition_ratios": repetition_ratios,
+    "quality_filter": quality_filter,
     "near_dup_clusters": near_dup_clusters_oracle,
 }
 

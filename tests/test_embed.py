@@ -42,3 +42,44 @@ def test_provider_interface_raises():
 
     with pytest.raises(NotImplementedError):
         EmbeddingProvider().embed_documents(["x"])
+
+
+def test_retry_backoff_recovers_and_gives_up():
+    from oaim_sandbox_spark.operators.embed import _call_with_retry
+
+    sleeps = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("transient")
+        return [[1.0]]
+
+    assert _call_with_retry(flaky, retries=5, sleeper=sleeps.append) == [[1.0]]
+    assert calls["n"] == 3
+    assert sleeps == [0.5, 0.75]  # exponential: 0.5 * 1.5^k (reference backoff 1.5)
+
+    import pytest
+
+    with pytest.raises(ConnectionError):
+        _call_with_retry(lambda: (_ for _ in ()).throw(ConnectionError("down")), retries=2, sleeper=sleeps.append)
+
+
+def test_embed_with_provider_retries_transient_failures(spark):
+    from oaim_sandbox_spark.operators.embed import embed_with_provider
+
+    class FlakyProvider:
+        def __init__(self):
+            self.fails = 1
+
+        def embed_documents(self, texts):
+            if self.fails:
+                self.fails -= 1
+                raise ConnectionError("transient")
+            return [[float(len(t))] for t in texts]
+
+    df = spark.createDataFrame([("ab",), ("abcd",)], "text STRING").repartition(1)
+    out = embed_with_provider(df, FlakyProvider, batch_size=10)
+    got = {r["text"]: r["embedding"] for r in out.collect()}
+    assert got["ab"] == [2.0] and got["abcd"] == [4.0]
