@@ -764,6 +764,81 @@ ORDER BY doc_id
 """
 
 
+BM25_QUERY_TOKENS = ("vector", "join", "fast")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def _bm25_scores_sql(d: str) -> str:
+    """BM25 scoring CTE body -> relation (doc_id, bm25). Sparse keyword
+    retrieval over the corpus — the hybrid-search complement to the
+    reference's dense-only search. Plan: explode -> two hash aggs (tf, df) ->
+    broadcast the tiny (token,df) + one-row stats sides back onto tf. Fully
+    SQL-expressible, so the oracle checks every float."""
+    toks = P.tokens("text", d)
+    n_tok = f"size({toks})" if d == "spark" else f"len({toks})"
+    in_list = ", ".join(f"'{t}'" for t in BM25_QUERY_TOKENS)
+    if d == "spark":
+        exploded = f"SELECT doc_id, tok FROM (SELECT doc_id, explode({toks}) AS tok FROM documents) e WHERE tok IN ({in_list})"
+    else:
+        exploded = f"SELECT doc_id, tok FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents) e WHERE tok IN ({in_list})"
+    return f"""
+lens AS (SELECT doc_id, {n_tok} AS dl FROM documents),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ({exploded}) x GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+bm25 AS (
+  SELECT t.doc_id,
+         SUM(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+             * t.tf * ({BM25_K1} + 1.0)
+             / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))) AS bm25
+  FROM tf t
+  JOIN df f ON t.tok = f.tok
+  JOIN lens l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+)"""
+
+
+def bm25_topk(d: str) -> str:
+    """Sparse BM25 top-10 for the fixed query tokens (k1=1.2, b=0.75)."""
+    return f"""
+WITH {_bm25_scores_sql(d)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(bm25, 6) AS bm25
+FROM bm25
+ORDER BY round(bm25, 6) DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def hybrid_rrf_topk(d: str) -> str:
+    """Hybrid retrieval: dense (mock-embed cosine) and sparse (BM25) rank
+    lists fused by reciprocal-rank fusion, 1/(60+rank). Dense-only is the
+    reference's ceiling; RRF is the standard hybrid upgrade and it's pure
+    SQL — two TakeOrdered branches + a tiny full-outer join on the top-20
+    ids."""
+    qvec = P.mock_embed("'spark vector search'", EMBED_DIM, d)
+    dvec = P.mock_embed("text", EMBED_DIM, d)
+    dist = P.cosine_distance(dvec, qvec, d)
+    return f"""
+WITH {_bm25_scores_sql(d)},
+dense_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY round({dist}, 6) ASC, doc_id ASC) AS r
+  FROM documents
+),
+dense AS (SELECT doc_id, r FROM dense_ranked WHERE r <= 20),
+sparse_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC) AS r
+  FROM bm25
+),
+sparse AS (SELECT doc_id, r FROM sparse_ranked WHERE r <= 20)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       round(COALESCE(1.0 / (60 + dense.r), 0.0) + COALESCE(1.0 / (60 + sparse.r), 0.0), 6) AS rrf
+FROM dense FULL OUTER JOIN sparse USING (doc_id)
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def quality_filter(d: str) -> str:
     """C4/Gopher-style composite corpus filter with per-rule attribution:
     each doc gets keep/drop plus the FIRST failing rule (too-short, too few
@@ -1088,6 +1163,8 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "sequence_packing": sequence_packing,
     "repetition_ratios": repetition_ratios,
     "quality_filter": quality_filter,
+    "bm25_topk": bm25_topk,
+    "hybrid_rrf_topk": hybrid_rrf_topk,
     "near_dup_clusters": near_dup_clusters_oracle,
 }
 
