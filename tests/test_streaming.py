@@ -67,3 +67,31 @@ def test_windowed_event_counts_streaming(spark, tmp_path):
     out = {(str(r.window_start), r.event_type): r.n_events for r in spark.sql("SELECT * FROM win_counts").collect()}
     assert out[("2024-01-01 00:00:00", "click")] == 2
     assert out[("2024-01-01 01:00:00", "view")] == 1
+
+
+def test_stream_ingest_checkpoint_recovery(spark, tmp_path):
+    """Restart with the same checkpoint: already-seen landing files are NOT
+    reprocessed (file-source offsets in the checkpoint), new files are, and a
+    third restart with nothing new is a no-op — exactly-once ingest."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    _write_landing(landing, "a.jsonl", [{"doc_id": "a1", "text": "alpha " * 30, "source": "a"}])
+
+    q = stream_ingest(spark, str(landing), store, ckpt, chunk_size=50, chunk_overlap=0)
+    q.awaitTermination(60)
+    n1 = spark.read.parquet(store).count()
+    assert n1 > 0
+
+    _write_landing(landing, "b.jsonl", [{"doc_id": "b1", "text": "beta " * 30, "source": "b"}])
+    q = stream_ingest(spark, str(landing), store, ckpt, chunk_size=50, chunk_overlap=0)
+    q.awaitTermination(60)
+    after = spark.read.parquet(store)
+    n2 = after.count()
+    assert n2 > n1  # new file ingested
+    assert after.groupBy("id").count().filter("count > 1").count() == 0  # no dupes
+
+    q = stream_ingest(spark, str(landing), store, ckpt, chunk_size=50, chunk_overlap=0)
+    q.awaitTermination(60)
+    assert spark.read.parquet(store).count() == n2  # no-op restart
