@@ -128,6 +128,42 @@ class VectorStoreCatalog:
                 )
         return out
 
+    def compact_store(self, name: str, target_file_mb: int = 128) -> int:
+        """Small-file compaction (100 TB maintenance): streaming ingest
+        (streaming/ingest.py) appends a few files per micro-batch, and a
+        store accumulates thousands of tiny parquet files whose per-file
+        open/footer cost dominates scans. Rewrite to ceil(bytes/target) files
+        sized for the scanner (default 128 MB ~ one scan partition), swap
+        atomically via rename, keep the sidecar. Returns the new file count.
+
+        On a real object store this is the same pattern as Delta OPTIMIZE /
+        Iceberg rewrite_data_files; here it is an explicit operator so the
+        parquet-dir backend stays dependency-free.
+        """
+        import shutil
+
+        path = self._store_path(name)
+        sidecar_path = os.path.join(path, SIDECAR)
+        with open(sidecar_path) as fh:
+            comment = fh.read()
+        total_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+        df = self.spark.read.parquet(path)
+        tmp = path + "__compacting"
+        df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
+        old = path + "__old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        with open(os.path.join(path, SIDECAR), "w") as fh:
+            fh.write(comment)
+        return int(n_files)
+
     def drop_store(self, name: str) -> None:
         """K3 drop: remove data + catalog entry."""
         import shutil

@@ -42,3 +42,25 @@ def test_catalog_roundtrip(spark, tmp_path):
     assert filter_catalog(stores, alias="nope") == []
     cat.drop_store(name)
     assert cat.list_stores() == []
+
+
+def test_compact_store_shrinks_files_keeps_data(spark, tmp_path):
+    from oaim_sandbox_spark.catalog import VectorStorage, VectorStoreCatalog
+
+    cat = VectorStoreCatalog(spark, root=str(tmp_path))
+    vs = VectorStorage(vector_store="", alias="cmp", model="mock.model",
+                       chunk_size=200, chunk_overlap=20,
+                       distance_metric="COSINE", index_type="HNSW")
+    df = spark.createDataFrame([(str(i), f"t{i}") for i in range(200)], "id STRING, text STRING")
+    name = cat.write_store(df.repartition(32), vs)  # 32 tiny files
+    import glob, os
+    before = len(glob.glob(os.path.join(str(tmp_path), name, "*.parquet")))
+    assert before >= 16
+    n = cat.compact_store(name)
+    after = len(glob.glob(os.path.join(str(tmp_path), name, "*.parquet")))
+    assert after < before and after <= max(n, 1)
+    back = cat.read_store(name)
+    assert back.count() == 200
+    assert {r["id"] for r in back.collect()} == {str(i) for i in range(200)}
+    # catalog entry survives compaction
+    assert any(s.alias == "cmp" for s in cat.list_stores())
