@@ -49,6 +49,27 @@ def ingest_pipeline(spark, sf_dir: str) -> int:
     return embedded.count()
 
 
+def testbed_eval(spark, sf_dir: str) -> int:
+    """BASELINE target 'testbed evaluation throughput': generate a 500-row QA
+    set from document chunks, run the data-parallel answer+judge mapInPandas
+    (stub answerer/judge — deterministic, no network), aggregate A1-A3."""
+    from oaim_sandbox_spark.operators.split import split_fixed
+    from oaim_sandbox_spark.operators.testbed import evaluate_testset, generate_testset
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = split_fixed(docs, text_col="text", id_col="doc_id", chunk_size=400, chunk_overlap=0)
+    qa = generate_testset(chunks, n_questions=500)
+
+    def answer_factory():
+        return lambda q: "the passage describes " + q[40:80]
+
+    def judge_factory():
+        return lambda q, ref, ans: (len(ans) + len(ref)) % 3 != 0
+
+    report = evaluate_testset(spark, qa, answer_factory, judge_factory, tid="bench")
+    return int(round(report.correctness * 10_000))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -73,13 +94,14 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
-    t0 = time.time()
-    try:
-        n = ingest_pipeline(spark, sf_dir)
-        timings["ingest_pipeline"] = round(time.time() - t0, 3)
-        print(f"# ingest_pipeline: {timings['ingest_pipeline']}s ({n} chunks)", file=sys.stderr)
-    except Exception as e:
-        print(f"# BENCH ERROR ingest_pipeline: {str(e).splitlines()[0][:200]}", file=sys.stderr)
+    for comp_name, comp in (("ingest_pipeline", ingest_pipeline), ("testbed_eval", testbed_eval)):
+        t0 = time.time()
+        try:
+            n = comp(spark, sf_dir)
+            timings[comp_name] = round(time.time() - t0, 3)
+            print(f"# {comp_name}: {timings[comp_name]}s ({n})", file=sys.stderr)
+        except Exception as e:
+            print(f"# BENCH ERROR {comp_name}: {str(e).splitlines()[0][:200]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
