@@ -1,0 +1,56 @@
+"""Scale-path quality evidence: the approximate/partitioned variants stay
+within measured bounds of their exact oracles (SURVEY §4 — approx modes must
+keep the exact form as correctness oracle)."""
+
+from pyspark.sql import functions as F
+
+from oaim_sandbox_spark.operators.ann import IVFIndex, knn_join
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_ivf_recall_at_partial_probe(spark, tmp_path):
+    """nprobe=4 of 8 centroids: recall@10 vs exact must clear 0.5 (coarse
+    quantization on 64-dim mock vectors; full probe == exact is covered in
+    test_ann). This bounds the speed/recall trade instead of hand-waving it."""
+    store = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(x) for x in store.filter("vec_id = 7").select(
+        F.expr("cast(embedding as array<double>)")).collect()[0][0]]
+    qdf = spark.createDataFrame([(0, qv)], "query_id INT, query_vec ARRAY<DOUBLE>")
+    exact = [
+        r["neighbor_id"] for r in knn_join(store.filter("vec_id <> 7"), qdf, k=10).collect()
+    ]
+    idx = IVFIndex(n_centroids=8, seed=3, max_iter=10).fit(store)
+    path = str(tmp_path / "ivf")
+    idx.write_partitioned(store.filter("vec_id <> 7"), path)
+    approx = [
+        r["vec_id"] for r in idx.search(spark, path, qv, k=10, nprobe=4, id_col="vec_id").collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"recall@10 {recall} below bound"
+
+
+def test_partitioned_events_scan_prunes(spark, tmp_path):
+    """PLANS.md claim made real: events laid out partitionBy(event_type)
+    turns the error-only scan into partition pruning (PartitionFilters),
+    reading 1/N of the data at any scale."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    path = str(tmp_path / "events_by_type")
+    events.write.partitionBy("event_type").parquet(path)
+    q = spark.read.parquet(path).filter(F.col("event_type") == "error").select("event_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+    assert q.count() == events.filter("event_type = 'error'").count()
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The 100 TB percentile path (approx_percentile / t-digest) stays within
+    1% relative error of the exact interpolated percentile it replaces."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    row = docs.select(
+        F.expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").alias("exact"),
+        F.expr("approx_percentile(n_chars, array(0.5D, 0.9D, 0.99D), 10000)").alias("approx"),
+    ).collect()[0]
+    for e, a in zip(row["exact"], row["approx"]):
+        assert abs(a - e) / e <= 0.01, (e, a)
