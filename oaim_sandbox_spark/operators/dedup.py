@@ -317,3 +317,50 @@ def connected_components(
     sym.unpersist()
     spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     return labels.select(F.col("node").alias(node_col), F.col("label").alias("cluster_id"))
+
+
+def incremental_near_dups(
+    new_df: DataFrame,
+    existing_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """Continuous-ingest near-dup check: ONLY new docs probe the existing
+    corpus — a new×existing band join, never existing×existing. Returns
+    (new_id, existing_id, est_jaccard).
+
+    100 TB note: this is the steady-state dedup path. The existing side's
+    band keys are computed once per batch here; persist them alongside the
+    store (they're num_perm int64s per doc) and the per-batch cost drops to
+    banding the NEW docs + one hash join — incremental cost proportional to
+    the batch, not the corpus. Composes with merge.merge_new_rows: exact dups
+    are anti-joined out by content id first, this catches the near misses.
+    """
+    sig_new = minhash_signatures(new_df, id_col, text_col, num_perm, ngram)
+    sig_old = minhash_signatures(existing_df, id_col, text_col, num_perm, ngram)
+    band_new = minhash_band_keys(sig_new, id_col, num_perm, bands).alias("n")
+    band_old = minhash_band_keys(sig_old, id_col, num_perm, bands).alias("e")
+    pairs = (
+        band_new.join(
+            band_old,
+            (F.col("n.band_idx") == F.col("e.band_idx"))
+            & (F.col("n.band_hash") == F.col("e.band_hash")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"), F.col(f"e.{id_col}").alias("existing_id")
+        )
+        .distinct()
+    )
+    sa = sig_new.select(F.col(id_col).alias("new_id"), F.col("signature").alias("sig_a"))
+    sb = sig_old.select(F.col(id_col).alias("existing_id"), F.col("signature").alias("sig_b"))
+    est = (
+        "cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) as double) / "
+        f"{num_perm}"
+    )
+    return (
+        pairs.join(sa, "new_id").join(sb, "existing_id")
+        .select("new_id", "existing_id", F.expr(f"round({est}, 6)").alias("est_jaccard"))
+    )

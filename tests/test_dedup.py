@@ -72,3 +72,23 @@ def test_embedding_cosine_pairs(spark):
     )
     pairs = {(r.id_a, r.id_b): r.cosine_sim for r in embedding_cosine_pairs(df, threshold=0.9).collect()}
     assert set(pairs) == {(1, 2)}
+
+
+def test_incremental_near_dups_probe_existing_only(spark):
+    from oaim_sandbox_spark.operators.dedup import incremental_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "completely different words about spark query engines here")],
+        "doc_id BIGINT, text STRING",
+    )
+    new = spark.createDataFrame(
+        [(10, base), (11, base.replace("today", "tonight")), (12, "nothing alike at all zzz qqq www eee rrr ttt yyy uuu")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = incremental_near_dups(new, existing)
+    rows = {(r["new_id"], r["existing_id"]): r["est_jaccard"] for r in out.collect()}
+    assert rows[(10, 1)] == 1.0          # exact copy of existing doc 1
+    assert rows[(11, 1)] >= 0.8          # near copy collides, high est_jaccard
+    assert all(nid != 12 for nid, _ in rows)  # unrelated doc matches nothing
+    assert all(eid in (1, 2) for _, eid in rows)  # never new x new
