@@ -151,3 +151,19 @@ def topk_sql(
             f"ORDER BY distance ASC, {id_col} ASC LIMIT {k}"
         )
     return f"SELECT * FROM ({inner}) ORDER BY distance ASC, {id_col} ASC LIMIT {k}"
+
+
+def normalize_vectors(df: DataFrame, vec_col: str = "embedding", out_col: str | None = None) -> DataFrame:
+    """L2-normalize a vector column (JVM expression, narrow op).
+
+    Store normalization is the standard cosine-at-scale trick: persist unit
+    vectors once, and every cosine query becomes a plain dot product (and a
+    negated DOT_PRODUCT top-k) — one multiply-add fold per element instead of
+    dot + two norms, ~3x less arithmetic in the scan's hot loop, and the same
+    ordering. Zero vectors pass through unchanged (norm guarded to 1).
+    """
+    out_col = out_col or vec_col
+    v = f"cast({vec_col} as array<double>)"
+    norm = P.norm2(v, "spark")
+    safe = f"if({norm} = 0.0, 1.0, {norm})"
+    return df.withColumn(out_col, F.expr(f"transform({v}, x -> x / {safe})"))

@@ -79,3 +79,32 @@ def test_mmr_lambda_one_equals_topk(store):
     rows = mmr_rerank(store, QUERY, k=3, fetch_k=5, lambda_mult=1.0)
     topk = similarity_topk(store, QUERY, k=3).collect()
     assert [r["id"] for r in rows] == [r.id for r in topk]
+
+
+def test_normalized_store_dot_topk_equals_cosine_topk(spark):
+    """Cosine top-k over the raw store == negated-dot top-k over the
+    pre-normalized store (the cosine-at-scale layout)."""
+    from oaim_sandbox_spark.operators.retrieval import normalize_vectors, similarity_topk
+
+    store = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in store.filter("vec_id = 0").selectExpr(
+        "cast(embedding as array<double>)").collect()[0][0]]
+    import math
+    qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+    q_unit = [x / qn for x in qv]
+
+    cos = similarity_topk(store.filter("vec_id <> 0"), qv, k=8, metric="COSINE", id_col="vec_id")
+    normed = normalize_vectors(store.filter("vec_id <> 0"))
+    dot = similarity_topk(normed, q_unit, k=8, metric="DOT_PRODUCT", id_col="vec_id")
+    assert [r["vec_id"] for r in cos.collect()] == [r["vec_id"] for r in dot.collect()]
+
+
+def test_normalize_vectors_unit_norm_and_zero_safe(spark):
+    from oaim_sandbox_spark.operators.retrieval import normalize_vectors
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "id INT, embedding ARRAY<DOUBLE>"
+    )
+    rows = {r["id"]: r["embedding"] for r in normalize_vectors(df).collect()}
+    assert abs(rows[1][0] - 0.6) < 1e-12 and abs(rows[1][1] - 0.8) < 1e-12
+    assert rows[2] == [0.0, 0.0]
