@@ -839,6 +839,47 @@ LIMIT 10
 """
 
 
+def latest_event_per_user(d: str) -> str:
+    """CDC/upsert compaction shape: keep each key's most recent record
+    (row_number DESC = 1) — how a 100 TB mutable-state table compacts from an
+    append-only event log. One shuffle on the key; at scale this is the
+    foreachBatch merge loop's batch form."""
+    return f"""
+SELECT user_id, event_id, ts_us, event_type
+FROM (
+  SELECT user_id, event_id, {_ts_us(d)} AS ts_us, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY {_ts_us(d)} DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def event_value_zscores(d: str) -> str:
+    """Feature standardization (z-score per event_type) — grouped moments
+    joined back onto the rows, the two-pass normalization every ML feature
+    pipeline needs. Moments use exact DECIMAL sums (sum, sum of squares), so
+    mean/std are bit-identical across engines despite float summation-order
+    differences; broadcast of the tiny per-type moments table."""
+    xd = _dec("value", 38, 12)
+    return f"""
+WITH moments AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM({xd}) AS DOUBLE) AS s1,
+         CAST(SUM({xd} * {xd}) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round((e.value - m.s1 / m.n) / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n)), 6) AS zscore,
+       CASE WHEN abs((e.value - m.s1 / m.n) / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n))) > 3.0
+            THEN 1 ELSE 0 END AS is_outlier
+FROM events e JOIN moments m ON e.event_type = m.event_type
+ORDER BY e.event_id
+"""
+
+
 def quality_filter(d: str) -> str:
     """C4/Gopher-style composite corpus filter with per-rule attribution:
     each doc gets keep/drop plus the FIRST failing rule (too-short, too few
@@ -1165,6 +1206,8 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "quality_filter": quality_filter,
     "bm25_topk": bm25_topk,
     "hybrid_rrf_topk": hybrid_rrf_topk,
+    "latest_event_per_user": latest_event_per_user,
+    "event_value_zscores": event_value_zscores,
     "near_dup_clusters": near_dup_clusters_oracle,
 }
 
