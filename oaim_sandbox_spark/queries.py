@@ -839,6 +839,41 @@ LIMIT 10
 """
 
 
+def docs_intersect_except(d: str) -> str:
+    """§2.7 set ops, completed: INTERSECT and EXCEPT of two document
+    selections (both compile to semi/anti joins over a distinct), tagged and
+    unioned so one result covers both operators."""
+    return """
+SELECT 'both' AS side, doc_id FROM (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+  INTERSECT
+  SELECT doc_id FROM documents WHERE n_chars > 300
+) a
+UNION ALL
+SELECT 'only_even' AS side, doc_id FROM (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+  EXCEPT
+  SELECT doc_id FROM documents WHERE n_chars > 300
+) b
+ORDER BY side, doc_id
+"""
+
+
+def customer_order_stats_outer(d: str) -> str:
+    """LEFT OUTER join + null-aware aggregation: every customer with their
+    order count and spend, INCLUDING zero-order customers (the rows an inner
+    join silently drops). COUNT(o_orderkey) ignores the outer nulls."""
+    return f"""
+SELECT c.c_custkey,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM({_dec('o.o_totalprice')}), 0.0) AS DOUBLE) AS total_spend
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+ORDER BY c.c_custkey
+"""
+
+
 def latest_event_per_user(d: str) -> str:
     """CDC/upsert compaction shape: keep each key's most recent record
     (row_number DESC = 1) — how a 100 TB mutable-state table compacts from an
@@ -1208,6 +1243,8 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "hybrid_rrf_topk": hybrid_rrf_topk,
     "latest_event_per_user": latest_event_per_user,
     "event_value_zscores": event_value_zscores,
+    "docs_intersect_except": docs_intersect_except,
+    "customer_order_stats_outer": customer_order_stats_outer,
     "near_dup_clusters": near_dup_clusters_oracle,
 }
 
