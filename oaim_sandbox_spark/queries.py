@@ -874,6 +874,178 @@ ORDER BY c.c_custkey
 """
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_event_counts(d: str) -> str:
+    """PIVOT: per-user event counts, one column per event type. The oracle is
+    the canonical SUM(CASE) expansion; the Spark side (SPARK_OVERRIDES) uses
+    the native DataFrame groupBy().pivot() operator with explicit values so
+    the plan is a single shuffled HashAggregate — same cost as a plain
+    GROUP BY regardless of the number of pivot columns."""
+    cols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT user_id,
+       {cols}
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def cube_doc_counts(d: str) -> str:
+    """CUBE grouping-sets aggregation over (lang, source): all four grouping
+    levels in ONE pass (Catalyst expands to a single Expand + HashAggregate —
+    one shuffle, not four). GROUPING() markers disambiguate real values from
+    roll-up rows; COALESCE sentinels keep the sort engine-independent (Spark
+    orders NULLS FIRST, DuckDB NULLS LAST)."""
+    return """
+SELECT COALESCE(lang, '(all)') AS lang,
+       COALESCE(source, '(all)') AS source,
+       CAST(GROUPING(lang) AS INT) AS g_lang,
+       CAST(GROUPING(source) AS INT) AS g_source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+ORDER BY g_lang, g_source, lang, source
+"""
+
+
+def event_moving_stats(d: str) -> str:
+    """Window frames + LAG: per-user 5-row moving average of `value` (ROWS
+    BETWEEN 4 PRECEDING AND CURRENT ROW) and inter-event arrival gap in
+    micros. The time-series smoothing/resample shape: one hash exchange on
+    user_id, then both window functions evaluate in the same sort — Catalyst
+    fuses same-spec windows into one Window node."""
+    ts = _ts_us(d)
+    w = "PARTITION BY user_id ORDER BY ts_us, event_id"
+    return f"""
+SELECT user_id, event_id,
+       round(AVG(value) OVER ({w} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS movavg_5,
+       (ts_us - LAG(ts_us) OVER ({w})) AS gap_us
+FROM (SELECT user_id, event_id, value, {ts} AS ts_us FROM events WHERE user_id < 10) t
+ORDER BY user_id, ts_us, event_id
+"""
+
+
+def topk_docs_per_lang(d: str) -> str:
+    """Top-k per group (the grouped-top-k shape Spark plans as one Window +
+    filter): 3 longest documents per language. At scale the rank filter
+    pushes work to a single per-group sort; no global sort happens until the
+    final small ORDER BY."""
+    return """
+SELECT lang, doc_id, n_chars, rn FROM (
+  SELECT lang, doc_id, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rn
+  FROM documents
+) t
+WHERE rn <= 3
+ORDER BY lang, rn
+"""
+
+
+def _exploded_grams(n: int, where: str, d: str) -> str:
+    """Sub-select (doc_id, g) — one row per word n-gram of each document."""
+    grams = P.word_ngrams("text", n, d)
+    if d == "spark":
+        return f"SELECT doc_id, g FROM documents LATERAL VIEW explode({grams}) t AS g {where}"
+    return f"SELECT doc_id, unnest({grams}) AS g FROM documents {where}"
+
+
+def decontamination_8gram(d: str) -> str:
+    """Benchmark decontamination — the train-corpus hygiene op: flag training
+    documents sharing any 8-gram with a held-out benchmark set (here: sources
+    src0/src1 stand in for the benchmark). At 100 TB the benchmark gram set
+    is small and broadcasts; the training side explodes to (doc_id, gram)
+    pairs that pre-aggregate map-side, so the shuffle carries distinct grams
+    only — never document text."""
+    bench = _exploded_grams(8, "WHERE source IN ('src0', 'src1')", d)
+    cand = _exploded_grams(8, "WHERE source NOT IN ('src0', 'src1')", d)
+    return f"""
+WITH bench AS (SELECT DISTINCT g FROM ({bench}) b),
+cand AS (SELECT DISTINCT doc_id, g FROM ({cand}) c)
+SELECT c.doc_id,
+       CAST(COUNT(b.g) AS BIGINT) AS n_shared_grams,
+       CAST(CASE WHEN COUNT(b.g) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM cand c LEFT JOIN bench b ON c.g = b.g
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+def boilerplate_gram_fraction(d: str) -> str:
+    """C4-style boilerplate detection: 5-grams occurring in more than 20
+    distinct documents are boilerplate; score each doc by the fraction of its
+    distinct grams that are boilerplate. Two aggregations over one exploded
+    scan; the grams→document-frequency agg combines map-side so the join back
+    is (gram, df) — the classic repeated-content profile at corpus scale."""
+    dg = _exploded_grams(5, "", d)
+    return f"""
+WITH dg AS (SELECT DISTINCT doc_id, g FROM ({dg}) t),
+freq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM dg GROUP BY g)
+SELECT dg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN freq.df > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       round(CAST(SUM(CASE WHEN freq.df > 20 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS boiler_frac
+FROM dg JOIN freq ON dg.g = freq.g
+GROUP BY dg.doc_id
+ORDER BY dg.doc_id
+"""
+
+
+def domain_mix_rebalance(d: str) -> str:
+    """Domain-mixture rebalancing — hit a target per-source mixture (uniform
+    here) by deterministic hash-thresholded downsampling of over-represented
+    sources. keep_rate = min(1, target_share/actual_share); membership is a
+    salted hash compare (no RNG — reproducible across engines, re-runs, and
+    cluster sizes). The rates table is tiny and broadcasts; the keep decision
+    is a partition-local map over the corpus."""
+    key = _str("doc_id", d) + " || '-mix-v1'"
+    h = f"({P.hash64(key, d)} % 1000000)"
+    return f"""
+WITH src AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+tot AS (SELECT SUM(n_src) AS n_total, COUNT(*) AS n_sources FROM src),
+rates AS (
+  SELECT source, n_src,
+         LEAST(1.0, (CAST(n_total AS DOUBLE) / n_sources) / n_src) AS keep_rate
+  FROM src CROSS JOIN tot
+)
+SELECT r.source,
+       CAST(r.n_src AS BIGINT) AS n_total,
+       round(r.keep_rate, 6) AS keep_rate,
+       CAST(SUM(CASE WHEN {h} < CAST(floor(r.keep_rate * 1000000) AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents doc JOIN rates r ON doc.source = r.source
+GROUP BY r.source, r.n_src, r.keep_rate
+ORDER BY r.source
+"""
+
+
+def hourly_gapfill(d: str) -> str:
+    """Time-series resample with gap filling: hourly event counts over the
+    full observed range, zero-filled for empty hours (sequence+explode on
+    Spark, generate_series on DuckDB). The dense axis is generated, not
+    scanned — at 100 TB the series side is thousands of rows joined against
+    pre-aggregated counts, so the left join broadcasts the series."""
+    hour = _idiv(_ts_us(d), "3600000000", d)
+    if d == "spark":
+        series = "SELECT explode(sequence(h0, h1)) AS hour_id FROM bounds"
+    else:
+        series = "SELECT unnest(generate_series(h0, h1)) AS hour_id FROM bounds"
+    return f"""
+WITH ev AS (SELECT {hour} AS hour_id FROM events),
+counts AS (SELECT hour_id, COUNT(*) AS n FROM ev GROUP BY hour_id),
+bounds AS (SELECT MIN(hour_id) AS h0, MAX(hour_id) AS h1 FROM ev),
+series AS ({series})
+SELECT s.hour_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM series s LEFT JOIN counts c ON s.hour_id = c.hour_id
+ORDER BY s.hour_id
+"""
+
+
 def latest_event_per_user(d: str) -> str:
     """CDC/upsert compaction shape: keep each key's most recent record
     (row_number DESC = 1) — how a 100 TB mutable-state table compacts from an
@@ -1245,6 +1417,14 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "event_value_zscores": event_value_zscores,
     "docs_intersect_except": docs_intersect_except,
     "customer_order_stats_outer": customer_order_stats_outer,
+    "pivot_event_counts": pivot_event_counts,
+    "cube_doc_counts": cube_doc_counts,
+    "event_moving_stats": event_moving_stats,
+    "topk_docs_per_lang": topk_docs_per_lang,
+    "decontamination_8gram": decontamination_8gram,
+    "boilerplate_gram_fraction": boilerplate_gram_fraction,
+    "domain_mix_rebalance": domain_mix_rebalance,
+    "hourly_gapfill": hourly_gapfill,
     "near_dup_clusters": near_dup_clusters_oracle,
 }
 
@@ -1647,7 +1827,29 @@ def _salted_user_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pivot_event_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for pivot_event_counts: the NATIVE relational pivot
+    (`groupBy().pivot(col, values).count()`). Explicit pivot values skip the
+    extra distinct-values job Spark otherwise runs, so the plan is a single
+    partial+final HashAggregate pair — the same two-exchange-free shape as
+    the oracle's SUM(CASE) expansion."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    wide = (
+        spark.table("events")
+        .groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+    return wide.select(
+        "user_id", *[F.col(t).cast("long").alias(t) for t in EVENT_TYPES]
+    ).orderBy("user_id")
+
+
 SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pivot_event_counts": _pivot_event_counts_spark,
     "minhash_lsh_pairs": _minhash_pairs_spark,
     "simhash_near_pairs": _simhash_pairs_spark,
     "ngram_jaccard_pairs": _ngram_jaccard_spark,
