@@ -874,6 +874,107 @@ ORDER BY c.c_custkey
 """
 
 
+def q2_min_cost_supplier(d: str) -> str:
+    """TPC-H Q2 shape — argmin-per-group via correlated scalar subquery: for
+    each small part, the supplier(s) offering the minimum unit price.
+    Catalyst de-correlates to a partkey aggregate joined back to the probe
+    side (two scans); bucketing both scans by partkey removes the shuffle at
+    scale. Equality on the double unit price is safe: both engines compute
+    the identical expression over identical inputs."""
+    unit = "(l.l_extendedprice / l.l_quantity)"
+    return f"""
+SELECT DISTINCT p.p_partkey, l.l_suppkey, round({unit}, 6) AS unit_price
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 5
+  AND {unit} = (
+    SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+ORDER BY p.p_partkey, l.l_suppkey
+"""
+
+
+def q7_nation_volume(d: str) -> str:
+    """TPC-H Q7 shape — bidirectional nation-pair shipping volume by year:
+    5-way join (two nation roles) + CASE-free pair filter + per-year decimal
+    revenue. Both nation sides broadcast at any scale; the one real shuffle
+    is orders⋈lineitem on orderkey."""
+    vol = f"{_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount', 5, 2)})"
+    return f"""
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(vol) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INT) AS l_year,
+         {vol} AS vol
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned_items(d: str) -> str:
+    """TPC-H Q10 shape — top-20 customers by lost revenue from returned
+    items in one year: selective fact filter, 4-way join, grouped decimal
+    revenue, deterministic top-k (TakeOrderedAndProject)."""
+    rev = f"SUM({_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount', 5, 2)}))"
+    return f"""
+SELECT c.c_custkey, c.c_name, n.n_name, CAST({rev} AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+def q20_dominant_suppliers(d: str) -> str:
+    """TPC-H Q20 shape via agg-over-agg window: suppliers holding >15% of
+    any part's total shipped quantity. SUM(SUM()) OVER (PARTITION BY part)
+    computes group totals and per-partner shares in ONE pass — no self-join
+    of the aggregate, so the fact table is scanned once."""
+    qty = f"SUM({_dec('l_quantity')})"
+    return f"""
+WITH shares AS (
+  SELECT l_suppkey, l_partkey,
+         CAST({qty} AS DOUBLE) AS qty,
+         CAST(SUM({qty}) OVER (PARTITION BY l_partkey) AS DOUBLE) AS part_qty
+  FROM lineitem
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS n_dominated_parts
+FROM supplier s
+JOIN shares sh ON sh.l_suppkey = s.s_suppkey
+WHERE sh.qty > 0.15 * sh.part_qty
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY n_dominated_parts DESC, s.s_suppkey ASC
+"""
+
+
+def streaming_dedup_pairs(d: str) -> str:
+    """Oracle for the streaming dedup-within-watermark query (the Spark side
+    runs dropDuplicatesWithinWatermark over an availableNow file stream —
+    SPARK_OVERRIDES): the distinct key set is stream-order independent, so
+    batch DISTINCT is an exact oracle."""
+    return """
+SELECT DISTINCT user_id, event_type
+FROM events
+ORDER BY user_id, event_type
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -1421,6 +1522,11 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "cube_doc_counts": cube_doc_counts,
     "event_moving_stats": event_moving_stats,
     "topk_docs_per_lang": topk_docs_per_lang,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q7_nation_volume": q7_nation_volume,
+    "q10_returned_items": q10_returned_items,
+    "q20_dominant_suppliers": q20_dominant_suppliers,
+    "streaming_dedup_pairs": streaming_dedup_pairs,
     "decontamination_8gram": decontamination_8gram,
     "boilerplate_gram_fraction": boilerplate_gram_fraction,
     "domain_mix_rebalance": domain_mix_rebalance,
@@ -1827,6 +1933,41 @@ def _salted_user_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for streaming_dedup_pairs: exactly-once key dedup in a
+    stream via dropDuplicatesWithinWatermark — the streaming twin of exact
+    dedup (P7) for continuous ingest. State is bounded by the watermark (1h
+    of event time), so memory stays flat on an unbounded source; over a
+    static directory the surviving key set equals batch DISTINCT."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = (
+        stream.withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ets", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).orderBy("user_id", "event_type")
+
+
 def _pivot_event_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark runner for pivot_event_counts: the NATIVE relational pivot
     (`groupBy().pivot(col, values).count()`). Explicit pivot values skip the
@@ -1850,6 +1991,7 @@ def _pivot_event_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_event_counts": _pivot_event_counts_spark,
+    "streaming_dedup_pairs": _streaming_dedup_spark,
     "minhash_lsh_pairs": _minhash_pairs_spark,
     "simhash_near_pairs": _simhash_pairs_spark,
     "ngram_jaccard_pairs": _ngram_jaccard_spark,
