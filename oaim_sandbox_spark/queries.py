@@ -975,6 +975,22 @@ ORDER BY user_id, event_type
 """
 
 
+def streaming_user_stats(d: str) -> str:
+    """Oracle for the custom stateful streaming operator
+    (streaming/stateful.py running_user_stats, applyInPandasWithState): the
+    stream emits cumulative per-user (count, sum, max) each micro-batch;
+    compacting to each key's final emission equals this batch GROUP BY."""
+    return """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM(value), 6) AS sum_value,
+       round(MAX(value), 6) AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -1527,6 +1543,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "q10_returned_items": q10_returned_items,
     "q20_dominant_suppliers": q20_dominant_suppliers,
     "streaming_dedup_pairs": streaming_dedup_pairs,
+    "streaming_user_stats": streaming_user_stats,
     "decontamination_8gram": decontamination_8gram,
     "boilerplate_gram_fraction": boilerplate_gram_fraction,
     "domain_mix_rebalance": domain_mix_rebalance,
@@ -1968,6 +1985,50 @@ def _streaming_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("user_id", "event_type")
 
 
+def _streaming_user_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for streaming_user_stats: availableNow file stream ->
+    applyInPandasWithState running totals -> memory sink, then latest-per-key
+    compaction (highest cumulative count wins) so the result is the final
+    state regardless of how many micro-batches the source split into."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from oaim_sandbox_spark.streaming.stateful import running_user_stats
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = f"stream_stats_{_uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+            F.round("max_value", 6).alias("max_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def _pivot_event_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark runner for pivot_event_counts: the NATIVE relational pivot
     (`groupBy().pivot(col, values).count()`). Explicit pivot values skip the
@@ -1992,6 +2053,7 @@ def _pivot_event_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_event_counts": _pivot_event_counts_spark,
     "streaming_dedup_pairs": _streaming_dedup_spark,
+    "streaming_user_stats": _streaming_user_stats_spark,
     "minhash_lsh_pairs": _minhash_pairs_spark,
     "simhash_near_pairs": _simhash_pairs_spark,
     "ngram_jaccard_pairs": _ngram_jaccard_spark,

@@ -1,0 +1,65 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The reference has no data streaming (SURVEY §2.9) — this is the 100 TB
+design path: arbitrary per-key state the built-in windowed aggregations
+can't express (running aggregates emitted mid-stream, custom eviction,
+model-ish accumulators), implemented as the Arrow-batched
+``applyInPandasWithState`` operator so state updates run vectorized per
+group and the state store shards by key.
+
+``running_user_stats`` keeps (count, sum, max) per user and emits the
+updated running totals every time a micro-batch touches the key. Each
+emission carries the cumulative values, so:
+
+  - mid-stream, downstream consumers see monotone running aggregates;
+  - compacting to the highest-count row per key (latest_per_key) yields
+    exactly the batch GROUP BY — which is the DuckDB oracle for the
+    ``streaming_user_stats`` query entry.
+
+State is 24 bytes/key; on an unbounded source pair it with a timeout
+(GroupStateTimeout.ProcessingTimeTimeout) to evict idle keys — over the
+static test directory no eviction is needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = "user_id BIGINT, n_events BIGINT, sum_value DOUBLE, max_value DOUBLE"
+STATE_SCHEMA = "n BIGINT, s DOUBLE, mx DOUBLE"
+
+
+def _update_user_stats(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, s, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n += int(len(pdf))
+        s += float(pdf["value"].sum())
+        mx = max(mx, float(pdf["value"].max()))
+    state.update((n, s, mx))
+    yield pd.DataFrame(
+        [{"user_id": key[0], "n_events": n, "sum_value": s, "max_value": mx}]
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum, max) over a stream of events.
+
+    ``events`` is a streaming DataFrame with at least (user_id BIGINT,
+    value DOUBLE). Emits one row per (micro-batch, touched key) holding the
+    cumulative values up to and including that batch.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -95,3 +95,47 @@ def test_stream_ingest_checkpoint_recovery(spark, tmp_path):
     q = stream_ingest(spark, str(landing), store, ckpt, chunk_size=50, chunk_overlap=0)
     q.awaitTermination(60)
     assert spark.read.parquet(store).count() == n2  # no-op restart
+
+
+def test_running_user_stats_multibatch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): two micro-batches
+    (maxFilesPerTrigger=1) over the same keys — emissions must be CUMULATIVE
+    across batches, and the final emission per key must equal the batch
+    GROUP BY over all the data."""
+    import json as _json
+
+    from oaim_sandbox_spark.streaming.stateful import running_user_stats
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    b1 = [{"user_id": 1, "value": 1.0}, {"user_id": 1, "value": 2.0},
+          {"user_id": 2, "value": 5.0}]
+    b2 = [{"user_id": 1, "value": 4.0}, {"user_id": 3, "value": 7.0}]
+    (src / "f1.jsonl").write_text("\n".join(_json.dumps(r) for r in b1))
+    (src / "f2.jsonl").write_text("\n".join(_json.dumps(r) for r in b2))
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("run_stats")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM run_stats").collect()
+    # user 1 was touched by both batches -> two emissions, strictly increasing n
+    u1 = sorted([r for r in rows if r.user_id == 1], key=lambda r: r.n_events)
+    assert len(u1) == 2
+    assert (u1[0].n_events, u1[0].sum_value) == (2, 3.0)
+    assert (u1[1].n_events, u1[1].sum_value, u1[1].max_value) == (3, 7.0, 4.0)
+    # final emission per key == batch GROUP BY over everything
+    final = {r.user_id: r for r in rows
+             if r.n_events == max(x.n_events for x in rows if x.user_id == r.user_id)}
+    assert (final[2].n_events, final[2].sum_value, final[2].max_value) == (1, 5.0, 5.0)
+    assert (final[3].n_events, final[3].sum_value, final[3].max_value) == (1, 7.0, 7.0)
