@@ -91,6 +91,29 @@ def mock_embed(e: str, dim: int, dialect: str) -> str:
     )
 
 
+def absmax(a: str, dialect: str) -> str:
+    """Infinity norm (max |x|) of a double array — the per-vector scale for
+    int8 symmetric quantization. Floored at 1e-30 to keep x/scale finite."""
+    if dialect == "spark":
+        return f"greatest(aggregate({a}, cast(0 as double), (s, x) -> greatest(s, abs(x))), 1e-30)"
+    return f"greatest(list_reduce(list_prepend(0.0::DOUBLE, list_transform({a}, x -> abs(x))), (s, x) -> greatest(s, x)), 1e-30)"
+
+
+def quantize_int8(a: str, scale: str, dialect: str) -> str:
+    """Symmetric int8 quantization: q_i = floor(x_i/scale*127 + 0.5) in
+    [-127, 127] (as int64 elements — exact in both engines; floor(x+0.5) is
+    engine-independent where round() half-way rules differ)."""
+    if dialect == "spark":
+        return f"transform({a}, x -> cast(floor(x / {scale} * 127.0 + 0.5) as bigint))"
+    return f"list_transform({a}, x -> floor(x / {scale} * 127.0 + 0.5)::BIGINT)"
+
+
+def int_dot(a: str, b: str, dialect: str) -> str:
+    """Dot product of two small-int arrays accumulated in DOUBLE — exact for
+    int8-quantized values (|products| <= 16129, sums << 2^53)."""
+    return dot(a, b, dialect)
+
+
 def tokens(e: str, dialect: str) -> str:
     """Whitespace tokens, empties removed (documents use single-space words)."""
     if dialect == "spark":

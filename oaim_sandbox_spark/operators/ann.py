@@ -229,3 +229,43 @@ class IVFIndex:
             .orderBy(F.col("distance").asc(), F.col(id_col).asc())
             .limit(k)
         )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", prefix: str = "q"
+) -> DataFrame:
+    """Tier 0 storage path: symmetric int8 quantization of a vector column.
+
+    Adds ``{prefix}vec`` (ARRAY<TINYINT>, values in [-127, 127]) and
+    ``{prefix}scale`` (DOUBLE, the per-vector infinity norm) and drops the
+    float column — a 4x reduction of the dominant column at 100 TB (the
+    scan-bandwidth win is what matters: quantized stores stream 4x more
+    vectors/sec through the same executors). Dequantize as
+    ``qvec * qscale / 127``; quantized cosine needs NO dequantization (the
+    scales cancel), so stage-1 candidate generation runs on integers.
+
+    Reference parity: the reference stores float32 Oracle VECTOR columns
+    (embedding.py:312-318) with no compression tier — this is a
+    beyond-reference scale path, exact-re-rank-compatible (quantized_topk
+    query; recall bound in tests/test_ann.py).
+    """
+    a = P.to_double_array(vec_col, "spark")
+    scale = P.absmax(a, "spark")
+    qvec = P.quantize_int8(a, f"{prefix}scale", "spark")
+    return (
+        df.withColumn(f"{prefix}scale", F.expr(scale))
+        .withColumn(f"{prefix}vec", F.expr(f"transform({qvec}, x -> cast(x as tinyint))"))
+        .drop(vec_col)
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame, prefix: str = "q", out_col: str = "embedding"
+) -> DataFrame:
+    """Inverse of quantize_embeddings (lossy: |error| <= scale/254 per dim)."""
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"transform({prefix}vec, x -> cast(x as double) * {prefix}scale / 127.0)"
+        ),
+    ).drop(f"{prefix}vec", f"{prefix}scale")

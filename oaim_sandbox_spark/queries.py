@@ -991,6 +991,44 @@ ORDER BY user_id
 """
 
 
+def quantized_topk(d: str) -> str:
+    """Two-stage retrieval over int8-quantized embeddings — the storage/
+    bandwidth scale path (4x smaller vectors; at 100 TB the quantized store
+    is what streams through the scan). Stage 1 ranks by quantized cosine —
+    the per-vector scales cancel, so it's pure integer dot products — and
+    keeps fetch_k=50 candidates; stage 2 re-ranks the survivors with the
+    exact float cosine. Deterministic integer math end to end => full DuckDB
+    oracle parity, and the exact re-rank makes stage-1 error invisible at
+    the final k whenever recall@fetch_k holds (measured in tests)."""
+    a = P.to_double_array("e.embedding", d)
+    qv = P.to_double_array("q.qv", d)
+    qa = P.quantize_int8("av", P.absmax("av", d), d)
+    qq = P.quantize_int8("qvv", P.absmax("qvv", d), d)
+    approx = (
+        f"(1.0 - {P.int_dot('sv', 'qvec', d)} / "
+        f"(sqrt({P.int_dot('sv', 'sv', d)}) * sqrt({P.int_dot('qvec', 'qvec', d)})))"
+    )
+    exact = P.cosine_distance("av", "qvv2", d)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qq AS (SELECT qvv, {qq} AS qvec FROM (SELECT {qv} AS qvv FROM q) t),
+store AS (
+  SELECT e.vec_id, av, {qa} AS sv
+  FROM (SELECT vec_id, {a} AS av FROM embeddings e WHERE vec_id <> 0) e
+),
+cand AS (
+  SELECT s.vec_id, s.av, qq.qvv AS qvv2, {approx} AS approx_dist
+  FROM store s CROSS JOIN qq
+  ORDER BY approx_dist ASC, s.vec_id ASC
+  LIMIT 50
+)
+SELECT vec_id, round({exact}, 6) AS distance, round(approx_dist, 6) AS approx_dist
+FROM cand
+ORDER BY distance ASC, vec_id ASC
+LIMIT 10
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -1544,6 +1582,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "q20_dominant_suppliers": q20_dominant_suppliers,
     "streaming_dedup_pairs": streaming_dedup_pairs,
     "streaming_user_stats": streaming_user_stats,
+    "quantized_topk": quantized_topk,
     "decontamination_8gram": decontamination_8gram,
     "boilerplate_gram_fraction": boilerplate_gram_fraction,
     "domain_mix_rebalance": domain_mix_rebalance,

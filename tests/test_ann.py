@@ -3,6 +3,7 @@ partition-pruned probe recall (SURVEY §4: Oracle HNSW/IVF analogue)."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from oaim_sandbox_spark.operators.ann import IVFIndex, knn_join, lsh_knn_join, signed_projection_buckets
 
@@ -77,3 +78,66 @@ def test_ivf_partition_pruning(spark, items, tmp_path):
     qv = [float(x) for x in ITEMS[3][1]]
     plan = idx.search(spark, path, qv, k=3, nprobe=1, id_col="vec_id")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "centroid" in plan
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    from oaim_sandbox_spark.operators.ann import dequantize_embeddings, quantize_embeddings
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantize_embeddings(vecs, vec_col="embedding")
+    assert dict(q.dtypes)["qvec"] == "array<tinyint>"
+    back = dequantize_embeddings(q.join(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+            "vec_id", F.col("embedding").alias("orig")), "vec_id"), out_col="deq")
+    err = back.select(
+        F.expr(
+            "aggregate(zip_with(cast(orig as array<double>), deq, (a, b) -> abs(a - b)),"
+            " cast(0 as double), (s, x) -> greatest(s, x))"
+        ).alias("max_err"),
+        F.expr(
+            "greatest(aggregate(cast(orig as array<double>), cast(0 as double),"
+            " (s, x) -> greatest(s, abs(x))), 1e-30) / 254.0 + 1e-9"
+        ).alias("bound"),
+    )
+    assert err.filter("max_err > bound").count() == 0
+
+
+def test_quantized_storage_shrinks(spark, tmp_path):
+    from oaim_sandbox_spark.operators.ann import quantize_embeddings
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select("vec_id", "embedding")
+    fpath, qpath = str(tmp_path / "float"), str(tmp_path / "int8")
+    vecs.coalesce(1).write.parquet(fpath)
+    quantize_embeddings(vecs).coalesce(1).write.parquet(qpath)
+    import pathlib
+
+    size = lambda p: sum(f.stat().st_size for f in pathlib.Path(p).glob("*.parquet"))  # noqa: E731
+    assert size(qpath) < 0.45 * size(fpath)  # ~4x smaller vectors (parquet overheads included)
+
+
+def test_quantized_candidates_recall(spark):
+    """Stage-1 quantized cosine top-50 must contain (nearly) all of the exact
+    float top-10 — the recall contract that makes exact re-rank lossless."""
+    from oaim_sandbox_spark.functions import portable as P
+
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").createOrReplaceTempView("emb")
+    a = P.to_double_array("e.embedding", "spark")
+    qv = P.to_double_array("q.qv", "spark")
+    exact = spark.sql(f"""
+        WITH q AS (SELECT embedding AS qv FROM emb WHERE vec_id = 0)
+        SELECT e.vec_id FROM emb e CROSS JOIN q WHERE e.vec_id <> 0
+        ORDER BY {P.cosine_distance(a, qv, 'spark')} ASC, e.vec_id ASC LIMIT 10
+    """).collect()
+    qa = P.quantize_int8("av", P.absmax("av", "spark"), "spark")
+    qq = P.quantize_int8("qvv", P.absmax("qvv", "spark"), "spark")
+    approx = spark.sql(f"""
+        WITH q AS (SELECT {P.to_double_array("qv", "spark")} AS qvv FROM (SELECT embedding AS qv FROM emb WHERE vec_id = 0) t),
+        qq AS (SELECT {qq} AS qvec FROM q),
+        store AS (SELECT vec_id, {qa} AS sv FROM (SELECT vec_id, {a} AS av FROM emb e WHERE vec_id <> 0) e)
+        SELECT s.vec_id FROM store s CROSS JOIN qq
+        ORDER BY (1.0 - {P.int_dot('sv', 'qvec', 'spark')} /
+                  (sqrt({P.int_dot('sv', 'sv', 'spark')}) * sqrt({P.int_dot('qvec', 'qvec', 'spark')}))) ASC,
+                 s.vec_id ASC LIMIT 50
+    """).collect()
+    hits = {r.vec_id for r in approx} & {r.vec_id for r in exact}
+    assert len(hits) >= 9  # recall@10 >= 0.9 through the 50-candidate stage
