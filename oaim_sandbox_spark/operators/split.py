@@ -318,3 +318,29 @@ def assign_chunk_ids(df: DataFrame, source_col: str = "source", order_col: str =
     return df.withColumn("chunk_idx", F.row_number().over(w)).withColumn(
         "id", F.concat(F.col(source_col).cast("string"), F.lit("_"), F.col("chunk_idx").cast("string"))
     )
+
+
+def register_split_udtf(spark, name: str = "split_chunks") -> None:
+    """Register the recursive splitter as a native Python UDTF (SURVEY §2.10:
+    splitters are UDTF-shaped, 1 row in -> N chunk rows out), callable from
+    SQL:
+
+        SELECT d.doc_id, c.chunk, c.start_index, c.chunk_no
+        FROM docs d, LATERAL split_chunks(d.text, 200, 20) c
+
+    The UDTF evaluates per-row on executors (Arrow-batched by the runtime);
+    the mapInPandas path (``split_documents``) stays the bulk-ingest fast
+    path — this is the ad-hoc SQL surface over the same splitter.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk STRING, start_index INT, chunk_no INT")
+    class SplitChunks:
+        def eval(self, text: str, chunk_size: int = 200, chunk_overlap: int = 20):
+            if text is None:
+                return
+            splitter = RecursiveCharSplitter(chunk_size=chunk_size, chunk_overlap=chunk_overlap)
+            for i, (chunk, start) in enumerate(splitter.split_text(text), start=1):
+                yield chunk, start, i
+
+    spark.udtf.register(name, SplitChunks)

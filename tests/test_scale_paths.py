@@ -54,3 +54,21 @@ def test_approx_percentile_tracks_exact(spark):
     ).collect()[0]
     for e, a in zip(row["exact"], row["approx"]):
         assert abs(a - e) / e <= 0.01, (e, a)
+
+
+def test_approx_count_distinct_tracks_exact(spark):
+    """HLL++ approx_count_distinct at rsd=0.05 stays within 3 sigma of exact
+    distinct counts — the cardinality-estimation scale path (a global
+    COUNT(DISTINCT) shuffles every distinct value; HLL sketches merge in
+    constant space per partition)."""
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    exact = events.select("user_id").distinct().count()
+    approx = events.agg(F.approx_count_distinct("user_id", rsd=0.05).alias("a")).collect()[0]["a"]
+    assert abs(approx - exact) <= max(3, 0.15 * exact)
+    # grouped form: every group within tolerance too
+    ex = {r.event_type: r.n for r in events.groupBy("event_type")
+          .agg(F.countDistinct("user_id").alias("n")).collect()}
+    ap = {r.event_type: r.n for r in events.groupBy("event_type")
+          .agg(F.approx_count_distinct("user_id", 0.05).alias("n")).collect()}
+    for k in ex:
+        assert abs(ap[k] - ex[k]) <= max(3, 0.15 * ex[k])

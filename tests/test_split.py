@@ -70,3 +70,21 @@ def test_assign_chunk_ids_window(spark):
     assert out[("s1", 0)] == "s1_1"
     assert out[("s1", 180)] == "s1_2"
     assert out[("s2", 0)] == "s2_1"
+
+
+def test_split_udtf_sql_surface(spark):
+    """The UDTF form must produce exactly the rows the mapInPandas splitter
+    produces, straight from SQL."""
+    from oaim_sandbox_spark.operators.split import RecursiveCharSplitter, register_split_udtf
+
+    register_split_udtf(spark)
+    text = ("alpha beta gamma. " * 20).strip()
+    spark.createDataFrame([(1, text)], "doc_id INT, text STRING").createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, c.chunk, c.start_index, c.chunk_no "
+        "FROM udtf_docs d, LATERAL split_chunks(d.text, 100, 10) c ORDER BY c.chunk_no"
+    ).collect()
+    expected = RecursiveCharSplitter(chunk_size=100, chunk_overlap=10).split_text(text)
+    assert [(r.chunk, r.start_index) for r in rows] == expected
+    assert [r.chunk_no for r in rows] == list(range(1, len(expected) + 1))
+    assert all(len(r.chunk) <= 100 for r in rows)
