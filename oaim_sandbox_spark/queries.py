@@ -1029,6 +1029,22 @@ LIMIT 10
 """
 
 
+def streaming_click_error_join(d: str) -> str:
+    """Oracle for the STREAM-STREAM interval join (SPARK_OVERRIDES): error
+    events inner-joined to the same user's clicks in the following 5 minutes.
+    Both sides are watermarked streams on the Spark side; over a static
+    source the emitted match set equals this batch interval join exactly
+    (inner join — no outer-row timing sensitivity)."""
+    return f"""
+WITH e AS (SELECT user_id, event_id AS error_id, {_ts_us(d)} AS e_ts FROM events WHERE event_type = 'error'),
+c AS (SELECT user_id, event_id AS click_id, {_ts_us(d)} AS c_ts FROM events WHERE event_type = 'click')
+SELECT e.user_id AS user_id, e.error_id, c.click_id
+FROM e JOIN c
+  ON e.user_id = c.user_id AND c.c_ts > e.e_ts AND c.c_ts <= e.e_ts + 300000000
+ORDER BY e.user_id, e.error_id, c.click_id
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -1582,6 +1598,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "q20_dominant_suppliers": q20_dominant_suppliers,
     "streaming_dedup_pairs": streaming_dedup_pairs,
     "streaming_user_stats": streaming_user_stats,
+    "streaming_click_error_join": streaming_click_error_join,
     "quantized_topk": quantized_topk,
     "decontamination_8gram": decontamination_8gram,
     "boilerplate_gram_fraction": boilerplate_gram_fraction,
@@ -2068,6 +2085,54 @@ def _streaming_user_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_ss_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for streaming_click_error_join: STREAM-STREAM inner join
+    with event-time watermarks — Spark buffers each side's rows in the state
+    store only as long as the join window (5 min) plus the watermark delay
+    (10 min) allows, so state is bounded on unbounded sources. The time-range
+    predicate is what lets the engine derive the state eviction bound."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
+    def side(event_type: str, id_alias: str, ts_alias: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{id_alias[0]}_user"),
+                F.col("event_id").alias(id_alias),
+                F.timestamp_micros(F.expr("ts div 1000")).alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "10 minutes")
+        )
+
+    errors = side("error", "error_id", "e_ts")
+    clicks = side("click", "click_id", "c_ts")
+    joined = errors.join(
+        clicks,
+        F.expr(
+            "e_user = c_user AND c_ts > e_ts AND c_ts <= e_ts + INTERVAL 5 MINUTES"
+        ),
+        "inner",
+    ).select(F.col("e_user").alias("user_id"), "error_id", "click_id")
+    name = f"stream_ssjoin_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).orderBy("user_id", "error_id", "click_id")
+
+
 def _pivot_event_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark runner for pivot_event_counts: the NATIVE relational pivot
     (`groupBy().pivot(col, values).count()`). Explicit pivot values skip the
@@ -2093,6 +2158,7 @@ SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_event_counts": _pivot_event_counts_spark,
     "streaming_dedup_pairs": _streaming_dedup_spark,
     "streaming_user_stats": _streaming_user_stats_spark,
+    "streaming_click_error_join": _streaming_ss_join_spark,
     "minhash_lsh_pairs": _minhash_pairs_spark,
     "simhash_near_pairs": _simhash_pairs_spark,
     "ngram_jaccard_pairs": _ngram_jaccard_spark,

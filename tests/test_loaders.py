@@ -2,6 +2,7 @@
 (regex fallback), extension dispatch incl. the reference's ValueError on
 unknown extensions (embedding.py:137-150)."""
 
+import os
 import pytest
 
 from oaim_sandbox_spark.sources.loaders import (
@@ -108,3 +109,29 @@ def test_chunks_to_json_roundtrip(spark, tmp_path):
     assert {tuple(sorted(r.asDict().items())) for r in back.collect()} == {
         tuple(sorted(r.asDict().items())) for r in df.collect()
     }
+
+
+def test_object_store_datasource(spark, tmp_path):
+    """Spark 4 Python DataSource over the object store: one partition per
+    object, executor-side chunked reads, standard DataFrame ops downstream."""
+    from oaim_sandbox_spark.sources.object_store_ds import ObjectStoreDataSource
+
+    root = tmp_path / "store"
+    (root / "docs").mkdir(parents=True)
+    (root / "docs" / "a.txt").write_bytes(b"alpha " * 1000)
+    (root / "docs" / "sub").mkdir()
+    (root / "docs" / "sub" / "b.txt").write_bytes(b"beta")
+    (root / "other").mkdir()
+    (root / "other" / "c.bin").write_bytes(b"\x00\x01")
+
+    spark.dataSource.register(ObjectStoreDataSource)
+    df = spark.read.format("object_store").option("root", str(root)).option("bucket", "docs").load()
+    rows = {r.object_name: r for r in df.collect()}
+    assert set(rows) == {"a.txt", os.path.join("sub", "b.txt")}
+    assert rows["a.txt"].length == 6000 and rows["a.txt"].content[:6] == b"alpha "
+    # one task per object: the scan parallelizes across objects
+    assert df.rdd.getNumPartitions() == 2
+    # no bucket option -> whole store
+    all_df = spark.read.format("object_store").option("root", str(root)).load()
+    assert all_df.count() == 3
+    assert {r.bucket for r in all_df.select("bucket").collect()} == {"docs", "other"}
