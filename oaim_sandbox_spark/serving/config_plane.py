@@ -135,10 +135,32 @@ def diff_settings(current: dict, uploaded: dict, prefix: str = "") -> list[str]:
 
 def bootstrap_models() -> Registry:
     """Example-model bootstrap (reference model_def.py:17-173 ships 12
-    catalog entries); ours registers the two in-repo mock providers."""
+    catalog entries): the two in-repo mock providers plus one example per
+    provider family wired in serving/providers.py — all disabled until the
+    user supplies url/key, like the reference's bootstrap."""
     reg = Registry("model")
     reg.create(ModelDef(name="mock-llm", type="ll", provider="mock"))
     reg.create(ModelDef(name="mock-embed", type="embed", provider="mock", max_chunk_size=8192))
+    examples = [
+        ModelDef(name="gpt-4o-mini", type="ll", provider="openai",
+                 url="https://api.openai.com/v1", enabled=False, context_length=128000),
+        ModelDef(name="text-embedding-3-small", type="embed", provider="openai",
+                 url="https://api.openai.com/v1", enabled=False, max_chunk_size=8191),
+        ModelDef(name="embed-english-v3.0", type="embed", provider="cohere",
+                 url="https://api.cohere.ai/v1", enabled=False, max_chunk_size=512),
+        ModelDef(name="command-r", type="ll", provider="openai-compat",
+                 url="https://api.cohere.ai/compatibility/v1", enabled=False),
+        ModelDef(name="nomic-embed-text", type="embed", provider="ollama",
+                 url="http://localhost:11434", enabled=False, max_chunk_size=8192),
+        ModelDef(name="llama3.1", type="ll", provider="openai-compat",
+                 url="http://localhost:11434/v1", enabled=False),
+        ModelDef(name="bge-base-en", type="embed", provider="hf-tei",
+                 url="http://localhost:8080", enabled=False, max_chunk_size=512),
+        ModelDef(name="sonar", type="ll", provider="perplexity",
+                 url="https://api.perplexity.ai", enabled=False),
+    ]
+    for m in examples:
+        reg.create(m)
     return reg
 
 

@@ -25,8 +25,11 @@ def test_duplicate_model_rejected():
 
 def test_model_filtering():
     reg = bootstrap_models()
-    assert [m.name for m in reg.list(type="embed")] == ["mock-embed"]
-    assert len(reg.list(type=None)) == 2
+    embeds = [m.name for m in reg.list(type="embed")]
+    assert embeds[0] == "mock-embed" and "text-embedding-3-small" in embeds
+    assert len(reg.list(type=None)) == 10  # 2 mocks + 8 provider examples
+    # provider examples bootstrap disabled (no url/key supplied yet)
+    assert {m.name for m in reg.list(enabled=True)} == {"mock-llm", "mock-embed"}
     reg.update("mock-llm", ModelDef(name="mock-llm", enabled=False))
     assert [m.name for m in reg.list(enabled=True)] == ["mock-embed"]
 
@@ -75,4 +78,4 @@ def test_registry_persistence(tmp_path):
     path = str(tmp_path / "models.json")
     save_registry(reg, path)
     loaded = load_registry(path)
-    assert sorted(m.name for m in loaded.list()) == ["mock-embed", "mock-llm"]
+    assert sorted(m.name for m in loaded.list()) == sorted(m.name for m in reg.list())
