@@ -628,6 +628,201 @@ ORDER BY n.n_name
 """
 
 
+def q6_forecast_revenue(d: str) -> str:
+    """TPC-H Q6 shape — pure scan-filter-aggregate, zero joins. The whole
+    query is one WholeStageCodegen span: all three predicates push to the
+    parquet scan, partial sums combine map-side, and the single-row result
+    needs a 1-row exchange. At 100 TB this is bounded purely by scan
+    bandwidth x selectivity (date-partitioned layout prunes ~6/7 of files)."""
+    rev = f"SUM({_dec('l_extendedprice')} * {_dec('l_discount', 5, 2)})"
+    return f"""
+SELECT CAST({rev} AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q8_market_share(d: str) -> str:
+    """TPC-H Q8 shape — market-share ratio: conditional numerator over a
+    6-way star join, grouped by order year. Both the NATION_3 volume and the
+    total are exact DECIMAL sums computed in ONE aggregation pass (CASE
+    inside SUM); dims broadcast, the one real shuffle is orders join lineitem
+    on orderkey."""
+    vol = f"{_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount', 5, 2)})"
+    num = f"SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {vol} ELSE {_dec('0')} END)"
+    return f"""
+SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       round(CAST({num} AS DOUBLE) / CAST(SUM({vol}) AS DOUBLE), 6) AS mkt_share
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+JOIN region r   ON n1.n_regionkey = r.r_regionkey
+JOIN part p     ON p.p_partkey = l.l_partkey
+WHERE r.r_name = 'AMERICA'
+  AND p.p_type = 'ECONOMY'
+GROUP BY EXTRACT(YEAR FROM o.o_orderdate)
+ORDER BY o_year
+"""
+
+
+def q9_product_profit(d: str) -> str:
+    """TPC-H Q9 shape — profit per (supplier nation, order year). The testdata
+    star has no partsupp, so supply cost is proxied by p_retailprice * qty;
+    both product terms are DECIMAL(18,2) x DECIMAL(5,2) (exact, associative →
+    map-side partial agg is safe). p_name LIKE pushes to the part scan and
+    the filtered part side broadcasts."""
+    amount = (
+        f"{_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount', 5, 2)})"
+        f" - {_dec('p.p_retailprice')} * {_dec('l.l_quantity', 5, 2)}"
+    )
+    return f"""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({amount}) AS DOUBLE) AS sum_profit
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_parts(d: str) -> str:
+    """TPC-H Q11 shape — per-group sum filtered by a HAVING threshold that is
+    a scalar subquery over the SAME relation (group value > 0.08% of global
+    value). Catalyst computes the global sum as a one-row broadcast; both
+    sums are exact DECIMAL so the boundary compare is engine-identical. Two
+    scans of lineitem — at scale the global sum reuses cached partial
+    aggregates or a pre-computed stats table."""
+    val = f"SUM({_dec('l_extendedprice')} * {_dec('l_quantity', 5, 2)})"
+    return f"""
+SELECT l_partkey, CAST({val} AS DOUBLE) AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING {val} > (
+  SELECT 0.0008 * {val.replace('l_', 'l2.l_')}
+  FROM lineitem l2
+)
+ORDER BY part_value DESC, l_partkey ASC
+LIMIT 100
+"""
+
+
+def q13_customer_distribution(d: str) -> str:
+    """TPC-H Q13 shape — two-level aggregation over a LEFT OUTER join with an
+    ON-clause filter (customers with zero qualifying orders must appear with
+    c_count=0). First agg shuffles on custkey, second on the tiny c_count
+    domain; COUNT(o_orderkey) counts non-null only — the outer-join null
+    semantics both engines share."""
+    return """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_revenue(d: str) -> str:
+    """TPC-H Q14 shape — promotion revenue percentage: typed-CASE numerator
+    and denominator in one aggregation pass over a part join lineitem month
+    slice. The date predicates push to the lineitem scan; part broadcasts."""
+    disc = f"{_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount', 5, 2)})"
+    promo = f"SUM(CASE WHEN p.p_type = 'PROMO' THEN {disc} ELSE {_dec('0')} END)"
+    return f"""
+SELECT round(100.0 * CAST({promo} AS DOUBLE) / CAST(SUM({disc}) AS DOUBLE), 6) AS promo_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+def q15_top_supplier(d: str) -> str:
+    """TPC-H Q15 shape — the revenue 'view' (grouped sum over a date slice)
+    referenced twice: once joined to supplier, once under MAX as a scalar
+    subquery. DECIMAL revenue makes the equality against MAX exact. Spark
+    plans the CTE once per reference; at scale materialize it (cache/temp
+    table) exactly like the minhash signature reuse."""
+    rev = f"SUM({_dec('l_extendedprice')} * (1 - {_dec('l_discount', 5, 2)}))"
+    return f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {rev} AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+def q19_disjunctive_pred_join(d: str) -> str:
+    """TPC-H Q19 shape — disjunction of conjunctive brand/size/quantity
+    predicates across a join. Catalyst keeps the equi-join key (partkey) and
+    evaluates the OR as a post-join filter; the common sub-predicates
+    (p_size >= 1) are extracted and pushed to the part scan."""
+    rev = f"SUM({_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount', 5, 2)}))"
+    return f"""
+SELECT CAST({rev} AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1  AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+"""
+
+
+def q21_waiting_suppliers(d: str) -> str:
+    """TPC-H Q21 shape — EXISTS + NOT EXISTS both correlated to the SAME
+    outer row (multi-supplier order where only THIS supplier's line was
+    returned). The testdata lacks commit/receipt dates, so 'late' is proxied
+    by l_returnflag='R'. Catalyst plans LeftSemi + LeftAnti hash joins on
+    orderkey — only (orderkey, suppkey, returnflag) projections shuffle."""
+    return """
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 20
+"""
+
+
 # --- training-data pipeline suite ------------------------------------------
 
 
@@ -1574,6 +1769,15 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "q17_below_avg_quantity": q17_below_avg_quantity,
     "q18_large_orders": q18_large_orders,
     "q22_idle_rich_customers": q22_idle_rich_customers,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q19_disjunctive_pred_join": q19_disjunctive_pred_join,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "train_test_split": train_test_split,
     "stratified_sample_counts": stratified_sample_counts,
     "bigram_topk": bigram_topk,
