@@ -1722,6 +1722,181 @@ FROM documents
 """
 
 
+def tfidf_top_terms(d: str) -> str:
+    """Corpus-statistics keyword extraction: per-doc top-3 terms by TF-IDF.
+    Two aggregation granularities over ONE exploded word relation (per-doc TF,
+    corpus-wide DF), joined back and ranked per doc. Plan: the explode feeds
+    two partial-agg pipelines; the DF side is tiny after agg, so its join back
+    broadcasts. At 100 TB the DF table is the classic map-side-combine win —
+    the shuffle carries (term, partial_count), never raw tokens. Integer
+    (tf, df) inputs ⇒ identical scores on both engines; ln() gaps between
+    distinct (tf, df) pairs dwarf float ulp, so ranks are stable."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        exploded = f"SELECT doc_id, w FROM documents LATERAL VIEW explode({toks}) t AS w"
+    else:
+        exploded = f"SELECT doc_id, unnest({toks}) AS w FROM documents"
+    return f"""
+WITH words AS (SELECT doc_id, w FROM ({exploded}) x WHERE length(w) >= 4),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY w),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT doc_id, term, rank, score
+FROM (
+  SELECT tf.doc_id AS doc_id, tf.w AS term,
+         round(tf.tf * ln(n.n_docs / (1.0 + df.df)), 6) AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln(n.n_docs / (1.0 + df.df)) DESC, tf.w ASC
+         ) AS rank
+  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+) s
+WHERE rank <= 3 AND doc_id < 100
+ORDER BY doc_id, rank
+"""
+
+
+def embedding_centroid_outliers(d: str) -> str:
+    """Semantic-outlier detection for training-data curation: per-label mean
+    centroid, then each vector's cosine distance to its own centroid; the 3
+    least-coherent vectors per label are flagged. Dimensions pivot through a
+    fixed 1..64 index relation (posexplode-shaped), so the centroid is a plain
+    (label, dim) AVG — no vector UDF anywhere, whole-stage codegen end to end.
+    At scale the (label, dim) centroid table is k·64 rows — always broadcast;
+    the heavy side shuffles once on (vec_id) for the re-aggregation."""
+    idx = (
+        "SELECT explode(sequence(1, 64)) AS i"
+        if d == "spark"
+        else "SELECT unnest(generate_series(1, 64)) AS i"
+    )
+    x = _elem("embedding", "i", d)
+    return f"""
+WITH idx AS ({idx}),
+expl AS (
+  SELECT label, vec_id, i, CAST({x} AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN idx
+),
+cent AS (SELECT label, i, AVG(x) AS c FROM expl GROUP BY label, i),
+sims AS (
+  SELECT e.vec_id AS vec_id, e.label AS label,
+         SUM(e.x * c.c) AS dp, SUM(e.x * e.x) AS nx, SUM(c.c * c.c) AS nc
+  FROM expl e JOIN cent c ON e.label = c.label AND e.i = c.i
+  GROUP BY e.vec_id, e.label
+)
+SELECT CAST(label AS INT) AS label, CAST(vec_id AS BIGINT) AS vec_id,
+       round(1.0 - dp / (sqrt(nx) * sqrt(nc)), 6) AS centroid_dist
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY label ORDER BY dp / (sqrt(nx) * sqrt(nc)) ASC, vec_id ASC
+  ) AS rn
+  FROM sims
+) t
+WHERE rn <= 3
+ORDER BY label, centroid_dist DESC, vec_id
+"""
+
+
+def grouping_sets_docs(d: str) -> str:
+    """Explicit GROUPING SETS (complements events_rollup / cube_doc_counts):
+    4 aggregation granularities over documents in ONE Expand+HashAggregate
+    pass — the multi-granularity reporting shape a 100 TB pipeline uses to
+    avoid N separate scans. GROUPING() markers disambiguate natural NULLs
+    from subtotal rows."""
+    return f"""
+SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+       CAST(GROUPING(source) AS INT) AS g_source,
+       CAST(GROUPING(lang) AS INT) AS g_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+ORDER BY g_source, g_lang, source, lang
+"""
+
+
+def ntile_curriculum_buckets(d: str) -> str:
+    """Curriculum bucketing: NTILE(10) over a deterministic total order
+    (n_chars, doc_id) splits the corpus into equal-size difficulty tiers with
+    per-tier stats — the 'sort corpus by difficulty, feed in stages' training
+    pattern. NTILE needs a global sort; at 100 TB use the range-partitioned
+    sort Spark already plans (Exchange rangepartitioning), or swap to
+    ntile-by-approx-quantile boundaries for a one-pass approximation."""
+    return f"""
+SELECT CAST(bucket AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       round(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+FROM (
+  SELECT n_chars, NTILE(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS bucket
+  FROM documents
+) t
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+def levenshtein_near_pairs(d: str) -> str:
+    """Edit-distance near-dup on 32-char prefixes, blocked by
+    (lang, n_chars div 20) so the self-join is a hash join on the block key
+    instead of a cross join — the blocking pattern that keeps pairwise string
+    comparison feasible at scale (same role LSH bands play for MinHash).
+    levenshtein() is built-in on both engines."""
+    blk = _idiv("n_chars", "20", d)
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {blk} AS blk, substr(text, 1, 32) AS prefix
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+FROM t a JOIN t b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 12
+ORDER BY edit_dist ASC, id_a ASC, id_b ASC
+LIMIT 100
+"""
+
+
+def funnel_conversion(d: str) -> str:
+    """Ordered-event funnel (view → click → purchase): each stage keeps users
+    whose earliest qualifying event strictly follows their previous stage.
+    Three filtered scans + two equi-joins on user_id; every stage's agg
+    combines map-side, and joins key on user_id so at scale they co-partition
+    with one shuffle. The classic product-analytics op the reference's Oracle
+    backend would do with CTEs — identical shape here."""
+    ts = _ts_us(d)
+    return f"""
+WITH v AS (
+  SELECT user_id, MIN({ts}) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id AS user_id, MIN({ts}) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND {ts} > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id AS user_id, MIN({ts}) AS t_buy
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND {ts} > c.t_click
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+       round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 6) AS view_to_purchase
+"""
+
+
+def ivf_full_probe_topk(d: str) -> str:
+    """Oracle for the full-probe IVF search: probing ALL centroids makes IVF
+    exact, so the fitted-quantizer machinery (partitioned store + pruned scan)
+    is checkable against the plain exact top-k oracle — the recall=1.0
+    endpoint of the nprobe dial that `ivf_ann_topk` (rows-only) turns down."""
+    return _topk_template(d, "COSINE", k=10)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1809,6 +1984,13 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "domain_mix_rebalance": domain_mix_rebalance,
     "hourly_gapfill": hourly_gapfill,
     "near_dup_clusters": near_dup_clusters_oracle,
+    "tfidf_top_terms": tfidf_top_terms,
+    "embedding_centroid_outliers": embedding_centroid_outliers,
+    "grouping_sets_docs": grouping_sets_docs,
+    "ntile_curriculum_buckets": ntile_curriculum_buckets,
+    "levenshtein_near_pairs": levenshtein_near_pairs,
+    "funnel_conversion": funnel_conversion,
+    "ivf_full_probe_topk": ivf_full_probe_topk,
 }
 
 
@@ -2358,6 +2540,38 @@ def _pivot_event_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def _ivf_full_probe_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for ivf_full_probe_topk: the SAME fitted IVF index and
+    partitioned store as ivf_ann_topk, but probing every centroid — reading
+    all partitions of the partitioned layout must reproduce the exact top-k,
+    which the plain-SQL oracle checks. k+1 then drop the query row itself
+    (distance 0 is always rank 1, so membership is deterministic)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.ann import IVFIndex
+
+    register_views(spark, sf_dir, tables=("embeddings",))
+    store = spark.table("embeddings")
+    qv = [
+        r[0]
+        for r in spark.sql(
+            "SELECT explode(cast(embedding as array<double>)) FROM embeddings WHERE vec_id = 0"
+        ).collect()
+    ]
+    idx = IVFIndex(n_centroids=8, seed=42, max_iter=5).fit(store, sample_fraction=0.25)
+    path = tempfile.mkdtemp(prefix="ivf_full_")
+    idx.write_partitioned(store, path)
+    hits = idx.search(spark, path, qv, k=11, nprobe=idx.n_centroids, id_col="vec_id")
+    return (
+        hits.filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").cast("long").alias("vec_id"), "distance")
+        .orderBy("distance", "vec_id")
+        .limit(10)
+    )
+
+
 SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_event_counts": _pivot_event_counts_spark,
     "streaming_dedup_pairs": _streaming_dedup_spark,
@@ -2372,6 +2586,7 @@ SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessions": _streaming_sessions_spark,
     "salted_user_counts": _salted_user_counts_spark,
     "near_dup_clusters": _near_dup_clusters_spark,
+    "ivf_full_probe_topk": _ivf_full_probe_spark,
 }
 
 # Queries with no SQL-expressible oracle (iterative / ML-fitted); the driver
