@@ -2161,6 +2161,27 @@ LIMIT {MMR_FETCH_K}
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession, n: int = 8):
+    """Temporarily lower spark.sql.shuffle.partitions for a streaming run.
+
+    Every stateful streaming partition materializes its own state-store
+    instance per micro-batch, so partition count is the dominant fixed cost
+    at test scale (32 partitions over a few thousand rows is pure setup).
+    The setting is captured at query start, so scoping it to the stream
+    leaves batch queries at the session default; on a real cluster the same
+    knob sizes state shards to executor count."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _streaming_hourly_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event counts THROUGH Structured Streaming (availableNow file
     source -> complete-mode agg -> memory sink). Over a static directory the
@@ -2193,14 +2214,15 @@ def _streaming_hourly_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_hourly_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table(name)
 
 
@@ -2235,14 +2257,15 @@ def _streaming_sessions_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_sessions_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table(name)
 
 
@@ -2416,14 +2439,15 @@ def _streaming_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _stream_shuffle(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table(name).orderBy("user_id", "event_type")
 
 
@@ -2447,15 +2471,16 @@ def _streaming_user_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     name = f"stream_stats_{_uuid.uuid4().hex[:8]}"
-    q = (
-        running_user_stats(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with _stream_shuffle(spark):
+        q = (
+            running_user_stats(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         spark.table(name)
@@ -2508,14 +2533,15 @@ def _streaming_ss_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select(F.col("e_user").alias("user_id"), "error_id", "click_id")
     name = f"stream_ssjoin_{_uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
     return spark.table(name).orderBy("user_id", "error_id", "click_id")
 
 
