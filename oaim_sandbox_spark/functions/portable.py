@@ -34,6 +34,15 @@ def hash_mod(e: str, dialect: str) -> str:
     return f"({hash64(e, dialect)} % {MOD})"
 
 
+def mock_rerank_score(query: str, text: str, dialect: str) -> str:
+    """Deterministic stand-in for a cross-encoder relevance model: a portable
+    hash of (query ⊕ text) mapped into [0, 1). Keeps the two-stage
+    retrieve-then-rerank plumbing fully oracle-checkable — swap in a provider
+    rerank client (serving/providers.py) for real scores."""
+    pair = f"concat({query}, chr(31), {text})"
+    return f"(({hash64(pair, dialect)} % 1000000) / 1000000.0)"
+
+
 def to_double_array(e: str, dialect: str) -> str:
     if dialect == "spark":
         return f"cast({e} as array<double>)"

@@ -1889,6 +1889,36 @@ SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
 """
 
 
+def rerank_crossencoder_topk(d: str) -> str:
+    """Two-stage retrieve-then-rerank (operators/rerank.py): stage 1 recalls
+    top-20 chunks by cosine over mock embeddings (TakeOrderedAndProject, no
+    store shuffle); stage 2 re-scores only those 20 with the deterministic
+    mock cross-encoder and keeps the top-5. The reference DECLARES model type
+    're-rank' but never implements it (schema.py:104) — this is that surface,
+    with the stage-2 cost bounded by fetch_k, never store size."""
+    qtext = "'spark vector search'"
+    qvec = P.mock_embed(qtext, EMBED_DIM, d)
+    dvec = P.mock_embed("text", EMBED_DIM, d)
+    dist = P.cosine_distance(dvec, qvec, d)
+    ce = P.mock_rerank_score(qtext, "text", d)
+    return f"""
+WITH cands AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, round({dist}, 6) AS distance
+  FROM documents
+  ORDER BY distance ASC, doc_id ASC
+  LIMIT 20
+)
+SELECT doc_id, distance, rerank_score, rank
+FROM (
+  SELECT doc_id, distance, round({ce}, 6) AS rerank_score,
+         row_number() OVER (ORDER BY {ce} DESC, doc_id ASC) AS rank
+  FROM cands
+) t
+WHERE rank <= 5
+ORDER BY rank
+"""
+
+
 def ivf_full_probe_topk(d: str) -> str:
     """Oracle for the full-probe IVF search: probing ALL centroids makes IVF
     exact, so the fitted-quantizer machinery (partitioned store + pruned scan)
@@ -1991,6 +2021,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "levenshtein_near_pairs": levenshtein_near_pairs,
     "funnel_conversion": funnel_conversion,
     "ivf_full_probe_topk": ivf_full_probe_topk,
+    "rerank_crossencoder_topk": rerank_crossencoder_topk,
 }
 
 

@@ -167,6 +167,72 @@ class OpenAIChatClient(_BaseClient):
         return self.complete(messages, **params)["choices"][0]["message"]["content"]
 
 
+@dataclass
+class CohereRerankClient(_BaseClient):
+    """Cohere /v1/rerank: POST {model, query, documents, top_n} ->
+    {results: [{index, relevance_score}]} (order restored by index).
+    The reference declares a ``re-rank`` model type but implements no
+    client for it (schema.py:104, help_text.py:46-50) — this fills it."""
+
+    def rerank(self, query: str, texts: list[str]) -> list[float]:
+        resp = self.transport.post(
+            f"{self.api_base.rstrip('/')}/rerank",
+            {
+                "model": self.model,
+                "query": query,
+                "documents": list(texts),
+                "top_n": len(texts),
+            },
+            self._headers(),
+        )
+        scores = [0.0] * len(texts)
+        for r in resp["results"]:
+            scores[r["index"]] = float(r["relevance_score"])
+        return scores
+
+
+@dataclass
+class TEIRerankClient(_BaseClient):
+    """HuggingFace TEI /rerank: POST {query, texts} -> [{index, score}]."""
+
+    def rerank(self, query: str, texts: list[str]) -> list[float]:
+        resp = self.transport.post(
+            f"{self.api_base.rstrip('/')}/rerank",
+            {"query": query, "texts": list(texts)},
+            self._headers(),
+        )
+        scores = [0.0] * len(texts)
+        for r in resp:
+            scores[r["index"]] = float(r["score"])
+        return scores
+
+
+_RERANK_PROVIDERS = {
+    "cohere": CohereRerankClient,
+    "hf-tei": TEIRerankClient,
+}
+
+
+def get_rerank_client(
+    provider: str,
+    model: str,
+    api_base: str,
+    api_key: str | None = None,
+    transport: object | None = None,
+):
+    """String-keyed rerank-client factory — same dispatch design as
+    get_embed_client/get_chat_client; covers the model type the reference
+    declares but never wires up."""
+    try:
+        cls = _RERANK_PROVIDERS[provider]
+    except KeyError:
+        raise ValueError(
+            f"unknown rerank provider {provider!r}; one of {sorted(_RERANK_PROVIDERS)}"
+        ) from None
+    kw = {} if transport is None else {"transport": transport}
+    return cls(model=model, api_base=api_base, api_key=api_key, **kw)
+
+
 _CHAT_PROVIDERS = {
     "openai": OpenAIChatClient,
     "openai-compat": OpenAIChatClient,
