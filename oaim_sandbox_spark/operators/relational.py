@@ -107,3 +107,62 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+
+
+def zorder_expr(df: DataFrame, cols: list[str], bits: int = 16) -> "F.Column":
+    """Z-value (Morton code) over up to 4 numeric columns: each column is
+    quantized to its [min, max] range in ``bits`` levels, then the bit
+    planes are interleaved. Rows close in Z-value are close in EVERY keyed
+    dimension, so sorting by it clusters multi-column locality into file
+    min/max ranges."""
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder takes 1-4 columns")
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    levels = (1 << bits) - 1
+    quantized = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        quantized.append(
+            f"cast(round((cast({c} as double) - {mn!r}d) / {span!r}d * {levels}) as bigint)"
+        )
+    # interleave bit planes: bit b of column i lands at position b*n + i
+    n = len(cols)
+    parts = [
+        f"shiftleft(shiftright({q}, {b}) & 1, {b * n + i})"
+        for i, q in enumerate(quantized)
+        for b in range(bits)
+    ]
+    return F.expr(" + ".join(parts)).alias("_zval")
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional clustering for data skipping (the open-source shape
+    of Delta OPTIMIZE ZORDER BY): range-partition + sort by the interleaved
+    Z-value, so parquet footer min/max on EVERY zordered column is narrow
+    per file and a filter on ANY of them prunes most files — where a
+    single-column sort only skips on its leading column.
+
+    At 100 TB this is the difference between a point query touching a few
+    files and touching all of them; pair with ``n_files`` sized so files
+    land in the 128MB-1GB range. One full shuffle at layout time, amortized
+    over every subsequent selective scan."""
+    z = zorder_expr(df, cols, bits)
+    (
+        df.withColumn("_zval", z)
+        .repartitionByRange(n_files, "_zval")
+        .sortWithinPartitions("_zval")
+        .drop("_zval")
+        .write.mode(mode)
+        .parquet(path)
+    )

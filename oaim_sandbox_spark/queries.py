@@ -1889,6 +1889,30 @@ SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
 """
 
 
+def events_variant_histogram(d: str) -> str:
+    """Semi-structured props through Spark 4's native VARIANT type
+    (parse_json → variant_get): the scale path for JSON columns — parse once
+    into the binary variant encoding (shreddable at write time) instead of
+    re-parsing strings per access, while staying entirely JVM-side. DuckDB
+    oracle reads the same field via json_extract_string. Decile histogram of
+    props.k per event type — a different consumer shape than
+    events_json_props' flat aggregate."""
+    k = (
+        "variant_get(parse_json(props), '$.k', 'bigint')"
+        if d == "spark"
+        else "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    )
+    bucket = _idiv("k", "10", d)
+    return f"""
+SELECT CAST({bucket} AS BIGINT) AS k_bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+FROM (SELECT event_type, {k} AS k FROM events) t
+GROUP BY {bucket}, event_type
+ORDER BY k_bucket, event_type
+"""
+
+
 def rerank_crossencoder_topk(d: str) -> str:
     """Two-stage retrieve-then-rerank (operators/rerank.py): stage 1 recalls
     top-20 chunks by cosine over mock embeddings (TakeOrderedAndProject, no
@@ -2022,6 +2046,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "funnel_conversion": funnel_conversion,
     "ivf_full_probe_topk": ivf_full_probe_topk,
     "rerank_crossencoder_topk": rerank_crossencoder_topk,
+    "events_variant_histogram": events_variant_histogram,
 }
 
 
