@@ -1889,6 +1889,51 @@ SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
 """
 
 
+def pagerank_3iter(d: str) -> str:
+    """PageRank, 3 power iterations unrolled (damping 0.85), over a
+    deterministic hash-derived link graph (each doc links to 3 pseudo-random
+    docs — portable hash, so both engines build the identical graph). The
+    iterative-algorithm pattern as chained CTEs: each iteration is ONE join
+    of the rank vector with the edge list + an aggregation on dst — at scale
+    that is one shuffle per iteration keyed on dst, and the edge list should
+    be pre-partitioned on dst so only the (16-byte) rank vector moves.
+    Convergence-loop form lives in dedup.connected_components (pointer
+    jumping + localCheckpoint); this is the fixed-iteration twin with a full
+    value oracle. Top-20 ordered by ROUNDED rank (then id) so boundary
+    membership is engine-independent."""
+    nn = "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents)"
+    ks = (
+        "SELECT explode(sequence(1, 3)) AS k"
+        if d == "spark"
+        else "SELECT unnest(generate_series(1, 3)) AS k"
+    )
+    sid, sk = _str("doc_id", d), _str("k", d)
+    link = f"({P.hash64(f'concat({sid}, chr(35), {sk})', d)} % {nn})"
+    it = """
+r{t} AS (
+  SELECT d.doc_id AS v,
+         0.15 / n.n + 0.85 * COALESCE(SUM(p.r / dg.deg), 0.0) AS r
+  FROM documents d CROSS JOIN n
+  LEFT JOIN edges e ON e.dst = d.doc_id
+  LEFT JOIN r{p} p ON p.v = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY d.doc_id, n.n
+)"""
+    iters = ",".join(it.format(t=t, p=t - 1) for t in (1, 2, 3))
+    return f"""
+WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+ks AS ({ks}),
+edges AS (SELECT doc_id AS src, {link} AS dst FROM documents CROSS JOIN ks),
+deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id AS v, 1.0 / n.n AS r FROM documents CROSS JOIN n),
+{iters}
+SELECT CAST(v AS BIGINT) AS doc_id, round(r, 9) AS rank
+FROM r3
+ORDER BY rank DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 def events_variant_histogram(d: str) -> str:
     """Semi-structured props through Spark 4's native VARIANT type
     (parse_json → variant_get): the scale path for JSON columns — parse once
@@ -2047,6 +2092,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "ivf_full_probe_topk": ivf_full_probe_topk,
     "rerank_crossencoder_topk": rerank_crossencoder_topk,
     "events_variant_histogram": events_variant_histogram,
+    "pagerank_3iter": pagerank_3iter,
 }
 
 
