@@ -2095,6 +2095,20 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "pagerank_3iter": pagerank_3iter,
 }
 
+# transformWithState (streaming/stateful.running_user_stats_tws) needs
+# protobuf for its driver-worker protocol; register its query only where the
+# dependency exists. Same batch GROUP BY oracle as streaming_user_stats: the
+# old (applyInPandasWithState) and new (transformWithState) APIs must agree.
+try:  # pragma: no cover - environment gate
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
+if _HAS_PROTOBUF:
+    TEMPLATES["streaming_user_stats_tws"] = streaming_user_stats
+
 
 def _embedding_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark runner for embedding_cosine_pairs: BLAS-prefilter + exact verify.
@@ -2598,6 +2612,65 @@ def _streaming_user_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_user_stats_tws_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for streaming_user_stats_tws: the SAME running-stats
+    semantics as streaming_user_stats but through Spark 4's
+    transformWithStateInPandas (named state variables on a RocksDB-backed
+    state store — the successor API to applyInPandasWithState). Old and new
+    API sharing one batch oracle is the parity check. Provider conf is
+    scoped to this stream: captured at query start, restored after."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from oaim_sandbox_spark.streaming.stateful import running_user_stats_tws
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = f"stream_tws_{_uuid.uuid4().hex[:8]}"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                running_user_stats_tws(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+            F.round("max_value", 6).alias("max_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def _streaming_ss_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark runner for streaming_click_error_join: STREAM-STREAM inner join
     with event-time watermarks — Spark buffers each side's rows in the state
@@ -2704,6 +2777,7 @@ SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_event_counts": _pivot_event_counts_spark,
     "streaming_dedup_pairs": _streaming_dedup_spark,
     "streaming_user_stats": _streaming_user_stats_spark,
+    **({"streaming_user_stats_tws": _streaming_user_stats_tws_spark} if _HAS_PROTOBUF else {}),
     "streaming_click_error_join": _streaming_ss_join_spark,
     "minhash_lsh_pairs": _minhash_pairs_spark,
     "simhash_near_pairs": _simhash_pairs_spark,

@@ -63,3 +63,49 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """The same running per-key stats through Spark 4's transformWithState —
+    the successor API to applyInPandasWithState: named state variables
+    (value/list/map state) on a RocksDB-backed store instead of one opaque
+    state tuple, plus timers and schema evolution of state. Requires
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (the stream runner sets it, scoped).
+
+    Same semantics as :func:`running_user_stats`, so the two operators share
+    the batch GROUP BY oracle — the old-vs-new-API parity is itself the
+    test."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState("stats", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, s, mx = (
+                self._stats.get() if self._stats.exists() else (0, 0.0, float("-inf"))
+            )
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                n += int(len(pdf))
+                s += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self._stats.update((n, s, mx))
+            yield pd.DataFrame(
+                [{"user_id": key[0], "n_events": n, "sum_value": s, "max_value": mx}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType=OUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

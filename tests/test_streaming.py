@@ -4,6 +4,8 @@ windowed aggregation."""
 
 import json
 
+import pytest
+
 from oaim_sandbox_spark.streaming.ingest import stream_ingest, windowed_event_counts
 
 
@@ -139,3 +141,20 @@ def test_running_user_stats_multibatch(spark, tmp_path):
              if r.n_events == max(x.n_events for x in rows if x.user_id == r.user_id)}
     assert (final[2].n_events, final[2].sum_value, final[2].max_value) == (1, 5.0, 5.0)
     assert (final[3].n_events, final[3].sum_value, final[3].max_value) == (1, 7.0, 7.0)
+
+
+def test_transform_with_state_gated_or_agrees(spark):
+    """transformWithState (Spark 4 successor to applyInPandasWithState) needs
+    protobuf for its driver-worker protocol; where present, its running
+    stats must equal the applyInPandasWithState operator's (shared batch
+    oracle). Where absent, the query entry must NOT be registered."""
+    from oaim_sandbox_spark import queries as Q
+
+    if not Q._HAS_PROTOBUF:
+        assert "streaming_user_stats_tws" not in Q.TEMPLATES
+        assert "streaming_user_stats_tws" not in Q.SPARK_OVERRIDES
+        pytest.skip("protobuf not available; transformWithState gated off")
+    sf = "/root/testdata/sf0.001"
+    old = Q.spark_queries()["streaming_user_stats"](spark, sf).collect()
+    new = Q.spark_queries()["streaming_user_stats_tws"](spark, sf).collect()
+    assert [tuple(r) for r in old] == [tuple(r) for r in new]
