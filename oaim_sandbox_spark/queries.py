@@ -1934,6 +1934,27 @@ LIMIT 20
 """
 
 
+def weighted_reservoir_sample(d: str) -> str:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+    each row draws u ~ U(0,1) and ranks by u^(1/weight); the global top-k IS
+    the weighted sample. Weight here is n_chars, so longer documents are
+    proportionally likelier — the domain-weighting sampler for training-mix
+    construction. u derives from the portable hash, making the 'random'
+    sample fully deterministic and oracle-checkable. Plan: one scan +
+    TakeOrderedAndProject — no shuffle, no state; at 100 TB each executor
+    keeps a local k-heap and only k rows per partition move."""
+    u = f"(({P.hash64(_str('doc_id', d), d)} % 1000000) + 1) / 1000001.0"
+    key = f"pow({u}, 1.0 / GREATEST(n_chars, 1))"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       round({key}, 9) AS sample_key
+FROM documents
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 def events_variant_histogram(d: str) -> str:
     """Semi-structured props through Spark 4's native VARIANT type
     (parse_json → variant_get): the scale path for JSON columns — parse once
@@ -2093,6 +2114,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "rerank_crossencoder_topk": rerank_crossencoder_topk,
     "events_variant_histogram": events_variant_histogram,
     "pagerank_3iter": pagerank_3iter,
+    "weighted_reservoir_sample": weighted_reservoir_sample,
 }
 
 # transformWithState (streaming/stateful.running_user_stats_tws) needs
