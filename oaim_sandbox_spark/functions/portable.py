@@ -76,6 +76,24 @@ def euclidean_distance(a: str, b: str, dialect: str) -> str:
     return f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2]))), (s, x) -> s + x))"
 
 
+def l2sq(a: str, b: str, dialect: str) -> str:
+    """Squared L2 distance (no sqrt) — sequential left-to-right fold on both
+    engines so the float addition order is identical. The PQ/ADC building
+    block: sub-distances add exactly, so SUM of per-subspace l2sq equals the
+    full-vector l2sq when subvectors tile the vector."""
+    if dialect == "spark":
+        return f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), cast(0 as double), (s, x) -> s + x)"
+    return f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2]))), (s, x) -> s + x)"
+
+
+def subvec(arr: str, start_1based: str, n: int, dialect: str) -> str:
+    """arr[start .. start+n-1] (1-based start may be an expression) — the
+    product-quantization subspace slice."""
+    if dialect == "spark":
+        return f"slice({arr}, {start_1based}, {n})"
+    return f"list_slice({arr}, {start_1based}, ({start_1based}) + {n - 1})"
+
+
 def dot_distance(a: str, b: str, dialect: str) -> str:
     """Oracle DOT_PRODUCT distance = NEGATED inner product (larger dot product
     -> smaller distance). Parity noted in SURVEY.md §2.6."""

@@ -231,6 +231,138 @@ class IVFIndex:
         )
 
 
+class PQIndex:
+    """Product quantization (Jégou et al. 2011, the FAISS IVFPQ code path):
+    tile each vector into ``m`` subspaces, Lloyd-fit ``k`` codewords per
+    subspace on a driver-side sample, and store each vector as ``m`` small
+    codes — 64x compression at m=4/k=16 over 64-dim float32, the tier past
+    int8 when the store must live in scan bandwidth, not capacity.
+
+    Like IVFIndex, fitting is driver-side (FAISS trains PQ codebooks on a
+    sample too); the cluster-scale stages are ENCODE (nearest-codeword argmin
+    per subspace as a pure JVM columnar expression — narrow map, codegen) and
+    ADC SEARCH (a per-query m x k lookup table built driver-side in
+    microseconds, then one narrow scan of the codes + TakeOrderedAndProject —
+    the original vectors are never read). Fitted codebooks aren't
+    SQL-reproducible, so the value oracle for the ADC machinery is the
+    deterministic sampled-codebook twin ``queries.pq_adc_topk``; this class's
+    recall against exact k-NN is measured in tests/test_ann.py.
+    """
+
+    def __init__(
+        self,
+        m: int = 4,
+        k: int = 16,
+        dim: int = 64,
+        seed: int = 42,
+        vec_col: str = "embedding",
+        max_iter: int = 10,
+    ):
+        assert dim % m == 0, "subspaces must tile the vector"
+        self.m, self.k, self.dim, self.seed = m, k, dim, seed
+        self.sub = dim // m
+        self.vec_col = vec_col
+        self.max_iter = max_iter
+        self.codebooks = None  # np.ndarray [m, k, dim/m]
+
+    def fit(self, df: DataFrame, max_sample: int = 50_000) -> "PQIndex":
+        import numpy as np
+
+        rows = df.select(F.col(self.vec_col).cast("array<double>")).limit(max_sample).collect()
+        x = np.asarray([r[0] for r in rows], dtype=np.float64)
+        rng = np.random.default_rng(self.seed)
+        books = []
+        for s in range(self.m):
+            xs = x[:, s * self.sub : (s + 1) * self.sub]
+            cents = xs[rng.choice(len(xs), size=min(self.k, len(xs)), replace=False)]
+            for _ in range(self.max_iter):
+                d = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                lab = d.argmin(axis=1)
+                new = np.asarray(
+                    [xs[lab == i].mean(axis=0) if (lab == i).any() else cents[i] for i in range(len(cents))]
+                )
+                if np.allclose(new, cents):
+                    break
+                cents = new
+            books.append(cents)
+        self.codebooks = np.asarray(books)
+        return self
+
+    def _sub_dist_exprs(self, s: int, sub_expr: str) -> list[str]:
+        out = []
+        for c in range(self.k):
+            lit = ", ".join(f"{v!r}D" for v in self.codebooks[s][c])
+            out.append(
+                f"aggregate(zip_with({sub_expr}, array({lit}), "
+                f"(x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)"
+            )
+        return out
+
+    def encode(self, df: DataFrame, out_col: str = "pq_codes", keep_vec: bool = False) -> DataFrame:
+        """Add ARRAY<TINYINT> codes (one per subspace) as a narrow JVM
+        projection; drop the float vector unless keep_vec (the point of PQ is
+        that the store scans CODES, not vectors)."""
+        av = f"cast({self.vec_col} as array<double>)"
+        per_sub = []
+        for s in range(self.m):
+            sub_expr = f"slice({av}, {s * self.sub + 1}, {self.sub})"
+            dists = "array(" + ", ".join(self._sub_dist_exprs(s, sub_expr)) + ")"
+            per_sub.append(f"cast(array_position({dists}, array_min({dists})) - 1 as tinyint)")
+        codes = "array(" + ", ".join(per_sub) + ")"
+        out = df.withColumn(out_col, F.expr(codes))
+        return out if keep_vec else out.drop(self.vec_col)
+
+    def adc_expr(self, query_vec: list[float], codes_col: str = "pq_codes") -> str:
+        """Squared-L2 ADC distance as a JVM expression: LUT[s][code[s]] summed
+        over subspaces. The LUT (m x k doubles) is computed here, driver-side,
+        and inlined as literals — per query it's microseconds and broadcasts
+        with the plan."""
+        import numpy as np
+
+        q = np.asarray(query_vec, dtype=np.float64)
+        lut_rows = []
+        for s in range(self.m):
+            qs = q[s * self.sub : (s + 1) * self.sub]
+            ds = ((self.codebooks[s] - qs[None, :]) ** 2).sum(axis=1)
+            lut_rows.append("array(" + ", ".join(f"{v!r}D" for v in ds) + ")")
+        lut = "array(" + ", ".join(lut_rows) + ")"
+        return (
+            f"aggregate(sequence(0, {self.m - 1}), cast(0 as double), (acc, s) -> "
+            f"acc + element_at(element_at({lut}, s + 1), cast(element_at({codes_col}, s + 1) as int) + 1))"
+        )
+
+    def search(
+        self,
+        codes_df: DataFrame,
+        query_vec: list[float],
+        k: int = 10,
+        fetch_k: int = 50,
+        exact_df: DataFrame | None = None,
+        id_col: str = "vec_id",
+        codes_col: str = "pq_codes",
+    ) -> DataFrame:
+        """ADC top-fetch_k over the codes store (narrow scan +
+        TakeOrderedAndProject — no shuffle, no vector reads); optionally
+        re-rank the survivors exactly against ``exact_df`` (id, vec) — the
+        two-stage shape every production PQ system uses."""
+        cand = (
+            codes_df.withColumn("adc_dist", F.expr(f"round(sqrt({self.adc_expr(query_vec, codes_col)}), 6)"))
+            .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+            .limit(fetch_k)
+        )
+        if exact_df is None:
+            return cand.select(id_col, "adc_dist").limit(k)
+        dist = distance_expr(self.vec_col, query_vec, "EUCLIDEAN_DISTANCE")
+        return (
+            cand.select(id_col, "adc_dist")
+            .join(exact_df.select(id_col, self.vec_col), id_col)
+            .withColumn("distance", F.expr(f"round({dist}, 6)"))
+            .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+            .select(id_col, "distance", "adc_dist")
+            .limit(k)
+        )
+
+
 def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding", prefix: str = "q"
 ) -> DataFrame:

@@ -1224,6 +1224,66 @@ LIMIT 10
 """
 
 
+PQ_M = 4  # subspaces
+PQ_SUB = 16  # dims per subspace (PQ_M * PQ_SUB = embedding dim 64)
+PQ_K = 16  # codewords per subspace (4-bit codes)
+
+
+def pq_adc_topk(d: str) -> str:
+    """Product-quantization ADC retrieval (FAISS IVFPQ's scoring stage,
+    Jégou et al. 2011) — the memory-bound ANN tier beyond int8: each vector
+    compresses to PQ_M 4-bit codes (64x smaller than float32), and queries
+    score candidates via a per-subspace lookup table (ADC = asymmetric
+    distance computation) WITHOUT touching the original vectors. Pipeline:
+    tile each embedding into {PQ_M} x {PQ_SUB}-dim subvectors; quantize every
+    subvector to its nearest codeword (argmin row_number); build the query's
+    m x k LUT of squared sub-distances; ADC distance = SUM of LUT hits on the
+    codes (exact because squared-L2 tiles additively over subspaces);
+    fetch_k=50 candidates by ADC, then exact-L2 re-rank to the final 10.
+
+    The codebook here is deterministic SAMPLED codewords (subvectors of
+    vec_id 1..{PQ_K}) so the whole pipeline — codebook, assignment, LUT, ADC,
+    re-rank — is bit-identical in DuckDB: a FULL value oracle for the ADC
+    machinery. The production path (operators/ann.py PQIndex) swaps in
+    per-subspace Lloyd-fitted codebooks and a JVM argmin expression encode;
+    recall vs this exact pipeline is measured in tests/test_ann.py."""
+    av = P.to_double_array("embedding", d)
+    sv = P.subvec("av", f"s * {PQ_SUB} + 1", PQ_SUB, d)
+    qsub = P.subvec("qv", f"s * {PQ_SUB} + 1", PQ_SUB, d)
+    if d == "spark":
+        sub = f"SELECT explode(sequence(0, {PQ_M - 1})) AS s"
+    else:
+        sub = f"SELECT unnest(generate_series(0, {PQ_M - 1})) AS s"
+    return f"""
+WITH q AS (SELECT {av} AS qv FROM embeddings WHERE vec_id = 0),
+sub AS ({sub}),
+store AS (SELECT vec_id, {av} AS av FROM embeddings WHERE vec_id <> 0),
+subs AS (SELECT vec_id, s, {sv} AS sv FROM store CROSS JOIN sub),
+cb AS (SELECT vec_id - 1 AS cid, s, {sv} AS cv
+       FROM store CROSS JOIN sub WHERE vec_id BETWEEN 1 AND {PQ_K}),
+assign AS (
+  SELECT vec_id, s, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rn
+  FROM (SELECT subs.vec_id, subs.s, cb.cid, {P.l2sq('subs.sv', 'cb.cv', d)} AS d2
+        FROM subs JOIN cb ON subs.s = cb.s) j
+),
+codes AS (SELECT vec_id, s, cid FROM assign WHERE rn = 1),
+lut AS (SELECT cb.s, cb.cid, {P.l2sq(qsub, 'cb.cv', d)} AS qd2 FROM cb CROSS JOIN q),
+adc AS (
+  SELECT vec_id, SUM(qd2) AS adc2
+  FROM codes JOIN lut ON codes.s = lut.s AND codes.cid = lut.cid
+  GROUP BY vec_id
+),
+cand AS (SELECT vec_id, adc2 FROM adc ORDER BY adc2 ASC, vec_id ASC LIMIT 50)
+SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+       round(sqrt({P.l2sq('st.av', 'q.qv', d)}), 6) AS distance,
+       round(sqrt(c.adc2), 6) AS adc_dist
+FROM cand c JOIN store st ON c.vec_id = st.vec_id CROSS JOIN q
+ORDER BY distance ASC, vec_id ASC
+LIMIT 10
+"""
+
+
 def streaming_click_error_join(d: str) -> str:
     """Oracle for the STREAM-STREAM interval join (SPARK_OVERRIDES): error
     events inner-joined to the same user's clicks in the following 5 minutes.
@@ -2099,6 +2159,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "streaming_user_stats": streaming_user_stats,
     "streaming_click_error_join": streaming_click_error_join,
     "quantized_topk": quantized_topk,
+    "pq_adc_topk": pq_adc_topk,
     "decontamination_8gram": decontamination_8gram,
     "boilerplate_gram_fraction": boilerplate_gram_fraction,
     "domain_mix_rebalance": domain_mix_rebalance,

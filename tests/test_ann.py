@@ -141,3 +141,76 @@ def test_quantized_candidates_recall(spark):
     """).collect()
     hits = {r.vec_id for r in approx} & {r.vec_id for r in exact}
     assert len(hits) >= 9  # recall@10 >= 0.9 through the 50-candidate stage
+
+
+# --- product quantization (PQIndex) ----------------------------------------
+
+PQ_DIM = 16
+
+
+@pytest.fixture(scope="module")
+def pq_store(spark):
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(PQ_DIM).astype(float).tolist()) for i in range(200)]
+    return rows, spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+
+
+def test_pq_encode_shape_and_range(pq_store):
+    from oaim_sandbox_spark.operators.ann import PQIndex
+
+    rows, df = pq_store
+    idx = PQIndex(m=4, k=8, dim=PQ_DIM).fit(df)
+    enc = idx.encode(df)
+    assert "embedding" not in enc.columns  # codes replace the vector
+    got = enc.select("pq_codes").collect()
+    for r in got:
+        assert len(r[0]) == 4
+        assert all(0 <= c < 8 for c in r[0])
+
+
+def test_pq_encode_is_nearest_codeword(pq_store):
+    from oaim_sandbox_spark.operators.ann import PQIndex
+
+    rows, df = pq_store
+    idx = PQIndex(m=4, k=8, dim=PQ_DIM).fit(df)
+    got = {r["vec_id"]: r["pq_codes"] for r in idx.encode(df).collect()}
+    sub = PQ_DIM // 4
+    for vid, vec in rows[:20]:
+        x = np.asarray(vec, dtype=np.float32).astype(np.float64)
+        for s in range(4):
+            xs = x[s * sub : (s + 1) * sub]
+            d = ((idx.codebooks[s] - xs[None, :]) ** 2).sum(axis=1)
+            assert got[vid][s] == int(d.argmin())
+
+
+def test_pq_adc_search_recall_with_rerank(pq_store):
+    """Two-stage (ADC fetch_k=50 -> exact re-rank) top-10 vs exact euclidean
+    top-10: recall must be high — re-rank makes stage-1 error invisible
+    whenever the true neighbors survive the candidate cut."""
+    from oaim_sandbox_spark.operators.ann import PQIndex
+
+    rows, df = pq_store
+    q = rows[3][1]
+    idx = PQIndex(m=4, k=16, dim=PQ_DIM).fit(df)
+    codes = idx.encode(df)
+    got = [r["vec_id"] for r in idx.search(codes, q, k=10, fetch_k=50, exact_df=df).collect()]
+
+    mat = np.array([np.asarray(v, dtype=np.float32).astype(np.float64) for _, v in rows])
+    qv = np.asarray(q, dtype=np.float32).astype(np.float64)
+    d = np.sqrt(((mat - qv[None, :]) ** 2).sum(axis=1))
+    exact = [rows[i][0] for i in sorted(range(len(rows)), key=lambda i: (round(d[i], 6), rows[i][0]))[:10]]
+    assert rows[3][0] in got  # the query vector itself is in the store
+    assert len(set(got) & set(exact)) >= 8
+
+
+def test_pq_adc_plan_is_narrow_topk(pq_store):
+    """The ADC scan must be shuffle-free: narrow projection over codes +
+    TakeOrderedAndProject. No Exchange, no join, no vector column read."""
+    from oaim_sandbox_spark.operators.ann import PQIndex
+
+    rows, df = pq_store
+    idx = PQIndex(m=4, k=8, dim=PQ_DIM).fit(df)
+    codes = idx.encode(df)
+    plan = idx.search(codes, rows[0][1], k=5, fetch_k=20)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
