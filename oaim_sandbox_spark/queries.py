@@ -1626,6 +1626,54 @@ def minhash_lsh_pairs_q(d: str) -> str:
     return body.replace("WITH banded AS", f"WITH sigs AS ({_minhash_sigs_sql(d)}), banded AS", 1)
 
 
+def _incremental_probe_body(d: str) -> str:
+    """New-batch × existing-corpus LSH probe, reading (doc_id, is_new, sig)
+    from a relation named `sigs` — the band join keeps ONLY new×existing
+    pairs, so steady-state dedup cost is proportional to the batch, never
+    existing×existing (operators/dedup.incremental_near_dups is the
+    DataFrame-API twin; this is its oracle-checkable SQL shape)."""
+    rows = NUM_PERM // BANDS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, is_new, {b} AS band_idx, {P.hash64(_band_concat('sig', b, rows, d), d)} AS band_hash FROM sigs"
+        for b in range(BANDS)
+    )
+    eq_terms = " + ".join(
+        f"CASE WHEN {_elem('a.sig', i + 1, d)} = {_elem('b.sig', i + 1, d)} THEN 1 ELSE 0 END"
+        for i in range(NUM_PERM)
+    )
+    return f"""
+WITH banded AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS existing_id
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+   AND l.is_new AND NOT r.is_new
+)
+SELECT CAST(p.new_id AS BIGINT) AS new_id, CAST(p.existing_id AS BIGINT) AS existing_id,
+       round(({eq_terms}) / {NUM_PERM}.0, 6) AS est_jaccard
+FROM pairs p
+JOIN sigs a ON a.doc_id = p.new_id
+JOIN sigs b ON b.doc_id = p.existing_id
+ORDER BY new_id, existing_id
+"""
+
+
+def _incremental_sigs_sql(d: str) -> str:
+    """Signatures + batch flag: doc_id % 10 = 7 plays the 'newly ingested
+    batch'; everything else is the standing corpus."""
+    return (
+        f"SELECT doc_id, (doc_id % 10 = 7) AS is_new, sig "
+        f"FROM ({_minhash_sigs_sql(d)}) s"
+    )
+
+
+def incremental_neardup_probe_q(d: str) -> str:
+    """Continuous-ingest near-dup probe (steady-state dedup at 100 TB): band
+    only the NEW docs against the persisted corpus band keys."""
+    body = _incremental_probe_body(d)
+    return body.replace("WITH banded AS", f"WITH sigs AS ({_incremental_sigs_sql(d)}), banded AS", 1)
+
+
 SIMHASH_BITS, SIMHASH_BANDS, MAX_HAMMING = 60, 4, 20
 
 
@@ -2104,6 +2152,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "lsh_ann_topk": lsh_ann_topk,
     "minhash_signatures": minhash_signatures_q,
     "minhash_lsh_pairs": minhash_lsh_pairs_q,
+    "incremental_neardup_probe": incremental_neardup_probe_q,
     "simhash_fingerprints": simhash_fingerprints_q,
     "simhash_near_pairs": simhash_near_pairs_q,
     "ngram_jaccard_pairs": ngram_jaccard_pairs_q,
@@ -2259,6 +2308,18 @@ def _minhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = spark.sql(_minhash_sigs_sql("spark")).cache()
     sigs.createOrReplaceTempView("sigs")
     return spark.sql(_minhash_pairs_body("spark"))
+
+
+def _incremental_probe_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for incremental_neardup_probe: materialize the flagged
+    signature relation ONCE (cache + temp view) — the band branches and both
+    est-jaccard joins reuse one scan. In production the existing side's band
+    keys are persisted with the store, so each batch pays only for banding
+    the new docs (operators/dedup.incremental_near_dups docstring)."""
+    register_views(spark, sf_dir)
+    sigs = spark.sql(_incremental_sigs_sql("spark")).cache()
+    sigs.createOrReplaceTempView("sigs")
+    return spark.sql(_incremental_probe_body("spark"))
 
 
 def _simhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2863,6 +2924,7 @@ SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **({"streaming_user_stats_tws": _streaming_user_stats_tws_spark} if _HAS_PROTOBUF else {}),
     "streaming_click_error_join": _streaming_ss_join_spark,
     "minhash_lsh_pairs": _minhash_pairs_spark,
+    "incremental_neardup_probe": _incremental_probe_spark,
     "simhash_near_pairs": _simhash_pairs_spark,
     "ngram_jaccard_pairs": _ngram_jaccard_spark,
     "embedding_cosine_pairs": _embedding_pairs_spark,
