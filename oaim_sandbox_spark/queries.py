@@ -894,6 +894,57 @@ ORDER BY lang
 """
 
 
+def char_entropy_q(d: str) -> str:
+    """Character-unigram Shannon entropy per document — the standard
+    gibberish/compressibility filter next to the token-level quality rules
+    (low entropy = repeated chars / boilerplate; high = random noise). Shape:
+    explode to (doc, char), count, then -Σ p·log2 p with the per-doc total
+    from a sibling agg — two hash aggregations partitioned by doc_id and one
+    broadcast-sized join back; no sort, no window. Filters to a deterministic
+    doc subset to keep the bench slice proportionate."""
+    if d == "spark":
+        chars = "SELECT doc_id, ch FROM documents LATERAL VIEW explode(filter(split(text, ''), c -> c != '')) t AS ch WHERE doc_id % 20 = 0"
+    else:
+        chars = "SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents WHERE doc_id % 20 = 0"
+    return f"""
+WITH chars AS ({chars}),
+counts AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, SUM(c) AS n FROM counts GROUP BY doc_id)
+SELECT CAST(counts.doc_id AS BIGINT) AS doc_id,
+       round(-SUM((c * 1.0 / n) * log2(c * 1.0 / n)), 6) AS char_entropy,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chars
+FROM counts JOIN tot ON counts.doc_id = tot.doc_id
+GROUP BY counts.doc_id
+ORDER BY doc_id
+"""
+
+
+def mad_outliers_q(d: str) -> str:
+    """Robust outlier detection: per-event-type exact median + MAD (median
+    absolute deviation), flag |value − med| > 3·1.4826·MAD. Two grouped
+    percentile passes over the same narrow projection + a broadcast join of
+    the per-type stats (5 rows) back onto the fact scan — the robust twin of
+    event_value_zscores (mean/stddev break under the heavy tail this flags).
+    At 100 TB both medians swap to approx_percentile; this exact form is that
+    approximation's oracle."""
+    med = "percentile(value, 0.5D)" if d == "spark" else "quantile_cont(value, 0.5)"
+    madq = "percentile(dev, 0.5D)" if d == "spark" else "quantile_cont(dev, 0.5)"
+    return f"""
+WITH med AS (SELECT event_type, {med} AS med FROM events GROUP BY event_type),
+devs AS (
+  SELECT e.event_id, e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (SELECT event_type, {madq} AS mad FROM devs GROUP BY event_type)
+SELECT CAST(v.event_id AS BIGINT) AS event_id, v.event_type,
+       round(v.value, 6) AS value,
+       round((v.value - v.med) / (1.4826 * d.mad), 6) AS robust_z
+FROM devs v JOIN mad d ON v.event_type = d.event_type
+WHERE abs(v.value - v.med) > 3 * 1.4826 * d.mad
+ORDER BY event_id
+"""
+
+
 def sequence_packing(d: str) -> str:
     """Training-sequence packing: concatenate docs in a deterministic order
     and chop into fixed token-budget packs (GPT-style) — pack id = floor of
@@ -1281,6 +1332,22 @@ SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
 FROM cand c JOIN store st ON c.vec_id = st.vec_id CROSS JOIN q
 ORDER BY distance ASC, vec_id ASC
 LIMIT 10
+"""
+
+
+def streaming_enrich_nation(d: str) -> str:
+    """Oracle for the STREAM-STATIC enrichment join (SPARK_OVERRIDES): the
+    event stream joins the static customer dimension (broadcast — stateless,
+    no watermark needed: the static side is a snapshot, so each micro-batch
+    enriches and aggregates exactly like this batch join). Per-nation event
+    counts + exact DECIMAL value sums."""
+    return """
+SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_nationkey
+ORDER BY nationkey
 """
 
 
@@ -2186,6 +2253,8 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "stratified_sample_counts": stratified_sample_counts,
     "bigram_topk": bigram_topk,
     "doc_len_percentiles": doc_len_percentiles,
+    "char_entropy": char_entropy_q,
+    "mad_outliers": mad_outliers_q,
     "salted_user_counts": salted_user_counts,
     "sequence_packing": sequence_packing,
     "repetition_ratios": repetition_ratios,
@@ -2207,6 +2276,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "streaming_dedup_pairs": streaming_dedup_pairs,
     "streaming_user_stats": streaming_user_stats,
     "streaming_click_error_join": streaming_click_error_join,
+    "streaming_enrich_nation": streaming_enrich_nation,
     "quantized_topk": quantized_topk,
     "pq_adc_topk": pq_adc_topk,
     "decontamination_8gram": decontamination_8gram,
@@ -2484,6 +2554,51 @@ def _streaming_hourly_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(120)
     return spark.table(name)
+
+
+def _streaming_enrich_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation running totals THROUGH Structured Streaming: availableNow
+    event stream ⋈ static broadcast customer dim (stateless stream-static
+    equi-join — the standard continuous-enrichment shape) → complete-mode
+    agg → memory sink. Over a static directory the emitted table equals the
+    batch join oracle exactly."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, tables=("customer",))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dim = F.broadcast(spark.table("customer").select("c_custkey", "c_nationkey"))
+    agg = (
+        stream.join(dim, stream.user_id == dim.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_dec"),
+        )
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("n_events").cast("long"),
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
+    )
+    name = f"stream_enrich_{_uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.table(name).orderBy("nationkey")
 
 
 def _streaming_sessions_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2923,6 +3038,7 @@ SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_user_stats": _streaming_user_stats_spark,
     **({"streaming_user_stats_tws": _streaming_user_stats_tws_spark} if _HAS_PROTOBUF else {}),
     "streaming_click_error_join": _streaming_ss_join_spark,
+    "streaming_enrich_nation": _streaming_enrich_spark,
     "minhash_lsh_pairs": _minhash_pairs_spark,
     "incremental_neardup_probe": _incremental_probe_spark,
     "simhash_near_pairs": _simhash_pairs_spark,
