@@ -72,3 +72,43 @@ def test_approx_count_distinct_tracks_exact(spark):
           .agg(F.approx_count_distinct("user_id", 0.05).alias("n")).collect()}
     for k in ex:
         assert abs(ap[k] - ex[k]) <= max(3, 0.15 * ex[k])
+
+
+def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
+    """Runtime row-level filtering: on a shuffle join where one side carries a
+    selective filter, Spark injects a bloom filter built from the filtered
+    (creation) side into the other side's scan — at 100 TB this drops most of
+    the big side's rows BEFORE the join shuffle. Thresholds are tuned for
+    10 GB scans, so force-enable at test scale and assert the injected
+    `bloom_filter_might_contain` actually lands in the probe-side plan."""
+    big = spark.range(0, 200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("payload")
+    )
+    dim = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("cat")
+    )
+    big.write.mode("overwrite").parquet(str(tmp_path / "big"))
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        b = spark.read.parquet(str(tmp_path / "big"))
+        d = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("cat") == 3)
+        joined = b.join(d, "k")
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:2000]
+        # and the filtered result is still exactly right
+        assert joined.count() == d.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
