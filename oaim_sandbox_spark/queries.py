@@ -1275,6 +1275,69 @@ LIMIT 10
 """
 
 
+def mlm_masking_q(d: str) -> str:
+    """Deterministic MLM-style span masking (BERT/T5 pretraining prep): mask
+    ~15% of tokens, chosen by a portable hash of (doc_id, position) so the
+    mask set is reproducible across runs AND engines — the property that
+    matters for cached/restarted pipeline stages. Pure array transform:
+    narrow, no shuffle, whole-stage codegen."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        h = P.hash64("concat(doc_id, ':', i)", d)
+        masked = f"transform({toks}, (t, i) -> CASE WHEN {h} % 100 < 15 THEN '<mask>' ELSE t END)"
+        n_masked = f"size(filter(mt, t -> t = '<mask>'))"
+        joined = "array_join(mt, ' ')"
+    else:
+        h = P.hash64("(doc_id || ':' || (p[2] - 1))", d)
+        masked = (
+            f"list_transform(list_zip({toks}, generate_series(1, len({toks}))), "
+            f"p -> CASE WHEN {h} % 100 < 15 THEN '<mask>' ELSE p[1] END)"
+        )
+        n_masked = "len(list_filter(mt, t -> t = '<mask>'))"
+        joined = "array_to_string(mt, ' ')"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({n_masked} AS BIGINT) AS n_masked,
+       {joined} AS masked_text
+FROM (SELECT doc_id, {masked} AS mt FROM documents WHERE doc_id % 25 = 0) m
+ORDER BY doc_id
+"""
+
+
+MATRYOSHKA_DIM = 16
+
+
+def matryoshka_topk_q(d: str) -> str:
+    """Matryoshka-style retrieval funnel (MRL, Kusupati et al. 2022): stage 1
+    ranks by cosine over only the FIRST {MATRYOSHKA_DIM} dims (4x less scan
+    bandwidth and FLOPs — with MRL-trained embeddings the information
+    concentrates in the prefix), keeps fetch_k=50; stage 2 re-ranks the
+    survivors with full-dimension cosine. Same two-stage shape as the int8
+    and PQ tiers — this one cuts DIMENSIONS instead of precision. At 100 TB
+    the truncated prefix is stored as its own column (column pruning: stage 1
+    never reads the full vector)."""
+    av = P.to_double_array("embedding", d)
+    tr = P.subvec("av", "1", MATRYOSHKA_DIM, d)
+    stage1 = P.cosine_distance("tv", "qt", d)
+    stage2 = P.cosine_distance("av", "qv", d)
+    return f"""
+WITH q AS (SELECT av AS qv, {tr} AS qt FROM (SELECT {av} AS av FROM embeddings WHERE vec_id = 0) x),
+store AS (SELECT vec_id, av, {tr} AS tv FROM (SELECT vec_id, {av} AS av FROM embeddings WHERE vec_id <> 0) s),
+cand AS (
+  SELECT vec_id, av, round({stage1}, 6) AS trunc_dist
+  FROM store CROSS JOIN q
+  ORDER BY trunc_dist ASC, vec_id ASC
+  LIMIT 50
+)
+SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+       round({stage2}, 6) AS distance,
+       c.trunc_dist
+FROM cand c CROSS JOIN q
+ORDER BY distance ASC, vec_id ASC
+LIMIT 10
+"""
+
+
 PQ_M = 4  # subspaces
 PQ_SUB = 16  # dims per subspace (PQ_M * PQ_SUB = embedding dim 64)
 PQ_K = 16  # codewords per subspace (4-bit codes)
@@ -2279,6 +2342,8 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "streaming_enrich_nation": streaming_enrich_nation,
     "quantized_topk": quantized_topk,
     "pq_adc_topk": pq_adc_topk,
+    "mlm_masking": mlm_masking_q,
+    "matryoshka_topk": matryoshka_topk_q,
     "decontamination_8gram": decontamination_8gram,
     "boilerplate_gram_fraction": boilerplate_gram_fraction,
     "domain_mix_rebalance": domain_mix_rebalance,
