@@ -7,9 +7,10 @@ identical values by construction. Conventions that make hash-compare robust:
   - every float output is round(x, 6); money aggregates go through exact
     DECIMAL sums and are cast to DOUBLE at the end (fp-order independent);
   - timestamps: orders/lineitem are wall-clock (timestamp_ntz) and compared
-    via literals; events.ts is TIMESTAMP(NANOS) parquet which Spark reads as
-    BIGINT nanos (spark.sql.legacy.parquet.nanosAsLong — set per call) and
-    DuckDB truncates to micros, so both sides normalize to epoch-MICROS int64;
+    via literals; events.ts may arrive as timestamp[us]/[ns] parquet or int64
+    nanos — register_views dispatches on the ACTUAL type and exposes a
+    normalized epoch-MICROS `ts_us` BIGINT (DuckDB side: epoch_us(ts)), so
+    every event-time query is independent of the physical encoding;
   - every ORDER BY / LIMIT has a unique-key tiebreak, so top-k membership is
     deterministic;
   - aggregate outputs are explicitly cast (DuckDB sums integers into HUGEINT,
@@ -44,17 +45,59 @@ ALL_TABLES = (
 EMBED_DIM = 64  # driver testdata embeddings are 64-dim
 
 
+def _ts_us_col(df: DataFrame):
+    """Epoch-micros BIGINT expression for events.ts, dispatched on the ACTUAL
+    column type: int64 (nanos, via nanosAsLong) -> div 1000; timestamp /
+    timestamp_ntz (micros parquet) -> unix_micros under the UTC session tz.
+    DuckDB's epoch_us(ts) treats naive timestamps as UTC, so both engines
+    agree by construction."""
+    from pyspark.sql import functions as F
+
+    t = df.schema["ts"].dataType.simpleString()
+    if t in ("bigint", "long"):
+        return F.expr("ts div 1000").cast("long")
+    return F.unix_micros(F.col("ts").cast("timestamp"))
+
+
+def events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet with a normalized epoch-micros `ts_us` BIGINT column,
+    whatever the physical ts encoding (timestamp[us]/[ns] or int64 nanos)."""
+    # harmless for micros parquet; required to read TIMESTAMP(NANOS) at all
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts_us", _ts_us_col(df))
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming twin of events_batch: availableNow file source
+    over sf_dir (pathGlobFilter=events.parquet), schema taken from the
+    parquet footer, with the same normalized `ts_us` column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts_us", _ts_us_col(stream))
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
-    """Register sf_dir parquet tables as temp views. events.parquet uses
-    TIMESTAMP(NANOS) which Spark only reads with nanosAsLong (-> BIGINT)."""
+    """Register sf_dir parquet tables as temp views. The events view carries
+    an extra normalized `ts_us` (epoch-micros BIGINT) column so query SQL is
+    independent of the physical ts encoding."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for t in tables:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        if t == "events":
+            events_batch(spark, sf_dir).createOrReplaceTempView(t)
+        else:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
 
 def _ts_us(dialect: str) -> str:
-    """events.ts normalized to epoch-micros int64 on both engines."""
-    return "(ts div 1000)" if dialect == "spark" else "epoch_us(ts)"
+    """events.ts normalized to epoch-micros int64 on both engines (Spark: the
+    ts_us column register_views adds; DuckDB: epoch_us on the raw column)."""
+    return "ts_us" if dialect == "spark" else "epoch_us(ts)"
 
 
 def _dec(e: str, p: int = 18, s: int = 2) -> str:
@@ -2584,18 +2627,12 @@ def _streaming_hourly_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — an end-to-end correctness check of the streaming path."""
     import uuid as _uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
-        .parquet(sf_dir)
-    )
+    stream = events_stream(spark, sf_dir)
     from pyspark.sql import functions as F
 
     agg = (
         stream.groupBy(
-            F.expr("(ts div 1000) div 3600000000").alias("hour_id"), F.col("event_type")
+            F.expr("ts_us div 3600000000").alias("hour_id"), F.col("event_type")
         )
         .agg(
             F.count("*").alias("n_events"),
@@ -2632,13 +2669,7 @@ def _streaming_enrich_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     register_views(spark, sf_dir, tables=("customer",))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = events_stream(spark, sf_dir)
     dim = F.broadcast(spark.table("customer").select("c_custkey", "c_nationkey"))
     agg = (
         stream.join(dim, stream.user_id == dim.c_custkey)
@@ -2678,14 +2709,10 @@ def _streaming_sessions_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream(spark, sf_dir)
         .filter(F.col("user_id") < 50)
-        .withColumn("ev_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ev_time", F.timestamp_micros(F.col("ts_us")))
     )
     agg = (
         stream.groupBy(F.session_window("ev_time", "30 minutes"), F.col("user_id"))
@@ -2865,15 +2892,9 @@ def _streaming_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = events_stream(spark, sf_dir)
     deduped = (
-        stream.withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
+        stream.withColumn("ets", F.timestamp_micros(F.col("ts_us")))
         .withWatermark("ets", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
@@ -2903,13 +2924,7 @@ def _streaming_user_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from oaim_sandbox_spark.streaming.stateful import running_user_stats
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = events_stream(spark, sf_dir).select("user_id", "value")
     name = f"stream_stats_{_uuid.uuid4().hex[:8]}"
     with _stream_shuffle(spark):
         q = (
@@ -2950,13 +2965,7 @@ def _streaming_user_stats_tws_spark(spark: SparkSession, sf_dir: str) -> DataFra
 
     from oaim_sandbox_spark.streaming.stateful import running_user_stats_tws
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = events_stream(spark, sf_dir).select("user_id", "value")
     name = f"stream_tws_{_uuid.uuid4().hex[:8]}"
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     old_provider = spark.conf.get(provider_key, None)
@@ -3005,19 +3014,14 @@ def _streaming_ss_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-
     def side(event_type: str, id_alias: str, ts_alias: str):
         return (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+            events_stream(spark, sf_dir)
             .where(F.col("event_type") == event_type)
             .select(
                 F.col("user_id").alias(f"{id_alias[0]}_user"),
                 F.col("event_id").alias(id_alias),
-                F.timestamp_micros(F.expr("ts div 1000")).alias(ts_alias),
+                F.timestamp_micros(F.col("ts_us")).alias(ts_alias),
             )
             .withWatermark(ts_alias, "10 minutes")
         )
