@@ -1762,13 +1762,15 @@ def _minhash_sigs_sql(d: str) -> str:
     return f"SELECT doc_id, {sig} AS sig FROM (SELECT doc_id, {hs} AS hs FROM documents) h"
 
 
-def _minhash_pairs_body(d: str) -> str:
-    """LSH banding + pair generation + estimated Jaccard, reading from a
-    relation named `sigs` (CTE on the oracle; a CACHED temp view on Spark so
-    the signature scan runs once instead of once per band branch)."""
+def _minhash_pairs_body(d: str, rel: str = "sigs") -> str:
+    """LSH banding + pair generation + estimated Jaccard, reading from the
+    signature relation `rel` (a CTE on the oracle; a materialized temp view
+    on Spark so the signature scan runs once instead of once per band branch.
+    Runners pass a per-call unique view name — a shared name would collide
+    across queries in one driver session)."""
     rows = NUM_PERM // BANDS
     band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, {P.hash64(_band_concat('sig', b, rows, d), d)} AS band_hash FROM sigs"
+        f"SELECT doc_id, {b} AS band_idx, {P.hash64(_band_concat('sig', b, rows, d), d)} AS band_hash FROM {rel}"
         for b in range(BANDS)
     )
     eq_terms = " + ".join(
@@ -1785,8 +1787,8 @@ pairs AS (
 SELECT CAST(p.doc_a AS BIGINT) AS doc_a, CAST(p.doc_b AS BIGINT) AS doc_b,
        round(({eq_terms}) / {NUM_PERM}.0, 6) AS est_jaccard
 FROM pairs p
-JOIN sigs a ON a.doc_id = p.doc_a
-JOIN sigs b ON b.doc_id = p.doc_b
+JOIN {rel} a ON a.doc_id = p.doc_a
+JOIN {rel} b ON b.doc_id = p.doc_b
 ORDER BY doc_a, doc_b
 """
 
@@ -1799,15 +1801,15 @@ def minhash_lsh_pairs_q(d: str) -> str:
     return body.replace("WITH banded AS", f"WITH sigs AS ({_minhash_sigs_sql(d)}), banded AS", 1)
 
 
-def _incremental_probe_body(d: str) -> str:
+def _incremental_probe_body(d: str, rel: str = "sigs") -> str:
     """New-batch × existing-corpus LSH probe, reading (doc_id, is_new, sig)
-    from a relation named `sigs` — the band join keeps ONLY new×existing
+    from the signature relation `rel` — the band join keeps ONLY new×existing
     pairs, so steady-state dedup cost is proportional to the batch, never
     existing×existing (operators/dedup.incremental_near_dups is the
     DataFrame-API twin; this is its oracle-checkable SQL shape)."""
     rows = NUM_PERM // BANDS
     band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, is_new, {b} AS band_idx, {P.hash64(_band_concat('sig', b, rows, d), d)} AS band_hash FROM sigs"
+        f"SELECT doc_id, is_new, {b} AS band_idx, {P.hash64(_band_concat('sig', b, rows, d), d)} AS band_hash FROM {rel}"
         for b in range(BANDS)
     )
     eq_terms = " + ".join(
@@ -1825,8 +1827,8 @@ pairs AS (
 SELECT CAST(p.new_id AS BIGINT) AS new_id, CAST(p.existing_id AS BIGINT) AS existing_id,
        round(({eq_terms}) / {NUM_PERM}.0, 6) AS est_jaccard
 FROM pairs p
-JOIN sigs a ON a.doc_id = p.new_id
-JOIN sigs b ON b.doc_id = p.existing_id
+JOIN {rel} a ON a.doc_id = p.new_id
+JOIN {rel} b ON b.doc_id = p.existing_id
 ORDER BY new_id, existing_id
 """
 
@@ -1886,9 +1888,10 @@ FROM (
 """
 
 
-def _simhash_pairs_body(d: str) -> str:
-    """Banded self-join + hamming verify reading from a relation named `fps`
-    (CTE on the oracle; cached temp view on Spark)."""
+def _simhash_pairs_body(d: str, rel: str = "fps") -> str:
+    """Banded self-join + hamming verify reading from the fingerprint
+    relation `rel` (CTE on the oracle; per-call unique materialized temp
+    view on Spark)."""
     slice_bits = SIMHASH_BITS // SIMHASH_BANDS
     if d == "spark":
         def band_key(b: int) -> str:
@@ -1899,7 +1902,8 @@ def _simhash_pairs_body(d: str) -> str:
             return f"(simhash // (2**{b * slice_bits})::BIGINT) % (2**{slice_bits})::BIGINT"
         ham = "bit_count(xor(l.simhash, r.simhash))"
     bands_sql = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {b} AS band_idx, {band_key(b)} AS band_key FROM fps" for b in range(SIMHASH_BANDS)
+        f"SELECT doc_id, simhash, {b} AS band_idx, {band_key(b)} AS band_key FROM {rel}"
+        for b in range(SIMHASH_BANDS)
     )
     return f"""
 WITH banded AS ({bands_sql})
@@ -2478,33 +2482,51 @@ def _embedding_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _materialized_view(spark: SparkSession, sql: str, prefix: str) -> str:
+    """Materialize `sql` once (localCheckpoint truncates lineage AND avoids
+    the shared cache namespace) under a per-call UNIQUE temp view name.
+    Unique names + dropTempView after plan analysis make every registry
+    runner safe in one shared driver session, any order or concurrency —
+    a fixed shared name ('sigs'/'fps') collided across queries in r1."""
+    import uuid as _uuid
+
+    name = f"{prefix}_{_uuid.uuid4().hex[:12]}"
+    spark.sql(sql).localCheckpoint(eager=True).createOrReplaceTempView(name)
+    return name
+
+
+def _sql_dropping(spark: SparkSession, body: str, view: str) -> DataFrame:
+    """spark.sql resolves views at analysis time, so the temp view can be
+    dropped immediately — the returned plan keeps the resolved relation."""
+    df = spark.sql(body)
+    spark.catalog.dropTempView(view)
+    return df
+
+
 def _minhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner for minhash_lsh_pairs: materialize signatures ONCE
-    (cache + temp view) so the 4 band branches and the 2 signature joins all
-    reuse one scan — the SQL-CTE plan recomputes the md5 pipeline 6x."""
+    """Spark runner for minhash_lsh_pairs: materialize signatures ONCE so the
+    4 band branches and the 2 signature joins all reuse one scan — the
+    SQL-CTE plan recomputes the md5 pipeline 6x."""
     register_views(spark, sf_dir)
-    sigs = spark.sql(_minhash_sigs_sql("spark")).cache()
-    sigs.createOrReplaceTempView("sigs")
-    return spark.sql(_minhash_pairs_body("spark"))
+    name = _materialized_view(spark, _minhash_sigs_sql("spark"), "sigs")
+    return _sql_dropping(spark, _minhash_pairs_body("spark", rel=name), name)
 
 
 def _incremental_probe_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark runner for incremental_neardup_probe: materialize the flagged
-    signature relation ONCE (cache + temp view) — the band branches and both
-    est-jaccard joins reuse one scan. In production the existing side's band
-    keys are persisted with the store, so each batch pays only for banding
-    the new docs (operators/dedup.incremental_near_dups docstring)."""
+    signature relation ONCE — the band branches and both est-jaccard joins
+    reuse one scan. In production the existing side's band keys are persisted
+    with the store, so each batch pays only for banding the new docs
+    (operators/dedup.incremental_near_dups docstring)."""
     register_views(spark, sf_dir)
-    sigs = spark.sql(_incremental_sigs_sql("spark")).cache()
-    sigs.createOrReplaceTempView("sigs")
-    return spark.sql(_incremental_probe_body("spark"))
+    name = _materialized_view(spark, _incremental_sigs_sql("spark"), "sigs")
+    return _sql_dropping(spark, _incremental_probe_body("spark", rel=name), name)
 
 
 def _simhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    fps = spark.sql(_simhash_fps_sql("spark")).cache()
-    fps.createOrReplaceTempView("fps")
-    return spark.sql(_simhash_pairs_body("spark"))
+    name = _materialized_view(spark, _simhash_fps_sql("spark"), "fps")
+    return _sql_dropping(spark, _simhash_pairs_body("spark", rel=name), name)
 
 
 MMR_K, MMR_FETCH_K, MMR_LAMBDA = 4, 20, 0.5
@@ -2820,18 +2842,17 @@ def _ngram_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     the materialization is our job. Same SQL otherwise."""
     register_views(spark, sf_dir)
     sh = f"array_distinct(transform({P.word_ngrams('text', NGRAM, 'spark')}, s -> {P.hash64('s', 'spark')}))"
-    shingled = spark.sql(
-        f"SELECT doc_id, source, explode({sh}) AS sh FROM documents"
-    ).localCheckpoint(eager=True)
-    shingled.createOrReplaceTempView("shingled_v")
+    name = _materialized_view(
+        spark, f"SELECT doc_id, source, explode({sh}) AS sh FROM documents", "shingled"
+    )
     body = ngram_jaccard_pairs_q("spark")
     start = body.index("sizes AS")
     rest = (
         body[start:]
-        .replace("FROM shingled", "FROM shingled_v")
-        .replace("JOIN shingled r", "JOIN shingled_v r")
+        .replace("FROM shingled", f"FROM {name}")
+        .replace("JOIN shingled r", f"JOIN {name} r")
     )
-    return spark.sql("WITH " + rest)
+    return _sql_dropping(spark, "WITH " + rest, name)
 
 
 def _near_dup_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2845,11 +2866,17 @@ def _near_dup_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oaim_sandbox_spark.operators.dedup import connected_components
 
     register_views(spark, sf_dir)
-    fps = spark.sql(
-        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash FROM ({_simhash_fps_sql('spark')}) f"
-    ).localCheckpoint(eager=True)  # banded join reads fps 8x — materialize once
-    fps.createOrReplaceTempView("fps")
-    pairs = spark.sql(_simhash_pairs_body("spark").replace("ORDER BY doc_a, doc_b", ""))
+    # banded join reads the fingerprints 8x — materialize once, unique name
+    name = _materialized_view(
+        spark,
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash FROM ({_simhash_fps_sql('spark')}) f",
+        "fps",
+    )
+    pairs = _sql_dropping(
+        spark,
+        _simhash_pairs_body("spark", rel=name).replace("ORDER BY doc_a, doc_b", ""),
+        name,
+    )
     labels = connected_components(pairs, spark.table("documents"), node_col="doc_id")
     return labels.select(
         F.col("doc_id").cast("long"),
