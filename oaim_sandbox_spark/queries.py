@@ -1901,10 +1901,24 @@ def _simhash_pairs_body(d: str, rel: str = "fps") -> str:
         def band_key(b: int) -> str:
             return f"(simhash // (2**{b * slice_bits})::BIGINT) % (2**{slice_bits})::BIGINT"
         ham = "bit_count(xor(l.simhash, r.simhash))"
-    bands_sql = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {b} AS band_idx, {band_key(b)} AS band_key FROM {rel}"
-        for b in range(SIMHASH_BANDS)
-    )
+    if d == "spark":
+        # one explode of (band_idx, band_key) structs instead of a UNION ALL
+        # per band: the banded relation is produced in a single pass, so the
+        # self-join plan has one exchange per side instead of one per
+        # (band x side) branch (r1 plan audit: xchg 17 -> ~3)
+        structs = ", ".join(
+            f"named_struct('band_idx', {b}, 'band_key', {band_key(b)})"
+            for b in range(SIMHASH_BANDS)
+        )
+        bands_sql = (
+            f"SELECT doc_id, simhash, b.band_idx AS band_idx, b.band_key AS band_key "
+            f"FROM {rel} LATERAL VIEW explode(array({structs})) t AS b"
+        )
+    else:
+        bands_sql = " UNION ALL ".join(
+            f"SELECT doc_id, simhash, {b} AS band_idx, {band_key(b)} AS band_key FROM {rel}"
+            for b in range(SIMHASH_BANDS)
+        )
     return f"""
 WITH banded AS ({bands_sql})
 SELECT DISTINCT CAST(l.doc_id AS BIGINT) AS doc_a, CAST(r.doc_id AS BIGINT) AS doc_b,
