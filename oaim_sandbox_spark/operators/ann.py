@@ -199,6 +199,23 @@ class IVFIndex:
             "centroid", F.expr(f"cast(array_position({arr}, array_min({arr})) - 1 as int)")
         )
 
+    def assign_with_dist(self, df: DataFrame) -> DataFrame:
+        """assign() plus the L2 distance to the OWN centroid (`centroid_dist`)
+        — the per-cluster max of this is the cluster radius, which exact
+        range-search pruning needs (pairs with ||a-b|| <= D can only span
+        clusters with ||c_i - c_j|| <= D + r_i + r_j)."""
+        dists = [self._sq_dist_expr(i) for i in range(len(self.centroids))]
+        arr = "array(" + ", ".join(dists) + ")"
+        return (
+            df.withColumn("_dists", F.expr(arr))
+            .withColumn(
+                "centroid",
+                F.expr("cast(array_position(_dists, array_min(_dists)) - 1 as int)"),
+            )
+            .withColumn("centroid_dist", F.expr("sqrt(array_min(_dists))"))
+            .drop("_dists")
+        )
+
     def write_partitioned(self, df: DataFrame, path: str) -> None:
         self.assign(df).write.mode("overwrite").partitionBy("centroid").parquet(path)
 

@@ -2439,59 +2439,72 @@ if _HAS_PROTOBUF:
 
 
 def _embedding_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner for embedding_cosine_pairs: BLAS-prefilter + exact verify.
+    """Spark runner for embedding_cosine_pairs: IVF-bucketed candidates with
+    an EXACT pruning bound + exact-fold re-score.
 
-    The oracle (and the semantics) is the exact all-pairs fold — but evaluating
-    the fold expression for every pair is interpreted-lambda cost. Instead:
-    broadcast the (n x d) matrix to executors, mapInPandas computes a numpy
-    matmul per Arrow batch and emits only candidate pairs above
-    (threshold - 1e-6); the exact sequential-fold expression then re-scores
-    JUST the survivors, so the output is bit-identical to the oracle while the
-    O(n²d) work runs in BLAS. At 100 TB the broadcast side becomes the IVF/LSH
-    bucket instead of the full matrix (see operators/ann.py).
+    cosine(a,b) >= t on unit vectors is ||a-b|| <= D with D = sqrt(2-2t), so
+    a pair can only span clusters whose centroids satisfy
+    ||c_i - c_j|| <= D + r_i + r_j (r = cluster radius) — triangle
+    inequality, no recall loss. Candidate generation is therefore a
+    cluster-pair equi-join over the assigned store (shuffles by centroid id;
+    at 100 TB raise n_centroids so per-cluster volume stays bounded and the
+    replication factor is the avg qualifying cluster-pair degree, not n).
+    Survivors are re-scored with the SAME sequential-fold expression as the
+    DuckDB oracle, so the output is bit-identical. Only the k-means fit
+    touches the driver (bounded sample — FAISS-style coarse quantizer), never
+    the store itself.
     """
-    from collections.abc import Iterator
-
     import numpy as np
-    import pandas as pd
     from pyspark.sql import functions as F
 
-    register_views(spark, sf_dir)
-    emb = spark.table("embeddings").select("vec_id", "embedding")
-    rows = emb.collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    order_b = spark.sparkContext.broadcast({int(v): i for i, v in enumerate(ids)})
+    from oaim_sandbox_spark.operators.ann import IVFIndex
 
-    def candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            idx = np.array([order_b.value[int(v)] for v in pdf["vec_id"]], dtype=np.int64)
-            sims = all_mat[idx] @ all_mat.T  # (batch, n)
-            out_a, out_b = [], []
-            # prefilter margin: 1e-6 covers the round(.,6) boundary at
-            # threshold-5e-7 plus BLAS-vs-fold noise (~1e-13)
-            for row_pos, i in enumerate(idx):
-                js = np.where(sims[row_pos] >= 0.35 - 1e-6)[0]
-                for j in js:
-                    if all_ids[j] > all_ids[i]:
-                        out_a.append(int(all_ids[i]))
-                        out_b.append(int(all_ids[j]))
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
-    cand = emb.select("vec_id").mapInPandas(candidates, "id_a BIGINT, id_b BIGINT")
+    register_views(spark, sf_dir)
+    threshold, margin = 0.35, 1e-6  # margin covers the round(.,6) boundary
     v = P.to_double_array("embedding", "spark")
-    vnorm = spark.table("embeddings").select(
-        F.col("vec_id"), F.expr(v).alias("v"), F.expr(P.norm2(v, "spark")).alias("n")
+    base = (
+        spark.table("embeddings")
+        .select("vec_id", F.expr(v).alias("v"), F.expr(P.norm2(v, "spark")).alias("n"))
+        .withColumn("u", F.expr("transform(v, x -> x / n)"))
+    )
+    idx = IVFIndex(n_centroids=8, seed=7, vec_col="u", max_iter=10).fit(base)
+    assigned = (
+        idx.assign_with_dist(base)
+        .select("vec_id", "v", "n", "centroid", "centroid_dist")
+        .localCheckpoint(eager=True)  # joined twice below — materialize once
+    )
+    # cluster radii: k tiny rows to the driver, never the store
+    radii = {
+        r["centroid"]: r["r"]
+        for r in assigned.groupBy("centroid").agg(F.max("centroid_dist").alias("r")).collect()
+    }
+    D = float(np.sqrt(2.0 - 2.0 * (threshold - margin)))
+    cents = idx.centroids
+    cand_pairs = [
+        (i, j)
+        for i in radii
+        for j in radii
+        if i <= j
+        and float(np.linalg.norm(cents[i] - cents[j])) <= D + radii[i] + radii[j]
+    ]
+    pairs_df = spark.createDataFrame(cand_pairs, "ci INT, cj INT")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cand = (
+        F.broadcast(pairs_df)
+        .join(a, F.col("a.centroid") == F.col("ci"))
+        .join(b, F.col("b.centroid") == F.col("cj"))
+        # same-cluster pair: order by id; cross-cluster: every unordered
+        # vector pair appears exactly once (a from ci, b from cj, ci < cj)
+        .filter((F.col("ci") < F.col("cj")) | (F.col("a.vec_id") < F.col("b.vec_id")))
     )
     sim = f"round({P.dot('a.v', 'b.v', 'spark')} / (a.n * b.n), 6)"
     return (
-        cand.join(vnorm.alias("a"), cand.id_a == F.col("a.vec_id"))
-        .join(vnorm.alias("b"), cand.id_b == F.col("b.vec_id"))
-        .select("id_a", "id_b", F.expr(sim).alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= 0.35)
+        cand.select(
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("id_a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("id_b"),
+            F.expr(sim).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
 
