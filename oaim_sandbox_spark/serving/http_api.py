@@ -1,0 +1,306 @@
+"""Wire-level HTTP facade over the serving library — stdlib only.
+
+The reference serves its config/chat/testbed surface as a FastAPI app behind
+bearer auth (reference src/launch_server.py:124-159: HTTPBearer dependency,
+API_SERVER_KEY; src/server/endpoints.py:105-915: /v1/* routes). FastAPI is
+absent from this container, so the same surface is exposed through
+``http.server.ThreadingHTTPServer`` — the engine logic stays in
+serving/chat.py and serving/config_plane.py; this module is ONLY routing,
+auth, and JSON (de)serialization.
+
+Auth semantics mirror FastAPI's HTTPBearer + verify_key exactly
+(launch_server.py:132-145, tests/server/test_endpoints_embed.py:44-72):
+
+  - no/malformed Authorization header  -> 403 {"detail": "Not authenticated"}
+  - wrong bearer token                 -> 401 {"detail": "Invalid API Key"}
+  - /v1/liveness and /v1/readiness need no auth (endpoints.py:112-119)
+
+Routes (reference endpoints.py line refs in handlers):
+
+  GET    /v1/liveness, /v1/readiness
+  POST   /v1/chat/completions      POST /v1/chat/streams   GET /v1/chat/history
+  GET    /v1/models[?type=&enabled=]   GET/PATCH/DELETE /v1/models/{name}
+  POST   /v1/models
+  GET    /v1/prompts[?category=]       GET/PATCH /v1/prompts/{category}/{name}
+  GET    /v1/settings?client=          POST/PATCH /v1/settings?client=
+"""
+
+from __future__ import annotations
+
+import json
+import secrets
+import threading
+from dataclasses import asdict, fields, replace
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+from oaim_sandbox_spark.serving.chat import ChatPipeline
+from oaim_sandbox_spark.serving.config_plane import (
+    DuplicateNameError,
+    ModelDef,
+    PromptDef,
+    PromptRegistry,
+    Registry,
+    diff_settings,
+    mask_sensitive,
+)
+
+DEFAULT_SETTINGS: dict = {
+    "rag_enabled": True,
+    "top_k": 4,
+    "search_type": "Similarity",
+    "temperature": 1.0,
+    "api_key": "",
+}
+
+
+def generate_auth_key() -> str:
+    """Parity with launch_server.py:118-121 (urlsafe random key)."""
+    return secrets.token_urlsafe(32)
+
+
+class ApiServer:
+    """Bearer-auth'd HTTP server over a ChatPipeline + config registries.
+
+    ``port=0`` binds an ephemeral port (tests); ``server.port`` reports the
+    bound port after ``start()``.
+    """
+
+    def __init__(
+        self,
+        pipeline: ChatPipeline,
+        models: Registry | None = None,
+        prompts: PromptRegistry | None = None,
+        api_key: str | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ):
+        self.pipeline = pipeline
+        self.models = models if models is not None else Registry("model")
+        self.prompts = prompts if prompts is not None else PromptRegistry("prompt")
+        self.api_key = api_key or generate_auth_key()
+        self.settings: dict[str, dict] = {}
+        self._host, self._port = host, port
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle -----------------------------------------------------------
+    def start(self) -> "ApiServer":
+        api = self
+
+        class Handler(_ApiHandler):
+            server_ctx = api
+
+        self._httpd = ThreadingHTTPServer((self._host, self._port), Handler)
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    @property
+    def port(self) -> int:
+        assert self._httpd is not None, "server not started"
+        return self._httpd.server_address[1]
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+
+class _ApiHandler(BaseHTTPRequestHandler):
+    server_ctx: ApiServer  # injected by ApiServer.start
+
+    protocol_version = "HTTP/1.1"
+
+    # -- plumbing ------------------------------------------------------------
+    def log_message(self, fmt, *args):  # silence default stderr access log
+        pass
+
+    def _json(self, status: int, payload) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self):
+        n = int(self.headers.get("Content-Length") or 0)
+        raw = self.rfile.read(n) if n else b""
+        if not raw:
+            return {}
+        try:
+            return json.loads(raw)
+        except json.JSONDecodeError:
+            return None
+
+    def _client(self) -> str:
+        return self.headers.get("client") or "default"
+
+    def _authorized(self) -> bool:
+        """403 when the bearer header is absent/malformed, 401 when the token
+        is wrong — the HTTPBearer/verify_key split the reference tests assert
+        (test_endpoints_embed.py:64-72)."""
+        header = self.headers.get("Authorization") or ""
+        if not header.startswith("Bearer "):
+            self._json(403, {"detail": "Not authenticated"})
+            return False
+        if header.removeprefix("Bearer ") != self.server_ctx.api_key:
+            self._json(401, {"detail": "Invalid API Key"})
+            return False
+        return True
+
+    # -- routing -------------------------------------------------------------
+    NOAUTH = {("GET", "/v1/liveness"), ("GET", "/v1/readiness")}
+
+    def _route(self, method: str) -> None:
+        url = urlparse(self.path)
+        path = unquote(url.path).rstrip("/")
+        qs = {k: v[0] for k, v in parse_qs(url.query).items()}
+        if (method, path) in self.NOAUTH:
+            return self._json(200, {"status": "alive" if path.endswith("liveness") else "ready"})
+        if not self._authorized():
+            return None
+        parts = [p for p in path.split("/") if p]
+        try:
+            return self._dispatch(method, parts, qs)
+        except DuplicateNameError as ex:
+            return self._json(409, {"detail": str(ex)})
+        except KeyError as ex:
+            return self._json(404, {"detail": str(ex)})
+
+    def do_GET(self):  # noqa: N802
+        self._route("GET")
+
+    def do_POST(self):  # noqa: N802
+        self._route("POST")
+
+    def do_PATCH(self):  # noqa: N802
+        self._route("PATCH")
+
+    def do_DELETE(self):  # noqa: N802
+        self._route("DELETE")
+
+    # -- handlers ------------------------------------------------------------
+    def _dispatch(self, method: str, parts: list[str], qs: dict) -> None:
+        api = self.server_ctx
+        if parts[:2] == ["v1", "chat"]:
+            return self._chat(method, parts[2] if len(parts) > 2 else "", api)
+        if parts[:2] == ["v1", "models"]:
+            return self._models(method, parts[2:], qs, api)
+        if parts[:2] == ["v1", "prompts"]:
+            return self._prompts(method, parts[2:], qs, api)
+        if parts[:2] == ["v1", "settings"]:
+            return self._settings(method, qs, api)
+        return self._json(404, {"detail": "Not Found"})
+
+    def _chat(self, method: str, leaf: str, api: ApiServer) -> None:
+        client = self._client()
+        if method == "POST" and leaf == "completions":
+            # endpoints.py:693-704 chat_post
+            body = self._body() or {}
+            question = body.get("message") or body.get("question") or ""
+            resp = api.pipeline.chat(question, client_id=client)
+            return self._json(200, asdict(resp))
+        if method == "POST" and leaf == "streams":
+            # endpoints.py:706-717 chat_stream: chunked token stream ending
+            # with the [stream_finished] sentinel
+            body = self._body() or {}
+            question = body.get("message") or body.get("question") or ""
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            for token in api.pipeline.stream(question, client_id=client):
+                data = token.encode()
+                self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+            return None
+        if method == "GET" and leaf == "history":
+            # endpoints.py:719-744 chat_history (empty history -> the
+            # reference's apology message, role system)
+            msgs = api.pipeline.history(client)
+            if not msgs:
+                return self._json(
+                    200,
+                    [{"role": "system",
+                      "content": "I'm sorry, I have no history of this conversation"}],
+                )
+            return self._json(200, [{"role": m.role, "content": m.content} for m in msgs])
+        return self._json(404, {"detail": "Not Found"})
+
+    def _models(self, method: str, rest: list[str], qs: dict, api: ApiServer) -> None:
+        # endpoints.py:311-371 models CRUD
+        if method == "GET" and not rest:
+            enabled = None if "enabled" not in qs else qs["enabled"] in ("true", "1")
+            items = api.models.list(type=qs.get("type"), enabled=enabled)
+            return self._json(200, [asdict(m) for m in items])
+        if method == "POST" and not rest:
+            body = self._body()
+            if not body or "name" not in body:
+                return self._json(422, {"detail": "name required"})
+            allowed = {f.name for f in fields(ModelDef)}
+            model = ModelDef(**{k: v for k, v in body.items() if k in allowed})
+            api.models.create(model)
+            return self._json(200, asdict(model))
+        name = "/".join(rest)  # model names may contain '/' ({name:path})
+        model = api.models.get(name)
+        if method == "GET":
+            if model is None:
+                return self._json(404, {"detail": f"Model: {name} not found."})
+            return self._json(200, asdict(model))
+        if method == "PATCH":
+            if model is None:
+                return self._json(404, {"detail": f"Model: {name} not found."})
+            body = self._body() or {}
+            allowed = {f.name for f in fields(ModelDef)}
+            updated = replace(model, **{k: v for k, v in body.items() if k in allowed and k != "name"})
+            api.models.update(name, updated)
+            return self._json(200, asdict(updated))
+        if method == "DELETE":
+            api.models.delete(name)  # KeyError -> 404 via _route
+            return self._json(200, {"message": f"Model: {name} deleted."})
+        return self._json(404, {"detail": "Not Found"})
+
+    def _prompts(self, method: str, rest: list[str], qs: dict, api: ApiServer) -> None:
+        # endpoints.py:504-552 prompts list/get/update
+        if method == "GET" and not rest:
+            items = api.prompts.list(category=qs.get("category"))
+            return self._json(200, [asdict(p) for p in items])
+        if len(rest) == 2:
+            category, name = rest
+            prompt = api.prompts.get(name, category=category)
+            if prompt is None:
+                return self._json(404, {"detail": f"Prompt: {category}:{name} not found."})
+            if method == "GET":
+                return self._json(200, asdict(prompt))
+            if method == "PATCH":
+                body = self._body() or {}
+                updated = PromptDef(name=name, category=category,
+                                    prompt=body.get("prompt", prompt.prompt))
+                api.prompts._items[f"{category}:{name}"] = updated
+                return self._json(200, asdict(updated))
+        return self._json(404, {"detail": "Not Found"})
+
+    def _settings(self, method: str, qs: dict, api: ApiServer) -> None:
+        # endpoints.py:554-586 settings get/update/create (client-keyed)
+        client = qs.get("client") or self._client()
+        if method == "GET":
+            if client not in api.settings:
+                return self._json(404, {"detail": f"Client: {client} not found."})
+            return self._json(200, mask_sensitive(api.settings[client]))
+        if method == "POST":
+            if client in api.settings:
+                return self._json(409, {"detail": f"Client: {client} already exists."})
+            api.settings[client] = dict(DEFAULT_SETTINGS)
+            return self._json(200, mask_sensitive(api.settings[client]))
+        if method == "PATCH":
+            if client not in api.settings:
+                return self._json(404, {"detail": f"Client: {client} not found."})
+            body = self._body() or {}
+            changed = diff_settings(api.settings[client], {**api.settings[client], **body})
+            api.settings[client].update(body)
+            return self._json(200, {"settings": mask_sensitive(api.settings[client]),
+                                    "changed": changed})
+        return self._json(404, {"detail": "Not Found"})

@@ -1,0 +1,203 @@
+"""Wire-level tests for serving/http_api.py — the stdlib FastAPI-facade.
+
+Mirrors the reference's endpoint test strategy
+(/root/reference/tests/server/test_endpoints_embed.py:44-72): every
+protected endpoint returns 403 with no credentials and 401 with a bad
+bearer token; the no-auth probes stay open; then CRUD round-trips."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from oaim_sandbox_spark.serving.chat import ChatPipeline, MockLLM, RagSettings
+from oaim_sandbox_spark.serving.config_plane import (
+    PromptDef,
+    PromptRegistry,
+    bootstrap_models,
+)
+from oaim_sandbox_spark.serving.http_api import ApiServer
+
+KEY = "test-api-key"
+
+
+@pytest.fixture(scope="module")
+def server():
+    prompts = PromptRegistry("prompt")
+    prompts.create(PromptDef(name="Basic Example", category="sys", prompt="You are helpful."))
+    prompts.create(PromptDef(name="Basic Example", category="ctx", prompt="Rephrase."))
+    pipeline = ChatPipeline(
+        store=None, embed_query=None, llm=MockLLM(),
+        settings=RagSettings(rag_enabled=False),
+    )
+    srv = ApiServer(pipeline, models=bootstrap_models(), prompts=prompts, api_key=KEY).start()
+    yield srv
+    srv.stop()
+
+
+def req(server, method, path, token=KEY, body=None, client=None):
+    from urllib.parse import quote
+
+    if "?" in path:
+        p, q = path.split("?", 1)
+        path = quote(p) + "?" + q
+    else:
+        path = quote(path)
+    url = f"http://127.0.0.1:{server.port}{path}"
+    headers = {}
+    if token is not None:
+        headers["Authorization"] = f"Bearer {token}"
+    if client:
+        headers["client"] = client
+    data = json.dumps(body).encode() if body is not None else None
+    if data is not None:
+        headers["Content-Type"] = "application/json"
+    r = urllib.request.Request(url, data=data, headers=headers, method=method)
+    try:
+        with urllib.request.urlopen(r, timeout=10) as resp:
+            return resp.status, json.loads(resp.read() or b"null")
+    except urllib.error.HTTPError as ex:
+        return ex.code, json.loads(ex.read() or b"null")
+
+
+# -- auth matrix (reference TestNoAuthEndpoints / TestBadAuthEndpoints) -------
+
+PROTECTED = [
+    ("GET", "/v1/models"),
+    ("POST", "/v1/models"),
+    ("GET", "/v1/prompts"),
+    ("GET", "/v1/settings?client=x"),
+    ("POST", "/v1/chat/completions"),
+    ("GET", "/v1/chat/history"),
+]
+
+
+@pytest.mark.parametrize("method,path", PROTECTED)
+def test_no_auth_403(server, method, path):
+    status, body = req(server, method, path, token=None)
+    assert status == 403
+    assert body["detail"] == "Not authenticated"
+
+
+@pytest.mark.parametrize("method,path", PROTECTED)
+def test_bad_auth_401(server, method, path):
+    status, body = req(server, method, path, token="bad-testing-token")
+    assert status == 401
+    assert body["detail"] == "Invalid API Key"
+
+
+def test_probes_need_no_auth(server):
+    assert req(server, "GET", "/v1/liveness", token=None) == (200, {"status": "alive"})
+    assert req(server, "GET", "/v1/readiness", token=None) == (200, {"status": "ready"})
+
+
+# -- chat ---------------------------------------------------------------------
+
+
+def test_chat_completion_roundtrip(server):
+    status, body = req(server, "POST", "/v1/chat/completions",
+                       body={"message": "hello there"}, client="c1")
+    assert status == 200
+    assert body["object"] == "chat.completion"
+    assert body["choices"][0]["message"]["role"] == "assistant"
+    assert body["choices"][0]["message"]["content"]
+    assert body["usage"]["total_tokens"] > 0
+
+    status, hist = req(server, "GET", "/v1/chat/history", client="c1")
+    assert status == 200
+    assert [m["role"] for m in hist] == ["user", "assistant"]
+
+
+def test_chat_history_empty_is_apology(server):
+    status, hist = req(server, "GET", "/v1/chat/history", client="nobody")
+    assert status == 200
+    assert hist[0]["role"] == "system"
+    assert "no history" in hist[0]["content"]
+
+
+def test_chat_stream_sentinel(server):
+    url = f"http://127.0.0.1:{server.port}/v1/chat/streams"
+    r = urllib.request.Request(
+        url, data=json.dumps({"message": "stream me"}).encode(),
+        headers={"Authorization": f"Bearer {KEY}", "Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(r, timeout=10) as resp:
+        text = resp.read().decode()
+    assert text.endswith("[stream_finished]")
+    assert len(text) > len("[stream_finished]")
+
+
+# -- models CRUD --------------------------------------------------------------
+
+
+def test_models_crud(server):
+    status, items = req(server, "GET", "/v1/models")
+    assert status == 200 and any(m["name"] == "mock-llm" for m in items)
+
+    status, _ = req(server, "POST", "/v1/models",
+                    body={"name": "my-model", "type": "ll", "provider": "openai-compat"})
+    assert status == 200
+    status, body = req(server, "POST", "/v1/models", body={"name": "my-model"})
+    assert status == 409  # duplicate guard (P11)
+
+    status, m = req(server, "GET", "/v1/models/my-model")
+    assert status == 200 and m["provider"] == "openai-compat"
+
+    status, m = req(server, "PATCH", "/v1/models/my-model", body={"temperature": 0.2})
+    assert status == 200 and m["temperature"] == 0.2
+
+    status, _ = req(server, "DELETE", "/v1/models/my-model")
+    assert status == 200
+    status, _ = req(server, "GET", "/v1/models/my-model")
+    assert status == 404
+
+
+def test_models_filtered_list(server):
+    status, embeds = req(server, "GET", "/v1/models?type=embed")
+    assert status == 200
+    assert embeds and all(m["type"] == "embed" for m in embeds)
+
+
+# -- prompts ------------------------------------------------------------------
+
+
+def test_prompts_get_and_patch(server):
+    status, items = req(server, "GET", "/v1/prompts?category=sys")
+    assert status == 200 and all(p["category"] == "sys" for p in items)
+
+    status, p = req(server, "GET", "/v1/prompts/sys/Basic Example")
+    assert status == 200 and p["prompt"] == "You are helpful."
+
+    status, p = req(server, "PATCH", "/v1/prompts/sys/Basic Example",
+                    body={"prompt": "Be terse."})
+    assert status == 200 and p["prompt"] == "Be terse."
+
+    status, _ = req(server, "GET", "/v1/prompts/sys/NoSuch")
+    assert status == 404
+
+
+# -- settings -----------------------------------------------------------------
+
+
+def test_settings_lifecycle(server):
+    status, _ = req(server, "GET", "/v1/settings?client=s1")
+    assert status == 404
+
+    status, s = req(server, "POST", "/v1/settings?client=s1")
+    assert status == 200 and s["rag_enabled"] is True
+
+    status, _ = req(server, "POST", "/v1/settings?client=s1")
+    assert status == 409
+
+    status, body = req(server, "PATCH", "/v1/settings?client=s1", body={"top_k": 8})
+    assert status == 200
+    assert body["settings"]["top_k"] == 8
+    assert any("top_k" in c for c in body["changed"])
+
+    # sensitive masking on read (P13)
+    status, s = req(server, "PATCH", "/v1/settings?client=s1", body={"api_key": "sk-secret"})
+    assert s["settings"]["api_key"] == "*****"
