@@ -28,6 +28,7 @@ from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 QA_FIELDS = "tid STRING, question STRING, reference_answer STRING, reference_context STRING, topic STRING, question_type STRING, seed_document_id STRING"
 EVAL_ROW_FIELDS = (
@@ -125,26 +126,88 @@ class TestbedStore:
         return eid
 
 
+QUESTION_TYPES = ("simple", "complex", "conversational")
+
+_HISTORY_TYPE = "array<struct<role:string,content:string>>"
+
+
 def generate_testset(
     chunks: DataFrame,
     n_questions: int = 10,
     text_col: str = "text",
     id_col: str = "id",
     topic_col: str | None = "source",
+    question_types: tuple[str, ...] = ("simple", "complex"),
 ) -> DataFrame:
     """Deterministic Q&A generation from seed chunks (testbed §3.3 companion
-    path). One templated question per sampled chunk; 'simple' for short
-    chunks, 'complex' for long ones (question_type parity)."""
+    path; reference testbed.py:247-297 generates via question_generators =
+    [simple_questions, complex_questions] over a knowledge base).
+
+    Seeds are assigned a generator round-robin in id order (deterministic),
+    one templated question per seed:
+
+      - ``simple``: direct lookup question, empty conversation_history
+      - ``complex``: multi-clause reasoning question, empty history
+      - ``conversational``: short follow-up whose subject lives in the
+        conversation_history turns (Giskard conversational shape)
+
+    Output mirrors the QATestset frame the reference GUI edits
+    (client/content/testbed.py:165-212): question / reference_answer /
+    reference_context / conversation_history plus topic, question_type,
+    seed_document_id both flattened and as a JSON ``metadata`` string."""
+    for t in question_types:
+        if t not in QUESTION_TYPES:
+            raise ValueError(f"unknown question type {t!r}; pick from {QUESTION_TYPES}")
     seeds = chunks.orderBy(id_col).limit(n_questions)
+    w = Window.orderBy(id_col)
+    gen_arr = F.array(*[F.lit(t) for t in question_types])
+    seeds = seeds.withColumn(
+        "question_type", F.element_at(gen_arr, (F.row_number().over(w) - 1) % len(question_types) + 1)
+    )
     topic = F.col(topic_col) if topic_col else F.lit("general")
     first_words = F.expr(f"array_join(slice(split({text_col}, ' '), 1, 5), ' ')")
+    question = (
+        F.when(
+            F.col("question_type") == "simple",
+            F.concat(F.lit("What does the passage starting with '"), first_words,
+                     F.lit("' describe?")),
+        )
+        .when(
+            F.col("question_type") == "complex",
+            F.concat(F.lit("Considering the passage beginning '"), first_words,
+                     F.lit("', what is its main subject, and what supporting details does it give?")),
+        )
+        .otherwise(F.lit("What else does it mention?"))
+    )
+    history = F.when(
+        F.col("question_type") == "conversational",
+        F.array(
+            F.struct(
+                F.lit("user").alias("role"),
+                F.concat(F.lit("Let's discuss the passage starting with '"), first_words,
+                         F.lit("'.")).alias("content"),
+            ),
+            F.struct(
+                F.lit("assistant").alias("role"),
+                F.lit("Sure - what would you like to know about it?").alias("content"),
+            ),
+        ),
+    ).otherwise(F.expr(f"CAST(array() AS {_HISTORY_TYPE})"))
     return seeds.select(
-        F.concat(F.lit("What does the passage starting with '"), first_words, F.lit("' describe?")).alias("question"),
+        question.alias("question"),
         F.expr(f"substr({text_col}, 1, 120)").alias("reference_answer"),
         F.col(text_col).alias("reference_context"),
+        history.alias("conversation_history"),
         topic.cast("string").alias("topic"),
-        F.when(F.length(text_col) > 400, "complex").otherwise("simple").alias("question_type"),
+        F.col("question_type"),
         F.col(id_col).cast("string").alias("seed_document_id"),
+        F.to_json(
+            F.struct(
+                topic.cast("string").alias("topic"),
+                F.col("question_type"),
+                F.col(id_col).cast("string").alias("seed_document_id"),
+            )
+        ).alias("metadata"),
     )
 
 

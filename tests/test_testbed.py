@@ -26,13 +26,56 @@ def test_generate_testset_shape(spark):
     qa = generate_testset(_chunks(spark), n_questions=3).collect()
     assert len(qa) == 3
     for r in qa:
-        assert r.question.startswith("What does the passage starting with")
         assert r.reference_context
         assert r.question_type in ("simple", "complex")
         assert r.seed_document_id in ("c1", "c2", "c3")
+    # round-robin generator assignment in id order (reference parity:
+    # question_generators=[simple_questions, complex_questions])
     types = {r.seed_document_id: r.question_type for r in qa}
-    assert types["c2"] == "complex"  # > 400 chars
-    assert types["c3"] == "simple"
+    assert types == {"c1": "simple", "c2": "complex", "c3": "simple"}
+    by_id = {r.seed_document_id: r for r in qa}
+    assert by_id["c1"].question.startswith("What does the passage starting with")
+    assert by_id["c2"].question.startswith("Considering the passage beginning")
+
+
+def test_generate_testset_qa_schema_parity(spark):
+    """Field set matches the QATestset frame the reference GUI edits
+    (client/content/testbed.py:165-212): question, reference_answer,
+    reference_context, conversation_history, metadata."""
+    qa = generate_testset(_chunks(spark), n_questions=3)
+    cols = set(qa.columns)
+    assert {"question", "reference_answer", "reference_context",
+            "conversation_history", "topic", "question_type",
+            "seed_document_id", "metadata"} <= cols
+    rows = qa.collect()
+    for r in rows:
+        meta = json.loads(r.metadata)
+        assert meta["question_type"] == r.question_type
+        assert meta["seed_document_id"] == r.seed_document_id
+        assert meta["topic"] == r.topic
+        # simple/complex carry empty history
+        assert r.conversation_history == []
+
+
+def test_generate_testset_conversational_history(spark):
+    qa = generate_testset(
+        _chunks(spark), n_questions=3,
+        question_types=("simple", "conversational"),
+    ).collect()
+    conv = [r for r in qa if r.question_type == "conversational"]
+    assert conv
+    for r in conv:
+        assert r.question == "What else does it mention?"
+        roles = [t.role for t in r.conversation_history]
+        assert roles == ["user", "assistant"]
+        assert r.conversation_history[0].content.startswith("Let's discuss")
+
+
+def test_generate_testset_rejects_unknown_type(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        generate_testset(_chunks(spark), question_types=("simple", "weird"))
 
 
 def test_store_upsert_scan_delete(spark, tmp_path):
