@@ -70,6 +70,93 @@ def testbed_eval(spark, sf_dir: str) -> int:
     return int(round(report.correctness * 10_000))
 
 
+def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 8) -> dict[str, float]:
+    """recall@k of every approximate ANN tier against the exact k-NN oracle
+    (VERDICT r1 #8: promote the recall numbers from tests into the bench so
+    ANN quality regressions are visible round-over-round).
+
+    Tiers: LSH single-probe, IVF nprobe=2/8 partition-pruned, PQ-ADC with
+    exact re-rank (vs the exact L2 oracle — ADC approximates L2), int8
+    symmetric quantization, and the 16-dim matryoshka-truncation funnel
+    with exact re-rank."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from oaim_sandbox_spark.functions import portable as P
+    from oaim_sandbox_spark.operators.ann import (
+        IVFIndex,
+        PQIndex,
+        dequantize_embeddings,
+        knn_join,
+        lsh_knn_join,
+        quantize_embeddings,
+    )
+    from oaim_sandbox_spark.operators.retrieval import distance_expr
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", F.expr("cast(embedding as array<double>)").alias("qv"))
+        .collect()
+    )
+    queries = [(int(r["vec_id"]), [float(x) for x in r["qv"]]) for r in qrows]
+    qdf = spark.createDataFrame(queries, "query_id BIGINT, query_vec ARRAY<DOUBLE>")
+    store = emb.filter(F.col("vec_id") >= n_queries)
+
+    def topk_sets(df) -> dict[int, set]:
+        out: dict[int, set] = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    def rec(approx: dict[int, set], base: dict[int, set]) -> float:
+        vals = [len(approx.get(q, set()) & base[q]) / k for q in base]
+        return round(sum(vals) / len(vals), 4)
+
+    recalls: dict[str, float] = {}
+    exact_cos = topk_sets(knn_join(store, qdf, k=k))
+
+    recalls["lsh4@10"] = rec(topk_sets(lsh_knn_join(store, qdf, k=k, n_planes=4, dim=64)), exact_cos)
+
+    idx = IVFIndex(n_centroids=8, seed=3, max_iter=10).fit(store)
+    with tempfile.TemporaryDirectory() as td:
+        idx.write_partitioned(store, td)
+        ivf_sets = {
+            qid: {r["vec_id"] for r in idx.search(spark, td, qv, k=k, nprobe=2).collect()}
+            for qid, qv in queries
+        }
+    recalls["ivf_nprobe2@10"] = rec(ivf_sets, exact_cos)
+
+    exact_l2 = topk_sets(knn_join(store, qdf, k=k, metric="EUCLIDEAN_DISTANCE"))
+    pq = PQIndex(m=4, k=16, dim=64, seed=3).fit(store)
+    codes = pq.encode(store)
+    pq_sets = {
+        qid: {r["vec_id"] for r in pq.search(codes, qv, k=k, fetch_k=50, exact_df=store).collect()}
+        for qid, qv in queries
+    }
+    recalls["pq_adc_rerank@10"] = rec(pq_sets, exact_l2)
+
+    deq = dequantize_embeddings(quantize_embeddings(store))
+    recalls["int8@10"] = rec(topk_sets(knn_join(deq, qdf, k=k)), exact_cos)
+
+    # matryoshka: 16-dim-prefix candidates (fetch 5k), exact cosine re-rank
+    store16 = store.withColumn("emb16", F.expr("slice(cast(embedding as array<double>), 1, 16)"))
+    qdf16 = qdf.withColumn("query_vec", F.expr("slice(query_vec, 1, 16)"))
+    cand = knn_join(store16, qdf16, k=5 * k, item_vec="emb16").select("query_id", "neighbor_id")
+    dist = distance_expr("embedding", P.to_double_array("query_vec", "spark"), "COSINE")
+    rr = (
+        cand.join(store.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("distance", F.expr(f"round({dist}, 6)"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("neighbor_id").asc())
+    mat = rr.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    recalls["matryoshka16_rerank@10"] = rec(topk_sets(mat), exact_cos)
+    return recalls
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -103,6 +190,15 @@ def main() -> None:
         except Exception as e:
             print(f"# BENCH ERROR {comp_name}: {str(e).splitlines()[0][:200]}", file=sys.stderr)
 
+    recalls: dict[str, float] = {}
+    t0 = time.time()
+    try:
+        recalls = ann_recall(spark, sf_dir)
+        timings["ann_recall_suite"] = round(time.time() - t0, 3)
+        print(f"# ann_recall_suite: {timings['ann_recall_suite']}s {recalls}", file=sys.stderr)
+    except Exception as e:
+        print(f"# BENCH ERROR ann_recall_suite: {str(e).splitlines()[0][:200]}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -111,6 +207,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "recall": recalls,
                 "sf": sf,
             }
         )
