@@ -1716,6 +1716,75 @@ ORDER BY doc_id
 """
 
 
+def unigram_logprob_quality(d: str) -> str:
+    """CCNet-style language-model quality filter: score each document by its
+    mean token unigram log-probability under the CORPUS unigram model, flag
+    the low-logprob tail (the cheap stand-in for a KenLM perplexity filter —
+    the standard web-corpus quality gate). Shape: one token explode feeds
+    both the global frequency table (vocab-sized, broadcast-able dim at any
+    corpus scale) and the per-doc join+agg — two hash aggregations and one
+    broadcast join; the corpus never shuffles its text. Deterministic doc
+    subset keeps the bench slice proportionate."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT doc_id, tk FROM documents LATERAL VIEW explode({toks}) t AS tk WHERE doc_id % 4 = 0"
+    else:
+        tok = f"SELECT doc_id, unnest({toks}) AS tk FROM documents WHERE doc_id % 4 = 0"
+    return f"""
+WITH tok AS ({tok}),
+freq AS (SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM freq),
+scored AS (
+  SELECT tok.doc_id AS doc_id, SUM(ln(freq.c / tot.t)) / COUNT(*) AS lp,
+         COUNT(*) AS n_tok
+  FROM tok JOIN freq ON tok.tk = freq.tk CROSS JOIN tot
+  GROUP BY tok.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       round(lp, 6) AS avg_logprob,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CASE WHEN lp >= -7.5 THEN 'keep' ELSE 'filter' END AS verdict
+FROM scored
+ORDER BY doc_id
+"""
+
+
+DECONTAM_NGRAM, CONTAINMENT_MIN = 5, 0.5
+
+
+def shingle_containment_decontam(d: str) -> str:
+    """Train-test decontamination by n-gram CONTAINMENT (the GPT-3/PaLM-style
+    leakage metric): for every test doc (doc_id % 10 = 3), the fraction of
+    its distinct 5-gram shingles that appear in each training doc; pairs at
+    containment >= 0.5 are leaks. Asymmetric (divides by the TEST doc's
+    shingle count), unlike ngram_jaccard_pairs' symmetric set measure, and
+    cross-corpus ONLY — the join keeps test x train rows, so steady-state
+    cost is |test| x avg-bucket, never train x train. Shingles are exploded
+    once and joined on 8-byte hashes; document text never shuffles."""
+    sh = P.shingle_hashes("text", DECONTAM_NGRAM, d)
+    if d == "spark":
+        sh_d = f"array_distinct({sh})"
+        shingled = f"SELECT doc_id, (doc_id % 10 = 3) AS is_test, s FROM documents LATERAL VIEW explode({sh_d}) t AS s"
+    else:
+        sh_d = f"list_distinct({sh})"
+        shingled = f"SELECT doc_id, (doc_id % 10 = 3) AS is_test, unnest({sh_d}) AS s FROM documents"
+    return f"""
+WITH sh AS ({shingled}),
+test_sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh WHERE is_test GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id AS test_id, tr.doc_id AS train_id, COUNT(*) AS n_common
+  FROM sh t JOIN sh tr ON t.s = tr.s AND t.is_test AND NOT tr.is_test
+  GROUP BY t.doc_id, tr.doc_id
+)
+SELECT CAST(h.test_id AS BIGINT) AS test_id,
+       CAST(h.train_id AS BIGINT) AS train_id,
+       round(h.n_common * 1.0 / ts.n, 6) AS containment
+FROM hits h JOIN test_sizes ts ON h.test_id = ts.doc_id
+WHERE h.n_common * 1.0 / ts.n >= {CONTAINMENT_MIN}
+ORDER BY test_id, train_id
+"""
+
+
 def salted_user_counts(d: str) -> str:
     """Per-user event counts, top-50 — the oracle for the SALTED two-phase
     aggregation the Spark side runs (skew mitigation: hot users pre-combine
@@ -2161,7 +2230,10 @@ def funnel_conversion(d: str) -> str:
     Three filtered scans + two equi-joins on user_id; every stage's agg
     combines map-side, and joins key on user_id so at scale they co-partition
     with one shuffle. The classic product-analytics op the reference's Oracle
-    backend would do with CTEs — identical shape here."""
+    backend would do with CTEs — identical shape here. Exchange budget: ~2
+    per stage (stage join + stage agg), so xchg=8 for the four-stage funnel
+    is the expected floor, not plan waste — at scale, pre-partitioning events
+    by user_id collapses every stage onto one co-located shuffle."""
     ts = _ts_us(d)
     return f"""
 WITH v AS (
@@ -2199,7 +2271,10 @@ def pagerank_3iter(d: str) -> str:
     Convergence-loop form lives in dedup.connected_components (pointer
     jumping + localCheckpoint); this is the fixed-iteration twin with a full
     value oracle. Top-20 ordered by ROUNDED rank (then id) so boundary
-    membership is engine-independent."""
+    membership is engine-independent. Exchange budget: ~3 per iteration
+    (rank-edge join + dst aggregation + degree join), so xchg=10 over 3
+    unrolled iterations is inherent to the algorithm; at scale the edge list
+    is pre-partitioned on dst and only the 16-byte rank vector moves."""
     nn = "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents)"
     ks = (
         "SELECT explode(sequence(1, 3)) AS k"
@@ -2421,6 +2496,8 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "events_variant_histogram": events_variant_histogram,
     "pagerank_3iter": pagerank_3iter,
     "weighted_reservoir_sample": weighted_reservoir_sample,
+    "unigram_logprob_quality": unigram_logprob_quality,
+    "shingle_containment_decontam": shingle_containment_decontam,
 }
 
 # transformWithState (streaming/stateful.running_user_stats_tws) needs
