@@ -130,6 +130,26 @@ def lsh_knn_join(
     )
 
 
+def lloyd_kmeans(x, k: int, seed: int = 42, max_iter: int = 10):
+    """Plain Lloyd on a driver-side numpy sample — the FAISS-style coarse
+    quantizer fit (quantizers train on ~max(10k, 40·k) sampled vectors; the
+    cluster-scale stage is only the assignment)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(max_iter):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        new = np.asarray(
+            [x[lab == i].mean(axis=0) if (lab == i).any() else cents[i] for i in range(len(cents))]
+        )
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return cents
+
+
 class IVFIndex:
     """IVF-style ANN: k-means coarse quantizer + centroid-pruned probe.
 
@@ -164,23 +184,13 @@ class IVFIndex:
     def fit(
         self, df: DataFrame, sample_fraction: float = 1.0, max_sample: int = 50_000
     ) -> "IVFIndex":
+        train = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed=self.seed)
+        # Arrow toPandas: ~5x faster than Row collect for array columns
+        pdf = train.select(F.col(self.vec_col).cast("array<double>").alias("_v")).limit(max_sample).toPandas()
         import numpy as np
 
-        train = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed=self.seed)
-        rows = train.select(F.col(self.vec_col).cast("array<double>")).limit(max_sample).collect()
-        x = np.asarray([r[0] for r in rows], dtype=np.float64)
-        rng = np.random.default_rng(self.seed)
-        cents = x[rng.choice(len(x), size=min(self.n_centroids, len(x)), replace=False)]
-        for _ in range(self.max_iter):
-            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            lab = d.argmin(axis=1)
-            new = np.asarray(
-                [x[lab == i].mean(axis=0) if (lab == i).any() else cents[i] for i in range(len(cents))]
-            )
-            if np.allclose(new, cents):
-                break
-            cents = new
-        self.centroids = cents
+        x = np.asarray(pdf["_v"].to_list(), dtype=np.float64)
+        self.centroids = lloyd_kmeans(x, self.n_centroids, self.seed, self.max_iter)
         return self
 
     def _sq_dist_expr(self, i: int) -> str:
@@ -285,8 +295,8 @@ class PQIndex:
     def fit(self, df: DataFrame, max_sample: int = 50_000) -> "PQIndex":
         import numpy as np
 
-        rows = df.select(F.col(self.vec_col).cast("array<double>")).limit(max_sample).collect()
-        x = np.asarray([r[0] for r in rows], dtype=np.float64)
+        pdf = df.select(F.col(self.vec_col).cast("array<double>").alias("_v")).limit(max_sample).toPandas()
+        x = np.asarray(pdf["_v"].to_list(), dtype=np.float64)
         rng = np.random.default_rng(self.seed)
         books = []
         for s in range(self.m):

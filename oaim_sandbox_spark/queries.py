@@ -2531,32 +2531,52 @@ def _embedding_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches the driver (bounded sample — FAISS-style coarse quantizer), never
     the store itself.
     """
+    from collections.abc import Iterator
+
     import numpy as np
+    import pandas as pd
     from pyspark.sql import functions as F
 
-    from oaim_sandbox_spark.operators.ann import IVFIndex
+    from oaim_sandbox_spark.operators.ann import lloyd_kmeans
 
     register_views(spark, sf_dir)
     threshold, margin = 0.35, 1e-6  # margin covers the round(.,6) boundary
-    v = P.to_double_array("embedding", "spark")
-    base = (
-        spark.table("embeddings")
-        .select("vec_id", F.expr(v).alias("v"), F.expr(P.norm2(v, "spark")).alias("n"))
-        .withColumn("u", F.expr("transform(v, x -> x / n)"))
+    emb = spark.table("embeddings").select(
+        "vec_id", F.expr("cast(embedding as array<double>)").alias("v")
     )
-    idx = IVFIndex(n_centroids=8, seed=7, vec_col="u", max_iter=10).fit(base)
-    assigned = (
-        idx.assign_with_dist(base)
-        .select("vec_id", "v", "n", "centroid", "centroid_dist")
-        .localCheckpoint(eager=True)  # joined twice below — materialize once
-    )
+    # coarse quantizer: a 4k normalized sample bounds driver work at ANY size
+    sample = np.asarray(emb.limit(4096).toPandas()["v"].to_list(), dtype=np.float64)
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    cents = lloyd_kmeans(sample, 8, seed=7, max_iter=10)
+    b_cents = spark.sparkContext.broadcast(cents)
+
+    def normalize_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # unit-normalize + nearest-centroid in ONE vectorized Arrow pass
+        # (the interpreted-lambda fold form costs ~10 folds/row)
+        for pdf in batches:
+            m = np.asarray(pdf["v"].to_list(), dtype=np.float64)
+            u = m / np.linalg.norm(m, axis=1, keepdims=True)
+            d = ((u[:, None, :] - b_cents.value[None, :, :]) ** 2).sum(axis=2)
+            c = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "u": list(u),
+                    "centroid": c.astype("int32"),
+                    "centroid_dist": np.sqrt(d[np.arange(len(c)), c]),
+                }
+            )
+
+    assigned = emb.mapInPandas(
+        normalize_assign,
+        "vec_id BIGINT, u ARRAY<DOUBLE>, centroid INT, centroid_dist DOUBLE",
+    ).localCheckpoint(eager=True)  # read 3x below — materialize once
     # cluster radii: k tiny rows to the driver, never the store
     radii = {
         r["centroid"]: r["r"]
         for r in assigned.groupBy("centroid").agg(F.max("centroid_dist").alias("r")).collect()
     }
     D = float(np.sqrt(2.0 - 2.0 * (threshold - margin)))
-    cents = idx.centroids
     cand_pairs = [
         (i, j)
         for i in radii
@@ -2564,23 +2584,61 @@ def _embedding_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         if i <= j
         and float(np.linalg.norm(cents[i] - cents[j])) <= D + radii[i] + radii[j]
     ]
-    pairs_df = spark.createDataFrame(cand_pairs, "ci INT, cj INT")
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cand = (
+    # distribute each qualifying cluster-pair block to one applyInPandas
+    # group and run the pairwise scoring as a BLAS matmul there — candidate
+    # generation never touches the driver and never pays the interpreted
+    # fold for non-candidates. pid keys the block; same-cluster blocks load
+    # one side and self-multiply (upper triangle).
+    pairs_rows = [(pid, ci, cj) for pid, (ci, cj) in enumerate(cand_pairs)]
+    pairs_df = spark.createDataFrame(pairs_rows, "pid INT, ci INT, cj INT")
+    narrow = assigned.select("vec_id", "centroid", "u")
+    left = (
         F.broadcast(pairs_df)
-        .join(a, F.col("a.centroid") == F.col("ci"))
-        .join(b, F.col("b.centroid") == F.col("cj"))
-        # same-cluster pair: order by id; cross-cluster: every unordered
-        # vector pair appears exactly once (a from ci, b from cj, ci < cj)
-        .filter((F.col("ci") < F.col("cj")) | (F.col("a.vec_id") < F.col("b.vec_id")))
+        .join(narrow, narrow.centroid == F.col("ci"))
+        .select("pid", "vec_id", "u", F.lit("a").alias("side"))
+    )
+    right = (
+        F.broadcast(pairs_df.filter(F.col("ci") < F.col("cj")))
+        .join(narrow, narrow.centroid == F.col("cj"))
+        .select("pid", "vec_id", "u", F.lit("b").alias("side"))
+    )
+    thr = threshold - margin
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == "a"]
+        ids_a = a["vec_id"].to_numpy()
+        ma = np.stack(a["u"].to_numpy())
+        b = pdf[pdf["side"] == "b"]
+        if len(b):  # cross-cluster block
+            ids_b = b["vec_id"].to_numpy()
+            sims = ma @ np.stack(b["u"].to_numpy()).T
+            ii, jj = np.where(sims >= thr)
+            lo = np.minimum(ids_a[ii], ids_b[jj])
+            hi = np.maximum(ids_a[ii], ids_b[jj])
+        else:  # same-cluster block: self-matmul, upper triangle by id
+            sims = ma @ ma.T
+            ii, jj = np.where(sims >= thr)
+            keep = ids_a[ii] < ids_a[jj]
+            lo, hi = ids_a[ii][keep], ids_a[jj][keep]
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    cand = (
+        left.unionByName(right)
+        .groupBy("pid")
+        .applyInPandas(block, "id_a BIGINT, id_b BIGINT")
+    )
+    # exact-fold re-score of the (few) survivors — bit-identical to the
+    # oracle's sequential fold, so the prefilter margin never shows; the
+    # fold expressions evaluate only on the survivor joins' stream side
+    ve = P.to_double_array("embedding", "spark")
+    vnorm = spark.table("embeddings").select(
+        "vec_id", F.expr(ve).alias("v"), F.expr(P.norm2(ve, "spark")).alias("n")
     )
     sim = f"round({P.dot('a.v', 'b.v', 'spark')} / (a.n * b.n), 6)"
     return (
-        cand.select(
-            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("id_a"),
-            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("id_b"),
-            F.expr(sim).alias("cosine_sim"),
-        )
+        cand.join(vnorm.alias("a"), cand.id_a == F.col("a.vec_id"))
+        .join(vnorm.alias("b"), cand.id_b == F.col("b.vec_id"))
+        .select("id_a", "id_b", F.expr(sim).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
