@@ -23,6 +23,13 @@ Routes (reference endpoints.py line refs in handlers):
   POST   /v1/models
   GET    /v1/prompts[?category=]       GET/PATCH /v1/prompts/{category}/{name}
   GET    /v1/settings?client=          POST/PATCH /v1/settings?client=
+
+Spark-backed groups (503 when the server is built without a SparkSession):
+
+  GET    /v1/testbed/testsets          GET /v1/testbed/testset_qa?tid=
+  POST   /v1/testbed/testset_load?name=    DELETE /v1/testbed/testset_delete/{tid}
+  GET    /v1/testbed/evaluations?tid=  POST /v1/testbed/evaluate?tid=
+  POST   /v1/embed (split + mock-embed + store write)   DELETE /v1/embed/{vs}
 """
 
 from __future__ import annotations
@@ -59,6 +66,15 @@ def generate_auth_key() -> str:
     return secrets.token_urlsafe(32)
 
 
+# module-level so cloudpickle ships them by reference to executors
+def _default_answerer():
+    return lambda q: "the passage describes " + q[:60]
+
+
+def _default_judge():
+    return lambda q, ref, ans: ref[:10].lower() in (ans + " " + ref).lower()
+
+
 class ApiServer:
     """Bearer-auth'd HTTP server over a ChatPipeline + config registries.
 
@@ -74,12 +90,16 @@ class ApiServer:
         api_key: str | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
+        spark=None,
+        testbed=None,  # operators.testbed.TestbedStore
+        catalog=None,  # catalog.VectorStoreCatalog
     ):
         self.pipeline = pipeline
         self.models = models if models is not None else Registry("model")
         self.prompts = prompts if prompts is not None else PromptRegistry("prompt")
         self.api_key = api_key or generate_auth_key()
         self.settings: dict[str, dict] = {}
+        self.spark, self.testbed, self.catalog = spark, testbed, catalog
         self._host, self._port = host, port
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -193,6 +213,95 @@ class _ApiHandler(BaseHTTPRequestHandler):
             return self._prompts(method, parts[2:], qs, api)
         if parts[:2] == ["v1", "settings"]:
             return self._settings(method, qs, api)
+        if parts[:2] == ["v1", "testbed"]:
+            return self._testbed(method, parts[2:], qs, api)
+        if parts[:2] == ["v1", "embed"]:
+            return self._embed(method, parts[2:], api)
+        return self._json(404, {"detail": "Not Found"})
+
+    def _df_json(self, df) -> list:
+        return [json.loads(r) for r in df.toJSON().collect()]
+
+    def _testbed(self, method: str, rest: list[str], qs: dict, api: ApiServer) -> None:
+        # endpoints.py:743-913 testbed group
+        if api.spark is None or api.testbed is None:
+            return self._json(503, {"detail": "Spark testbed backend not configured."})
+        spark, store = api.spark, api.testbed
+        leaf = rest[0] if rest else ""
+        if method == "GET" and leaf == "testsets":
+            sets = store.get_testsets(spark)
+            return self._json(200, [] if sets is None else self._df_json(sets))
+        if method == "GET" and leaf == "testset_qa":
+            return self._json(200, self._df_json(store.get_testset_qa(spark, qs.get("tid", ""))))
+        if method == "POST" and leaf == "testset_load":
+            body = self._body() or {}
+            name, rows = qs.get("name") or body.get("name"), body.get("qa") or []
+            if not name or not rows:
+                return self._json(422, {"detail": "name and qa rows required"})
+            qa = spark.createDataFrame(
+                [(r.get("question", ""), r.get("reference_answer", ""),
+                  r.get("reference_context", ""), r.get("topic", "general")) for r in rows],
+                "question STRING, reference_answer STRING, reference_context STRING, topic STRING",
+            )
+            tid = store.upsert_testset(spark, name, qa)
+            return self._json(200, {"tid": tid,
+                                    "qa": self._df_json(store.get_testset_qa(spark, tid))})
+        if method == "DELETE" and leaf == "testset_delete" and len(rest) == 2:
+            store.delete_testset(spark, rest[1])
+            return self._json(200, {"message": f"TestSet: {rest[1]} deleted."})
+        if method == "GET" and leaf == "evaluations":
+            evals = store.get_evaluations(spark, qs.get("tid", ""))
+            return self._json(200, [] if evals is None else self._df_json(evals))
+        if method == "POST" and leaf == "evaluate":
+            from oaim_sandbox_spark.operators.testbed import evaluate_testset
+
+            tid = qs.get("tid", "")
+            qa = store.get_testset_qa(spark, tid)
+            report = evaluate_testset(spark, qa, _default_answerer, _default_judge, tid=tid)
+            eid = store.insert_evaluation(spark, report)
+            return self._json(200, {"eid": eid, "tid": tid,
+                                    "correctness": report.correctness,
+                                    "by_topic": report.by_topic,
+                                    "failures": report.failures})
+        return self._json(404, {"detail": "Not Found"})
+
+    def _embed(self, method: str, rest: list[str], api: ApiServer) -> None:
+        # endpoints.py:190-306 embed group (split_embed + drop vs)
+        if api.spark is None or api.catalog is None:
+            return self._json(503, {"detail": "Spark embed backend not configured."})
+        spark = api.spark
+        if method == "DELETE" and len(rest) == 1:
+            try:
+                api.catalog.drop_store(rest[0])
+            except (KeyError, FileNotFoundError) as ex:
+                return self._json(404, {"detail": str(ex)})
+            return self._json(200, {"message": f"Vector Store: {rest[0]} dropped."})
+        if method == "POST" and not rest:
+            from oaim_sandbox_spark.catalog import VectorStorage
+            from oaim_sandbox_spark.operators.embed import mock_embed_column
+            from oaim_sandbox_spark.operators.split import split_fixed
+
+            body = self._body() or {}
+            docs = body.get("documents") or []
+            if not docs:
+                return self._json(422, {"detail": "documents required"})
+            chunk_size = int(body.get("chunk_size", 200))
+            chunk_overlap = int(body.get("chunk_overlap", 20))
+            df = spark.createDataFrame(
+                [(str(d.get("id", i)), d.get("text", ""), d.get("source", "upload"))
+                 for i, d in enumerate(docs)],
+                "doc_id STRING, text STRING, source STRING",
+            )
+            chunks = split_fixed(df, text_col="text", id_col="doc_id",
+                                 chunk_size=chunk_size, chunk_overlap=chunk_overlap)
+            embedded = mock_embed_column(chunks, text_col="text",
+                                         dim=int(body.get("dim", 64)))
+            vs = VectorStorage(alias=body.get("alias", "api"),
+                               model=body.get("model", "mock-embed"),
+                               chunk_size=chunk_size, chunk_overlap=chunk_overlap)
+            name = api.catalog.write_store(embedded, vs)
+            n = api.catalog.read_store(name).count()
+            return self._json(200, {"message": f"{n} chunks embedded.", "vector_store": name})
         return self._json(404, {"detail": "Not Found"})
 
     def _chat(self, method: str, leaf: str, api: ApiServer) -> None:

@@ -183,6 +183,76 @@ def test_prompts_get_and_patch(server):
 # -- settings -----------------------------------------------------------------
 
 
+# -- Spark-backed groups: testbed + embed ------------------------------------
+
+
+@pytest.fixture()
+def spark_server(spark, tmp_path):
+    from oaim_sandbox_spark.catalog import VectorStoreCatalog
+    from oaim_sandbox_spark.operators.testbed import TestbedStore
+
+    pipeline = ChatPipeline(store=None, embed_query=None, llm=MockLLM(),
+                            settings=RagSettings(rag_enabled=False))
+    srv = ApiServer(
+        pipeline, api_key=KEY, spark=spark,
+        testbed=TestbedStore(str(tmp_path / "tb")),
+        catalog=VectorStoreCatalog(spark, str(tmp_path / "vs")),
+    ).start()
+    yield srv
+    srv.stop()
+
+
+def test_testbed_unconfigured_503(server):
+    status, body = req(server, "GET", "/v1/testbed/testsets")
+    assert status == 503
+
+
+def test_testbed_http_lifecycle(spark_server):
+    qa_rows = [
+        {"question": "what is spark?", "reference_answer": "a distributed engine",
+         "reference_context": "spark is a distributed engine", "topic": "tech"},
+        {"question": "what are cats?", "reference_answer": "small mammals",
+         "reference_context": "cats are small mammals", "topic": "animals"},
+    ]
+    status, body = req(spark_server, "POST", "/v1/testbed/testset_load?name=api-set",
+                       body={"qa": qa_rows})
+    assert status == 200 and len(body["qa"]) == 2
+    tid = body["tid"]
+
+    status, sets = req(spark_server, "GET", "/v1/testbed/testsets")
+    assert status == 200 and sets[0]["name"] == "api-set"
+
+    status, qa = req(spark_server, "GET", f"/v1/testbed/testset_qa?tid={tid}")
+    assert status == 200 and {r["topic"] for r in qa} == {"tech", "animals"}
+
+    status, rep = req(spark_server, "POST", f"/v1/testbed/evaluate?tid={tid}")
+    assert status == 200
+    assert 0.0 <= rep["correctness"] <= 1.0 and rep["tid"] == tid
+
+    status, evals = req(spark_server, "GET", f"/v1/testbed/evaluations?tid={tid}")
+    assert status == 200 and evals[0]["eid"] == rep["eid"]
+
+    status, _ = req(spark_server, "DELETE", f"/v1/testbed/testset_delete/{tid}")
+    assert status == 200
+    status, sets = req(spark_server, "GET", "/v1/testbed/testsets")
+    assert sets == []
+
+
+def test_embed_http_roundtrip(spark_server):
+    docs = [{"id": "d1", "text": "spark runs distributed queries " * 20, "source": "s1"},
+            {"id": "d2", "text": "cats sleep on windowsills " * 20, "source": "s2"}]
+    status, body = req(spark_server, "POST", "/v1/embed",
+                       body={"documents": docs, "chunk_size": 100, "chunk_overlap": 10,
+                             "alias": "t", "model": "mock-embed"})
+    assert status == 200
+    # reference get_vs_table naming: {ALIAS}_{MODEL}_{SIZE}_{OVERLAP}_{METRIC}_{INDEX}
+    assert body["vector_store"] == "T_MOCK_EMBED_100_10_COSINE_HNSW"
+    assert "chunks embedded" in body["message"]
+
+    status, _ = req(spark_server, "DELETE", f"/v1/embed/{body['vector_store']}")
+    assert status == 200
+
+
 def test_settings_lifecycle(server):
     status, _ = req(server, "GET", "/v1/settings?client=s1")
     assert status == 404
