@@ -228,6 +228,42 @@ class IVFIndex:
 
     def write_partitioned(self, df: DataFrame, path: str) -> None:
         self.assign(df).write.mode("overwrite").partitionBy("centroid").parquet(path)
+        self.save(f"{path}/_ivf_index.json")
+
+    def save(self, path: str) -> None:
+        """Persist the fitted quantizer (centroids + params) as JSON next to
+        the partitioned store, so later sessions probe without refitting —
+        the index metadata the reference keeps in its catalog comment (K5)."""
+        import json as _json
+
+        with open(path, "w") as fh:
+            _json.dump(
+                {
+                    "n_centroids": self.n_centroids,
+                    "seed": self.seed,
+                    "vec_col": self.vec_col,
+                    "max_iter": self.max_iter,
+                    "centroids": [[float(v) for v in c] for c in self.centroids],
+                },
+                fh,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        import json as _json
+
+        import numpy as np
+
+        with open(path) as fh:
+            meta = _json.load(fh)
+        idx = cls(
+            n_centroids=meta["n_centroids"],
+            seed=meta["seed"],
+            vec_col=meta["vec_col"],
+            max_iter=meta["max_iter"],
+        )
+        idx.centroids = np.asarray(meta["centroids"], dtype=np.float64)
+        return idx
 
     def probe_centroids(self, query_vec: list[float], nprobe: int = 2) -> list[int]:
         import numpy as np

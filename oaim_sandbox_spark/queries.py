@@ -2308,6 +2308,57 @@ LIMIT 20
 """
 
 
+def triangle_count(d: str) -> str:
+    """Triangle counting over the SAME deterministic hash-derived link graph
+    as pagerank_3iter — the canonical heavy-join graph metric (clustering /
+    spam structure in link corpora). Strategy: canonicalize to undirected
+    (a < b) distinct edges, then the standard oriented wedge join
+    (e1.b = e2.a keeps only a<b<c paths) closed by a third edge join — the
+    id-ordering plays the degree-ordering trick's role, bounding each wedge
+    to one orientation so no triangle is counted twice. Two shuffle joins
+    keyed on node ids; at scale the edge list pre-partitions on the join key
+    and only (a, b) int64 pairs move. Output: top-10 nodes by triangle
+    membership with the global count alongside (engine-independent ties via
+    node-id tiebreak)."""
+    nn = "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents)"
+    ks = (
+        "SELECT explode(sequence(1, 3)) AS k"
+        if d == "spark"
+        else "SELECT unnest(generate_series(1, 3)) AS k"
+    )
+    sid, sk = _str("doc_id", d), _str("k", d)
+    link = f"({P.hash64(f'concat({sid}, chr(35), {sk})', d)} % {nn})"
+    return f"""
+WITH ks AS ({ks}),
+raw AS (SELECT doc_id AS src, {link} AS dst FROM documents CROSS JOIN ks),
+edges AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tri),
+members AS (
+  SELECT v FROM (
+    SELECT x AS v FROM tri
+    UNION ALL SELECT y AS v FROM tri
+    UNION ALL SELECT z AS v FROM tri
+  ) m
+)
+SELECT CAST(v AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       (SELECT n FROM total) AS total_triangles
+FROM members
+GROUP BY v
+ORDER BY n_triangles DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def weighted_reservoir_sample(d: str) -> str:
     """Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
     each row draws u ~ U(0,1) and ranks by u^(1/weight); the global top-k IS
@@ -2498,6 +2549,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "weighted_reservoir_sample": weighted_reservoir_sample,
     "unigram_logprob_quality": unigram_logprob_quality,
     "shingle_containment_decontam": shingle_containment_decontam,
+    "triangle_count": triangle_count,
 }
 
 # transformWithState (streaming/stateful.running_user_stats_tws) needs

@@ -214,3 +214,25 @@ def test_pq_adc_plan_is_narrow_topk(pq_store):
     plan = idx.search(codes, rows[0][1], k=5, fetch_k=20)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_index_save_load_roundtrip(spark, tmp_path):
+    """write_partitioned persists the quantizer as _ivf_index.json inside the
+    store dir (underscore-prefixed: invisible to parquet reads); a later
+    session loads it and probes identically without refitting."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.ann import IVFIndex
+
+    store = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = [float(x) for x in store.filter("vec_id = 5").select(
+        F.expr("cast(embedding as array<double>)")).collect()[0][0]]
+    idx = IVFIndex(n_centroids=4, seed=11, max_iter=5).fit(store)
+    path = str(tmp_path / "ivf_persist")
+    idx.write_partitioned(store, path)
+
+    loaded = IVFIndex.load(f"{path}/_ivf_index.json")
+    assert (loaded.centroids == idx.centroids).all()
+    a = [(r["vec_id"], r["distance"]) for r in idx.search(spark, path, qv, k=5, nprobe=2).collect()]
+    b = [(r["vec_id"], r["distance"]) for r in loaded.search(spark, path, qv, k=5, nprobe=2).collect()]
+    assert a == b and len(a) == 5
