@@ -2308,6 +2308,45 @@ LIMIT 20
 """
 
 
+def chunk_reassembly(d: str) -> str:
+    """Split-inverse round trip in pure SQL: cut each document into fixed
+    200-char chunks (the P1 split shape as a substr window), then reassemble
+    with an ORDERED group-concat and verify byte equality with the original
+    — the lossless-chunking property the ingest pipeline depends on (S9
+    chunk reload + K6 debug sink round trip). Exercises the ordered
+    aggregation shape (Spark: sort_array(collect_list(struct)) — collect_list
+    alone is shuffle-order-nondeterministic; DuckDB: string_agg ORDER BY).
+    One explode + one grouped agg keyed on doc_id; chunks co-partition with
+    their doc so reassembly never crosses executors at scale."""
+    size = 200
+    if d == "spark":
+        chunks = (
+            f"SELECT doc_id, j, substr(text, (j - 1) * {size} + 1, {size}) AS chunk "
+            f"FROM documents LATERAL VIEW explode(sequence(1, CAST(ceil(length(text) / {size}.0) AS INT))) t AS j"
+        )
+        reasm = "array_join(transform(sort_array(collect_list(struct(j, chunk))), s -> s.chunk), '')"
+    else:
+        chunks = (
+            f"SELECT doc_id, unnest(generate_series(1, CAST(ceil(length(text) / {size}.0) AS INT))) AS j, text FROM documents"
+        )
+        chunks = (
+            f"SELECT doc_id, j, substr(text, CAST((j - 1) * {size} + 1 AS INT), {size}) AS chunk "
+            f"FROM ({chunks}) g"
+        )
+        reasm = "string_agg(chunk, '' ORDER BY j)"
+    return f"""
+WITH chunks AS ({chunks}),
+reassembled AS (
+  SELECT doc_id, {reasm} AS rebuilt, CAST(COUNT(*) AS BIGINT) AS n_chunks
+  FROM chunks GROUP BY doc_id
+)
+SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.n_chunks,
+       CAST(CASE WHEN r.rebuilt = d.text THEN 1 ELSE 0 END AS INT) AS lossless
+FROM reassembled r JOIN documents d ON r.doc_id = d.doc_id
+ORDER BY doc_id
+"""
+
+
 def triangle_count(d: str) -> str:
     """Triangle counting over the SAME deterministic hash-derived link graph
     as pagerank_3iter — the canonical heavy-join graph metric (clustering /
@@ -2550,6 +2589,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "unigram_logprob_quality": unigram_logprob_quality,
     "shingle_containment_decontam": shingle_containment_decontam,
     "triangle_count": triangle_count,
+    "chunk_reassembly": chunk_reassembly,
 }
 
 # transformWithState (streaming/stateful.running_user_stats_tws) needs
