@@ -70,7 +70,7 @@ def testbed_eval(spark, sf_dir: str) -> int:
     return int(round(report.correctness * 10_000))
 
 
-def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 8) -> dict[str, float]:
+def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str, float]:
     """recall@k of every approximate ANN tier against the exact k-NN oracle
     (VERDICT r1 #8: promote the recall numbers from tests into the bench so
     ANN quality regressions are visible round-over-round).
