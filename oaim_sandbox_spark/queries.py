@@ -885,6 +885,35 @@ ORDER BY doc_id
 """
 
 
+def grouped_split_leakage_safe(d: str) -> str:
+    """GROUP-aware train/test split: the split key is the GROUP (source), not
+    the document, so near-duplicate documents sharing a source can never
+    straddle the boundary — the leakage guard every eval split needs after
+    dedup finds that duplicates cluster within sources. The query both
+    assigns and PROVES the property: per (source, split) counts plus a
+    violations column (sources seen in >1 split) that must be 0 everywhere.
+    Pure projection + one grouped agg; no coordination at any scale."""
+    key = _str("source", d) + " || '-gsplit-v1'"
+    h = f"({P.hash64(key, d)} % 10)"
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, source,
+         CASE WHEN {h} < 9 THEN 'train' ELSE 'test' END AS split
+  FROM documents
+),
+per_source AS (
+  SELECT source, CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits
+  FROM assigned GROUP BY source
+)
+SELECT a.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT a.source) AS BIGINT) AS n_sources,
+       CAST(SUM(CASE WHEN p.n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violations
+FROM assigned a JOIN per_source p ON a.source = p.source
+GROUP BY a.split
+ORDER BY a.split
+"""
+
+
 def stratified_sample_counts(d: str) -> str:
     """Stratified deterministic sampling: ~20% of each language stratum via
     a hash threshold (no RNG — reproducible across engines and re-runs,
@@ -2590,6 +2619,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "shingle_containment_decontam": shingle_containment_decontam,
     "triangle_count": triangle_count,
     "chunk_reassembly": chunk_reassembly,
+    "grouped_split_leakage_safe": grouped_split_leakage_safe,
 }
 
 # transformWithState (streaming/stateful.running_user_stats_tws) needs
