@@ -2337,6 +2337,37 @@ LIMIT 20
 """
 
 
+def inverted_index_postings(d: str) -> str:
+    """Inverted-index build — the storage layout behind bm25_topk: for the
+    100 highest-df terms, the full sorted posting list (doc ids) plus df and
+    total term frequency. One token explode → per-(term, doc) tf agg →
+    per-term ordered array agg. At scale the posting lists are the thing you
+    persist (partitioned by term hash); queries then join a handful of terms'
+    postings instead of scanning the corpus — this query IS the index-build
+    job, oracle-checked. Ordered array agg: Spark sort_array(collect_list)
+    (collect_list alone is shuffle-order-nondeterministic), DuckDB
+    list(... ORDER BY)."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT doc_id, tk FROM documents LATERAL VIEW explode({toks}) t AS tk"
+        postings = "sort_array(collect_list(doc_id))"
+    else:
+        tok = f"SELECT doc_id, unnest({toks}) AS tk FROM documents"
+        postings = "list(doc_id ORDER BY doc_id)"
+    return f"""
+WITH tok AS ({tok}),
+tf AS (SELECT tk, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY tk, doc_id)
+SELECT tk AS term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       {postings} AS postings
+FROM tf
+GROUP BY tk
+ORDER BY df DESC, term ASC
+LIMIT 100
+"""
+
+
 def chunk_reassembly(d: str) -> str:
     """Split-inverse round trip in pure SQL: cut each document into fixed
     200-char chunks (the P1 split shape as a substr window), then reassemble
@@ -2620,6 +2651,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "triangle_count": triangle_count,
     "chunk_reassembly": chunk_reassembly,
     "grouped_split_leakage_safe": grouped_split_leakage_safe,
+    "inverted_index_postings": inverted_index_postings,
 }
 
 # transformWithState (streaming/stateful.running_user_stats_tws) needs
