@@ -451,6 +451,47 @@ WHERE rank <= 3
 """
 
 
+def lsh_multiprobe_topk(d: str) -> str:
+    """Multi-probe LSH k-NN: probe the exact bucket PLUS every Hamming-1
+    neighbor (flip one of the 6 hyperplane bits → 7 probes/query), the
+    standard recall lift that avoids building more tables — candidates grow
+    ~7x but stay bucket-bounded, nothing like a full scan. Probes explode
+    from the query side (tiny), the store side still hash-joins on its ONE
+    bucket value, so each store row is matched by at most one probe — no
+    candidate dedup needed. Deterministic hyperplanes keep it oracle-exact."""
+    n_planes = 6
+    bucket_e = hyperplane_expr("e.embedding", n_planes, EMBED_DIM, d)
+    bucket_q = hyperplane_expr("embedding", n_planes, EMBED_DIM, d)
+    dist = distance_expr("e.embedding", P.to_double_array("p.qv", d), "COSINE", d)
+    if d == "spark":
+        flips = ", ".join(f"qb ^ {1 << i}" for i in range(n_planes))
+        probes = (
+            f"SELECT query_id, qv, probe FROM q "
+            f"LATERAL VIEW explode(array(qb, {flips})) t AS probe"
+        )
+    else:
+        flips = ", ".join(f"xor(qb, {1 << i})" for i in range(n_planes))
+        probes = f"SELECT query_id, qv, unnest([qb, {flips}]) AS probe FROM q"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, {bucket_q} AS qb
+  FROM embeddings WHERE vec_id % 191 = 0
+),
+probes AS ({probes})
+SELECT query_id, neighbor_id, rank, distance
+FROM (
+  SELECT query_id, neighbor_id, distance,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, neighbor_id ASC) AS rank
+  FROM (
+    SELECT p.query_id AS query_id, e.vec_id AS neighbor_id, round({dist}, 6) AS distance
+    FROM embeddings e JOIN probes p ON {bucket_e} = p.probe
+    WHERE e.vec_id <> p.query_id
+  ) s
+) t
+WHERE rank <= 3
+"""
+
+
 def asof_clicks_before_errors(d: str) -> str:
     """As-of join (beyond the reference, SURVEY §2.4 gap): each error event
     paired with the user's most recent preceding click — union-the-streams +
@@ -2652,6 +2693,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "chunk_reassembly": chunk_reassembly,
     "grouped_split_leakage_safe": grouped_split_leakage_safe,
     "inverted_index_postings": inverted_index_postings,
+    "lsh_multiprobe_topk": lsh_multiprobe_topk,
 }
 
 # transformWithState (streaming/stateful.running_user_stats_tws) needs
