@@ -1895,7 +1895,15 @@ FROM (
 
 
 def _minhash_sigs_sql(d: str) -> str:
-    """(doc_id, sig) — MinHash signatures; shingle hashes materialized once."""
+    """(doc_id, sig) — MinHash signatures; shingle hashes materialized once.
+
+    Kept in the per-row HOF form (NUM_PERM transform+array_min passes over
+    the shingle-hash array) after an A/B against the simhash-style
+    aggregation form (explode + NUM_PERM grouped MINs): the permutations are
+    cheap integer ops, so the explode's 150x row blowup + doc_id shuffle
+    costs MORE than the in-place passes (3.9s vs 2.2s warm at sf0.1). The
+    aggregation form wins only when the per-pass work is heavy (simhash's
+    60 bit-vote passes)."""
     hs = P.shingle_hashes("text", NGRAM, d)
     sig = P.minhash_from_hashes("hs", NUM_PERM, d)
     return f"SELECT doc_id, {sig} AS sig FROM (SELECT doc_id, {hs} AS hs FROM documents) h"
