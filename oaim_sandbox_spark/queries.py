@@ -2809,21 +2809,33 @@ def _embedding_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = threshold - margin
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        # row-tiled matmul: the sims TILE is (tile x |block|), never
+        # (|block| x |block|) — bounds per-worker memory at ~25 MB however
+        # large the cluster block grows
+        tile = 512
         a = pdf[pdf["side"] == "a"]
         ids_a = a["vec_id"].to_numpy()
         ma = np.stack(a["u"].to_numpy())
         b = pdf[pdf["side"] == "b"]
+        los, his = [], []
         if len(b):  # cross-cluster block
             ids_b = b["vec_id"].to_numpy()
-            sims = ma @ np.stack(b["u"].to_numpy()).T
-            ii, jj = np.where(sims >= thr)
-            lo = np.minimum(ids_a[ii], ids_b[jj])
-            hi = np.maximum(ids_a[ii], ids_b[jj])
+            mbT = np.stack(b["u"].to_numpy()).T
+            for s in range(0, len(ma), tile):
+                sims = ma[s : s + tile] @ mbT
+                ii, jj = np.where(sims >= thr)
+                los.append(np.minimum(ids_a[s + ii], ids_b[jj]))
+                his.append(np.maximum(ids_a[s + ii], ids_b[jj]))
         else:  # same-cluster block: self-matmul, upper triangle by id
-            sims = ma @ ma.T
-            ii, jj = np.where(sims >= thr)
-            keep = ids_a[ii] < ids_a[jj]
-            lo, hi = ids_a[ii][keep], ids_a[jj][keep]
+            maT = ma.T
+            for s in range(0, len(ma), tile):
+                sims = ma[s : s + tile] @ maT
+                ii, jj = np.where(sims >= thr)
+                keep = ids_a[s + ii] < ids_a[jj]
+                los.append(ids_a[s + ii][keep])
+                his.append(ids_a[jj][keep])
+        lo = np.concatenate(los) if los else np.array([], dtype=np.int64)
+        hi = np.concatenate(his) if his else np.array([], dtype=np.int64)
         return pd.DataFrame({"id_a": lo, "id_b": hi})
 
     cand = (

@@ -35,6 +35,10 @@ def get_spark(app_name: str = "oaim-sandbox-spark", master: str | None = None) -
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(EMBED_BATCH_SIZE))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-mode default heap is 1g — far too small for local[32] on a
+        # large box (only effective at first JVM launch; harmless after)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
     )
     if master is not None:
