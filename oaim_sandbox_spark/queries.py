@@ -3629,13 +3629,13 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "events_variant_histogram",
     "hourly_gapfill",
     "char_entropy",
-    "mad_outliers",
-    "repetition_ratios",
-    "quality_filter",
-    "salted_user_counts",
-    "grouping_sets_docs",
-    "docs_intersect_except",
-    "q1_pricing_summary",
+    "unigram_logprob_quality",
+    "shingle_containment_decontam",
+    "triangle_count",
+    "chunk_reassembly",
+    "grouped_split_leakage_safe",
+    "inverted_index_postings",
+    "lsh_multiprobe_topk",
 )
 
 
