@@ -64,6 +64,10 @@ def events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     whatever the physical ts encoding (timestamp[us]/[ns] or int64 nanos)."""
     # harmless for micros parquet; required to read TIMESTAMP(NANOS) at all
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ -> epoch micros goes through the session tz; DuckDB's epoch_us
+    # treats naive timestamps as UTC, so pin it (vanilla driver sessions
+    # inherit the JVM tz, whatever that is)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.withColumn("ts_us", _ts_us_col(df))
 
@@ -73,6 +77,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     over sf_dir (pathGlobFilter=events.parquet), schema taken from the
     parquet footer, with the same normalized `ts_us` column."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(schema)
