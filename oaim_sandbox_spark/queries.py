@@ -1196,7 +1196,7 @@ sparse_ranked AS (
 ),
 sparse AS (SELECT doc_id, r FROM sparse_ranked WHERE r <= 20)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       round(COALESCE(1.0 / (60 + dense.r), 0.0) + COALESCE(1.0 / (60 + sparse.r), 0.0), 6) AS rrf
+       CAST(round(COALESCE(1.0 / (60 + dense.r), 0.0) + COALESCE(1.0 / (60 + sparse.r), 0.0), 6) AS DOUBLE) AS rrf
 FROM dense FULL OUTER JOIN sparse USING (doc_id)
 ORDER BY rrf DESC, doc_id ASC
 LIMIT 10
@@ -1853,7 +1853,7 @@ hits AS (
 )
 SELECT CAST(h.test_id AS BIGINT) AS test_id,
        CAST(h.train_id AS BIGINT) AS train_id,
-       round(h.n_common * 1.0 / ts.n, 6) AS containment
+       CAST(round(h.n_common * 1.0 / ts.n, 6) AS DOUBLE) AS containment
 FROM hits h JOIN test_sizes ts ON h.test_id = ts.doc_id
 WHERE h.n_common * 1.0 / ts.n >= {CONTAINMENT_MIN}
 ORDER BY test_id, train_id
@@ -1937,7 +1937,7 @@ pairs AS (
     ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
 )
 SELECT CAST(p.doc_a AS BIGINT) AS doc_a, CAST(p.doc_b AS BIGINT) AS doc_b,
-       round(({eq_terms}) / {NUM_PERM}.0, 6) AS est_jaccard
+       CAST(round(({eq_terms}) / {NUM_PERM}.0, 6) AS DOUBLE) AS est_jaccard
 FROM pairs p
 JOIN {rel} a ON a.doc_id = p.doc_a
 JOIN {rel} b ON b.doc_id = p.doc_b
@@ -1977,7 +1977,7 @@ pairs AS (
    AND l.is_new AND NOT r.is_new
 )
 SELECT CAST(p.new_id AS BIGINT) AS new_id, CAST(p.existing_id AS BIGINT) AS existing_id,
-       round(({eq_terms}) / {NUM_PERM}.0, 6) AS est_jaccard
+       CAST(round(({eq_terms}) / {NUM_PERM}.0, 6) AS DOUBLE) AS est_jaccard
 FROM pairs p
 JOIN {rel} a ON a.doc_id = p.new_id
 JOIN {rel} b ON b.doc_id = p.existing_id
@@ -2109,7 +2109,7 @@ inter AS (
   GROUP BY l.doc_id, r.doc_id
 )
 SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
-       round(n_inter * 1.0 / (a.n_sh + b.n_sh - n_inter), 6) AS jaccard
+       CAST(round(n_inter * 1.0 / (a.n_sh + b.n_sh - n_inter), 6) AS DOUBLE) AS jaccard
 FROM inter
 JOIN sizes a ON a.doc_id = doc_a
 JOIN sizes b ON b.doc_id = doc_b
@@ -2400,14 +2400,15 @@ def inverted_index_postings(d: str) -> str:
     postings instead of scanning the corpus — this query IS the index-build
     job, oracle-checked. Ordered array agg: Spark sort_array(collect_list)
     (collect_list alone is shuffle-order-nondeterministic), DuckDB
-    list(... ORDER BY)."""
+    list(... ORDER BY); the list is serialized to a comma-joined STRING so
+    the result is hash-comparable (the driver harness can't hash arrays)."""
     toks = P.tokens("text", d)
     if d == "spark":
         tok = f"SELECT doc_id, tk FROM documents LATERAL VIEW explode({toks}) t AS tk"
-        postings = "sort_array(collect_list(doc_id))"
+        postings = "array_join(sort_array(collect_list(doc_id)), ',')"
     else:
         tok = f"SELECT doc_id, unnest({toks}) AS tk FROM documents"
-        postings = "list(doc_id ORDER BY doc_id)"
+        postings = "array_to_string(list(doc_id ORDER BY doc_id), ',')"
     return f"""
 WITH tok AS ({tok}),
 tf AS (SELECT tk, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY tk, doc_id)
@@ -2431,17 +2432,20 @@ def chunk_reassembly(d: str) -> str:
     aggregation shape (Spark: sort_array(collect_list(struct)) — collect_list
     alone is shuffle-order-nondeterministic; DuckDB: string_agg ORDER BY).
     One explode + one grouped agg keyed on doc_id; chunks co-partition with
-    their doc so reassembly never crosses executors at scale."""
+    their doc so reassembly never crosses executors at scale. The chunk count
+    is clamped to >=1 on BOTH dialects: Spark's sequence(1, 0) steps -1 and
+    yields [1, 0] while DuckDB's generate_series(1, 0) is empty, so a
+    zero-length doc would otherwise diverge between engines."""
     size = 200
     if d == "spark":
         chunks = (
             f"SELECT doc_id, j, substr(text, (j - 1) * {size} + 1, {size}) AS chunk "
-            f"FROM documents LATERAL VIEW explode(sequence(1, CAST(ceil(length(text) / {size}.0) AS INT))) t AS j"
+            f"FROM documents LATERAL VIEW explode(sequence(1, greatest(1, CAST(ceil(length(text) / {size}.0) AS INT)))) t AS j"
         )
         reasm = "array_join(transform(sort_array(collect_list(struct(j, chunk))), s -> s.chunk), '')"
     else:
         chunks = (
-            f"SELECT doc_id, unnest(generate_series(1, CAST(ceil(length(text) / {size}.0) AS INT))) AS j, text FROM documents"
+            f"SELECT doc_id, unnest(generate_series(1, greatest(1, CAST(ceil(length(text) / {size}.0) AS INT)))) AS j, text FROM documents"
         )
         chunks = (
             f"SELECT doc_id, j, substr(text, CAST((j - 1) * {size} + 1 AS INT), {size}) AS chunk "
@@ -2578,7 +2582,7 @@ WITH cands AS (
 )
 SELECT doc_id, distance, rerank_score, rank
 FROM (
-  SELECT doc_id, distance, round({ce}, 6) AS rerank_score,
+  SELECT doc_id, distance, CAST(round({ce}, 6) AS DOUBLE) AS rerank_score,
          row_number() OVER (ORDER BY {ce} DESC, doc_id ASC) AS rank
   FROM cands
 ) t
@@ -3591,24 +3595,47 @@ def _make_spark_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # and the LLM-data-pipeline operators — the newest and highest-value entries —
 # followed by everything else in definition order.
 FLAGSHIP_FIRST: tuple[str, ...] = (
+    # --- round-3 re-certification: the 5 r2 driver failures (DECIMAL drift /
+    # array column) plus the 2 latent-drift queries and chunk_reassembly, all
+    # changed this round — they stay in the driver window to prove the fixes.
+    "minhash_lsh_pairs",
+    "incremental_neardup_probe",
+    "rerank_crossencoder_topk",
+    "shingle_containment_decontam",
+    "inverted_index_postings",
+    "hybrid_rrf_topk",
+    "ngram_jaccard_pairs",
+    "chunk_reassembly",
+    # --- rotation: oracle-backed entries never yet driver-checked in r1/r2
+    # (the driver samples only this prefix; union of rounds should cover all).
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q19_disjunctive_pred_join",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "bigram_topk",
+    "doc_len_percentiles",
+    "mad_outliers",
+    "salted_user_counts",
+    "repetition_ratios",
+    "quality_filter",
+    "latest_event_per_user",
+    "event_value_zscores",
+    "docs_intersect_except",
+    "customer_order_stats_outer",
+    "pivot_event_counts",
+    "cube_doc_counts",
+    "event_moving_stats",
+    "topk_docs_per_lang",
+    "grouping_sets_docs",
+    # --- r2-green flagships kept in-window for continuity.
     "catalog_scan_events",
     "events_hourly_windows",
     "user_activity_sessions",
     "asof_clicks_before_errors",
     "range_error_followups",
     "events_rollup",
-    "minhash_lsh_pairs",
-    "incremental_neardup_probe",
-    "near_dup_clusters",
-    "simhash_near_pairs",
-    "embedding_cosine_pairs",
-    "mmr_exact",
-    "pq_adc_topk",
-    "quantized_topk",
-    "matryoshka_topk",
-    "ivf_full_probe_topk",
-    "bm25_topk",
-    "hybrid_rrf_topk",
     "streaming_hourly_counts",
     "streaming_sessions",
     "streaming_dedup_pairs",
@@ -3616,31 +3643,14 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "streaming_click_error_join",
     "streaming_enrich_nation",
     "streaming_user_stats_tws",
-    "decontamination_8gram",
-    "boilerplate_gram_fraction",
-    "domain_mix_rebalance",
-    "mlm_masking",
-    "sequence_packing",
-    "train_test_split",
-    "stratified_sample_counts",
-    "weighted_reservoir_sample",
-    "ntile_curriculum_buckets",
-    "pagerank_3iter",
-    "funnel_conversion",
-    "tfidf_top_terms",
-    "embedding_centroid_outliers",
-    "rerank_crossencoder_topk",
-    "levenshtein_near_pairs",
-    "events_variant_histogram",
-    "hourly_gapfill",
-    "char_entropy",
-    "unigram_logprob_quality",
-    "shingle_containment_decontam",
-    "triangle_count",
-    "chunk_reassembly",
-    "grouped_split_leakage_safe",
-    "inverted_index_postings",
+    "near_dup_clusters",
+    "simhash_near_pairs",
+    "embedding_cosine_pairs",
+    "mmr_exact",
+    "bm25_topk",
     "lsh_multiprobe_topk",
+    "ivf_full_probe_topk",
+    "pq_adc_topk",
 )
 
 
