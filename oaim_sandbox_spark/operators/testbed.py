@@ -231,6 +231,7 @@ def evaluate_testset(
     judge_factory: Callable[[], Callable[[str, str, str], bool]],
     tid: str = "",
     settings: dict | None = None,
+    max_failures: int = 1000,
 ) -> EvaluationReport:
     """Run every QA row through the answerer + judge, data-parallel.
 
@@ -238,6 +239,12 @@ def evaluate_testset(
     (question, reference_answer, agent_answer -> correct). Factories are
     constructed per executor task (picklable), mirroring the reference's
     per-row get_answer + LLM judge (endpoints.py:871-900).
+
+    ``max_failures`` caps the driver-side failure sample: the aggregate
+    correctness stats stay exact and distributed, but the per-row failure
+    list is a bounded .limit() collect so evaluating a 10M-row set can't
+    OOM the driver (the reference unpickles the whole report, testbed.py:337
+    — fine at its scale, not at ours).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -270,7 +277,7 @@ def evaluate_testset(
     }
     failures = [
         {"question": r["question"], "agent_answer": r["agent_answer"], "topic": r["topic"]}
-        for r in per_row.filter(~F.col("correct")).collect()
+        for r in per_row.filter(~F.col("correct")).limit(max_failures).collect()
     ]
     return EvaluationReport(
         tid=tid,

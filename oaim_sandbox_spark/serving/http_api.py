@@ -23,6 +23,12 @@ Routes (reference endpoints.py line refs in handlers):
   POST   /v1/models
   GET    /v1/prompts[?category=]       GET/PATCH /v1/prompts/{category}/{name}
   GET    /v1/settings?client=          POST/PATCH /v1/settings?client=
+  GET    /v1/databases                 GET/PATCH /v1/databases/{name}
+  GET    /v1/oci                       GET/PATCH /v1/oci/{profile}
+  GET    /v1/oci/compartments/{profile}
+  GET    /v1/oci/buckets/{compartment_ocid}/{profile}
+  GET    /v1/oci/objects/{bucket}/{profile}
+  POST   /v1/oci/objects/download/{bucket}/{profile}
 
 Spark-backed groups (503 when the server is built without a SparkSession):
 
@@ -35,9 +41,11 @@ Spark-backed groups (503 when the server is built without a SparkSession):
 from __future__ import annotations
 
 import json
+import os
 import secrets
+import tempfile
 import threading
-from dataclasses import asdict, fields, replace
+from dataclasses import asdict, dataclass, field, fields, replace
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
 
@@ -66,13 +74,63 @@ def generate_auth_key() -> str:
     return secrets.token_urlsafe(32)
 
 
+@dataclass
+class DatabaseDef:
+    """Parity with the reference Database schema (src/common/schema.py
+    Database / DatabaseAuth): a named connection config. Spark-first
+    reinterpretation: ``dsn`` is a warehouse DIRECTORY holding vector-store
+    parquet dirs (what an Oracle DSN + vector tables is to the reference,
+    a parquet warehouse root is to this engine); "connecting" validates the
+    directory and scans its catalog sidecars (endpoints.py:124-186)."""
+
+    name: str
+    user: str = ""
+    password: str = ""
+    dsn: str = ""
+    wallet_password: str = ""
+    wallet_location: str = ""
+    config_dir: str = ""
+    connected: bool = False
+    vector_stores: list = field(default_factory=list)
+
+
+class DbException(Exception):
+    """Mirrors server/databases.py DbException (status_code + detail)."""
+
+    def __init__(self, detail: str, status_code: int = 406):
+        super().__init__(detail)
+        self.status_code = status_code
+
+
+@dataclass
+class OciProfileDef:
+    """Parity with schema.OracleCloudSettings (endpoints.py:373-499): one OCI
+    auth profile. The object-storage backend is a LocalObjectStore directory
+    fake (sources/loaders.py:250) — the real `oci://` path is read by Spark
+    through the Hadoop-OCI connector in production, so this HTTP group (like
+    the reference's) only stages driver-side files."""
+
+    auth_profile: str = "DEFAULT"
+    namespace: str = ""
+    tenancy: str = ""
+    region: str = ""
+    user: str = ""
+    fingerprint: str = ""
+    key_file: str = ""
+    security_token_file: str = ""
+    service_endpoint: str = ""
+    compartment_id: str = ""
+
+
 # module-level so cloudpickle ships them by reference to executors
 def _default_answerer():
     return lambda q: "the passage describes " + q[:60]
 
 
 def _default_judge():
-    return lambda q, ref, ans: ref[:10].lower() in (ans + " " + ref).lower()
+    # Judge against the ANSWER only — concatenating ref into the haystack
+    # made the check vacuously true for every answer.
+    return lambda q, ref, ans: ref[:10].lower() in ans.lower()
 
 
 class ApiServer:
@@ -93,6 +151,10 @@ class ApiServer:
         spark=None,
         testbed=None,  # operators.testbed.TestbedStore
         catalog=None,  # catalog.VectorStoreCatalog
+        databases: list[DatabaseDef] | None = None,
+        object_store=None,  # sources.loaders.LocalObjectStore
+        oci_profiles: list[OciProfileDef] | None = None,
+        staging_root: str | None = None,
     ):
         self.pipeline = pipeline
         self.models = models if models is not None else Registry("model")
@@ -100,6 +162,10 @@ class ApiServer:
         self.api_key = api_key or generate_auth_key()
         self.settings: dict[str, dict] = {}
         self.spark, self.testbed, self.catalog = spark, testbed, catalog
+        self.databases = databases if databases is not None else []
+        self.object_store = object_store
+        self.oci_profiles = oci_profiles if oci_profiles is not None else [OciProfileDef()]
+        self.staging_root = staging_root or os.path.join(tempfile.gettempdir(), "oaim_api_staging")
         self._host, self._port = host, port
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -217,6 +283,10 @@ class _ApiHandler(BaseHTTPRequestHandler):
             return self._testbed(method, parts[2:], qs, api)
         if parts[:2] == ["v1", "embed"]:
             return self._embed(method, parts[2:], api)
+        if parts[:2] == ["v1", "databases"]:
+            return self._databases(method, parts[2:], api)
+        if parts[:2] == ["v1", "oci"]:
+            return self._oci(method, parts[2:], api)
         return self._json(404, {"detail": "Not Found"})
 
     def _df_json(self, df) -> list:
@@ -302,6 +372,158 @@ class _ApiHandler(BaseHTTPRequestHandler):
             name = api.catalog.write_store(embedded, vs)
             n = api.catalog.read_store(name).count()
             return self._json(200, {"message": f"{n} chunks embedded.", "vector_store": name})
+        return self._json(404, {"detail": "Not Found"})
+
+    # -- databases group (endpoints.py:124-186) ------------------------------
+    def _db_connect(self, db: DatabaseDef, api: ApiServer) -> None:
+        """'Connect' = validate the warehouse dir + scan its vector stores
+        (what databases.connect + embedding.get_vs do against Oracle)."""
+        if not db.dsn or not os.path.isdir(db.dsn):
+            raise DbException(f"unable to connect: dsn {db.dsn!r} is not a warehouse directory")
+        if api.spark is not None:
+            from oaim_sandbox_spark.catalog import VectorStoreCatalog
+
+            db.vector_stores = [
+                asdict(v) for v in VectorStoreCatalog(api.spark, root=db.dsn).list_stores()
+            ]
+        else:
+            db.vector_stores = []
+
+    def _databases(self, method: str, rest: list[str], api: ApiServer) -> None:
+        if method == "GET" and not rest:
+            # databases_list: populate vector_stores per connectable db,
+            # silently skipping the unreachable ones (endpoints.py:125-136)
+            for db in api.databases:
+                try:
+                    self._db_connect(db, api)
+                except DbException:
+                    continue
+            return self._json(200, [mask_sensitive(asdict(db)) for db in api.databases])
+        if len(rest) == 1:
+            name = rest[0]
+            db = next((d for d in api.databases if d.name == name), None)
+            if db is None:
+                return self._json(404, {"detail": f"Database: {name} not found."})
+            if method == "GET":
+                # databases_get: 406 when the config exists but won't connect
+                try:
+                    self._db_connect(db, api)
+                except DbException as ex:
+                    return self._json(406, {"detail": f"Database: {name} {ex}."})
+                return self._json(200, mask_sensitive(asdict(db)))
+            if method == "PATCH":
+                # databases_update: test the NEW creds before adopting them;
+                # success makes this the only connected (default) database
+                body = self._body() or {}
+                trial = replace(
+                    db,
+                    user=body.get("user", db.user),
+                    password=body.get("password", db.password),
+                    dsn=body.get("dsn", db.dsn),
+                    wallet_password=body.get("wallet_password", db.wallet_password),
+                )
+                try:
+                    self._db_connect(trial, api)
+                except DbException as ex:
+                    db.connected = False
+                    return self._json(ex.status_code, {"detail": f"Database: {name} {ex}."})
+                db.user, db.password = trial.user, trial.password
+                db.dsn, db.wallet_password = trial.dsn, trial.wallet_password
+                db.vector_stores, db.connected = trial.vector_stores, True
+                for other in api.databases:
+                    if other.name != name:
+                        other.connected = False
+                return self._json(200, mask_sensitive(asdict(db)))
+        return self._json(404, {"detail": "Not Found"})
+
+    # -- oci group (endpoints.py:373-499) ------------------------------------
+    def _oci_profile(self, name: str, api: ApiServer) -> OciProfileDef | None:
+        return next((p for p in api.oci_profiles if p.auth_profile == name), None)
+
+    def _oci(self, method: str, rest: list[str], api: ApiServer) -> None:
+        store = api.object_store
+        if method == "GET" and not rest:
+            return self._json(200, [asdict(p) for p in api.oci_profiles])
+        if method == "GET" and len(rest) == 1:
+            prof = self._oci_profile(rest[0], api)
+            if prof is None:
+                return self._json(404, {"detail": f"OCI: Profile {rest[0]} not found."})
+            return self._json(200, asdict(prof))
+        if method == "GET" and len(rest) == 2 and rest[0] == "compartments":
+            prof = self._oci_profile(rest[1], api)
+            if prof is None:
+                return self._json(404, {"detail": f"OCI: Profile {rest[1]} not found."})
+            if store is None:
+                return self._json(503, {"detail": "OCI object store not configured."})
+            # the directory fake is single-compartment: its root is the one
+            # compartment, named after the root dir (oci.py get_compartments
+            # returns a name->ocid dict)
+            name = os.path.basename(store.root.rstrip("/")) or "root"
+            return self._json(200, {name: f"ocid1.compartment.localfake..{name}"})
+        if method == "GET" and len(rest) == 3 and rest[0] == "buckets":
+            compartment_ocid, profile = rest[1], rest[2]
+            prof = self._oci_profile(profile, api)
+            if prof is None:
+                return self._json(404, {"detail": f"OCI: Profile {profile} not found."})
+            if not compartment_ocid.startswith("ocid1."):
+                # reference validates via pydantic OracleResource -> 422
+                return self._json(422, {"detail": f"Invalid OCID: {compartment_ocid}"})
+            if store is None:
+                return self._json(503, {"detail": "OCI object store not configured."})
+            return self._json(200, store.list_buckets())
+        if method == "GET" and len(rest) == 3 and rest[0] == "objects":
+            bucket, profile = rest[1], rest[2]
+            prof = self._oci_profile(profile, api)
+            if prof is None:
+                return self._json(404, {"detail": f"OCI: Profile {profile} not found."})
+            if store is None:
+                return self._json(503, {"detail": "OCI object store not configured."})
+            if bucket not in store.list_buckets():
+                return self._json(404, {"detail": f"Bucket: {bucket} not found."})
+            return self._json(200, store.list_objects(bucket))
+        if method == "PATCH" and len(rest) == 1:
+            prof = self._oci_profile(rest[0], api)
+            if prof is None:
+                return self._json(404, {"detail": f"OCI: Profile {rest[0]} not found."})
+            if store is None:
+                # namespace lookup failed -> 401, matching the reference's
+                # OciException -> 401 on oci_profile_update
+                return self._json(401, {"detail": "OCI: namespace lookup failed (no object store)."})
+            body = self._body() or {}
+            prof.namespace = os.path.basename(store.root.rstrip("/")) or "local"
+            for key in ("tenancy", "region", "user", "fingerprint", "key_file",
+                        "security_token_file", "service_endpoint", "compartment_id"):
+                if body.get(key):
+                    setattr(prof, key, body[key])
+            if prof.service_endpoint and prof.compartment_id:
+                # OCI GenAI side effect: enable OCI-provider models and point
+                # them at the service endpoint (endpoints.py:466-476)
+                for m in api.models.list():
+                    if "oci" in m.provider.lower():
+                        api.models.update(m.name, replace(m, enabled=True, url=prof.service_endpoint))
+            return self._json(200, asdict(prof))
+        if method == "POST" and len(rest) == 4 and rest[:2] == ["objects", "download"]:
+            bucket, profile = rest[2], rest[3]
+            prof = self._oci_profile(profile, api)
+            if prof is None:
+                return self._json(404, {"detail": f"OCI: Profile {profile} not found."})
+            if store is None:
+                return self._json(503, {"detail": "OCI object store not configured."})
+            names = self._body()
+            if not isinstance(names, list) or not names:
+                return self._json(422, {"detail": "request body must be a non-empty list of object names"})
+            # files land in the client's embedding staging dir
+            # (endpoints.py:482-499 get_temp_directory(client, 'embedding'))
+            directory = os.path.join(api.staging_root, self._client(), "embedding")
+            try:
+                for object_name in names:
+                    store.get_object(directory, object_name, bucket)
+            except FileNotFoundError as ex:
+                return self._json(404, {"detail": f"Object not found: {ex}"})
+            downloaded = sorted(
+                f for f in os.listdir(directory) if os.path.isfile(os.path.join(directory, f))
+            )
+            return self._json(200, downloaded)
         return self._json(404, {"detail": "Not Found"})
 
     def _chat(self, method: str, leaf: str, api: ApiServer) -> None:

@@ -271,3 +271,176 @@ def test_settings_lifecycle(server):
     # sensitive masking on read (P13)
     status, s = req(server, "PATCH", "/v1/settings?client=s1", body={"api_key": "sk-secret"})
     assert s["settings"]["api_key"] == "*****"
+
+
+# -- databases + oci groups (reference endpoints.py:124-186, 373-499) ---------
+
+
+@pytest.fixture(scope="module")
+def cfg_server(tmp_path_factory):
+    """Server with databases + an object-store fake wired (no Spark: the
+    databases group degrades to config CRUD with empty vector_stores)."""
+    from oaim_sandbox_spark.serving.config_plane import ModelDef, Registry
+    from oaim_sandbox_spark.serving.http_api import DatabaseDef, OciProfileDef
+    from oaim_sandbox_spark.sources.loaders import LocalObjectStore
+
+    root = tmp_path_factory.mktemp("osroot")
+    (root / "bucketa").mkdir()
+    (root / "bucketa" / "a.txt").write_text("alpha")
+    (root / "bucketa" / "sub").mkdir()
+    (root / "bucketa" / "sub" / "b.txt").write_text("beta")
+    (root / "bucketb").mkdir()
+    warehouse = tmp_path_factory.mktemp("warehouse")
+
+    models = Registry("model")
+    models.create(ModelDef(name="oci-genai", type="ll", provider="oci", enabled=False))
+    pipeline = ChatPipeline(store=None, embed_query=None, llm=MockLLM(),
+                            settings=RagSettings(rag_enabled=False))
+    srv = ApiServer(
+        pipeline, models=models, api_key=KEY,
+        databases=[DatabaseDef(name="DEFAULT", dsn=str(warehouse)),
+                   DatabaseDef(name="BROKEN", dsn=str(warehouse / "missing"))],
+        object_store=LocalObjectStore(str(root)),
+        oci_profiles=[OciProfileDef(auth_profile="DEFAULT")],
+        staging_root=str(tmp_path_factory.mktemp("staging")),
+    ).start()
+    yield srv
+    srv.stop()
+
+
+DB_OCI_PROTECTED = [
+    ("GET", "/v1/databases"),
+    ("GET", "/v1/databases/DEFAULT"),
+    ("PATCH", "/v1/databases/DEFAULT"),
+    ("GET", "/v1/oci"),
+    ("GET", "/v1/oci/DEFAULT"),
+    ("GET", "/v1/oci/compartments/DEFAULT"),
+    ("GET", "/v1/oci/buckets/ocid1.compartment.x/DEFAULT"),
+    ("GET", "/v1/oci/objects/bucketa/DEFAULT"),
+    ("PATCH", "/v1/oci/DEFAULT"),
+    ("POST", "/v1/oci/objects/download/bucketa/DEFAULT"),
+]
+
+
+@pytest.mark.parametrize("method,path", DB_OCI_PROTECTED)
+def test_db_oci_no_auth_403(cfg_server, method, path):
+    status, body = req(cfg_server, method, path, token=None)
+    assert status == 403 and body["detail"] == "Not authenticated"
+
+
+@pytest.mark.parametrize("method,path", DB_OCI_PROTECTED)
+def test_db_oci_bad_auth_401(cfg_server, method, path):
+    status, body = req(cfg_server, method, path, token="bad-testing-token")
+    assert status == 401 and body["detail"] == "Invalid API Key"
+
+
+def test_databases_list_and_get(cfg_server):
+    status, dbs = req(cfg_server, "GET", "/v1/databases")
+    assert status == 200 and {d["name"] for d in dbs} == {"DEFAULT", "BROKEN"}
+
+    status, db = req(cfg_server, "GET", "/v1/databases/DEFAULT")
+    assert status == 200 and db["name"] == "DEFAULT" and db["vector_stores"] == []
+
+    status, body = req(cfg_server, "GET", "/v1/databases/NOSUCH")
+    assert status == 404 and "not found" in body["detail"]
+
+    # config exists but the warehouse dir doesn't -> 406 (reference parity)
+    status, body = req(cfg_server, "GET", "/v1/databases/BROKEN")
+    assert status == 406
+
+
+def test_databases_update_sets_default(cfg_server):
+    status, db = req(cfg_server, "PATCH", "/v1/databases/DEFAULT",
+                     body={"user": "admin", "password": "hunter2"})
+    assert status == 200 and db["connected"] is True
+    assert db["password"] == "*****"  # masked on the wire (P13)
+
+    # bad dsn on update -> 406 and connected=False
+    status, _ = req(cfg_server, "PATCH", "/v1/databases/DEFAULT",
+                    body={"dsn": "/no/such/dir"})
+    assert status == 406
+    status, db = req(cfg_server, "GET", "/v1/databases/DEFAULT")
+    assert status == 200 and db["connected"] is False
+
+
+def test_oci_profile_crud(cfg_server):
+    status, profs = req(cfg_server, "GET", "/v1/oci")
+    assert status == 200 and profs[0]["auth_profile"] == "DEFAULT"
+
+    status, _ = req(cfg_server, "GET", "/v1/oci/NOSUCH")
+    assert status == 404
+
+    status, prof = req(cfg_server, "PATCH", "/v1/oci/DEFAULT",
+                       body={"region": "us-phoenix-1", "tenancy": "acme"})
+    assert status == 200 and prof["region"] == "us-phoenix-1"
+    assert prof["namespace"]  # namespace resolved from the store root
+
+
+def test_oci_patch_enables_genai_models(cfg_server):
+    status, m = req(cfg_server, "GET", "/v1/models/oci-genai")
+    assert status == 200 and m["enabled"] is False
+
+    status, _ = req(cfg_server, "PATCH", "/v1/oci/DEFAULT",
+                    body={"service_endpoint": "https://genai.example",
+                          "compartment_id": "ocid1.compartment.x"})
+    assert status == 200
+    status, m = req(cfg_server, "GET", "/v1/models/oci-genai")
+    assert m["enabled"] is True and m["url"] == "https://genai.example"
+
+
+def test_oci_compartments_buckets_objects(cfg_server):
+    status, comps = req(cfg_server, "GET", "/v1/oci/compartments/DEFAULT")
+    assert status == 200 and len(comps) == 1
+    ocid = next(iter(comps.values()))
+    assert ocid.startswith("ocid1.compartment.")
+
+    status, buckets = req(cfg_server, "GET", f"/v1/oci/buckets/{ocid}/DEFAULT")
+    assert status == 200 and buckets == ["bucketa", "bucketb"]
+
+    # invalid OCID -> 422 (reference pydantic OracleResource validation)
+    status, _ = req(cfg_server, "GET", "/v1/oci/buckets/not-an-ocid/DEFAULT")
+    assert status == 422
+
+    status, objs = req(cfg_server, "GET", "/v1/oci/objects/bucketa/DEFAULT")
+    assert status == 200 and objs == ["a.txt", "sub/b.txt"]
+
+    status, _ = req(cfg_server, "GET", "/v1/oci/objects/nobucket/DEFAULT")
+    assert status == 404
+
+
+def test_oci_download_objects(cfg_server):
+    status, files = req(cfg_server, "POST", "/v1/oci/objects/download/bucketa/DEFAULT",
+                        body=["a.txt", "sub/b.txt"], client="dl1")
+    assert status == 200 and files == ["a.txt", "b.txt"]
+
+    status, _ = req(cfg_server, "POST", "/v1/oci/objects/download/bucketa/DEFAULT",
+                    body=["missing.txt"], client="dl1")
+    assert status == 404
+
+    status, _ = req(cfg_server, "POST", "/v1/oci/objects/download/bucketa/DEFAULT",
+                    body=[], client="dl1")
+    assert status == 422
+
+
+def test_databases_vector_stores_with_spark(spark, tmp_path):
+    """With Spark wired, a connected database lists its warehouse's vector
+    stores (reference databases_list populating db.vector_stores)."""
+    from oaim_sandbox_spark.catalog import VectorStorage, VectorStoreCatalog
+    from oaim_sandbox_spark.serving.http_api import DatabaseDef
+
+    wh = tmp_path / "wh"
+    cat = VectorStoreCatalog(spark, str(wh))
+    df = spark.createDataFrame([("c1", "hello", [0.1, 0.2])],
+                               "chunk_id STRING, text STRING, embedding ARRAY<FLOAT>")
+    name = cat.write_store(df, VectorStorage(alias="t", model="m", chunk_size=8, chunk_overlap=0))
+
+    pipeline = ChatPipeline(store=None, embed_query=None, llm=MockLLM(),
+                            settings=RagSettings(rag_enabled=False))
+    srv = ApiServer(pipeline, api_key=KEY, spark=spark,
+                    databases=[DatabaseDef(name="WH", dsn=str(wh))]).start()
+    try:
+        status, db = req(srv, "GET", "/v1/databases/WH")
+        assert status == 200 and db["connected"] is False  # GET does not set default
+        assert [v["vector_store"] for v in db["vector_stores"]] == [name]
+    finally:
+        srv.stop()
