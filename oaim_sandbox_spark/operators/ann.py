@@ -104,14 +104,27 @@ def lsh_knn_join(
     item_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate k-NN join: score only item/query pairs sharing an LSH
-    bucket. Recall < 1 by construction (single probe); raise recall with
-    multi-probe (flip one bit) or more tables. The join is a hash join on
-    bucket — no nested loop, no full scan per query.
+    bucket. Recall < 1 by construction (single probe); ``multiprobe=True``
+    also probes every radius-1 bucket (one sign bit flipped — the planes a
+    near-boundary vector most plausibly landed across), multiplying probe
+    cost by (n_planes+1) but NOT item-side cost: each item still lives in
+    exactly one bucket, so the join stays a hash join on bucket — no nested
+    loop, no full scan per query. At scale the query side is the small
+    broadcast side, so multiprobe's cost is n_planes extra broadcast rows
+    per query, while recall typically jumps 2-5x (FAISS-style multiprobe).
     """
     bi = signed_projection_buckets(items, n_planes, dim, item_id, item_vec)
     bq = queries.withColumn("bucket", F.expr(hyperplane_expr(query_vec, n_planes, dim, "spark")))
+    if multiprobe:
+        probes = (
+            f"array_distinct(concat(array(bucket), "
+            f"transform(sequence(0, {n_planes - 1}), "
+            f"h -> cast(bucket as bigint) ^ shiftleft(1L, h))))"
+        )
+        bq = bq.withColumn("bucket", F.explode(F.expr(probes)))
     dist = distance_expr(f"i.{item_vec}", f"{P.to_double_array(f'q.{query_vec}', 'spark')}", metric)
     scored = (
         bi.alias("i")

@@ -236,3 +236,26 @@ def test_ivf_index_save_load_roundtrip(spark, tmp_path):
     a = [(r["vec_id"], r["distance"]) for r in idx.search(spark, path, qv, k=5, nprobe=2).collect()]
     b = [(r["vec_id"], r["distance"]) for r in loaded.search(spark, path, qv, k=5, nprobe=2).collect()]
     assert a == b and len(a) == 5
+
+
+def test_lsh_multiprobe_superset_and_no_dupes(items, queries):
+    """Radius-1 multiprobe can only ADD candidate pairs (home bucket is
+    always probed), never duplicate them (each item lives in one bucket)."""
+    single = lsh_knn_join(items, queries, k=N, n_planes=4, dim=DIM)
+    multi = lsh_knn_join(items, queries, k=N, n_planes=4, dim=DIM, multiprobe=True)
+    s_pairs = {(r.query_id, r.neighbor_id) for r in single.collect()}
+    m_rows = multi.collect()
+    m_pairs = {(r.query_id, r.neighbor_id) for r in m_rows}
+    assert s_pairs <= m_pairs
+    assert len(m_pairs) == len(m_rows)  # no duplicate (query, item) rows
+    # recall against exact top-5 must not decrease
+    def recall(pairs, k=5):
+        hits = 0
+        for qid, qv in QUERIES:
+            approx = {n for q, n in pairs if q == qid}
+            hits += len(approx & set(_np_topk(qv, k)))
+        return hits
+    top5_multi = lsh_knn_join(items, queries, k=5, n_planes=4, dim=DIM, multiprobe=True)
+    m5 = {(r.query_id, r.neighbor_id) for r in top5_multi.collect()}
+    s5 = {(r.query_id, r.neighbor_id) for r in lsh_knn_join(items, queries, k=5, n_planes=4, dim=DIM).collect()}
+    assert recall(m5) >= recall(s5)
