@@ -112,15 +112,20 @@ def load_json(spark: SparkSession, path: str, text_field: str = "text") -> DataF
 
 
 def _parse_pdf_bytes(content: bytes) -> list[str]:
-    """One text string per page. Gated on pypdf (not in this container)."""
+    """One text string per page (reference embedding.py:107-116 PyPDFLoader
+    shape). pypdf when installed (full fidelity: CMaps, all filters,
+    encryption); otherwise the vendored pure-Python extractor in
+    sources/minipdf.py (unencrypted + Flate/plain streams — the common
+    machine-generated class), so PDF bytes parse for real in containers
+    without pypdf."""
     try:
         import io
 
         from pypdf import PdfReader  # type: ignore
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "PDF parsing requires pypdf; install it or pre-convert PDFs to text"
-        ) from e
+    except ImportError:  # pragma: no cover - env-dependent
+        from oaim_sandbox_spark.sources import minipdf
+
+        return minipdf.extract_pages(content)
     reader = PdfReader(io.BytesIO(content))
     return [page.extract_text() or "" for page in reader.pages]
 

@@ -1,0 +1,203 @@
+"""Minimal pure-Python PDF text extraction — the in-container S1 parse path.
+
+The reference loads PDFs with langchain's PyPDFLoader, one Document per page
+(reference src/server/embedding.py:107-116). The full-fidelity path here is
+pypdf when installed (loaders._parse_pdf_bytes tries it first); this module
+is the dependency-free fallback so PDF bytes actually parse in environments
+without pypdf, instead of gating the whole source on a missing third-party
+lib.
+
+Scope (honest limits, checked up front where possible):
+
+- unencrypted PDFs only (``/Encrypt`` raises NotImplementedError);
+- content streams stored plain or FlateDecode (zlib is stdlib); other
+  filters (DCT, LZW, CCITT...) are skipped;
+- text drawn via the standard ``Tj`` / ``'`` / ``"`` / ``TJ`` operators with
+  literal ``(...)`` or hex ``<...>`` strings, decoded as PDFDocEncoding-ish
+  latin-1 — no CMap/ToUnicode handling, so exotic font subsets come out
+  garbled (pypdf handles those);
+- page structure read from ``/Type /Page`` objects and their ``/Contents``
+  references without an xref table (objects are located by scanning), so
+  PDFs whose page tree lives inside compressed object streams fall back to
+  one pseudo-page holding all extracted text.
+
+That covers the machine-generated report/invoice/doc-export class of PDF,
+which is the overwhelming share of a crawl's PDFs.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\s*endstream", re.DOTALL)
+_PAGE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\[[^\]]*\]|\d+\s+\d+\s+R)")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+
+_ESCAPES = {
+    b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+    b"(": "(", b")": ")", b"\\": "\\",
+}
+
+
+def _decode_literal(raw: bytes) -> str:
+    """PDF literal string body (between parens): backslash escapes + octal."""
+    out: list[str] = []
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < n:
+            nxt = raw[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+                i += 2
+                continue
+            if nxt.isdigit():
+                j = i + 1
+                while j < min(i + 4, n) and raw[j : j + 1].isdigit():
+                    j += 1
+                out.append(chr(int(raw[i + 1 : j], 8) & 0xFF))
+                i = j
+                continue
+            if nxt in (b"\n", b"\r"):  # line continuation
+                i += 2
+                continue
+            out.append(nxt.decode("latin-1"))
+            i += 2
+            continue
+        out.append(c.decode("latin-1"))
+        i += 1
+    return "".join(out)
+
+
+def _decode_hex(raw: bytes) -> str:
+    h = re.sub(rb"\s+", b"", raw)
+    if len(h) % 2:
+        h += b"0"
+    try:
+        return bytes.fromhex(h.decode("ascii")).decode("latin-1")
+    except ValueError:
+        return ""
+
+
+def _content_text(data: bytes) -> str:
+    """Extract drawn text from one decoded content stream: a single linear
+    scan collecting strings and emitting them on the text-showing operators,
+    with newlines on the line-advancing ones (Td/TD/T*/ET and the ' / "
+    next-line forms)."""
+    out: list[str] = []
+    pending: list[str] = []
+    i, n = 0, len(data)
+
+    def flush(sep: str = "") -> None:
+        if pending:
+            out.append("".join(pending))
+            pending.clear()
+        if sep:
+            out.append(sep)
+
+    while i < n:
+        c = data[i : i + 1]
+        if c == b"(":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                cj = data[j : j + 1]
+                if cj == b"\\":
+                    j += 2
+                    continue
+                if cj == b"(":
+                    depth += 1
+                elif cj == b")":
+                    depth -= 1
+                j += 1
+            pending.append(_decode_literal(data[i + 1 : j - 1]))
+            i = j
+            continue
+        if c == b"<":
+            if data[i + 1 : i + 2] == b"<":  # dict open, skip
+                i += 2
+                continue
+            j = data.find(b">", i + 1)
+            if j < 0:
+                break
+            pending.append(_decode_hex(data[i + 1 : j]))
+            i = j + 1
+            continue
+        if c.isalpha() or c in (b"'", b'"') or c == b"*":
+            j = i
+            while j < n and not data[j : j + 1].isspace() and data[j : j + 1] not in (b"(", b"<", b"[", b"]", b"/"):
+                j += 1
+            op = data[i:j]
+            if op in (b"Tj", b"TJ"):
+                flush()
+            elif op in (b"'", b'"'):
+                flush("\n")
+            elif op in (b"Td", b"TD", b"T*", b"ET"):
+                if out and not out[-1].endswith("\n"):
+                    out.append("\n")
+                pending.clear()
+            i = j
+            continue
+        i += 1
+    flush()
+    return "".join(out)
+
+
+def _decode_stream(body: bytes, raw: bytes) -> bytes | None:
+    """Decompress one stream given its object body (for the filter) and raw
+    stream bytes; None when the filter is unsupported."""
+    if b"/FlateDecode" in body:
+        try:
+            return zlib.decompress(raw)
+        except zlib.error:
+            return None
+    if b"/Filter" in body:
+        return None  # unsupported filter (DCT/LZW/...)
+    return raw
+
+
+def extract_pages(content: bytes) -> list[str]:
+    """One text string per page, PyPDFLoader-shaped. Raises
+    NotImplementedError for encrypted PDFs; returns a single pseudo-page
+    when no page tree is scannable (e.g. compressed-xref PDFs)."""
+    if not content.lstrip()[:5].startswith(b"%PDF-"):
+        raise ValueError("not a PDF: missing %PDF- header")
+    if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", content):
+        raise NotImplementedError("encrypted PDFs require pypdf")
+
+    objects: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(content):
+        objects[int(m.group(1))] = m.group(2)
+
+    def obj_text(num: int) -> str:
+        body = objects.get(num, b"")
+        sm = _STREAM_RE.search(body)
+        if not sm:
+            return ""
+        data = _decode_stream(body, sm.group(1))
+        return _content_text(data) if data is not None else ""
+
+    pages: list[str] = []
+    for num in sorted(objects):
+        body = objects[num]
+        if not _PAGE_RE.search(body):
+            continue
+        cm = _CONTENTS_RE.search(body)
+        if not cm:
+            pages.append("")
+            continue
+        refs = [int(r.group(1)) for r in _REF_RE.finditer(cm.group(1))]
+        pages.append("".join(obj_text(r) for r in refs))
+
+    if pages:
+        return pages
+
+    # no scannable page tree: every decodable stream becomes one blob page
+    blobs: list[str] = []
+    for num in sorted(objects):
+        t = obj_text(num)
+        if t.strip():
+            blobs.append(t)
+    return ["".join(blobs)]

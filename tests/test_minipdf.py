@@ -1,0 +1,106 @@
+"""Vendored pure-Python PDF extractor (sources/minipdf.py) + the S1 loader
+path over real PDF bytes — generated in-test, so the parse is exercised in
+this container without pypdf (VERDICT r2 stretch #8)."""
+
+import zlib
+
+import pytest
+
+from oaim_sandbox_spark.sources import minipdf
+from oaim_sandbox_spark.sources.loaders import _parse_pdf_bytes, load_binary_documents
+
+
+def _obj(num: int, body: bytes) -> bytes:
+    return b"%d 0 obj\n" % num + body + b"\nendobj\n"
+
+
+def _stream_obj(num: int, content: bytes, flate: bool = True) -> bytes:
+    data = zlib.compress(content) if flate else content
+    filt = b"/Filter /FlateDecode " if flate else b""
+    return _obj(
+        num,
+        b"<< " + filt + b"/Length %d >>\nstream\n" % len(data) + data + b"\nendstream",
+    )
+
+
+def make_pdf(page_contents: list[bytes], flate: bool = True, extra: bytes = b"") -> bytes:
+    """A scannable two-level PDF: catalog, pages node, one /Page + one
+    content stream per entry. The xref table is omitted — minipdf locates
+    objects by scanning, and pypdf (when present) rebuilds missing xrefs."""
+    n = len(page_contents)
+    kids = b" ".join(b"%d 0 R" % (3 + i) for i in range(n))
+    out = [b"%PDF-1.4\n"]
+    out.append(_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    out.append(_obj(2, b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n))
+    for i in range(n):
+        out.append(
+            _obj(3 + i, b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>" % (3 + n + i))
+        )
+    for i, content in enumerate(page_contents):
+        out.append(_stream_obj(3 + n + i, content, flate=flate))
+    out.append(extra)
+    out.append(b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    return b"".join(out)
+
+
+PAGE1 = b"BT /F1 12 Tf 72 720 Td (Hello, PDF world.) Tj 0 -14 Td (Second line.) Tj ET"
+PAGE2 = b"BT [(Kerned ) -250 (array ) -250 (text.)] TJ ET BT <48657821> Tj ET"
+
+
+def test_extract_pages_two_pages_flate():
+    pages = minipdf.extract_pages(make_pdf([PAGE1, PAGE2]))
+    assert len(pages) == 2
+    assert "Hello, PDF world." in pages[0]
+    assert "Second line." in pages[0]
+    assert pages[0].index("Hello") < pages[0].index("Second")
+    assert "\n" in pages[0]  # Td line advance becomes a newline
+    assert "Kerned array text." in pages[1]
+    assert "Hex!" in pages[1]  # hex-string decode
+
+
+def test_extract_pages_plain_streams():
+    pages = minipdf.extract_pages(make_pdf([PAGE1], flate=False))
+    assert "Hello, PDF world." in pages[0]
+
+
+def test_literal_escapes_and_octal():
+    content = rb"BT (paren \( close \) slash \\ tab\there octal \101) Tj ET"
+    pages = minipdf.extract_pages(make_pdf([content]))
+    assert "paren ( close ) slash \\ tab\there octal A" in pages[0]
+
+
+def test_encrypted_raises():
+    pdf = make_pdf([PAGE1], extra=_obj(9, b"<< /V 2 >>"))
+    pdf = pdf.replace(b"trailer\n<<", b"trailer\n<< /Encrypt 9 0 R")
+    with pytest.raises(NotImplementedError):
+        minipdf.extract_pages(pdf)
+
+
+def test_not_a_pdf_raises():
+    with pytest.raises(ValueError):
+        minipdf.extract_pages(b"PK\x03\x04 this is a zip")
+
+
+def test_no_page_tree_falls_back_to_blob():
+    # content streams but no /Type /Page objects -> one pseudo-page
+    raw = b"%PDF-1.4\n" + _stream_obj(1, PAGE1) + b"%%EOF\n"
+    pages = minipdf.extract_pages(raw)
+    assert len(pages) == 1 and "Hello, PDF world." in pages[0]
+
+
+def test_parse_pdf_bytes_dispatch():
+    # whichever backend is installed, the loader-level helper parses for real
+    pages = _parse_pdf_bytes(make_pdf([PAGE1, PAGE2]))
+    assert len(pages) == 2 and "Hello, PDF world." in pages[0]
+
+
+def test_s1_spark_loader_roundtrip(spark, tmp_path):
+    """S1 end-to-end: PDF bytes on disk -> binaryFile scan -> mapInPandas
+    parse -> one row per page with the document schema."""
+    (tmp_path / "a.pdf").write_bytes(make_pdf([PAGE1, PAGE2]))
+    (tmp_path / "b.pdf").write_bytes(make_pdf([b"BT (Solo page.) Tj ET"]))
+    df = load_binary_documents(spark, str(tmp_path / "*.pdf"), "pdf")
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert set(rows) == {"a.pdf_p1", "a.pdf_p2", "b.pdf_p1"}
+    assert "Hello, PDF world." in rows["a.pdf_p1"]["text"]
+    assert rows["a.pdf_p2"]["page"] == 2 and rows["b.pdf_p1"]["ext"] == "pdf"
