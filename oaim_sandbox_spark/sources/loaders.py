@@ -24,7 +24,9 @@ dedup, embed, merge) composes without reshaping.
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Iterator
+from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -130,25 +132,60 @@ def _parse_pdf_bytes(content: bytes) -> list[str]:
     return [page.extract_text() or "" for page in reader.pages]
 
 
+_HTML_BLOCK_TAGS = frozenset(
+    "p div li ul ol h1 h2 h3 h4 h5 h6 tr table section article header footer "
+    "blockquote pre br hr".split()
+)
+
+
+class _VisibleTextParser(HTMLParser):
+    """Stdlib html.parser extraction: visible text with paragraph breaks at
+    block-element boundaries (so the downstream char splitter prefers section
+    edges) and script/style/template subtrees dropped. Entity refs decode via
+    convert_charrefs (the parser default)."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._chunks: list[str] = []
+        self._skip = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in ("script", "style", "template"):
+            self._skip += 1
+        elif tag in _HTML_BLOCK_TAGS:
+            self._chunks.append("\n\n")
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in ("script", "style", "template"):
+            self._skip = max(0, self._skip - 1)
+        elif tag in _HTML_BLOCK_TAGS:
+            self._chunks.append("\n\n")
+
+    def handle_data(self, data: str) -> None:
+        if not self._skip and data:
+            self._chunks.append(data)
+
+    def text(self) -> str:
+        out = "".join(self._chunks)
+        out = re.sub(r"[ \t]+", " ", out)
+        return re.sub(r"\s*\n\s*\n\s*", "\n\n", out).strip()
+
+
 def _parse_html_bytes(content: bytes) -> str:
-    """Visible text of an HTML document. Falls back to a tag-stripping regex
-    when beautifulsoup is unavailable (good enough for simple pages; the
-    reference uses UnstructuredHTMLLoader, embedding.py:183)."""
+    """Visible text of an HTML document. BeautifulSoup when installed (full
+    fidelity on malformed soup; the reference uses UnstructuredHTMLLoader,
+    embedding.py:183), else a real stdlib html.parser pass — an actual HTML
+    tokenizer (entities, CDATA, comments, attribute '>' edge cases), not the
+    tag-stripping regex this fallback used to be."""
     try:
         from bs4 import BeautifulSoup  # type: ignore
 
         return BeautifulSoup(content, "html.parser").get_text(separator="\n")
     except ImportError:
-        import re
-
-        text = content.decode("utf-8", errors="replace")
-        text = re.sub(r"(?is)<(script|style)[^>]*>.*?</\1>", " ", text)
-        # block boundaries become paragraph breaks so the downstream char
-        # splitter prefers section edges (it can't see tags post-extraction)
-        text = re.sub(r"(?i)</(p|div|li|h[1-6]|tr|section|article)>", "\n\n", text)
-        text = re.sub(r"(?s)<[^>]+>", " ", text)
-        text = re.sub(r"[ \t]+", " ", text)
-        return re.sub(r"\n\s*\n\s*", "\n\n", text).strip()
+        parser = _VisibleTextParser()
+        parser.feed(content.decode("utf-8", errors="replace"))
+        parser.close()
+        return parser.text()
 
 
 def load_binary_documents(spark: SparkSession, path: str, kind: str) -> DataFrame:

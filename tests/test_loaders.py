@@ -166,3 +166,23 @@ def test_training_shard_export_roundtrip(spark, tmp_path):
     assert len(files) == n_shards
     sizes = sorted(__import__("os").path.getsize(f) for f in files)
     assert sizes[0] > 0.5 * sizes[-1]  # round-robin balance
+
+
+def test_html_stdlib_parser_entities_and_script_drop(spark, tmp_path):
+    """The no-bs4 fallback is a real HTML tokenizer: entities decode,
+    script/style subtrees vanish, attribute '>' doesn't break tag parsing."""
+    (tmp_path / "f.html").write_text(
+        "<html><head><style>p {color: red}</style>"
+        "<script>if (1 > 0) { alert('<p>not text</p>'); }</script></head>"
+        "<body><p title='a > b'>Caf&eacute; &amp; friends</p>"
+        "<ul><li>one</li><li>two</li></ul></body></html>"
+    )
+    from oaim_sandbox_spark.sources.loaders import load_documents
+
+    rows = load_documents(spark, str(tmp_path / "f.html")).collect()
+    text = rows[0]["text"]
+    assert "Café & friends" in text
+    assert "alert" not in text and "color" not in text
+    assert "one" in text and "two" in text
+    # block boundaries became paragraph breaks for the splitter
+    assert "\n\n" in text
