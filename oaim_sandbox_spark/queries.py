@@ -2603,6 +2603,103 @@ def ivf_full_probe_topk(d: str) -> str:
 # Registry
 # ---------------------------------------------------------------------------
 
+def domain_caps_topn(d: str) -> str:
+    """Per-domain document caps — crawl curation: keep at most 5 docs per
+    source (n_chars desc as the quality proxy), report kept/total/dropped
+    per source. One per-group window sort + a tiny rollup; at 100 TB the
+    scan is partitioned by source so ranking never globally sorts, and the
+    dropped mass per domain is the domain-rebalance signal."""
+    return """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+def global_shuffle_order(d: str) -> str:
+    """Deterministic global training-order shuffle: sort key = portable
+    hash of (doc_id, epoch salt) — reproducible across engines, runs, and
+    restarts with no RNG state. At 100 TB this ORDER BY is a range-
+    partitioned total sort writing the epoch's shard files in one pass;
+    re-salting re-shuffles the next epoch without carrying any state."""
+    key_in = (
+        "concat(cast(doc_id as string), ':epoch:42')"
+        if d == "spark"
+        else "(doc_id::VARCHAR || ':epoch:42')"
+    )
+    h = P.hash64(key_in, d)
+    return f"""
+WITH keyed AS (SELECT doc_id, {h} AS shuffle_key FROM documents),
+head AS (SELECT doc_id, shuffle_key FROM keyed ORDER BY shuffle_key, doc_id LIMIT 20)
+SELECT doc_id, shuffle_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS INT) AS position
+FROM head
+ORDER BY position
+"""
+
+
+def vocab_coverage_topk(d: str) -> str:
+    """Vocabulary coverage curve — tokenizer/vocab design input: the 20 most
+    frequent tokens with each one's cumulative share of all token
+    occurrences. Token explode -> per-token count (map-side combinable) ->
+    top-k + running-sum window over just 20 rows; the heavy agg shuffles
+    (token, count) pairs only."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT tk FROM documents LATERAL VIEW explode({toks}) t AS tk"
+    else:
+        tok = f"SELECT unnest({toks}) AS tk FROM documents"
+    return f"""
+WITH tok AS ({tok}),
+freq AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tk),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM freq),
+topk AS (SELECT tk, n FROM freq ORDER BY n DESC, tk ASC LIMIT 20),
+ranked AS (
+  SELECT tk, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tk ASC) AS INT) AS rn
+  FROM topk
+)
+SELECT tk AS token, n AS occurrences, rn,
+       CAST(round(SUM(n) OVER (ORDER BY rn) / tot.total, 6) AS DOUBLE) AS cum_share
+FROM ranked CROSS JOIN tot
+ORDER BY rn
+"""
+
+
+def contamination_rate_by_source(d: str) -> str:
+    """Per-source contamination rate — decontamination_8gram's doc-level
+    flags rolled up to the crawl/domain level (which source leaked the
+    benchmark). Same broadcastable benchmark-gram set and map-side
+    pre-aggregated candidate grams; the extra rollup joins doc flags back
+    to the narrow (doc_id, source) projection, never the text."""
+    bench = _exploded_grams(8, "WHERE source IN ('src0', 'src1')", d)
+    cand = _exploded_grams(8, "WHERE source NOT IN ('src0', 'src1')", d)
+    return f"""
+WITH bench AS (SELECT DISTINCT g FROM ({bench}) b),
+cand AS (SELECT DISTINCT doc_id, g FROM ({cand}) c),
+flags AS (
+  SELECT c.doc_id, CASE WHEN COUNT(b.g) > 0 THEN 1 ELSE 0 END AS contaminated
+  FROM cand c LEFT JOIN bench b ON c.g = b.g
+  GROUP BY c.doc_id
+)
+SELECT d2.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f.contaminated) AS BIGINT) AS n_contaminated,
+       CAST(round(SUM(f.contaminated) * 1.0 / COUNT(*), 6) AS DOUBLE) AS contamination_rate
+FROM flags f JOIN documents d2 ON f.doc_id = d2.doc_id
+GROUP BY d2.source
+ORDER BY d2.source
+"""
+
+
 TEMPLATES: dict[str, Callable[[str], str]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -2711,6 +2808,10 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "grouped_split_leakage_safe": grouped_split_leakage_safe,
     "inverted_index_postings": inverted_index_postings,
     "lsh_multiprobe_topk": lsh_multiprobe_topk,
+    "domain_caps_topn": domain_caps_topn,
+    "global_shuffle_order": global_shuffle_order,
+    "vocab_coverage_topk": vocab_coverage_topk,
+    "contamination_rate_by_source": contamination_rate_by_source,
 }
 
 # transformWithState (streaming/stateful.running_user_stats_tws) needs
