@@ -104,3 +104,36 @@ def test_s1_spark_loader_roundtrip(spark, tmp_path):
     assert set(rows) == {"a.pdf_p1", "a.pdf_p2", "b.pdf_p1"}
     assert "Hello, PDF world." in rows["a.pdf_p1"]["text"]
     assert rows["a.pdf_p2"]["page"] == 2 and rows["b.pdf_p1"]["ext"] == "pdf"
+
+
+# -- property: build -> extract roundtrip ------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+# chars that survive PDF literal-string encoding untouched and are printable
+_pdf_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=1, max_size=80,
+).map(lambda s: s.strip()).filter(bool)
+
+
+def _escape_literal(s: str) -> bytes:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)").encode("latin-1")
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_pdf_text, min_size=1, max_size=4))
+def test_roundtrip_property(lines):
+    """Any printable-ASCII lines drawn as one Tj per line come back out, in
+    order, page-aligned — for both Flate and plain streams."""
+    content = b"BT " + b" ".join(
+        b"(" + _escape_literal(ln) + b") Tj 0 -14 Td" for ln in lines
+    ) + b" ET"
+    for flate in (True, False):
+        pages = minipdf.extract_pages(make_pdf([content], flate=flate))
+        assert len(pages) == 1
+        for ln in lines:
+            assert ln in pages[0]
+        # order preserved
+        pos = [pages[0].index(ln) for ln in dict.fromkeys(lines)]
+        assert pos == sorted(pos)
