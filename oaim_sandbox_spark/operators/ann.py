@@ -243,6 +243,19 @@ class IVFIndex:
         self.assign(df).write.mode("overwrite").partitionBy("centroid").parquet(path)
         self.save(f"{path}/_ivf_index.json")
 
+    def append_partitioned(self, df: DataFrame, path: str) -> None:
+        """Incremental index maintenance: assign NEW vectors against the
+        already-fitted centroids and append into the partitioned store —
+        no refit, no rewrite of existing partitions (dynamic partition
+        append touches only the centroids the batch lands in). This is the
+        steady-state path for streaming vector ingest at scale; refit +
+        write_partitioned only when centroid drift degrades recall (watch
+        the bench recall suite). Search needs no change — probes prune to
+        the same partition layout."""
+        if self.centroids is None:
+            raise ValueError("fit() or load() the index before appending")
+        self.assign(df).write.mode("append").partitionBy("centroid").parquet(path)
+
     def save(self, path: str) -> None:
         """Persist the fitted quantizer (centroids + params) as JSON next to
         the partitioned store, so later sessions probe without refitting —

@@ -259,3 +259,28 @@ def test_lsh_multiprobe_superset_and_no_dupes(items, queries):
     m5 = {(r.query_id, r.neighbor_id) for r in top5_multi.collect()}
     s5 = {(r.query_id, r.neighbor_id) for r in lsh_knn_join(items, queries, k=5, n_planes=4, dim=DIM).collect()}
     assert recall(m5) >= recall(s5)
+
+
+def test_ivf_append_partitioned_incremental(spark, items, tmp_path):
+    """Incremental maintenance: fit+write on half the store, append the other
+    half against the SAME fitted centroids — a full-probe search over the
+    merged store then matches the exact oracle over ALL items (append is
+    lossless and layout-compatible), and existing partitions aren't refit."""
+    half_a = items.filter(F.col("vec_id") < N // 2)
+    half_b = items.filter(F.col("vec_id") >= N // 2)
+    idx = IVFIndex(n_centroids=4, seed=1).fit(half_a)
+    path = str(tmp_path / "ivf_inc")
+    idx.write_partitioned(half_a, path)
+    idx.append_partitioned(half_b, path)
+
+    merged = spark.read.parquet(path)
+    assert merged.count() == N
+    qv = [float(x) for x in ITEMS[N - 3][1]]  # a query equal to an APPENDED item
+    got = [r.vec_id for r in idx.search(spark, path, qv, k=3, nprobe=4, id_col="vec_id").collect()]
+    assert got == _np_topk(qv, 3)
+
+    # reloaded quantizer (no refit) appends identically
+    idx2 = IVFIndex.load(f"{path}/_ivf_index.json")
+    a1 = {r.vec_id: r.centroid for r in idx.assign(items).collect()}
+    a2 = {r.vec_id: r.centroid for r in idx2.assign(items).collect()}
+    assert a1 == a2
