@@ -42,8 +42,16 @@ def stream_ingest(
     chunk_overlap: int = 20,
     embed_dim: int = 64,
     max_files_per_trigger: int = 16,
+    ivf_index=None,  # operators.ann.IVFIndex (fitted) — optional ANN leg
+    ann_store_dir: str | None = None,
 ) -> StreamingQuery:
-    """Continuous document ingest: landing JSONL -> vector-store parquet."""
+    """Continuous document ingest: landing JSONL -> vector-store parquet.
+
+    With a fitted ``ivf_index`` + ``ann_store_dir``, each batch's fresh
+    embedded chunks are ALSO appended into the centroid-partitioned ANN
+    store (IVFIndex.append_partitioned): the steady-state "vectors arrive
+    continuously, index partitions grow in place, no refit per batch" path.
+    """
     from oaim_sandbox_spark.operators.dedup import exact_dedup
     from oaim_sandbox_spark.operators.embed import mock_embed_column
     from oaim_sandbox_spark.operators.merge import merge_new_rows, with_content_id
@@ -68,11 +76,12 @@ def stream_ingest(
             existing = batch_df.sparkSession.createDataFrame([], "id STRING")
         fresh = merge_new_rows(addressed, existing, id_col="id")
         embedded = mock_embed_column(fresh, text_col="text", dim=embed_dim)
-        (
-            embedded.select("id", "text", "source", "start_index", "embedding")
-            .write.mode("append")
-            .parquet(store_dir)
-        )
+        out = embedded.select("id", "text", "source", "start_index", "embedding")
+        if ivf_index is not None and ann_store_dir:
+            out = out.localCheckpoint(eager=True)  # compute once for both sinks
+        out.write.mode("append").parquet(store_dir)
+        if ivf_index is not None and ann_store_dir:
+            ivf_index.append_partitioned(out.select("id", "embedding"), ann_store_dir)
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -158,3 +158,50 @@ def test_transform_with_state_gated_or_agrees(spark):
     old = Q.spark_queries()["streaming_user_stats"](spark, sf).collect()
     new = Q.spark_queries()["streaming_user_stats_tws"](spark, sf).collect()
     assert [tuple(r) for r in old] == [tuple(r) for r in new]
+
+
+def test_stream_ingest_with_ivf_ann_leg(spark, tmp_path):
+    """Streaming ANN maintenance: each batch's fresh chunks append into the
+    centroid-partitioned store against a FIXED fitted quantizer — partitions
+    grow in place, no per-batch refit, and the ANN store stays row-for-row
+    consistent with the flat vector store."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.ann import IVFIndex
+    from oaim_sandbox_spark.operators.embed import mock_embed_column
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store, ann, ckpt = (str(tmp_path / d) for d in ("store", "ann", "ckpt"))
+
+    # fit the coarse quantizer on a bootstrap sample of the same embedding space
+    boot = spark.createDataFrame(
+        [(f"b{i}", f"word{i} filler " * 20) for i in range(24)], "id STRING, text STRING"
+    )
+    idx = IVFIndex(n_centroids=4, seed=2).fit(mock_embed_column(boot, text_col="text", dim=64))
+
+    _write_landing(landing, "batch1.jsonl", [
+        {"doc_id": "d1", "text": "alpha beta " * 30, "source": "s1"},
+        {"doc_id": "d2", "text": "gamma delta " * 30, "source": "s2"},
+    ])
+    q = stream_ingest(spark, str(landing), store, ckpt, chunk_size=100, chunk_overlap=10,
+                      ivf_index=idx, ann_store_dir=ann)
+    q.awaitTermination(60)
+    _write_landing(landing, "batch2.jsonl", [
+        {"doc_id": "d4", "text": "epsilon zeta " * 30, "source": "s4"},
+    ])
+    q2 = stream_ingest(spark, str(landing), store, ckpt, chunk_size=100, chunk_overlap=10,
+                       ivf_index=idx, ann_store_dir=ann)
+    q2.awaitTermination(60)
+
+    flat = spark.read.parquet(store)
+    part = spark.read.parquet(ann)
+    assert part.count() == flat.count()
+    assert "centroid" in part.columns
+    # every row landed in a valid partition of the FIXED quantizer
+    cents = {r.centroid for r in part.select("centroid").distinct().collect()}
+    assert cents <= set(range(4))
+    # assignment matches a fresh batch-side assignment (no drift, no refit)
+    expected = {r.id: r.centroid for r in idx.assign(flat.select("id", "embedding")).collect()}
+    got = {r.id: r.centroid for r in part.select("id", "centroid").collect()}
+    assert got == expected
