@@ -3674,10 +3674,35 @@ def _multimodal_features_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def _bpe_tokenize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: train a BPE tokenizer on the documents corpus (bounded
+    driver-side word-frequency sample, operators/bpe.py), apply it
+    distributively, and emit the 20 most frequent learned subword tokens.
+    Not oracle-checkable: the merge LOOP is inherently sequential-greedy
+    (each merge depends on the table after the previous one) — no SQL
+    equivalent; determinism is pytest-verified instead
+    (tests/test_bpe.py::test_training_is_deterministic)."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.bpe import BPETokenizer
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bpe = BPETokenizer.train(docs, num_merges=100)
+    toks = bpe.tokenize_df(docs)
+    return (
+        toks.select(F.explode("bpe_tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
 NON_ORACLE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_rerank": _mmr_rerank_spark,
     "ivf_ann_topk": _ivf_ann_spark,
     "multimodal_features": _multimodal_features_spark,
+    "bpe_tokenize": _bpe_tokenize_spark,
 }
 
 
