@@ -251,10 +251,23 @@ class IVFIndex:
         steady-state path for streaming vector ingest at scale; refit +
         write_partitioned only when centroid drift degrades recall (watch
         the bench recall suite). Search needs no change — probes prune to
-        the same partition layout."""
+        the same partition layout. The batch's columns must match the
+        existing store's (parquet append does NOT merge schemas: mixed
+        footers would surface appended rows with NULL ids on read), so a
+        mismatch raises here instead of corrupting the store."""
         if self.centroids is None:
             raise ValueError("fit() or load() the index before appending")
-        self.assign(df).write.mode("append").partitionBy("centroid").parquet(path)
+        assigned = self.assign(df)
+        try:
+            existing = set(df.sparkSession.read.parquet(path).columns)
+        except Exception:  # first write into a fresh path
+            existing = None
+        if existing is not None and set(assigned.columns) != existing:
+            raise ValueError(
+                f"append columns {sorted(assigned.columns)} != store columns "
+                f"{sorted(existing)} — align the projection before appending"
+            )
+        assigned.write.mode("append").partitionBy("centroid").parquet(path)
 
     def save(self, path: str) -> None:
         """Persist the fitted quantizer (centroids + params) as JSON next to

@@ -57,8 +57,11 @@ class BPETokenizer:
         The agg shuffles (word, count) pairs with map-side combine; only the
         top ``max_words`` most frequent words reach the driver (Zipf: the
         tail adds almost no pair mass). The merge loop is pure Python over
-        that bounded table."""
-        toks = f"filter(split({text_col}, ' '), t -> t != '')"
+        that bounded table. Words split on ALL whitespace (regex \\s+) to
+        match what encode()/tokenize_df's str.split() sees at apply time —
+        splitting on literal spaces only would train merges on forms like
+        'fox\\nlower' that the tokenizer never encounters."""
+        toks = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
         freq_rows = (
             df.select(F.explode(F.expr(toks)).alias("w"))
             .groupBy("w")

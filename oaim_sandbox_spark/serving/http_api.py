@@ -383,9 +383,13 @@ class _ApiHandler(BaseHTTPRequestHandler):
         if api.spark is not None:
             from oaim_sandbox_spark.catalog import VectorStoreCatalog
 
-            db.vector_stores = [
-                asdict(v) for v in VectorStoreCatalog(api.spark, root=db.dsn).list_stores()
-            ]
+            try:
+                db.vector_stores = [
+                    asdict(v) for v in VectorStoreCatalog(api.spark, root=db.dsn).list_stores()
+                ]
+            except Exception as ex:  # corrupt sidecar etc. -> connect failure,
+                # not a dropped connection (the list endpoint skips such dbs)
+                raise DbException(f"catalog scan failed: {ex}") from ex
         else:
             db.vector_stores = []
 
@@ -512,18 +516,29 @@ class _ApiHandler(BaseHTTPRequestHandler):
             names = self._body()
             if not isinstance(names, list) or not names:
                 return self._json(422, {"detail": "request body must be a non-empty list of object names"})
+            # traversal guard: object names are bucket-relative paths, never
+            # absolute and never climbing out of the bucket; the client id
+            # becomes a directory component, so it gets the same treatment
+            bad = [n for n in names if not isinstance(n, str) or n.startswith(("/", "\\"))
+                   or ".." in n.split("/") or ".." in n.split("\\")]
+            client = self._client()
+            if bad or "/" in client or "\\" in client or ".." in client:
+                return self._json(422, {"detail": f"invalid object or client name: {(bad or [client])[0]!r}"})
             # files land in the client's embedding staging dir
             # (endpoints.py:482-499 get_temp_directory(client, 'embedding'))
-            directory = os.path.join(api.staging_root, self._client(), "embedding")
+            directory = os.path.join(api.staging_root, client, "embedding")
+            staged: list[str] = []
             try:
                 for object_name in names:
-                    store.get_object(directory, object_name, bucket)
+                    dest = store.get_object(directory, object_name, bucket)
+                    base = os.path.basename(dest)
+                    if base not in staged:
+                        staged.append(base)
             except FileNotFoundError as ex:
                 return self._json(404, {"detail": f"Object not found: {ex}"})
-            downloaded = sorted(
-                f for f in os.listdir(directory) if os.path.isfile(os.path.join(directory, f))
-            )
-            return self._json(200, downloaded)
+            # THIS request's staged files (the reference lists the whole
+            # cumulative dir, which returns stale entries on the 2nd call)
+            return self._json(200, staged)
         return self._json(404, {"detail": "Not Found"})
 
     def _chat(self, method: str, leaf: str, api: ApiServer) -> None:

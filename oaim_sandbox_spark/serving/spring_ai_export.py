@@ -20,7 +20,7 @@ and refuses to render.
 from __future__ import annotations
 
 import io
-import json
+import shlex
 import zipfile
 
 import yaml
@@ -156,40 +156,45 @@ def render_start_sh(
 ) -> str:
     """start.sh content (templates/start.sh semantics): provider env vars,
     generation params under the OP_/OL_ prefix, DB + rag exports, then
-    `mvn spring-boot:run -P <provider>`."""
+    `mvn spring-boot:run -P <provider>`. Every interpolated value is
+    shlex-quoted — the script is sourced by a shell, so a password or
+    context prompt containing backticks/$()/quotes must become inert data,
+    not syntax (the upstream template's naive double-quoting does not
+    guarantee that)."""
     if provider not in ("openai", "ollama"):
         raise ValueError(f"provider must be 'openai' or 'ollama', got {provider!r}")
     g = _gen_params(ll_model)
     prefix = "OP" if provider == "openai" else "OL"
-    lines = ["#!/bin/bash", f'export PROVIDER="{provider}"']
+    q = lambda v: shlex.quote(str(v))  # noqa: E731
+    lines = ["#!/bin/bash", f"export PROVIDER={q(provider)}"]
     if provider == "openai":
         lines += [
-            f'export OPENAI_CHAT_MODEL="{g["model"]}"',
-            f'export OPENAI_EMBEDDING_MODEL="{rag.get("model", "")}"',
-            f'export OPENAI_URL="{g["url"]}"',
+            f"export OPENAI_CHAT_MODEL={q(g['model'])}",
+            f"export OPENAI_EMBEDDING_MODEL={q(rag.get('model', ''))}",
+            f"export OPENAI_URL={q(g['url'])}",
         ]
     else:
         lines += [
-            f'export OLLAMA_BASE_URL="{g["url"]}"',
-            f'export OLLAMA_CHAT_MODEL="{g["model"]}"',
-            f'export OLLAMA_EMBEDDING_MODEL="{rag.get("model", "")}"',
+            f"export OLLAMA_BASE_URL={q(g['url'])}",
+            f"export OLLAMA_CHAT_MODEL={q(g['model'])}",
+            f"export OLLAMA_EMBEDDING_MODEL={q(rag.get('model', ''))}",
         ]
     lines += [
-        f'export {prefix}_TEMPERATURE="{g["temperature"]}"',
-        f'export {prefix}_FREQUENCY_PENALTY="{g["frequency_penalty"]}"',
-        f'export {prefix}_PRESENCE_PENALTY="{g["presence_penalty"]}"',
-        f'export {prefix}_MAX_TOKENS="{g["max_tokens"]}"',
-        f'export {prefix}_TOP_P="{g["top_p"]}"',
+        f"export {prefix}_TEMPERATURE={q(g['temperature'])}",
+        f"export {prefix}_FREQUENCY_PENALTY={q(g['frequency_penalty'])}",
+        f"export {prefix}_PRESENCE_PENALTY={q(g['presence_penalty'])}",
+        f"export {prefix}_MAX_TOKENS={q(g['max_tokens'])}",
+        f"export {prefix}_TOP_P={q(g['top_p'])}",
         'export SPRING_AI_OPENAI_API_KEY=${OPENAI_API_KEY}',
-        f'export DB_DSN="jdbc:oracle:thin:@{database.get("dsn", "")}"',
-        f'export DB_USERNAME="{database.get("user", "")}"',
-        f'export DB_PASSWORD="{database.get("password", "")}"',
-        f'export DISTANCE_TYPE="{rag.get("distance_metric", "COSINE")}"',
-        f'export INDEX_TYPE="{rag.get("index_type", "HNSW")}"',
-        f"export CONTEXT_INSTR={json.dumps(ctx_prompt)}",
-        f'export TOP_K="{rag.get("top_k", 4)}"',
-        f'export VECTOR_STORE="{rag.get("vector_store", "")}"',
-        f"mvn spring-boot:run -P {provider}",
+        f"export DB_DSN={q('jdbc:oracle:thin:@' + str(database.get('dsn', '')))}",
+        f"export DB_USERNAME={q(database.get('user', ''))}",
+        f"export DB_PASSWORD={q(database.get('password', ''))}",
+        f"export DISTANCE_TYPE={q(rag.get('distance_metric', 'COSINE'))}",
+        f"export INDEX_TYPE={q(rag.get('index_type', 'HNSW'))}",
+        f"export CONTEXT_INSTR={q(ctx_prompt)}",
+        f"export TOP_K={q(rag.get('top_k', 4))}",
+        f"export VECTOR_STORE={q(rag.get('vector_store', ''))}",
+        f"mvn spring-boot:run -P {q(provider)}",
     ]
     return "\n".join(lines) + "\n"
 

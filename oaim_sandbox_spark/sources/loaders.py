@@ -136,6 +136,9 @@ _HTML_BLOCK_TAGS = frozenset(
     "p div li ul ol h1 h2 h3 h4 h5 h6 tr table section article header footer "
     "blockquote pre br hr".split()
 )
+# cell-level tags get a SPACE, not a paragraph break: '<td>alpha</td><td>beta'
+# must come out 'alpha beta' (not merged, and not split across chunks)
+_HTML_CELL_TAGS = frozenset("td th dt dd span a em strong b i u code".split())
 
 
 class _VisibleTextParser(HTMLParser):
@@ -154,12 +157,16 @@ class _VisibleTextParser(HTMLParser):
             self._skip += 1
         elif tag in _HTML_BLOCK_TAGS:
             self._chunks.append("\n\n")
+        elif tag in _HTML_CELL_TAGS:
+            self._chunks.append(" ")
 
     def handle_endtag(self, tag: str) -> None:
         if tag in ("script", "style", "template"):
             self._skip = max(0, self._skip - 1)
         elif tag in _HTML_BLOCK_TAGS:
             self._chunks.append("\n\n")
+        elif tag in _HTML_CELL_TAGS:
+            self._chunks.append(" ")
 
     def handle_data(self, data: str) -> None:
         if not self._skip and data:

@@ -30,10 +30,12 @@ from __future__ import annotations
 import re
 import zlib
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\s*endstream", re.DOTALL)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
 _PAGE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
-_CONTENTS_RE = re.compile(rb"/Contents\s+(\[[^\]]*\]|\d+\s+\d+\s+R)")
+_CONTENTS_RE = re.compile(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 
 _ESCAPES = {
@@ -167,9 +169,34 @@ def extract_pages(content: bytes) -> list[str]:
     if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", content):
         raise NotImplementedError("encrypted PDFs require pypdf")
 
+    # Length-aware object scan. A naive `obj(.*?)endobj` regex truncates at
+    # the first 'endobj'/'endstream' BYTE SEQUENCE inside compressed stream
+    # data (zlib output is arbitrary bytes — hypothesis found real cases), so
+    # when a stream declares /Length we slice exactly that many bytes and
+    # resume scanning after them; `pos` also skips phantom object headers
+    # that appear inside already-consumed stream bytes.
     objects: dict[int, bytes] = {}
-    for m in _OBJ_RE.finditer(content):
-        objects[int(m.group(1))] = m.group(2)
+    pos = 0
+    for m in _OBJ_HEAD_RE.finditer(content):
+        if m.start() < pos:
+            continue
+        num, start = int(m.group(1)), m.end()
+        sm = _STREAM_START_RE.search(content, start)
+        end = content.find(b"endobj", start)
+        if sm is not None and (end == -1 or sm.start() < end):
+            head = content[start : sm.start()]
+            lm = _LENGTH_RE.search(head)
+            if lm is not None:
+                dstart = sm.end()
+                dend = dstart + int(lm.group(1))
+                objects[num] = head + b"\nstream\n" + content[dstart:dend] + b"\nendstream"
+                after = content.find(b"endobj", dend)
+                pos = dend if after == -1 else after + len(b"endobj")
+                continue
+        if end == -1:
+            end = len(content)
+        objects[num] = content[start:end]
+        pos = end + len(b"endobj")
 
     def obj_text(num: int) -> str:
         body = objects.get(num, b"")

@@ -77,11 +77,26 @@ def stream_ingest(
         fresh = merge_new_rows(addressed, existing, id_col="id")
         embedded = mock_embed_column(fresh, text_col="text", dim=embed_dim)
         out = embedded.select("id", "text", "source", "start_index", "embedding")
-        if ivf_index is not None and ann_store_dir:
-            out = out.localCheckpoint(eager=True)  # compute once for both sinks
         out.write.mode("append").parquet(store_dir)
         if ivf_index is not None and ann_store_dir:
-            ivf_index.append_partitioned(out.select("id", "embedding"), ann_store_dir)
+            # RECONCILE the ANN store from the flat store instead of
+            # appending this batch's rows directly: the two appends are not
+            # atomic, so a failure between them followed by a Structured
+            # Streaming batch retry would otherwise diverge the sinks
+            # forever (the flat sink is idempotent via the content-id
+            # anti-join above — a retried batch produces an empty `fresh`).
+            # Appending flat-minus-ann rows makes the ANN leg idempotent
+            # AND self-healing: any earlier partial failure is repaired on
+            # the next batch. Cost is an id anti-join per batch; at real
+            # scale, key the reconcile on recent batch ids instead.
+            spark_b = batch_df.sparkSession
+            flat_vecs = spark_b.read.parquet(store_dir).select("id", "embedding")
+            try:
+                have = spark_b.read.parquet(ann_store_dir).select("id")
+                missing = flat_vecs.join(have, "id", "left_anti")
+            except Exception:  # first batch: ANN store doesn't exist yet
+                missing = flat_vecs
+            ivf_index.append_partitioned(missing, ann_store_dir)
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -444,3 +444,26 @@ def test_databases_vector_stores_with_spark(spark, tmp_path):
         assert [v["vector_store"] for v in db["vector_stores"]] == [name]
     finally:
         srv.stop()
+
+
+def test_oci_download_rejects_traversal(cfg_server):
+    """Object names and client ids become filesystem path components — '..'
+    and absolute paths must 422, never resolve (path-traversal guard)."""
+    for name in ["../secret.txt", "/etc/passwd", "sub/../../x", "..\\win.txt"]:
+        status, _ = req(cfg_server, "POST", "/v1/oci/objects/download/bucketa/DEFAULT",
+                        body=[name], client="dlsafe")
+        assert status == 422, name
+    status, _ = req(cfg_server, "POST", "/v1/oci/objects/download/bucketa/DEFAULT",
+                    body=["a.txt"], client="../escape")
+    assert status == 422
+
+
+def test_oci_download_lists_only_this_request(cfg_server):
+    """The response is THIS request's staged files — a second download must
+    not echo the first one's leftovers from the cumulative staging dir."""
+    status, files = req(cfg_server, "POST", "/v1/oci/objects/download/bucketa/DEFAULT",
+                        body=["a.txt"], client="dl2")
+    assert status == 200 and files == ["a.txt"]
+    status, files = req(cfg_server, "POST", "/v1/oci/objects/download/bucketa/DEFAULT",
+                        body=["sub/b.txt"], client="dl2")
+    assert status == 200 and files == ["b.txt"]

@@ -186,3 +186,19 @@ def test_html_stdlib_parser_entities_and_script_drop(spark, tmp_path):
     assert "one" in text and "two" in text
     # block boundaries became paragraph breaks for the splitter
     assert "\n\n" in text
+
+
+def test_html_stdlib_parser_table_cells_not_merged(spark, tmp_path):
+    """'<td>alpha</td><td>beta</td>' must extract as separate words — the
+    parser emits a space at cell/inline boundaries (regression: the first
+    html.parser version merged them into 'alphabeta')."""
+    (tmp_path / "g.html").write_text(
+        "<table><tr><td>alpha</td><td>beta</td></tr></table>"
+        "<p>x<span>y</span>z words</p>"
+    )
+    from oaim_sandbox_spark.sources.loaders import load_documents
+
+    rows = load_documents(spark, str(tmp_path / "g.html")).collect()
+    text = rows[0]["text"]
+    assert "alphabeta" not in text
+    assert "alpha" in text.split() and "beta" in text.split()

@@ -132,8 +132,19 @@ def test_roundtrip_property(lines):
     for flate in (True, False):
         pages = minipdf.extract_pages(make_pdf([content], flate=flate))
         assert len(pages) == 1
-        for ln in lines:
-            assert ln in pages[0]
-        # order preserved
-        pos = [pages[0].index(ln) for ln in dict.fromkeys(lines)]
-        assert pos == sorted(pos)
+        # exact reconstruction: one extracted line per drawn line, in order
+        # (an index()-based order check is wrong when one line is a
+        # substring of another)
+        got = [seg for seg in pages[0].split("\n") if seg]
+        assert got == lines
+
+
+def test_compact_contents_no_space():
+    """'/Contents[5 0 R]' (no whitespace, legal and emitted by compact
+    writers) must still resolve — regression for the \\s+ regex."""
+    content_obj = _stream_obj(3, PAGE1)
+    page = _obj(2, b"<< /Type /Page /Contents[3 0 R] >>")
+    pdf = (b"%PDF-1.4\n" + _obj(1, b"<< /Type /Catalog >>") + page + content_obj
+           + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    pages = minipdf.extract_pages(pdf)
+    assert len(pages) == 1 and "Hello, PDF world." in pages[0]

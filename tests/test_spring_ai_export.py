@@ -54,18 +54,52 @@ def test_obaas_yaml_ollama_prunes_openai():
     assert ai["ollama"]["chat"]["options"]["num-predict"] == 256
 
 
+def _parse_exports(sh: str) -> dict:
+    """Shell-parse the export lines the way bash would, proving the quoting
+    round-trips values as inert data."""
+    import shlex
+
+    env = {}
+    for line in sh.splitlines():
+        if line.startswith("export ") and "=" in line and "${" not in line:
+            k, v = line[len("export "):].split("=", 1)
+            parts = shlex.split(v)
+            env[k] = parts[0] if parts else ""
+    return env
+
+
 def test_start_sh_env_vars():
     sh = render_start_sh("openai", LL, RAG, DB, 'Say "hi"')
-    assert 'export PROVIDER="openai"' in sh
-    assert 'export OPENAI_CHAT_MODEL="gpt-x"' in sh
-    assert 'export OP_TEMPERATURE="0.3"' in sh
-    assert 'export DB_DSN="jdbc:oracle:thin:@host:1521/pdb"' in sh
-    assert "export CONTEXT_INSTR=\"Say \\\"hi\\\"\"" in sh  # shell-safe quoting
+    env = _parse_exports(sh)
+    assert env["PROVIDER"] == "openai"
+    assert env["OPENAI_CHAT_MODEL"] == "gpt-x"
+    assert env["OP_TEMPERATURE"] == "0.3"
+    assert env["DB_DSN"] == "jdbc:oracle:thin:@host:1521/pdb"
+    assert env["CONTEXT_INSTR"] == 'Say "hi"'
     assert sh.rstrip().endswith("mvn spring-boot:run -P openai")
 
     sh = render_start_sh("ollama", OLL, RAG, DB, "")
-    assert 'export OLLAMA_BASE_URL="http://oll:11434"' in sh
-    assert 'export OL_MAX_TOKENS="256"' in sh
+    env = _parse_exports(sh)
+    assert env["OLLAMA_BASE_URL"] == "http://oll:11434"
+    assert env["OL_MAX_TOKENS"] == "256"
+
+
+def test_start_sh_hostile_values_stay_inert():
+    """Backticks, $(), quotes, and $vars in user-controlled fields must come
+    out as literal DATA when the script is shell-parsed — never syntax."""
+    hostile_db = {"dsn": "h:1521/p", "user": "scott", "password": 'p$w"`id`x$(reboot)'}
+    sh = render_start_sh("openai", LL, RAG, hostile_db, "Use `id` and $(whoami) now")
+    env = _parse_exports(sh)
+    assert env["DB_PASSWORD"] == 'p$w"`id`x$(reboot)'
+    assert env["CONTEXT_INSTR"] == "Use `id` and $(whoami) now"
+    # and bash agrees: sourcing the exports executes nothing
+    import subprocess
+
+    body = "\n".join(l for l in sh.splitlines() if l.startswith("export CONTEXT_INSTR"))
+    out = subprocess.run(["bash", "-c", body + "\nprintf '%s' \"$CONTEXT_INSTR\""],
+                         capture_output=True, text=True, timeout=10)
+    assert out.returncode == 0
+    assert out.stdout == "Use `id` and $(whoami) now"
 
 
 def test_zip_bundle_and_hybrid_refusal():
