@@ -3698,11 +3698,35 @@ def _bpe_tokenize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sketch_profile_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: sketch-based per-event-type profile — approx distinct users
+    (HyperLogLog++, approx_count_distinct) and approx p50/p95 of value
+    (KLL-style percentile_approx). At 100 TB these sketches ARE the answer
+    for profiling: fixed-size state, map-side mergeable, one shuffle of
+    sketch buffers instead of a count-distinct's full key shuffle. Not
+    oracle-checkable — sketch internals differ per engine — so the accuracy
+    bound vs the exact aggregates is pytest-asserted instead
+    (tests/test_queries_registry.py::test_sketch_profile_error_bounds)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT event_type,
+       CAST(approx_count_distinct(user_id, 0.02) AS BIGINT) AS approx_users,
+       CAST(round(percentile_approx(value, 0.5, 5000), 6) AS DOUBLE) AS approx_p50,
+       CAST(round(percentile_approx(value, 0.95, 5000), 6) AS DOUBLE) AS approx_p95
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+    )
+
+
 NON_ORACLE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_rerank": _mmr_rerank_spark,
     "ivf_ann_topk": _ivf_ann_spark,
     "multimodal_features": _multimodal_features_spark,
     "bpe_tokenize": _bpe_tokenize_spark,
+    "sketch_profile": _sketch_profile_spark,
 }
 
 

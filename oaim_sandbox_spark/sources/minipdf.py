@@ -200,10 +200,20 @@ def extract_pages(content: bytes) -> list[str]:
 
     def obj_text(num: int) -> str:
         body = objects.get(num, b"")
-        sm = _STREAM_RE.search(body)
+        sm = _STREAM_START_RE.search(body)
         if not sm:
             return ""
-        data = _decode_stream(body, sm.group(1))
+        head = body[: sm.start()]
+        lm = _LENGTH_RE.search(head)
+        if lm is not None:
+            # exact /Length slice — the regex's \s* would eat trailing
+            # whitespace-class BYTES of compressed data (zlib output can
+            # end in 0x0a/0x20...), truncating the stream
+            raw = body[sm.end() : sm.end() + int(lm.group(1))]
+        else:
+            m2 = _STREAM_RE.search(body)
+            raw = m2.group(1) if m2 else b""
+        data = _decode_stream(head, raw)
         return _content_text(data) if data is not None else ""
 
     pages: list[str] = []

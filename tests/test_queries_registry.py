@@ -60,3 +60,32 @@ def test_events_ts_us_timezone_independent(spark):
                      if hasattr(v, "timestamp") else v // 1000
                      for v in t["ts"].to_pylist()]))
     assert all(got[k] == want[k] for k in got)
+
+
+def test_sketch_profile_error_bounds(spark):
+    """sketch_profile is rows-only (sketch internals are engine-specific), so
+    its correctness contract is an ACCURACY BOUND vs the exact aggregates:
+    HLL++ distinct counts within 5% relative error, approx percentiles
+    within the value spread between the neighboring exact percentiles."""
+    from oaim_sandbox_spark.queries import NON_ORACLE
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r["event_type"]: r for r in NON_ORACLE["sketch_profile"](spark, sf).collect()}
+
+    import duckdb
+
+    exact = {
+        r[0]: r
+        for r in duckdb.sql(
+            f"""SELECT event_type, COUNT(DISTINCT user_id),
+                       quantile_cont(value, 0.40), quantile_cont(value, 0.60),
+                       quantile_cont(value, 0.90), quantile_cont(value, 0.99)
+                FROM '{sf}/events.parquet' GROUP BY event_type"""
+        ).fetchall()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        _, nd, p40, p60, p90, p99 = exact[et]
+        assert abs(a["approx_users"] - nd) <= max(2, 0.05 * nd)
+        assert p40 <= a["approx_p50"] <= p60   # p50 lands between exact p40/p60
+        assert p90 <= a["approx_p95"] <= p99   # p95 lands between exact p90/p99
