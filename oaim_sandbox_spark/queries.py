@@ -2845,6 +2845,16 @@ def _embedding_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches the driver (bounded sample — FAISS-style coarse quantizer), never
     the store itself.
     """
+    register_views(spark, sf_dir)
+    return _embedding_pairs_core(spark, spark.table("embeddings"), threshold=0.35)
+
+
+def _embedding_pairs_core(
+    spark: SparkSession, emb_raw: DataFrame, threshold: float, margin: float = 1e-6
+) -> DataFrame:
+    """The distributed embedding-pairs plan over any (vec_id, embedding)
+    DataFrame — shared by the registry runner and tools/stress.py (so the
+    stress probe exercises the exact production path)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -2853,11 +2863,7 @@ def _embedding_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from oaim_sandbox_spark.operators.ann import lloyd_kmeans
 
-    register_views(spark, sf_dir)
-    threshold, margin = 0.35, 1e-6  # margin covers the round(.,6) boundary
-    emb = spark.table("embeddings").select(
-        "vec_id", F.expr("cast(embedding as array<double>)").alias("v")
-    )
+    emb = emb_raw.select("vec_id", F.expr("cast(embedding as array<double>)").alias("v"))
     # coarse quantizer: a 4k normalized sample bounds driver work at ANY size
     sample = np.asarray(emb.limit(4096).toPandas()["v"].to_list(), dtype=np.float64)
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
@@ -2957,7 +2963,7 @@ def _embedding_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's sequential fold, so the prefilter margin never shows; the
     # fold expressions evaluate only on the survivor joins' stream side
     ve = P.to_double_array("embedding", "spark")
-    vnorm = spark.table("embeddings").select(
+    vnorm = emb_raw.select(
         "vec_id", F.expr(ve).alias("v"), F.expr(P.norm2(ve, "spark")).alias("n")
     )
     sim = f"round({P.dot('a.v', 'b.v', 'spark')} / (a.n * b.n), 6)"

@@ -1,0 +1,133 @@
+"""Reproducible scale-stress runs behind the numbers recorded in BASELINE.md.
+
+Each subcommand synthesizes a workload far past the bench's sf0.1 (resampled
+texts / generated vectors), runs the SAME code path the bench exercises, and
+prints one JSON line. These are the "would it still work at 100x" probes —
+run them after touching the corresponding operator.
+
+Usage:
+    python tools/stress.py minhash   [n_docs=200000]
+    python tools/stress.py simhash   [n_docs=200000]
+    python tools/stress.py embpairs  [n_vecs=100000]
+    python tools/stress.py split1m   [n_docs=1000000]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def _spark(name: str):
+    from oaim_sandbox_spark.session import get_spark
+
+    return get_spark(name)
+
+
+def _resampled_docs(spark, n_docs: int):
+    """sf0.1 texts replicated to n_docs with unique ids — the extreme-
+    duplication worst case for banded dedup (every replica collides in
+    every band)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    reps = (n_docs + 4999) // 5000
+    big = (
+        docs.crossJoin(spark.range(reps).withColumnRenamed("id", "rep"))
+        .select((F.col("doc_id") * 1000 + F.col("rep")).alias("doc_id"), "text")
+        .limit(n_docs)
+    )
+    return big.repartition(64).localCheckpoint()
+
+
+def stress_minhash(n_docs: int = 200_000) -> dict:
+    from oaim_sandbox_spark.operators.dedup import minhash_lsh_pairs
+
+    spark = _spark("stress-minhash")
+    big = _resampled_docs(spark, n_docs)
+    n = big.count()
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(big).count()
+    dt = time.time() - t0
+    spark.stop()
+    return {"stress": "minhash_lsh", "docs": n, "pairs": pairs, "seconds": round(dt, 1)}
+
+
+def stress_simhash(n_docs: int = 200_000) -> dict:
+    from oaim_sandbox_spark.operators.dedup import simhash_near_pairs
+
+    spark = _spark("stress-simhash")
+    big = _resampled_docs(spark, n_docs)
+    n = big.count()
+    t0 = time.time()
+    pairs = simhash_near_pairs(big).count()
+    dt = time.time() - t0
+    spark.stop()
+    return {"stress": "simhash", "docs": n, "pairs": pairs, "seconds": round(dt, 1)}
+
+
+def stress_embpairs(n_vecs: int = 100_000) -> dict:
+    """Synthetic 64-dim vectors through the distributed embedding-pairs path
+    (IVF cluster-pair blocks + tiled BLAS) — the shape the r1 driver-matrix
+    design could not run at all."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.queries import _embedding_pairs_core
+
+    spark = _spark("stress-embpairs")
+    vecs = (
+        spark.range(n_vecs)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(sequence(0, 63), i -> "
+                "sin((vec_id % 64) * 2.399963 + i * 0.712) "
+                "+ 0.2 * (cast(hash(vec_id, i) as double) / 2147483647.0))"
+            ),
+        )
+        .localCheckpoint()
+    )
+    t0 = time.time()
+    pairs = _embedding_pairs_core(spark, vecs, threshold=0.92).count()
+    dt = time.time() - t0
+    spark.stop()
+    return {"stress": "embedding_pairs", "vectors": n_vecs, "pairs": pairs, "seconds": round(dt, 1)}
+
+
+def stress_split1m(n_docs: int = 1_000_000) -> dict:
+    from oaim_sandbox_spark.operators.dedup import exact_dedup
+    from oaim_sandbox_spark.operators.split import split_fixed
+
+    spark = _spark("stress-split1m")
+    big = _resampled_docs(spark, n_docs)
+    t0 = time.time()
+    chunks = split_fixed(big, text_col="text", id_col="doc_id", chunk_size=400, chunk_overlap=0)
+    n_chunks = exact_dedup(chunks, text_col="text").count()
+    dt = time.time() - t0
+    spark.stop()
+    return {"stress": "split_dedup_1m", "docs": n_docs, "unique_chunks": n_chunks, "seconds": round(dt, 1)}
+
+
+def main() -> None:
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "minhash"
+    arg = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    fns = {
+        "minhash": stress_minhash,
+        "simhash": stress_simhash,
+        "embpairs": stress_embpairs,
+        "split1m": stress_split1m,
+    }
+    if cmd not in fns:
+        raise SystemExit(f"unknown stress {cmd!r}; one of {sorted(fns)}")
+    out = fns[cmd](arg) if arg else fns[cmd]()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
