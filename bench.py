@@ -190,6 +190,31 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
     w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("neighbor_id").asc())
     mat = rr.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     recalls["matryoshka16_rerank@10"] = rec(topk_sets(mat), exact_cos)
+
+    # PCA16: learned 16-dim subspace (one-pass distributed Gram fit), same
+    # candidate->exact-re-rank funnel as matryoshka — the after-the-fact
+    # alternative when the embedding model wasn't matryoshka-trained.
+    import numpy as np
+
+    from oaim_sandbox_spark.operators.dim_reduce import fit_pca, project_pca
+
+    pca = fit_pca(store, n_components=16)
+    storep = project_pca(store, pca, out_col="emb16p")
+    qdfp = spark.createDataFrame(
+        [
+            (qid, ((np.asarray(qv) - pca.mean) @ pca.components.T).tolist())
+            for qid, qv in queries
+        ],
+        "query_id BIGINT, query_vec ARRAY<DOUBLE>",
+    )
+    candp = knn_join(storep, qdfp, k=5 * k, item_vec="emb16p").select("query_id", "neighbor_id")
+    rrp = (
+        candp.join(store.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("distance", F.expr(f"round({dist}, 6)"))
+    )
+    pca16 = rrp.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    recalls["pca16_rerank@10"] = rec(topk_sets(pca16), exact_cos)
     return recalls
 
 

@@ -283,6 +283,21 @@ def regexp_count_portable(e: str, pattern: str, dialect: str) -> str:
     return f"len(regexp_extract_all({e}, '{pattern}'))"
 
 
+def regexp_replace_all(e: str, pattern: str, repl: str, dialect: str) -> str:
+    """Replace ALL regex matches. Spark's regexp_replace is global by
+    default; DuckDB needs the explicit 'g' flag."""
+    if dialect == "spark":
+        return f"regexp_replace({e}, '{pattern}', '{repl}')"
+    return f"regexp_replace({e}, '{pattern}', '{repl}', 'g')"
+
+
+def list_len(e: str, dialect: str) -> str:
+    """Element count of an array expression (size vs len)."""
+    if dialect == "spark":
+        return f"size({e})"
+    return f"len({e})"
+
+
 def round6(e: str, dialect: str) -> str:
     """Round a double to 6 dp — used on every float output so hash-compare is
     immune to sub-1e-6 cross-engine float noise."""

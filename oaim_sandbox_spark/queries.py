@@ -87,16 +87,32 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts_us", _ts_us_col(stream))
 
 
+# (applicationId -> (sf_dir, registered table names)): registering the same
+# tables for the same sf_dir in the same session is a no-op — a registry
+# sweep calls register_views once per query, and the redundant per-call
+# spark.read.parquet footer reads are pure driver-side overhead. Switching
+# sf_dir invalidates (the view NAMES are shared across SFs).
+_VIEWS_STATE: dict[str, tuple[str, frozenset]] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
     """Register sf_dir parquet tables as temp views. The events view carries
     an extra normalized `ts_us` (epoch-micros BIGINT) column so query SQL is
-    independent of the physical ts encoding."""
+    independent of the physical ts encoding. Idempotent per (session,
+    sf_dir): repeat calls skip the re-read."""
+    app = spark.sparkContext.applicationId
+    want = frozenset(tables)
+    cur = _VIEWS_STATE.get(app)
+    if cur is not None and cur[0] == sf_dir and want <= cur[1]:
+        return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for t in tables:
         if t == "events":
             events_batch(spark, sf_dir).createOrReplaceTempView(t)
         else:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    prev = cur[1] if cur is not None and cur[0] == sf_dir else frozenset()
+    _VIEWS_STATE[app] = (sf_dir, prev | want)
 
 
 def _ts_us(dialect: str) -> str:
@@ -3736,6 +3752,219 @@ NON_ORACLE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# PII redaction, temperature sampling, tokenizer fertility, SemDeDup-style
+# semantic dedup, DSIR-style importance weighting. All dual-dialect, all
+# driver-hashable outputs (scalar columns, round6 floats, exact-int counts).
+# ---------------------------------------------------------------------------
+
+# Backslash-free so the pattern strings survive BOTH engines' string-literal
+# escape handling unchanged (the \b/\d forms in text_analysis.PII_PATTERNS
+# are Spark-side column expressions, not SQL literals).
+_PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IP_RE = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+
+
+def pii_redaction_stats(d: str) -> str:
+    """Training-corpus PII scrub audit — the oracle-checked twin of
+    `operators/text_analysis.redact_pii`. The driver corpus is digit-free
+    word soup, so detection over raw text would be vacuous: a deterministic
+    synthetic-PII augmentation (emails/phones/IPv4 derived from doc_id)
+    makes the regex machinery earn its result. Detect per kind, redact
+    most-specific-first, report per-source counts and redacted char mass.
+    All-JVM regexp chain on the Spark side (codegen-eligible — what a
+    100 TB scrub pass needs); every output is an exact integer."""
+    email = "' contact user' || CAST(doc_id AS STRING) || '@example.com now'"
+    phone = (
+        "' call 555-' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0')"
+        " || '-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' soon'"
+    )
+    ip = (
+        "' from 10.' || CAST(doc_id % 256 AS STRING) || '.'"
+        " || CAST(doc_id % 250 AS STRING) || '.7 today'"
+    )
+    red = P.regexp_replace_all(
+        P.regexp_replace_all(
+            P.regexp_replace_all("text", _PII_EMAIL_RE, "<EMAIL>", d),
+            _PII_PHONE_RE,
+            "<PHONE>",
+            d,
+        ),
+        _PII_IP_RE,
+        "<IP>",
+        d,
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 5 = 0 THEN {email} ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN {phone} ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN {ip} ELSE '' END AS text
+  FROM documents
+),
+det AS (
+  SELECT source,
+         {P.regexp_count_portable('text', _PII_EMAIL_RE, d)} AS n_email,
+         {P.regexp_count_portable('text', _PII_PHONE_RE, d)} AS n_phone,
+         {P.regexp_count_portable('text', _PII_IP_RE, d)} AS n_ip,
+         length(text) - length({red}) AS delta
+  FROM aug
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS n_emails,
+       CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+       CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+       CAST(SUM(delta) AS BIGINT) AS chars_redacted
+FROM det
+GROUP BY source
+ORDER BY source
+"""
+
+
+def domain_temperature_weights(d: str) -> str:
+    """Temperature-scaled language sampling — the p_l^alpha rebalance used by
+    multilingual corpora (mC4 / XLM-R recipe, alpha = 0.3): per-language raw
+    share, temperature-scaled share, and the implied up/down-sampling boost.
+    After the first GROUP BY everything is a language-histogram-sized dim
+    (dozens of rows at ANY corpus scale), so the whole tail is free."""
+    return """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c),
+w AS (SELECT lang, n, n / t.total AS p, pow(n / t.total, 0.3) AS pa FROM c CROSS JOIN t),
+z AS (SELECT SUM(pa) AS zsum FROM w)
+SELECT w.lang,
+       CAST(w.n AS BIGINT) AS n_docs,
+       CAST(round(w.p, 6) AS DOUBLE) AS p_raw,
+       CAST(round(w.pa / z.zsum, 6) AS DOUBLE) AS p_temp,
+       CAST(round((w.pa / z.zsum) / w.p, 6) AS DOUBLE) AS boost
+FROM w CROSS JOIN z
+ORDER BY w.lang
+"""
+
+
+def tokenizer_fertility(d: str) -> str:
+    """Per-language tokenizer fertility profile (tokens per 100 chars, mean
+    token length) — the standard sanity table before committing a tokenizer
+    to a multilingual corpus. Token-char mass is length(text minus spaces),
+    identical to sum-of-token-lengths under the whitespace tokenizer, so
+    every aggregate is an exact integer and the two divisions at the end are
+    the only float ops."""
+    toks = P.tokens("text", d)
+    return f"""
+WITH t AS (
+  SELECT lang,
+         {P.list_len(toks, d)} AS n_tok,
+         length(text) AS n_chars,
+         length(replace(text, ' ', '')) AS tok_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(round(SUM(n_tok) * 100.0 / SUM(n_chars), 6) AS DOUBLE) AS tokens_per_100_chars,
+       CAST(round(SUM(tok_chars) * 1.0 / SUM(n_tok), 6) AS DOUBLE) AS avg_token_len
+FROM t
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+SEMDEDUP_CAP, SEMDEDUP_K, SEMDEDUP_SIM = 1500, 8, 0.35
+
+
+def semantic_dedup_clusters(d: str) -> str:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
+    space, then inside each cluster drop all-but-one of every pair with
+    cosine >= threshold (lowest-id-wins keep policy). Deterministic oracle
+    form: the 8 lowest-id vectors are the fixed coarse centroids, assignment
+    is argmax cosine with an exact centroid-id tie-break. The quadratic step
+    is bounded WITHIN a cluster (n²/k, the whole point of the method); the
+    production scale path is `embedding_cosine_pairs`' distributed pair
+    machinery (triangle-inequality cluster-pair pruning + tiled BLAS)
+    feeding this same keep policy, and vec_id < CAP keeps the oracle's
+    self-join bench-proportionate."""
+    v = P.to_double_array("embedding", d)
+    asim = f"{P.dot('a.v', 'c.cv', d)} / (a.nrm * c.cn)"
+    psim = f"{P.dot('a.v', 'b.v', d)} / (a.nrm * b.nrm)"
+    return f"""
+WITH v AS (
+  SELECT vec_id, {v} AS v, {P.norm2(v, d)} AS nrm
+  FROM embeddings WHERE vec_id < {SEMDEDUP_CAP}
+),
+c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM v WHERE vec_id < {SEMDEDUP_K}),
+s AS (SELECT a.vec_id, c.cid, {asim} AS sim FROM v a CROSS JOIN c),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM s
+  ) r WHERE rn = 1
+),
+av AS (SELECT v.vec_id, v.v, v.nrm, asg.cid FROM v JOIN asg ON v.vec_id = asg.vec_id),
+dup AS (
+  SELECT DISTINCT b.vec_id AS vid
+  FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round({psim}, 6) >= {SEMDEDUP_SIM}
+)
+SELECT av.cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(dup.vid) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COUNT(dup.vid) AS BIGINT) AS n_kept
+FROM av LEFT JOIN dup ON av.vec_id = dup.vid
+GROUP BY av.cid
+ORDER BY av.cid
+"""
+
+
+def dsir_importance_weights(d: str) -> str:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169): score
+    each document by its mean token log-likelihood ratio between a TARGET
+    unigram model (the 'en' slice here) and the full-corpus model, add-1
+    smoothed over the corpus vocabulary — the cheap importance-resampling
+    filter for steering a 100 TB crawl toward a target distribution. Shape:
+    one token explode feeds a vocab-sized count dim; the scoring join
+    broadcasts that dim back; document text never shuffles."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT doc_id, lang, tk FROM documents LATERAL VIEW explode({toks}) t AS tk"
+    else:
+        tok = f"SELECT doc_id, lang, unnest({toks}) AS tk FROM documents"
+    return f"""
+WITH tok AS ({tok}),
+vocab AS (
+  SELECT tk,
+         CAST(COUNT(*) AS DOUBLE) AS cs,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS ct
+  FROM tok GROUP BY tk
+),
+tot AS (SELECT SUM(cs) AS ns, SUM(ct) AS nt, COUNT(*) AS vsz FROM vocab),
+scored AS (
+  SELECT tok.doc_id AS doc_id,
+         SUM(ln(((vocab.ct + 1) / (tot.nt + tot.vsz)) / ((vocab.cs + 1) / (tot.ns + tot.vsz)))) AS lr,
+         COUNT(*) AS n_tok
+  FROM tok JOIN vocab ON tok.tk = vocab.tk CROSS JOIN tot
+  GROUP BY tok.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       round(lr / n_tok, 6) + 0.0 AS avg_log_ratio,
+       CASE WHEN lr > 0 THEN 'target-like' ELSE 'generic' END AS verdict
+FROM scored
+ORDER BY doc_id
+"""
+
+
+TEMPLATES["pii_redaction_stats"] = pii_redaction_stats
+TEMPLATES["domain_temperature_weights"] = domain_temperature_weights
+TEMPLATES["tokenizer_fertility"] = tokenizer_fertility
+TEMPLATES["semantic_dedup_clusters"] = semantic_dedup_clusters
+TEMPLATES["dsir_importance_weights"] = dsir_importance_weights
+
+
 def _make_spark_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -3802,11 +4031,14 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "near_dup_clusters",
     "simhash_near_pairs",
     "embedding_cosine_pairs",
-    "mmr_exact",
-    "bm25_topk",
-    "lsh_multiprobe_topk",
-    "ivf_full_probe_topk",
-    "pq_adc_topk",
+    # --- round-3 additions, in-window for first driver certification (the
+    # displaced ANN flagships — mmr_exact, bm25_topk, lsh_multiprobe_topk,
+    # ivf_full_probe_topk, pq_adc_topk — are r2-green and unchanged).
+    "pii_redaction_stats",
+    "domain_temperature_weights",
+    "tokenizer_fertility",
+    "semantic_dedup_clusters",
+    "dsir_importance_weights",
 )
 
 
