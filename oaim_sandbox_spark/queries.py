@@ -3638,6 +3638,21 @@ def _ivf_full_probe_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for semantic_dedup_clusters: the ASSIGNED relation av
+    (vec_id, v, nrm, cid) feeds both sides of the intra-cluster pair join
+    plus the final rollup — materialize it ONCE (localCheckpoint), so the
+    cross-join + argmax-window assignment subplan runs once instead of 3x
+    (DuckDB materializes multiply-referenced CTEs on its own; Spark inlines
+    them). Same SQL otherwise."""
+    register_views(spark, sf_dir, tables=("embeddings",))
+    vname = _materialized_view(spark, _semdedup_v_sql("spark"), "semv")
+    av_sql = f"WITH {_semdedup_assign_cte('spark', rel=vname)}\nSELECT * FROM av"
+    avname = _materialized_view(spark, av_sql, "semav")
+    spark.catalog.dropTempView(vname)
+    return _sql_dropping(spark, _semdedup_final_sql("spark", rel=avname), avname)
+
+
 SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_event_counts": _pivot_event_counts_spark,
     "streaming_dedup_pairs": _streaming_dedup_spark,
@@ -3656,6 +3671,7 @@ SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_user_counts": _salted_user_counts_spark,
     "near_dup_clusters": _near_dup_clusters_spark,
     "ivf_full_probe_topk": _ivf_full_probe_spark,
+    "semantic_dedup_clusters": _semantic_dedup_spark,
 }
 
 # Queries with no SQL-expressible oracle (iterative / ML-fitted); the driver
@@ -3876,6 +3892,51 @@ ORDER BY lang
 SEMDEDUP_CAP, SEMDEDUP_K, SEMDEDUP_SIM = 1500, 8, 0.35
 
 
+def _semdedup_v_sql(d: str) -> str:
+    """The normalized-vector relation SemDeDup runs over (vec_id, v, nrm)."""
+    v = P.to_double_array("embedding", d)
+    return (
+        f"SELECT vec_id, {v} AS v, {P.norm2(v, d)} AS nrm "
+        f"FROM embeddings WHERE vec_id < {SEMDEDUP_CAP}"
+    )
+
+
+def _semdedup_assign_cte(d: str, rel: str = "v") -> str:
+    """CTE chain fragment: argmax-cosine centroid assignment over `rel`,
+    ending in av(vec_id, v, nrm, cid). Prepend `WITH `."""
+    asim = f"{P.dot('a.v', 'c.cv', d)} / (a.nrm * c.cn)"
+    return f"""c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM {rel} WHERE vec_id < {SEMDEDUP_K}),
+s AS (SELECT a.vec_id, c.cid, {asim} AS sim FROM {rel} a CROSS JOIN c),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM s
+  ) r WHERE rn = 1
+),
+av AS (SELECT t.vec_id, t.v, t.nrm, asg.cid FROM {rel} t JOIN asg ON t.vec_id = asg.vec_id)"""
+
+
+def _semdedup_final_sql(d: str, rel: str = "av") -> str:
+    """Intra-cluster prune + per-cluster rollup over the assigned relation
+    `rel` (vec_id, v, nrm, cid)."""
+    psim = f"{P.dot('a.v', 'b.v', d)} / (a.nrm * b.nrm)"
+    return f"""
+WITH dup AS (
+  SELECT DISTINCT b.vec_id AS vid
+  FROM {rel} a JOIN {rel} b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round({psim}, 6) >= {SEMDEDUP_SIM}
+)
+SELECT {rel}.cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(dup.vid) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COUNT(dup.vid) AS BIGINT) AS n_kept
+FROM {rel} LEFT JOIN dup ON {rel}.vec_id = dup.vid
+GROUP BY {rel}.cid
+ORDER BY {rel}.cid
+"""
+
+
 def semantic_dedup_clusters(d: str) -> str:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
     space, then inside each cluster drop all-but-one of every pair with
@@ -3886,38 +3947,15 @@ def semantic_dedup_clusters(d: str) -> str:
     production scale path is `embedding_cosine_pairs`' distributed pair
     machinery (triangle-inequality cluster-pair pruning + tiled BLAS)
     feeding this same keep policy, and vec_id < CAP keeps the oracle's
-    self-join bench-proportionate."""
-    v = P.to_double_array("embedding", d)
-    asim = f"{P.dot('a.v', 'c.cv', d)} / (a.nrm * c.cn)"
-    psim = f"{P.dot('a.v', 'b.v', d)} / (a.nrm * b.nrm)"
-    return f"""
-WITH v AS (
-  SELECT vec_id, {v} AS v, {P.norm2(v, d)} AS nrm
-  FROM embeddings WHERE vec_id < {SEMDEDUP_CAP}
-),
-c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM v WHERE vec_id < {SEMDEDUP_K}),
-s AS (SELECT a.vec_id, c.cid, {asim} AS sim FROM v a CROSS JOIN c),
-asg AS (
-  SELECT vec_id, cid FROM (
-    SELECT vec_id, cid,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
-    FROM s
-  ) r WHERE rn = 1
-),
-av AS (SELECT v.vec_id, v.v, v.nrm, asg.cid FROM v JOIN asg ON v.vec_id = asg.vec_id),
-dup AS (
-  SELECT DISTINCT b.vec_id AS vid
-  FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE round({psim}, 6) >= {SEMDEDUP_SIM}
-)
-SELECT av.cid AS cluster_id,
-       CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       CAST(COUNT(dup.vid) AS BIGINT) AS n_dropped,
-       CAST(COUNT(*) - COUNT(dup.vid) AS BIGINT) AS n_kept
-FROM av LEFT JOIN dup ON av.vec_id = dup.vid
-GROUP BY av.cid
-ORDER BY av.cid
-"""
+    self-join bench-proportionate. The Spark runner materializes the
+    assigned relation once (`_semantic_dedup_spark`)."""
+    final = _semdedup_final_sql(d).lstrip()
+    assert final.startswith("WITH ")
+    return (
+        f"WITH v AS ({_semdedup_v_sql(d)}),\n"
+        f"{_semdedup_assign_cte(d)},\n"
+        f"{final[len('WITH '):]}"
+    )
 
 
 def dsir_importance_weights(d: str) -> str:
