@@ -364,3 +364,40 @@ def incremental_near_dups(
         pairs.join(sa, "new_id").join(sb, "existing_id")
         .select("new_id", "existing_id", F.expr(f"round({est}, 6)").alias("est_jaccard"))
     )
+
+
+def semantic_dedup(
+    spark,
+    df: DataFrame,
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup at production scale (Abbas et al. 2023, arXiv:2303.09540):
+    keep one representative of every group of semantically-duplicate rows.
+
+    Pipeline: distributed near-pair generation — the `embedding_cosine_pairs`
+    machinery (bounded driver sample fits the coarse quantizer, triangle-
+    inequality cluster-pair pruning with zero recall loss, tiled BLAS
+    matmuls) — then min-label connected components over the pair graph, then
+    lowest-id-wins per component (the reference's P7 first-wins ordering
+    semantics applied to semantic duplicates). The `semantic_dedup_clusters`
+    registry query is the fixed-centroid oracle for the same keep policy.
+
+    Returns ``(kept, labels)``: `kept` is `df` filtered to the component
+    representatives; `labels` is (id_col, cluster_id) for every input row.
+    Nothing store-sized reaches the driver at any step.
+    """
+    from oaim_sandbox_spark.queries import _embedding_pairs_core  # lazy: avoids import cycle
+
+    emb = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    pairs = _embedding_pairs_core(spark, emb, threshold=threshold).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    labels = connected_components(pairs, df.select(F.col(id_col)), node_col=id_col)
+    kept = df.join(
+        labels.filter(F.col(id_col) == F.col("cluster_id")).select(id_col),
+        id_col,
+        "semi",
+    )
+    return kept, labels

@@ -92,3 +92,31 @@ def test_incremental_near_dups_probe_existing_only(spark):
     assert rows[(11, 1)] >= 0.8          # near copy collides, high est_jaccard
     assert all(nid != 12 for nid, _ in rows)  # unrelated doc matches nothing
     assert all(eid in (1, 2) for _, eid in rows)  # never new x new
+
+
+def test_semantic_dedup_keeps_one_per_component(spark):
+    # 3 planted groups of near-identical vectors + 2 singletons; the operator
+    # must keep exactly the lowest id of each group and label every row
+    from oaim_sandbox_spark.operators.dedup import semantic_dedup
+
+    base = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.0],
+    }
+    rows = []
+    for g, v in base.items():
+        for j in range(3):  # ids g, g+10, g+20 — same direction, tiny jitter
+            vid = g + 10 * j
+            rows.append((vid, [x + (0.001 * j if i == 3 else 0.0) for i, x in enumerate(v)]))
+    rows.append((100, [1.0, 1.0, 1.0, 1.0]))
+    rows.append((101, [-1.0, 1.0, -1.0, 1.0]))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+    kept, labels = semantic_dedup(spark, df, threshold=0.99)
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    assert kept_ids == {0, 1, 2, 100, 101}
+    lab = {r["vec_id"]: r["cluster_id"] for r in labels.collect()}
+    for g in (0, 1, 2):
+        assert lab[g] == lab[g + 10] == lab[g + 20] == g
+    assert lab[100] == 100 and lab[101] == 101
