@@ -3638,6 +3638,39 @@ def _ivf_full_probe_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_pii_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub THROUGH Structured Streaming: the batch augment → detect →
+    redact → audit chain (`_pii_stats_sql`) over an availableNow file stream
+    → complete-mode agg → memory sink. The scrub chain is stateless per-row
+    regexp projection, so the only streaming state is the final per-source
+    audit agg — the shape of a continuous-ingest scrubber at scale. Over a
+    static directory the stream result equals the batch SQL, which is the
+    oracle."""
+    import uuid as _uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    name = f"docs_stream_{_uuid.uuid4().hex[:8]}"
+    stream.createOrReplaceTempView(name)
+    agg = spark.sql(_pii_stats_sql("spark", rel=name))
+    out = f"stream_pii_{_uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(out)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    spark.catalog.dropTempView(name)
+    return spark.table(out)
+
+
 def _semantic_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark runner for semantic_dedup_clusters: the ASSIGNED relation av
     (vec_id, v, nrm, cid) feeds both sides of the intra-cluster pair join
@@ -3672,6 +3705,7 @@ SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters": _near_dup_clusters_spark,
     "ivf_full_probe_topk": _ivf_full_probe_spark,
     "semantic_dedup_clusters": _semantic_dedup_spark,
+    "streaming_pii_scrub": _streaming_pii_spark,
 }
 
 # Queries with no SQL-expressible oracle (iterative / ML-fitted); the driver
@@ -3782,15 +3816,9 @@ _PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 _PII_IP_RE = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
 
 
-def pii_redaction_stats(d: str) -> str:
-    """Training-corpus PII scrub audit — the oracle-checked twin of
-    `operators/text_analysis.redact_pii`. The driver corpus is digit-free
-    word soup, so detection over raw text would be vacuous: a deterministic
-    synthetic-PII augmentation (emails/phones/IPv4 derived from doc_id)
-    makes the regex machinery earn its result. Detect per kind, redact
-    most-specific-first, report per-source counts and redacted char mass.
-    All-JVM regexp chain on the Spark side (codegen-eligible — what a
-    100 TB scrub pass needs); every output is an exact integer."""
+def _pii_stats_sql(d: str, rel: str = "documents") -> str:
+    """The PII augment→detect→redact→per-source-audit SQL over relation
+    `rel` — shared by the batch template and the streaming runner."""
     email = "' contact user' || CAST(doc_id AS STRING) || '@example.com now'"
     phone = (
         "' call 555-' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0')"
@@ -3818,7 +3846,7 @@ WITH aug AS (
          || CASE WHEN doc_id % 5 = 0 THEN {email} ELSE '' END
          || CASE WHEN doc_id % 7 = 0 THEN {phone} ELSE '' END
          || CASE WHEN doc_id % 11 = 0 THEN {ip} ELSE '' END AS text
-  FROM documents
+  FROM {rel}
 ),
 det AS (
   SELECT source,
@@ -3838,6 +3866,18 @@ FROM det
 GROUP BY source
 ORDER BY source
 """
+
+
+def pii_redaction_stats(d: str) -> str:
+    """Training-corpus PII scrub audit — the oracle-checked twin of
+    `operators/text_analysis.redact_pii`. The driver corpus is digit-free
+    word soup, so detection over raw text would be vacuous: a deterministic
+    synthetic-PII augmentation (emails/phones/IPv4 derived from doc_id)
+    makes the regex machinery earn its result. Detect per kind, redact
+    most-specific-first, report per-source counts and redacted char mass.
+    All-JVM regexp chain on the Spark side (codegen-eligible — what a
+    100 TB scrub pass needs); every output is an exact integer."""
+    return _pii_stats_sql(d)
 
 
 def domain_temperature_weights(d: str) -> str:
@@ -3996,6 +4036,13 @@ ORDER BY doc_id
 """
 
 
+def streaming_pii_scrub(d: str) -> str:
+    """Batch oracle for the Structured-Streaming PII scrub (the stream over
+    a static directory must equal the batch pipeline exactly)."""
+    return _pii_stats_sql(d)
+
+
+TEMPLATES["streaming_pii_scrub"] = streaming_pii_scrub
 TEMPLATES["pii_redaction_stats"] = pii_redaction_stats
 TEMPLATES["domain_temperature_weights"] = domain_temperature_weights
 TEMPLATES["tokenizer_fertility"] = tokenizer_fertility
