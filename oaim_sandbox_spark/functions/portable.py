@@ -298,6 +298,20 @@ def list_len(e: str, dialect: str) -> str:
     return f"len({e})"
 
 
+def list_min(e: str, dialect: str) -> str:
+    """Minimum element of an array expression."""
+    if dialect == "spark":
+        return f"array_min({e})"
+    return f"list_min({e})"
+
+
+def list_distinct(e: str, dialect: str) -> str:
+    """Distinct elements of an array expression."""
+    if dialect == "spark":
+        return f"array_distinct({e})"
+    return f"list_distinct({e})"
+
+
 def round6(e: str, dialect: str) -> str:
     """Round a double to 6 dp — used on every float output so hash-compare is
     immune to sub-1e-6 cross-engine float noise."""

@@ -4042,8 +4042,81 @@ def streaming_pii_scrub(d: str) -> str:
     return _pii_stats_sql(d)
 
 
+WINNOW_NGRAM, WINNOW_W = 3, 4
+
+
+def winnowing_fingerprints(d: str) -> str:
+    """Robust winnowing (Schleimer et al., SIGMOD 2003 — the MOSS
+    fingerprinting scheme): hash word 3-grams, slide a w=4 window over the
+    hash sequence, keep each window's minimum; the distinct selected minima
+    are the document's fingerprints (guaranteed-gap sampling: any shared
+    word run of length >= w + ngram yields a shared fingerprint). Per doc:
+    gram count, fingerprint count/density, and the number of fingerprints
+    shared with ANY other document — the clone-detection signal. Shape: the
+    window-min selection is a narrow per-row array transform (no explode
+    until the already-winnowed fingerprints), and the fingerprint-DF dim
+    pre-aggregates map-side; text never shuffles."""
+    final = _winnow_final_sql(d).lstrip()
+    assert final.startswith("WITH ")
+    return f"WITH w AS ({_winnow_w_sql(d)}),\n{final[len('WITH '):]}"
+
+
+def _winnow_w_sql(d: str) -> str:
+    """Per-doc winnowed relation (doc_id, n_grams, n_fp, fps)."""
+    hs = P.shingle_hashes("text", WINNOW_NGRAM, d)
+    n_win = f"greatest(1, {P.list_len('hs', d)} - {WINNOW_W - 1})"
+    win_min = P.list_min(P.subvec("hs", "i", WINNOW_W, d), d)
+    if d == "spark":
+        sel = f"transform(sequence(1, {n_win}), i -> {win_min})"
+    else:
+        sel = f"list_transform(generate_series(1, {n_win}), i -> {win_min})"
+    fps = P.list_distinct(sel, d)
+    return (
+        f"SELECT doc_id, {P.list_len('hs', d)} AS n_grams, "
+        f"{P.list_len(fps, d)} AS n_fp, {fps} AS fps "
+        f"FROM (SELECT doc_id, {hs} AS hs FROM documents) b"
+    )
+
+
+def _winnow_final_sql(d: str, rel: str = "w") -> str:
+    """Fingerprint-DF rollup over the winnowed relation `rel`."""
+    if d == "spark":
+        fp = f"SELECT doc_id, f FROM {rel} LATERAL VIEW explode(fps) t AS f"
+    else:
+        fp = f"SELECT doc_id, unnest(fps) AS f FROM {rel}"
+    return f"""
+WITH fp AS ({fp}),
+dfreq AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS df FROM fp GROUP BY f),
+sh AS (
+  SELECT fp.doc_id AS doc_id,
+         SUM(CASE WHEN dfreq.df > 1 THEN 1 ELSE 0 END) AS n_shared
+  FROM fp JOIN dfreq ON fp.f = dfreq.f
+  GROUP BY fp.doc_id
+)
+SELECT CAST({rel}.doc_id AS BIGINT) AS doc_id,
+       CAST({rel}.n_grams AS BIGINT) AS n_grams,
+       CAST({rel}.n_fp AS BIGINT) AS n_fingerprints,
+       CAST(round({rel}.n_fp * 1.0 / {rel}.n_grams, 6) AS DOUBLE) AS fp_density,
+       CAST(sh.n_shared AS BIGINT) AS n_shared_fp
+FROM {rel} JOIN sh ON {rel}.doc_id = sh.doc_id
+ORDER BY doc_id
+"""
+
+
+def _winnowing_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for winnowing_fingerprints: materialize the per-doc
+    winnowed relation ONCE — Spark's CTE inlining otherwise recomputes the
+    md5-shingle + window-min pipeline on every reference (measured 46 s vs
+    ~2 s at sf0.01). DuckDB materializes multiply-referenced CTEs itself."""
+    register_views(spark, sf_dir, tables=("documents",))
+    name = _materialized_view(spark, _winnow_w_sql("spark"), "winnow")
+    return _sql_dropping(spark, _winnow_final_sql("spark", rel=name), name)
+
+
 TEMPLATES["streaming_pii_scrub"] = streaming_pii_scrub
 TEMPLATES["pii_redaction_stats"] = pii_redaction_stats
+TEMPLATES["winnowing_fingerprints"] = winnowing_fingerprints
+SPARK_OVERRIDES["winnowing_fingerprints"] = _winnowing_spark
 TEMPLATES["domain_temperature_weights"] = domain_temperature_weights
 TEMPLATES["tokenizer_fertility"] = tokenizer_fertility
 TEMPLATES["semantic_dedup_clusters"] = semantic_dedup_clusters
