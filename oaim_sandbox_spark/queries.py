@@ -4178,7 +4178,6 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "user_activity_sessions",
     "asof_clicks_before_errors",
     "range_error_followups",
-    "events_rollup",
     "streaming_hourly_counts",
     "streaming_sessions",
     "streaming_dedup_pairs",
@@ -4197,6 +4196,8 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "tokenizer_fertility",
     "semantic_dedup_clusters",
     "dsir_importance_weights",
+    "streaming_pii_scrub",
+    "winnowing_fingerprints",
 )
 
 
