@@ -4115,7 +4115,30 @@ def _winnowing_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEMPLATES["streaming_pii_scrub"] = streaming_pii_scrub
 TEMPLATES["pii_redaction_stats"] = pii_redaction_stats
+def scd2_purchase_history(d: str) -> str:
+    """SCD-type-2 history build from an append-only event log: each user's
+    purchase stream becomes interval rows (valid_from, valid_to, is_current)
+    via LEAD — the standard warehouse shape for reconstructing mutable state
+    from CDC without a mutable table. One shuffle on the key (window
+    partition); at scale the log is already ingest-partitioned by key-hash
+    so the window sorts locally."""
+    return f"""
+SELECT user_id,
+       valid_from,
+       COALESCE(next_ts, CAST(9223372036854775807 AS BIGINT)) AS valid_to,
+       CAST(round(value, 6) AS DOUBLE) AS value,
+       CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+FROM (
+  SELECT user_id, {_ts_us(d)} AS valid_from, value,
+         LEAD({_ts_us(d)}) OVER (PARTITION BY user_id ORDER BY {_ts_us(d)} ASC, event_id ASC) AS next_ts
+  FROM events WHERE event_type = 'purchase'
+) t
+ORDER BY user_id, valid_from
+"""
+
+
 TEMPLATES["winnowing_fingerprints"] = winnowing_fingerprints
+TEMPLATES["scd2_purchase_history"] = scd2_purchase_history
 SPARK_OVERRIDES["winnowing_fingerprints"] = _winnowing_spark
 TEMPLATES["domain_temperature_weights"] = domain_temperature_weights
 TEMPLATES["tokenizer_fertility"] = tokenizer_fertility

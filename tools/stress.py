@@ -10,6 +10,8 @@ Usage:
     python tools/stress.py simhash   [n_docs=200000]
     python tools/stress.py embpairs  [n_vecs=100000]
     python tools/stress.py split1m   [n_docs=1000000]
+    python tools/stress.py pca       [n_vecs=500000]
+    python tools/stress.py semdedup  [n_vecs=100000]
 """
 
 from __future__ import annotations
@@ -100,6 +102,68 @@ def stress_embpairs(n_vecs: int = 100_000) -> dict:
     return {"stress": "embedding_pairs", "vectors": n_vecs, "pairs": pairs, "seconds": round(dt, 1)}
 
 
+def _planted_vecs(spark, n_vecs: int):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n_vecs)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(sequence(0, 63), i -> "
+                "sin((vec_id % 64) * 2.399963 + i * 0.712) "
+                "+ 0.2 * (cast(hash(vec_id, i) as double) / 2147483647.0))"
+            ),
+        )
+        .localCheckpoint()
+    )
+
+
+def stress_pca(n_vecs: int = 500_000) -> dict:
+    """One-pass distributed PCA fit + full projection over synthetic 64-dim
+    vectors: driver traffic is #Arrow-batches x dim² regardless of n, so
+    this probe demonstrates the fit cost growing only with scan time."""
+    from oaim_sandbox_spark.operators.dim_reduce import fit_pca, project_pca
+
+    spark = _spark("stress-pca")
+    vecs = _planted_vecs(spark, n_vecs)
+    t0 = time.time()
+    model = fit_pca(vecs, n_components=16)
+    fit_s = time.time() - t0
+    t0 = time.time()
+    n = project_pca(vecs, model).count()
+    proj_s = time.time() - t0
+    spark.stop()
+    return {
+        "stress": "pca_fit_project",
+        "vectors": n,
+        "evr16": round(float(model.explained_variance_ratio.sum()), 4),
+        "fit_seconds": round(fit_s, 1),
+        "project_seconds": round(proj_s, 1),
+    }
+
+
+def stress_semdedup(n_vecs: int = 100_000) -> dict:
+    """Distributed SemDeDup end to end (pair machinery -> connected
+    components -> first-wins keep) at 50x the bench store size."""
+    from oaim_sandbox_spark.operators.dedup import semantic_dedup
+
+    spark = _spark("stress-semdedup")
+    vecs = _planted_vecs(spark, n_vecs)
+    t0 = time.time()
+    kept, _labels = semantic_dedup(spark, vecs, threshold=0.97)
+    n_kept = kept.count()
+    dt = time.time() - t0
+    spark.stop()
+    return {
+        "stress": "semantic_dedup",
+        "vectors": n_vecs,
+        "kept": n_kept,
+        "seconds": round(dt, 1),
+    }
+
+
 def stress_split1m(n_docs: int = 1_000_000) -> dict:
     from oaim_sandbox_spark.operators.dedup import exact_dedup
     from oaim_sandbox_spark.operators.split import split_fixed
@@ -122,6 +186,8 @@ def main() -> None:
         "simhash": stress_simhash,
         "embpairs": stress_embpairs,
         "split1m": stress_split1m,
+        "pca": stress_pca,
+        "semdedup": stress_semdedup,
     }
     if cmd not in fns:
         raise SystemExit(f"unknown stress {cmd!r}; one of {sorted(fns)}")
