@@ -1,0 +1,142 @@
+"""End-to-end ingest pipelines.
+
+`populate_vs` is the reference's §3.2 ingest job (`src/server/utils/
+embedding.py:256-374`: split → dedup → batch-embed → anti-join merge →
+index → catalog comment) re-expressed as ONE composable Spark job with the
+skip-recompute improvement (anti-join BEFORE embed, so never-seen chunks are
+the only ones that reach the provider).
+
+`curate_corpus` is the beyond-reference training-data front end: the
+scrub → quality-filter → exact-dedup → near-dedup stage chain every LLM
+data pipeline runs before anything is embedded or tokenized, driven by a
+plain config dict so a job spec is data, not code.
+
+100 TB notes: every stage is a narrow transform or a key-hash shuffle the
+individual operators already document; composing them adds no driver state —
+the counts in the report are Spark aggregates, not collects.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from oaim_sandbox_spark.catalog import VectorStorage, VectorStoreCatalog, get_vs_table
+from oaim_sandbox_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from oaim_sandbox_spark.operators.embed import mock_embed_column
+from oaim_sandbox_spark.operators.merge import merge_new_rows, with_content_id
+from oaim_sandbox_spark.operators.split import split_fixed
+from oaim_sandbox_spark.operators.text_analysis import quality_score_sql, redact_pii
+
+
+@dataclass
+class IngestReport:
+    vs_name: str
+    n_chunks: int
+    n_deduped: int
+    n_new: int
+
+
+def populate_vs(
+    spark: SparkSession,
+    docs: DataFrame,
+    catalog: VectorStoreCatalog,
+    vs: VectorStorage,
+    embed_fn=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> IngestReport:
+    """Reference §3.2 `populate_vs` as one Spark job.
+
+    Steps (reference embedding.py:256-374, step numbers from SURVEY §3.2):
+    split (P1) → exact dedup (P7) → content-address (sha256, K2's ID
+    semantics) → anti-join against the existing store (K2 — BEFORE the
+    embed, the skip-recompute improvement over the reference's
+    embed-then-merge) → embed only the new rows (P8/P9; `embed_fn` defaults
+    to the deterministic mock) → append (K1) → sidecar catalog comment (K5).
+    Returns chunk/dedup/new counts; nothing row-sized reaches the driver.
+    """
+    name, _comment = get_vs_table(
+        vs.model, vs.chunk_size, vs.chunk_overlap, vs.distance_metric, vs.index_type, vs.alias
+    )
+    chunks = split_fixed(
+        docs, text_col=text_col, id_col=id_col,
+        chunk_size=vs.chunk_size, chunk_overlap=vs.chunk_overlap,
+    )
+    n_chunks = chunks.count()
+    deduped = exact_dedup(chunks, text_col="text", order_col="id")
+    n_deduped = deduped.count()
+    addressed = with_content_id(deduped, text_col="text", id_col="cid")
+    try:
+        existing = catalog.read_store(name).select(F.col("cid"))
+    except Exception:
+        existing = spark.createDataFrame([], "cid STRING")
+    fresh = merge_new_rows(addressed, existing, id_col="cid")
+    embedded = (embed_fn or (lambda df: mock_embed_column(df, text_col="text")))(fresh)
+    n_new = embedded.count()
+    if n_new:
+        catalog.write_store(embedded, vs, mode="append")
+    return IngestReport(vs_name=name, n_chunks=n_chunks, n_deduped=n_deduped, n_new=n_new)
+
+
+DEFAULT_CURATION = {
+    "scrub_pii": True,
+    "min_quality": 0.0,  # quality_score_sql threshold; 0 keeps everything
+    "exact_dedup": True,
+    "near_dedup_jaccard": None,  # e.g. 0.5 → minhash-LSH drop of est-dup docs
+}
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    config: dict | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, dict]:
+    """Config-driven corpus curation: scrub → quality gate → exact dedup →
+    near-dedup (minhash-LSH, first-wins). Returns (curated_df, stage_counts).
+
+    The config is plain data so a curation job spec can live in a settings
+    store (the reference's config-plane pattern, serving/config_plane.py)
+    rather than code. Each stage only ever adds a narrow projection or one
+    key-hash shuffle; disabled stages cost nothing.
+    """
+    cfg = {**DEFAULT_CURATION, **(config or {})}
+    counts: dict[str, int] = {"input": docs.count()}
+    out = docs
+
+    if cfg["scrub_pii"]:
+        before = set(out.columns)
+        out = redact_pii(out, text_col=text_col)
+        added = set(out.columns) - before - {f"{text_col}_redacted"}
+        out = (
+            out.drop(text_col)
+            .withColumnRenamed(f"{text_col}_redacted", text_col)
+            .drop(*added)
+        )
+
+    if cfg["min_quality"] > 0:
+        out = out.filter(
+            F.expr(quality_score_sql(text_col, "spark")) >= F.lit(cfg["min_quality"])
+        )
+        counts["after_quality"] = out.count()
+
+    if cfg["exact_dedup"]:
+        out = exact_dedup(out, text_col=text_col, order_col=id_col)
+        counts["after_exact_dedup"] = out.count()
+
+    thr = cfg["near_dedup_jaccard"]
+    if thr is not None:
+        pairs = minhash_lsh_pairs(out, id_col=id_col, text_col=text_col)
+        drop = (
+            pairs.filter(F.col("est_jaccard") >= thr)
+            .select(F.greatest("doc_a", "doc_b").alias(id_col))
+            .distinct()
+        )
+        out = out.join(drop, id_col, "left_anti")
+        counts["after_near_dedup"] = out.count()
+
+    counts["output"] = out.count()
+    return out, counts

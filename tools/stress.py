@@ -144,15 +144,35 @@ def stress_pca(n_vecs: int = 500_000) -> dict:
     }
 
 
-def stress_semdedup(n_vecs: int = 100_000) -> dict:
+def stress_semdedup(n_vecs: int = 50_000, n_clusters: int = 64) -> dict:
     """Distributed SemDeDup end to end (pair machinery -> connected
-    components -> first-wins keep) at 50x the bench store size."""
+    components -> first-wins keep) at ~25-50x the bench store size.
+
+    Centroids are hash-derived (near-orthogonal in 64-dim: cross-cluster
+    cosine ~ N(0, 1/8)), so the expected outcome is exactly n_clusters
+    components — unlike the sinusoid-phase generator, whose centroid chain
+    is transitively connected at high thresholds (every vector collapses to
+    ONE component; correct closure, useless as a probe)."""
+    from pyspark.sql import functions as F
+
     from oaim_sandbox_spark.operators.dedup import semantic_dedup
 
     spark = _spark("stress-semdedup")
-    vecs = _planted_vecs(spark, n_vecs)
+    vecs = (
+        spark.range(n_vecs)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(sequence(0, 63), i -> "
+                f"(cast(hash(vec_id % {n_clusters}, i) as double) / 2147483647.0) "
+                "+ 0.1 * (cast(hash(vec_id, i, 7) as double) / 2147483647.0))"
+            ),
+        )
+        .localCheckpoint()
+    )
     t0 = time.time()
-    kept, _labels = semantic_dedup(spark, vecs, threshold=0.97)
+    kept, _labels = semantic_dedup(spark, vecs, threshold=0.9)
     n_kept = kept.count()
     dt = time.time() - t0
     spark.stop()
@@ -160,6 +180,7 @@ def stress_semdedup(n_vecs: int = 100_000) -> dict:
         "stress": "semantic_dedup",
         "vectors": n_vecs,
         "kept": n_kept,
+        "expected_kept": n_clusters,
         "seconds": round(dt, 1),
     }
 
