@@ -36,6 +36,7 @@ class IngestReport:
     n_chunks: int
     n_deduped: int
     n_new: int
+    index_path: str | None = None
 
 
 def populate_vs(
@@ -46,6 +47,8 @@ def populate_vs(
     embed_fn=None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    build_index: bool = False,
+    n_centroids: int = 16,
 ) -> IngestReport:
     """Reference §3.2 `populate_vs` as one Spark job.
 
@@ -75,9 +78,24 @@ def populate_vs(
     fresh = merge_new_rows(addressed, existing, id_col="cid")
     embedded = (embed_fn or (lambda df: mock_embed_column(df, text_col="text")))(fresh)
     n_new = embedded.count()
+    index_path = None
     if n_new:
         catalog.write_store(embedded, vs, mode="append")
-    return IngestReport(vs_name=name, n_chunks=n_chunks, n_deduped=n_deduped, n_new=n_new)
+    if build_index and (n_new or existing.count()):
+        # K4 parity: the reference drops + rebuilds the vector index after
+        # every merge (embedding.py:348-368); here the "index" is the
+        # centroid-partitioned layout probes prune against, rebuilt beside
+        # the flat store. Steady-state streaming appends instead use
+        # IVFIndex.append_partitioned (no refit).
+        from oaim_sandbox_spark.operators.ann import IVFIndex
+
+        store = catalog.read_store(name)
+        index_path = catalog._store_path(name) + "_ivf"
+        IVFIndex(n_centroids=n_centroids, seed=42).fit(store).write_partitioned(store, index_path)
+    return IngestReport(
+        vs_name=name, n_chunks=n_chunks, n_deduped=n_deduped, n_new=n_new,
+        index_path=index_path,
+    )
 
 
 DEFAULT_CURATION = {

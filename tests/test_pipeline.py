@@ -87,3 +87,15 @@ def test_curate_corpus_disabled_stages_no_ops(spark, docs):
     )
     assert counts["output"] == counts["input"]
     assert "after_exact_dedup" not in counts
+
+
+def test_populate_vs_builds_probeable_index(spark, docs, tmp_path):
+    from oaim_sandbox_spark.operators.ann import IVFIndex
+
+    catalog = VectorStoreCatalog(spark, root=str(tmp_path))
+    rep = populate_vs(spark, docs, catalog, _vs(), build_index=True, n_centroids=4)
+    assert rep.index_path and rep.index_path.endswith("_ivf")
+    idx = IVFIndex.load(f"{rep.index_path}/_ivf_index.json")
+    qv = [float(x) for x in catalog.read_store(rep.vs_name).first()["embedding"]]
+    hits = idx.search(spark, rep.index_path, qv, k=3, nprobe=2, id_col="cid").collect()
+    assert 0 < len(hits) <= 3
