@@ -23,7 +23,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from oaim_sandbox_spark.catalog import VectorStorage, VectorStoreCatalog, get_vs_table
-from oaim_sandbox_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from oaim_sandbox_spark.operators.dedup import (
+    exact_dedup,
+    incremental_near_dups,
+    minhash_lsh_pairs,
+)
 from oaim_sandbox_spark.operators.embed import mock_embed_column
 from oaim_sandbox_spark.operators.merge import merge_new_rows, with_content_id
 from oaim_sandbox_spark.operators.split import split_fixed
@@ -158,3 +162,43 @@ def curate_corpus(
 
     counts["output"] = out.count()
     return out, counts
+
+
+def curate_incremental(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    config: dict | None = None,
+    near_dup_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, dict]:
+    """Steady-state curation for continuous ingest: curate the NEW batch
+    (scrub/quality/in-batch dedup via `curate_corpus`), then drop batch docs
+    that are exact or near duplicates of the EXISTING corpus.
+
+    Exact cross-batch dups go by content-hash anti-join (K2 semantics); near
+    dups by `dedup.incremental_near_dups` — a new×existing band join whose
+    cost is proportional to the batch, never corpus² (the existing side's
+    band keys are persistable with the store). Returns (kept_new, counts)."""
+    cfg = dict(config or {})
+    cfg.setdefault("near_dedup_jaccard", None)  # in-batch near-dedup off by default here
+    curated, counts = curate_corpus(spark, new_docs, cfg, text_col=text_col, id_col=id_col)
+
+    norm = F.sha2(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), 256)
+    existing_hashes = existing_docs.select(norm.alias("_h")).distinct()
+    curated = (
+        curated.withColumn("_h", norm)
+        .join(existing_hashes, "_h", "left_anti")
+        .drop("_h")
+    )
+    counts["after_cross_exact"] = curated.count()
+
+    near = incremental_near_dups(
+        curated, existing_docs, id_col=id_col, text_col=text_col
+    ).filter(F.col("est_jaccard") >= near_dup_jaccard)
+    curated = curated.join(
+        near.select(F.col("new_id").alias(id_col)).distinct(), id_col, "left_anti"
+    )
+    counts["after_cross_near"] = counts["output"] = curated.count()
+    return curated, counts

@@ -99,3 +99,32 @@ def test_populate_vs_builds_probeable_index(spark, docs, tmp_path):
     qv = [float(x) for x in catalog.read_store(rep.vs_name).first()["embedding"]]
     hits = idx.search(spark, rep.index_path, qv, k=3, nprobe=2, id_col="cid").collect()
     assert 0 < len(hits) <= 3
+
+
+def test_curate_incremental_drops_cross_batch_dupes(spark):
+    from oaim_sandbox_spark.pipeline import curate_incremental
+
+    existing = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id BIGINT, text STRING",
+    )
+    new = spark.createDataFrame(
+        [
+            # exact dup of existing (after whitespace normalization)
+            (1, "alpha  beta gamma delta epsilon zeta eta theta iota kappa"),
+            # near dup: one word changed out of ten
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+            # genuinely new
+            (3, "completely different content with other words entirely here"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    kept, counts = curate_incremental(
+        spark, new, existing, {"scrub_pii": False, "exact_dedup": False},
+        near_dup_jaccard=0.4,
+    )
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 1 not in ids          # cross-batch exact dup dropped
+    assert 3 in ids              # novel doc kept
+    assert counts["after_cross_exact"] == 2
+    assert counts["output"] == len(ids)
