@@ -96,9 +96,21 @@ def load_csv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def load_json(spark: SparkSession, path: str, text_field: str = "text") -> DataFrame:
-    """S9/S11: JSON / JSONL re-hydration (jsonl is Spark's native json)."""
-    df = spark.read.json(path).withColumn("path", F.input_file_name())
+def load_json(
+    spark: SparkSession, path: str, text_field: str = "text", on_corrupt: str = "permissive"
+) -> DataFrame:
+    """S9/S11: JSON / JSONL re-hydration (jsonl is Spark's native json).
+
+    ``on_corrupt`` controls malformed-line policy — at crawl scale a batch
+    ALWAYS has some: 'permissive' (Spark default: null-field rows),
+    'drop' (DROPMALFORMED), 'fail' (FAILFAST — fail the job loudly).
+    Use `load_json_quarantine` to capture the raw bad lines instead."""
+    modes = {"permissive": "PERMISSIVE", "drop": "DROPMALFORMED", "fail": "FAILFAST"}
+    df = (
+        spark.read.option("mode", modes[on_corrupt])
+        .json(path)
+        .withColumn("path", F.input_file_name())
+    )
     df = _with_doc_columns(df)
     from pyspark.sql.window import Window
 
@@ -111,6 +123,53 @@ def load_json(spark: SparkSession, path: str, text_field: str = "text") -> DataF
         "ext",
         "page",
     )
+
+
+def load_json_quarantine(
+    spark: SparkSession, path: str, text_field: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """JSON/JSONL load with corrupt-line quarantine: returns
+    ``(docs, quarantine)`` — good rows through the normal `load_json`
+    projection, malformed raw lines as (corrupt_record, path) for a
+    quarantine sink. Neither failing the batch nor silently dropping loses
+    the data; this is the 100 TB crawl-ingest pattern.
+
+    Mechanics: infer the schema from the well-formed lines, re-read
+    PERMISSIVE with an explicit `_corrupt_record` column, and cache before
+    filtering on it (Spark refuses a filter that references ONLY the
+    internal corrupt column on an uncached lazy read)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    inferred = spark.read.option("mode", "DROPMALFORMED").json(path).schema
+    schema = StructType(
+        [f for f in inferred.fields if f.name != "_corrupt_record"]
+        + [StructField("_corrupt_record", StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .withColumn("path", F.input_file_name())
+        .cache()
+    )
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("corrupt_record"), "path"
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    good = _with_doc_columns(good)
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(Window.partitionBy("source").orderBy(F.monotonically_increasing_id()))
+    docs = good.withColumn("page", rn).select(
+        F.concat(F.col("filename"), F.lit("_"), F.col("page").cast("string")).alias("doc_id"),
+        F.col(text_field).cast("string").alias("text"),
+        "source",
+        "filename",
+        "ext",
+        "page",
+    )
+    return docs, bad
 
 
 def _parse_pdf_bytes(content: bytes) -> list[str]:

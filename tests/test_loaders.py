@@ -202,3 +202,27 @@ def test_html_stdlib_parser_table_cells_not_merged(spark, tmp_path):
     text = rows[0]["text"]
     assert "alphabeta" not in text
     assert "alpha" in text.split() and "beta" in text.split()
+
+
+def test_load_json_corrupt_modes(spark, tmp_path):
+    from oaim_sandbox_spark.sources.loaders import load_json, load_json_quarantine
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"text": "good one"}\n'
+        "{this is not json at all\n"
+        '{"text": "good two"}\n'
+    )
+    path = str(p)
+    assert load_json(spark, path, on_corrupt="drop").count() == 2
+    docs, bad = load_json_quarantine(spark, path)
+    assert docs.count() == 2
+    assert {r["text"] for r in docs.collect()} == {"good one", "good two"}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and "not json" in bad_rows[0]["corrupt_record"]
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Py4JJavaError):
+        load_json(spark, path, on_corrupt="fail").count()
