@@ -4137,8 +4137,30 @@ ORDER BY user_id, valid_from
 """
 
 
+def lang_confusion_matrix(d: str) -> str:
+    """Classifier evaluation in-engine: confusion matrix of the lang-id
+    heuristic (text_analysis.lang_id_sql) against the corpus's labeled lang
+    column, with each cell's share of its true-language row. The eval is one
+    grouped count over a narrow projection — at 100 TB you eval the
+    classifier the same way you run it, no sampling export step. Exact-int
+    cells; the share divides two ints."""
+    det = TA.lang_id_sql("text", d)
+    return f"""
+WITH m AS (
+  SELECT lang AS true_lang, {det} AS detected_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents
+  GROUP BY lang, {det}
+)
+SELECT true_lang, detected_lang, n,
+       CAST(round(n * 1.0 / SUM(n) OVER (PARTITION BY true_lang), 6) AS DOUBLE) AS frac_of_true
+FROM m
+ORDER BY true_lang, detected_lang
+"""
+
+
 TEMPLATES["winnowing_fingerprints"] = winnowing_fingerprints
 TEMPLATES["scd2_purchase_history"] = scd2_purchase_history
+TEMPLATES["lang_confusion_matrix"] = lang_confusion_matrix
 SPARK_OVERRIDES["winnowing_fingerprints"] = _winnowing_spark
 TEMPLATES["domain_temperature_weights"] = domain_temperature_weights
 TEMPLATES["tokenizer_fertility"] = tokenizer_fertility

@@ -71,13 +71,19 @@ def load_text(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def load_csv(spark: SparkSession, path: str) -> DataFrame:
+def load_csv(spark: SparkSession, path: str, on_corrupt: str = "permissive") -> DataFrame:
     """S4: one Document per CSV row, "col: value" lines (CSVLoader parity).
 
     Scale note: the row->text projection is concat_ws over columns — pure
-    JVM, pushes the header schema once; no Python.
+    JVM, pushes the header schema once; no Python. ``on_corrupt`` mirrors
+    load_json: 'permissive' | 'drop' (DROPMALFORMED) | 'fail' (FAILFAST).
     """
-    df = spark.read.csv(path, header=True).withColumn("path", F.input_file_name())
+    modes = {"permissive": "PERMISSIVE", "drop": "DROPMALFORMED", "fail": "FAILFAST"}
+    df = (
+        spark.read.option("mode", modes[on_corrupt])
+        .csv(path, header=True)
+        .withColumn("path", F.input_file_name())
+    )
     cols = [c for c in df.columns if c != "path"]
     line_exprs = [F.concat(F.lit(f"{c}: "), F.coalesce(F.col(c).cast("string"), F.lit(""))) for c in cols]
     df = _with_doc_columns(df)
