@@ -387,9 +387,18 @@ def semantic_dedup(
     Returns ``(kept, labels)``: `kept` is `df` filtered to the component
     representatives; `labels` is (id_col, cluster_id) for every input row.
     Nothing store-sized reaches the driver at any step.
+
+    Requires an integral id column (the pair machinery's Arrow schemas carry
+    BIGINT ids); hash string ids to int64 first (e.g. xxhash64) if needed.
     """
     from oaim_sandbox_spark.queries import _embedding_pairs_core  # lazy: avoids import cycle
 
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint", "long"):
+        raise ValueError(
+            f"semantic_dedup needs an integral {id_col!r} (got {id_type}); "
+            "hash string ids to int64 (xxhash64) before calling"
+        )
     emb = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     pairs = _embedding_pairs_core(spark, emb, threshold=threshold).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")

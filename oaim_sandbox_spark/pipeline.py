@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from oaim_sandbox_spark.catalog import VectorStorage, VectorStoreCatalog, get_vs_table
@@ -77,10 +78,17 @@ def populate_vs(
     addressed = with_content_id(deduped, text_col="text", id_col="cid")
     try:
         existing = catalog.read_store(name).select(F.col("cid"))
-    except Exception:
+    except AnalysisException:
+        # store genuinely absent (first ingest); any OTHER failure (IO,
+        # corrupt footer) must propagate — treating it as "empty store"
+        # would re-ingest everything and break K2 idempotency
         existing = spark.createDataFrame([], "cid STRING")
     fresh = merge_new_rows(addressed, existing, id_col="cid")
-    embedded = (embed_fn or (lambda df: mock_embed_column(df, text_col="text")))(fresh)
+    # materialize ONCE: count + append otherwise re-run the whole
+    # split->dedup->anti-join->embed lineage, hitting a real provider twice
+    embedded = (embed_fn or (lambda df: mock_embed_column(df, text_col="text")))(
+        fresh
+    ).localCheckpoint(eager=True)
     n_new = embedded.count()
     index_path = None
     if n_new:
@@ -160,7 +168,13 @@ def curate_corpus(
         out = out.join(drop, id_col, "left_anti")
         counts["after_near_dedup"] = out.count()
 
-    counts["output"] = out.count()
+    # `out` is unchanged after the last counted stage — recounting would
+    # re-run the whole uncached chain (incl. the LSH self-join) for a number
+    # we already have
+    last = [v for k, v in counts.items() if k != "input"]
+    # scrub is a pure projection, so with no counted stage the row count is
+    # still the input's
+    counts["output"] = last[-1] if last else counts["input"]
     return out, counts
 
 
@@ -181,12 +195,22 @@ def curate_incremental(
     dups by `dedup.incremental_near_dups` — a new×existing band join whose
     cost is proportional to the batch, never corpus² (the existing side's
     band keys are persistable with the store). Returns (kept_new, counts)."""
-    cfg = dict(config or {})
+    cfg = {**DEFAULT_CURATION, **(config or {})}
     cfg.setdefault("near_dedup_jaccard", None)  # in-batch near-dedup off by default here
     curated, counts = curate_corpus(spark, new_docs, cfg, text_col=text_col, id_col=id_col)
 
+    # the new side was (possibly) PII-scrubbed by curate_corpus — compare
+    # the existing corpus through the SAME lens, or a new doc identical to a
+    # PII-bearing existing doc hashes differently and sails through
+    existing_cmp = existing_docs
+    if cfg["scrub_pii"]:
+        existing_cmp = redact_pii(existing_cmp, text_col=text_col)
+        existing_cmp = existing_cmp.drop(text_col).withColumnRenamed(
+            f"{text_col}_redacted", text_col
+        )
+
     norm = F.sha2(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), 256)
-    existing_hashes = existing_docs.select(norm.alias("_h")).distinct()
+    existing_hashes = existing_cmp.select(norm.alias("_h")).distinct()
     curated = (
         curated.withColumn("_h", norm)
         .join(existing_hashes, "_h", "left_anti")
@@ -195,7 +219,7 @@ def curate_incremental(
     counts["after_cross_exact"] = curated.count()
 
     near = incremental_near_dups(
-        curated, existing_docs, id_col=id_col, text_col=text_col
+        curated, existing_cmp, id_col=id_col, text_col=text_col
     ).filter(F.col("est_jaccard") >= near_dup_jaccard)
     curated = curated.join(
         near.select(F.col("new_id").alias(id_col)).distinct(), id_col, "left_anti"

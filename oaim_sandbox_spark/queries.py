@@ -87,12 +87,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts_us", _ts_us_col(stream))
 
 
-# (applicationId -> (sf_dir, registered table names)): registering the same
-# tables for the same sf_dir in the same session is a no-op — a registry
-# sweep calls register_views once per query, and the redundant per-call
-# spark.read.parquet footer reads are pure driver-side overhead. Switching
-# sf_dir invalidates (the view NAMES are shared across SFs).
-_VIEWS_STATE: dict[str, tuple[str, frozenset]] = {}
+# (session -> (sf_dir, registered table names)): registering the same tables
+# for the same sf_dir in the same session is a no-op — a registry sweep
+# calls register_views once per query, and the redundant per-call
+# spark.read.parquet footer reads are pure driver-side overhead. Keyed
+# WEAKLY on the SparkSession object itself: temp views are per-SESSION, so
+# an applicationId key would make spark.newSession() (shares the appId, has
+# its OWN view catalog) see phantom registrations. Switching sf_dir
+# invalidates (the view NAMES are shared across SFs).
+_VIEWS_STATE: "weakref.WeakKeyDictionary[SparkSession, tuple[str, frozenset]]" = None  # type: ignore[assignment]
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
@@ -100,9 +103,13 @@ def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
     an extra normalized `ts_us` (epoch-micros BIGINT) column so query SQL is
     independent of the physical ts encoding. Idempotent per (session,
     sf_dir): repeat calls skip the re-read."""
-    app = spark.sparkContext.applicationId
+    global _VIEWS_STATE
+    if _VIEWS_STATE is None:
+        import weakref
+
+        _VIEWS_STATE = weakref.WeakKeyDictionary()
     want = frozenset(tables)
-    cur = _VIEWS_STATE.get(app)
+    cur = _VIEWS_STATE.get(spark)
     if cur is not None and cur[0] == sf_dir and want <= cur[1]:
         return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -112,7 +119,7 @@ def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
         else:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
     prev = cur[1] if cur is not None and cur[0] == sf_dir else frozenset()
-    _VIEWS_STATE[app] = (sf_dir, prev | want)
+    _VIEWS_STATE[spark] = (sf_dir, prev | want)
 
 
 def _ts_us(dialect: str) -> str:
@@ -2882,7 +2889,10 @@ def _embedding_pairs_core(
     emb = emb_raw.select("vec_id", F.expr("cast(embedding as array<double>)").alias("v"))
     # coarse quantizer: a 4k normalized sample bounds driver work at ANY size
     sample = np.asarray(emb.limit(4096).toPandas()["v"].to_list(), dtype=np.float64)
-    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    # clip zero norms: an all-zero vector would make the whole sample-fit
+    # NaN (every centroid poisoned); clipped, it just lands in some cluster
+    # and can never pass the exact cosine re-score
+    sample /= np.clip(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30, None)
     cents = lloyd_kmeans(sample, 8, seed=7, max_iter=10)
     b_cents = spark.sparkContext.broadcast(cents)
 
@@ -2891,7 +2901,7 @@ def _embedding_pairs_core(
         # (the interpreted-lambda fold form costs ~10 folds/row)
         for pdf in batches:
             m = np.asarray(pdf["v"].to_list(), dtype=np.float64)
-            u = m / np.linalg.norm(m, axis=1, keepdims=True)
+            u = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-30, None)
             d = ((u[:, None, :] - b_cents.value[None, :, :]) ** 2).sum(axis=2)
             c = d.argmin(axis=1)
             yield pd.DataFrame(
@@ -4233,9 +4243,10 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "near_dup_clusters",
     "simhash_near_pairs",
     "embedding_cosine_pairs",
-    # --- round-3 additions, in-window for first driver certification (the
-    # displaced ANN flagships — mmr_exact, bm25_topk, lsh_multiprobe_topk,
-    # ivf_full_probe_topk, pq_adc_topk — are r2-green and unchanged).
+    # --- round-3 additions, in-window for first driver certification. The
+    # displaced entries — mmr_exact, bm25_topk, lsh_multiprobe_topk,
+    # ivf_full_probe_topk, pq_adc_topk, events_rollup — are all r2-green
+    # and unchanged.
     "pii_redaction_stats",
     "domain_temperature_weights",
     "tokenizer_fertility",

@@ -140,10 +140,16 @@ def load_json_quarantine(
     quarantine sink. Neither failing the batch nor silently dropping loses
     the data; this is the 100 TB crawl-ingest pattern.
 
-    Mechanics: infer the schema from the well-formed lines, re-read
-    PERMISSIVE with an explicit `_corrupt_record` column, and cache before
-    filtering on it (Spark refuses a filter that references ONLY the
-    internal corrupt column on an uncached lazy read)."""
+    Mechanics: infer the schema from the well-formed lines, then read the
+    file as TEXT and `from_json` each line with a `_corrupt_record` field IN
+    the struct schema — from_json fills it with the raw line on malformed
+    input, and because the corrupt column lives in a parsed struct (not a
+    raw file scan) Spark's corrupt-record-column query restriction
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) does not apply
+    and nothing needs to be cached. Degenerate batches are first-class: a
+    fully-corrupt file (no inferable fields) or one whose good rows lack
+    `text_field` returns (empty/null-text docs, full quarantine) rather
+    than raising."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     inferred = spark.read.option("mode", "DROPMALFORMED").json(path).schema
@@ -152,17 +158,27 @@ def load_json_quarantine(
         + [StructField("_corrupt_record", StringType(), True)]
     )
     raw = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(path)
+        spark.read.text(path)
         .withColumn("path", F.input_file_name())
-        .cache()
+        .filter(F.trim(F.col("value")) != "")  # json source skips blank lines
+        .withColumn(
+            "j",
+            F.from_json(
+                F.col("value"), schema,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+            ),
+        )
     )
-    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
-        F.col("_corrupt_record").alias("corrupt_record"), "path"
+    bad = raw.filter(F.col("j._corrupt_record").isNotNull()).select(
+        F.col("value").alias("corrupt_record"), "path"
     )
-    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    good = (
+        raw.filter(F.col("j._corrupt_record").isNull())
+        .select("j.*", "path")
+        .drop("_corrupt_record")
+    )
+    if text_field not in good.columns:
+        good = good.withColumn(text_field, F.lit(None).cast("string"))
     good = _with_doc_columns(good)
     from pyspark.sql.window import Window
 

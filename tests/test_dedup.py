@@ -120,3 +120,25 @@ def test_semantic_dedup_keeps_one_per_component(spark):
     for g in (0, 1, 2):
         assert lab[g] == lab[g + 10] == lab[g + 20] == g
     assert lab[100] == 100 and lab[101] == 101
+
+
+def test_semantic_dedup_rejects_non_integral_ids(spark):
+    from oaim_sandbox_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "doc_id STRING, embedding ARRAY<DOUBLE>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="integral"):
+        semantic_dedup(spark, df, id_col="doc_id")
+
+
+def test_embedding_pairs_survive_zero_vector(spark):
+    # an all-zero embedding must neither NaN the quantizer nor emit pairs
+    from oaim_sandbox_spark.queries import _embedding_pairs_core
+
+    rows = [(0, [0.0] * 8), (1, [1.0] + [0.0] * 7), (2, [1.0] + [0.0] * 7)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    pairs = _embedding_pairs_core(spark, df, threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}

@@ -226,3 +226,13 @@ def test_load_json_corrupt_modes(spark, tmp_path):
 
     with _pytest.raises(Py4JJavaError):
         load_json(spark, path, on_corrupt="fail").count()
+
+
+def test_load_json_quarantine_fully_corrupt_file(spark, tmp_path):
+    from oaim_sandbox_spark.sources.loaders import load_json_quarantine
+
+    p = tmp_path / "allbad.jsonl"
+    p.write_text("{nope\n[also nope\n")
+    docs, bad = load_json_quarantine(spark, str(p))
+    assert docs.count() == 0
+    assert bad.count() == 2

@@ -11,7 +11,7 @@ Usage:
     python tools/stress.py embpairs  [n_vecs=100000]
     python tools/stress.py split1m   [n_docs=1000000]
     python tools/stress.py pca       [n_vecs=500000]
-    python tools/stress.py semdedup  [n_vecs=100000]
+    python tools/stress.py semdedup  [n_vecs=50000]
 """
 
 from __future__ import annotations
