@@ -70,6 +70,22 @@ def testbed_eval(spark, sf_dir: str) -> int:
     return int(round(report.correctness * 10_000))
 
 
+def curation_pipeline(spark, sf_dir: str) -> int:
+    """The beyond-reference corpus-curation front end end to end
+    (pipeline.curate_corpus): PII scrub -> quality gate -> exact dedup ->
+    minhash-LSH near-dedup, as one config-driven job over the documents
+    table. Returns the curated row count."""
+    from oaim_sandbox_spark.pipeline import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _curated, counts = curate_corpus(
+        spark, docs,
+        {"scrub_pii": True, "min_quality": 0.2, "exact_dedup": True,
+         "near_dedup_jaccard": 0.5},
+    )
+    return counts["output"]
+
+
 def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str, float]:
     """recall@k of every approximate ANN tier against the exact k-NN oracle
     (VERDICT r1 #8: promote the recall numbers from tests into the bench so
@@ -242,7 +258,11 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
-    for comp_name, comp in (("ingest_pipeline", ingest_pipeline), ("testbed_eval", testbed_eval)):
+    for comp_name, comp in (
+        ("ingest_pipeline", ingest_pipeline),
+        ("testbed_eval", testbed_eval),
+        ("curation_pipeline", curation_pipeline),
+    ):
         t0 = time.time()
         try:
             n = comp(spark, sf_dir)

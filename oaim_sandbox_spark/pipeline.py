@@ -159,6 +159,9 @@ def curate_corpus(
 
     thr = cfg["near_dedup_jaccard"]
     if thr is not None:
+        # `out` feeds the LSH pair generation AND the anti-join left side;
+        # materialize so the scrub/quality/dedup chain runs once
+        out = out.localCheckpoint(eager=True)
         pairs = minhash_lsh_pairs(out, id_col=id_col, text_col=text_col)
         drop = (
             pairs.filter(F.col("est_jaccard") >= thr)
