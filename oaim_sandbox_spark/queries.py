@@ -4170,7 +4170,31 @@ ORDER BY true_lang, detected_lang
 
 TEMPLATES["winnowing_fingerprints"] = winnowing_fingerprints
 TEMPLATES["scd2_purchase_history"] = scd2_purchase_history
+def trailing_hour_stats(d: str) -> str:
+    """Time-based RANGE window frame (the frame type the rest of the
+    registry's ROWS frames don't cover): per user, each event's count and
+    exact-decimal mean of `value` over the TRAILING HOUR by event time —
+    the physical-time sliding aggregate a feature store computes per
+    interaction. RANGE on epoch-micros shuffles once on the key; frame
+    bounds are evaluated on the sorted run, no self-join."""
+    w = (
+        f"(PARTITION BY user_id ORDER BY {_ts_us(d)} "
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+SELECT user_id, event_id,
+       CAST({_ts_us(d)} AS BIGINT) AS ts_us,
+       CAST(COUNT(*) OVER {w} AS BIGINT) AS n_trailing_hour,
+       CAST(round(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER {w} AS DOUBLE)
+                  / COUNT(*) OVER {w}, 6) AS DOUBLE) AS avg_trailing_hour
+FROM events
+WHERE user_id % 7 = 0
+ORDER BY user_id, ts_us, event_id
+"""
+
+
 TEMPLATES["lang_confusion_matrix"] = lang_confusion_matrix
+TEMPLATES["trailing_hour_stats"] = trailing_hour_stats
 SPARK_OVERRIDES["winnowing_fingerprints"] = _winnowing_spark
 TEMPLATES["domain_temperature_weights"] = domain_temperature_weights
 TEMPLATES["tokenizer_fertility"] = tokenizer_fertility
