@@ -3313,6 +3313,64 @@ GROUP BY 1, 2
 """
 
 
+def streaming_sliding_oracle(d: str) -> str:
+    """Batch oracle for the SLIDING-window streaming agg (2h window, 1h
+    slide): each event lands in exactly the two hourly-aligned windows whose
+    start is its hour or the hour before, so the batch form is a 2-way
+    explode + one grouped count — identical to what Spark's window(ts,
+    '2 hours', '1 hour') emits over a static source (origin-aligned)."""
+    hour = _idiv(_ts_us(d), "3600000000", d)
+    if d == "spark":
+        dup = "LATERAL VIEW explode(array(0, 1)) t AS x"
+        frm = f"FROM events {dup}"
+    else:
+        frm = "FROM events CROSS JOIN (SELECT unnest([0, 1]) AS x) t"
+    return f"""
+SELECT CAST(({hour} - x) * 3600000000 AS BIGINT) AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+{frm}
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def _streaming_sliding_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows THROUGH Structured Streaming: availableNow
+    stream -> window('2 hours', slide '1 hour') grouped count (each event
+    feeds two open windows — the overlap is the streaming state the tumbling
+    suite never exercises) -> complete-mode memory sink. Batch oracle:
+    `streaming_sliding_oracle`."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    stream = events_stream(spark, sf_dir).withColumn("ts2", F.timestamp_micros(F.col("ts_us")))
+    agg = (
+        stream.groupBy(F.window("ts2", "2 hours", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            F.col("n_events").cast("long"),
+        )
+    )
+    name = f"stream_sliding_{_uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.table(name)
+
+
+TEMPLATES["streaming_sliding_counts"] = streaming_sliding_oracle
+
+
 def _mmr_rerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 MMR (reference chatbot.py:199-206): distributed top-fetch_k, greedy
     driver re-rank. Greedy selection isn't single-statement SQL — rows-only
@@ -3716,6 +3774,7 @@ SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_full_probe_topk": _ivf_full_probe_spark,
     "semantic_dedup_clusters": _semantic_dedup_spark,
     "streaming_pii_scrub": _streaming_pii_spark,
+    "streaming_sliding_counts": _streaming_sliding_spark,
 }
 
 # Queries with no SQL-expressible oracle (iterative / ML-fitted); the driver
