@@ -4253,7 +4253,34 @@ ORDER BY user_id, ts_us, event_id
 
 
 TEMPLATES["lang_confusion_matrix"] = lang_confusion_matrix
+def source_vocab_overlap(d: str) -> str:
+    """Pairwise source-level vocabulary Jaccard — the domain-similarity
+    matrix behind mixture design (which domains are near-duplicates of each
+    other vs genuinely diverse). Distinct (source, token) pre-aggregates
+    map-side to vocab size; the self-join carries only tokens, and the
+    output is |sources|² rows — driver-tiny at any corpus scale."""
+    grams = P.word_ngrams("text", 1, d)
+    if d == "spark":
+        tok = f"SELECT source, g FROM documents LATERAL VIEW explode({grams}) t0 AS g"
+    else:
+        tok = f"SELECT source, unnest({grams}) AS g FROM documents"
+    return f"""
+WITH sg AS (SELECT DISTINCT source, g FROM ({tok}) t),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sg GROUP BY source),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS ni
+  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.sa AS source_a, i.sb AS source_b, i.ni AS n_shared,
+       CAST(round(i.ni * 1.0 / (x.n + y.n - i.ni), 6) AS DOUBLE) AS vocab_jaccard
+FROM inter i JOIN sz x ON i.sa = x.source JOIN sz y ON i.sb = y.source
+ORDER BY source_a, source_b
+"""
+
+
 TEMPLATES["trailing_hour_stats"] = trailing_hour_stats
+TEMPLATES["source_vocab_overlap"] = source_vocab_overlap
 SPARK_OVERRIDES["winnowing_fingerprints"] = _winnowing_spark
 TEMPLATES["domain_temperature_weights"] = domain_temperature_weights
 TEMPLATES["tokenizer_fertility"] = tokenizer_fertility
