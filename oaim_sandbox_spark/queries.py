@@ -4253,23 +4253,23 @@ ORDER BY user_id, ts_us, event_id
 
 
 TEMPLATES["lang_confusion_matrix"] = lang_confusion_matrix
-def source_vocab_overlap(d: str) -> str:
-    """Pairwise source-level vocabulary Jaccard — the domain-similarity
-    matrix behind mixture design (which domains are near-duplicates of each
-    other vs genuinely diverse). Distinct (source, token) pre-aggregates
-    map-side to vocab size; the self-join carries only tokens, and the
-    output is |sources|² rows — driver-tiny at any corpus scale."""
+def _source_vocab_sg_sql(d: str) -> str:
+    """Distinct (source, token) relation — the vocab-sized core the overlap
+    matrix joins over."""
     grams = P.word_ngrams("text", 1, d)
     if d == "spark":
         tok = f"SELECT source, g FROM documents LATERAL VIEW explode({grams}) t0 AS g"
     else:
         tok = f"SELECT source, unnest({grams}) AS g FROM documents"
+    return f"SELECT DISTINCT source, g FROM ({tok}) t"
+
+
+def _source_vocab_final_sql(d: str, rel: str = "sg") -> str:
     return f"""
-WITH sg AS (SELECT DISTINCT source, g FROM ({tok}) t),
-sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sg GROUP BY source),
+WITH sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM {rel} GROUP BY source),
 inter AS (
   SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS ni
-  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+  FROM {rel} a JOIN {rel} b ON a.g = b.g AND a.source < b.source
   GROUP BY a.source, b.source
 )
 SELECT i.sa AS source_a, i.sb AS source_b, i.ni AS n_shared,
@@ -4279,8 +4279,28 @@ ORDER BY source_a, source_b
 """
 
 
+def source_vocab_overlap(d: str) -> str:
+    """Pairwise source-level vocabulary Jaccard — the domain-similarity
+    matrix behind mixture design (which domains are near-duplicates of each
+    other vs genuinely diverse). Distinct (source, token) pre-aggregates
+    map-side to vocab size; the self-join carries only tokens, and the
+    output is |sources|² rows — driver-tiny at any corpus scale. Spark
+    runner materializes the distinct-token relation once (it feeds both
+    self-join sides plus the size dim)."""
+    final = _source_vocab_final_sql(d).lstrip()
+    assert final.startswith("WITH ")
+    return f"WITH sg AS ({_source_vocab_sg_sql(d)}),\n{final[len('WITH '):]}"
+
+
+def _source_vocab_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("documents",))
+    name = _materialized_view(spark, _source_vocab_sg_sql("spark"), "svocab")
+    return _sql_dropping(spark, _source_vocab_final_sql("spark", rel=name), name)
+
+
 TEMPLATES["trailing_hour_stats"] = trailing_hour_stats
 TEMPLATES["source_vocab_overlap"] = source_vocab_overlap
+SPARK_OVERRIDES["source_vocab_overlap"] = _source_vocab_spark
 SPARK_OVERRIDES["winnowing_fingerprints"] = _winnowing_spark
 TEMPLATES["domain_temperature_weights"] = domain_temperature_weights
 TEMPLATES["tokenizer_fertility"] = tokenizer_fertility
