@@ -4299,7 +4299,50 @@ def _source_vocab_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEMPLATES["trailing_hour_stats"] = trailing_hour_stats
+def event_markov_transitions(d: str) -> str:
+    """First-order event-type transition matrix (sequence-model prep): per
+    user, LAG over the time-ordered stream gives consecutive pairs; the
+    grouped count + per-from-state share IS the empirical Markov kernel.
+    One key-partitioned window + one grouped agg — the sequence never
+    leaves its user partition."""
+    return f"""
+WITH seq AS (
+  SELECT event_type AS to_state,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY {_ts_us(d)} ASC, event_id ASC) AS from_state
+  FROM events
+),
+m AS (
+  SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE from_state IS NOT NULL
+  GROUP BY from_state, to_state
+)
+SELECT from_state, to_state, n,
+       CAST(round(n * 1.0 / SUM(n) OVER (PARTITION BY from_state), 6) AS DOUBLE) AS p
+FROM m
+ORDER BY from_state, to_state
+"""
+
+
+def source_lang_entropy(d: str) -> str:
+    """Per-source language-mix Shannon entropy — the diversity scalar for
+    mixture design (a source with entropy 0 is monolingual; log|langs| is a
+    uniform mix). Language histogram per source is dim-sized; entropy is a
+    second tiny agg over it."""
+    return """
+WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source, lang),
+t AS (SELECT source, CAST(SUM(n) AS DOUBLE) AS tot FROM c GROUP BY source)
+SELECT c.source,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       CAST(round(-SUM((c.n / t.tot) * ln(c.n / t.tot)), 6) + 0.0 AS DOUBLE) AS lang_entropy
+FROM c JOIN t ON c.source = t.source
+GROUP BY c.source
+ORDER BY c.source
+"""
+
+
 TEMPLATES["source_vocab_overlap"] = source_vocab_overlap
+TEMPLATES["event_markov_transitions"] = event_markov_transitions
+TEMPLATES["source_lang_entropy"] = source_lang_entropy
 SPARK_OVERRIDES["source_vocab_overlap"] = _source_vocab_spark
 SPARK_OVERRIDES["winnowing_fingerprints"] = _winnowing_spark
 TEMPLATES["domain_temperature_weights"] = domain_temperature_weights
