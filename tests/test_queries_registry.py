@@ -89,3 +89,23 @@ def test_sketch_profile_error_bounds(spark):
         assert abs(a["approx_users"] - nd) <= max(2, 0.05 * nd)
         assert p40 <= a["approx_p50"] <= p60   # p50 lands between exact p40/p60
         assert p90 <= a["approx_p95"] <= p99   # p95 lands between exact p90/p99
+
+
+def test_driver_window_contains_round3_certification_set():
+    """The driver checks only the first 50 oracle entries; this round's new
+    and fixed queries must sit in that prefix or they ship uncertified."""
+    ordered = [n for n in Q.oracle_sqls()]
+    window = set(ordered[:50])
+    must_certify = {
+        # r2 failures fixed this round
+        "minhash_lsh_pairs", "incremental_neardup_probe",
+        "rerank_crossencoder_topk", "shingle_containment_decontam",
+        "inverted_index_postings",
+        # round-3 additions
+        "pii_redaction_stats", "domain_temperature_weights",
+        "tokenizer_fertility", "semantic_dedup_clusters",
+        "dsir_importance_weights", "streaming_pii_scrub",
+        "winnowing_fingerprints",
+    }
+    missing = must_certify - window
+    assert not missing, f"not in driver window: {sorted(missing)}"
