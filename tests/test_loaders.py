@@ -236,3 +236,15 @@ def test_load_json_quarantine_fully_corrupt_file(spark, tmp_path):
     docs, bad = load_json_quarantine(spark, str(p))
     assert docs.count() == 0
     assert bad.count() == 2
+
+
+def test_load_csv_corrupt_modes(spark, tmp_path):
+    from oaim_sandbox_spark.sources.loaders import load_csv
+
+    p = tmp_path / "mixed.csv"
+    # second data row has an unclosed quote -> malformed under the parser
+    p.write_text('a,b\n1,"ok"\n2,"broken\n3,"fine"\n')
+    path = str(p)
+    n_perm = load_csv(spark, path, on_corrupt="permissive").count()
+    n_drop = load_csv(spark, path, on_corrupt="drop").count()
+    assert n_drop <= n_perm and n_drop >= 1
