@@ -172,10 +172,12 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
     with tempfile.TemporaryDirectory() as td:
         idx.write_partitioned(store, td)
         for nprobe in (2, 4):
-            ivf_sets = {
-                qid: {r["vec_id"] for r in idx.search(spark, td, qv, k=k, nprobe=nprobe).collect()}
-                for qid, qv in queries
-            }
+            # batched probe: ONE pruned scan answers the whole query batch
+            # (the per-query loop was nprobes x n_queries Spark jobs)
+            batch = idx.search_batch(spark, td, qdf, k=k, nprobe=nprobe)
+            ivf_sets: dict[int, set] = {}
+            for r in batch.collect():
+                ivf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
             recalls[f"ivf_nprobe{nprobe}@10"] = rec(ivf_sets, exact_cos)
 
     exact_l2 = topk_sets(knn_join(store, qdf, k=k, metric="EUCLIDEAN_DISTANCE"))

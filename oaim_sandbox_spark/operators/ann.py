@@ -332,6 +332,65 @@ class IVFIndex:
             .limit(k)
         )
 
+    def search_batch(
+        self,
+        spark: SparkSession,
+        path: str,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 2,
+        metric: str = "COSINE",
+        id_col: str = "vec_id",
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+    ) -> DataFrame:
+        """Batched IVF probe: ONE pruned scan answers a whole query batch.
+
+        Per-query `search` costs one Spark job each — fine interactively,
+        wrong for offline batch retrieval (the reference's testbed shape:
+        hundreds of questions at once). Here every query row is tagged with
+        its probed centroid ids driver-side (a |queries| x n_centroids numpy
+        argsort — centroids are driver-resident by construction), the scan
+        reads the UNION of probed partitions once (partition pruning still
+        applies), and a broadcast (query, centroid) join + per-query rank
+        window yields all top-k lists in one job. Returns
+        (query_id, vec_id..., distance, rank).
+        """
+        import numpy as np
+
+        from pyspark.sql.window import Window
+
+        if self.centroids is None:
+            raise ValueError("fit() or load() the index before searching")
+        qrows = queries.select(query_id, query_vec).collect()
+        if not qrows:
+            raise ValueError("empty query batch")
+        qids = [r[0] for r in qrows]
+        qmat = np.asarray([list(map(float, r[1])) for r in qrows])
+        d2 = ((qmat[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+        probes = d2.argsort(axis=1)[:, :nprobe]
+        pairs = [
+            (int(qid) if not isinstance(qid, str) else qid, int(c), [float(x) for x in qv])
+            for qid, qv, row in zip(qids, qmat, probes)
+            for c in row
+        ]
+        qdf = spark.createDataFrame(
+            pairs, f"{query_id} {'STRING' if isinstance(qids[0], str) else 'BIGINT'}, centroid INT, {query_vec} ARRAY<DOUBLE>"
+        )
+        all_cents = sorted({int(c) for row in probes for c in row})
+        store = spark.read.parquet(path).filter(F.col("centroid").isin(all_cents))
+        dist = distance_expr(self.vec_col, P.to_double_array(query_vec, "spark"), metric)
+        scored = (
+            store.join(F.broadcast(qdf), "centroid")
+            .withColumn("distance", F.expr(f"round({dist}, 6)"))
+        )
+        w = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, id_col, "distance", "rank")
+        )
+
 
 class PQIndex:
     """Product quantization (Jégou et al. 2011, the FAISS IVFPQ code path):

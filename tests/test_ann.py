@@ -284,3 +284,30 @@ def test_ivf_append_partitioned_incremental(spark, items, tmp_path):
     a1 = {r.vec_id: r.centroid for r in idx.assign(items).collect()}
     a2 = {r.vec_id: r.centroid for r in idx2.assign(items).collect()}
     assert a1 == a2
+
+
+def test_ivf_search_batch_matches_per_query(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.ann import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IVFIndex(n_centroids=8, seed=11, max_iter=5).fit(emb)
+    path = str(tmp_path / "ivf_batch")
+    idx.write_partitioned(emb, path)
+
+    qdf = (
+        emb.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").cast("array<double>").alias("query_vec"))
+    )
+    batch = idx.search_batch(spark, path, qdf, k=5, nprobe=3)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["distance"]))
+    queries = {r["query_id"]: [float(x) for x in r["query_vec"]] for r in qdf.collect()}
+    assert set(got) == set(queries)
+    for qid, qv in queries.items():
+        single = idx.search(spark, path, qv, k=5, nprobe=3).collect()
+        want = [(i + 1, r["vec_id"], r["distance"]) for i, r in enumerate(single)]
+        assert sorted(got[qid]) == want, f"batch != per-query for {qid}"
