@@ -523,6 +523,58 @@ class PQIndex:
             .limit(k)
         )
 
+    def search_batch(
+        self,
+        codes_df: DataFrame,
+        queries: DataFrame,
+        k: int = 10,
+        id_col: str = "vec_id",
+        codes_col: str = "pq_codes",
+        query_id: str = "query_id",
+        query_vec: str = "query_vec",
+    ) -> DataFrame:
+        """Batched ADC: one scan of the codes store answers a whole query
+        batch. Per-query LUTs (m x k squared-subdistances, numpy) ship as a
+        broadcast (query_id, lut ARRAY<ARRAY<DOUBLE>>) relation; the ADC sum
+        becomes a zip_with over (codes, lut) per joined row, and a per-query
+        rank window emits every top-k. Returns (query_id, id, adc_dist,
+        rank). Exact re-rank composes on top exactly as in `search`."""
+        import numpy as np
+
+        from pyspark.sql.window import Window
+
+        if self.codebooks is None:
+            raise ValueError("fit() the index before searching")
+        qrows = queries.select(query_id, query_vec).collect()
+        if not qrows:
+            raise ValueError("empty query batch")
+        luts = []
+        for r in qrows:
+            q = np.asarray([float(x) for x in r[1]], dtype=np.float64)
+            lut = [
+                ((self.codebooks[s] - q[s * self.sub : (s + 1) * self.sub][None, :]) ** 2)
+                .sum(axis=1)
+                .tolist()
+                for s in range(self.m)
+            ]
+            luts.append((r[0], lut))
+        spark = codes_df.sparkSession
+        qdf = spark.createDataFrame(
+            luts, f"{query_id} BIGINT, lut ARRAY<ARRAY<DOUBLE>>"
+        )
+        adc = (
+            f"round(sqrt(aggregate(zip_with({codes_col}, lut, "
+            f"(c, row) -> element_at(row, cast(c as int) + 1)), "
+            f"cast(0 as double), (s, x) -> s + x)), 6)"
+        )
+        scored = codes_df.join(F.broadcast(qdf)).withColumn("adc_dist", F.expr(adc))
+        w = Window.partitionBy(query_id).orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, id_col, "adc_dist", "rank")
+        )
+
 
 def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding", prefix: str = "q"

@@ -311,3 +311,28 @@ def test_ivf_search_batch_matches_per_query(spark, tmp_path):
         single = idx.search(spark, path, qv, k=5, nprobe=3).collect()
         want = [(i + 1, r["vec_id"], r["distance"]) for i, r in enumerate(single)]
         assert sorted(got[qid]) == want, f"batch != per-query for {qid}"
+
+
+def test_pq_search_batch_matches_per_query(spark):
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.ann import PQIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pq = PQIndex(m=4, k=16, dim=64, seed=5).fit(emb)
+    codes = pq.encode(emb).localCheckpoint()
+
+    qdf = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").cast("array<double>").alias("query_vec"))
+    )
+    batch = pq.search_batch(codes, qdf, k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["adc_dist"]))
+    queries = {r["query_id"]: [float(x) for x in r["query_vec"]] for r in qdf.collect()}
+    for qid, qv in queries.items():
+        single = pq.search(codes, qv, k=5, fetch_k=5).collect()
+        want = [(i + 1, r["vec_id"], r["adc_dist"]) for i, r in enumerate(single)]
+        assert sorted(got[qid]) == want, f"batch != per-query for {qid}"
