@@ -312,6 +312,20 @@ def list_distinct(e: str, dialect: str) -> str:
     return f"list_distinct({e})"
 
 
+def split_part1(e: str, dialect: str) -> str:
+    """First space-separated word of a string expression (n-gram context)."""
+    if dialect == "spark":
+        return f"element_at(split({e}, ' '), 1)"
+    return f"split_part({e}, ' ', 1)"
+
+
+def split_part_last(e: str, n: int, dialect: str) -> str:
+    """n-th (last, 1-based) space-separated word of a string expression."""
+    if dialect == "spark":
+        return f"element_at(split({e}, ' '), {n})"
+    return f"split_part({e}, ' ', {n})"
+
+
 def round6(e: str, dialect: str) -> str:
     """Round a double to 6 dp — used on every float output so hash-compare is
     immune to sub-1e-6 cross-engine float noise."""

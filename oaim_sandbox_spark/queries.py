@@ -4351,6 +4351,246 @@ TEMPLATES["semantic_dedup_clusters"] = semantic_dedup_clusters
 TEMPLATES["dsir_importance_weights"] = dsir_importance_weights
 
 
+SPAN_GRAM = 20  # char-gram width for repeated-span detection
+
+
+def _span_grams_sql(d: str, rel: str = "documents") -> str:
+    """(doc_id, pos, g): every positioned char SPAN_GRAM-gram of each doc.
+    Raw gram strings, not hashes: an A/B at sf0.1 measured the md5-hashed
+    variant SLOWER (8.8 s vs 6.3 s warm) — 1.4M md5+conv evaluations cost
+    more than shuffling 20-char strings. At real cluster scale with network
+    shuffle the hash trades the other way; flip here if profiling says so."""
+    n = SPAN_GRAM
+    if d == "spark":
+        return (
+            f"SELECT doc_id, j AS pos, substring(text, j, {n}) AS g "
+            f"FROM {rel} LATERAL VIEW explode(sequence(1, length(text) - {n - 1})) t AS j "
+            f"WHERE length(text) >= {n}"
+        )
+    return (
+        f"SELECT doc_id, pos, substring(text, pos, {n}) AS g FROM ("
+        f"SELECT doc_id, unnest(generate_series(1, length(text) - {n - 1})) AS pos, text "
+        f"FROM {rel} WHERE length(text) >= {n}) t0"
+    )
+
+
+def _span_stats_final_sql(d: str, rel: str) -> str:
+    return f"""
+WITH rep AS (
+  SELECT g FROM {rel}
+  GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)
+),
+hits AS (
+  SELECT h.doc_id, h.pos, h.pos + {SPAN_GRAM - 1} AS e
+  FROM {rel} h JOIN rep ON h.g = rep.g
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+sp AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(e) AS e
+  FROM (
+    SELECT doc_id, pos, e,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM isl
+  ) t
+  GROUP BY doc_id, island
+)
+SELECT sp.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(sp.e - sp.s + 1) AS BIGINT) AS covered_chars,
+       CAST(round(SUM(sp.e - sp.s + 1) * 1.0 / doc.n_chars, 6) AS DOUBLE) AS repeated_frac
+FROM sp JOIN documents doc ON sp.doc_id = doc.doc_id
+GROUP BY sp.doc_id, doc.n_chars
+ORDER BY sp.doc_id
+"""
+
+
+def repeated_span_stats(d: str) -> str:
+    """Exact-substring repeated-span profile (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" signal,
+    re-expressed relationally): every positioned char 20-gram that occurs in
+    more than one document marks a repeated region; per document the hit
+    intervals [pos, pos+19] are merged gaps-and-islands style (cumulative-max
+    window, no self-join) into maximal spans, then rolled up to
+    (n_spans, covered_chars, repeated_frac). A training pipeline cuts or
+    drops the spans; this emits the audit profile. Shape: one positioned
+    explode (corpus-chars rows) feeds the cross-doc test (one grouped agg —
+    "in >1 distinct doc" is MIN(doc_id) <> MAX(doc_id), so the partials are
+    two bigints, not a distinct set) and a semi-join back; the windows are
+    doc-partitioned. At 100 TB the
+    gram string never shuffles twice: hash the gram (xxhash64) for the DF
+    key and keep positions partition-local — the Spark runner materializes
+    the gram relation once so the explode isn't recomputed per consumer."""
+    grams = _span_grams_sql(d)
+    return f"WITH grams AS ({grams}),\n{_span_stats_final_sql(d, 'grams').lstrip()[len('WITH '):]}"
+
+
+def _repeated_span_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("documents",))
+    # The sf0.1 documents table is ONE parquet file -> one input partition;
+    # without an explicit spread the explode+window pipeline runs on a single
+    # core (measured 2x slower end-to-end). At 100 TB the scan arrives
+    # already partitioned and this repartition collapses into the natural
+    # file split.
+    import uuid as _uuid
+
+    docs = f"docs_{_uuid.uuid4().hex[:12]}"
+    spark.table("documents").repartition(32).createOrReplaceTempView(docs)
+    name = _materialized_view(spark, _span_grams_sql("spark", docs), "spangrams")
+    spark.catalog.dropTempView(docs)
+    return _sql_dropping(spark, _span_stats_final_sql("spark", name), name)
+
+
+def data_quality_profile(d: str) -> str:
+    """Deequ-style data-quality report over `orders`: one wide aggregation
+    pass computes size, per-column completeness, distinctness, numeric
+    min/max/mean, and declarative constraint violations (non-negative price,
+    status domain, key uniqueness); the single-row wide result is unpivoted
+    to the long (metric, column, value) report shape. ONE scan, one global
+    agg (xchg=1) — the constraint checks are plain CASE aggregates so at
+    100 TB validation costs the same as any full-scan agg. Exact
+    COUNT(DISTINCT) here because the oracle must be exact; the mergeable
+    HLL/KLL variant for interactive profiling is `sketch_profile`."""
+    return """
+WITH w AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_cust,
+         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_price,
+         CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS dist_key,
+         CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) AS dist_status,
+         CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE) AS dist_prio,
+         CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+         CAST(AVG(o_totalprice) AS DOUBLE) AS avg_price,
+         CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS DOUBLE) AS viol_price,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS DOUBLE) AS viol_status,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE) AS viol_unique
+  FROM orders
+)
+SELECT metric, col, CAST(round(value, 6) AS DOUBLE) AS value FROM (
+  SELECT 'size' AS metric, '*' AS col, n_rows AS value FROM w
+  UNION ALL SELECT 'completeness', 'o_custkey', 1.0 - null_cust / n_rows FROM w
+  UNION ALL SELECT 'completeness', 'o_totalprice', 1.0 - null_price / n_rows FROM w
+  UNION ALL SELECT 'distinctness', 'o_orderkey', dist_key / n_rows FROM w
+  UNION ALL SELECT 'approx_distinct', 'o_orderstatus', dist_status FROM w
+  UNION ALL SELECT 'approx_distinct', 'o_orderpriority', dist_prio FROM w
+  UNION ALL SELECT 'min', 'o_totalprice', min_price FROM w
+  UNION ALL SELECT 'max', 'o_totalprice', max_price FROM w
+  UNION ALL SELECT 'mean', 'o_totalprice', avg_price FROM w
+  UNION ALL SELECT 'violations:non_negative', 'o_totalprice', viol_price FROM w
+  UNION ALL SELECT 'violations:in_domain', 'o_orderstatus', viol_status FROM w
+  UNION ALL SELECT 'violations:unique', 'o_orderkey', viol_unique FROM w
+) t
+ORDER BY metric, col
+"""
+
+
+PSI_BINS, PSI_LO, PSI_HI = 10, 0.0, 500.0  # events.value observed in [0, 500)
+
+
+def psi_value_drift(d: str) -> str:
+    """Population-stability-index drift monitor: per event_type, PSI of the
+    `value` distribution between a reference window (first half of the
+    month) and the current window. Fixed-width bins over a pinned range keep
+    the binning deterministic and engine-identical; additive 0.5 smoothing
+    avoids ln(0) on empty bins. Shape: one scan bins every event
+    ((type, window, bin) grouped count — map-side combine), the per-type
+    totals and the PSI rollup operate on a bins×types dim. The standard
+    production check that a feature/corpus slice silently changed under the
+    model."""
+    width = (PSI_HI - PSI_LO) / PSI_BINS
+    b = f"LEAST(GREATEST(CAST(floor((value - {PSI_LO}) / {width}) AS INT), 0), {PSI_BINS - 1})"
+    half = "CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'ref' ELSE 'cur' END"
+    return f"""
+WITH binned AS (
+  SELECT event_type, {half} AS w, {b} AS bin, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, {half}, {b}
+),
+tot AS (SELECT event_type, w, CAST(SUM(n) AS DOUBLE) AS t FROM binned GROUP BY event_type, w),
+grid AS (
+  SELECT tr.event_type, bins.bin,
+         (COALESCE(r.n, 0) + 0.5) / (tr.t + {0.5 * PSI_BINS}) AS pr,
+         (COALESCE(c.n, 0) + 0.5) / (tc.t + {0.5 * PSI_BINS}) AS pc
+  FROM (SELECT DISTINCT event_type FROM binned) tt
+  CROSS JOIN (SELECT DISTINCT bin FROM binned) bins
+  JOIN tot tr ON tr.event_type = tt.event_type AND tr.w = 'ref'
+  JOIN tot tc ON tc.event_type = tt.event_type AND tc.w = 'cur'
+  LEFT JOIN binned r ON r.event_type = tt.event_type AND r.bin = bins.bin AND r.w = 'ref'
+  LEFT JOIN binned c ON c.event_type = tt.event_type AND c.bin = bins.bin AND c.w = 'cur'
+)
+SELECT event_type,
+       CAST(round(SUM((pc - pr) * ln(pc / pr)), 6) + 0.0 AS DOUBLE) AS psi,
+       CASE WHEN SUM((pc - pr) * ln(pc / pr)) < 0.1 THEN 'stable'
+            WHEN SUM((pc - pr) * ln(pc / pr)) < 0.25 THEN 'moderate'
+            ELSE 'shifted' END AS verdict
+FROM grid
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+BIGRAM_LAMBDA = 0.7  # interpolation weight on the bigram term
+
+
+def bigram_logprob_quality(d: str) -> str:
+    """Interpolated bigram language-model quality score (the KenLM-lite
+    upgrade over `unigram_logprob_quality`): each document's mean
+    ln(λ·P(w2|w1) + (1-λ)·P(w2)) under the CORPUS bigram/unigram counts.
+    P(w2|w1) = c(w1 w2)/c(w1), P(w2) = c(w2)/N. Shape: the bigram explode
+    feeds a bigram-count dim and rejoins it; both unigram lookups join a
+    vocab-sized dim (broadcast-able at any corpus scale) — document text
+    never shuffles. Deterministic doc subset keeps the bench slice
+    proportionate with the unigram variant for comparison."""
+    bg = P.word_ngrams("text", 2, d)
+    ug = P.word_ngrams("text", 1, d)
+    if d == "spark":
+        bgx = f"SELECT doc_id, g FROM documents LATERAL VIEW explode({bg}) t AS g WHERE doc_id % 4 = 0"
+        ugx = f"SELECT doc_id, g FROM documents LATERAL VIEW explode({ug}) t AS g WHERE doc_id % 4 = 0"
+    else:
+        bgx = f"SELECT doc_id, unnest({bg}) AS g FROM documents WHERE doc_id % 4 = 0"
+        ugx = f"SELECT doc_id, unnest({ug}) AS g FROM documents WHERE doc_id % 4 = 0"
+    w1 = P.split_part1("bx.g", d)
+    w2 = P.split_part_last("bx.g", 2, d)
+    lam = BIGRAM_LAMBDA
+    return f"""
+WITH bx AS ({bgx}),
+ux AS ({ugx}),
+uc AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM ux GROUP BY g),
+n AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM uc),
+bc AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM bx GROUP BY g),
+scored AS (
+  SELECT bx.doc_id,
+         SUM(ln({lam} * (bc.c / u1.c) + {1.0 - lam} * (u2.c / n.t))) / COUNT(*) AS lp,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams
+  FROM bx
+  JOIN bc ON bx.g = bc.g
+  JOIN uc u1 ON {w1} = u1.g
+  JOIN uc u2 ON {w2} = u2.g
+  CROSS JOIN n
+  GROUP BY bx.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(round(lp, 6) AS DOUBLE) AS avg_bigram_logprob,
+       n_bigrams,
+       CASE WHEN lp >= -5.0 THEN 'keep' ELSE 'filter' END AS verdict
+FROM scored
+ORDER BY doc_id
+"""
+
+
+TEMPLATES["repeated_span_stats"] = repeated_span_stats
+TEMPLATES["data_quality_profile"] = data_quality_profile
+TEMPLATES["psi_value_drift"] = psi_value_drift
+TEMPLATES["bigram_logprob_quality"] = bigram_logprob_quality
+SPARK_OVERRIDES["repeated_span_stats"] = _repeated_span_spark
+
+
 def _make_spark_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
