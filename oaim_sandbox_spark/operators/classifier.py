@@ -1,0 +1,158 @@
+"""In-engine linear text classifier — the fastText-style quality gate.
+
+Production LLM corpora are filtered by cheap linear classifiers over bag-of-
+words features (CCNet's fastText language/quality gates; LLaMA's "looks like
+a reference page" filter). This module trains and applies that classifier
+WITHOUT leaving the engine: features are hashed token counts built with
+DataFrame ops, training is batch gradient descent where each iteration is one
+broadcast join + two grouped aggregations, and the only driver state is the
+weight vector (dim floats — model-bounded, never corpus-bounded).
+
+Scale design (100 TB corpus, dim ~2^18 in practice):
+  - features: token explode -> xxhash64 % dim -> (id, idx, cnt) long format.
+    Grouped count combines map-side; the text column is dropped immediately.
+  - per iteration: weights (dim rows) broadcast-join features; per-doc margin
+    is a grouped sum keyed by the id the features are already clustered on;
+    the gradient is a dim-bounded grouped sum collected to the driver.
+  - at real scale you train on a hash-sampled subset (`sample_frac`) and
+    apply to everything — scoring is a single broadcast join + grouped agg.
+
+Reference parity: the reference has no classifier training at all; its
+quality control is human/thresholded (SURVEY §2 P10 model filters). This is a
+beyond-reference training-data-pipeline capability; the oracle-checked
+serving twin is `classifier_quality_scores` in queries.py (fixed literal
+weights, same sigmoid-of-token-weights semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass
+class LinearTextModel:
+    """Trained hashed-bag-of-words logistic model."""
+
+    weights: np.ndarray  # (dim,)
+    bias: float
+    dim: int
+    loss_history: list[float]
+
+
+def hashed_token_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+) -> DataFrame:
+    """(id, idx, cnt): hashed bag-of-words in long format.
+
+    xxhash64 is JVM-side and partition-parallel; `pmod` keeps the index
+    non-negative. The output is grouped (map-side combine) so a doc
+    contributes at most min(n_tokens, dim) rows, and the raw text never
+    travels past this projection."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        .select("id", F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int").alias("idx"))
+        .groupBy("id", "idx")
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+
+
+def _margins(feat: DataFrame, weights_df: DataFrame, bias: float) -> DataFrame:
+    """(id, margin): w·x + b via broadcast join + grouped sum."""
+    return (
+        feat.join(F.broadcast(weights_df), "idx")
+        .groupBy("id")
+        .agg((F.sum(F.col("cnt") * F.col("w")) + F.lit(bias)).alias("margin"))
+    )
+
+
+def fit_logistic(
+    spark: SparkSession,
+    feat: DataFrame,
+    labels: DataFrame,
+    dim: int = 1024,
+    iters: int = 30,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+) -> LinearTextModel:
+    """Batch gradient descent for L2-regularized logistic regression.
+
+    `feat` is hashed_token_features output; `labels` is (id, y) with y in
+    {0,1}. Each iteration runs entirely in the engine: sigmoid(margin) - y
+    per doc, then the gradient grouped by feature index — the collect is dim
+    rows, so driver traffic is model-sized regardless of corpus size. The
+    iteration count is the scan count; persist the feature relation."""
+    feat = feat.persist()
+    labels = labels.select("id", F.col("y").cast("double").alias("y")).persist()
+    n = labels.count()
+    w = np.zeros(dim, dtype=np.float64)
+    b = 0.0
+    history: list[float] = []
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            [(int(i), float(w[i])) for i in np.nonzero(w)[0]] or [(0, float(w[0]))],
+            "idx int, w double",
+        )
+        marg = _margins(feat, wdf, b)
+        err = (
+            labels.join(marg, "id", "left")
+            .select(
+                "id",
+                "y",
+                (1.0 / (1.0 + F.exp(-F.coalesce(F.col("margin"), F.lit(b))))).alias("p"),
+            )
+            .select("id", "y", "p", (F.col("p") - F.col("y")).alias("e"))
+            .persist()
+        )
+        # dim-bounded gradient + scalar loss in two small aggregates
+        grad_rows = (
+            feat.join(err.select("id", "e"), "id")
+            .groupBy("idx")
+            .agg(F.sum(F.col("cnt") * F.col("e")).alias("g"))
+            .collect()
+        )
+        loss_row = err.agg(
+            F.avg(
+                -(
+                    F.col("y") * F.log(F.greatest(F.col("p"), F.lit(1e-12)))
+                    + (1 - F.col("y")) * F.log(F.greatest(1 - F.col("p"), F.lit(1e-12)))
+                )
+            ).alias("loss"),
+            F.avg("e").alias("ge"),
+        ).collect()[0]
+        err.unpersist()
+        g = np.zeros(dim, dtype=np.float64)
+        for r in grad_rows:
+            g[r["idx"]] = r["g"] / n
+        w -= lr * (g + l2 * w)
+        b -= lr * float(loss_row["ge"])
+        history.append(float(loss_row["loss"]))
+    feat.unpersist()
+    labels.unpersist()
+    return LinearTextModel(weights=w, bias=b, dim=dim, loss_history=history)
+
+
+def predict_scores(
+    spark: SparkSession, feat: DataFrame, model: LinearTextModel
+) -> DataFrame:
+    """(id, score): sigmoid(w·x + b) — one broadcast join + grouped agg.
+    Docs with no in-vocabulary feature score sigmoid(bias)."""
+    nz = np.nonzero(model.weights)[0]
+    wdf = spark.createDataFrame(
+        [(int(i), float(model.weights[i])) for i in nz] or [(0, 0.0)],
+        "idx int, w double",
+    )
+    ids = feat.select("id").distinct()
+    marg = _margins(feat, wdf, model.bias)
+    return ids.join(marg, "id", "left").select(
+        "id",
+        (1.0 / (1.0 + F.exp(-F.coalesce(F.col("margin"), F.lit(model.bias))))).alias(
+            "score"
+        ),
+    )

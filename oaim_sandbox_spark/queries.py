@@ -4584,6 +4584,50 @@ ORDER BY doc_id
 """
 
 
+CLASSIFIER_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("vector", 1.2), ("hash", 0.8), ("stream", 0.5), ("spark", 0.4),
+    ("query", 0.3), ("slow", -1.0), ("big", -0.7), ("customer", -0.4),
+)
+CLASSIFIER_BIAS = -0.2
+
+
+def classifier_quality_scores(d: str) -> str:
+    """Serving side of the fastText-style linear quality gate
+    (operators/classifier.py trains the weights; this applies them):
+    score = sigmoid(bias + Σ w(tok)·count(tok)) per document, keep/filter at
+    0.5. The weight table is model-sized (literal VALUES here — broadcast at
+    any corpus scale); the token explode inner-joins it, so out-of-vocabulary
+    tokens are dropped before the shuffle and the per-doc reduction is a
+    grouped sum with map-side combine. Documents with zero in-vocabulary
+    tokens score sigmoid(bias) via the left join back to the corpus."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT doc_id, tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
+    else:
+        tok = f"SELECT doc_id, unnest({toks}) AS tok FROM documents"
+    vals = ", ".join(f"('{t}', CAST({w} AS DOUBLE))" for t, w in CLASSIFIER_WEIGHTS)
+    if d == "spark":
+        wtab = f"SELECT col1 AS tok, col2 AS w FROM (VALUES {vals})"
+    else:
+        wtab = f"SELECT * FROM (VALUES {vals}) v(tok, w)"
+    return f"""
+WITH tok AS ({tok}),
+wt AS ({wtab}),
+acc AS (
+  SELECT tok.doc_id, SUM(wt.w) AS z
+  FROM tok JOIN wt ON tok.tok = wt.tok
+  GROUP BY tok.doc_id
+)
+SELECT doc.doc_id,
+       CAST(round(1.0 / (1.0 + exp(-({CLASSIFIER_BIAS} + COALESCE(acc.z, 0.0)))), 6) AS DOUBLE) AS score,
+       CASE WHEN 1.0 / (1.0 + exp(-({CLASSIFIER_BIAS} + COALESCE(acc.z, 0.0)))) >= 0.5
+            THEN 'keep' ELSE 'filter' END AS verdict
+FROM documents doc LEFT JOIN acc ON doc.doc_id = acc.doc_id
+ORDER BY doc.doc_id
+"""
+
+
+TEMPLATES["classifier_quality_scores"] = classifier_quality_scores
 TEMPLATES["repeated_span_stats"] = repeated_span_stats
 TEMPLATES["data_quality_profile"] = data_quality_profile
 TEMPLATES["psi_value_drift"] = psi_value_drift
