@@ -248,3 +248,37 @@ def test_load_csv_corrupt_modes(spark, tmp_path):
     n_perm = load_csv(spark, path, on_corrupt="permissive").count()
     n_drop = load_csv(spark, path, on_corrupt="drop").count()
     assert n_drop <= n_perm and n_drop >= 1
+
+
+def test_training_shard_export_columnar_formats(spark, tmp_path):
+    """Parquet/ORC shard export round-trips losslessly with schema intact —
+    the columnar sink for corpora that get re-curated (column-pruned,
+    predicate-pushdown re-reads)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.sources.export import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    n = docs.count()
+    for fmt in ("parquet", "orc"):
+        path = str(tmp_path / f"shards_{fmt}")
+        n_shards = write_training_shards(
+            docs, path, target_rows_per_shard=200, order_col="doc_id", fmt=fmt
+        )
+        back = read_training_shards(spark, path, fmt=fmt)
+        assert back.count() == n
+        assert dict(back.dtypes) == dict(docs.dtypes)  # schema preserved (JSON wouldn't)
+        assert (
+            back.agg(F.sum("n_chars")).collect()[0][0]
+            == docs.agg(F.sum("n_chars")).collect()[0][0]
+        )
+        assert n_shards == -(-n // 200)
+
+    with _pytest.raises(ValueError):
+        write_training_shards(docs, str(tmp_path / "x"), fmt="avro")
