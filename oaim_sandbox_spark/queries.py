@@ -4627,7 +4627,110 @@ ORDER BY doc.doc_id
 """
 
 
+def retrieval_eval_metrics(d: str) -> str:
+    """Offline retrieval evaluation in-engine: recall@10, MRR@10 and
+    binary-gain nDCG@10 per query over the exact cosine top-10, against a
+    deterministic sparse qrel set (portable hash of (query, doc) — ~1/25 of
+    the store relevant per query, engine-identical). This is how a 100 TB
+    pipeline scores a retriever without exporting run files: the ranked list
+    is the same one-scan-per-batch window as `knn_join_batch`; qrels and the
+    ideal-DCG sequence explode are dim-sized per query. IDCG uses
+    min(R, 10) terms so nDCG is exact, not clipped."""
+    dist = distance_expr("e.embedding", P.to_double_array("q.qv", d), "COSINE", d)
+    qrel = f"{P.hash_mod('concat(cast(q.query_id as string), chr(31), cast(e.vec_id as string))', d)} % 25 = 0"
+    if d == "spark":
+        iseq = "LATERAL VIEW explode(sequence(1, CAST(LEAST(r, 10) AS INT))) t AS i"
+        idcg = f"SELECT query_id, SUM(1.0 / log2(i + 1)) AS idcg FROM (SELECT query_id, i FROM nrel {iseq}) s GROUP BY query_id"
+    else:
+        idcg = "SELECT query_id, SUM(1.0 / log2(i + 1)) AS idcg FROM (SELECT query_id, unnest(generate_series(1, LEAST(r, 10)::INT)) AS i FROM nrel) s GROUP BY query_id"
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0),
+rel AS (
+  SELECT q.query_id, e.vec_id AS doc_id
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id AND {qrel}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.query_id AS query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {dist} ASC, e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+  ) s WHERE rank <= 10
+),
+nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS r FROM rel GROUP BY query_id),
+hits AS (
+  SELECT ranked.query_id, ranked.rank
+  FROM ranked JOIN rel ON ranked.query_id = rel.query_id AND ranked.neighbor_id = rel.doc_id
+),
+hagg AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         MIN(rank) AS first_rank,
+         SUM(1.0 / log2(rank + 1)) AS dcg
+  FROM hits GROUP BY query_id
+),
+ideal AS ({idcg})
+SELECT nrel.query_id,
+       nrel.r AS n_relevant,
+       CAST(COALESCE(hagg.n_hits, 0) AS BIGINT) AS hits_at_10,
+       CAST(round(COALESCE(hagg.n_hits, 0) * 1.0 / nrel.r, 6) AS DOUBLE) AS recall_at_10,
+       CAST(round(COALESCE(1.0 / hagg.first_rank, 0.0), 6) AS DOUBLE) AS mrr_at_10,
+       CAST(round(COALESCE(hagg.dcg, 0.0) / ideal.idcg, 6) AS DOUBLE) AS ndcg_at_10
+FROM nrel
+JOIN ideal ON nrel.query_id = ideal.query_id
+LEFT JOIN hagg ON nrel.query_id = hagg.query_id
+ORDER BY nrel.query_id
+"""
+
+
+CMS_ROWS, CMS_WIDTH = 3, 512
+
+
+def countmin_token_topk(d: str) -> str:
+    """Count-min-sketch heavy hitters with an in-query exactness audit: the
+    sketch is CMS_ROWS x CMS_WIDTH grouped counts (fixed-size mergeable
+    state — the structure you'd keep per partition/window at 100 TB instead
+    of a full token shuffle), estimates are the min over rows of the
+    token's bucket counts, and the output compares the top-20 estimated
+    tokens against their exact counts (overestimate >= 0 always, = 0 when
+    no collision). Hashes are the portable md5 form so DuckDB builds the
+    identical sketch. The exact join here is the audit; production keeps
+    only the 1536-cell sketch."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
+    else:
+        tok = f"SELECT unnest({toks}) AS tok FROM documents"
+    rows = []
+    for r in range(CMS_ROWS):
+        h = P.hash_mod(f"concat('cms{r}:', tok)", d)
+        rows.append(f"SELECT {r} AS h_row, {h} % {CMS_WIDTH} AS bucket, tok FROM tok")
+    hashed = " UNION ALL ".join(rows)
+    return f"""
+WITH tok AS ({tok}),
+hashed AS ({hashed}),
+sketch AS (
+  SELECT h_row, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM hashed GROUP BY h_row, bucket
+),
+cand AS (SELECT DISTINCT h_row, bucket, tok FROM hashed),
+est AS (
+  SELECT cand.tok, MIN(sketch.c) AS est
+  FROM cand JOIN sketch ON cand.h_row = sketch.h_row AND cand.bucket = sketch.bucket
+  GROUP BY cand.tok
+),
+exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tok)
+SELECT est.tok, CAST(est.est AS BIGINT) AS est_count, exact.n AS exact_count,
+       CAST(est.est - exact.n AS BIGINT) AS overestimate
+FROM est JOIN exact ON est.tok = exact.tok
+ORDER BY est_count DESC, est.tok ASC
+LIMIT 20
+"""
+
+
 TEMPLATES["classifier_quality_scores"] = classifier_quality_scores
+TEMPLATES["retrieval_eval_metrics"] = retrieval_eval_metrics
+TEMPLATES["countmin_token_topk"] = countmin_token_topk
 TEMPLATES["repeated_span_stats"] = repeated_span_stats
 TEMPLATES["data_quality_profile"] = data_quality_profile
 TEMPLATES["psi_value_drift"] = psi_value_drift
