@@ -98,6 +98,17 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VIEWS_STATE: "weakref.WeakKeyDictionary[SparkSession, tuple[str, frozenset]]" = None  # type: ignore[assignment]
 
 
+# Tables whose consumers are per-row compute-heavy (explodes, HOF hash
+# pipelines, vector math). The testdata parquet is ONE file with ONE row
+# group per table, so a plain scan gives Spark exactly one partition and the
+# whole narrow pipeline runs on a single core (measured: minhash_signatures
+# 3.1 s -> 0.6 s at sf0.1 once spread). A real 100 TB table arrives as many
+# files/row-groups and gets this parallelism for free; the one-time
+# repartition+localCheckpoint below recreates it without adding an Exchange
+# to any query plan (the checkpointed relation IS 32-way partitioned).
+_SPREAD_TABLES = frozenset({"documents", "embeddings"})
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
     """Register sf_dir parquet tables as temp views. The events view carries
     an extra normalized `ts_us` (epoch-micros BIGINT) column so query SQL is
@@ -117,7 +128,11 @@ def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
         if t == "events":
             events_batch(spark, sf_dir).createOrReplaceTempView(t)
         else:
-            spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            if t in _SPREAD_TABLES:
+                p = spark.sparkContext.defaultParallelism
+                df = df.repartition(p).localCheckpoint(eager=True)
+            df.createOrReplaceTempView(t)
     prev = cur[1] if cur is not None and cur[0] == sf_dir else frozenset()
     _VIEWS_STATE[spark] = (sf_dir, prev | want)
 
@@ -4432,18 +4447,11 @@ def repeated_span_stats(d: str) -> str:
 
 
 def _repeated_span_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # documents arrives pre-spread via register_views (_SPREAD_TABLES), so
+    # the explode+window pipeline parallelizes; the gram relation is
+    # materialized once because it feeds the cross-doc agg AND the hits join.
     register_views(spark, sf_dir, tables=("documents",))
-    # The sf0.1 documents table is ONE parquet file -> one input partition;
-    # without an explicit spread the explode+window pipeline runs on a single
-    # core (measured 2x slower end-to-end). At 100 TB the scan arrives
-    # already partitioned and this repartition collapses into the natural
-    # file split.
-    import uuid as _uuid
-
-    docs = f"docs_{_uuid.uuid4().hex[:12]}"
-    spark.table("documents").repartition(32).createOrReplaceTempView(docs)
-    name = _materialized_view(spark, _span_grams_sql("spark", docs), "spangrams")
-    spark.catalog.dropTempView(docs)
+    name = _materialized_view(spark, _span_grams_sql("spark"), "spangrams")
     return _sql_dropping(spark, _span_stats_final_sql("spark", name), name)
 
 
@@ -4584,11 +4592,16 @@ ORDER BY doc_id
 """
 
 
+# Dyadic weights (multiples of 1/16): every partial sum is exactly
+# representable in binary, so Σ w·count is bit-identical on both engines
+# REGARDLESS of float-addition order. With free-form literals (0.3, 1.2 ...)
+# the engines' different summation orders produced ulp-level z drift, which
+# the downstream bin/threshold amplified into whole-bin flips.
 CLASSIFIER_WEIGHTS: tuple[tuple[str, float], ...] = (
-    ("vector", 1.2), ("hash", 0.8), ("stream", 0.5), ("spark", 0.4),
-    ("query", 0.3), ("slow", -1.0), ("big", -0.7), ("customer", -0.4),
+    ("vector", 1.25), ("hash", 0.75), ("stream", 0.5), ("spark", 0.375),
+    ("query", 0.25), ("slow", -1.0), ("big", -0.75), ("customer", -0.375),
 )
-CLASSIFIER_BIAS = -0.2
+CLASSIFIER_BIAS = -0.25
 
 
 def classifier_quality_scores(d: str) -> str:
@@ -4620,7 +4633,7 @@ acc AS (
 )
 SELECT doc.doc_id,
        CAST(round(1.0 / (1.0 + exp(-({CLASSIFIER_BIAS} + COALESCE(acc.z, 0.0)))), 6) AS DOUBLE) AS score,
-       CASE WHEN 1.0 / (1.0 + exp(-({CLASSIFIER_BIAS} + COALESCE(acc.z, 0.0)))) >= 0.5
+       CASE WHEN {CLASSIFIER_BIAS} + COALESCE(acc.z, 0.0) >= 0.0
             THEN 'keep' ELSE 'filter' END AS verdict
 FROM documents doc LEFT JOIN acc ON doc.doc_id = acc.doc_id
 ORDER BY doc.doc_id
@@ -4728,9 +4741,111 @@ LIMIT 20
 """
 
 
+ECE_BINS = 8  # margin bins over z in [-8, 8), width 2 (dyadic edges)
+
+
+def classifier_calibration_ece(d: str) -> str:
+    """Calibration audit for the linear quality gate: documents are scored
+    with the same sigmoid-of-token-weights model as
+    `classifier_quality_scores`, binned by MARGIN (z, clamped to [-8,8),
+    width-2 bins), and each bin compares mean confidence sigmoid(z) against
+    the empirical rate of a deterministic reference label (lang = 'en' —
+    the gate's proxy target here). The trailing TOTAL row is the expected
+    calibration error Σ (n_b/N)·|acc_b − conf_b|. Binning on z rather than
+    sigmoid(z) keeps the bin assignment engine-exact: z is a sum of dyadic
+    weights (bit-identical under any addition order) while exp() differs by
+    ulps across libms — averaging inside a bin then rounding absorbs that;
+    flooring it into bins would not. Everything after the per-doc score is
+    bin-sized; a production gate runs this audit on every refresh to catch
+    silent classifier drift without exporting scores."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT doc_id, tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
+    else:
+        tok = f"SELECT doc_id, unnest({toks}) AS tok FROM documents"
+    vals = ", ".join(f"('{t}', CAST({w} AS DOUBLE))" for t, w in CLASSIFIER_WEIGHTS)
+    if d == "spark":
+        wtab = f"SELECT col1 AS tok, col2 AS w FROM (VALUES {vals})"
+    else:
+        wtab = f"SELECT * FROM (VALUES {vals}) v(tok, w)"
+    return f"""
+WITH tok AS ({tok}),
+wt AS ({wtab}),
+acc AS (
+  SELECT tok.doc_id, SUM(wt.w) AS z
+  FROM tok JOIN wt ON tok.tok = wt.tok
+  GROUP BY tok.doc_id
+),
+scored AS (
+  SELECT doc.doc_id,
+         {CLASSIFIER_BIAS} + COALESCE(acc.z, 0.0) AS z,
+         1.0 / (1.0 + exp(-({CLASSIFIER_BIAS} + COALESCE(acc.z, 0.0)))) AS score,
+         CAST(CASE WHEN doc.lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y
+  FROM documents doc LEFT JOIN acc ON doc.doc_id = acc.doc_id
+),
+bins AS (
+  SELECT CAST(LEAST({ECE_BINS - 1}, GREATEST(0, CAST(floor((z + 8.0) / 2.0) AS INT))) AS INT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(score) AS conf, AVG(y) AS acc_rate
+  FROM scored GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM bins)
+SELECT CAST(bin AS INT) AS bin, n,
+       CAST(round(conf, 6) AS DOUBLE) AS mean_confidence,
+       CAST(round(acc_rate, 6) AS DOUBLE) AS empirical_rate,
+       CAST(round(abs(acc_rate - conf), 6) AS DOUBLE) AS gap
+FROM bins
+UNION ALL
+SELECT -1, CAST(tot.nn AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(round(SUM((bins.n / tot.nn) * abs(bins.acc_rate - bins.conf)), 6) AS DOUBLE)
+FROM bins CROSS JOIN tot GROUP BY tot.nn
+ORDER BY bin
+"""
+
+
+def corpus_version_diff(d: str) -> str:
+    """Snapshot diff between two corpus versions — the audit a curation
+    pipeline emits on every refresh (what changed since the last export?).
+    v2 is derived deterministically from v1 (portable-hash buckets: ~1/17
+    removed, ~1/13 modified, ~1/19 new docs), then a full outer join on
+    doc_id comparing content hashes classifies every id as
+    added/removed/modified/unchanged and rolls counts up per source. At
+    scale this is one co-partitioned join on the id (both versions written
+    bucketed by doc_id make it exchange-free) and the rollup is dim-sized;
+    the content comparison ships 60-bit hashes, never the text."""
+    h = P.hash64("text", d)
+    hmod = P.hash_mod("concat('vdiff:', cast(doc_id as string))", d)
+    return f"""
+WITH v1 AS (SELECT doc_id, source, {h} AS th FROM documents),
+v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN {hmod} % 13 = 0 THEN {P.hash64("concat(text, ' v2')", d)} ELSE {h} END AS th
+  FROM documents WHERE {hmod} % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, {P.hash64("concat('new:', text)", d)} AS th
+  FROM documents WHERE {hmod} % 19 = 0
+),
+joined AS (
+  SELECT COALESCE(v1.source, v2.source) AS source,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.th <> v2.th THEN 'modified'
+              ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n
+FROM joined
+GROUP BY source, status
+ORDER BY source, status
+"""
+
+
 TEMPLATES["classifier_quality_scores"] = classifier_quality_scores
 TEMPLATES["retrieval_eval_metrics"] = retrieval_eval_metrics
 TEMPLATES["countmin_token_topk"] = countmin_token_topk
+TEMPLATES["classifier_calibration_ece"] = classifier_calibration_ece
+TEMPLATES["corpus_version_diff"] = corpus_version_diff
 TEMPLATES["repeated_span_stats"] = repeated_span_stats
 TEMPLATES["data_quality_profile"] = data_quality_profile
 TEMPLATES["psi_value_drift"] = psi_value_drift
@@ -4787,26 +4902,16 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "event_moving_stats",
     "topk_docs_per_lang",
     "grouping_sets_docs",
-    # --- r2-green flagships kept in-window for continuity.
+    # --- r2-green flagships kept in-window for continuity (the rest of the
+    # r2-certified set — events/streaming families, simhash, mmr, ANN tiers —
+    # is already green in CORRECTNESS_r02.json and rotates out to make room
+    # for first-time certification of this round's additions).
     "catalog_scan_events",
-    "events_hourly_windows",
-    "user_activity_sessions",
-    "asof_clicks_before_errors",
-    "range_error_followups",
     "streaming_hourly_counts",
     "streaming_sessions",
-    "streaming_dedup_pairs",
-    "streaming_user_stats",
-    "streaming_click_error_join",
-    "streaming_enrich_nation",
-    "streaming_user_stats_tws",
     "near_dup_clusters",
-    "simhash_near_pairs",
     "embedding_cosine_pairs",
-    # --- round-3 additions, in-window for first driver certification. The
-    # displaced entries — mmr_exact, bm25_topk, lsh_multiprobe_topk,
-    # ivf_full_probe_topk, pq_adc_topk, events_rollup — are all r2-green
-    # and unchanged.
+    # --- round-3 additions, in-window for first driver certification.
     "pii_redaction_stats",
     "domain_temperature_weights",
     "tokenizer_fertility",
@@ -4814,6 +4919,15 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "dsir_importance_weights",
     "streaming_pii_scrub",
     "winnowing_fingerprints",
+    "repeated_span_stats",
+    "data_quality_profile",
+    "psi_value_drift",
+    "bigram_logprob_quality",
+    "classifier_quality_scores",
+    "classifier_calibration_ece",
+    "retrieval_eval_metrics",
+    "countmin_token_topk",
+    "corpus_version_diff",
 )
 
 

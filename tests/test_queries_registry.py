@@ -106,6 +106,11 @@ def test_driver_window_contains_round3_certification_set():
         "tokenizer_fertility", "semantic_dedup_clusters",
         "dsir_importance_weights", "streaming_pii_scrub",
         "winnowing_fingerprints",
+        # round-3 continuation batch
+        "repeated_span_stats", "data_quality_profile", "psi_value_drift",
+        "bigram_logprob_quality", "classifier_quality_scores",
+        "classifier_calibration_ece", "retrieval_eval_metrics",
+        "countmin_token_topk", "corpus_version_diff",
     }
     missing = must_certify - window
     assert not missing, f"not in driver window: {sorted(missing)}"
