@@ -35,7 +35,9 @@ def ingest_pipeline(spark, sf_dir: str) -> int:
     from oaim_sandbox_spark.operators.merge import merge_new_rows, with_content_id
     from oaim_sandbox_spark.operators.split import split_fixed
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # one-file/one-row-group testdata scans arrive single-partition
     chunks = split_fixed(docs, text_col="text", id_col="doc_id", chunk_size=200, chunk_overlap=20)
     deduped = exact_dedup(chunks, text_col="text", order_col="id")
     addressed = with_content_id(deduped, text_col="text", id_col="cid")
@@ -56,7 +58,9 @@ def testbed_eval(spark, sf_dir: str) -> int:
     from oaim_sandbox_spark.operators.split import split_fixed
     from oaim_sandbox_spark.operators.testbed import evaluate_testset, generate_testset
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # one-file/one-row-group testdata scans arrive single-partition
     chunks = split_fixed(docs, text_col="text", id_col="doc_id", chunk_size=400, chunk_overlap=0)
     qa = generate_testset(chunks, n_questions=500)
 
@@ -77,7 +81,9 @@ def curation_pipeline(spark, sf_dir: str) -> int:
     table. Returns the curated row count."""
     from oaim_sandbox_spark.pipeline import curate_corpus
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # one-file/one-row-group testdata scans arrive single-partition
     _curated, counts = curate_corpus(
         spark, docs,
         {"scrub_pii": True, "min_quality": 0.2, "exact_dedup": True,

