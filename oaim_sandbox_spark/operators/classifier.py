@@ -32,6 +32,40 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+# Serving-side default weights (dyadic — multiples of 1/16 — so the weight
+# sum is exactly representable and bit-identical across engines regardless
+# of float-addition order; see queries.classifier_quality_scores, which
+# imports these same constants for its oracle-checked twin).
+DEFAULT_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("vector", 1.25), ("hash", 0.75), ("stream", 0.5), ("spark", 0.375),
+    ("query", 0.25), ("slow", -1.0), ("big", -0.75), ("customer", -0.375),
+)
+DEFAULT_BIAS = -0.25
+
+
+def linear_quality_score_sql(
+    text_col: str = "text",
+    weights: tuple[tuple[str, float], ...] = DEFAULT_WEIGHTS,
+    bias: float = DEFAULT_BIAS,
+    dialect: str = "spark",
+) -> str:
+    """sigmoid(bias + Σ w(tok)·count(tok)) as a single JVM-side expression —
+    the join-free form of the classifier gate for pipeline filters (the
+    weight CASE map lives inside the expression; right for model-sized
+    vocabularies. classifier_quality_scores' broadcast-join form is the
+    shape for large vocabularies)."""
+    from oaim_sandbox_spark.functions import portable as P
+
+    cases = " ".join(f"WHEN '{t}' THEN CAST({w} AS DOUBLE)" for t, w in weights)
+    per_tok = f"CASE t {cases} ELSE CAST(0 AS DOUBLE) END"
+    toks = P.tokens(text_col, dialect)
+    if dialect == "spark":
+        z = f"aggregate(transform({toks}, t -> {per_tok}), cast({bias} as double), (s, x) -> s + x)"
+    else:
+        z = f"list_reduce(list_prepend(CAST({bias} AS DOUBLE), list_transform({toks}, t -> {per_tok})), (s, x) -> s + x)"
+    return f"(1.0 / (1.0 + exp(-({z}))))"
+
+
 @dataclass
 class LinearTextModel:
     """Trained hashed-bag-of-words logistic model."""

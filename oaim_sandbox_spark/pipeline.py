@@ -113,6 +113,7 @@ def populate_vs(
 DEFAULT_CURATION = {
     "scrub_pii": True,
     "min_quality": 0.0,  # quality_score_sql threshold; 0 keeps everything
+    "classifier_min_score": None,  # e.g. 0.4 → linear-model gate (fastText-style)
     "exact_dedup": True,
     "near_dedup_jaccard": None,  # e.g. 0.5 → minhash-LSH drop of est-dup docs
 }
@@ -125,8 +126,9 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> tuple[DataFrame, dict]:
-    """Config-driven corpus curation: scrub → quality gate → exact dedup →
-    near-dedup (minhash-LSH, first-wins). Returns (curated_df, stage_counts).
+    """Config-driven corpus curation: scrub → quality gate → classifier gate
+    (optional linear model, fastText-style) → exact dedup → near-dedup
+    (minhash-LSH, first-wins). Returns (curated_df, stage_counts).
 
     The config is plain data so a curation job spec can live in a settings
     store (the reference's config-plane pattern, serving/config_plane.py)
@@ -157,6 +159,17 @@ def curate_corpus(
         # composite. One materialization, then counts are scans of it.
         out = out.localCheckpoint(eager=True)
         counts["after_quality"] = out.count()
+
+    if cfg.get("classifier_min_score") is not None:
+        # model-based gate AFTER the cheap heuristic gate (the production
+        # ordering: run the classifier only on what the heuristics kept);
+        # join-free expression form — the weight map is model-sized
+        from oaim_sandbox_spark.operators.classifier import linear_quality_score_sql
+
+        out = out.filter(
+            F.expr(linear_quality_score_sql(text_col)) >= F.lit(cfg["classifier_min_score"])
+        )
+        counts["after_classifier"] = out.count()
 
     if cfg["exact_dedup"]:
         out = exact_dedup(out, text_col=text_col, order_col=id_col)

@@ -4596,12 +4596,13 @@ ORDER BY doc_id
 # representable in binary, so Σ w·count is bit-identical on both engines
 # REGARDLESS of float-addition order. With free-form literals (0.3, 1.2 ...)
 # the engines' different summation orders produced ulp-level z drift, which
-# the downstream bin/threshold amplified into whole-bin flips.
-CLASSIFIER_WEIGHTS: tuple[tuple[str, float], ...] = (
-    ("vector", 1.25), ("hash", 0.75), ("stream", 0.5), ("spark", 0.375),
-    ("query", 0.25), ("slow", -1.0), ("big", -0.75), ("customer", -0.375),
+# the downstream bin/threshold amplified into whole-bin flips. Single source
+# of truth lives with the operator (pipeline.curate_corpus gates on the same
+# model).
+from oaim_sandbox_spark.operators.classifier import (  # noqa: E402
+    DEFAULT_BIAS as CLASSIFIER_BIAS,
+    DEFAULT_WEIGHTS as CLASSIFIER_WEIGHTS,
 )
-CLASSIFIER_BIAS = -0.25
 
 
 def classifier_quality_scores(d: str) -> str:
@@ -4844,8 +4845,64 @@ ORDER BY source, status
 TEMPLATES["classifier_quality_scores"] = classifier_quality_scores
 TEMPLATES["retrieval_eval_metrics"] = retrieval_eval_metrics
 TEMPLATES["countmin_token_topk"] = countmin_token_topk
+COLBERT_QUERY_TEXT = "table scan query fast"
+COLBERT_DIM, COLBERT_MAX_DOC_TOKENS = 8, 12
+
+
+def colbert_maxsim_topk(d: str) -> str:
+    """Late-interaction retrieval (ColBERT-style MaxSim): every token of the
+    query and of each document gets its own embedding; a document's score is
+    Σ over query tokens of the MAX dot-product against any document token.
+    Token vectors are the deterministic portable mock embedder, so both
+    engines build identical multi-vector representations. Shape: the doc
+    side explodes to (doc, token, vector) ONCE (capped at 12 tokens/doc —
+    the fixed-length token budget real late-interaction stores use), the
+    query side is a handful of rows that cross-join (broadcast) onto it;
+    the per-(doc, qtok) MAX and per-doc SUM are two grouped aggs with
+    map-side combine. At 100 TB the doc-token relation is the stored index,
+    pre-partitioned by token bucket (IVF/PLAID-style) so the cross join
+    becomes a pruned bucket join; the deterministic subset here keeps the
+    bench slice proportionate."""
+    toks = P.tokens("text", d)
+    qtoks = P.tokens(f"'{COLBERT_QUERY_TEXT}'", d)
+    emb_dt = P.mock_embed("dt", COLBERT_DIM, d)
+    emb_qt = P.mock_embed("qt", COLBERT_DIM, d)
+    dotp = P.dot("dv", "qv", d)
+    if d == "spark":
+        dtok = (
+            f"SELECT doc_id, dt FROM (SELECT doc_id, slice({toks}, 1, {COLBERT_MAX_DOC_TOKENS}) AS tk "
+            f"FROM documents WHERE doc_id % 5 = 0) s LATERAL VIEW explode(tk) t AS dt"
+        )
+        qtok = f"SELECT qt FROM (SELECT {qtoks} AS qs) q LATERAL VIEW explode(qs) t AS qt"
+    else:
+        dtok = (
+            f"SELECT doc_id, unnest(list_slice({toks}, 1, {COLBERT_MAX_DOC_TOKENS})) AS dt "
+            f"FROM documents WHERE doc_id % 5 = 0"
+        )
+        qtok = f"SELECT unnest({qtoks}) AS qt"
+    return f"""
+WITH dvec AS (SELECT doc_id, dt, {emb_dt} AS dv FROM ({dtok}) t0),
+qvec AS (SELECT qt, {emb_qt} AS qv FROM ({qtok}) t1),
+sim AS (
+  -- per-(doc, qtok) best similarity, quantized to integer micro-units so the
+  -- cross-token SUM is exact integer math (float SUM order is engine- and
+  -- run-dependent; MAX and the fold-form dot are already bit-identical)
+  SELECT dvec.doc_id, qvec.qt,
+         CAST(floor(MAX({dotp}) * 1000000.0 + 0.5) AS BIGINT) AS best_micro
+  FROM dvec CROSS JOIN qvec
+  GROUP BY dvec.doc_id, qvec.qt
+)
+SELECT doc_id, CAST(SUM(best_micro) / 1000000.0 AS DOUBLE) AS maxsim_score
+FROM sim
+GROUP BY doc_id
+ORDER BY maxsim_score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 TEMPLATES["classifier_calibration_ece"] = classifier_calibration_ece
 TEMPLATES["corpus_version_diff"] = corpus_version_diff
+TEMPLATES["colbert_maxsim_topk"] = colbert_maxsim_topk
 TEMPLATES["repeated_span_stats"] = repeated_span_stats
 TEMPLATES["data_quality_profile"] = data_quality_profile
 TEMPLATES["psi_value_drift"] = psi_value_drift
@@ -4908,7 +4965,6 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     # for first-time certification of this round's additions).
     "catalog_scan_events",
     "streaming_hourly_counts",
-    "streaming_sessions",
     "near_dup_clusters",
     "embedding_cosine_pairs",
     # --- round-3 additions, in-window for first driver certification.
@@ -4928,6 +4984,7 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "retrieval_eval_metrics",
     "countmin_token_topk",
     "corpus_version_diff",
+    "colbert_maxsim_topk",
 )
 
 

@@ -79,3 +79,24 @@ def test_oov_docs_score_bias(spark):
     feat = hashed_token_features(df, dim=64)
     score = predict_scores(spark, feat, model).collect()[0]["score"]
     assert score == pytest.approx(1.0 / (1.0 + np.exp(1.0)))
+
+
+def test_expression_form_matches_join_form(spark):
+    """linear_quality_score_sql (join-free CASE-map expression) must score
+    exactly like the broadcast-join form in queries.classifier_quality_scores
+    — same weights by construction (shared constants)."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark import queries as Q
+    from oaim_sandbox_spark.operators.classifier import linear_quality_score_sql
+
+    sf = "/root/testdata/sf0.001"
+    join_form = Q.spark_queries()["classifier_quality_scores"](spark, sf)
+    docs = spark.table("documents")
+    expr_form = docs.select(
+        "doc_id",
+        F.round(F.expr(linear_quality_score_sql("text")), 6).cast("double").alias("score"),
+    )
+    joined = join_form.alias("a").join(expr_form.alias("b"), "doc_id")
+    n_diff = joined.filter(F.col("a.score") != F.col("b.score")).count()
+    assert n_diff == 0

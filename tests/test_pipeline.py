@@ -128,3 +128,22 @@ def test_curate_incremental_drops_cross_batch_dupes(spark):
     assert 3 in ids              # novel doc kept
     assert counts["after_cross_exact"] == 2
     assert counts["output"] == len(ids)
+
+
+def test_curate_corpus_classifier_gate(spark):
+    """The optional linear-model gate keeps high-score docs and drops
+    low-score ones (DEFAULT_WEIGHTS: 'vector'/'hash' positive, 'slow'/'big'
+    negative), and records its stage count."""
+    rows = [
+        (1, "vector hash vector stream query table row"),   # strongly positive
+        (2, "slow big slow big customer line sort merge"),  # strongly negative
+        (3, "vector hash query spark stream part filter"),  # positive
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    curated, counts = curate_corpus(
+        spark, df,
+        {"scrub_pii": False, "exact_dedup": False, "near_dedup_jaccard": None,
+         "classifier_min_score": 0.5},
+    )
+    assert {r["doc_id"] for r in curated.collect()} == {1, 3}
+    assert counts["after_classifier"] == 2 == counts["output"]
