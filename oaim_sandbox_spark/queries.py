@@ -4900,9 +4900,53 @@ LIMIT 10
 """
 
 
+BFS_MAX_HOPS = 4
+
+
+def reachability_bfs(d: str) -> str:
+    """Recursive-CTE graph reachability (Spark 4 WITH RECURSIVE — the
+    engine's native iterate-until-bound form, vs the unrolled-CTE pagerank
+    and the driver-loop connected components): min-hop distance from source
+    node 0 over the same deterministic hash link graph as `pagerank_3iter`,
+    bounded at 4 hops. UNION ALL + hop bound keeps the recursion
+    engine-portable (recursive-UNION dedup semantics differ); the closing
+    MIN(hop) aggregation collapses revisits. Each recursion step is one
+    (frontier ⨝ edges) shuffle keyed on src — the textbook BFS data layout:
+    pre-partition edges by src and only the (node, hop) frontier moves.
+    Frontier growth is bounded by out-degree^hops; for unbounded diameters
+    use the convergence-loop operator (dedup.connected_components)."""
+    nn = "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id < 100)"
+    ks = (
+        "SELECT explode(sequence(1, 3)) AS k"
+        if d == "spark"
+        else "SELECT unnest(generate_series(1, 3)) AS k"
+    )
+    sid, sk = _str("doc_id", d), _str("k", d)
+    link = f"({P.hash64(f'concat({sid}, chr(35), {sk})', d)} % {nn})"
+    return f"""
+WITH RECURSIVE walk(node, hop) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+  UNION ALL
+  SELECT e.dst AS node, w.hop + 1 AS hop
+  FROM walk w
+  JOIN (
+    SELECT doc_id AS src, {link} AS dst
+    FROM documents CROSS JOIN ({ks}) t
+    WHERE doc_id < 100
+  ) e ON e.src = w.node
+  WHERE w.hop < {BFS_MAX_HOPS}
+)
+SELECT node, CAST(MIN(hop) AS INT) AS dist
+FROM walk
+GROUP BY node
+ORDER BY dist, node
+"""
+
+
 TEMPLATES["classifier_calibration_ece"] = classifier_calibration_ece
 TEMPLATES["corpus_version_diff"] = corpus_version_diff
 TEMPLATES["colbert_maxsim_topk"] = colbert_maxsim_topk
+TEMPLATES["reachability_bfs"] = reachability_bfs
 TEMPLATES["repeated_span_stats"] = repeated_span_stats
 TEMPLATES["data_quality_profile"] = data_quality_profile
 TEMPLATES["psi_value_drift"] = psi_value_drift
