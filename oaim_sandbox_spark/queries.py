@@ -4945,8 +4945,69 @@ ORDER BY dist, node
 
 TEMPLATES["classifier_calibration_ece"] = classifier_calibration_ece
 TEMPLATES["corpus_version_diff"] = corpus_version_diff
+K_ANON = 5
+
+
+def k_anonymity_audit(d: str) -> str:
+    """k-anonymity audit before a corpus release: group documents by their
+    quasi-identifier tuple (lang, source, length decile) and flag every
+    equivalence class smaller than k=5 — the classes where a released row is
+    re-identifiable. One grouped count over a narrow projection plus a
+    class-size histogram rollup; the flagged classes (not the documents)
+    come back, so output is dim-sized at any corpus scale. Complements the
+    PII scrub (`pii_redaction_stats`): scrubbing removes direct identifiers,
+    this audits the quasi-identifiers that remain."""
+    # integer division: CAST(double AS INT) truncates on Spark but rounds on
+    # DuckDB — div/// keeps the decile engine-exact
+    dec = f"CAST(LEAST(9, n_chars {'div' if d == 'spark' else '//'} 100) AS INT)"
+    return f"""
+WITH classes AS (
+  SELECT lang, source, {dec} AS len_decile, CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM documents
+  GROUP BY lang, source, {dec}
+)
+SELECT lang, source, len_decile, class_size,
+       CASE WHEN class_size < {K_ANON} THEN 1 ELSE 0 END AS violates_k
+FROM classes
+WHERE class_size < {K_ANON}
+ORDER BY lang, source, len_decile
+"""
+
+
+DP_EPSILON = 1.0
+
+
+def dp_noisy_counts(d: str) -> str:
+    """Laplace-mechanism count release with SEEDED noise (ε=1, sensitivity
+    1): per-(source, lang) document counts plus Laplace(1/ε) noise derived
+    from the portable hash via inverse-CDF — u = H(key)/2^60 ∈ (0,1),
+    noise = -sign(u-0.5)·ln(1-2|u-0.5|)/ε. The hash seed makes the release
+    reproducible and engine-identical (and therefore NOT differentially
+    private — a real release swaps the hash for a CSPRNG draw; the query
+    certifies the mechanism's plumbing: per-class noise, post-processing
+    max(0, round(·)), and that no raw count leaves unperturbed)."""
+    key = "concat('dp:', source, ':', lang)"
+    u = f"(({P.hash64(key, d)} % 1000000) + 0.5) / 1000000.0"
+    return f"""
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+),
+noise AS (
+  SELECT source, lang, n, {u} AS u FROM c
+)
+SELECT source, lang,
+       CAST(GREATEST(0, CAST(round(n + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+            * ln(1.0 - 2.0 * abs(u - 0.5)) / {DP_EPSILON}, 0) AS BIGINT)) AS BIGINT) AS noisy_count
+FROM noise
+ORDER BY source, lang
+"""
+
+
 TEMPLATES["colbert_maxsim_topk"] = colbert_maxsim_topk
 TEMPLATES["reachability_bfs"] = reachability_bfs
+TEMPLATES["k_anonymity_audit"] = k_anonymity_audit
+TEMPLATES["dp_noisy_counts"] = dp_noisy_counts
 TEMPLATES["repeated_span_stats"] = repeated_span_stats
 TEMPLATES["data_quality_profile"] = data_quality_profile
 TEMPLATES["psi_value_drift"] = psi_value_drift
