@@ -44,8 +44,14 @@ def stream_ingest(
     max_files_per_trigger: int = 16,
     ivf_index=None,  # operators.ann.IVFIndex (fitted) — optional ANN leg
     ann_store_dir: str | None = None,
+    classifier_min_score: float | None = None,
 ) -> StreamingQuery:
     """Continuous document ingest: landing JSONL -> vector-store parquet.
+
+    ``classifier_min_score`` applies the same linear quality gate as
+    pipeline.curate_corpus (join-free expression form) to each arriving
+    batch BEFORE chunking — the streaming twin of the batch curation stage,
+    so a corpus curated continuously matches one curated in batch.
 
     With a fitted ``ivf_index`` + ``ann_store_dir``, each batch's fresh
     embedded chunks are ALSO appended into the centroid-partitioned ANN
@@ -66,6 +72,14 @@ def stream_ingest(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if classifier_min_score is not None:
+            from pyspark.sql import functions as F
+
+            from oaim_sandbox_spark.operators.classifier import linear_quality_score_sql
+
+            batch_df = batch_df.filter(
+                F.expr(linear_quality_score_sql("text")) >= F.lit(classifier_min_score)
+            )
         chunks = split_fixed(batch_df, text_col="text", id_col="doc_id",
                              chunk_size=chunk_size, chunk_overlap=chunk_overlap)
         deduped = exact_dedup(chunks, text_col="text", order_col="id")

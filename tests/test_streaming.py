@@ -205,3 +205,25 @@ def test_stream_ingest_with_ivf_ann_leg(spark, tmp_path):
     expected = {r.id: r.centroid for r in idx.assign(flat.select("id", "embedding")).collect()}
     got = {r.id: r.centroid for r in part.select("id", "centroid").collect()}
     assert got == expected
+
+
+def test_stream_ingest_classifier_gate(spark, tmp_path):
+    """The streaming classifier gate drops low-score docs before chunking —
+    same model (DEFAULT_WEIGHTS) and threshold semantics as the batch
+    curate_corpus stage, so batch and continuous curation agree."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    _write_landing(landing, "b1.jsonl", [
+        {"doc_id": "good", "text": "vector hash vector stream query " * 10, "source": "s1"},
+        {"doc_id": "bad", "text": "slow big slow big customer line " * 10, "source": "s2"},
+    ])
+    q = stream_ingest(spark, str(landing), store, ckpt, chunk_size=100,
+                      chunk_overlap=0, classifier_min_score=0.5)
+    q.awaitTermination(60)
+    out = spark.read.parquet(store)
+    # split_fixed carries the originating doc id in `source` (splitter
+    # metadata semantics) — only the positive-vocab doc must survive
+    sources = {r["source"] for r in out.select("source").distinct().collect()}
+    assert sources == {"good"}
