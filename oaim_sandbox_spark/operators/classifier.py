@@ -81,20 +81,33 @@ def hashed_token_features(
     text_col: str = "text",
     id_col: str = "doc_id",
     dim: int = 1024,
+    normalize: bool = False,
 ) -> DataFrame:
     """(id, idx, cnt): hashed bag-of-words in long format.
 
     xxhash64 is JVM-side and partition-parallel; `pmod` keeps the index
     non-negative. The output is grouped (map-side combine) so a doc
     contributes at most min(n_tokens, dim) rows, and the raw text never
-    travels past this projection."""
+    travels past this projection.
+
+    normalize=True emits term frequencies (cnt / doc token count) instead of
+    raw counts — bounds the margin magnitude independent of document length,
+    which keeps gradient descent stable at one learning rate across corpora
+    (raw counts diverge on long/duplicated docs at lr that converges on
+    short ones)."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
-    return (
+    feat = (
         df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
         .select("id", F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int").alias("idx"))
         .groupBy("id", "idx")
         .agg(F.count("*").cast("double").alias("cnt"))
     )
+    if normalize:
+        totals = feat.groupBy("id").agg(F.sum("cnt").alias("__tot"))
+        feat = feat.join(totals, "id").select(
+            "id", "idx", (F.col("cnt") / F.col("__tot")).alias("cnt")
+        )
+    return feat
 
 
 def _margins(feat: DataFrame, weights_df: DataFrame, bias: float) -> DataFrame:

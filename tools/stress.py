@@ -12,6 +12,9 @@ Usage:
     python tools/stress.py split1m   [n_docs=1000000]
     python tools/stress.py pca       [n_vecs=500000]
     python tools/stress.py semdedup  [n_vecs=50000]
+    python tools/stress.py cc        [n_docs=200000]
+    python tools/stress.py classifier [n_docs=200000]
+    python tools/stress.py spans     [n_docs=100000]
 """
 
 from __future__ import annotations
@@ -199,6 +202,80 @@ def stress_split1m(n_docs: int = 1_000_000) -> dict:
     return {"stress": "split_dedup_1m", "docs": n_docs, "unique_chunks": n_chunks, "seconds": round(dt, 1)}
 
 
+def stress_cc(n_docs: int = 200_000) -> dict:
+    """Full near-dup canonicalization at scale: simhash pair graph over the
+    resampled corpus (worst case: every replica family is a quasi-clique)
+    then connected-components min-label propagation. The probe behind the
+    'rounds stay single-digit, each round ships only (node,label) int64s'
+    claim."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.dedup import connected_components, simhash_near_pairs
+
+    spark = _spark("stress-cc")
+    big = _resampled_docs(spark, n_docs)
+    t0 = time.time()
+    pairs = simhash_near_pairs(big, max_hamming=3).localCheckpoint(eager=True)
+    n_pairs = pairs.count()
+    t1 = time.time()
+    labels = connected_components(pairs, big, node_col="doc_id")
+    n_clusters = labels.agg(F.countDistinct("cluster_id")).collect()[0][0]
+    dt = time.time() - t1
+    spark.stop()
+    return {
+        "stress": "cc_canonicalize", "docs": n_docs, "pairs": n_pairs,
+        "clusters": int(n_clusters), "pair_seconds": round(t1 - t0, 1),
+        "cc_seconds": round(dt, 1),
+    }
+
+
+def stress_classifier(n_docs: int = 200_000, iters: int = 5) -> dict:
+    """In-engine logistic training at scale: hashed features over the
+    resampled corpus, planted hash labels, fixed GD iterations. The probe
+    behind 'per iteration = one broadcast join + two grouped aggs; driver
+    traffic is model-sized'."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.classifier import fit_logistic, hashed_token_features
+
+    spark = _spark("stress-classifier")
+    big = _resampled_docs(spark, n_docs)
+    feat = hashed_token_features(big, dim=1024, normalize=True).localCheckpoint(eager=True)
+    n_feat = feat.count()
+    # learnable planted target (token presence), not hash noise — the probe
+    # should show the loss moving, not just measure agg throughput
+    labels = big.select(F.col("doc_id").alias("id"), F.col("text").contains("vector").cast("int").alias("y"))
+    t0 = time.time()
+    model = fit_logistic(spark, feat, labels, dim=1024, iters=iters, lr=0.5)
+    dt = time.time() - t0
+    spark.stop()
+    return {
+        "stress": "classifier_train", "docs": n_docs, "feature_rows": n_feat,
+        "iters": iters, "seconds": round(dt, 1),
+        "sec_per_iter": round(dt / iters, 2),
+        "loss_first_last": [round(model.loss_history[0], 4), round(model.loss_history[-1], 4)],
+    }
+
+
+def stress_spans(n_docs: int = 100_000) -> dict:
+    """Exact repeated-span profile at scale (the heaviest text op: positioned
+    char-gram explode = corpus chars as rows)."""
+    from oaim_sandbox_spark import queries as Q
+
+    spark = _spark("stress-spans")
+    big = _resampled_docs(spark, n_docs)
+    big.createOrReplaceTempView("stress_docs_v")
+    spark.sql(
+        "SELECT doc_id, text, length(text) AS n_chars FROM stress_docs_v"
+    ).createOrReplaceTempView("documents")
+    t0 = time.time()
+    name = Q._materialized_view(spark, Q._span_grams_sql("spark"), "stressgrams")
+    n = Q._sql_dropping(spark, Q._span_stats_final_sql("spark", name), name).count()
+    dt = time.time() - t0
+    spark.stop()
+    return {"stress": "repeated_spans", "docs": n_docs, "flagged_docs": n, "seconds": round(dt, 1)}
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "minhash"
     arg = int(sys.argv[2]) if len(sys.argv) > 2 else None
@@ -209,6 +286,9 @@ def main() -> None:
         "split1m": stress_split1m,
         "pca": stress_pca,
         "semdedup": stress_semdedup,
+        "cc": stress_cc,
+        "classifier": stress_classifier,
+        "spans": stress_spans,
     }
     if cmd not in fns:
         raise SystemExit(f"unknown stress {cmd!r}; one of {sorted(fns)}")
