@@ -5006,8 +5006,120 @@ ORDER BY source, lang
 
 TEMPLATES["colbert_maxsim_topk"] = colbert_maxsim_topk
 TEMPLATES["reachability_bfs"] = reachability_bfs
+def event_pattern_match(d: str) -> str:
+    """Sequence-pattern matching over event streams (the MATCH_RECOGNIZE
+    workload, relationally): each user's time-ordered event types collapse
+    to a symbol string (c/v/e/s/p), and a regex counts conversion patterns —
+    here 'click, any non-purchase browsing, then purchase' (c[ve]*p). One
+    key-partitioned sort inside a grouped collect (sorted struct array →
+    symbols, so the order is deterministic, not collect_list luck), then a
+    per-row regex — the sequence never leaves its user partition. At 100 TB
+    sessions are bounded, so the symbol string is short regardless of
+    corpus size."""
+    sym = ("CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v' "
+           "WHEN 'error' THEN 'e' WHEN 'signup' THEN 's' ELSE 'p' END")
+    if d == "spark":
+        seq = ("array_join(transform(sort_array(collect_list(struct(ts_us, event_id, sym))), "
+               "s -> s.sym), '')")
+    else:
+        seq = "string_agg(sym, '' ORDER BY ts_us, event_id)"
+    pat = "c[ve]*p"
+    n_match = P.regexp_count_portable("seq", pat, d)
+    return f"""
+WITH ev AS (
+  SELECT user_id, {_ts_us(d)} AS ts_us, event_id, {sym} AS sym
+  FROM events WHERE user_id % 5 = 0
+),
+seqs AS (
+  SELECT user_id, {seq} AS seq
+  FROM ev GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(seq) AS INT) AS n_events,
+       CAST({n_match} AS INT) AS n_conversions
+FROM seqs
+WHERE {n_match} > 0
+ORDER BY user_id
+"""
+
+
+def weekly_cohort_retention(d: str) -> str:
+    """Cohort retention: users grouped by first-seen week; each later week's
+    active share of that cohort — the canonical product-analytics triangle,
+    and for a training pipeline the shape of 'does a crawl source keep
+    contributing'. Two grouped aggs (first-seen per user, then distinct
+    actives per (cohort, week)) joined to cohort sizes; weeks are integer
+    epoch-week indexes (div — engine-exact), output is cohorts×weeks
+    dim-sized."""
+    wk = f"CAST(({_ts_us(d)}) {'div' if d == 'spark' else '//'} {7 * 86400 * 1_000_000} AS BIGINT)"
+    return f"""
+WITH ev AS (SELECT user_id, {wk} AS wk FROM events),
+first_seen AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id),
+cohort_size AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users FROM first_seen GROUP BY cohort_wk),
+active AS (
+  SELECT f.cohort_wk, e.wk, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+  FROM ev e JOIN first_seen f ON e.user_id = f.user_id
+  GROUP BY f.cohort_wk, e.wk
+)
+SELECT a.cohort_wk, CAST(a.wk - a.cohort_wk AS INT) AS week_offset,
+       c.n_users AS cohort_users, a.n_active,
+       CAST(round(a.n_active * 1.0 / c.n_users, 6) AS DOUBLE) AS retention
+FROM active a JOIN cohort_size c ON a.cohort_wk = c.cohort_wk
+ORDER BY a.cohort_wk, week_offset
+"""
+
+
+def ab_test_zscore(d: str) -> str:
+    """Two-proportion z-test in-engine: users are hash-assigned to arms A/B
+    (deterministic, the bucketing a real experiment framework uses),
+    conversion = a high-value purchase (partial-rate event, so the pooled
+    variance is non-degenerate); the query emits both arms'
+    rates, the pooled z statistic, and the |z| >= 1.96 significance verdict.
+    One grouped agg per user then one 2-row rollup — experiment readouts at
+    any scale are a full-scan agg, never an export."""
+    key = f"concat({_str('user_id', d)}, '-ab')"
+    arm = f"CASE WHEN {P.hash_mod(key, d)} % 2 = 0 THEN 'A' ELSE 'B' END"
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         {arm} AS arm,
+         MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0 THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM u GROUP BY arm
+),
+wide AS (
+  SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+         MAX(CASE WHEN arm = 'A' THEN conv END) AS ca,
+         MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+         MAX(CASE WHEN arm = 'B' THEN conv END) AS cb
+  FROM arms
+)
+, z AS (
+  SELECT na, ca, nb, cb,
+         CAST(ca AS DOUBLE) / na AS pa,
+         CAST(cb AS DOUBLE) / nb AS pb,
+         CAST(ca + cb AS DOUBLE) / (na + nb) AS pp
+  FROM wide
+)
+SELECT na, ca, nb, cb,
+       CAST(round(pa, 6) AS DOUBLE) AS rate_a,
+       CAST(round(pb, 6) AS DOUBLE) AS rate_b,
+       CAST(round((pa - pb) / sqrt(pp * (1.0 - pp) * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)), 6) AS DOUBLE) AS z,
+       CASE WHEN abs((pa - pb) / sqrt(pp * (1.0 - pp) * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))) >= 1.96
+            THEN 'significant' ELSE 'not_significant' END AS verdict
+FROM z
+"""
+
+
 TEMPLATES["k_anonymity_audit"] = k_anonymity_audit
 TEMPLATES["dp_noisy_counts"] = dp_noisy_counts
+TEMPLATES["event_pattern_match"] = event_pattern_match
+TEMPLATES["weekly_cohort_retention"] = weekly_cohort_retention
+TEMPLATES["ab_test_zscore"] = ab_test_zscore
 TEMPLATES["repeated_span_stats"] = repeated_span_stats
 TEMPLATES["data_quality_profile"] = data_quality_profile
 TEMPLATES["psi_value_drift"] = psi_value_drift
