@@ -95,3 +95,56 @@ def test_connected_components_partition_properties(spark, ids):
     for cid in set(lab.values()):
         members = [n for n, c in lab.items() if c == cid]
         assert cid == min(members)
+
+
+SF_TINY = "/root/testdata/sf0.001"
+
+
+def test_repeated_span_invariants(spark):
+    """Merged spans are a valid interval cover: at least one span per flagged
+    doc, coverage bounded by doc length and at least one gram wide, fraction
+    in (0, 1]."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["repeated_span_stats"](spark, SF_TINY).collect()
+    assert rows
+    from oaim_sandbox_spark.queries import SPAN_GRAM
+
+    for r in rows:
+        assert r["n_spans"] >= 1
+        assert SPAN_GRAM <= r["covered_chars"]
+        assert 0.0 < r["repeated_frac"] <= 1.0
+
+
+def test_countmin_never_underestimates(spark):
+    """CMS property: min-over-rows estimates are always >= the exact count."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["countmin_token_topk"](spark, SF_TINY).collect()
+    assert rows
+    for r in rows:
+        assert r["est_count"] >= r["exact_count"]
+        assert r["overestimate"] == r["est_count"] - r["exact_count"]
+
+
+def test_bfs_distance_invariants(spark):
+    """BFS: source at distance 0; all distances within the hop bound."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["reachability_bfs"](spark, SF_TINY).collect()
+    d = {r["node"]: r["dist"] for r in rows}
+    from oaim_sandbox_spark.queries import BFS_MAX_HOPS
+
+    assert d[0] == 0
+    assert all(0 <= v <= BFS_MAX_HOPS for v in d.values())
+
+
+def test_psi_nonnegative(spark):
+    """PSI is a sum of (a-b)ln(a/b) terms, each >= 0 — the monitor can never
+    report negative drift."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["psi_value_drift"](spark, SF_TINY).collect()
+    assert rows
+    for r in rows:
+        assert r["psi"] >= 0.0
