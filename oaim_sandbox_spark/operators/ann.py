@@ -320,11 +320,20 @@ class IVFIndex:
         nprobe: int = 2,
         metric: str = "COSINE",
         id_col: str = "vec_id",
+        where: str | None = None,
     ) -> DataFrame:
         """Partition-pruned probe: filter on centroid IN (...) hits only
-        nprobe/n_centroids of the data (verify with explain: PartitionFilters)."""
+        nprobe/n_centroids of the data (verify with explain: PartitionFilters).
+
+        ``where`` is an optional metadata predicate (e.g. "label = 2") applied
+        to the pruned scan BEFORE distances — pre-filter semantics, the
+        correct top-k-of-matching behavior (post-filtering an unfiltered
+        top-k silently returns < k rows). The predicate reaches the parquet
+        scan as a PushedFilter, so a selective filter cuts I/O too."""
         cents = self.probe_centroids(query_vec, nprobe)
         store = spark.read.parquet(path).filter(F.col("centroid").isin(cents))
+        if where is not None:
+            store = store.filter(where)
         dist = distance_expr(self.vec_col, query_vec, metric)
         return (
             store.withColumn("distance", F.expr(f"round({dist}, 6)"))
@@ -343,8 +352,11 @@ class IVFIndex:
         id_col: str = "vec_id",
         query_id: str = "query_id",
         query_vec: str = "query_vec",
+        where: str | None = None,
     ) -> DataFrame:
         """Batched IVF probe: ONE pruned scan answers a whole query batch.
+        ``where``: optional metadata predicate, pre-filter semantics (see
+        ``search``); applied once to the shared pruned scan.
 
         Per-query `search` costs one Spark job each — fine interactively,
         wrong for offline batch retrieval (the reference's testbed shape:
@@ -379,6 +391,8 @@ class IVFIndex:
         )
         all_cents = sorted({int(c) for row in probes for c in row})
         store = spark.read.parquet(path).filter(F.col("centroid").isin(all_cents))
+        if where is not None:
+            store = store.filter(where)
         dist = distance_expr(self.vec_col, P.to_double_array(query_vec, "spark"), metric)
         scored = (
             store.join(F.broadcast(qdf), "centroid")

@@ -435,6 +435,24 @@ def topk_score_threshold(d: str) -> str:
     return _topk_template(d, "COSINE", k=10, threshold=0.55)
 
 
+def filtered_topk_label(d: str) -> str:
+    """Metadata-filtered vector search (the P12 facet filter pushed INTO
+    retrieval): exact cosine top-k restricted to label = 2 — PRE-filter
+    semantics, so exactly k of the matching rows come back (post-filtering
+    an unfiltered top-k under-returns). This is the oracle for the filtered
+    ANN path (IVFIndex.search/search_batch `where=` — same predicate applied
+    to the pruned partition scan as a parquet PushedFilter; equivalence
+    tested in tests/test_ann.py)."""
+    dist = distance_expr("e.embedding", P.to_double_array("q.qv", d), "COSINE", d)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS vec_id, CAST(e.label AS INT) AS label, round({dist}, 6) AS distance
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> 0 AND e.label = 2
+ORDER BY distance ASC, vec_id ASC LIMIT 10
+"""
+
+
 def rag_topk_mock_query(d: str) -> str:
     """End-to-end T1 with the mock embedder: embed a query STRING, retrieve
     top-5 document chunks by cosine over mock-embedded documents — the
@@ -2756,6 +2774,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "topk_euclidean": topk_euclidean,
     "topk_dot_product": topk_dot_product,
     "topk_score_threshold": topk_score_threshold,
+    "filtered_topk_label": filtered_topk_label,
     "rag_topk_mock_query": rag_topk_mock_query,
     "knn_join_batch": knn_join_batch,
     "lsh_ann_topk": lsh_ann_topk,

@@ -336,3 +336,65 @@ def test_pq_search_batch_matches_per_query(spark):
         single = pq.search(codes, qv, k=5, fetch_k=5).collect()
         want = [(i + 1, r["vec_id"], r["adc_dist"]) for i, r in enumerate(single)]
         assert sorted(got[qid]) == want, f"batch != per-query for {qid}"
+
+
+def test_ivf_filtered_search_matches_filtered_exact(spark, tmp_path):
+    """Pre-filter semantics: full-probe IVF search with a metadata predicate
+    must equal brute-force top-k over the filtered store (exactly k matching
+    rows, never an under-filled post-filter), and the predicate must reach
+    the parquet scan as a pushed filter."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.ann import IVFIndex
+
+    store = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = [float(x) for x in store.filter("vec_id = 0").select(
+        F.expr("cast(embedding as array<double>)")).collect()[0][0]]
+    idx = IVFIndex(n_centroids=4, seed=11, max_iter=5).fit(store)
+    path = str(tmp_path / "ivf_filtered")
+    idx.write_partitioned(store, path)
+
+    got = idx.search(spark, path, qv, k=8, nprobe=4, where="label = 2 AND vec_id <> 0")
+    got_rows = [(r["vec_id"], r["distance"]) for r in got.collect()]
+
+    from oaim_sandbox_spark.operators.retrieval import distance_expr
+
+    exact = (
+        store.filter("label = 2 AND vec_id <> 0")
+        .withColumn("distance", F.expr(f"round({distance_expr('embedding', qv, 'COSINE')}, 6)"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(8)
+    )
+    exact_rows = [(r["vec_id"], r["distance"]) for r in exact.collect()]
+    assert got_rows == exact_rows and len(got_rows) == 8
+    assert all(
+        store.filter(f"vec_id = {v}").collect()[0]["label"] == 2 for v, _ in got_rows[:3]
+    )
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "label" in plan.split("PushedFilters", 1)[1][:300]
+
+
+def test_ivf_filtered_search_batch(spark, tmp_path):
+    """The batched probe honors the shared predicate too."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.ann import IVFIndex
+
+    store = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    idx = IVFIndex(n_centroids=4, seed=11, max_iter=5).fit(store)
+    path = str(tmp_path / "ivf_filtered_batch")
+    idx.write_partitioned(store, path)
+    qdf = store.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("cast(embedding as array<double>)").alias("query_vec"),
+    )
+    out = idx.search_batch(spark, path, qdf, k=5, nprobe=4, where="label = 1")
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    labels = {
+        r2["label"]
+        for r in rows
+        for r2 in store.filter(f"vec_id = {r['vec_id']}").select("label").collect()
+    }
+    assert labels == {1}
