@@ -463,6 +463,38 @@ class PQIndex:
         self.codebooks = np.asarray(books)
         return self
 
+    def save(self, path: str) -> None:
+        """Persist fitted codebooks as JSON (IVFIndex.save parity): encoded
+        stores are useless without the exact codebooks that produced them, so
+        they travel together."""
+        import json as _json
+
+        if self.codebooks is None:
+            raise ValueError("fit() before save()")
+        with open(path, "w") as fh:
+            _json.dump(
+                {
+                    "m": self.m, "k": self.k, "dim": self.dim,
+                    "seed": self.seed, "vec_col": self.vec_col,
+                    "max_iter": self.max_iter,
+                    "codebooks": [[[float(v) for v in w] for w in book] for book in self.codebooks],
+                },
+                fh,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "PQIndex":
+        import json as _json
+
+        import numpy as np
+
+        with open(path) as fh:
+            meta = _json.load(fh)
+        idx = cls(m=meta["m"], k=meta["k"], dim=meta["dim"], seed=meta["seed"],
+                  vec_col=meta["vec_col"], max_iter=meta["max_iter"])
+        idx.codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
+        return idx
+
     def _sub_dist_exprs(self, s: int, sub_expr: str) -> list[str]:
         out = []
         for c in range(self.k):

@@ -398,3 +398,27 @@ def test_ivf_filtered_search_batch(spark, tmp_path):
         for r2 in store.filter(f"vec_id = {r['vec_id']}").select("label").collect()
     }
     assert labels == {1}
+
+
+def test_pq_index_save_load_roundtrip(spark, tmp_path, pq_store):
+    """PQ codebooks persist and reload bit-exactly: the reloaded index
+    encodes and searches identically (codes are meaningless under any other
+    codebooks, so persistence is part of the index, not an extra)."""
+    import numpy as np
+
+    from oaim_sandbox_spark.operators.ann import PQIndex
+
+    rows, df = pq_store
+    idx = PQIndex(m=4, k=8, dim=PQ_DIM).fit(df)
+    p = str(tmp_path / "pq.json")
+    idx.save(p)
+    loaded = PQIndex.load(p)
+    np.testing.assert_array_equal(idx.codebooks, loaded.codebooks)
+    codes_a = idx.encode(df)
+    codes_b = loaded.encode(df)
+    a = [(r["vec_id"], tuple(r["pq_codes"])) for r in codes_a.orderBy("vec_id").collect()]
+    b = [(r["vec_id"], tuple(r["pq_codes"])) for r in codes_b.orderBy("vec_id").collect()]
+    assert a == b
+    qa = [r["vec_id"] for r in idx.search(codes_a, rows[0][1], k=5, fetch_k=20).collect()]
+    qb = [r["vec_id"] for r in loaded.search(codes_b, rows[0][1], k=5, fetch_k=20).collect()]
+    assert qa == qb
