@@ -21,3 +21,8 @@ def test_curation_pipeline_keeps_most_docs(spark):
 def test_testbed_eval_scaled_correctness(spark):
     v = bench.testbed_eval(spark, SF)
     assert 0 <= v <= 10_000  # correctness x 10^4
+
+
+def test_classifier_train_improves_loss(spark):
+    v = bench.classifier_train(spark, SF)
+    assert v > 0  # loss must DROP (units: 1e-4 nats)
