@@ -5136,9 +5136,43 @@ FROM z
 
 TEMPLATES["k_anonymity_audit"] = k_anonymity_audit
 TEMPLATES["dp_noisy_counts"] = dp_noisy_counts
+def point_in_time_join(d: str) -> str:
+    """Point-in-time (leakage-safe) feature join — the feature-store
+    primitive behind training-set assembly: each click event is enriched
+    with the user's purchase state AS OF the event time (the SCD2 interval
+    row covering the event), never a later value. Intervals come from the
+    same LEAD build as `scd2_purchase_history`; the interval join is an
+    equi-join on the user plus a range predicate, so it shuffles once on
+    user_id and resolves ranges inside the partition (at scale: sort both
+    sides within the key partition and merge — the asof_join operator is
+    the generalized form). LEFT join keeps pre-first-purchase events with
+    NULL state (the honest cold-start representation, not a leaked future
+    value)."""
+    return f"""
+WITH hist AS (
+  SELECT user_id, {_ts_us(d)} AS valid_from, value,
+         COALESCE(LEAD({_ts_us(d)}) OVER (PARTITION BY user_id ORDER BY {_ts_us(d)} ASC, event_id ASC),
+                  CAST(9223372036854775807 AS BIGINT)) AS valid_to
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT event_id, user_id, {_ts_us(d)} AS ts_us
+  FROM events WHERE event_type = 'click' AND user_id % 9 = 0
+)
+SELECT c.event_id, c.user_id, CAST(c.ts_us AS BIGINT) AS ts_us,
+       CAST(round(h.value, 6) AS DOUBLE) AS purchase_state,
+       CAST(CASE WHEN h.user_id IS NULL THEN 1 ELSE 0 END AS INT) AS cold_start
+FROM clicks c
+LEFT JOIN hist h
+  ON c.user_id = h.user_id AND h.valid_from <= c.ts_us AND c.ts_us < h.valid_to
+ORDER BY c.user_id, c.ts_us, c.event_id
+"""
+
+
 TEMPLATES["event_pattern_match"] = event_pattern_match
 TEMPLATES["weekly_cohort_retention"] = weekly_cohort_retention
 TEMPLATES["ab_test_zscore"] = ab_test_zscore
+TEMPLATES["point_in_time_join"] = point_in_time_join
 TEMPLATES["repeated_span_stats"] = repeated_span_stats
 TEMPLATES["data_quality_profile"] = data_quality_profile
 TEMPLATES["psi_value_drift"] = psi_value_drift
