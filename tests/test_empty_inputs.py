@@ -1,0 +1,65 @@
+"""Empty-input robustness: every operator entry point must degrade to an
+empty (or identity) result, not throw — a continuous pipeline WILL see empty
+batches (quiet landing dir, fully-filtered micro-batch, new tenant)."""
+
+from pyspark.sql import functions as F
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id BIGINT, text STRING")
+
+
+def test_dedup_operators_on_empty(spark):
+    from oaim_sandbox_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        simhash_near_pairs,
+    )
+
+    e = _empty_docs(spark)
+    assert exact_dedup(e, text_col="text").count() == 0
+    assert minhash_signatures(e).count() == 0
+    assert minhash_lsh_pairs(e).count() == 0
+    assert simhash_near_pairs(e).count() == 0
+
+
+def test_connected_components_empty_edges(spark):
+    from oaim_sandbox_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id BIGINT")
+    edges = spark.createDataFrame([], "doc_a BIGINT, doc_b BIGINT")
+    lab = {r["doc_id"]: r["cluster_id"] for r in connected_components(edges, nodes).collect()}
+    assert lab == {1: 1, 2: 2}  # every node its own singleton
+
+
+def test_split_and_classifier_on_empty(spark):
+    from oaim_sandbox_spark.operators.classifier import hashed_token_features
+    from oaim_sandbox_spark.operators.split import split_fixed
+
+    e = _empty_docs(spark)
+    assert split_fixed(e, text_col="text", id_col="doc_id", chunk_size=100, chunk_overlap=0).count() == 0
+    assert hashed_token_features(e, dim=64).count() == 0
+    assert hashed_token_features(e, dim=64, normalize=True).count() == 0
+
+
+def test_curate_corpus_on_empty(spark):
+    from oaim_sandbox_spark.pipeline import curate_corpus
+
+    curated, counts = curate_corpus(
+        spark, _empty_docs(spark),
+        {"scrub_pii": True, "min_quality": 0.2, "exact_dedup": True,
+         "near_dedup_jaccard": 0.5, "classifier_min_score": 0.5},
+    )
+    assert curated.count() == 0
+    assert counts["input"] == 0 and counts["output"] == 0
+
+
+def test_knn_join_empty_store(spark):
+    from oaim_sandbox_spark.operators.ann import knn_join
+
+    store = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    qdf = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id BIGINT, query_vec ARRAY<DOUBLE>"
+    )
+    assert knn_join(store, qdf, k=3).count() == 0
