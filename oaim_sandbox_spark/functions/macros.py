@@ -15,7 +15,15 @@ serialization boundary and no Python in the hot path.
 
 All functions are the exact fragments the oracle-checked registry uses, so
 macro output is engine-portable (bit-identical to the DuckDB oracle forms
-in functions/portable.py)."""
+in functions/portable.py).
+
+Performance caveat: SQL UDFs substitute TEXTUALLY and Spark performs no
+cross-expression CSE, so `minhash16(text)` evaluates the md5-shingle
+pipeline once per permutation (16x) — fine for exploration, wrong for a hot
+path. Bulk jobs should use the hoisted operators
+(`operators.dedup.minhash_signatures` / `simhash_fingerprints`), which
+materialize the hash array once; see the measured 16x pathology note in
+PLANS.md ("expression inlining")."""
 
 from __future__ import annotations
 
