@@ -23,6 +23,15 @@ from oaim_sandbox_spark import queries as Q
 from oaim_sandbox_spark.session import get_spark
 
 
+def _read_docs(spark, sf_dir: str):
+    """documents scan, spread to cluster parallelism: the one-file/
+    one-row-group testdata parquet arrives single-partition (real multi-
+    split scans don't need this)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def ingest_pipeline(spark, sf_dir: str) -> int:
     """Reference §3.2 end to end on the documents table: fixed-stride split
     (P1) -> exact dedup (P7) -> content-address (sha256) -> anti-join merge
@@ -35,9 +44,7 @@ def ingest_pipeline(spark, sf_dir: str) -> int:
     from oaim_sandbox_spark.operators.merge import merge_new_rows, with_content_id
     from oaim_sandbox_spark.operators.split import split_fixed
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-        spark.sparkContext.defaultParallelism
-    )  # one-file/one-row-group testdata scans arrive single-partition
+    docs = _read_docs(spark, sf_dir)
     chunks = split_fixed(docs, text_col="text", id_col="doc_id", chunk_size=200, chunk_overlap=20)
     deduped = exact_dedup(chunks, text_col="text", order_col="id")
     addressed = with_content_id(deduped, text_col="text", id_col="cid")
@@ -58,9 +65,7 @@ def testbed_eval(spark, sf_dir: str) -> int:
     from oaim_sandbox_spark.operators.split import split_fixed
     from oaim_sandbox_spark.operators.testbed import evaluate_testset, generate_testset
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-        spark.sparkContext.defaultParallelism
-    )  # one-file/one-row-group testdata scans arrive single-partition
+    docs = _read_docs(spark, sf_dir)
     chunks = split_fixed(docs, text_col="text", id_col="doc_id", chunk_size=400, chunk_overlap=0)
     qa = generate_testset(chunks, n_questions=500)
 
@@ -81,9 +86,7 @@ def curation_pipeline(spark, sf_dir: str) -> int:
     table. Returns the curated row count."""
     from oaim_sandbox_spark.pipeline import curate_corpus
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-        spark.sparkContext.defaultParallelism
-    )  # one-file/one-row-group testdata scans arrive single-partition
+    docs = _read_docs(spark, sf_dir)
     _curated, counts = curate_corpus(
         spark, docs,
         {"scrub_pii": True, "min_quality": 0.2, "exact_dedup": True,
@@ -102,9 +105,7 @@ def classifier_train(spark, sf_dir: str) -> int:
 
     from oaim_sandbox_spark.operators.classifier import fit_logistic, hashed_token_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _read_docs(spark, sf_dir)
     feat = hashed_token_features(docs, dim=1024, normalize=True)
     labels = docs.select(
         F.col("doc_id").alias("id"), F.col("text").contains("vector").cast("int").alias("y")

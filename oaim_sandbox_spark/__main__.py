@@ -73,8 +73,12 @@ def cmd_run(args) -> int:
         if args.explain:
             df.explain("formatted")
         else:
-            df.show(args.limit, truncate=80)
-            print(f"({df.count()} rows total)")
+            # one execution: take limit+1 to report truncation without a
+            # second full run of (possibly heavy) pipelines for a count
+            rows = df.take(args.limit + 1)
+            truncated = len(rows) > args.limit
+            spark.createDataFrame(rows[: args.limit], df.schema).show(args.limit, truncate=80)
+            print(f"({args.limit}+ rows, truncated)" if truncated else f"({len(rows)} rows)")
     finally:
         spark.stop()
     return 0

@@ -186,16 +186,25 @@ def fit_logistic(
 
 
 def predict_scores(
-    spark: SparkSession, feat: DataFrame, model: LinearTextModel
+    spark: SparkSession,
+    feat: DataFrame,
+    model: LinearTextModel,
+    ids: DataFrame | None = None,
 ) -> DataFrame:
     """(id, score): sigmoid(w·x + b) — one broadcast join + grouped agg.
-    Docs with no in-vocabulary feature score sigmoid(bias)."""
+
+    The id universe defaults to the ids PRESENT IN `feat` — a document with
+    zero tokens produces no feature rows and therefore no score row. Pass
+    `ids` (a one-column 'id' frame, e.g. docs.select(col(id).alias('id')))
+    to score a full corpus; docs absent from feat then score
+    sigmoid(bias)."""
     nz = np.nonzero(model.weights)[0]
     wdf = spark.createDataFrame(
         [(int(i), float(model.weights[i])) for i in nz] or [(0, 0.0)],
         "idx int, w double",
     )
-    ids = feat.select("id").distinct()
+    if ids is None:
+        ids = feat.select("id").distinct()
     marg = _margins(feat, wdf, model.bias)
     return ids.join(marg, "id", "left").select(
         "id",

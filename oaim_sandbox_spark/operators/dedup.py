@@ -22,8 +22,17 @@ def _spread_for_cpu(df: DataFrame) -> DataFrame:
     cluster parallelism. AQE coalesces partitions by BYTES, and a few
     thousand curated docs fit one 64 MB target — which then serializes the
     md5-per-shingle work onto one core (measured 6.1 s -> 1.3 s for the LSH
-    operator at sf0.1). A no-op whenever the input already arrives with
-    >= defaultParallelism partitions, i.e. any real at-scale scan."""
+    operator at sf0.1).
+
+    Only NARROW (exchange-free) inputs are probed and spread: a plan that
+    already contains an Exchange arrives at spark.sql.shuffle.partitions
+    downstream, and — more importantly — calling .rdd on an adaptive plan
+    with shuffles would MATERIALIZE those stages eagerly, running the
+    upstream work twice. For narrow scan/checkpoint plans, .rdd only builds
+    the RDD DAG (no jobs), so the partition probe is free."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan or "ShuffleQueryStage" in plan:
+        return df
     p = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < p:
         return df.repartition(p)

@@ -169,6 +169,10 @@ def curate_corpus(
         out = out.filter(
             F.expr(linear_quality_score_sql(text_col)) >= F.lit(cfg["classifier_min_score"])
         )
+        if cfg["exact_dedup"] or cfg["near_dedup_jaccard"] is not None:
+            # same rationale as the quality checkpoint: later stages (and
+            # their counts) would re-run the token-CASE scoring aggregate
+            out = out.localCheckpoint(eager=True)
         counts["after_classifier"] = out.count()
 
     if cfg["exact_dedup"]:
