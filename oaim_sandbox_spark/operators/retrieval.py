@@ -167,3 +167,43 @@ def normalize_vectors(df: DataFrame, vec_col: str = "embedding", out_col: str | 
     norm = P.norm2(v, "spark")
     safe = f"if({norm} = 0.0, 1.0, {norm})"
     return df.withColumn(out_col, F.expr(f"transform({v}, x -> x / {safe})"))
+
+
+def federated_topk(
+    catalog,
+    query_vec: list[float],
+    k: int = 4,
+    metric: str = "COSINE",
+    stores: list[str] | None = None,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search ACROSS vector stores (the multi-store layout the reference's
+    catalog implies — one table per (alias, model, chunk) combo) and merge
+    into one global top-k with provenance.
+
+    Each store contributes its local exact top-k (TakeOrderedAndProject per
+    store — k rows per store leave each scan), the union is store-count × k
+    rows, and the global re-rank is a driver-cheap sort of that union.
+    Requires a shared embedding space (same model/dim); the caller filters
+    `stores` (or the catalog facets do) when models differ — distances from
+    different embedding models are not comparable.
+
+    catalog: catalog.VectorStoreCatalog; stores: names to search (default:
+    every store in the catalog)."""
+    names = stores if stores is not None else [s.vector_store for s in catalog.list_stores()]
+    if not names:
+        raise ValueError("no stores to search")
+    parts = []
+    for name in names:
+        local = similarity_topk(
+            catalog.read_store(name), query_vec, k=k, metric=metric,
+            id_col=id_col, vec_col=vec_col,
+        )
+        parts.append(
+            local.select(F.lit(name).alias("store"), F.col(id_col).alias("id"), "distance")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(F.col("distance").asc(), F.col("store").asc(), F.col("id").asc()).limit(k)

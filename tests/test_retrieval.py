@@ -108,3 +108,30 @@ def test_normalize_vectors_unit_norm_and_zero_safe(spark):
     rows = {r["id"]: r["embedding"] for r in normalize_vectors(df).collect()}
     assert abs(rows[1][0] - 0.6) < 1e-12 and abs(rows[1][1] - 0.8) < 1e-12
     assert rows[2] == [0.0, 0.0]
+
+
+def test_federated_topk_across_stores(spark, tmp_path):
+    """Multi-store search: per-store local top-k union + global re-rank,
+    with store provenance; global result equals top-k over the union."""
+    from oaim_sandbox_spark.catalog import VectorStorage, VectorStoreCatalog
+    from oaim_sandbox_spark.operators.retrieval import federated_topk
+
+    cat = VectorStoreCatalog(spark, str(tmp_path / "cat"))
+    # mirrored fans: a_i = [1, i], b_i = [i, 1] — cosine to [1,1] ties only
+    # within each mirrored PAIR, so the global top-4 must take a1,b1,a2,b2
+    rows_a = [(f"a{i}", [1.0, float(i)]) for i in range(1, 6)]
+    rows_b = [(f"b{i}", [float(i), 1.0]) for i in range(1, 6)]
+    for alias, rows in (("store_a", rows_a), ("store_b", rows_b)):
+        df = spark.createDataFrame(rows, "id STRING, embedding ARRAY<FLOAT>")
+        cat.write_store(df, VectorStorage(alias=alias, model="m", chunk_size=8,
+                                          chunk_overlap=0, distance_metric="COSINE"))
+    got = federated_topk(cat, [1.0, 1.0], k=4).collect()
+    assert len(got) == 4
+    assert {r["store"] for r in got} == {s.vector_store for s in cat.list_stores()}
+    assert sorted(r["id"] for r in got) == ["a1", "a2", "b1", "b2"]
+
+    named = federated_topk(cat, [1.0, 0.0], k=2,
+                           stores=[s.vector_store for s in cat.list_stores()
+                                   if "STORE_A" in s.vector_store.upper()])
+    ids = [r["id"] for r in named.collect()]
+    assert all(i.startswith("a") for i in ids) and len(ids) == 2
