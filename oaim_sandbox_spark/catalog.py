@@ -164,6 +164,52 @@ class VectorStoreCatalog:
             fh.write(comment)
         return int(n_files)
 
+    def maintain_store(
+        self,
+        name: str,
+        target_file_mb: int = 128,
+        zorder_cols: list[str] | None = None,
+        rebuild_ivf: bool = False,
+        n_centroids: int = 16,
+    ) -> dict:
+        """One maintenance pass over a store — the nightly job a continuous
+        ingest needs: small-file compaction (always), optional Z-order
+        re-clustering on the given columns (data skipping on every keyed
+        column), optional IVF index rebuild beside the store (the refit
+        counterpoint to streaming append_partitioned, for when drift
+        accumulates). Returns what ran. Each step is one distributed
+        rewrite; nothing row-sized touches the driver."""
+        report: dict = {}
+        if zorder_cols:
+            import shutil
+
+            from oaim_sandbox_spark.operators.relational import zorder_write
+
+            path = self._store_path(name)
+            with open(os.path.join(path, SIDECAR)) as fh:
+                comment = fh.read()
+            df = self.spark.read.parquet(path).localCheckpoint(eager=True)
+            tmp = path + "__zordering"
+            zorder_write(df, tmp, zorder_cols)
+            old = path + "__old"
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old)
+            with open(os.path.join(path, SIDECAR), "w") as fh:
+                fh.write(comment)
+            report["zordered_on"] = list(zorder_cols)
+        report["n_files"] = self.compact_store(name, target_file_mb=target_file_mb)
+        if rebuild_ivf:
+            from oaim_sandbox_spark.operators.ann import IVFIndex
+
+            store = self.read_store(name)
+            index_path = self._store_path(name) + "_ivf"
+            IVFIndex(n_centroids=n_centroids, seed=42).fit(store).write_partitioned(
+                store, index_path
+            )
+            report["ivf_index"] = index_path
+        return report
+
     def drop_store(self, name: str) -> None:
         """K3 drop: remove data + catalog entry."""
         import shutil

@@ -64,3 +64,40 @@ def test_compact_store_shrinks_files_keeps_data(spark, tmp_path):
     assert {r["id"] for r in back.collect()} == {str(i) for i in range(200)}
     # catalog entry survives compaction
     assert any(s.alias == "cmp" for s in cat.list_stores())
+
+
+def test_maintain_store_compact_zorder_reindex(spark, tmp_path):
+    """The nightly maintenance pass: many tiny append files -> compacted,
+    Z-ordered on request, IVF rebuilt beside the store; data and sidecar
+    survive every rewrite."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.catalog import VectorStorage, VectorStoreCatalog
+    from oaim_sandbox_spark.operators.ann import IVFIndex
+
+    cat = VectorStoreCatalog(spark, str(tmp_path / "cat"))
+    vs = VectorStorage(alias="maint", model="m", chunk_size=8, chunk_overlap=0)
+    # simulate streaming appends: 6 tiny files
+    for i in range(6):
+        df = spark.createDataFrame(
+            [(f"d{i}_{j}", i * 100 + j, [float(i + 1), float(j + 1)]) for j in range(20)],
+            "id STRING, seq BIGINT, embedding ARRAY<FLOAT>",
+        ).coalesce(1)
+        cat.write_store(df, vs, mode="append")
+    name = cat.list_stores()[0].vector_store
+    path = cat._store_path(name)
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) >= 6
+
+    report = cat.maintain_store(name, zorder_cols=["seq"], rebuild_ivf=True, n_centroids=2)
+    assert report["n_files"] >= 1
+    assert report["zordered_on"] == ["seq"]
+    after = cat.read_store(name)
+    assert after.count() == 120
+    assert after.agg(F.countDistinct("id")).collect()[0][0] == 120
+    # rebuilt index loads and probes
+    idx = IVFIndex.load(os.path.join(report["ivf_index"], "_ivf_index.json"))
+    got = idx.search(spark, report["ivf_index"], [0.0, 1.0], k=3, nprobe=2, id_col="id")
+    assert got.count() == 3

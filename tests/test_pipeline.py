@@ -147,3 +147,19 @@ def test_curate_corpus_classifier_gate(spark):
     )
     assert {r["doc_id"] for r in curated.collect()} == {1, 3}
     assert counts["after_classifier"] == 2 == counts["output"]
+
+
+def test_curate_corpus_idempotent(spark):
+    """Curation is a fixpoint: running the full config over already-curated
+    output changes nothing (scrub is idempotent, dedup finds no dups,
+    gates pass what they passed)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = {"scrub_pii": True, "min_quality": 0.2, "exact_dedup": True,
+           "near_dedup_jaccard": 0.5, "classifier_min_score": 0.05}
+    once, counts1 = curate_corpus(spark, docs, cfg)
+    once = once.localCheckpoint(eager=True)
+    twice, counts2 = curate_corpus(spark, once, cfg)
+    assert counts2["output"] == counts1["output"]
+    a = {r["doc_id"] for r in once.select("doc_id").collect()}
+    b = {r["doc_id"] for r in twice.select("doc_id").collect()}
+    assert a == b
