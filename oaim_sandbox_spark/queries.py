@@ -5141,6 +5141,52 @@ FROM z
 """
 
 
+def unpivot_monthly_metrics(d: str) -> str:
+    """Native UNPIVOT (wide→long reshaping, the inverse of
+    `pivot_event_counts`): monthly order metrics computed wide in one agg,
+    then unpivoted to (month, metric, value) rows — the long shape
+    monitoring/reporting sinks want. Both engines share the ANSI
+    UNPIVOT (val FOR col IN (...)) clause; everything after the first
+    grouped agg is months×metrics dim-sized."""
+    mon = ("date_format(o_orderdate, 'yyyy-MM')" if d == "spark"
+           else "strftime(o_orderdate, '%Y-%m')")
+    return f"""
+WITH wide AS (
+  SELECT {mon} AS month,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(round(AVG(o_totalprice), 6) AS DOUBLE) AS avg_price,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+  FROM orders GROUP BY {mon}
+)
+SELECT month, metric, CAST(value AS DOUBLE) AS value
+FROM wide UNPIVOT (value FOR metric IN (n_orders, avg_price, max_price))
+ORDER BY month, metric
+"""
+
+
+def lateral_top_customers(d: str) -> str:
+    """Correlated LATERAL subquery (per-row dependent join — the other way
+    to write grouped top-k besides the window form in
+    `topk_docs_per_lang`): for every nation, the top-2 customers by account
+    balance. Catalyst decorrelates the LATERAL into a ranked join, so the
+    physical plan matches the window form — this certifies the SYNTAX
+    surface, and the deterministic tiebreak makes it oracle-exact."""
+    return """
+SELECT n.n_name AS nation, t.c_custkey, CAST(round(t.c_acctbal, 2) AS DOUBLE) AS acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC
+  LIMIT 2
+) t
+ORDER BY nation, acctbal DESC, t.c_custkey
+"""
+
+
+TEMPLATES["unpivot_monthly_metrics"] = unpivot_monthly_metrics
+TEMPLATES["lateral_top_customers"] = lateral_top_customers
 TEMPLATES["k_anonymity_audit"] = k_anonymity_audit
 TEMPLATES["dp_noisy_counts"] = dp_noisy_counts
 def point_in_time_join(d: str) -> str:
