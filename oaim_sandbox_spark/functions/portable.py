@@ -167,7 +167,10 @@ def word_ngrams(e: str, n: int, dialect: str) -> str:
     return (
         f"CASE WHEN len({toks}) >= {n} THEN "
         f"list_transform(generate_series(1, len({toks}) - {n - 1}), j -> {array_slice_concat(toks, 'j', n, 'duck')}) "
-        f"ELSE [array_to_string({toks}, ' ')] END"
+        # COALESCE: DuckDB array_to_string of an EMPTY list is NULL where
+        # Spark array_join gives '' — found by the cross-engine fuzz
+        # (tests/test_portable_parity.py) on empty/whitespace-only text
+        f"ELSE [COALESCE(array_to_string({toks}, ' '), '')] END"
     )
 
 

@@ -1,0 +1,55 @@
+"""Cross-engine fuzz of the dual-dialect fragment layer
+(functions/portable.py): the whole oracle methodology rests on these
+fragments being bit-identical between Spark and DuckDB, so fuzz them
+directly on adversarial strings instead of trusting the query-level gate to
+surface every edge."""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from oaim_sandbox_spark.functions import portable as P
+
+# printable-ish text with the separators and repeats our pipelines care
+# about; excludes the quote chars we'd have to escape into SQL literals
+_WORD = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789_#:", min_size=0, max_size=8)
+TEXTS = st.lists(_WORD, min_size=0, max_size=12).map(" ".join)
+
+FRAGMENTS = [
+    ("hash64", lambda e, d: P.hash64(e, d)),
+    ("hash_mod", lambda e, d: P.hash_mod(e, d)),
+    ("tokens", lambda e, d: P.tokens(e, d)),
+    ("ngram3", lambda e, d: P.word_ngrams(e, 3, d)),
+    ("shingles", lambda e, d: P.shingle_hashes(e, 3, d)),
+    ("minhash4", lambda e, d: P.minhash_signature(e, 4, 3, d)),
+    ("simhash16", lambda e, d: P.simhash(e, 16, d)),
+    ("normalize", lambda e, d: P.normalize_text(e, d)),
+    ("mock_embed4", lambda e, d: P.mock_embed(e, 4, d)),
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+def _canon(v):
+    if isinstance(v, list):
+        return [_canon(x) for x in v]
+    if isinstance(v, float):
+        return round(v, 12)
+    return v
+
+
+@given(text=TEXTS)
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_fragments_bit_identical_across_engines(spark, duck, text):
+    lit = "'" + text.replace("'", "''") + "'"
+    sels_s = ", ".join(f"{fn(lit, 'spark')} AS c{i}" for i, (_, fn) in enumerate(FRAGMENTS))
+    sels_d = ", ".join(f"{fn(lit, 'duck')} AS c{i}" for i, (_, fn) in enumerate(FRAGMENTS))
+    srow = spark.sql(f"SELECT {sels_s}").collect()[0]
+    drow = duck.sql(f"SELECT {sels_d}").fetchone()
+    for i, (name, _) in enumerate(FRAGMENTS):
+        assert _canon(srow[i]) == _canon(drow[i]), f"{name} diverged on {text!r}"
