@@ -34,6 +34,11 @@ def get_spark(app_name: str = "oaim-sandbox-spark", master: str | None = None) -
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(EMBED_BATCH_SIZE))
         .config("spark.sql.session.timeZone", "UTC")
+        # zstd over default snappy: ~30% smaller store/shard files at
+        # comparable scan CPU — at 100 TB the store IS the cost; snappy's
+        # encode-speed edge only matters for shuffle spill, which keeps its
+        # own codec setting
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local-mode default heap is 1g — far too small for local[32] on a
         # large box (only effective at first JVM launch; harmless after)

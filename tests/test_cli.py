@@ -36,3 +36,42 @@ def test_cli_run_subprocess():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "rows" in r.stdout
+
+
+def test_cli_serve_subprocess():
+    """`serve` binds, answers the no-auth probes, enforces auth, and dies
+    cleanly."""
+    import json
+    import signal
+    import time
+    import urllib.error
+    import urllib.request
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "oaim_sandbox_spark", "serve", "--port", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, cwd="/root/repo",
+    )
+    try:
+        line = proc.stdout.readline()
+        assert "listening on" in line, line
+        base = line.split("listening on ", 1)[1].split()[0]
+        deadline = time.time() + 10
+        while True:
+            try:
+                with urllib.request.urlopen(f"{base}/v1/liveness", timeout=2) as r:
+                    assert json.load(r) == {"status": "alive"}
+                break
+            except urllib.error.URLError:
+                assert time.time() < deadline
+                time.sleep(0.2)
+        try:
+            urllib.request.urlopen(f"{base}/v1/models", timeout=2)
+            raise AssertionError("unauthenticated /v1/models must not return 200")
+        except urllib.error.HTTPError as e:
+            assert e.code in (401, 403)
+    finally:
+        proc.send_signal(signal.SIGINT)
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()

@@ -53,3 +53,38 @@ def test_fragments_bit_identical_across_engines(spark, duck, text):
     drow = duck.sql(f"SELECT {sels_d}").fetchone()
     for i, (name, _) in enumerate(FRAGMENTS):
         assert _canon(srow[i]) == _canon(drow[i]), f"{name} diverged on {text!r}"
+
+
+VEC = st.lists(
+    st.floats(min_value=-8.0, max_value=8.0, allow_nan=False, allow_infinity=False,
+              width=32),
+    min_size=2, max_size=6,
+)
+
+
+@given(a=VEC, b=VEC)
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_vector_fold_math_bit_identical(spark, duck, a, b):
+    """dot / norm / euclidean folds evaluate LEFT-TO-RIGHT on both engines —
+    the float-addition order is part of the contract, so results must be
+    bit-identical, not approximately equal."""
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    # string->double casts on BOTH engines: DuckDB parses bare numeric
+    # literals as DECIMAL first, and the decimal round-trip can land one ulp
+    # off the correctly-rounded double parse (engine fragments always read
+    # parquet doubles, so the literal path exists only in this test)
+    al = "array(" + ", ".join(f"cast('{x!r}' as double)" for x in a) + ")"
+    bl = "array(" + ", ".join(f"cast('{x!r}' as double)" for x in b) + ")"
+    ald = "[" + ", ".join(f"'{x!r}'::DOUBLE" for x in a) + "]"
+    bld = "[" + ", ".join(f"'{x!r}'::DOUBLE" for x in b) + "]"
+    srow = spark.sql(
+        f"SELECT {P.dot(al, bl, 'spark')} AS d, {P.norm2(al, 'spark')} AS n, "
+        f"{P.l2sq(al, bl, 'spark')} AS e"
+    ).collect()[0]
+    drow = duck.sql(
+        f"SELECT {P.dot(ald, bld, 'duck')} AS d, {P.norm2(ald, 'duck')} AS n, "
+        f"{P.l2sq(ald, bld, 'duck')} AS e"
+    ).fetchone()
+    assert srow[0] == drow[0] and srow[1] == drow[1] and srow[2] == drow[2]
