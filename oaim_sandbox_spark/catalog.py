@@ -92,11 +92,26 @@ class VectorStoreCatalog:
         return os.path.join(self.root, name)
 
     def write_store(self, df: DataFrame, vs: VectorStorage, mode: str = "overwrite") -> str:
-        """Persist a vector store DataFrame + its catalog entry (K1/K5)."""
+        """Persist a vector store DataFrame + its catalog entry (K1/K5).
+
+        Appends are dimension-checked against the existing store: a write
+        from the wrong embedding model corrupts every subsequent distance
+        scan SILENTLY (cosine over mixed dims just throws at query time, or
+        worse, zip_with truncates) — fail at write time instead."""
         name, comment = get_vs_table(
             vs.model, vs.chunk_size, vs.chunk_overlap, vs.distance_metric, vs.index_type, vs.alias
         )
         path = self._store_path(name)
+        if mode == "append" and os.path.isfile(os.path.join(path, SIDECAR)) and "embedding" in df.columns:
+            from pyspark.sql import functions as F
+
+            have = self.read_store(name).select(F.size("embedding").alias("d")).first()
+            new_row = df.select(F.size("embedding").alias("d")).first()
+            if have is not None and new_row is not None and have["d"] != new_row["d"]:
+                raise ValueError(
+                    f"append dim mismatch for {name}: store has {have['d']}-dim "
+                    f"embeddings, append has {new_row['d']} — wrong embed model?"
+                )
         df.write.mode(mode).parquet(path)
         with open(os.path.join(path, SIDECAR), "w") as fh:
             fh.write(comment)
@@ -155,7 +170,18 @@ class VectorStoreCatalog:
         n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
         df = self.spark.read.parquet(path)
         tmp = path + "__compacting"
-        df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
+        # hive-partitioned layout (e.g. an IVF centroid=N store) must keep
+        # its partitioning through the rewrite — a flat rewrite would
+        # silently destroy the pruning the index depends on
+        part_cols = sorted(
+            {d.split("=", 1)[0] for d in os.listdir(path)
+             if "=" in d and os.path.isdir(os.path.join(path, d))}
+        )
+        if part_cols:
+            (df.repartition(int(n_files), *part_cols)
+               .write.mode("overwrite").partitionBy(*part_cols).parquet(tmp))
+        else:
+            df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
         old = path + "__old"
         os.rename(path, old)
         os.rename(tmp, path)

@@ -101,3 +101,50 @@ def test_maintain_store_compact_zorder_reindex(spark, tmp_path):
     idx = IVFIndex.load(os.path.join(report["ivf_index"], "_ivf_index.json"))
     got = idx.search(spark, report["ivf_index"], [0.0, 1.0], k=3, nprobe=2, id_col="id")
     assert got.count() == 3
+
+
+def test_append_dim_mismatch_rejected(spark, tmp_path):
+    """Appending embeddings of the wrong dimension fails AT WRITE TIME
+    instead of corrupting every later distance scan."""
+    import pytest as _pytest
+
+    from oaim_sandbox_spark.catalog import VectorStorage, VectorStoreCatalog
+
+    cat = VectorStoreCatalog(spark, str(tmp_path / "cat"))
+    vs = VectorStorage(alias="dims", model="m", chunk_size=8, chunk_overlap=0)
+    ok = spark.createDataFrame([("a", [1.0, 2.0])], "id STRING, embedding ARRAY<FLOAT>")
+    cat.write_store(ok, vs)
+    bad = spark.createDataFrame([("b", [1.0, 2.0, 3.0])], "id STRING, embedding ARRAY<FLOAT>")
+    with _pytest.raises(ValueError, match="dim mismatch"):
+        cat.write_store(bad, vs, mode="append")
+    # matching dim still appends
+    cat.write_store(
+        spark.createDataFrame([("c", [3.0, 4.0])], "id STRING, embedding ARRAY<FLOAT>"),
+        vs, mode="append",
+    )
+    name = cat.list_stores()[0].vector_store
+    assert cat.read_store(name).count() == 2
+
+
+def test_compact_preserves_hive_partitioning(spark, tmp_path):
+    """Compacting a centroid-partitioned (IVF) store keeps the layout the
+    index prunes against."""
+    import os
+
+    from oaim_sandbox_spark.catalog import SIDECAR, VectorStoreCatalog
+
+    cat = VectorStoreCatalog(spark, str(tmp_path / "cat"))
+    path = os.path.join(cat.root, "PARTED")
+    df = spark.createDataFrame(
+        [(i, i % 3, [float(i)]) for i in range(60)],
+        "vec_id BIGINT, centroid INT, embedding ARRAY<FLOAT>",
+    )
+    df.write.partitionBy("centroid").mode("overwrite").parquet(path)
+    with open(os.path.join(path, SIDECAR), "w") as fh:
+        fh.write('{"alias": "parted"}')
+    cat.compact_store("PARTED", target_file_mb=1)
+    subdirs = {d for d in os.listdir(path) if d.startswith("centroid=")}
+    assert subdirs == {"centroid=0", "centroid=1", "centroid=2"}
+    back = cat.read_store("PARTED")
+    assert back.count() == 60
+    assert set(back.columns) == {"vec_id", "centroid", "embedding"}
