@@ -63,6 +63,15 @@ _MACROS: dict[str, tuple[str, str, str]] = {
 }
 
 
+def _quality_score_body() -> str:
+    from oaim_sandbox_spark.operators.classifier import linear_quality_score_sql
+
+    return linear_quality_score_sql("s")
+
+
+_MACROS["quality_score"] = ("s STRING", "DOUBLE", _quality_score_body())
+
+
 def register_sql_macros(spark: SparkSession) -> list[str]:
     """Register every macro as a TEMPORARY SQL FUNCTION; returns the names.
     Idempotent (CREATE OR REPLACE); session-scoped, so call it once per

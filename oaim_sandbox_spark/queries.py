@@ -5185,8 +5185,69 @@ ORDER BY nation, acctbal DESC, t.c_custkey
 """
 
 
+def cusum_changepoint(d: str) -> str:
+    """Changepoint detection on the event stream (CUSUM): daily event counts,
+    cumulative sum of deviations from the overall mean, and the day where
+    |S_t| peaks — the classic single-changepoint estimator a pipeline runs
+    when ingest volume silently shifts. Day series is dim-sized after one
+    grouped count; the CUSUM is a single unbounded-preceding window over it;
+    the argmax is a rank over the same dim — everything after the first agg
+    is days-sized at any event scale."""
+    day = f"CAST(({_ts_us(d)}) {'div' if d == 'spark' else '//'} {86400 * 1_000_000} AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT {day} AS day, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY {day}
+),
+m AS (SELECT AVG(n) AS mu FROM daily),
+cusum AS (
+  SELECT daily.day, daily.n,
+         SUM(daily.n - m.mu) OVER (ORDER BY daily.day ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM daily CROSS JOIN m
+),
+ranked AS (
+  SELECT day, n, s,
+         row_number() OVER (ORDER BY abs(s) DESC, day ASC) AS r
+  FROM cusum
+)
+SELECT day AS changepoint_day,
+       CAST(round(s, 6) AS DOUBLE) AS cusum_peak,
+       CAST(n AS BIGINT) AS day_count
+FROM ranked WHERE r = 1
+"""
+
+
+def dow_seasonality(d: str) -> str:
+    """Day-of-week seasonal profile of the event stream: per-dow mean daily
+    count, its share of the weekly total, and the deviation from a flat
+    week — the decomposition a monitor subtracts before alerting on volume
+    anomalies (otherwise every weekend pages). Two dim-sized aggs; dow is
+    computed from the epoch-day index (identical mod arithmetic on both
+    engines — engine dayofweek() functions disagree on week start)."""
+    day = f"CAST(({_ts_us(d)}) {'div' if d == 'spark' else '//'} {86400 * 1_000_000} AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT {day} AS day, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY {day}
+),
+bydow AS (
+  SELECT CAST(day % 7 AS INT) AS dow, AVG(n) AS mean_count, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY CAST(day % 7 AS INT)
+),
+tot AS (SELECT SUM(mean_count) AS wk FROM bydow)
+SELECT b.dow, CAST(round(b.mean_count, 6) AS DOUBLE) AS mean_count, b.n_days,
+       CAST(round(b.mean_count / t.wk, 6) AS DOUBLE) AS share_of_week,
+       CAST(round(b.mean_count / (t.wk / 7.0) - 1.0, 6) AS DOUBLE) AS vs_flat_week
+FROM bydow b CROSS JOIN tot t
+ORDER BY b.dow
+"""
+
+
 TEMPLATES["unpivot_monthly_metrics"] = unpivot_monthly_metrics
 TEMPLATES["lateral_top_customers"] = lateral_top_customers
+TEMPLATES["cusum_changepoint"] = cusum_changepoint
+TEMPLATES["dow_seasonality"] = dow_seasonality
 TEMPLATES["k_anonymity_audit"] = k_anonymity_audit
 TEMPLATES["dp_noisy_counts"] = dp_noisy_counts
 def point_in_time_join(d: str) -> str:

@@ -85,3 +85,16 @@ def test_macro_near_dup_join_end_to_end(spark):
     got = {(r["ia"], r["ib"]) for r in pairs}
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_quality_score_macro(spark):
+    """The classifier gate as plain SQL: same dyadic weights as
+    classifier_quality_scores / the pipeline gate."""
+    row = spark.sql(
+        "SELECT quality_score('vector hash vector') AS hi, "
+        "quality_score('slow big slow') AS lo, quality_score('') AS bias"
+    ).collect()[0]
+    assert row["hi"] > 0.9 and row["lo"] < 0.1
+    import math
+
+    assert row["bias"] == pytest.approx(1.0 / (1.0 + math.exp(0.25)))
