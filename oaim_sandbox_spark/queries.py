@@ -5246,8 +5246,74 @@ ORDER BY b.dow
 
 TEMPLATES["unpivot_monthly_metrics"] = unpivot_monthly_metrics
 TEMPLATES["lateral_top_customers"] = lateral_top_customers
+def bigram_pmi_topk(d: str) -> str:
+    """Top token ASSOCIATIONS by pointwise mutual information — the
+    collocation measure (`bigram_topk` ranks raw frequency; PMI ranks
+    surprise: ln(p(ab)/(p(a)p(b)))). Min-count floor keeps the estimator out
+    of the rare-pair noise regime. One bigram explode + one unigram explode,
+    each collapsing to vocab-sized dims that join back — text never
+    shuffles; classic phrase-mining / tokenizer-merge-candidate signal."""
+    bg = P.word_ngrams("text", 2, d)
+    ug = P.word_ngrams("text", 1, d)
+    if d == "spark":
+        bgx = f"SELECT g FROM documents LATERAL VIEW explode({bg}) t AS g"
+        ugx = f"SELECT g FROM documents LATERAL VIEW explode({ug}) t AS g"
+    else:
+        bgx = f"SELECT unnest({bg}) AS g FROM documents"
+        ugx = f"SELECT unnest({ug}) AS g FROM documents"
+    w1 = P.split_part1("bc.g", d)
+    w2 = P.split_part_last("bc.g", 2, d)
+    return f"""
+WITH bc AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM ({bgx}) x GROUP BY g HAVING COUNT(*) >= 5),
+uc AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM ({ugx}) x GROUP BY g),
+nb AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM ({bgx}) x GROUP BY g) z),
+nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM uc)
+SELECT bc.g AS bigram, CAST(bc.c AS BIGINT) AS n,
+       CAST(round(ln((bc.c / nb.t) / ((u1.c / nu.t) * (u2.c / nu.t))), 6) AS DOUBLE) AS pmi
+FROM bc
+JOIN uc u1 ON {w1} = u1.g
+JOIN uc u2 ON {w2} = u2.g
+CROSS JOIN nb CROSS JOIN nu
+ORDER BY pmi DESC, bigram ASC
+LIMIT 20
+"""
+
+
+def user_burstiness(d: str) -> str:
+    """Inter-arrival burstiness per user — the bot/automation signal crawl
+    curation filters on: machines fire at near-constant intervals (CV→0),
+    humans are bursty (CV≈1+). Per user: LAG gives gaps, population
+    stddev/mean of gaps gives CV — computed via the explicit
+    sqrt(E[x²]−E[x]²) form because engines disagree on STDDEV's
+    sample/population default. Key-partitioned window + one grouped agg;
+    the >=20-event floor keeps the estimator stable."""
+    return f"""
+WITH gaps AS (
+  SELECT user_id,
+         ({_ts_us(d)} - LAG({_ts_us(d)}) OVER (PARTITION BY user_id ORDER BY {_ts_us(d)} ASC, event_id ASC)) / 1000000.0 AS gap_s
+  FROM events
+),
+agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         AVG(gap_s) AS mu, AVG(gap_s * gap_s) AS m2
+  FROM gaps WHERE gap_s IS NOT NULL
+  GROUP BY user_id HAVING COUNT(*) >= 20
+)
+SELECT user_id, n_gaps,
+       CAST(round(mu, 6) AS DOUBLE) AS mean_gap_s,
+       CAST(round(sqrt(GREATEST(m2 - mu * mu, 0.0)), 6) AS DOUBLE) AS std_gap_s,
+       CAST(round(sqrt(GREATEST(m2 - mu * mu, 0.0)) / mu, 6) AS DOUBLE) AS cv,
+       CASE WHEN sqrt(GREATEST(m2 - mu * mu, 0.0)) / mu < 0.3 THEN 'machine-like' ELSE 'bursty' END AS verdict
+FROM agg
+ORDER BY cv ASC, user_id ASC
+LIMIT 25
+"""
+
+
 TEMPLATES["cusum_changepoint"] = cusum_changepoint
 TEMPLATES["dow_seasonality"] = dow_seasonality
+TEMPLATES["bigram_pmi_topk"] = bigram_pmi_topk
+TEMPLATES["user_burstiness"] = user_burstiness
 TEMPLATES["k_anonymity_audit"] = k_anonymity_audit
 TEMPLATES["dp_noisy_counts"] = dp_noisy_counts
 def point_in_time_join(d: str) -> str:
