@@ -5252,7 +5252,9 @@ def bigram_pmi_topk(d: str) -> str:
     surprise: ln(p(ab)/(p(a)p(b)))). Min-count floor keeps the estimator out
     of the rare-pair noise regime. One bigram explode + one unigram explode,
     each collapsing to vocab-sized dims that join back — text never
-    shuffles; classic phrase-mining / tokenizer-merge-candidate signal."""
+    shuffles (the bigram explode feeds ONE counted relation that serves
+    both the floored pair table and the normalization total); classic
+    phrase-mining / tokenizer-merge-candidate signal."""
     bg = P.word_ngrams("text", 2, d)
     ug = P.word_ngrams("text", 1, d)
     if d == "spark":
@@ -5264,9 +5266,10 @@ def bigram_pmi_topk(d: str) -> str:
     w1 = P.split_part1("bc.g", d)
     w2 = P.split_part_last("bc.g", 2, d)
     return f"""
-WITH bc AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM ({bgx}) x GROUP BY g HAVING COUNT(*) >= 5),
+WITH ba AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM ({bgx}) x GROUP BY g),
+bc AS (SELECT g, c FROM ba WHERE c >= 5),
 uc AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM ({ugx}) x GROUP BY g),
-nb AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM ({bgx}) x GROUP BY g) z),
+nb AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM ba),
 nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM uc)
 SELECT bc.g AS bigram, CAST(bc.c AS BIGINT) AS n,
        CAST(round(ln((bc.c / nb.t) / ((u1.c / nu.t) * (u2.c / nu.t))), 6) AS DOUBLE) AS pmi
