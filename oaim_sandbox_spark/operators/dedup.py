@@ -371,22 +371,29 @@ def incremental_near_dups(
     num_perm: int = 16,
     bands: int = 4,
     ngram: int = 3,
+    existing_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Continuous-ingest near-dup check: ONLY new docs probe the existing
     corpus — a new×existing band join, never existing×existing. Returns
     (new_id, existing_id, est_jaccard).
 
-    100 TB note: this is the steady-state dedup path. The existing side's
-    band keys are computed once per batch here; persist them alongside the
-    store (they're num_perm int64s per doc) and the per-batch cost drops to
-    banding the NEW docs + one hash join — incremental cost proportional to
-    the batch, not the corpus. Composes with merge.merge_new_rows: exact dups
-    are anti-joined out by content id first, this catches the near misses.
+    100 TB note: this is the steady-state dedup path. Pass
+    ``existing_signatures`` — the (id, signature) frame persisted beside the
+    store (num_perm int64s per doc; plain parquet round trip) — and the
+    per-batch cost drops to hashing the NEW docs + one band join: the
+    existing corpus TEXT is never re-read, incremental cost proportional to
+    the batch, not the corpus. Without it the existing side is re-hashed
+    from text each batch (correct, just not steady-state). Composes with
+    merge.merge_new_rows: exact dups are anti-joined out by content id
+    first, this catches the near misses.
     """
     # same materialize-once rationale as minhash_lsh_pairs: each side feeds
     # a band join AND an est-jaccard join
     sig_new = minhash_signatures(new_df, id_col, text_col, num_perm, ngram).localCheckpoint(eager=True)
-    sig_old = minhash_signatures(existing_df, id_col, text_col, num_perm, ngram).localCheckpoint(eager=True)
+    if existing_signatures is not None:
+        sig_old = existing_signatures
+    else:
+        sig_old = minhash_signatures(existing_df, id_col, text_col, num_perm, ngram).localCheckpoint(eager=True)
     band_new = minhash_band_keys(sig_new, id_col, num_perm, bands).alias("n")
     band_old = minhash_band_keys(sig_old, id_col, num_perm, bands).alias("e")
     pairs = (

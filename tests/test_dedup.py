@@ -142,3 +142,30 @@ def test_embedding_pairs_survive_zero_vector(spark):
     df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
     pairs = _embedding_pairs_core(spark, df, threshold=0.9).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_incremental_near_dups_with_persisted_signatures(spark, tmp_path):
+    """Steady-state path: signatures persisted beside the store round-trip
+    through parquet and produce EXACTLY the pairs the from-text path does —
+    the corpus text is never re-read per batch."""
+    from oaim_sandbox_spark.operators.dedup import incremental_near_dups, minhash_signatures
+
+    existing = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta token{i} eta theta iota kappa") for i in range(30)],
+        "doc_id BIGINT, text STRING",
+    )
+    new = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta token3 eta theta iota kappa"),
+         (101, "completely different words entirely unrelated content here now")],
+        "doc_id BIGINT, text STRING",
+    )
+    from_text = incremental_near_dups(new, existing)
+    a = sorted((r["new_id"], r["existing_id"], r["est_jaccard"]) for r in from_text.collect())
+
+    p = str(tmp_path / "sigs")
+    minhash_signatures(existing).write.mode("overwrite").parquet(p)
+    persisted = spark.read.parquet(p)
+    from_sigs = incremental_near_dups(new, existing, existing_signatures=persisted)
+    b = sorted((r["new_id"], r["existing_id"], r["est_jaccard"]) for r in from_sigs.collect())
+    assert a == b and len(a) > 0
+    assert all(nid == 100 for nid, _, _ in a)  # only the near-dup batch doc pairs
