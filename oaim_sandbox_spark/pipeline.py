@@ -213,6 +213,7 @@ def curate_incremental(
     near_dup_jaccard: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    existing_signatures: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Steady-state curation for continuous ingest: curate the NEW batch
     (scrub/quality/in-batch dedup via `curate_corpus`), then drop batch docs
@@ -245,8 +246,12 @@ def curate_incremental(
     )
     counts["after_cross_exact"] = curated.count()
 
+    # existing_signatures must be signatures of the SCRUBBED text when
+    # scrub_pii is on (the comparison lens above) — persist them from
+    # existing_cmp, not the raw corpus
     near = incremental_near_dups(
-        curated, existing_cmp, id_col=id_col, text_col=text_col
+        curated, existing_cmp, id_col=id_col, text_col=text_col,
+        existing_signatures=existing_signatures,
     ).filter(F.col("est_jaccard") >= near_dup_jaccard)
     curated = curated.join(
         near.select(F.col("new_id").alias(id_col)).distinct(), id_col, "left_anti"

@@ -45,6 +45,8 @@ def stream_ingest(
     ivf_index=None,  # operators.ann.IVFIndex (fitted) — optional ANN leg
     ann_store_dir: str | None = None,
     classifier_min_score: float | None = None,
+    near_dedup_jaccard: float | None = None,
+    sig_dir: str | None = None,
 ) -> StreamingQuery:
     """Continuous document ingest: landing JSONL -> vector-store parquet.
 
@@ -52,6 +54,13 @@ def stream_ingest(
     pipeline.curate_corpus (join-free expression form) to each arriving
     batch BEFORE chunking — the streaming twin of the batch curation stage,
     so a corpus curated continuously matches one curated in batch.
+
+    ``near_dedup_jaccard`` + ``sig_dir`` add the steady-state NEAR-dup leg:
+    the batch's minhash signatures probe the persisted signature store
+    (never the corpus text), batch docs estimated >= the threshold against
+    ANY existing doc are dropped, and the surviving signatures append to
+    sig_dir — per-batch cost stays proportional to the batch while the
+    corpus grows without bound.
 
     With a fitted ``ivf_index`` + ``ann_store_dir``, each batch's fresh
     embedded chunks are ALSO appended into the centroid-partitioned ANN
@@ -80,6 +89,28 @@ def stream_ingest(
             batch_df = batch_df.filter(
                 F.expr(linear_quality_score_sql("text")) >= F.lit(classifier_min_score)
             )
+        if near_dedup_jaccard is not None and sig_dir:
+            from pyspark.sql import functions as F
+
+            from oaim_sandbox_spark.operators.dedup import (
+                incremental_near_dups,
+                minhash_signatures,
+            )
+
+            spark_b = batch_df.sparkSession
+            batch_df = batch_df.localCheckpoint(eager=True)
+            try:
+                have_sigs = spark_b.read.parquet(sig_dir)
+            except Exception:  # first batch: no signature store yet
+                have_sigs = None
+            if have_sigs is not None:
+                near = incremental_near_dups(
+                    batch_df, None, existing_signatures=have_sigs
+                ).filter(F.col("est_jaccard") >= near_dedup_jaccard)
+                batch_df = batch_df.join(
+                    near.select(F.col("new_id").alias("doc_id")).distinct(),
+                    "doc_id", "left_anti",
+                ).localCheckpoint(eager=True)
         chunks = split_fixed(batch_df, text_col="text", id_col="doc_id",
                              chunk_size=chunk_size, chunk_overlap=chunk_overlap)
         deduped = exact_dedup(chunks, text_col="text", order_col="id")
@@ -92,6 +123,15 @@ def stream_ingest(
         embedded = mock_embed_column(fresh, text_col="text", dim=embed_dim)
         out = embedded.select("id", "text", "source", "start_index", "embedding")
         out.write.mode("append").parquet(store_dir)
+        if near_dedup_jaccard is not None and sig_dir:
+            # signatures append AFTER the flat-store write: if the store
+            # write fails, the retry must NOT find this batch's signatures
+            # (it would near-dup against itself and drop the data); the
+            # reverse failure (store ok, sigs lost) is healed by the
+            # content-id anti-join + this re-append on retry
+            from oaim_sandbox_spark.operators.dedup import minhash_signatures
+
+            minhash_signatures(batch_df).write.mode("append").parquet(sig_dir)
         if ivf_index is not None and ann_store_dir:
             # RECONCILE the ANN store from the flat store instead of
             # appending this batch's rows directly: the two appends are not

@@ -227,3 +227,38 @@ def test_stream_ingest_classifier_gate(spark, tmp_path):
     # metadata semantics) — only the positive-vocab doc must survive
     sources = {r["source"] for r in out.select("source").distinct().collect()}
     assert sources == {"good"}
+
+
+def test_stream_ingest_near_dedup_leg(spark, tmp_path):
+    """Steady-state streaming near-dedup: batch 2's near-copy of a batch-1
+    doc is dropped by probing the persisted signature store (the corpus text
+    is never re-read); genuinely new docs pass and their signatures land in
+    the store for batch 3."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    sig_dir = str(tmp_path / "sigs")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    _write_landing(landing, "b1.jsonl", [
+        {"doc_id": "orig", "text": base, "source": "s1"},
+    ])
+    q = stream_ingest(spark, str(landing), store, ckpt, chunk_size=1000, chunk_overlap=0,
+                      near_dedup_jaccard=0.5, sig_dir=sig_dir)
+    q.awaitTermination(60)
+    n1 = spark.read.parquet(store).count()
+    assert n1 > 0
+    assert spark.read.parquet(sig_dir).count() == 1
+
+    _write_landing(landing, "b2.jsonl", [
+        {"doc_id": "near", "text": base + "one extra tail token", "source": "s2"},  # near-dup
+        {"doc_id": "fresh", "text": "totally different words entirely " * 10, "source": "s3"},
+    ])
+    q2 = stream_ingest(spark, str(landing), store, ckpt, chunk_size=1000, chunk_overlap=0,
+                       near_dedup_jaccard=0.5, sig_dir=sig_dir)
+    q2.awaitTermination(60)
+    after = spark.read.parquet(store)
+    srcs = {r["source"] for r in after.select("source").distinct().collect()}
+    assert "near" not in srcs        # near-dup dropped before chunking
+    assert "fresh" in srcs and "orig" in srcs
+    assert spark.read.parquet(sig_dir).count() == 2  # orig + fresh, not near
