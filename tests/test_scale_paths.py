@@ -112,3 +112,27 @@ def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Runtime partition pruning: a partitioned fact joined to a FILTERED
+    literal dim (no static relation between filter and partition key, so
+    only DPP can prune) plans a dynamicpruning subquery in PartitionFilters
+    — at 100 TB this is what keeps a dim-filtered fact join from scanning
+    every partition."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "fact")
+    spark.range(50_000).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("v")
+    ).write.partitionBy("k").parquet(d)
+    dim = spark.createDataFrame(
+        [(i, "hot" if i in (2, 7) else "cold") for i in range(10)], "k long, temp string"
+    )
+    fact = spark.read.parquet(d)
+    q = fact.join(dim.filter("temp = 'hot'"), "k").agg(F.sum("v"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    # and the answer is the hot-partition sum
+    expect = sum(v for v in range(50_000) if v % 10 in (2, 7))
+    assert q.collect()[0][0] == expect
