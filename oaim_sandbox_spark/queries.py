@@ -5444,6 +5444,17 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "corpus_version_diff",
     "colbert_maxsim_topk",
 )
+# ROUND-4 ROTATION PLAN (run tools/window_rotation.py for the live list):
+# after r3 certifies this window, the never-driver-checked remainder to
+# rotate into the prefix is: filtered_topk_label, domain_caps_topn,
+# global_shuffle_order, vocab_coverage_topk, contamination_rate_by_source,
+# streaming_sliding_counts, scd2_purchase_history, lang_confusion_matrix,
+# trailing_hour_stats, source_vocab_overlap, event_markov_transitions,
+# source_lang_entropy, reachability_bfs, unpivot_monthly_metrics,
+# lateral_top_customers, cusum_changepoint, dow_seasonality,
+# bigram_pmi_topk, user_burstiness, k_anonymity_audit, dp_noisy_counts,
+# event_pattern_match, weekly_cohort_retention, ab_test_zscore,
+# point_in_time_join (25 — fits one window with r3-fix re-certs).
 
 
 def _ordered_names() -> list[str]:
