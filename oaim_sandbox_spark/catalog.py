@@ -102,19 +102,43 @@ class VectorStoreCatalog:
             vs.model, vs.chunk_size, vs.chunk_overlap, vs.distance_metric, vs.index_type, vs.alias
         )
         path = self._store_path(name)
-        if mode == "append" and os.path.isfile(os.path.join(path, SIDECAR)) and "embedding" in df.columns:
+        sidecar_path = os.path.join(path, SIDECAR)
+        have_dim = None
+        if mode == "append" and os.path.isfile(sidecar_path) and "embedding" in df.columns:
             from pyspark.sql import functions as F
 
-            have = self.read_store(name).select(F.size("embedding").alias("d")).first()
+            with open(sidecar_path) as fh:
+                meta = json.load(fh)
+            # dim cached in the sidecar at create time (below) — no store
+            # scan per append; legacy sidecars fall back to a 1-row read
+            have_dim = meta.get("dim")
+            if have_dim is None:
+                have = self.read_store(name).select(F.size("embedding").alias("d")).first()
+                have_dim = None if have is None else have["d"]
+            # one-row probe of the incoming frame: runs ONE task of the
+            # upstream plan (lazy — not the full pipeline); the corruption a
+            # wrong-model append causes is worth one task per append
             new_row = df.select(F.size("embedding").alias("d")).first()
-            if have is not None and new_row is not None and have["d"] != new_row["d"]:
+            if have_dim is not None and new_row is not None and have_dim != new_row["d"]:
                 raise ValueError(
-                    f"append dim mismatch for {name}: store has {have['d']}-dim "
+                    f"append dim mismatch for {name}: store has {have_dim}-dim "
                     f"embeddings, append has {new_row['d']} — wrong embed model?"
                 )
         df.write.mode(mode).parquet(path)
-        with open(os.path.join(path, SIDECAR), "w") as fh:
-            fh.write(comment)
+        meta = json.loads(comment)
+        if "embedding" in df.columns:
+            if mode == "append" and have_dim is not None:
+                meta["dim"] = int(have_dim)
+            else:
+                from pyspark.sql import functions as F
+
+                # read the dim back from the files just written — cheap
+                # 1-row parquet read, never a re-run of df's plan
+                row = self.spark.read.parquet(path).select(F.size("embedding").alias("d")).first()
+                if row is not None:
+                    meta["dim"] = int(row["d"])
+        with open(sidecar_path, "w") as fh:
+            fh.write(json.dumps(meta))
         return name
 
     def read_store(self, name: str) -> DataFrame:
@@ -199,24 +223,45 @@ class VectorStoreCatalog:
         n_centroids: int = 16,
     ) -> dict:
         """One maintenance pass over a store — the nightly job a continuous
-        ingest needs: small-file compaction (always), optional Z-order
-        re-clustering on the given columns (data skipping on every keyed
-        column), optional IVF index rebuild beside the store (the refit
-        counterpoint to streaming append_partitioned, for when drift
+        ingest needs: EITHER Z-order re-clustering (which sizes and compacts
+        its own output — running the round-robin compactor afterwards would
+        shuffle the clustering straight back out of the files) OR small-file
+        compaction, plus an optional IVF index rebuild beside the store (the
+        refit counterpoint to streaming append_partitioned, for when drift
         accumulates). Returns what ran. Each step is one distributed
         rewrite; nothing row-sized touches the driver."""
         report: dict = {}
+        path = self._store_path(name)
+        part_cols = sorted(
+            {d.split("=", 1)[0] for d in os.listdir(path)
+             if "=" in d and os.path.isdir(os.path.join(path, d))}
+        )
         if zorder_cols:
+            if part_cols:
+                raise ValueError(
+                    f"store {name} is hive-partitioned on {part_cols}; a flat "
+                    "Z-order rewrite would destroy the layout its index prunes "
+                    "against — compact (partition-preserving) or rebuild the "
+                    "index instead"
+                )
             import shutil
 
             from oaim_sandbox_spark.operators.relational import zorder_write
 
-            path = self._store_path(name)
             with open(os.path.join(path, SIDECAR)) as fh:
                 comment = fh.read()
-            df = self.spark.read.parquet(path).localCheckpoint(eager=True)
+            total_bytes = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+            # no checkpoint: the source path stays readable until the rename
+            # below, exactly like compact_store's swap
+            df = self.spark.read.parquet(path)
             tmp = path + "__zordering"
-            zorder_write(df, tmp, zorder_cols)
+            zorder_write(df, tmp, zorder_cols, n_files=int(n_files))
             old = path + "__old"
             os.rename(path, old)
             os.rename(tmp, path)
@@ -224,7 +269,9 @@ class VectorStoreCatalog:
             with open(os.path.join(path, SIDECAR), "w") as fh:
                 fh.write(comment)
             report["zordered_on"] = list(zorder_cols)
-        report["n_files"] = self.compact_store(name, target_file_mb=target_file_mb)
+            report["n_files"] = int(n_files)
+        else:
+            report["n_files"] = self.compact_store(name, target_file_mb=target_file_mb)
         if rebuild_ivf:
             from oaim_sandbox_spark.operators.ann import IVFIndex
 

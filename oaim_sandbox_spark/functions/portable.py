@@ -162,7 +162,9 @@ def word_ngrams(e: str, n: int, dialect: str) -> str:
         return (
             f"CASE WHEN size({toks}) >= {n} THEN "
             f"transform(sequence(1, size({toks}) - {n - 1}), j -> {array_slice_concat(toks, 'j', n, 'spark')}) "
-            f"ELSE array(array_join({toks}, ' ')) END"
+            # coalesce mirrors the duck branch: NULL text must yield ['']
+            # on BOTH engines (array_join(NULL) is NULL on Spark)
+            f"ELSE array(coalesce(array_join({toks}, ' '), '')) END"
         )
     return (
         f"CASE WHEN len({toks}) >= {n} THEN "

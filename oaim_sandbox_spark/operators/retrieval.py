@@ -194,11 +194,22 @@ def federated_topk(
     names = stores if stores is not None else [s.vector_store for s in catalog.list_stores()]
     if not names:
         raise ValueError("no stores to search")
+    qdim = len(query_vec)
     parts = []
     for name in names:
+        df = catalog.read_store(name)
+        # dim guard: a mismatched store would produce NULL distances
+        # (zip_with pads with NULL), which sort FIRST ascending and silently
+        # fill the global top-k with garbage — fail loudly instead
+        row = df.select(F.size(vec_col).alias("d")).first()
+        if row is not None and row["d"] != qdim:
+            raise ValueError(
+                f"store {name} holds {row['d']}-dim embeddings but the query "
+                f"is {qdim}-dim — cross-model distances are not comparable; "
+                "scope `stores` to one embedding space"
+            )
         local = similarity_topk(
-            catalog.read_store(name), query_vec, k=k, metric=metric,
-            id_col=id_col, vec_col=vec_col,
+            df, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col,
         )
         parts.append(
             local.select(F.lit(name).alias("store"), F.col(id_col).alias("id"), "distance")

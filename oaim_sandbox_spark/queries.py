@@ -5254,7 +5254,10 @@ def bigram_pmi_topk(d: str) -> str:
     each collapsing to vocab-sized dims that join back — text never
     shuffles (the bigram explode feeds ONE counted relation that serves
     both the floored pair table and the normalization total); classic
-    phrase-mining / tokenizer-merge-candidate signal."""
+    phrase-mining / tokenizer-merge-candidate signal. The LIKE '% %' guard
+    drops word_ngrams' short-document fallback (a doc with <2 tokens emits
+    itself as its only "bigram"), which would otherwise pollute both the
+    pair counts and the normalization total."""
     bg = P.word_ngrams("text", 2, d)
     ug = P.word_ngrams("text", 1, d)
     if d == "spark":
@@ -5266,7 +5269,8 @@ def bigram_pmi_topk(d: str) -> str:
     w1 = P.split_part1("bc.g", d)
     w2 = P.split_part_last("bc.g", 2, d)
     return f"""
-WITH ba AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM ({bgx}) x GROUP BY g),
+WITH ba AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM ({bgx}) x
+            WHERE g LIKE '% %' GROUP BY g),
 bc AS (SELECT g, c FROM ba WHERE c >= 5),
 uc AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM ({ugx}) x GROUP BY g),
 nb AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM ba),

@@ -106,35 +106,55 @@ class ObjectStoreStreamReader(DataSourceStreamReader):
     ingestion WITHOUT the file-source's directory-listing semantics (the
     reference has no streaming ingest at all — batch staging only).
 
-    Offsets are indexes into the bucket listing sorted by (mtime, name) —
-    tiny and monotone under append-style arrival (object stores don't mutate
-    in place). Planning per batch lists metadata on the driver; payload
-    bytes still stream on executors, one task per new object, so a burst of
-    arrivals fans out like any scan. At real scale swap the listing for the
-    store's change-notification feed and keep offsets identical."""
+    Offsets are CURSORS — the (mtime, bucket, name) key of the last included
+    object — not positions: a positional index into a re-computed listing
+    skips and duplicates objects when arrivals interleave with planning
+    (new object sorting before the boundary, or landing between
+    latestOffset() and partitions()). Key-bounded slicing is stable: an
+    object is in exactly the batch whose (start, end] cursor interval
+    contains its key. Arrivals whose key sorts BELOW the committed cursor
+    (backdated mtimes) are skipped — the same contract as Spark's file
+    source; use monotone upload times or widen with a reprocess job.
+    Planning lists metadata on the driver; payload bytes still stream on
+    executors, one task per new object. At real scale swap the listing for
+    the store's change-notification feed and keep the cursor identical."""
+
+    _ZERO = {"cursor": [0.0, "", ""]}
 
     def __init__(self, options: dict):
         self._batch = ObjectStoreReader(options)
 
-    def _listing(self) -> list[_ObjectPartition]:
-        parts = self._batch.partitions()
-        parts.sort(key=lambda p: (os.path.getmtime(p.path), p.bucket, p.object_name))
-        return parts
+    def _keyed_listing(self) -> list[tuple[tuple, _ObjectPartition]]:
+        out = []
+        for p in self._batch.partitions():
+            out.append(((os.path.getmtime(p.path), p.bucket, p.object_name), p))
+        out.sort(key=lambda kp: kp[0])
+        return out
+
+    @staticmethod
+    def _key_of(offset: dict) -> tuple:
+        c = offset["cursor"]
+        return (float(c[0]), str(c[1]), str(c[2]))
 
     def initialOffset(self) -> dict:
-        return {"index": 0}
+        return dict(self._ZERO)
 
     def latestOffset(self) -> dict:
-        return {"index": len(self._listing())}
+        listing = self._keyed_listing()
+        if not listing:
+            return dict(self._ZERO)
+        k = listing[-1][0]
+        return {"cursor": [k[0], k[1], k[2]]}
 
     def partitions(self, start: dict, end: dict) -> list[_ObjectPartition]:
-        return self._listing()[start["index"]:end["index"]]
+        lo, hi = self._key_of(start), self._key_of(end)
+        return [p for k, p in self._keyed_listing() if lo < k <= hi]
 
     def read(self, partition: _ObjectPartition) -> Iterator[tuple]:
         return self._batch.read(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are replayable listing indexes; nothing to release
+        pass  # cursors are replayable key bounds; nothing to release
 
 
 class ObjectStoreDataSource(DataSource):

@@ -97,12 +97,14 @@ def stream_ingest(
                 minhash_signatures,
             )
 
+            import os as _os
+
             spark_b = batch_df.sparkSession
             batch_df = batch_df.localCheckpoint(eager=True)
-            try:
-                have_sigs = spark_b.read.parquet(sig_dir)
-            except Exception:  # first batch: no signature store yet
-                have_sigs = None
+            # existence check, not a bare except: a TRANSIENT read failure
+            # must fail the batch (checkpoint retries it) — swallowing it
+            # would skip the near-dup probe and admit duplicates permanently
+            have_sigs = spark_b.read.parquet(sig_dir) if _os.path.isdir(sig_dir) else None
             if have_sigs is not None:
                 near = incremental_near_dups(
                     batch_df, None, existing_signatures=have_sigs

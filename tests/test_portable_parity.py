@@ -88,3 +88,14 @@ def test_vector_fold_math_bit_identical(spark, duck, a, b):
         f"{P.l2sq(ald, bld, 'duck')} AS e"
     ).fetchone()
     assert srow[0] == drow[0] and srow[1] == drow[1] and srow[2] == drow[2]
+
+
+def test_ngrams_null_and_empty_text_parity(spark, duck):
+    """NULL and empty text take word_ngrams' fallback branch — both engines
+    must agree on [''] (the cross-engine fuzz only generates non-NULL
+    strings, so NULL is pinned explicitly)."""
+    for lit in ("CAST(NULL AS STRING)", "''", "'   '"):
+        dlit = lit.replace("AS STRING", "AS VARCHAR")
+        srow = spark.sql(f"SELECT {P.word_ngrams(lit, 3, 'spark')}").collect()[0][0]
+        drow = duck.sql(f"SELECT {P.word_ngrams(dlit, 3, 'duck')}").fetchone()[0]
+        assert srow == drow == [""], (lit, srow, drow)

@@ -135,3 +135,24 @@ def test_federated_topk_across_stores(spark, tmp_path):
                                    if "STORE_A" in s.vector_store.upper()])
     ids = [r["id"] for r in named.collect()]
     assert all(i.startswith("a") for i in ids) and len(ids) == 2
+
+
+def test_federated_topk_rejects_mixed_dims(spark, tmp_path):
+    """A store from a different embedding space fails loudly instead of
+    flooding the global top-k with NULL-distance rows."""
+    import pytest as _pytest
+
+    from oaim_sandbox_spark.catalog import VectorStorage, VectorStoreCatalog
+    from oaim_sandbox_spark.operators.retrieval import federated_topk
+
+    cat = VectorStoreCatalog(spark, str(tmp_path / "cat"))
+    cat.write_store(
+        spark.createDataFrame([("a", [1.0, 0.0])], "id STRING, embedding ARRAY<FLOAT>"),
+        VectorStorage(alias="d2", model="m2", chunk_size=8, chunk_overlap=0),
+    )
+    cat.write_store(
+        spark.createDataFrame([("b", [1.0, 0.0, 0.0])], "id STRING, embedding ARRAY<FLOAT>"),
+        VectorStorage(alias="d3", model="m3", chunk_size=8, chunk_overlap=0),
+    )
+    with _pytest.raises(ValueError, match="not comparable"):
+        federated_topk(cat, [1.0, 0.0], k=2)
