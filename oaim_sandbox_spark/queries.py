@@ -5319,8 +5319,36 @@ LIMIT 25
 
 TEMPLATES["cusum_changepoint"] = cusum_changepoint
 TEMPLATES["dow_seasonality"] = dow_seasonality
+def federated_label_topk(d: str) -> str:
+    """Oracle twin of `retrieval.federated_topk`'s merge semantics: the
+    label partitions of the embeddings table stand in for per-model stores;
+    each contributes its LOCAL exact cosine top-3 (rank window per label =
+    TakeOrderedAndProject per store), and the global re-rank keeps the best
+    5 with provenance. Proves the two-stage local-k/global-k cut is
+    lossless: the global winner set matches a flat top-5 whenever every
+    store returned >= its contribution (k_local >= k_global guarantees
+    it)."""
+    dist = distance_expr("e.embedding", P.to_double_array("q.qv", d), "COSINE", d)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+local_k AS (
+  SELECT label, vec_id, distance FROM (
+    SELECT e.label AS label, e.vec_id AS vec_id, round({dist}, 6) AS distance,
+           row_number() OVER (PARTITION BY e.label ORDER BY round({dist}, 6) ASC, e.vec_id ASC) AS r
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+  ) s WHERE r <= 3
+)
+SELECT CAST(label AS INT) AS store_label, vec_id, CAST(distance AS DOUBLE) AS distance
+FROM local_k
+ORDER BY distance ASC, store_label ASC, vec_id ASC
+LIMIT 5
+"""
+
+
 TEMPLATES["bigram_pmi_topk"] = bigram_pmi_topk
 TEMPLATES["user_burstiness"] = user_burstiness
+TEMPLATES["federated_label_topk"] = federated_label_topk
 TEMPLATES["k_anonymity_audit"] = k_anonymity_audit
 TEMPLATES["dp_noisy_counts"] = dp_noisy_counts
 def point_in_time_join(d: str) -> str:

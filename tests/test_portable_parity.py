@@ -26,6 +26,7 @@ FRAGMENTS = [
     ("simhash16", lambda e, d: P.simhash(e, 16, d)),
     ("normalize", lambda e, d: P.normalize_text(e, d)),
     ("mock_embed4", lambda e, d: P.mock_embed(e, 4, d)),
+    ("rx_count_vowels", lambda e, d: P.regexp_count_portable(e, "[aeiou]", d)),
 ]
 
 
