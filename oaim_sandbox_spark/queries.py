@@ -5348,7 +5348,44 @@ LIMIT 5
 
 TEMPLATES["bigram_pmi_topk"] = bigram_pmi_topk
 TEMPLATES["user_burstiness"] = user_burstiness
+def near_dup_rate_by_source(d: str) -> str:
+    """Duplication ATTRIBUTION: the simhash near-dup pair graph rolled up to
+    (source_a, source_b) — which domain pairs contribute the duplication a
+    curation run removes (intra-source templating vs cross-source
+    syndication), with each side's pair rate against its document count. The
+    pair graph is the same banded plan as `simhash_near_pairs`; attribution
+    adds two dim joins (doc→source) and a sources² rollup — audit output is
+    dim-sized at any corpus scale."""
+    body = _simhash_pairs_body(d).replace("ORDER BY doc_a, doc_b", "")
+    inner = body.replace("WITH banded AS", "banded AS", 1)
+    head, sel = inner.split("SELECT DISTINCT", 1)
+    return f"""
+WITH fps AS ({_simhash_fps_sql(d)}),
+{head.strip().rstrip(',')},
+pairs AS (SELECT DISTINCT {sel.strip()}),
+attributed AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs v
+  JOIN documents da ON v.doc_a = da.doc_id
+  JOIN documents db ON v.doc_b = db.doc_id
+  GROUP BY LEAST(da.source, db.source), GREATEST(da.source, db.source)
+),
+src_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
+SELECT a.source_a, a.source_b, a.n_pairs,
+       CAST(CASE WHEN a.source_a = a.source_b THEN 1 ELSE 0 END AS INT) AS intra_source,
+       CAST(round(a.n_pairs * 1.0 / (x.n_docs * y.n_docs), 6) AS DOUBLE) AS pair_rate
+FROM attributed a
+JOIN src_n x ON a.source_a = x.source
+JOIN src_n y ON a.source_b = y.source
+ORDER BY a.n_pairs DESC, a.source_a, a.source_b
+LIMIT 30
+"""
+
+
 TEMPLATES["federated_label_topk"] = federated_label_topk
+TEMPLATES["near_dup_rate_by_source"] = near_dup_rate_by_source
 TEMPLATES["k_anonymity_audit"] = k_anonymity_audit
 TEMPLATES["dp_noisy_counts"] = dp_noisy_counts
 def point_in_time_join(d: str) -> str:
