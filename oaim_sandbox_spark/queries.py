@@ -5523,7 +5523,8 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
 # lateral_top_customers, cusum_changepoint, dow_seasonality,
 # bigram_pmi_topk, user_burstiness, k_anonymity_audit, dp_noisy_counts,
 # event_pattern_match, weekly_cohort_retention, ab_test_zscore,
-# point_in_time_join (25 — fits one window with r3-fix re-certs).
+# point_in_time_join, federated_label_topk, near_dup_rate_by_source
+# (27 — fits one window with r3-fix re-certs).
 
 
 def _ordered_names() -> list[str]:
