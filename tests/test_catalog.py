@@ -148,3 +148,28 @@ def test_compact_preserves_hive_partitioning(spark, tmp_path):
     back = cat.read_store("PARTED")
     assert back.count() == 60
     assert set(back.columns) == {"vec_id", "centroid", "embedding"}
+
+
+def test_maintain_store_rejects_zorder_on_partitioned(spark, tmp_path):
+    """Z-ordering a hive-partitioned (IVF) store would flatten the layout
+    its index prunes against — maintain_store must refuse."""
+    import os
+
+    import pytest as _pytest
+
+    from oaim_sandbox_spark.catalog import SIDECAR, VectorStoreCatalog
+
+    cat = VectorStoreCatalog(spark, str(tmp_path / "cat"))
+    path = os.path.join(cat.root, "PARTED2")
+    spark.createDataFrame(
+        [(i, i % 2, [float(i + 1)]) for i in range(10)],
+        "vec_id BIGINT, centroid INT, embedding ARRAY<FLOAT>",
+    ).write.partitionBy("centroid").mode("overwrite").parquet(path)
+    with open(os.path.join(path, SIDECAR), "w") as fh:
+        fh.write('{"alias": "parted2"}')
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        cat.maintain_store("PARTED2", zorder_cols=["vec_id"])
+    # compaction alone still works and preserves the layout
+    report = cat.maintain_store("PARTED2", target_file_mb=1)
+    assert report["n_files"] >= 1
+    assert {d for d in os.listdir(path) if d.startswith("centroid=")} == {"centroid=0", "centroid=1"}
