@@ -15,6 +15,7 @@ Usage:
     python tools/stress.py cc        [n_docs=200000]
     python tools/stress.py classifier [n_docs=200000]
     python tools/stress.py spans     [n_docs=100000]
+    python tools/stress.py colbert   [n_docs=50000]
 """
 
 from __future__ import annotations
@@ -276,6 +277,57 @@ def stress_spans(n_docs: int = 100_000) -> dict:
     return {"stress": "repeated_spans", "docs": n_docs, "flagged_docs": n, "seconds": round(dt, 1)}
 
 
+def stress_colbert(n_docs: int = 50_000, tokens_per_doc: int = 12, n_queries: int = 8) -> dict:
+    """Late-interaction MaxSim at scale: n_docs x tokens_per_doc token
+    vectors (the stored multi-vector index) scored against a query batch —
+    per-(doc, qtok) MAX then per-doc SUM, the same two grouped aggs as
+    `colbert_maxsim_topk`. The probe behind 'the doc-token relation is the
+    stored index; the cross join is bounded by query tokens'."""
+    from pyspark.sql import functions as F
+
+    spark = _spark("stress-colbert")
+    dim = 16
+    dtok = (
+        spark.range(n_docs * tokens_per_doc)
+        .select(
+            (F.col("id") / tokens_per_doc).cast("long").alias("doc_id"),
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), i -> "
+                "sin((id % 997) * 0.7 + i * 1.3) + 0.1 * (cast(hash(id, i) as double) / 2147483647.0))"
+            ).alias("dv"),
+        )
+        .localCheckpoint()
+    )
+    qtok = (
+        spark.range(n_queries * 4)
+        .select(
+            (F.col("id") / 4).cast("long").alias("query_id"),
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), i -> "
+                "sin((id % 997) * 0.7 + i * 1.3))"
+            ).alias("qv"),
+        )
+        .localCheckpoint()
+    )
+    dotp = ("aggregate(zip_with(dv, qv, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)")
+    t0 = time.time()
+    n = (
+        dtok.crossJoin(F.broadcast(qtok))
+        .groupBy("doc_id", "query_id")
+        .agg(F.max(F.expr(dotp)).alias("best"))
+        .groupBy("query_id")
+        .agg(F.count("*"))
+        .count()
+    )
+    dt = time.time() - t0
+    spark.stop()
+    return {
+        "stress": "colbert_maxsim", "doc_tokens": n_docs * tokens_per_doc,
+        "queries": n, "dot_products": n_docs * tokens_per_doc * n_queries * 4,
+        "seconds": round(dt, 1),
+    }
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "minhash"
     arg = int(sys.argv[2]) if len(sys.argv) > 2 else None
@@ -289,6 +341,7 @@ def main() -> None:
         "cc": stress_cc,
         "classifier": stress_classifier,
         "spans": stress_spans,
+        "colbert": stress_colbert,
     }
     if cmd not in fns:
         raise SystemExit(f"unknown stress {cmd!r}; one of {sorted(fns)}")
