@@ -284,12 +284,18 @@ class VectorStoreCatalog:
         return report
 
     def drop_store(self, name: str) -> None:
-        """K3 drop: remove data + catalog entry."""
+        """K3 drop: remove data + catalog entry + any derived IVF index
+        (maintain_store(rebuild_ivf=True) writes it beside the store as
+        '<name>_ivf'; leaving it behind orphans disk and, worse, serves a
+        STALE index if the store is later recreated under the same name)."""
         import shutil
 
         path = self._store_path(name)
         if os.path.isdir(path):
             shutil.rmtree(path)
+        ivf = path + "_ivf"
+        if os.path.isdir(ivf):
+            shutil.rmtree(ivf)
 
     # -- metastore backend -------------------------------------------------
     def register_table(self, table: str, comment: str) -> None:

@@ -124,7 +124,15 @@ def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
     if cur is not None and cur[0] == sf_dir and want <= cur[1]:
         return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    prev = cur[1] if cur is not None and cur[0] == sf_dir else frozenset()
+    if cur is not None and cur[0] != sf_dir:
+        # sf_dir changed: every view tracked for the OLD dir must be
+        # re-pointed, not just the ones in `want` — otherwise SQL that
+        # references an un-requested table silently reads the previous
+        # directory's data until something happens to re-register it.
+        want = want | cur[1]
+        prev = frozenset()
+    else:
+        prev = cur[1] if cur is not None else frozenset()
     # register only the MISSING tables: growing the set from {documents} to
     # ALL must not re-read (and above all not re-localCheckpoint) tables
     # already registered — the orphaned checkpoint blocks of a replaced
@@ -4587,7 +4595,11 @@ def bigram_logprob_quality(d: str) -> str:
     feeds a bigram-count dim and rejoins it; both unigram lookups join a
     vocab-sized dim (broadcast-able at any corpus scale) — document text
     never shuffles. Deterministic doc subset keeps the bench slice
-    proportionate with the unigram variant for comparison."""
+    proportionate with the unigram variant for comparison. The LIKE '% %'
+    guard (same as bigram_pmi_topk) drops word_ngrams' short-document
+    fallback: a doc with <2 tokens emits itself as its only "bigram", whose
+    split-part-2 lookup throws under Spark ANSI mode while DuckDB returns
+    '' — an engine-divergence landmine without the guard."""
     bg = P.word_ngrams("text", 2, d)
     ug = P.word_ngrams("text", 1, d)
     if d == "spark":
@@ -4600,7 +4612,7 @@ def bigram_logprob_quality(d: str) -> str:
     w2 = P.split_part_last("bx.g", 2, d)
     lam = BIGRAM_LAMBDA
     return f"""
-WITH bx AS ({bgx}),
+WITH bx AS (SELECT * FROM ({bgx}) x0 WHERE g LIKE '% %'),
 ux AS ({ugx}),
 uc AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM ux GROUP BY g),
 n AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM uc),

@@ -133,7 +133,22 @@ def stream_ingest(
             # content-id anti-join + this re-append on retry
             from oaim_sandbox_spark.operators.dedup import minhash_signatures
 
-            minhash_signatures(batch_df).write.mode("append").parquet(sig_dir)
+            import os as _os
+
+            sigs = minhash_signatures(batch_df)
+            if _os.path.isdir(sig_dir):
+                # anti-join against already-stored ids: redelivered files
+                # survive the near-dup probe (their chunks are exact-deduped
+                # later), so without this the sig store grows a duplicate
+                # (doc_id, signature) row per redelivery — unbounded — and
+                # duplicate ids fan out the band-join pair rows of every
+                # later batch
+                have_ids = (
+                    batch_df.sparkSession.read.parquet(sig_dir)
+                    .select("doc_id").distinct()
+                )
+                sigs = sigs.join(have_ids, "doc_id", "left_anti")
+            sigs.write.mode("append").parquet(sig_dir)
         if ivf_index is not None and ann_store_dir:
             # RECONCILE the ANN store from the flat store instead of
             # appending this batch's rows directly: the two appends are not

@@ -102,6 +102,12 @@ def test_maintain_store_compact_zorder_reindex(spark, tmp_path):
     got = idx.search(spark, report["ivf_index"], [0.0, 1.0], k=3, nprobe=2, id_col="id")
     assert got.count() == 3
 
+    # drop removes the derived index too — a recreated same-name store must
+    # never see the stale index (ADVICE r3)
+    cat.drop_store(name)
+    assert not os.path.isdir(path)
+    assert not os.path.isdir(report["ivf_index"])
+
 
 def test_append_dim_mismatch_rejected(spark, tmp_path):
     """Appending embeddings of the wrong dimension fails AT WRITE TIME

@@ -114,3 +114,55 @@ def test_driver_window_contains_round3_certification_set():
     }
     missing = must_certify - window
     assert not missing, f"not in driver window: {sorted(missing)}"
+
+
+def test_bigram_logprob_short_doc_guard(spark):
+    """Regression (ADVICE r3 medium): a doc with <2 tokens makes word_ngrams
+    fall back to a single-element space-free 'bigram', whose second-word
+    lookup throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark ANSI mode
+    while DuckDB returns '' — engine divergence. The LIKE '% %' guard must
+    drop such docs on BOTH engines."""
+    import duckdb
+
+    rows = [(0, "solo"), (4, ""), (8, "a normal multi word document here"),
+            (12, "two words two words again")]
+    try:
+        spark.createDataFrame(rows, "doc_id BIGINT, text STRING") \
+            .createOrReplaceTempView("documents")
+        got = spark.sql(Q.TEMPLATES["bigram_logprob_quality"]("spark")).collect()
+        spark_ids = sorted(r["doc_id"] for r in got)
+        assert spark_ids == [8, 12]  # short/empty docs guarded out, no throw
+
+        duck = duckdb.connect()
+        duck.sql("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        duck.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        oracle_ids = sorted(
+            r[0] for r in
+            duck.sql(Q.TEMPLATES["bigram_logprob_quality"]("duck")).fetchall())
+        assert oracle_ids == spark_ids
+    finally:
+        # un-poison the shared session: drop the fake view and forget the
+        # registration state so the next caller re-registers real testdata
+        spark.catalog.dropTempView("documents")
+        if Q._VIEWS_STATE is not None:
+            Q._VIEWS_STATE.pop(spark, None)
+
+
+def test_register_views_repoints_all_on_sf_dir_change(spark):
+    """Regression (ADVICE r3 low): switching sf_dir while requesting only a
+    subset of tables must re-point EVERY previously tracked view — a stale
+    view silently serving the old directory's data is a wrong-answer bug."""
+    sf_a, sf_b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    try:
+        if Q._VIEWS_STATE is not None:
+            Q._VIEWS_STATE.pop(spark, None)
+        Q.register_views(spark, sf_a, tables=("orders",))
+        n_a = spark.table("orders").count()
+        Q.register_views(spark, sf_b, tables=("nation",))  # orders NOT requested
+        n_b = spark.table("orders").count()
+        assert n_b != n_a, "orders view still serves the old sf_dir"
+        import pyarrow.parquet as pq
+        assert n_b == pq.read_metadata(f"{sf_b}/orders.parquet").num_rows
+    finally:
+        if Q._VIEWS_STATE is not None:
+            Q._VIEWS_STATE.pop(spark, None)

@@ -262,3 +262,18 @@ def test_stream_ingest_near_dedup_leg(spark, tmp_path):
     assert "near" not in srcs        # near-dup dropped before chunking
     assert "fresh" in srcs and "orig" in srcs
     assert spark.read.parquet(sig_dir).count() == 2  # orig + fresh, not near
+
+    # signature-store boundedness (ADVICE r3): a doc that survives the
+    # near-dup probe but reuses an ALREADY-SIGNED doc_id (revised document,
+    # redelivered id) must not append a second signature row — without the
+    # anti-join the sig store grows one row per redelivery, unboundedly, and
+    # duplicate ids fan out the band-join pair rows of every later batch
+    _write_landing(landing, "b3.jsonl", [
+        {"doc_id": "fresh", "text": "revised body with unrelated vocabulary " * 10, "source": "s4"},
+    ])
+    q3 = stream_ingest(spark, str(landing), store, ckpt, chunk_size=1000, chunk_overlap=0,
+                       near_dedup_jaccard=0.5, sig_dir=sig_dir)
+    q3.awaitTermination(60)
+    sigs = spark.read.parquet(sig_dir)
+    assert sigs.count() == 2          # no duplicate signature rows
+    assert sigs.select("doc_id").distinct().count() == 2
