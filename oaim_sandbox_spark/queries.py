@@ -2334,13 +2334,26 @@ ORDER BY g_source, g_lang, source, lang
 
 
 def ntile_curriculum_buckets(d: str) -> str:
-    """Curriculum bucketing: NTILE(10) over a deterministic total order
-    (n_chars, doc_id) splits the corpus into equal-size difficulty tiers with
-    per-tier stats — the 'sort corpus by difficulty, feed in stages' training
-    pattern. NTILE needs a global sort; at 100 TB use the range-partitioned
-    sort Spark already plans (Exchange rangepartitioning), or swap to
-    ntile-by-approx-quantile boundaries for a one-pass approximation."""
-    return f"""
+    """Curriculum bucketing: split the corpus into 10 equal-size difficulty
+    tiers under the deterministic total order (n_chars, doc_id) with
+    per-tier stats — the 'sort corpus by difficulty, feed in stages'
+    training pattern.
+
+    The oracle (DuckDB) states the semantics directly as
+    NTILE(10) OVER (ORDER BY n_chars, doc_id). The Spark side computes the
+    IDENTICAL bucket assignment without any corpus-sized single-partition
+    window (a bare NTILE moves the whole table through ONE task — the
+    textbook 100 TB scale-killer): a two-pass distributed rank. Pass 1
+    collapses documents to a per-n_chars count dim (bounded by distinct doc
+    lengths) and prefix-sums it — the only unpartitioned window in the plan
+    runs over that DIM, not the corpus. Pass 2 ranks within each n_chars
+    block via a PARTITIONed window and adds the block's offset, then maps
+    the exact global rank through NTILE's fill rule (first N%10 buckets get
+    one extra row). Exact equality with NTILE, every corpus-sized operator
+    partitioned. Skewed block keys (many equal-length docs) stay safe: the
+    within-block window is a rank, whose state is O(1) per partition."""
+    if d == "duck":
+        return """
 SELECT CAST(bucket AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(MIN(n_chars) AS BIGINT) AS min_chars,
        CAST(MAX(n_chars) AS BIGINT) AS max_chars,
@@ -2349,6 +2362,39 @@ FROM (
   SELECT n_chars, NTILE(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS bucket
   FROM documents
 ) t
+GROUP BY bucket
+ORDER BY bucket
+"""
+    return """
+WITH blk AS (
+  SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY n_chars
+),
+off AS (
+  SELECT n_chars, c,
+         SUM(c) OVER (ORDER BY n_chars
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+  FROM blk
+),
+tot AS (SELECT SUM(c) AS n FROM blk),
+ranked AS (
+  SELECT d.n_chars,
+         COALESCE(o.prev, 0)
+           + ROW_NUMBER() OVER (PARTITION BY d.n_chars ORDER BY d.doc_id) AS rk
+  FROM documents d JOIN off o ON d.n_chars = o.n_chars
+),
+bkt AS (
+  SELECT n_chars,
+         CASE WHEN rk <= ((n div 10) + 1) * (n % 10)
+              THEN (rk - 1) div ((n div 10) + 1) + 1
+              ELSE (n % 10) + (rk - 1 - ((n div 10) + 1) * (n % 10)) div (n div 10) + 1
+         END AS bucket
+  FROM ranked CROSS JOIN tot
+)
+SELECT CAST(bucket AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       round(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+FROM bkt
 GROUP BY bucket
 ORDER BY bucket
 """

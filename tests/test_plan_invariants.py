@@ -63,3 +63,25 @@ def test_broadcast_for_small_dims(plans):
     region/nation dims never shuffle the fact side."""
     assert "BroadcastHashJoin" in plans["classifier_quality_scores"]
     assert "BroadcastHashJoin" in plans["q5_local_supplier"]
+
+
+def test_ntile_curriculum_two_pass_rank_plan(plans):
+    """ntile_curriculum_buckets must never plan a corpus-sized
+    single-partition window (the r3 verdict's last scale-killer): the Spark
+    side computes NTILE's exact bucket assignment as a two-pass distributed
+    rank. Invariants: no ntile() anywhere; the row_number window that scans
+    the corpus is PARTITIONed by n_chars; the only unpartitioned window is
+    the prefix-sum over the per-n_chars count dim (its function references
+    the post-aggregate count column, proving its input is dim-sized)."""
+    import re
+
+    p = plans["ntile_curriculum_buckets"]
+    assert "ntile(" not in p, "global NTILE reappeared"
+    rn = [ln for ln in p.splitlines() if "row_number()" in ln]
+    assert rn, "two-pass rank missing"
+    for ln in rn:
+        assert re.search(r"\], \[n_chars#\d+L?\], \[doc_id#", ln), f"unpartitioned corpus window: {ln.strip()[:160]}"
+    unpart = [ln for ln in p.splitlines()
+              if "windowspecdefinition" in ln and "row_number()" not in ln]
+    for ln in unpart:
+        assert "sum(c#" in ln, f"unexpected window over non-dim input: {ln.strip()[:160]}"
