@@ -5505,84 +5505,52 @@ def _make_spark_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # and the LLM-data-pipeline operators — the newest and highest-value entries —
 # followed by everything else in definition order.
 FLAGSHIP_FIRST: tuple[str, ...] = (
-    # --- round-3 re-certification: the 5 r2 driver failures (DECIMAL drift /
-    # array column) plus the 2 latent-drift queries and chunk_reassembly, all
-    # changed this round — they stay in the driver window to prove the fixes.
+    # --- ROUND-4 WINDOW: execute the committed rotation — the 27 oracle
+    # entries never driver-checked in r1-r3 move into the certification
+    # prefix so the r1-r4 union covers all oracle-backed entries.
+    "filtered_topk_label",
+    "domain_caps_topn",
+    "global_shuffle_order",
+    "vocab_coverage_topk",
+    "contamination_rate_by_source",
+    "streaming_sliding_counts",
+    "scd2_purchase_history",
+    "lang_confusion_matrix",
+    "trailing_hour_stats",
+    "source_vocab_overlap",
+    "event_markov_transitions",
+    "source_lang_entropy",
+    "reachability_bfs",
+    "unpivot_monthly_metrics",
+    "lateral_top_customers",
+    "cusum_changepoint",
+    "dow_seasonality",
+    "bigram_pmi_topk",
+    "user_burstiness",
+    "federated_label_topk",
+    "near_dup_rate_by_source",
+    "k_anonymity_audit",
+    "dp_noisy_counts",
+    "event_pattern_match",
+    "weekly_cohort_retention",
+    "ab_test_zscore",
+    "point_in_time_join",
+    # --- changed THIS round — must re-certify (a query edited after its
+    # last green driver check is uncertified again until re-checked):
+    "ntile_curriculum_buckets",   # two-pass distributed rank replaced NTILE
+    "bigram_logprob_quality",     # short-doc LIKE guard added
+    # --- r3-certified canaries kept in-window for continuity:
     "minhash_lsh_pairs",
-    "incremental_neardup_probe",
-    "rerank_crossencoder_topk",
-    "shingle_containment_decontam",
-    "inverted_index_postings",
     "hybrid_rrf_topk",
-    "ngram_jaccard_pairs",
     "chunk_reassembly",
-    # --- rotation: oracle-backed entries never yet driver-checked in r1/r2
-    # (the driver samples only this prefix; union of rounds should cover all).
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q19_disjunctive_pred_join",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "bigram_topk",
-    "doc_len_percentiles",
-    "mad_outliers",
-    "salted_user_counts",
-    "repetition_ratios",
-    "quality_filter",
-    "latest_event_per_user",
-    "event_value_zscores",
-    "docs_intersect_except",
-    "customer_order_stats_outer",
-    "pivot_event_counts",
-    "cube_doc_counts",
-    "event_moving_stats",
-    "topk_docs_per_lang",
-    "grouping_sets_docs",
-    # --- r2-green flagships kept in-window for continuity (the rest of the
-    # r2-certified set — events/streaming families, simhash, mmr, ANN tiers —
-    # is already green in CORRECTNESS_r02.json and rotates out to make room
-    # for first-time certification of this round's additions).
-    "catalog_scan_events",
-    "streaming_hourly_counts",
-    "near_dup_clusters",
-    "embedding_cosine_pairs",
     # transformWithState twin: registered only where protobuf exists, and
-    # NEVER yet driver-checked (absent from CORRECTNESS_r01/r02) — keep it
-    # in the prefix so it certifies the first time it can; in protobuf-less
-    # envs it is filtered out and costs no slot.
+    # never yet driver-checkable — keep it in the prefix so it certifies
+    # the first time it can; in protobuf-less envs it is filtered out and
+    # costs no slot.
     "streaming_user_stats_tws",
-    # --- round-3 additions, in-window for first driver certification.
-    "pii_redaction_stats",
-    "domain_temperature_weights",
-    "tokenizer_fertility",
-    "semantic_dedup_clusters",
-    "dsir_importance_weights",
-    "streaming_pii_scrub",
-    "winnowing_fingerprints",
-    "repeated_span_stats",
-    "data_quality_profile",
-    "psi_value_drift",
-    "bigram_logprob_quality",
-    "classifier_quality_scores",
-    "classifier_calibration_ece",
-    "retrieval_eval_metrics",
-    "countmin_token_topk",
-    "corpus_version_diff",
-    "colbert_maxsim_topk",
+    # --- round-4 additions land below this line (17 slots free in the
+    # 50-entry driver window).
 )
-# ROUND-4 ROTATION PLAN (run tools/window_rotation.py for the live list):
-# after r3 certifies this window, the never-driver-checked remainder to
-# rotate into the prefix is: filtered_topk_label, domain_caps_topn,
-# global_shuffle_order, vocab_coverage_topk, contamination_rate_by_source,
-# streaming_sliding_counts, scd2_purchase_history, lang_confusion_matrix,
-# trailing_hour_stats, source_vocab_overlap, event_markov_transitions,
-# source_lang_entropy, reachability_bfs, unpivot_monthly_metrics,
-# lateral_top_customers, cusum_changepoint, dow_seasonality,
-# bigram_pmi_topk, user_burstiness, k_anonymity_audit, dp_noisy_counts,
-# event_pattern_match, weekly_cohort_retention, ab_test_zscore,
-# point_in_time_join, federated_label_topk, near_dup_rate_by_source
-# (27 — fits one window with r3-fix re-certs).
 
 
 def _ordered_names() -> list[str]:
