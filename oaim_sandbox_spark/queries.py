@@ -5067,7 +5067,13 @@ def dp_noisy_counts(d: str) -> str:
     reproducible and engine-identical (and therefore NOT differentially
     private — a real release swaps the hash for a CSPRNG draw; the query
     certifies the mechanism's plumbing: per-class noise, post-processing
-    max(0, round(·)), and that no raw count leaves unperturbed)."""
+    max(0, round(·)), and that no raw count leaves unperturbed).
+
+    The caveat is flagged IN THE OUTPUT: a literal `mechanism` column marks
+    every row as demo noise, so the release cannot be mistaken for real DP
+    however far it travels from this docstring. `dp_noisy_counts_csprng`
+    below is the real-noise variant (pytest-only: non-deterministic by
+    design, so no oracle)."""
     key = "concat('dp:', source, ':', lang)"
     u = f"(({P.hash64(key, d)} % 1000000) + 0.5) / 1000000.0"
     return f"""
@@ -5080,10 +5086,46 @@ noise AS (
 )
 SELECT source, lang,
        CAST(GREATEST(0, CAST(round(n + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
-            * ln(1.0 - 2.0 * abs(u - 0.5)) / {DP_EPSILON}, 0) AS BIGINT)) AS BIGINT) AS noisy_count
+            * ln(1.0 - 2.0 * abs(u - 0.5)) / {DP_EPSILON}, 0) AS BIGINT)) AS BIGINT) AS noisy_count,
+       'laplace-seeded-hash-demo (NOT differentially private)' AS mechanism
 FROM noise
 ORDER BY source, lang
 """
+
+
+def dp_noisy_counts_csprng(spark: SparkSession, sf_dir: str, epsilon: float = DP_EPSILON) -> DataFrame:
+    """Real-noise Laplace release: same counts, same post-processing as
+    `dp_noisy_counts`, but the noise is drawn from an OS-entropy-seeded
+    generator per Arrow batch (mapInPandas), so the release is actually
+    unpredictable. Non-deterministic by design -> no DuckDB oracle; pytest
+    asserts the post-processing invariants (non-negative integers, schema,
+    mechanism flag, noise actually varies across runs). Executor-side noise
+    generation: each batch draws independently, no driver coordination."""
+    import pandas as pd
+
+    register_views(spark, sf_dir, tables=("documents",))
+    counts = spark.sql(
+        "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source, lang"
+    )
+
+    def add_noise(batches):
+        import os as _os
+
+        import numpy as _np
+
+        rng = _np.random.default_rng(int.from_bytes(_os.urandom(16), "big"))
+        for pdf in batches:
+            lap = rng.laplace(0.0, 1.0 / epsilon, size=len(pdf))
+            noisy = _np.maximum(0, _np.round(pdf["n"].to_numpy() + lap)).astype("int64")
+            yield pd.DataFrame({
+                "source": pdf["source"], "lang": pdf["lang"],
+                "noisy_count": noisy,
+                "mechanism": f"laplace-csprng eps={epsilon}",
+            })
+
+    return counts.mapInPandas(
+        add_noise, "source STRING, lang STRING, noisy_count BIGINT, mechanism STRING"
+    )
 
 
 TEMPLATES["colbert_maxsim_topk"] = colbert_maxsim_topk

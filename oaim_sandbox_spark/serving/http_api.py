@@ -289,8 +289,19 @@ class _ApiHandler(BaseHTTPRequestHandler):
             return self._oci(method, parts[2:], api)
         return self._json(404, {"detail": "Not Found"})
 
+    # Hard ceiling on rows any HTTP route may materialize on the driver: an
+    # HTTP facade inherently collects, but a 10M-row store listing must not
+    # take the server process down — mirrors the testbed's max_failures cap.
+    MAX_WIRE_ROWS = 10_000
+
     def _df_json(self, df) -> list:
-        return [json.loads(r) for r in df.toJSON().collect()]
+        rows = [json.loads(r) for r in df.limit(self.MAX_WIRE_ROWS + 1).toJSON().collect()]
+        if len(rows) > self.MAX_WIRE_ROWS:
+            # truncation is explicit, not silent: the sentinel row tells the
+            # client the listing was capped (page via query filters instead)
+            rows = rows[: self.MAX_WIRE_ROWS]
+            rows.append({"_truncated": True, "_max_rows": self.MAX_WIRE_ROWS})
+        return rows
 
     def _testbed(self, method: str, rest: list[str], qs: dict, api: ApiServer) -> None:
         # endpoints.py:743-913 testbed group
@@ -335,8 +346,78 @@ class _ApiHandler(BaseHTTPRequestHandler):
                                     "failures": report.failures})
         return self._json(404, {"detail": "Not Found"})
 
+    def _staging_dir(self, api: ApiServer) -> str | None:
+        """Per-client embedding staging dir (endpoints.py:482-499
+        get_temp_directory(client, 'embedding')). Returns None AFTER writing
+        an error response when the client header would escape the staging
+        root (the client id becomes a directory component)."""
+        client = self._client()
+        if not client or "/" in client or "\\" in client or ".." in client:
+            self._json(422, {"detail": f"invalid client name: {client!r}"})
+            return None
+        return os.path.join(api.staging_root, client, "embedding")
+
     def _embed(self, method: str, rest: list[str], api: ApiServer) -> None:
-        # endpoints.py:190-306 embed group (split_embed + drop vs)
+        # endpoints.py:190-306 embed group (staging + split_embed + drop vs).
+        # The two staging routes are pure driver-side file I/O and work
+        # without a Spark backend; the 503 guard protects only the routes
+        # that actually run queries.
+        if method == "POST" and rest == ["web", "store"]:
+            # S6 wire route (endpoints.py:199-228 store_web_file): download
+            # each URL into the client's embedding staging dir with
+            # content-type dispatch; unprocessable content type wipes the
+            # staging dir and returns 500, like the reference.
+            from oaim_sandbox_spark.sources.loaders import stage_web_files
+
+            urls = self._body()
+            if not isinstance(urls, list) or not urls or not all(isinstance(u, str) for u in urls):
+                return self._json(422, {"detail": "request body must be a non-empty list of URLs"})
+            directory = self._staging_dir(api)
+            if directory is None:
+                return
+            try:
+                staged = stage_web_files(urls, directory)
+            except ValueError as ex:
+                import shutil
+
+                shutil.rmtree(directory, ignore_errors=True)
+                return self._json(500, {"detail": str(ex)})
+            except Exception as ex:  # network/HTTP failure
+                return self._json(500, {"detail": f"download failed: {ex}"})
+            return self._json(200, [os.path.basename(p) for p in staged])
+        if method == "POST" and rest == ["local", "store"]:
+            # S7 wire route (endpoints.py:230-245 store_local_file): JSON
+            # body [{"filename", "content_b64"|"text"}] instead of the
+            # reference's multipart UploadFile; same store-to-staging-dir
+            # behavior, same returned file-name list.
+            import base64
+
+            from oaim_sandbox_spark.sources.loaders import stage_local_files
+
+            files = self._body()
+            if not isinstance(files, list) or not files:
+                return self._json(422, {"detail": "request body must be a non-empty list of files"})
+            pairs: list[tuple[str, bytes]] = []
+            for f in files:
+                name = (f or {}).get("filename") if isinstance(f, dict) else None
+                if not name:
+                    return self._json(422, {"detail": "each file needs a filename"})
+                if "content_b64" in f:
+                    try:
+                        payload = base64.b64decode(f["content_b64"], validate=True)
+                    except Exception:
+                        return self._json(422, {"detail": f"invalid base64 for {name!r}"})
+                else:
+                    payload = str(f.get("text", "")).encode("utf-8")
+                pairs.append((name, payload))
+            directory = self._staging_dir(api)
+            if directory is None:
+                return
+            try:
+                staged = stage_local_files(pairs, directory)
+            except ValueError as ex:
+                return self._json(422, {"detail": str(ex)})
+            return self._json(200, [os.path.basename(p) for p in staged])
         if api.spark is None or api.catalog is None:
             return self._json(503, {"detail": "Spark embed backend not configured."})
         spark = api.spark

@@ -72,6 +72,8 @@ PROTECTED = [
     ("GET", "/v1/settings?client=x"),
     ("POST", "/v1/chat/completions"),
     ("GET", "/v1/chat/history"),
+    ("POST", "/v1/embed/web/store"),
+    ("POST", "/v1/embed/local/store"),
 ]
 
 
@@ -467,3 +469,91 @@ def test_oci_download_lists_only_this_request(cfg_server):
     status, files = req(cfg_server, "POST", "/v1/oci/objects/download/bucketa/DEFAULT",
                         body=["sub/b.txt"], client="dl2")
     assert status == 200 and files == ["b.txt"]
+
+
+def test_wire_rows_capped(spark_server, monkeypatch):
+    """No HTTP route may materialize unbounded rows on the driver: _df_json
+    caps at MAX_WIRE_ROWS and appends an explicit truncation sentinel (a
+    10M-row store listing must degrade, not take the server down)."""
+    from oaim_sandbox_spark.serving.http_api import _ApiHandler
+
+    monkeypatch.setattr(_ApiHandler, "MAX_WIRE_ROWS", 3)
+    qa_rows = [
+        {"question": f"q{i}?", "reference_answer": f"a{i}",
+         "reference_context": f"ctx {i}", "topic": "t"}
+        for i in range(6)
+    ]
+    status, body = req(spark_server, "POST", "/v1/testbed/testset_load?name=cap-set",
+                       body={"qa": qa_rows})
+    assert status == 200
+    tid = body["tid"]
+    status, qa = req(spark_server, "GET", f"/v1/testbed/testset_qa?tid={tid}")
+    assert status == 200
+    assert len(qa) == 4  # 3 rows + sentinel
+    assert qa[-1] == {"_truncated": True, "_max_rows": 3}
+    assert all("question" in r for r in qa[:3])
+
+
+def test_local_store_roundtrip(server, tmp_path, monkeypatch):
+    """S7 wire route (endpoints.py:230-245): uploaded payloads land in the
+    client's embedding staging dir; returned names are the stored basenames.
+    Needs no Spark backend — staging is driver-side file I/O."""
+    import base64
+    import os
+
+    monkeypatch.setattr(server, "staging_root", str(tmp_path))
+    files = [
+        {"filename": "a.txt", "text": "hello world"},
+        {"filename": "nested/dir/b.pdf",
+         "content_b64": base64.b64encode(b"%PDF-1.4 fake").decode()},
+    ]
+    status, names = req(server, "POST", "/v1/embed/local/store", body=files, client="c-up")
+    assert status == 200
+    assert names == ["a.txt", "b.pdf"]  # path components stripped to basename
+    staged = os.path.join(str(tmp_path), "c-up", "embedding")
+    assert open(os.path.join(staged, "a.txt")).read() == "hello world"
+    assert open(os.path.join(staged, "b.pdf"), "rb").read() == b"%PDF-1.4 fake"
+
+    # bad payloads -> 422, traversal client -> 422
+    status, _ = req(server, "POST", "/v1/embed/local/store", body=[{"text": "x"}], client="c-up")
+    assert status == 422
+    status, _ = req(server, "POST", "/v1/embed/local/store", body=files, client="../evil")
+    assert status == 422
+
+
+def test_web_store_roundtrip_and_unprocessable_500(server, tmp_path, monkeypatch):
+    """S6 wire route (endpoints.py:199-228): URL downloads dispatch on
+    content type; an unprocessable type wipes the staging dir and returns
+    500, matching the reference's behavior."""
+    import os
+
+    monkeypatch.setattr(server, "staging_root", str(tmp_path))
+
+    class FakeResp:
+        def __init__(self, ctype, content):
+            self.headers = {"content-type": ctype}
+            self.content = content
+
+        def raise_for_status(self):
+            pass
+
+    responses = {
+        "http://x.test/doc.pdf": FakeResp("application/pdf", b"%PDF-1.4 x"),
+        "http://x.test/page": FakeResp("text/html", b"<html><p>hi</p></html>"),
+        "http://x.test/bin": FakeResp("application/zip", b"PK"),
+    }
+    import requests
+
+    monkeypatch.setattr(requests, "get", lambda url, timeout=0: responses[url])
+
+    status, names = req(server, "POST", "/v1/embed/web/store",
+                        body=["http://x.test/doc.pdf", "http://x.test/page"], client="c-web")
+    assert status == 200
+    assert names == ["doc.pdf", "page.html"]
+    staged = os.path.join(str(tmp_path), "c-web", "embedding")
+    assert sorted(os.listdir(staged)) == ["doc.pdf", "page.html"]
+
+    status, body = req(server, "POST", "/v1/embed/web/store",
+                       body=["http://x.test/bin"], client="c-web")
+    assert status == 500 and "content type" in body["detail"]
+    assert not os.path.isdir(staged)  # staging dir wiped, like the reference

@@ -161,3 +161,35 @@ def test_register_views_repoints_all_on_sf_dir_change(spark):
     finally:
         if Q._VIEWS_STATE is not None:
             Q._VIEWS_STATE.pop(spark, None)
+
+
+def test_dp_noisy_counts_csprng_variant(spark):
+    """The real-noise DP twin: OS-entropy Laplace noise per Arrow batch.
+    Invariants (it has no oracle by design): schema + mechanism flag, counts
+    are non-negative integers, the noise is bounded in probability around
+    the true counts, and two runs actually differ (it would be seeded-hash
+    demo noise otherwise)."""
+    sf = "/root/testdata/sf0.001"
+    out1 = Q.dp_noisy_counts_csprng(spark, sf, epsilon=1.0).collect()
+    out2 = Q.dp_noisy_counts_csprng(spark, sf, epsilon=1.0).collect()
+    assert out1 and len(out1) == len(out2)
+    assert out1[0].mechanism == "laplace-csprng eps=1.0"
+    assert all(r.noisy_count >= 0 for r in out1)
+    exact = {(r.source, r.lang): r.n for r in spark.sql(
+        "SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang").collect()}
+    # P(|Laplace(1)| > 40) ~ 2e-18 per row: a deviation this large means broken noise
+    assert all(abs(r.noisy_count - exact[(r.source, r.lang)]) < 40 for r in out1)
+    assert {(r.source, r.lang, r.noisy_count) for r in out1} != \
+           {(r.source, r.lang, r.noisy_count) for r in out2}, "noise did not vary across runs"
+
+
+def test_dp_noisy_counts_demo_flagged_in_output():
+    """The seeded-hash variant must carry its caveat in the DATA: every row's
+    mechanism column says it is demo noise, not DP."""
+    sql = Q.TEMPLATES["dp_noisy_counts"]("duck")
+    import duckdb
+
+    duck = duckdb.connect()
+    duck.sql("CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'")
+    rows = duck.sql(sql).fetchall()
+    assert rows and all("NOT differentially private" in r[-1] for r in rows)
