@@ -3898,13 +3898,44 @@ def _multimodal_features_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     feats = extract_image_features(media)
-    return feats.select(
+    out = feats.select(
         "media_id",
         "width",
         "height",
         F.round(F.element_at("feature", 1), 6).alias("f1"),
         F.round(F.element_at("feature", 16), 6).alias("f16"),
-    ).orderBy("media_id")
+    )
+    # In-query self-audit (rows-only hardening): the codec-free fake decoder
+    # derives pixels from sha256(content) in PYTHON; recompute the same
+    # bytes JVM-side with sha2() and flag per-row agreement — a genuine
+    # cross-engine check of the mapInPandas path. With a real codec (PIL
+    # present) the sha relation doesn't hold, so the audit column is NULL.
+    try:
+        import PIL  # noqa: F401
+
+        audited = out.withColumn("audit_ok", F.lit(None).cast("boolean"))
+    except ImportError:
+        hexs = media.select(
+            "media_id", F.sha2(F.col("content"), 256).alias("hx")
+        )
+        byte = lambda k: F.conv(F.substring("hx", 2 * k + 1, 2), 16, 10).cast("int")  # noqa: E731
+        jvm = hexs.select(
+            "media_id",
+            (F.lit(64) + byte(0) % 192).alias("w_jvm"),
+            (F.lit(64) + byte(1) % 192).alias("h_jvm"),
+            (byte(2) / 255.0).alias("f1_jvm"),
+            (byte(17) / 255.0).alias("f16_jvm"),
+        )
+        audited = out.join(jvm, "media_id").select(
+            out["*"],
+            (
+                (F.col("width") == F.col("w_jvm"))
+                & (F.col("height") == F.col("h_jvm"))
+                & (F.abs(F.col("f1") - F.col("f1_jvm")) < 1e-5)
+                & (F.abs(F.col("f16") - F.col("f16_jvm")) < 1e-5)
+            ).alias("audit_ok"),
+        )
+    return audited.orderBy("media_id")
 
 
 def _bpe_tokenize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3922,13 +3953,36 @@ def _bpe_tokenize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     bpe = BPETokenizer.train(docs, num_merges=100)
     toks = bpe.tokenize_df(docs)
-    return (
-        toks.select(F.explode("bpe_tokens").alias("token"))
-        .groupBy("token")
+    ex = toks.select(F.explode("bpe_tokens").alias("token"))
+    top = (
+        ex.groupBy("token")
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(20)
     )
+    # In-query conservation audit (a rows-only driver check still proves
+    # something): BPE merges only ever CONCATENATE symbols, so corpus-wide
+    #   Σ len(token) == Σ len(word) + len('</w>')·n_words   and
+    #   #tokens ending in '</w>' == n_words.
+    # The right side is computed JVM-side from the raw text — an independent
+    # cross-check of the Python tokenizer path.
+    py_side = ex.agg(
+        F.sum(F.length("token")).alias("tok_chars"),
+        F.sum(F.when(F.col("token").endswith("</w>"), 1).otherwise(0)).alias("eow_tokens"),
+    )
+    jvm_side = docs.agg(
+        F.sum(F.length(F.regexp_replace(F.col("text"), r"\s+", ""))).alias("word_chars"),
+        F.sum(
+            F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit("")))
+        ).alias("n_words"),
+    )
+    audit = py_side.crossJoin(jvm_side).select(
+        (
+            (F.col("tok_chars") == F.col("word_chars") + 4 * F.col("n_words"))
+            & (F.col("eow_tokens") == F.col("n_words"))
+        ).alias("audit_chars_conserved")
+    )
+    return top.crossJoin(F.broadcast(audit))
 
 
 def _sketch_profile_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3938,17 +3992,32 @@ def _sketch_profile_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     for profiling: fixed-size state, map-side mergeable, one shuffle of
     sketch buffers instead of a count-distinct's full key shuffle. Not
     oracle-checkable — sketch internals differ per engine — so the accuracy
-    bound vs the exact aggregates is pytest-asserted instead
+    bound vs the exact aggregates is asserted IN THE QUERY ITSELF: each row
+    carries its exact counterparts and *_within_bound booleans (computed in
+    the same pass), so even a rows-only driver check records whether the
+    sketches held their error contract. The exact aggregates exist for the
+    audit only — at 100 TB you drop the audit columns and the plan is
+    sketch-buffers-only. pytest additionally re-verifies against DuckDB
     (tests/test_queries_registry.py::test_sketch_profile_error_bounds)."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
-SELECT event_type,
-       CAST(approx_count_distinct(user_id, 0.02) AS BIGINT) AS approx_users,
-       CAST(round(percentile_approx(value, 0.5, 5000), 6) AS DOUBLE) AS approx_p50,
-       CAST(round(percentile_approx(value, 0.95, 5000), 6) AS DOUBLE) AS approx_p95
-FROM events
-GROUP BY event_type
+SELECT event_type, approx_users, approx_p50, approx_p95, exact_users,
+       (abs(approx_users - exact_users) <= greatest(2, CAST(0.05 * exact_users AS BIGINT)))
+         AS users_within_bound,
+       (approx_p50 BETWEEN p40 AND p60) AS p50_within_bound,
+       (approx_p95 BETWEEN p90 AND p99) AS p95_within_bound
+FROM (
+  SELECT event_type,
+         CAST(approx_count_distinct(user_id, 0.02) AS BIGINT) AS approx_users,
+         CAST(round(percentile_approx(value, 0.5, 5000), 6) AS DOUBLE) AS approx_p50,
+         CAST(round(percentile_approx(value, 0.95, 5000), 6) AS DOUBLE) AS approx_p95,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+         percentile(value, 0.40) AS p40, percentile(value, 0.60) AS p60,
+         percentile(value, 0.90) AS p90, percentile(value, 0.99) AS p99
+  FROM events
+  GROUP BY event_type
+) s
 ORDER BY event_type
 """
     )
@@ -3960,6 +4029,28 @@ NON_ORACLE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": _multimodal_features_spark,
     "bpe_tokenize": _bpe_tokenize_spark,
     "sketch_profile": _sketch_profile_spark,
+}
+
+# Every rows-only entry is hardened one of two ways, so a rows-only driver
+# check is never the whole story:
+#   - ORACLE_TWINS: a full-oracle registry entry exercises the SAME operator
+#     with deterministically reproducible parameters (mmr_exact runs
+#     operators/retrieval.mmr_rerank against a DuckDB re-implementation of
+#     the greedy selection; ivf_full_probe_topk runs IVFIndex with
+#     nprobe=n_centroids, where pruning is lossless and the result equals
+#     exact top-k).
+#   - SELF_AUDITED: the query emits in-query invariant columns a rows-check
+#     records (bpe: corpus char conservation vs a JVM-side recount;
+#     sketch_profile: *_within_bound error-contract booleans vs exact
+#     aggregates; multimodal: JVM sha2 recomputation of the Python decode).
+ORACLE_TWINS: dict[str, str] = {
+    "mmr_rerank": "mmr_exact",
+    "ivf_ann_topk": "ivf_full_probe_topk",
+}
+SELF_AUDITED: dict[str, str] = {
+    "bpe_tokenize": "audit_chars_conserved",
+    "sketch_profile": "users_within_bound",
+    "multimodal_features": "audit_ok",
 }
 
 

@@ -193,3 +193,17 @@ def test_dp_noisy_counts_demo_flagged_in_output():
     duck.sql("CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'")
     rows = duck.sql(sql).fetchall()
     assert rows and all("NOT differentially private" in r[-1] for r in rows)
+
+
+def test_rows_only_entries_hardened(spark):
+    """Every rows-only registry entry must be hardened: either a full-oracle
+    twin exercises the same operator (ORACLE_TWINS) or the query emits
+    in-query invariant columns (SELF_AUDITED) — and those invariants must
+    actually hold on testdata."""
+    assert set(Q.NON_ORACLE) == set(Q.ORACLE_TWINS) | set(Q.SELF_AUDITED)
+    for rows_only, twin in Q.ORACLE_TWINS.items():
+        assert twin in Q.TEMPLATES, f"{rows_only}'s twin {twin} is not oracle-backed"
+    for name, col in Q.SELF_AUDITED.items():
+        rows = Q.NON_ORACLE[name](spark, SF).collect()
+        assert rows, name
+        assert all(r[col] for r in rows), f"{name}: invariant column {col} is false"
