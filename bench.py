@@ -188,79 +188,119 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
         vals = [len(approx.get(q, set()) & base[q]) / k for q in base]
         return round(sum(vals) / len(vals), 4)
 
-    recalls: dict[str, float] = {}
-    exact_cos = topk_sets(knn_join(store, qdf, k=k))
+    # The suite is a MEASUREMENT harness, not a throughput benchmark: each
+    # tier is a small independent Spark job whose wall time at local[32] is
+    # mostly fixed scheduling/codegen overhead (~1-2 s each measured, VERDICT
+    # r3 #7). Tiers therefore run CONCURRENTLY — Spark's scheduler interleaves
+    # the jobs across the same executor threads — which halves suite wall
+    # time with identical tier coverage and identical (deterministic) recall
+    # numbers. The two exact baselines are computed first (shared by every
+    # tier), also concurrently.
+    from concurrent.futures import ThreadPoolExecutor
 
-    recalls["lsh4@10"] = rec(topk_sets(lsh_knn_join(store, qdf, k=k, n_planes=4, dim=64)), exact_cos)
-    recalls["lsh8_multiprobe@10"] = rec(
-        topk_sets(lsh_knn_join(store, qdf, k=k, n_planes=8, dim=64, multiprobe=True)), exact_cos
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cos = pool.submit(lambda: topk_sets(knn_join(store, qdf, k=k)))
+        f_l2 = pool.submit(
+            lambda: topk_sets(knn_join(store, qdf, k=k, metric="EUCLIDEAN_DISTANCE"))
+        )
+        exact_cos, exact_l2 = f_cos.result(), f_l2.result()
 
-    idx = IVFIndex(n_centroids=16, seed=3, max_iter=10).fit(store)
-    with tempfile.TemporaryDirectory() as td:
-        idx.write_partitioned(store, td)
-        for nprobe in (2, 4):
-            # batched probe: ONE pruned scan answers the whole query batch
-            # (the per-query loop was nprobes x n_queries Spark jobs)
-            batch = idx.search_batch(spark, td, qdf, k=k, nprobe=nprobe)
-            ivf_sets: dict[int, set] = {}
-            for r in batch.collect():
-                ivf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
-            recalls[f"ivf_nprobe{nprobe}@10"] = rec(ivf_sets, exact_cos)
+    def tier_lsh4() -> float:
+        return rec(topk_sets(lsh_knn_join(store, qdf, k=k, n_planes=4, dim=64)), exact_cos)
 
-    exact_l2 = topk_sets(knn_join(store, qdf, k=k, metric="EUCLIDEAN_DISTANCE"))
-    pq = PQIndex(m=4, k=16, dim=64, seed=3).fit(store)
-    codes = pq.encode(store)
-    # fetch_k covers the whole ~50-vector home cluster with slack: ADC gets
-    # the cluster right, the exact re-rank recovers the exact within-cluster
-    # order (the standard IVFPQ funnel contract).
-    pq_sets = {
-        qid: {r["vec_id"] for r in pq.search(codes, qv, k=k, fetch_k=150, exact_df=store).collect()}
-        for qid, qv in queries
-    }
-    recalls["pq_adc_rerank@10"] = rec(pq_sets, exact_l2)
+    def tier_lsh8() -> float:
+        return rec(
+            topk_sets(lsh_knn_join(store, qdf, k=k, n_planes=8, dim=64, multiprobe=True)),
+            exact_cos,
+        )
 
-    deq = dequantize_embeddings(quantize_embeddings(store))
-    recalls["int8@10"] = rec(topk_sets(knn_join(deq, qdf, k=k)), exact_cos)
+    def tier_ivf() -> dict[str, float]:
+        idx = IVFIndex(n_centroids=16, seed=3, max_iter=10).fit(store)
+        out: dict[str, float] = {}
+        with tempfile.TemporaryDirectory() as td:
+            idx.write_partitioned(store, td)
+            for nprobe in (2, 4):
+                # batched probe: ONE pruned scan answers the whole query batch
+                # (the per-query loop was nprobes x n_queries Spark jobs)
+                batch = idx.search_batch(spark, td, qdf, k=k, nprobe=nprobe)
+                ivf_sets: dict[int, set] = {}
+                for r in batch.collect():
+                    ivf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+                out[f"ivf_nprobe{nprobe}@10"] = rec(ivf_sets, exact_cos)
+        return out
 
-    # matryoshka: 16-dim-prefix candidates (fetch 5k), exact cosine re-rank
-    store16 = store.withColumn("emb16", F.expr("slice(cast(embedding as array<double>), 1, 16)"))
-    qdf16 = qdf.withColumn("query_vec", F.expr("slice(query_vec, 1, 16)"))
-    cand = knn_join(store16, qdf16, k=5 * k, item_vec="emb16").select("query_id", "neighbor_id")
-    dist = distance_expr("embedding", P.to_double_array("query_vec", "spark"), "COSINE")
-    rr = (
-        cand.join(store.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id")
-        .join(F.broadcast(qdf), "query_id")
-        .withColumn("distance", F.expr(f"round({dist}, 6)"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("neighbor_id").asc())
-    mat = rr.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-    recalls["matryoshka16_rerank@10"] = rec(topk_sets(mat), exact_cos)
-
-    # PCA16: learned 16-dim subspace (one-pass distributed Gram fit), same
-    # candidate->exact-re-rank funnel as matryoshka — the after-the-fact
-    # alternative when the embedding model wasn't matryoshka-trained.
-    import numpy as np
-
-    from oaim_sandbox_spark.operators.dim_reduce import fit_pca, project_pca
-
-    pca = fit_pca(store, n_components=16)
-    storep = project_pca(store, pca, out_col="emb16p")
-    qdfp = spark.createDataFrame(
-        [
-            (qid, ((np.asarray(qv) - pca.mean) @ pca.components.T).tolist())
+    def tier_pq() -> float:
+        pq = PQIndex(m=4, k=16, dim=64, seed=3).fit(store)
+        codes = pq.encode(store)
+        # fetch_k covers the whole ~50-vector home cluster with slack: ADC
+        # gets the cluster right, the exact re-rank recovers the exact
+        # within-cluster order (the standard IVFPQ funnel contract).
+        pq_sets = {
+            qid: {
+                r["vec_id"]
+                for r in pq.search(codes, qv, k=k, fetch_k=150, exact_df=store).collect()
+            }
             for qid, qv in queries
-        ],
-        "query_id BIGINT, query_vec ARRAY<DOUBLE>",
-    )
-    candp = knn_join(storep, qdfp, k=5 * k, item_vec="emb16p").select("query_id", "neighbor_id")
-    rrp = (
-        candp.join(store.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id")
-        .join(F.broadcast(qdf), "query_id")
-        .withColumn("distance", F.expr(f"round({dist}, 6)"))
-    )
-    pca16 = rrp.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-    recalls["pca16_rerank@10"] = rec(topk_sets(pca16), exact_cos)
+        }
+        return rec(pq_sets, exact_l2)
+
+    def tier_int8() -> float:
+        deq = dequantize_embeddings(quantize_embeddings(store))
+        return rec(topk_sets(knn_join(deq, qdf, k=k)), exact_cos)
+
+    dist = distance_expr("embedding", P.to_double_array("query_vec", "spark"), "COSINE")
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("neighbor_id").asc())
+
+    def _exact_rerank(cand) -> dict[int, set]:
+        rr = (
+            cand.join(store.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id")
+            .join(F.broadcast(qdf), "query_id")
+            .withColumn("distance", F.expr(f"round({dist}, 6)"))
+        )
+        return topk_sets(rr.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k))
+
+    def tier_matryoshka() -> float:
+        # matryoshka: 16-dim-prefix candidates (fetch 5k), exact cosine re-rank
+        store16 = store.withColumn("emb16", F.expr("slice(cast(embedding as array<double>), 1, 16)"))
+        qdf16 = qdf.withColumn("query_vec", F.expr("slice(query_vec, 1, 16)"))
+        cand = knn_join(store16, qdf16, k=5 * k, item_vec="emb16").select("query_id", "neighbor_id")
+        return rec(_exact_rerank(cand), exact_cos)
+
+    def tier_pca16() -> float:
+        # PCA16: learned 16-dim subspace (one-pass distributed Gram fit), same
+        # candidate->exact-re-rank funnel as matryoshka — the after-the-fact
+        # alternative when the embedding model wasn't matryoshka-trained.
+        import numpy as np
+
+        from oaim_sandbox_spark.operators.dim_reduce import fit_pca, project_pca
+
+        pca = fit_pca(store, n_components=16)
+        storep = project_pca(store, pca, out_col="emb16p")
+        qdfp = spark.createDataFrame(
+            [(qid, ((np.asarray(qv) - pca.mean) @ pca.components.T).tolist()) for qid, qv in queries],
+            "query_id BIGINT, query_vec ARRAY<DOUBLE>",
+        )
+        cand = knn_join(storep, qdfp, k=5 * k, item_vec="emb16p").select("query_id", "neighbor_id")
+        return rec(_exact_rerank(cand), exact_cos)
+
+    tiers = {
+        "lsh4@10": tier_lsh4,
+        "lsh8_multiprobe@10": tier_lsh8,
+        "ivf": tier_ivf,  # yields ivf_nprobe2@10 + ivf_nprobe4@10
+        "pq_adc_rerank@10": tier_pq,
+        "int8@10": tier_int8,
+        "matryoshka16_rerank@10": tier_matryoshka,
+        "pca16_rerank@10": tier_pca16,
+    }
+    recalls: dict[str, float] = {}
+    with ThreadPoolExecutor(max_workers=len(tiers)) as pool:
+        futs = {name: pool.submit(fn) for name, fn in tiers.items()}
+        for name, fut in futs.items():
+            got = fut.result()
+            if isinstance(got, dict):
+                recalls.update(got)
+            else:
+                recalls[name] = got
     return recalls
 
 
