@@ -13,9 +13,12 @@ Scope (honest limits, checked up front where possible):
 - content streams stored plain or FlateDecode (zlib is stdlib); other
   filters (DCT, LZW, CCITT...) are skipped;
 - text drawn via the standard ``Tj`` / ``'`` / ``"`` / ``TJ`` operators with
-  literal ``(...)`` or hex ``<...>`` strings, decoded as PDFDocEncoding-ish
-  latin-1 — no CMap/ToUnicode handling, so exotic font subsets come out
-  garbled (pypdf handles those);
+  literal ``(...)`` or hex ``<...>`` strings. Fonts carrying a /ToUnicode
+  CMap (the subset-font class — the most common real-world PDF whose bytes
+  are NOT latin-1-ish) are decoded through the CMap: ``Tf`` switches the
+  active font, bfchar/bfrange entries map 1- or 2-byte codes to UTF-16BE
+  text. Fonts without a CMap fall back to PDFDocEncoding-ish latin-1;
+  predefined CID CMaps (/Encoding /GBK-EUC-H etc.) still need pypdf;
 - page structure read from ``/Type /Page`` objects and their ``/Contents``
   references without an xref table (objects are located by scanning), so
   PDFs whose page tree lives inside compressed object streams fall back to
@@ -74,23 +77,131 @@ def _decode_literal(raw: bytes) -> str:
     return "".join(out)
 
 
-def _decode_hex(raw: bytes) -> str:
+def _decode_literal_bytes(raw: bytes) -> bytes:
+    """Like _decode_literal but yields the raw BYTE string — CMap-encoded
+    literals are code bytes, not latin-1 text."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < n:
+            nxt = raw[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out.extend(_ESCAPES[nxt].encode("latin-1"))
+                i += 2
+                continue
+            if nxt.isdigit():
+                j = i + 1
+                while j < min(i + 4, n) and raw[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(raw[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            if nxt in (b"\n", b"\r"):
+                i += 2
+                continue
+            out.extend(nxt)
+            i += 2
+            continue
+        out.extend(c)
+        i += 1
+    return bytes(out)
+
+
+def _hex_bytes(raw: bytes) -> bytes:
     h = re.sub(rb"\s+", b"", raw)
     if len(h) % 2:
         h += b"0"
     try:
-        return bytes.fromhex(h.decode("ascii")).decode("latin-1")
+        return bytes.fromhex(h.decode("ascii"))
     except ValueError:
-        return ""
+        return b""
 
 
-def _content_text(data: bytes) -> str:
+def _decode_hex(raw: bytes) -> str:
+    return _hex_bytes(raw).decode("latin-1")
+
+
+class _CMap:
+    """A parsed /ToUnicode CMap: fixed code width + code -> text mapping."""
+
+    __slots__ = ("map", "code_len")
+
+    def __init__(self, mapping: dict[int, str], code_len: int):
+        self.map, self.code_len = mapping, code_len
+
+    def decode(self, bs: bytes) -> str:
+        w = self.code_len
+        out: list[str] = []
+        for i in range(0, len(bs) - w + 1, w):
+            code = int.from_bytes(bs[i : i + w], "big")
+            got = self.map.get(code)
+            if got is None:
+                # unmapped code: latin-1 fallback only makes sense for
+                # byte-wide codes; wide unmapped codes stay absent
+                got = chr(code) if w == 1 and code < 256 else ""
+            out.append(got)
+        return "".join(out)
+
+
+_BF_RANGE_CAP = 1 << 16  # malformed <0000> <FFFFFF> ranges must not explode
+
+
+def _parse_cmap(data: bytes) -> _CMap:
+    """bfchar/bfrange entries of a ToUnicode CMap stream -> _CMap. Source
+    code width comes from begincodespacerange (defaults to 2 — the width
+    every common subset-font CMap uses); destinations are UTF-16BE."""
+    # hex runs inside <...> may contain whitespace (PDF hex-string rule),
+    # so every pattern admits \s and the parsers strip it
+    def hx(h: bytes) -> int:
+        return int(re.sub(rb"\s", b"", h), 16)
+
+    m = re.search(rb"begincodespacerange\s*<([0-9A-Fa-f\s]+)>", data)
+    code_len = max(1, len(re.sub(rb"\s", b"", m.group(1))) // 2) if m else 2
+
+    def utf16(h: bytes) -> str:
+        return _hex_bytes(h).decode("utf-16-be", "replace")
+
+    mapping: dict[int, str] = {}
+    for block in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.DOTALL):
+        for pm in re.finditer(rb"<([0-9A-Fa-f\s]+)>\s*<([0-9A-Fa-f\s]+)>", block.group(1)):
+            mapping[hx(pm.group(1))] = utf16(pm.group(2))
+    for block in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.DOTALL):
+        for rm in re.finditer(
+            rb"<([0-9A-Fa-f\s]+)>\s*<([0-9A-Fa-f\s]+)>\s*(<[0-9A-Fa-f\s]+>|\[[^\]]*\])",
+            block.group(1),
+        ):
+            lo, hi = hx(rm.group(1)), hx(rm.group(2))
+            hi = min(hi, lo + _BF_RANGE_CAP)
+            dst = rm.group(3)
+            if dst.startswith(b"["):
+                dsts = re.findall(rb"<([0-9A-Fa-f\s]+)>", dst)
+                for off, dh in enumerate(dsts):
+                    if lo + off <= hi:
+                        mapping[lo + off] = utf16(dh)
+            else:
+                base_hex = re.sub(rb"\s", b"", dst[1:-1])
+                if len(base_hex) <= 4:
+                    base = hx(base_hex)
+                    for code in range(lo, hi + 1):
+                        mapping[code] = chr(base + code - lo)
+                else:  # multi-unit destination: only the range start is exact
+                    mapping[lo] = utf16(base_hex)
+    return _CMap(mapping, code_len)
+
+
+def _content_text(data: bytes, fonts: dict[str, _CMap] | None = None) -> str:
     """Extract drawn text from one decoded content stream: a single linear
     scan collecting strings and emitting them on the text-showing operators,
     with newlines on the line-advancing ones (Td/TD/T*/ET and the ' / "
-    next-line forms)."""
+    next-line forms). ``fonts`` maps resource names (F1...) to ToUnicode
+    CMaps; ``Tf`` switches the active decode, strings shown under a CMapped
+    font decode through it, everything else stays latin-1."""
+    fonts = fonts or {}
     out: list[str] = []
     pending: list[str] = []
+    cur: _CMap | None = None
+    last_name = ""
     i, n = 0, len(data)
 
     def flush(sep: str = "") -> None:
@@ -102,6 +213,15 @@ def _content_text(data: bytes) -> str:
 
     while i < n:
         c = data[i : i + 1]
+        if c == b"/":
+            j = i + 1
+            while j < n and not data[j : j + 1].isspace() and data[j : j + 1] not in (
+                b"(", b"<", b"[", b"]", b"/", b">",
+            ):
+                j += 1
+            last_name = data[i + 1 : j].decode("latin-1", "replace")
+            i = j
+            continue
         if c == b"(":
             depth, j = 1, i + 1
             while j < n and depth:
@@ -114,7 +234,8 @@ def _content_text(data: bytes) -> str:
                 elif cj == b")":
                     depth -= 1
                 j += 1
-            pending.append(_decode_literal(data[i + 1 : j - 1]))
+            body = data[i + 1 : j - 1]
+            pending.append(cur.decode(_decode_literal_bytes(body)) if cur else _decode_literal(body))
             i = j
             continue
         if c == b"<":
@@ -124,7 +245,8 @@ def _content_text(data: bytes) -> str:
             j = data.find(b">", i + 1)
             if j < 0:
                 break
-            pending.append(_decode_hex(data[i + 1 : j]))
+            body = data[i + 1 : j]
+            pending.append(cur.decode(_hex_bytes(body)) if cur else _decode_hex(body))
             i = j + 1
             continue
         if c.isalpha() or c in (b"'", b'"') or c == b"*":
@@ -140,6 +262,8 @@ def _content_text(data: bytes) -> str:
                 if out and not out[-1].endswith("\n"):
                     out.append("\n")
                 pending.clear()
+            elif op == b"Tf":
+                cur = fonts.get(last_name)
             i = j
             continue
         i += 1
@@ -198,11 +322,11 @@ def extract_pages(content: bytes) -> list[str]:
         objects[num] = content[start:end]
         pos = end + len(b"endobj")
 
-    def obj_text(num: int) -> str:
+    def obj_stream(num: int) -> bytes | None:
         body = objects.get(num, b"")
         sm = _STREAM_START_RE.search(body)
         if not sm:
-            return ""
+            return None
         head = body[: sm.start()]
         lm = _LENGTH_RE.search(head)
         if lm is not None:
@@ -213,8 +337,54 @@ def extract_pages(content: bytes) -> list[str]:
         else:
             m2 = _STREAM_RE.search(body)
             raw = m2.group(1) if m2 else b""
-        data = _decode_stream(head, raw)
-        return _content_text(data) if data is not None else ""
+        return _decode_stream(head, raw)
+
+    def obj_text(num: int, fonts: dict[str, _CMap] | None = None) -> str:
+        data = obj_stream(num)
+        return _content_text(data, fonts) if data is not None else ""
+
+    def resolve_dict(body: bytes, key: bytes) -> bytes | None:
+        """The value of /key in ``body`` — an inline <<...>> dict (balanced
+        scan) or the body of the referenced object."""
+        m = re.search(rb"/" + key + rb"\s*(<<|\d+\s+\d+\s+R)", body)
+        if not m:
+            return None
+        if m.group(1) == b"<<":
+            start = m.end() - 2
+            depth, i = 0, start
+            while i < len(body) - 1:
+                two = body[i : i + 2]
+                if two == b"<<":
+                    depth += 1
+                    i += 2
+                elif two == b">>":
+                    depth -= 1
+                    i += 2
+                    if depth == 0:
+                        return body[start:i]
+                else:
+                    i += 1
+            return None
+        return objects.get(int(m.group(1).split()[0]))
+
+    def page_fonts(body: bytes) -> dict[str, _CMap]:
+        """Resource-name -> ToUnicode CMap for fonts that carry one."""
+        res = resolve_dict(body, b"Resources")
+        fdict = resolve_dict(res, b"Font") if res is not None else None
+        if fdict is None:
+            return {}
+        fonts: dict[str, _CMap] = {}
+        for fm in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", fdict):
+            fobj = objects.get(int(fm.group(2)))
+            if not fobj:
+                continue
+            tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fobj)
+            if not tm:
+                continue
+            data = obj_stream(int(tm.group(1)))
+            if data:
+                fonts[fm.group(1).decode("latin-1")] = _parse_cmap(data)
+        return fonts
 
     pages: list[str] = []
     for num in sorted(objects):
@@ -225,8 +395,9 @@ def extract_pages(content: bytes) -> list[str]:
         if not cm:
             pages.append("")
             continue
+        fonts = page_fonts(body)
         refs = [int(r.group(1)) for r in _REF_RE.finditer(cm.group(1))]
-        pages.append("".join(obj_text(r) for r in refs))
+        pages.append("".join(obj_text(r, fonts) for r in refs))
 
     if pages:
         return pages

@@ -148,3 +148,79 @@ def test_compact_contents_no_space():
            + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
     pages = minipdf.extract_pages(pdf)
     assert len(pages) == 1 and "Hello, PDF world." in pages[0]
+
+
+CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CMapName /AAAAAA+F1 def
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+2 beginbfchar
+<0001> <0048>
+<0002> <00E9>
+endbfchar
+1 beginbfrange
+<0010> <0012> <006C>
+endbfrange
+2 beginbfrange
+<0020> <0021> [<0057 006F> <0072>]
+<0030> <0030> <0064 0021>
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end"""
+
+
+def make_subset_font_pdf(content: bytes, flate: bool = True) -> bytes:
+    """A one-page PDF whose /F1 is a subsetted Type0 font with a ToUnicode
+    CMap — the class the latin-1 fallback used to garble."""
+    out = [b"%PDF-1.4\n"]
+    out.append(_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    out.append(_obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"))
+    out.append(_obj(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R /F2 7 0 R >> >> >>",
+    ))
+    out.append(_stream_obj(4, content, flate=flate))
+    out.append(_obj(5, b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Sub /ToUnicode 6 0 R >>"))
+    out.append(_stream_obj(6, CMAP, flate=flate))
+    out.append(_obj(7, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+    out.append(b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    return b"".join(out)
+
+
+def test_tounicode_cmap_hex_strings():
+    """bfchar, contiguous bfrange, array bfrange, and multi-unit
+    destinations all decode; an unmapped wide code drops instead of
+    emitting a garbage byte."""
+    #            H     e-acute  l     m     n       Wo    r     d!
+    content = b"BT /F1 12 Tf <00010002 0010 0011 0012> Tj <0020 0021 0030> Tj ET"
+    pages = minipdf.extract_pages(make_subset_font_pdf(content))
+    assert len(pages) == 1
+    assert "Hélmn" in pages[0]
+    assert "Word!" in pages[0]
+
+
+def test_tounicode_cmap_literal_strings_and_font_switch():
+    """Literal strings decode through the active CMap; Tf back to a
+    plain font restores latin-1; unmapped wide codes are dropped."""
+    content = (
+        b"BT /F1 12 Tf (\\000\\001\\000\\002) Tj "  # 0x0001 0x0002 -> H, e-acute
+        b"/F2 12 Tf (plain latin) Tj "
+        b"/F1 12 Tf <7FFF> Tj ET"                   # unmapped wide code -> dropped
+    )
+    pages = minipdf.extract_pages(make_subset_font_pdf(content))
+    text = pages[0]
+    assert "Hé" in text
+    assert "plain latin" in text
+    assert "\x7f" not in text and "￿" not in text
+
+
+def test_cmap_absent_falls_back_to_latin1():
+    content = b"BT /F2 12 Tf (No cmap here.) Tj ET"
+    pages = minipdf.extract_pages(make_subset_font_pdf(content))
+    assert "No cmap here." in pages[0]
