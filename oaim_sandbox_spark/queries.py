@@ -99,14 +99,17 @@ _VIEWS_STATE: "weakref.WeakKeyDictionary[SparkSession, tuple[str, frozenset]]" =
 
 
 # Tables whose consumers are per-row compute-heavy (explodes, HOF hash
-# pipelines, vector math). The testdata parquet is ONE file with ONE row
-# group per table, so a plain scan gives Spark exactly one partition and the
-# whole narrow pipeline runs on a single core (measured: minhash_signatures
-# 3.1 s -> 0.6 s at sf0.1 once spread). A real 100 TB table arrives as many
-# files/row-groups and gets this parallelism for free; the one-time
-# repartition+localCheckpoint below recreates it without adding an Exchange
-# to any query plan (the checkpointed relation IS 32-way partitioned).
-_SPREAD_TABLES = frozenset({"documents", "embeddings"})
+# pipelines, vector math) or numerous enough that a single-partition scan
+# serializes a whole query family (events: ~40 window/sessionization/funnel
+# queries ran single-core against the one-file local parquet). The testdata
+# parquet is ONE file with ONE row group per table, so a plain scan gives
+# Spark exactly one partition and the whole narrow pipeline runs on a
+# single core (measured: minhash_signatures 3.1 s -> 0.6 s at sf0.1 once
+# spread). A real 100 TB table arrives as many files/row-groups and gets
+# this parallelism for free; the one-time repartition+localCheckpoint below
+# recreates it without adding an Exchange to any query plan (the
+# checkpointed relation IS 32-way partitioned).
+_SPREAD_TABLES = frozenset({"documents", "embeddings", "events"})
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
@@ -138,14 +141,15 @@ def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
     # already registered — the orphaned checkpoint blocks of a replaced
     # spread view stay pinned until the ContextCleaner notices
     for t in want - prev:
-        if t == "events":
-            events_batch(spark, sf_dir).createOrReplaceTempView(t)
-        else:
-            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-            if t in _SPREAD_TABLES:
-                p = spark.sparkContext.defaultParallelism
-                df = df.repartition(p).localCheckpoint(eager=True)
-            df.createOrReplaceTempView(t)
+        df = (
+            events_batch(spark, sf_dir)
+            if t == "events"
+            else spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        )
+        if t in _SPREAD_TABLES:
+            p = spark.sparkContext.defaultParallelism
+            df = df.repartition(p).localCheckpoint(eager=True)
+        df.createOrReplaceTempView(t)
     _VIEWS_STATE[spark] = (sf_dir, prev | want)
 
 
