@@ -215,8 +215,10 @@ def _parse_pdf_bytes(content: bytes) -> list[str]:
 
 _HTML_BLOCK_TAGS = frozenset(
     "p div li ul ol h1 h2 h3 h4 h5 h6 tr table section article header footer "
-    "blockquote pre br hr".split()
+    "blockquote pre hr".split()
 )
+# subtrees that never contribute visible text
+_HTML_SKIP_TAGS = frozenset("script style template noscript svg iframe object".split())
 # cell-level tags get a SPACE, not a paragraph break: '<td>alpha</td><td>beta'
 # must come out 'alpha beta' (not merged, and not split across chunks)
 _HTML_CELL_TAGS = frozenset("td th dt dd span a em strong b i u code".split())
@@ -234,15 +236,17 @@ class _VisibleTextParser(HTMLParser):
         self._skip = 0
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        if tag in ("script", "style", "template"):
+        if tag in _HTML_SKIP_TAGS:
             self._skip += 1
+        elif tag == "br":
+            self._chunks.append("\n")  # line break, not a paragraph break
         elif tag in _HTML_BLOCK_TAGS:
             self._chunks.append("\n\n")
         elif tag in _HTML_CELL_TAGS:
             self._chunks.append(" ")
 
     def handle_endtag(self, tag: str) -> None:
-        if tag in ("script", "style", "template"):
+        if tag in _HTML_SKIP_TAGS:
             self._skip = max(0, self._skip - 1)
         elif tag in _HTML_BLOCK_TAGS:
             self._chunks.append("\n\n")
@@ -270,8 +274,24 @@ def _parse_html_bytes(content: bytes) -> str:
 
         return BeautifulSoup(content, "html.parser").get_text(separator="\n")
     except ImportError:
+        # declared-charset detection (meta charset= / http-equiv content=),
+        # scanned in the head bytes like browsers do; utf-8 otherwise
+        enc = "utf-8"
+        m = re.search(
+            rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_.:-]+)""",
+            content[:4096],
+            re.IGNORECASE,
+        )
+        if m:
+            import codecs
+
+            try:
+                enc = m.group(1).decode("ascii")
+                codecs.lookup(enc)  # b"".decode() skips the lookup entirely
+            except (LookupError, UnicodeDecodeError):
+                enc = "utf-8"
         parser = _VisibleTextParser()
-        parser.feed(content.decode("utf-8", errors="replace"))
+        parser.feed(content.decode(enc, errors="replace"))
         parser.close()
         return parser.text()
 

@@ -324,3 +324,35 @@ def test_object_store_streaming_datasource(spark, tmp_path):
         assert spark.sql("SELECT count(*) FROM objstream").collect()[0][0] == 3
     finally:
         q.stop()
+
+
+def test_html_visible_text_fidelity():
+    """Stdlib HTML path: skip-subtree tags drop entirely (including
+    noscript/svg/iframe), <br> is a line break not a paragraph break, table
+    cells separate with spaces, entities decode, and a declared non-UTF-8
+    charset is honored."""
+    from oaim_sandbox_spark.sources.loaders import _parse_html_bytes
+
+    html = b"""<html><head>
+    <meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">
+    <script>var hidden = 'NOPE';</script><style>.x{color:red}</style>
+    </head><body>
+    <noscript>NOPE enable js</noscript>
+    <svg><text>NOPE svg</text></svg>
+    <h1>Caf\xe9 guide</h1>
+    <p>Line one<br>line two &amp; more</p>
+    <table><tr><td>alpha</td><td>beta</td></tr></table>
+    </body></html>"""
+    text = _parse_html_bytes(html)
+    assert "NOPE" not in text
+    assert "Café guide" in text          # iso-8859-1 \xe9 honored
+    assert "Line one\nline two & more" in text  # br = single newline, entity decoded
+    assert "alpha beta" in text
+    assert "Café guide\n\nLine one" in text  # block boundary = paragraph break
+
+
+def test_html_bad_declared_charset_falls_back():
+    from oaim_sandbox_spark.sources.loaders import _parse_html_bytes
+
+    html = b'<meta charset="no-such-enc"><p>ok text</p>'
+    assert "ok text" in _parse_html_bytes(html)
