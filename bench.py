@@ -139,6 +139,8 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
     - ivf_nprobe2/4@10 : 16-centroid IVF, partition-pruned probes.
     - pq_adc_rerank@10 : m=4,k=16 ADC funnel, exact re-rank (vs L2 oracle).
     - int8@10          : symmetric int8 quantize->dequantize round trip.
+    - binary_hamming_rerank@10: sign-bit packing (16x), Hamming candidates
+                         over two int64 words, 20x-k fetch, exact re-rank.
     - matryoshka16_rerank@10: 16-dim-prefix candidates, exact re-rank."""
     import tempfile
 
@@ -283,12 +285,46 @@ def ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str,
         cand = knn_join(storep, qdfp, k=5 * k, item_vec="emb16p").select("query_id", "neighbor_id")
         return rec(_exact_rerank(cand), exact_cos)
 
+    def tier_binary() -> float:
+        # binary (sign) quantization: 16x smaller than float32, candidates by
+        # Hamming over two packed int64 words, exact cosine re-rank — the
+        # memory tier below int8 (queries.binary_quant_topk is the
+        # full-oracle endpoint; this measures its recall operating point)
+        qrowsb = [
+            (qid,
+             sum(1 << j for j in range(32) if qv[j] > 0),
+             sum(1 << j for j in range(32) if qv[32 + j] > 0))
+            for qid, qv in queries
+        ]
+        qdfb = spark.createDataFrame(qrowsb, "query_id BIGINT, u1 BIGINT, u2 BIGINT")
+        packed = store.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(P.sign_pack("cast(embedding as array<double>)", 1, 32, "spark")).alias("w1"),
+            F.expr(P.sign_pack("cast(embedding as array<double>)", 33, 32, "spark")).alias("w2"),
+        )
+        hb = packed.crossJoin(F.broadcast(qdfb)).withColumn(
+            "hamming", F.expr("bit_count(w1 ^ u1) + bit_count(w2 ^ u2)")
+        )
+        wb = Window.partitionBy("query_id").orderBy(
+            F.col("hamming").asc(), F.col("neighbor_id").asc()
+        )
+        cand = (
+            hb.withColumn("rank", F.row_number().over(wb))
+            # binary is the coarsest tier: 1 bit/dim keeps only the sign, so
+            # the funnel fetches 20x k (vs 5x for 16-dim float tiers) and
+            # lets the exact re-rank recover the order
+            .filter(F.col("rank") <= 20 * k)
+            .select("query_id", "neighbor_id")
+        )
+        return rec(_exact_rerank(cand), exact_cos)
+
     tiers = {
         "lsh4@10": tier_lsh4,
         "lsh8_multiprobe@10": tier_lsh8,
         "ivf": tier_ivf,  # yields ivf_nprobe2@10 + ivf_nprobe4@10
         "pq_adc_rerank@10": tier_pq,
         "int8@10": tier_int8,
+        "binary_hamming_rerank@10": tier_binary,
         "matryoshka16_rerank@10": tier_matryoshka,
         "pca16_rerank@10": tier_pca16,
     }

@@ -335,3 +335,23 @@ def round6(e: str, dialect: str) -> str:
     """Round a double to 6 dp — used on every float output so hash-compare is
     immune to sub-1e-6 cross-engine float noise."""
     return f"round({e}, 6)"
+
+
+def sign_pack(arr: str, start_1based: int, n: int, dialect: str) -> str:
+    """Pack the SIGNS of ``n`` consecutive elements (1-based ``start``) into
+    one int64: bit j set iff arr[start+j] > 0. The binary-quantization
+    primitive — a 32-dim float slice (128 B) becomes 8 bytes, and Hamming
+    distance over the packed words approximates angular distance (n <= 60
+    keeps every partial sum in int64)."""
+    assert n <= 60
+    if dialect == "spark":
+        return (
+            f"aggregate(transform(sequence(0, {n - 1}), j -> "
+            f"CASE WHEN element_at({arr}, {start_1based} + j) > 0 "
+            f"THEN cast(pow(2, j) as bigint) ELSE 0L END), 0L, (s, x) -> s + x)"
+        )
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(0, {n - 1}), j -> "
+        f"CASE WHEN ({arr})[{start_1based} + j] > 0 "
+        f"THEN (2**j)::BIGINT ELSE 0::BIGINT END)), (s, x) -> s + x)"
+    )

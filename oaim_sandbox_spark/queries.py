@@ -1578,6 +1578,46 @@ LIMIT 10
 """
 
 
+def binary_quant_topk(d: str) -> str:
+    """Two-stage retrieval over BINARY-quantized embeddings — the extreme
+    memory tier below int8 (K4 family): each 64-dim float32 vector (256 B)
+    collapses to TWO int64 sign words (16 B, 16x), candidates rank by
+    Hamming distance (XOR + popcount — the cheapest distance a CPU can
+    compute; at 100 TB the packed words are all that streams through the
+    scan), and the fetch_k=50 survivors re-rank by exact float cosine.
+    Sign packing and popcount are deterministic integer ops on both engines
+    => FULL DuckDB oracle parity, unlike sketch tiers. Plan shape: narrow
+    pack projection -> TakeOrderedAndProject on hamming (no global sort) ->
+    fetch_k-bounded exact re-rank."""
+    a = P.to_double_array("e.embedding", d)
+    qv = P.to_double_array("q.qv", d)
+    p_lo = P.sign_pack("av", 1, 32, d)
+    p_hi = P.sign_pack("av", 33, 32, d)
+    q_lo = P.sign_pack("qvv", 1, 32, d)
+    q_hi = P.sign_pack("qvv", 33, 32, d)
+    ham = f"({P.hamming64('s.w1', 'qq.u1', d)} + {P.hamming64('s.w2', 'qq.u2', d)})"
+    exact = P.cosine_distance("av", "qvv2", d)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qq AS (SELECT qvv, {q_lo} AS u1, {q_hi} AS u2 FROM (SELECT {qv} AS qvv FROM q) t),
+store AS (
+  SELECT e.vec_id, av, {p_lo} AS w1, {p_hi} AS w2
+  FROM (SELECT vec_id, {a} AS av FROM embeddings e WHERE vec_id <> 0) e
+),
+cand AS (
+  SELECT s.vec_id, s.av, qq.qvv AS qvv2, {ham} AS hamming
+  FROM store s CROSS JOIN qq
+  ORDER BY hamming ASC, s.vec_id ASC
+  LIMIT 50
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(hamming AS INT) AS hamming,
+       round({exact}, 6) AS distance
+FROM cand
+ORDER BY distance ASC, vec_id ASC
+LIMIT 10
+"""
+
+
 def mlm_masking_q(d: str) -> str:
     """Deterministic MLM-style span masking (BERT/T5 pretraining prep): mask
     ~15% of tokens, chosen by a portable hash of (doc_id, position) so the
@@ -3016,6 +3056,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "streaming_click_error_join": streaming_click_error_join,
     "streaming_enrich_nation": streaming_enrich_nation,
     "quantized_topk": quantized_topk,
+    "binary_quant_topk": binary_quant_topk,
     "pq_adc_topk": pq_adc_topk,
     "mlm_masking": mlm_masking_q,
     "matryoshka_topk": matryoshka_topk_q,
@@ -5856,6 +5897,7 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     # 50-entry driver window).
     "doc_len_percentiles_approx",
     "mad_outliers_approx",
+    "binary_quant_topk",
 )
 
 

@@ -38,7 +38,8 @@ def test_no_row_python_udf_anywhere(plans):
 def test_topk_queries_use_topk_operator(plans):
     """Exact top-k retrieval compiles to TakeOrderedAndProject (no global
     sort, no store shuffle)."""
-    for name in ("topk_cosine", "topk_euclidean", "topk_dot_product", "filtered_topk_label"):
+    for name in ("topk_cosine", "topk_euclidean", "topk_dot_product", "filtered_topk_label",
+                 "binary_quant_topk"):
         assert "TakeOrderedAndProject" in plans[name], name
 
 
