@@ -328,6 +328,84 @@ def stress_colbert(n_docs: int = 50_000, tokens_per_doc: int = 12, n_queries: in
     }
 
 
+
+def stress_ntile(n_docs: int = 2_000_000) -> dict:
+    """Round-4 two-pass distributed NTILE at 20x sf0.1: the rewrite must
+    keep every corpus-sized operator partitioned (no single-partition
+    WindowExec over n_docs rows) and stay linear-ish in wall time. Bucket
+    sizes are asserted exact: first n%10 buckets get one extra row."""
+    from pyspark.sql import functions as F
+
+    spark = _spark("stress-ntile")
+    docs = (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"), (F.hash("id") % 5000 + 5000).alias("n_chars"))
+        .repartition(64)
+        .localCheckpoint()
+    )
+    docs.createOrReplaceTempView("documents")
+    from oaim_sandbox_spark import queries as Q
+
+    t0 = time.time()
+    rows = spark.sql(Q.TEMPLATES["ntile_curriculum_buckets"]("spark")).collect()
+    dt = time.time() - t0
+    sizes = [r["n_docs"] for r in sorted(rows, key=lambda r: r["bucket"])]
+    q, r = divmod(n_docs, 10)
+    assert sizes == [q + 1] * r + [q] * (10 - r), sizes
+    plan = spark.sql(Q.TEMPLATES["ntile_curriculum_buckets"]("spark"))._jdf.queryExecution().executedPlan().toString()
+    assert "ntile(" not in plan
+    return {"stress": "ntile_two_pass", "docs": n_docs, "buckets": len(rows), "seconds": round(dt, 1)}
+
+
+def stress_binaryquant(n_vecs: int = 1_000_000, n_queries: int = 16) -> dict:
+    """Binary-quantization search at 1M vectors: pack 64-dim signs into two
+    int64 words (16 MB total vs 256 MB float32), batch Hamming top-200 per
+    query via one partitioned-window scan, exact cosine re-rank. The packed
+    relation is what a 100 TB deployment materializes; the probe measures
+    the scan-bound search cost after packing."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from oaim_sandbox_spark.functions import portable as P
+
+    spark = _spark("stress-binaryquant")
+    vecs = _planted_vecs(spark, n_vecs)
+    packed = (
+        vecs.select(
+            "vec_id",
+            F.expr(P.sign_pack("embedding", 1, 32, "spark")).alias("w1"),
+            F.expr(P.sign_pack("embedding", 33, 32, "spark")).alias("w2"),
+        )
+        .repartition(64)
+        .localCheckpoint()
+    )
+    qrows = vecs.filter(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect()
+    qdf = spark.createDataFrame(
+        [
+            (int(r["vec_id"]),
+             sum(1 << j for j in range(32) if r["embedding"][j] > 0),
+             sum(1 << j for j in range(32) if r["embedding"][32 + j] > 0))
+            for r in qrows
+        ],
+        "query_id BIGINT, u1 BIGINT, u2 BIGINT",
+    )
+    t0 = time.time()
+    w = Window.partitionBy("query_id").orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+    cand = (
+        packed.crossJoin(F.broadcast(qdf))
+        .withColumn("hamming", F.expr("bit_count(w1 ^ u1) + bit_count(w2 ^ u2)"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 200)
+    )
+    n = cand.count()
+    dt = time.time() - t0
+    assert n == n_queries * 200
+    return {
+        "stress": "binary_quant_search", "vectors": n_vecs, "queries": n_queries,
+        "hamming_distances": n_vecs * n_queries, "seconds": round(dt, 1),
+    }
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "minhash"
     arg = int(sys.argv[2]) if len(sys.argv) > 2 else None
@@ -342,6 +420,8 @@ def main() -> None:
         "classifier": stress_classifier,
         "spans": stress_spans,
         "colbert": stress_colbert,
+        "ntile": stress_ntile,
+        "binaryquant": stress_binaryquant,
     }
     if cmd not in fns:
         raise SystemExit(f"unknown stress {cmd!r}; one of {sorted(fns)}")
