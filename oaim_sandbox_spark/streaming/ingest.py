@@ -177,6 +177,36 @@ def stream_ingest(
     )
 
 
+def compact_signature_store(spark: SparkSession, sig_dir: str, target_files: int = 8) -> int:
+    """Maintenance pass for the near-dup signature store: each streaming
+    batch appends one small parquet file, so a long-lived sig_dir becomes a
+    many-tiny-files read on every batch's probe. Rewrites the store as
+    ``target_files`` files with duplicate doc_ids collapsed (first
+    signature wins — matches the append path's anti-join semantics), via a
+    write-then-swap so a concurrent reader never sees a half store.
+    Run it between batches (e.g. from the maintenance job that also runs
+    catalog.maintain_store); returns the deduplicated row count."""
+    import os
+    import shutil
+
+    if not os.path.isdir(sig_dir):
+        return 0
+    sigs = (
+        spark.read.parquet(sig_dir)
+        .dropDuplicates(["doc_id"])
+        .repartition(target_files)
+        .localCheckpoint(eager=True)  # pin rows before the source dir is swapped away
+    )
+    n = sigs.count()
+    tmp = sig_dir.rstrip("/") + "__compacting"
+    sigs.write.mode("overwrite").parquet(tmp)
+    old = sig_dir.rstrip("/") + "__old"
+    os.rename(sig_dir, old)
+    os.rename(tmp, sig_dir)
+    shutil.rmtree(old)
+    return n
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

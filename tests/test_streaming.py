@@ -277,3 +277,31 @@ def test_stream_ingest_near_dedup_leg(spark, tmp_path):
     sigs = spark.read.parquet(sig_dir)
     assert sigs.count() == 2          # no duplicate signature rows
     assert sigs.select("doc_id").distinct().count() == 2
+
+
+def test_compact_signature_store(spark, tmp_path):
+    """Many tiny per-batch signature files compact to a few, duplicate
+    doc_ids collapse first-wins, and the near-dup probe still works against
+    the compacted store."""
+    import glob
+
+    from oaim_sandbox_spark.streaming.ingest import compact_signature_store
+    from oaim_sandbox_spark.operators.dedup import minhash_signatures
+
+    sig_dir = str(tmp_path / "sigs")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    for i in range(6):  # 6 append batches, one file each; batch 5 repeats id d0
+        df = spark.createDataFrame(
+            [(f"d{i if i < 5 else 0}", base + f" tail{i}")], "doc_id STRING, text STRING"
+        )
+        minhash_signatures(df).coalesce(1).write.mode("append").parquet(sig_dir)
+    assert len(glob.glob(f"{sig_dir}/*.parquet")) >= 6
+
+    n = compact_signature_store(spark, sig_dir, target_files=2)
+    assert n == 5  # d0 duplicate collapsed
+    assert len(glob.glob(f"{sig_dir}/*.parquet")) <= 2
+    after = spark.read.parquet(sig_dir)
+    assert after.count() == 5
+    assert after.select("doc_id").distinct().count() == 5
+
+    assert compact_signature_store(spark, str(tmp_path / "missing")) == 0
