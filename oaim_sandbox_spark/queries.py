@@ -4735,6 +4735,104 @@ ORDER BY c.source
 """
 
 
+def tfidf_top_terms(d: str) -> str:
+    """Per-document TF-IDF top terms — the classic keyword/representation
+    signal next to BM25 (bm25_topk scores QUERY matches; this characterizes
+    each document). Shape: one token explode -> per-(doc, token) counts;
+    document frequency collapses the same relation to a vocab-sized dim that
+    joins back (broadcastable at any corpus scale); per-doc top-3 via a
+    window PARTITIONED by doc_id — no global sort, text never shuffles.
+    Smoothed idf = ln((N+1)/(df+1)) + 1 (sklearn's convention) keeps every
+    term positive and engine-identical. Deterministic doc subset keeps the
+    bench slice proportionate."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT doc_id, tok FROM documents LATERAL VIEW explode({toks}) t AS tok WHERE doc_id % 10 = 0"
+    else:
+        tok = f"SELECT doc_id, unnest({toks}) AS tok FROM documents WHERE doc_id % 10 = 0"
+    return f"""
+WITH tk AS ({tok}),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM tk GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tk GROUP BY tok),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tk),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, tok, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rk
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rk AS INT) AS rank, tok AS term,
+       CAST(round(tfidf, 6) AS DOUBLE) AS tfidf
+FROM ranked
+WHERE rk <= 3
+ORDER BY doc_id, rank
+"""
+
+
+def kl_divergence_by_source(d: str) -> str:
+    """Per-source token-distribution KL divergence from the corpus
+    distribution — the domain-shift scalar for mixture design (PSI tracks a
+    binned numeric column over time; this compares each source's unigram
+    LANGUAGE MODEL against the corpus). Laplace-smoothed over the corpus
+    vocab so KL is finite for vocab subsets.
+
+    The naive full KL needs a source x vocab OUTER join (every source paired
+    with every corpus term — quadratic-ish blowup at 100 TB vocab). This
+    form is EXACT full-support KL with no outer join: for terms absent from
+    a source, p is the constant p0 = 1/(tot+V), so their contribution
+    collapses algebraically to
+        p0 * ((V - n_present)*ln(p0) - (L - sum_present ln(q)))
+    where L = sum over the whole vocab of ln(q) is ONE corpus scalar.
+    Shape: one token explode -> (source, token) counts; everything else is
+    dim-sized aggs over that counted relation; output is source-dim-sized."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT source, tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
+    else:
+        tok = f"SELECT source, unnest({toks}) AS tok FROM documents"
+    return f"""
+WITH tk AS ({tok}),
+sc AS (SELECT source, tok, CAST(COUNT(*) AS DOUBLE) AS c FROM tk GROUP BY source, tok),
+corp AS (SELECT tok, CAST(SUM(c) AS DOUBLE) AS c FROM sc GROUP BY tok),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vocab, CAST(SUM(c) AS DOUBLE) AS total FROM corp),
+lq AS (SELECT CAST(SUM(ln((corp.c + 1.0) / (v.total + v.vocab))) AS DOUBLE) AS l
+       FROM corp CROSS JOIN v),
+st AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS tot FROM sc GROUP BY source),
+terms AS (
+  SELECT sc.source, st.tot,
+         (sc.c + 1.0) / (st.tot + v.vocab) AS p,
+         (corp.c + 1.0) / (v.total + v.vocab) AS q
+  FROM sc
+  JOIN corp ON sc.tok = corp.tok
+  JOIN st ON sc.source = st.source
+  CROSS JOIN v
+),
+agg AS (
+  SELECT source,
+         SUM(p * ln(p / q)) AS present_kl,
+         SUM(ln(q)) AS present_lnq,
+         CAST(COUNT(*) AS DOUBLE) AS n_present,
+         MAX(tot) AS tot
+  FROM terms
+  GROUP BY source
+)
+SELECT a.source,
+       CAST(round(a.present_kl
+         + (1.0 / (a.tot + v.vocab))
+           * ((v.vocab - a.n_present) * ln(1.0 / (a.tot + v.vocab))
+              - (lq.l - a.present_lnq)), 6) + 0.0 AS DOUBLE) AS kl_from_corpus,
+       CAST(a.n_present AS BIGINT) AS n_terms
+FROM agg a CROSS JOIN v CROSS JOIN lq
+ORDER BY a.source
+"""
+
+
+TEMPLATES["tfidf_top_terms"] = tfidf_top_terms
+TEMPLATES["kl_divergence_by_source"] = kl_divergence_by_source
 TEMPLATES["source_vocab_overlap"] = source_vocab_overlap
 TEMPLATES["event_markov_transitions"] = event_markov_transitions
 TEMPLATES["source_lang_entropy"] = source_lang_entropy
@@ -5898,6 +5996,8 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "doc_len_percentiles_approx",
     "mad_outliers_approx",
     "binary_quant_topk",
+    "tfidf_top_terms",
+    "kl_divergence_by_source",
 )
 
 

@@ -207,3 +207,37 @@ def test_rows_only_entries_hardened(spark):
         rows = Q.NON_ORACLE[name](spark, SF).collect()
         assert rows, name
         assert all(r[col] for r in rows), f"{name}: invariant column {col} is false"
+
+
+def test_kl_divergence_algebraic_equals_naive():
+    """kl_divergence_by_source avoids the source x vocab outer join with an
+    algebraic absent-mass correction; this proves the shortcut equals the
+    NAIVE full-support KL (explicit outer join over the whole vocab) to
+    1e-6 on real testdata."""
+    import duckdb
+
+    duck = duckdb.connect()
+    duck.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    got = {r[0]: r[1] for r in duck.sql(Q.TEMPLATES["kl_divergence_by_source"]("duck")).fetchall()}
+
+    from oaim_sandbox_spark.functions import portable as P
+
+    toks = P.tokens("text", "duck")
+    naive = duck.sql(f"""
+WITH tk AS (SELECT source, unnest({toks}) AS tok FROM documents),
+sc AS (SELECT source, tok, CAST(COUNT(*) AS DOUBLE) AS c FROM tk GROUP BY source, tok),
+corp AS (SELECT tok, CAST(SUM(c) AS DOUBLE) AS c FROM sc GROUP BY tok),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vocab, CAST(SUM(c) AS DOUBLE) AS total FROM corp),
+st AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS tot FROM sc GROUP BY source),
+grid AS (
+  SELECT st.source,
+         (COALESCE(sc.c, 0) + 1.0) / (st.tot + v.vocab) AS p,
+         (corp.c + 1.0) / (v.total + v.vocab) AS q
+  FROM st CROSS JOIN corp CROSS JOIN v
+  LEFT JOIN sc ON sc.source = st.source AND sc.tok = corp.tok
+)
+SELECT source, SUM(p * ln(p / q)) FROM grid GROUP BY source
+""").fetchall()
+    assert len(naive) == len(got)
+    for source, kl in naive:
+        assert abs(got[source] - kl) < 1e-6, (source, got[source], kl)
