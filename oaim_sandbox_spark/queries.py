@@ -4831,8 +4831,50 @@ ORDER BY a.source
 """
 
 
+def zipf_alpha_by_lang(d: str) -> str:
+    """Zipf-law exponent per language — the corpus-health diagnostic for LM
+    data (natural text sits near alpha ~= 1; far-off values flag boilerplate
+    floods or synthetic/templated text). OLS fit of ln(freq) on ln(rank)
+    over each language's top-500 tokens, closed-form slope from the five
+    classic sums — deterministic on both engines, no regr_* dependency.
+    Shape: token explode -> (lang, token) counts (map-side combinable);
+    ranking window is PARTITIONED by lang over the vocab-sized count
+    relation; the fit aggregates 500 rows per lang. r2 reports fit quality
+    so a low-alpha verdict can't hide a non-power-law distribution."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT lang, tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
+    else:
+        tok = f"SELECT lang, unnest({toks}) AS tok FROM documents"
+    return f"""
+WITH tk AS ({tok}),
+tf AS (SELECT lang, tok, CAST(COUNT(*) AS DOUBLE) AS c FROM tk GROUP BY lang, tok),
+ranked AS (
+  SELECT lang, c, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok ASC) AS rk
+  FROM tf
+),
+pts AS (
+  SELECT lang, ln(CAST(rk AS DOUBLE)) AS x, ln(c) AS y
+  FROM ranked WHERE rk <= 500
+),
+fit AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pts GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n_terms,
+       CAST(round(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS DOUBLE) AS zipf_alpha,
+       CAST(round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS DOUBLE) AS r2
+FROM fit
+ORDER BY lang
+"""
+
+
 TEMPLATES["tfidf_top_terms"] = tfidf_top_terms
 TEMPLATES["kl_divergence_by_source"] = kl_divergence_by_source
+TEMPLATES["zipf_alpha_by_lang"] = zipf_alpha_by_lang
 TEMPLATES["source_vocab_overlap"] = source_vocab_overlap
 TEMPLATES["event_markov_transitions"] = event_markov_transitions
 TEMPLATES["source_lang_entropy"] = source_lang_entropy
@@ -5998,6 +6040,7 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "binary_quant_topk",
     "tfidf_top_terms",
     "kl_divergence_by_source",
+    "zipf_alpha_by_lang",
 )
 
 
