@@ -2178,6 +2178,63 @@ def minhash_lsh_pairs_q(d: str) -> str:
     return body.replace("WITH banded AS", f"WITH sigs AS ({_minhash_sigs_sql(d)}), banded AS", 1)
 
 
+def split_leakage_check(d: str) -> str:
+    """Cross-SPLIT near-dup leakage audit — the decontamination check a
+    training pipeline runs BETWEEN its own splits (contamination_rate_by_*
+    checks against external benchmarks; this catches a near-copy of a
+    training doc leaking into val/test, which silently inflates eval).
+    Splits are hash-assigned (80/10/10, deterministic, engine-identical);
+    the MinHash band join keeps only CROSS-split candidate pairs, so the
+    bucket-join cost stays ~ sum(bucket_train x bucket_eval), never eval².
+    Output is split-pair-dim-sized: leaked pair count + the number of
+    TAINTED eval docs (distinct val/test members of a leaking pair) —
+    the list a pipeline would quarantine before evaluation."""
+    rows = NUM_PERM // BANDS
+    key = "cast(doc_id as string)" if d == "spark" else "(doc_id::VARCHAR)"
+    split = (
+        f"CASE WHEN {P.hash64(key, d)} % 10 < 8 THEN 'train' "
+        f"WHEN {P.hash64(key, d)} % 10 = 8 THEN 'val' ELSE 'test' END"
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, split, {b} AS band_idx, "
+        f"{P.hash64(_band_concat('sig', b, rows, d), d)} AS band_hash FROM sigs"
+        for b in range(BANDS)
+    )
+    eq_terms = " + ".join(
+        f"CASE WHEN {_elem('a.sig', i + 1, d)} = {_elem('b.sig', i + 1, d)} THEN 1 ELSE 0 END"
+        for i in range(NUM_PERM)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT s.doc_id, {split} AS split, s.sig
+  FROM ({_minhash_sigs_sql(d)}) s
+),
+banded AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, l.split AS split_a, r.doc_id AS doc_b, r.split AS split_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+   AND l.doc_id < r.doc_id AND l.split <> r.split
+),
+scored AS (
+  SELECT p.doc_a, p.split_a, p.doc_b, p.split_b,
+         ({eq_terms}) / {NUM_PERM}.0 AS est_jaccard
+  FROM pairs p
+  JOIN sigs a ON a.doc_id = p.doc_a
+  JOIN sigs b ON b.doc_id = p.doc_b
+),
+leaks AS (SELECT * FROM scored WHERE est_jaccard >= 0.5)
+SELECT LEAST(split_a, split_b) AS split_lo, GREATEST(split_a, split_b) AS split_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_leaked_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN split_a IN ('val', 'test') THEN doc_a
+                                WHEN split_b IN ('val', 'test') THEN doc_b END) AS BIGINT)
+         AS n_tainted_eval_docs
+FROM leaks
+GROUP BY LEAST(split_a, split_b), GREATEST(split_a, split_b)
+ORDER BY split_lo, split_hi
+"""
+
+
 def _incremental_probe_body(d: str, rel: str = "sigs") -> str:
     """New-batch × existing-corpus LSH probe, reading (doc_id, is_new, sig)
     from the signature relation `rel` — the band join keeps ONLY new×existing
@@ -2995,6 +3052,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "lsh_ann_topk": lsh_ann_topk,
     "minhash_signatures": minhash_signatures_q,
     "minhash_lsh_pairs": minhash_lsh_pairs_q,
+    "split_leakage_check": split_leakage_check,
     "incremental_neardup_probe": incremental_neardup_probe_q,
     "simhash_fingerprints": simhash_fingerprints_q,
     "simhash_near_pairs": simhash_near_pairs_q,
@@ -6041,6 +6099,7 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "tfidf_top_terms",
     "kl_divergence_by_source",
     "zipf_alpha_by_lang",
+    "split_leakage_check",
 )
 
 
