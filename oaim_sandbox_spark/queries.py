@@ -4248,6 +4248,13 @@ FROM events
 GROUP BY event_type
 """
     ).collect()
+    out_schema = (
+        "event_type STRING, approx_users BIGINT, approx_p50 DOUBLE, approx_p95 DOUBLE, "
+        "exact_users BIGINT, users_within_bound BOOLEAN, p50_within_bound BOOLEAN, "
+        "p95_within_bound BOOLEAN"
+    )
+    if not sk:  # empty events: degrade to an empty typed frame, never throw
+        return spark.createDataFrame([], out_schema)
     # pass 2: one scan counting each type's values against ITS sketch
     # thresholds, inlined as literal CASE chains (no join at all — the
     # thresholds are per-type scalars, exactly like a broadcast of 5 rows
@@ -4285,12 +4292,7 @@ GROUP BY event_type
             rk["n_lt50"] <= 0.60 * rk["n"] and rk["n_le50"] >= 0.40 * rk["n"],
             rk["n_lt95"] <= 0.99 * rk["n"] and rk["n_le95"] >= 0.90 * rk["n"],
         ))
-    return spark.createDataFrame(
-        out,
-        "event_type STRING, approx_users BIGINT, approx_p50 DOUBLE, approx_p95 DOUBLE, "
-        "exact_users BIGINT, users_within_bound BOOLEAN, p50_within_bound BOOLEAN, "
-        "p95_within_bound BOOLEAN",
-    )
+    return spark.createDataFrame(out, out_schema)
 
 
 NON_ORACLE: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -63,3 +63,29 @@ def test_knn_join_empty_store(spark):
         [(0, [1.0, 0.0])], "query_id BIGINT, query_vec ARRAY<DOUBLE>"
     )
     assert knn_join(store, qdf, k=3).count() == 0
+
+
+def test_sketch_profile_on_empty_events(spark):
+    """sketch_profile collects its per-type sketch rows between passes — an
+    empty events table must yield an empty typed frame, not a coalesce()
+    crash (quiet landing dir is a normal state for a continuous pipeline)."""
+    import weakref
+
+    from oaim_sandbox_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        spark.createDataFrame(
+            [], "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts_us BIGINT"
+        ).createOrReplaceTempView("events")
+        if Q._VIEWS_STATE is None:
+            Q._VIEWS_STATE = weakref.WeakKeyDictionary()
+        # mark everything registered so the runner's register_views no-ops
+        # and the empty view stays in place
+        Q._VIEWS_STATE[spark] = (sf, frozenset(Q.ALL_TABLES))
+        out = Q.NON_ORACLE["sketch_profile"](spark, sf)
+        assert out.count() == 0
+        assert "users_within_bound" in out.columns
+    finally:
+        spark.catalog.dropTempView("events")
+        Q._VIEWS_STATE.pop(spark, None)
