@@ -1142,108 +1142,149 @@ def doc_len_percentiles_approx(d: str) -> str:
     for p50/p90/p99 of n_chars.
 
     Oracle design for an engine-specific sketch: the output carries the
-    EXACT percentile brackets around each target (p45/p55, p85/p95,
-    p985/max — both engines compute these identically) plus *_within
-    booleans asserting the sketch landed inside its bracket. DuckDB states
-    the booleans as the CONTRACT (literal TRUE); Spark states them as the
-    MEASUREMENT — a sketch that drifts out of its bracket hash-mismatches
-    the driver check. With accuracy 10000 the rank error is ≤ N/10000,
-    far inside the ±5-percentile rank brackets at any SF. The p99 bracket
-    tops out at the exact MAX, not interpolated p995: the sketch returns an
-    ORDER STATISTIC, and in a gapped tail the statistic one rank above the
-    target can exceed any interpolated sub-max bound (observed at sf0.01) —
-    max is the only upper bound that is discreteness-proof."""
+    EXACT percentile landmarks (p45..max — both engines compute these
+    identically) plus *_within booleans stating the sketch's RANK-error
+    contract. DuckDB states the booleans as the CONTRACT (literal TRUE);
+    Spark states them as the MEASUREMENT — a sketch that drifts out of
+    contract hash-mismatches the driver check. The contract is rank-based
+    (count of values strictly below / at-or-below the sketch output vs the
+    target rank ±5), NOT a value-bracket comparison: approx_percentile
+    returns an ORDER STATISTIC, and in gapped or tied distributions an
+    interpolated value bracket can exclude every actual data value — the
+    rank form is discreteness- and tie-proof for any group size (ranks of
+    an element returned with rank error <= n/10000 always satisfy a
+    +-0.05n window)."""
     if d == "spark":
         ex = "percentile(n_chars, array(0.45D, 0.55D, 0.85D, 0.95D, 0.985D, 1.0D))"
         ap = "approx_percentile(n_chars, array(0.5D, 0.9D, 0.99D), 10000)"
-        within = (
-            "(element_at(a, 1) BETWEEN element_at(p, 1) AND element_at(p, 2)) AS p50_within,\n"
-            "       (element_at(a, 2) BETWEEN element_at(p, 3) AND element_at(p, 4)) AS p90_within,\n"
-            "       (element_at(a, 3) BETWEEN element_at(p, 5) AND element_at(p, 6)) AS p99_within"
-        )
-        inner = f"SELECT lang, {ex} AS p, {ap} AS a FROM documents GROUP BY lang"
-    else:
-        ex = "quantile_cont(n_chars, [0.45, 0.55, 0.85, 0.95, 0.985, 1.0])"
-        within = "TRUE AS p50_within,\n       TRUE AS p90_within,\n       TRUE AS p99_within"
-        inner = f"SELECT lang, {ex} AS p FROM documents GROUP BY lang"
-    e = lambda i: _elem("p", i, d)  # noqa: E731
+        e = lambda i: f"element_at(p, {i})"  # noqa: E731
+        body = f"""
+WITH ap AS (SELECT lang, {ap} AS a FROM documents GROUP BY lang),
+r AS (
+  SELECT d.lang, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(CASE WHEN d.n_chars <  element_at(ap.a, 1) THEN 1 ELSE 0 END) AS lt50,
+         SUM(CASE WHEN d.n_chars <= element_at(ap.a, 1) THEN 1 ELSE 0 END) AS le50,
+         SUM(CASE WHEN d.n_chars <  element_at(ap.a, 2) THEN 1 ELSE 0 END) AS lt90,
+         SUM(CASE WHEN d.n_chars <= element_at(ap.a, 2) THEN 1 ELSE 0 END) AS le90,
+         SUM(CASE WHEN d.n_chars <= element_at(ap.a, 3) THEN 1 ELSE 0 END) AS le99
+  FROM documents d JOIN ap ON d.lang = ap.lang
+  GROUP BY d.lang
+),
+ex AS (SELECT lang, {ex} AS p FROM documents GROUP BY lang)
+SELECT ex.lang,
+       round({e(1)}, 6) AS p45, round({e(2)}, 6) AS p55,
+       round({e(3)}, 6) AS p85, round({e(4)}, 6) AS p95,
+       round({e(5)}, 6) AS p985, round({e(6)}, 6) AS p100,
+       (r.lt50 <= 0.55 * r.n AND r.le50 >= 0.45 * r.n) AS p50_within,
+       (r.lt90 <= 0.95 * r.n AND r.le90 >= 0.85 * r.n) AS p90_within,
+       (r.le99 >= 0.94 * r.n) AS p99_within
+FROM ex JOIN r ON ex.lang = r.lang
+ORDER BY ex.lang
+"""
+        return body
+    ex = "quantile_cont(n_chars, [0.45, 0.55, 0.85, 0.95, 0.985, 1.0])"
+    e = lambda i: f"(p)[{i}]"  # noqa: E731
     return f"""
 SELECT lang,
        round({e(1)}, 6) AS p45, round({e(2)}, 6) AS p55,
        round({e(3)}, 6) AS p85, round({e(4)}, 6) AS p95,
        round({e(5)}, 6) AS p985, round({e(6)}, 6) AS p100,
-       {within}
-FROM ({inner}) t
+       TRUE AS p50_within,
+       TRUE AS p90_within,
+       TRUE AS p99_within
+FROM (SELECT lang, {ex} AS p FROM documents GROUP BY lang) t
 ORDER BY lang
 """
 
 
 def mad_outliers_approx(d: str) -> str:
     """mad_outliers' promised scale path as checked code: approx-percentile
-    median + MAD (two sketch aggs, no per-group exact sort) and the approx
-    outlier count per event type.
+    median + MAD (two sketch aggs, no per-group exact sort buffering).
 
-    Contract-oracle design (see doc_len_percentiles_approx): all EXACT
-    quantities — the median bracket [med48, med52], the dev bracket
-    [d48, d52], and the outlier-count bounds n_lower/n_upper derived from
-    them — are computed identically on both engines and value-checked.
-    The booleans are the sketch's error contract: with Δ = med52 − med48,
-    |approx_med − exact_med| ≤ Δ and per-row |dev_a − dev_e| ≤ Δ, so
-    approx_mad ∈ [d48 − Δ, d52 + Δ] and (triangle inequality, c = 3·1.4826)
-      count(dev_e > c·(d52+Δ) + Δ)  ≤  n_approx  ≤  count(dev_e > c·(d48−Δ) − Δ).
-    DuckDB asserts the booleans TRUE; Spark measures them."""
+    Contract-oracle design (see doc_len_percentiles_approx): the EXACT
+    quantities — median bracket [med48, med52], MAD bracket [d48, d52] over
+    deviations from the exact median, and the exact outlier count at the
+    exact MAD threshold — are computed identically on both engines and
+    value-checked. The sketch contracts are RANK-based booleans (DuckDB
+    states TRUE, Spark measures): the approx median's rank among values and
+    the approx MAD's rank among ITS OWN deviation distribution must land in
+    [0.48, 0.52]·n — guaranteed by the sketch's rank-error spec for any
+    group size, gapped or tied data included. (A previous form derived
+    outlier-count bounds from interpolated value brackets; that derivation
+    is unsound on gapped distributions — an order-statistic sketch output
+    can sit outside any interpolated sub-extreme bracket — so the exact
+    count is the oracle-checked payload and the sketch keeps rank
+    contracts.)"""
     c = "4.4478"  # 3 * 1.4826
     if d == "spark":
-        mp = "percentile(value, array(0.48D, 0.52D))"
-        amed = "approx_percentile(value, 0.5D, 10000)"
-        stats = f"SELECT event_type, {mp} AS mp, {amed} AS amed, percentile(value, 0.5D) AS med_e FROM events GROUP BY event_type"
-        dq = "percentile(dev_e, array(0.48D, 0.52D))"
-        amad = "approx_percentile(dev_a, 0.5D, 10000)"
-        dstats = f"SELECT event_type, {dq} AS dp, {amad} AS amad FROM devs GROUP BY event_type"
-    else:
-        mp = "quantile_cont(value, [0.48, 0.52])"
-        stats = f"SELECT event_type, {mp} AS mp, quantile_cont(value, 0.5) AS med_e FROM events GROUP BY event_type"
-        dq = "quantile_cont(dev_e, [0.48, 0.52])"
-        dstats = f"SELECT event_type, {dq} AS dp FROM devs GROUP BY event_type"
-    m1, m2 = _elem("m.mp", 1, d), _elem("m.mp", 2, d)
-    d1, d2 = _elem("dd.dp", 1, d), _elem("dd.dp", 2, d)
-    n_lower = f"SUM(CASE WHEN dev_e > {c} * (d52 + delta) + delta THEN 1 ELSE 0 END)"
-    n_upper = f"SUM(CASE WHEN dev_e > {c} * (d48 - delta) - delta THEN 1 ELSE 0 END)"
-    if d == "spark":
-        dev_a = "abs(e.value - m.amed) AS dev_a,"
-        approx_cols = "dd.amad AS amad,"
-        grp = "event_type, med48, med52, d48, d52, delta, amed, amad"
-        bools = f"""(amed BETWEEN med48 AND med52) AS med_within,
-       (amad BETWEEN d48 - delta AND d52 + delta) AS mad_within,
-       (SUM(CASE WHEN dev_a > {c} * amad THEN 1 ELSE 0 END)
-          BETWEEN {n_lower} AND {n_upper}) AS outliers_within"""
-    else:
-        dev_a = ""
-        approx_cols = ""
-        grp = "event_type, med48, med52, d48, d52, delta"
-        bools = "TRUE AS med_within,\n       TRUE AS mad_within,\n       TRUE AS outliers_within"
-    amed_col = "m.amed AS amed," if d == "spark" else ""
-    return f"""
-WITH med AS ({stats}),
+        return f"""
+WITH med AS (
+  SELECT event_type, percentile(value, array(0.48D, 0.5D, 0.52D)) AS mp,
+         approx_percentile(value, 0.5D, 10000) AS amed
+  FROM events GROUP BY event_type
+),
 devs AS (
-  SELECT e.event_type, e.value, {dev_a} {amed_col}
-         abs(e.value - m.med_e) AS dev_e,
-         {m1} AS med48, {m2} AS med52, ({m2} - {m1}) AS delta
+  SELECT e.event_type, e.value, m.amed,
+         abs(e.value - element_at(m.mp, 2)) AS dev_e,
+         abs(e.value - m.amed) AS dev_a,
+         element_at(m.mp, 1) AS med48, element_at(m.mp, 3) AS med52
   FROM events e JOIN med m ON e.event_type = m.event_type
 ),
-madt AS ({dstats}),
-full_t AS (
-  SELECT v.*, {approx_cols} {d1} AS d48, {d2} AS d52
-  FROM devs v JOIN madt dd ON v.event_type = dd.event_type
+dstat AS (
+  SELECT event_type, percentile(dev_e, array(0.48D, 0.5D, 0.52D)) AS dp,
+         approx_percentile(dev_a, 0.5D, 10000) AS amad
+  FROM devs GROUP BY event_type
+),
+r AS (
+  SELECT v.event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+         MAX(v.med48) AS med48, MAX(v.med52) AS med52,
+         MAX(element_at(dd.dp, 1)) AS d48, MAX(element_at(dd.dp, 3)) AS d52,
+         SUM(CASE WHEN v.value <  v.amed THEN 1 ELSE 0 END) AS lt_med,
+         SUM(CASE WHEN v.value <= v.amed THEN 1 ELSE 0 END) AS le_med,
+         SUM(CASE WHEN v.dev_a <  dd.amad THEN 1 ELSE 0 END) AS lt_mad,
+         SUM(CASE WHEN v.dev_a <= dd.amad THEN 1 ELSE 0 END) AS le_mad,
+         SUM(CASE WHEN v.dev_e > {c} * element_at(dd.dp, 2) THEN 1 ELSE 0 END) AS n_outliers
+  FROM devs v JOIN dstat dd ON v.event_type = dd.event_type
+  GROUP BY v.event_type
 )
 SELECT event_type,
        round(med48, 6) AS med48, round(med52, 6) AS med52,
        round(d48, 6) AS d48, round(d52, 6) AS d52,
-       CAST({n_lower} AS BIGINT) AS n_lower,
-       CAST({n_upper} AS BIGINT) AS n_upper,
-       {bools}
-FROM full_t
-GROUP BY {grp}
+       CAST(n_outliers AS BIGINT) AS n_outliers,
+       (lt_med <= 0.52 * n AND le_med >= 0.48 * n) AS med_within,
+       (lt_mad <= 0.52 * n AND le_mad >= 0.48 * n) AS mad_within
+FROM r
+ORDER BY event_type
+"""
+    return f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, [0.48, 0.5, 0.52]) AS mp
+  FROM events GROUP BY event_type
+),
+devs AS (
+  SELECT e.event_type, abs(e.value - (m.mp)[2]) AS dev_e,
+         (m.mp)[1] AS med48, (m.mp)[3] AS med52
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+dstat AS (
+  SELECT event_type, quantile_cont(dev_e, [0.48, 0.5, 0.52]) AS dp
+  FROM devs GROUP BY event_type
+),
+r AS (
+  SELECT v.event_type,
+         MAX(v.med48) AS med48, MAX(v.med52) AS med52,
+         MAX((dd.dp)[1]) AS d48, MAX((dd.dp)[3]) AS d52,
+         SUM(CASE WHEN v.dev_e > {c} * (dd.dp)[2] THEN 1 ELSE 0 END) AS n_outliers
+  FROM devs v JOIN dstat dd ON v.event_type = dd.event_type
+  GROUP BY v.event_type
+)
+SELECT event_type,
+       round(med48, 6) AS med48, round(med52, 6) AS med52,
+       round(d48, 6) AS d48, round(d52, 6) AS d52,
+       CAST(n_outliers AS BIGINT) AS n_outliers,
+       TRUE AS med_within,
+       TRUE AS mad_within
+FROM r
 ORDER BY event_type
 """
 
@@ -2223,15 +2264,29 @@ scored AS (
   JOIN sigs a ON a.doc_id = p.doc_a
   JOIN sigs b ON b.doc_id = p.doc_b
 ),
-leaks AS (SELECT * FROM scored WHERE est_jaccard >= 0.5)
-SELECT LEAST(split_a, split_b) AS split_lo, GREATEST(split_a, split_b) AS split_hi,
-       CAST(COUNT(*) AS BIGINT) AS n_leaked_pairs,
-       CAST(COUNT(DISTINCT CASE WHEN split_a IN ('val', 'test') THEN doc_a
-                                WHEN split_b IN ('val', 'test') THEN doc_b END) AS BIGINT)
-         AS n_tainted_eval_docs
-FROM leaks
-GROUP BY LEAST(split_a, split_b), GREATEST(split_a, split_b)
-ORDER BY split_lo, split_hi
+leaks AS (SELECT * FROM scored WHERE est_jaccard >= 0.5),
+pair_counts AS (
+  SELECT LEAST(split_a, split_b) AS split_lo, GREATEST(split_a, split_b) AS split_hi,
+         CAST(COUNT(*) AS BIGINT) AS n_leaked_pairs
+  FROM leaks
+  GROUP BY LEAST(split_a, split_b), GREATEST(split_a, split_b)
+),
+members AS (
+  -- BOTH members of a pair can be eval docs (a val<->test leak): explode the
+  -- pair so each tainted side counts; a CASE over one side undercounts
+  SELECT LEAST(split_a, split_b) AS split_lo, GREATEST(split_a, split_b) AS split_hi,
+         doc_a AS doc_id, split_a AS member_split FROM leaks
+  UNION ALL
+  SELECT LEAST(split_a, split_b), GREATEST(split_a, split_b),
+         doc_b, split_b FROM leaks
+)
+SELECT p.split_lo, p.split_hi, p.n_leaked_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN m.member_split IN ('val', 'test') THEN m.doc_id END)
+            AS BIGINT) AS n_tainted_eval_docs
+FROM pair_counts p
+JOIN members m ON m.split_lo = p.split_lo AND m.split_hi = p.split_hi
+GROUP BY p.split_lo, p.split_hi, p.n_leaked_pairs
+ORDER BY p.split_lo, p.split_hi
 """
 
 
@@ -4171,27 +4226,35 @@ def _bpe_tokenize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     bpe = BPETokenizer.train(docs, num_merges=100)
     toks = bpe.tokenize_df(docs)
-    ex = toks.select(F.explode("bpe_tokens").alias("token"))
-    top = (
-        ex.groupBy("token")
+    # ONE tokenize pass: the vocab-sized token-count relation is checkpointed
+    # and serves BOTH the top-20 and the conservation audit — feeding them
+    # independent subtrees would run the mapInPandas tokenizer twice (the
+    # CTE-inline recompute class sketch_profile hit too)
+    cnt = (
+        toks.select(F.explode("bpe_tokens").alias("token"))
+        .groupBy("token")
         .agg(F.count("*").cast("long").alias("n"))
-        .orderBy(F.col("n").desc(), F.col("token").asc())
-        .limit(20)
+        .localCheckpoint(eager=True)
     )
+    top = cnt.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20)
     # In-query conservation audit (a rows-only driver check still proves
     # something): BPE merges only ever CONCATENATE symbols, so corpus-wide
     #   Σ len(token) == Σ len(word) + len('</w>')·n_words   and
     #   #tokens ending in '</w>' == n_words.
     # The right side is computed JVM-side from the raw text — an independent
-    # cross-check of the Python tokenizer path.
-    py_side = ex.agg(
-        F.sum(F.length("token")).alias("tok_chars"),
-        F.sum(F.when(F.col("token").endswith("</w>"), 1).otherwise(0)).alias("eow_tokens"),
+    # cross-check of the Python tokenizer path. (?U) makes Java's \\s match
+    # Unicode White_Space like Python's str.split() (NBSP, U+2028, NEL);
+    # residual divergence: U+001C-1F information separators, which Python
+    # splits on but Unicode does not class as whitespace — absent from any
+    # sane corpus and flagged (not hidden) by the audit if present.
+    py_side = cnt.agg(
+        F.sum(F.length("token") * F.col("n")).alias("tok_chars"),
+        F.sum(F.when(F.col("token").endswith("</w>"), F.col("n")).otherwise(0)).alias("eow_tokens"),
     )
     jvm_side = docs.agg(
-        F.sum(F.length(F.regexp_replace(F.col("text"), r"\s+", ""))).alias("word_chars"),
+        F.sum(F.length(F.regexp_replace(F.col("text"), r"(?U)\s+", ""))).alias("word_chars"),
         F.sum(
-            F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit("")))
+            F.size(F.filter(F.split(F.col("text"), r"(?U)\s+"), lambda w: w != F.lit("")))
         ).alias("n_words"),
     )
     audit = py_side.crossJoin(jvm_side).select(
@@ -4900,7 +4963,11 @@ def zipf_alpha_by_lang(d: str) -> str:
     Shape: token explode -> (lang, token) counts (map-side combinable);
     ranking window is PARTITIONED by lang over the vocab-sized count
     relation; the fit aggregates 500 rows per lang. r2 reports fit quality
-    so a low-alpha verdict can't hide a non-power-law distribution."""
+    so a low-alpha verdict can't hide a non-power-law distribution.
+    Degenerate languages (one distinct token: no x variance; all counts
+    equal: no y variance) yield NULL alpha/r2 on BOTH engines — without the
+    guards Spark's ANSI mode throws DIVIDE_BY_ZERO where DuckDB returns
+    NULL, an engine divergence."""
     toks = P.tokens("text", d)
     if d == "spark":
         tok = f"SELECT lang, tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
@@ -4924,9 +4991,13 @@ fit AS (
   FROM pts GROUP BY lang
 )
 SELECT lang, CAST(n AS BIGINT) AS n_terms,
-       CAST(round(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS DOUBLE) AS zipf_alpha,
-       CAST(round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS DOUBLE) AS r2
+       CAST(round(CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+                       ELSE -(n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) + 0.0
+            AS DOUBLE) AS zipf_alpha,
+       CAST(round(CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN NULL
+                       ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                            / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+            AS DOUBLE) AS r2
 FROM fit
 ORDER BY lang
 """

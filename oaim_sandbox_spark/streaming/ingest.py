@@ -101,6 +101,9 @@ def stream_ingest(
 
             spark_b = batch_df.sparkSession
             batch_df = batch_df.localCheckpoint(eager=True)
+            from oaim_sandbox_spark.streaming.ingest import recover_signature_store
+
+            recover_signature_store(sig_dir)  # heal a crashed compaction swap
             # existence check, not a bare except: a TRANSIENT read failure
             # must fail the batch (checkpoint retries it) — swallowing it
             # would skip the near-dup probe and admit duplicates permanently
@@ -137,17 +140,18 @@ def stream_ingest(
 
             sigs = minhash_signatures(batch_df)
             if _os.path.isdir(sig_dir):
-                # anti-join against already-stored ids: redelivered files
-                # survive the near-dup probe (their chunks are exact-deduped
-                # later), so without this the sig store grows a duplicate
-                # (doc_id, signature) row per redelivery — unbounded — and
-                # duplicate ids fan out the band-join pair rows of every
-                # later batch
-                have_ids = (
+                # anti-join against already-stored (doc_id, signature) rows:
+                # redeliveries must not grow the store unboundedly, but the
+                # key includes the SIGNATURE — a revised document reusing an
+                # existing doc_id gets its new content's signature appended
+                # (an id-only key would freeze the stale signature forever,
+                # making near-dups of the revised content undetectable).
+                # Store size stays bounded by distinct (id, content) pairs.
+                have = (
                     batch_df.sparkSession.read.parquet(sig_dir)
-                    .select("doc_id").distinct()
+                    .select("doc_id", "signature").distinct()
                 )
-                sigs = sigs.join(have_ids, "doc_id", "left_anti")
+                sigs = sigs.join(have, ["doc_id", "signature"], "left_anti")
             sigs.write.mode("append").parquet(sig_dir)
         if ivf_index is not None and ann_store_dir:
             # RECONCILE the ANN store from the flat store instead of
@@ -177,23 +181,45 @@ def stream_ingest(
     )
 
 
+def recover_signature_store(sig_dir: str) -> None:
+    """Crash recovery for compact_signature_store's two-rename swap: if a
+    previous compaction died between the renames, the data lives under
+    ``<sig_dir>__old`` and sig_dir is missing — restore it so the next
+    batch's probe doesn't silently restart dedup history. Leftover temp
+    dirs from any crash point are removed. Idempotent; call before reading
+    OR compacting (stream_ingest's probe does)."""
+    import os
+    import shutil
+
+    old = sig_dir.rstrip("/") + "__old"
+    tmp = sig_dir.rstrip("/") + "__compacting"
+    if not os.path.isdir(sig_dir) and os.path.isdir(old):
+        os.rename(old, sig_dir)
+    for leftover in (old, tmp):
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
+
+
 def compact_signature_store(spark: SparkSession, sig_dir: str, target_files: int = 8) -> int:
     """Maintenance pass for the near-dup signature store: each streaming
     batch appends one small parquet file, so a long-lived sig_dir becomes a
     many-tiny-files read on every batch's probe. Rewrites the store as
-    ``target_files`` files with duplicate doc_ids collapsed (first
-    signature wins — matches the append path's anti-join semantics), via a
-    write-then-swap so a concurrent reader never sees a half store.
-    Run it between batches (e.g. from the maintenance job that also runs
-    catalog.maintain_store); returns the deduplicated row count."""
+    ``target_files`` files with duplicate (doc_id, signature) rows
+    collapsed — the same key the append path anti-joins on, so a revised
+    document's new signature survives while identical redeliveries stay
+    single-row — via a write-then-swap. The swap's crash window is healed
+    by recover_signature_store (run first here and by every probe): a kill
+    between the two renames leaves the data under __old, never loses it.
+    Returns the deduplicated row count."""
     import os
     import shutil
 
+    recover_signature_store(sig_dir)
     if not os.path.isdir(sig_dir):
         return 0
     sigs = (
         spark.read.parquet(sig_dir)
-        .dropDuplicates(["doc_id"])
+        .dropDuplicates(["doc_id", "signature"])
         .repartition(target_files)
         .localCheckpoint(eager=True)  # pin rows before the source dir is swapped away
     )

@@ -263,11 +263,12 @@ def test_stream_ingest_near_dedup_leg(spark, tmp_path):
     assert "fresh" in srcs and "orig" in srcs
     assert spark.read.parquet(sig_dir).count() == 2  # orig + fresh, not near
 
-    # signature-store boundedness (ADVICE r3): a doc that survives the
-    # near-dup probe but reuses an ALREADY-SIGNED doc_id (revised document,
-    # redelivered id) must not append a second signature row — without the
-    # anti-join the sig store grows one row per redelivery, unboundedly, and
-    # duplicate ids fan out the band-join pair rows of every later batch
+    # signature-store boundedness + revision-awareness (ADVICE r3 + round-4
+    # review): a REVISED document reusing an existing doc_id appends its new
+    # content's signature (an id-only anti-join would freeze the stale
+    # signature, making near-dups of the revised content undetectable), but
+    # the store stays keyed by (doc_id, signature) so redeliveries of the
+    # SAME content never grow it
     _write_landing(landing, "b3.jsonl", [
         {"doc_id": "fresh", "text": "revised body with unrelated vocabulary " * 10, "source": "s4"},
     ])
@@ -275,8 +276,20 @@ def test_stream_ingest_near_dedup_leg(spark, tmp_path):
                        near_dedup_jaccard=0.5, sig_dir=sig_dir)
     q3.awaitTermination(60)
     sigs = spark.read.parquet(sig_dir)
-    assert sigs.count() == 2          # no duplicate signature rows
+    assert sigs.count() == 3          # orig + fresh + fresh's revision
     assert sigs.select("doc_id").distinct().count() == 2
+    assert sigs.select("doc_id", "signature").distinct().count() == 3
+
+    # a near-copy of the REVISED content must now be caught
+    _write_landing(landing, "b4.jsonl", [
+        {"doc_id": "copycat", "text": "revised body with unrelated vocabulary " * 10 + "tail", "source": "s5"},
+    ])
+    q4 = stream_ingest(spark, str(landing), store, ckpt, chunk_size=1000, chunk_overlap=0,
+                       near_dedup_jaccard=0.5, sig_dir=sig_dir)
+    q4.awaitTermination(60)
+    srcs4 = {r["source"] for r in spark.read.parquet(store).select("source").distinct().collect()}
+    assert "s5" not in srcs4          # dropped against the revision's signature
+    assert spark.read.parquet(sig_dir).count() == 3  # and nothing appended
 
 
 def test_compact_signature_store(spark, tmp_path):
@@ -290,18 +303,49 @@ def test_compact_signature_store(spark, tmp_path):
 
     sig_dir = str(tmp_path / "sigs")
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
-    for i in range(6):  # 6 append batches, one file each; batch 5 repeats id d0
+    for i in range(6):  # 6 append batches, one file each; batch 5 re-appends d0's exact row
+        j = i if i < 5 else 0
         df = spark.createDataFrame(
-            [(f"d{i if i < 5 else 0}", base + f" tail{i}")], "doc_id STRING, text STRING"
+            [(f"d{j}", base + f" tail{j}")], "doc_id STRING, text STRING"
         )
         minhash_signatures(df).coalesce(1).write.mode("append").parquet(sig_dir)
     assert len(glob.glob(f"{sig_dir}/*.parquet")) >= 6
 
     n = compact_signature_store(spark, sig_dir, target_files=2)
-    assert n == 5  # d0 duplicate collapsed
+    assert n == 5  # d0's duplicate (doc_id, signature) row collapsed
     assert len(glob.glob(f"{sig_dir}/*.parquet")) <= 2
     after = spark.read.parquet(sig_dir)
     assert after.count() == 5
     assert after.select("doc_id").distinct().count() == 5
 
     assert compact_signature_store(spark, str(tmp_path / "missing")) == 0
+
+
+def test_signature_store_crash_recovery(spark, tmp_path):
+    """A compaction killed between its two renames leaves the store under
+    __old; recovery (run by compaction AND by every probe) must restore it
+    and clear leftovers, so dedup history is never silently restarted."""
+    import os
+
+    from oaim_sandbox_spark.operators.dedup import minhash_signatures
+    from oaim_sandbox_spark.streaming.ingest import (
+        compact_signature_store,
+        recover_signature_store,
+    )
+
+    sig_dir = str(tmp_path / "sigs")
+    df = spark.createDataFrame([("d0", "alpha beta gamma delta " * 10)], "doc_id STRING, text STRING")
+    minhash_signatures(df).write.mode("append").parquet(sig_dir)
+
+    # simulate the crash window: sig_dir renamed away, tmp left behind
+    os.rename(sig_dir, sig_dir + "__old")
+    os.makedirs(sig_dir + "__compacting")
+    recover_signature_store(sig_dir)
+    assert os.path.isdir(sig_dir)
+    assert not os.path.isdir(sig_dir + "__old")
+    assert not os.path.isdir(sig_dir + "__compacting")
+    assert spark.read.parquet(sig_dir).count() == 1
+
+    # compaction after recovery works and is idempotent
+    assert compact_signature_store(spark, sig_dir) == 1
+    assert compact_signature_store(spark, sig_dir) == 1
