@@ -2219,26 +2219,27 @@ def minhash_lsh_pairs_q(d: str) -> str:
     return body.replace("WITH banded AS", f"WITH sigs AS ({_minhash_sigs_sql(d)}), banded AS", 1)
 
 
-def split_leakage_check(d: str) -> str:
-    """Cross-SPLIT near-dup leakage audit — the decontamination check a
-    training pipeline runs BETWEEN its own splits (contamination_rate_by_*
-    checks against external benchmarks; this catches a near-copy of a
-    training doc leaking into val/test, which silently inflates eval).
-    Splits are hash-assigned (80/10/10, deterministic, engine-identical);
-    the MinHash band join keeps only CROSS-split candidate pairs, so the
-    bucket-join cost stays ~ sum(bucket_train x bucket_eval), never eval².
-    Output is split-pair-dim-sized: leaked pair count + the number of
-    TAINTED eval docs (distinct val/test members of a leaking pair) —
-    the list a pipeline would quarantine before evaluation."""
-    rows = NUM_PERM // BANDS
+def _split_sigs_sql(d: str) -> str:
+    """(doc_id, split, sig): MinHash signatures tagged with the hash-assigned
+    80/10/10 train/val/test split (deterministic, engine-identical)."""
     key = "cast(doc_id as string)" if d == "spark" else "(doc_id::VARCHAR)"
     split = (
         f"CASE WHEN {P.hash64(key, d)} % 10 < 8 THEN 'train' "
         f"WHEN {P.hash64(key, d)} % 10 = 8 THEN 'val' ELSE 'test' END"
     )
+    return f"SELECT s.doc_id, {split} AS split, s.sig FROM ({_minhash_sigs_sql(d)}) s"
+
+
+def _split_leakage_body(d: str, rel: str = "sigs") -> str:
+    """Cross-split band join + leak rollup reading (doc_id, split, sig) from
+    ``rel`` — a CTE on the oracle, a materialized temp view on Spark (the
+    band branches and both est-jaccard joins would otherwise recompute the
+    whole md5 signature pipeline per reference; measured 32 s -> ~2 s at
+    sf0.1)."""
+    rows = NUM_PERM // BANDS
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, split, {b} AS band_idx, "
-        f"{P.hash64(_band_concat('sig', b, rows, d), d)} AS band_hash FROM sigs"
+        f"{P.hash64(_band_concat('sig', b, rows, d), d)} AS band_hash FROM {rel}"
         for b in range(BANDS)
     )
     eq_terms = " + ".join(
@@ -2246,11 +2247,7 @@ def split_leakage_check(d: str) -> str:
         for i in range(NUM_PERM)
     )
     return f"""
-WITH sigs AS (
-  SELECT s.doc_id, {split} AS split, s.sig
-  FROM ({_minhash_sigs_sql(d)}) s
-),
-banded AS ({band_selects}),
+WITH banded AS ({band_selects}),
 pairs AS (
   SELECT DISTINCT l.doc_id AS doc_a, l.split AS split_a, r.doc_id AS doc_b, r.split AS split_b
   FROM banded l JOIN banded r
@@ -2261,8 +2258,8 @@ scored AS (
   SELECT p.doc_a, p.split_a, p.doc_b, p.split_b,
          ({eq_terms}) / {NUM_PERM}.0 AS est_jaccard
   FROM pairs p
-  JOIN sigs a ON a.doc_id = p.doc_a
-  JOIN sigs b ON b.doc_id = p.doc_b
+  JOIN {rel} a ON a.doc_id = p.doc_a
+  JOIN {rel} b ON b.doc_id = p.doc_b
 ),
 leaks AS (SELECT * FROM scored WHERE est_jaccard >= 0.5),
 pair_counts AS (
@@ -2288,6 +2285,30 @@ JOIN members m ON m.split_lo = p.split_lo AND m.split_hi = p.split_hi
 GROUP BY p.split_lo, p.split_hi, p.n_leaked_pairs
 ORDER BY p.split_lo, p.split_hi
 """
+
+
+def split_leakage_check(d: str) -> str:
+    """Cross-SPLIT near-dup leakage audit — the decontamination check a
+    training pipeline runs BETWEEN its own splits (contamination_rate_by_*
+    checks against external benchmarks; this catches a near-copy of a
+    training doc leaking into val/test, which silently inflates eval).
+    Splits are hash-assigned (80/10/10, deterministic, engine-identical);
+    the MinHash band join keeps only CROSS-split candidate pairs, so the
+    bucket-join cost stays ~ sum(bucket_train x bucket_eval), never eval².
+    Output is split-pair-dim-sized: leaked pair count + the number of
+    TAINTED eval docs (distinct val/test members of a leaking pair) —
+    the list a pipeline would quarantine before evaluation."""
+    body = _split_leakage_body(d)
+    return body.replace("WITH banded AS", f"WITH sigs AS ({_split_sigs_sql(d)}), banded AS", 1)
+
+
+def _split_leakage_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for split_leakage_check: materialize the split-tagged
+    signatures ONCE (see _split_leakage_body docstring for the measured
+    CTE-recompute cost this avoids)."""
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _split_sigs_sql("spark"), "lsigs")
+    return _sql_dropping(spark, _split_leakage_body("spark", rel=name), name)
 
 
 def _incremental_probe_body(d: str, rel: str = "sigs") -> str:
@@ -4127,6 +4148,7 @@ SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_click_error_join": _streaming_ss_join_spark,
     "streaming_enrich_nation": _streaming_enrich_spark,
     "minhash_lsh_pairs": _minhash_pairs_spark,
+    "split_leakage_check": _split_leakage_spark,
     "incremental_neardup_probe": _incremental_probe_spark,
     "simhash_near_pairs": _simhash_pairs_spark,
     "ngram_jaccard_pairs": _ngram_jaccard_spark,
