@@ -16,7 +16,8 @@ and an array-typed column. This version is strictly tougher than the driver:
   (integer widths collapse — str(5) is width-independent in the driver's
   hash — but decimal-vs-double, and decimal SCALE, are load-bearing).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--vanilla] [sf_dir] [query ...]
+(--vanilla = bare SparkSession with no tuned conf, like the driver runs)
 """
 
 from __future__ import annotations
@@ -117,13 +118,24 @@ def type_problems(scols, sdtypes, dcols, dtypes):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
-    from oaim_sandbox_spark.session import get_spark
 
-    spark = get_spark("correctness-check")
+    if vanilla:
+        # driver-faithful mode: a bare SparkSession with NO tuned conf — the
+        # engine must self-configure (register_views sets nanosAsLong etc.);
+        # catches code that silently depends on our own session builder
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from oaim_sandbox_spark.session import get_spark
+
+        spark = get_spark("correctness-check")
     duck = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings".split()
