@@ -80,7 +80,13 @@ def stress_simhash(n_docs: int = 200_000) -> dict:
 def stress_embpairs(n_vecs: int = 100_000) -> dict:
     """Synthetic 64-dim vectors through the distributed embedding-pairs path
     (IVF cluster-pair blocks + tiled BLAS) — the shape the r1 driver-matrix
-    design could not run at all."""
+    design could not run at all. Operating point (round-4 fix): noise 0.35 /
+    threshold 0.96 gives a realistic near-dup rate (~47k output pairs at
+    100k vectors, 14 s) so the probe measures the PRUNED scoring of ~78M
+    intra-cluster candidates; the old 0.2/0.92 point passed nearly every
+    intra-cluster pair (>500M output rows at 100k — quadratic output
+    materialization, which is a property of the ASKED question, not of the
+    search plan)."""
     from pyspark.sql import functions as F
 
     from oaim_sandbox_spark.queries import _embedding_pairs_core
@@ -94,13 +100,13 @@ def stress_embpairs(n_vecs: int = 100_000) -> dict:
             F.expr(
                 "transform(sequence(0, 63), i -> "
                 "sin((vec_id % 64) * 2.399963 + i * 0.712) "
-                "+ 0.2 * (cast(hash(vec_id, i) as double) / 2147483647.0))"
+                "+ 0.35 * (cast(hash(vec_id, i) as double) / 2147483647.0))"
             ),
         )
         .localCheckpoint()
     )
     t0 = time.time()
-    pairs = _embedding_pairs_core(spark, vecs, threshold=0.92).count()
+    pairs = _embedding_pairs_core(spark, vecs, threshold=0.96).count()
     dt = time.time() - t0
     spark.stop()
     return {"stress": "embedding_pairs", "vectors": n_vecs, "pairs": pairs, "seconds": round(dt, 1)}
