@@ -2219,6 +2219,84 @@ def minhash_lsh_pairs_q(d: str) -> str:
     return body.replace("WITH banded AS", f"WITH sigs AS ({_minhash_sigs_sql(d)}), banded AS", 1)
 
 
+def _mhq_rel_sql(d: str) -> str:
+    """(doc_id, sig, sh): MinHash signature + the DISTINCT shingle-hash set
+    it was computed from — the inputs for estimator-quality auditing."""
+    hs = P.shingle_hashes("text", NGRAM, d)
+    sig = P.minhash_from_hashes("hs", NUM_PERM, d)
+    dedup_arr = "array_distinct(hs)" if d == "spark" else "list_distinct(hs)"
+    return (
+        f"SELECT doc_id, {sig} AS sig, {dedup_arr} AS sh "
+        f"FROM (SELECT doc_id, {hs} AS hs FROM documents) h"
+    )
+
+
+def _mhq_body(d: str, rel: str = "sigs") -> str:
+    """Candidate-pair generation + per-pair estimate-vs-exact comparison,
+    rolled up to estimate-quartile buckets."""
+    rows = NUM_PERM // BANDS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, {P.hash64(_band_concat('sig', b, rows, d), d)} AS band_hash FROM {rel}"
+        for b in range(BANDS)
+    )
+    eq_terms = " + ".join(
+        f"CASE WHEN {_elem('a.sig', i + 1, d)} = {_elem('b.sig', i + 1, d)} THEN 1 ELSE 0 END"
+        for i in range(NUM_PERM)
+    )
+    if d == "spark":
+        inter = "CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)"
+        sz = lambda x: f"size({x})"  # noqa: E731
+    else:
+        inter = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        sz = lambda x: f"len({x})"  # noqa: E731
+    return f"""
+WITH banded AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+),
+scored AS (
+  SELECT ({eq_terms}) / {NUM_PERM}.0 AS est,
+         {inter} / ({sz('a.sh')} + {sz('b.sh')} - {inter}) AS exact
+  FROM pairs p
+  JOIN {rel} a ON a.doc_id = p.doc_a
+  JOIN {rel} b ON b.doc_id = p.doc_b
+)
+SELECT CAST(LEAST(CAST(FLOOR(est * 4) AS INT), 3) AS INT) AS est_quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(round(AVG(est), 6) AS DOUBLE) AS mean_est,
+       CAST(round(AVG(exact), 6) AS DOUBLE) AS mean_exact,
+       CAST(round(AVG(abs(est - exact)), 6) AS DOUBLE) AS mae
+FROM scored
+GROUP BY LEAST(CAST(FLOOR(est * 4) AS INT), 3)
+ORDER BY est_quartile
+"""
+
+
+def minhash_estimate_quality(d: str) -> str:
+    """Estimator-quality audit for the MinHash dedup path — measure, don't
+    guess: every LSH candidate pair carries BOTH the 16-permutation
+    signature estimate and the EXACT shingle-set Jaccard (intersect/union
+    over the distinct shingle-hash arrays), rolled up per estimate
+    quartile: pair counts, mean estimate vs mean exact, and MAE. The audit
+    that tells you whether a chosen (num_perm, bands) operating point is
+    trustworthy before committing a threshold at corpus scale. Cost: the
+    exact sets travel only for CANDIDATE pairs (LSH-bounded), never all
+    pairs; document text never moves — hashed shingle arrays only."""
+    body = _mhq_body(d)
+    return body.replace("WITH banded AS", f"WITH sigs AS ({_mhq_rel_sql(d)}), banded AS", 1)
+
+
+def _mhq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for minhash_estimate_quality: materialize the
+    signature+shingle relation once (CTE inlining would recompute the md5
+    pipeline per band branch and per join side)."""
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _mhq_rel_sql("spark"), "mhq")
+    return _sql_dropping(spark, _mhq_body("spark", rel=name), name)
+
+
 def _split_sigs_sql(d: str) -> str:
     """(doc_id, split, sig): MinHash signatures tagged with the hash-assigned
     80/10/10 train/val/test split (deterministic, engine-identical)."""
@@ -3129,6 +3207,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "minhash_signatures": minhash_signatures_q,
     "minhash_lsh_pairs": minhash_lsh_pairs_q,
     "split_leakage_check": split_leakage_check,
+    "minhash_estimate_quality": minhash_estimate_quality,
     "incremental_neardup_probe": incremental_neardup_probe_q,
     "simhash_fingerprints": simhash_fingerprints_q,
     "simhash_near_pairs": simhash_near_pairs_q,
@@ -4149,6 +4228,7 @@ SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_enrich_nation": _streaming_enrich_spark,
     "minhash_lsh_pairs": _minhash_pairs_spark,
     "split_leakage_check": _split_leakage_spark,
+    "minhash_estimate_quality": _mhq_spark,
     "incremental_neardup_probe": _incremental_probe_spark,
     "simhash_near_pairs": _simhash_pairs_spark,
     "ngram_jaccard_pairs": _ngram_jaccard_spark,
@@ -6195,6 +6275,7 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "kl_divergence_by_source",
     "zipf_alpha_by_lang",
     "split_leakage_check",
+    "minhash_estimate_quality",
 )
 
 
