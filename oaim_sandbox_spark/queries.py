@@ -2180,30 +2180,45 @@ def _minhash_sigs_sql(d: str) -> str:
     return f"SELECT doc_id, {sig} AS sig FROM (SELECT doc_id, {hs} AS hs FROM documents) h"
 
 
+def _lsh_banded_cte(d: str, rel: str, carry: tuple[str, ...] = ()) -> str:
+    """The shared LSH banding relation: one UNION ALL branch per band over
+    the signature relation ``rel``, emitting (doc_id[, carry...], band_idx,
+    band_hash). Single source of truth for the banding scheme — FOUR
+    queries (pairs, incremental probe, split leakage, estimator audit)
+    build on it, and a banding change must hit all of them at once."""
+    rows = NUM_PERM // BANDS
+    carry_sel = "".join(f", {c}" for c in carry)
+    return " UNION ALL ".join(
+        f"SELECT doc_id{carry_sel}, {b} AS band_idx, "
+        f"{P.hash64(_band_concat('sig', b, rows, d), d)} AS band_hash FROM {rel}"
+        for b in range(BANDS)
+    )
+
+
+def _sig_eq_terms(d: str) -> str:
+    """Signature-agreement count between pair sides a/b — the estimated-
+    Jaccard numerator (divide by NUM_PERM). Shared by every pair scorer."""
+    return " + ".join(
+        f"CASE WHEN {_elem('a.sig', i + 1, d)} = {_elem('b.sig', i + 1, d)} THEN 1 ELSE 0 END"
+        for i in range(NUM_PERM)
+    )
+
+
 def _minhash_pairs_body(d: str, rel: str = "sigs") -> str:
     """LSH banding + pair generation + estimated Jaccard, reading from the
     signature relation `rel` (a CTE on the oracle; a materialized temp view
     on Spark so the signature scan runs once instead of once per band branch.
     Runners pass a per-call unique view name — a shared name would collide
     across queries in one driver session)."""
-    rows = NUM_PERM // BANDS
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, {P.hash64(_band_concat('sig', b, rows, d), d)} AS band_hash FROM {rel}"
-        for b in range(BANDS)
-    )
-    eq_terms = " + ".join(
-        f"CASE WHEN {_elem('a.sig', i + 1, d)} = {_elem('b.sig', i + 1, d)} THEN 1 ELSE 0 END"
-        for i in range(NUM_PERM)
-    )
     return f"""
-WITH banded AS ({band_selects}),
+WITH banded AS ({_lsh_banded_cte(d, rel)}),
 pairs AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
   FROM banded l JOIN banded r
     ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
 )
 SELECT CAST(p.doc_a AS BIGINT) AS doc_a, CAST(p.doc_b AS BIGINT) AS doc_b,
-       CAST(round(({eq_terms}) / {NUM_PERM}.0, 6) AS DOUBLE) AS est_jaccard
+       CAST(round(({_sig_eq_terms(d)}) / {NUM_PERM}.0, 6) AS DOUBLE) AS est_jaccard
 FROM pairs p
 JOIN {rel} a ON a.doc_id = p.doc_a
 JOIN {rel} b ON b.doc_id = p.doc_b
@@ -2231,18 +2246,17 @@ def _mhq_rel_sql(d: str) -> str:
     )
 
 
-def _mhq_body(d: str, rel: str = "sigs") -> str:
+def _mhq_body(d: str, rel: str = "sigs", band_rel: str | None = None) -> str:
     """Candidate-pair generation + per-pair estimate-vs-exact comparison,
-    rolled up to estimate-quartile buckets."""
-    rows = NUM_PERM // BANDS
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, {P.hash64(_band_concat('sig', b, rows, d), d)} AS band_hash FROM {rel}"
-        for b in range(BANDS)
-    )
-    eq_terms = " + ".join(
-        f"CASE WHEN {_elem('a.sig', i + 1, d)} = {_elem('b.sig', i + 1, d)} THEN 1 ELSE 0 END"
-        for i in range(NUM_PERM)
-    )
+    rolled up to estimate-quartile buckets. ``band_rel`` lets the Spark
+    runner band over a SLIM (doc_id, sig) projection — the four band
+    branches would otherwise deserialize the fat distinct-shingle arrays
+    just to hash 4 signature values; the fat relation joins only in the
+    scored stage. The per-pair quantities are quantized to integer
+    millionths BEFORE aggregation: est is exactly k/16 (dyadic) and
+    exact*1e6 rounds to an integer, so the sums are integer-exact and the
+    cross-engine comparison cannot wobble with float summation order."""
+    band_rel = band_rel or rel
     if d == "spark":
         inter = "CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)"
         sz = lambda x: f"size({x})"  # noqa: E731
@@ -2250,26 +2264,26 @@ def _mhq_body(d: str, rel: str = "sigs") -> str:
         inter = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
         sz = lambda x: f"len({x})"  # noqa: E731
     return f"""
-WITH banded AS ({band_selects}),
+WITH banded AS ({_lsh_banded_cte(d, band_rel)}),
 pairs AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
   FROM banded l JOIN banded r
     ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
 ),
 scored AS (
-  SELECT ({eq_terms}) / {NUM_PERM}.0 AS est,
-         {inter} / ({sz('a.sh')} + {sz('b.sh')} - {inter}) AS exact
+  SELECT CAST(round((({_sig_eq_terms(d)}) / {NUM_PERM}.0) * 1000000) AS BIGINT) AS est_q,
+         CAST(round(({inter} / ({sz('a.sh')} + {sz('b.sh')} - {inter})) * 1000000) AS BIGINT) AS exact_q
   FROM pairs p
   JOIN {rel} a ON a.doc_id = p.doc_a
   JOIN {rel} b ON b.doc_id = p.doc_b
 )
-SELECT CAST(LEAST(CAST(FLOOR(est * 4) AS INT), 3) AS INT) AS est_quartile,
+SELECT CAST(LEAST(CAST(FLOOR(est_q / 250000.0) AS INT), 3) AS INT) AS est_quartile,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       CAST(round(AVG(est), 6) AS DOUBLE) AS mean_est,
-       CAST(round(AVG(exact), 6) AS DOUBLE) AS mean_exact,
-       CAST(round(AVG(abs(est - exact)), 6) AS DOUBLE) AS mae
+       CAST(round(AVG(est_q) / 1000000.0, 6) AS DOUBLE) AS mean_est,
+       CAST(round(AVG(exact_q) / 1000000.0, 6) AS DOUBLE) AS mean_exact,
+       CAST(round(AVG(abs(est_q - exact_q)) / 1000000.0, 6) AS DOUBLE) AS mae
 FROM scored
-GROUP BY LEAST(CAST(FLOOR(est * 4) AS INT), 3)
+GROUP BY LEAST(CAST(FLOOR(est_q / 250000.0) AS INT), 3)
 ORDER BY est_quartile
 """
 
@@ -2294,7 +2308,13 @@ def _mhq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline per band branch and per join side)."""
     register_views(spark, sf_dir)
     name = _materialized_view(spark, _mhq_rel_sql("spark"), "mhq")
-    return _sql_dropping(spark, _mhq_body("spark", rel=name), name)
+    # slim banding projection FROM the materialized relation (one cheap
+    # pass over already-computed rows) so the 4 band branches never touch
+    # the fat shingle arrays
+    slim = _materialized_view(spark, f"SELECT doc_id, sig FROM {name}", "mhqb")
+    df = _sql_dropping(spark, _mhq_body("spark", rel=name, band_rel=slim), name)
+    spark.catalog.dropTempView(slim)
+    return df
 
 
 def _split_sigs_sql(d: str) -> str:
@@ -2314,18 +2334,8 @@ def _split_leakage_body(d: str, rel: str = "sigs") -> str:
     band branches and both est-jaccard joins would otherwise recompute the
     whole md5 signature pipeline per reference; measured 32 s -> ~2 s at
     sf0.1)."""
-    rows = NUM_PERM // BANDS
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, split, {b} AS band_idx, "
-        f"{P.hash64(_band_concat('sig', b, rows, d), d)} AS band_hash FROM {rel}"
-        for b in range(BANDS)
-    )
-    eq_terms = " + ".join(
-        f"CASE WHEN {_elem('a.sig', i + 1, d)} = {_elem('b.sig', i + 1, d)} THEN 1 ELSE 0 END"
-        for i in range(NUM_PERM)
-    )
     return f"""
-WITH banded AS ({band_selects}),
+WITH banded AS ({_lsh_banded_cte(d, rel, carry=("split",))}),
 pairs AS (
   SELECT DISTINCT l.doc_id AS doc_a, l.split AS split_a, r.doc_id AS doc_b, r.split AS split_b
   FROM banded l JOIN banded r
@@ -2334,7 +2344,7 @@ pairs AS (
 ),
 scored AS (
   SELECT p.doc_a, p.split_a, p.doc_b, p.split_b,
-         ({eq_terms}) / {NUM_PERM}.0 AS est_jaccard
+         ({_sig_eq_terms(d)}) / {NUM_PERM}.0 AS est_jaccard
   FROM pairs p
   JOIN {rel} a ON a.doc_id = p.doc_a
   JOIN {rel} b ON b.doc_id = p.doc_b
@@ -2395,17 +2405,8 @@ def _incremental_probe_body(d: str, rel: str = "sigs") -> str:
     pairs, so steady-state dedup cost is proportional to the batch, never
     existing×existing (operators/dedup.incremental_near_dups is the
     DataFrame-API twin; this is its oracle-checkable SQL shape)."""
-    rows = NUM_PERM // BANDS
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, is_new, {b} AS band_idx, {P.hash64(_band_concat('sig', b, rows, d), d)} AS band_hash FROM {rel}"
-        for b in range(BANDS)
-    )
-    eq_terms = " + ".join(
-        f"CASE WHEN {_elem('a.sig', i + 1, d)} = {_elem('b.sig', i + 1, d)} THEN 1 ELSE 0 END"
-        for i in range(NUM_PERM)
-    )
     return f"""
-WITH banded AS ({band_selects}),
+WITH banded AS ({_lsh_banded_cte(d, rel, carry=("is_new",))}),
 pairs AS (
   SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS existing_id
   FROM banded l JOIN banded r
@@ -2413,7 +2414,7 @@ pairs AS (
    AND l.is_new AND NOT r.is_new
 )
 SELECT CAST(p.new_id AS BIGINT) AS new_id, CAST(p.existing_id AS BIGINT) AS existing_id,
-       CAST(round(({eq_terms}) / {NUM_PERM}.0, 6) AS DOUBLE) AS est_jaccard
+       CAST(round(({_sig_eq_terms(d)}) / {NUM_PERM}.0, 6) AS DOUBLE) AS est_jaccard
 FROM pairs p
 JOIN {rel} a ON a.doc_id = p.new_id
 JOIN {rel} b ON b.doc_id = p.existing_id
