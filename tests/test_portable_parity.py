@@ -100,3 +100,20 @@ def test_ngrams_null_and_empty_text_parity(spark, duck):
         srow = spark.sql(f"SELECT {P.word_ngrams(lit, 3, 'spark')}").collect()[0][0]
         drow = duck.sql(f"SELECT {P.word_ngrams(dlit, 3, 'duck')}").fetchone()[0]
         assert srow == drow == [""], (lit, srow, drow)
+
+
+@given(a=VEC)
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_sign_pack_bit_identical(spark, duck, a):
+    """sign_pack packs element signs into an int64 identically on both
+    engines, including zeros (not positive -> bit clear) and negative
+    floats; the packed word feeds binary_quant_topk's oracle so any drift
+    is a correctness bug, not a tolerance issue."""
+    n = len(a)
+    al = "array(" + ", ".join(f"cast('{x!r}' as double)" for x in a) + ")"
+    ald = "[" + ", ".join(f"'{x!r}'::DOUBLE" for x in a) + "]"
+    s = spark.sql(f"SELECT {P.sign_pack(al, 1, n, 'spark')} AS w").collect()[0][0]
+    d = duck.sql(f"SELECT {P.sign_pack(ald, 1, n, 'duck')} AS w").fetchone()[0]
+    expected = sum(1 << j for j in range(n) if a[j] > 0)
+    assert s == d == expected
