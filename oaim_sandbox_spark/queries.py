@@ -1308,6 +1308,45 @@ ORDER BY source, doc_id
 """
 
 
+def pack_mix_diversity(d: str) -> str:
+    """Training-pack source-mix diversity — the QA metric for packed
+    pretraining batches: a pack drawn from one source teaches spurious
+    document-boundary correlations, so pipelines check that packing
+    actually interleaves sources. Docs are hash-sharded (8 shards) and
+    hash-ordered WITHIN each shard (the scalable epoch-shuffle: every
+    window is PARTITIONED by shard — no global sort), then packed to a
+    512-token budget like sequence_packing; each pack reports its doc
+    count, distinct sources, and source-distribution entropy. Per-pack
+    entropy is ONE bounded sum, so no cross-group float-order wobble."""
+    n_tok = f"size({P.tokens('text', d)})" if d == "spark" else f"len({P.tokens('text', d)})"
+    key = "concat(cast(doc_id as string), ':pack:7')" if d == "spark" else "(doc_id::VARCHAR || ':pack:7')"
+    h = P.hash64(key, d)
+    w = "(PARTITION BY shard ORDER BY skey ASC, doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    before = f"(SUM(n_tokens) OVER {w} - n_tokens)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {n_tok} AS n_tokens, {h} AS skey, {h} % 8 AS shard
+  FROM documents
+),
+packed AS (
+  SELECT shard, doc_id, source, CAST({_idiv(before, '512', d)} AS BIGINT) AS pack_id
+  FROM toks
+),
+mix AS (
+  SELECT shard, pack_id, source, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM packed GROUP BY shard, pack_id, source
+),
+ptot AS (SELECT shard, pack_id, SUM(c) AS t FROM mix GROUP BY shard, pack_id)
+SELECT CAST(m.shard AS INT) AS shard, m.pack_id AS pack_id,
+       CAST(SUM(m.c) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(round(-SUM((m.c / p.t) * ln(m.c / p.t)), 6) + 0.0 AS DOUBLE) AS source_entropy
+FROM mix m JOIN ptot p ON m.shard = p.shard AND m.pack_id = p.pack_id
+GROUP BY m.shard, m.pack_id
+ORDER BY shard, m.pack_id
+"""
+
+
 def repetition_ratios(d: str) -> str:
     """Within-document repetition quality signal (Gopher/C4-style filter):
     distinct-token ratio per doc. Narrow projection — array ops are
@@ -3249,6 +3288,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "mad_outliers_approx": mad_outliers_approx,
     "salted_user_counts": salted_user_counts,
     "sequence_packing": sequence_packing,
+    "pack_mix_diversity": pack_mix_diversity,
     "repetition_ratios": repetition_ratios,
     "quality_filter": quality_filter,
     "bm25_topk": bm25_topk,
@@ -6277,6 +6317,7 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "zipf_alpha_by_lang",
     "split_leakage_check",
     "minhash_estimate_quality",
+    "pack_mix_diversity",
 )
 
 
