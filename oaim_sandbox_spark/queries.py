@@ -2649,40 +2649,6 @@ FROM documents
 """
 
 
-def tfidf_top_terms(d: str) -> str:
-    """Corpus-statistics keyword extraction: per-doc top-3 terms by TF-IDF.
-    Two aggregation granularities over ONE exploded word relation (per-doc TF,
-    corpus-wide DF), joined back and ranked per doc. Plan: the explode feeds
-    two partial-agg pipelines; the DF side is tiny after agg, so its join back
-    broadcasts. At 100 TB the DF table is the classic map-side-combine win —
-    the shuffle carries (term, partial_count), never raw tokens. Integer
-    (tf, df) inputs ⇒ identical scores on both engines; ln() gaps between
-    distinct (tf, df) pairs dwarf float ulp, so ranks are stable."""
-    toks = P.tokens("text", d)
-    if d == "spark":
-        exploded = f"SELECT doc_id, w FROM documents LATERAL VIEW explode({toks}) t AS w"
-    else:
-        exploded = f"SELECT doc_id, unnest({toks}) AS w FROM documents"
-    return f"""
-WITH words AS (SELECT doc_id, w FROM ({exploded}) x WHERE length(w) >= 4),
-tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
-df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY w),
-n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
-SELECT doc_id, term, rank, score
-FROM (
-  SELECT tf.doc_id AS doc_id, tf.w AS term,
-         round(tf.tf * ln(n.n_docs / (1.0 + df.df)), 6) AS score,
-         row_number() OVER (
-           PARTITION BY tf.doc_id
-           ORDER BY tf.tf * ln(n.n_docs / (1.0 + df.df)) DESC, tf.w ASC
-         ) AS rank
-  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
-) s
-WHERE rank <= 3 AND doc_id < 100
-ORDER BY doc_id, rank
-"""
-
-
 def embedding_centroid_outliers(d: str) -> str:
     """Semantic-outlier detection for training-data curation: per-label mean
     centroid, then each vector's cosine distance to its own centroid; the 3
@@ -3319,7 +3285,6 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "domain_mix_rebalance": domain_mix_rebalance,
     "hourly_gapfill": hourly_gapfill,
     "near_dup_clusters": near_dup_clusters_oracle,
-    "tfidf_top_terms": tfidf_top_terms,
     "embedding_centroid_outliers": embedding_centroid_outliers,
     "grouping_sets_docs": grouping_sets_docs,
     "ntile_curriculum_buckets": ntile_curriculum_buckets,

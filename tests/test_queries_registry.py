@@ -342,3 +342,25 @@ def test_split_leakage_counts_both_eval_members(spark):
     r = got[("test", "val")]
     assert r.n_leaked_pairs == 2
     assert r.n_tainted_eval_docs == 4  # all four docs are eval members
+
+
+def test_no_duplicate_toplevel_defs_in_queries():
+    """Guard against the round-4 shadowing hazard: a second top-level `def`
+    with the same name silently replaces an earlier (possibly certified)
+    query template. Assert every top-level function in queries.py is defined
+    exactly once, and every TEMPLATES entry binds a function whose name maps
+    to that single definition site."""
+    import ast
+    from collections import Counter
+
+    src = open(Q.__file__).read()
+    tree = ast.parse(src)
+    names = Counter(
+        n.name for n in tree.body if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+    )
+    dupes = sorted(n for n, c in names.items() if c > 1)
+    assert not dupes, f"duplicate top-level defs in queries.py: {dupes}"
+    # every registered template's underlying function is a module-level def
+    # (or a documented closure); its __name__ must not be multiply defined
+    for key, fn in Q.TEMPLATES.items():
+        assert names.get(fn.__name__, 0) <= 1, (key, fn.__name__)
