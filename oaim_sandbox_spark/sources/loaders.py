@@ -347,6 +347,18 @@ def load_documents(spark: SparkSession, path: str, ext: str | None = None) -> Da
     raise ValueError(f"unsupported file extension: {ext}")
 
 
+def _safe_stage_basename(name: str) -> str:
+    """Normalize a client-supplied or URL-derived filename to a safe basename.
+    `os.path.basename` alone lets '.' and '..' through (both non-empty), and
+    opening `directory/'..'` raises IsADirectoryError — an unhandled 500 on
+    the wire routes instead of the contract's 400. Reject anything that does
+    not resolve to a plain file name."""
+    base = os.path.basename(name.replace("\\", "/"))
+    if not base or base in (".", ".."):
+        raise ValueError(f"invalid filename {name!r}")
+    return base
+
+
 def stage_web_files(urls: list[str], directory: str, timeout: int = 30) -> list[str]:
     """S5/S6: download URLs to a staging dir with content-type dispatch
     (reference endpoints.py:199-228 stores to a temp dir the same way).
@@ -356,11 +368,16 @@ def stage_web_files(urls: list[str], directory: str, timeout: int = 30) -> list[
 
     os.makedirs(directory, exist_ok=True)
     out = []
+    used: set[str] = set()
     for url in urls:
         resp = requests.get(url, timeout=timeout)
         resp.raise_for_status()
         ctype = resp.headers.get("content-type", "").split(";")[0].strip().lower()
         name = url.rstrip("/").rsplit("/", 1)[-1] or "index"
+        try:
+            name = _safe_stage_basename(name)
+        except ValueError:
+            name = "index"
         if ctype == "application/pdf":
             if not name.endswith(".pdf"):
                 name += ".pdf"
@@ -372,6 +389,15 @@ def stage_web_files(urls: list[str], directory: str, timeout: int = 30) -> list[
                 name += ".txt"
         else:
             raise ValueError(f"unsupported content type {ctype} for {url}")
+        # distinct URLs can share a tail segment ('a/page', 'b/page') —
+        # suffix a counter so one request never silently overwrites itself
+        if name in used:
+            stem, dot, ext = name.partition(".")
+            k = 1
+            while f"{stem}_{k}{dot}{ext}" in used:
+                k += 1
+            name = f"{stem}_{k}{dot}{ext}"
+        used.add(name)
         dest = os.path.join(directory, name)
         with open(dest, "wb") as fh:
             fh.write(resp.content)
@@ -383,13 +409,13 @@ def stage_local_files(files: list[tuple[str, bytes]], directory: str) -> list[st
     """S7 (endpoints.py:230-245): store uploaded (filename, payload) pairs
     into a per-client staging dir — the landing zone every loader reads from.
     Rejects path traversal in filenames (the reference trusts FastAPI's
-    UploadFile.filename; we normalize to basename)."""
+    UploadFile.filename; we normalize to basename). All filenames are
+    validated BEFORE any write so a bad name mid-batch can't leave a
+    partially-staged directory behind."""
     os.makedirs(directory, exist_ok=True)
+    staged = [(_safe_stage_basename(name), payload) for name, payload in files]
     out = []
-    for name, payload in files:
-        base = os.path.basename(name)
-        if not base:
-            raise ValueError(f"invalid filename {name!r}")
+    for base, payload in staged:
         dest = os.path.join(directory, base)
         with open(dest, "wb") as fh:
             fh.write(payload)

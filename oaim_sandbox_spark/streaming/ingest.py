@@ -101,8 +101,12 @@ def stream_ingest(
 
             spark_b = batch_df.sparkSession
             batch_df = batch_df.localCheckpoint(eager=True)
-            from oaim_sandbox_spark.streaming.ingest import recover_signature_store
+            from oaim_sandbox_spark.streaming.ingest import (
+                recover_signature_store,
+                wait_for_compaction,
+            )
 
+            wait_for_compaction(sig_dir)  # never race a live compactor's swap
             recover_signature_store(sig_dir)  # heal a crashed compaction swap
             # existence check, not a bare except: a TRANSIENT read failure
             # must fail the batch (checkpoint retries it) — swallowing it
@@ -138,6 +142,9 @@ def stream_ingest(
 
             import os as _os
 
+            from oaim_sandbox_spark.streaming.ingest import wait_for_compaction
+
+            wait_for_compaction(sig_dir)  # an append mid-swap would land in __old
             sigs = minhash_signatures(batch_df)
             if _os.path.isdir(sig_dir):
                 # anti-join against already-stored (doc_id, signature) rows:
@@ -181,16 +188,63 @@ def stream_ingest(
     )
 
 
+#: A compaction lock older than this is presumed crashed and may be broken.
+#: Real compactions are seconds; an hour leaves a wide margin for GC pauses.
+COMPACTION_LOCK_GRACE_SECS = 3600.0
+
+
+def _compaction_lock_path(sig_dir: str) -> str:
+    return sig_dir.rstrip("/") + "__lock"
+
+
+def compaction_lock_is_fresh(
+    sig_dir: str, grace: float = COMPACTION_LOCK_GRACE_SECS
+) -> bool:
+    """True if a live compaction currently owns the store's temp dirs."""
+    import os
+    import time
+
+    try:
+        return (time.time() - os.path.getmtime(_compaction_lock_path(sig_dir))) < grace
+    except OSError:
+        return False
+
+
+def wait_for_compaction(sig_dir: str, timeout: float = 120.0, poll: float = 0.25) -> None:
+    """Block while a fresh compaction lock is held (compactions run in
+    seconds; the timeout is generous). Raises RuntimeError rather than
+    proceeding if the lock is still fresh after `timeout` — racing the swap
+    could rmtree the compactor's live output or strand this batch's
+    signature append in the discarded ``__old`` dir."""
+    import time
+
+    deadline = time.monotonic() + timeout
+    while compaction_lock_is_fresh(sig_dir):
+        if time.monotonic() > deadline:
+            raise RuntimeError(
+                f"compaction lock on {sig_dir} still held after {timeout}s"
+            )
+        time.sleep(poll)
+
+
 def recover_signature_store(sig_dir: str) -> None:
     """Crash recovery for compact_signature_store's two-rename swap: if a
     previous compaction died between the renames, the data lives under
     ``<sig_dir>__old`` and sig_dir is missing — restore it so the next
     batch's probe doesn't silently restart dedup history. Leftover temp
     dirs from any crash point are removed. Idempotent; call before reading
-    OR compacting (stream_ingest's probe does)."""
+    OR compacting (stream_ingest's probe does).
+
+    Concurrency: while a FRESH compaction lock exists, this is a no-op —
+    the temp dirs belong to a live compactor and deleting its
+    ``__compacting`` output mid-swap would corrupt the compaction. Only a
+    stale lock (crashed compactor, older than the grace period) is broken
+    and cleaned up here."""
     import os
     import shutil
 
+    if compaction_lock_is_fresh(sig_dir):
+        return
     old = sig_dir.rstrip("/") + "__old"
     tmp = sig_dir.rstrip("/") + "__compacting"
     if not os.path.isdir(sig_dir) and os.path.isdir(old):
@@ -198,6 +252,9 @@ def recover_signature_store(sig_dir: str) -> None:
     for leftover in (old, tmp):
         if os.path.isdir(leftover):
             shutil.rmtree(leftover)
+    lock = _compaction_lock_path(sig_dir)
+    if os.path.exists(lock):  # stale by the check above
+        os.unlink(lock)
 
 
 def compact_signature_store(spark: SparkSession, sig_dir: str, target_files: int = 8) -> int:
@@ -210,27 +267,65 @@ def compact_signature_store(spark: SparkSession, sig_dir: str, target_files: int
     single-row — via a write-then-swap. The swap's crash window is healed
     by recover_signature_store (run first here and by every probe): a kill
     between the two renames leaves the data under __old, never loses it.
-    Returns the deduplicated row count."""
+    Returns the deduplicated row count.
+
+    Concurrency contract: a lock file (``<sig_dir>__lock``) is held for the
+    duration — concurrent compactions fail fast, and a concurrent
+    stream_ingest batch waits for it (see the probe path) so it can never
+    rmtree the live ``__compacting`` dir. A batch that raced ahead of the
+    lock and appended signature files between this function's read-snapshot
+    and the swap is still safe: after the swap, the old dir is re-listed
+    and any part files NOT in the snapshot are moved into the compacted
+    store before the old dir is removed — lost dedup history would
+    otherwise silently re-admit duplicates."""
     import os
     import shutil
 
     recover_signature_store(sig_dir)
     if not os.path.isdir(sig_dir):
         return 0
-    sigs = (
-        spark.read.parquet(sig_dir)
-        .dropDuplicates(["doc_id", "signature"])
-        .repartition(target_files)
-        .localCheckpoint(eager=True)  # pin rows before the source dir is swapped away
-    )
-    n = sigs.count()
-    tmp = sig_dir.rstrip("/") + "__compacting"
-    sigs.write.mode("overwrite").parquet(tmp)
-    old = sig_dir.rstrip("/") + "__old"
-    os.rename(sig_dir, old)
-    os.rename(tmp, sig_dir)
-    shutil.rmtree(old)
-    return n
+    lock = _compaction_lock_path(sig_dir)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        if compaction_lock_is_fresh(sig_dir):
+            raise RuntimeError(f"compaction already in progress for {sig_dir}")
+        os.unlink(lock)  # crashed holder past the grace period
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd, str(os.getpid()).encode())
+    os.close(fd)
+    try:
+        snapshot = set(os.listdir(sig_dir))
+        sigs = (
+            spark.read.parquet(sig_dir)
+            .dropDuplicates(["doc_id", "signature"])
+            .repartition(target_files)
+            .localCheckpoint(eager=True)  # pin rows before the source dir is swapped away
+        )
+        n = sigs.count()
+        tmp = sig_dir.rstrip("/") + "__compacting"
+        sigs.write.mode("overwrite").parquet(tmp)
+        old = sig_dir.rstrip("/") + "__old"
+        os.rename(sig_dir, old)
+        os.rename(tmp, sig_dir)
+        # rescue signature files appended after the read snapshot
+        late = [
+            f
+            for f in os.listdir(old)
+            if f not in snapshot and f.startswith("part-") and f.endswith(".parquet")
+        ]
+        for f in late:
+            dest = os.path.join(sig_dir, f)
+            if os.path.exists(dest):  # UUID part names make this ~impossible
+                dest = os.path.join(sig_dir, "late-" + f)
+            os.rename(os.path.join(old, f), dest)
+        shutil.rmtree(old)
+        return n + (
+            0 if not late else spark.read.parquet(sig_dir).count() - n
+        )
+    finally:
+        if os.path.exists(lock):
+            os.unlink(lock)
 
 
 def windowed_event_counts(

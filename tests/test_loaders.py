@@ -356,3 +356,54 @@ def test_html_bad_declared_charset_falls_back():
 
     html = b'<meta charset="no-such-enc"><p>ok text</p>'
     assert "ok text" in _parse_html_bytes(html)
+
+
+def test_stage_local_files_rejects_dot_names_before_writing(tmp_path):
+    """'.' and '..' pass a bare `not basename` guard and then explode as
+    IsADirectoryError deep in open(); they must be rejected up front as
+    ValueError (the wire route's 400), and validation must happen BEFORE
+    any file is written so a bad name mid-batch leaves no partial staging."""
+    import pytest
+
+    from oaim_sandbox_spark.sources.loaders import stage_local_files
+
+    stage = tmp_path / "stage"
+    for bad in ("..", ".", "", "dir/.."):
+        with pytest.raises(ValueError):
+            stage_local_files([("ok.txt", b"first"), (bad, b"x")], str(stage))
+        # atomicity: the valid first file must NOT have been staged
+        assert not (stage / "ok.txt").exists(), bad
+
+
+def test_stage_web_files_dedupes_colliding_url_tails(tmp_path, monkeypatch):
+    """Distinct URLs sharing a tail segment (or ending in '/') must not
+    silently overwrite each other inside one request; '..' tails must not
+    escape the staging dir."""
+    import sys
+    import types
+
+    payloads = {
+        "http://a.example/page": b"A",
+        "http://b.example/page": b"B",
+        "http://c.example/": b"C",
+        "http://d.example/..": b"D",
+    }
+
+    class _Resp:
+        def __init__(self, body):
+            self.content = body
+            self.headers = {"content-type": "text/plain"}
+
+        def raise_for_status(self):
+            pass
+
+    fake = types.SimpleNamespace(get=lambda url, timeout: _Resp(payloads[url]))
+    monkeypatch.setitem(sys.modules, "requests", fake)
+    from oaim_sandbox_spark.sources.loaders import stage_web_files
+
+    staged = stage_web_files(list(payloads), str(tmp_path / "stage"))
+    assert len(staged) == len(set(staged)) == 4
+    bodies = sorted(open(p, "rb").read() for p in staged)
+    assert bodies == [b"A", b"B", b"C", b"D"]
+    for p in staged:  # everything landed inside the staging dir
+        assert os.path.dirname(p) == str(tmp_path / "stage")

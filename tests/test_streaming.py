@@ -349,3 +349,87 @@ def test_signature_store_crash_recovery(spark, tmp_path):
     # compaction after recovery works and is idempotent
     assert compact_signature_store(spark, sig_dir) == 1
     assert compact_signature_store(spark, sig_dir) == 1
+
+
+def test_compaction_lock_blocks_probe_and_concurrent_compaction(spark, tmp_path):
+    """While a fresh compaction lock is held: recover_signature_store must
+    NOT delete the compactor's live __compacting dir, a second compaction
+    fails fast, and the batch path's wait_for_compaction times out instead
+    of racing the swap. A stale lock (crashed compactor) is broken."""
+    import os
+    import time
+
+    import pytest
+
+    from oaim_sandbox_spark.operators.dedup import minhash_signatures
+    from oaim_sandbox_spark.streaming.ingest import (
+        compact_signature_store,
+        recover_signature_store,
+        wait_for_compaction,
+    )
+
+    sig_dir = str(tmp_path / "sigs")
+    df = spark.createDataFrame(
+        [("d0", "alpha beta gamma delta " * 10)], "doc_id STRING, text STRING"
+    )
+    minhash_signatures(df).write.mode("append").parquet(sig_dir)
+
+    lock = sig_dir + "__lock"
+    open(lock, "w").write("424242")
+    os.makedirs(sig_dir + "__compacting")
+
+    recover_signature_store(sig_dir)  # no-op under a fresh lock
+    assert os.path.isdir(sig_dir + "__compacting")
+    assert os.path.exists(lock)
+    with pytest.raises(RuntimeError, match="already in progress"):
+        compact_signature_store(spark, sig_dir)
+    with pytest.raises(RuntimeError, match="still held"):
+        wait_for_compaction(sig_dir, timeout=0.3, poll=0.05)
+
+    # stale lock: recovery breaks it and cleans the leftovers
+    stale = time.time() - 7200
+    os.utime(lock, (stale, stale))
+    wait_for_compaction(sig_dir, timeout=0.3)  # stale -> not fresh -> returns
+    recover_signature_store(sig_dir)
+    assert not os.path.exists(lock)
+    assert not os.path.isdir(sig_dir + "__compacting")
+    assert compact_signature_store(spark, sig_dir) == 1
+    assert not os.path.exists(lock)  # released on completion
+
+
+def test_compaction_rescues_late_appended_signatures(spark, tmp_path, monkeypatch):
+    """A batch append that lands between compaction's read-snapshot and the
+    dir swap must survive into the compacted store — lost signature files
+    would silently re-admit near-duplicates later."""
+    from oaim_sandbox_spark.operators.dedup import minhash_signatures
+    from oaim_sandbox_spark.streaming import ingest as I
+
+    sig_dir = str(tmp_path / "sigs")
+    d0 = spark.createDataFrame(
+        [("d0", "alpha beta gamma delta " * 10)], "doc_id STRING, text STRING"
+    )
+    minhash_signatures(d0).coalesce(1).write.mode("append").parquet(sig_dir)
+
+    late = spark.createDataFrame(
+        [("d9", "omega psi chi phi upsilon " * 10)], "doc_id STRING, text STRING"
+    )
+    import os as _os
+
+    orig_rename = _os.rename
+    appended = {"done": False}
+
+    def racing_rename(src, dst):
+        # inject the racing append at the first rename (sig_dir -> __old):
+        # the late file lands in sig_dir just before it is renamed away
+        if not appended["done"] and dst.endswith("__old"):
+            appended["done"] = True
+            minhash_signatures(late).coalesce(1).write.mode("append").parquet(sig_dir)
+        return orig_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", racing_rename)
+    n = I.compact_signature_store(spark, sig_dir, target_files=1)
+    monkeypatch.undo()
+    assert appended["done"]
+    assert n == 2
+    after = spark.read.parquet(sig_dir)
+    assert {r["doc_id"] for r in after.select("doc_id").distinct().collect()} == {"d0", "d9"}
