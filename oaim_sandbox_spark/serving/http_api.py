@@ -60,6 +60,35 @@ from oaim_sandbox_spark.serving.config_plane import (
     mask_sensitive,
 )
 
+def _parse_multipart_files(raw: bytes, content_type: str) -> list[tuple[str, bytes]]:
+    """Parse a ``multipart/form-data`` body into (filename, payload) pairs
+    using the stdlib email parser (``cgi`` is gone in modern Python; FastAPI
+    does this via python-multipart, absent here). Only parts carrying a
+    filename= disposition are file uploads — bare form fields are skipped,
+    matching the reference route's List[UploadFile] signature
+    (endpoints.py:230-245). Returns [] on a malformed body or boundary."""
+    from email.parser import BytesParser
+    from email.policy import HTTP
+
+    if "boundary=" not in content_type:
+        return []
+    head = f"Content-Type: {content_type}\r\nMIME-Version: 1.0\r\n\r\n".encode("latin-1")
+    try:
+        msg = BytesParser(policy=HTTP).parsebytes(head + raw)
+    except Exception:
+        return []
+    if not msg.is_multipart():
+        return []
+    out: list[tuple[str, bytes]] = []
+    for part in msg.iter_parts():
+        fname = part.get_filename()
+        if fname is None:
+            continue
+        payload = part.get_payload(decode=True)
+        out.append((fname, payload if payload is not None else b""))
+    return out
+
+
 DEFAULT_SETTINGS: dict = {
     "rag_enabled": True,
     "top_k": 4,
@@ -386,30 +415,42 @@ class _ApiHandler(BaseHTTPRequestHandler):
                 return self._json(500, {"detail": f"download failed: {ex}"})
             return self._json(200, [os.path.basename(p) for p in staged])
         if method == "POST" and rest == ["local", "store"]:
-            # S7 wire route (endpoints.py:230-245 store_local_file): JSON
-            # body [{"filename", "content_b64"|"text"}] instead of the
-            # reference's multipart UploadFile; same store-to-staging-dir
-            # behavior, same returned file-name list.
+            # S7 wire route (endpoints.py:230-245 store_local_file). Two
+            # accepted bodies: the reference's multipart/form-data
+            # UploadFile list (an off-the-shelf reference client works
+            # unmodified), or a JSON list [{"filename",
+            # "content_b64"|"text"}]. Same store-to-staging-dir behavior,
+            # same returned file-name list either way.
             import base64
 
             from oaim_sandbox_spark.sources.loaders import stage_local_files
 
-            files = self._body()
-            if not isinstance(files, list) or not files:
-                return self._json(422, {"detail": "request body must be a non-empty list of files"})
-            pairs: list[tuple[str, bytes]] = []
-            for f in files:
-                name = (f or {}).get("filename") if isinstance(f, dict) else None
-                if not name:
-                    return self._json(422, {"detail": "each file needs a filename"})
-                if "content_b64" in f:
-                    try:
-                        payload = base64.b64decode(f["content_b64"], validate=True)
-                    except Exception:
-                        return self._json(422, {"detail": f"invalid base64 for {name!r}"})
-                else:
-                    payload = str(f.get("text", "")).encode("utf-8")
-                pairs.append((name, payload))
+            ctype_full = self.headers.get("Content-Type") or ""
+            if ctype_full.split(";")[0].strip().lower() == "multipart/form-data":
+                n = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(n) if n else b""
+                pairs = _parse_multipart_files(raw, ctype_full)
+                if not pairs:
+                    return self._json(
+                        422, {"detail": "malformed multipart body or no file parts"}
+                    )
+            else:
+                files = self._body()
+                if not isinstance(files, list) or not files:
+                    return self._json(422, {"detail": "request body must be a non-empty list of files"})
+                pairs = []
+                for f in files:
+                    name = (f or {}).get("filename") if isinstance(f, dict) else None
+                    if not name:
+                        return self._json(422, {"detail": "each file needs a filename"})
+                    if "content_b64" in f:
+                        try:
+                            payload = base64.b64decode(f["content_b64"], validate=True)
+                        except Exception:
+                            return self._json(422, {"detail": f"invalid base64 for {name!r}"})
+                    else:
+                        payload = str(f.get("text", "")).encode("utf-8")
+                    pairs.append((name, payload))
             directory = self._staging_dir(api)
             if directory is None:
                 return

@@ -557,3 +557,116 @@ def test_web_store_roundtrip_and_unprocessable_500(server, tmp_path, monkeypatch
                        body=["http://x.test/bin"], client="c-web")
     assert status == 500 and "content type" in body["detail"]
     assert not os.path.isdir(staged)  # staging dir wiped, like the reference
+
+
+def _multipart_post(server, path, parts, token=KEY, client=None, boundary="refclientboundary42"):
+    """POST a reference-shaped multipart/form-data body (what FastAPI's
+    List[UploadFile] clients send) and return (status, json)."""
+    lines = []
+    for fname, payload in parts:
+        lines += [
+            f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="files"; filename="{fname}"\r\n'
+            f"Content-Type: application/octet-stream\r\n\r\n".encode(),
+            payload,
+            b"\r\n",
+        ]
+    lines.append(f"--{boundary}--\r\n".encode())
+    data = b"".join(lines)
+    headers = {"Content-Type": f"multipart/form-data; boundary={boundary}"}
+    if token is not None:
+        headers["Authorization"] = f"Bearer {token}"
+    if client:
+        headers["client"] = client
+    r = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}", data=data, headers=headers, method="POST"
+    )
+    try:
+        with urllib.request.urlopen(r, timeout=10) as resp:
+            return resp.status, json.loads(resp.read() or b"null")
+    except urllib.error.HTTPError as ex:
+        return ex.code, json.loads(ex.read() or b"null")
+
+
+def test_local_store_multipart_roundtrip(spark_server, spark, tmp_path, monkeypatch):
+    """An off-the-shelf reference client POSTs multipart/form-data to
+    /v1/embed/local/store (reference endpoints.py:230-245 store_local_file
+    takes List[UploadFile]); the files land in the client staging dir and
+    then round-trip stage -> split/embed -> top-k search through the same
+    library pipeline the POST /v1/embed route uses."""
+    import os
+
+    from oaim_sandbox_spark.operators.embed import mock_embed_column
+    from oaim_sandbox_spark.operators.retrieval import similarity_topk
+    from oaim_sandbox_spark.operators.split import split_fixed
+    from oaim_sandbox_spark.sources.loaders import load_text
+
+    monkeypatch.setattr(spark_server, "staging_root", str(tmp_path))
+    parts = [
+        ("spark.txt", b"spark runs distributed queries " * 20),
+        ("cats.md", b"cats sleep on windowsills " * 20),
+    ]
+    status, names = _multipart_post(spark_server, "/v1/embed/local/store", parts, client="c-mp")
+    assert status == 200
+    assert names == ["spark.txt", "cats.md"]
+    staged = os.path.join(str(tmp_path), "c-mp", "embedding")
+    assert sorted(os.listdir(staged)) == ["cats.md", "spark.txt"]
+
+    # stage -> embed -> search: load the staged dir, chunk, mock-embed, query
+    docs = load_text(spark, staged)
+    chunks = split_fixed(docs, text_col="text", id_col="doc_id",
+                         chunk_size=120, chunk_overlap=10)
+    embedded = mock_embed_column(chunks, text_col="text", dim=64)
+    qvec = mock_embed_column(
+        spark.createDataFrame([("q", "spark distributed queries")], "id STRING, text STRING"),
+        text_col="text", dim=64,
+    ).collect()[0]["embedding"]
+    top = similarity_topk(embedded, qvec, k=2).collect()
+    assert top and "spark" in top[0]["text"]
+
+    # auth matrix holds for multipart too
+    status, _ = _multipart_post(spark_server, "/v1/embed/local/store", parts, token=None)
+    assert status == 403
+    status, _ = _multipart_post(spark_server, "/v1/embed/local/store", parts, token="wrong")
+    assert status == 401
+
+
+def test_local_store_multipart_malformed_422(spark_server, tmp_path, monkeypatch):
+    """Malformed boundary / bodies with no file parts are a 422, and a
+    traversal filename in a part is rejected by the staging layer."""
+    monkeypatch.setattr(spark_server, "staging_root", str(tmp_path))
+    # declared boundary missing from the body
+    r = urllib.request.Request(
+        f"http://127.0.0.1:{spark_server.port}/v1/embed/local/store",
+        data=b"not a multipart body at all",
+        headers={"Content-Type": "multipart/form-data; boundary=nope",
+                 "Authorization": f"Bearer {KEY}"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(r, timeout=10) as resp:
+            status = resp.status
+    except urllib.error.HTTPError as ex:
+        status = ex.code
+    assert status == 422
+
+    # no boundary parameter at all
+    r = urllib.request.Request(
+        f"http://127.0.0.1:{spark_server.port}/v1/embed/local/store",
+        data=b"x", headers={"Content-Type": "multipart/form-data",
+                            "Authorization": f"Bearer {KEY}"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(r, timeout=10) as resp:
+            status = resp.status
+    except urllib.error.HTTPError as ex:
+        status = ex.code
+    assert status == 422
+
+    # '..' filename -> staging layer ValueError -> 422, nothing staged
+    status, _ = _multipart_post(
+        spark_server, "/v1/embed/local/store", [("..", b"evil")], client="c-bad"
+    )
+    assert status == 422
+    import os
+    assert not os.path.exists(os.path.join(str(tmp_path), "c-bad", "embedding", "evil"))
