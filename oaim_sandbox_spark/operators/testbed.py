@@ -51,7 +51,9 @@ class TestbedStore:
         existing = self.get_testsets(spark)
         tid = None
         if existing is not None:
-            hit = [r for r in existing.collect() if r["name"] == name]
+            # name filter runs in Spark (pushed to the parquet scan) — only
+            # matching rows ever reach the driver
+            hit = existing.filter(F.col("name") == name).select("tid").head(1)
             if hit:
                 tid = hit[0]["tid"]
         created = time.time()

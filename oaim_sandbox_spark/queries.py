@@ -2720,7 +2720,16 @@ def ntile_curriculum_buckets(d: str) -> str:
     textbook 100 TB scale-killer): a two-pass distributed rank. Pass 1
     collapses documents to a per-n_chars count dim (bounded by distinct doc
     lengths) and prefix-sums it — the only unpartitioned window in the plan
-    runs over that DIM, not the corpus. Pass 2 ranks within each n_chars
+    runs over that DIM, not the corpus.
+
+    INTEGER-KEY ASSUMPTION: the two-pass rank is exact ONLY because the
+    sort key (n_chars) is a bounded-cardinality integer — the pass-1 dim is
+    at most max-document-length rows no matter how big the corpus gets. Do
+    NOT reuse this pattern for a continuous difficulty score: its distinct
+    count grows with the corpus and the 'dim' prefix-sum becomes a
+    corpus-sized single partition again. For continuous keys use
+    curriculum_buckets_approx below (sketch boundaries, no exact global
+    rank). Pass 2 ranks within each n_chars
     block via a PARTITIONed window and adds the block's offset, then maps
     the exact global rank through NTILE's fill rule (first N%10 buckets get
     one extra row). Exact equality with NTILE, every corpus-sized operator
@@ -2770,6 +2779,81 @@ SELECT CAST(bucket AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
        round(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
 FROM bkt
 GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+def curriculum_buckets_approx(d: str) -> str:
+    """Curriculum bucketing for a CONTINUOUS difficulty score — the scale
+    path ntile_curriculum_buckets's docstring points at when the sort key
+    isn't a bounded integer. Score = chars-per-word (a real-valued document
+    difficulty proxy) with a doc_id*1e-9 deterministic tiebreak making
+    every value unique, so bucket shares can't be skewed by tie blocks.
+
+    Spark plan: ONE sketch agg (approx_percentile, fixed-size mergeable
+    state) produces the 9 decile cuts; assignment maps each doc through the
+    broadcast cut array with a JVM array expression (no join, no window);
+    per-bucket counts are a plain groupBy; the only windows run over the
+    10-row bucket dim. Nothing corpus-sized is ever sorted, windowed, or
+    single-partitioned, and no dim grows with the corpus — this is the
+    shape that survives 100x.
+
+    Contract-oracle design (see doc_len_percentiles_approx): bucket ids,
+    exact n_total, and exact min/max score are value-checked (identical on
+    both engines); the sketch-dependent quantities are RANK-based booleans
+    — each bucket's share within 0.1±0.05 and each cumulative cut rank
+    within b/10±0.05 of n. DuckDB states the booleans as the contract
+    (literal TRUE); Spark measures its own buckets — a sketch or
+    assignment bug hash-mismatches the driver check. Unique scores bound
+    the true deviation by sketch rank error (1e-4·n) + 1-row quantization,
+    far inside the 0.05 window at any n."""
+    score = "n_chars * 1.0 / (1 + length(text) - length(replace(text, ' ', ''))) + doc_id * 1e-9"
+    if d == "duck":
+        return f"""
+WITH tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         round(MIN({score}), 6) AS min_score,
+         round(MAX({score}), 6) AS max_score
+  FROM documents
+)
+SELECT CAST(b AS INT) AS bucket, n_total, min_score, max_score,
+       TRUE AS share_within, TRUE AS cum_rank_within
+FROM (SELECT unnest(generate_series(1, 10)) AS b) buckets CROSS JOIN tot
+ORDER BY bucket
+"""
+    return f"""
+WITH scored AS (SELECT doc_id, {score} AS s FROM documents),
+cuts AS (
+  SELECT approx_percentile(
+           s, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), 10000) AS c
+  FROM scored
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         round(MIN(s), 6) AS min_score, round(MAX(s), 6) AS max_score
+  FROM scored
+),
+assigned AS (
+  SELECT 1 + aggregate(cuts.c, 0, (acc, x) -> acc + IF(x <= scored.s, 1, 0)) AS bucket
+  FROM scored CROSS JOIN cuts
+),
+counts AS (SELECT bucket, COUNT(*) AS cnt FROM assigned GROUP BY bucket),
+dim AS (SELECT explode(sequence(1, 10)) AS bucket),
+filled AS (
+  SELECT dim.bucket, COALESCE(counts.cnt, 0) AS cnt
+  FROM dim LEFT JOIN counts ON dim.bucket = counts.bucket
+),
+checked AS (
+  SELECT bucket, cnt,
+         SUM(cnt) OVER (ORDER BY bucket) AS cum
+  FROM filled
+)
+SELECT CAST(checked.bucket AS INT) AS bucket, tot.n_total, tot.min_score, tot.max_score,
+       (abs(checked.cnt - 0.1 * tot.n_total) <= 0.05 * tot.n_total) AS share_within,
+       (checked.bucket = 10 OR
+        abs(checked.cum - checked.bucket * 0.1 * tot.n_total) <= 0.05 * tot.n_total)
+         AS cum_rank_within
+FROM checked CROSS JOIN tot
 ORDER BY bucket
 """
 
@@ -3288,6 +3372,7 @@ TEMPLATES: dict[str, Callable[[str], str]] = {
     "embedding_centroid_outliers": embedding_centroid_outliers,
     "grouping_sets_docs": grouping_sets_docs,
     "ntile_curriculum_buckets": ntile_curriculum_buckets,
+    "curriculum_buckets_approx": curriculum_buckets_approx,
     "levenshtein_near_pairs": levenshtein_near_pairs,
     "funnel_conversion": funnel_conversion,
     "ivf_full_probe_topk": ivf_full_probe_topk,
