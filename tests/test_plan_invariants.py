@@ -86,3 +86,80 @@ def test_ntile_curriculum_two_pass_rank_plan(plans):
               if "windowspecdefinition" in ln and "row_number()" not in ln]
     for ln in unpart:
         assert "sum(c#" in ln, f"unexpected window over non-dim input: {ln.strip()[:160]}"
+
+
+def test_aqe_skew_join_activates_on_synthetic_skew(spark):
+    """Runtime (not static-plan) evidence that AQE's skew-join handling is
+    live in this engine's sessions: a sort-merge join whose left side is
+    ~90% one key must come out of adaptive execution with skew=true
+    (split-and-replicate applied to the oversized partition).
+
+    When salting IS still needed at 100x: AQE splits oversized SHUFFLE
+    partitions of a sort-merge join, so post-shuffle join skew self-heals
+    — that's this test. It does NOT help a skewed AGGREGATION key (all
+    rows of a group must meet in one task regardless of splitting) — the
+    two-level salted pre-aggregation in salted_user_counts remains the
+    pattern there — and it can't split a broadcast join's driver-side
+    build. One more measured caveat this test pins: the optimization is
+    suppressed (conservatively, by Spark) when the skewed join FEEDS
+    ANOTHER SHUFFLE (e.g. a groupBy on a different key) — measured below:
+    the identical skewed join loses its skew=true the moment a groupBy
+    consumes it (and forceOptimizeSkewedJoin did not flip it back in this
+    Spark build). So at 100x: trailing-join skew self-heals; skew in a
+    join that feeds further shuffles needs manual salting — which is why
+    the engine keeps the salted pattern alongside AQE. Thresholds here are
+    lowered because local test rows are KB-sized; production defaults
+    (256 MB / 5x median) trigger the same mechanism at cluster scale."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local rows are KB-sized; scale the byte thresholds down so the
+        # same 5x-median mechanism that fires at 256 MB fires here
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        # force sort-merge (broadcast would mask the skew entirely)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        left = spark.range(60_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 100).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pad"),
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), F.concat(F.lit("dim-"), F.col("id")).alias("name")
+        )
+        joined = left.join(right, "k")
+        assert len(joined.collect()) == 60_000  # every left row matches one dim row
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+        assert "skewed" in final_plan  # AQEShuffleRead split the hot partition
+
+        # the suppression caveat: same join feeding a groupBy on another key
+        # is NOT skew-optimized unless forced — pin it so a silent Spark
+        # behavior change (either way) is noticed
+        agg = left.join(right, "k").groupBy("name").agg(F.count("*").alias("n"))
+        assert sum(r["n"] for r in agg.collect()) == 60_000
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in agg_plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
