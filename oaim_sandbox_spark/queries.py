@@ -6314,60 +6314,70 @@ def _make_spark_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # and the LLM-data-pipeline operators — the newest and highest-value entries —
 # followed by everything else in definition order.
 FLAGSHIP_FIRST: tuple[str, ...] = (
-    # --- ROUND-4 WINDOW: execute the committed rotation — the 27 oracle
-    # entries never driver-checked in r1-r3 move into the certification
-    # prefix so the r1-r4 union covers all oracle-backed entries.
-    "filtered_topk_label",
-    "domain_caps_topn",
-    "global_shuffle_order",
-    "vocab_coverage_topk",
-    "contamination_rate_by_source",
-    "streaming_sliding_counts",
-    "scd2_purchase_history",
-    "lang_confusion_matrix",
-    "trailing_hour_stats",
-    "source_vocab_overlap",
-    "event_markov_transitions",
-    "source_lang_entropy",
-    "reachability_bfs",
-    "unpivot_monthly_metrics",
-    "lateral_top_customers",
-    "cusum_changepoint",
-    "dow_seasonality",
-    "bigram_pmi_topk",
-    "user_burstiness",
-    "federated_label_topk",
-    "near_dup_rate_by_source",
-    "k_anonymity_audit",
-    "dp_noisy_counts",
-    "event_pattern_match",
-    "weekly_cohort_retention",
-    "ab_test_zscore",
-    "point_in_time_join",
-    # --- changed THIS round — must re-certify (a query edited after its
-    # last green driver check is uncertified again until re-checked):
-    "ntile_curriculum_buckets",   # two-pass distributed rank replaced NTILE
-    "bigram_logprob_quality",     # short-doc LIKE guard added
-    # --- r3-certified canaries kept in-window for continuity:
-    "minhash_lsh_pairs",
-    "hybrid_rrf_topk",
-    "chunk_reassembly",
+    # --- ROUND-5 WINDOW: rotate certification onto the STALEST entries
+    # (VERDICT r4 task 2). Every oracle-backed entry is green in the
+    # r1-r4 union, but driver recency is the hard signal — this prefix is
+    # the round-5 additions (must certify first time), then all 33 entries
+    # whose last driver check was round 1, then the 15 oldest round-2
+    # entries (including the three the verdict called out:
+    # asof_clicks_before_errors, range_error_followups, events_rollup).
+    # --- new THIS round — must certify:
+    "curriculum_buckets_approx",  # continuous-key curriculum twin (r5)
     # transformWithState twin: registered only where protobuf exists, and
     # never yet driver-checkable — keep it in the prefix so it certifies
     # the first time it can; in protobuf-less envs it is filtered out and
     # costs no slot.
     "streaming_user_stats_tws",
-    # --- round-4 additions land below this line (17 slots free in the
-    # 50-entry driver window).
-    "doc_len_percentiles_approx",
-    "mad_outliers_approx",
-    "binary_quant_topk",
-    "tfidf_top_terms",
-    "kl_divergence_by_source",
-    "zipf_alpha_by_lang",
-    "split_leakage_check",
-    "minhash_estimate_quality",
-    "pack_mix_diversity",
+    # --- last driver check: round 1 (33 entries, registry order):
+    "split_fixed_chunks",
+    "dedup_exact_first",
+    "vs_merge_content_ids",
+    "mock_embed_dims",
+    "topk_cosine",
+    "topk_euclidean",
+    "topk_dot_product",
+    "topk_score_threshold",
+    "rag_topk_mock_query",
+    "knn_join_batch",
+    "lsh_ann_topk",
+    "minhash_signatures",
+    "simhash_fingerprints",
+    "lang_id",
+    "quality_scores",
+    "token_counts",
+    "doc_fingerprints",
+    "ingest_chunks_dedup",
+    "vs_table_names",
+    "docs_union_distinct",
+    "q4_exists_late_lines",
+    "q12_priority_case_agg",
+    "q16_distinct_suppliers",
+    "q17_below_avg_quantity",
+    "q18_large_orders",
+    "q22_idle_rich_customers",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    # --- last driver check: round 2 (oldest 15, registry order):
+    "simhash_near_pairs",
+    "asof_clicks_before_errors",
+    "range_error_followups",
+    "events_rollup",
+    "train_test_split",
+    "stratified_sample_counts",
+    "char_entropy",
+    "sequence_packing",
+    "bm25_topk",
+    "streaming_dedup_pairs",
+    "streaming_user_stats",
+    "streaming_click_error_join",
+    "streaming_enrich_nation",
+    "quantized_topk",
+    "pq_adc_topk",
 )
 
 

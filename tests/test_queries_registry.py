@@ -91,24 +91,28 @@ def test_sketch_profile_error_bounds(spark):
         assert p90 <= a["approx_p95"] <= p99   # p95 lands between exact p90/p99
 
 
-def test_driver_window_contains_round4_certification_set():
-    """The driver checks only the first 50 oracle entries; round 4 executes
-    the committed rotation: the 27 entries never driver-checked in r1-r3,
-    plus everything edited this round, must sit in that prefix — the goal is
-    full r1-r4 union coverage of the oracle-backed registry."""
+def test_driver_window_targets_stalest_certifications():
+    """The driver checks only the first 50 oracle entries. With the full
+    registry union-certified (r1-r4), round 5 rotates the window onto
+    certification RECENCY: everything never driver-checked (new this
+    round), everything whose last driver check was round 1, and this
+    round's edited entries must sit in the 50-entry prefix — no entry's
+    driver certification should age more than a couple of rounds."""
     import glob
     import json
 
     ordered = [n for n in Q.oracle_sqls()]
     window = set(ordered[:50])
-    ever = set()
-    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
-        ever |= set(json.load(open(path)))
-    never_checked = set(ordered) - ever
-    missing = never_checked - window
-    assert not missing, f"never-driver-checked but not in window: {sorted(missing)}"
-    edited_this_round = {"ntile_curriculum_buckets", "bigram_logprob_quality"}
-    assert not (edited_this_round - window)
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        for name in json.load(open(path)):
+            last[name] = rnd
+    stalest = {n for n in ordered if last.get(n, 0) <= 1}
+    missing = stalest - window
+    assert not missing, f"stalest (r1/never) entries not in window: {sorted(missing)}"
+    new_this_round = {"curriculum_buckets_approx"}
+    assert not (new_this_round - window)
 
 
 def test_bigram_logprob_short_doc_guard(spark):
