@@ -169,7 +169,8 @@ def ann_recall(
     covers the benign ~50-vector home cluster with slack but not the ~30%
     head cluster, so under skew fetch_k must scale with the largest
     cluster (at 100 TB: cap cluster sizes at build time, or size fetch_k
-    from the IVF partition histogram); binary_hamming@20xk drops to 0.72
+    from the IVF partition histogram) — pq_adc_fetch400@10 shows the
+    recovered 1.0 point; binary_hamming@20xk drops to 0.72
     under correlated noise and recovers to 1.0 at a 60xk funnel
     (binary_hamming_fetch60@10) — the sign bits lose precision, the wider
     exact re-rank buys it back for 3x candidate traffic."""
@@ -272,16 +273,18 @@ def ann_recall(
                 out[f"ivf_nprobe{nprobe}@10"] = rec(ivf_sets, exact_cos)
         return out
 
-    def tier_pq() -> float:
+    def tier_pq(fetch_k: int = 150) -> float:
         pq = PQIndex(m=4, k=16, dim=64, seed=3).fit(store)
         codes = pq.encode(store)
         # fetch_k covers the whole ~50-vector home cluster with slack: ADC
         # gets the cluster right, the exact re-rank recovers the exact
-        # within-cluster order (the standard IVFPQ funnel contract).
+        # within-cluster order (the standard IVFPQ funnel contract). Under
+        # the adversarial 10x skew the home cluster outgrows 150 (measured
+        # 0.88) and recovers at fetch_k=400 — the fetch400 tier.
         pq_sets = {
             qid: {
                 r["vec_id"]
-                for r in pq.search(codes, qv, k=k, fetch_k=150, exact_df=store).collect()
+                for r in pq.search(codes, qv, k=k, fetch_k=fetch_k, exact_df=store).collect()
             }
             for qid, qv in queries
         }
@@ -368,6 +371,7 @@ def ann_recall(
         "lsh8_multiprobe@10": tier_lsh8,
         "ivf": tier_ivf,  # yields ivf_nprobe2@10 + ivf_nprobe4@10
         "pq_adc_rerank@10": tier_pq,
+        "pq_adc_fetch400@10": lambda: tier_pq(fetch_k=400),
         "int8@10": tier_int8,
         "binary_hamming_rerank@10": tier_binary,
         "binary_hamming_fetch60@10": lambda: tier_binary(fetch_mult=60),
@@ -375,9 +379,10 @@ def ann_recall(
         "pca16_rerank@10": tier_pca16,
     }
     if tier_names is None:
-        # the wide-funnel binary point only earns its job cost where the
-        # default funnel breaks (the adversarial block requests it)
+        # the wide-funnel points only earn their job cost where the default
+        # funnels break (the adversarial block requests them)
         tiers.pop("binary_hamming_fetch60@10")
+        tiers.pop("pq_adc_fetch400@10")
     else:
         tiers = {n: fn for n, fn in tiers.items() if n in tier_names}
     recalls: dict[str, float] = {}
@@ -493,7 +498,8 @@ def main() -> None:
         recalls_adv = ann_recall(
             spark, sf_dir, adversarial=True,
             tier_names={"lsh8_multiprobe@10", "ivf", "pq_adc_rerank@10",
-                        "binary_hamming_rerank@10", "binary_hamming_fetch60@10"},
+                        "pq_adc_fetch400@10", "binary_hamming_rerank@10",
+                        "binary_hamming_fetch60@10"},
         )
         timings["ann_recall_adversarial"] = round(time.time() - t0, 3)
         print(
