@@ -305,11 +305,15 @@ def ann_recall(
         )
         return topk_sets(rr.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k))
 
-    def tier_matryoshka() -> float:
-        # matryoshka: 16-dim-prefix candidates (fetch 5k), exact cosine re-rank
+    def tier_matryoshka(fetch_mult: int = 5) -> float:
+        # matryoshka: 16-dim-prefix candidates (fetch 5x k by default),
+        # exact cosine re-rank. 5x is the documented budget point (0.82 on
+        # the benign mixture); the fetch15x tier is the measured 1.0
+        # operating point — the 16-dim prefix ranks the true neighborhood
+        # into the top 150, it just can't order it into the top 50.
         store16 = store.withColumn("emb16", F.expr("slice(cast(embedding as array<double>), 1, 16)"))
         qdf16 = qdf.withColumn("query_vec", F.expr("slice(query_vec, 1, 16)"))
-        cand = knn_join(store16, qdf16, k=5 * k, item_vec="emb16").select("query_id", "neighbor_id")
+        cand = knn_join(store16, qdf16, k=fetch_mult * k, item_vec="emb16").select("query_id", "neighbor_id")
         return rec(_exact_rerank(cand), exact_cos)
 
     def tier_pca16() -> float:
@@ -376,6 +380,7 @@ def ann_recall(
         "binary_hamming_rerank@10": tier_binary,
         "binary_hamming_fetch60@10": lambda: tier_binary(fetch_mult=60),
         "matryoshka16_rerank@10": tier_matryoshka,
+        "matryoshka16_fetch15x@10": lambda: tier_matryoshka(fetch_mult=15),
         "pca16_rerank@10": tier_pca16,
     }
     if tier_names is None:
