@@ -119,13 +119,41 @@ class TestbedStore:
                     float(report.correctness),
                     json.dumps(report.settings),
                     json.dumps(report.by_topic),
+                    json.dumps(report.failures),
                 )
             ],
-            "eid STRING, tid STRING, evaluated DOUBLE, correctness DOUBLE, settings STRING, report STRING",
+            "eid STRING, tid STRING, evaluated DOUBLE, correctness DOUBLE, "
+            "settings STRING, report STRING, failures STRING",
         )
         mode = "append" if os.path.isdir(self._p("evaluations")) else "overwrite"
         row.write.mode(mode).parquet(self._p("evaluations"))
         return eid
+
+    def get_evaluation(self, spark: SparkSession, eid: str) -> dict:
+        """Full stored report by eid (reference endpoints.py:762-767
+        testbed_evaluation -> process_report: the singular GET returns the
+        complete EvaluationReport, not the list row). Raises KeyError for an
+        unknown eid. The failures list is the bounded sample
+        evaluate_testset collected (max_failures), stored as JSON — never a
+        full re-materialization of the per-row results."""
+        path = self._p("evaluations")
+        if not os.path.isdir(path):
+            raise KeyError(f"evaluation {eid!r} not found")
+        hit = (
+            spark.read.parquet(path).filter(F.col("eid") == eid).head(1)
+        )
+        if not hit:
+            raise KeyError(f"evaluation {eid!r} not found")
+        r = hit[0].asDict()
+        return {
+            "eid": r["eid"],
+            "tid": r["tid"],
+            "evaluated": r["evaluated"],
+            "correctness": r["correctness"],
+            "settings": json.loads(r["settings"] or "{}"),
+            "by_topic": json.loads(r["report"] or "{}"),
+            "failures": json.loads(r.get("failures") or "[]"),
+        }
 
 
 QUESTION_TYPES = ("simple", "complex", "conversational")

@@ -33,8 +33,11 @@ Routes (reference endpoints.py line refs in handlers):
 Spark-backed groups (503 when the server is built without a SparkSession):
 
   GET    /v1/testbed/testsets          GET /v1/testbed/testset_qa?tid=
-  POST   /v1/testbed/testset_load?name=    DELETE /v1/testbed/testset_delete/{tid}
-  GET    /v1/testbed/evaluations?tid=  POST /v1/testbed/evaluate?tid=
+  POST   /v1/testbed/testset_load?name=  (JSON body or multipart JSONL/JSON)
+  POST   /v1/testbed/testset_generate?name=&questions=  (multipart files)
+  DELETE /v1/testbed/testset_delete/{tid}
+  GET    /v1/testbed/evaluations?tid=  GET /v1/testbed/evaluation?eid=
+  POST   /v1/testbed/evaluate?tid=
   POST   /v1/embed (split + mock-embed + store write)   DELETE /v1/embed/{vs}
 """
 
@@ -87,6 +90,37 @@ def _parse_multipart_files(raw: bytes, content_type: str) -> list[tuple[str, byt
         payload = part.get_payload(decode=True)
         out.append((fname, payload if payload is not None else b""))
     return out
+
+
+def _parse_qa_payload(payload: bytes) -> list[dict] | None:
+    """QA rows from an uploaded test-set file: a JSON array, a JSON object
+    with a 'qa' list, or JSONL (one row object per line — the reference's
+    jsonl_to_json_content shape, testbed.py). None if the bytes are neither."""
+    text = payload.decode("utf-8", errors="replace").strip()
+    if not text:
+        return None
+    try:
+        doc = json.loads(text)
+        if isinstance(doc, list):
+            return [r for r in doc if isinstance(r, dict)] or None
+        if isinstance(doc, dict) and isinstance(doc.get("qa"), list):
+            return [r for r in doc["qa"] if isinstance(r, dict)] or None
+        return None
+    except json.JSONDecodeError:
+        pass
+    rows = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            row = json.loads(line)
+        except json.JSONDecodeError:
+            return None
+        if not isinstance(row, dict):
+            return None
+        rows.append(row)
+    return rows or None
 
 
 DEFAULT_SETTINGS: dict = {
@@ -344,8 +378,29 @@ class _ApiHandler(BaseHTTPRequestHandler):
         if method == "GET" and leaf == "testset_qa":
             return self._json(200, self._df_json(store.get_testset_qa(spark, qs.get("tid", ""))))
         if method == "POST" and leaf == "testset_load":
-            body = self._body() or {}
-            name, rows = qs.get("name") or body.get("name"), body.get("qa") or []
+            # reference endpoints.py:785-806 testbed_upsert_testsets takes
+            # List[UploadFile] of JSONL/JSON multipart; the JSON
+            # {"qa": [...]} body remains supported beside it
+            ctype_full = self.headers.get("Content-Type") or ""
+            if ctype_full.split(";")[0].strip().lower() == "multipart/form-data":
+                n = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(n) if n else b""
+                parts = _parse_multipart_files(raw, ctype_full)
+                if not parts:
+                    return self._json(
+                        422, {"detail": "malformed multipart body or no file parts"}
+                    )
+                name, rows = qs.get("name"), []
+                for _fname, payload in parts:
+                    parsed = _parse_qa_payload(payload)
+                    if parsed is None:
+                        return self._json(
+                            422, {"detail": f"file {_fname!r} is not JSON/JSONL QA rows"}
+                        )
+                    rows.extend(parsed)
+            else:
+                body = self._body() or {}
+                name, rows = qs.get("name") or body.get("name"), body.get("qa") or []
             if not name or not rows:
                 return self._json(422, {"detail": "name and qa rows required"})
             qa = spark.createDataFrame(
@@ -356,12 +411,61 @@ class _ApiHandler(BaseHTTPRequestHandler):
             tid = store.upsert_testset(spark, name, qa)
             return self._json(200, {"tid": tid,
                                     "qa": self._df_json(store.get_testset_qa(spark, tid))})
+        if method == "POST" and leaf == "testset_generate":
+            # endpoints.py:808-864 testbed_generate_qa: upload files, split
+            # into a knowledge base, generate `questions` Q&A rows, upsert as
+            # a named test set and return its QA. The reference generates
+            # via Giskard+LLM; this engine uses its deterministic
+            # generate_testset (testbed §3.3 companion path). ll_model /
+            # embed_model are validated against the registry when given —
+            # unknown names 404 like the reference's model filter.
+            from oaim_sandbox_spark.operators.split import split_fixed
+            from oaim_sandbox_spark.operators.testbed import generate_testset
+
+            ctype_full = self.headers.get("Content-Type") or ""
+            if ctype_full.split(";")[0].strip().lower() != "multipart/form-data":
+                return self._json(422, {"detail": "multipart/form-data file upload required"})
+            n = int(self.headers.get("Content-Length") or 0)
+            raw = self.rfile.read(n) if n else b""
+            parts = _parse_multipart_files(raw, ctype_full)
+            if not parts:
+                return self._json(422, {"detail": "malformed multipart body or no file parts"})
+            name = qs.get("name")
+            if not name:
+                return self._json(422, {"detail": "name required"})
+            try:
+                questions = int(qs.get("questions", 2))
+            except ValueError:
+                return self._json(422, {"detail": "questions must be an integer"})
+            for mkey in ("ll_model", "embed_model"):
+                mname = qs.get(mkey)
+                if mname and api.models.get(mname) is None:
+                    return self._json(404, {"detail": f"model {mname!r} not found"})
+            docs = spark.createDataFrame(
+                [(fname, payload.decode("utf-8", errors="replace"), fname)
+                 for fname, payload in parts],
+                "doc_id STRING, text STRING, source STRING",
+            )
+            chunks = split_fixed(docs, text_col="text", id_col="doc_id",
+                                 chunk_size=400, chunk_overlap=0)
+            qa_gen = generate_testset(chunks, n_questions=questions * len(parts))
+            qa = qa_gen.select("question", "reference_answer", "reference_context", "topic")
+            tid = store.upsert_testset(spark, name, qa)
+            return self._json(200, {"tid": tid,
+                                    "qa": self._df_json(store.get_testset_qa(spark, tid))})
         if method == "DELETE" and leaf == "testset_delete" and len(rest) == 2:
             store.delete_testset(spark, rest[1])
             return self._json(200, {"message": f"TestSet: {rest[1]} deleted."})
         if method == "GET" and leaf == "evaluations":
             evals = store.get_evaluations(spark, qs.get("tid", ""))
             return self._json(200, [] if evals is None else self._df_json(evals))
+        if method == "GET" and leaf == "evaluation":
+            # endpoints.py:762-767 singular form: the FULL stored report
+            # (correctness + by_topic + bounded failures + settings) by eid
+            try:
+                return self._json(200, store.get_evaluation(spark, qs.get("eid", "")))
+            except KeyError as ex:
+                return self._json(404, {"detail": str(ex)})
         if method == "POST" and leaf == "evaluate":
             from oaim_sandbox_spark.operators.testbed import evaluate_testset
 

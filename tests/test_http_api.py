@@ -670,3 +670,83 @@ def test_local_store_multipart_malformed_422(spark_server, tmp_path, monkeypatch
     assert status == 422
     import os
     assert not os.path.exists(os.path.join(str(tmp_path), "c-bad", "embedding", "evil"))
+
+
+def test_testbed_evaluation_singular_full_report(spark_server):
+    """GET /v1/testbed/evaluation?eid= (reference endpoints.py:762-767)
+    returns the FULL stored report — correctness, by_topic, bounded
+    failures, settings — not the list row; unknown eid is a 404."""
+    qa_rows = [
+        {"question": "what is spark?", "reference_answer": "a distributed engine",
+         "reference_context": "spark is a distributed engine", "topic": "tech"},
+        {"question": "what are dogs?", "reference_answer": "loyal mammals",
+         "reference_context": "dogs are loyal mammals", "topic": "animals"},
+    ]
+    status, body = req(spark_server, "POST", "/v1/testbed/testset_load?name=full-report-set",
+                       body={"qa": qa_rows})
+    assert status == 200
+    tid = body["tid"]
+    status, rep = req(spark_server, "POST", f"/v1/testbed/evaluate?tid={tid}")
+    assert status == 200
+    status, full = req(spark_server, "GET", f"/v1/testbed/evaluation?eid={rep['eid']}")
+    assert status == 200
+    assert full["eid"] == rep["eid"] and full["tid"] == tid
+    assert full["correctness"] == rep["correctness"]
+    assert full["by_topic"] == rep["by_topic"]
+    assert full["failures"] == rep["failures"]
+    assert isinstance(full["settings"], dict)
+    status, _ = req(spark_server, "GET", "/v1/testbed/evaluation?eid=nope")
+    assert status == 404
+    req(spark_server, "DELETE", f"/v1/testbed/testset_delete/{tid}")
+
+
+def test_testset_load_multipart_jsonl(spark_server):
+    """POST /v1/testbed/testset_load with multipart JSONL files — the
+    reference's List[UploadFile] client shape (endpoints.py:785-806)."""
+    jsonl = b"\n".join(
+        json.dumps({"question": f"q{i}?", "reference_answer": f"a{i}",
+                    "reference_context": f"ctx{i}", "topic": "t"}).encode()
+        for i in range(3)
+    )
+    status, body = _multipart_post(
+        spark_server, "/v1/testbed/testset_load?name=mp-set", [("set.jsonl", jsonl)]
+    )
+    assert status == 200
+    assert {r["question"] for r in body["qa"]} == {"q0?", "q1?", "q2?"}
+    # a non-JSONL payload is a 422, and the set was not created twice
+    status, _ = _multipart_post(
+        spark_server, "/v1/testbed/testset_load?name=mp-bad", [("junk.bin", b"\x00\x01 not json")]
+    )
+    assert status == 422
+    req(spark_server, "DELETE", f"/v1/testbed/testset_delete/{body['tid']}")
+
+
+def test_testset_generate_from_uploaded_files(spark_server):
+    """POST /v1/testbed/testset_generate (endpoints.py:808-864): uploaded
+    files become a knowledge base, `questions` Q&A rows per file are
+    generated deterministically, stored under `name`, and returned; an
+    unknown ll_model 404s like the reference's model filter."""
+    parts = [
+        ("guide.txt", b"Spark splits corpora into chunks for embedding. " * 30),
+        ("notes.md", b"Vector stores index chunk embeddings for search. " * 30),
+    ]
+    status, body = _multipart_post(
+        spark_server, "/v1/testbed/testset_generate?name=gen-set&questions=2", parts
+    )
+    assert status == 200
+    qa = body["qa"]
+    assert len(qa) == 4  # questions * n_files
+    assert all(r["question"] and r["reference_context"] for r in qa)
+    # generated set is a real test set: evaluate round-trips on it
+    status, rep = req(spark_server, "POST", f"/v1/testbed/evaluate?tid={body['tid']}")
+    assert status == 200 and 0.0 <= rep["correctness"] <= 1.0
+
+    status, _ = _multipart_post(
+        spark_server, "/v1/testbed/testset_generate?name=x&questions=2&ll_model=not-a-model",
+        parts,
+    )
+    assert status == 404
+    status, _ = req(spark_server, "POST", "/v1/testbed/testset_generate?name=x",
+                    body=[{"not": "multipart"}])
+    assert status == 422
+    req(spark_server, "DELETE", f"/v1/testbed/testset_delete/{body['tid']}")
