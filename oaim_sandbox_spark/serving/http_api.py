@@ -38,7 +38,9 @@ Spark-backed groups (503 when the server is built without a SparkSession):
   DELETE /v1/testbed/testset_delete/{tid}
   GET    /v1/testbed/evaluations?tid=  GET /v1/testbed/evaluation?eid=
   POST   /v1/testbed/evaluate?tid=
-  POST   /v1/embed (split + mock-embed + store write)   DELETE /v1/embed/{vs}
+  POST   /v1/embed (split + mock-embed + store write; with no inline
+         documents it consumes the client's staged files, ref split_embed)
+  DELETE /v1/embed/{vs}
 """
 
 from __future__ import annotations
@@ -579,15 +581,58 @@ class _ApiHandler(BaseHTTPRequestHandler):
 
             body = self._body() or {}
             docs = body.get("documents") or []
-            if not docs:
-                return self._json(422, {"detail": "documents required"})
+            staged_dir = None
+            if docs:
+                df = spark.createDataFrame(
+                    [(str(d.get("id", i)), d.get("text", ""), d.get("source", "upload"))
+                     for i, d in enumerate(docs)],
+                    "doc_id STRING, text STRING, source STRING",
+                )
+            else:
+                # reference split_embed (endpoints.py:251-306): no inline
+                # documents — read the client's staged files (populated by
+                # the web/local store routes), 404 when the folder is
+                # missing or empty, extension-dispatch each file, and wipe
+                # the staging dir when done (the reference's finally:).
+                from pyspark.sql import functions as F
+
+                from oaim_sandbox_spark.sources.loaders import load_documents
+
+                staged_dir = self._staging_dir(api)
+                if staged_dir is None:
+                    return
+                client = self._client()
+                if not os.path.isdir(staged_dir):
+                    return self._json(
+                        404, {"detail": f"Client: {client} documents folder not found."}
+                    )
+                files = sorted(
+                    os.path.join(staged_dir, f)
+                    for f in os.listdir(staged_dir)
+                    if os.path.isfile(os.path.join(staged_dir, f))
+                )
+                if not files:
+                    return self._json(
+                        404, {"detail": f"Client: {client} no files found in folder."}
+                    )
+                parts = []
+                for path in files:
+                    try:
+                        loaded = load_documents(spark, path)
+                    except ValueError as ex:  # unsupported extension -> ref's 500
+                        return self._json(500, {"detail": str(ex)})
+                    parts.append(
+                        loaded.select(
+                            F.col("doc_id").cast("string").alias("doc_id"),
+                            "text",
+                            F.col("source").cast("string").alias("source"),
+                        )
+                    )
+                df = parts[0]
+                for p in parts[1:]:
+                    df = df.unionByName(p)
             chunk_size = int(body.get("chunk_size", 200))
             chunk_overlap = int(body.get("chunk_overlap", 20))
-            df = spark.createDataFrame(
-                [(str(d.get("id", i)), d.get("text", ""), d.get("source", "upload"))
-                 for i, d in enumerate(docs)],
-                "doc_id STRING, text STRING, source STRING",
-            )
             chunks = split_fixed(df, text_col="text", id_col="doc_id",
                                  chunk_size=chunk_size, chunk_overlap=chunk_overlap)
             embedded = mock_embed_column(chunks, text_col="text",
@@ -597,6 +642,14 @@ class _ApiHandler(BaseHTTPRequestHandler):
                                chunk_size=chunk_size, chunk_overlap=chunk_overlap)
             name = api.catalog.write_store(embedded, vs)
             n = api.catalog.read_store(name).count()
+            if staged_dir is not None:
+                import shutil
+
+                # reference's finally: the staging dir is consumed by the
+                # embed (wiped only after the store write succeeded — a
+                # failed embed keeps the staged files for retry, which
+                # improves on the reference's unconditional cleanup)
+                shutil.rmtree(staged_dir, ignore_errors=True)
             return self._json(200, {"message": f"{n} chunks embedded.", "vector_store": name})
         return self._json(404, {"detail": "Not Found"})
 

@@ -750,3 +750,56 @@ def test_testset_generate_from_uploaded_files(spark_server):
                     body=[{"not": "multipart"}])
     assert status == 422
     req(spark_server, "DELETE", f"/v1/testbed/testset_delete/{body['tid']}")
+
+
+def test_embed_from_staged_files_roundtrip(spark_server, tmp_path, monkeypatch):
+    """Reference split_embed contract (endpoints.py:251-306): POST /v1/embed
+    with NO inline documents reads the client's staged files (from the
+    web/local store routes), splits+embeds them into a vector store, and
+    wipes the staging dir; a missing or empty staging folder is a 404."""
+    import os
+
+    monkeypatch.setattr(spark_server, "staging_root", str(tmp_path))
+
+    # 404 before anything staged
+    status, body = req(spark_server, "POST", "/v1/embed",
+                       body={"alias": "st", "model": "mock-embed"}, client="c-se")
+    assert status == 404 and "folder not found" in body["detail"]
+
+    # stage two text files via the multipart route, then split/embed them
+    parts = [
+        ("one.txt", b"distributed engines split corpora into chunks " * 10),
+        ("two.md", b"vector stores hold chunk embeddings " * 10),
+    ]
+    status, _ = _multipart_post(spark_server, "/v1/embed/local/store", parts, client="c-se")
+    assert status == 200
+    status, body = req(spark_server, "POST", "/v1/embed",
+                       body={"alias": "st", "model": "mock-embed",
+                             "chunk_size": 120, "chunk_overlap": 10}, client="c-se")
+    assert status == 200
+    assert "chunks embedded" in body["message"]
+    vs = body["vector_store"]
+
+    # staging dir consumed (reference's finally:), so a repeat POST is a 404
+    staged = os.path.join(str(tmp_path), "c-se", "embedding")
+    assert not os.path.isdir(staged)
+    status, body = req(spark_server, "POST", "/v1/embed",
+                       body={"alias": "st", "model": "mock-embed"}, client="c-se")
+    assert status == 404
+
+    req(spark_server, "DELETE", f"/v1/embed/{vs}")
+
+
+def test_embed_from_staged_unsupported_extension_500(spark_server, tmp_path, monkeypatch):
+    """An unsupported staged extension surfaces the loader's ValueError as
+    the reference's 500 and leaves the staged files for retry."""
+    import os
+
+    monkeypatch.setattr(spark_server, "staging_root", str(tmp_path))
+    status, _ = _multipart_post(
+        spark_server, "/v1/embed/local/store", [("data.xyz", b"???")], client="c-bad-ext"
+    )
+    assert status == 200
+    status, body = req(spark_server, "POST", "/v1/embed", body={}, client="c-bad-ext")
+    assert status == 500 and "unsupported file extension" in body["detail"]
+    assert os.path.isdir(os.path.join(str(tmp_path), "c-bad-ext", "embedding"))
