@@ -363,6 +363,53 @@ def stress_ntile(n_docs: int = 2_000_000) -> dict:
     return {"stress": "ntile_two_pass", "docs": n_docs, "buckets": len(rows), "seconds": round(dt, 1)}
 
 
+def stress_curriculum_approx(n_docs: int = 2_000_000) -> dict:
+    """Round-5 continuous-key curriculum at 20x sf0.1: the sketch path must
+    hold its contract at scale — one approx_percentile agg, broadcast cut
+    assignment, windows only over the 10-row bucket dim. Asserts every
+    share_within/cum_rank_within boolean TRUE on 2M synthetic docs with a
+    continuous chars-per-word score, and that the only unpartitioned window
+    in the plan is the bucket-dim prefix sum."""
+    from pyspark.sql import functions as F
+
+    spark = _spark("stress-curriculum")
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            # text whose words/chars ratio varies continuously with id
+            F.expr("repeat(concat(repeat('a', cast(id % 23 as int) + 2), ' '), "
+                   "cast(id % 37 as int) + 3)").alias("text"),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .repartition(64)
+        .localCheckpoint()
+    )
+    docs.createOrReplaceTempView("documents")
+    from oaim_sandbox_spark import queries as Q
+
+    t0 = time.time()
+    rows = spark.sql(Q.TEMPLATES["curriculum_buckets_approx"]("spark")).collect()
+    dt = time.time() - t0
+    assert len(rows) == 10, rows
+    assert all(r["share_within"] and r["cum_rank_within"] for r in rows), rows
+    plan = (
+        spark.sql(Q.TEMPLATES["curriculum_buckets_approx"]("spark"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re as _re
+
+    unpart = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and _re.search(r"\], \[[^\]]*(ASC|DESC)", ln)
+        and ln.count("], [") == 1
+    ]
+    for ln in unpart:  # every unpartitioned window is the bucket-dim prefix sum
+        assert "sum(cnt" in ln, ln.strip()[:160]
+    return {"stress": "curriculum_approx", "docs": n_docs, "buckets": len(rows),
+            "seconds": round(dt, 1)}
+
+
 def stress_binaryquant(n_vecs: int = 1_000_000, n_queries: int = 16) -> dict:
     """Binary-quantization search at 1M vectors: pack 64-dim signs into two
     int64 words (16 MB total vs 256 MB float32), batch Hamming top-200 per
@@ -427,6 +474,7 @@ def main() -> None:
         "spans": stress_spans,
         "colbert": stress_colbert,
         "ntile": stress_ntile,
+        "curriculum": stress_curriculum_approx,
         "binaryquant": stress_binaryquant,
     }
     if cmd not in fns:
