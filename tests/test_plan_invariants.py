@@ -163,3 +163,23 @@ def test_aqe_skew_join_activates_on_synthetic_skew(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_curriculum_approx_no_corpus_window(plans):
+    """curriculum_buckets_approx (the continuous-key curriculum path) must
+    keep its scale contract: no exact-percentile agg anywhere (the sketch
+    carries the cuts), and every unpartitioned window runs over the 10-row
+    bucket dim (its function references the post-aggregate count column),
+    never the corpus."""
+    import re
+
+    p = plans["curriculum_buckets_approx"]
+    assert "approx_percentile" in p, "sketch agg missing"
+    assert not re.search(r"\bpercentile\(", p), "exact percentile crept in"
+    unpart = [
+        ln for ln in p.splitlines()
+        if "windowspecdefinition" in ln and ln.count("], [") == 1
+        and re.search(r"\], \[[^\]]*(ASC|DESC)", ln)
+    ]
+    for ln in unpart:
+        assert "sum(cnt" in ln, f"unexpected window over non-dim input: {ln.strip()[:160]}"
