@@ -74,6 +74,8 @@ PROTECTED = [
     ("GET", "/v1/chat/history"),
     ("POST", "/v1/embed/web/store"),
     ("POST", "/v1/embed/local/store"),
+    ("GET", "/v1/testbed/evaluation?eid=x"),
+    ("POST", "/v1/testbed/testset_generate?name=x"),
 ]
 
 
