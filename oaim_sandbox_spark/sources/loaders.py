@@ -347,6 +347,24 @@ def load_documents(spark: SparkSession, path: str, ext: str | None = None) -> Da
     raise ValueError(f"unsupported file extension: {ext}")
 
 
+def is_url_accessible(url: str, timeout: int = 2) -> tuple[bool, str | None]:
+    """Reference common/functions.py:21-45 parity: preflight a URL before
+    staging/model registration. Accessible = reachable with status in
+    {200, 403, 404, 421} (the reference treats auth/notfound endpoints as
+    'alive'); anything else or a transport error returns (False, reason)."""
+    if not url:
+        return False, "No URL Provided"
+    import requests
+
+    try:
+        response = requests.get(url, timeout=timeout)
+    except requests.exceptions.RequestException as ex:
+        return False, f"{url} is not accessible. ({type(ex).__name__})"
+    if response.status_code in {200, 403, 404, 421}:
+        return True, None
+    return False, f"{url} is not accessible. (Status: {response.status_code})"
+
+
 def _safe_stage_basename(name: str) -> str:
     """Normalize a client-supplied or URL-derived filename to a safe basename.
     `os.path.basename` alone lets '.' and '..' through (both non-empty), and

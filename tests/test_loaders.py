@@ -407,3 +407,46 @@ def test_stage_web_files_dedupes_colliding_url_tails(tmp_path, monkeypatch):
     assert bodies == [b"A", b"B", b"C", b"D"]
     for p in staged:  # everything landed inside the staging dir
         assert os.path.dirname(p) == str(tmp_path / "stage")
+
+
+def test_is_url_accessible_status_contract(monkeypatch):
+    """Reference functions.py:21-45 parity: 200/403/404/421 count as
+    accessible (alive-but-guarded endpoints), other statuses and transport
+    errors do not; empty URL short-circuits."""
+    import sys
+    import types
+
+    class _R:
+        def __init__(self, code):
+            self.status_code = code
+
+    class _ReqErr(Exception):
+        pass
+
+    calls = {}
+
+    def fake_get(url, timeout):
+        calls["timeout"] = timeout
+        code = int(url.rsplit("/", 1)[-1])
+        if code == 0:
+            raise fake.exceptions.ConnectionError("boom")
+        return _R(code)
+
+    fake = types.SimpleNamespace(
+        get=fake_get,
+        exceptions=types.SimpleNamespace(
+            RequestException=_ReqErr,
+            ConnectionError=type("ConnectionError", (_ReqErr,), {}),
+        ),
+    )
+    monkeypatch.setitem(sys.modules, "requests", fake)
+    from oaim_sandbox_spark.sources.loaders import is_url_accessible
+
+    assert is_url_accessible("") == (False, "No URL Provided")
+    for code in (200, 403, 404, 421):
+        assert is_url_accessible(f"http://x.test/{code}") == (True, None)
+    ok, msg = is_url_accessible("http://x.test/500")
+    assert not ok and "Status: 500" in msg
+    ok, msg = is_url_accessible("http://x.test/0")
+    assert not ok and "ConnectionError" in msg
+    assert calls["timeout"] == 2
