@@ -187,6 +187,62 @@ class OciProfileDef:
     compartment_id: str = ""
 
 
+def bootstrap_databases() -> list[DatabaseDef]:
+    """Reference bootstrap/database_def.py parity: one DEFAULT connection
+    assembled from environment variables (DB_USERNAME / DB_PASSWORD /
+    DB_DSN / DB_WALLET_PASSWORD / TNS_ADMIN). Spark-first reinterpretation:
+    DB_DSN names the warehouse DIRECTORY the catalog scans. A wallet
+    password sets wallet_location to the config dir like the reference."""
+    db = DatabaseDef(
+        name="DEFAULT",
+        user=os.environ.get("DB_USERNAME") or "",
+        password=os.environ.get("DB_PASSWORD") or "",
+        dsn=os.environ.get("DB_DSN") or "",
+        wallet_password=os.environ.get("DB_WALLET_PASSWORD") or "",
+        config_dir=os.environ.get("TNS_ADMIN", "tns_admin"),
+    )
+    if db.wallet_password:
+        db.wallet_location = db.config_dir
+    return [db]
+
+
+def bootstrap_oci_profiles(config_file: str | None = None) -> list[OciProfileDef]:
+    """Reference bootstrap/oci_def.py parity: parse the OCI CLI config file
+    ($OCI_CLI_CONFIG_FILE, default ~/.oci/config — an INI) into one profile
+    per section plus DEFAULT; a missing/empty file yields the single empty
+    DEFAULT profile, matching the reference's fallback."""
+    import configparser
+
+    path = os.path.expanduser(
+        config_file or os.environ.get("OCI_CLI_CONFIG_FILE", "~/.oci/config")
+    )
+    profiles: list[OciProfileDef] = []
+    cp = configparser.ConfigParser()
+    try:
+        found = cp.read(path)
+    except configparser.Error:
+        found = []
+    if found:
+        defaults = dict(cp.defaults())
+        sections = cp.sections() + (["DEFAULT"] if defaults else [])
+        for section in sections:
+            data = defaults if section == "DEFAULT" else dict(cp[section])
+            profiles.append(
+                OciProfileDef(
+                    auth_profile=section,
+                    tenancy=data.get("tenancy", ""),
+                    region=data.get("region", ""),
+                    user=data.get("user", ""),
+                    fingerprint=data.get("fingerprint", ""),
+                    key_file=data.get("key_file", ""),
+                    security_token_file=data.get("security_token_file", ""),
+                )
+            )
+    if not profiles:
+        profiles = [OciProfileDef()]
+    return profiles
+
+
 # module-level so cloudpickle ships them by reference to executors
 def _default_answerer():
     return lambda q: "the passage describes " + q[:60]

@@ -805,3 +805,46 @@ def test_embed_from_staged_unsupported_extension_500(spark_server, tmp_path, mon
     status, body = req(spark_server, "POST", "/v1/embed", body={}, client="c-bad-ext")
     assert status == 500 and "unsupported file extension" in body["detail"]
     assert os.path.isdir(os.path.join(str(tmp_path), "c-bad-ext", "embedding"))
+
+
+def test_bootstrap_databases_from_env(monkeypatch):
+    """bootstrap/database_def.py parity: DEFAULT database assembled from
+    env; wallet password sets wallet_location to the config dir."""
+    from oaim_sandbox_spark.serving.http_api import bootstrap_databases
+
+    for k in ("DB_USERNAME", "DB_PASSWORD", "DB_DSN", "DB_WALLET_PASSWORD", "TNS_ADMIN"):
+        monkeypatch.delenv(k, raising=False)
+    (db,) = bootstrap_databases()
+    assert db.name == "DEFAULT" and db.dsn == "" and db.wallet_location == ""
+    monkeypatch.setenv("DB_USERNAME", "scott")
+    monkeypatch.setenv("DB_DSN", "/warehouse/dir")
+    monkeypatch.setenv("DB_WALLET_PASSWORD", "w")
+    monkeypatch.setenv("TNS_ADMIN", "/wallets")
+    (db,) = bootstrap_databases()
+    assert db.user == "scott" and db.dsn == "/warehouse/dir"
+    assert db.wallet_location == "/wallets"  # wallet password engages the location
+
+
+def test_bootstrap_oci_profiles_from_config(tmp_path, monkeypatch):
+    """bootstrap/oci_def.py parity: INI sections become profiles (plus
+    DEFAULT when it has keys); missing file falls back to one empty
+    DEFAULT profile."""
+    from oaim_sandbox_spark.serving.http_api import bootstrap_oci_profiles
+
+    cfg = tmp_path / "config"
+    cfg.write_text(
+        "[DEFAULT]\ntenancy=ocid1.tenancy.t\nregion=us-ashburn-1\n"
+        "[MYPROF]\ntenancy=ocid1.tenancy.p\nuser=ocid1.user.u\n"
+        "fingerprint=aa:bb\nkey_file=/k.pem\n"
+    )
+    profiles = bootstrap_oci_profiles(str(cfg))
+    by_name = {p.auth_profile: p for p in profiles}
+    assert set(by_name) == {"MYPROF", "DEFAULT"}
+    assert by_name["MYPROF"].user == "ocid1.user.u"
+    assert by_name["MYPROF"].fingerprint == "aa:bb"
+    assert by_name["DEFAULT"].region == "us-ashburn-1"
+
+    monkeypatch.setenv("OCI_CLI_CONFIG_FILE", str(tmp_path / "missing"))
+    profiles = bootstrap_oci_profiles()
+    assert len(profiles) == 1 and profiles[0].auth_profile == "DEFAULT"
+    assert profiles[0].tenancy == ""
