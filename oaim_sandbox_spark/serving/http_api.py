@@ -527,7 +527,13 @@ class _ApiHandler(BaseHTTPRequestHandler):
         if method == "POST" and leaf == "evaluate":
             from oaim_sandbox_spark.operators.testbed import evaluate_testset
 
-            tid = qs.get("tid", "")
+            body = self._body() or {}
+            tid = qs.get("tid") or body.get("tid") or ""
+            judge = qs.get("judge") or body.get("judge")
+            if judge and api.models.get(judge) is None:
+                # reference testbed_evaluate_qa takes a judge model name and
+                # resolves it through the model filter — unknown names fail
+                return self._json(404, {"detail": f"model {judge!r} not found"})
             qa = store.get_testset_qa(spark, tid)
             report = evaluate_testset(spark, qa, _default_answerer, _default_judge, tid=tid)
             eid = store.insert_evaluation(spark, report)

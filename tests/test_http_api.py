@@ -848,3 +848,21 @@ def test_bootstrap_oci_profiles_from_config(tmp_path, monkeypatch):
     profiles = bootstrap_oci_profiles()
     assert len(profiles) == 1 and profiles[0].auth_profile == "DEFAULT"
     assert profiles[0].tenancy == ""
+
+
+def test_evaluate_accepts_json_body_and_validates_judge(spark_server):
+    """Reference testbed_evaluate_qa takes {tid, judge} in the body and
+    resolves the judge through the model filter: tid via body works, and an
+    unknown judge model 404s before any evaluation runs."""
+    qa_rows = [{"question": "q?", "reference_answer": "a",
+                "reference_context": "ctx", "topic": "t"}]
+    status, body = req(spark_server, "POST", "/v1/testbed/testset_load?name=judge-set",
+                       body={"qa": qa_rows})
+    assert status == 200
+    tid = body["tid"]
+    status, _ = req(spark_server, "POST", "/v1/testbed/evaluate",
+                    body={"tid": tid, "judge": "no-such-judge"})
+    assert status == 404
+    status, rep = req(spark_server, "POST", "/v1/testbed/evaluate", body={"tid": tid})
+    assert status == 200 and rep["tid"] == tid
+    req(spark_server, "DELETE", f"/v1/testbed/testset_delete/{tid}")
