@@ -422,3 +422,41 @@ def test_pq_index_save_load_roundtrip(spark, tmp_path, pq_store):
     qa = [r["vec_id"] for r in idx.search(codes_a, rows[0][1], k=5, fetch_k=20).collect()]
     qb = [r["vec_id"] for r in loaded.search(codes_b, rows[0][1], k=5, fetch_k=20).collect()]
     assert qa == qb
+
+
+def test_partition_histogram_and_fetch_suggestion(spark, tmp_path):
+    """Funnel sizing from the index's own layout: partition_histogram
+    aggregates per-centroid counts off the partitioned store, and
+    suggest_fetch_k returns the floor on balanced data but scales with the
+    head cluster under skew — the adversarial-suite lesson as code."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.ann import IVFIndex
+
+    # skewed planted set: 70% of vectors in one cluster
+    n, dim = 2000, 8
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), i -> "
+            "3.0 * sin((CASE WHEN id % 10 < 7 THEN 0 ELSE id % 4 END) * 2.4 + i * 0.7) "
+            "+ 0.1 * (cast(hash(id, i) as double) / 2147483647.0))"
+        ).alias("embedding"),
+    )
+    idx = IVFIndex(n_centroids=4, seed=3, max_iter=8).fit(emb)
+    store = str(tmp_path / "ivf")
+    idx.write_partitioned(emb, store)
+
+    hist = idx.partition_histogram(spark, store)
+    assert sum(hist.values()) == n
+    head = max(hist.values())
+    # kmeans may split the planted 70% blob across centroids, but the head
+    # partition still dominates the mean by a wide margin
+    assert head >= 1.4 * (n / 4)
+
+    # balanced histogram -> floor; skewed -> grows with the head cluster
+    assert IVFIndex.suggest_fetch_k({0: 100, 1: 100}, k=10) == 150
+    suggested = IVFIndex.suggest_fetch_k(hist, k=10)
+    assert suggested == max(150, int(head * 0.25))
+    assert suggested > 150
+    assert IVFIndex.suggest_fetch_k({}, k=10) == 150
