@@ -95,7 +95,11 @@ def cmd_macros(_args) -> int:
 def cmd_serve(args) -> int:
     from oaim_sandbox_spark.serving.chat import ChatPipeline, MockLLM, RagSettings
     from oaim_sandbox_spark.serving.config_plane import PromptRegistry, bootstrap_models
-    from oaim_sandbox_spark.serving.http_api import ApiServer
+    from oaim_sandbox_spark.serving.http_api import (
+        ApiServer,
+        bootstrap_databases,
+        bootstrap_oci_profiles,
+    )
     from oaim_sandbox_spark.sources.loaders import LocalObjectStore
 
     pipeline = ChatPipeline(
@@ -108,6 +112,10 @@ def cmd_serve(args) -> int:
         api_key=args.api_key,
         port=args.port,
         object_store=LocalObjectStore(args.object_store_root) if args.object_store_root else None,
+        # reference launch_server bootstrap: DEFAULT database from env,
+        # OCI profiles from the CLI config file
+        databases=bootstrap_databases(),
+        oci_profiles=bootstrap_oci_profiles(),
     ).start()
     print(f"listening on http://127.0.0.1:{srv.port}  (api key: {srv.api_key})")
     try:

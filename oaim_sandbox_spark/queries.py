@@ -2805,8 +2805,10 @@ def curriculum_buckets_approx(d: str) -> str:
     within b/10±0.05 of n. DuckDB states the booleans as the contract
     (literal TRUE); Spark measures its own buckets — a sketch or
     assignment bug hash-mismatches the driver check. Unique scores bound
-    the true deviation by sketch rank error (1e-4·n) + 1-row quantization,
-    far inside the 0.05 window at any n."""
+    the true deviation by sketch rank error (1e-4·n) + 1-row quantization;
+    the tolerance is GREATEST(0.05·n, 1.5) rows — the relative window alone
+    is tighter than the ±1-row quantization below n≈21, so tiny corpora
+    (unit fixtures) need the absolute floor to keep healthy data green."""
     score = "n_chars * 1.0 / (1 + length(text) - length(replace(text, ' ', ''))) + doc_id * 1e-9"
     if d == "duck":
         return f"""
@@ -2849,9 +2851,11 @@ checked AS (
   FROM filled
 )
 SELECT CAST(checked.bucket AS INT) AS bucket, tot.n_total, tot.min_score, tot.max_score,
-       (abs(checked.cnt - 0.1 * tot.n_total) <= 0.05 * tot.n_total) AS share_within,
+       (abs(checked.cnt - 0.1 * tot.n_total) <= GREATEST(0.05 * tot.n_total, 1.5))
+         AS share_within,
        (checked.bucket = 10 OR
-        abs(checked.cum - checked.bucket * 0.1 * tot.n_total) <= 0.05 * tot.n_total)
+        abs(checked.cum - checked.bucket * 0.1 * tot.n_total)
+          <= GREATEST(0.05 * tot.n_total, 1.5))
          AS cum_rank_within
 FROM checked CROSS JOIN tot
 ORDER BY bucket

@@ -429,9 +429,22 @@ def stage_local_files(files: list[tuple[str, bytes]], directory: str) -> list[st
     Rejects path traversal in filenames (the reference trusts FastAPI's
     UploadFile.filename; we normalize to basename). All filenames are
     validated BEFORE any write so a bad name mid-batch can't leave a
-    partially-staged directory behind."""
+    partially-staged directory behind. Distinct uploads whose paths share
+    a basename ('a/data.txt', 'b/data.txt') get a counter suffix instead
+    of silently clobbering each other — same rule as stage_web_files."""
     os.makedirs(directory, exist_ok=True)
-    staged = [(_safe_stage_basename(name), payload) for name, payload in files]
+    staged = []
+    used: set[str] = set()
+    for name, payload in files:
+        base = _safe_stage_basename(name)
+        if base in used:
+            stem, dot, ext = base.partition(".")
+            k = 1
+            while f"{stem}_{k}{dot}{ext}" in used:
+                k += 1
+            base = f"{stem}_{k}{dot}{ext}"
+        used.add(base)
+        staged.append((base, payload))
     out = []
     for base, payload in staged:
         dest = os.path.join(directory, base)

@@ -210,6 +210,34 @@ def compaction_lock_is_fresh(
         return False
 
 
+def _break_stale_lock(sig_dir: str, grace: float = COMPACTION_LOCK_GRACE_SECS) -> bool:
+    """Atomically claim a STALE lock for breaking: rename it to a unique
+    name first (only one breaker wins the rename), re-verify staleness on
+    the claimed file, and restore it if a racing compactor had just
+    recreated a fresh lock at that path. unlink-then-recreate is NOT safe
+    here — two breakers could both unlink, and the second unlink would
+    delete the first winner's brand-new live lock, letting two compactions
+    run concurrently. Returns True if a stale lock was removed."""
+    import os
+    import time
+    import uuid as _uuid
+
+    lock = _compaction_lock_path(sig_dir)
+    claim = f"{lock}.stale-{_uuid.uuid4().hex}"
+    try:
+        os.rename(lock, claim)
+    except OSError:
+        return False  # gone already, or claimed by another breaker
+    try:
+        if (time.time() - os.path.getmtime(claim)) < grace:
+            os.rename(claim, lock)  # raced a fresh re-acquisition: restore
+            return False
+        os.unlink(claim)
+        return True
+    except OSError:
+        return False
+
+
 def wait_for_compaction(sig_dir: str, timeout: float = 120.0, poll: float = 0.25) -> None:
     """Block while a fresh compaction lock is held (compactions run in
     seconds; the timeout is generous). Raises RuntimeError rather than
@@ -252,9 +280,10 @@ def recover_signature_store(sig_dir: str) -> None:
     for leftover in (old, tmp):
         if os.path.isdir(leftover):
             shutil.rmtree(leftover)
-    lock = _compaction_lock_path(sig_dir)
-    if os.path.exists(lock):  # stale by the check above
-        os.unlink(lock)
+    if os.path.exists(_compaction_lock_path(sig_dir)):
+        # stale by the freshness check above; break it atomically (a bare
+        # unlink could delete a racing compactor's just-created fresh lock)
+        _break_stale_lock(sig_dir)
 
 
 def compact_signature_store(spark: SparkSession, sig_dir: str, target_files: int = 8) -> int:
@@ -290,8 +319,12 @@ def compact_signature_store(spark: SparkSession, sig_dir: str, target_files: int
     except FileExistsError:
         if compaction_lock_is_fresh(sig_dir):
             raise RuntimeError(f"compaction already in progress for {sig_dir}")
-        os.unlink(lock)  # crashed holder past the grace period
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        _break_stale_lock(sig_dir)  # atomic: only one breaker wins
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # another process won the post-break acquisition
+            raise RuntimeError(f"compaction already in progress for {sig_dir}") from None
     os.write(fd, str(os.getpid()).encode())
     os.close(fd)
     try:
@@ -308,21 +341,34 @@ def compact_signature_store(spark: SparkSession, sig_dir: str, target_files: int
         old = sig_dir.rstrip("/") + "__old"
         os.rename(sig_dir, old)
         os.rename(tmp, sig_dir)
-        # rescue signature files appended after the read snapshot
+        # Rescue signature files appended after the read snapshot. Rows
+        # from a file committed between the listdir snapshot and the Spark
+        # read's own listing may ALREADY be in the compacted output, so
+        # late files are re-read and anti-joined on the store key before
+        # appending — moving the raw files in would double those rows and
+        # quietly break the store's distinct-(doc_id, signature) invariant.
         late = [
-            f
+            os.path.join(old, f)
             for f in os.listdir(old)
             if f not in snapshot and f.startswith("part-") and f.endswith(".parquet")
         ]
-        for f in late:
-            dest = os.path.join(sig_dir, f)
-            if os.path.exists(dest):  # UUID part names make this ~impossible
-                dest = os.path.join(sig_dir, "late-" + f)
-            os.rename(os.path.join(old, f), dest)
+        n_late = 0
+        if late:
+            fresh_rows = (
+                spark.read.parquet(*late)
+                .dropDuplicates(["doc_id", "signature"])
+                .join(
+                    spark.read.parquet(sig_dir).select("doc_id", "signature"),
+                    ["doc_id", "signature"],
+                    "left_anti",
+                )
+                .localCheckpoint(eager=True)  # pin before old is removed
+            )
+            n_late = fresh_rows.count()
+            if n_late:
+                fresh_rows.write.mode("append").parquet(sig_dir)
         shutil.rmtree(old)
-        return n + (
-            0 if not late else spark.read.parquet(sig_dir).count() - n
-        )
+        return n + n_late
     finally:
         if os.path.exists(lock):
             os.unlink(lock)

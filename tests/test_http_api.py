@@ -866,3 +866,58 @@ def test_evaluate_accepts_json_body_and_validates_judge(spark_server):
     status, rep = req(spark_server, "POST", "/v1/testbed/evaluate", body={"tid": tid})
     assert status == 200 and rep["tid"] == tid
     req(spark_server, "DELETE", f"/v1/testbed/testset_delete/{tid}")
+
+
+def test_single_row_jsonl_and_nondict_bodies(spark_server, tmp_path, monkeypatch):
+    """Review fixes: a one-line JSONL upload is valid (the whole-text JSON
+    parse must not 422 it), a non-dict JSON body on object routes is a
+    clean 4xx instead of a dead connection, and questions<=0 is a 422."""
+    one = json.dumps({"question": "only?", "reference_answer": "a",
+                      "reference_context": "c", "topic": "t"}).encode()
+    status, body = _multipart_post(
+        spark_server, "/v1/testbed/testset_load?name=one-row", [("one.jsonl", one)]
+    )
+    assert status == 200 and [r["question"] for r in body["qa"]] == ["only?"]
+    req(spark_server, "DELETE", f"/v1/testbed/testset_delete/{body['tid']}")
+
+    # non-dict (list) body: evaluate must answer a 4xx, not drop the socket
+    status, _ = req(spark_server, "POST", "/v1/testbed/evaluate", body=["x"])
+    assert 400 <= status < 500
+
+    status, _ = _multipart_post(
+        spark_server, "/v1/testbed/testset_generate?name=x&questions=-3",
+        [("f.txt", b"text " * 50)],
+    )
+    assert status == 422
+
+
+def test_evaluation_records_requested_judge(spark_server):
+    """A valid judge model name is recorded in the stored report settings
+    (the engine's judge is deterministic; attribution must not be lost)."""
+    qa_rows = [{"question": "q?", "reference_answer": "a",
+                "reference_context": "c", "topic": "t"}]
+    status, body = req(spark_server, "POST", "/v1/testbed/testset_load?name=attr-set",
+                       body={"qa": qa_rows})
+    tid = body["tid"]
+    status, _ = req(spark_server, "POST", "/v1/models",
+                    body={"name": "judge-model", "type": "ll", "provider": "openai-compat"})
+    assert status == 200
+    status, rep = req(spark_server, "POST", "/v1/testbed/evaluate",
+                      body={"tid": tid, "judge": "judge-model"})
+    assert status == 200
+    status, full = req(spark_server, "GET", f"/v1/testbed/evaluation?eid={rep['eid']}")
+    assert status == 200 and full["settings"] == {"judge": "judge-model"}
+    req(spark_server, "DELETE", f"/v1/testbed/testset_delete/{tid}")
+
+
+def test_stage_local_files_dedupes_colliding_basenames(tmp_path):
+    """'a/data.txt' and 'b/data.txt' in one batch must both survive —
+    counter-suffixed like stage_web_files, never silently clobbered."""
+    from oaim_sandbox_spark.sources.loaders import stage_local_files
+
+    staged = stage_local_files(
+        [("a/data.txt", b"A"), ("b/data.txt", b"B"), ("data.txt", b"C")],
+        str(tmp_path / "stage"),
+    )
+    assert len(staged) == len(set(staged)) == 3
+    assert sorted(open(p, "rb").read() for p in staged) == [b"A", b"B", b"C"]

@@ -433,3 +433,6 @@ def test_compaction_rescues_late_appended_signatures(spark, tmp_path, monkeypatc
     assert n == 2
     after = spark.read.parquet(sig_dir)
     assert {r["doc_id"] for r in after.select("doc_id").distinct().collect()} == {"d0", "d9"}
+    # the rescue must preserve the store's distinct-(doc_id, signature)
+    # invariant even when the late rows were already swept into the read
+    assert after.count() == after.select("doc_id", "signature").distinct().count() == 2
