@@ -164,6 +164,11 @@ class DatabaseDef:
     vector_stores: list = field(default_factory=list)
 
 
+class _BadBody(Exception):
+    """Raised by _body_dict for valid-JSON-but-not-object (or malformed)
+    bodies on object routes; mapped to 422 centrally in _route."""
+
+
 class DbException(Exception):
     """Mirrors server/databases.py DbException (status_code + detail)."""
 
@@ -348,11 +353,16 @@ class _ApiHandler(BaseHTTPRequestHandler):
             return None
 
     def _body_dict(self) -> dict:
-        """JSON body coerced to a dict: routes whose contract is an object
-        must not AttributeError on a valid-JSON-but-not-object body (e.g.
-        a bare list) — that kills the handler thread with no 4xx."""
+        """JSON body for routes whose contract is an object. An empty body
+        is {} (probe/defaults semantics); a NON-OBJECT body (bare list,
+        string, malformed JSON) raises _BadBody -> a clean 422 from _route,
+        matching FastAPI's validation error on the reference — neither an
+        AttributeError that kills the handler thread nor a silent {} that
+        turns a malformed PATCH into a 200 no-op."""
         body = self._body()
-        return body if isinstance(body, dict) else {}
+        if body is None or not isinstance(body, dict):
+            raise _BadBody("request body must be a JSON object")
+        return body
 
     def _client(self) -> str:
         return self.headers.get("client") or "default"
@@ -386,6 +396,8 @@ class _ApiHandler(BaseHTTPRequestHandler):
             return self._dispatch(method, parts, qs)
         except DuplicateNameError as ex:
             return self._json(409, {"detail": str(ex)})
+        except _BadBody as ex:
+            return self._json(422, {"detail": str(ex)})
         except KeyError as ex:
             return self._json(404, {"detail": str(ex)})
 
@@ -473,6 +485,8 @@ class _ApiHandler(BaseHTTPRequestHandler):
                 name, rows = qs.get("name") or body.get("name"), body.get("qa") or []
             if not name or not rows:
                 return self._json(422, {"detail": "name and qa rows required"})
+            if not all(isinstance(r, dict) for r in rows):
+                return self._json(422, {"detail": "each qa row must be an object"})
             qa = spark.createDataFrame(
                 [(r.get("question", ""), r.get("reference_answer", ""),
                   r.get("reference_context", ""), r.get("topic", "general")) for r in rows],
@@ -546,10 +560,21 @@ class _ApiHandler(BaseHTTPRequestHandler):
             if not tid:
                 return self._json(422, {"detail": "tid required"})
             judge = qs.get("judge") or body.get("judge")
+            if judge is not None and not isinstance(judge, str):
+                return self._json(422, {"detail": "judge must be a model name string"})
             if judge and api.models.get(judge) is None:
                 # reference testbed_evaluate_qa takes a judge model name and
                 # resolves it through the model filter — unknown names fail
                 return self._json(404, {"detail": f"model {judge!r} not found"})
+            # unknown tid: 404 (the reference raises through process_report);
+            # evaluating a missing/typoed set would persist a bogus 0.0 report
+            sets = store.get_testsets(spark)
+            known = (
+                sets is not None
+                and len(sets.filter(sets["tid"] == tid).head(1)) > 0
+            )
+            if not known:
+                return self._json(404, {"detail": f"testset {tid!r} not found"})
             qa = store.get_testset_qa(spark, tid)
             # the engine's judge is deterministic (the reference resolves an
             # LLM judge client; no live model exists in-container) — the
@@ -666,6 +691,8 @@ class _ApiHandler(BaseHTTPRequestHandler):
 
             body = self._body_dict()
             docs = body.get("documents") or []
+            if docs and not all(isinstance(d, dict) for d in docs):
+                return self._json(422, {"detail": "each document must be an object"})
             staged_dir = None
             if docs:
                 df = spark.createDataFrame(

@@ -365,6 +365,19 @@ def is_url_accessible(url: str, timeout: int = 2) -> tuple[bool, str | None]:
     return False, f"{url} is not accessible. (Status: {response.status_code})"
 
 
+def _dedupe_basename(base: str, used: set[str]) -> str:
+    """Counter-suffix a basename that collides with one already staged in
+    this batch ('data.txt' -> 'data_1.txt'); both staging routes share this
+    so the collision rule can't diverge between them."""
+    if base not in used:
+        return base
+    stem, dot, ext = base.partition(".")
+    k = 1
+    while f"{stem}_{k}{dot}{ext}" in used:
+        k += 1
+    return f"{stem}_{k}{dot}{ext}"
+
+
 def _safe_stage_basename(name: str) -> str:
     """Normalize a client-supplied or URL-derived filename to a safe basename.
     `os.path.basename` alone lets '.' and '..' through (both non-empty), and
@@ -409,12 +422,7 @@ def stage_web_files(urls: list[str], directory: str, timeout: int = 30) -> list[
             raise ValueError(f"unsupported content type {ctype} for {url}")
         # distinct URLs can share a tail segment ('a/page', 'b/page') —
         # suffix a counter so one request never silently overwrites itself
-        if name in used:
-            stem, dot, ext = name.partition(".")
-            k = 1
-            while f"{stem}_{k}{dot}{ext}" in used:
-                k += 1
-            name = f"{stem}_{k}{dot}{ext}"
+        name = _dedupe_basename(name, used)
         used.add(name)
         dest = os.path.join(directory, name)
         with open(dest, "wb") as fh:
@@ -436,13 +444,7 @@ def stage_local_files(files: list[tuple[str, bytes]], directory: str) -> list[st
     staged = []
     used: set[str] = set()
     for name, payload in files:
-        base = _safe_stage_basename(name)
-        if base in used:
-            stem, dot, ext = base.partition(".")
-            k = 1
-            while f"{stem}_{k}{dot}{ext}" in used:
-                k += 1
-            base = f"{stem}_{k}{dot}{ext}"
+        base = _dedupe_basename(_safe_stage_basename(name), used)
         used.add(base)
         staged.append((base, payload))
     out = []

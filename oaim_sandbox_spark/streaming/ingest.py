@@ -211,13 +211,19 @@ def compaction_lock_is_fresh(
 
 
 def _break_stale_lock(sig_dir: str, grace: float = COMPACTION_LOCK_GRACE_SECS) -> bool:
-    """Atomically claim a STALE lock for breaking: rename it to a unique
-    name first (only one breaker wins the rename), re-verify staleness on
-    the claimed file, and restore it if a racing compactor had just
-    recreated a fresh lock at that path. unlink-then-recreate is NOT safe
-    here — two breakers could both unlink, and the second unlink would
-    delete the first winner's brand-new live lock, letting two compactions
-    run concurrently. Returns True if a stale lock was removed."""
+    """Remove a STALE lock without ever disturbing a fresh one. The lock
+    file is snapshotted via a hardlink (the original never moves, so a
+    fresh lock can never be 'stolen' and need restoring — the hazard a
+    rename-based claim has), staleness is verified on the snapshot, and
+    the lock path is unlinked only while it is still the same inode as the
+    stale snapshot. unlink-then-recreate without the identity check is NOT
+    safe: two breakers could both unlink, the second deleting the first
+    winner's brand-new live lock. A microscopic TOCTOU window remains
+    between the inode compare and the unlink (it needs a crashed-stale
+    holder AND a sub-microsecond re-acquisition landing on a recycled
+    inode); the owner-checked release in compact_signature_store bounds
+    the damage of that window to one spurious in-progress error. Returns
+    True if a stale lock was removed."""
     import os
     import time
     import uuid as _uuid
@@ -225,17 +231,26 @@ def _break_stale_lock(sig_dir: str, grace: float = COMPACTION_LOCK_GRACE_SECS) -
     lock = _compaction_lock_path(sig_dir)
     claim = f"{lock}.stale-{_uuid.uuid4().hex}"
     try:
-        os.rename(lock, claim)
+        os.link(lock, claim)  # snapshot identity; the lock path stays put
     except OSError:
-        return False  # gone already, or claimed by another breaker
+        return False  # gone already, or filesystem without hardlinks
     try:
         if (time.time() - os.path.getmtime(claim)) < grace:
-            os.rename(claim, lock)  # raced a fresh re-acquisition: restore
-            return False
-        os.unlink(claim)
-        return True
-    except OSError:
-        return False
+            return False  # fresh after all (raced a new holder): leave it
+        same = False
+        try:
+            same = os.stat(lock).st_ino == os.stat(claim).st_ino
+        except OSError:
+            same = False
+        if same:
+            os.unlink(lock)
+            return True
+        return False  # a new holder replaced it between link and stat
+    finally:
+        try:
+            os.unlink(claim)
+        except OSError:
+            pass
 
 
 def wait_for_compaction(sig_dir: str, timeout: float = 120.0, poll: float = 0.25) -> None:
@@ -325,7 +340,10 @@ def compact_signature_store(spark: SparkSession, sig_dir: str, target_files: int
         except FileExistsError:
             # another process won the post-break acquisition
             raise RuntimeError(f"compaction already in progress for {sig_dir}") from None
-    os.write(fd, str(os.getpid()).encode())
+    import uuid as _uuid
+
+    token = f"{os.getpid()}:{_uuid.uuid4().hex}"
+    os.write(fd, token.encode())
     os.close(fd)
     try:
         snapshot = set(os.listdir(sig_dir))
@@ -370,8 +388,17 @@ def compact_signature_store(spark: SparkSession, sig_dir: str, target_files: int
         shutil.rmtree(old)
         return n + n_late
     finally:
-        if os.path.exists(lock):
-            os.unlink(lock)
+        # owner-checked release: if THIS holder stalled past the grace
+        # period, a second compactor may have broken the stale lock and
+        # created its own — an unconditional unlink here would delete that
+        # live lock and re-open the concurrent-compaction hole. Only the
+        # process whose token is in the file releases it.
+        try:
+            with open(lock, "r") as fh:
+                if fh.read() == token:
+                    os.unlink(lock)
+        except OSError:
+            pass
 
 
 def windowed_event_counts(

@@ -921,3 +921,39 @@ def test_stage_local_files_dedupes_colliding_basenames(tmp_path):
     )
     assert len(staged) == len(set(staged)) == 3
     assert sorted(open(p, "rb").read() for p in staged) == [b"A", b"B", b"C"]
+
+
+def test_second_review_pass_edges(spark_server, server):
+    """Second review pass: unknown/missing-store tid is a 404 (never a
+    persisted bogus 0.0 report or a dead socket), a non-string judge is a
+    422, element-level non-object qa rows / documents are 422, and a
+    valid-JSON-but-not-object PATCH body is a 422 rather than a silent
+    no-op 200."""
+    # evaluate against a store that has never seen a testset -> 404
+    status, _ = req(spark_server, "POST", "/v1/testbed/evaluate",
+                    body={"tid": "never-loaded"})
+    assert status == 404
+    status, body = req(spark_server, "POST", "/v1/testbed/testset_load?name=e2",
+                       body={"qa": [{"question": "q", "reference_answer": "a",
+                                     "reference_context": "c", "topic": "t"}]})
+    tid = body["tid"]
+    # typoed tid with an existing store -> 404, not a bogus 200
+    status, _ = req(spark_server, "POST", "/v1/testbed/evaluate",
+                    body={"tid": "not-" + tid})
+    assert status == 404
+    # non-string judge -> 422 (was an unhashable-key TypeError)
+    status, _ = req(spark_server, "POST", "/v1/testbed/evaluate",
+                    body={"tid": tid, "judge": {"name": "x"}})
+    assert status == 422
+    # element-level validation
+    status, _ = req(spark_server, "POST", "/v1/testbed/testset_load?name=bad",
+                    body={"qa": ["just a string"]})
+    assert status == 422
+    status, _ = req(spark_server, "POST", "/v1/embed", body={"documents": [5]})
+    assert status == 422
+    # non-object body on an object PATCH route -> 422, not a silent 200
+    req(server, "POST", "/v1/settings?client=badbody")  # ensure client exists
+    status, _ = req(server, "PATCH", "/v1/settings?client=badbody",
+                    body=[{"top_k": 9}])
+    assert status == 422
+    req(spark_server, "DELETE", f"/v1/testbed/testset_delete/{tid}")
