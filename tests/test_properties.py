@@ -148,3 +148,84 @@ def test_psi_nonnegative(spark):
     assert rows
     for r in rows:
         assert r["psi"] >= 0.0
+
+
+@given(
+    parts=st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_characters='"\r\n\\', min_codepoint=32, max_codepoint=126
+                ),
+                min_size=1,
+                max_size=30,
+            ),
+            st.binary(max_size=200),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_multipart_roundtrip_property(parts):
+    """Any (filename, payload) list survives a build->parse round trip
+    through the stdlib multipart parser: same order, same names, payloads
+    bit-identical (binary payloads included — the parser must not decode
+    or mangle them)."""
+    from oaim_sandbox_spark.serving.http_api import _parse_multipart_files
+
+    boundary = "hypothesisboundary0123"
+    chunks = []
+    for fname, payload in parts:
+        chunks.append(
+            (
+                f"--{boundary}\r\n"
+                f'Content-Disposition: form-data; name="files"; filename="{fname}"\r\n'
+                "Content-Type: application/octet-stream\r\n"
+                "Content-Transfer-Encoding: binary\r\n\r\n"
+            ).encode()
+        )
+        chunks.append(payload)
+        chunks.append(b"\r\n")
+    chunks.append(f"--{boundary}--\r\n".encode())
+    raw = b"".join(chunks)
+    got = _parse_multipart_files(raw, f"multipart/form-data; boundary={boundary}")
+    assert [g[0] for g in got] == [p[0] for p in parts]
+    assert [g[1] for g in got] == [p[1] for p in parts]
+
+
+@given(
+    rows=st.lists(
+        st.dictionaries(
+            st.sampled_from(["question", "reference_answer", "topic", "extra"]),
+            st.text(max_size=40),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    shape=st.sampled_from(["jsonl", "array", "qa_object"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_qa_payload_shapes_property(rows, shape):
+    """Every documented test-set upload shape — JSONL lines, a JSON array,
+    a {'qa': [...]} object — parses to exactly the input rows, including
+    the single-row case (a one-line JSONL is also a bare JSON object)."""
+    import json as _json
+
+    from oaim_sandbox_spark.serving.http_api import _parse_qa_payload
+
+    if shape == "jsonl":
+        payload = "\n".join(_json.dumps(r) for r in rows).encode()
+    elif shape == "array":
+        payload = _json.dumps(rows).encode()
+    else:
+        payload = _json.dumps({"qa": rows}).encode()
+    got = _parse_qa_payload(payload)
+    if shape == "jsonl" and len(rows) == 1 and "question" not in rows[0]:
+        # a single JSONL row without 'question' is indistinguishable from a
+        # non-QA JSON object; the parser rejects it by design
+        assert got is None
+        return
+    assert got == rows
