@@ -55,6 +55,23 @@ def main() -> None:
     print(f"\nrotation candidates for next round ({len(uncovered_next)}):")
     print("  " + ", ".join(uncovered_next) if uncovered_next else "  none — full union coverage after this round")
 
+    # With full union coverage, recency is the signal: rank entries by how
+    # long ago their last driver check was (assuming the CURRENT window all
+    # passes this round) and print the staleness-ordered candidates for the
+    # next rotation — oldest-certified first, skipping what's in-window now.
+    latest_round = max((r for r, _ in status.values()), default=0)
+    projected = {n: (latest_round + 1 if n in window else status.get(n, (0, False))[0]) for n in oracles}
+    stale_next = sorted(
+        (n for n in oracles if n not in window),
+        key=lambda n: (projected[n], oracles.index(n)),
+    )
+    print("\nstaleness-ordered candidates for the NEXT window (oldest driver check first):")
+    from itertools import groupby
+
+    for rnd, grp in groupby(stale_next, key=lambda n: projected[n]):
+        names = list(grp)
+        print(f"  last checked r{rnd} ({len(names)}): {', '.join(names)}")
+
 
 if __name__ == "__main__":
     main()
