@@ -89,6 +89,18 @@ class VectorStoreCatalog:
     def _store_path(self, name: str) -> str:
         if not self.root:
             raise ValueError("directory backend requires a root path")
+        # the name becomes a directory component and reaches drop_store's
+        # rmtree — and it arrives RAW off the wire (DELETE /v1/embed/{vs}),
+        # so '..', separators, or an absolute path would read or
+        # recursively DELETE outside the catalog root
+        if (
+            not name
+            or name in (".", "..")
+            or "/" in name
+            or "\\" in name
+            or os.path.isabs(name)
+        ):
+            raise KeyError(f"invalid vector store name {name!r}")
         return os.path.join(self.root, name)
 
     def write_store(self, df: DataFrame, vs: VectorStorage, mode: str = "overwrite") -> str:
@@ -104,14 +116,19 @@ class VectorStoreCatalog:
         path = self._store_path(name)
         sidecar_path = os.path.join(path, SIDECAR)
         have_dim = None
-        if mode == "append" and os.path.isfile(sidecar_path) and "embedding" in df.columns:
+        if mode == "append" and os.path.isdir(path) and "embedding" in df.columns:
             from pyspark.sql import functions as F
 
-            with open(sidecar_path) as fh:
-                meta = json.load(fh)
             # dim cached in the sidecar at create time (below) — no store
-            # scan per append; legacy sidecars fall back to a 1-row read
-            have_dim = meta.get("dim")
+            # scan per append; legacy or ABSENT sidecars (e.g. a store built
+            # by a streaming append that never wrote one) fall back to a
+            # 1-row store read: gating the whole guard on the sidecar's
+            # existence would wave the wrong-model append straight through
+            # and then certify the corruption with a freshly-written sidecar
+            if os.path.isfile(sidecar_path):
+                with open(sidecar_path) as fh:
+                    meta = json.load(fh)
+                have_dim = meta.get("dim")
             if have_dim is None:
                 have = self.read_store(name).select(F.size("embedding").alias("d")).first()
                 have_dim = None if have is None else have["d"]
@@ -167,6 +184,60 @@ class VectorStoreCatalog:
                 )
         return out
 
+    def _recover_swap(self, path: str) -> None:
+        """Crash recovery for the write -> rename -> rename -> rmtree swap
+        used by compaction and Z-order rewrites: a kill between the two
+        renames leaves the data under ``__old`` with the store path missing
+        (restore it), and any leftover temp/old dirs from other crash points
+        are removed — a stale ``__old`` would otherwise make every later
+        swap's first rename fail forever."""
+        import shutil
+
+        old = path + "__old"
+        if not os.path.isdir(path) and os.path.isdir(old):
+            os.rename(old, path)
+        for suffix in ("__old", "__compacting", "__zordering"):
+            leftover = path + suffix
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover)
+
+    def _swap_rewrite(self, path: str, tmp_suffix: str, write_fn) -> None:
+        """Shared rewrite-and-swap for compaction and Z-order: recover any
+        prior crash, rewrite through ``write_fn(df, tmp_path)``, swap via
+        two renames, then RESCUE parquet files a concurrent appender
+        committed after this rewrite's read — the read's own file listing
+        (df.inputFiles()) is the exclusion set, so a rescued file can never
+        also be inside the rewritten output (no double-sweep). The rescue
+        preserves relative subpaths, so hive-partitioned appends land back
+        in their partition dirs. Maintenance is still expected to run when
+        ingest is quiesced (the reference's nightly model); the rescue turns
+        a violated assumption into zero data loss instead of silent loss."""
+        import shutil
+        from urllib.parse import urlparse
+
+        self._recover_swap(path)
+        df = self.spark.read.parquet(path)
+        read_files = {
+            os.path.relpath(urlparse(f).path or f, path) for f in df.inputFiles()
+        }
+        tmp = path + tmp_suffix
+        write_fn(df, tmp)
+        old = path + "__old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        for dp, _dirs, fs in os.walk(old):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(dp, f), old)
+                if rel in read_files:
+                    continue
+                dest = os.path.join(path, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                if not os.path.exists(dest):
+                    os.rename(os.path.join(old, rel), dest)
+        shutil.rmtree(old)
+
     def compact_store(self, name: str, target_file_mb: int = 128) -> int:
         """Small-file compaction (100 TB maintenance): streaming ingest
         (streaming/ingest.py) appends a few files per micro-batch, and a
@@ -179,9 +250,8 @@ class VectorStoreCatalog:
         Iceberg rewrite_data_files; here it is an explicit operator so the
         parquet-dir backend stays dependency-free.
         """
-        import shutil
-
         path = self._store_path(name)
+        self._recover_swap(path)
         sidecar_path = os.path.join(path, SIDECAR)
         with open(sidecar_path) as fh:
             comment = fh.read()
@@ -192,8 +262,6 @@ class VectorStoreCatalog:
             if f.endswith(".parquet")
         )
         n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
-        df = self.spark.read.parquet(path)
-        tmp = path + "__compacting"
         # hive-partitioned layout (e.g. an IVF centroid=N store) must keep
         # its partitioning through the rewrite — a flat rewrite would
         # silently destroy the pruning the index depends on
@@ -201,15 +269,15 @@ class VectorStoreCatalog:
             {d.split("=", 1)[0] for d in os.listdir(path)
              if "=" in d and os.path.isdir(os.path.join(path, d))}
         )
-        if part_cols:
-            (df.repartition(int(n_files), *part_cols)
-               .write.mode("overwrite").partitionBy(*part_cols).parquet(tmp))
-        else:
-            df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
-        old = path + "__old"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+
+        def write_fn(df, tmp):
+            if part_cols:
+                (df.repartition(int(n_files), *part_cols)
+                   .write.mode("overwrite").partitionBy(*part_cols).parquet(tmp))
+            else:
+                df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
+
+        self._swap_rewrite(path, "__compacting", write_fn)
         with open(os.path.join(path, SIDECAR), "w") as fh:
             fh.write(comment)
         return int(n_files)
@@ -244,10 +312,9 @@ class VectorStoreCatalog:
                     "against — compact (partition-preserving) or rebuild the "
                     "index instead"
                 )
-            import shutil
-
             from oaim_sandbox_spark.operators.relational import zorder_write
 
+            self._recover_swap(path)
             with open(os.path.join(path, SIDECAR)) as fh:
                 comment = fh.read()
             total_bytes = sum(
@@ -257,15 +324,10 @@ class VectorStoreCatalog:
                 if f.endswith(".parquet")
             )
             n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
-            # no checkpoint: the source path stays readable until the rename
-            # below, exactly like compact_store's swap
-            df = self.spark.read.parquet(path)
-            tmp = path + "__zordering"
-            zorder_write(df, tmp, zorder_cols, n_files=int(n_files))
-            old = path + "__old"
-            os.rename(path, old)
-            os.rename(tmp, path)
-            shutil.rmtree(old)
+            self._swap_rewrite(
+                path, "__zordering",
+                lambda df, tmp: zorder_write(df, tmp, zorder_cols, n_files=int(n_files)),
+            )
             with open(os.path.join(path, SIDECAR), "w") as fh:
                 fh.write(comment)
             report["zordered_on"] = list(zorder_cols)
@@ -299,12 +361,21 @@ class VectorStoreCatalog:
 
     # -- metastore backend -------------------------------------------------
     def register_table(self, table: str, comment: str) -> None:
-        """K5: attach the genai catalog JSON as a table property."""
-        escaped = comment.replace("'", "''")
+        """K5: attach the genai catalog JSON as a table property. The table
+        name is interpolated into SQL, so it must be a plain identifier
+        (get_vs_table only emits [A-Z0-9_]); the property value escapes
+        BACKSLASHES as well as quotes — Spark's single-quoted literals eat
+        backslash escapes, and a model name like 'a\\b' would otherwise
+        store invalid JSON that breaks every later list_tables."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+            raise ValueError(f"invalid table identifier {table!r}")
+        escaped = comment.replace("\\", "\\\\").replace("'", "''")
         self.spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ('{GENAI_PROP}'='{escaped}')")
 
     def list_tables(self) -> list[VectorStorage]:
-        """S12 via metastore: listTables + property filter (J1 analogue)."""
+        """S12 via metastore: listTables + property filter (J1 analogue).
+        A table whose genai property is unreadable or corrupt is SKIPPED,
+        never allowed to break the whole catalog listing."""
         out: list[VectorStorage] = []
         for t in self.spark.catalog.listTables():
             try:
@@ -313,7 +384,10 @@ class VectorStoreCatalog:
                 continue
             for row in props:
                 if row["key"] == GENAI_PROP:
-                    meta = json.loads(row["value"])
+                    try:
+                        meta = json.loads(row["value"])
+                    except (json.JSONDecodeError, TypeError):
+                        continue  # corrupt property: skip this table
                     out.append(
                         VectorStorage(
                             vector_store=t.name,

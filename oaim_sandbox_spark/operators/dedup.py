@@ -77,7 +77,16 @@ def minhash_band_keys(
     sig_df: DataFrame, id_col: str = "doc_id", num_perm: int = 16, bands: int = 4
 ) -> DataFrame:
     """Explode a signature into (band_idx, band_hash) rows — the LSH bucketing
-    step. band_hash = portable hash of the band's joined values."""
+    step. band_hash = portable hash of the band's joined values.
+
+    bands must divide num_perm: bands > num_perm would build an empty
+    concat (a ParseException deep in Spark), and a non-divisor silently
+    excludes the trailing signature positions from every band — quietly
+    changing the 1-(1-s^r)^b candidate-recall curve the caller tuned."""
+    if bands <= 0 or bands > num_perm or num_perm % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must be a positive divisor of num_perm ({num_perm})"
+        )
     rows = num_perm // bands
     band_structs = ", ".join(
         f"struct({b} as band_idx, {P.hash64(_band_concat('signature', b, rows), 'spark')} as band_hash)"
@@ -140,13 +149,21 @@ def minhash_lsh_pairs(
     )
     sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("signature").alias("sig_b"))
+    return _est_jaccard_join(pairs, sa, sb, "doc_a", "doc_b", num_perm)
+
+
+def _est_jaccard_join(pairs, sigs_a, sigs_b, a_col: str, b_col: str, num_perm: int):
+    """Shared candidate-pair scoring: join both signature sides onto the
+    banded candidate pairs and compute the matching-position MinHash
+    estimate. One definition so the batch and incremental paths can't
+    silently diverge on estimator semantics."""
     est = (
         "cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) as double) / "
         f"{num_perm}"
     )
     return (
-        pairs.join(sa, "doc_a").join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.expr(f"round({est}, 6)").alias("est_jaccard"))
+        pairs.join(sigs_a, a_col).join(sigs_b, b_col)
+        .select(a_col, b_col, F.expr(f"round({est}, 6)").alias("est_jaccard"))
     )
 
 
@@ -316,9 +333,21 @@ def connected_components(
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # Iterative loops materialize each round via localCheckpoint, which
     # bypasses AQE's post-shuffle coalesce — size the shuffle explicitly for
-    # the loop's tiny (node,label) frames and restore afterwards.
+    # the loop's tiny (node,label) frames and restore afterwards. The
+    # override is session-wide state: restore in a finally so a mid-loop
+    # failure can't leave every later query in the session running on
+    # `parts` (possibly 1) shuffle partitions.
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    sym_ckpt = sym  # the checkpointed frame — unpersist THIS, not a child
     sym = sym.repartition(parts, "dst")
+    try:
+        return _cc_iterate(spark, sym, nodes, node_col, parts, max_iter)
+    finally:
+        sym_ckpt.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+
+
+def _cc_iterate(spark, sym, nodes, node_col, parts, max_iter):
     labels = nodes.select(F.col(node_col).alias("node"), F.col(node_col).alias("label"))
     labels = labels.repartition(parts, "node").localCheckpoint(eager=True)
     # Monotone convergence metric: labels only ever decrease, so the exact
@@ -358,8 +387,6 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    sym.unpersist()
-    spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     return labels.select(F.col("node").alias(node_col), F.col("label").alias("cluster_id"))
 
 
@@ -409,14 +436,7 @@ def incremental_near_dups(
     )
     sa = sig_new.select(F.col(id_col).alias("new_id"), F.col("signature").alias("sig_a"))
     sb = sig_old.select(F.col(id_col).alias("existing_id"), F.col("signature").alias("sig_b"))
-    est = (
-        "cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) as double) / "
-        f"{num_perm}"
-    )
-    return (
-        pairs.join(sa, "new_id").join(sb, "existing_id")
-        .select("new_id", "existing_id", F.expr(f"round({est}, 6)").alias("est_jaccard"))
-    )
+    return _est_jaccard_join(pairs, sa, sb, "new_id", "existing_id", num_perm)
 
 
 def semantic_dedup(

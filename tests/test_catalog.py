@@ -179,3 +179,87 @@ def test_maintain_store_rejects_zorder_on_partitioned(spark, tmp_path):
     report = cat.maintain_store("PARTED2", target_file_mb=1)
     assert report["n_files"] >= 1
     assert {d for d in os.listdir(path) if d.startswith("centroid=")} == {"centroid=0", "centroid=1"}
+
+
+def test_store_name_traversal_rejected(spark, tmp_path):
+    """Store names become directory components and reach drop_store's
+    rmtree — and they arrive raw off the wire (DELETE /v1/embed/{vs}).
+    Traversal / separator / absolute names must be rejected before any
+    filesystem operation; the catalog root's PARENT must survive."""
+    import pytest
+
+    from oaim_sandbox_spark.catalog import VectorStoreCatalog
+
+    root = tmp_path / "wh" / "stores"
+    root.mkdir(parents=True)
+    (tmp_path / "wh" / "precious.txt").write_text("outside the root")
+    cat = VectorStoreCatalog(spark, str(root))
+    for bad in ("..", ".", "", "a/b", "a\\b", "../evil", "/abs/path"):
+        with pytest.raises(KeyError):
+            cat.drop_store(bad)
+        with pytest.raises(KeyError):
+            cat.read_store(bad)
+    assert (tmp_path / "wh" / "precious.txt").exists()
+
+
+def test_compact_store_crash_recovery_and_append_guard(spark, tmp_path):
+    """_recover_swap restores a store stranded under __old by a crash
+    between the two renames (and clears stale temp dirs that would
+    otherwise fail every later swap); write_store's dim guard also fires
+    for a sidecar-less store built by raw appends."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.catalog import VectorStorage, VectorStoreCatalog
+
+    cat = VectorStoreCatalog(spark, str(tmp_path))
+    vs = VectorStorage(alias="r", model="mock-embed", chunk_size=100, chunk_overlap=10)
+    df = spark.range(20).select(
+        F.col("id").cast("string").alias("id"),
+        F.expr("array(1.0D, 2.0D, 3.0D)").alias("embedding"),
+    )
+    name = cat.write_store(df, vs)
+    path = cat._store_path(name)
+
+    # crash window: store renamed away, temp left behind
+    os.rename(path, path + "__old")
+    os.makedirs(path + "__compacting")
+    n_files = cat.compact_store(name, target_file_mb=1)
+    assert n_files >= 1
+    assert cat.read_store(name).count() == 20
+    assert not os.path.isdir(path + "__old")
+    assert not os.path.isdir(path + "__compacting")
+
+    # sidecar-less store (e.g. a streaming append created it): the dim
+    # guard must still fire on a wrong-dim append
+    os.remove(os.path.join(path, "_genai.json"))
+    wrong = spark.range(3).select(
+        F.col("id").cast("string").alias("id"),
+        F.expr("array(1.0D, 2.0D)").alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="dim mismatch"):
+        cat.write_store(wrong, vs, mode="append")
+
+
+def test_register_table_escapes_backslashes(spark, tmp_path):
+    """A backslash in the catalog JSON must survive the SQL property round
+    trip (Spark single-quoted literals eat backslash escapes), and a
+    corrupt property on one table must not break the whole listing."""
+    from oaim_sandbox_spark.catalog import VectorStoreCatalog
+
+    spark.sql("DROP TABLE IF EXISTS esc_test")
+    spark.sql("CREATE TABLE esc_test (id STRING) USING parquet")
+    try:
+        cat = VectorStoreCatalog(spark)
+        comment = '{"alias": "a\\\\b", "model": "m", "chunk_size": 1, "chunk_overlap": 0, "distance_metric": "COSINE", "index_type": "HNSW"}'
+        cat.register_table("esc_test", comment)
+        found = [t for t in cat.list_tables() if t.vector_store == "esc_test"]
+        assert found and found[0].alias == "a\\b"
+        import pytest
+
+        with pytest.raises(ValueError):
+            cat.register_table("bad-name; DROP", comment)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS esc_test")

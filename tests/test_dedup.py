@@ -169,3 +169,43 @@ def test_incremental_near_dups_with_persisted_signatures(spark, tmp_path):
     b = sorted((r["new_id"], r["existing_id"], r["est_jaccard"]) for r in from_sigs.collect())
     assert a == b and len(a) > 0
     assert all(nid == 100 for nid, _, _ in a)  # only the near-dup batch doc pairs
+
+
+def test_minhash_band_keys_validates_band_count(spark):
+    """bands must divide num_perm: bands > num_perm built malformed SQL and
+    a non-divisor silently dropped trailing signature positions from the
+    LSH recall curve — both are now a clear ValueError."""
+    import pytest
+
+    from oaim_sandbox_spark.operators.dedup import minhash_band_keys, minhash_signatures
+
+    df = spark.createDataFrame([("d", "alpha beta gamma " * 5)], "doc_id STRING, text STRING")
+    sigs = minhash_signatures(df, num_perm=16)
+    for bad in (20, 5, 0, -1):
+        with pytest.raises(ValueError, match="divisor"):
+            minhash_band_keys(sigs, num_perm=16, bands=bad)
+    assert minhash_band_keys(sigs, num_perm=16, bands=4).count() == 4
+
+
+def test_connected_components_restores_shuffle_conf(spark):
+    """The session-wide shuffle-partition override must be restored even
+    when the iteration fails mid-loop (a clobbered session silently
+    serializes every later query)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.dedup import connected_components
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a BIGINT, b BIGINT")
+    nodes = spark.range(1, 4).select(F.col("id").alias("doc_id"))
+    out = connected_components(edges, nodes, node_col="doc_id", a_col="a", b_col="b")
+    assert out.count() == 3
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
+
+    # failure path: nodes frame with the wrong column -> error inside the
+    # helper; the conf must STILL come back
+    bad_nodes = spark.range(1, 4)  # no doc_id column
+    with pytest.raises(Exception):
+        connected_components(edges, bad_nodes, node_col="doc_id", a_col="a", b_col="b").count()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == saved
