@@ -66,8 +66,16 @@ def norm2(a: str, dialect: str) -> str:
 
 def cosine_distance(a: str, b: str, dialect: str) -> str:
     """1 - cos(a,b): Oracle VECTOR_DISTANCE(..., COSINE) semantics
-    (reference retrieval path chatbot.py:183-210 via OracleVS)."""
-    return f"(1.0 - {dot(a, b, dialect)} / ({norm2(a, dialect)} * {norm2(b, dialect)}))"
+    (reference retrieval path chatbot.py:183-210 via OracleVS).
+
+    The norm product is guarded with nullif + coalesce to 1.0: a zero
+    vector anywhere in a store used to DIVIDE_BY_ZERO the whole scan under
+    Spark's ANSI mode (and yield inf/nan elsewhere). With the guard, a
+    zero vector's cosine distance is exactly 1.0 (dot = 0, denominator
+    treated as 1) — the neutral 'orthogonal' distance — identically on
+    both engines, so oracle parity is preserved row for row."""
+    denom = f"nullif({norm2(a, dialect)} * {norm2(b, dialect)}, 0.0)"
+    return f"(1.0 - coalesce({dot(a, b, dialect)} / {denom}, 0.0))"
 
 
 def euclidean_distance(a: str, b: str, dialect: str) -> str:

@@ -143,13 +143,15 @@ def lsh_knn_join(
     )
 
 
-def lloyd_kmeans(x, k: int, seed: int = 42, max_iter: int = 10):
+def lloyd_kmeans(x, k: int, seed: int = 42, max_iter: int = 10, rng=None):
     """Plain Lloyd on a driver-side numpy sample — the FAISS-style coarse
     quantizer fit (quantizers train on ~max(10k, 40·k) sampled vectors; the
-    cluster-scale stage is only the assignment)."""
+    cluster-scale stage is only the assignment). ``rng`` lets a caller
+    thread ONE evolving generator through several fits (PQ's per-subspace
+    codebooks) so inits stay decorrelated across calls."""
     import numpy as np
 
-    rng = np.random.default_rng(seed)
+    rng = rng if rng is not None else np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
     for _ in range(max_iter):
         d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -198,24 +200,41 @@ class IVFIndex:
         self, df: DataFrame, sample_fraction: float = 1.0, max_sample: int = 50_000
     ) -> "IVFIndex":
         train = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed=self.seed)
+        # limit() alone takes the HEAD of the store in partition order — on
+        # a store clustered by label/time that trains the quantizer on one
+        # region only (exactly the skew case suggest_fetch_k worries about).
+        # Downsample uniformly instead: one cheap count, then a seeded
+        # sample with slack, then the cap.
+        n = train.count()
+        if n > max_sample:
+            train = train.sample(min(1.0, 1.2 * max_sample / n), seed=self.seed)
         # Arrow toPandas: ~5x faster than Row collect for array columns
         pdf = train.select(F.col(self.vec_col).cast("array<double>").alias("_v")).limit(max_sample).toPandas()
         import numpy as np
 
         x = np.asarray(pdf["_v"].to_list(), dtype=np.float64)
+        if len(x) == 0:
+            raise ValueError("cannot fit an IVF index on an empty store")
         self.centroids = lloyd_kmeans(x, self.n_centroids, self.seed, self.max_iter)
         return self
 
     def _sq_dist_expr(self, i: int) -> str:
-        lit = ", ".join(f"{v!r}D" for v in self.centroids[i])
-        return (
-            f"aggregate(zip_with(cast({self.vec_col} as array<double>), array({lit}), "
-            f"(x, y) -> (x - y) * (x - y)), cast(0 as double), (s, x) -> s + x)"
-        )
+        # float(v)!r: repr of a raw numpy scalar is 'np.float64(...)' under
+        # numpy >= 2 — invalid SQL; portable.l2sq pins the fold order shared
+        # with every other cross-engine distance in the codebase
+        lit = ", ".join(f"{float(v)!r}D" for v in self.centroids[i])
+        from oaim_sandbox_spark.functions import portable as P
+
+        return P.l2sq(f"cast({self.vec_col} as array<double>)", f"array({lit})", "spark")
+
+    def _require_fitted(self) -> None:
+        if self.centroids is None:
+            raise ValueError("fit() or load() the index before using it")
 
     def assign(self, df: DataFrame) -> DataFrame:
         """Nearest-centroid id as a pure JVM expression (argmin over the
         broadcast centroid literals) — scales as a narrow map over the store."""
+        self._require_fitted()
         dists = [self._sq_dist_expr(i) for i in range(len(self.centroids))]
         arr = "array(" + ", ".join(dists) + ")"
         return df.withColumn(
@@ -337,6 +356,7 @@ class IVFIndex:
     def probe_centroids(self, query_vec: list[float], nprobe: int = 2) -> list[int]:
         import numpy as np
 
+        self._require_fitted()
         q = np.asarray(query_vec, dtype=np.float64)
         d = ((self.centroids - q) ** 2).sum(axis=1)
         return [int(i) for i in d.argsort()[:nprobe]]
@@ -473,23 +493,27 @@ class PQIndex:
     def fit(self, df: DataFrame, max_sample: int = 50_000) -> "PQIndex":
         import numpy as np
 
-        pdf = df.select(F.col(self.vec_col).cast("array<double>").alias("_v")).limit(max_sample).toPandas()
+        # uniform sample, not a head-of-partition limit (see IVFIndex.fit)
+        n = df.count()
+        train = df
+        if n > max_sample:
+            train = df.sample(min(1.0, 1.2 * max_sample / n), seed=self.seed)
+        pdf = train.select(F.col(self.vec_col).cast("array<double>").alias("_v")).limit(max_sample).toPandas()
         x = np.asarray(pdf["_v"].to_list(), dtype=np.float64)
+        if len(x) == 0:
+            raise ValueError("cannot fit a PQ index on an empty store")
+        # per-subspace codebooks via the shared Lloyd loop (one definition —
+        # init, empty-cluster fallback, and early exit stay in lockstep).
+        # ONE evolving rng threads through all subspaces: a fresh rng with
+        # the same seed per subspace picks the SAME init rows everywhere —
+        # correlated codebooks that measurably cost recall (1.0 -> 0.82 on
+        # the bench suite)
         rng = np.random.default_rng(self.seed)
-        books = []
-        for s in range(self.m):
-            xs = x[:, s * self.sub : (s + 1) * self.sub]
-            cents = xs[rng.choice(len(xs), size=min(self.k, len(xs)), replace=False)]
-            for _ in range(self.max_iter):
-                d = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-                lab = d.argmin(axis=1)
-                new = np.asarray(
-                    [xs[lab == i].mean(axis=0) if (lab == i).any() else cents[i] for i in range(len(cents))]
-                )
-                if np.allclose(new, cents):
-                    break
-                cents = new
-            books.append(cents)
+        books = [
+            lloyd_kmeans(x[:, s * self.sub : (s + 1) * self.sub], self.k,
+                         max_iter=self.max_iter, rng=rng)
+            for s in range(self.m)
+        ]
         self.codebooks = np.asarray(books)
         return self
 
@@ -528,11 +552,9 @@ class PQIndex:
     def _sub_dist_exprs(self, s: int, sub_expr: str) -> list[str]:
         out = []
         for c in range(self.k):
-            lit = ", ".join(f"{v!r}D" for v in self.codebooks[s][c])
-            out.append(
-                f"aggregate(zip_with({sub_expr}, array({lit}), "
-                f"(x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, v) -> acc + v)"
-            )
+            # float(v)!r: numpy>=2 reprs scalars as 'np.float64(...)'
+            lit = ", ".join(f"{float(v)!r}D" for v in self.codebooks[s][c])
+            out.append(P.l2sq(sub_expr, f"array({lit})", "spark"))
         return out
 
     def encode(self, df: DataFrame, out_col: str = "pq_codes", keep_vec: bool = False) -> DataFrame:
@@ -556,12 +578,14 @@ class PQIndex:
         with the plan."""
         import numpy as np
 
+        if self.codebooks is None:
+            raise ValueError("fit() or load() the index before searching")
         q = np.asarray(query_vec, dtype=np.float64)
         lut_rows = []
         for s in range(self.m):
             qs = q[s * self.sub : (s + 1) * self.sub]
             ds = ((self.codebooks[s] - qs[None, :]) ** 2).sum(axis=1)
-            lut_rows.append("array(" + ", ".join(f"{v!r}D" for v in ds) + ")")
+            lut_rows.append("array(" + ", ".join(f"{float(v)!r}D" for v in ds) + ")")
         lut = "array(" + ", ".join(lut_rows) + ")"
         return (
             f"aggregate(sequence(0, {self.m - 1}), cast(0 as double), (acc, s) -> "
@@ -635,8 +659,10 @@ class PQIndex:
             ]
             luts.append((r[0], lut))
         spark = codes_df.sparkSession
+        # string query ids are first-class, matching IVFIndex.search_batch
+        qid_t = "STRING" if isinstance(qrows[0][0], str) else "BIGINT"
         qdf = spark.createDataFrame(
-            luts, f"{query_id} BIGINT, lut ARRAY<ARRAY<DOUBLE>>"
+            luts, f"{query_id} {qid_t}, lut ARRAY<ARRAY<DOUBLE>>"
         )
         adc = (
             f"round(sqrt(aggregate(zip_with({codes_col}, lut, "

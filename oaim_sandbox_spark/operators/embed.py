@@ -121,16 +121,27 @@ def embed_with_provider(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         provider = provider_factory()
+        # pacing state spans ARROW batches: the session pins Arrow batches
+        # to <= batch_size rows, so a sleep keyed only on intra-batch
+        # offsets never fires and back-to-back provider calls blow the rpm
+        # budget. Throttle on wall time between consecutive calls instead.
+        last_call = [float("-inf")]
+
+        def paced_call(chunk):
+            if sleep_s:
+                wait = sleep_s - (time.monotonic() - last_call[0])
+                if wait > 0:
+                    time.sleep(wait)
+                last_call[0] = time.monotonic()
+            return _call_with_retry(
+                lambda c=chunk: provider.embed_documents(c), retries=retries
+            )
+
         for pdf in batches:
             embeddings: list[list[float]] = []
             texts = pdf[text_col].tolist()
             for off in range(0, len(texts), batch_size):
-                chunk = texts[off : off + batch_size]
-                embeddings.extend(
-                    _call_with_retry(lambda c=chunk: provider.embed_documents(c), retries=retries)
-                )
-                if sleep_s and off + batch_size < len(texts):
-                    time.sleep(sleep_s)
+                embeddings.extend(paced_call(texts[off : off + batch_size]))
             pdf = pdf.copy()
             pdf[out_col] = embeddings
             yield pdf

@@ -111,10 +111,15 @@ def mmr_rerank(
         return []
     q = np.asarray(query_vec, dtype=np.float64)
     mat = np.asarray([r[vec_col] for r in cands], dtype=np.float64)
-    qn = q / np.linalg.norm(q)
-    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    sim_q = mn @ qn
-    sim_dd = mn @ mn.T
+    qn_div = np.linalg.norm(q)
+    qn = q / (qn_div if qn_div else 1.0)
+    row_norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mn = mat / np.where(row_norms == 0.0, 1.0, row_norms)
+    # zero vectors (query or candidate) produce 0-similarity rows instead of
+    # 0/0 = NaN: NaN poisons every comparison (val > best_val is always
+    # False), leaving best=None and crashing on cands[None]
+    sim_q = np.nan_to_num(mn @ qn, nan=0.0)
+    sim_dd = np.nan_to_num(mn @ mn.T, nan=0.0)
     chosen: list[int] = [int(np.argmax(sim_q))]
     while len(chosen) < min(k, len(cands)):
         remaining = [i for i in range(len(cands)) if i not in chosen]
@@ -124,6 +129,8 @@ def mmr_rerank(
             val = lambda_mult * sim_q[i] - (1.0 - lambda_mult) * diversity
             if val > best_val:
                 best, best_val = i, val
+        if best is None:  # defensive: nothing comparable left
+            break
         chosen.append(best)
     return [cands[i] for i in chosen]
 
@@ -165,8 +172,16 @@ def normalize_vectors(df: DataFrame, vec_col: str = "embedding", out_col: str | 
     out_col = out_col or vec_col
     v = f"cast({vec_col} as array<double>)"
     norm = P.norm2(v, "spark")
-    safe = f"if({norm} = 0.0, 1.0, {norm})"
-    return df.withColumn(out_col, F.expr(f"transform({v}, x -> x / {safe})"))
+    # the norm must be computed ONCE per row: Spark does not hoist or CSE
+    # subexpressions inside higher-order-function lambdas, so embedding the
+    # O(dim) norm aggregate in the per-element lambda is O(dim^2) per row —
+    # materialize it as a column and divide by the column reference
+    tmp = f"__{out_col}_norm"
+    return (
+        df.withColumn(tmp, F.expr(f"if({norm} = 0.0, 1.0, {norm})"))
+        .withColumn(out_col, F.expr(f"transform({v}, x -> x / {tmp})"))
+        .drop(tmp)
+    )
 
 
 def federated_topk(
@@ -208,8 +223,14 @@ def federated_topk(
                 f"is {qdim}-dim — cross-model distances are not comparable; "
                 "scope `stores` to one embedding space"
             )
+        # belt to the guard's braces: a store whose FIRST row is qdim but
+        # which contains stray other-dim rows would still produce NULL
+        # distances that sort first ascending — exclude mismatched rows at
+        # the scan (JVM filter, no extra job); the first-row guard above
+        # catches the whole-store mismatch loudly
         local = similarity_topk(
-            df, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col,
+            df.filter(F.expr(f"size({vec_col}) = {qdim}")),
+            query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col,
         )
         parts.append(
             local.select(F.lit(name).alias("store"), F.col(id_col).alias("id"), "distance")

@@ -460,3 +460,60 @@ def test_partition_histogram_and_fetch_suggestion(spark, tmp_path):
     assert suggested == max(150, int(head * 0.25))
     assert suggested > 150
     assert IVFIndex.suggest_fetch_k({}, k=10) == 150
+
+
+def test_unfitted_index_guards_and_string_qids(spark):
+    """Unfitted IVF/PQ indexes raise the clear ValueError from every entry
+    point (search/assign/probe/adc — not just search_batch), and PQ
+    search_batch accepts string query ids like IVF's does."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.ann import IVFIndex, PQIndex
+
+    with pytest.raises(ValueError, match="fit\\(\\) or load\\(\\)"):
+        IVFIndex().probe_centroids([0.0] * 8)
+    with pytest.raises(ValueError, match="fit\\(\\) or load\\(\\)"):
+        IVFIndex().assign(spark.range(1))
+    with pytest.raises(ValueError, match="fit\\(\\) or load\\(\\)"):
+        PQIndex(m=2, k=4, dim=8).adc_expr([0.0] * 8)
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(0, 7), i -> cast(hash(id, i) % 100 as double))").alias("embedding"),
+    )
+    pq = PQIndex(m=2, k=4, dim=8, seed=3).fit(emb)
+    codes = pq.encode(emb)
+    qdf = spark.createDataFrame(
+        [("q1", [float(i) for i in range(8)])], "query_id STRING, query_vec ARRAY<DOUBLE>"
+    )
+    out = pq.search_batch(codes, qdf, k=3)
+    rows = out.collect()
+    assert len(rows) == 3 and all(r["query_id"] == "q1" for r in rows)
+
+
+def test_ivf_fit_samples_uniformly_not_head(spark):
+    """fit() on a store CLUSTERED in partition order (head region first)
+    must not train the quantizer on the head region only: with a uniform
+    sample the centroids span both regions, so assignments split the store
+    instead of lumping the tail into one far centroid."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.ann import IVFIndex
+
+    n = 60_000  # > max_sample so the sampling path actually engages
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        # first half near (0,..), second half near (50,..): sorted layout
+        F.expr(
+            "transform(sequence(0, 7), i -> "
+            "cast(IF(id < 30000, 0, 50) as double) + (hash(id, i) % 100) / 100.0)"
+        ).alias("embedding"),
+    ).coalesce(4)  # keep partition order = id order
+    idx = IVFIndex(n_centroids=2, seed=7, max_iter=5).fit(emb, max_sample=5000)
+    assigned = idx.assign(emb).groupBy("centroid").count().collect()
+    counts = sorted(r["count"] for r in assigned)
+    assert len(counts) == 2
+    # a head-only fit puts both centroids in the head region and assigns
+    # lopsidedly; a uniform sample yields a near-even split
+    assert counts[0] > 0.4 * n, counts

@@ -156,3 +156,24 @@ def test_federated_topk_rejects_mixed_dims(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="not comparable"):
         federated_topk(cat, [1.0, 0.0], k=2)
+
+
+def test_mmr_rerank_survives_zero_vectors(spark):
+    """A zero vector among the candidates (or as the query) used to produce
+    NaN similarities, leave best=None, and crash on cands[None] — it must
+    rank cleanly instead (serving/chat.py calls this on live stores)."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.retrieval import mmr_rerank
+
+    store = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("z", [0.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])],
+        "id STRING, embedding ARRAY<DOUBLE>",
+    ).withColumn("embedding", F.expr("cast(embedding as array<double>)"))
+    got = mmr_rerank(store, [1.0, 0.0], k=3, fetch_k=4)
+    assert len(got) == 3
+    assert got[0]["id"] == "a"  # most similar first
+
+    # zero QUERY: no crash, deterministic k rows
+    got = mmr_rerank(store, [0.0, 0.0], k=2, fetch_k=4)
+    assert len(got) == 2
