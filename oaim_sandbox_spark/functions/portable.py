@@ -290,9 +290,15 @@ def stopword_hits(toks: str, words: list[str], dialect: str) -> str:
 
 
 def regexp_count_portable(e: str, pattern: str, dialect: str) -> str:
-    """Count of non-overlapping regex matches (ASCII-safe patterns only)."""
+    """Count of non-overlapping regex matches (ASCII-safe patterns only).
+
+    `pattern` is the RAW regex: Spark's string-literal parser consumes
+    backslash escapes ('\\s' in a literal reaches the regex engine as 's'),
+    DuckDB's does not — so backslashes are doubled for the Spark literal
+    and passed through for DuckDB, keeping one pattern string portable."""
     if dialect == "spark":
-        return f"size(regexp_extract_all({e}, '{pattern}', 0))"
+        spark_pat = pattern.replace("\\", "\\\\")
+        return f"size(regexp_extract_all({e}, '{spark_pat}', 0))"
     return f"len(regexp_extract_all({e}, '{pattern}'))"
 
 

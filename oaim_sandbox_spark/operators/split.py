@@ -54,8 +54,14 @@ def split_fixed(
         f"transform(sequence(0, cast(floor((length({text_col}) - 1) / {stride}) as int)), "
         f"i -> struct(i * {stride} as start_index, substr({text_col}, i * {stride} + 1, {chunk_size}) as text))"
     )
+    # empty text must yield ZERO chunks: sequence(0, floor((0-1)/stride))
+    # is sequence(0, -1), which Spark generates DESCENDING — two phantom
+    # empty chunks per empty doc, one with a negative start_index and a
+    # '_0' id. NULL text already explodes to zero rows; filter empties the
+    # same way (narrow filter, matches the DuckDB twin's empty series).
     return (
-        df.select(
+        df.filter(F.length(text_col) > 0)
+        .select(
             F.col(id_col).alias("source"),
             F.explode(F.expr(chunks)).alias("c"),
         )
@@ -188,6 +194,8 @@ def split_documents(
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
+                if r[text_col] is None:  # null doc -> zero chunks, not a job abort
+                    continue
                 for i, (chunk, start) in enumerate(sp.split_text(r[text_col]), start=1):
                     rows.append(
                         {
@@ -223,7 +231,11 @@ class TokenSplitter:
         if count_tokens is None:
             import re
 
-            pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+            from oaim_sandbox_spark.operators.text_analysis import TOKEN_PATTERN
+
+            # ONE definition of the BPE-ish token class, shared with
+            # text_analysis.token_counts so the two counters cannot drift
+            pat = re.compile(TOKEN_PATTERN)
             count_tokens = lambda s: len(pat.findall(s))  # noqa: E731
         self.count_tokens = count_tokens
 
@@ -249,14 +261,28 @@ class TokenSplitter:
 HTML_HEADER_RE = r"(?i)(?=<h[1-5][\s>])"
 
 
+def split_html_sections_with_offsets(text: str) -> list[tuple[str, int]]:
+    """P3 HTML section split with each section's OFFSET in the original
+    document (the header pattern is a zero-width lookahead, so sections are
+    exact spans of the input). Chunk start_index must be reported against
+    the ORIGINAL document — per-section offsets restart at 0, which makes
+    (source, start_index) chunk ordering nondeterministic across sections
+    and breaks any consumer slicing the original text."""
+    import re
+
+    bounds = sorted({0, *(m.start() for m in re.finditer(HTML_HEADER_RE, text))})
+    bounds.append(len(text))
+    out = [
+        (text[a:b], a) for a, b in zip(bounds, bounds[1:]) if text[a:b].strip()
+    ]
+    return out or [(text, 0)]
+
+
 def split_html_sections(text: str) -> list[str]:
     """P3 HTML section split (reference embedding.py:126-133): break on
     h1-h5 headers BEFORE the character splitter runs, so chunks don't
     straddle sections."""
-    import re
-
-    sections = [s for s in re.split(HTML_HEADER_RE, text) if s.strip()]
-    return sections or [text]
+    return [s for s, _ in split_html_sections_with_offsets(text)]
 
 
 def split_documents_by_ext(
@@ -289,9 +315,15 @@ def split_documents_by_ext(
                 ext = (r.get(ext_col) or "txt").lower()
                 if ext not in ("pdf", "html", "htm", "md", "txt", "csv", "json", "jsonl"):
                     raise ValueError(f"unsupported file extension: {ext}")
-                texts = split_html_sections(r[text_col]) if ext in ("html", "htm") else [r[text_col]]
+                if r[text_col] is None:  # a failed loader row yields no chunks,
+                    continue  # never a TypeError that aborts the whole job
+                texts = (
+                    split_html_sections_with_offsets(r[text_col])
+                    if ext in ("html", "htm")
+                    else [(r[text_col], 0)]
+                )
                 i = 0
-                for t in texts:
+                for t, sec_off in texts:
                     for chunk, start in sp.split_text(t):
                         i += 1
                         rows.append(
@@ -300,7 +332,8 @@ def split_documents_by_ext(
                                 "text": chunk,
                                 "source": r.get(source_col),
                                 "filename": str(r[id_col]),
-                                "start_index": start,
+                                # offset into the ORIGINAL document, not the section
+                                "start_index": sec_off + start,
                             }
                         )
             yield pd.DataFrame(rows, columns=[f.name for f in CHUNK_OUT_SCHEMA.fields])

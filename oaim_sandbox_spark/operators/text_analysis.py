@@ -48,13 +48,20 @@ def quality_metrics_sql(text_col: str, dialect: str) -> dict[str, str]:
     toks = P.tokens(text_col, dialect)
     n_tok = f"size({toks})" if dialect == "spark" else f"len({toks})"
     all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    # zero guards via nullif: an empty/whitespace-only document has
+    # length 0 and/or 0 tokens, and under Spark 4's default ANSI mode a
+    # bare division aborts the WHOLE job with DIVIDE_BY_ZERO — one junk
+    # doc in a 100 TB corpus must yield NULL ratios, not kill the scan.
+    # nullif is portable (identical on DuckDB), so oracle parity holds.
+    len_nz = f"nullif(length({text_col}), 0)"
+    tok_nz = f"nullif({n_tok}, 0)"
     return {
         "n_chars": f"length({text_col})",
         "n_tokens": n_tok,
-        "mean_token_len": f"round(length(replace({text_col}, ' ', '')) * 1.0 / {n_tok}, 6)",
-        "punct_ratio": f"round({P.regexp_count_portable(text_col, '[.,;:!?]', dialect)} * 1.0 / length({text_col}), 6)",
-        "stopword_ratio": f"round({P.stopword_hits(P.tokens(f'lower({text_col})', dialect), all_stop, dialect)} * 1.0 / {n_tok}, 6)",
-        "digit_ratio": f"round({P.regexp_count_portable(text_col, '[0-9]', dialect)} * 1.0 / length({text_col}), 6)",
+        "mean_token_len": f"round(length(replace({text_col}, ' ', '')) * 1.0 / {tok_nz}, 6)",
+        "punct_ratio": f"round({P.regexp_count_portable(text_col, '[.,;:!?]', dialect)} * 1.0 / {len_nz}, 6)",
+        "stopword_ratio": f"round({P.stopword_hits(P.tokens(f'lower({text_col})', dialect), all_stop, dialect)} * 1.0 / {tok_nz}, 6)",
+        "digit_ratio": f"round({P.regexp_count_portable(text_col, '[0-9]', dialect)} * 1.0 / {len_nz}, 6)",
     }
 
 
@@ -77,7 +84,11 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # BPE-ish token pattern: letter runs, digit runs, single non-alnum marks.
-TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+# \s (not just the space char) in the exclusion class: newlines/tabs are
+# whitespace, not tokens — counting each '\n' as a token inflated
+# bpe_tokens on markdown/code and disagreed with split.TokenSplitter's
+# default counter, which uses the same class. Keep the two in lockstep.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
 def token_counts_sql(text_col: str, dialect: str) -> dict[str, str]:

@@ -351,7 +351,10 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
             f"explode(transform(sequence(0, cast(floor((length(text) - 1) / {stride}) as int)), "
             f"i -> struct(cast(i * {stride} as bigint) as start_index, substr(text, i * {stride} + 1, {size}) as chunk)))"
         )
-        return head + f"FROM (SELECT doc_id, text, {gen} AS c FROM documents) t"
+        # length(text) > 0: Spark's sequence(0, -1) DESCENDS (two phantom
+        # chunks per empty doc) while DuckDB's generate_series is empty —
+        # filter empties so both engines emit zero chunks for them
+        return head + f"FROM (SELECT doc_id, text, {gen} AS c FROM documents WHERE length(text) > 0) t"
     return head + f"""
 FROM (
   SELECT doc_id,

@@ -189,8 +189,12 @@ class ChatPipeline:
     # -- entry points ----------------------------------------------------------
     def chat(self, question: str, client_id: str = "default", use_history: bool = True) -> ChatResponse:
         history = self._history.setdefault(client_id, [])
-        history.append(Message("user", question))
-        msgs = clean_messages(history, use_history)
+        # the user/assistant pair is committed to persistent history only
+        # AFTER the turn succeeds (the reference's checkpointer semantics):
+        # appending the user message up front meant any provider/store
+        # failure left a dangling user turn that corrupted every later
+        # rephrase/generate call with malformed alternation
+        msgs = clean_messages(history + [Message("user", question)], use_history)
         documents: list = []
         if self.settings.rag_enabled and self.store is not None:
             q = self.rephrase(question, msgs)
@@ -198,6 +202,7 @@ class ChatPipeline:
             if documents and not self.grade(q, documents):
                 documents = []
         answer = self.generate(question, documents or None, msgs)
+        history.append(Message("user", question))
         history.append(Message("assistant", answer))
         prompt_toks = sum(_tok(m.content) for m in msgs) + sum(_tok(d["text"]) for d in documents)
         return ChatResponse(

@@ -68,6 +68,17 @@ class Registry:
     def update(self, name: str, item) -> None:
         if name not in self._items:
             raise KeyError(f"{self.kind} {name!r} not found")
+        new_key = self._key(item)
+        if new_key != name:
+            # a rename: storing the renamed item under the OLD key would
+            # leave it reachable only by its former name AND let a later
+            # create() register a duplicate under the new one — exactly
+            # what the P11 duplicate guard exists to prevent
+            if new_key in self._items:
+                raise DuplicateNameError(f"{self.kind} {new_key!r} already exists")
+            del self._items[name]
+            self._items[new_key] = item
+            return
         self._items[name] = item
 
     def delete(self, name: str) -> None:
@@ -101,14 +112,38 @@ class PromptRegistry(Registry):
             raise KeyError(f"{self.kind} {key!r} not found")
         del self._items[key]
 
+    def update(self, name: str, item, category: str = "sys") -> None:
+        # prompts are stored under 'category:name'; the base update keys by
+        # bare name, so it could NEVER find an existing prompt
+        key = f"{category}:{name}"
+        if key not in self._items:
+            raise KeyError(f"{self.kind} {key!r} not found")
+        new_key = self._key(item)
+        if new_key != key and new_key in self._items:
+            raise DuplicateNameError(f"{self.kind} {new_key!r} already exists")
+        if new_key != key:
+            del self._items[key]
+        self._items[new_key] = item
+
 
 def mask_sensitive(obj, mark: str = "*****"):
     """P13 recursive masking of *password*/*key*/*token* values
     (reference api_call.py:129-135 masks '*password*' keys)."""
     sensitive = ("password", "api_key", "apikey", "token", "secret", "key")
+
+    def _mask_all(v):
+        # a sensitive-named CONTAINER ({'api_keys': {...}}, {'tokens': [...]})
+        # holds credentials under arbitrary inner names — mask every string
+        # leaf in the subtree, not just string values of sensitive keys
+        if isinstance(v, dict):
+            return {k: _mask_all(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [_mask_all(x) for x in v]
+        return mark if isinstance(v, str) and v else v
+
     if isinstance(obj, dict):
         return {
-            k: (mark if any(s in k.lower() for s in sensitive) and isinstance(v, str) and v else mask_sensitive(v, mark))
+            k: (_mask_all(v) if any(s in k.lower() for s in sensitive) else mask_sensitive(v, mark))
             for k, v in obj.items()
         }
     if isinstance(obj, list):
@@ -170,9 +205,17 @@ def save_registry(reg: Registry, path: str) -> None:
 
 
 def load_registry(path: str, kind: str = "model") -> Registry:
-    reg = Registry(kind)
+    """JSON round trip for BOTH registry kinds: a prompt registry must come
+    back as a PromptRegistry of PromptDefs (category:name keying), not a
+    base Registry of ModelDefs that TypeErrors on 'category'."""
+    if kind == "prompt":
+        reg: Registry = PromptRegistry(kind)
+        cls = PromptDef
+    else:
+        reg = Registry(kind)
+        cls = ModelDef
     if os.path.exists(path):
         with open(path) as fh:
             for _, item in json.load(fh).items():
-                reg.create(ModelDef(**item))
+                reg.create(cls(**item))
     return reg

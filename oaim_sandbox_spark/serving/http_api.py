@@ -1016,7 +1016,7 @@ class _ApiHandler(BaseHTTPRequestHandler):
                 body = self._body_dict()
                 updated = PromptDef(name=name, category=category,
                                     prompt=body.get("prompt", prompt.prompt))
-                api.prompts._items[f"{category}:{name}"] = updated
+                api.prompts.update(name, updated, category=category)
                 return self._json(200, asdict(updated))
         return self._json(404, {"detail": "Not Found"})
 

@@ -96,3 +96,34 @@ def test_grading_gate_drops_irrelevant(pipeline):
     # -> generation runs ungrounded (still answers)
     resp = pipeline.chat("zzzz qqqq wwww", client_id="g1")
     assert resp.choices[0].message.content.startswith("ANSWER(")
+
+
+def test_failed_turn_leaves_history_clean():
+    """A provider failure mid-turn must not commit a dangling user message:
+    the user/assistant pair lands in persistent history only after the turn
+    succeeds, so a retry does not produce two consecutive user turns."""
+    import pytest
+
+    from oaim_sandbox_spark.serving.chat import ChatPipeline, LLMClient, Message, RagSettings
+
+    class FlakyLLM(LLMClient):
+        def __init__(self):
+            self.calls = 0
+
+        def complete(self, messages):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("provider timeout")
+            return "recovered answer"
+
+        def stream(self, messages):
+            yield self.complete(messages)
+
+    pipe = ChatPipeline(store=None, embed_query=None, llm=FlakyLLM(),
+                        settings=RagSettings(rag_enabled=False))
+    with pytest.raises(RuntimeError):
+        pipe.chat("hello?", client_id="c1")
+    assert pipe.history("c1") == []  # nothing dangling
+    resp = pipe.chat("hello?", client_id="c1")  # retry succeeds
+    assert resp.choices[0].message.content == "recovered answer"
+    assert [m.role for m in pipe.history("c1")] == ["user", "assistant"]

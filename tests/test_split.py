@@ -88,3 +88,52 @@ def test_split_udtf_sql_surface(spark):
     assert [(r.chunk, r.start_index) for r in rows] == expected
     assert [r.chunk_no for r in rows] == list(range(1, len(expected) + 1))
     assert all(len(r.chunk) <= 100 for r in rows)
+
+
+def test_split_operators_degenerate_docs(spark):
+    """Empty and NULL documents flow through every splitter as ZERO chunks:
+    split_fixed used to emit two phantom chunks per empty doc (Spark's
+    sequence(0,-1) descends — one with id '_0' and a negative start_index),
+    and the mapInPandas splitters raised TypeError on NULL text, aborting
+    the whole ingest job."""
+    from oaim_sandbox_spark.operators.split import (
+        RecursiveCharSplitter,
+        split_documents,
+        split_documents_by_ext,
+        split_fixed,
+    )
+
+    df = spark.createDataFrame(
+        [("d1", "", "s", "txt"), ("d2", None, "s", "txt"), ("d3", "hello world ok", "s", "txt")],
+        "doc_id STRING, text STRING, source STRING, ext STRING",
+    )
+    fixed = split_fixed(df, chunk_size=10, chunk_overlap=2).collect()
+    assert all(r["source"] == "d3" for r in fixed)
+    assert all(r["start_index"] >= 0 and not r["id"].endswith("_0") for r in fixed)
+
+    rec = split_documents(df, RecursiveCharSplitter(10, 2)).collect()
+    assert all(r["filename"] == "d3" for r in rec)
+
+    byext = split_documents_by_ext(df, chunk_size=10, chunk_overlap=2).collect()
+    assert all(r["filename"] == "d3" for r in byext)
+
+
+def test_html_section_chunks_report_document_offsets(spark):
+    """Chunks from later HTML sections must carry start_index relative to
+    the ORIGINAL document (per-section offsets restarting at 0 made chunk
+    ordering nondeterministic and broke original-text slicing)."""
+    from oaim_sandbox_spark.operators.split import split_documents_by_ext
+
+    html = "<h1>A</h1>" + "alpha " * 5 + "<h2>B</h2>" + "bravo " * 5
+    df = spark.createDataFrame(
+        [("d1", html, "s", "html")], "doc_id STRING, text STRING, source STRING, ext STRING"
+    )
+    rows = sorted(
+        split_documents_by_ext(df, chunk_size=20, chunk_overlap=0).collect(),
+        key=lambda r: r["start_index"],
+    )
+    starts = [r["start_index"] for r in rows]
+    assert len(starts) == len(set(starts))  # no duplicate offsets across sections
+    # every chunk's text appears at its claimed offset in the original doc
+    for r in rows:
+        assert html[r["start_index"]:].lstrip().startswith(r["text"][:8].lstrip()), r
