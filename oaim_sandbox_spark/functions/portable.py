@@ -274,6 +274,16 @@ def hamming64(a: str, b: str, dialect: str) -> str:
     return f"bit_count(xor({a}, {b}))"
 
 
+def sql_str_literal(s: str, dialect: str = "spark") -> str:
+    """A string as a safe single-quoted SQL literal. Spark's parser consumes
+    backslash escapes inside literals (DuckDB's does not), so backslashes
+    are doubled for Spark; quotes double on both. Interpolating user text
+    without this is a ParseException at best and SQL-fragment injection at
+    worst (same hazard catalog.register_table guards)."""
+    body = s.replace("\\", "\\\\") if dialect == "spark" else s
+    return "'" + body.replace("'", "''") + "'"
+
+
 def normalize_text(e: str, dialect: str) -> str:
     """Lowercase, collapse whitespace, trim — document fingerprint normalizer."""
     if dialect == "spark":

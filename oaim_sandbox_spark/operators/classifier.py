@@ -56,7 +56,10 @@ def linear_quality_score_sql(
     shape for large vocabularies)."""
     from oaim_sandbox_spark.functions import portable as P
 
-    cases = " ".join(f"WHEN '{t}' THEN CAST({w} AS DOUBLE)" for t, w in weights)
+    cases = " ".join(
+        f"WHEN {P.sql_str_literal(str(t), dialect)} THEN CAST({float(w)!r} AS DOUBLE)"
+        for t, w in weights
+    )
     per_tok = f"CASE t {cases} ELSE CAST(0 AS DOUBLE) END"
     toks = P.tokens(text_col, dialect)
     if dialect == "spark":
@@ -138,6 +141,11 @@ def fit_logistic(
     feat = feat.persist()
     labels = labels.select("id", F.col("y").cast("double").alias("y")).persist()
     n = labels.count()
+    if n == 0:
+        feat.unpersist()
+        labels.unpersist()
+        # a clear error instead of float(None) TypeErrors mid-iteration
+        raise ValueError("fit_logistic needs at least one labeled row")
     w = np.zeros(dim, dtype=np.float64)
     b = 0.0
     history: list[float] = []

@@ -155,4 +155,8 @@ def reconstruction_error(
         .collect()
     )
     tot_n = sum(r["n"] for r in rows)
-    return float(sum(r["s"] for r in rows) / max(tot_n, 1))
+    if tot_n == 0:
+        # fit_pca raises on empty input; returning 0.0 here would report a
+        # PERFECT score for a model evaluated on nothing
+        raise ValueError("reconstruction_error evaluated on an empty DataFrame")
+    return float(sum(r["s"] for r in rows) / tot_n)

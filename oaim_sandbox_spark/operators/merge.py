@@ -17,7 +17,10 @@ def with_content_id(df: DataFrame, text_col: str = "text", id_col: str = "id") -
     """Content-addressed chunk id = sha2(text, 256) — same id for same text,
     which is what makes the merge idempotent (reference: OracleVS hashes the
     content for ID RAW(16); we keep the full sha256 hex)."""
-    return df.withColumn(id_col, F.sha2(F.col(text_col), 256))
+    # coalesce NULL text to '' before hashing: sha2(NULL) is NULL, and a
+    # NULL join key NEVER matches in the left-anti merge — NULL-text rows
+    # would be re-embedded and re-appended on every ingest forever
+    return df.withColumn(id_col, F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
 
 
 def merge_new_rows(

@@ -45,7 +45,7 @@ def mock_rerank_topk(
     """Two-stage rerank with the deterministic mock cross-encoder: JVM-only
     (the score is a hash expression — no Python in the plan), so it is the
     oracle-checked twin of :func:`crossencoder_rerank_topk`."""
-    q_lit = "'" + query_text.replace("'", "''") + "'"
+    q_lit = P.sql_str_literal(query_text, "spark")
     score = P.mock_rerank_score(q_lit, text_col, "spark")
     cands = similarity_topk(store, query_vec, fetch_k, metric, id_col, vec_col)
     return (

@@ -73,15 +73,33 @@ def populate_vs(
         chunk_size=vs.chunk_size, chunk_overlap=vs.chunk_overlap,
     )
     n_chunks = chunks.count()
-    deduped = exact_dedup(chunks, text_col="text", order_col="id")
+    # materialize dedup ONCE: the report's n_deduped count and the embed
+    # chain below otherwise re-run the split+window-dedup lineage from the
+    # scan (the most expensive narrow stages, 3x for two report numbers)
+    deduped = exact_dedup(chunks, text_col="text", order_col="id").localCheckpoint(eager=True)
     n_deduped = deduped.count()
     addressed = with_content_id(deduped, text_col="text", id_col="cid")
     try:
-        existing = catalog.read_store(name).select(F.col("cid"))
+        store_df = catalog.read_store(name)
     except AnalysisException:
         # store genuinely absent (first ingest); any OTHER failure (IO,
         # corrupt footer) must propagate — treating it as "empty store"
         # would re-ingest everything and break K2 idempotency
+        store_df = None
+    if store_df is not None:
+        # selecting a missing column is ALSO an AnalysisException — it must
+        # not be mistaken for "first ingest": a same-named store built by a
+        # different path (streaming ingest keys on 'id', no 'cid') would be
+        # silently re-embedded in full AND appended with an extra column,
+        # corrupting the store schema. Fail loudly instead.
+        if "cid" not in store_df.columns:
+            raise ValueError(
+                f"store {name} exists but has no 'cid' column "
+                f"(columns: {store_df.columns}) — it was built by a "
+                "different ingest path; drop it or use that path's merge"
+            )
+        existing = store_df.select(F.col("cid"))
+    else:
         existing = spark.createDataFrame([], "cid STRING")
     fresh = merge_new_rows(addressed, existing, id_col="cid")
     # materialize ONCE: count + append otherwise re-run the whole
@@ -224,8 +242,11 @@ def curate_incremental(
     cost is proportional to the batch, never corpus² (the existing side's
     band keys are persistable with the store). Returns (kept_new, counts)."""
     cfg = {**DEFAULT_CURATION, **(config or {})}
-    cfg.setdefault("near_dedup_jaccard", None)  # in-batch near-dedup off by default here
+    # materialize the curated batch ONCE: the cross-exact join, both counts,
+    # and the near-dup leg below each re-executed the regex-heavy
+    # scrub/quality/dedup lineage from the scan otherwise (~5 actions)
     curated, counts = curate_corpus(spark, new_docs, cfg, text_col=text_col, id_col=id_col)
+    curated = curated.localCheckpoint(eager=True)
 
     # the new side was (possibly) PII-scrubbed by curate_corpus — compare
     # the existing corpus through the SAME lens, or a new doc identical to a
@@ -237,7 +258,14 @@ def curate_incremental(
             f"{text_col}_redacted", text_col
         )
 
-    norm = F.sha2(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), 256)
+    # NORMALIZED-exact cross-batch key (trim + lower + collapse — the
+    # repo's one fingerprint normalizer, P.normalize_text): catches
+    # trivially-reformatted re-crawls of existing docs. Deliberately wider
+    # than the in-batch exact_dedup's raw K2 identity; the previous inline
+    # variant skipped trim(), so whitespace-padded dups slipped through.
+    from oaim_sandbox_spark.functions import portable as P
+
+    norm = F.sha2(F.expr(P.normalize_text(text_col, "spark")), 256)
     existing_hashes = existing_cmp.select(norm.alias("_h")).distinct()
     curated = (
         curated.withColumn("_h", norm)

@@ -163,3 +163,44 @@ def test_curate_corpus_idempotent(spark):
     a = {r["doc_id"] for r in once.select("doc_id").collect()}
     b = {r["doc_id"] for r in twice.select("doc_id").collect()}
     assert a == b
+
+
+def test_populate_vs_rejects_foreign_store_schema(spark, tmp_path):
+    """A same-named store built by a different ingest path (content hash in
+    'id', no 'cid' column) must fail loudly — an UNRESOLVED_COLUMN
+    AnalysisException used to be swallowed as 'first ingest', silently
+    re-embedding everything and appending an extra column into the store."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.catalog import VectorStorage, VectorStoreCatalog, get_vs_table
+    from oaim_sandbox_spark.pipeline import populate_vs
+
+    cat = VectorStoreCatalog(spark, str(tmp_path))
+    vs = VectorStorage(alias="fx", model="mock-embed", chunk_size=100, chunk_overlap=10)
+    name, _ = get_vs_table(vs.model, vs.chunk_size, vs.chunk_overlap,
+                           vs.distance_metric, vs.index_type, vs.alias)
+    # foreign-path store: keyed by 'id', no 'cid'
+    foreign = spark.range(3).select(
+        F.col("id").cast("string").alias("id"),
+        F.lit("text").alias("text"),
+        F.expr("array(1.0D)").alias("embedding"),
+    )
+    foreign.write.parquet(str(tmp_path / name))
+    docs = spark.createDataFrame([(1, "alpha beta " * 30)], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="different ingest path"):
+        populate_vs(spark, docs, cat, vs)
+
+
+def test_merge_content_id_null_text_stable(spark):
+    """NULL text hashes to the empty-string content id (not NULL): a NULL
+    join key never matches the anti-join, so such rows used to be
+    re-embedded and re-appended on every run forever."""
+    from oaim_sandbox_spark.operators.merge import merge_new_rows, with_content_id
+
+    batch = spark.createDataFrame([("a", None), ("b", "x")], "k STRING, text STRING")
+    addressed = with_content_id(batch, text_col="text", id_col="id")
+    assert all(r["id"] is not None for r in addressed.collect())
+    # second delivery of the same batch: nothing is 'fresh'
+    fresh = merge_new_rows(addressed, addressed.select("id"), id_col="id")
+    assert fresh.count() == 0
