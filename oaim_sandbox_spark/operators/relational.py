@@ -27,6 +27,15 @@ def asof_join(
     standard scale-out as-of pattern (vs. a merge-join per key, which Spark
     lacks natively).
     """
+    overlap = [c for c in right_cols if c in left.columns]
+    if overlap:
+        # the final .drop(*right_cols) would silently DELETE the left
+        # side's own same-named column (its values rode the union) — make
+        # the caller rename instead of losing data without an error
+        raise ValueError(
+            f"right_cols {overlap} collide with left columns; rename one side "
+            f"(the as-of value is emitted as '<col>{suffix}')"
+        )
     lt = left.withColumn("_side", F.lit(1))
     rt = right.withColumn("_side", F.lit(0))
     for c in left.columns:
@@ -125,9 +134,15 @@ def zorder_expr(df: DataFrame, cols: list[str], bits: int = 16) -> "F.Column":
     quantized = []
     for c in cols:
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None:
+            # empty frame or all-null column: no ordering information —
+            # contribute a constant 0 plane instead of TypeErroring on
+            # None arithmetic (maintenance jobs hit this on empty stores)
+            quantized.append("cast(0 as bigint)")
+            continue
         span = (mx - mn) or 1.0
         quantized.append(
-            f"cast(round((cast({c} as double) - {mn!r}d) / {span!r}d * {levels}) as bigint)"
+            f"cast(round((cast({c} as double) - {float(mn)!r}d) / {float(span)!r}d * {levels}) as bigint)"
         )
     # interleave bit planes: bit b of column i lands at position b*n + i
     n = len(cols)

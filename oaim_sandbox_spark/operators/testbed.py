@@ -30,7 +30,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-QA_FIELDS = "tid STRING, question STRING, reference_answer STRING, reference_context STRING, topic STRING, question_type STRING, seed_document_id STRING"
 EVAL_ROW_FIELDS = (
     "eid STRING, tid STRING, question STRING, agent_answer STRING, correct BOOLEAN, topic STRING"
 )
@@ -65,6 +64,7 @@ class TestbedStore:
             mode = "append" if os.path.isdir(self._p("testsets")) else "overwrite"
             row.write.mode(mode).parquet(self._p("testsets"))
         qa_rows = qa.withColumn("tid", F.lit(tid))
+        self._recover("testset_qa")
         if os.path.isdir(self._p("testset_qa")):
             kept = spark.read.parquet(self._p("testset_qa")).filter(F.col("tid") != tid)
             kept.unionByName(qa_rows.select(*kept.columns)).write.mode("overwrite").parquet(
@@ -76,14 +76,37 @@ class TestbedStore:
         return tid
 
     def _swap(self, name: str) -> None:
+        """rename-aside swap (never rmtree-then-rename: a kill between the
+        two calls would leave the LIVE table deleted with the data stranded
+        in _tmp). A crash between the renames strands the table under
+        __old; _recover (run by writers BEFORE producing a fresh _tmp, and
+        by readers) restores it."""
         import shutil
 
-        shutil.rmtree(self._p(name))
-        os.rename(self._p(name) + "_tmp", self._p(name))
+        path = self._p(name)
+        old = path + "__old"
+        os.rename(path, old)
+        os.rename(path + "_tmp", path)
+        shutil.rmtree(old)
+
+    def _recover(self, name: str) -> None:
+        """Heal any prior crash: restore a table stranded under __old and
+        clear stale temp dirs. Must run before a writer stages a new _tmp
+        (never inside _swap — it would delete the tmp just written)."""
+        import shutil
+
+        path = self._p(name)
+        old = path + "__old"
+        if not os.path.isdir(path) and os.path.isdir(old):
+            os.rename(old, path)
+        for leftover in (old, path + "_tmp"):
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover)
 
     # -- K9: cascade delete --------------------------------------------------
     def delete_testset(self, spark: SparkSession, tid: str) -> None:
         for table in ("testsets", "testset_qa", "evaluations"):
+            self._recover(table)
             path = self._p(table)
             if os.path.isdir(path):
                 kept = spark.read.parquet(path).filter(F.col("tid") != tid)
@@ -92,6 +115,7 @@ class TestbedStore:
 
     # -- S13: ordered scans ----------------------------------------------------
     def get_testsets(self, spark: SparkSession) -> DataFrame | None:
+        self._recover("testsets")
         path = self._p("testsets")
         if not os.path.isdir(path):
             return None
@@ -299,16 +323,26 @@ def evaluate_testset(
                 rows, columns=["eid", "tid", "question", "agent_answer", "correct", "topic"]
             )
 
-    per_row = qa.mapInPandas(run, EVAL_ROW_FIELDS).cache()
-    overall = per_row.agg(F.avg(F.col("correct").cast("double")).alias("c")).collect()[0]["c"]
-    by_topic = {
-        r["topic"]: round(r["c"], 4)
-        for r in per_row.groupBy("topic").agg(F.avg(F.col("correct").cast("double")).alias("c")).collect()
-    }
-    failures = [
-        {"question": r["question"], "agent_answer": r["agent_answer"], "topic": r["topic"]}
-        for r in per_row.filter(~F.col("correct")).limit(max_failures).collect()
-    ]
+    # localCheckpoint, not cache: the three actions below must see ONE
+    # consistent evaluation of the (possibly nondeterministic, expensive)
+    # answer/judge UDF — cached partitions can be EVICTED and silently
+    # recomputed, re-paying real LLM calls and producing a failures list
+    # inconsistent with the reported correctness. Checkpointed blocks are
+    # not evictable; the explicit unpersist stops long-lived sessions from
+    # accumulating them.
+    per_row = qa.mapInPandas(run, EVAL_ROW_FIELDS).localCheckpoint(eager=True)
+    try:
+        overall = per_row.agg(F.avg(F.col("correct").cast("double")).alias("c")).collect()[0]["c"]
+        by_topic = {
+            r["topic"]: round(r["c"], 4)
+            for r in per_row.groupBy("topic").agg(F.avg(F.col("correct").cast("double")).alias("c")).collect()
+        }
+        failures = [
+            {"question": r["question"], "agent_answer": r["agent_answer"], "topic": r["topic"]}
+            for r in per_row.filter(~F.col("correct")).limit(max_failures).collect()
+        ]
+    finally:
+        per_row.unpersist()
     return EvaluationReport(
         tid=tid,
         correctness=round(overall or 0.0, 4),

@@ -36,7 +36,10 @@ import zlib
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\s*endstream", re.DOTALL)
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+# direct lengths only: '/Length 7 0 R' is an INDIRECT reference whose
+# first integer is an object number, not a byte count — matching it sliced
+# 7 bytes of stream and silently emptied the page
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _PAGE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
 _CONTENTS_RE = re.compile(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
@@ -276,7 +279,9 @@ def _decode_stream(body: bytes, raw: bytes) -> bytes | None:
     stream bytes; None when the filter is unsupported."""
     if b"/FlateDecode" in body:
         try:
-            return zlib.decompress(raw)
+            # decompressobj: tolerant of trailing bytes, which the
+            # endstream-bounded fallback slice (indirect /Length) can carry
+            return zlib.decompressobj().decompress(raw)
         except zlib.error:
             return None
     if b"/Filter" in body:
@@ -310,9 +315,22 @@ def extract_pages(content: bytes) -> list[str]:
         if sm is not None and (end == -1 or sm.start() < end):
             head = content[start : sm.start()]
             lm = _LENGTH_RE.search(head)
+            dstart = sm.end()
+            dend = None
             if lm is not None:
-                dstart = sm.end()
                 dend = dstart + int(lm.group(1))
+            elif b"/Length" in head:
+                # indirect /Length (e.g. '/Length 7 0 R'): bound the stream
+                # at the endstream marker, stripping at most one EOL — the
+                # length object may not even be parsed yet
+                es = content.find(b"endstream", dstart)
+                if es != -1:
+                    dend = es
+                    if content[dend - 2 : dend] == b"\r\n":
+                        dend -= 2
+                    elif content[dend - 1 : dend] in (b"\n", b"\r"):
+                        dend -= 1
+            if dend is not None:
                 objects[num] = head + b"\nstream\n" + content[dstart:dend] + b"\nendstream"
                 after = content.find(b"endobj", dend)
                 pos = dend if after == -1 else after + len(b"endobj")
@@ -386,11 +404,46 @@ def extract_pages(content: bytes) -> list[str]:
                 fonts[fm.group(1).decode("latin-1")] = _parse_cmap(data)
         return fonts
 
+    def page_tree_order() -> list[int]:
+        """Page object numbers in /Kids (reading) order. Object-number order
+        is NOT reading order: incremental updates and linearized writers
+        give replacement/later pages arbitrary numbers, and an appended
+        replacement page would ALSO surface its stale predecessor — the
+        tree walk yields exactly the live pages, in sequence."""
+        parents = {
+            n for n, b in objects.items() if re.search(rb"/Type\s*/Pages\b", b)
+        }
+        kids = {}
+        for n in parents:
+            arr = re.search(rb"/Kids\s*\[(.*?)\]", objects[n], re.DOTALL)
+            kids[n] = (
+                [int(m.group(1)) for m in _REF_RE.finditer(arr.group(1))] if arr else []
+            )
+        referenced = {k for ks in kids.values() for k in ks}
+        roots = sorted(n for n in parents if n not in referenced)
+        order: list[int] = []
+        seen: set[int] = set()
+
+        def walk(n: int, depth: int = 0) -> None:
+            if depth > 64 or n in seen:
+                return
+            seen.add(n)
+            if n in parents:
+                for k in kids[n]:
+                    walk(k, depth + 1)
+            elif n in objects and _PAGE_RE.search(objects[n]):
+                order.append(n)
+
+        for r in roots:
+            walk(r)
+        return order
+
+    page_nums = page_tree_order() or [
+        n for n in sorted(objects) if _PAGE_RE.search(objects[n])
+    ]
     pages: list[str] = []
-    for num in sorted(objects):
+    for num in page_nums:
         body = objects[num]
-        if not _PAGE_RE.search(body):
-            continue
         cm = _CONTENTS_RE.search(body)
         if not cm:
             pages.append("")

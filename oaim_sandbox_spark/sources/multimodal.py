@@ -59,9 +59,11 @@ IMAGE_FEATURES_SCHEMA = StructType(
 def load_media_dir(spark: SparkSession, path: str, kind: str = "image") -> DataFrame:
     """binaryFile scan -> MEDIA_SCHEMA rows (metadata filled by later stages)."""
     binf = spark.read.format("binaryFile").load(path)
-    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    # media_id = FULL path: a bare basename conflates a/img0.png with
+    # b/img0.png, silently merging distinct media in every downstream
+    # join/dedup; the basename stays available via the path's tail
     return binf.select(
-        fname.alias("media_id"),
+        F.col("path").alias("media_id"),
         F.lit(kind).alias("kind"),
         F.col("content"),
         F.lit(None).cast("string").alias("mime"),
@@ -90,6 +92,11 @@ def _decode_image(content: bytes) -> tuple[int, int, list[float]]:
         hh = 64 + h[1] % 192
         feat = [b / 255.0 for b in h[2:18]]
         return w, hh, feat
+    except Exception:
+        # PIL present but the blob is corrupt/empty/unsupported: one bad
+        # image must degrade to a sentinel row, never abort the whole job
+        # from inside the Python worker
+        return 0, 0, [0.0] * 16
 
 
 def extract_image_features(df: DataFrame) -> DataFrame:
@@ -128,9 +135,17 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             def do(content: bytes) -> bytes:
                 return hashlib.sha256((content or b"") + f":{width}x{height}".encode()).digest()
 
+        def safe_do(content: bytes) -> bytes:
+            try:
+                return do(content)
+            except Exception:
+                # corrupt blob under PIL: pass the original through rather
+                # than failing the task (the fake path never raises)
+                return content
+
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["content"] = [do(bytes(c) if c is not None else b"") for c in pdf["content"]]
+            pdf["content"] = [safe_do(bytes(c) if c is not None else b"") for c in pdf["content"]]
             pdf["width"] = width
             pdf["height"] = height
             yield pdf

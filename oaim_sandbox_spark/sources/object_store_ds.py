@@ -90,14 +90,19 @@ class ObjectStoreReader(DataSourceReader):
         return parts
 
     def read(self, partition: _ObjectPartition) -> Iterator[tuple]:
-        """Executor-side: stream THIS object in bounded chunks."""
+        """Executor-side: stream THIS object in bounded chunks. An object
+        deleted between planning and the read yields no row instead of
+        failing the micro-batch — the deletion IS the state."""
         buf = bytearray()
-        with open(partition.path, "rb") as r:
-            while True:
-                chunk = r.read(CHUNK)
-                if not chunk:
-                    break
-                buf.extend(chunk)
+        try:
+            with open(partition.path, "rb") as r:
+                while True:
+                    chunk = r.read(CHUNK)
+                    if not chunk:
+                        break
+                    buf.extend(chunk)
+        except FileNotFoundError:
+            return
         yield (partition.bucket, partition.object_name, len(buf), bytes(buf))
 
 
@@ -127,7 +132,13 @@ class ObjectStoreStreamReader(DataSourceStreamReader):
     def _keyed_listing(self) -> list[tuple[tuple, _ObjectPartition]]:
         out = []
         for p in self._batch.partitions():
-            out.append(((os.path.getmtime(p.path), p.bucket, p.object_name), p))
+            try:
+                mtime = os.path.getmtime(p.path)
+            except OSError:
+                # deleted between the walk and the stat: a concurrent
+                # delete must not kill the streaming query on the driver
+                continue
+            out.append(((mtime, p.bucket, p.object_name), p))
         out.sort(key=lambda kp: kp[0])
         return out
 

@@ -27,7 +27,9 @@ def test_load_media_dir(spark, tmp_path):
     (tmp_path / "x.bin").write_bytes(b"12345")
     df = load_media_dir(spark, str(tmp_path), kind="image")
     rows = df.collect()
-    assert rows[0].media_id == "x.bin"
+    # media_id is the FULL path (a bare basename would conflate
+    # same-named files in different subdirectories)
+    assert rows[0].media_id.endswith("/x.bin")
     assert bytes(rows[0].content) == b"12345"
 
 

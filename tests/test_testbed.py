@@ -133,3 +133,26 @@ def test_insert_and_scan_evaluations(spark, tmp_path):
     evals = store.get_evaluations(spark, tid).collect()
     assert evals[0].eid == eid
     assert json.loads(evals[0].report) == report.by_topic
+
+
+def test_swap_crash_recovery(spark, tmp_path):
+    """A kill inside the table swap must never lose the live table: the
+    old rmtree-then-rename order deleted the table first (data stranded in
+    _tmp); the rename-aside order + _recover heals both crash windows."""
+    import os
+
+    from oaim_sandbox_spark.operators.testbed import TestbedStore
+
+    store = TestbedStore(str(tmp_path / "tb"))
+    qa = spark.createDataFrame(
+        [("q?", "a", "c", "t")],
+        "question STRING, reference_answer STRING, reference_context STRING, topic STRING",
+    )
+    tid = store.upsert_testset(spark, "s1", qa)
+
+    # crash window A: table renamed aside, tmp not yet promoted
+    path = store._p("testset_qa")
+    os.rename(path, path + "__old")
+    os.makedirs(path + "_tmp")
+    assert store.upsert_testset(spark, "s1", qa) == tid  # recovery healed it
+    assert store.get_testset_qa(spark, tid).count() == 1
