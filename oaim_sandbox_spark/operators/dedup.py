@@ -205,6 +205,26 @@ def simhash_near_pairs(
         id_col, "simhash", F.explode(F.expr(f"array({band_structs})")).alias("b")
     ).select(id_col, "simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
     l, r = banded.alias("l"), banded.alias("r")
+
+    # first-colliding-band filter instead of .distinct(): a pair colliding
+    # in k bands surfaces k times from the self-join, and deduplicating via
+    # distinct shuffles EVERY candidate pair (the dominant exchange under
+    # heavy duplication). Both fingerprints are already in hand, so keep a
+    # pair only in the first band where it collides — exactly-once without
+    # any exchange (queries._simhash_pairs_body mirrors this in SQL).
+    def band_slice(side: str, j: int) -> str:
+        return (
+            f"({side}.simhash div cast(pow(2, {j * slice_bits}) as bigint))"
+            f" % cast(pow(2, {slice_bits}) as bigint)"
+        )
+
+    whens = " ".join(
+        f"WHEN {b} THEN ("
+        + " AND ".join(f"{band_slice('l', j)} <> {band_slice('r', j)}" for j in range(b))
+        + ")"
+        for b in range(1, bands)
+    )
+    first_band = f"CASE l.band_idx WHEN 0 THEN TRUE {whens} END"
     return (
         l.join(
             r,
@@ -212,12 +232,12 @@ def simhash_near_pairs(
             & (F.col("l.band_key") == F.col("r.band_key"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
+        .filter(F.expr(first_band))
         .select(
             F.col(f"l.{id_col}").alias("doc_a"),
             F.col(f"r.{id_col}").alias("doc_b"),
             F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
 

@@ -2519,10 +2519,12 @@ FROM (
 """
 
 
-def _simhash_pairs_body(d: str, rel: str = "fps") -> str:
+def _simhash_pairs_parts(d: str, rel: str = "fps") -> tuple[str, str]:
     """Banded self-join + hamming verify reading from the fingerprint
     relation `rel` (CTE on the oracle; per-call unique materialized temp
-    view on Spark)."""
+    view on Spark). Returns (banded_relation_sql, pair_select_sql) so
+    composing templates can place them in their own WITH chain without
+    string surgery on the assembled statement."""
     slice_bits = SIMHASH_BITS // SIMHASH_BANDS
     if d == "spark":
         def band_key(b: int) -> str:
@@ -2550,13 +2552,45 @@ def _simhash_pairs_body(d: str, rel: str = "fps") -> str:
             f"SELECT doc_id, simhash, {b} AS band_idx, {band_key(b)} AS band_key FROM {rel}"
             for b in range(SIMHASH_BANDS)
         )
-    return f"""
-WITH banded AS ({bands_sql})
-SELECT DISTINCT CAST(l.doc_id AS BIGINT) AS doc_a, CAST(r.doc_id AS BIGINT) AS doc_b,
+    # first-colliding-band filter instead of SELECT DISTINCT: a pair that
+    # collides in k bands used to surface k times and be deduplicated by a
+    # full-width exchange + aggregate over EVERY candidate pair — the
+    # dominant shuffle at high duplication (a 40x-replicated 200k-doc
+    # stress spends most of its 279 s there). Both fingerprints are already
+    # in the join output, so "this is the pair's FIRST colliding band"
+    # (every earlier band's slice differs) is a narrow filter; each
+    # qualifying pair then appears exactly once and the exchange vanishes.
+    def band_slice(side: str, j: int) -> str:
+        if d == "spark":
+            return (
+                f"({side}.simhash div cast(pow(2, {j * slice_bits}) as bigint))"
+                f" % cast(pow(2, {slice_bits}) as bigint)"
+            )
+        return f"({side}.simhash // (2**{j * slice_bits})::BIGINT) % (2**{slice_bits})::BIGINT"
+
+    whens = " ".join(
+        f"WHEN {b} THEN ("
+        + " AND ".join(f"{band_slice('l', j)} <> {band_slice('r', j)}" for j in range(b))
+        + ")"
+        for b in range(1, SIMHASH_BANDS)
+    )
+    first_band = f"CASE l.band_idx WHEN 0 THEN TRUE {whens} END"
+    select_sql = f"""SELECT CAST(l.doc_id AS BIGINT) AS doc_a, CAST(r.doc_id AS BIGINT) AS doc_b,
        {ham} AS hamming
 FROM banded l JOIN banded r
   ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-WHERE {ham} <= {MAX_HAMMING}
+WHERE {ham} <= {MAX_HAMMING} AND {first_band}"""
+    return bands_sql, select_sql
+
+
+def _simhash_pairs_body(d: str, rel: str = "fps") -> str:
+    """Banded self-join + hamming verify reading from the fingerprint
+    relation `rel`, as one ordered statement (see _simhash_pairs_parts for
+    the composable pieces)."""
+    bands_sql, select_sql = _simhash_pairs_parts(d, rel)
+    return f"""
+WITH banded AS ({bands_sql})
+{select_sql}
 ORDER BY doc_a, doc_b
 """
 
@@ -6230,13 +6264,11 @@ def near_dup_rate_by_source(d: str) -> str:
     pair graph is the same banded plan as `simhash_near_pairs`; attribution
     adds two dim joins (doc→source) and a sources² rollup — audit output is
     dim-sized at any corpus scale."""
-    body = _simhash_pairs_body(d).replace("ORDER BY doc_a, doc_b", "")
-    inner = body.replace("WITH banded AS", "banded AS", 1)
-    head, sel = inner.split("SELECT DISTINCT", 1)
+    bands_sql, select_sql = _simhash_pairs_parts(d)
     return f"""
 WITH fps AS ({_simhash_fps_sql(d)}),
-{head.strip().rstrip(',')},
-pairs AS (SELECT DISTINCT {sel.strip()}),
+banded AS ({bands_sql}),
+pairs AS ({select_sql}),
 attributed AS (
   SELECT LEAST(da.source, db.source) AS source_a,
          GREATEST(da.source, db.source) AS source_b,
