@@ -127,6 +127,15 @@ def minhash_lsh_pairs(
     probability is 1-(1-s^r)^b, so tune (b, r) to the target similarity. The
     self-join shuffles only (id, band_hash, signature) — never document text.
     Skewed buckets (boilerplate docs) are handled by AQE skew-join splitting.
+
+    The pair `.distinct()` here deliberately stays (unlike simhash_near_pairs,
+    which replaced its with a first-colliding-band filter): that filter needs
+    every band key of BOTH sides in the join output, which for minhash means
+    carrying all b band hashes through the banded explode — widening the
+    bucket shuffle by b*8 bytes per banded row to save a 16-byte-per-pair
+    exchange. For simhash the fingerprint already rides along (free); here
+    the trade only pays when pairs-per-doc is high, and the distinct input
+    is bands-bounded narrow rows, not a corpus-sized relation.
     """
     # materialize the signatures ONCE: they feed both self-join sides and
     # both est-jaccard joins, and Spark re-inlines the md5-shingle pipeline
