@@ -17,6 +17,7 @@ import json
 import math
 import os
 import re
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -234,8 +235,14 @@ class VectorStoreCatalog:
                     continue
                 dest = os.path.join(path, rel)
                 os.makedirs(os.path.dirname(dest), exist_ok=True)
-                if not os.path.exists(dest):
-                    os.rename(os.path.join(old, rel), dest)
+                if os.path.exists(dest):
+                    # basename collision with a rewritten output file (e.g.
+                    # both sides used part-00000-...): skipping would silently
+                    # drop the concurrently-appended rows when __old is
+                    # rmtree'd below — rename with a unique suffix instead
+                    stem, ext = os.path.splitext(dest)
+                    dest = f"{stem}-rescued-{uuid.uuid4().hex[:8]}{ext}"
+                os.rename(os.path.join(old, rel), dest)
         shutil.rmtree(old)
 
     def compact_store(self, name: str, target_file_mb: int = 128) -> int:

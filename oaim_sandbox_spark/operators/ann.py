@@ -22,6 +22,21 @@ from oaim_sandbox_spark.functions import portable as P
 from oaim_sandbox_spark.operators.retrieval import distance_expr
 
 
+def _qid_ddl(queries: DataFrame, query_id: str) -> str:
+    """DDL type for the query-id column of a batch, derived from the batch's
+    SCHEMA (not from isinstance on the first collected row — a batch mixing
+    numpy ints and strs would otherwise fail inside createDataFrame with an
+    opaque schema-merge error). Integer widths widen to BIGINT."""
+    dt = queries.schema[query_id].dataType.simpleString()
+    if dt == "string":
+        return "STRING"
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return "BIGINT"
+    raise ValueError(
+        f"query-id column {query_id!r} must be string or integral, got {dt}"
+    )
+
+
 def knn_join(
     items: DataFrame,
     queries: DataFrame,
@@ -199,20 +214,28 @@ class IVFIndex:
     def fit(
         self, df: DataFrame, sample_fraction: float = 1.0, max_sample: int = 50_000
     ) -> "IVFIndex":
-        train = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed=self.seed)
+        # fraction= must be keyword: PySpark's sample() shim reads the seed
+        # from the positional fraction slot when the first arg is a float,
+        # silently IGNORING seed= and leaving the sample unseeded
+        train = df if sample_fraction >= 1.0 else df.sample(fraction=sample_fraction, seed=self.seed)
         # limit() alone takes the HEAD of the store in partition order — on
         # a store clustered by label/time that trains the quantizer on one
         # region only (exactly the skew case suggest_fetch_k worries about).
         # Downsample uniformly instead: one cheap count, then a seeded
-        # sample with slack, then the cap.
+        # sample with slack; the cap is enforced DRIVER-SIDE with rng.choice
+        # (a .limit() after the sample would again cut in partition order,
+        # systematically dropping the tail partitions of the store).
         n = train.count()
         if n > max_sample:
-            train = train.sample(min(1.0, 1.2 * max_sample / n), seed=self.seed)
+            train = train.sample(fraction=min(1.0, 1.2 * max_sample / n), seed=self.seed)
         # Arrow toPandas: ~5x faster than Row collect for array columns
-        pdf = train.select(F.col(self.vec_col).cast("array<double>").alias("_v")).limit(max_sample).toPandas()
+        pdf = train.select(F.col(self.vec_col).cast("array<double>").alias("_v")).toPandas()
         import numpy as np
 
         x = np.asarray(pdf["_v"].to_list(), dtype=np.float64)
+        if len(x) > max_sample:
+            rng = np.random.default_rng(self.seed)
+            x = x[rng.choice(len(x), size=max_sample, replace=False)]
         if len(x) == 0:
             raise ValueError("cannot fit an IVF index on an empty store")
         self.centroids = lloyd_kmeans(x, self.n_centroids, self.seed, self.max_iter)
@@ -436,8 +459,9 @@ class IVFIndex:
             for qid, qv, row in zip(qids, qmat, probes)
             for c in row
         ]
+        qid_t = _qid_ddl(queries, query_id)
         qdf = spark.createDataFrame(
-            pairs, f"{query_id} {'STRING' if isinstance(qids[0], str) else 'BIGINT'}, centroid INT, {query_vec} ARRAY<DOUBLE>"
+            pairs, f"{query_id} {qid_t}, centroid INT, {query_vec} ARRAY<DOUBLE>"
         )
         all_cents = sorted({int(c) for row in probes for c in row})
         store = spark.read.parquet(path).filter(F.col("centroid").isin(all_cents))
@@ -497,11 +521,15 @@ class PQIndex:
         n = df.count()
         train = df
         if n > max_sample:
-            train = df.sample(min(1.0, 1.2 * max_sample / n), seed=self.seed)
-        pdf = train.select(F.col(self.vec_col).cast("array<double>").alias("_v")).limit(max_sample).toPandas()
+            train = df.sample(fraction=min(1.0, 1.2 * max_sample / n), seed=self.seed)
+        pdf = train.select(F.col(self.vec_col).cast("array<double>").alias("_v")).toPandas()
         x = np.asarray(pdf["_v"].to_list(), dtype=np.float64)
         if len(x) == 0:
             raise ValueError("cannot fit a PQ index on an empty store")
+        if len(x) > max_sample:
+            # cap driver-side, uniformly — a .limit() would cut in partition
+            # order and systematically drop the store's tail (see IVFIndex.fit)
+            x = x[np.random.default_rng(self.seed).choice(len(x), size=max_sample, replace=False)]
         # per-subspace codebooks via the shared Lloyd loop (one definition —
         # init, empty-cluster fallback, and early exit stay in lockstep).
         # ONE evolving rng threads through all subspaces: a fresh rng with
@@ -659,8 +687,11 @@ class PQIndex:
             ]
             luts.append((r[0], lut))
         spark = codes_df.sparkSession
-        # string query ids are first-class, matching IVFIndex.search_batch
-        qid_t = "STRING" if isinstance(qrows[0][0], str) else "BIGINT"
+        # string query ids are first-class, matching IVFIndex.search_batch;
+        # the DDL type comes from the batch's schema, not the first row
+        qid_t = _qid_ddl(queries, query_id)
+        if qid_t == "BIGINT":
+            luts = [(int(qid), lut) for qid, lut in luts]
         qdf = spark.createDataFrame(
             luts, f"{query_id} {qid_t}, lut ARRAY<ARRAY<DOUBLE>>"
         )

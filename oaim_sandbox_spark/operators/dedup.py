@@ -29,14 +29,23 @@ def _spread_for_cpu(df: DataFrame) -> DataFrame:
     downstream, and — more importantly — calling .rdd on an adaptive plan
     with shuffles would MATERIALIZE those stages eagerly, running the
     upstream work twice. For narrow scan/checkpoint plans, .rdd only builds
-    the RDD DAG (no jobs), so the partition probe is free."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan or "ShuffleQueryStage" in plan:
+    the RDD DAG (no jobs), so the partition probe is free.
+
+    The probe leans on private PySpark internals (``_jdf`` plan strings) —
+    version-brittle, and absent entirely under Spark Connect. When any step
+    of it fails, degrade to returning the input unchanged: slower (one core
+    for the hash stage in the worst case) but always correct, and never
+    eagerly materializing a shuffle by probing a plan we couldn't inspect."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan or "ShuffleQueryStage" in plan:
+            return df
+        p = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < p:
+            return df.repartition(p)
         return df
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        return df.repartition(p)
-    return df
+    except Exception:
+        return df
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", order_col: str | None = None) -> DataFrame:

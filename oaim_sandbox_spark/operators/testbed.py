@@ -109,7 +109,12 @@ class TestbedStore:
             self._recover(table)
             path = self._p(table)
             if os.path.isdir(path):
-                kept = spark.read.parquet(path).filter(F.col("tid") != tid)
+                src = (
+                    self._read_evaluations(spark)
+                    if table == "evaluations"
+                    else spark.read.parquet(path)
+                )
+                kept = src.filter(F.col("tid") != tid)
                 kept.write.mode("overwrite").parquet(path + "_tmp")
                 self._swap(table)
 
@@ -124,12 +129,18 @@ class TestbedStore:
     def get_testset_qa(self, spark: SparkSession, tid: str) -> DataFrame:
         return spark.read.parquet(self._p("testset_qa")).filter(F.col("tid") == tid)
 
+    def _read_evaluations(self, spark: SparkSession) -> DataFrame:
+        # mergeSchema: the evaluations dir can mix pre-'failures' 6-column
+        # files with current 7-column ones; without it Spark may infer the
+        # OLD footer schema and silently drop 'failures' for every row
+        return spark.read.option("mergeSchema", "true").parquet(self._p("evaluations"))
+
     def get_evaluations(self, spark: SparkSession, tid: str) -> DataFrame | None:
         path = self._p("evaluations")
         if not os.path.isdir(path):
             return None
         return (
-            spark.read.parquet(path).filter(F.col("tid") == tid).orderBy(F.col("evaluated").desc())
+            self._read_evaluations(spark).filter(F.col("tid") == tid).orderBy(F.col("evaluated").desc())
         )
 
     def insert_evaluation(self, spark: SparkSession, report: "EvaluationReport") -> str:
@@ -164,7 +175,7 @@ class TestbedStore:
         if not os.path.isdir(path):
             raise KeyError(f"evaluation {eid!r} not found")
         hit = (
-            spark.read.parquet(path).filter(F.col("eid") == eid).head(1)
+            self._read_evaluations(spark).filter(F.col("eid") == eid).head(1)
         )
         if not hit:
             raise KeyError(f"evaluation {eid!r} not found")

@@ -286,6 +286,7 @@ class ApiServer:
         object_store=None,  # sources.loaders.LocalObjectStore
         oci_profiles: list[OciProfileDef] | None = None,
         staging_root: str | None = None,
+        max_upload_bytes: int = 64 * 1024 * 1024,
     ):
         self.pipeline = pipeline
         self.models = models if models is not None else Registry("model")
@@ -297,6 +298,7 @@ class ApiServer:
         self.object_store = object_store
         self.oci_profiles = oci_profiles if oci_profiles is not None else [OciProfileDef()]
         self.staging_root = staging_root or os.path.join(tempfile.gettempdir(), "oaim_api_staging")
+        self.max_upload_bytes = max_upload_bytes
         self._host, self._port = host, port
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -341,6 +343,21 @@ class _ApiHandler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
+
+    def _raw_upload(self) -> bytes | None:
+        """Body bytes for the multipart upload routes, bounded BEFORE the
+        read: the reference stack caps uploads, and an unchecked
+        Content-Length would let one oversized (authorized) request buffer
+        arbitrary bytes into server memory. Over-cap -> 413 and None."""
+        n = int(self.headers.get("Content-Length") or 0)
+        cap = self.server_ctx.max_upload_bytes
+        if n > cap:
+            # the unread body still sits on the socket; keep-alive would
+            # parse it as the next request line, so close after replying
+            self.close_connection = True
+            self._json(413, {"detail": f"upload exceeds the {cap}-byte limit"})
+            return None
+        return self.rfile.read(n) if n else b""
 
     def _body(self):
         n = int(self.headers.get("Content-Length") or 0)
@@ -465,8 +482,9 @@ class _ApiHandler(BaseHTTPRequestHandler):
             # {"qa": [...]} body remains supported beside it
             ctype_full = self.headers.get("Content-Type") or ""
             if ctype_full.split(";")[0].strip().lower() == "multipart/form-data":
-                n = int(self.headers.get("Content-Length") or 0)
-                raw = self.rfile.read(n) if n else b""
+                raw = self._raw_upload()
+                if raw is None:
+                    return
                 parts = _parse_multipart_files(raw, ctype_full)
                 if not parts:
                     return self._json(
@@ -509,8 +527,9 @@ class _ApiHandler(BaseHTTPRequestHandler):
             ctype_full = self.headers.get("Content-Type") or ""
             if ctype_full.split(";")[0].strip().lower() != "multipart/form-data":
                 return self._json(422, {"detail": "multipart/form-data file upload required"})
-            n = int(self.headers.get("Content-Length") or 0)
-            raw = self.rfile.read(n) if n else b""
+            raw = self._raw_upload()
+            if raw is None:
+                return
             parts = _parse_multipart_files(raw, ctype_full)
             if not parts:
                 return self._json(422, {"detail": "malformed multipart body or no file parts"})
@@ -643,8 +662,9 @@ class _ApiHandler(BaseHTTPRequestHandler):
 
             ctype_full = self.headers.get("Content-Type") or ""
             if ctype_full.split(";")[0].strip().lower() == "multipart/form-data":
-                n = int(self.headers.get("Content-Length") or 0)
-                raw = self.rfile.read(n) if n else b""
+                raw = self._raw_upload()
+                if raw is None:
+                    return
                 pairs = _parse_multipart_files(raw, ctype_full)
                 if not pairs:
                     return self._json(

@@ -957,3 +957,27 @@ def test_second_review_pass_edges(spark_server, server):
                     body=[{"top_k": 9}])
     assert status == 422
     req(spark_server, "DELETE", f"/v1/testbed/testset_delete/{tid}")
+
+
+def test_multipart_upload_over_cap_is_413():
+    """ADVICE r5: the multipart routes must bound the body BEFORE reading it
+    (the reference stack caps uploads). A Content-Length over the configured
+    max_upload_bytes gets a 413 and the body is never buffered."""
+    pipeline = ChatPipeline(store=None, embed_query=None, llm=MockLLM(),
+                            settings=RagSettings(rag_enabled=False))
+    srv = ApiServer(pipeline, api_key=KEY, max_upload_bytes=1024).start()
+    try:
+        status, body = _multipart_post(
+            srv, "/v1/embed/local/store",
+            [("big.txt", b"x" * 4096)], client="c-cap",
+        )
+        assert status == 413
+        assert "limit" in body["detail"]
+        # an under-cap request on a fresh connection still routes normally
+        status, names = _multipart_post(
+            srv, "/v1/embed/local/store",
+            [("small.txt", b"tiny")], client="c-cap",
+        )
+        assert status == 200 and names == ["small.txt"]
+    finally:
+        srv.stop()

