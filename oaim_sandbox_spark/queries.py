@@ -6353,70 +6353,69 @@ def _make_spark_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # and the LLM-data-pipeline operators — the newest and highest-value entries —
 # followed by everything else in definition order.
 FLAGSHIP_FIRST: tuple[str, ...] = (
-    # --- ROUND-5 WINDOW: rotate certification onto the STALEST entries
-    # (VERDICT r4 task 2). Every oracle-backed entry is green in the
-    # r1-r4 union, but driver recency is the hard signal — this prefix is
-    # the round-5 additions (must certify first time), then all 33 entries
-    # whose last driver check was round 1, then the 15 oldest round-2
-    # entries (including the three the verdict called out:
-    # asof_clicks_before_errors, range_error_followups, events_rollup).
-    # --- new THIS round — must certify:
-    "curriculum_buckets_approx",  # continuous-key curriculum twin (r5)
+    # --- ROUND-6 WINDOW: rotation-only (no new oracle entries this round).
+    # Full r1-r5 union coverage holds, so recency is the whole signal: the
+    # prefix is the 19 entries whose last driver check was round 2, then
+    # the 31 oldest round-3 entries (staleness order from
+    # tools/window_rotation.py) — after this round no certification is
+    # older than round 4.
     # transformWithState twin: registered only where protobuf exists, and
     # never yet driver-checkable — keep it in the prefix so it certifies
     # the first time it can; in protobuf-less envs it is filtered out and
     # costs no slot.
     "streaming_user_stats_tws",
-    # --- last driver check: round 1 (33 entries, registry order):
-    "split_fixed_chunks",
-    "dedup_exact_first",
-    "vs_merge_content_ids",
-    "mock_embed_dims",
-    "topk_cosine",
-    "topk_euclidean",
-    "topk_dot_product",
-    "topk_score_threshold",
-    "rag_topk_mock_query",
-    "knn_join_batch",
-    "lsh_ann_topk",
-    "minhash_signatures",
-    "simhash_fingerprints",
-    "lang_id",
-    "quality_scores",
-    "token_counts",
-    "doc_fingerprints",
-    "ingest_chunks_dedup",
-    "vs_table_names",
-    "docs_union_distinct",
-    "q4_exists_late_lines",
-    "q12_priority_case_agg",
-    "q16_distinct_suppliers",
-    "q17_below_avg_quantity",
-    "q18_large_orders",
-    "q22_idle_rich_customers",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    # --- last driver check: round 2 (oldest 15, registry order):
-    "simhash_near_pairs",
-    "asof_clicks_before_errors",
-    "range_error_followups",
-    "events_rollup",
-    "train_test_split",
-    "stratified_sample_counts",
-    "char_entropy",
-    "sequence_packing",
-    "bm25_topk",
-    "streaming_dedup_pairs",
-    "streaming_user_stats",
-    "streaming_click_error_join",
-    "streaming_enrich_nation",
-    "quantized_topk",
-    "pq_adc_topk",
+    # --- last driver check: round 2 (19 entries, staleness order):
+    "mlm_masking",
+    "matryoshka_topk",
+    "decontamination_8gram",
+    "boilerplate_gram_fraction",
+    "domain_mix_rebalance",
+    "hourly_gapfill",
+    "embedding_centroid_outliers",
+    "levenshtein_near_pairs",
+    "funnel_conversion",
+    "ivf_full_probe_topk",
+    "events_variant_histogram",
+    "pagerank_3iter",
+    "weighted_reservoir_sample",
+    "unigram_logprob_quality",
+    "triangle_count",
+    "grouped_split_leakage_safe",
+    "lsh_multiprobe_topk",
+    "mmr_exact",
+    "streaming_sessions",
+    # --- last driver check: round 3 (oldest 31, staleness order):
+    "incremental_neardup_probe",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_pairs",
+    "q19_disjunctive_pred_join",
+    "q21_waiting_suppliers",
+    "bigram_topk",
+    "doc_len_percentiles",
+    "mad_outliers",
+    "salted_user_counts",
+    "repetition_ratios",
+    "quality_filter",
+    "latest_event_per_user",
+    "event_value_zscores",
+    "docs_intersect_except",
+    "customer_order_stats_outer",
+    "pivot_event_counts",
+    "cube_doc_counts",
+    "event_moving_stats",
+    "topk_docs_per_lang",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q20_dominant_suppliers",
+    "near_dup_clusters",
+    "grouping_sets_docs",
+    "rerank_crossencoder_topk",
+    "shingle_containment_decontam",
+    "inverted_index_postings",
+    "streaming_hourly_counts",
+    "streaming_pii_scrub",
+    "pii_redaction_stats",
 )
 
 

@@ -33,20 +33,39 @@ OUT_SCHEMA = "user_id BIGINT, n_events BIGINT, sum_value DOUBLE, max_value DOUBL
 STATE_SCHEMA = "n BIGINT, s DOUBLE, mx DOUBLE"
 
 
-def _update_user_stats(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    n, s, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+def advance_user_stats(
+    key: tuple, pdfs: Iterable[pd.DataFrame], prior: tuple[int, float, float]
+) -> tuple[tuple[int, float, float], pd.DataFrame]:
+    """The per-key state transition BOTH stateful APIs run: fold a
+    micro-batch's pandas frames into the prior (count, sum, max) and build
+    the emission row. Pure (state in -> state out, no API objects), so the
+    applyInPandasWithState wrapper, the transformWithState wrapper, and a
+    plain in-container unit test all execute this exact code — which keeps
+    the protobuf-gated tws twin's logic tested even where the wrapper
+    itself can't run (VERDICT r5 task 2)."""
+    n, s, mx = prior
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
         n += int(len(pdf))
         s += float(pdf["value"].sum())
         mx = max(mx, float(pdf["value"].max()))
-    state.update((n, s, mx))
-    yield pd.DataFrame(
+    out = pd.DataFrame(
         [{"user_id": key[0], "n_events": n, "sum_value": s, "max_value": mx}]
     )
+    return (n, s, mx), out
+
+
+INITIAL_USER_STATS: tuple[int, float, float] = (0, 0.0, float("-inf"))
+
+
+def _update_user_stats(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    prior = state.get if state.exists else INITIAL_USER_STATS
+    new, out = advance_user_stats(key, pdfs, prior)
+    state.update(new)
+    yield out
 
 
 def running_user_stats(events: DataFrame) -> DataFrame:
@@ -86,19 +105,10 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
             self._stats = handle.getValueState("stats", STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-            n, s, mx = (
-                self._stats.get() if self._stats.exists() else (0, 0.0, float("-inf"))
-            )
-            for pdf in rows:
-                if len(pdf) == 0:
-                    continue
-                n += int(len(pdf))
-                s += float(pdf["value"].sum())
-                mx = max(mx, float(pdf["value"].max()))
-            self._stats.update((n, s, mx))
-            yield pd.DataFrame(
-                [{"user_id": key[0], "n_events": n, "sum_value": s, "max_value": mx}]
-            )
+            prior = self._stats.get() if self._stats.exists() else INITIAL_USER_STATS
+            new, out = advance_user_stats(key, rows, prior)
+            self._stats.update(new)
+            yield out
 
         def close(self) -> None:
             pass

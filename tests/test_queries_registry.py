@@ -108,11 +108,18 @@ def test_driver_window_targets_stalest_certifications():
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         for name in json.load(open(path)):
             last[name] = rnd
-    stalest = {n for n in ordered if last.get(n, 0) <= 1}
-    missing = stalest - window
-    assert not missing, f"stalest (r1/never) entries not in window: {sorted(missing)}"
-    new_this_round = {"curriculum_buckets_approx"}
-    assert not (new_this_round - window)
+    # round-agnostic invariant: the window is the 50 stalest entries.
+    # Never-checked entries (staleness 0) must always be in-window; beyond
+    # that, no entry OUTSIDE the window may be strictly staler than the
+    # stalest tier the window already fully covers (ties may split).
+    never = {n for n in ordered if n not in last}
+    assert not (never - window), f"never-checked entries not in window: {sorted(never - window)}"
+    boundary = sorted(last.get(n, 0) for n in ordered)[49]
+    too_stale_outside = {n for n in ordered[50:] if last.get(n, 0) < boundary}
+    assert not too_stale_outside, (
+        f"entries outside the window are staler than the window boundary "
+        f"r{boundary}: {sorted(too_stale_outside)}"
+    )
 
 
 def test_bigram_logprob_short_doc_guard(spark):

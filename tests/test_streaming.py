@@ -160,6 +160,41 @@ def test_transform_with_state_gated_or_agrees(spark):
     assert [tuple(r) for r in old] == [tuple(r) for r in new]
 
 
+def test_advance_user_stats_shared_transition():
+    """The pure state transition BOTH stateful wrappers call
+    (applyInPandasWithState and the protobuf-gated transformWithState twin
+    share advance_user_stats verbatim) — exercised directly so the tws
+    entry's logic runs in this container even while its wrapper is gated
+    (VERDICT r5 task 2). Folding batch-by-batch must equal one flat fold,
+    empty frames must be no-ops, and the emission must carry the running
+    totals."""
+    import pandas as pd
+
+    from oaim_sandbox_spark.streaming.stateful import (
+        INITIAL_USER_STATS,
+        advance_user_stats,
+    )
+
+    b1 = pd.DataFrame({"user_id": [1, 1], "value": [1.0, 2.0]})
+    b2 = pd.DataFrame({"user_id": [1], "value": [4.0]})
+    empty = pd.DataFrame({"user_id": [], "value": []})
+
+    state, out1 = advance_user_stats((1,), [b1, empty], INITIAL_USER_STATS)
+    assert state == (2, 3.0, 2.0)
+    assert out1.iloc[0].to_dict() == {
+        "user_id": 1, "n_events": 2, "sum_value": 3.0, "max_value": 2.0}
+    state, out2 = advance_user_stats((1,), [b2], state)
+    assert state == (3, 7.0, 4.0)
+    # two incremental folds == one flat fold == the batch GROUP BY
+    flat, _ = advance_user_stats((1,), [b1, b2], INITIAL_USER_STATS)
+    assert flat == state
+    allv = pd.concat([b1, b2])["value"]
+    assert flat == (int(allv.count()), float(allv.sum()), float(allv.max()))
+    # an untouched-state emission still reports the prior totals
+    same, out3 = advance_user_stats((1,), [empty], state)
+    assert same == state and out3.iloc[0]["n_events"] == 3
+
+
 def test_stream_ingest_with_ivf_ann_leg(spark, tmp_path):
     """Streaming ANN maintenance: each batch's fresh chunks append into the
     centroid-partitioned store against a FIXED fitted quantizer — partitions
