@@ -643,7 +643,10 @@ class PQIndex:
             return cand.select(id_col, "adc_dist").limit(k)
         dist = distance_expr(self.vec_col, query_vec, "EUCLIDEAN_DISTANCE")
         return (
-            cand.select(id_col, "adc_dist")
+            # broadcast the fetch_k-bounded candidates: the re-rank join then
+            # streams the store once instead of shuffling it (and never
+            # re-evaluates the ADC/encode expressions on the build side)
+            F.broadcast(cand.select(id_col, "adc_dist"))
             .join(exact_df.select(id_col, self.vec_col), id_col)
             .withColumn("distance", F.expr(f"round({dist}, 6)"))
             .orderBy(F.col("distance").asc(), F.col(id_col).asc())

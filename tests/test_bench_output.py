@@ -16,6 +16,7 @@ def _full(n_queries):
                     for i in range(n_queries)},
         "recall": {f"tier_{i}@10": 1.0 for i in range(7)},
         "recall_adversarial": {f"adv_tier_{i}@10": 0.9 for i in range(6)},
+        "recall_realistic": {f"real_tier_{i}@10": 0.8 for i in range(8)},
         "sf": 0.1,
     }
 
@@ -31,6 +32,7 @@ def test_line_fits_tail_window_at_registry_scale():
     assert parsed["full_results"] == "BENCH_FULL.json"
     # recall blocks survive intact
     assert len(parsed["recall"]) == 7 and len(parsed["recall_adversarial"]) == 6
+    assert len(parsed["recall_realistic"]) == 8
 
 
 def test_truncation_keeps_the_slowest_queries():
