@@ -1,20 +1,29 @@
-"""Oracle-checked query registry — the driver contract surface.
+"""Oracle-checked query registry — the driver contract surface (assembly).
 
-Each entry pairs a Spark implementation with a DuckDB oracle built from the
-SAME dual-dialect fragments (functions/portable.py), so both engines compute
-identical values by construction. Conventions that make hash-compare robust:
+The 164-template registry grew past 6,400 lines in one module (VERDICT r5
+task 5); it now lives in family modules, imported here IN ORDER so the
+TEMPLATES insertion order — and therefore the driver's certification-window
+order — is byte-identical to the single-module layout:
 
-  - every float output is round(x, 6); money aggregates go through exact
-    DECIMAL sums and are cast to DOUBLE at the end (fp-order independent);
-  - timestamps: orders/lineitem are wall-clock (timestamp_ntz) and compared
-    via literals; events.ts may arrive as timestamp[us]/[ns] parquet or int64
-    nanos — register_views dispatches on the ACTUAL type and exposes a
-    normalized epoch-MICROS `ts_us` BIGINT (DuckDB side: epoch_us(ts)), so
-    every event-time query is independent of the physical encoding;
-  - every ORDER BY / LIMIT has a unique-key tiebreak, so top-k membership is
-    deterministic;
-  - aggregate outputs are explicitly cast (DuckDB sums integers into HUGEINT,
-    Spark into BIGINT — cast aligns schemas).
+  queries_core        tables/views, dialect shims, events normalization
+  queries_relational  TPC-H-shaped analytics, event-time, retrieval top-k
+  queries_training    splits/sampling/packing, BM25, quality filters
+  queries_dedup       minhash/simhash/jaccard near-dup oracles
+  queries_textstats   lang-id, quality scores, tokens, fingerprints
+  queries_registry    TEMPLATES literal, Spark overrides, twins (part 1)
+  queries_extended    PII/privacy/graph/curriculum families (part 2)
+
+This module re-exports the whole public surface and keeps FLAGSHIP_FIRST +
+the spark_queries()/oracle_sqls() assembly, so `__spark_entry__.py`, bench,
+tools, and tests are untouched. Private names (helpers, _VIEWS_STATE,
+_HAS_PROTOBUF, ...) resolve through module __getattr__ against the family
+modules, so they always reflect live bindings (register_views rebinds
+_VIEWS_STATE in queries_core; a by-value import would go stale).
+
+Hash-compare conventions (unchanged): every float output is round(x, 6);
+money aggregates go through exact DECIMAL sums; events.ts is normalized to
+epoch-micros `ts_us` by register_views; every ORDER BY / LIMIT carries a
+unique-key tiebreak; aggregate outputs are explicitly cast.
 """
 
 from __future__ import annotations
@@ -23,6319 +32,45 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from oaim_sandbox_spark.functions import portable as P
-from oaim_sandbox_spark.operators import text_analysis as TA
-from oaim_sandbox_spark.operators.ann import hyperplane_expr
-from oaim_sandbox_spark.operators.dedup import _band_concat
-from oaim_sandbox_spark.operators.retrieval import distance_expr, score_expr
+import oaim_sandbox_spark.queries_core as _q_core
+import oaim_sandbox_spark.queries_relational as _q_relational
+import oaim_sandbox_spark.queries_training as _q_training
+import oaim_sandbox_spark.queries_dedup as _q_dedup
+import oaim_sandbox_spark.queries_textstats as _q_textstats
+import oaim_sandbox_spark.queries_registry as _q_registry
+import oaim_sandbox_spark.queries_extended as _q_extended
+from oaim_sandbox_spark.queries_core import *  # noqa: F401,F403
+from oaim_sandbox_spark.queries_relational import *  # noqa: F401,F403
+from oaim_sandbox_spark.queries_training import *  # noqa: F401,F403
+from oaim_sandbox_spark.queries_dedup import *  # noqa: F401,F403
+from oaim_sandbox_spark.queries_textstats import *  # noqa: F401,F403
+from oaim_sandbox_spark.queries_registry import *  # noqa: F401,F403
+from oaim_sandbox_spark.queries_extended import *  # noqa: F401,F403
+from oaim_sandbox_spark.queries_registry import (  # noqa: F401
+    NON_ORACLE,
+    ORACLE_TWINS,
+    SELF_AUDITED,
+    SPARK_OVERRIDES,
+    TEMPLATES,
+)
+
+# family modules in import order — __getattr__ resolves private names
+# against these, newest-defined wins last so part-2 shadows nothing
+_FAMILY_MODULES = (
+    _q_core, _q_relational, _q_training, _q_dedup,
+    _q_textstats, _q_registry, _q_extended,
+)
+
+
+def __getattr__(name: str):
+    """Live delegation for names not re-exported above (underscore helpers,
+    module-state like _VIEWS_STATE/_HAS_PROTOBUF): looked up at ACCESS time
+    so rebinding globals in a family module stays visible here."""
+    for _m in _FAMILY_MODULES:
+        if hasattr(_m, name):
+            return getattr(_m, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
-ALL_TABLES = (
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-)
-
-EMBED_DIM = 64  # driver testdata embeddings are 64-dim
-
-
-def _ts_us_col(df: DataFrame):
-    """Epoch-micros BIGINT expression for events.ts, dispatched on the ACTUAL
-    column type: int64 (nanos, via nanosAsLong) -> div 1000; timestamp /
-    timestamp_ntz (micros parquet) -> unix_micros under the UTC session tz.
-    DuckDB's epoch_us(ts) treats naive timestamps as UTC, so both engines
-    agree by construction."""
-    from pyspark.sql import functions as F
-
-    t = df.schema["ts"].dataType.simpleString()
-    if t in ("bigint", "long"):
-        return F.expr("ts div 1000").cast("long")
-    return F.unix_micros(F.col("ts").cast("timestamp"))
-
-
-def events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet with a normalized epoch-micros `ts_us` BIGINT column,
-    whatever the physical ts encoding (timestamp[us]/[ns] or int64 nanos)."""
-    # harmless for micros parquet; required to read TIMESTAMP(NANOS) at all
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # NTZ -> epoch micros goes through the session tz; DuckDB's epoch_us
-    # treats naive timestamps as UTC, so pin it (vanilla driver sessions
-    # inherit the JVM tz, whatever that is)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts_us", _ts_us_col(df))
-
-
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured-Streaming twin of events_batch: availableNow file source
-    over sf_dir (pathGlobFilter=events.parquet), schema taken from the
-    parquet footer, with the same normalized `ts_us` column."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return stream.withColumn("ts_us", _ts_us_col(stream))
-
-
-# (session -> (sf_dir, registered table names)): registering the same tables
-# for the same sf_dir in the same session is a no-op — a registry sweep
-# calls register_views once per query, and the redundant per-call
-# spark.read.parquet footer reads are pure driver-side overhead. Keyed
-# WEAKLY on the SparkSession object itself: temp views are per-SESSION, so
-# an applicationId key would make spark.newSession() (shares the appId, has
-# its OWN view catalog) see phantom registrations. Switching sf_dir
-# invalidates (the view NAMES are shared across SFs).
-_VIEWS_STATE: "weakref.WeakKeyDictionary[SparkSession, tuple[str, frozenset]]" = None  # type: ignore[assignment]
-
-
-# Tables whose consumers are per-row compute-heavy (explodes, HOF hash
-# pipelines, vector math) or numerous enough that a single-partition scan
-# serializes a whole query family (events: ~40 window/sessionization/funnel
-# queries ran single-core against the one-file local parquet). The testdata
-# parquet is ONE file with ONE row group per table, so a plain scan gives
-# Spark exactly one partition and the whole narrow pipeline runs on a
-# single core (measured: minhash_signatures 3.1 s -> 0.6 s at sf0.1 once
-# spread). A real 100 TB table arrives as many files/row-groups and gets
-# this parallelism for free; the one-time repartition+localCheckpoint below
-# recreates it without adding an Exchange to any query plan (the
-# checkpointed relation IS 32-way partitioned).
-_SPREAD_TABLES = frozenset({"documents", "embeddings", "events"})
-
-
-def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
-    """Register sf_dir parquet tables as temp views. The events view carries
-    an extra normalized `ts_us` (epoch-micros BIGINT) column so query SQL is
-    independent of the physical ts encoding. Idempotent per (session,
-    sf_dir): repeat calls skip the re-read."""
-    global _VIEWS_STATE
-    if _VIEWS_STATE is None:
-        import weakref
-
-        _VIEWS_STATE = weakref.WeakKeyDictionary()
-    want = frozenset(tables)
-    cur = _VIEWS_STATE.get(spark)
-    if cur is not None and cur[0] == sf_dir and want <= cur[1]:
-        return
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if cur is not None and cur[0] != sf_dir:
-        # sf_dir changed: every view tracked for the OLD dir must be
-        # re-pointed, not just the ones in `want` — otherwise SQL that
-        # references an un-requested table silently reads the previous
-        # directory's data until something happens to re-register it.
-        want = want | cur[1]
-        prev = frozenset()
-    else:
-        prev = cur[1] if cur is not None else frozenset()
-    # register only the MISSING tables: growing the set from {documents} to
-    # ALL must not re-read (and above all not re-localCheckpoint) tables
-    # already registered — the orphaned checkpoint blocks of a replaced
-    # spread view stay pinned until the ContextCleaner notices
-    for t in want - prev:
-        df = (
-            events_batch(spark, sf_dir)
-            if t == "events"
-            else spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        )
-        if t in _SPREAD_TABLES:
-            p = spark.sparkContext.defaultParallelism
-            df = df.repartition(p).localCheckpoint(eager=True)
-        df.createOrReplaceTempView(t)
-    _VIEWS_STATE[spark] = (sf_dir, prev | want)
-
-
-def _ts_us(dialect: str) -> str:
-    """events.ts normalized to epoch-micros int64 on both engines (Spark: the
-    ts_us column register_views adds; DuckDB: epoch_us on the raw column)."""
-    return "ts_us" if dialect == "spark" else "epoch_us(ts)"
-
-
-def _dec(e: str, p: int = 18, s: int = 2) -> str:
-    return f"CAST({e} AS DECIMAL({p},{s}))"
-
-
-def _elem(arr: str, i: int, dialect: str) -> str:
-    """1-based array element access."""
-    return f"element_at({arr}, {i})" if dialect == "spark" else f"({arr})[{i}]"
-
-
-def _str(e: str, dialect: str) -> str:
-    """String cast (Spark: STRING, DuckDB: VARCHAR)."""
-    return f"CAST({e} AS STRING)" if dialect == "spark" else f"CAST({e} AS VARCHAR)"
-
-
-def _idiv(a: str, b: str, dialect: str) -> str:
-    """Integer (floor-toward-zero) division — both operands int64."""
-    return f"({a} div {b})" if dialect == "spark" else f"({a} // {b})"
-
-
-# ---------------------------------------------------------------------------
-# Query templates: name -> fn(dialect) -> SQL string (runs on both engines).
-# ---------------------------------------------------------------------------
-
-
-def q1_pricing_summary(d: str) -> str:
-    """TPC-H Q1 shape — grouped aggregation with exact decimal sums (A1-A5
-    operator class; SURVEY §2.5). Catalyst: partial aggregation map-side, one
-    shuffle on the 4-value group key; scan prunes to 7 columns."""
-    disc_price = f"{_dec('l_extendedprice')} * (1 - {_dec('l_discount', 5, 2)})"
-    charge = f"{disc_price} * (1 + {_dec('l_tax', 5, 2)})"
-    return f"""
-SELECT l_returnflag, l_linestatus,
-       CAST(SUM({_dec('l_quantity')}) AS DOUBLE)        AS sum_qty,
-       CAST(SUM({_dec('l_extendedprice')}) AS DOUBLE)   AS sum_base_price,
-       CAST(SUM({disc_price}) AS DOUBLE)                AS sum_disc_price,
-       CAST(SUM({charge}) AS DOUBLE)                    AS sum_charge,
-       round(CAST(SUM({_dec('l_quantity')}) AS DOUBLE) / COUNT(*), 6)      AS avg_qty,
-       round(CAST(SUM({_dec('l_extendedprice')}) AS DOUBLE) / COUNT(*), 6) AS avg_price,
-       round(CAST(SUM({_dec('l_discount', 5, 2)}) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
-       CAST(COUNT(*) AS BIGINT) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-"""
-
-
-def q3_shipping_priority(d: str) -> str:
-    """TPC-H Q3 shape — 3-way join + agg + deterministic top-10 (J3 + T1
-    classes). Catalyst broadcasts the filtered customer side under AQE."""
-    revenue = f"SUM({_dec('l_extendedprice')} * (1 - {_dec('l_discount', 5, 2)}))"
-    return f"""
-SELECT o.o_orderkey, CAST({revenue} AS DOUBLE) AS revenue
-FROM customer c
-JOIN orders o   ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-  AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
-GROUP BY o.o_orderkey
-ORDER BY revenue DESC, o.o_orderkey ASC
-LIMIT 10
-"""
-
-
-def q5_local_supplier(d: str) -> str:
-    """TPC-H Q5 shape — 6-way star join with co-located nation keys (J1/J3).
-    region/nation/supplier are broadcast-size at any SF; the orders-lineitem
-    join shuffles on orderkey."""
-    revenue = f"SUM({_dec('l_extendedprice')} * (1 - {_dec('l_discount', 5, 2)}))"
-    return f"""
-SELECT n.n_name, CAST({revenue} AS DOUBLE) AS revenue
-FROM customer c
-JOIN orders o   ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
-JOIN nation n   ON c.c_nationkey = n.n_nationkey
-JOIN region r   ON n.n_regionkey = r.r_regionkey
-WHERE r.r_name = 'ASIA'
-  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
-GROUP BY n.n_name
-"""
-
-
-def anti_join_merge(d: str) -> str:
-    """K2/J2 class — the reference's NOT-EXISTS merge (embedding.py:352-359)
-    as a left-anti join: customers with no open ('O') order. At 100 TB the
-    anti-join shuffles only the key column projections."""
-    return """
-SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 6) AS acctbal
-FROM customer c
-WHERE NOT EXISTS (
-  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
-)
-ORDER BY c.c_custkey
-"""
-
-
-def catalog_scan_events(d: str) -> str:
-    """S13/T4 class — filtered, ordered catalog scan (testbed.py:101-141
-    shape): latest 100 error events. Filter+projection push to the scan;
-    ORDER+LIMIT compiles to TakeOrderedAndProject."""
-    return f"""
-SELECT event_id, {_ts_us(d)} AS ts_us, user_id, round(value, 6) AS value
-FROM events
-WHERE event_type = 'error'
-ORDER BY ts_us DESC, event_id ASC
-LIMIT 100
-"""
-
-
-def events_json_props(d: str) -> str:
-    """§2.8 JSON scalar functions (reference json.loads paths): extract
-    props.k per event type, aggregate. JSON parse stays JVM-side
-    (get_json_object) — no Python."""
-    k = (
-        "CAST(get_json_object(props, '$.k') AS BIGINT)"
-        if d == "spark"
-        else "CAST(json_extract_string(props, '$.k') AS BIGINT)"
-    )
-    return f"""
-SELECT event_type,
-       CAST(SUM({k}) AS BIGINT) AS sum_k,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       round(CAST(SUM({k}) AS DOUBLE) / COUNT(*), 6) AS avg_k
-FROM events
-GROUP BY event_type
-"""
-
-
-def events_hourly_windows(d: str) -> str:
-    """§2.9 — tumbling 1-hour windowed aggregation, the batch twin of the
-    Structured Streaming ingest path (streaming/ingest.py runs the same agg
-    with a watermark). Window id = epoch-micros div 3.6e9."""
-    return f"""
-SELECT {_idiv(_ts_us(d), '3600000000', d)} AS hour_id,
-       event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
-FROM events
-GROUP BY 1, 2
-"""
-
-
-def user_activity_sessions(d: str) -> str:
-    """Sessionization-shaped window-function query (lag + gap flag): per-user
-    event ordering with 30-minute session breaks — the batch form of
-    stateful-streaming sessionization. Shuffles once on user_id."""
-    return f"""
-SELECT user_id, event_id, ts_us,
-       CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS session_start
-FROM (
-  SELECT user_id, event_id, {_ts_us(d)} AS ts_us,
-         lag({_ts_us(d)}) OVER (PARTITION BY user_id ORDER BY {_ts_us(d)}, event_id) AS prev_us
-  FROM events
-) t
-WHERE user_id < 50
-ORDER BY user_id, ts_us, event_id
-"""
-
-
-def chunk_ids_window(d: str) -> str:
-    """P6 metadata projection — 1-based per-source chunk index, reference id
-    scheme f"{file}_{idx}" (embedding.py:78-89). Window partitioned by source
-    (small groups -> well-distributed shuffle)."""
-    rn = _str("row_number() OVER (PARTITION BY source ORDER BY doc_id)", d)
-    return f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       source || '_' || {rn} AS chunk_ref
-FROM documents
-"""
-
-
-def split_fixed_chunks(d: str) -> str:
-    """P1/P4 — fixed-stride chunking (size=200, overlap=20 -> stride=180)
-    entirely in SQL (explode/unnest of a generated sequence): chunk id is
-    1-based per doc (reference parity), start_index 0-based. Narrow op — the
-    Spark plan has no shuffle."""
-    size, stride = 200, 180
-    cid = _str("doc_id", d) + " || '_' || " + _str(f"{_idiv('c.start_index', str(stride), d)} + 1", d)
-    head = f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       {cid} AS chunk_id,
-       CAST(c.start_index AS INT) AS start_index,
-       c.chunk AS chunk_text
-"""
-    if d == "spark":
-        gen = (
-            f"explode(transform(sequence(0, cast(floor((length(text) - 1) / {stride}) as int)), "
-            f"i -> struct(cast(i * {stride} as bigint) as start_index, substr(text, i * {stride} + 1, {size}) as chunk)))"
-        )
-        # length(text) > 0: Spark's sequence(0, -1) DESCENDS (two phantom
-        # chunks per empty doc) while DuckDB's generate_series is empty —
-        # filter empties so both engines emit zero chunks for them
-        return head + f"FROM (SELECT doc_id, text, {gen} AS c FROM documents WHERE length(text) > 0) t"
-    return head + f"""
-FROM (
-  SELECT doc_id,
-         unnest(list_transform(generate_series(0, CAST(floor((length(text) - 1) / {stride}) AS INT)),
-                i -> struct_pack(start_index := CAST(i * {stride} AS BIGINT), chunk := substr(text, i * {stride} + 1, {size})))) AS c
-  FROM documents
-) t
-"""
-
-
-def dedup_exact_first(d: str) -> str:
-    """P7 — exact dedup keeping first occurrence in doc_id order
-    (reference embedding.py:297-304 keeps first in file order). Group key is
-    the text fingerprint, not the text (8-byte shuffle keys at scale)."""
-    fp = TA.fingerprint_sql("text", d)
-    return f"""
-SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, {P.hash64('text', d)} AS text_hash,
-       CAST(COUNT(*) AS BIGINT) AS n_copies
-FROM documents
-GROUP BY {P.hash64('text', d)}, {fp}
-"""
-
-
-def vs_merge_content_ids(d: str) -> str:
-    """K2 + content-addressed ids (§2.8: sha2(text,256) like OracleVS chunk
-    ids): rows of the odd-doc half not already present (by content id) in the
-    even-doc half — the idempotent-merge anti-join on a derived store."""
-    cid = "sha2(text, 256)" if d == "spark" else "sha256(text)"
-    return f"""
-WITH existing AS (SELECT {cid} AS id FROM documents WHERE doc_id % 2 = 0),
-     incoming AS (SELECT {cid} AS id, doc_id FROM documents WHERE doc_id % 2 = 1)
-SELECT i.id AS id, CAST(i.doc_id AS BIGINT) AS doc_id
-FROM incoming i
-WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.id = i.id)
-ORDER BY doc_id
-"""
-
-
-def mock_embed_dims(d: str) -> str:
-    """P9 — deterministic mock embedder (FIXTURES.md §3) as a JVM expression,
-    unnested to scalar rows so values hash-compare exactly. 8 dims of the
-    first 50 docs keeps the check tight and cheap."""
-    vec = P.mock_embed("text", 8, d)
-    if d == "spark":
-        return f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(p.i AS INT) AS dim_idx, round(p.v, 6) AS v
-FROM documents
-LATERAL VIEW posexplode({vec}) p AS i, v
-WHERE doc_id < 50
-"""
-    return f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(u.i - 1 AS INT) AS dim_idx,
-       round(u.v, 6) AS v
-FROM (
-  SELECT doc_id, unnest(list_transform(list_zip({vec}, generate_series(1, 8)), z -> struct_pack(v := z[1], i := z[2]))) AS u
-  FROM documents WHERE doc_id < 50
-) t
-"""
-
-
-def _topk_template(d: str, metric: str, k: int = 10, threshold: float | None = None) -> str:
-    """T1/T2 — exact top-k against the query vector = embeddings[vec_id=0].
-    Spark plan: broadcast 1-row side + TakeOrderedAndProject (no shuffle of
-    the store)."""
-    dist = distance_expr("e.embedding", P.to_double_array("q.qv", d), metric, d)
-    base = f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-SELECT e.vec_id AS vec_id, round({dist}, 6) AS distance
-FROM embeddings e CROSS JOIN q
-WHERE e.vec_id <> 0
-"""
-    if threshold is None:
-        return base + f"ORDER BY distance ASC, vec_id ASC LIMIT {k}"
-    score = score_expr("distance", metric)
-    return (
-        f"SELECT vec_id, distance, round({score}, 6) AS score FROM ({base}) s "
-        f"WHERE round({score}, 6) >= {threshold} ORDER BY distance ASC, vec_id ASC LIMIT {k}"
-    )
-
-
-def topk_cosine(d: str) -> str:
-    return _topk_template(d, "COSINE")
-
-
-def topk_euclidean(d: str) -> str:
-    return _topk_template(d, "EUCLIDEAN_DISTANCE")
-
-
-def topk_dot_product(d: str) -> str:
-    """Oracle DOT_PRODUCT distance = negated inner product — parity case
-    called out in SURVEY §2.6."""
-    return _topk_template(d, "DOT_PRODUCT")
-
-
-def topk_score_threshold(d: str) -> str:
-    return _topk_template(d, "COSINE", k=10, threshold=0.55)
-
-
-def filtered_topk_label(d: str) -> str:
-    """Metadata-filtered vector search (the P12 facet filter pushed INTO
-    retrieval): exact cosine top-k restricted to label = 2 — PRE-filter
-    semantics, so exactly k of the matching rows come back (post-filtering
-    an unfiltered top-k under-returns). This is the oracle for the filtered
-    ANN path (IVFIndex.search/search_batch `where=` — same predicate applied
-    to the pruned partition scan as a parquet PushedFilter; equivalence
-    tested in tests/test_ann.py)."""
-    dist = distance_expr("e.embedding", P.to_double_array("q.qv", d), "COSINE", d)
-    return f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-SELECT e.vec_id AS vec_id, CAST(e.label AS INT) AS label, round({dist}, 6) AS distance
-FROM embeddings e CROSS JOIN q
-WHERE e.vec_id <> 0 AND e.label = 2
-ORDER BY distance ASC, vec_id ASC LIMIT 10
-"""
-
-
-def rag_topk_mock_query(d: str) -> str:
-    """End-to-end T1 with the mock embedder: embed a query STRING, retrieve
-    top-5 document chunks by cosine over mock-embedded documents — the
-    flagship retrieval path (§3.1 step c) without any network."""
-    qvec = P.mock_embed("'spark vector search'", EMBED_DIM, d)
-    dvec = P.mock_embed("text", EMBED_DIM, d)
-    dist = P.cosine_distance(dvec, qvec, d)
-    return f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id, round({dist}, 6) AS distance
-FROM documents
-ORDER BY distance ASC, doc_id ASC
-LIMIT 5
-"""
-
-
-def knn_join_batch(d: str) -> str:
-    """Batched exact k-NN join (ANN baseline): every 97th vector queries the
-    whole store; per-query top-5 via rank window. ONE scan answers all
-    queries; the window shuffles only (query_id, neighbor_id, distance)."""
-    dist = distance_expr("e.embedding", P.to_double_array("q.qv", d), "COSINE", d)
-    return f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0)
-SELECT query_id, neighbor_id, rank, distance
-FROM (
-  SELECT query_id, neighbor_id, distance,
-         row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, neighbor_id ASC) AS rank
-  FROM (
-    SELECT q.query_id AS query_id, e.vec_id AS neighbor_id, round({dist}, 6) AS distance
-    FROM embeddings e CROSS JOIN q
-    WHERE e.vec_id <> q.query_id
-  ) s
-) t
-WHERE rank <= 5
-"""
-
-
-def lsh_ann_topk(d: str) -> str:
-    """Approximate k-NN via random-hyperplane LSH buckets (the 100 TB scale
-    path: hash join on bucket instead of a full cross join). Hyperplanes are
-    portable-hash constants, so DuckDB reproduces the buckets exactly."""
-    bucket_e = hyperplane_expr("e.embedding", 6, EMBED_DIM, d)
-    bucket_q = hyperplane_expr("q.qv", 6, EMBED_DIM, d)
-    dist = distance_expr("e.embedding", P.to_double_array("q.qv", d), "COSINE", d)
-    return f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 191 = 0)
-SELECT query_id, neighbor_id, rank, distance
-FROM (
-  SELECT query_id, neighbor_id, distance,
-         row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, neighbor_id ASC) AS rank
-  FROM (
-    SELECT q.query_id AS query_id, e.vec_id AS neighbor_id, round({dist}, 6) AS distance
-    FROM embeddings e JOIN q ON {bucket_e} = {bucket_q}
-    WHERE e.vec_id <> q.query_id
-  ) s
-) t
-WHERE rank <= 3
-"""
-
-
-def lsh_multiprobe_topk(d: str) -> str:
-    """Multi-probe LSH k-NN: probe the exact bucket PLUS every Hamming-1
-    neighbor (flip one of the 6 hyperplane bits → 7 probes/query), the
-    standard recall lift that avoids building more tables — candidates grow
-    ~7x but stay bucket-bounded, nothing like a full scan. Probes explode
-    from the query side (tiny), the store side still hash-joins on its ONE
-    bucket value, so each store row is matched by at most one probe — no
-    candidate dedup needed. Deterministic hyperplanes keep it oracle-exact."""
-    n_planes = 6
-    bucket_e = hyperplane_expr("e.embedding", n_planes, EMBED_DIM, d)
-    bucket_q = hyperplane_expr("embedding", n_planes, EMBED_DIM, d)
-    dist = distance_expr("e.embedding", P.to_double_array("p.qv", d), "COSINE", d)
-    if d == "spark":
-        flips = ", ".join(f"qb ^ {1 << i}" for i in range(n_planes))
-        probes = (
-            f"SELECT query_id, qv, probe FROM q "
-            f"LATERAL VIEW explode(array(qb, {flips})) t AS probe"
-        )
-    else:
-        flips = ", ".join(f"xor(qb, {1 << i})" for i in range(n_planes))
-        probes = f"SELECT query_id, qv, unnest([qb, {flips}]) AS probe FROM q"
-    return f"""
-WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qv, {bucket_q} AS qb
-  FROM embeddings WHERE vec_id % 191 = 0
-),
-probes AS ({probes})
-SELECT query_id, neighbor_id, rank, distance
-FROM (
-  SELECT query_id, neighbor_id, distance,
-         row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, neighbor_id ASC) AS rank
-  FROM (
-    SELECT p.query_id AS query_id, e.vec_id AS neighbor_id, round({dist}, 6) AS distance
-    FROM embeddings e JOIN probes p ON {bucket_e} = p.probe
-    WHERE e.vec_id <> p.query_id
-  ) s
-) t
-WHERE rank <= 3
-"""
-
-
-def asof_clicks_before_errors(d: str) -> str:
-    """As-of join (beyond the reference, SURVEY §2.4 gap): each error event
-    paired with the user's most recent preceding click — union-the-streams +
-    last-value window, ONE shuffle on user_id (operators/relational.asof_join
-    is the DataFrame twin)."""
-    return f"""
-WITH tagged AS (
-  SELECT user_id, {_ts_us(d)} AS ts_us, event_id, event_type
-  FROM events WHERE event_type IN ('error', 'click')
-)
-SELECT user_id, event_id, ts_us, prev_click_us, CAST(ts_us - prev_click_us AS BIGINT) AS gap_us
-FROM (
-  SELECT *, max(CASE WHEN event_type = 'click' THEN ts_us END) OVER (
-    PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
-    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_us
-  FROM tagged
-) t
-WHERE event_type = 'error' AND prev_click_us IS NOT NULL
-ORDER BY user_id, ts_us, event_id
-"""
-
-
-def range_error_followups(d: str) -> str:
-    """Range (interval) join: clicks within 5 minutes AFTER each error by the
-    same user. Equi-key on user_id + range post-filter — the scalable interval
-    join shape (operators/relational.range_join)."""
-    return f"""
-WITH e AS (SELECT user_id, event_id, {_ts_us(d)} AS ts_us FROM events WHERE event_type = 'error'),
-c AS (SELECT user_id, {_ts_us(d)} AS ts_us FROM events WHERE event_type = 'click')
-SELECT e.user_id AS user_id, e.event_id AS event_id, CAST(COUNT(c.ts_us) AS BIGINT) AS n_clicks_5m
-FROM e LEFT JOIN c
-  ON e.user_id = c.user_id AND c.ts_us > e.ts_us AND c.ts_us <= e.ts_us + 300000000
-GROUP BY e.user_id, e.event_id
-ORDER BY user_id, event_id
-"""
-
-
-def events_rollup(d: str) -> str:
-    """ROLLUP grouping sets (absent from the reference entirely, §2.5 —
-    Catalyst provides it natively): per (event_type, day) with subtotal and
-    grand-total rows."""
-    day = _idiv(_ts_us(d), "86400000000", d)
-    return f"""
-SELECT COALESCE(event_type, 'ALL') AS event_type_lvl,
-       CAST(COALESCE(day_id, -1) AS BIGINT) AS day_lvl,
-       CAST(GROUPING(event_type) AS INT) AS g_type,
-       CAST(GROUPING(day_id) AS INT) AS g_day,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
-FROM (SELECT event_type, {day} AS day_id, value FROM events) t
-GROUP BY ROLLUP(event_type, day_id)
-"""
-
-
-def ingest_chunks_dedup(d: str) -> str:
-    """The M1 ingest core as ONE oracle-checked query: fixed-stride split ->
-    chunk-level exact dedup (first occurrence by (doc_id, start_index)) ->
-    content-addressed id (sha256). Mirrors bench.py's ingest_pipeline
-    composite, §3.2 steps 2+5."""
-    size, stride = 200, 180
-    cid = "sha2(c.chunk, 256)" if d == "spark" else "sha256(c.chunk)"
-    if d == "spark":
-        gen = (
-            f"explode(transform(sequence(0, cast(floor((length(text) - 1) / {stride}) as int)), "
-            f"i -> struct(cast(i * {stride} as bigint) as start_index, substr(text, i * {stride} + 1, {size}) as chunk)))"
-        )
-        chunks = f"SELECT doc_id, c.start_index AS start_index, c.chunk AS chunk, {cid} AS id FROM (SELECT doc_id, text, {gen} AS c FROM documents) t"
-    else:
-        chunks = f"""
-SELECT doc_id, c.start_index AS start_index, c.chunk AS chunk, {cid} AS id
-FROM (
-  SELECT doc_id, unnest(list_transform(generate_series(0, CAST(floor((length(text) - 1) / {stride}) AS INT)),
-         i -> struct_pack(start_index := CAST(i * {stride} AS BIGINT), chunk := substr(text, i * {stride} + 1, {size})))) AS c
-  FROM documents
-) t"""
-    return f"""
-WITH chunks AS ({chunks})
-SELECT id, CAST(MIN(doc_id * 1000000 + start_index) AS BIGINT) AS first_slot,
-       CAST(COUNT(*) AS BIGINT) AS n_copies
-FROM chunks
-GROUP BY id
-"""
-
-
-def vs_table_names_sql(d: str) -> str:
-    """§2.8 scalar string functions — the get_vs_table normalization
-    (upper + non-word -> '_', common/functions.py:60-63) as a SQL projection
-    over per-source vector-store names."""
-    raw = "'alias-' || source || '_mock.model_200_20_COSINE_HNSW'"
-    if d == "spark":
-        norm = f"upper(regexp_replace({raw}, '\\\\W', '_'))"
-    else:
-        norm = f"upper(regexp_replace({raw}, '\\W', '_', 'g'))"
-    return f"""
-SELECT DISTINCT source, {norm} AS vs_table
-FROM documents
-ORDER BY source
-"""
-
-
-def docs_union_distinct(d: str) -> str:
-    """§2.7 set ops (the reference only concatenates JSONL test sets,
-    endpoints.py:840-844): UNION-dedup of two document selections."""
-    return """
-SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE doc_id % 2 = 0
-UNION
-SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE n_chars > 300
-ORDER BY doc_id
-"""
-
-
-def q4_exists_late_lines(d: str) -> str:
-    """TPC-H Q4 shape — correlated EXISTS (semi-join). Catalyst rewrites the
-    subquery to a LeftSemi hash join on orderkey; only key columns shuffle.
-    (SURVEY §2.4 — the reference's NOT-EXISTS merge is the anti twin.)"""
-    return """
-SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
-FROM orders o
-WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
-  AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
-  AND EXISTS (
-    SELECT 1 FROM lineitem l
-    WHERE l.l_orderkey = o.o_orderkey
-      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-  )
-GROUP BY o.o_orderpriority
-ORDER BY o.o_orderpriority
-"""
-
-
-def q12_priority_case_agg(d: str) -> str:
-    """TPC-H Q12 shape — conditional CASE aggregates over a join (§2.5 gap:
-    the reference has no conditional agg machinery). Both SUMs compute in one
-    pass; partial agg map-side."""
-    return """
-SELECT l.l_returnflag,
-       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-FROM orders o
-JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-GROUP BY l.l_returnflag
-ORDER BY l.l_returnflag
-"""
-
-
-def q16_distinct_suppliers(d: str) -> str:
-    """TPC-H Q16 shape — COUNT(DISTINCT) per group over a join (distinct-agg
-    machinery, absent from the reference §2.5). Catalyst expands to a two-
-    level aggregate: dedup on (brand,type,suppkey) then count — both
-    shuffles on the group key, no global sort until the top-k."""
-    return """
-SELECT p.p_brand, p.p_type, CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
-FROM part p
-JOIN lineitem l ON p.p_partkey = l.l_partkey
-WHERE p.p_size BETWEEN 1 AND 15
-GROUP BY p.p_brand, p.p_type
-ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC
-LIMIT 20
-"""
-
-
-def q17_below_avg_quantity(d: str) -> str:
-    """TPC-H Q17 shape — correlated scalar subquery (per-part average).
-    Catalyst de-correlates into an aggregate + equi-join on partkey. The
-    threshold avg uses an exact DECIMAL sum so the float boundary compare is
-    bit-identical on both engines."""
-    return f"""
-SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
-       CAST(SUM({_dec('l.l_extendedprice')}) AS DOUBLE) AS sum_price
-FROM lineitem l
-WHERE l.l_quantity < (
-  SELECT 0.5 * CAST(SUM({_dec('l2.l_quantity')}) AS DOUBLE) / COUNT(*)
-  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
-)
-"""
-
-
-def q18_large_orders(d: str) -> str:
-    """TPC-H Q18 shape — HAVING over a grouped join (post-aggregation
-    filter). The heavy hitter list stays tiny, so the final join back to
-    customer broadcasts."""
-    qty = f"SUM({_dec('l.l_quantity')})"
-    return f"""
-SELECT c.c_name, o.o_orderkey, CAST({qty} AS DOUBLE) AS total_qty
-FROM customer c
-JOIN orders o   ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-GROUP BY c.c_name, o.o_orderkey
-HAVING {qty} > 250
-ORDER BY total_qty DESC, o.o_orderkey ASC
-LIMIT 100
-"""
-
-
-def q22_idle_rich_customers(d: str) -> str:
-    """TPC-H Q22 shape — uncorrelated scalar subquery (global average over a
-    filtered set) + NOT EXISTS anti-join + group. The scalar subquery is a
-    one-row broadcast; the anti-join shuffles only custkey projections."""
-    return f"""
-SELECT n.n_name,
-       CAST(COUNT(*) AS BIGINT) AS numcust,
-       CAST(SUM({_dec('c.c_acctbal')}) AS DOUBLE) AS totacctbal
-FROM customer c
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE c.c_acctbal > (
-    SELECT CAST(SUM({_dec('c2.c_acctbal')}) AS DOUBLE) / COUNT(*)
-    FROM customer c2 WHERE c2.c_acctbal > 0.0
-  )
-  AND NOT EXISTS (
-    SELECT 1 FROM orders o
-    WHERE o.o_custkey = c.c_custkey
-      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
-  )
-GROUP BY n.n_name
-ORDER BY n.n_name
-"""
-
-
-def q6_forecast_revenue(d: str) -> str:
-    """TPC-H Q6 shape — pure scan-filter-aggregate, zero joins. The whole
-    query is one WholeStageCodegen span: all three predicates push to the
-    parquet scan, partial sums combine map-side, and the single-row result
-    needs a 1-row exchange. At 100 TB this is bounded purely by scan
-    bandwidth x selectivity (date-partitioned layout prunes ~6/7 of files)."""
-    rev = f"SUM({_dec('l_extendedprice')} * {_dec('l_discount', 5, 2)})"
-    return f"""
-SELECT CAST({rev} AS DOUBLE) AS revenue,
-       CAST(COUNT(*) AS BIGINT) AS n_lines
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-  AND l_discount >= 0.05 AND l_discount <= 0.07
-  AND l_quantity < 24
-"""
-
-
-def q8_market_share(d: str) -> str:
-    """TPC-H Q8 shape — market-share ratio: conditional numerator over a
-    6-way star join, grouped by order year. Both the NATION_3 volume and the
-    total are exact DECIMAL sums computed in ONE aggregation pass (CASE
-    inside SUM); dims broadcast, the one real shuffle is orders join lineitem
-    on orderkey."""
-    vol = f"{_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount', 5, 2)})"
-    num = f"SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {vol} ELSE {_dec('0')} END)"
-    return f"""
-SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
-       round(CAST({num} AS DOUBLE) / CAST(SUM({vol}) AS DOUBLE), 6) AS mkt_share
-FROM customer c
-JOIN orders o   ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
-JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
-JOIN region r   ON n1.n_regionkey = r.r_regionkey
-JOIN part p     ON p.p_partkey = l.l_partkey
-WHERE r.r_name = 'AMERICA'
-  AND p.p_type = 'ECONOMY'
-GROUP BY EXTRACT(YEAR FROM o.o_orderdate)
-ORDER BY o_year
-"""
-
-
-def q9_product_profit(d: str) -> str:
-    """TPC-H Q9 shape — profit per (supplier nation, order year). The testdata
-    star has no partsupp, so supply cost is proxied by p_retailprice * qty;
-    both product terms are DECIMAL(18,2) x DECIMAL(5,2) (exact, associative →
-    map-side partial agg is safe). p_name LIKE pushes to the part scan and
-    the filtered part side broadcasts."""
-    amount = (
-        f"{_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount', 5, 2)})"
-        f" - {_dec('p.p_retailprice')} * {_dec('l.l_quantity', 5, 2)}"
-    )
-    return f"""
-SELECT n.n_name AS nation,
-       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
-       CAST(SUM({amount}) AS DOUBLE) AS sum_profit
-FROM part p
-JOIN lineitem l ON p.p_partkey = l.l_partkey
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-JOIN orders o   ON o.o_orderkey = l.l_orderkey
-JOIN nation n   ON s.s_nationkey = n.n_nationkey
-WHERE p.p_name LIKE '%red%'
-GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
-ORDER BY nation, o_year DESC
-"""
-
-
-def q11_important_parts(d: str) -> str:
-    """TPC-H Q11 shape — per-group sum filtered by a HAVING threshold that is
-    a scalar subquery over the SAME relation (group value > 0.08% of global
-    value). Catalyst computes the global sum as a one-row broadcast; both
-    sums are exact DECIMAL so the boundary compare is engine-identical. Two
-    scans of lineitem — at scale the global sum reuses cached partial
-    aggregates or a pre-computed stats table."""
-    val = f"SUM({_dec('l_extendedprice')} * {_dec('l_quantity', 5, 2)})"
-    return f"""
-SELECT l_partkey, CAST({val} AS DOUBLE) AS part_value
-FROM lineitem
-GROUP BY l_partkey
-HAVING {val} > (
-  SELECT 0.0008 * {val.replace('l_', 'l2.l_')}
-  FROM lineitem l2
-)
-ORDER BY part_value DESC, l_partkey ASC
-LIMIT 100
-"""
-
-
-def q13_customer_distribution(d: str) -> str:
-    """TPC-H Q13 shape — two-level aggregation over a LEFT OUTER join with an
-    ON-clause filter (customers with zero qualifying orders must appear with
-    c_count=0). First agg shuffles on custkey, second on the tiny c_count
-    domain; COUNT(o_orderkey) counts non-null only — the outer-join null
-    semantics both engines share."""
-    return """
-SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
-FROM (
-  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
-  FROM customer c
-  LEFT JOIN orders o
-    ON c.c_custkey = o.o_custkey
-   AND o.o_orderpriority <> '5-LOW'
-  GROUP BY c.c_custkey
-) per_cust
-GROUP BY c_count
-ORDER BY custdist DESC, c_count DESC
-"""
-
-
-def q14_promo_revenue(d: str) -> str:
-    """TPC-H Q14 shape — promotion revenue percentage: typed-CASE numerator
-    and denominator in one aggregation pass over a part join lineitem month
-    slice. The date predicates push to the lineitem scan; part broadcasts."""
-    disc = f"{_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount', 5, 2)})"
-    promo = f"SUM(CASE WHEN p.p_type = 'PROMO' THEN {disc} ELSE {_dec('0')} END)"
-    return f"""
-SELECT round(100.0 * CAST({promo} AS DOUBLE) / CAST(SUM({disc}) AS DOUBLE), 6) AS promo_revenue,
-       CAST(COUNT(*) AS BIGINT) AS n_lines
-FROM lineitem l
-JOIN part p ON l.l_partkey = p.p_partkey
-WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
-  AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
-"""
-
-
-def q15_top_supplier(d: str) -> str:
-    """TPC-H Q15 shape — the revenue 'view' (grouped sum over a date slice)
-    referenced twice: once joined to supplier, once under MAX as a scalar
-    subquery. DECIMAL revenue makes the equality against MAX exact. Spark
-    plans the CTE once per reference; at scale materialize it (cache/temp
-    table) exactly like the minhash signature reuse."""
-    rev = f"SUM({_dec('l_extendedprice')} * (1 - {_dec('l_discount', 5, 2)}))"
-    return f"""
-WITH revenue AS (
-  SELECT l_suppkey AS supplier_no, {rev} AS total_rev
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
-  GROUP BY l_suppkey
-)
-SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
-FROM supplier s
-JOIN revenue r ON s.s_suppkey = r.supplier_no
-WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
-ORDER BY s.s_suppkey
-"""
-
-
-def q19_disjunctive_pred_join(d: str) -> str:
-    """TPC-H Q19 shape — disjunction of conjunctive brand/size/quantity
-    predicates across a join. Catalyst keeps the equi-join key (partkey) and
-    evaluates the OR as a post-join filter; the common sub-predicates
-    (p_size >= 1) are extracted and pushed to the part scan."""
-    rev = f"SUM({_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount', 5, 2)}))"
-    return f"""
-SELECT CAST({rev} AS DOUBLE) AS revenue,
-       CAST(COUNT(*) AS BIGINT) AS n_lines
-FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey
-WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1  AND l.l_quantity <= 20)
-   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 10 AND l.l_quantity <= 30)
-   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity >= 20 AND l.l_quantity <= 40)
-"""
-
-
-def q21_waiting_suppliers(d: str) -> str:
-    """TPC-H Q21 shape — EXISTS + NOT EXISTS both correlated to the SAME
-    outer row (multi-supplier order where only THIS supplier's line was
-    returned). The testdata lacks commit/receipt dates, so 'late' is proxied
-    by l_returnflag='R'. Catalyst plans LeftSemi + LeftAnti hash joins on
-    orderkey — only (orderkey, suppkey, returnflag) projections shuffle."""
-    return """
-SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
-FROM supplier s
-JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
-JOIN orders o    ON o.o_orderkey = l1.l_orderkey
-WHERE o.o_orderstatus = 'F'
-  AND l1.l_returnflag = 'R'
-  AND EXISTS (
-    SELECT 1 FROM lineitem l2
-    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
-  )
-  AND NOT EXISTS (
-    SELECT 1 FROM lineitem l3
-    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-      AND l3.l_returnflag = 'R'
-  )
-GROUP BY s.s_name
-ORDER BY numwait DESC, s.s_name ASC
-LIMIT 20
-"""
-
-
-# --- training-data pipeline suite ------------------------------------------
-
-
-def train_test_split(d: str) -> str:
-    """Deterministic hash-based train/valid/test split (8/1/1) of the corpus
-    — the canonical training-pipeline op. Salted content-independent hash of
-    the doc key: stable under re-runs, no shuffle (pure projection), and at
-    100 TB the split is a partition-local map with no coordination."""
-    key = _str("doc_id", d) + " || '-split-v1'"
-    h = f"({P.hash64(key, d)} % 10)"
-    return f"""
-SELECT doc_id,
-       CASE WHEN {h} < 8 THEN 'train' WHEN {h} = 8 THEN 'valid' ELSE 'test' END AS split,
-       n_chars
-FROM documents
-ORDER BY doc_id
-"""
-
-
-def grouped_split_leakage_safe(d: str) -> str:
-    """GROUP-aware train/test split: the split key is the GROUP (source), not
-    the document, so near-duplicate documents sharing a source can never
-    straddle the boundary — the leakage guard every eval split needs after
-    dedup finds that duplicates cluster within sources. The query both
-    assigns and PROVES the property: per (source, split) counts plus a
-    violations column (sources seen in >1 split) that must be 0 everywhere.
-    Pure projection + one grouped agg; no coordination at any scale."""
-    key = _str("source", d) + " || '-gsplit-v1'"
-    h = f"({P.hash64(key, d)} % 10)"
-    return f"""
-WITH assigned AS (
-  SELECT doc_id, source,
-         CASE WHEN {h} < 9 THEN 'train' ELSE 'test' END AS split
-  FROM documents
-),
-per_source AS (
-  SELECT source, CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits
-  FROM assigned GROUP BY source
-)
-SELECT a.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(COUNT(DISTINCT a.source) AS BIGINT) AS n_sources,
-       CAST(SUM(CASE WHEN p.n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violations
-FROM assigned a JOIN per_source p ON a.source = p.source
-GROUP BY a.split
-ORDER BY a.split
-"""
-
-
-def stratified_sample_counts(d: str) -> str:
-    """Stratified deterministic sampling: ~20% of each language stratum via
-    a hash threshold (no RNG — reproducible across engines and re-runs,
-    unlike df.sample). Returns per-stratum totals vs sampled counts."""
-    key = _str("doc_id", d) + " || '-sample-v1'"
-    keep = f"({P.hash64(key, d)} % 100) < 20"
-    return f"""
-SELECT lang,
-       CAST(COUNT(*) AS BIGINT) AS n_total,
-       CAST(SUM(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
-FROM documents
-GROUP BY lang
-ORDER BY lang
-"""
-
-
-def bigram_topk(d: str) -> str:
-    """Corpus-level top-20 word bigrams — explode→count→top-k, the classic
-    shuffle-heavy text-statistics op. Partial agg combines map-side, so the
-    shuffle carries (gram, partial_count), not raw grams; the final top-k is
-    TakeOrderedAndProject."""
-    grams = P.word_ngrams("text", 2, d)
-    if d == "spark":
-        exploded = f"SELECT g FROM documents LATERAL VIEW explode({grams}) t AS g"
-    else:
-        exploded = f"SELECT unnest({grams}) AS g FROM documents"
-    return f"""
-SELECT g AS bigram, CAST(COUNT(*) AS BIGINT) AS cnt
-FROM ({exploded}) t
-GROUP BY g
-ORDER BY cnt DESC, bigram ASC
-LIMIT 20
-"""
-
-
-def doc_len_percentiles(d: str) -> str:
-    """Exact interpolated length percentiles per language stratum (corpus
-    profiling). Spark `percentile` and DuckDB `quantile_cont` both linear-
-    interpolate over the sorted values. At 100 TB swap to approx_percentile
-    (t-digest) — this exact form is the oracle for that approximation."""
-    if d == "spark":
-        pcts = "percentile(n_chars, array(0.5D, 0.9D, 0.99D))"
-    else:
-        pcts = "quantile_cont(n_chars, [0.5, 0.9, 0.99])"
-    e = lambda i: _elem("p", i, d)  # noqa: E731
-    return f"""
-SELECT lang, round({e(1)}, 6) AS p50, round({e(2)}, 6) AS p90, round({e(3)}, 6) AS p99
-FROM (SELECT lang, {pcts} AS p FROM documents GROUP BY lang) t
-ORDER BY lang
-"""
-
-
-def char_entropy_q(d: str) -> str:
-    """Character-unigram Shannon entropy per document — the standard
-    gibberish/compressibility filter next to the token-level quality rules
-    (low entropy = repeated chars / boilerplate; high = random noise). Shape:
-    explode to (doc, char), count, then -Σ p·log2 p with the per-doc total
-    from a sibling agg — two hash aggregations partitioned by doc_id and one
-    broadcast-sized join back; no sort, no window. Filters to a deterministic
-    doc subset to keep the bench slice proportionate."""
-    if d == "spark":
-        chars = "SELECT doc_id, ch FROM documents LATERAL VIEW explode(filter(split(text, ''), c -> c != '')) t AS ch WHERE doc_id % 20 = 0"
-    else:
-        chars = "SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents WHERE doc_id % 20 = 0"
-    return f"""
-WITH chars AS ({chars}),
-counts AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
-tot AS (SELECT doc_id, SUM(c) AS n FROM counts GROUP BY doc_id)
-SELECT CAST(counts.doc_id AS BIGINT) AS doc_id,
-       round(-SUM((c * 1.0 / n) * log2(c * 1.0 / n)), 6) AS char_entropy,
-       CAST(COUNT(*) AS BIGINT) AS distinct_chars
-FROM counts JOIN tot ON counts.doc_id = tot.doc_id
-GROUP BY counts.doc_id
-ORDER BY doc_id
-"""
-
-
-def mad_outliers_q(d: str) -> str:
-    """Robust outlier detection: per-event-type exact median + MAD (median
-    absolute deviation), flag |value − med| > 3·1.4826·MAD. Two grouped
-    percentile passes over the same narrow projection + a broadcast join of
-    the per-type stats (5 rows) back onto the fact scan — the robust twin of
-    event_value_zscores (mean/stddev break under the heavy tail this flags).
-    At 100 TB both medians swap to approx_percentile; this exact form is that
-    approximation's oracle."""
-    med = "percentile(value, 0.5D)" if d == "spark" else "quantile_cont(value, 0.5)"
-    madq = "percentile(dev, 0.5D)" if d == "spark" else "quantile_cont(dev, 0.5)"
-    return f"""
-WITH med AS (SELECT event_type, {med} AS med FROM events GROUP BY event_type),
-devs AS (
-  SELECT e.event_id, e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
-  FROM events e JOIN med m ON e.event_type = m.event_type
-),
-mad AS (SELECT event_type, {madq} AS mad FROM devs GROUP BY event_type)
-SELECT CAST(v.event_id AS BIGINT) AS event_id, v.event_type,
-       round(v.value, 6) AS value,
-       round((v.value - v.med) / (1.4826 * d.mad), 6) AS robust_z
-FROM devs v JOIN mad d ON v.event_type = d.event_type
-WHERE abs(v.value - v.med) > 3 * 1.4826 * d.mad
-ORDER BY event_id
-"""
-
-
-def doc_len_percentiles_approx(d: str) -> str:
-    """The 100 TB scale path doc_len_percentiles' docstring promises, as
-    code with a checked contract (VERDICT r3 #9): per-lang approx_percentile
-    (t-digest-style sketch, fixed-size mergeable state — no per-group sort)
-    for p50/p90/p99 of n_chars.
-
-    Oracle design for an engine-specific sketch: the output carries the
-    EXACT percentile landmarks (p45..max — both engines compute these
-    identically) plus *_within booleans stating the sketch's RANK-error
-    contract. DuckDB states the booleans as the CONTRACT (literal TRUE);
-    Spark states them as the MEASUREMENT — a sketch that drifts out of
-    contract hash-mismatches the driver check. The contract is rank-based
-    (count of values strictly below / at-or-below the sketch output vs the
-    target rank ±5), NOT a value-bracket comparison: approx_percentile
-    returns an ORDER STATISTIC, and in gapped or tied distributions an
-    interpolated value bracket can exclude every actual data value — the
-    rank form is discreteness- and tie-proof for any group size (ranks of
-    an element returned with rank error <= n/10000 always satisfy a
-    +-0.05n window)."""
-    if d == "spark":
-        ex = "percentile(n_chars, array(0.45D, 0.55D, 0.85D, 0.95D, 0.985D, 1.0D))"
-        ap = "approx_percentile(n_chars, array(0.5D, 0.9D, 0.99D), 10000)"
-        e = lambda i: f"element_at(p, {i})"  # noqa: E731
-        body = f"""
-WITH ap AS (SELECT lang, {ap} AS a FROM documents GROUP BY lang),
-r AS (
-  SELECT d.lang, CAST(COUNT(*) AS DOUBLE) AS n,
-         SUM(CASE WHEN d.n_chars <  element_at(ap.a, 1) THEN 1 ELSE 0 END) AS lt50,
-         SUM(CASE WHEN d.n_chars <= element_at(ap.a, 1) THEN 1 ELSE 0 END) AS le50,
-         SUM(CASE WHEN d.n_chars <  element_at(ap.a, 2) THEN 1 ELSE 0 END) AS lt90,
-         SUM(CASE WHEN d.n_chars <= element_at(ap.a, 2) THEN 1 ELSE 0 END) AS le90,
-         SUM(CASE WHEN d.n_chars <= element_at(ap.a, 3) THEN 1 ELSE 0 END) AS le99
-  FROM documents d JOIN ap ON d.lang = ap.lang
-  GROUP BY d.lang
-),
-ex AS (SELECT lang, {ex} AS p FROM documents GROUP BY lang)
-SELECT ex.lang,
-       round({e(1)}, 6) AS p45, round({e(2)}, 6) AS p55,
-       round({e(3)}, 6) AS p85, round({e(4)}, 6) AS p95,
-       round({e(5)}, 6) AS p985, round({e(6)}, 6) AS p100,
-       (r.lt50 <= 0.55 * r.n AND r.le50 >= 0.45 * r.n) AS p50_within,
-       (r.lt90 <= 0.95 * r.n AND r.le90 >= 0.85 * r.n) AS p90_within,
-       (r.le99 >= 0.94 * r.n) AS p99_within
-FROM ex JOIN r ON ex.lang = r.lang
-ORDER BY ex.lang
-"""
-        return body
-    ex = "quantile_cont(n_chars, [0.45, 0.55, 0.85, 0.95, 0.985, 1.0])"
-    e = lambda i: f"(p)[{i}]"  # noqa: E731
-    return f"""
-SELECT lang,
-       round({e(1)}, 6) AS p45, round({e(2)}, 6) AS p55,
-       round({e(3)}, 6) AS p85, round({e(4)}, 6) AS p95,
-       round({e(5)}, 6) AS p985, round({e(6)}, 6) AS p100,
-       TRUE AS p50_within,
-       TRUE AS p90_within,
-       TRUE AS p99_within
-FROM (SELECT lang, {ex} AS p FROM documents GROUP BY lang) t
-ORDER BY lang
-"""
-
-
-def mad_outliers_approx(d: str) -> str:
-    """mad_outliers' promised scale path as checked code: approx-percentile
-    median + MAD (two sketch aggs, no per-group exact sort buffering).
-
-    Contract-oracle design (see doc_len_percentiles_approx): the EXACT
-    quantities — median bracket [med48, med52], MAD bracket [d48, d52] over
-    deviations from the exact median, and the exact outlier count at the
-    exact MAD threshold — are computed identically on both engines and
-    value-checked. The sketch contracts are RANK-based booleans (DuckDB
-    states TRUE, Spark measures): the approx median's rank among values and
-    the approx MAD's rank among ITS OWN deviation distribution must land in
-    [0.48, 0.52]·n — guaranteed by the sketch's rank-error spec for any
-    group size, gapped or tied data included. (A previous form derived
-    outlier-count bounds from interpolated value brackets; that derivation
-    is unsound on gapped distributions — an order-statistic sketch output
-    can sit outside any interpolated sub-extreme bracket — so the exact
-    count is the oracle-checked payload and the sketch keeps rank
-    contracts.)"""
-    c = "4.4478"  # 3 * 1.4826
-    if d == "spark":
-        return f"""
-WITH med AS (
-  SELECT event_type, percentile(value, array(0.48D, 0.5D, 0.52D)) AS mp,
-         approx_percentile(value, 0.5D, 10000) AS amed
-  FROM events GROUP BY event_type
-),
-devs AS (
-  SELECT e.event_type, e.value, m.amed,
-         abs(e.value - element_at(m.mp, 2)) AS dev_e,
-         abs(e.value - m.amed) AS dev_a,
-         element_at(m.mp, 1) AS med48, element_at(m.mp, 3) AS med52
-  FROM events e JOIN med m ON e.event_type = m.event_type
-),
-dstat AS (
-  SELECT event_type, percentile(dev_e, array(0.48D, 0.5D, 0.52D)) AS dp,
-         approx_percentile(dev_a, 0.5D, 10000) AS amad
-  FROM devs GROUP BY event_type
-),
-r AS (
-  SELECT v.event_type, CAST(COUNT(*) AS DOUBLE) AS n,
-         MAX(v.med48) AS med48, MAX(v.med52) AS med52,
-         MAX(element_at(dd.dp, 1)) AS d48, MAX(element_at(dd.dp, 3)) AS d52,
-         SUM(CASE WHEN v.value <  v.amed THEN 1 ELSE 0 END) AS lt_med,
-         SUM(CASE WHEN v.value <= v.amed THEN 1 ELSE 0 END) AS le_med,
-         SUM(CASE WHEN v.dev_a <  dd.amad THEN 1 ELSE 0 END) AS lt_mad,
-         SUM(CASE WHEN v.dev_a <= dd.amad THEN 1 ELSE 0 END) AS le_mad,
-         SUM(CASE WHEN v.dev_e > {c} * element_at(dd.dp, 2) THEN 1 ELSE 0 END) AS n_outliers
-  FROM devs v JOIN dstat dd ON v.event_type = dd.event_type
-  GROUP BY v.event_type
-)
-SELECT event_type,
-       round(med48, 6) AS med48, round(med52, 6) AS med52,
-       round(d48, 6) AS d48, round(d52, 6) AS d52,
-       CAST(n_outliers AS BIGINT) AS n_outliers,
-       (lt_med <= 0.52 * n AND le_med >= 0.48 * n) AS med_within,
-       (lt_mad <= 0.52 * n AND le_mad >= 0.48 * n) AS mad_within
-FROM r
-ORDER BY event_type
-"""
-    return f"""
-WITH med AS (
-  SELECT event_type, quantile_cont(value, [0.48, 0.5, 0.52]) AS mp
-  FROM events GROUP BY event_type
-),
-devs AS (
-  SELECT e.event_type, abs(e.value - (m.mp)[2]) AS dev_e,
-         (m.mp)[1] AS med48, (m.mp)[3] AS med52
-  FROM events e JOIN med m ON e.event_type = m.event_type
-),
-dstat AS (
-  SELECT event_type, quantile_cont(dev_e, [0.48, 0.5, 0.52]) AS dp
-  FROM devs GROUP BY event_type
-),
-r AS (
-  SELECT v.event_type,
-         MAX(v.med48) AS med48, MAX(v.med52) AS med52,
-         MAX((dd.dp)[1]) AS d48, MAX((dd.dp)[3]) AS d52,
-         SUM(CASE WHEN v.dev_e > {c} * (dd.dp)[2] THEN 1 ELSE 0 END) AS n_outliers
-  FROM devs v JOIN dstat dd ON v.event_type = dd.event_type
-  GROUP BY v.event_type
-)
-SELECT event_type,
-       round(med48, 6) AS med48, round(med52, 6) AS med52,
-       round(d48, 6) AS d48, round(d52, 6) AS d52,
-       CAST(n_outliers AS BIGINT) AS n_outliers,
-       TRUE AS med_within,
-       TRUE AS mad_within
-FROM r
-ORDER BY event_type
-"""
-
-
-def sequence_packing(d: str) -> str:
-    """Training-sequence packing: concatenate docs in a deterministic order
-    and chop into fixed token-budget packs (GPT-style) — pack id = floor of
-    the preceding cumulative token count / capacity. Packing runs PER SOURCE
-    shard (window partitioned by source), so at 100 TB each shard packs
-    independently — no global sort, one shuffle on the shard key."""
-    n_tok = f"size({P.tokens('text', d)})" if d == "spark" else f"len({P.tokens('text', d)})"
-    w = "(PARTITION BY source ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-    before = f"(SUM(n_tokens) OVER {w} - n_tokens)"
-    return f"""
-WITH toks AS (SELECT source, doc_id, {n_tok} AS n_tokens FROM documents)
-SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST({_idiv(before, '512', d)} AS BIGINT) AS pack_id,
-       CAST({before} % 512 AS BIGINT) AS pack_offset
-FROM toks
-ORDER BY source, doc_id
-"""
-
-
-def pack_mix_diversity(d: str) -> str:
-    """Training-pack source-mix diversity — the QA metric for packed
-    pretraining batches: a pack drawn from one source teaches spurious
-    document-boundary correlations, so pipelines check that packing
-    actually interleaves sources. Docs are hash-sharded (8 shards) and
-    hash-ordered WITHIN each shard (the scalable epoch-shuffle: every
-    window is PARTITIONED by shard — no global sort), then packed to a
-    512-token budget like sequence_packing; each pack reports its doc
-    count, distinct sources, and source-distribution entropy. Per-pack
-    entropy is ONE bounded sum, so no cross-group float-order wobble."""
-    n_tok = f"size({P.tokens('text', d)})" if d == "spark" else f"len({P.tokens('text', d)})"
-    key = "concat(cast(doc_id as string), ':pack:7')" if d == "spark" else "(doc_id::VARCHAR || ':pack:7')"
-    h = P.hash64(key, d)
-    w = "(PARTITION BY shard ORDER BY skey ASC, doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-    before = f"(SUM(n_tokens) OVER {w} - n_tokens)"
-    return f"""
-WITH toks AS (
-  SELECT doc_id, source, {n_tok} AS n_tokens, {h} AS skey, {h} % 8 AS shard
-  FROM documents
-),
-packed AS (
-  SELECT shard, doc_id, source, CAST({_idiv(before, '512', d)} AS BIGINT) AS pack_id
-  FROM toks
-),
-mix AS (
-  SELECT shard, pack_id, source, CAST(COUNT(*) AS DOUBLE) AS c
-  FROM packed GROUP BY shard, pack_id, source
-),
-ptot AS (SELECT shard, pack_id, SUM(c) AS t FROM mix GROUP BY shard, pack_id)
-SELECT CAST(m.shard AS INT) AS shard, m.pack_id AS pack_id,
-       CAST(SUM(m.c) AS BIGINT) AS n_docs,
-       CAST(COUNT(*) AS BIGINT) AS n_sources,
-       CAST(round(-SUM((m.c / p.t) * ln(m.c / p.t)), 6) + 0.0 AS DOUBLE) AS source_entropy
-FROM mix m JOIN ptot p ON m.shard = p.shard AND m.pack_id = p.pack_id
-GROUP BY m.shard, m.pack_id
-ORDER BY shard, m.pack_id
-"""
-
-
-def repetition_ratios(d: str) -> str:
-    """Within-document repetition quality signal (Gopher/C4-style filter):
-    distinct-token ratio per doc. Narrow projection — array ops are
-    codegen'd, no shuffle at all."""
-    toks = P.tokens("text", d)
-    if d == "spark":
-        n, nd = f"size({toks})", f"size(array_distinct({toks}))"
-    else:
-        n, nd = f"len({toks})", f"len(list_distinct({toks}))"
-    return f"""
-SELECT doc_id, CAST({n} AS BIGINT) AS n_tokens,
-       round(CAST({nd} AS DOUBLE) / {n}, 6) AS distinct_ratio,
-       CASE WHEN CAST({nd} AS DOUBLE) / {n} < 0.3 THEN 1 ELSE 0 END AS flag_repetitive
-FROM documents
-ORDER BY doc_id
-"""
-
-
-def near_dup_clusters_oracle(d: str) -> str:
-    """Corpus dedup completion: connected components over the simhash
-    near-pair graph, canonical = min doc_id per component (first-occurrence-
-    wins lifted to near-dup classes). Oracle: recursive CTE computing the min
-    reachable label; Spark runner: operators/dedup.connected_components
-    (min-label propagation, one int64 shuffle per round)."""
-    pairs = _simhash_pairs_body(d).replace("ORDER BY doc_a, doc_b", "")
-    return f"""
-WITH RECURSIVE fps AS ({_simhash_fps_sql(d)}),
-pairs AS ({pairs}),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION ALL
-  SELECT doc_b AS a, doc_a AS b FROM pairs
-),
-reach(src, lbl) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.src
-)
-SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id,
-       CASE WHEN MIN(lbl) = src THEN 1 ELSE 0 END AS is_canonical
-FROM reach
-GROUP BY src
-ORDER BY doc_id
-"""
-
-
-BM25_QUERY_TOKENS = ("vector", "join", "fast")
-BM25_K1, BM25_B = 1.2, 0.75
-
-
-def _bm25_scores_sql(d: str) -> str:
-    """BM25 scoring CTE body -> relation (doc_id, bm25). Sparse keyword
-    retrieval over the corpus — the hybrid-search complement to the
-    reference's dense-only search. Plan: explode -> two hash aggs (tf, df) ->
-    broadcast the tiny (token,df) + one-row stats sides back onto tf. Fully
-    SQL-expressible, so the oracle checks every float."""
-    toks = P.tokens("text", d)
-    n_tok = f"size({toks})" if d == "spark" else f"len({toks})"
-    in_list = ", ".join(f"'{t}'" for t in BM25_QUERY_TOKENS)
-    if d == "spark":
-        exploded = f"SELECT doc_id, tok FROM (SELECT doc_id, explode({toks}) AS tok FROM documents) e WHERE tok IN ({in_list})"
-    else:
-        exploded = f"SELECT doc_id, tok FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents) e WHERE tok IN ({in_list})"
-    return f"""
-lens AS (SELECT doc_id, {n_tok} AS dl FROM documents),
-stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
-tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ({exploded}) x GROUP BY doc_id, tok),
-df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
-bm25 AS (
-  SELECT t.doc_id,
-         SUM(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
-             * t.tf * ({BM25_K1} + 1.0)
-             / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))) AS bm25
-  FROM tf t
-  JOIN df f ON t.tok = f.tok
-  JOIN lens l ON l.doc_id = t.doc_id
-  CROSS JOIN stats s
-  GROUP BY t.doc_id
-)"""
-
-
-def bm25_topk(d: str) -> str:
-    """Sparse BM25 top-10 for the fixed query tokens (k1=1.2, b=0.75)."""
-    return f"""
-WITH {_bm25_scores_sql(d)}
-SELECT CAST(doc_id AS BIGINT) AS doc_id, round(bm25, 6) AS bm25
-FROM bm25
-ORDER BY round(bm25, 6) DESC, doc_id ASC
-LIMIT 10
-"""
-
-
-def hybrid_rrf_topk(d: str) -> str:
-    """Hybrid retrieval: dense (mock-embed cosine) and sparse (BM25) rank
-    lists fused by reciprocal-rank fusion, 1/(60+rank). Dense-only is the
-    reference's ceiling; RRF is the standard hybrid upgrade and it's pure
-    SQL — two TakeOrdered branches + a tiny full-outer join on the top-20
-    ids."""
-    qvec = P.mock_embed("'spark vector search'", EMBED_DIM, d)
-    dvec = P.mock_embed("text", EMBED_DIM, d)
-    dist = P.cosine_distance(dvec, qvec, d)
-    return f"""
-WITH {_bm25_scores_sql(d)},
-dense_ranked AS (
-  SELECT doc_id, row_number() OVER (ORDER BY round({dist}, 6) ASC, doc_id ASC) AS r
-  FROM documents
-),
-dense AS (SELECT doc_id, r FROM dense_ranked WHERE r <= 20),
-sparse_ranked AS (
-  SELECT doc_id, row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC) AS r
-  FROM bm25
-),
-sparse AS (SELECT doc_id, r FROM sparse_ranked WHERE r <= 20)
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(round(COALESCE(1.0 / (60 + dense.r), 0.0) + COALESCE(1.0 / (60 + sparse.r), 0.0), 6) AS DOUBLE) AS rrf
-FROM dense FULL OUTER JOIN sparse USING (doc_id)
-ORDER BY rrf DESC, doc_id ASC
-LIMIT 10
-"""
-
-
-def docs_intersect_except(d: str) -> str:
-    """§2.7 set ops, completed: INTERSECT and EXCEPT of two document
-    selections (both compile to semi/anti joins over a distinct), tagged and
-    unioned so one result covers both operators."""
-    return """
-SELECT 'both' AS side, doc_id FROM (
-  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
-  INTERSECT
-  SELECT doc_id FROM documents WHERE n_chars > 300
-) a
-UNION ALL
-SELECT 'only_even' AS side, doc_id FROM (
-  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
-  EXCEPT
-  SELECT doc_id FROM documents WHERE n_chars > 300
-) b
-ORDER BY side, doc_id
-"""
-
-
-def customer_order_stats_outer(d: str) -> str:
-    """LEFT OUTER join + null-aware aggregation: every customer with their
-    order count and spend, INCLUDING zero-order customers (the rows an inner
-    join silently drops). COUNT(o_orderkey) ignores the outer nulls."""
-    return f"""
-SELECT c.c_custkey,
-       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
-       CAST(COALESCE(SUM({_dec('o.o_totalprice')}), 0.0) AS DOUBLE) AS total_spend
-FROM customer c
-LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-GROUP BY c.c_custkey
-ORDER BY c.c_custkey
-"""
-
-
-def q2_min_cost_supplier(d: str) -> str:
-    """TPC-H Q2 shape — argmin-per-group via correlated scalar subquery: for
-    each small part, the supplier(s) offering the minimum unit price.
-    Catalyst de-correlates to a partkey aggregate joined back to the probe
-    side (two scans); bucketing both scans by partkey removes the shuffle at
-    scale. Equality on the double unit price is safe: both engines compute
-    the identical expression over identical inputs."""
-    unit = "(l.l_extendedprice / l.l_quantity)"
-    return f"""
-SELECT DISTINCT p.p_partkey, l.l_suppkey, round({unit}, 6) AS unit_price
-FROM part p
-JOIN lineitem l ON l.l_partkey = p.p_partkey
-WHERE p.p_size <= 5
-  AND {unit} = (
-    SELECT MIN(l2.l_extendedprice / l2.l_quantity)
-    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
-ORDER BY p.p_partkey, l.l_suppkey
-"""
-
-
-def q7_nation_volume(d: str) -> str:
-    """TPC-H Q7 shape — bidirectional nation-pair shipping volume by year:
-    5-way join (two nation roles) + CASE-free pair filter + per-year decimal
-    revenue. Both nation sides broadcast at any scale; the one real shuffle
-    is orders⋈lineitem on orderkey."""
-    vol = f"{_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount', 5, 2)})"
-    return f"""
-SELECT supp_nation, cust_nation, l_year, CAST(SUM(vol) AS DOUBLE) AS revenue
-FROM (
-  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-         CAST(year(l.l_shipdate) AS INT) AS l_year,
-         {vol} AS vol
-  FROM supplier s
-  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
-  JOIN orders o   ON o.o_orderkey = l.l_orderkey
-  JOIN customer c ON c.c_custkey = o.o_custkey
-  JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
-  JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
-  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
-) shipping
-GROUP BY supp_nation, cust_nation, l_year
-ORDER BY supp_nation, cust_nation, l_year
-"""
-
-
-def q10_returned_items(d: str) -> str:
-    """TPC-H Q10 shape — top-20 customers by lost revenue from returned
-    items in one year: selective fact filter, 4-way join, grouped decimal
-    revenue, deterministic top-k (TakeOrderedAndProject)."""
-    rev = f"SUM({_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount', 5, 2)}))"
-    return f"""
-SELECT c.c_custkey, c.c_name, n.n_name, CAST({rev} AS DOUBLE) AS revenue
-FROM customer c
-JOIN orders o   ON o.o_custkey = c.c_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN nation n   ON n.n_nationkey = c.c_nationkey
-WHERE l.l_returnflag = 'R'
-  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-GROUP BY c.c_custkey, c.c_name, n.n_name
-ORDER BY revenue DESC, c.c_custkey ASC
-LIMIT 20
-"""
-
-
-def q20_dominant_suppliers(d: str) -> str:
-    """TPC-H Q20 shape via agg-over-agg window: suppliers holding >15% of
-    any part's total shipped quantity. SUM(SUM()) OVER (PARTITION BY part)
-    computes group totals and per-partner shares in ONE pass — no self-join
-    of the aggregate, so the fact table is scanned once."""
-    qty = f"SUM({_dec('l_quantity')})"
-    return f"""
-WITH shares AS (
-  SELECT l_suppkey, l_partkey,
-         CAST({qty} AS DOUBLE) AS qty,
-         CAST(SUM({qty}) OVER (PARTITION BY l_partkey) AS DOUBLE) AS part_qty
-  FROM lineitem
-  GROUP BY l_suppkey, l_partkey
-)
-SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS n_dominated_parts
-FROM supplier s
-JOIN shares sh ON sh.l_suppkey = s.s_suppkey
-WHERE sh.qty > 0.15 * sh.part_qty
-GROUP BY s.s_suppkey, s.s_name
-ORDER BY n_dominated_parts DESC, s.s_suppkey ASC
-"""
-
-
-def streaming_dedup_pairs(d: str) -> str:
-    """Oracle for the streaming dedup-within-watermark query (the Spark side
-    runs dropDuplicatesWithinWatermark over an availableNow file stream —
-    SPARK_OVERRIDES): the distinct key set is stream-order independent, so
-    batch DISTINCT is an exact oracle."""
-    return """
-SELECT DISTINCT user_id, event_type
-FROM events
-ORDER BY user_id, event_type
-"""
-
-
-def streaming_user_stats(d: str) -> str:
-    """Oracle for the custom stateful streaming operator
-    (streaming/stateful.py running_user_stats, applyInPandasWithState): the
-    stream emits cumulative per-user (count, sum, max) each micro-batch;
-    compacting to each key's final emission equals this batch GROUP BY."""
-    return """
-SELECT user_id,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       round(SUM(value), 6) AS sum_value,
-       round(MAX(value), 6) AS max_value
-FROM events
-GROUP BY user_id
-ORDER BY user_id
-"""
-
-
-def quantized_topk(d: str) -> str:
-    """Two-stage retrieval over int8-quantized embeddings — the storage/
-    bandwidth scale path (4x smaller vectors; at 100 TB the quantized store
-    is what streams through the scan). Stage 1 ranks by quantized cosine —
-    the per-vector scales cancel, so it's pure integer dot products — and
-    keeps fetch_k=50 candidates; stage 2 re-ranks the survivors with the
-    exact float cosine. Deterministic integer math end to end => full DuckDB
-    oracle parity, and the exact re-rank makes stage-1 error invisible at
-    the final k whenever recall@fetch_k holds (measured in tests)."""
-    a = P.to_double_array("e.embedding", d)
-    qv = P.to_double_array("q.qv", d)
-    qa = P.quantize_int8("av", P.absmax("av", d), d)
-    qq = P.quantize_int8("qvv", P.absmax("qvv", d), d)
-    approx = (
-        f"(1.0 - {P.int_dot('sv', 'qvec', d)} / "
-        f"(sqrt({P.int_dot('sv', 'sv', d)}) * sqrt({P.int_dot('qvec', 'qvec', d)})))"
-    )
-    exact = P.cosine_distance("av", "qvv2", d)
-    return f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-qq AS (SELECT qvv, {qq} AS qvec FROM (SELECT {qv} AS qvv FROM q) t),
-store AS (
-  SELECT e.vec_id, av, {qa} AS sv
-  FROM (SELECT vec_id, {a} AS av FROM embeddings e WHERE vec_id <> 0) e
-),
-cand AS (
-  SELECT s.vec_id, s.av, qq.qvv AS qvv2, {approx} AS approx_dist
-  FROM store s CROSS JOIN qq
-  ORDER BY approx_dist ASC, s.vec_id ASC
-  LIMIT 50
-)
-SELECT vec_id, round({exact}, 6) AS distance, round(approx_dist, 6) AS approx_dist
-FROM cand
-ORDER BY distance ASC, vec_id ASC
-LIMIT 10
-"""
-
-
-def binary_quant_topk(d: str) -> str:
-    """Two-stage retrieval over BINARY-quantized embeddings — the extreme
-    memory tier below int8 (K4 family): each 64-dim float32 vector (256 B)
-    collapses to TWO int64 sign words (16 B, 16x), candidates rank by
-    Hamming distance (XOR + popcount — the cheapest distance a CPU can
-    compute; at 100 TB the packed words are all that streams through the
-    scan), and the fetch_k=50 survivors re-rank by exact float cosine.
-    Sign packing and popcount are deterministic integer ops on both engines
-    => FULL DuckDB oracle parity, unlike sketch tiers. Plan shape: narrow
-    pack projection -> TakeOrderedAndProject on hamming (no global sort) ->
-    fetch_k-bounded exact re-rank."""
-    a = P.to_double_array("e.embedding", d)
-    qv = P.to_double_array("q.qv", d)
-    p_lo = P.sign_pack("av", 1, 32, d)
-    p_hi = P.sign_pack("av", 33, 32, d)
-    q_lo = P.sign_pack("qvv", 1, 32, d)
-    q_hi = P.sign_pack("qvv", 33, 32, d)
-    ham = f"({P.hamming64('s.w1', 'qq.u1', d)} + {P.hamming64('s.w2', 'qq.u2', d)})"
-    exact = P.cosine_distance("av", "qvv2", d)
-    return f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-qq AS (SELECT qvv, {q_lo} AS u1, {q_hi} AS u2 FROM (SELECT {qv} AS qvv FROM q) t),
-store AS (
-  SELECT e.vec_id, av, {p_lo} AS w1, {p_hi} AS w2
-  FROM (SELECT vec_id, {a} AS av FROM embeddings e WHERE vec_id <> 0) e
-),
-cand AS (
-  SELECT s.vec_id, s.av, qq.qvv AS qvv2, {ham} AS hamming
-  FROM store s CROSS JOIN qq
-  ORDER BY hamming ASC, s.vec_id ASC
-  LIMIT 50
-)
-SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(hamming AS INT) AS hamming,
-       round({exact}, 6) AS distance
-FROM cand
-ORDER BY distance ASC, vec_id ASC
-LIMIT 10
-"""
-
-
-def mlm_masking_q(d: str) -> str:
-    """Deterministic MLM-style span masking (BERT/T5 pretraining prep): mask
-    ~15% of tokens, chosen by a portable hash of (doc_id, position) so the
-    mask set is reproducible across runs AND engines — the property that
-    matters for cached/restarted pipeline stages. Pure array transform:
-    narrow, no shuffle, whole-stage codegen."""
-    toks = P.tokens("text", d)
-    if d == "spark":
-        h = P.hash64("concat(doc_id, ':', i)", d)
-        masked = f"transform({toks}, (t, i) -> CASE WHEN {h} % 100 < 15 THEN '<mask>' ELSE t END)"
-        n_masked = f"size(filter(mt, t -> t = '<mask>'))"
-        joined = "array_join(mt, ' ')"
-    else:
-        h = P.hash64("(doc_id || ':' || (p[2] - 1))", d)
-        masked = (
-            f"list_transform(list_zip({toks}, generate_series(1, len({toks}))), "
-            f"p -> CASE WHEN {h} % 100 < 15 THEN '<mask>' ELSE p[1] END)"
-        )
-        n_masked = "len(list_filter(mt, t -> t = '<mask>'))"
-        joined = "array_to_string(mt, ' ')"
-    return f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST({n_masked} AS BIGINT) AS n_masked,
-       {joined} AS masked_text
-FROM (SELECT doc_id, {masked} AS mt FROM documents WHERE doc_id % 25 = 0) m
-ORDER BY doc_id
-"""
-
-
-MATRYOSHKA_DIM = 16
-
-
-def matryoshka_topk_q(d: str) -> str:
-    """Matryoshka-style retrieval funnel (MRL, Kusupati et al. 2022): stage 1
-    ranks by cosine over only the FIRST {MATRYOSHKA_DIM} dims (4x less scan
-    bandwidth and FLOPs — with MRL-trained embeddings the information
-    concentrates in the prefix), keeps fetch_k=50; stage 2 re-ranks the
-    survivors with full-dimension cosine. Same two-stage shape as the int8
-    and PQ tiers — this one cuts DIMENSIONS instead of precision. At 100 TB
-    the truncated prefix is stored as its own column (column pruning: stage 1
-    never reads the full vector)."""
-    av = P.to_double_array("embedding", d)
-    tr = P.subvec("av", "1", MATRYOSHKA_DIM, d)
-    stage1 = P.cosine_distance("tv", "qt", d)
-    stage2 = P.cosine_distance("av", "qv", d)
-    return f"""
-WITH q AS (SELECT av AS qv, {tr} AS qt FROM (SELECT {av} AS av FROM embeddings WHERE vec_id = 0) x),
-store AS (SELECT vec_id, av, {tr} AS tv FROM (SELECT vec_id, {av} AS av FROM embeddings WHERE vec_id <> 0) s),
-cand AS (
-  SELECT vec_id, av, round({stage1}, 6) AS trunc_dist
-  FROM store CROSS JOIN q
-  ORDER BY trunc_dist ASC, vec_id ASC
-  LIMIT 50
-)
-SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
-       round({stage2}, 6) AS distance,
-       c.trunc_dist
-FROM cand c CROSS JOIN q
-ORDER BY distance ASC, vec_id ASC
-LIMIT 10
-"""
-
-
-PQ_M = 4  # subspaces
-PQ_SUB = 16  # dims per subspace (PQ_M * PQ_SUB = embedding dim 64)
-PQ_K = 16  # codewords per subspace (4-bit codes)
-
-
-def pq_adc_topk(d: str) -> str:
-    """Product-quantization ADC retrieval (FAISS IVFPQ's scoring stage,
-    Jégou et al. 2011) — the memory-bound ANN tier beyond int8: each vector
-    compresses to PQ_M 4-bit codes (64x smaller than float32), and queries
-    score candidates via a per-subspace lookup table (ADC = asymmetric
-    distance computation) WITHOUT touching the original vectors. Pipeline:
-    tile each embedding into {PQ_M} x {PQ_SUB}-dim subvectors; quantize every
-    subvector to its nearest codeword (argmin row_number); build the query's
-    m x k LUT of squared sub-distances; ADC distance = SUM of LUT hits on the
-    codes (exact because squared-L2 tiles additively over subspaces);
-    fetch_k=50 candidates by ADC, then exact-L2 re-rank to the final 10.
-
-    The codebook here is deterministic SAMPLED codewords (subvectors of
-    vec_id 1..{PQ_K}) so the whole pipeline — codebook, assignment, LUT, ADC,
-    re-rank — is bit-identical in DuckDB: a FULL value oracle for the ADC
-    machinery. The production path (operators/ann.py PQIndex) swaps in
-    per-subspace Lloyd-fitted codebooks and a JVM argmin expression encode;
-    recall vs this exact pipeline is measured in tests/test_ann.py."""
-    av = P.to_double_array("embedding", d)
-    sv = P.subvec("av", f"s * {PQ_SUB} + 1", PQ_SUB, d)
-    qsub = P.subvec("qv", f"s * {PQ_SUB} + 1", PQ_SUB, d)
-    if d == "spark":
-        sub = f"SELECT explode(sequence(0, {PQ_M - 1})) AS s"
-    else:
-        sub = f"SELECT unnest(generate_series(0, {PQ_M - 1})) AS s"
-    return f"""
-WITH q AS (SELECT {av} AS qv FROM embeddings WHERE vec_id = 0),
-sub AS ({sub}),
-store AS (SELECT vec_id, {av} AS av FROM embeddings WHERE vec_id <> 0),
-subs AS (SELECT vec_id, s, {sv} AS sv FROM store CROSS JOIN sub),
-cb AS (SELECT vec_id - 1 AS cid, s, {sv} AS cv
-       FROM store CROSS JOIN sub WHERE vec_id BETWEEN 1 AND {PQ_K}),
-assign AS (
-  SELECT vec_id, s, cid,
-         ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rn
-  FROM (SELECT subs.vec_id, subs.s, cb.cid, {P.l2sq('subs.sv', 'cb.cv', d)} AS d2
-        FROM subs JOIN cb ON subs.s = cb.s) j
-),
-codes AS (SELECT vec_id, s, cid FROM assign WHERE rn = 1),
-lut AS (SELECT cb.s, cb.cid, {P.l2sq(qsub, 'cb.cv', d)} AS qd2 FROM cb CROSS JOIN q),
-adc AS (
-  SELECT vec_id, SUM(qd2) AS adc2
-  FROM codes JOIN lut ON codes.s = lut.s AND codes.cid = lut.cid
-  GROUP BY vec_id
-),
-cand AS (SELECT vec_id, adc2 FROM adc ORDER BY adc2 ASC, vec_id ASC LIMIT 50)
-SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
-       round(sqrt({P.l2sq('st.av', 'q.qv', d)}), 6) AS distance,
-       round(sqrt(c.adc2), 6) AS adc_dist
-FROM cand c JOIN store st ON c.vec_id = st.vec_id CROSS JOIN q
-ORDER BY distance ASC, vec_id ASC
-LIMIT 10
-"""
-
-
-def streaming_enrich_nation(d: str) -> str:
-    """Oracle for the STREAM-STATIC enrichment join (SPARK_OVERRIDES): the
-    event stream joins the static customer dimension (broadcast — stateless,
-    no watermark needed: the static side is a snapshot, so each micro-batch
-    enriches and aggregates exactly like this batch join). Per-nation event
-    counts + exact DECIMAL value sums."""
-    return """
-SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
-FROM events e JOIN customer c ON e.user_id = c.c_custkey
-GROUP BY c.c_nationkey
-ORDER BY nationkey
-"""
-
-
-def streaming_click_error_join(d: str) -> str:
-    """Oracle for the STREAM-STREAM interval join (SPARK_OVERRIDES): error
-    events inner-joined to the same user's clicks in the following 5 minutes.
-    Both sides are watermarked streams on the Spark side; over a static
-    source the emitted match set equals this batch interval join exactly
-    (inner join — no outer-row timing sensitivity)."""
-    return f"""
-WITH e AS (SELECT user_id, event_id AS error_id, {_ts_us(d)} AS e_ts FROM events WHERE event_type = 'error'),
-c AS (SELECT user_id, event_id AS click_id, {_ts_us(d)} AS c_ts FROM events WHERE event_type = 'click')
-SELECT e.user_id AS user_id, e.error_id, c.click_id
-FROM e JOIN c
-  ON e.user_id = c.user_id AND c.c_ts > e.e_ts AND c.c_ts <= e.e_ts + 300000000
-ORDER BY e.user_id, e.error_id, c.click_id
-"""
-
-
-EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
-
-
-def pivot_event_counts(d: str) -> str:
-    """PIVOT: per-user event counts, one column per event type. The oracle is
-    the canonical SUM(CASE) expansion; the Spark side (SPARK_OVERRIDES) uses
-    the native DataFrame groupBy().pivot() operator with explicit values so
-    the plan is a single shuffled HashAggregate — same cost as a plain
-    GROUP BY regardless of the number of pivot columns."""
-    cols = ",\n       ".join(
-        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
-        for t in EVENT_TYPES
-    )
-    return f"""
-SELECT user_id,
-       {cols}
-FROM events
-GROUP BY user_id
-ORDER BY user_id
-"""
-
-
-def cube_doc_counts(d: str) -> str:
-    """CUBE grouping-sets aggregation over (lang, source): all four grouping
-    levels in ONE pass (Catalyst expands to a single Expand + HashAggregate —
-    one shuffle, not four). GROUPING() markers disambiguate real values from
-    roll-up rows; COALESCE sentinels keep the sort engine-independent (Spark
-    orders NULLS FIRST, DuckDB NULLS LAST)."""
-    return """
-SELECT COALESCE(lang, '(all)') AS lang,
-       COALESCE(source, '(all)') AS source,
-       CAST(GROUPING(lang) AS INT) AS g_lang,
-       CAST(GROUPING(source) AS INT) AS g_source,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-FROM documents
-GROUP BY CUBE (lang, source)
-ORDER BY g_lang, g_source, lang, source
-"""
-
-
-def event_moving_stats(d: str) -> str:
-    """Window frames + LAG: per-user 5-row moving average of `value` (ROWS
-    BETWEEN 4 PRECEDING AND CURRENT ROW) and inter-event arrival gap in
-    micros. The time-series smoothing/resample shape: one hash exchange on
-    user_id, then both window functions evaluate in the same sort — Catalyst
-    fuses same-spec windows into one Window node."""
-    ts = _ts_us(d)
-    w = "PARTITION BY user_id ORDER BY ts_us, event_id"
-    return f"""
-SELECT user_id, event_id,
-       round(AVG(value) OVER ({w} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS movavg_5,
-       (ts_us - LAG(ts_us) OVER ({w})) AS gap_us
-FROM (SELECT user_id, event_id, value, {ts} AS ts_us FROM events WHERE user_id < 10) t
-ORDER BY user_id, ts_us, event_id
-"""
-
-
-def topk_docs_per_lang(d: str) -> str:
-    """Top-k per group (the grouped-top-k shape Spark plans as one Window +
-    filter): 3 longest documents per language. At scale the rank filter
-    pushes work to a single per-group sort; no global sort happens until the
-    final small ORDER BY."""
-    return """
-SELECT lang, doc_id, n_chars, rn FROM (
-  SELECT lang, doc_id, n_chars,
-         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rn
-  FROM documents
-) t
-WHERE rn <= 3
-ORDER BY lang, rn
-"""
-
-
-def _exploded_grams(n: int, where: str, d: str) -> str:
-    """Sub-select (doc_id, g) — one row per word n-gram of each document."""
-    grams = P.word_ngrams("text", n, d)
-    if d == "spark":
-        return f"SELECT doc_id, g FROM documents LATERAL VIEW explode({grams}) t AS g {where}"
-    return f"SELECT doc_id, unnest({grams}) AS g FROM documents {where}"
-
-
-def decontamination_8gram(d: str) -> str:
-    """Benchmark decontamination — the train-corpus hygiene op: flag training
-    documents sharing any 8-gram with a held-out benchmark set (here: sources
-    src0/src1 stand in for the benchmark). At 100 TB the benchmark gram set
-    is small and broadcasts; the training side explodes to (doc_id, gram)
-    pairs that pre-aggregate map-side, so the shuffle carries distinct grams
-    only — never document text."""
-    bench = _exploded_grams(8, "WHERE source IN ('src0', 'src1')", d)
-    cand = _exploded_grams(8, "WHERE source NOT IN ('src0', 'src1')", d)
-    return f"""
-WITH bench AS (SELECT DISTINCT g FROM ({bench}) b),
-cand AS (SELECT DISTINCT doc_id, g FROM ({cand}) c)
-SELECT c.doc_id,
-       CAST(COUNT(b.g) AS BIGINT) AS n_shared_grams,
-       CAST(CASE WHEN COUNT(b.g) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
-FROM cand c LEFT JOIN bench b ON c.g = b.g
-GROUP BY c.doc_id
-ORDER BY c.doc_id
-"""
-
-
-def boilerplate_gram_fraction(d: str) -> str:
-    """C4-style boilerplate detection: 5-grams occurring in more than 20
-    distinct documents are boilerplate; score each doc by the fraction of its
-    distinct grams that are boilerplate. Two aggregations over one exploded
-    scan; the grams→document-frequency agg combines map-side so the join back
-    is (gram, df) — the classic repeated-content profile at corpus scale."""
-    dg = _exploded_grams(5, "", d)
-    return f"""
-WITH dg AS (SELECT DISTINCT doc_id, g FROM ({dg}) t),
-freq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM dg GROUP BY g)
-SELECT dg.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_grams,
-       CAST(SUM(CASE WHEN freq.df > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
-       round(CAST(SUM(CASE WHEN freq.df > 20 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS boiler_frac
-FROM dg JOIN freq ON dg.g = freq.g
-GROUP BY dg.doc_id
-ORDER BY dg.doc_id
-"""
-
-
-def domain_mix_rebalance(d: str) -> str:
-    """Domain-mixture rebalancing — hit a target per-source mixture (uniform
-    here) by deterministic hash-thresholded downsampling of over-represented
-    sources. keep_rate = min(1, target_share/actual_share); membership is a
-    salted hash compare (no RNG — reproducible across engines, re-runs, and
-    cluster sizes). The rates table is tiny and broadcasts; the keep decision
-    is a partition-local map over the corpus."""
-    key = _str("doc_id", d) + " || '-mix-v1'"
-    h = f"({P.hash64(key, d)} % 1000000)"
-    return f"""
-WITH src AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
-tot AS (SELECT SUM(n_src) AS n_total, COUNT(*) AS n_sources FROM src),
-rates AS (
-  SELECT source, n_src,
-         LEAST(1.0, (CAST(n_total AS DOUBLE) / n_sources) / n_src) AS keep_rate
-  FROM src CROSS JOIN tot
-)
-SELECT r.source,
-       CAST(r.n_src AS BIGINT) AS n_total,
-       round(r.keep_rate, 6) AS keep_rate,
-       CAST(SUM(CASE WHEN {h} < CAST(floor(r.keep_rate * 1000000) AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-FROM documents doc JOIN rates r ON doc.source = r.source
-GROUP BY r.source, r.n_src, r.keep_rate
-ORDER BY r.source
-"""
-
-
-def hourly_gapfill(d: str) -> str:
-    """Time-series resample with gap filling: hourly event counts over the
-    full observed range, zero-filled for empty hours (sequence+explode on
-    Spark, generate_series on DuckDB). The dense axis is generated, not
-    scanned — at 100 TB the series side is thousands of rows joined against
-    pre-aggregated counts, so the left join broadcasts the series."""
-    hour = _idiv(_ts_us(d), "3600000000", d)
-    if d == "spark":
-        series = "SELECT explode(sequence(h0, h1)) AS hour_id FROM bounds"
-    else:
-        series = "SELECT unnest(generate_series(h0, h1)) AS hour_id FROM bounds"
-    return f"""
-WITH ev AS (SELECT {hour} AS hour_id FROM events),
-counts AS (SELECT hour_id, COUNT(*) AS n FROM ev GROUP BY hour_id),
-bounds AS (SELECT MIN(hour_id) AS h0, MAX(hour_id) AS h1 FROM ev),
-series AS ({series})
-SELECT s.hour_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
-FROM series s LEFT JOIN counts c ON s.hour_id = c.hour_id
-ORDER BY s.hour_id
-"""
-
-
-def latest_event_per_user(d: str) -> str:
-    """CDC/upsert compaction shape: keep each key's most recent record
-    (row_number DESC = 1) — how a 100 TB mutable-state table compacts from an
-    append-only event log. One shuffle on the key; at scale this is the
-    foreachBatch merge loop's batch form."""
-    return f"""
-SELECT user_id, event_id, ts_us, event_type
-FROM (
-  SELECT user_id, event_id, {_ts_us(d)} AS ts_us, event_type,
-         row_number() OVER (PARTITION BY user_id ORDER BY {_ts_us(d)} DESC, event_id DESC) AS rn
-  FROM events
-) t
-WHERE rn = 1
-ORDER BY user_id
-"""
-
-
-def event_value_zscores(d: str) -> str:
-    """Feature standardization (z-score per event_type) — grouped moments
-    joined back onto the rows, the two-pass normalization every ML feature
-    pipeline needs. Moments use exact DECIMAL sums (sum, sum of squares), so
-    mean/std are bit-identical across engines despite float summation-order
-    differences; broadcast of the tiny per-type moments table."""
-    xd = _dec("value", 38, 12)
-    return f"""
-WITH moments AS (
-  SELECT event_type,
-         CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM({xd}) AS DOUBLE) AS s1,
-         CAST(SUM({xd} * {xd}) AS DOUBLE) AS s2
-  FROM events GROUP BY event_type
-)
-SELECT e.event_id, e.event_type,
-       round((e.value - m.s1 / m.n) / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n)), 6) AS zscore,
-       CASE WHEN abs((e.value - m.s1 / m.n) / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n))) > 3.0
-            THEN 1 ELSE 0 END AS is_outlier
-FROM events e JOIN moments m ON e.event_type = m.event_type
-ORDER BY e.event_id
-"""
-
-
-def quality_filter(d: str) -> str:
-    """C4/Gopher-style composite corpus filter with per-rule attribution:
-    each doc gets keep/drop plus the FIRST failing rule (too-short, too few
-    tokens, digit-heavy, repetitive, low-quality-score). Filters compose as
-    one JVM projection pass — a 100 TB filter costs one scan, and the reason
-    column makes filter-rate audits (drop % per rule) a cheap GROUP BY."""
-    m = TA.quality_metrics_sql("text", d)
-    toks = P.tokens("text", d)
-    if d == "spark":
-        n, nd = f"size({toks})", f"size(array_distinct({toks}))"
-    else:
-        n, nd = f"len({toks})", f"len(list_distinct({toks}))"
-    distinct_ratio = f"(CAST({nd} AS DOUBLE) / {n})"
-    score = TA.quality_score_sql("text", d)
-    return f"""
-SELECT doc_id,
-       CASE
-         WHEN {m['n_chars']} < 80 THEN 'too_short'
-         WHEN {m['n_tokens']} < 12 THEN 'too_few_tokens'
-         WHEN {m['digit_ratio']} > 0.2 THEN 'digit_heavy'
-         WHEN {distinct_ratio} < 0.3 THEN 'repetitive'
-         WHEN {score} < 0.35 THEN 'low_quality_score'
-         ELSE 'keep'
-       END AS verdict,
-       CAST({score} AS DOUBLE) AS quality_score
-FROM documents
-ORDER BY doc_id
-"""
-
-
-def unigram_logprob_quality(d: str) -> str:
-    """CCNet-style language-model quality filter: score each document by its
-    mean token unigram log-probability under the CORPUS unigram model, flag
-    the low-logprob tail (the cheap stand-in for a KenLM perplexity filter —
-    the standard web-corpus quality gate). Shape: one token explode feeds
-    both the global frequency table (vocab-sized, broadcast-able dim at any
-    corpus scale) and the per-doc join+agg — two hash aggregations and one
-    broadcast join; the corpus never shuffles its text. Deterministic doc
-    subset keeps the bench slice proportionate."""
-    toks = P.tokens("text", d)
-    if d == "spark":
-        tok = f"SELECT doc_id, tk FROM documents LATERAL VIEW explode({toks}) t AS tk WHERE doc_id % 4 = 0"
-    else:
-        tok = f"SELECT doc_id, unnest({toks}) AS tk FROM documents WHERE doc_id % 4 = 0"
-    return f"""
-WITH tok AS ({tok}),
-freq AS (SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk),
-tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM freq),
-scored AS (
-  SELECT tok.doc_id AS doc_id, SUM(ln(freq.c / tot.t)) / COUNT(*) AS lp,
-         COUNT(*) AS n_tok
-  FROM tok JOIN freq ON tok.tk = freq.tk CROSS JOIN tot
-  GROUP BY tok.doc_id
-)
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       round(lp, 6) AS avg_logprob,
-       CAST(n_tok AS BIGINT) AS n_tok,
-       CASE WHEN lp >= -7.5 THEN 'keep' ELSE 'filter' END AS verdict
-FROM scored
-ORDER BY doc_id
-"""
-
-
-DECONTAM_NGRAM, CONTAINMENT_MIN = 5, 0.5
-
-
-def shingle_containment_decontam(d: str) -> str:
-    """Train-test decontamination by n-gram CONTAINMENT (the GPT-3/PaLM-style
-    leakage metric): for every test doc (doc_id % 10 = 3), the fraction of
-    its distinct 5-gram shingles that appear in each training doc; pairs at
-    containment >= 0.5 are leaks. Asymmetric (divides by the TEST doc's
-    shingle count), unlike ngram_jaccard_pairs' symmetric set measure, and
-    cross-corpus ONLY — the join keeps test x train rows, so steady-state
-    cost is |test| x avg-bucket, never train x train. Shingles are exploded
-    once and joined on 8-byte hashes; document text never shuffles."""
-    sh = P.shingle_hashes("text", DECONTAM_NGRAM, d)
-    if d == "spark":
-        sh_d = f"array_distinct({sh})"
-        shingled = f"SELECT doc_id, (doc_id % 10 = 3) AS is_test, s FROM documents LATERAL VIEW explode({sh_d}) t AS s"
-    else:
-        sh_d = f"list_distinct({sh})"
-        shingled = f"SELECT doc_id, (doc_id % 10 = 3) AS is_test, unnest({sh_d}) AS s FROM documents"
-    return f"""
-WITH sh AS ({shingled}),
-test_sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh WHERE is_test GROUP BY doc_id),
-hits AS (
-  SELECT t.doc_id AS test_id, tr.doc_id AS train_id, COUNT(*) AS n_common
-  FROM sh t JOIN sh tr ON t.s = tr.s AND t.is_test AND NOT tr.is_test
-  GROUP BY t.doc_id, tr.doc_id
-)
-SELECT CAST(h.test_id AS BIGINT) AS test_id,
-       CAST(h.train_id AS BIGINT) AS train_id,
-       CAST(round(h.n_common * 1.0 / ts.n, 6) AS DOUBLE) AS containment
-FROM hits h JOIN test_sizes ts ON h.test_id = ts.doc_id
-WHERE h.n_common * 1.0 / ts.n >= {CONTAINMENT_MIN}
-ORDER BY test_id, train_id
-"""
-
-
-def salted_user_counts(d: str) -> str:
-    """Per-user event counts, top-50 — the oracle for the SALTED two-phase
-    aggregation the Spark side runs (skew mitigation: hot users pre-combine
-    across 8 salt buckets before the final shuffle on user_id alone)."""
-    return """
-SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
-FROM events
-GROUP BY user_id
-ORDER BY n_events DESC, user_id ASC
-LIMIT 50
-"""
-
-
-# --- dedup suite -----------------------------------------------------------
-
-NUM_PERM, BANDS, NGRAM = 16, 4, 3
-
-
-def minhash_signatures_q(d: str) -> str:
-    """MinHash signatures (16 perms over word 3-gram shingles), unnested to
-    (doc_id, perm_idx, minhash) scalar rows. Narrow op, no shuffle."""
-    hs = P.shingle_hashes("text", NGRAM, d)
-    sig = P.minhash_from_hashes("hs", NUM_PERM, d)
-    if d == "spark":
-        return f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(p.i AS INT) AS perm_idx, p.v AS minhash
-FROM (SELECT doc_id, {hs} AS hs FROM documents) h
-LATERAL VIEW posexplode({sig}) p AS i, v
-"""
-    return f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(u.i - 1 AS INT) AS perm_idx, u.v AS minhash
-FROM (
-  SELECT doc_id, unnest(list_transform(list_zip({sig}, generate_series(1, {NUM_PERM})), z -> struct_pack(v := z[1], i := z[2]))) AS u
-  FROM (SELECT doc_id, {hs} AS hs FROM documents) h
-) t
-"""
-
-
-def _minhash_sigs_sql(d: str) -> str:
-    """(doc_id, sig) — MinHash signatures; shingle hashes materialized once.
-
-    Kept in the per-row HOF form (NUM_PERM transform+array_min passes over
-    the shingle-hash array) after an A/B against the simhash-style
-    aggregation form (explode + NUM_PERM grouped MINs): the permutations are
-    cheap integer ops, so the explode's 150x row blowup + doc_id shuffle
-    costs MORE than the in-place passes (3.9s vs 2.2s warm at sf0.1). The
-    aggregation form wins only when the per-pass work is heavy (simhash's
-    60 bit-vote passes)."""
-    hs = P.shingle_hashes("text", NGRAM, d)
-    sig = P.minhash_from_hashes("hs", NUM_PERM, d)
-    return f"SELECT doc_id, {sig} AS sig FROM (SELECT doc_id, {hs} AS hs FROM documents) h"
-
-
-def _lsh_banded_cte(d: str, rel: str, carry: tuple[str, ...] = ()) -> str:
-    """The shared LSH banding relation: one UNION ALL branch per band over
-    the signature relation ``rel``, emitting (doc_id[, carry...], band_idx,
-    band_hash). Single source of truth for the banding scheme — FOUR
-    queries (pairs, incremental probe, split leakage, estimator audit)
-    build on it, and a banding change must hit all of them at once."""
-    rows = NUM_PERM // BANDS
-    carry_sel = "".join(f", {c}" for c in carry)
-    return " UNION ALL ".join(
-        f"SELECT doc_id{carry_sel}, {b} AS band_idx, "
-        f"{P.hash64(_band_concat('sig', b, rows, d), d)} AS band_hash FROM {rel}"
-        for b in range(BANDS)
-    )
-
-
-def _sig_eq_terms(d: str) -> str:
-    """Signature-agreement count between pair sides a/b — the estimated-
-    Jaccard numerator (divide by NUM_PERM). Shared by every pair scorer."""
-    return " + ".join(
-        f"CASE WHEN {_elem('a.sig', i + 1, d)} = {_elem('b.sig', i + 1, d)} THEN 1 ELSE 0 END"
-        for i in range(NUM_PERM)
-    )
-
-
-def _minhash_pairs_body(d: str, rel: str = "sigs") -> str:
-    """LSH banding + pair generation + estimated Jaccard, reading from the
-    signature relation `rel` (a CTE on the oracle; a materialized temp view
-    on Spark so the signature scan runs once instead of once per band branch.
-    Runners pass a per-call unique view name — a shared name would collide
-    across queries in one driver session)."""
-    return f"""
-WITH banded AS ({_lsh_banded_cte(d, rel)}),
-pairs AS (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM banded l JOIN banded r
-    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
-)
-SELECT CAST(p.doc_a AS BIGINT) AS doc_a, CAST(p.doc_b AS BIGINT) AS doc_b,
-       CAST(round(({_sig_eq_terms(d)}) / {NUM_PERM}.0, 6) AS DOUBLE) AS est_jaccard
-FROM pairs p
-JOIN {rel} a ON a.doc_id = p.doc_a
-JOIN {rel} b ON b.doc_id = p.doc_b
-ORDER BY doc_a, doc_b
-"""
-
-
-def minhash_lsh_pairs_q(d: str) -> str:
-    """MinHash LSH candidate pairs + signature-estimated Jaccard (scale path
-    for corpus dedup: cost ~ sum(bucket²), text never shuffles)."""
-    body = _minhash_pairs_body(d)
-    # splice sigs into the body's WITH clause
-    return body.replace("WITH banded AS", f"WITH sigs AS ({_minhash_sigs_sql(d)}), banded AS", 1)
-
-
-def _mhq_rel_sql(d: str) -> str:
-    """(doc_id, sig, sh): MinHash signature + the DISTINCT shingle-hash set
-    it was computed from — the inputs for estimator-quality auditing."""
-    hs = P.shingle_hashes("text", NGRAM, d)
-    sig = P.minhash_from_hashes("hs", NUM_PERM, d)
-    dedup_arr = "array_distinct(hs)" if d == "spark" else "list_distinct(hs)"
-    return (
-        f"SELECT doc_id, {sig} AS sig, {dedup_arr} AS sh "
-        f"FROM (SELECT doc_id, {hs} AS hs FROM documents) h"
-    )
-
-
-def _mhq_body(d: str, rel: str = "sigs", band_rel: str | None = None) -> str:
-    """Candidate-pair generation + per-pair estimate-vs-exact comparison,
-    rolled up to estimate-quartile buckets. ``band_rel`` lets the Spark
-    runner band over a SLIM (doc_id, sig) projection — the four band
-    branches would otherwise deserialize the fat distinct-shingle arrays
-    just to hash 4 signature values; the fat relation joins only in the
-    scored stage. The per-pair quantities are quantized to integer
-    millionths BEFORE aggregation: est is exactly k/16 (dyadic) and
-    exact*1e6 rounds to an integer, so the sums are integer-exact and the
-    cross-engine comparison cannot wobble with float summation order."""
-    band_rel = band_rel or rel
-    if d == "spark":
-        inter = "CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)"
-        sz = lambda x: f"size({x})"  # noqa: E731
-    else:
-        inter = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
-        sz = lambda x: f"len({x})"  # noqa: E731
-    return f"""
-WITH banded AS ({_lsh_banded_cte(d, band_rel)}),
-pairs AS (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM banded l JOIN banded r
-    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
-),
-scored AS (
-  SELECT CAST(round((({_sig_eq_terms(d)}) / {NUM_PERM}.0) * 1000000) AS BIGINT) AS est_q,
-         CAST(round(({inter} / ({sz('a.sh')} + {sz('b.sh')} - {inter})) * 1000000) AS BIGINT) AS exact_q
-  FROM pairs p
-  JOIN {rel} a ON a.doc_id = p.doc_a
-  JOIN {rel} b ON b.doc_id = p.doc_b
-)
-SELECT CAST(LEAST(CAST(FLOOR(est_q / 250000.0) AS INT), 3) AS INT) AS est_quartile,
-       CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       CAST(round(AVG(est_q) / 1000000.0, 6) AS DOUBLE) AS mean_est,
-       CAST(round(AVG(exact_q) / 1000000.0, 6) AS DOUBLE) AS mean_exact,
-       CAST(round(AVG(abs(est_q - exact_q)) / 1000000.0, 6) AS DOUBLE) AS mae
-FROM scored
-GROUP BY LEAST(CAST(FLOOR(est_q / 250000.0) AS INT), 3)
-ORDER BY est_quartile
-"""
-
-
-def minhash_estimate_quality(d: str) -> str:
-    """Estimator-quality audit for the MinHash dedup path — measure, don't
-    guess: every LSH candidate pair carries BOTH the 16-permutation
-    signature estimate and the EXACT shingle-set Jaccard (intersect/union
-    over the distinct shingle-hash arrays), rolled up per estimate
-    quartile: pair counts, mean estimate vs mean exact, and MAE. The audit
-    that tells you whether a chosen (num_perm, bands) operating point is
-    trustworthy before committing a threshold at corpus scale. Cost: the
-    exact sets travel only for CANDIDATE pairs (LSH-bounded), never all
-    pairs; document text never moves — hashed shingle arrays only."""
-    body = _mhq_body(d)
-    return body.replace("WITH banded AS", f"WITH sigs AS ({_mhq_rel_sql(d)}), banded AS", 1)
-
-
-def _mhq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner for minhash_estimate_quality: materialize the
-    signature+shingle relation once (CTE inlining would recompute the md5
-    pipeline per band branch and per join side)."""
-    register_views(spark, sf_dir)
-    name = _materialized_view(spark, _mhq_rel_sql("spark"), "mhq")
-    # slim banding projection FROM the materialized relation (one cheap
-    # pass over already-computed rows) so the 4 band branches never touch
-    # the fat shingle arrays
-    slim = _materialized_view(spark, f"SELECT doc_id, sig FROM {name}", "mhqb")
-    df = _sql_dropping(spark, _mhq_body("spark", rel=name, band_rel=slim), name)
-    spark.catalog.dropTempView(slim)
-    return df
-
-
-def _split_sigs_sql(d: str) -> str:
-    """(doc_id, split, sig): MinHash signatures tagged with the hash-assigned
-    80/10/10 train/val/test split (deterministic, engine-identical)."""
-    key = "cast(doc_id as string)" if d == "spark" else "(doc_id::VARCHAR)"
-    split = (
-        f"CASE WHEN {P.hash64(key, d)} % 10 < 8 THEN 'train' "
-        f"WHEN {P.hash64(key, d)} % 10 = 8 THEN 'val' ELSE 'test' END"
-    )
-    return f"SELECT s.doc_id, {split} AS split, s.sig FROM ({_minhash_sigs_sql(d)}) s"
-
-
-def _split_leakage_body(d: str, rel: str = "sigs") -> str:
-    """Cross-split band join + leak rollup reading (doc_id, split, sig) from
-    ``rel`` — a CTE on the oracle, a materialized temp view on Spark (the
-    band branches and both est-jaccard joins would otherwise recompute the
-    whole md5 signature pipeline per reference; measured 32 s -> ~2 s at
-    sf0.1)."""
-    return f"""
-WITH banded AS ({_lsh_banded_cte(d, rel, carry=("split",))}),
-pairs AS (
-  SELECT DISTINCT l.doc_id AS doc_a, l.split AS split_a, r.doc_id AS doc_b, r.split AS split_b
-  FROM banded l JOIN banded r
-    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
-   AND l.doc_id < r.doc_id AND l.split <> r.split
-),
-scored AS (
-  SELECT p.doc_a, p.split_a, p.doc_b, p.split_b,
-         ({_sig_eq_terms(d)}) / {NUM_PERM}.0 AS est_jaccard
-  FROM pairs p
-  JOIN {rel} a ON a.doc_id = p.doc_a
-  JOIN {rel} b ON b.doc_id = p.doc_b
-),
-leaks AS (SELECT * FROM scored WHERE est_jaccard >= 0.5),
-pair_counts AS (
-  SELECT LEAST(split_a, split_b) AS split_lo, GREATEST(split_a, split_b) AS split_hi,
-         CAST(COUNT(*) AS BIGINT) AS n_leaked_pairs
-  FROM leaks
-  GROUP BY LEAST(split_a, split_b), GREATEST(split_a, split_b)
-),
-members AS (
-  -- BOTH members of a pair can be eval docs (a val<->test leak): explode the
-  -- pair so each tainted side counts; a CASE over one side undercounts
-  SELECT LEAST(split_a, split_b) AS split_lo, GREATEST(split_a, split_b) AS split_hi,
-         doc_a AS doc_id, split_a AS member_split FROM leaks
-  UNION ALL
-  SELECT LEAST(split_a, split_b), GREATEST(split_a, split_b),
-         doc_b, split_b FROM leaks
-)
-SELECT p.split_lo, p.split_hi, p.n_leaked_pairs,
-       CAST(COUNT(DISTINCT CASE WHEN m.member_split IN ('val', 'test') THEN m.doc_id END)
-            AS BIGINT) AS n_tainted_eval_docs
-FROM pair_counts p
-JOIN members m ON m.split_lo = p.split_lo AND m.split_hi = p.split_hi
-GROUP BY p.split_lo, p.split_hi, p.n_leaked_pairs
-ORDER BY p.split_lo, p.split_hi
-"""
-
-
-def split_leakage_check(d: str) -> str:
-    """Cross-SPLIT near-dup leakage audit — the decontamination check a
-    training pipeline runs BETWEEN its own splits (contamination_rate_by_*
-    checks against external benchmarks; this catches a near-copy of a
-    training doc leaking into val/test, which silently inflates eval).
-    Splits are hash-assigned (80/10/10, deterministic, engine-identical);
-    the MinHash band join keeps only CROSS-split candidate pairs, so the
-    bucket-join cost stays ~ sum(bucket_train x bucket_eval), never eval².
-    Output is split-pair-dim-sized: leaked pair count + the number of
-    TAINTED eval docs (distinct val/test members of a leaking pair) —
-    the list a pipeline would quarantine before evaluation."""
-    body = _split_leakage_body(d)
-    return body.replace("WITH banded AS", f"WITH sigs AS ({_split_sigs_sql(d)}), banded AS", 1)
-
-
-def _split_leakage_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner for split_leakage_check: materialize the split-tagged
-    signatures ONCE (see _split_leakage_body docstring for the measured
-    CTE-recompute cost this avoids)."""
-    register_views(spark, sf_dir)
-    name = _materialized_view(spark, _split_sigs_sql("spark"), "lsigs")
-    return _sql_dropping(spark, _split_leakage_body("spark", rel=name), name)
-
-
-def _incremental_probe_body(d: str, rel: str = "sigs") -> str:
-    """New-batch × existing-corpus LSH probe, reading (doc_id, is_new, sig)
-    from the signature relation `rel` — the band join keeps ONLY new×existing
-    pairs, so steady-state dedup cost is proportional to the batch, never
-    existing×existing (operators/dedup.incremental_near_dups is the
-    DataFrame-API twin; this is its oracle-checkable SQL shape)."""
-    return f"""
-WITH banded AS ({_lsh_banded_cte(d, rel, carry=("is_new",))}),
-pairs AS (
-  SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS existing_id
-  FROM banded l JOIN banded r
-    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
-   AND l.is_new AND NOT r.is_new
-)
-SELECT CAST(p.new_id AS BIGINT) AS new_id, CAST(p.existing_id AS BIGINT) AS existing_id,
-       CAST(round(({_sig_eq_terms(d)}) / {NUM_PERM}.0, 6) AS DOUBLE) AS est_jaccard
-FROM pairs p
-JOIN {rel} a ON a.doc_id = p.new_id
-JOIN {rel} b ON b.doc_id = p.existing_id
-ORDER BY new_id, existing_id
-"""
-
-
-def _incremental_sigs_sql(d: str) -> str:
-    """Signatures + batch flag: doc_id % 10 = 7 plays the 'newly ingested
-    batch'; everything else is the standing corpus."""
-    return (
-        f"SELECT doc_id, (doc_id % 10 = 7) AS is_new, sig "
-        f"FROM ({_minhash_sigs_sql(d)}) s"
-    )
-
-
-def incremental_neardup_probe_q(d: str) -> str:
-    """Continuous-ingest near-dup probe (steady-state dedup at 100 TB): band
-    only the NEW docs against the persisted corpus band keys."""
-    body = _incremental_probe_body(d)
-    return body.replace("WITH banded AS", f"WITH sigs AS ({_incremental_sigs_sql(d)}), banded AS", 1)
-
-
-SIMHASH_BITS, SIMHASH_BANDS, MAX_HAMMING = 60, 4, 20
-
-
-def simhash_fingerprints_q(d: str) -> str:
-    """SimHash (60-bit, tf-weighted token hashes) per document."""
-    return f"SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash FROM ({_simhash_fps_sql(d)}) f"
-
-
-def _simhash_fps_sql(d: str) -> str:
-    """(doc_id, simhash) in aggregation form — the scale path.
-
-    Semantically identical to functions.portable.simhash (tf-weighted bit
-    votes) but restructured for whole-stage codegen: explode tokens, count
-    duplicates (md5 runs once per DISTINCT doc token, ~10x fewer), then 60
-    plain SUM(CASE...) aggregates instead of 60 interpreted lambda passes.
-    ~8x faster than the expression form at sf0.1 and shuffle-partitioned by
-    doc_id, so it scales out."""
-    toks = P.tokens("text", d)
-    h = P.hash64("tk", d)
-    if d == "spark":
-        exploded = f"SELECT doc_id, tk FROM documents LATERAL VIEW explode({toks}) t AS tk"
-        def bit(j: int) -> str:
-            return f"SUM(CASE WHEN (shiftright(h, {j}) % 2) = 1 THEN w ELSE -w END)"
-    else:
-        exploded = f"SELECT doc_id, unnest({toks}) AS tk FROM documents"
-        def bit(j: int) -> str:
-            return f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN w ELSE -w END)"
-    bit_cols = ", ".join(f"{bit(j)} AS b{j}" for j in range(SIMHASH_BITS))
-    sim = " + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS))
-    return f"""
-SELECT doc_id, CAST({sim} AS BIGINT) AS simhash
-FROM (
-  SELECT doc_id, {bit_cols}
-  FROM (SELECT doc_id, {h} AS h, w FROM (SELECT doc_id, tk, COUNT(*) AS w FROM ({exploded}) e GROUP BY doc_id, tk) c) th
-  GROUP BY doc_id
-) bits
-"""
-
-
-def _simhash_pairs_parts(d: str, rel: str = "fps") -> tuple[str, str]:
-    """Banded self-join + hamming verify reading from the fingerprint
-    relation `rel` (CTE on the oracle; per-call unique materialized temp
-    view on Spark). Returns (banded_relation_sql, pair_select_sql) so
-    composing templates can place them in their own WITH chain without
-    string surgery on the assembled statement."""
-    slice_bits = SIMHASH_BITS // SIMHASH_BANDS
-    if d == "spark":
-        def band_key(b: int) -> str:
-            return f"(simhash div cast(pow(2, {b * slice_bits}) as bigint)) % cast(pow(2, {slice_bits}) as bigint)"
-        ham = "bit_count(l.simhash ^ r.simhash)"
-    else:
-        def band_key(b: int) -> str:
-            return f"(simhash // (2**{b * slice_bits})::BIGINT) % (2**{slice_bits})::BIGINT"
-        ham = "bit_count(xor(l.simhash, r.simhash))"
-    if d == "spark":
-        # one explode of (band_idx, band_key) structs instead of a UNION ALL
-        # per band: the banded relation is produced in a single pass, so the
-        # self-join plan has one exchange per side instead of one per
-        # (band x side) branch (r1 plan audit: xchg 17 -> ~3)
-        structs = ", ".join(
-            f"named_struct('band_idx', {b}, 'band_key', {band_key(b)})"
-            for b in range(SIMHASH_BANDS)
-        )
-        bands_sql = (
-            f"SELECT doc_id, simhash, b.band_idx AS band_idx, b.band_key AS band_key "
-            f"FROM {rel} LATERAL VIEW explode(array({structs})) t AS b"
-        )
-    else:
-        bands_sql = " UNION ALL ".join(
-            f"SELECT doc_id, simhash, {b} AS band_idx, {band_key(b)} AS band_key FROM {rel}"
-            for b in range(SIMHASH_BANDS)
-        )
-    # first-colliding-band filter instead of SELECT DISTINCT: a pair that
-    # collides in k bands used to surface k times and be deduplicated by a
-    # full-width exchange + aggregate over EVERY candidate pair — the
-    # dominant shuffle at high duplication (a 40x-replicated 200k-doc
-    # stress spends most of its 279 s there). Both fingerprints are already
-    # in the join output, so "this is the pair's FIRST colliding band"
-    # (every earlier band's slice differs) is a narrow filter; each
-    # qualifying pair then appears exactly once and the exchange vanishes.
-    def band_slice(side: str, j: int) -> str:
-        if d == "spark":
-            return (
-                f"({side}.simhash div cast(pow(2, {j * slice_bits}) as bigint))"
-                f" % cast(pow(2, {slice_bits}) as bigint)"
-            )
-        return f"({side}.simhash // (2**{j * slice_bits})::BIGINT) % (2**{slice_bits})::BIGINT"
-
-    whens = " ".join(
-        f"WHEN {b} THEN ("
-        + " AND ".join(f"{band_slice('l', j)} <> {band_slice('r', j)}" for j in range(b))
-        + ")"
-        for b in range(1, SIMHASH_BANDS)
-    )
-    first_band = f"CASE l.band_idx WHEN 0 THEN TRUE {whens} END"
-    select_sql = f"""SELECT CAST(l.doc_id AS BIGINT) AS doc_a, CAST(r.doc_id AS BIGINT) AS doc_b,
-       {ham} AS hamming
-FROM banded l JOIN banded r
-  ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-WHERE {ham} <= {MAX_HAMMING} AND {first_band}"""
-    return bands_sql, select_sql
-
-
-def _simhash_pairs_body(d: str, rel: str = "fps") -> str:
-    """Banded self-join + hamming verify reading from the fingerprint
-    relation `rel`, as one ordered statement (see _simhash_pairs_parts for
-    the composable pieces)."""
-    bands_sql, select_sql = _simhash_pairs_parts(d, rel)
-    return f"""
-WITH banded AS ({bands_sql})
-{select_sql}
-ORDER BY doc_a, doc_b
-"""
-
-
-def simhash_near_pairs_q(d: str) -> str:
-    """SimHash near-dup pairs: band the fingerprint into 4 x 15-bit slices
-    (pigeonhole-exact for hamming <= 3, prefilter above), verify hamming."""
-    body = _simhash_pairs_body(d)
-    return body.replace("WITH banded AS", f"WITH fps AS ({_simhash_fps_sql(d)}), banded AS", 1)
-
-
-def ngram_jaccard_pairs_q(d: str) -> str:
-    """Exact n-gram Jaccard within a blocking key (source): set-theoretic
-    |A∩B| via shingle-hash equi-join. Quadratic only within blocks; use
-    minhash_lsh_pairs for unblocked corpora."""
-    sh = f"array_distinct(transform({P.word_ngrams('text', NGRAM, 'spark')}, s -> {P.hash64('s', 'spark')}))"
-    if d == "spark":
-        shingled = f"SELECT doc_id, source, explode({sh}) AS sh FROM documents"
-    else:
-        sh_d = f"list_distinct(list_transform({P.word_ngrams('text', NGRAM, 'duck')}, s -> {P.hash64('s', 'duck')}))"
-        shingled = f"SELECT doc_id, source, unnest({sh_d}) AS sh FROM documents"
-    return f"""
-WITH shingled AS ({shingled}),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
-inter AS (
-  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM shingled l JOIN shingled r
-    ON l.source = r.source AND l.sh = r.sh AND l.doc_id < r.doc_id
-  GROUP BY l.doc_id, r.doc_id
-)
-SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
-       CAST(round(n_inter * 1.0 / (a.n_sh + b.n_sh - n_inter), 6) AS DOUBLE) AS jaccard
-FROM inter
-JOIN sizes a ON a.doc_id = doc_a
-JOIN sizes b ON b.doc_id = doc_b
-WHERE n_inter * 1.0 / (a.n_sh + b.n_sh - n_inter) >= 0.03
-ORDER BY doc_a, doc_b
-"""
-
-
-def embedding_cosine_pairs_q(d: str) -> str:
-    """Embedding near-dup: exact all-pairs cosine >= threshold — correctness
-    oracle for approximate variants; blocked/LSH'd at real scale. Norms are
-    hoisted into a per-row CTE so the O(n²) join computes one dot product per
-    pair instead of re-deriving both norms."""
-    v = P.to_double_array("embedding", d)
-    sim = f"{P.dot('a.v', 'b.v', d)} / (a.n * b.n)"
-    return f"""
-WITH v AS (SELECT vec_id, {v} AS v, {P.norm2(v, d)} AS n FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({sim}, 6) AS cosine_sim
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE round({sim}, 6) >= 0.35
-ORDER BY id_a, id_b
-"""
-
-
-# --- text analysis ---------------------------------------------------------
-
-
-def lang_id_q(d: str) -> str:
-    """Language-ID heuristic (stopword-hit argmax, deterministic tie-break)."""
-    return f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id, {TA.lang_id_sql('text', d)} AS detected_lang
-FROM documents
-"""
-
-
-def quality_scores_q(d: str) -> str:
-    m = TA.quality_metrics_sql("text", d)
-    cols = ",\n       ".join(f"CAST({expr} AS DOUBLE) AS {name}" if name not in ("n_chars", "n_tokens") else f"CAST({expr} AS BIGINT) AS {name}" for name, expr in m.items())
-    return f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       {cols},
-       CAST({TA.quality_score_sql('text', d)} AS DOUBLE) AS quality_score
-FROM documents
-"""
-
-
-def token_counts_q(d: str) -> str:
-    t = TA.token_counts_sql("text", d)
-    return f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST({t['ws_tokens']} AS BIGINT) AS ws_tokens,
-       CAST({t['bpe_tokens']} AS BIGINT) AS bpe_tokens
-FROM documents
-"""
-
-
-def doc_fingerprints_q(d: str) -> str:
-    return f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id, {TA.fingerprint_sql('text', d)} AS fingerprint
-FROM documents
-"""
-
-
-def embedding_centroid_outliers(d: str) -> str:
-    """Semantic-outlier detection for training-data curation: per-label mean
-    centroid, then each vector's cosine distance to its own centroid; the 3
-    least-coherent vectors per label are flagged. Dimensions pivot through a
-    fixed 1..64 index relation (posexplode-shaped), so the centroid is a plain
-    (label, dim) AVG — no vector UDF anywhere, whole-stage codegen end to end.
-    At scale the (label, dim) centroid table is k·64 rows — always broadcast;
-    the heavy side shuffles once on (vec_id) for the re-aggregation."""
-    idx = (
-        "SELECT explode(sequence(1, 64)) AS i"
-        if d == "spark"
-        else "SELECT unnest(generate_series(1, 64)) AS i"
-    )
-    x = _elem("embedding", "i", d)
-    return f"""
-WITH idx AS ({idx}),
-expl AS (
-  SELECT label, vec_id, i, CAST({x} AS DOUBLE) AS x
-  FROM embeddings CROSS JOIN idx
-),
-cent AS (SELECT label, i, AVG(x) AS c FROM expl GROUP BY label, i),
-sims AS (
-  SELECT e.vec_id AS vec_id, e.label AS label,
-         SUM(e.x * c.c) AS dp, SUM(e.x * e.x) AS nx, SUM(c.c * c.c) AS nc
-  FROM expl e JOIN cent c ON e.label = c.label AND e.i = c.i
-  GROUP BY e.vec_id, e.label
-)
-SELECT CAST(label AS INT) AS label, CAST(vec_id AS BIGINT) AS vec_id,
-       round(1.0 - dp / (sqrt(nx) * sqrt(nc)), 6) AS centroid_dist
-FROM (
-  SELECT *, row_number() OVER (
-    PARTITION BY label ORDER BY dp / (sqrt(nx) * sqrt(nc)) ASC, vec_id ASC
-  ) AS rn
-  FROM sims
-) t
-WHERE rn <= 3
-ORDER BY label, centroid_dist DESC, vec_id
-"""
-
-
-def grouping_sets_docs(d: str) -> str:
-    """Explicit GROUPING SETS (complements events_rollup / cube_doc_counts):
-    4 aggregation granularities over documents in ONE Expand+HashAggregate
-    pass — the multi-granularity reporting shape a 100 TB pipeline uses to
-    avoid N separate scans. GROUPING() markers disambiguate natural NULLs
-    from subtotal rows."""
-    return f"""
-SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
-       CAST(GROUPING(source) AS INT) AS g_source,
-       CAST(GROUPING(lang) AS INT) AS g_lang,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars
-FROM documents
-GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
-ORDER BY g_source, g_lang, source, lang
-"""
-
-
-def ntile_curriculum_buckets(d: str) -> str:
-    """Curriculum bucketing: split the corpus into 10 equal-size difficulty
-    tiers under the deterministic total order (n_chars, doc_id) with
-    per-tier stats — the 'sort corpus by difficulty, feed in stages'
-    training pattern.
-
-    The oracle (DuckDB) states the semantics directly as
-    NTILE(10) OVER (ORDER BY n_chars, doc_id). The Spark side computes the
-    IDENTICAL bucket assignment without any corpus-sized single-partition
-    window (a bare NTILE moves the whole table through ONE task — the
-    textbook 100 TB scale-killer): a two-pass distributed rank. Pass 1
-    collapses documents to a per-n_chars count dim (bounded by distinct doc
-    lengths) and prefix-sums it — the only unpartitioned window in the plan
-    runs over that DIM, not the corpus.
-
-    INTEGER-KEY ASSUMPTION: the two-pass rank is exact ONLY because the
-    sort key (n_chars) is a bounded-cardinality integer — the pass-1 dim is
-    at most max-document-length rows no matter how big the corpus gets. Do
-    NOT reuse this pattern for a continuous difficulty score: its distinct
-    count grows with the corpus and the 'dim' prefix-sum becomes a
-    corpus-sized single partition again. For continuous keys use
-    curriculum_buckets_approx below (sketch boundaries, no exact global
-    rank). Pass 2 ranks within each n_chars
-    block via a PARTITIONed window and adds the block's offset, then maps
-    the exact global rank through NTILE's fill rule (first N%10 buckets get
-    one extra row). Exact equality with NTILE, every corpus-sized operator
-    partitioned. Skewed block keys (many equal-length docs) stay safe: the
-    within-block window is a rank, whose state is O(1) per partition."""
-    if d == "duck":
-        return """
-SELECT CAST(bucket AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
-       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
-       round(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
-FROM (
-  SELECT n_chars, NTILE(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS bucket
-  FROM documents
-) t
-GROUP BY bucket
-ORDER BY bucket
-"""
-    return """
-WITH blk AS (
-  SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY n_chars
-),
-off AS (
-  SELECT n_chars, c,
-         SUM(c) OVER (ORDER BY n_chars
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
-  FROM blk
-),
-tot AS (SELECT SUM(c) AS n FROM blk),
-ranked AS (
-  SELECT d.n_chars,
-         COALESCE(o.prev, 0)
-           + ROW_NUMBER() OVER (PARTITION BY d.n_chars ORDER BY d.doc_id) AS rk
-  FROM documents d JOIN off o ON d.n_chars = o.n_chars
-),
-bkt AS (
-  SELECT n_chars,
-         CASE WHEN rk <= ((n div 10) + 1) * (n % 10)
-              THEN (rk - 1) div ((n div 10) + 1) + 1
-              ELSE (n % 10) + (rk - 1 - ((n div 10) + 1) * (n % 10)) div (n div 10) + 1
-         END AS bucket
-  FROM ranked CROSS JOIN tot
-)
-SELECT CAST(bucket AS INT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
-       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
-       round(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
-FROM bkt
-GROUP BY bucket
-ORDER BY bucket
-"""
-
-
-def curriculum_buckets_approx(d: str) -> str:
-    """Curriculum bucketing for a CONTINUOUS difficulty score — the scale
-    path ntile_curriculum_buckets's docstring points at when the sort key
-    isn't a bounded integer. Score = chars-per-word (a real-valued document
-    difficulty proxy) with a doc_id*1e-9 deterministic tiebreak making
-    every value unique, so bucket shares can't be skewed by tie blocks.
-
-    Spark plan: ONE sketch agg (approx_percentile, fixed-size mergeable
-    state) produces the 9 decile cuts; assignment maps each doc through the
-    broadcast cut array with a JVM array expression (no join, no window);
-    per-bucket counts are a plain groupBy; the only windows run over the
-    10-row bucket dim. Nothing corpus-sized is ever sorted, windowed, or
-    single-partitioned, and no dim grows with the corpus — this is the
-    shape that survives 100x.
-
-    Contract-oracle design (see doc_len_percentiles_approx): bucket ids,
-    exact n_total, and exact min/max score are value-checked (identical on
-    both engines); the sketch-dependent quantities are RANK-based booleans
-    — each bucket's share within 0.1±0.05 and each cumulative cut rank
-    within b/10±0.05 of n. DuckDB states the booleans as the contract
-    (literal TRUE); Spark measures its own buckets — a sketch or
-    assignment bug hash-mismatches the driver check. Unique scores bound
-    the true deviation by sketch rank error (1e-4·n) + 1-row quantization;
-    the tolerance is GREATEST(0.05·n, 1.5) rows — the relative window alone
-    is tighter than the ±1-row quantization below n≈21, so tiny corpora
-    (unit fixtures) need the absolute floor to keep healthy data green."""
-    score = "n_chars * 1.0 / (1 + length(text) - length(replace(text, ' ', ''))) + doc_id * 1e-9"
-    if d == "duck":
-        return f"""
-WITH tot AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
-         round(MIN({score}), 6) AS min_score,
-         round(MAX({score}), 6) AS max_score
-  FROM documents
-)
-SELECT CAST(b AS INT) AS bucket, n_total, min_score, max_score,
-       TRUE AS share_within, TRUE AS cum_rank_within
-FROM (SELECT unnest(generate_series(1, 10)) AS b) buckets CROSS JOIN tot
-ORDER BY bucket
-"""
-    return f"""
-WITH scored AS (SELECT doc_id, {score} AS s FROM documents),
-cuts AS (
-  SELECT approx_percentile(
-           s, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), 10000) AS c
-  FROM scored
-),
-tot AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
-         round(MIN(s), 6) AS min_score, round(MAX(s), 6) AS max_score
-  FROM scored
-),
-assigned AS (
-  SELECT 1 + aggregate(cuts.c, 0, (acc, x) -> acc + IF(x <= scored.s, 1, 0)) AS bucket
-  FROM scored CROSS JOIN cuts
-),
-counts AS (SELECT bucket, COUNT(*) AS cnt FROM assigned GROUP BY bucket),
-dim AS (SELECT explode(sequence(1, 10)) AS bucket),
-filled AS (
-  SELECT dim.bucket, COALESCE(counts.cnt, 0) AS cnt
-  FROM dim LEFT JOIN counts ON dim.bucket = counts.bucket
-),
-checked AS (
-  SELECT bucket, cnt,
-         SUM(cnt) OVER (ORDER BY bucket) AS cum
-  FROM filled
-)
-SELECT CAST(checked.bucket AS INT) AS bucket, tot.n_total, tot.min_score, tot.max_score,
-       (abs(checked.cnt - 0.1 * tot.n_total) <= GREATEST(0.05 * tot.n_total, 1.5))
-         AS share_within,
-       (checked.bucket = 10 OR
-        abs(checked.cum - checked.bucket * 0.1 * tot.n_total)
-          <= GREATEST(0.05 * tot.n_total, 1.5))
-         AS cum_rank_within
-FROM checked CROSS JOIN tot
-ORDER BY bucket
-"""
-
-
-def levenshtein_near_pairs(d: str) -> str:
-    """Edit-distance near-dup on 32-char prefixes, blocked by
-    (lang, n_chars div 20) so the self-join is a hash join on the block key
-    instead of a cross join — the blocking pattern that keeps pairwise string
-    comparison feasible at scale (same role LSH bands play for MinHash).
-    levenshtein() is built-in on both engines."""
-    blk = _idiv("n_chars", "20", d)
-    return f"""
-WITH t AS (
-  SELECT doc_id, lang, {blk} AS blk, substr(text, 1, 32) AS prefix
-  FROM documents
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
-FROM t a JOIN t b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE levenshtein(a.prefix, b.prefix) <= 12
-ORDER BY edit_dist ASC, id_a ASC, id_b ASC
-LIMIT 100
-"""
-
-
-def funnel_conversion(d: str) -> str:
-    """Ordered-event funnel (view → click → purchase): each stage keeps users
-    whose earliest qualifying event strictly follows their previous stage.
-    Three filtered scans + two equi-joins on user_id; every stage's agg
-    combines map-side, and joins key on user_id so at scale they co-partition
-    with one shuffle. The classic product-analytics op the reference's Oracle
-    backend would do with CTEs — identical shape here. Exchange budget: ~2
-    per stage (stage join + stage agg), so xchg=8 for the four-stage funnel
-    is the expected floor, not plan waste — at scale, pre-partitioning events
-    by user_id collapses every stage onto one co-located shuffle."""
-    ts = _ts_us(d)
-    return f"""
-WITH v AS (
-  SELECT user_id, MIN({ts}) AS t_view FROM events
-  WHERE event_type = 'view' GROUP BY user_id
-),
-c AS (
-  SELECT e.user_id AS user_id, MIN({ts}) AS t_click
-  FROM events e JOIN v ON e.user_id = v.user_id
-  WHERE e.event_type = 'click' AND {ts} > v.t_view
-  GROUP BY e.user_id
-),
-p AS (
-  SELECT e.user_id AS user_id, MIN({ts}) AS t_buy
-  FROM events e JOIN c ON e.user_id = c.user_id
-  WHERE e.event_type = 'purchase' AND {ts} > c.t_click
-  GROUP BY e.user_id
-)
-SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
-       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
-       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
-       round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
-             / CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 6) AS view_to_purchase
-"""
-
-
-def pagerank_3iter(d: str) -> str:
-    """PageRank, 3 power iterations unrolled (damping 0.85), over a
-    deterministic hash-derived link graph (each doc links to 3 pseudo-random
-    docs — portable hash, so both engines build the identical graph). The
-    iterative-algorithm pattern as chained CTEs: each iteration is ONE join
-    of the rank vector with the edge list + an aggregation on dst — at scale
-    that is one shuffle per iteration keyed on dst, and the edge list should
-    be pre-partitioned on dst so only the (16-byte) rank vector moves.
-    Convergence-loop form lives in dedup.connected_components (pointer
-    jumping + localCheckpoint); this is the fixed-iteration twin with a full
-    value oracle. Top-20 ordered by ROUNDED rank (then id) so boundary
-    membership is engine-independent. Exchange budget: ~3 per iteration
-    (rank-edge join + dst aggregation + degree join), so xchg=10 over 3
-    unrolled iterations is inherent to the algorithm; at scale the edge list
-    is pre-partitioned on dst and only the 16-byte rank vector moves."""
-    nn = "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents)"
-    ks = (
-        "SELECT explode(sequence(1, 3)) AS k"
-        if d == "spark"
-        else "SELECT unnest(generate_series(1, 3)) AS k"
-    )
-    sid, sk = _str("doc_id", d), _str("k", d)
-    link = f"({P.hash64(f'concat({sid}, chr(35), {sk})', d)} % {nn})"
-    it = """
-r{t} AS (
-  SELECT d.doc_id AS v,
-         0.15 / n.n + 0.85 * COALESCE(SUM(p.r / dg.deg), 0.0) AS r
-  FROM documents d CROSS JOIN n
-  LEFT JOIN edges e ON e.dst = d.doc_id
-  LEFT JOIN r{p} p ON p.v = e.src
-  LEFT JOIN deg dg ON dg.src = e.src
-  GROUP BY d.doc_id, n.n
-)"""
-    iters = ",".join(it.format(t=t, p=t - 1) for t in (1, 2, 3))
-    return f"""
-WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
-ks AS ({ks}),
-edges AS (SELECT doc_id AS src, {link} AS dst FROM documents CROSS JOIN ks),
-deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
-r0 AS (SELECT doc_id AS v, 1.0 / n.n AS r FROM documents CROSS JOIN n),
-{iters}
-SELECT CAST(v AS BIGINT) AS doc_id, round(r, 9) AS rank
-FROM r3
-ORDER BY rank DESC, doc_id ASC
-LIMIT 20
-"""
-
-
-def inverted_index_postings(d: str) -> str:
-    """Inverted-index build — the storage layout behind bm25_topk: for the
-    100 highest-df terms, the full sorted posting list (doc ids) plus df and
-    total term frequency. One token explode → per-(term, doc) tf agg →
-    per-term ordered array agg. At scale the posting lists are the thing you
-    persist (partitioned by term hash); queries then join a handful of terms'
-    postings instead of scanning the corpus — this query IS the index-build
-    job, oracle-checked. Ordered array agg: Spark sort_array(collect_list)
-    (collect_list alone is shuffle-order-nondeterministic), DuckDB
-    list(... ORDER BY); the list is serialized to a comma-joined STRING so
-    the result is hash-comparable (the driver harness can't hash arrays)."""
-    toks = P.tokens("text", d)
-    if d == "spark":
-        tok = f"SELECT doc_id, tk FROM documents LATERAL VIEW explode({toks}) t AS tk"
-        postings = "array_join(sort_array(collect_list(doc_id)), ',')"
-    else:
-        tok = f"SELECT doc_id, unnest({toks}) AS tk FROM documents"
-        postings = "array_to_string(list(doc_id ORDER BY doc_id), ',')"
-    return f"""
-WITH tok AS ({tok}),
-tf AS (SELECT tk, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY tk, doc_id)
-SELECT tk AS term,
-       CAST(COUNT(*) AS BIGINT) AS df,
-       CAST(SUM(tf) AS BIGINT) AS total_tf,
-       {postings} AS postings
-FROM tf
-GROUP BY tk
-ORDER BY df DESC, term ASC
-LIMIT 100
-"""
-
-
-def chunk_reassembly(d: str) -> str:
-    """Split-inverse round trip in pure SQL: cut each document into fixed
-    200-char chunks (the P1 split shape as a substr window), then reassemble
-    with an ORDERED group-concat and verify byte equality with the original
-    — the lossless-chunking property the ingest pipeline depends on (S9
-    chunk reload + K6 debug sink round trip). Exercises the ordered
-    aggregation shape (Spark: sort_array(collect_list(struct)) — collect_list
-    alone is shuffle-order-nondeterministic; DuckDB: string_agg ORDER BY).
-    One explode + one grouped agg keyed on doc_id; chunks co-partition with
-    their doc so reassembly never crosses executors at scale. The chunk count
-    is clamped to >=1 on BOTH dialects: Spark's sequence(1, 0) steps -1 and
-    yields [1, 0] while DuckDB's generate_series(1, 0) is empty, so a
-    zero-length doc would otherwise diverge between engines."""
-    size = 200
-    if d == "spark":
-        chunks = (
-            f"SELECT doc_id, j, substr(text, (j - 1) * {size} + 1, {size}) AS chunk "
-            f"FROM documents LATERAL VIEW explode(sequence(1, greatest(1, CAST(ceil(length(text) / {size}.0) AS INT)))) t AS j"
-        )
-        reasm = "array_join(transform(sort_array(collect_list(struct(j, chunk))), s -> s.chunk), '')"
-    else:
-        chunks = (
-            f"SELECT doc_id, unnest(generate_series(1, greatest(1, CAST(ceil(length(text) / {size}.0) AS INT)))) AS j, text FROM documents"
-        )
-        chunks = (
-            f"SELECT doc_id, j, substr(text, CAST((j - 1) * {size} + 1 AS INT), {size}) AS chunk "
-            f"FROM ({chunks}) g"
-        )
-        reasm = "string_agg(chunk, '' ORDER BY j)"
-    return f"""
-WITH chunks AS ({chunks}),
-reassembled AS (
-  SELECT doc_id, {reasm} AS rebuilt, CAST(COUNT(*) AS BIGINT) AS n_chunks
-  FROM chunks GROUP BY doc_id
-)
-SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.n_chunks,
-       CAST(CASE WHEN r.rebuilt = d.text THEN 1 ELSE 0 END AS INT) AS lossless
-FROM reassembled r JOIN documents d ON r.doc_id = d.doc_id
-ORDER BY doc_id
-"""
-
-
-def triangle_count(d: str) -> str:
-    """Triangle counting over the SAME deterministic hash-derived link graph
-    as pagerank_3iter — the canonical heavy-join graph metric (clustering /
-    spam structure in link corpora). Strategy: canonicalize to undirected
-    (a < b) distinct edges, then the standard oriented wedge join
-    (e1.b = e2.a keeps only a<b<c paths) closed by a third edge join — the
-    id-ordering plays the degree-ordering trick's role, bounding each wedge
-    to one orientation so no triangle is counted twice. Two shuffle joins
-    keyed on node ids; at scale the edge list pre-partitions on the join key
-    and only (a, b) int64 pairs move. Output: top-10 nodes by triangle
-    membership with the global count alongside (engine-independent ties via
-    node-id tiebreak)."""
-    nn = "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents)"
-    ks = (
-        "SELECT explode(sequence(1, 3)) AS k"
-        if d == "spark"
-        else "SELECT unnest(generate_series(1, 3)) AS k"
-    )
-    sid, sk = _str("doc_id", d), _str("k", d)
-    link = f"({P.hash64(f'concat({sid}, chr(35), {sk})', d)} % {nn})"
-    return f"""
-WITH ks AS ({ks}),
-raw AS (SELECT doc_id AS src, {link} AS dst FROM documents CROSS JOIN ks),
-edges AS (
-  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-  FROM raw WHERE src <> dst
-),
-tri AS (
-  SELECT e1.a AS x, e1.b AS y, e2.b AS z
-  FROM edges e1
-  JOIN edges e2 ON e2.a = e1.b
-  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
-),
-total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tri),
-members AS (
-  SELECT v FROM (
-    SELECT x AS v FROM tri
-    UNION ALL SELECT y AS v FROM tri
-    UNION ALL SELECT z AS v FROM tri
-  ) m
-)
-SELECT CAST(v AS BIGINT) AS doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_triangles,
-       (SELECT n FROM total) AS total_triangles
-FROM members
-GROUP BY v
-ORDER BY n_triangles DESC, doc_id ASC
-LIMIT 10
-"""
-
-
-def weighted_reservoir_sample(d: str) -> str:
-    """Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
-    each row draws u ~ U(0,1) and ranks by u^(1/weight); the global top-k IS
-    the weighted sample. Weight here is n_chars, so longer documents are
-    proportionally likelier — the domain-weighting sampler for training-mix
-    construction. u derives from the portable hash, making the 'random'
-    sample fully deterministic and oracle-checkable. Plan: one scan +
-    TakeOrderedAndProject — no shuffle, no state; at 100 TB each executor
-    keeps a local k-heap and only k rows per partition move."""
-    u = f"(({P.hash64(_str('doc_id', d), d)} % 1000000) + 1) / 1000001.0"
-    key = f"pow({u}, 1.0 / GREATEST(n_chars, 1))"
-    return f"""
-SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
-       CAST(n_chars AS BIGINT) AS n_chars,
-       round({key}, 9) AS sample_key
-FROM documents
-ORDER BY sample_key DESC, doc_id ASC
-LIMIT 100
-"""
-
-
-def events_variant_histogram(d: str) -> str:
-    """Semi-structured props through Spark 4's native VARIANT type
-    (parse_json → variant_get): the scale path for JSON columns — parse once
-    into the binary variant encoding (shreddable at write time) instead of
-    re-parsing strings per access, while staying entirely JVM-side. DuckDB
-    oracle reads the same field via json_extract_string. Decile histogram of
-    props.k per event type — a different consumer shape than
-    events_json_props' flat aggregate."""
-    k = (
-        "variant_get(parse_json(props), '$.k', 'bigint')"
-        if d == "spark"
-        else "CAST(json_extract_string(props, '$.k') AS BIGINT)"
-    )
-    bucket = _idiv("k", "10", d)
-    return f"""
-SELECT CAST({bucket} AS BIGINT) AS k_bucket, event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
-FROM (SELECT event_type, {k} AS k FROM events) t
-GROUP BY {bucket}, event_type
-ORDER BY k_bucket, event_type
-"""
-
-
-def rerank_crossencoder_topk(d: str) -> str:
-    """Two-stage retrieve-then-rerank (operators/rerank.py): stage 1 recalls
-    top-20 chunks by cosine over mock embeddings (TakeOrderedAndProject, no
-    store shuffle); stage 2 re-scores only those 20 with the deterministic
-    mock cross-encoder and keeps the top-5. The reference DECLARES model type
-    're-rank' but never implements it (schema.py:104) — this is that surface,
-    with the stage-2 cost bounded by fetch_k, never store size."""
-    qtext = "'spark vector search'"
-    qvec = P.mock_embed(qtext, EMBED_DIM, d)
-    dvec = P.mock_embed("text", EMBED_DIM, d)
-    dist = P.cosine_distance(dvec, qvec, d)
-    ce = P.mock_rerank_score(qtext, "text", d)
-    return f"""
-WITH cands AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, round({dist}, 6) AS distance
-  FROM documents
-  ORDER BY distance ASC, doc_id ASC
-  LIMIT 20
-)
-SELECT doc_id, distance, rerank_score, rank
-FROM (
-  SELECT doc_id, distance, CAST(round({ce}, 6) AS DOUBLE) AS rerank_score,
-         row_number() OVER (ORDER BY {ce} DESC, doc_id ASC) AS rank
-  FROM cands
-) t
-WHERE rank <= 5
-ORDER BY rank
-"""
-
-
-def ivf_full_probe_topk(d: str) -> str:
-    """Oracle for the full-probe IVF search: probing ALL centroids makes IVF
-    exact, so the fitted-quantizer machinery (partitioned store + pruned scan)
-    is checkable against the plain exact top-k oracle — the recall=1.0
-    endpoint of the nprobe dial that `ivf_ann_topk` (rows-only) turns down."""
-    return _topk_template(d, "COSINE", k=10)
-
-
-# ---------------------------------------------------------------------------
-# Registry
-# ---------------------------------------------------------------------------
-
-def domain_caps_topn(d: str) -> str:
-    """Per-domain document caps — crawl curation: keep at most 5 docs per
-    source (n_chars desc as the quality proxy), report kept/total/dropped
-    per source. One per-group window sort + a tiny rollup; at 100 TB the
-    scan is partitioned by source so ranking never globally sorts, and the
-    dropped mass per domain is the domain-rebalance signal."""
-    return """
-WITH ranked AS (
-  SELECT source, doc_id, n_chars,
-         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rn
-  FROM documents
-)
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_total,
-       CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       CAST(SUM(CASE WHEN rn > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-FROM ranked
-GROUP BY source
-ORDER BY source
-"""
-
-
-def global_shuffle_order(d: str) -> str:
-    """Deterministic global training-order shuffle: sort key = portable
-    hash of (doc_id, epoch salt) — reproducible across engines, runs, and
-    restarts with no RNG state. At 100 TB this ORDER BY is a range-
-    partitioned total sort writing the epoch's shard files in one pass;
-    re-salting re-shuffles the next epoch without carrying any state."""
-    key_in = (
-        "concat(cast(doc_id as string), ':epoch:42')"
-        if d == "spark"
-        else "(doc_id::VARCHAR || ':epoch:42')"
-    )
-    h = P.hash64(key_in, d)
-    return f"""
-WITH keyed AS (SELECT doc_id, {h} AS shuffle_key FROM documents),
-head AS (SELECT doc_id, shuffle_key FROM keyed ORDER BY shuffle_key, doc_id LIMIT 20)
-SELECT doc_id, shuffle_key,
-       CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS INT) AS position
-FROM head
-ORDER BY position
-"""
-
-
-def vocab_coverage_topk(d: str) -> str:
-    """Vocabulary coverage curve — tokenizer/vocab design input: the 20 most
-    frequent tokens with each one's cumulative share of all token
-    occurrences. Token explode -> per-token count (map-side combinable) ->
-    top-k + running-sum window over just 20 rows; the heavy agg shuffles
-    (token, count) pairs only."""
-    toks = P.tokens("text", d)
-    if d == "spark":
-        tok = f"SELECT tk FROM documents LATERAL VIEW explode({toks}) t AS tk"
-    else:
-        tok = f"SELECT unnest({toks}) AS tk FROM documents"
-    return f"""
-WITH tok AS ({tok}),
-freq AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tk),
-tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM freq),
-topk AS (SELECT tk, n FROM freq ORDER BY n DESC, tk ASC LIMIT 20),
-ranked AS (
-  SELECT tk, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tk ASC) AS INT) AS rn
-  FROM topk
-)
-SELECT tk AS token, n AS occurrences, rn,
-       CAST(round(SUM(n) OVER (ORDER BY rn) / tot.total, 6) AS DOUBLE) AS cum_share
-FROM ranked CROSS JOIN tot
-ORDER BY rn
-"""
-
-
-def contamination_rate_by_source(d: str) -> str:
-    """Per-source contamination rate — decontamination_8gram's doc-level
-    flags rolled up to the crawl/domain level (which source leaked the
-    benchmark). Same broadcastable benchmark-gram set and map-side
-    pre-aggregated candidate grams; the extra rollup joins doc flags back
-    to the narrow (doc_id, source) projection, never the text."""
-    bench = _exploded_grams(8, "WHERE source IN ('src0', 'src1')", d)
-    cand = _exploded_grams(8, "WHERE source NOT IN ('src0', 'src1')", d)
-    return f"""
-WITH bench AS (SELECT DISTINCT g FROM ({bench}) b),
-cand AS (SELECT DISTINCT doc_id, g FROM ({cand}) c),
-flags AS (
-  SELECT c.doc_id, CASE WHEN COUNT(b.g) > 0 THEN 1 ELSE 0 END AS contaminated
-  FROM cand c LEFT JOIN bench b ON c.g = b.g
-  GROUP BY c.doc_id
-)
-SELECT d2.source,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(f.contaminated) AS BIGINT) AS n_contaminated,
-       CAST(round(SUM(f.contaminated) * 1.0 / COUNT(*), 6) AS DOUBLE) AS contamination_rate
-FROM flags f JOIN documents d2 ON f.doc_id = d2.doc_id
-GROUP BY d2.source
-ORDER BY d2.source
-"""
-
-
-TEMPLATES: dict[str, Callable[[str], str]] = {
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_local_supplier": q5_local_supplier,
-    "anti_join_merge": anti_join_merge,
-    "catalog_scan_events": catalog_scan_events,
-    "events_json_props": events_json_props,
-    "events_hourly_windows": events_hourly_windows,
-    "user_activity_sessions": user_activity_sessions,
-    "chunk_ids_window": chunk_ids_window,
-    "split_fixed_chunks": split_fixed_chunks,
-    "dedup_exact_first": dedup_exact_first,
-    "vs_merge_content_ids": vs_merge_content_ids,
-    "mock_embed_dims": mock_embed_dims,
-    "topk_cosine": topk_cosine,
-    "topk_euclidean": topk_euclidean,
-    "topk_dot_product": topk_dot_product,
-    "topk_score_threshold": topk_score_threshold,
-    "filtered_topk_label": filtered_topk_label,
-    "rag_topk_mock_query": rag_topk_mock_query,
-    "knn_join_batch": knn_join_batch,
-    "lsh_ann_topk": lsh_ann_topk,
-    "minhash_signatures": minhash_signatures_q,
-    "minhash_lsh_pairs": minhash_lsh_pairs_q,
-    "split_leakage_check": split_leakage_check,
-    "minhash_estimate_quality": minhash_estimate_quality,
-    "incremental_neardup_probe": incremental_neardup_probe_q,
-    "simhash_fingerprints": simhash_fingerprints_q,
-    "simhash_near_pairs": simhash_near_pairs_q,
-    "ngram_jaccard_pairs": ngram_jaccard_pairs_q,
-    "embedding_cosine_pairs": embedding_cosine_pairs_q,
-    "lang_id": lang_id_q,
-    "quality_scores": quality_scores_q,
-    "token_counts": token_counts_q,
-    "doc_fingerprints": doc_fingerprints_q,
-    "asof_clicks_before_errors": asof_clicks_before_errors,
-    "range_error_followups": range_error_followups,
-    "events_rollup": events_rollup,
-    "ingest_chunks_dedup": ingest_chunks_dedup,
-    "vs_table_names": vs_table_names_sql,
-    "docs_union_distinct": docs_union_distinct,
-    "q4_exists_late_lines": q4_exists_late_lines,
-    "q12_priority_case_agg": q12_priority_case_agg,
-    "q16_distinct_suppliers": q16_distinct_suppliers,
-    "q17_below_avg_quantity": q17_below_avg_quantity,
-    "q18_large_orders": q18_large_orders,
-    "q22_idle_rich_customers": q22_idle_rich_customers,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "q8_market_share": q8_market_share,
-    "q9_product_profit": q9_product_profit,
-    "q11_important_parts": q11_important_parts,
-    "q13_customer_distribution": q13_customer_distribution,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q15_top_supplier": q15_top_supplier,
-    "q19_disjunctive_pred_join": q19_disjunctive_pred_join,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "train_test_split": train_test_split,
-    "stratified_sample_counts": stratified_sample_counts,
-    "bigram_topk": bigram_topk,
-    "doc_len_percentiles": doc_len_percentiles,
-    "char_entropy": char_entropy_q,
-    "mad_outliers": mad_outliers_q,
-    "doc_len_percentiles_approx": doc_len_percentiles_approx,
-    "mad_outliers_approx": mad_outliers_approx,
-    "salted_user_counts": salted_user_counts,
-    "sequence_packing": sequence_packing,
-    "pack_mix_diversity": pack_mix_diversity,
-    "repetition_ratios": repetition_ratios,
-    "quality_filter": quality_filter,
-    "bm25_topk": bm25_topk,
-    "hybrid_rrf_topk": hybrid_rrf_topk,
-    "latest_event_per_user": latest_event_per_user,
-    "event_value_zscores": event_value_zscores,
-    "docs_intersect_except": docs_intersect_except,
-    "customer_order_stats_outer": customer_order_stats_outer,
-    "pivot_event_counts": pivot_event_counts,
-    "cube_doc_counts": cube_doc_counts,
-    "event_moving_stats": event_moving_stats,
-    "topk_docs_per_lang": topk_docs_per_lang,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q7_nation_volume": q7_nation_volume,
-    "q10_returned_items": q10_returned_items,
-    "q20_dominant_suppliers": q20_dominant_suppliers,
-    "streaming_dedup_pairs": streaming_dedup_pairs,
-    "streaming_user_stats": streaming_user_stats,
-    "streaming_click_error_join": streaming_click_error_join,
-    "streaming_enrich_nation": streaming_enrich_nation,
-    "quantized_topk": quantized_topk,
-    "binary_quant_topk": binary_quant_topk,
-    "pq_adc_topk": pq_adc_topk,
-    "mlm_masking": mlm_masking_q,
-    "matryoshka_topk": matryoshka_topk_q,
-    "decontamination_8gram": decontamination_8gram,
-    "boilerplate_gram_fraction": boilerplate_gram_fraction,
-    "domain_mix_rebalance": domain_mix_rebalance,
-    "hourly_gapfill": hourly_gapfill,
-    "near_dup_clusters": near_dup_clusters_oracle,
-    "embedding_centroid_outliers": embedding_centroid_outliers,
-    "grouping_sets_docs": grouping_sets_docs,
-    "ntile_curriculum_buckets": ntile_curriculum_buckets,
-    "curriculum_buckets_approx": curriculum_buckets_approx,
-    "levenshtein_near_pairs": levenshtein_near_pairs,
-    "funnel_conversion": funnel_conversion,
-    "ivf_full_probe_topk": ivf_full_probe_topk,
-    "rerank_crossencoder_topk": rerank_crossencoder_topk,
-    "events_variant_histogram": events_variant_histogram,
-    "pagerank_3iter": pagerank_3iter,
-    "weighted_reservoir_sample": weighted_reservoir_sample,
-    "unigram_logprob_quality": unigram_logprob_quality,
-    "shingle_containment_decontam": shingle_containment_decontam,
-    "triangle_count": triangle_count,
-    "chunk_reassembly": chunk_reassembly,
-    "grouped_split_leakage_safe": grouped_split_leakage_safe,
-    "inverted_index_postings": inverted_index_postings,
-    "lsh_multiprobe_topk": lsh_multiprobe_topk,
-    "domain_caps_topn": domain_caps_topn,
-    "global_shuffle_order": global_shuffle_order,
-    "vocab_coverage_topk": vocab_coverage_topk,
-    "contamination_rate_by_source": contamination_rate_by_source,
-}
-
-# transformWithState (streaming/stateful.running_user_stats_tws) needs
-# protobuf for its driver-worker protocol; register its query only where the
-# dependency exists. Same batch GROUP BY oracle as streaming_user_stats: the
-# old (applyInPandasWithState) and new (transformWithState) APIs must agree.
-try:  # pragma: no cover - environment gate
-    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
-
-    _HAS_PROTOBUF = True
-except ImportError:
-    _HAS_PROTOBUF = False
-
-if _HAS_PROTOBUF:
-    TEMPLATES["streaming_user_stats_tws"] = streaming_user_stats
-
-
-def _embedding_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner for embedding_cosine_pairs: IVF-bucketed candidates with
-    an EXACT pruning bound + exact-fold re-score.
-
-    cosine(a,b) >= t on unit vectors is ||a-b|| <= D with D = sqrt(2-2t), so
-    a pair can only span clusters whose centroids satisfy
-    ||c_i - c_j|| <= D + r_i + r_j (r = cluster radius) — triangle
-    inequality, no recall loss. Candidate generation is therefore a
-    cluster-pair equi-join over the assigned store (shuffles by centroid id;
-    at 100 TB raise n_centroids so per-cluster volume stays bounded and the
-    replication factor is the avg qualifying cluster-pair degree, not n).
-    Survivors are re-scored with the SAME sequential-fold expression as the
-    DuckDB oracle, so the output is bit-identical. Only the k-means fit
-    touches the driver (bounded sample — FAISS-style coarse quantizer), never
-    the store itself.
-    """
-    register_views(spark, sf_dir)
-    return _embedding_pairs_core(spark, spark.table("embeddings"), threshold=0.35)
-
-
-def _embedding_pairs_core(
-    spark: SparkSession, emb_raw: DataFrame, threshold: float, margin: float = 1e-6
-) -> DataFrame:
-    """The distributed embedding-pairs plan over any (vec_id, embedding)
-    DataFrame — shared by the registry runner and tools/stress.py (so the
-    stress probe exercises the exact production path)."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from oaim_sandbox_spark.operators.ann import lloyd_kmeans
-
-    emb = emb_raw.select("vec_id", F.expr("cast(embedding as array<double>)").alias("v"))
-    # coarse quantizer: a 4k normalized sample bounds driver work at ANY size
-    sample = np.asarray(emb.limit(4096).toPandas()["v"].to_list(), dtype=np.float64)
-    # clip zero norms: an all-zero vector would make the whole sample-fit
-    # NaN (every centroid poisoned); clipped, it just lands in some cluster
-    # and can never pass the exact cosine re-score
-    sample /= np.clip(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30, None)
-    cents = lloyd_kmeans(sample, 8, seed=7, max_iter=10)
-    b_cents = spark.sparkContext.broadcast(cents)
-
-    def normalize_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # unit-normalize + nearest-centroid in ONE vectorized Arrow pass
-        # (the interpreted-lambda fold form costs ~10 folds/row)
-        for pdf in batches:
-            m = np.asarray(pdf["v"].to_list(), dtype=np.float64)
-            u = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-30, None)
-            d = ((u[:, None, :] - b_cents.value[None, :, :]) ** 2).sum(axis=2)
-            c = d.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "u": list(u),
-                    "centroid": c.astype("int32"),
-                    "centroid_dist": np.sqrt(d[np.arange(len(c)), c]),
-                }
-            )
-
-    assigned = emb.mapInPandas(
-        normalize_assign,
-        "vec_id BIGINT, u ARRAY<DOUBLE>, centroid INT, centroid_dist DOUBLE",
-    ).localCheckpoint(eager=True)  # read 3x below — materialize once
-    # cluster radii: k tiny rows to the driver, never the store
-    radii = {
-        r["centroid"]: r["r"]
-        for r in assigned.groupBy("centroid").agg(F.max("centroid_dist").alias("r")).collect()
-    }
-    D = float(np.sqrt(2.0 - 2.0 * (threshold - margin)))
-    cand_pairs = [
-        (i, j)
-        for i in radii
-        for j in radii
-        if i <= j
-        and float(np.linalg.norm(cents[i] - cents[j])) <= D + radii[i] + radii[j]
-    ]
-    # distribute each qualifying cluster-pair block to one applyInPandas
-    # group and run the pairwise scoring as a BLAS matmul there — candidate
-    # generation never touches the driver and never pays the interpreted
-    # fold for non-candidates. pid keys the block; same-cluster blocks load
-    # one side and self-multiply (upper triangle).
-    pairs_rows = [(pid, ci, cj) for pid, (ci, cj) in enumerate(cand_pairs)]
-    pairs_df = spark.createDataFrame(pairs_rows, "pid INT, ci INT, cj INT")
-    narrow = assigned.select("vec_id", "centroid", "u")
-    left = (
-        F.broadcast(pairs_df)
-        .join(narrow, narrow.centroid == F.col("ci"))
-        .select("pid", "vec_id", "u", F.lit("a").alias("side"))
-    )
-    right = (
-        F.broadcast(pairs_df.filter(F.col("ci") < F.col("cj")))
-        .join(narrow, narrow.centroid == F.col("cj"))
-        .select("pid", "vec_id", "u", F.lit("b").alias("side"))
-    )
-    thr = threshold - margin
-
-    def block(pdf: pd.DataFrame) -> pd.DataFrame:
-        # row-tiled matmul: the sims TILE is (tile x |block|), never
-        # (|block| x |block|) — bounds per-worker memory at ~25 MB however
-        # large the cluster block grows
-        tile = 512
-        a = pdf[pdf["side"] == "a"]
-        ids_a = a["vec_id"].to_numpy()
-        ma = np.stack(a["u"].to_numpy())
-        b = pdf[pdf["side"] == "b"]
-        los, his = [], []
-        if len(b):  # cross-cluster block
-            ids_b = b["vec_id"].to_numpy()
-            mbT = np.stack(b["u"].to_numpy()).T
-            for s in range(0, len(ma), tile):
-                sims = ma[s : s + tile] @ mbT
-                ii, jj = np.where(sims >= thr)
-                los.append(np.minimum(ids_a[s + ii], ids_b[jj]))
-                his.append(np.maximum(ids_a[s + ii], ids_b[jj]))
-        else:  # same-cluster block: self-matmul, upper triangle by id
-            maT = ma.T
-            for s in range(0, len(ma), tile):
-                sims = ma[s : s + tile] @ maT
-                ii, jj = np.where(sims >= thr)
-                keep = ids_a[s + ii] < ids_a[jj]
-                los.append(ids_a[s + ii][keep])
-                his.append(ids_a[jj][keep])
-        lo = np.concatenate(los) if los else np.array([], dtype=np.int64)
-        hi = np.concatenate(his) if his else np.array([], dtype=np.int64)
-        return pd.DataFrame({"id_a": lo, "id_b": hi})
-
-    cand = (
-        left.unionByName(right)
-        .groupBy("pid")
-        .applyInPandas(block, "id_a BIGINT, id_b BIGINT")
-    )
-    # exact-fold re-score of the (few) survivors — bit-identical to the
-    # oracle's sequential fold, so the prefilter margin never shows; the
-    # fold expressions evaluate only on the survivor joins' stream side
-    ve = P.to_double_array("embedding", "spark")
-    vnorm = emb_raw.select(
-        "vec_id", F.expr(ve).alias("v"), F.expr(P.norm2(ve, "spark")).alias("n")
-    )
-    sim = f"round({P.dot('a.v', 'b.v', 'spark')} / (a.n * b.n), 6)"
-    return (
-        cand.join(vnorm.alias("a"), cand.id_a == F.col("a.vec_id"))
-        .join(vnorm.alias("b"), cand.id_b == F.col("b.vec_id"))
-        .select("id_a", "id_b", F.expr(sim).alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
-        .orderBy("id_a", "id_b")
-    )
-
-
-def _materialized_view(spark: SparkSession, sql: str, prefix: str) -> str:
-    """Materialize `sql` once (localCheckpoint truncates lineage AND avoids
-    the shared cache namespace) under a per-call UNIQUE temp view name.
-    Unique names + dropTempView after plan analysis make every registry
-    runner safe in one shared driver session, any order or concurrency —
-    a fixed shared name ('sigs'/'fps') collided across queries in r1."""
-    import uuid as _uuid
-
-    name = f"{prefix}_{_uuid.uuid4().hex[:12]}"
-    spark.sql(sql).localCheckpoint(eager=True).createOrReplaceTempView(name)
-    return name
-
-
-def _sql_dropping(spark: SparkSession, body: str, view: str) -> DataFrame:
-    """spark.sql resolves views at analysis time, so the temp view can be
-    dropped immediately — the returned plan keeps the resolved relation."""
-    df = spark.sql(body)
-    spark.catalog.dropTempView(view)
-    return df
-
-
-def _minhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner for minhash_lsh_pairs: materialize signatures ONCE so the
-    4 band branches and the 2 signature joins all reuse one scan — the
-    SQL-CTE plan recomputes the md5 pipeline 6x."""
-    register_views(spark, sf_dir)
-    name = _materialized_view(spark, _minhash_sigs_sql("spark"), "sigs")
-    return _sql_dropping(spark, _minhash_pairs_body("spark", rel=name), name)
-
-
-def _incremental_probe_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner for incremental_neardup_probe: materialize the flagged
-    signature relation ONCE — the band branches and both est-jaccard joins
-    reuse one scan. In production the existing side's band keys are persisted
-    with the store, so each batch pays only for banding the new docs
-    (operators/dedup.incremental_near_dups docstring)."""
-    register_views(spark, sf_dir)
-    name = _materialized_view(spark, _incremental_sigs_sql("spark"), "sigs")
-    return _sql_dropping(spark, _incremental_probe_body("spark", rel=name), name)
-
-
-def _simhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    name = _materialized_view(spark, _simhash_fps_sql("spark"), "fps")
-    return _sql_dropping(spark, _simhash_pairs_body("spark", rel=name), name)
-
-
-MMR_K, MMR_FETCH_K, MMR_LAMBDA = 4, 20, 0.5
-
-
-def mmr_exact_oracle(d: str) -> str:
-    """T3 MMR with a FULL oracle: greedy selection as a DuckDB recursive CTE.
-    Every float op (candidate sims, pair sims, lambda mix) is the sequential
-    fold both engines share, so the greedy argmax sequence is bit-identical
-    to the Spark runner's exact-fold Python greedy."""
-    v = P.to_double_array("embedding", d)
-    ev = P.to_double_array("e.embedding", d)
-    dot_ab = P.dot("a.v", "b.v", d)
-    return f"""
-WITH RECURSIVE
-qv AS (SELECT {v} AS v, {P.norm2(v, d)} AS n FROM embeddings WHERE vec_id = 0),
-cand AS (
-  SELECT e.vec_id AS vid, {ev} AS v, {P.norm2(ev, d)} AS n,
-         {P.dot(ev, 'q.v', d)} / ({P.norm2(ev, d)} * q.n) AS sim_q
-  FROM embeddings e CROSS JOIN qv q
-  WHERE e.vec_id <> 0
-  ORDER BY round(1.0 - sim_q, 6) ASC, e.vec_id ASC
-  LIMIT {MMR_FETCH_K}
-),
-pair AS (
-  SELECT a.vid AS ia, b.vid AS ib, {dot_ab} / (a.n * b.n) AS sim
-  FROM cand a JOIN cand b ON a.vid <> b.vid
-),
-sel AS (
-  SELECT 1 AS mmr_rank,
-         (SELECT vid FROM cand ORDER BY sim_q DESC, vid ASC LIMIT 1) AS vid,
-         [(SELECT vid FROM cand ORDER BY sim_q DESC, vid ASC LIMIT 1)] AS chosen
-  UNION ALL
-  SELECT sel.mmr_rank + 1, nxt.vid, list_append(sel.chosen, nxt.vid)
-  FROM sel, LATERAL (
-    SELECT c.vid AS vid
-    FROM cand c
-    WHERE NOT list_contains(sel.chosen, c.vid)
-    ORDER BY {MMR_LAMBDA} * c.sim_q - {1 - MMR_LAMBDA} * (SELECT MAX(p.sim) FROM pair p WHERE p.ia = c.vid AND list_contains(sel.chosen, p.ib)) DESC,
-             c.vid ASC
-    LIMIT 1
-  ) nxt
-  WHERE sel.mmr_rank < {MMR_K}
-)
-SELECT CAST(vid AS BIGINT) AS vec_id, CAST(mmr_rank AS INT) AS mmr_rank FROM sel ORDER BY mmr_rank
-"""
-
-
-def _mmr_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner for mmr_exact: distributed candidate fetch (the same
-    TakeOrderedAndProject plan as T1, sims computed by the shared fold
-    expression), then the greedy phase in exact-fold Python — identical
-    float semantics to the oracle's recursive CTE. The library's numpy
-    mmr_rerank is the fast path; this runner trades BLAS for bit-parity."""
-    import math
-
-    register_views(spark, sf_dir)
-    v = P.to_double_array("embedding", "spark")
-    ev = P.to_double_array("e.embedding", "spark")
-    cand_rows = spark.sql(f"""
-WITH qv AS (SELECT {v} AS v, {P.norm2(v, 'spark')} AS n FROM embeddings WHERE vec_id = 0)
-SELECT e.vec_id AS vid, cast(e.embedding as array<double>) AS v,
-       {P.dot(ev, 'q.v', 'spark')} / ({P.norm2(ev, 'spark')} * q.n) AS sim_q
-FROM embeddings e CROSS JOIN qv q
-WHERE e.vec_id <> 0
-ORDER BY round(1.0 - ({P.dot(ev, 'q.v', 'spark')} / ({P.norm2(ev, 'spark')} * q.n)), 6) ASC, e.vec_id ASC
-LIMIT {MMR_FETCH_K}
-""").collect()
-
-    def dot(a: list, b: list) -> float:
-        s = 0.0
-        for x, y in zip(a, b):
-            s += x * y
-        return s
-
-    sims = {r["vid"]: r["sim_q"] for r in cand_rows}
-    vecs = {r["vid"]: r["v"] for r in cand_rows}
-    norms = {k: math.sqrt(dot(x, x)) for k, x in vecs.items()}
-    chosen = [max(sims, key=lambda vid: (sims[vid], -vid))]
-    while len(chosen) < min(MMR_K, len(cand_rows)):
-        best = None
-        for vid in sims:
-            if vid in chosen:
-                continue
-            diversity = max(dot(vecs[vid], vecs[j]) / (norms[vid] * norms[j]) for j in chosen)
-            score = MMR_LAMBDA * sims[vid] - (1 - MMR_LAMBDA) * diversity
-            if best is None or (score, -vid) > best[0]:
-                best = ((score, -vid), vid)
-        chosen.append(best[1])
-    return spark.createDataFrame(
-        [(int(v_), i + 1) for i, v_ in enumerate(chosen)], "vec_id BIGINT, mmr_rank INT"
-    )
-
-
-from contextlib import contextmanager
-
-
-@contextmanager
-def _stream_shuffle(spark: SparkSession, n: int = 8):
-    """Temporarily lower spark.sql.shuffle.partitions for a streaming run.
-
-    Every stateful streaming partition materializes its own state-store
-    instance per micro-batch, so partition count is the dominant fixed cost
-    at test scale (32 partitions over a few thousand rows is pure setup).
-    The setting is captured at query start, so scoping it to the stream
-    leaves batch queries at the session default; on a real cluster the same
-    knob sizes state shards to executor count."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
-
-
-def _streaming_hourly_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly event counts THROUGH Structured Streaming (availableNow file
-    source -> complete-mode agg -> memory sink). Over a static directory the
-    stream result equals the batch aggregation, so the batch SQL is a valid
-    oracle — an end-to-end correctness check of the streaming path."""
-    import uuid as _uuid
-
-    stream = events_stream(spark, sf_dir)
-    from pyspark.sql import functions as F
-
-    agg = (
-        stream.groupBy(
-            F.expr("ts_us div 3600000000").alias("hour_id"), F.col("event_type")
-        )
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_dec"),
-        )
-        .select(
-            F.col("hour_id").cast("long"),
-            "event_type",
-            F.col("n_events").cast("long"),
-            F.col("sum_dec").cast("double").alias("sum_value"),
-        )
-    )
-    name = f"stream_hourly_{_uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-    return spark.table(name)
-
-
-def _streaming_enrich_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-nation running totals THROUGH Structured Streaming: availableNow
-    event stream ⋈ static broadcast customer dim (stateless stream-static
-    equi-join — the standard continuous-enrichment shape) → complete-mode
-    agg → memory sink. Over a static directory the emitted table equals the
-    batch join oracle exactly."""
-    import uuid as _uuid
-
-    from pyspark.sql import functions as F
-
-    register_views(spark, sf_dir, tables=("customer",))
-    stream = events_stream(spark, sf_dir)
-    dim = F.broadcast(spark.table("customer").select("c_custkey", "c_nationkey"))
-    agg = (
-        stream.join(dim, stream.user_id == dim.c_custkey)
-        .groupBy("c_nationkey")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_dec"),
-        )
-        .select(
-            F.col("c_nationkey").cast("long").alias("nationkey"),
-            F.col("n_events").cast("long"),
-            F.col("sum_dec").cast("double").alias("sum_value"),
-        )
-    )
-    name = f"stream_enrich_{_uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-    return spark.table(name).orderBy("nationkey")
-
-
-def _streaming_sessions_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization THROUGH Structured Streaming's native
-    session_window (30-min gap, users < 50), availableNow + complete mode.
-    Over a static directory the final session set equals batch gap
-    sessionization, so the windowed batch SQL is a full-value oracle — this
-    is the stateful-streaming twin of user_activity_sessions. At scale the
-    state store shards by user_id; watermarking bounds state for unbounded
-    sources."""
-    import uuid as _uuid
-
-    from pyspark.sql import functions as F
-
-    stream = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("user_id") < 50)
-        .withColumn("ev_time", F.timestamp_micros(F.col("ts_us")))
-    )
-    agg = (
-        stream.groupBy(F.session_window("ev_time", "30 minutes"), F.col("user_id"))
-        .agg(F.count("*").alias("n_events"), F.min("ev_time").alias("first_ev"))
-        .select(
-            "user_id",
-            (F.unix_micros(F.col("first_ev"))).alias("session_start_us"),
-            F.col("n_events").cast("long"),
-        )
-    )
-    name = f"stream_sessions_{_uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-    return spark.table(name)
-
-
-def streaming_sessions_oracle(d: str) -> str:
-    """Batch twin of session_window: new session when gap >= 30 min (streaming
-    session windows are [start, last+gap), so an event at exactly last+gap
-    opens a new session)."""
-    return f"""
-WITH marked AS (
-  SELECT user_id, {_ts_us(d)} AS ts_us,
-         CASE WHEN lag({_ts_us(d)}) OVER (PARTITION BY user_id ORDER BY {_ts_us(d)}) IS NULL
-                   OR {_ts_us(d)} - lag({_ts_us(d)}) OVER (PARTITION BY user_id ORDER BY {_ts_us(d)}) >= 1800000000
-              THEN 1 ELSE 0 END AS is_start
-  FROM events WHERE user_id < 50
-),
-sessions AS (
-  SELECT user_id, ts_us,
-         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-  FROM marked
-)
-SELECT user_id, CAST(MIN(ts_us) AS BIGINT) AS session_start_us, CAST(COUNT(*) AS BIGINT) AS n_events
-FROM sessions
-GROUP BY user_id, session_id
-ORDER BY user_id, session_start_us
-"""
-
-
-def streaming_hourly_oracle(d: str) -> str:
-    return f"""
-SELECT {_idiv(_ts_us(d), '3600000000', d)} AS hour_id,
-       event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
-FROM events
-GROUP BY 1, 2
-"""
-
-
-def streaming_sliding_oracle(d: str) -> str:
-    """Batch oracle for the SLIDING-window streaming agg (2h window, 1h
-    slide): each event lands in exactly the two hourly-aligned windows whose
-    start is its hour or the hour before, so the batch form is a 2-way
-    explode + one grouped count — identical to what Spark's window(ts,
-    '2 hours', '1 hour') emits over a static source (origin-aligned)."""
-    hour = _idiv(_ts_us(d), "3600000000", d)
-    if d == "spark":
-        dup = "LATERAL VIEW explode(array(0, 1)) t AS x"
-        frm = f"FROM events {dup}"
-    else:
-        frm = "FROM events CROSS JOIN (SELECT unnest([0, 1]) AS x) t"
-    return f"""
-SELECT CAST(({hour} - x) * 3600000000 AS BIGINT) AS window_start_us,
-       event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_events
-{frm}
-GROUP BY 1, 2
-ORDER BY 1, 2
-"""
-
-
-def _streaming_sliding_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding event-time windows THROUGH Structured Streaming: availableNow
-    stream -> window('2 hours', slide '1 hour') grouped count (each event
-    feeds two open windows — the overlap is the streaming state the tumbling
-    suite never exercises) -> complete-mode memory sink. Batch oracle:
-    `streaming_sliding_oracle`."""
-    import uuid as _uuid
-
-    from pyspark.sql import functions as F
-
-    stream = events_stream(spark, sf_dir).withColumn("ts2", F.timestamp_micros(F.col("ts_us")))
-    agg = (
-        stream.groupBy(F.window("ts2", "2 hours", "1 hour"), F.col("event_type"))
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            F.unix_micros(F.col("window.start")).alias("window_start_us"),
-            "event_type",
-            F.col("n_events").cast("long"),
-        )
-    )
-    name = f"stream_sliding_{_uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-    return spark.table(name)
-
-
-TEMPLATES["streaming_sliding_counts"] = streaming_sliding_oracle
-
-
-def _mmr_rerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T3 MMR (reference chatbot.py:199-206): distributed top-fetch_k, greedy
-    driver re-rank. Greedy selection isn't single-statement SQL — rows-only
-    check (no oracle entry), like the reference's own non-relational ops."""
-    from oaim_sandbox_spark.operators.retrieval import mmr_rerank
-
-    register_views(spark, sf_dir)
-    qv = [r[0] for r in spark.sql(
-        "SELECT explode(cast(embedding as array<double>)) FROM embeddings WHERE vec_id = 0"
-    ).collect()]
-    store = spark.table("embeddings")
-    rows = mmr_rerank(store, qv, k=4, fetch_k=20, metric="COSINE", id_col="vec_id")
-    data = [(int(r["vec_id"]), rank + 1) for rank, r in enumerate(rows)]
-    return spark.createDataFrame(data, "vec_id BIGINT, mmr_rank INT")
-
-
-def _ivf_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN probe (K4 analogue): k-means coarse quantizer, partition-pruned
-    search. Fitted centroids aren't reproducible in DuckDB -> rows-only."""
-    import tempfile
-
-    from oaim_sandbox_spark.operators.ann import IVFIndex
-
-    register_views(spark, sf_dir, tables=("embeddings",))
-    store = spark.table("embeddings")
-    qv = [r[0] for r in spark.sql(
-        "SELECT explode(cast(embedding as array<double>)) FROM embeddings WHERE vec_id = 0"
-    ).collect()]
-    idx = IVFIndex(n_centroids=8, seed=42, max_iter=5).fit(store, sample_fraction=0.25)
-    path = tempfile.mkdtemp(prefix="ivf_store_")
-    idx.write_partitioned(store, path)
-    return idx.search(spark, path, qv, k=5, nprobe=2, id_col="vec_id").select(
-        "vec_id", "distance"
-    )
-
-
-# oracle templates defined below TEMPLATES (runner section) register here
-TEMPLATES["mmr_exact"] = mmr_exact_oracle
-TEMPLATES["streaming_hourly_counts"] = streaming_hourly_oracle
-TEMPLATES["streaming_sessions"] = streaming_sessions_oracle
-
-def _ngram_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner for ngram_jaccard_pairs: the shingle relation feeds the
-    self-join twice plus the sizes agg — materialize it ONCE (localCheckpoint)
-    instead of re-running the md5-per-shingle pipeline 3x. DuckDB's optimizer
-    materializes multiply-referenced CTEs on its own; Spark inlines them, so
-    the materialization is our job. Same SQL otherwise."""
-    register_views(spark, sf_dir)
-    sh = f"array_distinct(transform({P.word_ngrams('text', NGRAM, 'spark')}, s -> {P.hash64('s', 'spark')}))"
-    name = _materialized_view(
-        spark, f"SELECT doc_id, source, explode({sh}) AS sh FROM documents", "shingled"
-    )
-    body = ngram_jaccard_pairs_q("spark")
-    start = body.index("sizes AS")
-    rest = (
-        body[start:]
-        .replace("FROM shingled", f"FROM {name}")
-        .replace("JOIN shingled r", f"JOIN {name} r")
-    )
-    return _sql_dropping(spark, "WITH " + rest, name)
-
-
-def _near_dup_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner for near_dup_clusters: materialize the simhash pair graph
-    once (same banded plan as simhash_near_pairs), then
-    operators/dedup.connected_components min-label propagation — each round
-    shuffles only (node, label) int64 pairs; fixpoint in O(cluster diameter)
-    rounds. The oracle's recursive CTE is the sequential twin."""
-    from pyspark.sql import functions as F
-
-    from oaim_sandbox_spark.operators.dedup import connected_components
-
-    register_views(spark, sf_dir)
-    # banded join reads the fingerprints 8x — materialize once, unique name
-    name = _materialized_view(
-        spark,
-        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash FROM ({_simhash_fps_sql('spark')}) f",
-        "fps",
-    )
-    pairs = _sql_dropping(
-        spark,
-        _simhash_pairs_body("spark", rel=name).replace("ORDER BY doc_a, doc_b", ""),
-        name,
-    )
-    labels = connected_components(pairs, spark.table("documents"), node_col="doc_id")
-    return labels.select(
-        F.col("doc_id").cast("long"),
-        F.col("cluster_id").cast("long"),
-        F.when(F.col("cluster_id") == F.col("doc_id"), 1).otherwise(0).cast("int").alias("is_canonical"),
-    ).orderBy("doc_id")
-
-
-def _salted_user_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase SALTED aggregation (skew mitigation): phase 1 groups on
-    (user_id, salt) so a hot user's rows pre-combine across 8 buckets in
-    parallel; phase 2 re-aggregates the ≤8 partials per user. COUNT is
-    associative, so the result is identical to the oracle's plain GROUP BY —
-    the salt only reshapes the shuffle. At 100 TB the salt count scales with
-    observed skew (AQE's skew-join handles joins; salting handles aggs)."""
-    from pyspark.sql import functions as F
-
-    register_views(spark, sf_dir)
-    events = spark.table("events")
-    partial = (
-        events.select("user_id", (F.col("event_id") % 8).alias("_salt"))
-        .groupBy("user_id", "_salt")
-        .agg(F.count("*").alias("_pc"))
-    )
-    return (
-        partial.groupBy("user_id")
-        .agg(F.sum("_pc").cast("long").alias("n_events"))
-        .orderBy(F.desc("n_events"), F.asc("user_id"))
-        .limit(50)
-    )
-
-
-def _streaming_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner for streaming_dedup_pairs: exactly-once key dedup in a
-    stream via dropDuplicatesWithinWatermark — the streaming twin of exact
-    dedup (P7) for continuous ingest. State is bounded by the watermark (1h
-    of event time), so memory stays flat on an unbounded source; over a
-    static directory the surviving key set equals batch DISTINCT."""
-    import uuid as _uuid
-
-    from pyspark.sql import functions as F
-
-    stream = events_stream(spark, sf_dir)
-    deduped = (
-        stream.withColumn("ets", F.timestamp_micros(F.col("ts_us")))
-        .withWatermark("ets", "1 hour")
-        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select("user_id", "event_type")
-    )
-    name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-    return spark.table(name).orderBy("user_id", "event_type")
-
-
-def _streaming_user_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner for streaming_user_stats: availableNow file stream ->
-    applyInPandasWithState running totals -> memory sink, then latest-per-key
-    compaction (highest cumulative count wins) so the result is the final
-    state regardless of how many micro-batches the source split into."""
-    import uuid as _uuid
-
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-
-    from oaim_sandbox_spark.streaming.stateful import running_user_stats
-
-    stream = events_stream(spark, sf_dir).select("user_id", "value")
-    name = f"stream_stats_{_uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
-        q = (
-            running_user_stats(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
-        spark.table(name)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(
-            "user_id",
-            "n_events",
-            F.round("sum_value", 6).alias("sum_value"),
-            F.round("max_value", 6).alias("max_value"),
-        )
-        .orderBy("user_id")
-    )
-
-
-def _streaming_user_stats_tws_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner for streaming_user_stats_tws: the SAME running-stats
-    semantics as streaming_user_stats but through Spark 4's
-    transformWithStateInPandas (named state variables on a RocksDB-backed
-    state store — the successor API to applyInPandasWithState). Old and new
-    API sharing one batch oracle is the parity check. Provider conf is
-    scoped to this stream: captured at query start, restored after."""
-    import uuid as _uuid
-
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-
-    from oaim_sandbox_spark.streaming.stateful import running_user_stats_tws
-
-    stream = events_stream(spark, sf_dir).select("user_id", "value")
-    name = f"stream_tws_{_uuid.uuid4().hex[:8]}"
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    old_provider = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
-        with _stream_shuffle(spark):
-            q = (
-                running_user_stats_tws(stream)
-                .writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(120)
-    finally:
-        if old_provider is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, old_provider)
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
-        spark.table(name)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(
-            "user_id",
-            "n_events",
-            F.round("sum_value", 6).alias("sum_value"),
-            F.round("max_value", 6).alias("max_value"),
-        )
-        .orderBy("user_id")
-    )
-
-
-def _streaming_ss_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner for streaming_click_error_join: STREAM-STREAM inner join
-    with event-time watermarks — Spark buffers each side's rows in the state
-    store only as long as the join window (5 min) plus the watermark delay
-    (10 min) allows, so state is bounded on unbounded sources. The time-range
-    predicate is what lets the engine derive the state eviction bound."""
-    import uuid as _uuid
-
-    from pyspark.sql import functions as F
-
-    def side(event_type: str, id_alias: str, ts_alias: str):
-        return (
-            events_stream(spark, sf_dir)
-            .where(F.col("event_type") == event_type)
-            .select(
-                F.col("user_id").alias(f"{id_alias[0]}_user"),
-                F.col("event_id").alias(id_alias),
-                F.timestamp_micros(F.col("ts_us")).alias(ts_alias),
-            )
-            .withWatermark(ts_alias, "10 minutes")
-        )
-
-    errors = side("error", "error_id", "e_ts")
-    clicks = side("click", "click_id", "c_ts")
-    joined = errors.join(
-        clicks,
-        F.expr(
-            "e_user = c_user AND c_ts > e_ts AND c_ts <= e_ts + INTERVAL 5 MINUTES"
-        ),
-        "inner",
-    ).select(F.col("e_user").alias("user_id"), "error_id", "click_id")
-    name = f"stream_ssjoin_{_uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(180)
-    return spark.table(name).orderBy("user_id", "error_id", "click_id")
-
-
-def _pivot_event_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner for pivot_event_counts: the NATIVE relational pivot
-    (`groupBy().pivot(col, values).count()`). Explicit pivot values skip the
-    extra distinct-values job Spark otherwise runs, so the plan is a single
-    partial+final HashAggregate pair — the same two-exchange-free shape as
-    the oracle's SUM(CASE) expansion."""
-    from pyspark.sql import functions as F
-
-    register_views(spark, sf_dir)
-    wide = (
-        spark.table("events")
-        .groupBy("user_id")
-        .pivot("event_type", list(EVENT_TYPES))
-        .count()
-        .na.fill(0, list(EVENT_TYPES))
-    )
-    return wide.select(
-        "user_id", *[F.col(t).cast("long").alias(t) for t in EVENT_TYPES]
-    ).orderBy("user_id")
-
-
-def _ivf_full_probe_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner for ivf_full_probe_topk: the SAME fitted IVF index and
-    partitioned store as ivf_ann_topk, but probing every centroid — reading
-    all partitions of the partitioned layout must reproduce the exact top-k,
-    which the plain-SQL oracle checks. k+1 then drop the query row itself
-    (distance 0 is always rank 1, so membership is deterministic)."""
-    import tempfile
-
-    from pyspark.sql import functions as F
-
-    from oaim_sandbox_spark.operators.ann import IVFIndex
-
-    register_views(spark, sf_dir, tables=("embeddings",))
-    store = spark.table("embeddings")
-    qv = [
-        r[0]
-        for r in spark.sql(
-            "SELECT explode(cast(embedding as array<double>)) FROM embeddings WHERE vec_id = 0"
-        ).collect()
-    ]
-    idx = IVFIndex(n_centroids=8, seed=42, max_iter=5).fit(store, sample_fraction=0.25)
-    path = tempfile.mkdtemp(prefix="ivf_full_")
-    idx.write_partitioned(store, path)
-    hits = idx.search(spark, path, qv, k=11, nprobe=idx.n_centroids, id_col="vec_id")
-    return (
-        hits.filter(F.col("vec_id") != 0)
-        .select(F.col("vec_id").cast("long").alias("vec_id"), "distance")
-        .orderBy("distance", "vec_id")
-        .limit(10)
-    )
-
-
-def _streaming_pii_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub THROUGH Structured Streaming: the batch augment → detect →
-    redact → audit chain (`_pii_stats_sql`) over an availableNow file stream
-    → complete-mode agg → memory sink. The scrub chain is stateless per-row
-    regexp projection, so the only streaming state is the final per-source
-    audit agg — the shape of a continuous-ingest scrubber at scale. Over a
-    static directory the stream result equals the batch SQL, which is the
-    oracle."""
-    import uuid as _uuid
-
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
-    name = f"docs_stream_{_uuid.uuid4().hex[:8]}"
-    stream.createOrReplaceTempView(name)
-    agg = spark.sql(_pii_stats_sql("spark", rel=name))
-    out = f"stream_pii_{_uuid.uuid4().hex[:8]}"
-    with _stream_shuffle(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(out)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-    spark.catalog.dropTempView(name)
-    return spark.table(out)
-
-
-def _semantic_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner for semantic_dedup_clusters: the ASSIGNED relation av
-    (vec_id, v, nrm, cid) feeds both sides of the intra-cluster pair join
-    plus the final rollup — materialize it ONCE (localCheckpoint), so the
-    cross-join + argmax-window assignment subplan runs once instead of 3x
-    (DuckDB materializes multiply-referenced CTEs on its own; Spark inlines
-    them). Same SQL otherwise."""
-    register_views(spark, sf_dir, tables=("embeddings",))
-    vname = _materialized_view(spark, _semdedup_v_sql("spark"), "semv")
-    av_sql = f"WITH {_semdedup_assign_cte('spark', rel=vname)}\nSELECT * FROM av"
-    avname = _materialized_view(spark, av_sql, "semav")
-    spark.catalog.dropTempView(vname)
-    return _sql_dropping(spark, _semdedup_final_sql("spark", rel=avname), avname)
-
-
-SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "pivot_event_counts": _pivot_event_counts_spark,
-    "streaming_dedup_pairs": _streaming_dedup_spark,
-    "streaming_user_stats": _streaming_user_stats_spark,
-    **({"streaming_user_stats_tws": _streaming_user_stats_tws_spark} if _HAS_PROTOBUF else {}),
-    "streaming_click_error_join": _streaming_ss_join_spark,
-    "streaming_enrich_nation": _streaming_enrich_spark,
-    "minhash_lsh_pairs": _minhash_pairs_spark,
-    "split_leakage_check": _split_leakage_spark,
-    "minhash_estimate_quality": _mhq_spark,
-    "incremental_neardup_probe": _incremental_probe_spark,
-    "simhash_near_pairs": _simhash_pairs_spark,
-    "ngram_jaccard_pairs": _ngram_jaccard_spark,
-    "embedding_cosine_pairs": _embedding_pairs_spark,
-    "mmr_exact": _mmr_exact_spark,
-    "streaming_hourly_counts": _streaming_hourly_spark,
-    "streaming_sessions": _streaming_sessions_spark,
-    "salted_user_counts": _salted_user_counts_spark,
-    "near_dup_clusters": _near_dup_clusters_spark,
-    "ivf_full_probe_topk": _ivf_full_probe_spark,
-    "semantic_dedup_clusters": _semantic_dedup_spark,
-    "streaming_pii_scrub": _streaming_pii_spark,
-    "streaming_sliding_counts": _streaming_sliding_spark,
-}
-
-# Queries with no SQL-expressible oracle (iterative / ML-fitted); the driver
-# records a rows-only check for these.
-def _multimodal_features_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline over synthesized media: documents' text bytes
-    become opaque BINARY payloads (the 100 TB pattern: blobs as binary
-    columns + typed metadata), then the Arrow-batched mapInPandas decode →
-    16-dim feature stage runs (deterministic sha-fake decoder — codecs
-    aren't in this container; sources/multimodal.py). Python-side decode ⇒
-    no SQL oracle; rows-only check. Narrow plan: no shuffle, blobs never
-    leave their scan partition."""
-    from pyspark.sql import functions as F
-
-    from oaim_sandbox_spark.sources.multimodal import extract_image_features
-
-    register_views(spark, sf_dir)
-    media = (
-        spark.table("documents")
-        .filter(F.col("doc_id") < 50)
-        .select(
-            F.concat(F.lit("img_"), F.col("doc_id")).alias("media_id"),
-            F.lit("image").alias("kind"),
-            F.encode(F.col("text"), "UTF-8").alias("content"),
-            F.lit("image/png").alias("mime"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("int").alias("duration_ms"),
-        )
-    )
-    feats = extract_image_features(media)
-    out = feats.select(
-        "media_id",
-        "width",
-        "height",
-        F.round(F.element_at("feature", 1), 6).alias("f1"),
-        F.round(F.element_at("feature", 16), 6).alias("f16"),
-    )
-    # In-query self-audit (rows-only hardening): the codec-free fake decoder
-    # derives pixels from sha256(content) in PYTHON; recompute the same
-    # bytes JVM-side with sha2() and flag per-row agreement — a genuine
-    # cross-engine check of the mapInPandas path. With a real codec (PIL
-    # present) the sha relation doesn't hold, so the audit column is NULL.
-    try:
-        import PIL  # noqa: F401
-
-        audited = out.withColumn("audit_ok", F.lit(None).cast("boolean"))
-    except ImportError:
-        hexs = media.select(
-            "media_id", F.sha2(F.col("content"), 256).alias("hx")
-        )
-        byte = lambda k: F.conv(F.substring("hx", 2 * k + 1, 2), 16, 10).cast("int")  # noqa: E731
-        jvm = hexs.select(
-            "media_id",
-            (F.lit(64) + byte(0) % 192).alias("w_jvm"),
-            (F.lit(64) + byte(1) % 192).alias("h_jvm"),
-            (byte(2) / 255.0).alias("f1_jvm"),
-            (byte(17) / 255.0).alias("f16_jvm"),
-        )
-        audited = out.join(jvm, "media_id").select(
-            out["*"],
-            (
-                (F.col("width") == F.col("w_jvm"))
-                & (F.col("height") == F.col("h_jvm"))
-                & (F.abs(F.col("f1") - F.col("f1_jvm")) < 1e-5)
-                & (F.abs(F.col("f16") - F.col("f16_jvm")) < 1e-5)
-            ).alias("audit_ok"),
-        )
-    return audited.orderBy("media_id")
-
-
-def _bpe_tokenize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: train a BPE tokenizer on the documents corpus (bounded
-    driver-side word-frequency sample, operators/bpe.py), apply it
-    distributively, and emit the 20 most frequent learned subword tokens.
-    Not oracle-checkable: the merge LOOP is inherently sequential-greedy
-    (each merge depends on the table after the previous one) — no SQL
-    equivalent; determinism is pytest-verified instead
-    (tests/test_bpe.py::test_training_is_deterministic)."""
-    from pyspark.sql import functions as F
-
-    from oaim_sandbox_spark.operators.bpe import BPETokenizer
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    bpe = BPETokenizer.train(docs, num_merges=100)
-    toks = bpe.tokenize_df(docs)
-    # ONE tokenize pass: the vocab-sized token-count relation is checkpointed
-    # and serves BOTH the top-20 and the conservation audit — feeding them
-    # independent subtrees would run the mapInPandas tokenizer twice (the
-    # CTE-inline recompute class sketch_profile hit too)
-    cnt = (
-        toks.select(F.explode("bpe_tokens").alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").cast("long").alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    top = cnt.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20)
-    # In-query conservation audit (a rows-only driver check still proves
-    # something): BPE merges only ever CONCATENATE symbols, so corpus-wide
-    #   Σ len(token) == Σ len(word) + len('</w>')·n_words   and
-    #   #tokens ending in '</w>' == n_words.
-    # The right side is computed JVM-side from the raw text — an independent
-    # cross-check of the Python tokenizer path. (?U) makes Java's \\s match
-    # Unicode White_Space like Python's str.split() (NBSP, U+2028, NEL);
-    # residual divergence: U+001C-1F information separators, which Python
-    # splits on but Unicode does not class as whitespace — absent from any
-    # sane corpus and flagged (not hidden) by the audit if present.
-    py_side = cnt.agg(
-        F.sum(F.length("token") * F.col("n")).alias("tok_chars"),
-        F.sum(F.when(F.col("token").endswith("</w>"), F.col("n")).otherwise(0)).alias("eow_tokens"),
-    )
-    jvm_side = docs.agg(
-        F.sum(F.length(F.regexp_replace(F.col("text"), r"(?U)\s+", ""))).alias("word_chars"),
-        F.sum(
-            F.size(F.filter(F.split(F.col("text"), r"(?U)\s+"), lambda w: w != F.lit("")))
-        ).alias("n_words"),
-    )
-    audit = py_side.crossJoin(jvm_side).select(
-        (
-            (F.col("tok_chars") == F.col("word_chars") + 4 * F.col("n_words"))
-            & (F.col("eow_tokens") == F.col("n_words"))
-        ).alias("audit_chars_conserved")
-    )
-    return top.crossJoin(F.broadcast(audit))
-
-
-def _sketch_profile_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: sketch-based per-event-type profile — approx distinct users
-    (HyperLogLog++, approx_count_distinct) and approx p50/p95 of value
-    (KLL-style percentile_approx). At 100 TB these sketches ARE the answer
-    for profiling: fixed-size state, map-side mergeable, one shuffle of
-    sketch buffers instead of a count-distinct's full key shuffle. Not
-    oracle-checkable — sketch internals differ per engine — so the accuracy
-    bound is asserted IN THE QUERY ITSELF: each row carries *_within_bound
-    booleans, so even a rows-only driver check records whether the sketches
-    held their error contract.
-
-    Audit design: a RANK-COUNT check, not an exact-percentile comparison —
-    pass 2 broadcast-joins the sketch outputs back onto the scan and counts
-    values below each; the sketch's contract IS a rank-error bound, and
-    counting ranks is one codegen scan instead of buffering every group's
-    values for an exact percentile (which serialized 6 s at sf0.1).
-    The per-type sketch rows are COLLECTED between passes (driver traffic
-    = one row per event type at any scale) and their thresholds inlined as
-    literal CASE chains — expressing the audit as a self-join CTE re-ran
-    the whole scan+sketch subtree per reference (Spark inlines CTEs;
-    measured 3x recompute), and combining COUNT(DISTINCT) with the sketch
-    aggs in ONE statement forced the distinct-Expand plan that demotes
-    object aggregates off the fast partial path (6.8 s vs 0.9 s split).
-    exact_users rides pass 2, where plain sums coexist with the Expand
-    cheaply. pytest re-verifies externally vs DuckDB
-    (tests/test_queries_registry.py::test_sketch_profile_error_bounds)."""
-    from pyspark.sql import functions as F
-
-    register_views(spark, sf_dir)
-    # sketch aggs and COUNT(DISTINCT) run as SEPARATE statements: combining
-    # them in one GROUP BY makes Catalyst plan the whole aggregation through
-    # the distinct-Expand path, which demotes the sketch aggs off the fast
-    # partial-aggregation path (measured 6.8 s combined vs 0.45 s + 0.45 s
-    # split at sf0.1). Both outputs are one row per event type; the join
-    # happens on the collected rows.
-    sk = spark.sql(
-        """
-SELECT event_type,
-       CAST(approx_count_distinct(user_id, 0.02) AS BIGINT) AS approx_users,
-       CAST(round(percentile_approx(value, 0.5, 5000), 6) AS DOUBLE) AS approx_p50,
-       CAST(round(percentile_approx(value, 0.95, 5000), 6) AS DOUBLE) AS approx_p95
-FROM events
-GROUP BY event_type
-"""
-    ).collect()
-    out_schema = (
-        "event_type STRING, approx_users BIGINT, approx_p50 DOUBLE, approx_p95 DOUBLE, "
-        "exact_users BIGINT, users_within_bound BOOLEAN, p50_within_bound BOOLEAN, "
-        "p95_within_bound BOOLEAN"
-    )
-    if not sk:  # empty events: degrade to an empty typed frame, never throw
-        return spark.createDataFrame([], out_schema)
-    # pass 2: one scan counting each type's values against ITS sketch
-    # thresholds, inlined as literal CASE chains (no join at all — the
-    # thresholds are per-type scalars, exactly like a broadcast of 5 rows
-    # but without the exchange). The exact distinct-count rides the same
-    # scan: plain sums coexist with distinct-Expand cheaply — it was only
-    # the sketch (object-)aggregates that the Expand path serialized.
-    thr50 = F.coalesce(
-        *[F.when(F.col("event_type") == r["event_type"], F.lit(r["approx_p50"])) for r in sk]
-    )
-    thr95 = F.coalesce(
-        *[F.when(F.col("event_type") == r["event_type"], F.lit(r["approx_p95"])) for r in sk]
-    )
-    ranks = {
-        r["event_type"]: r
-        for r in spark.table("events")
-        .select("event_type", "value", "user_id", thr50.alias("t50"), thr95.alias("t95"))
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.countDistinct("user_id").alias("exact_users"),
-            F.sum((F.col("value") < F.col("t50")).cast("long")).alias("n_lt50"),
-            F.sum((F.col("value") <= F.col("t50")).cast("long")).alias("n_le50"),
-            F.sum((F.col("value") < F.col("t95")).cast("long")).alias("n_lt95"),
-            F.sum((F.col("value") <= F.col("t95")).cast("long")).alias("n_le95"),
-        )
-        .collect()
-    }
-    out = []
-    for r in sorted(sk, key=lambda x: x["event_type"]):
-        et, rk = r["event_type"], ranks[r["event_type"]]
-        ex = int(rk["exact_users"])
-        out.append((
-            et, int(r["approx_users"]), float(r["approx_p50"]), float(r["approx_p95"]), ex,
-            abs(int(r["approx_users"]) - ex) <= max(2, int(0.05 * ex)),
-            rk["n_lt50"] <= 0.60 * rk["n"] and rk["n_le50"] >= 0.40 * rk["n"],
-            rk["n_lt95"] <= 0.99 * rk["n"] and rk["n_le95"] >= 0.90 * rk["n"],
-        ))
-    return spark.createDataFrame(out, out_schema)
-
-
-NON_ORACLE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "mmr_rerank": _mmr_rerank_spark,
-    "ivf_ann_topk": _ivf_ann_spark,
-    "multimodal_features": _multimodal_features_spark,
-    "bpe_tokenize": _bpe_tokenize_spark,
-    "sketch_profile": _sketch_profile_spark,
-}
-
-# Every rows-only entry is hardened one of two ways, so a rows-only driver
-# check is never the whole story:
-#   - ORACLE_TWINS: a full-oracle registry entry exercises the SAME operator
-#     with deterministically reproducible parameters (mmr_exact runs
-#     operators/retrieval.mmr_rerank against a DuckDB re-implementation of
-#     the greedy selection; ivf_full_probe_topk runs IVFIndex with
-#     nprobe=n_centroids, where pruning is lossless and the result equals
-#     exact top-k).
-#   - SELF_AUDITED: the query emits in-query invariant columns a rows-check
-#     records (bpe: corpus char conservation vs a JVM-side recount;
-#     sketch_profile: *_within_bound error-contract booleans vs exact
-#     aggregates; multimodal: JVM sha2 recomputation of the Python decode).
-ORACLE_TWINS: dict[str, str] = {
-    "mmr_rerank": "mmr_exact",
-    "ivf_ann_topk": "ivf_full_probe_topk",
-}
-SELF_AUDITED: dict[str, str] = {
-    "bpe_tokenize": "audit_chars_conserved",
-    "sketch_profile": "users_within_bound",
-    "multimodal_features": "audit_ok",
-}
-
-
-# ---------------------------------------------------------------------------
-# PII redaction, temperature sampling, tokenizer fertility, SemDeDup-style
-# semantic dedup, DSIR-style importance weighting. All dual-dialect, all
-# driver-hashable outputs (scalar columns, round6 floats, exact-int counts).
-# ---------------------------------------------------------------------------
-
-# Backslash-free so the pattern strings survive BOTH engines' string-literal
-# escape handling unchanged (the \b/\d forms in text_analysis.PII_PATTERNS
-# are Spark-side column expressions, not SQL literals).
-_PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
-_PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
-_PII_IP_RE = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
-
-
-def _pii_stats_sql(d: str, rel: str = "documents") -> str:
-    """The PII augment→detect→redact→per-source-audit SQL over relation
-    `rel` — shared by the batch template and the streaming runner."""
-    email = "' contact user' || CAST(doc_id AS STRING) || '@example.com now'"
-    phone = (
-        "' call 555-' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0')"
-        " || '-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' soon'"
-    )
-    ip = (
-        "' from 10.' || CAST(doc_id % 256 AS STRING) || '.'"
-        " || CAST(doc_id % 250 AS STRING) || '.7 today'"
-    )
-    red = P.regexp_replace_all(
-        P.regexp_replace_all(
-            P.regexp_replace_all("text", _PII_EMAIL_RE, "<EMAIL>", d),
-            _PII_PHONE_RE,
-            "<PHONE>",
-            d,
-        ),
-        _PII_IP_RE,
-        "<IP>",
-        d,
-    )
-    return f"""
-WITH aug AS (
-  SELECT doc_id, source,
-         text
-         || CASE WHEN doc_id % 5 = 0 THEN {email} ELSE '' END
-         || CASE WHEN doc_id % 7 = 0 THEN {phone} ELSE '' END
-         || CASE WHEN doc_id % 11 = 0 THEN {ip} ELSE '' END AS text
-  FROM {rel}
-),
-det AS (
-  SELECT source,
-         {P.regexp_count_portable('text', _PII_EMAIL_RE, d)} AS n_email,
-         {P.regexp_count_portable('text', _PII_PHONE_RE, d)} AS n_phone,
-         {P.regexp_count_portable('text', _PII_IP_RE, d)} AS n_ip,
-         length(text) - length({red}) AS delta
-  FROM aug
-)
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_email) AS BIGINT) AS n_emails,
-       CAST(SUM(n_phone) AS BIGINT) AS n_phones,
-       CAST(SUM(n_ip) AS BIGINT) AS n_ips,
-       CAST(SUM(delta) AS BIGINT) AS chars_redacted
-FROM det
-GROUP BY source
-ORDER BY source
-"""
-
-
-def pii_redaction_stats(d: str) -> str:
-    """Training-corpus PII scrub audit — the oracle-checked twin of
-    `operators/text_analysis.redact_pii`. The driver corpus is digit-free
-    word soup, so detection over raw text would be vacuous: a deterministic
-    synthetic-PII augmentation (emails/phones/IPv4 derived from doc_id)
-    makes the regex machinery earn its result. Detect per kind, redact
-    most-specific-first, report per-source counts and redacted char mass.
-    All-JVM regexp chain on the Spark side (codegen-eligible — what a
-    100 TB scrub pass needs); every output is an exact integer."""
-    return _pii_stats_sql(d)
-
-
-def domain_temperature_weights(d: str) -> str:
-    """Temperature-scaled language sampling — the p_l^alpha rebalance used by
-    multilingual corpora (mC4 / XLM-R recipe, alpha = 0.3): per-language raw
-    share, temperature-scaled share, and the implied up/down-sampling boost.
-    After the first GROUP BY everything is a language-histogram-sized dim
-    (dozens of rows at ANY corpus scale), so the whole tail is free."""
-    return """
-WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
-t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c),
-w AS (SELECT lang, n, n / t.total AS p, pow(n / t.total, 0.3) AS pa FROM c CROSS JOIN t),
-z AS (SELECT SUM(pa) AS zsum FROM w)
-SELECT w.lang,
-       CAST(w.n AS BIGINT) AS n_docs,
-       CAST(round(w.p, 6) AS DOUBLE) AS p_raw,
-       CAST(round(w.pa / z.zsum, 6) AS DOUBLE) AS p_temp,
-       CAST(round((w.pa / z.zsum) / w.p, 6) AS DOUBLE) AS boost
-FROM w CROSS JOIN z
-ORDER BY w.lang
-"""
-
-
-def tokenizer_fertility(d: str) -> str:
-    """Per-language tokenizer fertility profile (tokens per 100 chars, mean
-    token length) — the standard sanity table before committing a tokenizer
-    to a multilingual corpus. Token-char mass is length(text minus spaces),
-    identical to sum-of-token-lengths under the whitespace tokenizer, so
-    every aggregate is an exact integer and the two divisions at the end are
-    the only float ops."""
-    toks = P.tokens("text", d)
-    return f"""
-WITH t AS (
-  SELECT lang,
-         {P.list_len(toks, d)} AS n_tok,
-         length(text) AS n_chars,
-         length(replace(text, ' ', '')) AS tok_chars
-  FROM documents
-)
-SELECT lang,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       CAST(round(SUM(n_tok) * 100.0 / SUM(n_chars), 6) AS DOUBLE) AS tokens_per_100_chars,
-       CAST(round(SUM(tok_chars) * 1.0 / SUM(n_tok), 6) AS DOUBLE) AS avg_token_len
-FROM t
-GROUP BY lang
-ORDER BY lang
-"""
-
-
-SEMDEDUP_CAP, SEMDEDUP_K, SEMDEDUP_SIM = 1500, 8, 0.35
-
-
-def _semdedup_v_sql(d: str) -> str:
-    """The normalized-vector relation SemDeDup runs over (vec_id, v, nrm)."""
-    v = P.to_double_array("embedding", d)
-    return (
-        f"SELECT vec_id, {v} AS v, {P.norm2(v, d)} AS nrm "
-        f"FROM embeddings WHERE vec_id < {SEMDEDUP_CAP}"
-    )
-
-
-def _semdedup_assign_cte(d: str, rel: str = "v") -> str:
-    """CTE chain fragment: argmax-cosine centroid assignment over `rel`,
-    ending in av(vec_id, v, nrm, cid). Prepend `WITH `."""
-    asim = f"{P.dot('a.v', 'c.cv', d)} / (a.nrm * c.cn)"
-    return f"""c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM {rel} WHERE vec_id < {SEMDEDUP_K}),
-s AS (SELECT a.vec_id, c.cid, {asim} AS sim FROM {rel} a CROSS JOIN c),
-asg AS (
-  SELECT vec_id, cid FROM (
-    SELECT vec_id, cid,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
-    FROM s
-  ) r WHERE rn = 1
-),
-av AS (SELECT t.vec_id, t.v, t.nrm, asg.cid FROM {rel} t JOIN asg ON t.vec_id = asg.vec_id)"""
-
-
-def _semdedup_final_sql(d: str, rel: str = "av") -> str:
-    """Intra-cluster prune + per-cluster rollup over the assigned relation
-    `rel` (vec_id, v, nrm, cid)."""
-    psim = f"{P.dot('a.v', 'b.v', d)} / (a.nrm * b.nrm)"
-    return f"""
-WITH dup AS (
-  SELECT DISTINCT b.vec_id AS vid
-  FROM {rel} a JOIN {rel} b ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE round({psim}, 6) >= {SEMDEDUP_SIM}
-)
-SELECT {rel}.cid AS cluster_id,
-       CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       CAST(COUNT(dup.vid) AS BIGINT) AS n_dropped,
-       CAST(COUNT(*) - COUNT(dup.vid) AS BIGINT) AS n_kept
-FROM {rel} LEFT JOIN dup ON {rel}.vec_id = dup.vid
-GROUP BY {rel}.cid
-ORDER BY {rel}.cid
-"""
-
-
-def semantic_dedup_clusters(d: str) -> str:
-    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
-    space, then inside each cluster drop all-but-one of every pair with
-    cosine >= threshold (lowest-id-wins keep policy). Deterministic oracle
-    form: the 8 lowest-id vectors are the fixed coarse centroids, assignment
-    is argmax cosine with an exact centroid-id tie-break. The quadratic step
-    is bounded WITHIN a cluster (n²/k, the whole point of the method); the
-    production scale path is `embedding_cosine_pairs`' distributed pair
-    machinery (triangle-inequality cluster-pair pruning + tiled BLAS)
-    feeding this same keep policy, and vec_id < CAP keeps the oracle's
-    self-join bench-proportionate. The Spark runner materializes the
-    assigned relation once (`_semantic_dedup_spark`)."""
-    final = _semdedup_final_sql(d).lstrip()
-    assert final.startswith("WITH ")
-    return (
-        f"WITH v AS ({_semdedup_v_sql(d)}),\n"
-        f"{_semdedup_assign_cte(d)},\n"
-        f"{final[len('WITH '):]}"
-    )
-
-
-def dsir_importance_weights(d: str) -> str:
-    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169): score
-    each document by its mean token log-likelihood ratio between a TARGET
-    unigram model (the 'en' slice here) and the full-corpus model, add-1
-    smoothed over the corpus vocabulary — the cheap importance-resampling
-    filter for steering a 100 TB crawl toward a target distribution. Shape:
-    one token explode feeds a vocab-sized count dim; the scoring join
-    broadcasts that dim back; document text never shuffles."""
-    toks = P.tokens("text", d)
-    if d == "spark":
-        tok = f"SELECT doc_id, lang, tk FROM documents LATERAL VIEW explode({toks}) t AS tk"
-    else:
-        tok = f"SELECT doc_id, lang, unnest({toks}) AS tk FROM documents"
-    return f"""
-WITH tok AS ({tok}),
-vocab AS (
-  SELECT tk,
-         CAST(COUNT(*) AS DOUBLE) AS cs,
-         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS ct
-  FROM tok GROUP BY tk
-),
-tot AS (SELECT SUM(cs) AS ns, SUM(ct) AS nt, COUNT(*) AS vsz FROM vocab),
-scored AS (
-  SELECT tok.doc_id AS doc_id,
-         SUM(ln(((vocab.ct + 1) / (tot.nt + tot.vsz)) / ((vocab.cs + 1) / (tot.ns + tot.vsz)))) AS lr,
-         COUNT(*) AS n_tok
-  FROM tok JOIN vocab ON tok.tk = vocab.tk CROSS JOIN tot
-  GROUP BY tok.doc_id
-)
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(n_tok AS BIGINT) AS n_tok,
-       round(lr / n_tok, 6) + 0.0 AS avg_log_ratio,
-       CASE WHEN lr > 0 THEN 'target-like' ELSE 'generic' END AS verdict
-FROM scored
-ORDER BY doc_id
-"""
-
-
-def streaming_pii_scrub(d: str) -> str:
-    """Batch oracle for the Structured-Streaming PII scrub (the stream over
-    a static directory must equal the batch pipeline exactly)."""
-    return _pii_stats_sql(d)
-
-
-WINNOW_NGRAM, WINNOW_W = 3, 4
-
-
-def winnowing_fingerprints(d: str) -> str:
-    """Robust winnowing (Schleimer et al., SIGMOD 2003 — the MOSS
-    fingerprinting scheme): hash word 3-grams, slide a w=4 window over the
-    hash sequence, keep each window's minimum; the distinct selected minima
-    are the document's fingerprints (guaranteed-gap sampling: any shared
-    word run of length >= w + ngram yields a shared fingerprint). Per doc:
-    gram count, fingerprint count/density, and the number of fingerprints
-    shared with ANY other document — the clone-detection signal. Shape: the
-    window-min selection is a narrow per-row array transform (no explode
-    until the already-winnowed fingerprints), and the fingerprint-DF dim
-    pre-aggregates map-side; text never shuffles."""
-    final = _winnow_final_sql(d).lstrip()
-    assert final.startswith("WITH ")
-    return f"WITH w AS ({_winnow_w_sql(d)}),\n{final[len('WITH '):]}"
-
-
-def _winnow_w_sql(d: str) -> str:
-    """Per-doc winnowed relation (doc_id, n_grams, n_fp, fps)."""
-    hs = P.shingle_hashes("text", WINNOW_NGRAM, d)
-    n_win = f"greatest(1, {P.list_len('hs', d)} - {WINNOW_W - 1})"
-    win_min = P.list_min(P.subvec("hs", "i", WINNOW_W, d), d)
-    if d == "spark":
-        sel = f"transform(sequence(1, {n_win}), i -> {win_min})"
-    else:
-        sel = f"list_transform(generate_series(1, {n_win}), i -> {win_min})"
-    fps = P.list_distinct(sel, d)
-    return (
-        f"SELECT doc_id, {P.list_len('hs', d)} AS n_grams, "
-        f"{P.list_len(fps, d)} AS n_fp, {fps} AS fps "
-        f"FROM (SELECT doc_id, {hs} AS hs FROM documents) b"
-    )
-
-
-def _winnow_final_sql(d: str, rel: str = "w") -> str:
-    """Fingerprint-DF rollup over the winnowed relation `rel`."""
-    if d == "spark":
-        fp = f"SELECT doc_id, f FROM {rel} LATERAL VIEW explode(fps) t AS f"
-    else:
-        fp = f"SELECT doc_id, unnest(fps) AS f FROM {rel}"
-    return f"""
-WITH fp AS ({fp}),
-dfreq AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS df FROM fp GROUP BY f),
-sh AS (
-  SELECT fp.doc_id AS doc_id,
-         SUM(CASE WHEN dfreq.df > 1 THEN 1 ELSE 0 END) AS n_shared
-  FROM fp JOIN dfreq ON fp.f = dfreq.f
-  GROUP BY fp.doc_id
-)
-SELECT CAST({rel}.doc_id AS BIGINT) AS doc_id,
-       CAST({rel}.n_grams AS BIGINT) AS n_grams,
-       CAST({rel}.n_fp AS BIGINT) AS n_fingerprints,
-       CAST(round({rel}.n_fp * 1.0 / {rel}.n_grams, 6) AS DOUBLE) AS fp_density,
-       CAST(sh.n_shared AS BIGINT) AS n_shared_fp
-FROM {rel} JOIN sh ON {rel}.doc_id = sh.doc_id
-ORDER BY doc_id
-"""
-
-
-def _winnowing_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner for winnowing_fingerprints: materialize the per-doc
-    winnowed relation ONCE — Spark's CTE inlining otherwise recomputes the
-    md5-shingle + window-min pipeline on every reference (measured 46 s vs
-    ~2 s at sf0.01). DuckDB materializes multiply-referenced CTEs itself."""
-    register_views(spark, sf_dir, tables=("documents",))
-    name = _materialized_view(spark, _winnow_w_sql("spark"), "winnow")
-    return _sql_dropping(spark, _winnow_final_sql("spark", rel=name), name)
-
-
-TEMPLATES["streaming_pii_scrub"] = streaming_pii_scrub
-TEMPLATES["pii_redaction_stats"] = pii_redaction_stats
-def scd2_purchase_history(d: str) -> str:
-    """SCD-type-2 history build from an append-only event log: each user's
-    purchase stream becomes interval rows (valid_from, valid_to, is_current)
-    via LEAD — the standard warehouse shape for reconstructing mutable state
-    from CDC without a mutable table. One shuffle on the key (window
-    partition); at scale the log is already ingest-partitioned by key-hash
-    so the window sorts locally."""
-    return f"""
-SELECT user_id,
-       valid_from,
-       COALESCE(next_ts, CAST(9223372036854775807 AS BIGINT)) AS valid_to,
-       CAST(round(value, 6) AS DOUBLE) AS value,
-       CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
-FROM (
-  SELECT user_id, {_ts_us(d)} AS valid_from, value,
-         LEAD({_ts_us(d)}) OVER (PARTITION BY user_id ORDER BY {_ts_us(d)} ASC, event_id ASC) AS next_ts
-  FROM events WHERE event_type = 'purchase'
-) t
-ORDER BY user_id, valid_from
-"""
-
-
-def lang_confusion_matrix(d: str) -> str:
-    """Classifier evaluation in-engine: confusion matrix of the lang-id
-    heuristic (text_analysis.lang_id_sql) against the corpus's labeled lang
-    column, with each cell's share of its true-language row. The eval is one
-    grouped count over a narrow projection — at 100 TB you eval the
-    classifier the same way you run it, no sampling export step. Exact-int
-    cells; the share divides two ints."""
-    det = TA.lang_id_sql("text", d)
-    return f"""
-WITH m AS (
-  SELECT lang AS true_lang, {det} AS detected_lang, CAST(COUNT(*) AS BIGINT) AS n
-  FROM documents
-  GROUP BY lang, {det}
-)
-SELECT true_lang, detected_lang, n,
-       CAST(round(n * 1.0 / SUM(n) OVER (PARTITION BY true_lang), 6) AS DOUBLE) AS frac_of_true
-FROM m
-ORDER BY true_lang, detected_lang
-"""
-
-
-TEMPLATES["winnowing_fingerprints"] = winnowing_fingerprints
-TEMPLATES["scd2_purchase_history"] = scd2_purchase_history
-def trailing_hour_stats(d: str) -> str:
-    """Time-based RANGE window frame (the frame type the rest of the
-    registry's ROWS frames don't cover): per user, each event's count and
-    exact-decimal mean of `value` over the TRAILING HOUR by event time —
-    the physical-time sliding aggregate a feature store computes per
-    interaction. RANGE on epoch-micros shuffles once on the key; frame
-    bounds are evaluated on the sorted run, no self-join."""
-    w = (
-        f"(PARTITION BY user_id ORDER BY {_ts_us(d)} "
-        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
-    )
-    return f"""
-SELECT user_id, event_id,
-       CAST({_ts_us(d)} AS BIGINT) AS ts_us,
-       CAST(COUNT(*) OVER {w} AS BIGINT) AS n_trailing_hour,
-       CAST(round(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER {w} AS DOUBLE)
-                  / COUNT(*) OVER {w}, 6) AS DOUBLE) AS avg_trailing_hour
-FROM events
-WHERE user_id % 7 = 0
-ORDER BY user_id, ts_us, event_id
-"""
-
-
-TEMPLATES["lang_confusion_matrix"] = lang_confusion_matrix
-def _source_vocab_sg_sql(d: str) -> str:
-    """Distinct (source, token) relation — the vocab-sized core the overlap
-    matrix joins over."""
-    grams = P.word_ngrams("text", 1, d)
-    if d == "spark":
-        tok = f"SELECT source, g FROM documents LATERAL VIEW explode({grams}) t0 AS g"
-    else:
-        tok = f"SELECT source, unnest({grams}) AS g FROM documents"
-    return f"SELECT DISTINCT source, g FROM ({tok}) t"
-
-
-def _source_vocab_final_sql(d: str, rel: str = "sg") -> str:
-    return f"""
-WITH sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM {rel} GROUP BY source),
-inter AS (
-  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS ni
-  FROM {rel} a JOIN {rel} b ON a.g = b.g AND a.source < b.source
-  GROUP BY a.source, b.source
-)
-SELECT i.sa AS source_a, i.sb AS source_b, i.ni AS n_shared,
-       CAST(round(i.ni * 1.0 / (x.n + y.n - i.ni), 6) AS DOUBLE) AS vocab_jaccard
-FROM inter i JOIN sz x ON i.sa = x.source JOIN sz y ON i.sb = y.source
-ORDER BY source_a, source_b
-"""
-
-
-def source_vocab_overlap(d: str) -> str:
-    """Pairwise source-level vocabulary Jaccard — the domain-similarity
-    matrix behind mixture design (which domains are near-duplicates of each
-    other vs genuinely diverse). Distinct (source, token) pre-aggregates
-    map-side to vocab size; the self-join carries only tokens, and the
-    output is |sources|² rows — driver-tiny at any corpus scale. Spark
-    runner materializes the distinct-token relation once (it feeds both
-    self-join sides plus the size dim)."""
-    final = _source_vocab_final_sql(d).lstrip()
-    assert final.startswith("WITH ")
-    return f"WITH sg AS ({_source_vocab_sg_sql(d)}),\n{final[len('WITH '):]}"
-
-
-def _source_vocab_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, tables=("documents",))
-    name = _materialized_view(spark, _source_vocab_sg_sql("spark"), "svocab")
-    return _sql_dropping(spark, _source_vocab_final_sql("spark", rel=name), name)
-
-
-TEMPLATES["trailing_hour_stats"] = trailing_hour_stats
-def event_markov_transitions(d: str) -> str:
-    """First-order event-type transition matrix (sequence-model prep): per
-    user, LAG over the time-ordered stream gives consecutive pairs; the
-    grouped count + per-from-state share IS the empirical Markov kernel.
-    One key-partitioned window + one grouped agg — the sequence never
-    leaves its user partition."""
-    return f"""
-WITH seq AS (
-  SELECT event_type AS to_state,
-         LAG(event_type) OVER (PARTITION BY user_id ORDER BY {_ts_us(d)} ASC, event_id ASC) AS from_state
-  FROM events
-),
-m AS (
-  SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
-  FROM seq WHERE from_state IS NOT NULL
-  GROUP BY from_state, to_state
-)
-SELECT from_state, to_state, n,
-       CAST(round(n * 1.0 / SUM(n) OVER (PARTITION BY from_state), 6) AS DOUBLE) AS p
-FROM m
-ORDER BY from_state, to_state
-"""
-
-
-def source_lang_entropy(d: str) -> str:
-    """Per-source language-mix Shannon entropy — the diversity scalar for
-    mixture design (a source with entropy 0 is monolingual; log|langs| is a
-    uniform mix). Language histogram per source is dim-sized; entropy is a
-    second tiny agg over it."""
-    return """
-WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source, lang),
-t AS (SELECT source, CAST(SUM(n) AS DOUBLE) AS tot FROM c GROUP BY source)
-SELECT c.source,
-       CAST(COUNT(*) AS BIGINT) AS n_langs,
-       CAST(round(-SUM((c.n / t.tot) * ln(c.n / t.tot)), 6) + 0.0 AS DOUBLE) AS lang_entropy
-FROM c JOIN t ON c.source = t.source
-GROUP BY c.source
-ORDER BY c.source
-"""
-
-
-def tfidf_top_terms(d: str) -> str:
-    """Per-document TF-IDF top terms — the classic keyword/representation
-    signal next to BM25 (bm25_topk scores QUERY matches; this characterizes
-    each document). Shape: one token explode -> per-(doc, token) counts;
-    document frequency collapses the same relation to a vocab-sized dim that
-    joins back (broadcastable at any corpus scale); per-doc top-3 via a
-    window PARTITIONED by doc_id — no global sort, text never shuffles.
-    Smoothed idf = ln((N+1)/(df+1)) + 1 (sklearn's convention) keeps every
-    term positive and engine-identical. Deterministic doc subset keeps the
-    bench slice proportionate."""
-    toks = P.tokens("text", d)
-    if d == "spark":
-        tok = f"SELECT doc_id, tok FROM documents LATERAL VIEW explode({toks}) t AS tok WHERE doc_id % 10 = 0"
-    else:
-        tok = f"SELECT doc_id, unnest({toks}) AS tok FROM documents WHERE doc_id % 10 = 0"
-    return f"""
-WITH tk AS ({tok}),
-tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM tk GROUP BY doc_id, tok),
-df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tk GROUP BY tok),
-n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tk),
-scored AS (
-  SELECT tf.doc_id, tf.tok,
-         tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
-  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
-),
-ranked AS (
-  SELECT doc_id, tok, tfidf,
-         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rk
-  FROM scored
-)
-SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rk AS INT) AS rank, tok AS term,
-       CAST(round(tfidf, 6) AS DOUBLE) AS tfidf
-FROM ranked
-WHERE rk <= 3
-ORDER BY doc_id, rank
-"""
-
-
-def kl_divergence_by_source(d: str) -> str:
-    """Per-source token-distribution KL divergence from the corpus
-    distribution — the domain-shift scalar for mixture design (PSI tracks a
-    binned numeric column over time; this compares each source's unigram
-    LANGUAGE MODEL against the corpus). Laplace-smoothed over the corpus
-    vocab so KL is finite for vocab subsets.
-
-    The naive full KL needs a source x vocab OUTER join (every source paired
-    with every corpus term — quadratic-ish blowup at 100 TB vocab). This
-    form is EXACT full-support KL with no outer join: for terms absent from
-    a source, p is the constant p0 = 1/(tot+V), so their contribution
-    collapses algebraically to
-        p0 * ((V - n_present)*ln(p0) - (L - sum_present ln(q)))
-    where L = sum over the whole vocab of ln(q) is ONE corpus scalar.
-    Shape: one token explode -> (source, token) counts; everything else is
-    dim-sized aggs over that counted relation; output is source-dim-sized."""
-    toks = P.tokens("text", d)
-    if d == "spark":
-        tok = f"SELECT source, tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
-    else:
-        tok = f"SELECT source, unnest({toks}) AS tok FROM documents"
-    return f"""
-WITH tk AS ({tok}),
-sc AS (SELECT source, tok, CAST(COUNT(*) AS DOUBLE) AS c FROM tk GROUP BY source, tok),
-corp AS (SELECT tok, CAST(SUM(c) AS DOUBLE) AS c FROM sc GROUP BY tok),
-v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vocab, CAST(SUM(c) AS DOUBLE) AS total FROM corp),
-lq AS (SELECT CAST(SUM(ln((corp.c + 1.0) / (v.total + v.vocab))) AS DOUBLE) AS l
-       FROM corp CROSS JOIN v),
-st AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS tot FROM sc GROUP BY source),
-terms AS (
-  SELECT sc.source, st.tot,
-         (sc.c + 1.0) / (st.tot + v.vocab) AS p,
-         (corp.c + 1.0) / (v.total + v.vocab) AS q
-  FROM sc
-  JOIN corp ON sc.tok = corp.tok
-  JOIN st ON sc.source = st.source
-  CROSS JOIN v
-),
-agg AS (
-  SELECT source,
-         SUM(p * ln(p / q)) AS present_kl,
-         SUM(ln(q)) AS present_lnq,
-         CAST(COUNT(*) AS DOUBLE) AS n_present,
-         MAX(tot) AS tot
-  FROM terms
-  GROUP BY source
-)
-SELECT a.source,
-       CAST(round(a.present_kl
-         + (1.0 / (a.tot + v.vocab))
-           * ((v.vocab - a.n_present) * ln(1.0 / (a.tot + v.vocab))
-              - (lq.l - a.present_lnq)), 6) + 0.0 AS DOUBLE) AS kl_from_corpus,
-       CAST(a.n_present AS BIGINT) AS n_terms
-FROM agg a CROSS JOIN v CROSS JOIN lq
-ORDER BY a.source
-"""
-
-
-def zipf_alpha_by_lang(d: str) -> str:
-    """Zipf-law exponent per language — the corpus-health diagnostic for LM
-    data (natural text sits near alpha ~= 1; far-off values flag boilerplate
-    floods or synthetic/templated text). OLS fit of ln(freq) on ln(rank)
-    over each language's top-500 tokens, closed-form slope from the five
-    classic sums — deterministic on both engines, no regr_* dependency.
-    Shape: token explode -> (lang, token) counts (map-side combinable);
-    ranking window is PARTITIONED by lang over the vocab-sized count
-    relation; the fit aggregates 500 rows per lang. r2 reports fit quality
-    so a low-alpha verdict can't hide a non-power-law distribution.
-    Degenerate languages (one distinct token: no x variance; all counts
-    equal: no y variance) yield NULL alpha/r2 on BOTH engines — without the
-    guards Spark's ANSI mode throws DIVIDE_BY_ZERO where DuckDB returns
-    NULL, an engine divergence."""
-    toks = P.tokens("text", d)
-    if d == "spark":
-        tok = f"SELECT lang, tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
-    else:
-        tok = f"SELECT lang, unnest({toks}) AS tok FROM documents"
-    return f"""
-WITH tk AS ({tok}),
-tf AS (SELECT lang, tok, CAST(COUNT(*) AS DOUBLE) AS c FROM tk GROUP BY lang, tok),
-ranked AS (
-  SELECT lang, c, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok ASC) AS rk
-  FROM tf
-),
-pts AS (
-  SELECT lang, ln(CAST(rk AS DOUBLE)) AS x, ln(c) AS y
-  FROM ranked WHERE rk <= 500
-),
-fit AS (
-  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
-         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
-         SUM(x * x) AS sxx, SUM(y * y) AS syy
-  FROM pts GROUP BY lang
-)
-SELECT lang, CAST(n AS BIGINT) AS n_terms,
-       CAST(round(CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
-                       ELSE -(n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) + 0.0
-            AS DOUBLE) AS zipf_alpha,
-       CAST(round(CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN NULL
-                       ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                            / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
-            AS DOUBLE) AS r2
-FROM fit
-ORDER BY lang
-"""
-
-
-TEMPLATES["tfidf_top_terms"] = tfidf_top_terms
-TEMPLATES["kl_divergence_by_source"] = kl_divergence_by_source
-TEMPLATES["zipf_alpha_by_lang"] = zipf_alpha_by_lang
-TEMPLATES["source_vocab_overlap"] = source_vocab_overlap
-TEMPLATES["event_markov_transitions"] = event_markov_transitions
-TEMPLATES["source_lang_entropy"] = source_lang_entropy
-SPARK_OVERRIDES["source_vocab_overlap"] = _source_vocab_spark
-SPARK_OVERRIDES["winnowing_fingerprints"] = _winnowing_spark
-TEMPLATES["domain_temperature_weights"] = domain_temperature_weights
-TEMPLATES["tokenizer_fertility"] = tokenizer_fertility
-TEMPLATES["semantic_dedup_clusters"] = semantic_dedup_clusters
-TEMPLATES["dsir_importance_weights"] = dsir_importance_weights
-
-
-SPAN_GRAM = 20  # char-gram width for repeated-span detection
-
-
-def _span_grams_sql(d: str, rel: str = "documents") -> str:
-    """(doc_id, pos, g): every positioned char SPAN_GRAM-gram of each doc.
-    Raw gram strings, not hashes: an A/B at sf0.1 measured the md5-hashed
-    variant SLOWER (8.8 s vs 6.3 s warm) — 1.4M md5+conv evaluations cost
-    more than shuffling 20-char strings. At real cluster scale with network
-    shuffle the hash trades the other way; flip here if profiling says so."""
-    n = SPAN_GRAM
-    if d == "spark":
-        return (
-            f"SELECT doc_id, j AS pos, substring(text, j, {n}) AS g "
-            f"FROM {rel} LATERAL VIEW explode(sequence(1, length(text) - {n - 1})) t AS j "
-            f"WHERE length(text) >= {n}"
-        )
-    return (
-        f"SELECT doc_id, pos, substring(text, pos, {n}) AS g FROM ("
-        f"SELECT doc_id, unnest(generate_series(1, length(text) - {n - 1})) AS pos, text "
-        f"FROM {rel} WHERE length(text) >= {n}) t0"
-    )
-
-
-def _span_stats_final_sql(d: str, rel: str) -> str:
-    return f"""
-WITH rep AS (
-  SELECT g FROM {rel}
-  GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)
-),
-hits AS (
-  SELECT h.doc_id, h.pos, h.pos + {SPAN_GRAM - 1} AS e
-  FROM {rel} h JOIN rep ON h.g = rep.g
-),
-isl AS (
-  SELECT doc_id, pos, e,
-         CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-              THEN 1 ELSE 0 END AS brk
-  FROM hits
-),
-sp AS (
-  SELECT doc_id, MIN(pos) AS s, MAX(e) AS e
-  FROM (
-    SELECT doc_id, pos, e,
-           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ASC
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-    FROM isl
-  ) t
-  GROUP BY doc_id, island
-)
-SELECT sp.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_spans,
-       CAST(SUM(sp.e - sp.s + 1) AS BIGINT) AS covered_chars,
-       CAST(round(SUM(sp.e - sp.s + 1) * 1.0 / doc.n_chars, 6) AS DOUBLE) AS repeated_frac
-FROM sp JOIN documents doc ON sp.doc_id = doc.doc_id
-GROUP BY sp.doc_id, doc.n_chars
-ORDER BY sp.doc_id
-"""
-
-
-def repeated_span_stats(d: str) -> str:
-    """Exact-substring repeated-span profile (the Lee et al. 2022
-    "Deduplicating Training Data Makes Language Models Better" signal,
-    re-expressed relationally): every positioned char 20-gram that occurs in
-    more than one document marks a repeated region; per document the hit
-    intervals [pos, pos+19] are merged gaps-and-islands style (cumulative-max
-    window, no self-join) into maximal spans, then rolled up to
-    (n_spans, covered_chars, repeated_frac). A training pipeline cuts or
-    drops the spans; this emits the audit profile. Shape: one positioned
-    explode (corpus-chars rows) feeds the cross-doc test (one grouped agg —
-    "in >1 distinct doc" is MIN(doc_id) <> MAX(doc_id), so the partials are
-    two bigints, not a distinct set) and a semi-join back; the windows are
-    doc-partitioned. At 100 TB the
-    gram string never shuffles twice: hash the gram (xxhash64) for the DF
-    key and keep positions partition-local — the Spark runner materializes
-    the gram relation once so the explode isn't recomputed per consumer."""
-    grams = _span_grams_sql(d)
-    return f"WITH grams AS ({grams}),\n{_span_stats_final_sql(d, 'grams').lstrip()[len('WITH '):]}"
-
-
-def _repeated_span_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # documents arrives pre-spread via register_views (_SPREAD_TABLES), so
-    # the explode+window pipeline parallelizes; the gram relation is
-    # materialized once because it feeds the cross-doc agg AND the hits join.
-    register_views(spark, sf_dir, tables=("documents",))
-    name = _materialized_view(spark, _span_grams_sql("spark"), "spangrams")
-    return _sql_dropping(spark, _span_stats_final_sql("spark", name), name)
-
-
-def data_quality_profile(d: str) -> str:
-    """Deequ-style data-quality report over `orders`: one wide aggregation
-    pass computes size, per-column completeness, distinctness, numeric
-    min/max/mean, and declarative constraint violations (non-negative price,
-    status domain, key uniqueness); the single-row wide result is unpivoted
-    to the long (metric, column, value) report shape. ONE scan, one global
-    agg (xchg=1) — the constraint checks are plain CASE aggregates so at
-    100 TB validation costs the same as any full-scan agg. Exact
-    COUNT(DISTINCT) here because the oracle must be exact; the mergeable
-    HLL/KLL variant for interactive profiling is `sketch_profile`."""
-    return """
-WITH w AS (
-  SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows,
-         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_cust,
-         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_price,
-         CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS dist_key,
-         CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) AS dist_status,
-         CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE) AS dist_prio,
-         CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
-         CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
-         CAST(AVG(o_totalprice) AS DOUBLE) AS avg_price,
-         CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS DOUBLE) AS viol_price,
-         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS DOUBLE) AS viol_status,
-         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE) AS viol_unique
-  FROM orders
-)
-SELECT metric, col, CAST(round(value, 6) AS DOUBLE) AS value FROM (
-  SELECT 'size' AS metric, '*' AS col, n_rows AS value FROM w
-  UNION ALL SELECT 'completeness', 'o_custkey', 1.0 - null_cust / n_rows FROM w
-  UNION ALL SELECT 'completeness', 'o_totalprice', 1.0 - null_price / n_rows FROM w
-  UNION ALL SELECT 'distinctness', 'o_orderkey', dist_key / n_rows FROM w
-  UNION ALL SELECT 'approx_distinct', 'o_orderstatus', dist_status FROM w
-  UNION ALL SELECT 'approx_distinct', 'o_orderpriority', dist_prio FROM w
-  UNION ALL SELECT 'min', 'o_totalprice', min_price FROM w
-  UNION ALL SELECT 'max', 'o_totalprice', max_price FROM w
-  UNION ALL SELECT 'mean', 'o_totalprice', avg_price FROM w
-  UNION ALL SELECT 'violations:non_negative', 'o_totalprice', viol_price FROM w
-  UNION ALL SELECT 'violations:in_domain', 'o_orderstatus', viol_status FROM w
-  UNION ALL SELECT 'violations:unique', 'o_orderkey', viol_unique FROM w
-) t
-ORDER BY metric, col
-"""
-
-
-PSI_BINS, PSI_LO, PSI_HI = 10, 0.0, 500.0  # events.value observed in [0, 500)
-
-
-def psi_value_drift(d: str) -> str:
-    """Population-stability-index drift monitor: per event_type, PSI of the
-    `value` distribution between a reference window (first half of the
-    month) and the current window. Fixed-width bins over a pinned range keep
-    the binning deterministic and engine-identical; additive 0.5 smoothing
-    avoids ln(0) on empty bins. Shape: one scan bins every event
-    ((type, window, bin) grouped count — map-side combine), the per-type
-    totals and the PSI rollup operate on a bins×types dim. The standard
-    production check that a feature/corpus slice silently changed under the
-    model."""
-    width = (PSI_HI - PSI_LO) / PSI_BINS
-    b = f"LEAST(GREATEST(CAST(floor((value - {PSI_LO}) / {width}) AS INT), 0), {PSI_BINS - 1})"
-    half = "CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'ref' ELSE 'cur' END"
-    _ALLBINS = (
-        f"SELECT explode(sequence(0, {PSI_BINS - 1})) AS bin"
-        if d == "spark"
-        else f"SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS bin"
-    )
-    return f"""
-WITH binned AS (
-  SELECT event_type, {half} AS w, {b} AS bin, CAST(COUNT(*) AS BIGINT) AS n
-  FROM events GROUP BY event_type, {half}, {b}
-),
-tot AS (SELECT event_type, w, CAST(SUM(n) AS DOUBLE) AS t FROM binned GROUP BY event_type, w),
-grid AS (
-  -- ALL bins enumerated (not just observed ones) so the +0.5-per-bin
-  -- smoothing denominator is consistent and probabilities sum to 1;
-  -- totals LEFT-join so a type present in only ONE window — the most
-  -- extreme drift — still reports (its missing window becomes the uniform
-  -- smoothed distribution) instead of vanishing from the monitor
-  SELECT tt.event_type, bins.bin,
-         (COALESCE(r.n, 0) + 0.5) / (COALESCE(tr.t, 0.0) + {0.5 * PSI_BINS}) AS pr,
-         (COALESCE(c.n, 0) + 0.5) / (COALESCE(tc.t, 0.0) + {0.5 * PSI_BINS}) AS pc
-  FROM (SELECT DISTINCT event_type FROM binned) tt
-  CROSS JOIN ({_ALLBINS}) bins
-  LEFT JOIN tot tr ON tr.event_type = tt.event_type AND tr.w = 'ref'
-  LEFT JOIN tot tc ON tc.event_type = tt.event_type AND tc.w = 'cur'
-  LEFT JOIN binned r ON r.event_type = tt.event_type AND r.bin = bins.bin AND r.w = 'ref'
-  LEFT JOIN binned c ON c.event_type = tt.event_type AND c.bin = bins.bin AND c.w = 'cur'
-)
-SELECT event_type,
-       CAST(round(SUM((pc - pr) * ln(pc / pr)), 6) + 0.0 AS DOUBLE) AS psi,
-       CASE WHEN SUM((pc - pr) * ln(pc / pr)) < 0.1 THEN 'stable'
-            WHEN SUM((pc - pr) * ln(pc / pr)) < 0.25 THEN 'moderate'
-            ELSE 'shifted' END AS verdict
-FROM grid
-GROUP BY event_type
-ORDER BY event_type
-"""
-
-
-BIGRAM_LAMBDA = 0.7  # interpolation weight on the bigram term
-
-
-def bigram_logprob_quality(d: str) -> str:
-    """Interpolated bigram language-model quality score (the KenLM-lite
-    upgrade over `unigram_logprob_quality`): each document's mean
-    ln(λ·P(w2|w1) + (1-λ)·P(w2)) under the CORPUS bigram/unigram counts.
-    P(w2|w1) = c(w1 w2)/c(w1), P(w2) = c(w2)/N. Shape: the bigram explode
-    feeds a bigram-count dim and rejoins it; both unigram lookups join a
-    vocab-sized dim (broadcast-able at any corpus scale) — document text
-    never shuffles. Deterministic doc subset keeps the bench slice
-    proportionate with the unigram variant for comparison. The LIKE '% %'
-    guard (same as bigram_pmi_topk) drops word_ngrams' short-document
-    fallback: a doc with <2 tokens emits itself as its only "bigram", whose
-    split-part-2 lookup throws under Spark ANSI mode while DuckDB returns
-    '' — an engine-divergence landmine without the guard."""
-    bg = P.word_ngrams("text", 2, d)
-    ug = P.word_ngrams("text", 1, d)
-    if d == "spark":
-        bgx = f"SELECT doc_id, g FROM documents LATERAL VIEW explode({bg}) t AS g WHERE doc_id % 4 = 0"
-        ugx = f"SELECT doc_id, g FROM documents LATERAL VIEW explode({ug}) t AS g WHERE doc_id % 4 = 0"
-    else:
-        bgx = f"SELECT doc_id, unnest({bg}) AS g FROM documents WHERE doc_id % 4 = 0"
-        ugx = f"SELECT doc_id, unnest({ug}) AS g FROM documents WHERE doc_id % 4 = 0"
-    w1 = P.split_part1("bx.g", d)
-    w2 = P.split_part_last("bx.g", 2, d)
-    lam = BIGRAM_LAMBDA
-    return f"""
-WITH bx AS (SELECT * FROM ({bgx}) x0 WHERE g LIKE '% %'),
-ux AS ({ugx}),
-uc AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM ux GROUP BY g),
-n AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM uc),
-bc AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM bx GROUP BY g),
-scored AS (
-  SELECT bx.doc_id,
-         SUM(ln({lam} * (bc.c / u1.c) + {1.0 - lam} * (u2.c / n.t))) / COUNT(*) AS lp,
-         CAST(COUNT(*) AS BIGINT) AS n_bigrams
-  FROM bx
-  JOIN bc ON bx.g = bc.g
-  JOIN uc u1 ON {w1} = u1.g
-  JOIN uc u2 ON {w2} = u2.g
-  CROSS JOIN n
-  GROUP BY bx.doc_id
-)
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(round(lp, 6) AS DOUBLE) AS avg_bigram_logprob,
-       n_bigrams,
-       CASE WHEN lp >= -5.0 THEN 'keep' ELSE 'filter' END AS verdict
-FROM scored
-ORDER BY doc_id
-"""
-
-
-# Dyadic weights (multiples of 1/16): every partial sum is exactly
-# representable in binary, so Σ w·count is bit-identical on both engines
-# REGARDLESS of float-addition order. With free-form literals (0.3, 1.2 ...)
-# the engines' different summation orders produced ulp-level z drift, which
-# the downstream bin/threshold amplified into whole-bin flips. Single source
-# of truth lives with the operator (pipeline.curate_corpus gates on the same
-# model).
-from oaim_sandbox_spark.operators.classifier import (  # noqa: E402
-    DEFAULT_BIAS as CLASSIFIER_BIAS,
-    DEFAULT_WEIGHTS as CLASSIFIER_WEIGHTS,
-)
-
-
-def _classifier_score_ctes(d: str) -> str:
-    """Shared CTE text (tok / wt / acc) for the classifier gate and its
-    calibration audit — one definition so the serving query and the audit
-    can never desynchronize."""
-    toks = P.tokens("text", d)
-    if d == "spark":
-        tok = f"SELECT doc_id, tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
-    else:
-        tok = f"SELECT doc_id, unnest({toks}) AS tok FROM documents"
-    vals = ", ".join(f"('{t}', CAST({w} AS DOUBLE))" for t, w in CLASSIFIER_WEIGHTS)
-    if d == "spark":
-        wtab = f"SELECT col1 AS tok, col2 AS w FROM (VALUES {vals})"
-    else:
-        wtab = f"SELECT * FROM (VALUES {vals}) v(tok, w)"
-    return f"""tok AS ({tok}),
-wt AS ({wtab}),
-acc AS (
-  SELECT tok.doc_id, SUM(wt.w) AS z
-  FROM tok JOIN wt ON tok.tok = wt.tok
-  GROUP BY tok.doc_id
-)"""
-
-
-def classifier_quality_scores(d: str) -> str:
-    """Serving side of the fastText-style linear quality gate
-    (operators/classifier.py trains the weights; this applies them):
-    score = sigmoid(bias + Σ w(tok)·count(tok)) per document, keep/filter at
-    0.5. The weight table is model-sized (literal VALUES here — broadcast at
-    any corpus scale); the token explode inner-joins it, so out-of-vocabulary
-    tokens are dropped before the shuffle and the per-doc reduction is a
-    grouped sum with map-side combine. Documents with zero in-vocabulary
-    tokens score sigmoid(bias) via the left join back to the corpus."""
-    return f"""
-WITH {_classifier_score_ctes(d)}
-SELECT doc.doc_id,
-       CAST(round(1.0 / (1.0 + exp(-({CLASSIFIER_BIAS} + COALESCE(acc.z, 0.0)))), 6) AS DOUBLE) AS score,
-       CASE WHEN {CLASSIFIER_BIAS} + COALESCE(acc.z, 0.0) >= 0.0
-            THEN 'keep' ELSE 'filter' END AS verdict
-FROM documents doc LEFT JOIN acc ON doc.doc_id = acc.doc_id
-ORDER BY doc.doc_id
-"""
-
-
-def retrieval_eval_metrics(d: str) -> str:
-    """Offline retrieval evaluation in-engine: recall@10, MRR@10 and
-    binary-gain nDCG@10 per query over the exact cosine top-10, against a
-    deterministic sparse qrel set (portable hash of (query, doc) — ~1/25 of
-    the store relevant per query, engine-identical). This is how a 100 TB
-    pipeline scores a retriever without exporting run files: the ranked list
-    is the same one-scan-per-batch window as `knn_join_batch`; qrels and the
-    ideal-DCG sequence explode are dim-sized per query. IDCG uses
-    min(R, 10) terms so nDCG is exact, not clipped."""
-    dist = distance_expr("e.embedding", P.to_double_array("q.qv", d), "COSINE", d)
-    qrel = f"{P.hash_mod('concat(cast(q.query_id as string), chr(31), cast(e.vec_id as string))', d)} % 25 = 0"
-    if d == "spark":
-        iseq = "LATERAL VIEW explode(sequence(1, CAST(LEAST(r, 10) AS INT))) t AS i"
-        idcg = f"SELECT query_id, SUM(1.0 / log2(i + 1)) AS idcg FROM (SELECT query_id, i FROM nrel {iseq}) s GROUP BY query_id"
-    else:
-        idcg = "SELECT query_id, SUM(1.0 / log2(i + 1)) AS idcg FROM (SELECT query_id, unnest(generate_series(1, LEAST(r, 10)::INT)) AS i FROM nrel) s GROUP BY query_id"
-    return f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0),
-rel AS (
-  SELECT q.query_id, e.vec_id AS doc_id
-  FROM embeddings e CROSS JOIN q
-  WHERE e.vec_id <> q.query_id AND {qrel}
-),
-ranked AS (
-  SELECT query_id, neighbor_id, rank FROM (
-    SELECT q.query_id AS query_id, e.vec_id AS neighbor_id,
-           row_number() OVER (PARTITION BY q.query_id ORDER BY {dist} ASC, e.vec_id ASC) AS rank
-    FROM embeddings e CROSS JOIN q
-    WHERE e.vec_id <> q.query_id
-  ) s WHERE rank <= 10
-),
-nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS r FROM rel GROUP BY query_id),
-hits AS (
-  SELECT ranked.query_id, ranked.rank
-  FROM ranked JOIN rel ON ranked.query_id = rel.query_id AND ranked.neighbor_id = rel.doc_id
-),
-hagg AS (
-  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
-         MIN(rank) AS first_rank,
-         SUM(1.0 / log2(rank + 1)) AS dcg
-  FROM hits GROUP BY query_id
-),
-ideal AS ({idcg})
-SELECT nrel.query_id,
-       nrel.r AS n_relevant,
-       CAST(COALESCE(hagg.n_hits, 0) AS BIGINT) AS hits_at_10,
-       CAST(round(COALESCE(hagg.n_hits, 0) * 1.0 / nrel.r, 6) AS DOUBLE) AS recall_at_10,
-       CAST(round(COALESCE(1.0 / hagg.first_rank, 0.0), 6) AS DOUBLE) AS mrr_at_10,
-       CAST(round(COALESCE(hagg.dcg, 0.0) / ideal.idcg, 6) AS DOUBLE) AS ndcg_at_10
-FROM nrel
-JOIN ideal ON nrel.query_id = ideal.query_id
-LEFT JOIN hagg ON nrel.query_id = hagg.query_id
-ORDER BY nrel.query_id
-"""
-
-
-CMS_ROWS, CMS_WIDTH = 3, 512
-
-
-def countmin_token_topk(d: str) -> str:
-    """Count-min-sketch heavy hitters with an in-query exactness audit: the
-    sketch is CMS_ROWS x CMS_WIDTH grouped counts (fixed-size mergeable
-    state — the structure you'd keep per partition/window at 100 TB instead
-    of a full token shuffle), estimates are the min over rows of the
-    token's bucket counts, and the output compares the top-20 estimated
-    tokens against their exact counts (overestimate >= 0 always, = 0 when
-    no collision). Hashes are the portable md5 form so DuckDB builds the
-    identical sketch. The exact join here is the audit; production keeps
-    only the 1536-cell sketch."""
-    toks = P.tokens("text", d)
-    if d == "spark":
-        tok = f"SELECT tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
-    else:
-        tok = f"SELECT unnest({toks}) AS tok FROM documents"
-    rows = []
-    for r in range(CMS_ROWS):
-        h = P.hash_mod(f"concat('cms{r}:', tok)", d)
-        rows.append(f"SELECT {r} AS h_row, {h} % {CMS_WIDTH} AS bucket, tok FROM tok")
-    hashed = " UNION ALL ".join(rows)
-    return f"""
-WITH tok AS ({tok}),
-hashed AS ({hashed}),
-sketch AS (
-  SELECT h_row, bucket, CAST(COUNT(*) AS BIGINT) AS c
-  FROM hashed GROUP BY h_row, bucket
-),
-cand AS (SELECT DISTINCT h_row, bucket, tok FROM hashed),
-est AS (
-  SELECT cand.tok, MIN(sketch.c) AS est
-  FROM cand JOIN sketch ON cand.h_row = sketch.h_row AND cand.bucket = sketch.bucket
-  GROUP BY cand.tok
-),
-exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tok)
-SELECT est.tok, CAST(est.est AS BIGINT) AS est_count, exact.n AS exact_count,
-       CAST(est.est - exact.n AS BIGINT) AS overestimate
-FROM est JOIN exact ON est.tok = exact.tok
-ORDER BY est_count DESC, est.tok ASC
-LIMIT 20
-"""
-
-
-ECE_BINS = 8  # margin bins over z in [-8, 8), width 2 (dyadic edges)
-
-
-def classifier_calibration_ece(d: str) -> str:
-    """Calibration audit for the linear quality gate: documents are scored
-    with the same sigmoid-of-token-weights model as
-    `classifier_quality_scores`, binned by MARGIN (z, clamped to [-8,8),
-    width-2 bins), and each bin compares mean confidence sigmoid(z) against
-    the empirical rate of a deterministic reference label (lang = 'en' —
-    the gate's proxy target here). The trailing TOTAL row is the expected
-    calibration error Σ (n_b/N)·|acc_b − conf_b|. Binning on z rather than
-    sigmoid(z) keeps the bin assignment engine-exact: z is a sum of dyadic
-    weights (bit-identical under any addition order) while exp() differs by
-    ulps across libms — averaging inside a bin then rounding absorbs that;
-    flooring it into bins would not. Everything after the per-doc score is
-    bin-sized; a production gate runs this audit on every refresh to catch
-    silent classifier drift without exporting scores."""
-    return f"""
-WITH {_classifier_score_ctes(d)},
-scored AS (
-  SELECT doc.doc_id,
-         {CLASSIFIER_BIAS} + COALESCE(acc.z, 0.0) AS z,
-         1.0 / (1.0 + exp(-({CLASSIFIER_BIAS} + COALESCE(acc.z, 0.0)))) AS score,
-         CAST(CASE WHEN doc.lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y
-  FROM documents doc LEFT JOIN acc ON doc.doc_id = acc.doc_id
-),
-bins AS (
-  SELECT CAST(LEAST({ECE_BINS - 1}, GREATEST(0, CAST(floor((z + 8.0) / 2.0) AS INT))) AS INT) AS bin,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         AVG(score) AS conf, AVG(y) AS acc_rate
-  FROM scored GROUP BY 1
-),
-tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM bins)
-SELECT CAST(bin AS INT) AS bin, n,
-       CAST(round(conf, 6) AS DOUBLE) AS mean_confidence,
-       CAST(round(acc_rate, 6) AS DOUBLE) AS empirical_rate,
-       CAST(round(abs(acc_rate - conf), 6) AS DOUBLE) AS gap
-FROM bins
-UNION ALL
-SELECT -1, CAST(tot.nn AS BIGINT),
-       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-       CAST(round(SUM((bins.n / tot.nn) * abs(bins.acc_rate - bins.conf)), 6) AS DOUBLE)
-FROM bins CROSS JOIN tot GROUP BY tot.nn
-ORDER BY bin
-"""
-
-
-def corpus_version_diff(d: str) -> str:
-    """Snapshot diff between two corpus versions — the audit a curation
-    pipeline emits on every refresh (what changed since the last export?).
-    v2 is derived deterministically from v1 (portable-hash buckets: ~1/17
-    removed, ~1/13 modified, ~1/19 new docs), then a full outer join on
-    doc_id comparing content hashes classifies every id as
-    added/removed/modified/unchanged and rolls counts up per source. At
-    scale this is one co-partitioned join on the id (both versions written
-    bucketed by doc_id make it exchange-free) and the rollup is dim-sized;
-    the content comparison ships 60-bit hashes, never the text."""
-    h = P.hash64("text", d)
-    hmod = P.hash_mod("concat('vdiff:', cast(doc_id as string))", d)
-    return f"""
-WITH v1 AS (SELECT doc_id, source, {h} AS th FROM documents),
-v2 AS (
-  SELECT doc_id, source,
-         CASE WHEN {hmod} % 13 = 0 THEN {P.hash64("concat(text, ' v2')", d)} ELSE {h} END AS th
-  FROM documents WHERE {hmod} % 17 <> 0
-  UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, source, {P.hash64("concat('new:', text)", d)} AS th
-  FROM documents WHERE {hmod} % 19 = 0
-),
-joined AS (
-  SELECT COALESCE(v1.source, v2.source) AS source,
-         CASE WHEN v1.doc_id IS NULL THEN 'added'
-              WHEN v2.doc_id IS NULL THEN 'removed'
-              WHEN v1.th <> v2.th THEN 'modified'
-              ELSE 'unchanged' END AS status
-  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
-)
-SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n
-FROM joined
-GROUP BY source, status
-ORDER BY source, status
-"""
-
-
-TEMPLATES["classifier_quality_scores"] = classifier_quality_scores
-TEMPLATES["retrieval_eval_metrics"] = retrieval_eval_metrics
-TEMPLATES["countmin_token_topk"] = countmin_token_topk
-COLBERT_QUERY_TEXT = "table scan query fast"
-COLBERT_DIM, COLBERT_MAX_DOC_TOKENS = 8, 12
-
-
-def colbert_maxsim_topk(d: str) -> str:
-    """Late-interaction retrieval (ColBERT-style MaxSim): every token of the
-    query and of each document gets its own embedding; a document's score is
-    Σ over query tokens of the MAX dot-product against any document token.
-    Token vectors are the deterministic portable mock embedder, so both
-    engines build identical multi-vector representations. Shape: the doc
-    side explodes to (doc, token, vector) ONCE (capped at 12 tokens/doc —
-    the fixed-length token budget real late-interaction stores use), the
-    query side is a handful of rows that cross-join (broadcast) onto it;
-    the per-(doc, qtok) MAX and per-doc SUM are two grouped aggs with
-    map-side combine. At 100 TB the doc-token relation is the stored index,
-    pre-partitioned by token bucket (IVF/PLAID-style) so the cross join
-    becomes a pruned bucket join; the deterministic subset here keeps the
-    bench slice proportionate."""
-    toks = P.tokens("text", d)
-    qtoks = P.tokens(f"'{COLBERT_QUERY_TEXT}'", d)
-    emb_dt = P.mock_embed("dt", COLBERT_DIM, d)
-    emb_qt = P.mock_embed("qt", COLBERT_DIM, d)
-    dotp = P.dot("dv", "qv", d)
-    if d == "spark":
-        dtok = (
-            f"SELECT doc_id, dt FROM (SELECT doc_id, slice({toks}, 1, {COLBERT_MAX_DOC_TOKENS}) AS tk "
-            f"FROM documents WHERE doc_id % 5 = 0) s LATERAL VIEW explode(tk) t AS dt"
-        )
-        qtok = f"SELECT qt FROM (SELECT {qtoks} AS qs) q LATERAL VIEW explode(qs) t AS qt"
-    else:
-        dtok = (
-            f"SELECT doc_id, unnest(list_slice({toks}, 1, {COLBERT_MAX_DOC_TOKENS})) AS dt "
-            f"FROM documents WHERE doc_id % 5 = 0"
-        )
-        qtok = f"SELECT unnest({qtoks}) AS qt"
-    return f"""
-WITH dvec AS (SELECT doc_id, dt, {emb_dt} AS dv FROM ({dtok}) t0),
-qvec AS (SELECT qt, {emb_qt} AS qv FROM ({qtok}) t1),
-sim AS (
-  -- per-(doc, qtok) best similarity, quantized to integer micro-units so the
-  -- cross-token SUM is exact integer math (float SUM order is engine- and
-  -- run-dependent; MAX and the fold-form dot are already bit-identical)
-  SELECT dvec.doc_id, qvec.qt,
-         CAST(floor(MAX({dotp}) * 1000000.0 + 0.5) AS BIGINT) AS best_micro
-  FROM dvec CROSS JOIN qvec
-  GROUP BY dvec.doc_id, qvec.qt
-)
-SELECT doc_id, CAST(SUM(best_micro) / 1000000.0 AS DOUBLE) AS maxsim_score
-FROM sim
-GROUP BY doc_id
-ORDER BY maxsim_score DESC, doc_id ASC
-LIMIT 10
-"""
-
-
-BFS_MAX_HOPS = 4
-
-
-def reachability_bfs(d: str) -> str:
-    """Recursive-CTE graph reachability (Spark 4 WITH RECURSIVE — the
-    engine's native iterate-until-bound form, vs the unrolled-CTE pagerank
-    and the driver-loop connected components): min-hop distance from source
-    node 0 over the same deterministic hash link graph as `pagerank_3iter`,
-    bounded at 4 hops. UNION ALL + hop bound keeps the recursion
-    engine-portable (recursive-UNION dedup semantics differ); the closing
-    MIN(hop) aggregation collapses revisits. Each recursion step is one
-    (frontier ⨝ edges) shuffle keyed on src — the textbook BFS data layout:
-    pre-partition edges by src and only the (node, hop) frontier moves.
-    Frontier growth is bounded by out-degree^hops; for unbounded diameters
-    use the convergence-loop operator (dedup.connected_components)."""
-    nn = "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id < 100)"
-    ks = (
-        "SELECT explode(sequence(1, 3)) AS k"
-        if d == "spark"
-        else "SELECT unnest(generate_series(1, 3)) AS k"
-    )
-    sid, sk = _str("doc_id", d), _str("k", d)
-    link = f"({P.hash64(f'concat({sid}, chr(35), {sk})', d)} % {nn})"
-    return f"""
-WITH RECURSIVE walk(node, hop) AS (
-  SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
-  UNION ALL
-  SELECT e.dst AS node, w.hop + 1 AS hop
-  FROM walk w
-  JOIN (
-    SELECT doc_id AS src, {link} AS dst
-    FROM documents CROSS JOIN ({ks}) t
-    WHERE doc_id < 100
-  ) e ON e.src = w.node
-  WHERE w.hop < {BFS_MAX_HOPS}
-)
-SELECT node, CAST(MIN(hop) AS INT) AS dist
-FROM walk
-GROUP BY node
-ORDER BY dist, node
-"""
-
-
-TEMPLATES["classifier_calibration_ece"] = classifier_calibration_ece
-TEMPLATES["corpus_version_diff"] = corpus_version_diff
-K_ANON = 5
-
-
-def k_anonymity_audit(d: str) -> str:
-    """k-anonymity audit before a corpus release: group documents by their
-    quasi-identifier tuple (lang, source, length decile) and flag every
-    equivalence class smaller than k=5 — the classes where a released row is
-    re-identifiable. One grouped count over a narrow projection plus a
-    class-size histogram rollup; the flagged classes (not the documents)
-    come back, so output is dim-sized at any corpus scale. Complements the
-    PII scrub (`pii_redaction_stats`): scrubbing removes direct identifiers,
-    this audits the quasi-identifiers that remain."""
-    # integer division: CAST(double AS INT) truncates on Spark but rounds on
-    # DuckDB — div/// keeps the decile engine-exact
-    dec = f"CAST(LEAST(9, n_chars {'div' if d == 'spark' else '//'} 100) AS INT)"
-    return f"""
-WITH classes AS (
-  SELECT lang, source, {dec} AS len_decile, CAST(COUNT(*) AS BIGINT) AS class_size
-  FROM documents
-  GROUP BY lang, source, {dec}
-)
-SELECT lang, source, len_decile, class_size,
-       CASE WHEN class_size < {K_ANON} THEN 1 ELSE 0 END AS violates_k
-FROM classes
-WHERE class_size < {K_ANON}
-ORDER BY lang, source, len_decile
-"""
-
-
-DP_EPSILON = 1.0
-
-
-def dp_noisy_counts(d: str) -> str:
-    """Laplace-mechanism count release with SEEDED noise (ε=1, sensitivity
-    1): per-(source, lang) document counts plus Laplace(1/ε) noise derived
-    from the portable hash via inverse-CDF — u = H(key)/2^60 ∈ (0,1),
-    noise = -sign(u-0.5)·ln(1-2|u-0.5|)/ε. The hash seed makes the release
-    reproducible and engine-identical (and therefore NOT differentially
-    private — a real release swaps the hash for a CSPRNG draw; the query
-    certifies the mechanism's plumbing: per-class noise, post-processing
-    max(0, round(·)), and that no raw count leaves unperturbed).
-
-    The caveat is flagged IN THE OUTPUT: a literal `mechanism` column marks
-    every row as demo noise, so the release cannot be mistaken for real DP
-    however far it travels from this docstring. `dp_noisy_counts_csprng`
-    below is the real-noise variant (pytest-only: non-deterministic by
-    design, so no oracle)."""
-    key = "concat('dp:', source, ':', lang)"
-    u = f"(({P.hash64(key, d)} % 1000000) + 0.5) / 1000000.0"
-    return f"""
-WITH c AS (
-  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
-  FROM documents GROUP BY source, lang
-),
-noise AS (
-  SELECT source, lang, n, {u} AS u FROM c
-)
-SELECT source, lang,
-       CAST(GREATEST(0, CAST(round(n + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
-            * ln(1.0 - 2.0 * abs(u - 0.5)) / {DP_EPSILON}, 0) AS BIGINT)) AS BIGINT) AS noisy_count,
-       'laplace-seeded-hash-demo (NOT differentially private)' AS mechanism
-FROM noise
-ORDER BY source, lang
-"""
-
-
-def dp_noisy_counts_csprng(spark: SparkSession, sf_dir: str, epsilon: float = DP_EPSILON) -> DataFrame:
-    """Real-noise Laplace release: same counts, same post-processing as
-    `dp_noisy_counts`, but the noise is drawn from an OS-entropy-seeded
-    generator per Arrow batch (mapInPandas), so the release is actually
-    unpredictable. Non-deterministic by design -> no DuckDB oracle; pytest
-    asserts the post-processing invariants (non-negative integers, schema,
-    mechanism flag, noise actually varies across runs). Executor-side noise
-    generation: each batch draws independently, no driver coordination."""
-    import pandas as pd
-
-    register_views(spark, sf_dir, tables=("documents",))
-    counts = spark.sql(
-        "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source, lang"
-    )
-
-    def add_noise(batches):
-        import os as _os
-
-        import numpy as _np
-
-        rng = _np.random.default_rng(int.from_bytes(_os.urandom(16), "big"))
-        for pdf in batches:
-            lap = rng.laplace(0.0, 1.0 / epsilon, size=len(pdf))
-            noisy = _np.maximum(0, _np.round(pdf["n"].to_numpy() + lap)).astype("int64")
-            yield pd.DataFrame({
-                "source": pdf["source"], "lang": pdf["lang"],
-                "noisy_count": noisy,
-                "mechanism": f"laplace-csprng eps={epsilon}",
-            })
-
-    return counts.mapInPandas(
-        add_noise, "source STRING, lang STRING, noisy_count BIGINT, mechanism STRING"
-    )
-
-
-TEMPLATES["colbert_maxsim_topk"] = colbert_maxsim_topk
-TEMPLATES["reachability_bfs"] = reachability_bfs
-def event_pattern_match(d: str) -> str:
-    """Sequence-pattern matching over event streams (the MATCH_RECOGNIZE
-    workload, relationally): each user's time-ordered event types collapse
-    to a symbol string (c/v/e/s/p), and a regex counts conversion patterns —
-    here 'click, any non-purchase browsing, then purchase' (c[ve]*p). One
-    key-partitioned sort inside a grouped collect (sorted struct array →
-    symbols, so the order is deterministic, not collect_list luck), then a
-    per-row regex — the sequence never leaves its user partition. At 100 TB
-    sessions are bounded, so the symbol string is short regardless of
-    corpus size."""
-    sym = ("CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v' "
-           "WHEN 'error' THEN 'e' WHEN 'signup' THEN 's' ELSE 'p' END")
-    if d == "spark":
-        seq = ("array_join(transform(sort_array(collect_list(struct(ts_us, event_id, sym))), "
-               "s -> s.sym), '')")
-    else:
-        seq = "string_agg(sym, '' ORDER BY ts_us, event_id)"
-    pat = "c[ve]*p"
-    n_match = P.regexp_count_portable("seq", pat, d)
-    return f"""
-WITH ev AS (
-  SELECT user_id, {_ts_us(d)} AS ts_us, event_id, {sym} AS sym
-  FROM events WHERE user_id % 5 = 0
-),
-seqs AS (
-  SELECT user_id, {seq} AS seq
-  FROM ev GROUP BY user_id
-)
-SELECT user_id,
-       CAST(length(seq) AS INT) AS n_events,
-       CAST({n_match} AS INT) AS n_conversions
-FROM seqs
-WHERE {n_match} > 0
-ORDER BY user_id
-"""
-
-
-def weekly_cohort_retention(d: str) -> str:
-    """Cohort retention: users grouped by first-seen week; each later week's
-    active share of that cohort — the canonical product-analytics triangle,
-    and for a training pipeline the shape of 'does a crawl source keep
-    contributing'. Two grouped aggs (first-seen per user, then distinct
-    actives per (cohort, week)) joined to cohort sizes; weeks are integer
-    epoch-week indexes (div — engine-exact), output is cohorts×weeks
-    dim-sized."""
-    wk = f"CAST(({_ts_us(d)}) {'div' if d == 'spark' else '//'} {7 * 86400 * 1_000_000} AS BIGINT)"
-    return f"""
-WITH ev AS (SELECT user_id, {wk} AS wk FROM events),
-first_seen AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id),
-cohort_size AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users FROM first_seen GROUP BY cohort_wk),
-active AS (
-  SELECT f.cohort_wk, e.wk, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
-  FROM ev e JOIN first_seen f ON e.user_id = f.user_id
-  GROUP BY f.cohort_wk, e.wk
-)
-SELECT a.cohort_wk, CAST(a.wk - a.cohort_wk AS INT) AS week_offset,
-       c.n_users AS cohort_users, a.n_active,
-       CAST(round(a.n_active * 1.0 / c.n_users, 6) AS DOUBLE) AS retention
-FROM active a JOIN cohort_size c ON a.cohort_wk = c.cohort_wk
-ORDER BY a.cohort_wk, week_offset
-"""
-
-
-def ab_test_zscore(d: str) -> str:
-    """Two-proportion z-test in-engine: users are hash-assigned to arms A/B
-    (deterministic, the bucketing a real experiment framework uses),
-    conversion = a high-value purchase (partial-rate event, so the pooled
-    variance is non-degenerate); the query emits both arms'
-    rates, the pooled z statistic, and the |z| >= 1.96 significance verdict.
-    One grouped agg per user then one 2-row rollup — experiment readouts at
-    any scale are a full-scan agg, never an export."""
-    key = f"concat({_str('user_id', d)}, '-ab')"
-    arm = f"CASE WHEN {P.hash_mod(key, d)} % 2 = 0 THEN 'A' ELSE 'B' END"
-    return f"""
-WITH u AS (
-  SELECT user_id,
-         {arm} AS arm,
-         MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0 THEN 1 ELSE 0 END) AS converted
-  FROM events GROUP BY user_id
-),
-arms AS (
-  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(converted) AS BIGINT) AS conv
-  FROM u GROUP BY arm
-),
-wide AS (
-  SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS na,
-         MAX(CASE WHEN arm = 'A' THEN conv END) AS ca,
-         MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
-         MAX(CASE WHEN arm = 'B' THEN conv END) AS cb
-  FROM arms
-)
-, z AS (
-  SELECT na, ca, nb, cb,
-         CAST(ca AS DOUBLE) / na AS pa,
-         CAST(cb AS DOUBLE) / nb AS pb,
-         CAST(ca + cb AS DOUBLE) / (na + nb) AS pp
-  FROM wide
-)
-SELECT na, ca, nb, cb,
-       CAST(round(pa, 6) AS DOUBLE) AS rate_a,
-       CAST(round(pb, 6) AS DOUBLE) AS rate_b,
-       CAST(round((pa - pb) / sqrt(pp * (1.0 - pp) * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)), 6) AS DOUBLE) AS z,
-       CASE WHEN na IS NULL OR nb IS NULL OR pp IS NULL OR pp <= 0.0 OR pp >= 1.0
-            THEN 'insufficient_data'
-            WHEN abs((pa - pb) / sqrt(pp * (1.0 - pp) * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))) >= 1.96
-            THEN 'significant' ELSE 'not_significant' END AS verdict
-FROM z
-"""
-
-
-def unpivot_monthly_metrics(d: str) -> str:
-    """Native UNPIVOT (wide→long reshaping, the inverse of
-    `pivot_event_counts`): monthly order metrics computed wide in one agg,
-    then unpivoted to (month, metric, value) rows — the long shape
-    monitoring/reporting sinks want. Both engines share the ANSI
-    UNPIVOT (val FOR col IN (...)) clause; everything after the first
-    grouped agg is months×metrics dim-sized."""
-    mon = ("date_format(o_orderdate, 'yyyy-MM')" if d == "spark"
-           else "strftime(o_orderdate, '%Y-%m')")
-    return f"""
-WITH wide AS (
-  SELECT {mon} AS month,
-         CAST(COUNT(*) AS DOUBLE) AS n_orders,
-         CAST(round(AVG(o_totalprice), 6) AS DOUBLE) AS avg_price,
-         CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
-  FROM orders GROUP BY {mon}
-)
-SELECT month, metric, CAST(value AS DOUBLE) AS value
-FROM wide UNPIVOT (value FOR metric IN (n_orders, avg_price, max_price))
-ORDER BY month, metric
-"""
-
-
-def lateral_top_customers(d: str) -> str:
-    """Correlated LATERAL subquery (per-row dependent join — the other way
-    to write grouped top-k besides the window form in
-    `topk_docs_per_lang`): for every nation, the top-2 customers by account
-    balance. Catalyst decorrelates the LATERAL into a ranked join, so the
-    physical plan matches the window form — this certifies the SYNTAX
-    surface, and the deterministic tiebreak makes it oracle-exact."""
-    return """
-SELECT n.n_name AS nation, t.c_custkey, CAST(round(t.c_acctbal, 2) AS DOUBLE) AS acctbal
-FROM nation n,
-LATERAL (
-  SELECT c_custkey, c_acctbal
-  FROM customer c
-  WHERE c.c_nationkey = n.n_nationkey
-  ORDER BY c_acctbal DESC, c_custkey ASC
-  LIMIT 2
-) t
-ORDER BY nation, acctbal DESC, t.c_custkey
-"""
-
-
-def cusum_changepoint(d: str) -> str:
-    """Changepoint detection on the event stream (CUSUM): daily event counts,
-    cumulative sum of deviations from the overall mean, and the day where
-    |S_t| peaks — the classic single-changepoint estimator a pipeline runs
-    when ingest volume silently shifts. Day series is dim-sized after one
-    grouped count; the CUSUM is a single unbounded-preceding window over it;
-    the argmax is a rank over the same dim — everything after the first agg
-    is days-sized at any event scale."""
-    day = f"CAST(({_ts_us(d)}) {'div' if d == 'spark' else '//'} {86400 * 1_000_000} AS BIGINT)"
-    return f"""
-WITH daily AS (
-  SELECT {day} AS day, CAST(COUNT(*) AS DOUBLE) AS n
-  FROM events GROUP BY {day}
-),
-m AS (SELECT AVG(n) AS mu FROM daily),
-cusum AS (
-  SELECT daily.day, daily.n,
-         SUM(daily.n - m.mu) OVER (ORDER BY daily.day ASC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
-  FROM daily CROSS JOIN m
-),
-ranked AS (
-  SELECT day, n, s,
-         row_number() OVER (ORDER BY abs(s) DESC, day ASC) AS r
-  FROM cusum
-)
-SELECT day AS changepoint_day,
-       CAST(round(s, 6) AS DOUBLE) AS cusum_peak,
-       CAST(n AS BIGINT) AS day_count
-FROM ranked WHERE r = 1
-"""
-
-
-def dow_seasonality(d: str) -> str:
-    """Day-of-week seasonal profile of the event stream: per-dow mean daily
-    count, its share of the weekly total, and the deviation from a flat
-    week — the decomposition a monitor subtracts before alerting on volume
-    anomalies (otherwise every weekend pages). Two dim-sized aggs; dow is
-    computed from the epoch-day index (identical mod arithmetic on both
-    engines — engine dayofweek() functions disagree on week start)."""
-    day = f"CAST(({_ts_us(d)}) {'div' if d == 'spark' else '//'} {86400 * 1_000_000} AS BIGINT)"
-    return f"""
-WITH daily AS (
-  SELECT {day} AS day, CAST(COUNT(*) AS DOUBLE) AS n
-  FROM events GROUP BY {day}
-),
-bydow AS (
-  SELECT CAST(day % 7 AS INT) AS dow, AVG(n) AS mean_count, CAST(COUNT(*) AS BIGINT) AS n_days
-  FROM daily GROUP BY CAST(day % 7 AS INT)
-),
-tot AS (SELECT SUM(mean_count) AS wk FROM bydow)
-SELECT b.dow, CAST(round(b.mean_count, 6) AS DOUBLE) AS mean_count, b.n_days,
-       CAST(round(b.mean_count / t.wk, 6) AS DOUBLE) AS share_of_week,
-       CAST(round(b.mean_count / (t.wk / 7.0) - 1.0, 6) AS DOUBLE) AS vs_flat_week
-FROM bydow b CROSS JOIN tot t
-ORDER BY b.dow
-"""
-
-
-TEMPLATES["unpivot_monthly_metrics"] = unpivot_monthly_metrics
-TEMPLATES["lateral_top_customers"] = lateral_top_customers
-def bigram_pmi_topk(d: str) -> str:
-    """Top token ASSOCIATIONS by pointwise mutual information — the
-    collocation measure (`bigram_topk` ranks raw frequency; PMI ranks
-    surprise: ln(p(ab)/(p(a)p(b)))). Min-count floor keeps the estimator out
-    of the rare-pair noise regime. One bigram explode + one unigram explode,
-    each collapsing to vocab-sized dims that join back — text never
-    shuffles (the bigram explode feeds ONE counted relation that serves
-    both the floored pair table and the normalization total); classic
-    phrase-mining / tokenizer-merge-candidate signal. The LIKE '% %' guard
-    drops word_ngrams' short-document fallback (a doc with <2 tokens emits
-    itself as its only "bigram"), which would otherwise pollute both the
-    pair counts and the normalization total."""
-    bg = P.word_ngrams("text", 2, d)
-    ug = P.word_ngrams("text", 1, d)
-    if d == "spark":
-        bgx = f"SELECT g FROM documents LATERAL VIEW explode({bg}) t AS g"
-        ugx = f"SELECT g FROM documents LATERAL VIEW explode({ug}) t AS g"
-    else:
-        bgx = f"SELECT unnest({bg}) AS g FROM documents"
-        ugx = f"SELECT unnest({ug}) AS g FROM documents"
-    w1 = P.split_part1("bc.g", d)
-    w2 = P.split_part_last("bc.g", 2, d)
-    return f"""
-WITH ba AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM ({bgx}) x
-            WHERE g LIKE '% %' GROUP BY g),
-bc AS (SELECT g, c FROM ba WHERE c >= 5),
-uc AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM ({ugx}) x GROUP BY g),
-nb AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM ba),
-nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM uc)
-SELECT bc.g AS bigram, CAST(bc.c AS BIGINT) AS n,
-       CAST(round(ln((bc.c / nb.t) / ((u1.c / nu.t) * (u2.c / nu.t))), 6) AS DOUBLE) AS pmi
-FROM bc
-JOIN uc u1 ON {w1} = u1.g
-JOIN uc u2 ON {w2} = u2.g
-CROSS JOIN nb CROSS JOIN nu
-ORDER BY pmi DESC, bigram ASC
-LIMIT 20
-"""
-
-
-def user_burstiness(d: str) -> str:
-    """Inter-arrival burstiness per user — the bot/automation signal crawl
-    curation filters on: machines fire at near-constant intervals (CV→0),
-    humans are bursty (CV≈1+). Per user: LAG gives gaps, population
-    stddev/mean of gaps gives CV — computed via the explicit
-    sqrt(E[x²]−E[x]²) form because engines disagree on STDDEV's
-    sample/population default. Key-partitioned window + one grouped agg;
-    the >=20-event floor keeps the estimator stable."""
-    return f"""
-WITH gaps AS (
-  SELECT user_id,
-         ({_ts_us(d)} - LAG({_ts_us(d)}) OVER (PARTITION BY user_id ORDER BY {_ts_us(d)} ASC, event_id ASC)) / 1000000.0 AS gap_s
-  FROM events
-),
-agg AS (
-  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
-         AVG(gap_s) AS mu, AVG(gap_s * gap_s) AS m2
-  FROM gaps WHERE gap_s IS NOT NULL
-  GROUP BY user_id HAVING COUNT(*) >= 20
-)
-SELECT user_id, n_gaps,
-       CAST(round(mu, 6) AS DOUBLE) AS mean_gap_s,
-       CAST(round(sqrt(GREATEST(m2 - mu * mu, 0.0)), 6) AS DOUBLE) AS std_gap_s,
-       CAST(round(sqrt(GREATEST(m2 - mu * mu, 0.0)) / mu, 6) AS DOUBLE) AS cv,
-       CASE WHEN sqrt(GREATEST(m2 - mu * mu, 0.0)) / mu < 0.3 THEN 'machine-like' ELSE 'bursty' END AS verdict
-FROM agg
-ORDER BY cv ASC, user_id ASC
-LIMIT 25
-"""
-
-
-TEMPLATES["cusum_changepoint"] = cusum_changepoint
-TEMPLATES["dow_seasonality"] = dow_seasonality
-def federated_label_topk(d: str) -> str:
-    """Oracle twin of `retrieval.federated_topk`'s merge semantics: the
-    label partitions of the embeddings table stand in for per-model stores;
-    each contributes its LOCAL exact cosine top-3 (rank window per label =
-    TakeOrderedAndProject per store), and the global re-rank keeps the best
-    5 with provenance. Proves the two-stage local-k/global-k cut is
-    lossless: the global winner set matches a flat top-5 whenever every
-    store returned >= its contribution (k_local >= k_global guarantees
-    it)."""
-    dist = distance_expr("e.embedding", P.to_double_array("q.qv", d), "COSINE", d)
-    return f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-local_k AS (
-  SELECT label, vec_id, distance FROM (
-    SELECT e.label AS label, e.vec_id AS vec_id, round({dist}, 6) AS distance,
-           row_number() OVER (PARTITION BY e.label ORDER BY round({dist}, 6) ASC, e.vec_id ASC) AS r
-    FROM embeddings e CROSS JOIN q
-    WHERE e.vec_id <> 0
-  ) s WHERE r <= 3
-)
-SELECT CAST(label AS INT) AS store_label, vec_id, CAST(distance AS DOUBLE) AS distance
-FROM local_k
-ORDER BY distance ASC, store_label ASC, vec_id ASC
-LIMIT 5
-"""
-
-
-TEMPLATES["bigram_pmi_topk"] = bigram_pmi_topk
-TEMPLATES["user_burstiness"] = user_burstiness
-def near_dup_rate_by_source(d: str) -> str:
-    """Duplication ATTRIBUTION: the simhash near-dup pair graph rolled up to
-    (source_a, source_b) — which domain pairs contribute the duplication a
-    curation run removes (intra-source templating vs cross-source
-    syndication), with each side's pair rate against its document count. The
-    pair graph is the same banded plan as `simhash_near_pairs`; attribution
-    adds two dim joins (doc→source) and a sources² rollup — audit output is
-    dim-sized at any corpus scale."""
-    bands_sql, select_sql = _simhash_pairs_parts(d)
-    return f"""
-WITH fps AS ({_simhash_fps_sql(d)}),
-banded AS ({bands_sql}),
-pairs AS ({select_sql}),
-attributed AS (
-  SELECT LEAST(da.source, db.source) AS source_a,
-         GREATEST(da.source, db.source) AS source_b,
-         CAST(COUNT(*) AS BIGINT) AS n_pairs
-  FROM pairs v
-  JOIN documents da ON v.doc_a = da.doc_id
-  JOIN documents db ON v.doc_b = db.doc_id
-  GROUP BY LEAST(da.source, db.source), GREATEST(da.source, db.source)
-),
-src_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
-SELECT a.source_a, a.source_b, a.n_pairs,
-       CAST(CASE WHEN a.source_a = a.source_b THEN 1 ELSE 0 END AS INT) AS intra_source,
-       CAST(round(a.n_pairs * 1.0 / (x.n_docs * y.n_docs), 6) AS DOUBLE) AS pair_rate
-FROM attributed a
-JOIN src_n x ON a.source_a = x.source
-JOIN src_n y ON a.source_b = y.source
-ORDER BY a.n_pairs DESC, a.source_a, a.source_b
-LIMIT 30
-"""
-
-
-TEMPLATES["federated_label_topk"] = federated_label_topk
-TEMPLATES["near_dup_rate_by_source"] = near_dup_rate_by_source
-TEMPLATES["k_anonymity_audit"] = k_anonymity_audit
-TEMPLATES["dp_noisy_counts"] = dp_noisy_counts
-def point_in_time_join(d: str) -> str:
-    """Point-in-time (leakage-safe) feature join — the feature-store
-    primitive behind training-set assembly: each click event is enriched
-    with the user's purchase state AS OF the event time (the SCD2 interval
-    row covering the event), never a later value. Intervals come from the
-    same LEAD build as `scd2_purchase_history`; the interval join is an
-    equi-join on the user plus a range predicate, so it shuffles once on
-    user_id and resolves ranges inside the partition (at scale: sort both
-    sides within the key partition and merge — the asof_join operator is
-    the generalized form). LEFT join keeps pre-first-purchase events with
-    NULL state (the honest cold-start representation, not a leaked future
-    value)."""
-    return f"""
-WITH hist AS (
-  SELECT user_id, {_ts_us(d)} AS valid_from, value,
-         COALESCE(LEAD({_ts_us(d)}) OVER (PARTITION BY user_id ORDER BY {_ts_us(d)} ASC, event_id ASC),
-                  CAST(9223372036854775807 AS BIGINT)) AS valid_to
-  FROM events WHERE event_type = 'purchase'
-),
-clicks AS (
-  SELECT event_id, user_id, {_ts_us(d)} AS ts_us
-  FROM events WHERE event_type = 'click' AND user_id % 9 = 0
-)
-SELECT c.event_id, c.user_id, CAST(c.ts_us AS BIGINT) AS ts_us,
-       CAST(round(h.value, 6) AS DOUBLE) AS purchase_state,
-       CAST(CASE WHEN h.user_id IS NULL THEN 1 ELSE 0 END AS INT) AS cold_start
-FROM clicks c
-LEFT JOIN hist h
-  ON c.user_id = h.user_id AND h.valid_from <= c.ts_us AND c.ts_us < h.valid_to
-ORDER BY c.user_id, c.ts_us, c.event_id
-"""
-
-
-TEMPLATES["event_pattern_match"] = event_pattern_match
-TEMPLATES["weekly_cohort_retention"] = weekly_cohort_retention
-TEMPLATES["ab_test_zscore"] = ab_test_zscore
-TEMPLATES["point_in_time_join"] = point_in_time_join
-TEMPLATES["repeated_span_stats"] = repeated_span_stats
-TEMPLATES["data_quality_profile"] = data_quality_profile
-TEMPLATES["psi_value_drift"] = psi_value_drift
-TEMPLATES["bigram_logprob_quality"] = bigram_logprob_quality
-SPARK_OVERRIDES["repeated_span_stats"] = _repeated_span_spark
 
 
 def _make_spark_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:

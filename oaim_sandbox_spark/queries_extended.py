@@ -1,0 +1,1760 @@
+"""Registry assembly part 2 — the extended analytics families added in
+rounds 3-5: PII redaction, temperature sampling, tokenizer fertility,
+SemDeDup, DSIR, winnowing, SCD2 / point-in-time joins, graph
+(PageRank/triangles/BFS), privacy (k-anonymity/DP), cohort/AB readouts,
+curriculum, repeated-span stats. Each def registers itself into the shared
+TEMPLATES/SPARK_OVERRIDES dicts imported from part 1."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from oaim_sandbox_spark.functions import portable as P
+from oaim_sandbox_spark.operators import text_analysis as TA
+from oaim_sandbox_spark.queries_core import (
+    ALL_TABLES,
+    EMBED_DIM,
+    _dec,
+    _elem,
+    _idiv,
+    _str,
+    _ts_us,
+    _materialized_view,
+    _sql_dropping,
+    events_batch,
+    events_stream,
+    register_views,
+)
+from oaim_sandbox_spark.queries_relational import *  # noqa: F401,F403
+from oaim_sandbox_spark.queries_training import *  # noqa: F401,F403
+from oaim_sandbox_spark.queries_dedup import *  # noqa: F401,F403
+from oaim_sandbox_spark.queries_textstats import *  # noqa: F401,F403
+from oaim_sandbox_spark.queries_dedup import (  # noqa: F401
+    _simhash_fps_sql,
+    _simhash_pairs_parts,
+)
+from oaim_sandbox_spark.queries_registry import (  # noqa: F401
+    NON_ORACLE,
+    ORACLE_TWINS,
+    SELF_AUDITED,
+    SPARK_OVERRIDES,
+    TEMPLATES,
+)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction, temperature sampling, tokenizer fertility, SemDeDup-style
+# semantic dedup, DSIR-style importance weighting. All dual-dialect, all
+# driver-hashable outputs (scalar columns, round6 floats, exact-int counts).
+# ---------------------------------------------------------------------------
+
+# Backslash-free so the pattern strings survive BOTH engines' string-literal
+# escape handling unchanged (the \b/\d forms in text_analysis.PII_PATTERNS
+# are Spark-side column expressions, not SQL literals).
+_PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IP_RE = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+
+
+def _pii_stats_sql(d: str, rel: str = "documents") -> str:
+    """The PII augment→detect→redact→per-source-audit SQL over relation
+    `rel` — shared by the batch template and the streaming runner."""
+    email = "' contact user' || CAST(doc_id AS STRING) || '@example.com now'"
+    phone = (
+        "' call 555-' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0')"
+        " || '-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' soon'"
+    )
+    ip = (
+        "' from 10.' || CAST(doc_id % 256 AS STRING) || '.'"
+        " || CAST(doc_id % 250 AS STRING) || '.7 today'"
+    )
+    red = P.regexp_replace_all(
+        P.regexp_replace_all(
+            P.regexp_replace_all("text", _PII_EMAIL_RE, "<EMAIL>", d),
+            _PII_PHONE_RE,
+            "<PHONE>",
+            d,
+        ),
+        _PII_IP_RE,
+        "<IP>",
+        d,
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 5 = 0 THEN {email} ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN {phone} ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN {ip} ELSE '' END AS text
+  FROM {rel}
+),
+det AS (
+  SELECT source,
+         {P.regexp_count_portable('text', _PII_EMAIL_RE, d)} AS n_email,
+         {P.regexp_count_portable('text', _PII_PHONE_RE, d)} AS n_phone,
+         {P.regexp_count_portable('text', _PII_IP_RE, d)} AS n_ip,
+         length(text) - length({red}) AS delta
+  FROM aug
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS n_emails,
+       CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+       CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+       CAST(SUM(delta) AS BIGINT) AS chars_redacted
+FROM det
+GROUP BY source
+ORDER BY source
+"""
+
+
+def pii_redaction_stats(d: str) -> str:
+    """Training-corpus PII scrub audit — the oracle-checked twin of
+    `operators/text_analysis.redact_pii`. The driver corpus is digit-free
+    word soup, so detection over raw text would be vacuous: a deterministic
+    synthetic-PII augmentation (emails/phones/IPv4 derived from doc_id)
+    makes the regex machinery earn its result. Detect per kind, redact
+    most-specific-first, report per-source counts and redacted char mass.
+    All-JVM regexp chain on the Spark side (codegen-eligible — what a
+    100 TB scrub pass needs); every output is an exact integer."""
+    return _pii_stats_sql(d)
+
+
+def domain_temperature_weights(d: str) -> str:
+    """Temperature-scaled language sampling — the p_l^alpha rebalance used by
+    multilingual corpora (mC4 / XLM-R recipe, alpha = 0.3): per-language raw
+    share, temperature-scaled share, and the implied up/down-sampling boost.
+    After the first GROUP BY everything is a language-histogram-sized dim
+    (dozens of rows at ANY corpus scale), so the whole tail is free."""
+    return """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c),
+w AS (SELECT lang, n, n / t.total AS p, pow(n / t.total, 0.3) AS pa FROM c CROSS JOIN t),
+z AS (SELECT SUM(pa) AS zsum FROM w)
+SELECT w.lang,
+       CAST(w.n AS BIGINT) AS n_docs,
+       CAST(round(w.p, 6) AS DOUBLE) AS p_raw,
+       CAST(round(w.pa / z.zsum, 6) AS DOUBLE) AS p_temp,
+       CAST(round((w.pa / z.zsum) / w.p, 6) AS DOUBLE) AS boost
+FROM w CROSS JOIN z
+ORDER BY w.lang
+"""
+
+
+def tokenizer_fertility(d: str) -> str:
+    """Per-language tokenizer fertility profile (tokens per 100 chars, mean
+    token length) — the standard sanity table before committing a tokenizer
+    to a multilingual corpus. Token-char mass is length(text minus spaces),
+    identical to sum-of-token-lengths under the whitespace tokenizer, so
+    every aggregate is an exact integer and the two divisions at the end are
+    the only float ops."""
+    toks = P.tokens("text", d)
+    return f"""
+WITH t AS (
+  SELECT lang,
+         {P.list_len(toks, d)} AS n_tok,
+         length(text) AS n_chars,
+         length(replace(text, ' ', '')) AS tok_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(round(SUM(n_tok) * 100.0 / SUM(n_chars), 6) AS DOUBLE) AS tokens_per_100_chars,
+       CAST(round(SUM(tok_chars) * 1.0 / SUM(n_tok), 6) AS DOUBLE) AS avg_token_len
+FROM t
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+SEMDEDUP_CAP, SEMDEDUP_K, SEMDEDUP_SIM = 1500, 8, 0.35
+
+
+def _semdedup_v_sql(d: str) -> str:
+    """The normalized-vector relation SemDeDup runs over (vec_id, v, nrm)."""
+    v = P.to_double_array("embedding", d)
+    return (
+        f"SELECT vec_id, {v} AS v, {P.norm2(v, d)} AS nrm "
+        f"FROM embeddings WHERE vec_id < {SEMDEDUP_CAP}"
+    )
+
+
+def _semdedup_assign_cte(d: str, rel: str = "v") -> str:
+    """CTE chain fragment: argmax-cosine centroid assignment over `rel`,
+    ending in av(vec_id, v, nrm, cid). Prepend `WITH `."""
+    asim = f"{P.dot('a.v', 'c.cv', d)} / (a.nrm * c.cn)"
+    return f"""c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM {rel} WHERE vec_id < {SEMDEDUP_K}),
+s AS (SELECT a.vec_id, c.cid, {asim} AS sim FROM {rel} a CROSS JOIN c),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM s
+  ) r WHERE rn = 1
+),
+av AS (SELECT t.vec_id, t.v, t.nrm, asg.cid FROM {rel} t JOIN asg ON t.vec_id = asg.vec_id)"""
+
+
+def _semdedup_final_sql(d: str, rel: str = "av") -> str:
+    """Intra-cluster prune + per-cluster rollup over the assigned relation
+    `rel` (vec_id, v, nrm, cid)."""
+    psim = f"{P.dot('a.v', 'b.v', d)} / (a.nrm * b.nrm)"
+    return f"""
+WITH dup AS (
+  SELECT DISTINCT b.vec_id AS vid
+  FROM {rel} a JOIN {rel} b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round({psim}, 6) >= {SEMDEDUP_SIM}
+)
+SELECT {rel}.cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(dup.vid) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COUNT(dup.vid) AS BIGINT) AS n_kept
+FROM {rel} LEFT JOIN dup ON {rel}.vec_id = dup.vid
+GROUP BY {rel}.cid
+ORDER BY {rel}.cid
+"""
+
+
+def semantic_dedup_clusters(d: str) -> str:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
+    space, then inside each cluster drop all-but-one of every pair with
+    cosine >= threshold (lowest-id-wins keep policy). Deterministic oracle
+    form: the 8 lowest-id vectors are the fixed coarse centroids, assignment
+    is argmax cosine with an exact centroid-id tie-break. The quadratic step
+    is bounded WITHIN a cluster (n²/k, the whole point of the method); the
+    production scale path is `embedding_cosine_pairs`' distributed pair
+    machinery (triangle-inequality cluster-pair pruning + tiled BLAS)
+    feeding this same keep policy, and vec_id < CAP keeps the oracle's
+    self-join bench-proportionate. The Spark runner materializes the
+    assigned relation once (`_semantic_dedup_spark`)."""
+    final = _semdedup_final_sql(d).lstrip()
+    assert final.startswith("WITH ")
+    return (
+        f"WITH v AS ({_semdedup_v_sql(d)}),\n"
+        f"{_semdedup_assign_cte(d)},\n"
+        f"{final[len('WITH '):]}"
+    )
+
+
+def dsir_importance_weights(d: str) -> str:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169): score
+    each document by its mean token log-likelihood ratio between a TARGET
+    unigram model (the 'en' slice here) and the full-corpus model, add-1
+    smoothed over the corpus vocabulary — the cheap importance-resampling
+    filter for steering a 100 TB crawl toward a target distribution. Shape:
+    one token explode feeds a vocab-sized count dim; the scoring join
+    broadcasts that dim back; document text never shuffles."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT doc_id, lang, tk FROM documents LATERAL VIEW explode({toks}) t AS tk"
+    else:
+        tok = f"SELECT doc_id, lang, unnest({toks}) AS tk FROM documents"
+    return f"""
+WITH tok AS ({tok}),
+vocab AS (
+  SELECT tk,
+         CAST(COUNT(*) AS DOUBLE) AS cs,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS ct
+  FROM tok GROUP BY tk
+),
+tot AS (SELECT SUM(cs) AS ns, SUM(ct) AS nt, COUNT(*) AS vsz FROM vocab),
+scored AS (
+  SELECT tok.doc_id AS doc_id,
+         SUM(ln(((vocab.ct + 1) / (tot.nt + tot.vsz)) / ((vocab.cs + 1) / (tot.ns + tot.vsz)))) AS lr,
+         COUNT(*) AS n_tok
+  FROM tok JOIN vocab ON tok.tk = vocab.tk CROSS JOIN tot
+  GROUP BY tok.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       round(lr / n_tok, 6) + 0.0 AS avg_log_ratio,
+       CASE WHEN lr > 0 THEN 'target-like' ELSE 'generic' END AS verdict
+FROM scored
+ORDER BY doc_id
+"""
+
+
+def streaming_pii_scrub(d: str) -> str:
+    """Batch oracle for the Structured-Streaming PII scrub (the stream over
+    a static directory must equal the batch pipeline exactly)."""
+    return _pii_stats_sql(d)
+
+
+WINNOW_NGRAM, WINNOW_W = 3, 4
+
+
+def winnowing_fingerprints(d: str) -> str:
+    """Robust winnowing (Schleimer et al., SIGMOD 2003 — the MOSS
+    fingerprinting scheme): hash word 3-grams, slide a w=4 window over the
+    hash sequence, keep each window's minimum; the distinct selected minima
+    are the document's fingerprints (guaranteed-gap sampling: any shared
+    word run of length >= w + ngram yields a shared fingerprint). Per doc:
+    gram count, fingerprint count/density, and the number of fingerprints
+    shared with ANY other document — the clone-detection signal. Shape: the
+    window-min selection is a narrow per-row array transform (no explode
+    until the already-winnowed fingerprints), and the fingerprint-DF dim
+    pre-aggregates map-side; text never shuffles."""
+    final = _winnow_final_sql(d).lstrip()
+    assert final.startswith("WITH ")
+    return f"WITH w AS ({_winnow_w_sql(d)}),\n{final[len('WITH '):]}"
+
+
+def _winnow_w_sql(d: str) -> str:
+    """Per-doc winnowed relation (doc_id, n_grams, n_fp, fps)."""
+    hs = P.shingle_hashes("text", WINNOW_NGRAM, d)
+    n_win = f"greatest(1, {P.list_len('hs', d)} - {WINNOW_W - 1})"
+    win_min = P.list_min(P.subvec("hs", "i", WINNOW_W, d), d)
+    if d == "spark":
+        sel = f"transform(sequence(1, {n_win}), i -> {win_min})"
+    else:
+        sel = f"list_transform(generate_series(1, {n_win}), i -> {win_min})"
+    fps = P.list_distinct(sel, d)
+    return (
+        f"SELECT doc_id, {P.list_len('hs', d)} AS n_grams, "
+        f"{P.list_len(fps, d)} AS n_fp, {fps} AS fps "
+        f"FROM (SELECT doc_id, {hs} AS hs FROM documents) b"
+    )
+
+
+def _winnow_final_sql(d: str, rel: str = "w") -> str:
+    """Fingerprint-DF rollup over the winnowed relation `rel`."""
+    if d == "spark":
+        fp = f"SELECT doc_id, f FROM {rel} LATERAL VIEW explode(fps) t AS f"
+    else:
+        fp = f"SELECT doc_id, unnest(fps) AS f FROM {rel}"
+    return f"""
+WITH fp AS ({fp}),
+dfreq AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS df FROM fp GROUP BY f),
+sh AS (
+  SELECT fp.doc_id AS doc_id,
+         SUM(CASE WHEN dfreq.df > 1 THEN 1 ELSE 0 END) AS n_shared
+  FROM fp JOIN dfreq ON fp.f = dfreq.f
+  GROUP BY fp.doc_id
+)
+SELECT CAST({rel}.doc_id AS BIGINT) AS doc_id,
+       CAST({rel}.n_grams AS BIGINT) AS n_grams,
+       CAST({rel}.n_fp AS BIGINT) AS n_fingerprints,
+       CAST(round({rel}.n_fp * 1.0 / {rel}.n_grams, 6) AS DOUBLE) AS fp_density,
+       CAST(sh.n_shared AS BIGINT) AS n_shared_fp
+FROM {rel} JOIN sh ON {rel}.doc_id = sh.doc_id
+ORDER BY doc_id
+"""
+
+
+def _winnowing_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for winnowing_fingerprints: materialize the per-doc
+    winnowed relation ONCE — Spark's CTE inlining otherwise recomputes the
+    md5-shingle + window-min pipeline on every reference (measured 46 s vs
+    ~2 s at sf0.01). DuckDB materializes multiply-referenced CTEs itself."""
+    register_views(spark, sf_dir, tables=("documents",))
+    name = _materialized_view(spark, _winnow_w_sql("spark"), "winnow")
+    return _sql_dropping(spark, _winnow_final_sql("spark", rel=name), name)
+
+
+TEMPLATES["streaming_pii_scrub"] = streaming_pii_scrub
+TEMPLATES["pii_redaction_stats"] = pii_redaction_stats
+def scd2_purchase_history(d: str) -> str:
+    """SCD-type-2 history build from an append-only event log: each user's
+    purchase stream becomes interval rows (valid_from, valid_to, is_current)
+    via LEAD — the standard warehouse shape for reconstructing mutable state
+    from CDC without a mutable table. One shuffle on the key (window
+    partition); at scale the log is already ingest-partitioned by key-hash
+    so the window sorts locally."""
+    return f"""
+SELECT user_id,
+       valid_from,
+       COALESCE(next_ts, CAST(9223372036854775807 AS BIGINT)) AS valid_to,
+       CAST(round(value, 6) AS DOUBLE) AS value,
+       CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+FROM (
+  SELECT user_id, {_ts_us(d)} AS valid_from, value,
+         LEAD({_ts_us(d)}) OVER (PARTITION BY user_id ORDER BY {_ts_us(d)} ASC, event_id ASC) AS next_ts
+  FROM events WHERE event_type = 'purchase'
+) t
+ORDER BY user_id, valid_from
+"""
+
+
+def lang_confusion_matrix(d: str) -> str:
+    """Classifier evaluation in-engine: confusion matrix of the lang-id
+    heuristic (text_analysis.lang_id_sql) against the corpus's labeled lang
+    column, with each cell's share of its true-language row. The eval is one
+    grouped count over a narrow projection — at 100 TB you eval the
+    classifier the same way you run it, no sampling export step. Exact-int
+    cells; the share divides two ints."""
+    det = TA.lang_id_sql("text", d)
+    return f"""
+WITH m AS (
+  SELECT lang AS true_lang, {det} AS detected_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents
+  GROUP BY lang, {det}
+)
+SELECT true_lang, detected_lang, n,
+       CAST(round(n * 1.0 / SUM(n) OVER (PARTITION BY true_lang), 6) AS DOUBLE) AS frac_of_true
+FROM m
+ORDER BY true_lang, detected_lang
+"""
+
+
+TEMPLATES["winnowing_fingerprints"] = winnowing_fingerprints
+TEMPLATES["scd2_purchase_history"] = scd2_purchase_history
+def trailing_hour_stats(d: str) -> str:
+    """Time-based RANGE window frame (the frame type the rest of the
+    registry's ROWS frames don't cover): per user, each event's count and
+    exact-decimal mean of `value` over the TRAILING HOUR by event time —
+    the physical-time sliding aggregate a feature store computes per
+    interaction. RANGE on epoch-micros shuffles once on the key; frame
+    bounds are evaluated on the sorted run, no self-join."""
+    w = (
+        f"(PARTITION BY user_id ORDER BY {_ts_us(d)} "
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+SELECT user_id, event_id,
+       CAST({_ts_us(d)} AS BIGINT) AS ts_us,
+       CAST(COUNT(*) OVER {w} AS BIGINT) AS n_trailing_hour,
+       CAST(round(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER {w} AS DOUBLE)
+                  / COUNT(*) OVER {w}, 6) AS DOUBLE) AS avg_trailing_hour
+FROM events
+WHERE user_id % 7 = 0
+ORDER BY user_id, ts_us, event_id
+"""
+
+
+TEMPLATES["lang_confusion_matrix"] = lang_confusion_matrix
+def _source_vocab_sg_sql(d: str) -> str:
+    """Distinct (source, token) relation — the vocab-sized core the overlap
+    matrix joins over."""
+    grams = P.word_ngrams("text", 1, d)
+    if d == "spark":
+        tok = f"SELECT source, g FROM documents LATERAL VIEW explode({grams}) t0 AS g"
+    else:
+        tok = f"SELECT source, unnest({grams}) AS g FROM documents"
+    return f"SELECT DISTINCT source, g FROM ({tok}) t"
+
+
+def _source_vocab_final_sql(d: str, rel: str = "sg") -> str:
+    return f"""
+WITH sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM {rel} GROUP BY source),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS ni
+  FROM {rel} a JOIN {rel} b ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.sa AS source_a, i.sb AS source_b, i.ni AS n_shared,
+       CAST(round(i.ni * 1.0 / (x.n + y.n - i.ni), 6) AS DOUBLE) AS vocab_jaccard
+FROM inter i JOIN sz x ON i.sa = x.source JOIN sz y ON i.sb = y.source
+ORDER BY source_a, source_b
+"""
+
+
+def source_vocab_overlap(d: str) -> str:
+    """Pairwise source-level vocabulary Jaccard — the domain-similarity
+    matrix behind mixture design (which domains are near-duplicates of each
+    other vs genuinely diverse). Distinct (source, token) pre-aggregates
+    map-side to vocab size; the self-join carries only tokens, and the
+    output is |sources|² rows — driver-tiny at any corpus scale. Spark
+    runner materializes the distinct-token relation once (it feeds both
+    self-join sides plus the size dim)."""
+    final = _source_vocab_final_sql(d).lstrip()
+    assert final.startswith("WITH ")
+    return f"WITH sg AS ({_source_vocab_sg_sql(d)}),\n{final[len('WITH '):]}"
+
+
+def _source_vocab_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("documents",))
+    name = _materialized_view(spark, _source_vocab_sg_sql("spark"), "svocab")
+    return _sql_dropping(spark, _source_vocab_final_sql("spark", rel=name), name)
+
+
+TEMPLATES["trailing_hour_stats"] = trailing_hour_stats
+def event_markov_transitions(d: str) -> str:
+    """First-order event-type transition matrix (sequence-model prep): per
+    user, LAG over the time-ordered stream gives consecutive pairs; the
+    grouped count + per-from-state share IS the empirical Markov kernel.
+    One key-partitioned window + one grouped agg — the sequence never
+    leaves its user partition."""
+    return f"""
+WITH seq AS (
+  SELECT event_type AS to_state,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY {_ts_us(d)} ASC, event_id ASC) AS from_state
+  FROM events
+),
+m AS (
+  SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE from_state IS NOT NULL
+  GROUP BY from_state, to_state
+)
+SELECT from_state, to_state, n,
+       CAST(round(n * 1.0 / SUM(n) OVER (PARTITION BY from_state), 6) AS DOUBLE) AS p
+FROM m
+ORDER BY from_state, to_state
+"""
+
+
+def source_lang_entropy(d: str) -> str:
+    """Per-source language-mix Shannon entropy — the diversity scalar for
+    mixture design (a source with entropy 0 is monolingual; log|langs| is a
+    uniform mix). Language histogram per source is dim-sized; entropy is a
+    second tiny agg over it."""
+    return """
+WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source, lang),
+t AS (SELECT source, CAST(SUM(n) AS DOUBLE) AS tot FROM c GROUP BY source)
+SELECT c.source,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       CAST(round(-SUM((c.n / t.tot) * ln(c.n / t.tot)), 6) + 0.0 AS DOUBLE) AS lang_entropy
+FROM c JOIN t ON c.source = t.source
+GROUP BY c.source
+ORDER BY c.source
+"""
+
+
+def tfidf_top_terms(d: str) -> str:
+    """Per-document TF-IDF top terms — the classic keyword/representation
+    signal next to BM25 (bm25_topk scores QUERY matches; this characterizes
+    each document). Shape: one token explode -> per-(doc, token) counts;
+    document frequency collapses the same relation to a vocab-sized dim that
+    joins back (broadcastable at any corpus scale); per-doc top-3 via a
+    window PARTITIONED by doc_id — no global sort, text never shuffles.
+    Smoothed idf = ln((N+1)/(df+1)) + 1 (sklearn's convention) keeps every
+    term positive and engine-identical. Deterministic doc subset keeps the
+    bench slice proportionate."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT doc_id, tok FROM documents LATERAL VIEW explode({toks}) t AS tok WHERE doc_id % 10 = 0"
+    else:
+        tok = f"SELECT doc_id, unnest({toks}) AS tok FROM documents WHERE doc_id % 10 = 0"
+    return f"""
+WITH tk AS ({tok}),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM tk GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tk GROUP BY tok),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tk),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, tok, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rk
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rk AS INT) AS rank, tok AS term,
+       CAST(round(tfidf, 6) AS DOUBLE) AS tfidf
+FROM ranked
+WHERE rk <= 3
+ORDER BY doc_id, rank
+"""
+
+
+def kl_divergence_by_source(d: str) -> str:
+    """Per-source token-distribution KL divergence from the corpus
+    distribution — the domain-shift scalar for mixture design (PSI tracks a
+    binned numeric column over time; this compares each source's unigram
+    LANGUAGE MODEL against the corpus). Laplace-smoothed over the corpus
+    vocab so KL is finite for vocab subsets.
+
+    The naive full KL needs a source x vocab OUTER join (every source paired
+    with every corpus term — quadratic-ish blowup at 100 TB vocab). This
+    form is EXACT full-support KL with no outer join: for terms absent from
+    a source, p is the constant p0 = 1/(tot+V), so their contribution
+    collapses algebraically to
+        p0 * ((V - n_present)*ln(p0) - (L - sum_present ln(q)))
+    where L = sum over the whole vocab of ln(q) is ONE corpus scalar.
+    Shape: one token explode -> (source, token) counts; everything else is
+    dim-sized aggs over that counted relation; output is source-dim-sized."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT source, tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
+    else:
+        tok = f"SELECT source, unnest({toks}) AS tok FROM documents"
+    return f"""
+WITH tk AS ({tok}),
+sc AS (SELECT source, tok, CAST(COUNT(*) AS DOUBLE) AS c FROM tk GROUP BY source, tok),
+corp AS (SELECT tok, CAST(SUM(c) AS DOUBLE) AS c FROM sc GROUP BY tok),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vocab, CAST(SUM(c) AS DOUBLE) AS total FROM corp),
+lq AS (SELECT CAST(SUM(ln((corp.c + 1.0) / (v.total + v.vocab))) AS DOUBLE) AS l
+       FROM corp CROSS JOIN v),
+st AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS tot FROM sc GROUP BY source),
+terms AS (
+  SELECT sc.source, st.tot,
+         (sc.c + 1.0) / (st.tot + v.vocab) AS p,
+         (corp.c + 1.0) / (v.total + v.vocab) AS q
+  FROM sc
+  JOIN corp ON sc.tok = corp.tok
+  JOIN st ON sc.source = st.source
+  CROSS JOIN v
+),
+agg AS (
+  SELECT source,
+         SUM(p * ln(p / q)) AS present_kl,
+         SUM(ln(q)) AS present_lnq,
+         CAST(COUNT(*) AS DOUBLE) AS n_present,
+         MAX(tot) AS tot
+  FROM terms
+  GROUP BY source
+)
+SELECT a.source,
+       CAST(round(a.present_kl
+         + (1.0 / (a.tot + v.vocab))
+           * ((v.vocab - a.n_present) * ln(1.0 / (a.tot + v.vocab))
+              - (lq.l - a.present_lnq)), 6) + 0.0 AS DOUBLE) AS kl_from_corpus,
+       CAST(a.n_present AS BIGINT) AS n_terms
+FROM agg a CROSS JOIN v CROSS JOIN lq
+ORDER BY a.source
+"""
+
+
+def zipf_alpha_by_lang(d: str) -> str:
+    """Zipf-law exponent per language — the corpus-health diagnostic for LM
+    data (natural text sits near alpha ~= 1; far-off values flag boilerplate
+    floods or synthetic/templated text). OLS fit of ln(freq) on ln(rank)
+    over each language's top-500 tokens, closed-form slope from the five
+    classic sums — deterministic on both engines, no regr_* dependency.
+    Shape: token explode -> (lang, token) counts (map-side combinable);
+    ranking window is PARTITIONED by lang over the vocab-sized count
+    relation; the fit aggregates 500 rows per lang. r2 reports fit quality
+    so a low-alpha verdict can't hide a non-power-law distribution.
+    Degenerate languages (one distinct token: no x variance; all counts
+    equal: no y variance) yield NULL alpha/r2 on BOTH engines — without the
+    guards Spark's ANSI mode throws DIVIDE_BY_ZERO where DuckDB returns
+    NULL, an engine divergence."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT lang, tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
+    else:
+        tok = f"SELECT lang, unnest({toks}) AS tok FROM documents"
+    return f"""
+WITH tk AS ({tok}),
+tf AS (SELECT lang, tok, CAST(COUNT(*) AS DOUBLE) AS c FROM tk GROUP BY lang, tok),
+ranked AS (
+  SELECT lang, c, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok ASC) AS rk
+  FROM tf
+),
+pts AS (
+  SELECT lang, ln(CAST(rk AS DOUBLE)) AS x, ln(c) AS y
+  FROM ranked WHERE rk <= 500
+),
+fit AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pts GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n_terms,
+       CAST(round(CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+                       ELSE -(n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) + 0.0
+            AS DOUBLE) AS zipf_alpha,
+       CAST(round(CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN NULL
+                       ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                            / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+            AS DOUBLE) AS r2
+FROM fit
+ORDER BY lang
+"""
+
+
+TEMPLATES["tfidf_top_terms"] = tfidf_top_terms
+TEMPLATES["kl_divergence_by_source"] = kl_divergence_by_source
+TEMPLATES["zipf_alpha_by_lang"] = zipf_alpha_by_lang
+TEMPLATES["source_vocab_overlap"] = source_vocab_overlap
+TEMPLATES["event_markov_transitions"] = event_markov_transitions
+TEMPLATES["source_lang_entropy"] = source_lang_entropy
+SPARK_OVERRIDES["source_vocab_overlap"] = _source_vocab_spark
+SPARK_OVERRIDES["winnowing_fingerprints"] = _winnowing_spark
+TEMPLATES["domain_temperature_weights"] = domain_temperature_weights
+TEMPLATES["tokenizer_fertility"] = tokenizer_fertility
+TEMPLATES["semantic_dedup_clusters"] = semantic_dedup_clusters
+TEMPLATES["dsir_importance_weights"] = dsir_importance_weights
+
+
+SPAN_GRAM = 20  # char-gram width for repeated-span detection
+
+
+def _span_grams_sql(d: str, rel: str = "documents") -> str:
+    """(doc_id, pos, g): every positioned char SPAN_GRAM-gram of each doc.
+    Raw gram strings, not hashes: an A/B at sf0.1 measured the md5-hashed
+    variant SLOWER (8.8 s vs 6.3 s warm) — 1.4M md5+conv evaluations cost
+    more than shuffling 20-char strings. At real cluster scale with network
+    shuffle the hash trades the other way; flip here if profiling says so."""
+    n = SPAN_GRAM
+    if d == "spark":
+        return (
+            f"SELECT doc_id, j AS pos, substring(text, j, {n}) AS g "
+            f"FROM {rel} LATERAL VIEW explode(sequence(1, length(text) - {n - 1})) t AS j "
+            f"WHERE length(text) >= {n}"
+        )
+    return (
+        f"SELECT doc_id, pos, substring(text, pos, {n}) AS g FROM ("
+        f"SELECT doc_id, unnest(generate_series(1, length(text) - {n - 1})) AS pos, text "
+        f"FROM {rel} WHERE length(text) >= {n}) t0"
+    )
+
+
+def _span_stats_final_sql(d: str, rel: str) -> str:
+    return f"""
+WITH rep AS (
+  SELECT g FROM {rel}
+  GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)
+),
+hits AS (
+  SELECT h.doc_id, h.pos, h.pos + {SPAN_GRAM - 1} AS e
+  FROM {rel} h JOIN rep ON h.g = rep.g
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY pos ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+sp AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(e) AS e
+  FROM (
+    SELECT doc_id, pos, e,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM isl
+  ) t
+  GROUP BY doc_id, island
+)
+SELECT sp.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(sp.e - sp.s + 1) AS BIGINT) AS covered_chars,
+       CAST(round(SUM(sp.e - sp.s + 1) * 1.0 / doc.n_chars, 6) AS DOUBLE) AS repeated_frac
+FROM sp JOIN documents doc ON sp.doc_id = doc.doc_id
+GROUP BY sp.doc_id, doc.n_chars
+ORDER BY sp.doc_id
+"""
+
+
+def repeated_span_stats(d: str) -> str:
+    """Exact-substring repeated-span profile (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" signal,
+    re-expressed relationally): every positioned char 20-gram that occurs in
+    more than one document marks a repeated region; per document the hit
+    intervals [pos, pos+19] are merged gaps-and-islands style (cumulative-max
+    window, no self-join) into maximal spans, then rolled up to
+    (n_spans, covered_chars, repeated_frac). A training pipeline cuts or
+    drops the spans; this emits the audit profile. Shape: one positioned
+    explode (corpus-chars rows) feeds the cross-doc test (one grouped agg —
+    "in >1 distinct doc" is MIN(doc_id) <> MAX(doc_id), so the partials are
+    two bigints, not a distinct set) and a semi-join back; the windows are
+    doc-partitioned. At 100 TB the
+    gram string never shuffles twice: hash the gram (xxhash64) for the DF
+    key and keep positions partition-local — the Spark runner materializes
+    the gram relation once so the explode isn't recomputed per consumer."""
+    grams = _span_grams_sql(d)
+    return f"WITH grams AS ({grams}),\n{_span_stats_final_sql(d, 'grams').lstrip()[len('WITH '):]}"
+
+
+def _repeated_span_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # documents arrives pre-spread via register_views (_SPREAD_TABLES), so
+    # the explode+window pipeline parallelizes; the gram relation is
+    # materialized once because it feeds the cross-doc agg AND the hits join.
+    register_views(spark, sf_dir, tables=("documents",))
+    name = _materialized_view(spark, _span_grams_sql("spark"), "spangrams")
+    return _sql_dropping(spark, _span_stats_final_sql("spark", name), name)
+
+
+def data_quality_profile(d: str) -> str:
+    """Deequ-style data-quality report over `orders`: one wide aggregation
+    pass computes size, per-column completeness, distinctness, numeric
+    min/max/mean, and declarative constraint violations (non-negative price,
+    status domain, key uniqueness); the single-row wide result is unpivoted
+    to the long (metric, column, value) report shape. ONE scan, one global
+    agg (xchg=1) — the constraint checks are plain CASE aggregates so at
+    100 TB validation costs the same as any full-scan agg. Exact
+    COUNT(DISTINCT) here because the oracle must be exact; the mergeable
+    HLL/KLL variant for interactive profiling is `sketch_profile`."""
+    return """
+WITH w AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_cust,
+         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_price,
+         CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS dist_key,
+         CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) AS dist_status,
+         CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE) AS dist_prio,
+         CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+         CAST(AVG(o_totalprice) AS DOUBLE) AS avg_price,
+         CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS DOUBLE) AS viol_price,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS DOUBLE) AS viol_status,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE) AS viol_unique
+  FROM orders
+)
+SELECT metric, col, CAST(round(value, 6) AS DOUBLE) AS value FROM (
+  SELECT 'size' AS metric, '*' AS col, n_rows AS value FROM w
+  UNION ALL SELECT 'completeness', 'o_custkey', 1.0 - null_cust / n_rows FROM w
+  UNION ALL SELECT 'completeness', 'o_totalprice', 1.0 - null_price / n_rows FROM w
+  UNION ALL SELECT 'distinctness', 'o_orderkey', dist_key / n_rows FROM w
+  UNION ALL SELECT 'approx_distinct', 'o_orderstatus', dist_status FROM w
+  UNION ALL SELECT 'approx_distinct', 'o_orderpriority', dist_prio FROM w
+  UNION ALL SELECT 'min', 'o_totalprice', min_price FROM w
+  UNION ALL SELECT 'max', 'o_totalprice', max_price FROM w
+  UNION ALL SELECT 'mean', 'o_totalprice', avg_price FROM w
+  UNION ALL SELECT 'violations:non_negative', 'o_totalprice', viol_price FROM w
+  UNION ALL SELECT 'violations:in_domain', 'o_orderstatus', viol_status FROM w
+  UNION ALL SELECT 'violations:unique', 'o_orderkey', viol_unique FROM w
+) t
+ORDER BY metric, col
+"""
+
+
+PSI_BINS, PSI_LO, PSI_HI = 10, 0.0, 500.0  # events.value observed in [0, 500)
+
+
+def psi_value_drift(d: str) -> str:
+    """Population-stability-index drift monitor: per event_type, PSI of the
+    `value` distribution between a reference window (first half of the
+    month) and the current window. Fixed-width bins over a pinned range keep
+    the binning deterministic and engine-identical; additive 0.5 smoothing
+    avoids ln(0) on empty bins. Shape: one scan bins every event
+    ((type, window, bin) grouped count — map-side combine), the per-type
+    totals and the PSI rollup operate on a bins×types dim. The standard
+    production check that a feature/corpus slice silently changed under the
+    model."""
+    width = (PSI_HI - PSI_LO) / PSI_BINS
+    b = f"LEAST(GREATEST(CAST(floor((value - {PSI_LO}) / {width}) AS INT), 0), {PSI_BINS - 1})"
+    half = "CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'ref' ELSE 'cur' END"
+    _ALLBINS = (
+        f"SELECT explode(sequence(0, {PSI_BINS - 1})) AS bin"
+        if d == "spark"
+        else f"SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS bin"
+    )
+    return f"""
+WITH binned AS (
+  SELECT event_type, {half} AS w, {b} AS bin, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, {half}, {b}
+),
+tot AS (SELECT event_type, w, CAST(SUM(n) AS DOUBLE) AS t FROM binned GROUP BY event_type, w),
+grid AS (
+  -- ALL bins enumerated (not just observed ones) so the +0.5-per-bin
+  -- smoothing denominator is consistent and probabilities sum to 1;
+  -- totals LEFT-join so a type present in only ONE window — the most
+  -- extreme drift — still reports (its missing window becomes the uniform
+  -- smoothed distribution) instead of vanishing from the monitor
+  SELECT tt.event_type, bins.bin,
+         (COALESCE(r.n, 0) + 0.5) / (COALESCE(tr.t, 0.0) + {0.5 * PSI_BINS}) AS pr,
+         (COALESCE(c.n, 0) + 0.5) / (COALESCE(tc.t, 0.0) + {0.5 * PSI_BINS}) AS pc
+  FROM (SELECT DISTINCT event_type FROM binned) tt
+  CROSS JOIN ({_ALLBINS}) bins
+  LEFT JOIN tot tr ON tr.event_type = tt.event_type AND tr.w = 'ref'
+  LEFT JOIN tot tc ON tc.event_type = tt.event_type AND tc.w = 'cur'
+  LEFT JOIN binned r ON r.event_type = tt.event_type AND r.bin = bins.bin AND r.w = 'ref'
+  LEFT JOIN binned c ON c.event_type = tt.event_type AND c.bin = bins.bin AND c.w = 'cur'
+)
+SELECT event_type,
+       CAST(round(SUM((pc - pr) * ln(pc / pr)), 6) + 0.0 AS DOUBLE) AS psi,
+       CASE WHEN SUM((pc - pr) * ln(pc / pr)) < 0.1 THEN 'stable'
+            WHEN SUM((pc - pr) * ln(pc / pr)) < 0.25 THEN 'moderate'
+            ELSE 'shifted' END AS verdict
+FROM grid
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+BIGRAM_LAMBDA = 0.7  # interpolation weight on the bigram term
+
+
+def bigram_logprob_quality(d: str) -> str:
+    """Interpolated bigram language-model quality score (the KenLM-lite
+    upgrade over `unigram_logprob_quality`): each document's mean
+    ln(λ·P(w2|w1) + (1-λ)·P(w2)) under the CORPUS bigram/unigram counts.
+    P(w2|w1) = c(w1 w2)/c(w1), P(w2) = c(w2)/N. Shape: the bigram explode
+    feeds a bigram-count dim and rejoins it; both unigram lookups join a
+    vocab-sized dim (broadcast-able at any corpus scale) — document text
+    never shuffles. Deterministic doc subset keeps the bench slice
+    proportionate with the unigram variant for comparison. The LIKE '% %'
+    guard (same as bigram_pmi_topk) drops word_ngrams' short-document
+    fallback: a doc with <2 tokens emits itself as its only "bigram", whose
+    split-part-2 lookup throws under Spark ANSI mode while DuckDB returns
+    '' — an engine-divergence landmine without the guard."""
+    bg = P.word_ngrams("text", 2, d)
+    ug = P.word_ngrams("text", 1, d)
+    if d == "spark":
+        bgx = f"SELECT doc_id, g FROM documents LATERAL VIEW explode({bg}) t AS g WHERE doc_id % 4 = 0"
+        ugx = f"SELECT doc_id, g FROM documents LATERAL VIEW explode({ug}) t AS g WHERE doc_id % 4 = 0"
+    else:
+        bgx = f"SELECT doc_id, unnest({bg}) AS g FROM documents WHERE doc_id % 4 = 0"
+        ugx = f"SELECT doc_id, unnest({ug}) AS g FROM documents WHERE doc_id % 4 = 0"
+    w1 = P.split_part1("bx.g", d)
+    w2 = P.split_part_last("bx.g", 2, d)
+    lam = BIGRAM_LAMBDA
+    return f"""
+WITH bx AS (SELECT * FROM ({bgx}) x0 WHERE g LIKE '% %'),
+ux AS ({ugx}),
+uc AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM ux GROUP BY g),
+n AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM uc),
+bc AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM bx GROUP BY g),
+scored AS (
+  SELECT bx.doc_id,
+         SUM(ln({lam} * (bc.c / u1.c) + {1.0 - lam} * (u2.c / n.t))) / COUNT(*) AS lp,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams
+  FROM bx
+  JOIN bc ON bx.g = bc.g
+  JOIN uc u1 ON {w1} = u1.g
+  JOIN uc u2 ON {w2} = u2.g
+  CROSS JOIN n
+  GROUP BY bx.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(round(lp, 6) AS DOUBLE) AS avg_bigram_logprob,
+       n_bigrams,
+       CASE WHEN lp >= -5.0 THEN 'keep' ELSE 'filter' END AS verdict
+FROM scored
+ORDER BY doc_id
+"""
+
+
+# Dyadic weights (multiples of 1/16): every partial sum is exactly
+# representable in binary, so Σ w·count is bit-identical on both engines
+# REGARDLESS of float-addition order. With free-form literals (0.3, 1.2 ...)
+# the engines' different summation orders produced ulp-level z drift, which
+# the downstream bin/threshold amplified into whole-bin flips. Single source
+# of truth lives with the operator (pipeline.curate_corpus gates on the same
+# model).
+from oaim_sandbox_spark.operators.classifier import (  # noqa: E402
+    DEFAULT_BIAS as CLASSIFIER_BIAS,
+    DEFAULT_WEIGHTS as CLASSIFIER_WEIGHTS,
+)
+
+
+def _classifier_score_ctes(d: str) -> str:
+    """Shared CTE text (tok / wt / acc) for the classifier gate and its
+    calibration audit — one definition so the serving query and the audit
+    can never desynchronize."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT doc_id, tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
+    else:
+        tok = f"SELECT doc_id, unnest({toks}) AS tok FROM documents"
+    vals = ", ".join(f"('{t}', CAST({w} AS DOUBLE))" for t, w in CLASSIFIER_WEIGHTS)
+    if d == "spark":
+        wtab = f"SELECT col1 AS tok, col2 AS w FROM (VALUES {vals})"
+    else:
+        wtab = f"SELECT * FROM (VALUES {vals}) v(tok, w)"
+    return f"""tok AS ({tok}),
+wt AS ({wtab}),
+acc AS (
+  SELECT tok.doc_id, SUM(wt.w) AS z
+  FROM tok JOIN wt ON tok.tok = wt.tok
+  GROUP BY tok.doc_id
+)"""
+
+
+def classifier_quality_scores(d: str) -> str:
+    """Serving side of the fastText-style linear quality gate
+    (operators/classifier.py trains the weights; this applies them):
+    score = sigmoid(bias + Σ w(tok)·count(tok)) per document, keep/filter at
+    0.5. The weight table is model-sized (literal VALUES here — broadcast at
+    any corpus scale); the token explode inner-joins it, so out-of-vocabulary
+    tokens are dropped before the shuffle and the per-doc reduction is a
+    grouped sum with map-side combine. Documents with zero in-vocabulary
+    tokens score sigmoid(bias) via the left join back to the corpus."""
+    return f"""
+WITH {_classifier_score_ctes(d)}
+SELECT doc.doc_id,
+       CAST(round(1.0 / (1.0 + exp(-({CLASSIFIER_BIAS} + COALESCE(acc.z, 0.0)))), 6) AS DOUBLE) AS score,
+       CASE WHEN {CLASSIFIER_BIAS} + COALESCE(acc.z, 0.0) >= 0.0
+            THEN 'keep' ELSE 'filter' END AS verdict
+FROM documents doc LEFT JOIN acc ON doc.doc_id = acc.doc_id
+ORDER BY doc.doc_id
+"""
+
+
+def retrieval_eval_metrics(d: str) -> str:
+    """Offline retrieval evaluation in-engine: recall@10, MRR@10 and
+    binary-gain nDCG@10 per query over the exact cosine top-10, against a
+    deterministic sparse qrel set (portable hash of (query, doc) — ~1/25 of
+    the store relevant per query, engine-identical). This is how a 100 TB
+    pipeline scores a retriever without exporting run files: the ranked list
+    is the same one-scan-per-batch window as `knn_join_batch`; qrels and the
+    ideal-DCG sequence explode are dim-sized per query. IDCG uses
+    min(R, 10) terms so nDCG is exact, not clipped."""
+    dist = distance_expr("e.embedding", P.to_double_array("q.qv", d), "COSINE", d)
+    qrel = f"{P.hash_mod('concat(cast(q.query_id as string), chr(31), cast(e.vec_id as string))', d)} % 25 = 0"
+    if d == "spark":
+        iseq = "LATERAL VIEW explode(sequence(1, CAST(LEAST(r, 10) AS INT))) t AS i"
+        idcg = f"SELECT query_id, SUM(1.0 / log2(i + 1)) AS idcg FROM (SELECT query_id, i FROM nrel {iseq}) s GROUP BY query_id"
+    else:
+        idcg = "SELECT query_id, SUM(1.0 / log2(i + 1)) AS idcg FROM (SELECT query_id, unnest(generate_series(1, LEAST(r, 10)::INT)) AS i FROM nrel) s GROUP BY query_id"
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0),
+rel AS (
+  SELECT q.query_id, e.vec_id AS doc_id
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id AND {qrel}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.query_id AS query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {dist} ASC, e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+  ) s WHERE rank <= 10
+),
+nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS r FROM rel GROUP BY query_id),
+hits AS (
+  SELECT ranked.query_id, ranked.rank
+  FROM ranked JOIN rel ON ranked.query_id = rel.query_id AND ranked.neighbor_id = rel.doc_id
+),
+hagg AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         MIN(rank) AS first_rank,
+         SUM(1.0 / log2(rank + 1)) AS dcg
+  FROM hits GROUP BY query_id
+),
+ideal AS ({idcg})
+SELECT nrel.query_id,
+       nrel.r AS n_relevant,
+       CAST(COALESCE(hagg.n_hits, 0) AS BIGINT) AS hits_at_10,
+       CAST(round(COALESCE(hagg.n_hits, 0) * 1.0 / nrel.r, 6) AS DOUBLE) AS recall_at_10,
+       CAST(round(COALESCE(1.0 / hagg.first_rank, 0.0), 6) AS DOUBLE) AS mrr_at_10,
+       CAST(round(COALESCE(hagg.dcg, 0.0) / ideal.idcg, 6) AS DOUBLE) AS ndcg_at_10
+FROM nrel
+JOIN ideal ON nrel.query_id = ideal.query_id
+LEFT JOIN hagg ON nrel.query_id = hagg.query_id
+ORDER BY nrel.query_id
+"""
+
+
+CMS_ROWS, CMS_WIDTH = 3, 512
+
+
+def countmin_token_topk(d: str) -> str:
+    """Count-min-sketch heavy hitters with an in-query exactness audit: the
+    sketch is CMS_ROWS x CMS_WIDTH grouped counts (fixed-size mergeable
+    state — the structure you'd keep per partition/window at 100 TB instead
+    of a full token shuffle), estimates are the min over rows of the
+    token's bucket counts, and the output compares the top-20 estimated
+    tokens against their exact counts (overestimate >= 0 always, = 0 when
+    no collision). Hashes are the portable md5 form so DuckDB builds the
+    identical sketch. The exact join here is the audit; production keeps
+    only the 1536-cell sketch."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
+    else:
+        tok = f"SELECT unnest({toks}) AS tok FROM documents"
+    rows = []
+    for r in range(CMS_ROWS):
+        h = P.hash_mod(f"concat('cms{r}:', tok)", d)
+        rows.append(f"SELECT {r} AS h_row, {h} % {CMS_WIDTH} AS bucket, tok FROM tok")
+    hashed = " UNION ALL ".join(rows)
+    return f"""
+WITH tok AS ({tok}),
+hashed AS ({hashed}),
+sketch AS (
+  SELECT h_row, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM hashed GROUP BY h_row, bucket
+),
+cand AS (SELECT DISTINCT h_row, bucket, tok FROM hashed),
+est AS (
+  SELECT cand.tok, MIN(sketch.c) AS est
+  FROM cand JOIN sketch ON cand.h_row = sketch.h_row AND cand.bucket = sketch.bucket
+  GROUP BY cand.tok
+),
+exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tok)
+SELECT est.tok, CAST(est.est AS BIGINT) AS est_count, exact.n AS exact_count,
+       CAST(est.est - exact.n AS BIGINT) AS overestimate
+FROM est JOIN exact ON est.tok = exact.tok
+ORDER BY est_count DESC, est.tok ASC
+LIMIT 20
+"""
+
+
+ECE_BINS = 8  # margin bins over z in [-8, 8), width 2 (dyadic edges)
+
+
+def classifier_calibration_ece(d: str) -> str:
+    """Calibration audit for the linear quality gate: documents are scored
+    with the same sigmoid-of-token-weights model as
+    `classifier_quality_scores`, binned by MARGIN (z, clamped to [-8,8),
+    width-2 bins), and each bin compares mean confidence sigmoid(z) against
+    the empirical rate of a deterministic reference label (lang = 'en' —
+    the gate's proxy target here). The trailing TOTAL row is the expected
+    calibration error Σ (n_b/N)·|acc_b − conf_b|. Binning on z rather than
+    sigmoid(z) keeps the bin assignment engine-exact: z is a sum of dyadic
+    weights (bit-identical under any addition order) while exp() differs by
+    ulps across libms — averaging inside a bin then rounding absorbs that;
+    flooring it into bins would not. Everything after the per-doc score is
+    bin-sized; a production gate runs this audit on every refresh to catch
+    silent classifier drift without exporting scores."""
+    return f"""
+WITH {_classifier_score_ctes(d)},
+scored AS (
+  SELECT doc.doc_id,
+         {CLASSIFIER_BIAS} + COALESCE(acc.z, 0.0) AS z,
+         1.0 / (1.0 + exp(-({CLASSIFIER_BIAS} + COALESCE(acc.z, 0.0)))) AS score,
+         CAST(CASE WHEN doc.lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y
+  FROM documents doc LEFT JOIN acc ON doc.doc_id = acc.doc_id
+),
+bins AS (
+  SELECT CAST(LEAST({ECE_BINS - 1}, GREATEST(0, CAST(floor((z + 8.0) / 2.0) AS INT))) AS INT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(score) AS conf, AVG(y) AS acc_rate
+  FROM scored GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM bins)
+SELECT CAST(bin AS INT) AS bin, n,
+       CAST(round(conf, 6) AS DOUBLE) AS mean_confidence,
+       CAST(round(acc_rate, 6) AS DOUBLE) AS empirical_rate,
+       CAST(round(abs(acc_rate - conf), 6) AS DOUBLE) AS gap
+FROM bins
+UNION ALL
+SELECT -1, CAST(tot.nn AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(round(SUM((bins.n / tot.nn) * abs(bins.acc_rate - bins.conf)), 6) AS DOUBLE)
+FROM bins CROSS JOIN tot GROUP BY tot.nn
+ORDER BY bin
+"""
+
+
+def corpus_version_diff(d: str) -> str:
+    """Snapshot diff between two corpus versions — the audit a curation
+    pipeline emits on every refresh (what changed since the last export?).
+    v2 is derived deterministically from v1 (portable-hash buckets: ~1/17
+    removed, ~1/13 modified, ~1/19 new docs), then a full outer join on
+    doc_id comparing content hashes classifies every id as
+    added/removed/modified/unchanged and rolls counts up per source. At
+    scale this is one co-partitioned join on the id (both versions written
+    bucketed by doc_id make it exchange-free) and the rollup is dim-sized;
+    the content comparison ships 60-bit hashes, never the text."""
+    h = P.hash64("text", d)
+    hmod = P.hash_mod("concat('vdiff:', cast(doc_id as string))", d)
+    return f"""
+WITH v1 AS (SELECT doc_id, source, {h} AS th FROM documents),
+v2 AS (
+  SELECT doc_id, source,
+         CASE WHEN {hmod} % 13 = 0 THEN {P.hash64("concat(text, ' v2')", d)} ELSE {h} END AS th
+  FROM documents WHERE {hmod} % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, {P.hash64("concat('new:', text)", d)} AS th
+  FROM documents WHERE {hmod} % 19 = 0
+),
+joined AS (
+  SELECT COALESCE(v1.source, v2.source) AS source,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.th <> v2.th THEN 'modified'
+              ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n
+FROM joined
+GROUP BY source, status
+ORDER BY source, status
+"""
+
+
+TEMPLATES["classifier_quality_scores"] = classifier_quality_scores
+TEMPLATES["retrieval_eval_metrics"] = retrieval_eval_metrics
+TEMPLATES["countmin_token_topk"] = countmin_token_topk
+COLBERT_QUERY_TEXT = "table scan query fast"
+COLBERT_DIM, COLBERT_MAX_DOC_TOKENS = 8, 12
+
+
+def colbert_maxsim_topk(d: str) -> str:
+    """Late-interaction retrieval (ColBERT-style MaxSim): every token of the
+    query and of each document gets its own embedding; a document's score is
+    Σ over query tokens of the MAX dot-product against any document token.
+    Token vectors are the deterministic portable mock embedder, so both
+    engines build identical multi-vector representations. Shape: the doc
+    side explodes to (doc, token, vector) ONCE (capped at 12 tokens/doc —
+    the fixed-length token budget real late-interaction stores use), the
+    query side is a handful of rows that cross-join (broadcast) onto it;
+    the per-(doc, qtok) MAX and per-doc SUM are two grouped aggs with
+    map-side combine. At 100 TB the doc-token relation is the stored index,
+    pre-partitioned by token bucket (IVF/PLAID-style) so the cross join
+    becomes a pruned bucket join; the deterministic subset here keeps the
+    bench slice proportionate."""
+    toks = P.tokens("text", d)
+    qtoks = P.tokens(f"'{COLBERT_QUERY_TEXT}'", d)
+    emb_dt = P.mock_embed("dt", COLBERT_DIM, d)
+    emb_qt = P.mock_embed("qt", COLBERT_DIM, d)
+    dotp = P.dot("dv", "qv", d)
+    if d == "spark":
+        dtok = (
+            f"SELECT doc_id, dt FROM (SELECT doc_id, slice({toks}, 1, {COLBERT_MAX_DOC_TOKENS}) AS tk "
+            f"FROM documents WHERE doc_id % 5 = 0) s LATERAL VIEW explode(tk) t AS dt"
+        )
+        qtok = f"SELECT qt FROM (SELECT {qtoks} AS qs) q LATERAL VIEW explode(qs) t AS qt"
+    else:
+        dtok = (
+            f"SELECT doc_id, unnest(list_slice({toks}, 1, {COLBERT_MAX_DOC_TOKENS})) AS dt "
+            f"FROM documents WHERE doc_id % 5 = 0"
+        )
+        qtok = f"SELECT unnest({qtoks}) AS qt"
+    return f"""
+WITH dvec AS (SELECT doc_id, dt, {emb_dt} AS dv FROM ({dtok}) t0),
+qvec AS (SELECT qt, {emb_qt} AS qv FROM ({qtok}) t1),
+sim AS (
+  -- per-(doc, qtok) best similarity, quantized to integer micro-units so the
+  -- cross-token SUM is exact integer math (float SUM order is engine- and
+  -- run-dependent; MAX and the fold-form dot are already bit-identical)
+  SELECT dvec.doc_id, qvec.qt,
+         CAST(floor(MAX({dotp}) * 1000000.0 + 0.5) AS BIGINT) AS best_micro
+  FROM dvec CROSS JOIN qvec
+  GROUP BY dvec.doc_id, qvec.qt
+)
+SELECT doc_id, CAST(SUM(best_micro) / 1000000.0 AS DOUBLE) AS maxsim_score
+FROM sim
+GROUP BY doc_id
+ORDER BY maxsim_score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+BFS_MAX_HOPS = 4
+
+
+def reachability_bfs(d: str) -> str:
+    """Recursive-CTE graph reachability (Spark 4 WITH RECURSIVE — the
+    engine's native iterate-until-bound form, vs the unrolled-CTE pagerank
+    and the driver-loop connected components): min-hop distance from source
+    node 0 over the same deterministic hash link graph as `pagerank_3iter`,
+    bounded at 4 hops. UNION ALL + hop bound keeps the recursion
+    engine-portable (recursive-UNION dedup semantics differ); the closing
+    MIN(hop) aggregation collapses revisits. Each recursion step is one
+    (frontier ⨝ edges) shuffle keyed on src — the textbook BFS data layout:
+    pre-partition edges by src and only the (node, hop) frontier moves.
+    Frontier growth is bounded by out-degree^hops; for unbounded diameters
+    use the convergence-loop operator (dedup.connected_components)."""
+    nn = "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id < 100)"
+    ks = (
+        "SELECT explode(sequence(1, 3)) AS k"
+        if d == "spark"
+        else "SELECT unnest(generate_series(1, 3)) AS k"
+    )
+    sid, sk = _str("doc_id", d), _str("k", d)
+    link = f"({P.hash64(f'concat({sid}, chr(35), {sk})', d)} % {nn})"
+    return f"""
+WITH RECURSIVE walk(node, hop) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+  UNION ALL
+  SELECT e.dst AS node, w.hop + 1 AS hop
+  FROM walk w
+  JOIN (
+    SELECT doc_id AS src, {link} AS dst
+    FROM documents CROSS JOIN ({ks}) t
+    WHERE doc_id < 100
+  ) e ON e.src = w.node
+  WHERE w.hop < {BFS_MAX_HOPS}
+)
+SELECT node, CAST(MIN(hop) AS INT) AS dist
+FROM walk
+GROUP BY node
+ORDER BY dist, node
+"""
+
+
+TEMPLATES["classifier_calibration_ece"] = classifier_calibration_ece
+TEMPLATES["corpus_version_diff"] = corpus_version_diff
+K_ANON = 5
+
+
+def k_anonymity_audit(d: str) -> str:
+    """k-anonymity audit before a corpus release: group documents by their
+    quasi-identifier tuple (lang, source, length decile) and flag every
+    equivalence class smaller than k=5 — the classes where a released row is
+    re-identifiable. One grouped count over a narrow projection plus a
+    class-size histogram rollup; the flagged classes (not the documents)
+    come back, so output is dim-sized at any corpus scale. Complements the
+    PII scrub (`pii_redaction_stats`): scrubbing removes direct identifiers,
+    this audits the quasi-identifiers that remain."""
+    # integer division: CAST(double AS INT) truncates on Spark but rounds on
+    # DuckDB — div/// keeps the decile engine-exact
+    dec = f"CAST(LEAST(9, n_chars {'div' if d == 'spark' else '//'} 100) AS INT)"
+    return f"""
+WITH classes AS (
+  SELECT lang, source, {dec} AS len_decile, CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM documents
+  GROUP BY lang, source, {dec}
+)
+SELECT lang, source, len_decile, class_size,
+       CASE WHEN class_size < {K_ANON} THEN 1 ELSE 0 END AS violates_k
+FROM classes
+WHERE class_size < {K_ANON}
+ORDER BY lang, source, len_decile
+"""
+
+
+DP_EPSILON = 1.0
+
+
+def dp_noisy_counts(d: str) -> str:
+    """Laplace-mechanism count release with SEEDED noise (ε=1, sensitivity
+    1): per-(source, lang) document counts plus Laplace(1/ε) noise derived
+    from the portable hash via inverse-CDF — u = H(key)/2^60 ∈ (0,1),
+    noise = -sign(u-0.5)·ln(1-2|u-0.5|)/ε. The hash seed makes the release
+    reproducible and engine-identical (and therefore NOT differentially
+    private — a real release swaps the hash for a CSPRNG draw; the query
+    certifies the mechanism's plumbing: per-class noise, post-processing
+    max(0, round(·)), and that no raw count leaves unperturbed).
+
+    The caveat is flagged IN THE OUTPUT: a literal `mechanism` column marks
+    every row as demo noise, so the release cannot be mistaken for real DP
+    however far it travels from this docstring. `dp_noisy_counts_csprng`
+    below is the real-noise variant (pytest-only: non-deterministic by
+    design, so no oracle)."""
+    key = "concat('dp:', source, ':', lang)"
+    u = f"(({P.hash64(key, d)} % 1000000) + 0.5) / 1000000.0"
+    return f"""
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+),
+noise AS (
+  SELECT source, lang, n, {u} AS u FROM c
+)
+SELECT source, lang,
+       CAST(GREATEST(0, CAST(round(n + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+            * ln(1.0 - 2.0 * abs(u - 0.5)) / {DP_EPSILON}, 0) AS BIGINT)) AS BIGINT) AS noisy_count,
+       'laplace-seeded-hash-demo (NOT differentially private)' AS mechanism
+FROM noise
+ORDER BY source, lang
+"""
+
+
+def dp_noisy_counts_csprng(spark: SparkSession, sf_dir: str, epsilon: float = DP_EPSILON) -> DataFrame:
+    """Real-noise Laplace release: same counts, same post-processing as
+    `dp_noisy_counts`, but the noise is drawn from an OS-entropy-seeded
+    generator per Arrow batch (mapInPandas), so the release is actually
+    unpredictable. Non-deterministic by design -> no DuckDB oracle; pytest
+    asserts the post-processing invariants (non-negative integers, schema,
+    mechanism flag, noise actually varies across runs). Executor-side noise
+    generation: each batch draws independently, no driver coordination."""
+    import pandas as pd
+
+    register_views(spark, sf_dir, tables=("documents",))
+    counts = spark.sql(
+        "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source, lang"
+    )
+
+    def add_noise(batches):
+        import os as _os
+
+        import numpy as _np
+
+        rng = _np.random.default_rng(int.from_bytes(_os.urandom(16), "big"))
+        for pdf in batches:
+            lap = rng.laplace(0.0, 1.0 / epsilon, size=len(pdf))
+            noisy = _np.maximum(0, _np.round(pdf["n"].to_numpy() + lap)).astype("int64")
+            yield pd.DataFrame({
+                "source": pdf["source"], "lang": pdf["lang"],
+                "noisy_count": noisy,
+                "mechanism": f"laplace-csprng eps={epsilon}",
+            })
+
+    return counts.mapInPandas(
+        add_noise, "source STRING, lang STRING, noisy_count BIGINT, mechanism STRING"
+    )
+
+
+TEMPLATES["colbert_maxsim_topk"] = colbert_maxsim_topk
+TEMPLATES["reachability_bfs"] = reachability_bfs
+def event_pattern_match(d: str) -> str:
+    """Sequence-pattern matching over event streams (the MATCH_RECOGNIZE
+    workload, relationally): each user's time-ordered event types collapse
+    to a symbol string (c/v/e/s/p), and a regex counts conversion patterns —
+    here 'click, any non-purchase browsing, then purchase' (c[ve]*p). One
+    key-partitioned sort inside a grouped collect (sorted struct array →
+    symbols, so the order is deterministic, not collect_list luck), then a
+    per-row regex — the sequence never leaves its user partition. At 100 TB
+    sessions are bounded, so the symbol string is short regardless of
+    corpus size."""
+    sym = ("CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v' "
+           "WHEN 'error' THEN 'e' WHEN 'signup' THEN 's' ELSE 'p' END")
+    if d == "spark":
+        seq = ("array_join(transform(sort_array(collect_list(struct(ts_us, event_id, sym))), "
+               "s -> s.sym), '')")
+    else:
+        seq = "string_agg(sym, '' ORDER BY ts_us, event_id)"
+    pat = "c[ve]*p"
+    n_match = P.regexp_count_portable("seq", pat, d)
+    return f"""
+WITH ev AS (
+  SELECT user_id, {_ts_us(d)} AS ts_us, event_id, {sym} AS sym
+  FROM events WHERE user_id % 5 = 0
+),
+seqs AS (
+  SELECT user_id, {seq} AS seq
+  FROM ev GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(seq) AS INT) AS n_events,
+       CAST({n_match} AS INT) AS n_conversions
+FROM seqs
+WHERE {n_match} > 0
+ORDER BY user_id
+"""
+
+
+def weekly_cohort_retention(d: str) -> str:
+    """Cohort retention: users grouped by first-seen week; each later week's
+    active share of that cohort — the canonical product-analytics triangle,
+    and for a training pipeline the shape of 'does a crawl source keep
+    contributing'. Two grouped aggs (first-seen per user, then distinct
+    actives per (cohort, week)) joined to cohort sizes; weeks are integer
+    epoch-week indexes (div — engine-exact), output is cohorts×weeks
+    dim-sized."""
+    wk = f"CAST(({_ts_us(d)}) {'div' if d == 'spark' else '//'} {7 * 86400 * 1_000_000} AS BIGINT)"
+    return f"""
+WITH ev AS (SELECT user_id, {wk} AS wk FROM events),
+first_seen AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id),
+cohort_size AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users FROM first_seen GROUP BY cohort_wk),
+active AS (
+  SELECT f.cohort_wk, e.wk, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+  FROM ev e JOIN first_seen f ON e.user_id = f.user_id
+  GROUP BY f.cohort_wk, e.wk
+)
+SELECT a.cohort_wk, CAST(a.wk - a.cohort_wk AS INT) AS week_offset,
+       c.n_users AS cohort_users, a.n_active,
+       CAST(round(a.n_active * 1.0 / c.n_users, 6) AS DOUBLE) AS retention
+FROM active a JOIN cohort_size c ON a.cohort_wk = c.cohort_wk
+ORDER BY a.cohort_wk, week_offset
+"""
+
+
+def ab_test_zscore(d: str) -> str:
+    """Two-proportion z-test in-engine: users are hash-assigned to arms A/B
+    (deterministic, the bucketing a real experiment framework uses),
+    conversion = a high-value purchase (partial-rate event, so the pooled
+    variance is non-degenerate); the query emits both arms'
+    rates, the pooled z statistic, and the |z| >= 1.96 significance verdict.
+    One grouped agg per user then one 2-row rollup — experiment readouts at
+    any scale are a full-scan agg, never an export."""
+    key = f"concat({_str('user_id', d)}, '-ab')"
+    arm = f"CASE WHEN {P.hash_mod(key, d)} % 2 = 0 THEN 'A' ELSE 'B' END"
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         {arm} AS arm,
+         MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0 THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM u GROUP BY arm
+),
+wide AS (
+  SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+         MAX(CASE WHEN arm = 'A' THEN conv END) AS ca,
+         MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+         MAX(CASE WHEN arm = 'B' THEN conv END) AS cb
+  FROM arms
+)
+, z AS (
+  SELECT na, ca, nb, cb,
+         CAST(ca AS DOUBLE) / na AS pa,
+         CAST(cb AS DOUBLE) / nb AS pb,
+         CAST(ca + cb AS DOUBLE) / (na + nb) AS pp
+  FROM wide
+)
+SELECT na, ca, nb, cb,
+       CAST(round(pa, 6) AS DOUBLE) AS rate_a,
+       CAST(round(pb, 6) AS DOUBLE) AS rate_b,
+       CAST(round((pa - pb) / sqrt(pp * (1.0 - pp) * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)), 6) AS DOUBLE) AS z,
+       CASE WHEN na IS NULL OR nb IS NULL OR pp IS NULL OR pp <= 0.0 OR pp >= 1.0
+            THEN 'insufficient_data'
+            WHEN abs((pa - pb) / sqrt(pp * (1.0 - pp) * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))) >= 1.96
+            THEN 'significant' ELSE 'not_significant' END AS verdict
+FROM z
+"""
+
+
+def unpivot_monthly_metrics(d: str) -> str:
+    """Native UNPIVOT (wide→long reshaping, the inverse of
+    `pivot_event_counts`): monthly order metrics computed wide in one agg,
+    then unpivoted to (month, metric, value) rows — the long shape
+    monitoring/reporting sinks want. Both engines share the ANSI
+    UNPIVOT (val FOR col IN (...)) clause; everything after the first
+    grouped agg is months×metrics dim-sized."""
+    mon = ("date_format(o_orderdate, 'yyyy-MM')" if d == "spark"
+           else "strftime(o_orderdate, '%Y-%m')")
+    return f"""
+WITH wide AS (
+  SELECT {mon} AS month,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(round(AVG(o_totalprice), 6) AS DOUBLE) AS avg_price,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+  FROM orders GROUP BY {mon}
+)
+SELECT month, metric, CAST(value AS DOUBLE) AS value
+FROM wide UNPIVOT (value FOR metric IN (n_orders, avg_price, max_price))
+ORDER BY month, metric
+"""
+
+
+def lateral_top_customers(d: str) -> str:
+    """Correlated LATERAL subquery (per-row dependent join — the other way
+    to write grouped top-k besides the window form in
+    `topk_docs_per_lang`): for every nation, the top-2 customers by account
+    balance. Catalyst decorrelates the LATERAL into a ranked join, so the
+    physical plan matches the window form — this certifies the SYNTAX
+    surface, and the deterministic tiebreak makes it oracle-exact."""
+    return """
+SELECT n.n_name AS nation, t.c_custkey, CAST(round(t.c_acctbal, 2) AS DOUBLE) AS acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC
+  LIMIT 2
+) t
+ORDER BY nation, acctbal DESC, t.c_custkey
+"""
+
+
+def cusum_changepoint(d: str) -> str:
+    """Changepoint detection on the event stream (CUSUM): daily event counts,
+    cumulative sum of deviations from the overall mean, and the day where
+    |S_t| peaks — the classic single-changepoint estimator a pipeline runs
+    when ingest volume silently shifts. Day series is dim-sized after one
+    grouped count; the CUSUM is a single unbounded-preceding window over it;
+    the argmax is a rank over the same dim — everything after the first agg
+    is days-sized at any event scale."""
+    day = f"CAST(({_ts_us(d)}) {'div' if d == 'spark' else '//'} {86400 * 1_000_000} AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT {day} AS day, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY {day}
+),
+m AS (SELECT AVG(n) AS mu FROM daily),
+cusum AS (
+  SELECT daily.day, daily.n,
+         SUM(daily.n - m.mu) OVER (ORDER BY daily.day ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM daily CROSS JOIN m
+),
+ranked AS (
+  SELECT day, n, s,
+         row_number() OVER (ORDER BY abs(s) DESC, day ASC) AS r
+  FROM cusum
+)
+SELECT day AS changepoint_day,
+       CAST(round(s, 6) AS DOUBLE) AS cusum_peak,
+       CAST(n AS BIGINT) AS day_count
+FROM ranked WHERE r = 1
+"""
+
+
+def dow_seasonality(d: str) -> str:
+    """Day-of-week seasonal profile of the event stream: per-dow mean daily
+    count, its share of the weekly total, and the deviation from a flat
+    week — the decomposition a monitor subtracts before alerting on volume
+    anomalies (otherwise every weekend pages). Two dim-sized aggs; dow is
+    computed from the epoch-day index (identical mod arithmetic on both
+    engines — engine dayofweek() functions disagree on week start)."""
+    day = f"CAST(({_ts_us(d)}) {'div' if d == 'spark' else '//'} {86400 * 1_000_000} AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT {day} AS day, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY {day}
+),
+bydow AS (
+  SELECT CAST(day % 7 AS INT) AS dow, AVG(n) AS mean_count, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY CAST(day % 7 AS INT)
+),
+tot AS (SELECT SUM(mean_count) AS wk FROM bydow)
+SELECT b.dow, CAST(round(b.mean_count, 6) AS DOUBLE) AS mean_count, b.n_days,
+       CAST(round(b.mean_count / t.wk, 6) AS DOUBLE) AS share_of_week,
+       CAST(round(b.mean_count / (t.wk / 7.0) - 1.0, 6) AS DOUBLE) AS vs_flat_week
+FROM bydow b CROSS JOIN tot t
+ORDER BY b.dow
+"""
+
+
+TEMPLATES["unpivot_monthly_metrics"] = unpivot_monthly_metrics
+TEMPLATES["lateral_top_customers"] = lateral_top_customers
+def bigram_pmi_topk(d: str) -> str:
+    """Top token ASSOCIATIONS by pointwise mutual information — the
+    collocation measure (`bigram_topk` ranks raw frequency; PMI ranks
+    surprise: ln(p(ab)/(p(a)p(b)))). Min-count floor keeps the estimator out
+    of the rare-pair noise regime. One bigram explode + one unigram explode,
+    each collapsing to vocab-sized dims that join back — text never
+    shuffles (the bigram explode feeds ONE counted relation that serves
+    both the floored pair table and the normalization total); classic
+    phrase-mining / tokenizer-merge-candidate signal. The LIKE '% %' guard
+    drops word_ngrams' short-document fallback (a doc with <2 tokens emits
+    itself as its only "bigram"), which would otherwise pollute both the
+    pair counts and the normalization total."""
+    bg = P.word_ngrams("text", 2, d)
+    ug = P.word_ngrams("text", 1, d)
+    if d == "spark":
+        bgx = f"SELECT g FROM documents LATERAL VIEW explode({bg}) t AS g"
+        ugx = f"SELECT g FROM documents LATERAL VIEW explode({ug}) t AS g"
+    else:
+        bgx = f"SELECT unnest({bg}) AS g FROM documents"
+        ugx = f"SELECT unnest({ug}) AS g FROM documents"
+    w1 = P.split_part1("bc.g", d)
+    w2 = P.split_part_last("bc.g", 2, d)
+    return f"""
+WITH ba AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM ({bgx}) x
+            WHERE g LIKE '% %' GROUP BY g),
+bc AS (SELECT g, c FROM ba WHERE c >= 5),
+uc AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS c FROM ({ugx}) x GROUP BY g),
+nb AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM ba),
+nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM uc)
+SELECT bc.g AS bigram, CAST(bc.c AS BIGINT) AS n,
+       CAST(round(ln((bc.c / nb.t) / ((u1.c / nu.t) * (u2.c / nu.t))), 6) AS DOUBLE) AS pmi
+FROM bc
+JOIN uc u1 ON {w1} = u1.g
+JOIN uc u2 ON {w2} = u2.g
+CROSS JOIN nb CROSS JOIN nu
+ORDER BY pmi DESC, bigram ASC
+LIMIT 20
+"""
+
+
+def user_burstiness(d: str) -> str:
+    """Inter-arrival burstiness per user — the bot/automation signal crawl
+    curation filters on: machines fire at near-constant intervals (CV→0),
+    humans are bursty (CV≈1+). Per user: LAG gives gaps, population
+    stddev/mean of gaps gives CV — computed via the explicit
+    sqrt(E[x²]−E[x]²) form because engines disagree on STDDEV's
+    sample/population default. Key-partitioned window + one grouped agg;
+    the >=20-event floor keeps the estimator stable."""
+    return f"""
+WITH gaps AS (
+  SELECT user_id,
+         ({_ts_us(d)} - LAG({_ts_us(d)}) OVER (PARTITION BY user_id ORDER BY {_ts_us(d)} ASC, event_id ASC)) / 1000000.0 AS gap_s
+  FROM events
+),
+agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         AVG(gap_s) AS mu, AVG(gap_s * gap_s) AS m2
+  FROM gaps WHERE gap_s IS NOT NULL
+  GROUP BY user_id HAVING COUNT(*) >= 20
+)
+SELECT user_id, n_gaps,
+       CAST(round(mu, 6) AS DOUBLE) AS mean_gap_s,
+       CAST(round(sqrt(GREATEST(m2 - mu * mu, 0.0)), 6) AS DOUBLE) AS std_gap_s,
+       CAST(round(sqrt(GREATEST(m2 - mu * mu, 0.0)) / mu, 6) AS DOUBLE) AS cv,
+       CASE WHEN sqrt(GREATEST(m2 - mu * mu, 0.0)) / mu < 0.3 THEN 'machine-like' ELSE 'bursty' END AS verdict
+FROM agg
+ORDER BY cv ASC, user_id ASC
+LIMIT 25
+"""
+
+
+TEMPLATES["cusum_changepoint"] = cusum_changepoint
+TEMPLATES["dow_seasonality"] = dow_seasonality
+def federated_label_topk(d: str) -> str:
+    """Oracle twin of `retrieval.federated_topk`'s merge semantics: the
+    label partitions of the embeddings table stand in for per-model stores;
+    each contributes its LOCAL exact cosine top-3 (rank window per label =
+    TakeOrderedAndProject per store), and the global re-rank keeps the best
+    5 with provenance. Proves the two-stage local-k/global-k cut is
+    lossless: the global winner set matches a flat top-5 whenever every
+    store returned >= its contribution (k_local >= k_global guarantees
+    it)."""
+    dist = distance_expr("e.embedding", P.to_double_array("q.qv", d), "COSINE", d)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+local_k AS (
+  SELECT label, vec_id, distance FROM (
+    SELECT e.label AS label, e.vec_id AS vec_id, round({dist}, 6) AS distance,
+           row_number() OVER (PARTITION BY e.label ORDER BY round({dist}, 6) ASC, e.vec_id ASC) AS r
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+  ) s WHERE r <= 3
+)
+SELECT CAST(label AS INT) AS store_label, vec_id, CAST(distance AS DOUBLE) AS distance
+FROM local_k
+ORDER BY distance ASC, store_label ASC, vec_id ASC
+LIMIT 5
+"""
+
+
+TEMPLATES["bigram_pmi_topk"] = bigram_pmi_topk
+TEMPLATES["user_burstiness"] = user_burstiness
+def near_dup_rate_by_source(d: str) -> str:
+    """Duplication ATTRIBUTION: the simhash near-dup pair graph rolled up to
+    (source_a, source_b) — which domain pairs contribute the duplication a
+    curation run removes (intra-source templating vs cross-source
+    syndication), with each side's pair rate against its document count. The
+    pair graph is the same banded plan as `simhash_near_pairs`; attribution
+    adds two dim joins (doc→source) and a sources² rollup — audit output is
+    dim-sized at any corpus scale."""
+    bands_sql, select_sql = _simhash_pairs_parts(d)
+    return f"""
+WITH fps AS ({_simhash_fps_sql(d)}),
+banded AS ({bands_sql}),
+pairs AS ({select_sql}),
+attributed AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs v
+  JOIN documents da ON v.doc_a = da.doc_id
+  JOIN documents db ON v.doc_b = db.doc_id
+  GROUP BY LEAST(da.source, db.source), GREATEST(da.source, db.source)
+),
+src_n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
+SELECT a.source_a, a.source_b, a.n_pairs,
+       CAST(CASE WHEN a.source_a = a.source_b THEN 1 ELSE 0 END AS INT) AS intra_source,
+       CAST(round(a.n_pairs * 1.0 / (x.n_docs * y.n_docs), 6) AS DOUBLE) AS pair_rate
+FROM attributed a
+JOIN src_n x ON a.source_a = x.source
+JOIN src_n y ON a.source_b = y.source
+ORDER BY a.n_pairs DESC, a.source_a, a.source_b
+LIMIT 30
+"""
+
+
+TEMPLATES["federated_label_topk"] = federated_label_topk
+TEMPLATES["near_dup_rate_by_source"] = near_dup_rate_by_source
+TEMPLATES["k_anonymity_audit"] = k_anonymity_audit
+TEMPLATES["dp_noisy_counts"] = dp_noisy_counts
+def point_in_time_join(d: str) -> str:
+    """Point-in-time (leakage-safe) feature join — the feature-store
+    primitive behind training-set assembly: each click event is enriched
+    with the user's purchase state AS OF the event time (the SCD2 interval
+    row covering the event), never a later value. Intervals come from the
+    same LEAD build as `scd2_purchase_history`; the interval join is an
+    equi-join on the user plus a range predicate, so it shuffles once on
+    user_id and resolves ranges inside the partition (at scale: sort both
+    sides within the key partition and merge — the asof_join operator is
+    the generalized form). LEFT join keeps pre-first-purchase events with
+    NULL state (the honest cold-start representation, not a leaked future
+    value)."""
+    return f"""
+WITH hist AS (
+  SELECT user_id, {_ts_us(d)} AS valid_from, value,
+         COALESCE(LEAD({_ts_us(d)}) OVER (PARTITION BY user_id ORDER BY {_ts_us(d)} ASC, event_id ASC),
+                  CAST(9223372036854775807 AS BIGINT)) AS valid_to
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT event_id, user_id, {_ts_us(d)} AS ts_us
+  FROM events WHERE event_type = 'click' AND user_id % 9 = 0
+)
+SELECT c.event_id, c.user_id, CAST(c.ts_us AS BIGINT) AS ts_us,
+       CAST(round(h.value, 6) AS DOUBLE) AS purchase_state,
+       CAST(CASE WHEN h.user_id IS NULL THEN 1 ELSE 0 END AS INT) AS cold_start
+FROM clicks c
+LEFT JOIN hist h
+  ON c.user_id = h.user_id AND h.valid_from <= c.ts_us AND c.ts_us < h.valid_to
+ORDER BY c.user_id, c.ts_us, c.event_id
+"""
+
+
+TEMPLATES["event_pattern_match"] = event_pattern_match
+TEMPLATES["weekly_cohort_retention"] = weekly_cohort_retention
+TEMPLATES["ab_test_zscore"] = ab_test_zscore
+TEMPLATES["point_in_time_join"] = point_in_time_join
+TEMPLATES["repeated_span_stats"] = repeated_span_stats
+TEMPLATES["data_quality_profile"] = data_quality_profile
+TEMPLATES["psi_value_drift"] = psi_value_drift
+TEMPLATES["bigram_logprob_quality"] = bigram_logprob_quality
+SPARK_OVERRIDES["repeated_span_stats"] = _repeated_span_spark
+

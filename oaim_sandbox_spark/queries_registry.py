@@ -1,0 +1,1344 @@
+"""Registry assembly part 1: the TEMPLATES literal over every family
+module's dual-dialect builders, Spark-side override runners (streaming,
+MMR, ANN tiers), NON_ORACLE entries, and the rows-only/full-oracle twins
+(ORACLE_TWINS / SELF_AUDITED)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from oaim_sandbox_spark.functions import portable as P
+from oaim_sandbox_spark.queries_core import (
+    ALL_TABLES,
+    EMBED_DIM,
+    _dec,
+    _elem,
+    _idiv,
+    _str,
+    _ts_us,
+    _materialized_view,
+    _sql_dropping,
+    events_batch,
+    events_stream,
+    register_views,
+)
+from oaim_sandbox_spark.queries_relational import *  # noqa: F401,F403
+from oaim_sandbox_spark.queries_training import *  # noqa: F401,F403
+from oaim_sandbox_spark.queries_dedup import *  # noqa: F401,F403
+from oaim_sandbox_spark.queries_textstats import *  # noqa: F401,F403
+from oaim_sandbox_spark.queries_dedup import (  # noqa: F401 — underscore helpers star-import skips
+    _incremental_probe_body,
+    _incremental_sigs_sql,
+    _mhq_spark,
+    _minhash_pairs_body,
+    _minhash_sigs_sql,
+    _simhash_fps_sql,
+    _simhash_pairs_body,
+    _split_leakage_spark,
+)
+
+
+
+TEMPLATES: dict[str, Callable[[str], str]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "anti_join_merge": anti_join_merge,
+    "catalog_scan_events": catalog_scan_events,
+    "events_json_props": events_json_props,
+    "events_hourly_windows": events_hourly_windows,
+    "user_activity_sessions": user_activity_sessions,
+    "chunk_ids_window": chunk_ids_window,
+    "split_fixed_chunks": split_fixed_chunks,
+    "dedup_exact_first": dedup_exact_first,
+    "vs_merge_content_ids": vs_merge_content_ids,
+    "mock_embed_dims": mock_embed_dims,
+    "topk_cosine": topk_cosine,
+    "topk_euclidean": topk_euclidean,
+    "topk_dot_product": topk_dot_product,
+    "topk_score_threshold": topk_score_threshold,
+    "filtered_topk_label": filtered_topk_label,
+    "rag_topk_mock_query": rag_topk_mock_query,
+    "knn_join_batch": knn_join_batch,
+    "lsh_ann_topk": lsh_ann_topk,
+    "minhash_signatures": minhash_signatures_q,
+    "minhash_lsh_pairs": minhash_lsh_pairs_q,
+    "split_leakage_check": split_leakage_check,
+    "minhash_estimate_quality": minhash_estimate_quality,
+    "incremental_neardup_probe": incremental_neardup_probe_q,
+    "simhash_fingerprints": simhash_fingerprints_q,
+    "simhash_near_pairs": simhash_near_pairs_q,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs_q,
+    "embedding_cosine_pairs": embedding_cosine_pairs_q,
+    "lang_id": lang_id_q,
+    "quality_scores": quality_scores_q,
+    "token_counts": token_counts_q,
+    "doc_fingerprints": doc_fingerprints_q,
+    "asof_clicks_before_errors": asof_clicks_before_errors,
+    "range_error_followups": range_error_followups,
+    "events_rollup": events_rollup,
+    "ingest_chunks_dedup": ingest_chunks_dedup,
+    "vs_table_names": vs_table_names_sql,
+    "docs_union_distinct": docs_union_distinct,
+    "q4_exists_late_lines": q4_exists_late_lines,
+    "q12_priority_case_agg": q12_priority_case_agg,
+    "q16_distinct_suppliers": q16_distinct_suppliers,
+    "q17_below_avg_quantity": q17_below_avg_quantity,
+    "q18_large_orders": q18_large_orders,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q19_disjunctive_pred_join": q19_disjunctive_pred_join,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "train_test_split": train_test_split,
+    "stratified_sample_counts": stratified_sample_counts,
+    "bigram_topk": bigram_topk,
+    "doc_len_percentiles": doc_len_percentiles,
+    "char_entropy": char_entropy_q,
+    "mad_outliers": mad_outliers_q,
+    "doc_len_percentiles_approx": doc_len_percentiles_approx,
+    "mad_outliers_approx": mad_outliers_approx,
+    "salted_user_counts": salted_user_counts,
+    "sequence_packing": sequence_packing,
+    "pack_mix_diversity": pack_mix_diversity,
+    "repetition_ratios": repetition_ratios,
+    "quality_filter": quality_filter,
+    "bm25_topk": bm25_topk,
+    "hybrid_rrf_topk": hybrid_rrf_topk,
+    "latest_event_per_user": latest_event_per_user,
+    "event_value_zscores": event_value_zscores,
+    "docs_intersect_except": docs_intersect_except,
+    "customer_order_stats_outer": customer_order_stats_outer,
+    "pivot_event_counts": pivot_event_counts,
+    "cube_doc_counts": cube_doc_counts,
+    "event_moving_stats": event_moving_stats,
+    "topk_docs_per_lang": topk_docs_per_lang,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q7_nation_volume": q7_nation_volume,
+    "q10_returned_items": q10_returned_items,
+    "q20_dominant_suppliers": q20_dominant_suppliers,
+    "streaming_dedup_pairs": streaming_dedup_pairs,
+    "streaming_user_stats": streaming_user_stats,
+    "streaming_click_error_join": streaming_click_error_join,
+    "streaming_enrich_nation": streaming_enrich_nation,
+    "quantized_topk": quantized_topk,
+    "binary_quant_topk": binary_quant_topk,
+    "pq_adc_topk": pq_adc_topk,
+    "mlm_masking": mlm_masking_q,
+    "matryoshka_topk": matryoshka_topk_q,
+    "decontamination_8gram": decontamination_8gram,
+    "boilerplate_gram_fraction": boilerplate_gram_fraction,
+    "domain_mix_rebalance": domain_mix_rebalance,
+    "hourly_gapfill": hourly_gapfill,
+    "near_dup_clusters": near_dup_clusters_oracle,
+    "embedding_centroid_outliers": embedding_centroid_outliers,
+    "grouping_sets_docs": grouping_sets_docs,
+    "ntile_curriculum_buckets": ntile_curriculum_buckets,
+    "curriculum_buckets_approx": curriculum_buckets_approx,
+    "levenshtein_near_pairs": levenshtein_near_pairs,
+    "funnel_conversion": funnel_conversion,
+    "ivf_full_probe_topk": ivf_full_probe_topk,
+    "rerank_crossencoder_topk": rerank_crossencoder_topk,
+    "events_variant_histogram": events_variant_histogram,
+    "pagerank_3iter": pagerank_3iter,
+    "weighted_reservoir_sample": weighted_reservoir_sample,
+    "unigram_logprob_quality": unigram_logprob_quality,
+    "shingle_containment_decontam": shingle_containment_decontam,
+    "triangle_count": triangle_count,
+    "chunk_reassembly": chunk_reassembly,
+    "grouped_split_leakage_safe": grouped_split_leakage_safe,
+    "inverted_index_postings": inverted_index_postings,
+    "lsh_multiprobe_topk": lsh_multiprobe_topk,
+    "domain_caps_topn": domain_caps_topn,
+    "global_shuffle_order": global_shuffle_order,
+    "vocab_coverage_topk": vocab_coverage_topk,
+    "contamination_rate_by_source": contamination_rate_by_source,
+}
+
+# transformWithState (streaming/stateful.running_user_stats_tws) needs
+# protobuf for its driver-worker protocol; register its query only where the
+# dependency exists. Same batch GROUP BY oracle as streaming_user_stats: the
+# old (applyInPandasWithState) and new (transformWithState) APIs must agree.
+try:  # pragma: no cover - environment gate
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
+if _HAS_PROTOBUF:
+    TEMPLATES["streaming_user_stats_tws"] = streaming_user_stats
+
+
+def _embedding_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for embedding_cosine_pairs: IVF-bucketed candidates with
+    an EXACT pruning bound + exact-fold re-score.
+
+    cosine(a,b) >= t on unit vectors is ||a-b|| <= D with D = sqrt(2-2t), so
+    a pair can only span clusters whose centroids satisfy
+    ||c_i - c_j|| <= D + r_i + r_j (r = cluster radius) — triangle
+    inequality, no recall loss. Candidate generation is therefore a
+    cluster-pair equi-join over the assigned store (shuffles by centroid id;
+    at 100 TB raise n_centroids so per-cluster volume stays bounded and the
+    replication factor is the avg qualifying cluster-pair degree, not n).
+    Survivors are re-scored with the SAME sequential-fold expression as the
+    DuckDB oracle, so the output is bit-identical. Only the k-means fit
+    touches the driver (bounded sample — FAISS-style coarse quantizer), never
+    the store itself.
+    """
+    register_views(spark, sf_dir)
+    return _embedding_pairs_core(spark, spark.table("embeddings"), threshold=0.35)
+
+
+def _embedding_pairs_core(
+    spark: SparkSession, emb_raw: DataFrame, threshold: float, margin: float = 1e-6
+) -> DataFrame:
+    """The distributed embedding-pairs plan over any (vec_id, embedding)
+    DataFrame — shared by the registry runner and tools/stress.py (so the
+    stress probe exercises the exact production path)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.ann import lloyd_kmeans
+
+    emb = emb_raw.select("vec_id", F.expr("cast(embedding as array<double>)").alias("v"))
+    # coarse quantizer: a 4k normalized sample bounds driver work at ANY size
+    sample = np.asarray(emb.limit(4096).toPandas()["v"].to_list(), dtype=np.float64)
+    # clip zero norms: an all-zero vector would make the whole sample-fit
+    # NaN (every centroid poisoned); clipped, it just lands in some cluster
+    # and can never pass the exact cosine re-score
+    sample /= np.clip(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30, None)
+    cents = lloyd_kmeans(sample, 8, seed=7, max_iter=10)
+    b_cents = spark.sparkContext.broadcast(cents)
+
+    def normalize_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # unit-normalize + nearest-centroid in ONE vectorized Arrow pass
+        # (the interpreted-lambda fold form costs ~10 folds/row)
+        for pdf in batches:
+            m = np.asarray(pdf["v"].to_list(), dtype=np.float64)
+            u = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-30, None)
+            d = ((u[:, None, :] - b_cents.value[None, :, :]) ** 2).sum(axis=2)
+            c = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "u": list(u),
+                    "centroid": c.astype("int32"),
+                    "centroid_dist": np.sqrt(d[np.arange(len(c)), c]),
+                }
+            )
+
+    assigned = emb.mapInPandas(
+        normalize_assign,
+        "vec_id BIGINT, u ARRAY<DOUBLE>, centroid INT, centroid_dist DOUBLE",
+    ).localCheckpoint(eager=True)  # read 3x below — materialize once
+    # cluster radii: k tiny rows to the driver, never the store
+    radii = {
+        r["centroid"]: r["r"]
+        for r in assigned.groupBy("centroid").agg(F.max("centroid_dist").alias("r")).collect()
+    }
+    D = float(np.sqrt(2.0 - 2.0 * (threshold - margin)))
+    cand_pairs = [
+        (i, j)
+        for i in radii
+        for j in radii
+        if i <= j
+        and float(np.linalg.norm(cents[i] - cents[j])) <= D + radii[i] + radii[j]
+    ]
+    # distribute each qualifying cluster-pair block to one applyInPandas
+    # group and run the pairwise scoring as a BLAS matmul there — candidate
+    # generation never touches the driver and never pays the interpreted
+    # fold for non-candidates. pid keys the block; same-cluster blocks load
+    # one side and self-multiply (upper triangle).
+    pairs_rows = [(pid, ci, cj) for pid, (ci, cj) in enumerate(cand_pairs)]
+    pairs_df = spark.createDataFrame(pairs_rows, "pid INT, ci INT, cj INT")
+    narrow = assigned.select("vec_id", "centroid", "u")
+    left = (
+        F.broadcast(pairs_df)
+        .join(narrow, narrow.centroid == F.col("ci"))
+        .select("pid", "vec_id", "u", F.lit("a").alias("side"))
+    )
+    right = (
+        F.broadcast(pairs_df.filter(F.col("ci") < F.col("cj")))
+        .join(narrow, narrow.centroid == F.col("cj"))
+        .select("pid", "vec_id", "u", F.lit("b").alias("side"))
+    )
+    thr = threshold - margin
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        # row-tiled matmul: the sims TILE is (tile x |block|), never
+        # (|block| x |block|) — bounds per-worker memory at ~25 MB however
+        # large the cluster block grows
+        tile = 512
+        a = pdf[pdf["side"] == "a"]
+        ids_a = a["vec_id"].to_numpy()
+        ma = np.stack(a["u"].to_numpy())
+        b = pdf[pdf["side"] == "b"]
+        los, his = [], []
+        if len(b):  # cross-cluster block
+            ids_b = b["vec_id"].to_numpy()
+            mbT = np.stack(b["u"].to_numpy()).T
+            for s in range(0, len(ma), tile):
+                sims = ma[s : s + tile] @ mbT
+                ii, jj = np.where(sims >= thr)
+                los.append(np.minimum(ids_a[s + ii], ids_b[jj]))
+                his.append(np.maximum(ids_a[s + ii], ids_b[jj]))
+        else:  # same-cluster block: self-matmul, upper triangle by id
+            maT = ma.T
+            for s in range(0, len(ma), tile):
+                sims = ma[s : s + tile] @ maT
+                ii, jj = np.where(sims >= thr)
+                keep = ids_a[s + ii] < ids_a[jj]
+                los.append(ids_a[s + ii][keep])
+                his.append(ids_a[jj][keep])
+        lo = np.concatenate(los) if los else np.array([], dtype=np.int64)
+        hi = np.concatenate(his) if his else np.array([], dtype=np.int64)
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    cand = (
+        left.unionByName(right)
+        .groupBy("pid")
+        .applyInPandas(block, "id_a BIGINT, id_b BIGINT")
+    )
+    # exact-fold re-score of the (few) survivors — bit-identical to the
+    # oracle's sequential fold, so the prefilter margin never shows; the
+    # fold expressions evaluate only on the survivor joins' stream side
+    ve = P.to_double_array("embedding", "spark")
+    vnorm = emb_raw.select(
+        "vec_id", F.expr(ve).alias("v"), F.expr(P.norm2(ve, "spark")).alias("n")
+    )
+    sim = f"round({P.dot('a.v', 'b.v', 'spark')} / (a.n * b.n), 6)"
+    return (
+        cand.join(vnorm.alias("a"), cand.id_a == F.col("a.vec_id"))
+        .join(vnorm.alias("b"), cand.id_b == F.col("b.vec_id"))
+        .select("id_a", "id_b", F.expr(sim).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _minhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for minhash_lsh_pairs: materialize signatures ONCE so the
+    4 band branches and the 2 signature joins all reuse one scan — the
+    SQL-CTE plan recomputes the md5 pipeline 6x."""
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _minhash_sigs_sql("spark"), "sigs")
+    return _sql_dropping(spark, _minhash_pairs_body("spark", rel=name), name)
+
+
+def _incremental_probe_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for incremental_neardup_probe: materialize the flagged
+    signature relation ONCE — the band branches and both est-jaccard joins
+    reuse one scan. In production the existing side's band keys are persisted
+    with the store, so each batch pays only for banding the new docs
+    (operators/dedup.incremental_near_dups docstring)."""
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _incremental_sigs_sql("spark"), "sigs")
+    return _sql_dropping(spark, _incremental_probe_body("spark", rel=name), name)
+
+
+def _simhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _simhash_fps_sql("spark"), "fps")
+    return _sql_dropping(spark, _simhash_pairs_body("spark", rel=name), name)
+
+
+MMR_K, MMR_FETCH_K, MMR_LAMBDA = 4, 20, 0.5
+
+
+def mmr_exact_oracle(d: str) -> str:
+    """T3 MMR with a FULL oracle: greedy selection as a DuckDB recursive CTE.
+    Every float op (candidate sims, pair sims, lambda mix) is the sequential
+    fold both engines share, so the greedy argmax sequence is bit-identical
+    to the Spark runner's exact-fold Python greedy."""
+    v = P.to_double_array("embedding", d)
+    ev = P.to_double_array("e.embedding", d)
+    dot_ab = P.dot("a.v", "b.v", d)
+    return f"""
+WITH RECURSIVE
+qv AS (SELECT {v} AS v, {P.norm2(v, d)} AS n FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id AS vid, {ev} AS v, {P.norm2(ev, d)} AS n,
+         {P.dot(ev, 'q.v', d)} / ({P.norm2(ev, d)} * q.n) AS sim_q
+  FROM embeddings e CROSS JOIN qv q
+  WHERE e.vec_id <> 0
+  ORDER BY round(1.0 - sim_q, 6) ASC, e.vec_id ASC
+  LIMIT {MMR_FETCH_K}
+),
+pair AS (
+  SELECT a.vid AS ia, b.vid AS ib, {dot_ab} / (a.n * b.n) AS sim
+  FROM cand a JOIN cand b ON a.vid <> b.vid
+),
+sel AS (
+  SELECT 1 AS mmr_rank,
+         (SELECT vid FROM cand ORDER BY sim_q DESC, vid ASC LIMIT 1) AS vid,
+         [(SELECT vid FROM cand ORDER BY sim_q DESC, vid ASC LIMIT 1)] AS chosen
+  UNION ALL
+  SELECT sel.mmr_rank + 1, nxt.vid, list_append(sel.chosen, nxt.vid)
+  FROM sel, LATERAL (
+    SELECT c.vid AS vid
+    FROM cand c
+    WHERE NOT list_contains(sel.chosen, c.vid)
+    ORDER BY {MMR_LAMBDA} * c.sim_q - {1 - MMR_LAMBDA} * (SELECT MAX(p.sim) FROM pair p WHERE p.ia = c.vid AND list_contains(sel.chosen, p.ib)) DESC,
+             c.vid ASC
+    LIMIT 1
+  ) nxt
+  WHERE sel.mmr_rank < {MMR_K}
+)
+SELECT CAST(vid AS BIGINT) AS vec_id, CAST(mmr_rank AS INT) AS mmr_rank FROM sel ORDER BY mmr_rank
+"""
+
+
+def _mmr_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for mmr_exact: distributed candidate fetch (the same
+    TakeOrderedAndProject plan as T1, sims computed by the shared fold
+    expression), then the greedy phase in exact-fold Python — identical
+    float semantics to the oracle's recursive CTE. The library's numpy
+    mmr_rerank is the fast path; this runner trades BLAS for bit-parity."""
+    import math
+
+    register_views(spark, sf_dir)
+    v = P.to_double_array("embedding", "spark")
+    ev = P.to_double_array("e.embedding", "spark")
+    cand_rows = spark.sql(f"""
+WITH qv AS (SELECT {v} AS v, {P.norm2(v, 'spark')} AS n FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS vid, cast(e.embedding as array<double>) AS v,
+       {P.dot(ev, 'q.v', 'spark')} / ({P.norm2(ev, 'spark')} * q.n) AS sim_q
+FROM embeddings e CROSS JOIN qv q
+WHERE e.vec_id <> 0
+ORDER BY round(1.0 - ({P.dot(ev, 'q.v', 'spark')} / ({P.norm2(ev, 'spark')} * q.n)), 6) ASC, e.vec_id ASC
+LIMIT {MMR_FETCH_K}
+""").collect()
+
+    def dot(a: list, b: list) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    sims = {r["vid"]: r["sim_q"] for r in cand_rows}
+    vecs = {r["vid"]: r["v"] for r in cand_rows}
+    norms = {k: math.sqrt(dot(x, x)) for k, x in vecs.items()}
+    chosen = [max(sims, key=lambda vid: (sims[vid], -vid))]
+    while len(chosen) < min(MMR_K, len(cand_rows)):
+        best = None
+        for vid in sims:
+            if vid in chosen:
+                continue
+            diversity = max(dot(vecs[vid], vecs[j]) / (norms[vid] * norms[j]) for j in chosen)
+            score = MMR_LAMBDA * sims[vid] - (1 - MMR_LAMBDA) * diversity
+            if best is None or (score, -vid) > best[0]:
+                best = ((score, -vid), vid)
+        chosen.append(best[1])
+    return spark.createDataFrame(
+        [(int(v_), i + 1) for i, v_ in enumerate(chosen)], "vec_id BIGINT, mmr_rank INT"
+    )
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession, n: int = 8):
+    """Temporarily lower spark.sql.shuffle.partitions for a streaming run.
+
+    Every stateful streaming partition materializes its own state-store
+    instance per micro-batch, so partition count is the dominant fixed cost
+    at test scale (32 partitions over a few thousand rows is pure setup).
+    The setting is captured at query start, so scoping it to the stream
+    leaves batch queries at the session default; on a real cluster the same
+    knob sizes state shards to executor count."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _streaming_hourly_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts THROUGH Structured Streaming (availableNow file
+    source -> complete-mode agg -> memory sink). Over a static directory the
+    stream result equals the batch aggregation, so the batch SQL is a valid
+    oracle — an end-to-end correctness check of the streaming path."""
+    import uuid as _uuid
+
+    stream = events_stream(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    agg = (
+        stream.groupBy(
+            F.expr("ts_us div 3600000000").alias("hour_id"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_dec"),
+        )
+        .select(
+            F.col("hour_id").cast("long"),
+            "event_type",
+            F.col("n_events").cast("long"),
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
+    )
+    name = f"stream_hourly_{_uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _streaming_enrich_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation running totals THROUGH Structured Streaming: availableNow
+    event stream ⋈ static broadcast customer dim (stateless stream-static
+    equi-join — the standard continuous-enrichment shape) → complete-mode
+    agg → memory sink. Over a static directory the emitted table equals the
+    batch join oracle exactly."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, tables=("customer",))
+    stream = events_stream(spark, sf_dir)
+    dim = F.broadcast(spark.table("customer").select("c_custkey", "c_nationkey"))
+    agg = (
+        stream.join(dim, stream.user_id == dim.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_dec"),
+        )
+        .select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("n_events").cast("long"),
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
+    )
+    name = f"stream_enrich_{_uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.table(name).orderBy("nationkey")
+
+
+def _streaming_sessions_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization THROUGH Structured Streaming's native
+    session_window (30-min gap, users < 50), availableNow + complete mode.
+    Over a static directory the final session set equals batch gap
+    sessionization, so the windowed batch SQL is a full-value oracle — this
+    is the stateful-streaming twin of user_activity_sessions. At scale the
+    state store shards by user_id; watermarking bounds state for unbounded
+    sources."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("user_id") < 50)
+        .withColumn("ev_time", F.timestamp_micros(F.col("ts_us")))
+    )
+    agg = (
+        stream.groupBy(F.session_window("ev_time", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.min("ev_time").alias("first_ev"))
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("first_ev"))).alias("session_start_us"),
+            F.col("n_events").cast("long"),
+        )
+    )
+    name = f"stream_sessions_{_uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.table(name)
+
+
+def streaming_sessions_oracle(d: str) -> str:
+    """Batch twin of session_window: new session when gap >= 30 min (streaming
+    session windows are [start, last+gap), so an event at exactly last+gap
+    opens a new session)."""
+    return f"""
+WITH marked AS (
+  SELECT user_id, {_ts_us(d)} AS ts_us,
+         CASE WHEN lag({_ts_us(d)}) OVER (PARTITION BY user_id ORDER BY {_ts_us(d)}) IS NULL
+                   OR {_ts_us(d)} - lag({_ts_us(d)}) OVER (PARTITION BY user_id ORDER BY {_ts_us(d)}) >= 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events WHERE user_id < 50
+),
+sessions AS (
+  SELECT user_id, ts_us,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(MIN(ts_us) AS BIGINT) AS session_start_us, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start_us
+"""
+
+
+def streaming_hourly_oracle(d: str) -> str:
+    return f"""
+SELECT {_idiv(_ts_us(d), '3600000000', d)} AS hour_id,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def streaming_sliding_oracle(d: str) -> str:
+    """Batch oracle for the SLIDING-window streaming agg (2h window, 1h
+    slide): each event lands in exactly the two hourly-aligned windows whose
+    start is its hour or the hour before, so the batch form is a 2-way
+    explode + one grouped count — identical to what Spark's window(ts,
+    '2 hours', '1 hour') emits over a static source (origin-aligned)."""
+    hour = _idiv(_ts_us(d), "3600000000", d)
+    if d == "spark":
+        dup = "LATERAL VIEW explode(array(0, 1)) t AS x"
+        frm = f"FROM events {dup}"
+    else:
+        frm = "FROM events CROSS JOIN (SELECT unnest([0, 1]) AS x) t"
+    return f"""
+SELECT CAST(({hour} - x) * 3600000000 AS BIGINT) AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+{frm}
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def _streaming_sliding_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows THROUGH Structured Streaming: availableNow
+    stream -> window('2 hours', slide '1 hour') grouped count (each event
+    feeds two open windows — the overlap is the streaming state the tumbling
+    suite never exercises) -> complete-mode memory sink. Batch oracle:
+    `streaming_sliding_oracle`."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    stream = events_stream(spark, sf_dir).withColumn("ts2", F.timestamp_micros(F.col("ts_us")))
+    agg = (
+        stream.groupBy(F.window("ts2", "2 hours", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            F.col("n_events").cast("long"),
+        )
+    )
+    name = f"stream_sliding_{_uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.table(name)
+
+
+TEMPLATES["streaming_sliding_counts"] = streaming_sliding_oracle
+
+
+def _mmr_rerank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 MMR (reference chatbot.py:199-206): distributed top-fetch_k, greedy
+    driver re-rank. Greedy selection isn't single-statement SQL — rows-only
+    check (no oracle entry), like the reference's own non-relational ops."""
+    from oaim_sandbox_spark.operators.retrieval import mmr_rerank
+
+    register_views(spark, sf_dir)
+    qv = [r[0] for r in spark.sql(
+        "SELECT explode(cast(embedding as array<double>)) FROM embeddings WHERE vec_id = 0"
+    ).collect()]
+    store = spark.table("embeddings")
+    rows = mmr_rerank(store, qv, k=4, fetch_k=20, metric="COSINE", id_col="vec_id")
+    data = [(int(r["vec_id"]), rank + 1) for rank, r in enumerate(rows)]
+    return spark.createDataFrame(data, "vec_id BIGINT, mmr_rank INT")
+
+
+def _ivf_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN probe (K4 analogue): k-means coarse quantizer, partition-pruned
+    search. Fitted centroids aren't reproducible in DuckDB -> rows-only."""
+    import tempfile
+
+    from oaim_sandbox_spark.operators.ann import IVFIndex
+
+    register_views(spark, sf_dir, tables=("embeddings",))
+    store = spark.table("embeddings")
+    qv = [r[0] for r in spark.sql(
+        "SELECT explode(cast(embedding as array<double>)) FROM embeddings WHERE vec_id = 0"
+    ).collect()]
+    idx = IVFIndex(n_centroids=8, seed=42, max_iter=5).fit(store, sample_fraction=0.25)
+    path = tempfile.mkdtemp(prefix="ivf_store_")
+    idx.write_partitioned(store, path)
+    return idx.search(spark, path, qv, k=5, nprobe=2, id_col="vec_id").select(
+        "vec_id", "distance"
+    )
+
+
+# oracle templates defined below TEMPLATES (runner section) register here
+TEMPLATES["mmr_exact"] = mmr_exact_oracle
+TEMPLATES["streaming_hourly_counts"] = streaming_hourly_oracle
+TEMPLATES["streaming_sessions"] = streaming_sessions_oracle
+
+def _ngram_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for ngram_jaccard_pairs: the shingle relation feeds the
+    self-join twice plus the sizes agg — materialize it ONCE (localCheckpoint)
+    instead of re-running the md5-per-shingle pipeline 3x. DuckDB's optimizer
+    materializes multiply-referenced CTEs on its own; Spark inlines them, so
+    the materialization is our job. Same SQL otherwise."""
+    register_views(spark, sf_dir)
+    sh = f"array_distinct(transform({P.word_ngrams('text', NGRAM, 'spark')}, s -> {P.hash64('s', 'spark')}))"
+    name = _materialized_view(
+        spark, f"SELECT doc_id, source, explode({sh}) AS sh FROM documents", "shingled"
+    )
+    body = ngram_jaccard_pairs_q("spark")
+    start = body.index("sizes AS")
+    rest = (
+        body[start:]
+        .replace("FROM shingled", f"FROM {name}")
+        .replace("JOIN shingled r", f"JOIN {name} r")
+    )
+    return _sql_dropping(spark, "WITH " + rest, name)
+
+
+def _near_dup_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for near_dup_clusters: materialize the simhash pair graph
+    once (same banded plan as simhash_near_pairs), then
+    operators/dedup.connected_components min-label propagation — each round
+    shuffles only (node, label) int64 pairs; fixpoint in O(cluster diameter)
+    rounds. The oracle's recursive CTE is the sequential twin."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.dedup import connected_components
+
+    register_views(spark, sf_dir)
+    # banded join reads the fingerprints 8x — materialize once, unique name
+    name = _materialized_view(
+        spark,
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash FROM ({_simhash_fps_sql('spark')}) f",
+        "fps",
+    )
+    pairs = _sql_dropping(
+        spark,
+        _simhash_pairs_body("spark", rel=name).replace("ORDER BY doc_a, doc_b", ""),
+        name,
+    )
+    labels = connected_components(pairs, spark.table("documents"), node_col="doc_id")
+    return labels.select(
+        F.col("doc_id").cast("long"),
+        F.col("cluster_id").cast("long"),
+        F.when(F.col("cluster_id") == F.col("doc_id"), 1).otherwise(0).cast("int").alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
+def _salted_user_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation (skew mitigation): phase 1 groups on
+    (user_id, salt) so a hot user's rows pre-combine across 8 buckets in
+    parallel; phase 2 re-aggregates the ≤8 partials per user. COUNT is
+    associative, so the result is identical to the oracle's plain GROUP BY —
+    the salt only reshapes the shuffle. At 100 TB the salt count scales with
+    observed skew (AQE's skew-join handles joins; salting handles aggs)."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    events = spark.table("events")
+    partial = (
+        events.select("user_id", (F.col("event_id") % 8).alias("_salt"))
+        .groupBy("user_id", "_salt")
+        .agg(F.count("*").alias("_pc"))
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(F.sum("_pc").cast("long").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(50)
+    )
+
+
+def _streaming_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for streaming_dedup_pairs: exactly-once key dedup in a
+    stream via dropDuplicatesWithinWatermark — the streaming twin of exact
+    dedup (P7) for continuous ingest. State is bounded by the watermark (1h
+    of event time), so memory stays flat on an unbounded source; over a
+    static directory the surviving key set equals batch DISTINCT."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    stream = events_stream(spark, sf_dir)
+    deduped = (
+        stream.withColumn("ets", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ets", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.table(name).orderBy("user_id", "event_type")
+
+
+def _streaming_user_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for streaming_user_stats: availableNow file stream ->
+    applyInPandasWithState running totals -> memory sink, then latest-per-key
+    compaction (highest cumulative count wins) so the result is the final
+    state regardless of how many micro-batches the source split into."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from oaim_sandbox_spark.streaming.stateful import running_user_stats
+
+    stream = events_stream(spark, sf_dir).select("user_id", "value")
+    name = f"stream_stats_{_uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            running_user_stats(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+            F.round("max_value", 6).alias("max_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _streaming_user_stats_tws_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for streaming_user_stats_tws: the SAME running-stats
+    semantics as streaming_user_stats but through Spark 4's
+    transformWithStateInPandas (named state variables on a RocksDB-backed
+    state store — the successor API to applyInPandasWithState). Old and new
+    API sharing one batch oracle is the parity check. Provider conf is
+    scoped to this stream: captured at query start, restored after."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from oaim_sandbox_spark.streaming.stateful import running_user_stats_tws
+
+    stream = events_stream(spark, sf_dir).select("user_id", "value")
+    name = f"stream_tws_{_uuid.uuid4().hex[:8]}"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                running_user_stats_tws(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+            F.round("max_value", 6).alias("max_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _streaming_ss_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for streaming_click_error_join: STREAM-STREAM inner join
+    with event-time watermarks — Spark buffers each side's rows in the state
+    store only as long as the join window (5 min) plus the watermark delay
+    (10 min) allows, so state is bounded on unbounded sources. The time-range
+    predicate is what lets the engine derive the state eviction bound."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    def side(event_type: str, id_alias: str, ts_alias: str):
+        return (
+            events_stream(spark, sf_dir)
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{id_alias[0]}_user"),
+                F.col("event_id").alias(id_alias),
+                F.timestamp_micros(F.col("ts_us")).alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "10 minutes")
+        )
+
+    errors = side("error", "error_id", "e_ts")
+    clicks = side("click", "click_id", "c_ts")
+    joined = errors.join(
+        clicks,
+        F.expr(
+            "e_user = c_user AND c_ts > e_ts AND c_ts <= e_ts + INTERVAL 5 MINUTES"
+        ),
+        "inner",
+    ).select(F.col("e_user").alias("user_id"), "error_id", "click_id")
+    name = f"stream_ssjoin_{_uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    return spark.table(name).orderBy("user_id", "error_id", "click_id")
+
+
+def _pivot_event_counts_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for pivot_event_counts: the NATIVE relational pivot
+    (`groupBy().pivot(col, values).count()`). Explicit pivot values skip the
+    extra distinct-values job Spark otherwise runs, so the plan is a single
+    partial+final HashAggregate pair — the same two-exchange-free shape as
+    the oracle's SUM(CASE) expansion."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    wide = (
+        spark.table("events")
+        .groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+    return wide.select(
+        "user_id", *[F.col(t).cast("long").alias(t) for t in EVENT_TYPES]
+    ).orderBy("user_id")
+
+
+def _ivf_full_probe_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for ivf_full_probe_topk: the SAME fitted IVF index and
+    partitioned store as ivf_ann_topk, but probing every centroid — reading
+    all partitions of the partitioned layout must reproduce the exact top-k,
+    which the plain-SQL oracle checks. k+1 then drop the query row itself
+    (distance 0 is always rank 1, so membership is deterministic)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.ann import IVFIndex
+
+    register_views(spark, sf_dir, tables=("embeddings",))
+    store = spark.table("embeddings")
+    qv = [
+        r[0]
+        for r in spark.sql(
+            "SELECT explode(cast(embedding as array<double>)) FROM embeddings WHERE vec_id = 0"
+        ).collect()
+    ]
+    idx = IVFIndex(n_centroids=8, seed=42, max_iter=5).fit(store, sample_fraction=0.25)
+    path = tempfile.mkdtemp(prefix="ivf_full_")
+    idx.write_partitioned(store, path)
+    hits = idx.search(spark, path, qv, k=11, nprobe=idx.n_centroids, id_col="vec_id")
+    return (
+        hits.filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").cast("long").alias("vec_id"), "distance")
+        .orderBy("distance", "vec_id")
+        .limit(10)
+    )
+
+
+def _streaming_pii_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub THROUGH Structured Streaming: the batch augment → detect →
+    redact → audit chain (`_pii_stats_sql`) over an availableNow file stream
+    → complete-mode agg → memory sink. The scrub chain is stateless per-row
+    regexp projection, so the only streaming state is the final per-source
+    audit agg — the shape of a continuous-ingest scrubber at scale. Over a
+    static directory the stream result equals the batch SQL, which is the
+    oracle."""
+    import uuid as _uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    name = f"docs_stream_{_uuid.uuid4().hex[:8]}"
+    stream.createOrReplaceTempView(name)
+    # lazy: _pii_stats_sql lives in queries_extended, which star-imports
+    # this module — a module-level import here would be circular
+    from oaim_sandbox_spark.queries_extended import _pii_stats_sql
+
+    agg = spark.sql(_pii_stats_sql("spark", rel=name))
+    out = f"stream_pii_{_uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(out)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    spark.catalog.dropTempView(name)
+    return spark.table(out)
+
+
+def _semantic_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for semantic_dedup_clusters: the ASSIGNED relation av
+    (vec_id, v, nrm, cid) feeds both sides of the intra-cluster pair join
+    plus the final rollup — materialize it ONCE (localCheckpoint), so the
+    cross-join + argmax-window assignment subplan runs once instead of 3x
+    (DuckDB materializes multiply-referenced CTEs on its own; Spark inlines
+    them). Same SQL otherwise."""
+    # lazy: the semdedup SQL builders live in queries_extended (circular
+    # at module level — it star-imports this module)
+    from oaim_sandbox_spark.queries_extended import (
+        _semdedup_assign_cte,
+        _semdedup_final_sql,
+        _semdedup_v_sql,
+    )
+
+    register_views(spark, sf_dir, tables=("embeddings",))
+    vname = _materialized_view(spark, _semdedup_v_sql("spark"), "semv")
+    av_sql = f"WITH {_semdedup_assign_cte('spark', rel=vname)}\nSELECT * FROM av"
+    avname = _materialized_view(spark, av_sql, "semav")
+    spark.catalog.dropTempView(vname)
+    return _sql_dropping(spark, _semdedup_final_sql("spark", rel=avname), avname)
+
+
+SPARK_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pivot_event_counts": _pivot_event_counts_spark,
+    "streaming_dedup_pairs": _streaming_dedup_spark,
+    "streaming_user_stats": _streaming_user_stats_spark,
+    **({"streaming_user_stats_tws": _streaming_user_stats_tws_spark} if _HAS_PROTOBUF else {}),
+    "streaming_click_error_join": _streaming_ss_join_spark,
+    "streaming_enrich_nation": _streaming_enrich_spark,
+    "minhash_lsh_pairs": _minhash_pairs_spark,
+    "split_leakage_check": _split_leakage_spark,
+    "minhash_estimate_quality": _mhq_spark,
+    "incremental_neardup_probe": _incremental_probe_spark,
+    "simhash_near_pairs": _simhash_pairs_spark,
+    "ngram_jaccard_pairs": _ngram_jaccard_spark,
+    "embedding_cosine_pairs": _embedding_pairs_spark,
+    "mmr_exact": _mmr_exact_spark,
+    "streaming_hourly_counts": _streaming_hourly_spark,
+    "streaming_sessions": _streaming_sessions_spark,
+    "salted_user_counts": _salted_user_counts_spark,
+    "near_dup_clusters": _near_dup_clusters_spark,
+    "ivf_full_probe_topk": _ivf_full_probe_spark,
+    "semantic_dedup_clusters": _semantic_dedup_spark,
+    "streaming_pii_scrub": _streaming_pii_spark,
+    "streaming_sliding_counts": _streaming_sliding_spark,
+}
+
+# Queries with no SQL-expressible oracle (iterative / ML-fitted); the driver
+# records a rows-only check for these.
+def _multimodal_features_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline over synthesized media: documents' text bytes
+    become opaque BINARY payloads (the 100 TB pattern: blobs as binary
+    columns + typed metadata), then the Arrow-batched mapInPandas decode →
+    16-dim feature stage runs (deterministic sha-fake decoder — codecs
+    aren't in this container; sources/multimodal.py). Python-side decode ⇒
+    no SQL oracle; rows-only check. Narrow plan: no shuffle, blobs never
+    leave their scan partition."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.sources.multimodal import extract_image_features
+
+    register_views(spark, sf_dir)
+    media = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            F.concat(F.lit("img_"), F.col("doc_id")).alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.encode(F.col("text"), "UTF-8").alias("content"),
+            F.lit("image/png").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        )
+    )
+    feats = extract_image_features(media)
+    out = feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1), 6).alias("f1"),
+        F.round(F.element_at("feature", 16), 6).alias("f16"),
+    )
+    # In-query self-audit (rows-only hardening): the codec-free fake decoder
+    # derives pixels from sha256(content) in PYTHON; recompute the same
+    # bytes JVM-side with sha2() and flag per-row agreement — a genuine
+    # cross-engine check of the mapInPandas path. With a real codec (PIL
+    # present) the sha relation doesn't hold, so the audit column is NULL.
+    try:
+        import PIL  # noqa: F401
+
+        audited = out.withColumn("audit_ok", F.lit(None).cast("boolean"))
+    except ImportError:
+        hexs = media.select(
+            "media_id", F.sha2(F.col("content"), 256).alias("hx")
+        )
+        byte = lambda k: F.conv(F.substring("hx", 2 * k + 1, 2), 16, 10).cast("int")  # noqa: E731
+        jvm = hexs.select(
+            "media_id",
+            (F.lit(64) + byte(0) % 192).alias("w_jvm"),
+            (F.lit(64) + byte(1) % 192).alias("h_jvm"),
+            (byte(2) / 255.0).alias("f1_jvm"),
+            (byte(17) / 255.0).alias("f16_jvm"),
+        )
+        audited = out.join(jvm, "media_id").select(
+            out["*"],
+            (
+                (F.col("width") == F.col("w_jvm"))
+                & (F.col("height") == F.col("h_jvm"))
+                & (F.abs(F.col("f1") - F.col("f1_jvm")) < 1e-5)
+                & (F.abs(F.col("f16") - F.col("f16_jvm")) < 1e-5)
+            ).alias("audit_ok"),
+        )
+    return audited.orderBy("media_id")
+
+
+def _bpe_tokenize_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: train a BPE tokenizer on the documents corpus (bounded
+    driver-side word-frequency sample, operators/bpe.py), apply it
+    distributively, and emit the 20 most frequent learned subword tokens.
+    Not oracle-checkable: the merge LOOP is inherently sequential-greedy
+    (each merge depends on the table after the previous one) — no SQL
+    equivalent; determinism is pytest-verified instead
+    (tests/test_bpe.py::test_training_is_deterministic)."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.bpe import BPETokenizer
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bpe = BPETokenizer.train(docs, num_merges=100)
+    toks = bpe.tokenize_df(docs)
+    # ONE tokenize pass: the vocab-sized token-count relation is checkpointed
+    # and serves BOTH the top-20 and the conservation audit — feeding them
+    # independent subtrees would run the mapInPandas tokenizer twice (the
+    # CTE-inline recompute class sketch_profile hit too)
+    cnt = (
+        toks.select(F.explode("bpe_tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    top = cnt.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20)
+    # In-query conservation audit (a rows-only driver check still proves
+    # something): BPE merges only ever CONCATENATE symbols, so corpus-wide
+    #   Σ len(token) == Σ len(word) + len('</w>')·n_words   and
+    #   #tokens ending in '</w>' == n_words.
+    # The right side is computed JVM-side from the raw text — an independent
+    # cross-check of the Python tokenizer path. (?U) makes Java's \\s match
+    # Unicode White_Space like Python's str.split() (NBSP, U+2028, NEL);
+    # residual divergence: U+001C-1F information separators, which Python
+    # splits on but Unicode does not class as whitespace — absent from any
+    # sane corpus and flagged (not hidden) by the audit if present.
+    py_side = cnt.agg(
+        F.sum(F.length("token") * F.col("n")).alias("tok_chars"),
+        F.sum(F.when(F.col("token").endswith("</w>"), F.col("n")).otherwise(0)).alias("eow_tokens"),
+    )
+    jvm_side = docs.agg(
+        F.sum(F.length(F.regexp_replace(F.col("text"), r"(?U)\s+", ""))).alias("word_chars"),
+        F.sum(
+            F.size(F.filter(F.split(F.col("text"), r"(?U)\s+"), lambda w: w != F.lit("")))
+        ).alias("n_words"),
+    )
+    audit = py_side.crossJoin(jvm_side).select(
+        (
+            (F.col("tok_chars") == F.col("word_chars") + 4 * F.col("n_words"))
+            & (F.col("eow_tokens") == F.col("n_words"))
+        ).alias("audit_chars_conserved")
+    )
+    return top.crossJoin(F.broadcast(audit))
+
+
+def _sketch_profile_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: sketch-based per-event-type profile — approx distinct users
+    (HyperLogLog++, approx_count_distinct) and approx p50/p95 of value
+    (KLL-style percentile_approx). At 100 TB these sketches ARE the answer
+    for profiling: fixed-size state, map-side mergeable, one shuffle of
+    sketch buffers instead of a count-distinct's full key shuffle. Not
+    oracle-checkable — sketch internals differ per engine — so the accuracy
+    bound is asserted IN THE QUERY ITSELF: each row carries *_within_bound
+    booleans, so even a rows-only driver check records whether the sketches
+    held their error contract.
+
+    Audit design: a RANK-COUNT check, not an exact-percentile comparison —
+    pass 2 broadcast-joins the sketch outputs back onto the scan and counts
+    values below each; the sketch's contract IS a rank-error bound, and
+    counting ranks is one codegen scan instead of buffering every group's
+    values for an exact percentile (which serialized 6 s at sf0.1).
+    The per-type sketch rows are COLLECTED between passes (driver traffic
+    = one row per event type at any scale) and their thresholds inlined as
+    literal CASE chains — expressing the audit as a self-join CTE re-ran
+    the whole scan+sketch subtree per reference (Spark inlines CTEs;
+    measured 3x recompute), and combining COUNT(DISTINCT) with the sketch
+    aggs in ONE statement forced the distinct-Expand plan that demotes
+    object aggregates off the fast partial path (6.8 s vs 0.9 s split).
+    exact_users rides pass 2, where plain sums coexist with the Expand
+    cheaply. pytest re-verifies externally vs DuckDB
+    (tests/test_queries_registry.py::test_sketch_profile_error_bounds)."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    # sketch aggs and COUNT(DISTINCT) run as SEPARATE statements: combining
+    # them in one GROUP BY makes Catalyst plan the whole aggregation through
+    # the distinct-Expand path, which demotes the sketch aggs off the fast
+    # partial-aggregation path (measured 6.8 s combined vs 0.45 s + 0.45 s
+    # split at sf0.1). Both outputs are one row per event type; the join
+    # happens on the collected rows.
+    sk = spark.sql(
+        """
+SELECT event_type,
+       CAST(approx_count_distinct(user_id, 0.02) AS BIGINT) AS approx_users,
+       CAST(round(percentile_approx(value, 0.5, 5000), 6) AS DOUBLE) AS approx_p50,
+       CAST(round(percentile_approx(value, 0.95, 5000), 6) AS DOUBLE) AS approx_p95
+FROM events
+GROUP BY event_type
+"""
+    ).collect()
+    out_schema = (
+        "event_type STRING, approx_users BIGINT, approx_p50 DOUBLE, approx_p95 DOUBLE, "
+        "exact_users BIGINT, users_within_bound BOOLEAN, p50_within_bound BOOLEAN, "
+        "p95_within_bound BOOLEAN"
+    )
+    if not sk:  # empty events: degrade to an empty typed frame, never throw
+        return spark.createDataFrame([], out_schema)
+    # pass 2: one scan counting each type's values against ITS sketch
+    # thresholds, inlined as literal CASE chains (no join at all — the
+    # thresholds are per-type scalars, exactly like a broadcast of 5 rows
+    # but without the exchange). The exact distinct-count rides the same
+    # scan: plain sums coexist with distinct-Expand cheaply — it was only
+    # the sketch (object-)aggregates that the Expand path serialized.
+    thr50 = F.coalesce(
+        *[F.when(F.col("event_type") == r["event_type"], F.lit(r["approx_p50"])) for r in sk]
+    )
+    thr95 = F.coalesce(
+        *[F.when(F.col("event_type") == r["event_type"], F.lit(r["approx_p95"])) for r in sk]
+    )
+    ranks = {
+        r["event_type"]: r
+        for r in spark.table("events")
+        .select("event_type", "value", "user_id", thr50.alias("t50"), thr95.alias("t95"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.sum((F.col("value") < F.col("t50")).cast("long")).alias("n_lt50"),
+            F.sum((F.col("value") <= F.col("t50")).cast("long")).alias("n_le50"),
+            F.sum((F.col("value") < F.col("t95")).cast("long")).alias("n_lt95"),
+            F.sum((F.col("value") <= F.col("t95")).cast("long")).alias("n_le95"),
+        )
+        .collect()
+    }
+    out = []
+    for r in sorted(sk, key=lambda x: x["event_type"]):
+        et, rk = r["event_type"], ranks[r["event_type"]]
+        ex = int(rk["exact_users"])
+        out.append((
+            et, int(r["approx_users"]), float(r["approx_p50"]), float(r["approx_p95"]), ex,
+            abs(int(r["approx_users"]) - ex) <= max(2, int(0.05 * ex)),
+            rk["n_lt50"] <= 0.60 * rk["n"] and rk["n_le50"] >= 0.40 * rk["n"],
+            rk["n_lt95"] <= 0.99 * rk["n"] and rk["n_le95"] >= 0.90 * rk["n"],
+        ))
+    return spark.createDataFrame(out, out_schema)
+
+
+NON_ORACLE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mmr_rerank": _mmr_rerank_spark,
+    "ivf_ann_topk": _ivf_ann_spark,
+    "multimodal_features": _multimodal_features_spark,
+    "bpe_tokenize": _bpe_tokenize_spark,
+    "sketch_profile": _sketch_profile_spark,
+}
+
+# Every rows-only entry is hardened one of two ways, so a rows-only driver
+# check is never the whole story:
+#   - ORACLE_TWINS: a full-oracle registry entry exercises the SAME operator
+#     with deterministically reproducible parameters (mmr_exact runs
+#     operators/retrieval.mmr_rerank against a DuckDB re-implementation of
+#     the greedy selection; ivf_full_probe_topk runs IVFIndex with
+#     nprobe=n_centroids, where pruning is lossless and the result equals
+#     exact top-k).
+#   - SELF_AUDITED: the query emits in-query invariant columns a rows-check
+#     records (bpe: corpus char conservation vs a JVM-side recount;
+#     sketch_profile: *_within_bound error-contract booleans vs exact
+#     aggregates; multimodal: JVM sha2 recomputation of the Python decode).
+ORACLE_TWINS: dict[str, str] = {
+    "mmr_rerank": "mmr_exact",
+    "ivf_ann_topk": "ivf_full_probe_topk",
+}
+SELF_AUDITED: dict[str, str] = {
+    "bpe_tokenize": "audit_chars_conserved",
+    "sketch_profile": "users_within_bound",
+    "multimodal_features": "audit_ok",
+}
+
+

@@ -1,0 +1,1218 @@
+"""Training-data pipeline suite: splits/sampling/packing, BM25/hybrid
+retrieval, quality filters, percentile sketches — dual-dialect templates."""
+
+from __future__ import annotations
+
+from oaim_sandbox_spark.functions import portable as P
+from oaim_sandbox_spark.operators import text_analysis as TA
+from oaim_sandbox_spark.queries_core import (
+    ALL_TABLES,
+    EMBED_DIM,
+    _dec,
+    _elem,
+    _idiv,
+    _str,
+    _ts_us,
+    events_batch,
+    events_stream,
+    register_views,
+)
+from oaim_sandbox_spark.queries_relational import *  # noqa: F401,F403 — shared sub-builders
+from oaim_sandbox_spark.queries_dedup import _simhash_fps_sql, _simhash_pairs_body  # noqa: F401
+
+
+
+# --- training-data pipeline suite ------------------------------------------
+
+
+def train_test_split(d: str) -> str:
+    """Deterministic hash-based train/valid/test split (8/1/1) of the corpus
+    — the canonical training-pipeline op. Salted content-independent hash of
+    the doc key: stable under re-runs, no shuffle (pure projection), and at
+    100 TB the split is a partition-local map with no coordination."""
+    key = _str("doc_id", d) + " || '-split-v1'"
+    h = f"({P.hash64(key, d)} % 10)"
+    return f"""
+SELECT doc_id,
+       CASE WHEN {h} < 8 THEN 'train' WHEN {h} = 8 THEN 'valid' ELSE 'test' END AS split,
+       n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def grouped_split_leakage_safe(d: str) -> str:
+    """GROUP-aware train/test split: the split key is the GROUP (source), not
+    the document, so near-duplicate documents sharing a source can never
+    straddle the boundary — the leakage guard every eval split needs after
+    dedup finds that duplicates cluster within sources. The query both
+    assigns and PROVES the property: per (source, split) counts plus a
+    violations column (sources seen in >1 split) that must be 0 everywhere.
+    Pure projection + one grouped agg; no coordination at any scale."""
+    key = _str("source", d) + " || '-gsplit-v1'"
+    h = f"({P.hash64(key, d)} % 10)"
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, source,
+         CASE WHEN {h} < 9 THEN 'train' ELSE 'test' END AS split
+  FROM documents
+),
+per_source AS (
+  SELECT source, CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits
+  FROM assigned GROUP BY source
+)
+SELECT a.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT a.source) AS BIGINT) AS n_sources,
+       CAST(SUM(CASE WHEN p.n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violations
+FROM assigned a JOIN per_source p ON a.source = p.source
+GROUP BY a.split
+ORDER BY a.split
+"""
+
+
+def stratified_sample_counts(d: str) -> str:
+    """Stratified deterministic sampling: ~20% of each language stratum via
+    a hash threshold (no RNG — reproducible across engines and re-runs,
+    unlike df.sample). Returns per-stratum totals vs sampled counts."""
+    key = _str("doc_id", d) + " || '-sample-v1'"
+    keep = f"({P.hash64(key, d)} % 100) < 20"
+    return f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def bigram_topk(d: str) -> str:
+    """Corpus-level top-20 word bigrams — explode→count→top-k, the classic
+    shuffle-heavy text-statistics op. Partial agg combines map-side, so the
+    shuffle carries (gram, partial_count), not raw grams; the final top-k is
+    TakeOrderedAndProject."""
+    grams = P.word_ngrams("text", 2, d)
+    if d == "spark":
+        exploded = f"SELECT g FROM documents LATERAL VIEW explode({grams}) t AS g"
+    else:
+        exploded = f"SELECT unnest({grams}) AS g FROM documents"
+    return f"""
+SELECT g AS bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM ({exploded}) t
+GROUP BY g
+ORDER BY cnt DESC, bigram ASC
+LIMIT 20
+"""
+
+
+def doc_len_percentiles(d: str) -> str:
+    """Exact interpolated length percentiles per language stratum (corpus
+    profiling). Spark `percentile` and DuckDB `quantile_cont` both linear-
+    interpolate over the sorted values. At 100 TB swap to approx_percentile
+    (t-digest) — this exact form is the oracle for that approximation."""
+    if d == "spark":
+        pcts = "percentile(n_chars, array(0.5D, 0.9D, 0.99D))"
+    else:
+        pcts = "quantile_cont(n_chars, [0.5, 0.9, 0.99])"
+    e = lambda i: _elem("p", i, d)  # noqa: E731
+    return f"""
+SELECT lang, round({e(1)}, 6) AS p50, round({e(2)}, 6) AS p90, round({e(3)}, 6) AS p99
+FROM (SELECT lang, {pcts} AS p FROM documents GROUP BY lang) t
+ORDER BY lang
+"""
+
+
+def char_entropy_q(d: str) -> str:
+    """Character-unigram Shannon entropy per document — the standard
+    gibberish/compressibility filter next to the token-level quality rules
+    (low entropy = repeated chars / boilerplate; high = random noise). Shape:
+    explode to (doc, char), count, then -Σ p·log2 p with the per-doc total
+    from a sibling agg — two hash aggregations partitioned by doc_id and one
+    broadcast-sized join back; no sort, no window. Filters to a deterministic
+    doc subset to keep the bench slice proportionate."""
+    if d == "spark":
+        chars = "SELECT doc_id, ch FROM documents LATERAL VIEW explode(filter(split(text, ''), c -> c != '')) t AS ch WHERE doc_id % 20 = 0"
+    else:
+        chars = "SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents WHERE doc_id % 20 = 0"
+    return f"""
+WITH chars AS ({chars}),
+counts AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, SUM(c) AS n FROM counts GROUP BY doc_id)
+SELECT CAST(counts.doc_id AS BIGINT) AS doc_id,
+       round(-SUM((c * 1.0 / n) * log2(c * 1.0 / n)), 6) AS char_entropy,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chars
+FROM counts JOIN tot ON counts.doc_id = tot.doc_id
+GROUP BY counts.doc_id
+ORDER BY doc_id
+"""
+
+
+def mad_outliers_q(d: str) -> str:
+    """Robust outlier detection: per-event-type exact median + MAD (median
+    absolute deviation), flag |value − med| > 3·1.4826·MAD. Two grouped
+    percentile passes over the same narrow projection + a broadcast join of
+    the per-type stats (5 rows) back onto the fact scan — the robust twin of
+    event_value_zscores (mean/stddev break under the heavy tail this flags).
+    At 100 TB both medians swap to approx_percentile; this exact form is that
+    approximation's oracle."""
+    med = "percentile(value, 0.5D)" if d == "spark" else "quantile_cont(value, 0.5)"
+    madq = "percentile(dev, 0.5D)" if d == "spark" else "quantile_cont(dev, 0.5)"
+    return f"""
+WITH med AS (SELECT event_type, {med} AS med FROM events GROUP BY event_type),
+devs AS (
+  SELECT e.event_id, e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (SELECT event_type, {madq} AS mad FROM devs GROUP BY event_type)
+SELECT CAST(v.event_id AS BIGINT) AS event_id, v.event_type,
+       round(v.value, 6) AS value,
+       round((v.value - v.med) / (1.4826 * d.mad), 6) AS robust_z
+FROM devs v JOIN mad d ON v.event_type = d.event_type
+WHERE abs(v.value - v.med) > 3 * 1.4826 * d.mad
+ORDER BY event_id
+"""
+
+
+def doc_len_percentiles_approx(d: str) -> str:
+    """The 100 TB scale path doc_len_percentiles' docstring promises, as
+    code with a checked contract (VERDICT r3 #9): per-lang approx_percentile
+    (t-digest-style sketch, fixed-size mergeable state — no per-group sort)
+    for p50/p90/p99 of n_chars.
+
+    Oracle design for an engine-specific sketch: the output carries the
+    EXACT percentile landmarks (p45..max — both engines compute these
+    identically) plus *_within booleans stating the sketch's RANK-error
+    contract. DuckDB states the booleans as the CONTRACT (literal TRUE);
+    Spark states them as the MEASUREMENT — a sketch that drifts out of
+    contract hash-mismatches the driver check. The contract is rank-based
+    (count of values strictly below / at-or-below the sketch output vs the
+    target rank ±5), NOT a value-bracket comparison: approx_percentile
+    returns an ORDER STATISTIC, and in gapped or tied distributions an
+    interpolated value bracket can exclude every actual data value — the
+    rank form is discreteness- and tie-proof for any group size (ranks of
+    an element returned with rank error <= n/10000 always satisfy a
+    +-0.05n window)."""
+    if d == "spark":
+        ex = "percentile(n_chars, array(0.45D, 0.55D, 0.85D, 0.95D, 0.985D, 1.0D))"
+        ap = "approx_percentile(n_chars, array(0.5D, 0.9D, 0.99D), 10000)"
+        e = lambda i: f"element_at(p, {i})"  # noqa: E731
+        body = f"""
+WITH ap AS (SELECT lang, {ap} AS a FROM documents GROUP BY lang),
+r AS (
+  SELECT d.lang, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(CASE WHEN d.n_chars <  element_at(ap.a, 1) THEN 1 ELSE 0 END) AS lt50,
+         SUM(CASE WHEN d.n_chars <= element_at(ap.a, 1) THEN 1 ELSE 0 END) AS le50,
+         SUM(CASE WHEN d.n_chars <  element_at(ap.a, 2) THEN 1 ELSE 0 END) AS lt90,
+         SUM(CASE WHEN d.n_chars <= element_at(ap.a, 2) THEN 1 ELSE 0 END) AS le90,
+         SUM(CASE WHEN d.n_chars <= element_at(ap.a, 3) THEN 1 ELSE 0 END) AS le99
+  FROM documents d JOIN ap ON d.lang = ap.lang
+  GROUP BY d.lang
+),
+ex AS (SELECT lang, {ex} AS p FROM documents GROUP BY lang)
+SELECT ex.lang,
+       round({e(1)}, 6) AS p45, round({e(2)}, 6) AS p55,
+       round({e(3)}, 6) AS p85, round({e(4)}, 6) AS p95,
+       round({e(5)}, 6) AS p985, round({e(6)}, 6) AS p100,
+       (r.lt50 <= 0.55 * r.n AND r.le50 >= 0.45 * r.n) AS p50_within,
+       (r.lt90 <= 0.95 * r.n AND r.le90 >= 0.85 * r.n) AS p90_within,
+       (r.le99 >= 0.94 * r.n) AS p99_within
+FROM ex JOIN r ON ex.lang = r.lang
+ORDER BY ex.lang
+"""
+        return body
+    ex = "quantile_cont(n_chars, [0.45, 0.55, 0.85, 0.95, 0.985, 1.0])"
+    e = lambda i: f"(p)[{i}]"  # noqa: E731
+    return f"""
+SELECT lang,
+       round({e(1)}, 6) AS p45, round({e(2)}, 6) AS p55,
+       round({e(3)}, 6) AS p85, round({e(4)}, 6) AS p95,
+       round({e(5)}, 6) AS p985, round({e(6)}, 6) AS p100,
+       TRUE AS p50_within,
+       TRUE AS p90_within,
+       TRUE AS p99_within
+FROM (SELECT lang, {ex} AS p FROM documents GROUP BY lang) t
+ORDER BY lang
+"""
+
+
+def mad_outliers_approx(d: str) -> str:
+    """mad_outliers' promised scale path as checked code: approx-percentile
+    median + MAD (two sketch aggs, no per-group exact sort buffering).
+
+    Contract-oracle design (see doc_len_percentiles_approx): the EXACT
+    quantities — median bracket [med48, med52], MAD bracket [d48, d52] over
+    deviations from the exact median, and the exact outlier count at the
+    exact MAD threshold — are computed identically on both engines and
+    value-checked. The sketch contracts are RANK-based booleans (DuckDB
+    states TRUE, Spark measures): the approx median's rank among values and
+    the approx MAD's rank among ITS OWN deviation distribution must land in
+    [0.48, 0.52]·n — guaranteed by the sketch's rank-error spec for any
+    group size, gapped or tied data included. (A previous form derived
+    outlier-count bounds from interpolated value brackets; that derivation
+    is unsound on gapped distributions — an order-statistic sketch output
+    can sit outside any interpolated sub-extreme bracket — so the exact
+    count is the oracle-checked payload and the sketch keeps rank
+    contracts.)"""
+    c = "4.4478"  # 3 * 1.4826
+    if d == "spark":
+        return f"""
+WITH med AS (
+  SELECT event_type, percentile(value, array(0.48D, 0.5D, 0.52D)) AS mp,
+         approx_percentile(value, 0.5D, 10000) AS amed
+  FROM events GROUP BY event_type
+),
+devs AS (
+  SELECT e.event_type, e.value, m.amed,
+         abs(e.value - element_at(m.mp, 2)) AS dev_e,
+         abs(e.value - m.amed) AS dev_a,
+         element_at(m.mp, 1) AS med48, element_at(m.mp, 3) AS med52
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+dstat AS (
+  SELECT event_type, percentile(dev_e, array(0.48D, 0.5D, 0.52D)) AS dp,
+         approx_percentile(dev_a, 0.5D, 10000) AS amad
+  FROM devs GROUP BY event_type
+),
+r AS (
+  SELECT v.event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+         MAX(v.med48) AS med48, MAX(v.med52) AS med52,
+         MAX(element_at(dd.dp, 1)) AS d48, MAX(element_at(dd.dp, 3)) AS d52,
+         SUM(CASE WHEN v.value <  v.amed THEN 1 ELSE 0 END) AS lt_med,
+         SUM(CASE WHEN v.value <= v.amed THEN 1 ELSE 0 END) AS le_med,
+         SUM(CASE WHEN v.dev_a <  dd.amad THEN 1 ELSE 0 END) AS lt_mad,
+         SUM(CASE WHEN v.dev_a <= dd.amad THEN 1 ELSE 0 END) AS le_mad,
+         SUM(CASE WHEN v.dev_e > {c} * element_at(dd.dp, 2) THEN 1 ELSE 0 END) AS n_outliers
+  FROM devs v JOIN dstat dd ON v.event_type = dd.event_type
+  GROUP BY v.event_type
+)
+SELECT event_type,
+       round(med48, 6) AS med48, round(med52, 6) AS med52,
+       round(d48, 6) AS d48, round(d52, 6) AS d52,
+       CAST(n_outliers AS BIGINT) AS n_outliers,
+       (lt_med <= 0.52 * n AND le_med >= 0.48 * n) AS med_within,
+       (lt_mad <= 0.52 * n AND le_mad >= 0.48 * n) AS mad_within
+FROM r
+ORDER BY event_type
+"""
+    return f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, [0.48, 0.5, 0.52]) AS mp
+  FROM events GROUP BY event_type
+),
+devs AS (
+  SELECT e.event_type, abs(e.value - (m.mp)[2]) AS dev_e,
+         (m.mp)[1] AS med48, (m.mp)[3] AS med52
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+dstat AS (
+  SELECT event_type, quantile_cont(dev_e, [0.48, 0.5, 0.52]) AS dp
+  FROM devs GROUP BY event_type
+),
+r AS (
+  SELECT v.event_type,
+         MAX(v.med48) AS med48, MAX(v.med52) AS med52,
+         MAX((dd.dp)[1]) AS d48, MAX((dd.dp)[3]) AS d52,
+         SUM(CASE WHEN v.dev_e > {c} * (dd.dp)[2] THEN 1 ELSE 0 END) AS n_outliers
+  FROM devs v JOIN dstat dd ON v.event_type = dd.event_type
+  GROUP BY v.event_type
+)
+SELECT event_type,
+       round(med48, 6) AS med48, round(med52, 6) AS med52,
+       round(d48, 6) AS d48, round(d52, 6) AS d52,
+       CAST(n_outliers AS BIGINT) AS n_outliers,
+       TRUE AS med_within,
+       TRUE AS mad_within
+FROM r
+ORDER BY event_type
+"""
+
+
+def sequence_packing(d: str) -> str:
+    """Training-sequence packing: concatenate docs in a deterministic order
+    and chop into fixed token-budget packs (GPT-style) — pack id = floor of
+    the preceding cumulative token count / capacity. Packing runs PER SOURCE
+    shard (window partitioned by source), so at 100 TB each shard packs
+    independently — no global sort, one shuffle on the shard key."""
+    n_tok = f"size({P.tokens('text', d)})" if d == "spark" else f"len({P.tokens('text', d)})"
+    w = "(PARTITION BY source ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    before = f"(SUM(n_tokens) OVER {w} - n_tokens)"
+    return f"""
+WITH toks AS (SELECT source, doc_id, {n_tok} AS n_tokens FROM documents)
+SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST({_idiv(before, '512', d)} AS BIGINT) AS pack_id,
+       CAST({before} % 512 AS BIGINT) AS pack_offset
+FROM toks
+ORDER BY source, doc_id
+"""
+
+
+def pack_mix_diversity(d: str) -> str:
+    """Training-pack source-mix diversity — the QA metric for packed
+    pretraining batches: a pack drawn from one source teaches spurious
+    document-boundary correlations, so pipelines check that packing
+    actually interleaves sources. Docs are hash-sharded (8 shards) and
+    hash-ordered WITHIN each shard (the scalable epoch-shuffle: every
+    window is PARTITIONED by shard — no global sort), then packed to a
+    512-token budget like sequence_packing; each pack reports its doc
+    count, distinct sources, and source-distribution entropy. Per-pack
+    entropy is ONE bounded sum, so no cross-group float-order wobble."""
+    n_tok = f"size({P.tokens('text', d)})" if d == "spark" else f"len({P.tokens('text', d)})"
+    key = "concat(cast(doc_id as string), ':pack:7')" if d == "spark" else "(doc_id::VARCHAR || ':pack:7')"
+    h = P.hash64(key, d)
+    w = "(PARTITION BY shard ORDER BY skey ASC, doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    before = f"(SUM(n_tokens) OVER {w} - n_tokens)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {n_tok} AS n_tokens, {h} AS skey, {h} % 8 AS shard
+  FROM documents
+),
+packed AS (
+  SELECT shard, doc_id, source, CAST({_idiv(before, '512', d)} AS BIGINT) AS pack_id
+  FROM toks
+),
+mix AS (
+  SELECT shard, pack_id, source, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM packed GROUP BY shard, pack_id, source
+),
+ptot AS (SELECT shard, pack_id, SUM(c) AS t FROM mix GROUP BY shard, pack_id)
+SELECT CAST(m.shard AS INT) AS shard, m.pack_id AS pack_id,
+       CAST(SUM(m.c) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(round(-SUM((m.c / p.t) * ln(m.c / p.t)), 6) + 0.0 AS DOUBLE) AS source_entropy
+FROM mix m JOIN ptot p ON m.shard = p.shard AND m.pack_id = p.pack_id
+GROUP BY m.shard, m.pack_id
+ORDER BY shard, m.pack_id
+"""
+
+
+def repetition_ratios(d: str) -> str:
+    """Within-document repetition quality signal (Gopher/C4-style filter):
+    distinct-token ratio per doc. Narrow projection — array ops are
+    codegen'd, no shuffle at all."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        n, nd = f"size({toks})", f"size(array_distinct({toks}))"
+    else:
+        n, nd = f"len({toks})", f"len(list_distinct({toks}))"
+    return f"""
+SELECT doc_id, CAST({n} AS BIGINT) AS n_tokens,
+       round(CAST({nd} AS DOUBLE) / {n}, 6) AS distinct_ratio,
+       CASE WHEN CAST({nd} AS DOUBLE) / {n} < 0.3 THEN 1 ELSE 0 END AS flag_repetitive
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def near_dup_clusters_oracle(d: str) -> str:
+    """Corpus dedup completion: connected components over the simhash
+    near-pair graph, canonical = min doc_id per component (first-occurrence-
+    wins lifted to near-dup classes). Oracle: recursive CTE computing the min
+    reachable label; Spark runner: operators/dedup.connected_components
+    (min-label propagation, one int64 shuffle per round)."""
+    pairs = _simhash_pairs_body(d).replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+WITH RECURSIVE fps AS ({_simhash_fps_sql(d)}),
+pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(src, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.src
+)
+SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id,
+       CASE WHEN MIN(lbl) = src THEN 1 ELSE 0 END AS is_canonical
+FROM reach
+GROUP BY src
+ORDER BY doc_id
+"""
+
+
+BM25_QUERY_TOKENS = ("vector", "join", "fast")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def _bm25_scores_sql(d: str) -> str:
+    """BM25 scoring CTE body -> relation (doc_id, bm25). Sparse keyword
+    retrieval over the corpus — the hybrid-search complement to the
+    reference's dense-only search. Plan: explode -> two hash aggs (tf, df) ->
+    broadcast the tiny (token,df) + one-row stats sides back onto tf. Fully
+    SQL-expressible, so the oracle checks every float."""
+    toks = P.tokens("text", d)
+    n_tok = f"size({toks})" if d == "spark" else f"len({toks})"
+    in_list = ", ".join(f"'{t}'" for t in BM25_QUERY_TOKENS)
+    if d == "spark":
+        exploded = f"SELECT doc_id, tok FROM (SELECT doc_id, explode({toks}) AS tok FROM documents) e WHERE tok IN ({in_list})"
+    else:
+        exploded = f"SELECT doc_id, tok FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents) e WHERE tok IN ({in_list})"
+    return f"""
+lens AS (SELECT doc_id, {n_tok} AS dl FROM documents),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM lens),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ({exploded}) x GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+bm25 AS (
+  SELECT t.doc_id,
+         SUM(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+             * t.tf * ({BM25_K1} + 1.0)
+             / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))) AS bm25
+  FROM tf t
+  JOIN df f ON t.tok = f.tok
+  JOIN lens l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+)"""
+
+
+def bm25_topk(d: str) -> str:
+    """Sparse BM25 top-10 for the fixed query tokens (k1=1.2, b=0.75)."""
+    return f"""
+WITH {_bm25_scores_sql(d)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(bm25, 6) AS bm25
+FROM bm25
+ORDER BY round(bm25, 6) DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def hybrid_rrf_topk(d: str) -> str:
+    """Hybrid retrieval: dense (mock-embed cosine) and sparse (BM25) rank
+    lists fused by reciprocal-rank fusion, 1/(60+rank). Dense-only is the
+    reference's ceiling; RRF is the standard hybrid upgrade and it's pure
+    SQL — two TakeOrdered branches + a tiny full-outer join on the top-20
+    ids."""
+    qvec = P.mock_embed("'spark vector search'", EMBED_DIM, d)
+    dvec = P.mock_embed("text", EMBED_DIM, d)
+    dist = P.cosine_distance(dvec, qvec, d)
+    return f"""
+WITH {_bm25_scores_sql(d)},
+dense_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY round({dist}, 6) ASC, doc_id ASC) AS r
+  FROM documents
+),
+dense AS (SELECT doc_id, r FROM dense_ranked WHERE r <= 20),
+sparse_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id ASC) AS r
+  FROM bm25
+),
+sparse AS (SELECT doc_id, r FROM sparse_ranked WHERE r <= 20)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(round(COALESCE(1.0 / (60 + dense.r), 0.0) + COALESCE(1.0 / (60 + sparse.r), 0.0), 6) AS DOUBLE) AS rrf
+FROM dense FULL OUTER JOIN sparse USING (doc_id)
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def docs_intersect_except(d: str) -> str:
+    """§2.7 set ops, completed: INTERSECT and EXCEPT of two document
+    selections (both compile to semi/anti joins over a distinct), tagged and
+    unioned so one result covers both operators."""
+    return """
+SELECT 'both' AS side, doc_id FROM (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+  INTERSECT
+  SELECT doc_id FROM documents WHERE n_chars > 300
+) a
+UNION ALL
+SELECT 'only_even' AS side, doc_id FROM (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+  EXCEPT
+  SELECT doc_id FROM documents WHERE n_chars > 300
+) b
+ORDER BY side, doc_id
+"""
+
+
+def customer_order_stats_outer(d: str) -> str:
+    """LEFT OUTER join + null-aware aggregation: every customer with their
+    order count and spend, INCLUDING zero-order customers (the rows an inner
+    join silently drops). COUNT(o_orderkey) ignores the outer nulls."""
+    return f"""
+SELECT c.c_custkey,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM({_dec('o.o_totalprice')}), 0.0) AS DOUBLE) AS total_spend
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+ORDER BY c.c_custkey
+"""
+
+
+def q2_min_cost_supplier(d: str) -> str:
+    """TPC-H Q2 shape — argmin-per-group via correlated scalar subquery: for
+    each small part, the supplier(s) offering the minimum unit price.
+    Catalyst de-correlates to a partkey aggregate joined back to the probe
+    side (two scans); bucketing both scans by partkey removes the shuffle at
+    scale. Equality on the double unit price is safe: both engines compute
+    the identical expression over identical inputs."""
+    unit = "(l.l_extendedprice / l.l_quantity)"
+    return f"""
+SELECT DISTINCT p.p_partkey, l.l_suppkey, round({unit}, 6) AS unit_price
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 5
+  AND {unit} = (
+    SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+ORDER BY p.p_partkey, l.l_suppkey
+"""
+
+
+def q7_nation_volume(d: str) -> str:
+    """TPC-H Q7 shape — bidirectional nation-pair shipping volume by year:
+    5-way join (two nation roles) + CASE-free pair filter + per-year decimal
+    revenue. Both nation sides broadcast at any scale; the one real shuffle
+    is orders⋈lineitem on orderkey."""
+    vol = f"{_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount', 5, 2)})"
+    return f"""
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(vol) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INT) AS l_year,
+         {vol} AS vol
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned_items(d: str) -> str:
+    """TPC-H Q10 shape — top-20 customers by lost revenue from returned
+    items in one year: selective fact filter, 4-way join, grouped decimal
+    revenue, deterministic top-k (TakeOrderedAndProject)."""
+    rev = f"SUM({_dec('l.l_extendedprice')} * (1 - {_dec('l.l_discount', 5, 2)}))"
+    return f"""
+SELECT c.c_custkey, c.c_name, n.n_name, CAST({rev} AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+def q20_dominant_suppliers(d: str) -> str:
+    """TPC-H Q20 shape via agg-over-agg window: suppliers holding >15% of
+    any part's total shipped quantity. SUM(SUM()) OVER (PARTITION BY part)
+    computes group totals and per-partner shares in ONE pass — no self-join
+    of the aggregate, so the fact table is scanned once."""
+    qty = f"SUM({_dec('l_quantity')})"
+    return f"""
+WITH shares AS (
+  SELECT l_suppkey, l_partkey,
+         CAST({qty} AS DOUBLE) AS qty,
+         CAST(SUM({qty}) OVER (PARTITION BY l_partkey) AS DOUBLE) AS part_qty
+  FROM lineitem
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS n_dominated_parts
+FROM supplier s
+JOIN shares sh ON sh.l_suppkey = s.s_suppkey
+WHERE sh.qty > 0.15 * sh.part_qty
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY n_dominated_parts DESC, s.s_suppkey ASC
+"""
+
+
+def streaming_dedup_pairs(d: str) -> str:
+    """Oracle for the streaming dedup-within-watermark query (the Spark side
+    runs dropDuplicatesWithinWatermark over an availableNow file stream —
+    SPARK_OVERRIDES): the distinct key set is stream-order independent, so
+    batch DISTINCT is an exact oracle."""
+    return """
+SELECT DISTINCT user_id, event_type
+FROM events
+ORDER BY user_id, event_type
+"""
+
+
+def streaming_user_stats(d: str) -> str:
+    """Oracle for the custom stateful streaming operator
+    (streaming/stateful.py running_user_stats, applyInPandasWithState): the
+    stream emits cumulative per-user (count, sum, max) each micro-batch;
+    compacting to each key's final emission equals this batch GROUP BY."""
+    return """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM(value), 6) AS sum_value,
+       round(MAX(value), 6) AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def quantized_topk(d: str) -> str:
+    """Two-stage retrieval over int8-quantized embeddings — the storage/
+    bandwidth scale path (4x smaller vectors; at 100 TB the quantized store
+    is what streams through the scan). Stage 1 ranks by quantized cosine —
+    the per-vector scales cancel, so it's pure integer dot products — and
+    keeps fetch_k=50 candidates; stage 2 re-ranks the survivors with the
+    exact float cosine. Deterministic integer math end to end => full DuckDB
+    oracle parity, and the exact re-rank makes stage-1 error invisible at
+    the final k whenever recall@fetch_k holds (measured in tests)."""
+    a = P.to_double_array("e.embedding", d)
+    qv = P.to_double_array("q.qv", d)
+    qa = P.quantize_int8("av", P.absmax("av", d), d)
+    qq = P.quantize_int8("qvv", P.absmax("qvv", d), d)
+    approx = (
+        f"(1.0 - {P.int_dot('sv', 'qvec', d)} / "
+        f"(sqrt({P.int_dot('sv', 'sv', d)}) * sqrt({P.int_dot('qvec', 'qvec', d)})))"
+    )
+    exact = P.cosine_distance("av", "qvv2", d)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qq AS (SELECT qvv, {qq} AS qvec FROM (SELECT {qv} AS qvv FROM q) t),
+store AS (
+  SELECT e.vec_id, av, {qa} AS sv
+  FROM (SELECT vec_id, {a} AS av FROM embeddings e WHERE vec_id <> 0) e
+),
+cand AS (
+  SELECT s.vec_id, s.av, qq.qvv AS qvv2, {approx} AS approx_dist
+  FROM store s CROSS JOIN qq
+  ORDER BY approx_dist ASC, s.vec_id ASC
+  LIMIT 50
+)
+SELECT vec_id, round({exact}, 6) AS distance, round(approx_dist, 6) AS approx_dist
+FROM cand
+ORDER BY distance ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+def binary_quant_topk(d: str) -> str:
+    """Two-stage retrieval over BINARY-quantized embeddings — the extreme
+    memory tier below int8 (K4 family): each 64-dim float32 vector (256 B)
+    collapses to TWO int64 sign words (16 B, 16x), candidates rank by
+    Hamming distance (XOR + popcount — the cheapest distance a CPU can
+    compute; at 100 TB the packed words are all that streams through the
+    scan), and the fetch_k=50 survivors re-rank by exact float cosine.
+    Sign packing and popcount are deterministic integer ops on both engines
+    => FULL DuckDB oracle parity, unlike sketch tiers. Plan shape: narrow
+    pack projection -> TakeOrderedAndProject on hamming (no global sort) ->
+    fetch_k-bounded exact re-rank."""
+    a = P.to_double_array("e.embedding", d)
+    qv = P.to_double_array("q.qv", d)
+    p_lo = P.sign_pack("av", 1, 32, d)
+    p_hi = P.sign_pack("av", 33, 32, d)
+    q_lo = P.sign_pack("qvv", 1, 32, d)
+    q_hi = P.sign_pack("qvv", 33, 32, d)
+    ham = f"({P.hamming64('s.w1', 'qq.u1', d)} + {P.hamming64('s.w2', 'qq.u2', d)})"
+    exact = P.cosine_distance("av", "qvv2", d)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qq AS (SELECT qvv, {q_lo} AS u1, {q_hi} AS u2 FROM (SELECT {qv} AS qvv FROM q) t),
+store AS (
+  SELECT e.vec_id, av, {p_lo} AS w1, {p_hi} AS w2
+  FROM (SELECT vec_id, {a} AS av FROM embeddings e WHERE vec_id <> 0) e
+),
+cand AS (
+  SELECT s.vec_id, s.av, qq.qvv AS qvv2, {ham} AS hamming
+  FROM store s CROSS JOIN qq
+  ORDER BY hamming ASC, s.vec_id ASC
+  LIMIT 50
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(hamming AS INT) AS hamming,
+       round({exact}, 6) AS distance
+FROM cand
+ORDER BY distance ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+def mlm_masking_q(d: str) -> str:
+    """Deterministic MLM-style span masking (BERT/T5 pretraining prep): mask
+    ~15% of tokens, chosen by a portable hash of (doc_id, position) so the
+    mask set is reproducible across runs AND engines — the property that
+    matters for cached/restarted pipeline stages. Pure array transform:
+    narrow, no shuffle, whole-stage codegen."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        h = P.hash64("concat(doc_id, ':', i)", d)
+        masked = f"transform({toks}, (t, i) -> CASE WHEN {h} % 100 < 15 THEN '<mask>' ELSE t END)"
+        n_masked = f"size(filter(mt, t -> t = '<mask>'))"
+        joined = "array_join(mt, ' ')"
+    else:
+        h = P.hash64("(doc_id || ':' || (p[2] - 1))", d)
+        masked = (
+            f"list_transform(list_zip({toks}, generate_series(1, len({toks}))), "
+            f"p -> CASE WHEN {h} % 100 < 15 THEN '<mask>' ELSE p[1] END)"
+        )
+        n_masked = "len(list_filter(mt, t -> t = '<mask>'))"
+        joined = "array_to_string(mt, ' ')"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST({n_masked} AS BIGINT) AS n_masked,
+       {joined} AS masked_text
+FROM (SELECT doc_id, {masked} AS mt FROM documents WHERE doc_id % 25 = 0) m
+ORDER BY doc_id
+"""
+
+
+MATRYOSHKA_DIM = 16
+
+
+def matryoshka_topk_q(d: str) -> str:
+    """Matryoshka-style retrieval funnel (MRL, Kusupati et al. 2022): stage 1
+    ranks by cosine over only the FIRST {MATRYOSHKA_DIM} dims (4x less scan
+    bandwidth and FLOPs — with MRL-trained embeddings the information
+    concentrates in the prefix), keeps fetch_k=50; stage 2 re-ranks the
+    survivors with full-dimension cosine. Same two-stage shape as the int8
+    and PQ tiers — this one cuts DIMENSIONS instead of precision. At 100 TB
+    the truncated prefix is stored as its own column (column pruning: stage 1
+    never reads the full vector)."""
+    av = P.to_double_array("embedding", d)
+    tr = P.subvec("av", "1", MATRYOSHKA_DIM, d)
+    stage1 = P.cosine_distance("tv", "qt", d)
+    stage2 = P.cosine_distance("av", "qv", d)
+    return f"""
+WITH q AS (SELECT av AS qv, {tr} AS qt FROM (SELECT {av} AS av FROM embeddings WHERE vec_id = 0) x),
+store AS (SELECT vec_id, av, {tr} AS tv FROM (SELECT vec_id, {av} AS av FROM embeddings WHERE vec_id <> 0) s),
+cand AS (
+  SELECT vec_id, av, round({stage1}, 6) AS trunc_dist
+  FROM store CROSS JOIN q
+  ORDER BY trunc_dist ASC, vec_id ASC
+  LIMIT 50
+)
+SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+       round({stage2}, 6) AS distance,
+       c.trunc_dist
+FROM cand c CROSS JOIN q
+ORDER BY distance ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+PQ_M = 4  # subspaces
+PQ_SUB = 16  # dims per subspace (PQ_M * PQ_SUB = embedding dim 64)
+PQ_K = 16  # codewords per subspace (4-bit codes)
+
+
+def pq_adc_topk(d: str) -> str:
+    """Product-quantization ADC retrieval (FAISS IVFPQ's scoring stage,
+    Jégou et al. 2011) — the memory-bound ANN tier beyond int8: each vector
+    compresses to PQ_M 4-bit codes (64x smaller than float32), and queries
+    score candidates via a per-subspace lookup table (ADC = asymmetric
+    distance computation) WITHOUT touching the original vectors. Pipeline:
+    tile each embedding into {PQ_M} x {PQ_SUB}-dim subvectors; quantize every
+    subvector to its nearest codeword (argmin row_number); build the query's
+    m x k LUT of squared sub-distances; ADC distance = SUM of LUT hits on the
+    codes (exact because squared-L2 tiles additively over subspaces);
+    fetch_k=50 candidates by ADC, then exact-L2 re-rank to the final 10.
+
+    The codebook here is deterministic SAMPLED codewords (subvectors of
+    vec_id 1..{PQ_K}) so the whole pipeline — codebook, assignment, LUT, ADC,
+    re-rank — is bit-identical in DuckDB: a FULL value oracle for the ADC
+    machinery. The production path (operators/ann.py PQIndex) swaps in
+    per-subspace Lloyd-fitted codebooks and a JVM argmin expression encode;
+    recall vs this exact pipeline is measured in tests/test_ann.py."""
+    av = P.to_double_array("embedding", d)
+    sv = P.subvec("av", f"s * {PQ_SUB} + 1", PQ_SUB, d)
+    qsub = P.subvec("qv", f"s * {PQ_SUB} + 1", PQ_SUB, d)
+    if d == "spark":
+        sub = f"SELECT explode(sequence(0, {PQ_M - 1})) AS s"
+    else:
+        sub = f"SELECT unnest(generate_series(0, {PQ_M - 1})) AS s"
+    return f"""
+WITH q AS (SELECT {av} AS qv FROM embeddings WHERE vec_id = 0),
+sub AS ({sub}),
+store AS (SELECT vec_id, {av} AS av FROM embeddings WHERE vec_id <> 0),
+subs AS (SELECT vec_id, s, {sv} AS sv FROM store CROSS JOIN sub),
+cb AS (SELECT vec_id - 1 AS cid, s, {sv} AS cv
+       FROM store CROSS JOIN sub WHERE vec_id BETWEEN 1 AND {PQ_K}),
+assign AS (
+  SELECT vec_id, s, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rn
+  FROM (SELECT subs.vec_id, subs.s, cb.cid, {P.l2sq('subs.sv', 'cb.cv', d)} AS d2
+        FROM subs JOIN cb ON subs.s = cb.s) j
+),
+codes AS (SELECT vec_id, s, cid FROM assign WHERE rn = 1),
+lut AS (SELECT cb.s, cb.cid, {P.l2sq(qsub, 'cb.cv', d)} AS qd2 FROM cb CROSS JOIN q),
+adc AS (
+  SELECT vec_id, SUM(qd2) AS adc2
+  FROM codes JOIN lut ON codes.s = lut.s AND codes.cid = lut.cid
+  GROUP BY vec_id
+),
+cand AS (SELECT vec_id, adc2 FROM adc ORDER BY adc2 ASC, vec_id ASC LIMIT 50)
+SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+       round(sqrt({P.l2sq('st.av', 'q.qv', d)}), 6) AS distance,
+       round(sqrt(c.adc2), 6) AS adc_dist
+FROM cand c JOIN store st ON c.vec_id = st.vec_id CROSS JOIN q
+ORDER BY distance ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+def streaming_enrich_nation(d: str) -> str:
+    """Oracle for the STREAM-STATIC enrichment join (SPARK_OVERRIDES): the
+    event stream joins the static customer dimension (broadcast — stateless,
+    no watermark needed: the static side is a snapshot, so each micro-batch
+    enriches and aggregates exactly like this batch join). Per-nation event
+    counts + exact DECIMAL value sums."""
+    return """
+SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_nationkey
+ORDER BY nationkey
+"""
+
+
+def streaming_click_error_join(d: str) -> str:
+    """Oracle for the STREAM-STREAM interval join (SPARK_OVERRIDES): error
+    events inner-joined to the same user's clicks in the following 5 minutes.
+    Both sides are watermarked streams on the Spark side; over a static
+    source the emitted match set equals this batch interval join exactly
+    (inner join — no outer-row timing sensitivity)."""
+    return f"""
+WITH e AS (SELECT user_id, event_id AS error_id, {_ts_us(d)} AS e_ts FROM events WHERE event_type = 'error'),
+c AS (SELECT user_id, event_id AS click_id, {_ts_us(d)} AS c_ts FROM events WHERE event_type = 'click')
+SELECT e.user_id AS user_id, e.error_id, c.click_id
+FROM e JOIN c
+  ON e.user_id = c.user_id AND c.c_ts > e.e_ts AND c.c_ts <= e.e_ts + 300000000
+ORDER BY e.user_id, e.error_id, c.click_id
+"""
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_event_counts(d: str) -> str:
+    """PIVOT: per-user event counts, one column per event type. The oracle is
+    the canonical SUM(CASE) expansion; the Spark side (SPARK_OVERRIDES) uses
+    the native DataFrame groupBy().pivot() operator with explicit values so
+    the plan is a single shuffled HashAggregate — same cost as a plain
+    GROUP BY regardless of the number of pivot columns."""
+    cols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT user_id,
+       {cols}
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def cube_doc_counts(d: str) -> str:
+    """CUBE grouping-sets aggregation over (lang, source): all four grouping
+    levels in ONE pass (Catalyst expands to a single Expand + HashAggregate —
+    one shuffle, not four). GROUPING() markers disambiguate real values from
+    roll-up rows; COALESCE sentinels keep the sort engine-independent (Spark
+    orders NULLS FIRST, DuckDB NULLS LAST)."""
+    return """
+SELECT COALESCE(lang, '(all)') AS lang,
+       COALESCE(source, '(all)') AS source,
+       CAST(GROUPING(lang) AS INT) AS g_lang,
+       CAST(GROUPING(source) AS INT) AS g_source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+ORDER BY g_lang, g_source, lang, source
+"""
+
+
+def event_moving_stats(d: str) -> str:
+    """Window frames + LAG: per-user 5-row moving average of `value` (ROWS
+    BETWEEN 4 PRECEDING AND CURRENT ROW) and inter-event arrival gap in
+    micros. The time-series smoothing/resample shape: one hash exchange on
+    user_id, then both window functions evaluate in the same sort — Catalyst
+    fuses same-spec windows into one Window node."""
+    ts = _ts_us(d)
+    w = "PARTITION BY user_id ORDER BY ts_us, event_id"
+    return f"""
+SELECT user_id, event_id,
+       round(AVG(value) OVER ({w} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS movavg_5,
+       (ts_us - LAG(ts_us) OVER ({w})) AS gap_us
+FROM (SELECT user_id, event_id, value, {ts} AS ts_us FROM events WHERE user_id < 10) t
+ORDER BY user_id, ts_us, event_id
+"""
+
+
+def topk_docs_per_lang(d: str) -> str:
+    """Top-k per group (the grouped-top-k shape Spark plans as one Window +
+    filter): 3 longest documents per language. At scale the rank filter
+    pushes work to a single per-group sort; no global sort happens until the
+    final small ORDER BY."""
+    return """
+SELECT lang, doc_id, n_chars, rn FROM (
+  SELECT lang, doc_id, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rn
+  FROM documents
+) t
+WHERE rn <= 3
+ORDER BY lang, rn
+"""
+
+
+def _exploded_grams(n: int, where: str, d: str) -> str:
+    """Sub-select (doc_id, g) — one row per word n-gram of each document."""
+    grams = P.word_ngrams("text", n, d)
+    if d == "spark":
+        return f"SELECT doc_id, g FROM documents LATERAL VIEW explode({grams}) t AS g {where}"
+    return f"SELECT doc_id, unnest({grams}) AS g FROM documents {where}"
+
+
+def decontamination_8gram(d: str) -> str:
+    """Benchmark decontamination — the train-corpus hygiene op: flag training
+    documents sharing any 8-gram with a held-out benchmark set (here: sources
+    src0/src1 stand in for the benchmark). At 100 TB the benchmark gram set
+    is small and broadcasts; the training side explodes to (doc_id, gram)
+    pairs that pre-aggregate map-side, so the shuffle carries distinct grams
+    only — never document text."""
+    bench = _exploded_grams(8, "WHERE source IN ('src0', 'src1')", d)
+    cand = _exploded_grams(8, "WHERE source NOT IN ('src0', 'src1')", d)
+    return f"""
+WITH bench AS (SELECT DISTINCT g FROM ({bench}) b),
+cand AS (SELECT DISTINCT doc_id, g FROM ({cand}) c)
+SELECT c.doc_id,
+       CAST(COUNT(b.g) AS BIGINT) AS n_shared_grams,
+       CAST(CASE WHEN COUNT(b.g) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM cand c LEFT JOIN bench b ON c.g = b.g
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+def boilerplate_gram_fraction(d: str) -> str:
+    """C4-style boilerplate detection: 5-grams occurring in more than 20
+    distinct documents are boilerplate; score each doc by the fraction of its
+    distinct grams that are boilerplate. Two aggregations over one exploded
+    scan; the grams→document-frequency agg combines map-side so the join back
+    is (gram, df) — the classic repeated-content profile at corpus scale."""
+    dg = _exploded_grams(5, "", d)
+    return f"""
+WITH dg AS (SELECT DISTINCT doc_id, g FROM ({dg}) t),
+freq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM dg GROUP BY g)
+SELECT dg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN freq.df > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       round(CAST(SUM(CASE WHEN freq.df > 20 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS boiler_frac
+FROM dg JOIN freq ON dg.g = freq.g
+GROUP BY dg.doc_id
+ORDER BY dg.doc_id
+"""
+
+
+def domain_mix_rebalance(d: str) -> str:
+    """Domain-mixture rebalancing — hit a target per-source mixture (uniform
+    here) by deterministic hash-thresholded downsampling of over-represented
+    sources. keep_rate = min(1, target_share/actual_share); membership is a
+    salted hash compare (no RNG — reproducible across engines, re-runs, and
+    cluster sizes). The rates table is tiny and broadcasts; the keep decision
+    is a partition-local map over the corpus."""
+    key = _str("doc_id", d) + " || '-mix-v1'"
+    h = f"({P.hash64(key, d)} % 1000000)"
+    return f"""
+WITH src AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+tot AS (SELECT SUM(n_src) AS n_total, COUNT(*) AS n_sources FROM src),
+rates AS (
+  SELECT source, n_src,
+         LEAST(1.0, (CAST(n_total AS DOUBLE) / n_sources) / n_src) AS keep_rate
+  FROM src CROSS JOIN tot
+)
+SELECT r.source,
+       CAST(r.n_src AS BIGINT) AS n_total,
+       round(r.keep_rate, 6) AS keep_rate,
+       CAST(SUM(CASE WHEN {h} < CAST(floor(r.keep_rate * 1000000) AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents doc JOIN rates r ON doc.source = r.source
+GROUP BY r.source, r.n_src, r.keep_rate
+ORDER BY r.source
+"""
+
+
+def hourly_gapfill(d: str) -> str:
+    """Time-series resample with gap filling: hourly event counts over the
+    full observed range, zero-filled for empty hours (sequence+explode on
+    Spark, generate_series on DuckDB). The dense axis is generated, not
+    scanned — at 100 TB the series side is thousands of rows joined against
+    pre-aggregated counts, so the left join broadcasts the series."""
+    hour = _idiv(_ts_us(d), "3600000000", d)
+    if d == "spark":
+        series = "SELECT explode(sequence(h0, h1)) AS hour_id FROM bounds"
+    else:
+        series = "SELECT unnest(generate_series(h0, h1)) AS hour_id FROM bounds"
+    return f"""
+WITH ev AS (SELECT {hour} AS hour_id FROM events),
+counts AS (SELECT hour_id, COUNT(*) AS n FROM ev GROUP BY hour_id),
+bounds AS (SELECT MIN(hour_id) AS h0, MAX(hour_id) AS h1 FROM ev),
+series AS ({series})
+SELECT s.hour_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM series s LEFT JOIN counts c ON s.hour_id = c.hour_id
+ORDER BY s.hour_id
+"""
+
+
+def latest_event_per_user(d: str) -> str:
+    """CDC/upsert compaction shape: keep each key's most recent record
+    (row_number DESC = 1) — how a 100 TB mutable-state table compacts from an
+    append-only event log. One shuffle on the key; at scale this is the
+    foreachBatch merge loop's batch form."""
+    return f"""
+SELECT user_id, event_id, ts_us, event_type
+FROM (
+  SELECT user_id, event_id, {_ts_us(d)} AS ts_us, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY {_ts_us(d)} DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def event_value_zscores(d: str) -> str:
+    """Feature standardization (z-score per event_type) — grouped moments
+    joined back onto the rows, the two-pass normalization every ML feature
+    pipeline needs. Moments use exact DECIMAL sums (sum, sum of squares), so
+    mean/std are bit-identical across engines despite float summation-order
+    differences; broadcast of the tiny per-type moments table."""
+    xd = _dec("value", 38, 12)
+    return f"""
+WITH moments AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM({xd}) AS DOUBLE) AS s1,
+         CAST(SUM({xd} * {xd}) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round((e.value - m.s1 / m.n) / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n)), 6) AS zscore,
+       CASE WHEN abs((e.value - m.s1 / m.n) / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n))) > 3.0
+            THEN 1 ELSE 0 END AS is_outlier
+FROM events e JOIN moments m ON e.event_type = m.event_type
+ORDER BY e.event_id
+"""
+
+
+def quality_filter(d: str) -> str:
+    """C4/Gopher-style composite corpus filter with per-rule attribution:
+    each doc gets keep/drop plus the FIRST failing rule (too-short, too few
+    tokens, digit-heavy, repetitive, low-quality-score). Filters compose as
+    one JVM projection pass — a 100 TB filter costs one scan, and the reason
+    column makes filter-rate audits (drop % per rule) a cheap GROUP BY."""
+    m = TA.quality_metrics_sql("text", d)
+    toks = P.tokens("text", d)
+    if d == "spark":
+        n, nd = f"size({toks})", f"size(array_distinct({toks}))"
+    else:
+        n, nd = f"len({toks})", f"len(list_distinct({toks}))"
+    distinct_ratio = f"(CAST({nd} AS DOUBLE) / {n})"
+    score = TA.quality_score_sql("text", d)
+    return f"""
+SELECT doc_id,
+       CASE
+         WHEN {m['n_chars']} < 80 THEN 'too_short'
+         WHEN {m['n_tokens']} < 12 THEN 'too_few_tokens'
+         WHEN {m['digit_ratio']} > 0.2 THEN 'digit_heavy'
+         WHEN {distinct_ratio} < 0.3 THEN 'repetitive'
+         WHEN {score} < 0.35 THEN 'low_quality_score'
+         ELSE 'keep'
+       END AS verdict,
+       CAST({score} AS DOUBLE) AS quality_score
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def unigram_logprob_quality(d: str) -> str:
+    """CCNet-style language-model quality filter: score each document by its
+    mean token unigram log-probability under the CORPUS unigram model, flag
+    the low-logprob tail (the cheap stand-in for a KenLM perplexity filter —
+    the standard web-corpus quality gate). Shape: one token explode feeds
+    both the global frequency table (vocab-sized, broadcast-able dim at any
+    corpus scale) and the per-doc join+agg — two hash aggregations and one
+    broadcast join; the corpus never shuffles its text. Deterministic doc
+    subset keeps the bench slice proportionate."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT doc_id, tk FROM documents LATERAL VIEW explode({toks}) t AS tk WHERE doc_id % 4 = 0"
+    else:
+        tok = f"SELECT doc_id, unnest({toks}) AS tk FROM documents WHERE doc_id % 4 = 0"
+    return f"""
+WITH tok AS ({tok}),
+freq AS (SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM freq),
+scored AS (
+  SELECT tok.doc_id AS doc_id, SUM(ln(freq.c / tot.t)) / COUNT(*) AS lp,
+         COUNT(*) AS n_tok
+  FROM tok JOIN freq ON tok.tk = freq.tk CROSS JOIN tot
+  GROUP BY tok.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       round(lp, 6) AS avg_logprob,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CASE WHEN lp >= -7.5 THEN 'keep' ELSE 'filter' END AS verdict
+FROM scored
+ORDER BY doc_id
+"""
+
+
+DECONTAM_NGRAM, CONTAINMENT_MIN = 5, 0.5
+
+
+def shingle_containment_decontam(d: str) -> str:
+    """Train-test decontamination by n-gram CONTAINMENT (the GPT-3/PaLM-style
+    leakage metric): for every test doc (doc_id % 10 = 3), the fraction of
+    its distinct 5-gram shingles that appear in each training doc; pairs at
+    containment >= 0.5 are leaks. Asymmetric (divides by the TEST doc's
+    shingle count), unlike ngram_jaccard_pairs' symmetric set measure, and
+    cross-corpus ONLY — the join keeps test x train rows, so steady-state
+    cost is |test| x avg-bucket, never train x train. Shingles are exploded
+    once and joined on 8-byte hashes; document text never shuffles."""
+    sh = P.shingle_hashes("text", DECONTAM_NGRAM, d)
+    if d == "spark":
+        sh_d = f"array_distinct({sh})"
+        shingled = f"SELECT doc_id, (doc_id % 10 = 3) AS is_test, s FROM documents LATERAL VIEW explode({sh_d}) t AS s"
+    else:
+        sh_d = f"list_distinct({sh})"
+        shingled = f"SELECT doc_id, (doc_id % 10 = 3) AS is_test, unnest({sh_d}) AS s FROM documents"
+    return f"""
+WITH sh AS ({shingled}),
+test_sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh WHERE is_test GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id AS test_id, tr.doc_id AS train_id, COUNT(*) AS n_common
+  FROM sh t JOIN sh tr ON t.s = tr.s AND t.is_test AND NOT tr.is_test
+  GROUP BY t.doc_id, tr.doc_id
+)
+SELECT CAST(h.test_id AS BIGINT) AS test_id,
+       CAST(h.train_id AS BIGINT) AS train_id,
+       CAST(round(h.n_common * 1.0 / ts.n, 6) AS DOUBLE) AS containment
+FROM hits h JOIN test_sizes ts ON h.test_id = ts.doc_id
+WHERE h.n_common * 1.0 / ts.n >= {CONTAINMENT_MIN}
+ORDER BY test_id, train_id
+"""
+
+
+def salted_user_counts(d: str) -> str:
+    """Per-user event counts, top-50 — the oracle for the SALTED two-phase
+    aggregation the Spark side runs (skew mitigation: hot users pre-combine
+    across 8 salt buckets before the final shuffle on user_id alone)."""
+    return """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC
+LIMIT 50
+"""
+
+

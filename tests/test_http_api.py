@@ -981,3 +981,57 @@ def test_multipart_upload_over_cap_is_413():
         assert status == 200 and names == ["small.txt"]
     finally:
         srv.stop()
+
+
+def test_chat_stream_wire_framing_reference_client(server):
+    """Wire-level parity for /v1/chat/streams (VERDICT r5 stretch 7): the
+    reference streams a StreamingResponse of utf-8 token chunks terminated
+    by a '[stream_finished]' chunk (endpoints.py:669-685, 706-717) and its
+    Chatbot client loops over chunks, breaking when one equals the
+    sentinel. Consume the facade's response with a raw socket and a manual
+    HTTP/1.1 chunked-transfer parser — every token must arrive as its OWN
+    chunk (iter_content granularity, not one buffered body), and the FINAL
+    chunk must be byte-for-byte b'[stream_finished]' so that off-the-shelf
+    client loop terminates."""
+    import socket
+
+    payload = json.dumps({"message": "stream me"}).encode()
+    req_bytes = (
+        f"POST /v1/chat/streams HTTP/1.1\r\nHost: 127.0.0.1:{server.port}\r\n"
+        f"Authorization: Bearer {KEY}\r\nContent-Type: application/json\r\n"
+        f"Content-Length: {len(payload)}\r\nConnection: close\r\n\r\n"
+    ).encode() + payload
+    with socket.create_connection(("127.0.0.1", server.port), timeout=10) as s:
+        s.sendall(req_bytes)
+        raw = b""
+        while True:
+            got = s.recv(65536)
+            if not got:
+                break
+            raw += got
+    head, _, body = raw.partition(b"\r\n\r\n")
+    assert b" 200 " in head.splitlines()[0]
+    headers = {l.split(b":")[0].lower(): l.split(b":", 1)[1].strip()
+               for l in head.splitlines()[1:] if b":" in l}
+    assert headers[b"content-type"] == b"application/octet-stream"
+    assert headers[b"transfer-encoding"] == b"chunked"
+    # manual chunked-transfer decode, chunk boundaries preserved
+    chunks, rest = [], body
+    while True:
+        size_line, _, rest = rest.partition(b"\r\n")
+        size = int(size_line, 16)
+        if size == 0:
+            break
+        chunks.append(rest[:size])
+        assert rest[size:size + 2] == b"\r\n"
+        rest = rest[size + 2:]
+    assert len(chunks) >= 2, "tokens must stream as separate chunks"
+    assert chunks[-1] == b"[stream_finished]"
+    assert all(c != b"" for c in chunks)
+    # the reference client loop: consume until the sentinel chunk, then break
+    consumed = []
+    for c in chunks:
+        if c.decode("utf-8") == "[stream_finished]":
+            break
+        consumed.append(c.decode("utf-8"))
+    assert "".join(consumed)  # real content preceded the sentinel

@@ -362,15 +362,24 @@ def test_no_duplicate_toplevel_defs_in_queries():
     exactly once, and every TEMPLATES entry binds a function whose name maps
     to that single definition site."""
     import ast
+    import glob
+    import os
     from collections import Counter
 
-    src = open(Q.__file__).read()
-    tree = ast.parse(src)
-    names = Counter(
-        n.name for n in tree.body if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
-    )
+    # post-split, the registry spans the family modules: a duplicate def
+    # WITHIN one module is the original shadowing hazard, and the same name
+    # defined in TWO modules shadows through the star-import chain — count
+    # across all queries*.py files
+    names: Counter = Counter()
+    qdir = os.path.dirname(Q.__file__)
+    for path in sorted(glob.glob(os.path.join(qdir, "queries*.py"))):
+        tree = ast.parse(open(path).read())
+        names.update(
+            n.name for n in tree.body if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        )
+    names.pop("__getattr__", None)  # the assembly module's delegation hook
     dupes = sorted(n for n, c in names.items() if c > 1)
-    assert not dupes, f"duplicate top-level defs in queries.py: {dupes}"
+    assert not dupes, f"duplicate top-level defs across queries modules: {dupes}"
     # every registered template's underlying function is a module-level def
     # (or a documented closure); its __name__ must not be multiply defined
     for key, fn in Q.TEMPLATES.items():
