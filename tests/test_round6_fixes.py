@@ -224,3 +224,31 @@ def test_ivf_search_batch_rejects_non_integral_qid(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="string or integral"):
         idx.search_batch(spark, path, bad, k=3)
+
+
+def test_no_positional_fraction_with_seed_kwarg_in_sample_calls():
+    """Repo-wide lint for the PySpark sample() footgun: a call like
+    df.sample(0.2, seed=3) routes the POSITIONAL float into withReplacement,
+    and the shim then reads the seed from the (absent) positional fraction
+    slot — silently IGNORING seed= and leaving the sample unseeded
+    (pyspark _preapare_args_for_sample, third branch). Every seeded sample
+    must pass fraction= by keyword."""
+    import ast
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "oaim_sandbox_spark")
+    offenders = []
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        tree = ast.parse(open(path).read())
+        for node in ast.walk(tree):
+            if not (isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "sample"):
+                continue
+            has_seed_kw = any(k.arg == "seed" for k in node.keywords)
+            has_frac_kw = any(k.arg == "fraction" for k in node.keywords)
+            if has_seed_kw and node.args and not has_frac_kw:
+                offenders.append(f"{os.path.relpath(path, root)}:{node.lineno}")
+    assert not offenders, (
+        f"sample() with positional fraction + seed kwarg (seed is IGNORED): {offenders}"
+    )
