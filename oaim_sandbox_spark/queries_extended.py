@@ -1758,3 +1758,155 @@ TEMPLATES["psi_value_drift"] = psi_value_drift
 TEMPLATES["bigram_logprob_quality"] = bigram_logprob_quality
 SPARK_OVERRIDES["repeated_span_stats"] = _repeated_span_spark
 
+
+# --- round 6: sparse lexical similarity + event co-movement ---------------
+
+TFIDF_NGRAM = 3          # word-shingle term unit (chars of context per term)
+TFIDF_MAX_DF_FRAC = 0.05  # max_df stop-shingle cutoff (sklearn max_df shape)
+TFIDF_PAIR_THRESHOLD = 0.06
+
+
+def _tfidf_w_sql(d: str) -> str:
+    """Standalone pruned tf-idf weight relation w(doc_id, t, df, w): word
+    3-gram terms hashed to int64, tf per (doc, term), idf = ln(N/df), terms
+    occurring in more than max(5, 5% of docs) documents dropped from the
+    vector space entirely (stop-shingle pruning — the df cutoff is what
+    bounds the postings self-join fan-out at scale)."""
+    ng = P.word_ngrams("text", TFIDF_NGRAM, d)
+    h = P.hash64("s", d)
+    if d == "spark":
+        toks = f"SELECT doc_id, explode(transform({ng}, s -> {h})) AS t FROM documents"
+    else:
+        toks = f"SELECT doc_id, unnest(list_transform({ng}, s -> {h})) AS t FROM documents"
+    return f"""
+WITH toks AS ({toks}),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY doc_id, t),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t)
+SELECT tf.doc_id AS doc_id, tf.t AS t, df.df AS df,
+       tf.tf * ln(n.n_docs / df.df) AS w
+FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
+WHERE df.df <= greatest(5.0, n.n_docs * {TFIDF_MAX_DF_FRAC})
+"""
+
+
+def _tfidf_final_sql(d: str, rel: str = "w") -> str:
+    """Norms + postings self-join cosine over the weight relation `rel`.
+    The df > 1 guard (one side suffices — the equi-join fixes the term, so
+    both sides share df) keeps singleton terms out of the join entirely:
+    they cannot co-occur, but they DO count toward the norms, so a document
+    full of unique shingles scores low against everything — the correct
+    tf-idf semantics."""
+    return f"""
+WITH norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM {rel} GROUP BY doc_id),
+dp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dp
+  FROM {rel} a JOIN {rel} b ON a.t = b.t AND a.doc_id < b.doc_id
+  WHERE a.df > 1
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(dp.doc_a AS BIGINT) AS doc_a, CAST(dp.doc_b AS BIGINT) AS doc_b,
+       CAST(round(dp.dp / (na.nrm * nb.nrm), 6) AS DOUBLE) AS tfidf_cosine
+FROM dp JOIN norms na ON na.doc_id = dp.doc_a JOIN norms nb ON nb.doc_id = dp.doc_b
+WHERE round(dp.dp / (na.nrm * nb.nrm), 6) >= {TFIDF_PAIR_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def tfidf_cosine_pairs(d: str) -> str:
+    """Sparse TF-IDF cosine document-pair similarity — the weighted-lexical
+    near-dup signal sitting between set-overlap (`ngram_jaccard_pairs`) and
+    dense-embedding cosine (`embedding_cosine_pairs`): shared RARE shingles
+    dominate the score, boilerplate shingles are pruned outright. The
+    classic MapReduce pairwise-similarity shape (Elsayed, Lin & Oard, ACL
+    2008): postings self-join on term, partial-aggregated dot products,
+    norms joined in last. Scale levers, in order: the max_df cutoff bounds
+    per-term fan-out (a term with df docs contributes df^2 candidate
+    products — with df capped the join is sum-of-squares-bounded, never
+    corpus^2); singleton terms skip the join; only (doc_id, t, w) triples
+    shuffle, text never does; DIMSUM-style sampling (Zadeh & Carlsson,
+    2013) is the documented next lever if the df histogram still explodes.
+    Reference anchor: the sandbox exposes no lexical pair-similarity op (its
+    similarity surface is vector-only, chatbot.py retrieval); this is
+    beyond-reference capability for corpus curation."""
+    w_sql = _tfidf_w_sql(d).strip()
+    final = _tfidf_final_sql(d).lstrip()
+    assert final.startswith("WITH ")
+    # nested WITH inside the w CTE body — valid on both engines
+    return f"WITH w AS ({w_sql}),\n{final[len('WITH '):]}"
+
+
+def _tfidf_cosine_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for tfidf_cosine_pairs: the weight relation feeds the
+    norms agg plus BOTH sides of the postings self-join — materialize it
+    once (localCheckpoint) so the tokenize+tf+df pipeline runs one time,
+    not three. DuckDB materializes the multiply-referenced CTE on its own;
+    Spark inlines CTEs, so the materialization is our job (same pattern as
+    _ngram_jaccard_spark)."""
+    register_views(spark, sf_dir, tables=("documents",))
+    name = _materialized_view(spark, _tfidf_w_sql("spark"), "tfidfw")
+    return _sql_dropping(spark, _tfidf_final_sql("spark", name), name)
+
+
+def _event_corr_h_sql(d: str) -> str:
+    """Standalone (hour, type, count) pre-aggregation — the ONLY corpus
+    scan in event_corr_matrix."""
+    hr = _idiv(_ts_us(d), "3600000000", d)
+    return (
+        f"SELECT {hr} AS hr, event_type, CAST(COUNT(*) AS BIGINT) AS cnt "
+        f"FROM events GROUP BY {hr}, event_type"
+    )
+
+
+def _event_corr_final_sql(rel: str = "h") -> str:
+    """Densify + pairwise corr over the pre-aggregated relation `rel`
+    (dialect-free: plain ANSI over dim-sized inputs)."""
+    return f"""
+WITH hours AS (SELECT DISTINCT hr FROM {rel}),
+types AS (SELECT DISTINCT event_type FROM {rel}),
+dense AS (
+  SELECT hours.hr AS hr, types.event_type AS event_type, COALESCE({rel}.cnt, 0) AS cnt
+  FROM hours CROSS JOIN types
+  LEFT JOIN {rel} ON {rel}.hr = hours.hr AND {rel}.event_type = types.event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(round(corr(a.cnt, b.cnt), 6) + 0.0 AS DOUBLE) AS hourly_corr
+FROM dense a JOIN dense b ON a.hr = b.hr AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+ORDER BY type_a, type_b
+"""
+
+
+def _event_corr_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for event_corr_matrix: the (hour, type, count) pre-agg
+    feeds hours, types, the densify LEFT join AND both self-join sides —
+    Spark inlines CTEs, so without materialization the events scan-agg
+    runs four times. Materialize it once (it is dim-sized: hours x types);
+    everything downstream broadcasts."""
+    register_views(spark, sf_dir, tables=("events",))
+    name = _materialized_view(spark, _event_corr_h_sql("spark"), "evcorr")
+    return _sql_dropping(spark, _event_corr_final_sql(name), name)
+
+
+def event_corr_matrix(d: str) -> str:
+    """Pairwise Pearson correlation of hourly event-type volumes — "which
+    event streams co-move" (the observability/seasonality companion to
+    `events_hourly_windows` and `dow_seasonality`). Missing (hour, type)
+    cells are densified to zero before correlating: without densification a
+    type that is absent in quiet hours would correlate on its busy hours
+    only — a selection bias. Shape: ONE corpus scan pre-aggregates to
+    (hour, type, count) with map-side partials; everything after (hour dim
+    x type dim cross join, K^2/2 pair self-join, corr) runs on dim-sized
+    relations, so at 100 TB the cost is the scan-agg. Pearson is computed
+    by corr() on both engines — the pop/samp normalization cancels in the
+    ratio, so the definitions agree exactly."""
+    final = _event_corr_final_sql().lstrip()
+    assert final.startswith("WITH ")
+    return f"WITH h AS ({_event_corr_h_sql(d)}),\n{final[len('WITH '):]}"
+
+
+TEMPLATES["tfidf_cosine_pairs"] = tfidf_cosine_pairs
+TEMPLATES["event_corr_matrix"] = event_corr_matrix
+SPARK_OVERRIDES["tfidf_cosine_pairs"] = _tfidf_cosine_spark
+SPARK_OVERRIDES["event_corr_matrix"] = _event_corr_spark
