@@ -384,3 +384,65 @@ def test_no_duplicate_toplevel_defs_in_queries():
     # (or a documented closure); its __name__ must not be multiply defined
     for key, fn in Q.TEMPLATES.items():
         assert names.get(fn.__name__, 0) <= 1, (key, fn.__name__)
+
+
+def test_tfidf_cosine_planted_pair_and_maxdf_pruning(spark):
+    """tfidf_cosine_pairs semantics on a crafted corpus, both engines:
+    (1) an identical doc pair scores exactly 1.0; (2) a doc sharing nothing
+    beyond singleton trigrams produces NO pair row (singletons stay in the
+    norms but cannot join); (3) a boilerplate phrase present in EVERY doc is
+    max_df-pruned, so boilerplate alone never links a pair."""
+    boiler = "the same old footer text appears here"
+    fill = [f"unique{w} filler{w} token{w} word{w} extra{w}" for w in range(24)]
+    rows = [(i, f"{fill[i]} {boiler}") for i in range(24)]
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta theta"))
+    try:
+        spark.createDataFrame(rows, "doc_id BIGINT, text STRING") \
+            .createOrReplaceTempView("documents")
+        got = spark.sql(Q.TEMPLATES["tfidf_cosine_pairs"]("spark")).collect()
+        pairs = {(r["doc_a"], r["doc_b"]): r["tfidf_cosine"] for r in got}
+        # identical pair present at exactly 1.0
+        assert pairs.get((100, 101)) == 1.0
+        # boilerplate trigrams have df=24 > max(5, 0.05*26): pruned, so the
+        # filler docs share NOTHING in the vector space — no other pair
+        assert set(pairs) == {(100, 101)}, pairs
+
+        duck = duckdb.connect()
+        duck.sql("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        duck.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        oracle = {(r[0], r[1]): r[2] for r in
+                  duck.sql(Q.TEMPLATES["tfidf_cosine_pairs"]("duck")).fetchall()}
+        assert oracle == pairs
+    finally:
+        spark.catalog.dropTempView("documents")
+        if Q._VIEWS_STATE is not None:
+            Q._VIEWS_STATE.pop(spark, None)
+
+
+def test_event_corr_matrix_perfect_and_anti_correlation(spark):
+    """event_corr_matrix on a crafted stream: type b's hourly volume equals
+    type a's (corr exactly 1.0), type c's runs opposite (corr -1.0), and
+    densification counts every hour for every pair even though type c is
+    absent from hour 0 entirely (cnt densified to 0, not dropped)."""
+    rows = []
+    eid = 0
+    for hr in range(6):
+        for _ in range(hr + 1):          # a: 1,2,3,4,5,6
+            rows.append((eid, hr * 3_600_000_000, "a")); eid += 1
+            rows.append((eid, hr * 3_600_000_000, "b")); eid += 1
+        for _ in range(5 - hr):          # c: 5,4,3,2,1,0 — absent in hr 5
+            rows.append((eid, hr * 3_600_000_000, "c")); eid += 1
+    try:
+        spark.createDataFrame(rows, "event_id BIGINT, ts_us BIGINT, event_type STRING") \
+            .createOrReplaceTempView("events")
+        got = spark.sql(Q.TEMPLATES["event_corr_matrix"]("spark")).collect()
+        m = {(r["type_a"], r["type_b"]): (r["n_hours"], r["hourly_corr"]) for r in got}
+        assert m[("a", "b")] == (6, 1.0)
+        assert m[("a", "c")] == (6, -1.0)
+        assert m[("b", "c")] == (6, -1.0)
+        assert set(m) == {("a", "b"), ("a", "c"), ("b", "c")}
+    finally:
+        spark.catalog.dropTempView("events")
+        if Q._VIEWS_STATE is not None:
+            Q._VIEWS_STATE.pop(spark, None)
