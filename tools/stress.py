@@ -16,6 +16,7 @@ Usage:
     python tools/stress.py classifier [n_docs=200000]
     python tools/stress.py spans     [n_docs=100000]
     python tools/stress.py colbert   [n_docs=50000]
+    python tools/stress.py tfidf     [n_docs=50000]
 """
 
 from __future__ import annotations
@@ -459,6 +460,31 @@ def stress_binaryquant(n_vecs: int = 1_000_000, n_queries: int = 16) -> dict:
     }
 
 
+def stress_tfidf(n_docs: int = 50_000) -> dict:
+    """tfidf_cosine_pairs worst case: sf0.1 resampled to n_docs is EXTREME
+    duplication (every replica shares every trigram), so each term's df
+    multiplies by the replication factor and the postings self-join cost
+    (sum of df^2) grows by its square — at 50k docs (10x) that is ~100x the
+    sf0.1 join volume, all flowing through one partial-aggregated hash
+    join. Records the pair-output size too: the replicas themselves are the
+    true near-dup pairs the query exists to find. Past this shape the
+    documented lever is DIMSUM sampling, not a bigger cluster."""
+    from oaim_sandbox_spark.queries_core import _materialized_view, _sql_dropping
+    from oaim_sandbox_spark.queries_extended import _tfidf_final_sql, _tfidf_w_sql
+
+    spark = _spark("stress-tfidf")
+    big = _resampled_docs(spark, n_docs)
+    n = big.count()
+    big.createOrReplaceTempView("documents")
+    t0 = time.time()
+    name = _materialized_view(spark, _tfidf_w_sql("spark"), "tfidfw")
+    out = _sql_dropping(spark, _tfidf_final_sql("spark", name), name)
+    n_pairs = out.count()
+    wall = round(time.time() - t0, 1)
+    spark.catalog.dropTempView("documents")
+    return {"probe": "tfidf", "n_docs": n, "n_pairs": n_pairs, "wall_s": wall}
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "minhash"
     arg = int(sys.argv[2]) if len(sys.argv) > 2 else None
@@ -476,6 +502,7 @@ def main() -> None:
         "ntile": stress_ntile,
         "curriculum": stress_curriculum_approx,
         "binaryquant": stress_binaryquant,
+        "tfidf": stress_tfidf,
     }
     if cmd not in fns:
         raise SystemExit(f"unknown stress {cmd!r}; one of {sorted(fns)}")
