@@ -114,6 +114,15 @@ def classifier_train(spark, sf_dir: str) -> int:
     return int(round((model.loss_history[0] - model.loss_history[-1]) * 10_000))
 
 
+def topk_sets(df) -> dict[int, set]:
+    """(query_id -> neighbor-id set) from a top-k result frame — shared by
+    the exact-baseline prep and every recall tier."""
+    out: dict[int, set] = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
 def _prepare_recall(spark, sf_dir: str, flavor: str, k: int, n_queries: int):
     """Store + query batch + the two exact k-NN baselines for one recall
     generator flavor — the per-block setup work, factored out so
@@ -202,12 +211,6 @@ def _prepare_recall(spark, sf_dir: str, flavor: str, k: int, n_queries: int):
     qids = {qid for qid, _ in queries}
     qdf = spark.createDataFrame(queries, "query_id BIGINT, query_vec ARRAY<DOUBLE>")
     store = emb.filter(~F.col("vec_id").isin(sorted(qids))).localCheckpoint()
-
-    def topk_sets(df) -> dict[int, set]:
-        out: dict[int, set] = {}
-        for r in df.collect():
-            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-        return out
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_cos = pool.submit(lambda: topk_sets(knn_join(store, qdf, k=k)))
@@ -317,12 +320,6 @@ def ann_recall(
     if _prepared is None:
         _prepared = _prepare_recall(spark, sf_dir, flavor, k, n_queries)
     store, queries, qdf, exact_cos, exact_l2 = _prepared
-
-    def topk_sets(df) -> dict[int, set]:
-        out: dict[int, set] = {}
-        for r in df.collect():
-            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-        return out
 
     def rec(approx: dict[int, set], base: dict[int, set]) -> float:
         vals = [len(approx.get(q, set()) & base[q]) / k for q in base]
@@ -532,6 +529,21 @@ def ann_recall_all(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[
         "recall_adversarial": ("adversarial", ADVERSARIAL_TIERS),
         "recall_realistic": ("realistic", REALISTIC_TIERS),
     }
+    def run_block(name: str, flavor: str, tiers) -> dict[str, float]:
+        # per-block failure domain (the pre-harness layout had one
+        # try/except per block): a prepare/tier error in one flavor must
+        # report that block empty, not discard the other two blocks' numbers
+        try:
+            prep = prepared[name].result()
+            return ann_recall(
+                spark, sf_dir, k, n_queries,
+                tier_names=tiers, flavor=flavor, _prepared=prep,
+            )
+        except Exception as e:  # noqa: BLE001 — bench must keep reporting
+            print(f"# RECALL BLOCK ERROR {name}: {str(e).splitlines()[0][:200]}",
+                  file=sys.stderr)
+            return {}
+
     with ThreadPoolExecutor(max_workers=len(blocks)) as prep_pool:
         prepared = {
             name: prep_pool.submit(_prepare_recall, spark, sf_dir, flavor, k, n_queries)
@@ -539,10 +551,7 @@ def ann_recall_all(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[
         }
         with ThreadPoolExecutor(max_workers=len(blocks)) as run_pool:
             futs = {
-                name: run_pool.submit(
-                    ann_recall, spark, sf_dir, k, n_queries,
-                    tier_names=tiers, flavor=flavor, _prepared=prepared[name].result(),
-                )
+                name: run_pool.submit(run_block, name, flavor, tiers)
                 for name, (flavor, tiers) in blocks.items()
             }
             return {name: fut.result() for name, fut in futs.items()}

@@ -1,7 +1,8 @@
 """Oracle-checked query registry — the driver contract surface (assembly).
 
-The 164-template registry grew past 6,400 lines in one module (VERDICT r5
-task 5); it now lives in family modules, imported here IN ORDER so the
+The template registry (163 entries at split time, 165 now) grew past
+6,400 lines in one module (VERDICT r5 task 5); it now lives in family
+modules, imported here IN ORDER so the
 TEMPLATES insertion order — and therefore the driver's certification-window
 order — is byte-identical to the single-module layout:
 

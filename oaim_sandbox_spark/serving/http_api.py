@@ -169,6 +169,12 @@ class _BadBody(Exception):
     bodies on object routes; mapped to 422 centrally in _route."""
 
 
+class _TooLarge(Exception):
+    """Raised by _body/_raw_upload when Content-Length exceeds the upload
+    cap, BEFORE reading the socket; mapped to 413 centrally in _route
+    (with close_connection set — the unread body would poison keep-alive)."""
+
+
 class DbException(Exception):
     """Mirrors server/databases.py DbException (status_code + detail)."""
 
@@ -360,7 +366,14 @@ class _ApiHandler(BaseHTTPRequestHandler):
         return self.rfile.read(n) if n else b""
 
     def _body(self):
+        # same pre-read cap as _raw_upload: the memory-DoS a 2 GB
+        # Content-Length poses is route-independent, so the guard lives in
+        # the shared body-read path, not only on the multipart routes
         n = int(self.headers.get("Content-Length") or 0)
+        if n > self.server_ctx.max_upload_bytes:
+            raise _TooLarge(
+                f"request body exceeds the {self.server_ctx.max_upload_bytes}-byte limit"
+            )
         raw = self.rfile.read(n) if n else b""
         if not raw:
             return {}
@@ -415,6 +428,9 @@ class _ApiHandler(BaseHTTPRequestHandler):
             return self._json(409, {"detail": str(ex)})
         except _BadBody as ex:
             return self._json(422, {"detail": str(ex)})
+        except _TooLarge as ex:
+            self.close_connection = True
+            return self._json(413, {"detail": str(ex)})
         except KeyError as ex:
             return self._json(404, {"detail": str(ex)})
 

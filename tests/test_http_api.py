@@ -983,6 +983,28 @@ def test_multipart_upload_over_cap_is_413():
         srv.stop()
 
 
+def test_json_route_over_cap_is_413():
+    """Round-6 review: the upload cap is route-independent — an oversized
+    Content-Length on a plain JSON route must 413 from the shared body-read
+    path before buffering, exactly like the multipart routes (a 2 GB JSON
+    body would otherwise buffer into driver memory)."""
+    pipeline = ChatPipeline(store=None, embed_query=None, llm=MockLLM(),
+                            settings=RagSettings(rag_enabled=False))
+    srv = ApiServer(pipeline, api_key=KEY, max_upload_bytes=1024).start()
+    try:
+        status, body = req(
+            srv, "POST", "/v1/models",
+            body={"name": "m", "provider": "mock", "notes": "x" * 4096},
+        )
+        assert status == 413
+        assert "limit" in body["detail"]
+        # an under-cap JSON request on a fresh connection still routes
+        status, body = req(srv, "GET", "/v1/models")
+        assert status == 200
+    finally:
+        srv.stop()
+
+
 def test_chat_stream_wire_framing_reference_client(server):
     """Wire-level parity for /v1/chat/streams (VERDICT r5 stretch 7): the
     reference streams a StreamingResponse of utf-8 token chunks terminated
