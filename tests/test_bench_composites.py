@@ -26,3 +26,22 @@ def test_testbed_eval_scaled_correctness(spark):
 def test_classifier_train_improves_loss(spark):
     v = bench.classifier_train(spark, SF)
     assert v > 0  # loss must DROP (units: 1e-4 nats)
+
+
+def test_recall_block_failure_is_isolated(spark, monkeypatch):
+    """Round-6 review: one recall flavor failing (here: its store prep
+    raising) must report that block as empty and leave the other blocks'
+    numbers intact — the shared harness must not collapse all three blocks
+    into one failure domain."""
+    real_prepare = bench._prepare_recall
+
+    def exploding(spark_, sf_dir, flavor, k, n_queries):
+        if flavor == "realistic":
+            raise RuntimeError("injected prep failure")
+        return real_prepare(spark_, sf_dir, flavor, k, n_queries)
+
+    monkeypatch.setattr(bench, "_prepare_recall", exploding)
+    out = bench.ann_recall_all(spark, "/root/testdata/sf0.001")
+    assert out["recall_realistic"] == {}
+    assert out["recall"] and out["recall_adversarial"]
+    assert all(0.0 <= v <= 1.0 for v in out["recall"].values())
