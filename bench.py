@@ -377,15 +377,31 @@ def ann_recall(
         # within-cluster order (the standard IVFPQ funnel contract). Under
         # the adversarial 10x skew the home cluster outgrows 150 (measured
         # 0.88) and recovers at fetch_k=400 — the fetch400 tier.
-        def one(qv) -> set:
-            return {
-                r["vec_id"]
-                for r in pq.search(codes, qv, k=k, fetch_k=fetch_k, exact_df=store).collect()
-            }
-
-        with ThreadPoolExecutor(max_workers=len(queries)) as p:
-            futs = {qid: p.submit(one, qv) for qid, qv in queries}
-            pq_sets = {qid: f.result() for qid, f in futs.items()}
+        # ONE batched ADC scan answers the whole query batch (the per-query
+        # loop was n_queries jobs, each re-analyzing a plan carrying the
+        # m*k LUT literal; search_batch ships the LUTs as broadcast DATA,
+        # so the plan is small and the codes store streams once). The
+        # per-query tie-breaks (adc asc/id asc for the fetch, l2 asc/id asc
+        # for the re-rank top-k) match PQIndex.search exactly, so recall is
+        # identical to the per-query path.
+        cand = pq.search_batch(codes, qdf, k=fetch_k).select(
+            "query_id", F.col("vec_id").alias("neighbor_id")
+        )
+        dl2 = distance_expr(
+            "embedding", P.to_double_array("query_vec", "spark"), "EUCLIDEAN_DISTANCE"
+        )
+        rr = (
+            F.broadcast(cand)
+            .join(store.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id")
+            .join(F.broadcast(qdf), "query_id")
+            .withColumn("distance", F.expr(f"round({dl2}, 6)"))
+        )
+        wl2 = Window.partitionBy("query_id").orderBy(
+            F.col("distance").asc(), F.col("neighbor_id").asc()
+        )
+        pq_sets = topk_sets(
+            rr.withColumn("rank", F.row_number().over(wl2)).filter(F.col("rank") <= k)
+        )
         return rec(pq_sets, exact_l2)
 
     def tier_int8() -> float:
