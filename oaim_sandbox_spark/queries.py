@@ -89,13 +89,14 @@ def _make_spark_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # and the LLM-data-pipeline operators — the newest and highest-value entries —
 # followed by everything else in definition order.
 FLAGSHIP_FIRST: tuple[str, ...] = (
-    # --- ROUND-6 WINDOW: the two NEW oracle entries (must certify
+    # --- ROUND-6 WINDOW: the three NEW oracle entries (must certify
     # first-time), then rotation by staleness. Full r1-r5 union coverage
     # holds, so recency is the rest of the signal: the 19 entries whose
     # last driver check was round 2, then the oldest round-3 entries
-    # (staleness order from tools/window_rotation.py). The two new entries
-    # displace the 2 youngest round-3 candidates (streaming_pii_scrub,
-    # pii_redaction_stats) to the round-7 rotation.
+    # (staleness order from tools/window_rotation.py). The three new
+    # entries displace the 3 youngest round-3 candidates
+    # (streaming_hourly_counts, streaming_pii_scrub, pii_redaction_stats)
+    # to the round-7 rotation.
     # transformWithState twin: registered only where protobuf exists, and
     # never yet driver-checkable — keep it in the prefix so it certifies
     # the first time it can; in protobuf-less envs it is filtered out and
@@ -103,6 +104,7 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "streaming_user_stats_tws",
     # --- NEW this round (beyond-reference lexical similarity + co-movement):
     "tfidf_cosine_pairs",
+    "tfidf_cosine_sampled",
     "event_corr_matrix",
     # --- last driver check: round 2 (19 entries, staleness order):
     "mlm_masking",
@@ -153,9 +155,10 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "rerank_crossencoder_topk",
     "shingle_containment_decontam",
     "inverted_index_postings",
+    # streaming_hourly_counts + streaming_pii_scrub + pii_redaction_stats:
+    # displaced past the 50-slot window by the three new entries above;
+    # first in the r7 rotation.
     "streaming_hourly_counts",
-    # streaming_pii_scrub + pii_redaction_stats: displaced past the 50-slot
-    # window by the two new entries above; first in the r7 rotation.
     "streaming_pii_scrub",
     "pii_redaction_stats",
 )

@@ -1910,3 +1910,92 @@ TEMPLATES["tfidf_cosine_pairs"] = tfidf_cosine_pairs
 TEMPLATES["event_corr_matrix"] = event_corr_matrix
 SPARK_OVERRIDES["tfidf_cosine_pairs"] = _tfidf_cosine_spark
 SPARK_OVERRIDES["event_corr_matrix"] = _event_corr_spark
+
+
+TFIDF_SAMPLE_C = 3  # expected postings kept per term: p_t = min(1, C/df_t)
+# C=3 subsamples every term with df>3, so the audit exercises REAL
+# estimation error on the test corpora (C=8 exceeded the sf0.001 df tail
+# and made the audit trivially exact). At production df histograms the
+# operating C trades recall for join volume; the audit is how you pick it.
+
+
+def _tfidf_sampled_sql(d: str, rel: str = "w") -> str:
+    """DIMSUM-flavored sampled-similarity audit over the weight relation
+    `rel`: term-level sampling with p_t = min(1, C/df_t) decided by an
+    integer hash of the term (u_t and p_t both derive from exact integers,
+    so the KEPT-TERM SET is bit-identical on both engines — per-posting
+    float-threshold sampling would not be), importance-corrected dot
+    products (each surviving term's contribution scales by 1/p_t), exact
+    norms. The sampled join's expected cost is sum(min(df, C*df)) ~ C *
+    n_terms — LINEAR where the exact join's sum(df^2) is quadratic in the
+    df histogram's tail. The audit joins the estimate against the exact
+    pairs and rolls up per exact-cosine decile: pair count, mean exact vs
+    mean estimate, MAE, and coverage (the fraction of true pairs the
+    sampled join surfaced at all; a missed pair estimates 0). Production
+    runs the est branch alone; this entry certifies the estimator."""
+    u = f"(({P.hash64(_str('a.t', d), d)} % 1000000) / 1000000.0)"
+    p = f"least(1.0, {TFIDF_SAMPLE_C}.0 / a.df)"
+    return f"""
+WITH wj AS (SELECT doc_id, t, df, w FROM {rel} WHERE df > 1),
+norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM {rel} GROUP BY doc_id),
+samp AS (
+  SELECT a.doc_id AS doc_id, a.t AS t, a.w AS w, {p} AS p
+  FROM wj a WHERE {u} < {p}
+),
+est AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w / a.p) AS est_dot
+  FROM samp a JOIN samp b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+  FROM wj a JOIN wj b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT exact.doc_a, exact.doc_b,
+         round(exact.dot / (na.nrm * nb.nrm), 6) AS exact_cos,
+         COALESCE(est.est_dot, 0.0) / (na.nrm * nb.nrm) AS est_cos
+  FROM exact
+  LEFT JOIN est ON est.doc_a = exact.doc_a AND est.doc_b = exact.doc_b
+  JOIN norms na ON na.doc_id = exact.doc_a
+  JOIN norms nb ON nb.doc_id = exact.doc_b
+  WHERE round(exact.dot / (na.nrm * nb.nrm), 6) >= {TFIDF_PAIR_THRESHOLD}
+)
+SELECT CAST(least(9, CAST(floor(exact_cos * 10) AS INT)) AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(round(AVG(exact_cos), 6) AS DOUBLE) AS mean_exact,
+       CAST(round(AVG(est_cos), 6) AS DOUBLE) AS mean_est,
+       CAST(round(AVG(abs(est_cos - exact_cos)), 6) AS DOUBLE) AS mae,
+       CAST(round(AVG(CASE WHEN est_cos > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6)
+            AS DOUBLE) AS coverage
+FROM pairs
+GROUP BY least(9, CAST(floor(exact_cos * 10) AS INT))
+ORDER BY bucket
+"""
+
+
+def tfidf_cosine_sampled(d: str) -> str:
+    """Sampled sparse-similarity estimator audit (the DIMSUM lever the
+    tfidf_cosine_pairs docstring points at, shipped: Zadeh & Carlsson 2013
+    sample dot-product terms with probability tied to magnitude and correct
+    by 1/p; here the unit is a TERM and p_t = min(1, C/df_t) comes from the
+    integer df so the sample is engine-deterministic). See
+    _tfidf_sampled_sql for the estimator and audit contract."""
+    w_sql = _tfidf_w_sql(d).strip()
+    final = _tfidf_sampled_sql(d).lstrip()
+    assert final.startswith("WITH ")
+    return f"WITH w AS ({w_sql}),\n{final[len('WITH '):]}"
+
+
+def _tfidf_sampled_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the weight relation once — it feeds the
+    norms agg, both exact join sides, and (through samp) both sampled join
+    sides; inlined CTEs would re-run tokenize+tf+df five times."""
+    register_views(spark, sf_dir, tables=("documents",))
+    name = _materialized_view(spark, _tfidf_w_sql("spark"), "tfidfsw")
+    return _sql_dropping(spark, _tfidf_sampled_sql("spark", name), name)
+
+
+TEMPLATES["tfidf_cosine_sampled"] = tfidf_cosine_sampled
+SPARK_OVERRIDES["tfidf_cosine_sampled"] = _tfidf_sampled_spark
