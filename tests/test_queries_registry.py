@@ -446,3 +446,38 @@ def test_event_corr_matrix_perfect_and_anti_correlation(spark):
         spark.catalog.dropTempView("events")
         if Q._VIEWS_STATE is not None:
             Q._VIEWS_STATE.pop(spark, None)
+
+
+def test_tfidf_sampled_exact_when_df_under_c(spark):
+    """tfidf_cosine_sampled: every term with df <= C survives sampling with
+    p = 1, so on a corpus whose max df <= C the estimator IS the exact
+    computation — mae 0 and coverage 1 in every bucket, on both engines.
+    (The sf corpora have df tails beyond C, where the audit shows real
+    error; this pins the degenerate-exact contract.)"""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "iota kappa lam mu nu xi omicron pi rho sigma"),
+        (4, "iota kappa lam mu nu xi omicron pi tau upsilon"),
+    ]
+    try:
+        spark.createDataFrame(rows, "doc_id BIGINT, text STRING") \
+            .createOrReplaceTempView("documents")
+        got = spark.sql(Q.TEMPLATES["tfidf_cosine_sampled"]("spark")).collect()
+        assert got, "expected at least the identical pair's bucket"
+        for r in got:
+            assert r["mae"] == 0.0 and r["coverage"] == 1.0
+            assert r["mean_est"] == r["mean_exact"]
+
+        duck = duckdb.connect()
+        duck.sql("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        duck.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        oracle = duck.sql(Q.TEMPLATES["tfidf_cosine_sampled"]("duck")).fetchall()
+        assert sorted(tuple(r) for r in oracle) == sorted(
+            (r["bucket"], r["n_pairs"], r["mean_exact"], r["mean_est"], r["mae"], r["coverage"])
+            for r in got
+        )
+    finally:
+        spark.catalog.dropTempView("documents")
+        if Q._VIEWS_STATE is not None:
+            Q._VIEWS_STATE.pop(spark, None)
