@@ -1,6 +1,6 @@
 """Oracle-checked query registry — the driver contract surface (assembly).
 
-The template registry (163 entries at split time, 165 now) grew past
+The template registry (163 entries at split time, 166 now) grew past
 6,400 lines in one module (VERDICT r5 task 5); it now lives in family
 modules, imported here IN ORDER so the
 TEMPLATES insertion order — and therefore the driver's certification-window
