@@ -23,6 +23,13 @@ from oaim_sandbox_spark import queries as Q
 from oaim_sandbox_spark.session import get_spark
 
 
+def _errline(e: BaseException) -> str:
+    """First line of an exception message, safe for empty messages (a bare
+    AssertionError's str() is '' — splitlines()[0] would raise IndexError
+    inside the except handler and take down the whole reporting loop)."""
+    return (str(e).splitlines() or [""])[0][:200]
+
+
 def _read_docs(spark, sf_dir: str):
     """documents scan, spread to cluster parallelism: the one-file/
     one-row-group testdata parquet arrives single-partition (real multi-
@@ -556,7 +563,7 @@ def ann_recall_all(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[
                 tier_names=tiers, flavor=flavor, _prepared=prep,
             )
         except Exception as e:  # noqa: BLE001 — bench must keep reporting
-            print(f"# RECALL BLOCK ERROR {name}: {str(e).splitlines()[0][:200]}",
+            print(f"# RECALL BLOCK ERROR {name}: {_errline(e)}",
                   file=sys.stderr)
             return {}
 
@@ -637,7 +644,7 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = len(df.collect())
         except Exception as e:  # a failed query must not zero the whole bench
-            print(f"# BENCH ERROR {name}: {str(e).splitlines()[0][:200]}", file=sys.stderr)
+            print(f"# BENCH ERROR {name}: {_errline(e)}", file=sys.stderr)
             continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
@@ -673,7 +680,7 @@ def main() -> None:
             timings[comp_name] = round(time.time() - t0, 3)
             print(f"# {comp_name}: {timings[comp_name]}s ({n})", file=sys.stderr)
         except Exception as e:
-            print(f"# BENCH ERROR {comp_name}: {str(e).splitlines()[0][:200]}", file=sys.stderr)
+            print(f"# BENCH ERROR {comp_name}: {_errline(e)}", file=sys.stderr)
 
     # all three recall blocks (planted + adversarial skew + realistic
     # hashed-BoW-over-documents) through the shared harness: stores/baselines
@@ -696,7 +703,7 @@ def main() -> None:
                 print(f"# ann_recall_combined: retry {retry}s (kept min)", file=sys.stderr)
                 timings["ann_recall_combined"] = retry
     except Exception as e:
-        print(f"# BENCH ERROR ann_recall_combined: {str(e).splitlines()[0][:200]}", file=sys.stderr)
+        print(f"# BENCH ERROR ann_recall_combined: {_errline(e)}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     full = {

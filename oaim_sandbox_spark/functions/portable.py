@@ -34,13 +34,23 @@ def hash_mod(e: str, dialect: str) -> str:
     return f"({hash64(e, dialect)} % {MOD})"
 
 
+def hash_unit(e: str, dialect: str) -> str:
+    """Portable hash of a string expression mapped to the [0, 1) grid in
+    millionth steps — THE deterministic-sampling primitive (hash64 is
+    non-negative 60-bit, so no negative-modulo bias). Sites that need a
+    different interval shape ((0,1] via +1/1000001, centered via +0.5)
+    intentionally keep their own expressions: changing any certified
+    template's grid would change its sample."""
+    return f"(({hash64(e, dialect)} % 1000000) / 1000000.0)"
+
+
 def mock_rerank_score(query: str, text: str, dialect: str) -> str:
     """Deterministic stand-in for a cross-encoder relevance model: a portable
     hash of (query ⊕ text) mapped into [0, 1). Keeps the two-stage
     retrieve-then-rerank plumbing fully oracle-checkable — swap in a provider
     rerank client (serving/providers.py) for real scores."""
     pair = f"concat({query}, chr(31), {text})"
-    return f"(({hash64(pair, dialect)} % 1000000) / 1000000.0)"
+    return hash_unit(pair, dialect)
 
 
 def to_double_array(e: str, dialect: str) -> str:

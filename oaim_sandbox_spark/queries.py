@@ -93,10 +93,12 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     # first-time), then rotation by staleness. Full r1-r5 union coverage
     # holds, so recency is the rest of the signal: the 19 entries whose
     # last driver check was round 2, then the oldest round-3 entries
-    # (staleness order from tools/window_rotation.py). The three new
-    # entries displace the 3 youngest round-3 candidates
-    # (streaming_hourly_counts, streaming_pii_scrub, pii_redaction_stats)
-    # to the round-7 rotation.
+    # (staleness order from tools/window_rotation.py). In THIS driver
+    # environment (protobuf-less, tws filtered out) the three new entries
+    # displace the 3 youngest round-3 candidates (streaming_hourly_counts,
+    # streaming_pii_scrub, pii_redaction_stats) to the round-7 rotation;
+    # if protobuf were present, tws would occupy a slot and
+    # inverted_index_postings would be the fourth displacement.
     # transformWithState twin: registered only where protobuf exists, and
     # never yet driver-checkable — keep it in the prefix so it certifies
     # the first time it can; in protobuf-less envs it is filtered out and

@@ -1933,7 +1933,7 @@ def _tfidf_sampled_sql(d: str, rel: str = "w") -> str:
     mean estimate, MAE, and coverage (the fraction of true pairs the
     sampled join surfaced at all; a missed pair estimates 0). Production
     runs the est branch alone; this entry certifies the estimator."""
-    u = f"(({P.hash64(_str('a.t', d), d)} % 1000000) / 1000000.0)"
+    u = P.hash_unit(_str("a.t", d), d)
     p = f"least(1.0, {TFIDF_SAMPLE_C}.0 / a.df)"
     return f"""
 WITH wj AS (SELECT doc_id, t, df, w FROM {rel} WHERE df > 1),

@@ -350,19 +350,16 @@ class _ApiHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def _raw_upload(self) -> bytes | None:
+    def _raw_upload(self) -> bytes:
         """Body bytes for the multipart upload routes, bounded BEFORE the
         read: the reference stack caps uploads, and an unchecked
         Content-Length would let one oversized (authorized) request buffer
-        arbitrary bytes into server memory. Over-cap -> 413 and None."""
+        arbitrary bytes into server memory. Over-cap raises _TooLarge ->
+        413 centrally in _route (one cap contract shared with _body)."""
         n = int(self.headers.get("Content-Length") or 0)
         cap = self.server_ctx.max_upload_bytes
         if n > cap:
-            # the unread body still sits on the socket; keep-alive would
-            # parse it as the next request line, so close after replying
-            self.close_connection = True
-            self._json(413, {"detail": f"upload exceeds the {cap}-byte limit"})
-            return None
+            raise _TooLarge(f"upload exceeds the {cap}-byte limit")
         return self.rfile.read(n) if n else b""
 
     def _body(self):
@@ -499,8 +496,6 @@ class _ApiHandler(BaseHTTPRequestHandler):
             ctype_full = self.headers.get("Content-Type") or ""
             if ctype_full.split(";")[0].strip().lower() == "multipart/form-data":
                 raw = self._raw_upload()
-                if raw is None:
-                    return
                 parts = _parse_multipart_files(raw, ctype_full)
                 if not parts:
                     return self._json(
@@ -544,8 +539,6 @@ class _ApiHandler(BaseHTTPRequestHandler):
             if ctype_full.split(";")[0].strip().lower() != "multipart/form-data":
                 return self._json(422, {"detail": "multipart/form-data file upload required"})
             raw = self._raw_upload()
-            if raw is None:
-                return
             parts = _parse_multipart_files(raw, ctype_full)
             if not parts:
                 return self._json(422, {"detail": "malformed multipart body or no file parts"})
@@ -679,8 +672,6 @@ class _ApiHandler(BaseHTTPRequestHandler):
             ctype_full = self.headers.get("Content-Type") or ""
             if ctype_full.split(";")[0].strip().lower() == "multipart/form-data":
                 raw = self._raw_upload()
-                if raw is None:
-                    return
                 pairs = _parse_multipart_files(raw, ctype_full)
                 if not pairs:
                     return self._json(

@@ -155,7 +155,7 @@ def main() -> None:
             sdtypes = [t for _, t in sdf.dtypes]
             srows = sdf.collect()
         except Exception as e:
-            print(f"FAIL {name}: spark error: {str(e).splitlines()[0][:200]}")
+            print(f"FAIL {name}: spark error: {(str(e).splitlines() or [''])[0][:200]}")
             n_fail += 1
             continue
         if name not in oracles:
@@ -167,7 +167,7 @@ def main() -> None:
             dtypes = [str(t) for t in rel.types]
             drows = rel.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:200]}")
+            print(f"FAIL {name}: duckdb error: {(str(e).splitlines() or [''])[0][:200]}")
             n_fail += 1
             continue
         problems = []
