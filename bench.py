@@ -611,6 +611,28 @@ def compact_bench_line(full: dict, budget: int = 1900) -> str:
     return line
 
 
+def host_calibration(spark) -> dict:
+    """Fixed-work probes recording the host-speed context of this run: a
+    pure numpy matmul (CPU/BLAS) and a fixed JVM codegen aggregation.
+    Round-over-round bench comparisons on a shared host need this anchor -
+    same-code runs measured 147-188s total in one day (uniform ~10-25%
+    per-query inflation, untouched TPC-H included). When the per-query
+    timings AND these probes inflate together, it is host noise, not a
+    plan regression."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((1200, 1200))
+    t0 = time.time()
+    for _ in range(3):
+        a = (a @ a) / 1200.0  # reuse the product so the BLAS calls can't be elided
+    blas_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    spark.range(50_000_000).selectExpr("sum(id * 2 + 1) AS s").collect()
+    jvm_s = round(time.time() - t0, 3)
+    return {"blas_matmul_s": blas_s, "jvm_range_agg_s": jvm_s}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -630,6 +652,8 @@ def main() -> None:
         "SELECT r_name, row_number() OVER (PARTITION BY r_regionkey ORDER BY r_name) "
         f"FROM parquet.`{sf_dir}/region.parquet`"
     ).collect()
+
+    calibration = host_calibration(spark)
 
     # FIXED alphabetical order, decoupled from the registry's certification
     # order: the registry prefix rotates every round (driver window), and
@@ -714,6 +738,7 @@ def main() -> None:
         "recall": recall_blocks.get("recall", {}),
         "recall_adversarial": recall_blocks.get("recall_adversarial", {}),
         "recall_realistic": recall_blocks.get("recall_realistic", {}),
+        "host_calibration": calibration,
         "sf": sf,
     }
     # Full per-query detail goes to a sidecar file: the driver records only a

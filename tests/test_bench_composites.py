@@ -45,3 +45,18 @@ def test_recall_block_failure_is_isolated(spark, monkeypatch):
     assert out["recall_realistic"] == {}
     assert out["recall"] and out["recall_adversarial"]
     assert all(0.0 <= v <= 1.0 for v in out["recall"].values())
+
+
+def test_host_calibration_probes(spark):
+    """The calibration anchor must return small positive fixed-work timings
+    and survive into the compact stdout line (it is how a reader separates
+    shared-host noise from plan regressions across rounds)."""
+    import json
+
+    cal = bench.host_calibration(spark)
+    assert set(cal) == {"blas_matmul_s", "jvm_range_agg_s"}
+    assert all(0 < v < 60 for v in cal.values())
+    full = {"metric": "m", "value": 1.0, "unit": "sec", "queries": {},
+            "host_calibration": cal, "sf": 0.1}
+    line = bench.compact_bench_line(full)
+    assert json.loads(line)["host_calibration"] == cal
