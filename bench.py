@@ -738,7 +738,10 @@ def main() -> None:
         "recall": recall_blocks.get("recall", {}),
         "recall_adversarial": recall_blocks.get("recall_adversarial", {}),
         "recall_realistic": recall_blocks.get("recall_realistic", {}),
+        # start AND end probes: the host speed drifts ~2x minute-to-minute,
+        # so one sample can miss the state the queries actually ran under
         "host_calibration": calibration,
+        "host_calibration_end": host_calibration(spark),
         "sf": sf,
     }
     # Full per-query detail goes to a sidecar file: the driver records only a
