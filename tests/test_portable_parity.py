@@ -19,6 +19,7 @@ TEXTS = st.lists(_WORD, min_size=0, max_size=12).map(" ".join)
 FRAGMENTS = [
     ("hash64", lambda e, d: P.hash64(e, d)),
     ("hash_mod", lambda e, d: P.hash_mod(e, d)),
+    ("hash_unit", lambda e, d: P.hash_unit(e, d)),
     ("tokens", lambda e, d: P.tokens(e, d)),
     ("ngram3", lambda e, d: P.word_ngrams(e, 3, d)),
     ("shingles", lambda e, d: P.shingle_hashes(e, 3, d)),
