@@ -40,8 +40,14 @@ def hash_unit(e: str, dialect: str) -> str:
     non-negative 60-bit, so no negative-modulo bias). Sites that need a
     different interval shape ((0,1] via +1/1000001, centered via +0.5)
     intentionally keep their own expressions: changing any certified
-    template's grid would change its sample."""
-    return f"(({hash64(e, dialect)} % 1000000) / 1000000.0)"
+    template's grid would change its sample.
+
+    The divisor is CAST to DOUBLE: a bare 1000000.0 literal parses as
+    DECIMAL on Spark, silently typing the whole expression DECIMAL where
+    DuckDB yields DOUBLE (cross-engine type drift caught by the portable
+    fuzz). Millionth-grid values are exactly representable either way, so
+    comparisons and orderings are unchanged — only the type is fixed."""
+    return f"(({hash64(e, dialect)} % 1000000) / CAST(1000000 AS DOUBLE))"
 
 
 def mock_rerank_score(query: str, text: str, dialect: str) -> str:
