@@ -252,3 +252,39 @@ def test_no_positional_fraction_with_seed_kwarg_in_sample_calls():
     assert not offenders, (
         f"sample() with positional fraction + seed kwarg (seed is IGNORED): {offenders}"
     )
+
+
+def test_no_new_bare_decimal_literals_in_templates():
+    """Ratchet lint for the decimal-literal footgun: Spark parses bare
+    decimal literals (1.0, 1000000.0) as DECIMAL, so `x * 1.0` arithmetic
+    and AVG(CASE ... THEN 1.0 ...) silently type DECIMAL where DuckDB
+    yields DOUBLE — it truncated AVG coverage to 5 decimals and typed
+    hash_unit's quotient DECIMAL before CAST fixes (round-6 finds; the
+    round-3 'DECIMAL-drift casts' were the same class). The existing sites
+    are grandfathered (each is output-CAST-wrapped and certified); NEW
+    arithmetic must use CAST(... AS DOUBLE) or portable.hash_unit.
+    Counts may only DECREASE."""
+    import re
+
+    frozen = {
+        "queries_dedup.py": 2,
+        "queries_extended.py": 12,
+        "queries_textstats.py": 3,
+        "queries_training.py": 4,
+        "queries_core.py": 0,
+        "queries_relational.py": 0,
+        "queries_registry.py": 0,
+    }
+    pat = re.compile(
+        r"\* 1\.0|/ 1\.0[^0-9]|THEN 1\.0|THEN 0\.0|/ 1000001\.0"
+        r"|\+ 0\.5\) / 1000000\.0|\* 1000000\.0"
+    )
+    base = os.path.join(os.path.dirname(__file__), "..", "oaim_sandbox_spark")
+    for fname, cap in frozen.items():
+        src = open(os.path.join(base, fname)).read()
+        n = len(pat.findall(src))
+        assert n <= cap, (
+            f"{fname}: {n} bare-decimal-literal arithmetic sites (frozen cap {cap}). "
+            "New SQL must CAST to DOUBLE (or use portable.hash_unit) instead of "
+            "bare decimal literals - Spark types them DECIMAL and drifts from DuckDB."
+        )
