@@ -148,11 +148,7 @@ def _prepare_recall(spark, sf_dir: str, flavor: str, k: int, n_queries: int):
                         neighborhoods — the correlated-dimension structure
                         neither synthetic block has (VERDICT r5 task 6).
     """
-    from concurrent.futures import ThreadPoolExecutor
-
     from pyspark.sql import functions as F
-
-    from oaim_sandbox_spark.operators.ann import knn_join
 
     dim = 64
     if flavor == "realistic":
