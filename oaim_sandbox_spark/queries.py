@@ -89,80 +89,72 @@ def _make_spark_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # and the LLM-data-pipeline operators — the newest and highest-value entries —
 # followed by everything else in definition order.
 FLAGSHIP_FIRST: tuple[str, ...] = (
-    # --- ROUND-6 WINDOW: the three NEW oracle entries (must certify
-    # first-time), then rotation by staleness. Full r1-r5 union coverage
-    # holds, so recency is the rest of the signal: the 19 entries whose
-    # last driver check was round 2, then the oldest round-3 entries
-    # (staleness order from tools/window_rotation.py). In THIS driver
-    # environment (protobuf-less, tws filtered out) the three new entries
-    # displace the 3 youngest round-3 candidates (streaming_hourly_counts,
-    # streaming_pii_scrub, pii_redaction_stats) to the round-7 rotation;
-    # if protobuf were present, tws would occupy a slot and
-    # inverted_index_postings would be the fourth displacement.
+    # --- ROUND-7 WINDOW: rotation by certification staleness
+    # (tools/window_rotation.py). Union coverage is 166/166 green across
+    # r1-r6, so the window is the 50 STALEST certifications: the NEW
+    # entry first (must certify first-time), then the 17 entries whose
+    # last driver check was round 3, then the oldest 32 round-4 entries
+    # (registry order; the remaining 17 r4 entries tie at the boundary
+    # and rotate in round 8).
     # transformWithState twin: registered only where protobuf exists, and
     # never yet driver-checkable — keep it in the prefix so it certifies
     # the first time it can; in protobuf-less envs it is filtered out and
     # costs no slot.
     "streaming_user_stats_tws",
-    # --- NEW this round (beyond-reference lexical similarity + co-movement):
-    "tfidf_cosine_pairs",
-    "tfidf_cosine_sampled",
-    "event_corr_matrix",
-    # --- last driver check: round 2 (19 entries, staleness order):
-    "mlm_masking",
-    "matryoshka_topk",
-    "decontamination_8gram",
-    "boilerplate_gram_fraction",
-    "domain_mix_rebalance",
-    "hourly_gapfill",
-    "embedding_centroid_outliers",
-    "levenshtein_near_pairs",
-    "funnel_conversion",
-    "ivf_full_probe_topk",
-    "events_variant_histogram",
-    "pagerank_3iter",
-    "weighted_reservoir_sample",
-    "unigram_logprob_quality",
-    "triangle_count",
-    "grouped_split_leakage_safe",
-    "lsh_multiprobe_topk",
-    "mmr_exact",
-    "streaming_sessions",
-    # --- last driver check: round 3 (oldest 31, staleness order):
-    "incremental_neardup_probe",
-    "ngram_jaccard_pairs",
-    "embedding_cosine_pairs",
-    "q19_disjunctive_pred_join",
-    "q21_waiting_suppliers",
-    "bigram_topk",
-    "doc_len_percentiles",
-    "mad_outliers",
-    "salted_user_counts",
-    "repetition_ratios",
-    "quality_filter",
-    "latest_event_per_user",
-    "event_value_zscores",
-    "docs_intersect_except",
-    "customer_order_stats_outer",
-    "pivot_event_counts",
-    "cube_doc_counts",
-    "event_moving_stats",
-    "topk_docs_per_lang",
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q20_dominant_suppliers",
-    "near_dup_clusters",
-    "grouping_sets_docs",
-    "rerank_crossencoder_topk",
-    "shingle_containment_decontam",
-    "inverted_index_postings",
-    # streaming_hourly_counts + streaming_pii_scrub + pii_redaction_stats:
-    # displaced past the 50-slot window by the three new entries above;
-    # first in the r7 rotation.
+    # --- NEW this round (DIMSUM sampled-cosine operator consumer):
+    "sampled_cosine_topk",
+    # --- last driver check: round 3 (17 entries, staleness order):
     "streaming_hourly_counts",
     "streaming_pii_scrub",
     "pii_redaction_stats",
+    "winnowing_fingerprints",
+    "domain_temperature_weights",
+    "tokenizer_fertility",
+    "semantic_dedup_clusters",
+    "dsir_importance_weights",
+    "classifier_quality_scores",
+    "retrieval_eval_metrics",
+    "countmin_token_topk",
+    "classifier_calibration_ece",
+    "corpus_version_diff",
+    "colbert_maxsim_topk",
+    "repeated_span_stats",
+    "data_quality_profile",
+    "psi_value_drift",
+    # --- last driver check: round 4 (oldest 32, registry order):
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "anti_join_merge",
+    "catalog_scan_events",
+    "events_json_props",
+    "events_hourly_windows",
+    "user_activity_sessions",
+    "chunk_ids_window",
+    "filtered_topk_label",
+    "minhash_lsh_pairs",
+    "split_leakage_check",
+    "minhash_estimate_quality",
+    "doc_len_percentiles_approx",
+    "mad_outliers_approx",
+    "pack_mix_diversity",
+    "hybrid_rrf_topk",
+    "binary_quant_topk",
+    "ntile_curriculum_buckets",
+    "chunk_reassembly",
+    "domain_caps_topn",
+    "global_shuffle_order",
+    "vocab_coverage_topk",
+    "contamination_rate_by_source",
+    "streaming_sliding_counts",
+    "scd2_purchase_history",
+    "lang_confusion_matrix",
+    "trailing_hour_stats",
+    "tfidf_top_terms",
+    "kl_divergence_by_source",
+    "zipf_alpha_by_lang",
+    "source_vocab_overlap",
+    "event_markov_transitions",
+    "source_lang_entropy",
 )
 
 
