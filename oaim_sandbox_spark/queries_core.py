@@ -170,15 +170,18 @@ def _idiv(a: str, b: str, dialect: str) -> str:
 
 
 def _materialized_view(spark: SparkSession, sql: str, prefix: str) -> str:
-    """Materialize `sql` once (localCheckpoint truncates lineage AND avoids
-    the shared cache namespace) under a per-call UNIQUE temp view name.
+    """Materialize `sql` once under a per-call UNIQUE temp view name.
     Unique names + dropTempView after plan analysis make every registry
     runner safe in one shared driver session, any order or concurrency —
-    a fixed shared name ('sigs'/'fps') collided across queries in r1."""
+    a fixed shared name ('sigs'/'fps') collided across queries in r1.
+    Materialization strategy (localCheckpoint vs durable parquet staging
+    for corpus-sized inputs) is size-thresholded in materialize.py."""
     import uuid as _uuid
 
+    from oaim_sandbox_spark.materialize import materialize_relation
+
     name = f"{prefix}_{_uuid.uuid4().hex[:12]}"
-    spark.sql(sql).localCheckpoint(eager=True).createOrReplaceTempView(name)
+    materialize_relation(spark.sql(sql), prefix).createOrReplaceTempView(name)
     return name
 
 

@@ -1,0 +1,50 @@
+"""Size-thresholded materialization (materialize.py): both strategies
+produce the same rows; the parquet path stages under the warehouse
+_staging dir and cleanup removes it."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from oaim_sandbox_spark import materialize as M
+
+
+def _src(spark):
+    return spark.range(0, 1000).withColumn("v", F.col("id") % 7)
+
+
+def test_fast_path_localcheckpoint(spark):
+    df = _src(spark)
+    out = M.materialize_relation(df, "tmat", spill_bytes=1 << 60)
+    assert out.count() == 1000
+    # localCheckpoint path: no staging directory created for this prefix
+    stg = M._staging_dir(spark).replace("file:", "")
+    assert not glob.glob(os.path.join(stg, "tmat_*"))
+    # lineage is truncated: the materialized plan no longer contains Range
+    assert "Range" not in out._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_spill_path_parquet_staging(spark):
+    df = _src(spark)
+    before = list(M._STAGED_THIS_PROCESS)
+    out = M.materialize_relation(df, "tmatspill", spill_bytes=0)
+    staged = [p for p in M._STAGED_THIS_PROCESS if p not in before]
+    assert len(staged) == 1 and "tmatspill_" in staged[0]
+    local = staged[0].replace("file:", "")
+    assert glob.glob(os.path.join(local, "*.parquet")) or glob.glob(
+        os.path.join(local, "part-*")
+    )
+    # identical contents vs the source
+    assert sorted(r["id"] for r in out.collect()) == list(range(1000))
+    # durable: the returned plan is a parquet scan, replayable on executor loss
+    assert "parquet" in out._jdf.queryExecution().optimizedPlan().toString().lower()
+    M.cleanup_staging(staged)
+    assert not os.path.exists(local)
+
+
+def test_env_threshold_respected(spark, monkeypatch):
+    monkeypatch.setenv(M.SPILL_ENV, str(1 << 60))
+    out = M.materialize_relation(_src(spark), "tmatenv")
+    assert "parquet" not in out._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert out.count() == 1000
