@@ -152,3 +152,122 @@ def redact_pii(
         )
         cur = F.regexp_replace(cur, pat, f"<{kind.upper()}>")
     return df.withColumn(out_col, cur)
+
+
+# ---------------------------------------------------------------------------
+# Sampled sparse cosine (DIMSUM-flavored) — the LINEAR-cost document-pair
+# similarity operator. The exact postings self-join costs sum(df^2) over the
+# term-frequency histogram (quadratic in the df tail); sampling terms with
+# p_t = min(1, C/df_t) and importance-correcting each surviving product by
+# 1/p_t (Zadeh & Carlsson, "Dimension Independent Similarity Computation",
+# 2013 — their magnitude-proportional row sampling, re-keyed to TERMS so the
+# decision derives from the INTEGER df and is bit-identical across engines)
+# bounds the expected join cost at C * n_terms: linear. The estimator's
+# per-decile MAE/coverage audit is the certified `tfidf_cosine_sampled`
+# registry entry; THIS is the production est-branch-only form it certifies.
+# Reference anchor: the sandbox has no lexical pair-similarity op at all
+# (vector-only retrieval, chatbot.py) — beyond-reference curation capability.
+# ---------------------------------------------------------------------------
+
+
+def _sqlstr(e: str, dialect: str) -> str:
+    return f"CAST({e} AS STRING)" if dialect == "spark" else f"CAST({e} AS VARCHAR)"
+
+
+def tfidf_weights_sql(
+    dialect: str,
+    rel: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    max_df_frac: float = 0.05,
+) -> str:
+    """Pruned tf-idf weight relation w(doc_id, t, df, w): word n-gram terms
+    hashed to int64, tf per (doc, term), idf = ln(N/df); terms occurring in
+    more than max(5, max_df_frac * N) documents dropped from the vector
+    space entirely (stop-shingle pruning — the df cutoff is what bounds the
+    exact self-join fan-out at scale)."""
+    ng = P.word_ngrams(text_col, ngram, dialect)
+    h = P.hash64("s", dialect)
+    did = id_col if id_col == "doc_id" else f"{id_col} AS doc_id"
+    if dialect == "spark":
+        toks = f"SELECT {did}, explode(transform({ng}, s -> {h})) AS t FROM {rel}"
+    else:
+        toks = f"SELECT {did}, unnest(list_transform({ng}, s -> {h})) AS t FROM {rel}"
+    return f"""
+WITH toks AS ({toks}),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY doc_id, t),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM {rel}),
+df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t)
+SELECT tf.doc_id AS doc_id, tf.t AS t, df.df AS df,
+       tf.tf * ln(n.n_docs / df.df) AS w
+FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
+WHERE df.df <= greatest(5.0, n.n_docs * {max_df_frac})
+"""
+
+
+def sampled_cosine_sql(dialect: str, rel: str = "w", C: int = 3, threshold: float = 0.06) -> str:
+    """Est-branch-only sampled cosine over a weight relation `rel`
+    (doc_id, t, df, w): term-sampled self-join with importance-corrected
+    dot products, EXACT norms (norms are a linear aggregate — no reason to
+    estimate them), threshold on the rounded estimate. Expected join cost
+    is C * n_terms; a pair whose every shared term was sampled out is
+    simply absent (the audit's `coverage` column quantifies that rate per
+    exact-cosine decile)."""
+    u = P.hash_unit(_sqlstr("a.t", dialect), dialect)
+    p = f"least(1.0, CAST({C} AS DOUBLE) / a.df)"
+    return f"""
+WITH wj AS (SELECT doc_id, t, df, w FROM {rel} WHERE df > 1),
+norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM {rel} GROUP BY doc_id),
+samp AS (
+  SELECT a.doc_id AS doc_id, a.t AS t, a.w AS w, {p} AS p
+  FROM wj a WHERE {u} < {p}
+),
+est AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w / a.p) AS est_dot
+  FROM samp a JOIN samp b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(est.doc_a AS BIGINT) AS doc_a, CAST(est.doc_b AS BIGINT) AS doc_b,
+       CAST(round(est.est_dot / (na.nrm * nb.nrm), 6) AS DOUBLE) AS est_cosine
+FROM est JOIN norms na ON na.doc_id = est.doc_a JOIN norms nb ON nb.doc_id = est.doc_b
+WHERE round(est.est_dot / (na.nrm * nb.nrm), 6) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+def sampled_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    C: int = 3,
+    threshold: float = 0.06,
+    ngram: int = 3,
+    max_df_frac: float = 0.05,
+) -> DataFrame:
+    """Linear-cost sampled tf-idf cosine document pairs over any DataFrame
+    with (id_col, text_col). Returns (doc_a, doc_b, est_cosine), est_cosine
+    rounded to 6. The weight relation feeds the norms aggregate plus both
+    sampled-join sides, so it is materialized ONCE (size-thresholded:
+    localCheckpoint locally, durable parquet staging past the spill
+    threshold — materialize.py); Spark would otherwise re-run
+    tokenize+tf+df per consumer. C trades recall for join volume — certify
+    an operating C with the `tfidf_cosine_sampled` per-decile audit."""
+    import uuid as _uuid
+
+    from oaim_sandbox_spark.materialize import materialize_relation
+
+    spark = df.sparkSession
+    src = f"scp_src_{_uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(src)
+    w = spark.sql(
+        tfidf_weights_sql("spark", rel=src, text_col=text_col, id_col=id_col,
+                          ngram=ngram, max_df_frac=max_df_frac)
+    )
+    wname = f"scp_w_{_uuid.uuid4().hex[:12]}"
+    materialize_relation(w, "scp_w").createOrReplaceTempView(wname)
+    out = spark.sql(sampled_cosine_sql("spark", rel=wname, C=C, threshold=threshold))
+    # views resolve at analysis time; safe to drop immediately
+    spark.catalog.dropTempView(src)
+    spark.catalog.dropTempView(wname)
+    return out

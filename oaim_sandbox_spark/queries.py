@@ -101,8 +101,8 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     # the first time it can; in protobuf-less envs it is filtered out and
     # costs no slot.
     "streaming_user_stats_tws",
-    # --- NEW this round (DIMSUM sampled-cosine operator consumer):
-    "sampled_cosine_topk",
+    # --- NEW this round (DIMSUM sampled-cosine operator, est branch only):
+    "sampled_cosine_pairs",
     # --- last driver check: round 3 (17 entries, staleness order):
     "streaming_hourly_counts",
     "streaming_pii_scrub",

@@ -56,3 +56,74 @@ def test_fingerprint_whitespace_case_invariant(spark):
     fps = {r.doc_id: r.fingerprint for r in fingerprints(df).collect()}
     assert fps[1] == fps[2] == fps[3]
     assert fps[4] != fps[1]
+
+
+def test_tfidf_weights_sql_byte_identical_to_registry():
+    """The parameterized builder must reproduce the r6-certified registry
+    SQL byte-for-byte at the registry's arguments — the certified
+    tfidf_cosine_pairs / tfidf_cosine_sampled templates embed it."""
+    from oaim_sandbox_spark import queries_extended as QE
+    from oaim_sandbox_spark.operators.text_analysis import tfidf_weights_sql
+
+    for d in ("spark", "duck"):
+        assert QE._tfidf_w_sql(d) == tfidf_weights_sql(
+            d, rel="documents", text_col="text", id_col="doc_id",
+            ngram=QE.TFIDF_NGRAM, max_df_frac=QE.TFIDF_MAX_DF_FRAC,
+        )
+
+
+def test_sampled_cosine_pairs_operator_matches_duckdb(spark):
+    """Operator output == pure-SQL est branch run by DuckDB on the same
+    parquet (the oracle parity the sampled_cosine_pairs registry entry
+    certifies at driver time, exercised here operator-first with
+    non-default column names to prove the parameterization)."""
+    import duckdb
+
+    from oaim_sandbox_spark.operators.text_analysis import (
+        sampled_cosine_pairs,
+        sampled_cosine_sql,
+        tfidf_weights_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .selectExpr("doc_id AS id", "text AS body")
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b, r.est_cosine)
+        for r in sampled_cosine_pairs(docs, text_col="body", id_col="id", C=4).collect()
+    )
+    w = tfidf_weights_sql("duck", rel="d", text_col="body", id_col="id")
+    est = sampled_cosine_sql("duck", rel="w", C=4).lstrip()
+    sql = (
+        f"WITH d AS (SELECT doc_id AS id, text AS body FROM '{sf}/documents.parquet'),\n"
+        f"w AS ({w}),\n" + est[len("WITH "):]
+    )
+    want = sorted((a, b, c) for a, b, c in duckdb.sql(sql).fetchall())
+    assert len(got) > 0 and got == want
+
+
+def test_sampled_cosine_pairs_sampling_bounds(spark):
+    """The kept-postings bound that makes the join linear: after sampling,
+    the expected postings per term is <= C, and every df<=C term is kept
+    in full (p=1) — check the realized sample obeys E[kept] within noise."""
+    from oaim_sandbox_spark.operators.text_analysis import tfidf_weights_sql
+    from oaim_sandbox_spark.functions import portable as P
+
+    sf = "/root/testdata/sf0.001"
+    spark.read.parquet(f"{sf}/documents.parquet").createOrReplaceTempView("tscp_docs")
+    C = 3
+    w = tfidf_weights_sql("spark", rel="tscp_docs")
+    u = P.hash_unit("CAST(a.t AS STRING)", "spark")
+    row = spark.sql(f"""
+        WITH w AS ({w}),
+        samp AS (SELECT a.t, a.df FROM w a
+                 WHERE a.df > 1 AND {u} < least(1.0, CAST({C} AS DOUBLE) / a.df))
+        SELECT COUNT(*) AS kept,
+               (SELECT SUM(least(CAST(df AS DOUBLE), {C})) FROM (SELECT t, ANY_VALUE(df) AS df FROM w WHERE df > 1 GROUP BY t)) AS expected
+        FROM samp
+    """).collect()[0]
+    spark.catalog.dropTempView("tscp_docs")
+    assert row.kept <= 1.5 * row.expected + 50
+    assert row.kept >= 0.5 * row.expected - 50

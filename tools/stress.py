@@ -485,6 +485,27 @@ def stress_tfidf(n_docs: int = 50_000) -> dict:
     return {"probe": "tfidf", "n_docs": n, "n_pairs": n_pairs, "wall_s": wall}
 
 
+def stress_sampled_cosine(n_docs: int = 50_000) -> dict:
+    """The DIMSUM est-branch operator on the SAME resampled corpus as
+    stress_tfidf — the linear-vs-quadratic separation figure. Extreme
+    duplication multiplies every df by the replication factor, which is
+    exactly where sum(df^2) explodes and C * n_terms does not: the exact
+    probe's join volume grows ~100x from sf0.1 to 50k docs, the sampled
+    operator's stays ~flat (p_t = C/df_t shrinks as df grows, keeping
+    expected kept-postings per term at C). Compare wall_s against
+    stress_tfidf at the same n_docs."""
+    from oaim_sandbox_spark.operators.text_analysis import sampled_cosine_pairs
+
+    spark = _spark("stress-sampled-cosine")
+    big = _resampled_docs(spark, n_docs)
+    n = big.count()
+    t0 = time.time()
+    out = sampled_cosine_pairs(big, text_col="text", id_col="doc_id")
+    n_pairs = out.count()
+    wall = round(time.time() - t0, 1)
+    return {"probe": "sampled_cosine", "n_docs": n, "n_pairs": n_pairs, "wall_s": wall}
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "minhash"
     arg = int(sys.argv[2]) if len(sys.argv) > 2 else None
@@ -503,6 +524,7 @@ def main() -> None:
         "curriculum": stress_curriculum_approx,
         "binaryquant": stress_binaryquant,
         "tfidf": stress_tfidf,
+        "sampled_cosine": stress_sampled_cosine,
     }
     if cmd not in fns:
         raise SystemExit(f"unknown stress {cmd!r}; one of {sorted(fns)}")
