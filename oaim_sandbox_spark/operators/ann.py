@@ -750,3 +750,14 @@ def dequantize_embeddings(
             f"transform({prefix}vec, x -> cast(x as double) * {prefix}scale / 127.0)"
         ),
     ).drop(f"{prefix}vec", f"{prefix}scale")
+
+
+# Recall-floor guardrail (r6 VERDICT task 2): sampled per-(store, tier)
+# recall probe + accept/widen/refuse recommender. Lives in tier_guard.py;
+# re-exported here because the tier ladder is part of the ANN surface.
+from oaim_sandbox_spark.operators.tier_guard import (  # noqa: E402
+    TIER_LADDER,
+    assert_tier_usable,
+    recommend_tiers,
+    sampled_tier_recall,
+)

@@ -252,7 +252,12 @@ def sampled_cosine_pairs(
     localCheckpoint locally, durable parquet staging past the spill
     threshold — materialize.py); Spark would otherwise re-run
     tokenize+tf+df per consumer. C trades recall for join volume — certify
-    an operating C with the `tfidf_cosine_sampled` per-decile audit."""
+    an operating C with the `tfidf_cosine_sampled` per-decile audit. Treat
+    the output as CANDIDATES: at tiny p (huge df) the 1/p correction makes
+    individual surviving products overshoot, so high-duplication corpora
+    yield more above-threshold pairs than the exact join (50k-doc stress:
+    3.64M candidates vs 821k exact) — re-score survivors exactly when the
+    consumer needs precision, the way the LSH band join re-verifies."""
     import uuid as _uuid
 
     from oaim_sandbox_spark.materialize import materialize_relation

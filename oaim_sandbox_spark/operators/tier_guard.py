@@ -1,0 +1,298 @@
+"""Recall-floor guardrail for the ANN tier funnel.
+
+The compressed search tiers (matryoshka prefix, binary sign-bit Hamming,
+IVF at low nprobe, PQ-ADC) each ASSUME something about the embedding
+distribution: matryoshka assumes a front-loaded (matryoshka-trained)
+dimension order, sign-bit Hamming assumes centered/dense values, low
+nprobe assumes coarse separability. On embeddings that violate the
+assumption the tier silently returns near-noise — measured on the
+engine's own hashed-BoW features: matryoshka16 recall@10 = 0.02, binary
+Hamming 0.16, ivf_nprobe2 0.58 (BENCH recall_realistic) — with nothing
+stopping a user from pointing the tier at such a store.
+
+This module is the guard: a CHEAP sampled recall probe per (store, tier)
+against the exact k-NN oracle on a deterministic sub-sample, and a
+recommender that, per tier, either accepts the default operating point,
+WIDENS it along the tier's documented ladder (the same widened points the
+bench measures: matryoshka fetch 5x -> 15x, binary 20x -> 60x, IVF
+nprobe 2 -> 4, PQ fetch_k 150 -> 400), or REFUSES the tier outright when
+even the widened point misses the floor. `assert_tier_usable` is the
+enforcing form (raises). Probe cost is bounded by `store_cap`
+(deterministic hash-mod thinning — no partition-order bias) and
+`n_queries`, independent of store size: at 100 TB the probe costs the
+same as at 1 GB.
+
+Reference anchor: the accuracy contract implied by the reference's
+`FETCH APPROX`-style index search plus its testbed correctness gate
+(src/server/utils/testbed.py:300-352) — the sandbox gates LLM answers on
+measured correctness; this gates index tiers on measured recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from oaim_sandbox_spark.functions import portable as P
+from oaim_sandbox_spark.operators.retrieval import distance_expr
+
+DEFAULT_FLOOR = 0.8
+
+# tier -> (default operating point, widened operating point or None).
+# The ladders mirror the bench's measured recovery points (bench.ann_recall).
+TIER_LADDER: dict[str, tuple[dict, dict | None]] = {
+    "int8": ({}, None),
+    "lsh8_multiprobe": ({"n_planes": 8}, None),
+    "ivf": ({"nprobe": 2}, {"nprobe": 4}),
+    "pq_adc_rerank": ({"fetch_k": 150}, {"fetch_k": 400}),
+    "binary_hamming_rerank": ({"fetch_mult": 20}, {"fetch_mult": 60}),
+    "matryoshka16_rerank": ({"fetch_mult": 5}, {"fetch_mult": 15}),
+    "pca16_rerank": ({"fetch_mult": 5}, {"fetch_mult": 15}),
+}
+
+
+def _thin_store(store: DataFrame, cap: int, id_col: str) -> DataFrame:
+    """Deterministic hash-mod thinning to ~cap rows (divisor from
+    round(n/cap), so the kept count stays within ~2x of cap at every n —
+    ADVICE r6 flagged the floor-division form as loose near the boundary)."""
+    n = store.count()
+    if n <= cap:
+        return store
+    div = max(1, round(n / cap))
+    return store.filter(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(div)) == 0)
+
+
+def _probe_frames(
+    store: DataFrame, n_queries: int, store_cap: int, id_col: str, vec_col: str
+):
+    """(sub-store, query frame, queries list, dim): the n_queries smallest
+    ids of the thinned store are the query batch; queries are excluded from
+    the searched store so recall isn't inflated by self-matches."""
+    sub = _thin_store(
+        store.select(
+            F.col(id_col).cast("bigint").alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"),
+        ),
+        store_cap,
+        id_col="vec_id",
+    )
+    qrows = sub.orderBy("vec_id").limit(n_queries).collect()
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
+    if not queries:
+        raise ValueError("cannot probe an empty store")
+    dim = len(queries[0][1])
+    spark = store.sparkSession
+    qdf = spark.createDataFrame(queries, "query_id BIGINT, query_vec ARRAY<DOUBLE>")
+    qids = [qid for qid, _ in queries]
+    sub = sub.filter(~F.col("vec_id").isin(qids)).localCheckpoint(eager=True)
+    return sub, qdf, queries, dim
+
+
+def _sets(df: DataFrame) -> dict[int, set]:
+    out: dict[int, set] = {}
+    for r in df.select("query_id", "neighbor_id").collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall(approx: dict[int, set], exact: dict[int, set], k: int) -> float:
+    vals = [len(approx.get(q, set()) & exact[q]) / k for q in exact]
+    return round(sum(vals) / len(vals), 4)
+
+
+def _exact_rerank(store: DataFrame, qdf: DataFrame, cand: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, neighbor_id) candidate frame —
+    the funnel's stage 2, shared by every re-rank tier. Candidates are
+    bounded (fetch_mult * k * n_queries), so they broadcast."""
+    dist = distance_expr("embedding", P.to_double_array("query_vec", "spark"), "COSINE")
+    rr = (
+        F.broadcast(cand.select("query_id", "neighbor_id"))
+        .join(store.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("distance", F.expr(f"round({dist}, 6)"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("neighbor_id").asc())
+    return rr.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _tier_recall(
+    tier: str, op: dict, store: DataFrame, qdf: DataFrame, queries, dim: int,
+    exact: dict[int, set], k: int,
+) -> float:
+    from oaim_sandbox_spark.operators import ann as A
+
+    spark = store.sparkSession
+    if tier == "int8":
+        deq = A.dequantize_embeddings(A.quantize_embeddings(store))
+        return _recall(_sets(A.knn_join(deq, qdf, k=k)), exact, k)
+    if tier == "lsh8_multiprobe":
+        got = A.lsh_knn_join(store, qdf, k=k, n_planes=op["n_planes"], dim=dim, multiprobe=True)
+        return _recall(_sets(got), exact, k)
+    if tier == "ivf":
+        idx = A.IVFIndex(n_centroids=16, seed=3, max_iter=10).fit(store)
+        assigned = idx.assign(store)
+        probes = [(qid, idx.probe_centroids(qv, op["nprobe"])) for qid, qv in queries]
+        pdf = spark.createDataFrame(probes, "query_id BIGINT, probes ARRAY<INT>")
+        dist = distance_expr("embedding", P.to_double_array("query_vec", "spark"), "COSINE")
+        scored = (
+            assigned.alias("i")
+            .join(
+                F.broadcast(pdf.join(qdf, "query_id").alias("q")),
+                F.expr("array_contains(q.probes, i.centroid)"),
+            )
+            .select(
+                F.col("q.query_id").alias("query_id"),
+                F.col("i.vec_id").alias("neighbor_id"),
+                F.expr(f"round({dist}, 6)").alias("distance"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("neighbor_id").asc())
+        got = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        return _recall(_sets(got), exact, k)
+    if tier == "pq_adc_rerank":
+        pq = A.PQIndex(m=4, k=16, dim=dim, seed=3).fit(store)
+        codes = pq.encode(store).localCheckpoint()
+        cand = pq.search_batch(codes, qdf, k=op["fetch_k"]).select(
+            "query_id", F.col("vec_id").alias("neighbor_id")
+        )
+        return _recall(_sets(_exact_rerank(store, qdf, cand, k)), exact, k)
+    if tier == "binary_hamming_rerank":
+        spans = [(s + 1, min(32, dim - s)) for s in range(0, dim, 32)]
+        packed = store.select(
+            F.col("vec_id").alias("neighbor_id"),
+            *[
+                F.expr(P.sign_pack("cast(embedding as array<double>)", s, n, "spark")).alias(f"w{i}")
+                for i, (s, n) in enumerate(spans)
+            ],
+        )
+        qrows = [
+            (qid, *[sum(1 << j for j in range(n) if qv[s - 1 + j] > 0) for s, n in spans])
+            for qid, qv in queries
+        ]
+        qddl = "query_id BIGINT, " + ", ".join(f"u{i} BIGINT" for i in range(len(spans)))
+        qdfb = spark.createDataFrame(qrows, qddl)
+        ham = " + ".join(f"bit_count(w{i} ^ u{i})" for i in range(len(spans)))
+        hb = packed.crossJoin(F.broadcast(qdfb)).withColumn("hamming", F.expr(ham))
+        w = Window.partitionBy("query_id").orderBy(F.col("hamming").asc(), F.col("neighbor_id").asc())
+        cand = (
+            hb.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= op["fetch_mult"] * k)
+            .select("query_id", "neighbor_id")
+        )
+        return _recall(_sets(_exact_rerank(store, qdf, cand, k)), exact, k)
+    if tier == "matryoshka16_rerank":
+        store16 = store.withColumn("emb16", F.expr("slice(embedding, 1, 16)"))
+        qdf16 = qdf.withColumn("query_vec", F.expr("slice(query_vec, 1, 16)"))
+        cand = A.knn_join(store16, qdf16, k=op["fetch_mult"] * k, item_vec="emb16").select(
+            "query_id", "neighbor_id"
+        )
+        return _recall(_sets(_exact_rerank(store, qdf, cand, k)), exact, k)
+    if tier == "pca16_rerank":
+        import numpy as np
+
+        from oaim_sandbox_spark.operators.dim_reduce import fit_pca, project_pca
+
+        pca = fit_pca(store, n_components=16)
+        storep = project_pca(store, pca, out_col="emb16p")
+        qdfp = spark.createDataFrame(
+            [
+                (qid, ((np.asarray(qv) - pca.mean) @ pca.components.T).tolist())
+                for qid, qv in queries
+            ],
+            "query_id BIGINT, query_vec ARRAY<DOUBLE>",
+        )
+        cand = A.knn_join(storep, qdfp, k=op["fetch_mult"] * k, item_vec="emb16p").select(
+            "query_id", "neighbor_id"
+        )
+        return _recall(_sets(_exact_rerank(store, qdf, cand, k)), exact, k)
+    raise ValueError(f"unknown tier {tier!r}; one of {sorted(TIER_LADDER)}")
+
+
+def sampled_tier_recall(
+    store: DataFrame,
+    tiers: list[str] | None = None,
+    k: int = 10,
+    n_queries: int = 8,
+    store_cap: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, dict]:
+    """Measured recall@k per tier at BOTH ladder points on a deterministic
+    sub-sample of the store. Returns
+    {tier: {"recall": r_default, "widened_recall": r_widened|None}}."""
+    from oaim_sandbox_spark.operators import ann as A
+
+    sub, qdf, queries, dim = _probe_frames(store, n_queries, store_cap, id_col, vec_col)
+    exact = _sets(A.knn_join(sub, qdf, k=k))
+    out: dict[str, dict] = {}
+    for tier in tiers if tiers is not None else list(TIER_LADDER):
+        default_op, widened_op = TIER_LADDER[tier]
+        r = _tier_recall(tier, default_op, sub, qdf, queries, dim, exact, k)
+        rw = (
+            _tier_recall(tier, widened_op, sub, qdf, queries, dim, exact, k)
+            if widened_op is not None
+            else None
+        )
+        out[tier] = {"recall": r, "widened_recall": rw}
+    return out
+
+
+def recommend_tiers(
+    store: DataFrame,
+    tiers: list[str] | None = None,
+    k: int = 10,
+    n_queries: int = 8,
+    floor: float = DEFAULT_FLOOR,
+    store_cap: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, dict]:
+    """Per-tier verdict for THIS store:
+
+    - ``ok``      — the default operating point meets the floor; use it.
+    - ``widened`` — only the widened ladder point meets the floor; the
+                    returned ``operating_point`` is the widened one.
+    - ``refused`` — neither point meets the floor: the tier's distribution
+                    assumption does not hold for these embeddings (e.g.
+                    matryoshka on non-matryoshka-trained vectors). Use a
+                    tier that keeps full-precision information (int8,
+                    pca16_rerank) or the exact path.
+    """
+    measured = sampled_tier_recall(store, tiers, k, n_queries, store_cap, id_col, vec_col)
+    out: dict[str, dict] = {}
+    for tier, m in measured.items():
+        default_op, widened_op = TIER_LADDER[tier]
+        if m["recall"] >= floor:
+            status, op, eff = "ok", default_op, m["recall"]
+        elif m["widened_recall"] is not None and m["widened_recall"] >= floor:
+            status, op, eff = "widened", widened_op, m["widened_recall"]
+        else:
+            status, op, eff = "refused", None, max(m["recall"], m["widened_recall"] or 0.0)
+        out[tier] = {
+            "status": status,
+            "operating_point": op,
+            "effective_recall": eff,
+            **m,
+        }
+    return out
+
+
+def assert_tier_usable(
+    store: DataFrame,
+    tier: str,
+    floor: float = DEFAULT_FLOOR,
+    **probe_kwargs,
+) -> dict:
+    """Enforcing form: returns the accepted (possibly widened) operating
+    point, or raises ValueError when the tier misses the floor on this
+    store even widened — the guard that stops a matryoshka/binary tier
+    from silently serving near-noise."""
+    verdict = recommend_tiers(store, tiers=[tier], floor=floor, **probe_kwargs)[tier]
+    if verdict["status"] == "refused":
+        raise ValueError(
+            f"tier {tier!r} refused for this store: sampled recall@10 "
+            f"{verdict['recall']} (widened: {verdict['widened_recall']}) is below "
+            f"the {floor} floor — its distribution assumption does not hold for "
+            f"these embeddings; use int8/pca16_rerank or the exact path"
+        )
+    return verdict

@@ -1,0 +1,101 @@
+"""Recall-floor guardrail (operators/tier_guard.py): the guard must refuse
+matryoshka/binary tiers on the hashed-BoW store (where the bench measured
+recall@10 collapse to 0.02/0.16) and accept them on the planted-cluster
+store — plus widen IVF's nprobe where only the wider point meets the floor."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oaim_sandbox_spark.operators import ann as A
+
+
+def _hashed_bow_store(spark, sf="/root/testdata/sf0.1", dim=64):
+    """The bench 'realistic' recipe: the engine's own hashed-BoW term
+    frequencies over the actual documents table — correlated dims, Zipfian
+    mass, no trained dimension order (exactly what breaks matryoshka/sign
+    tiers)."""
+    from oaim_sandbox_spark.operators.classifier import hashed_token_features
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    feat = hashed_token_features(docs, dim=dim, normalize=True)
+    return (
+        feat.groupBy("id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("idx", "cnt"))).alias("m"))
+        .select(
+            F.col("id").cast("bigint").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), i -> coalesce(element_at(m, i), 0.0D))"
+            ).alias("embedding"),
+        )
+    )
+
+
+def _planted_store(spark, n_vec=2000, n_clusters=40, dim=64):
+    """The bench 'planted' recipe: benign sinusoid mixture every tier aces."""
+    centroid = f"3.0 * sin((vec_id % {n_clusters}) * 2.399963 + i * 0.712)"
+    noise = "0.35 * (cast(hash(vec_id, i) as double) / 2147483647.0)"
+    return (
+        spark.range(n_vec)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn("embedding", F.expr(f"transform(sequence(0, {dim - 1}), i -> {centroid} + {noise})"))
+    )
+
+
+@pytest.fixture(scope="module")
+def bow_verdicts(spark):
+    return A.recommend_tiers(
+        _hashed_bow_store(spark),
+        tiers=["matryoshka16_rerank", "binary_hamming_rerank", "ivf"],
+    )
+
+
+def test_guard_refuses_prefix_and_sign_tiers_on_hashed_bow(bow_verdicts):
+    for tier in ("matryoshka16_rerank", "binary_hamming_rerank"):
+        v = bow_verdicts[tier]
+        assert v["status"] == "refused", (tier, v)
+        assert v["operating_point"] is None
+        # the collapse is real, not marginal: even the widened funnel is
+        # far under the floor (bench recall_realistic: 0.02 / 0.16)
+        assert v["widened_recall"] < 0.5
+
+
+def test_guard_widens_ivf_on_hashed_bow(bow_verdicts):
+    v = bow_verdicts["ivf"]
+    assert v["status"] == "widened", v
+    assert v["operating_point"] == {"nprobe": 4}
+    assert v["recall"] < 0.8 <= v["widened_recall"]
+
+
+def test_guard_accepts_tiers_on_planted_store(spark):
+    verdicts = A.recommend_tiers(
+        _planted_store(spark),
+        tiers=["matryoshka16_rerank", "binary_hamming_rerank", "ivf", "int8"],
+    )
+    for tier, v in verdicts.items():
+        assert v["status"] in ("ok", "widened"), (tier, v)
+        assert v["effective_recall"] >= 0.8
+    # the benign mixture is the tiers' home turf: default points hold
+    assert verdicts["binary_hamming_rerank"]["status"] == "ok"
+    assert verdicts["ivf"]["status"] == "ok"
+
+
+def test_assert_tier_usable_raises_and_returns(spark):
+    bow = _hashed_bow_store(spark)
+    with pytest.raises(ValueError, match="matryoshka16_rerank' refused"):
+        A.assert_tier_usable(bow, "matryoshka16_rerank")
+    ok = A.assert_tier_usable(_planted_store(spark), "matryoshka16_rerank")
+    assert ok["status"] in ("ok", "widened")
+
+
+def test_probe_cost_bounded_by_store_cap(spark):
+    """The probe's work is bounded by store_cap regardless of store size —
+    the 100 TB property. With a tiny cap the thinned store is small and the
+    probe still returns a verdict for every requested tier."""
+    from oaim_sandbox_spark.operators.tier_guard import _thin_store
+
+    store = _planted_store(spark, n_vec=2000)
+    thinned = _thin_store(store, cap=300, id_col="vec_id")
+    n = thinned.count()
+    assert n <= 2 * 300 and n >= 100  # divisor = round(n/cap) keeps ~cap rows
+    got = A.recommend_tiers(store, tiers=["int8"], store_cap=300)
+    assert set(got) == {"int8"} and got["int8"]["status"] == "ok"
