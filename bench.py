@@ -391,21 +391,19 @@ def ann_recall(
     def tier_ivf() -> dict[str, float]:
         idx = IVFIndex(n_centroids=16, seed=3, max_iter=10).fit(store)
         with tempfile.TemporaryDirectory() as td:
-            idx.write_partitioned(store, td)
-
-            def probe(nprobe: int) -> float:
-                # batched probe: ONE pruned scan answers the whole query batch
-                # (the per-query loop was nprobes x n_queries Spark jobs)
-                batch = idx.search_batch(spark, td, qdf, k=k, nprobe=nprobe)
-                ivf_sets: dict[int, set] = {}
-                for r in batch.collect():
-                    ivf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
-                return rec(ivf_sets, exact_cos)
-
-            # the two probe widths are independent scans — overlap them
-            with ThreadPoolExecutor(max_workers=2) as p:
-                futs = {n: p.submit(probe, n) for n in (2, 4)}
-                return {f"ivf_nprobe{n}@10": f.result() for n, f in futs.items()}
+            # compact=True: centroid-clustered write (one file per centroid,
+            # not one per input partition — the small-file creation was the
+            # tier's dominant cost at bench scale)
+            idx.write_partitioned(store, td, compact=True)
+            # BOTH probe widths from ONE pruned scan (search_batch_multi's
+            # candidate sets are bit-identical to per-width search_batch
+            # calls — pinned by test_ann.py); the former two-scan overlap
+            # still paid two scan jobs on a codegen-bound driver
+            batch = idx.search_batch_multi(spark, td, qdf, k=k, nprobes=(2, 4))
+            sets: dict[int, dict[int, set]] = {2: {}, 4: {}}
+            for r in batch.collect():
+                sets[r["nprobe"]].setdefault(r["query_id"], set()).add(r["vec_id"])
+            return {f"ivf_nprobe{n}@10": rec(sets[n], exact_cos) for n in (2, 4)}
 
     def tier_pq(fetch_k: int = 150) -> float:
         pq = PQIndex(m=4, k=16, dim=64, seed=3).fit(store)

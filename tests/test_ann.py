@@ -517,3 +517,37 @@ def test_ivf_fit_samples_uniformly_not_head(spark):
     # a head-only fit puts both centroids in the head region and assigns
     # lopsidedly; a uniform sample yields a near-even split
     assert counts[0] > 0.4 * n, counts
+
+
+def test_ivf_search_batch_multi_matches_per_width(spark, tmp_path):
+    """search_batch_multi's per-width results must be row-identical to
+    standalone search_batch calls (the bench's IVF recall tier relies on
+    this equivalence), and compact=True must not change results while
+    producing one file per centroid directory."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.ann import IVFIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = IVFIndex(n_centroids=8, seed=11, max_iter=5).fit(emb)
+    path = str(tmp_path / "ivf_multi")
+    idx.write_partitioned(emb, path, compact=True)
+    for d in glob.glob(f"{path}/centroid=*"):
+        assert len(glob.glob(f"{d}/part-*")) == 1, d
+
+    qdf = (
+        emb.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").cast("array<double>").alias("query_vec"))
+    )
+    multi = idx.search_batch_multi(spark, path, qdf, k=5, nprobes=(1, 3))
+    got: dict[int, set] = {}
+    for r in multi.collect():
+        got.setdefault(r["nprobe"], set()).add((r["query_id"], r["rank"], r["vec_id"], r["distance"]))
+    assert set(got) == {1, 3}
+    for width in (1, 3):
+        single = idx.search_batch(spark, path, qdf, k=5, nprobe=width)
+        want = {(r["query_id"], r["rank"], r["vec_id"], r["distance"]) for r in single.collect()}
+        assert got[width] == want, f"multi != single at nprobe={width}"
