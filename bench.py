@@ -624,6 +624,9 @@ def compact_bench_line(full: dict, budget: int = 1900) -> str:
     """
     timings = full.get("queries", {})
     compact = dict(full)
+    # the full calibrated per-query dict lives in BENCH_FULL.json only; the
+    # stdout line keeps the scalar factor + calibrated total
+    compact.pop("queries_calibrated", None)
     compact["full_results"] = "BENCH_FULL.json"
     kept: dict[str, float] = {}
     compact["queries"] = kept
@@ -665,6 +668,32 @@ def host_calibration(spark) -> dict:
     spark.range(50_000_000).selectExpr("sum(id * 2 + 1) AS s").collect()
     jvm_s = round(time.time() - t0, 3)
     return {"blas_matmul_s": blas_s, "jvm_range_agg_s": jvm_s}
+
+
+# Quiet-host steady-state probe times (the r6 end-of-run measurements on an
+# idle box: blas 0.192 s, jvm agg 0.265 s) — the denominator that turns this
+# run's probe times into a host-speed factor. The factor normalizes
+# round-over-round per-query comparisons: r6's +25-35% uniform drift vs r5
+# was measured host contention (start probes 2.8x slower than end probes),
+# which cost a full round of per-query comparability.
+REFERENCE_PROBES = {"blas_matmul_s": 0.192, "jvm_range_agg_s": 0.265}
+
+
+def host_speed_factor(start: dict, end: dict) -> tuple[float, bool]:
+    """(factor, unstable): factor >1 means this host ran slower than the
+    quiet-host reference (calibrated_seconds = raw / factor); ``unstable``
+    is the NOISE GATE — True when the start and end probes disagree by
+    >1.5x on either probe, i.e. the host speed CHANGED during the run and
+    one global factor cannot honestly normalize it. Rule: when unstable,
+    re-run the bench on a quieter host before drawing round-over-round
+    conclusions (the calibrated numbers are still emitted, flagged)."""
+    factors, unstable = [], False
+    for probe, ref in REFERENCE_PROBES.items():
+        vals = [start[probe], end[probe]]
+        if max(vals) > 1.5 * min(vals):
+            unstable = True
+        factors.append((vals[0] + vals[1]) / 2.0 / ref)
+    return round(sum(factors) / len(factors), 3), unstable
 
 
 def main() -> None:
@@ -764,18 +793,35 @@ def main() -> None:
         print(f"# BENCH ERROR ann_recall_combined: {_errline(e)}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    calibration_end = host_calibration(spark)
+    factor, unstable = host_speed_factor(calibration, calibration_end)
+    if unstable:
+        print(
+            f"# BENCH WARN calibration unstable (start {calibration} vs end "
+            f"{calibration_end}): host speed changed >1.5x during the run — "
+            "re-run on a quieter host before round-over-round comparisons",
+            file=sys.stderr,
+        )
     full = {
         "metric": "total_wall_seconds_all_queries",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # host-speed-normalized seconds (raw / host_speed_factor): the
+        # round-over-round comparable numbers (BASELINE.md uses these from
+        # r7 on). Raw stays the headline metric — it is what the driver's
+        # wall clock actually saw.
+        "queries_calibrated": {n: round(t / factor, 3) for n, t in timings.items()},
+        "value_calibrated": round(total / factor, 3),
+        "host_speed_factor": factor,
+        "calibration_unstable": unstable,
         "recall": recall_blocks.get("recall", {}),
         "recall_adversarial": recall_blocks.get("recall_adversarial", {}),
         "recall_realistic": recall_blocks.get("recall_realistic", {}),
         # start AND end probes: the host speed drifts ~2x minute-to-minute,
         # so one sample can miss the state the queries actually ran under
         "host_calibration": calibration,
-        "host_calibration_end": host_calibration(spark),
+        "host_calibration_end": calibration_end,
         "sf": sf,
     }
     # Full per-query detail goes to a sidecar file: the driver records only a

@@ -56,3 +56,34 @@ def test_parses_even_when_tail_starts_midline():
     tail = (("x" * 5000) + "\n" + line + "\n")[-2000:]
     last = [l for l in tail.splitlines() if l.strip()][-1]
     assert json.loads(last)["metric"] == "total_wall_seconds_all_queries"
+
+
+def test_host_speed_factor_and_noise_gate():
+    quiet = dict(bench.REFERENCE_PROBES)
+    # stable contended host: both probes uniformly 2x slower than reference
+    slow_start = {k: v * 2 for k, v in quiet.items()}
+    slow_end = {k: v * 2.2 for k, v in quiet.items()}
+    f, unstable = bench.host_speed_factor(slow_start, slow_end)
+    assert 1.9 < f < 2.3 and not unstable
+    # quiet host: factor ~1
+    f, unstable = bench.host_speed_factor(quiet, quiet)
+    assert abs(f - 1.0) < 0.01 and not unstable
+    # host speed CHANGED mid-run: noise gate trips (>1.5x start-vs-end)
+    f, unstable = bench.host_speed_factor({k: v * 2.8 for k, v in quiet.items()}, quiet)
+    assert unstable
+
+
+def test_calibrated_queries_stay_in_sidecar_only():
+    """queries_calibrated (a full-registry-sized dict) must never reach the
+    1900-char stdout line — only the scalar factor + calibrated total do."""
+    full = _full(200)
+    full["queries_calibrated"] = {n: round(t / 2, 3) for n, t in full["queries"].items()}
+    full["value_calibrated"] = 71.3
+    full["host_speed_factor"] = 2.0
+    full["calibration_unstable"] = False
+    line = bench.compact_bench_line(full)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert "queries_calibrated" not in parsed
+    assert parsed["host_speed_factor"] == 2.0
+    assert parsed["value_calibrated"] == 71.3
