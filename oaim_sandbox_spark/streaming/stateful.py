@@ -84,17 +84,15 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
-def running_user_stats_tws(events: DataFrame) -> DataFrame:
-    """The same running per-key stats through Spark 4's transformWithState —
-    the successor API to applyInPandasWithState: named state variables
-    (value/list/map state) on a RocksDB-backed store instead of one opaque
-    state tuple, plus timers and schema evolution of state. Requires
-    ``spark.sql.streaming.stateStore.providerClass`` =
-    RocksDBStateStoreProvider (the stream runner sets it, scoped).
-
-    Same semantics as :func:`running_user_stats`, so the two operators share
-    the batch GROUP BY oracle — the old-vs-new-API parity is itself the
-    test."""
+def _make_running_stats_processor():
+    """Build the transformWithState processor CLASS at call time. The
+    StatefulProcessor base imports without protobuf (only the runtime
+    worker protocol needs it), so the class — init/handleInputRows/close —
+    is executable in ANY container by driving it with a duck-typed handle
+    (tests/test_streaming.py simulates the tws runtime contract exactly
+    that way); the single line no protobuf-less environment can execute is
+    the ``transformWithStateInPandas`` call in
+    :func:`running_user_stats_tws`."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -113,6 +111,22 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return RunningStats
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """The same running per-key stats through Spark 4's transformWithState —
+    the successor API to applyInPandasWithState: named state variables
+    (value/list/map state) on a RocksDB-backed store instead of one opaque
+    state tuple, plus timers and schema evolution of state. Requires
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (the stream runner sets it, scoped) and
+    protobuf (the driver-worker protocol) at RUN time.
+
+    Same semantics as :func:`running_user_stats`, so the two operators share
+    the batch GROUP BY oracle — the old-vs-new-API parity is itself the
+    test."""
+    RunningStats = _make_running_stats_processor()
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=RunningStats(),
         outputStructType=OUT_SCHEMA,

@@ -471,3 +471,63 @@ def test_compaction_rescues_late_appended_signatures(spark, tmp_path, monkeypatc
     # the rescue must preserve the store's distinct-(doc_id, signature)
     # invariant even when the late rows were already swept into the read
     assert after.count() == after.select("doc_id", "signature").distinct().count() == 2
+
+
+def test_tws_processor_simulated_runtime_matches_batch_oracle():
+    """Drive the REAL transformWithState processor class (init /
+    handleInputRows / close) with a duck-typed handle that implements the
+    tws value-state contract (exists/get/update) — the vanilla-runtime
+    simulation for the protobuf-gated wrapper (VERDICT r6 task 7). After a
+    multi-batch, multi-key run, compacting each key's last emission must
+    equal the flat GROUP BY — the same oracle contract the certified
+    applyInPandasWithState twin passes at driver time. The only line this
+    leaves unexecuted in any container is the transformWithStateInPandas
+    call itself."""
+    import pandas as pd
+
+    from oaim_sandbox_spark.streaming.stateful import _make_running_stats_processor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    RunningStats = _make_running_stats_processor()
+    batches = [
+        pd.DataFrame({"user_id": [1, 1, 2], "value": [1.0, 4.0, 10.0]}),
+        pd.DataFrame({"user_id": [2, 1], "value": [2.0, 6.0]}),
+        pd.DataFrame({"user_id": [3], "value": [-5.0]}),
+    ]
+    procs: dict[int, object] = {}
+    last: dict[int, dict] = {}
+    for b in batches:  # per micro-batch, per touched key — the tws grouping
+        for uid, grp in b.groupby("user_id"):
+            p = procs.get(uid)
+            if p is None:
+                p = procs[uid] = RunningStats()
+                p.init(FakeHandle())
+            (out,) = list(p.handleInputRows((uid,), [grp], None))
+            last[uid] = out.iloc[0].to_dict()
+    for p in procs.values():
+        p.close()
+    flat = pd.concat(batches).groupby("user_id")["value"].agg(["count", "sum", "max"])
+    for uid, row in flat.iterrows():
+        got = last[uid]
+        assert (got["n_events"], got["sum_value"], got["max_value"]) == (
+            int(row["count"]), float(row["sum"]), float(row["max"])
+        ), uid
