@@ -161,8 +161,15 @@ def _prepare_recall(spark, sf_dir: str, flavor: str, k: int, n_queries: int):
         cap = 12_000
         n_docs = docs.count()
         if n_docs > cap:
+            # divisor from round(n/cap), not floor division: floor kept up
+            # to ~2*cap-1 docs for n in (cap, 2*cap) (ADVICE r6). No store
+            # membership changes at the current test SFs (all are < cap).
             docs = docs.filter(
-                F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_docs // cap)) == 0
+                F.pmod(
+                    F.xxhash64(F.col("doc_id").cast("string")),
+                    F.lit(max(1, round(n_docs / cap))),
+                )
+                == 0
             )
         feat = hashed_token_features(docs, dim=dim, normalize=True)
         emb = (

@@ -56,7 +56,7 @@ from oaim_sandbox_spark.queries_registry import (  # noqa: F401
 )
 
 # family modules in import order — __getattr__ resolves private names
-# against these, newest-defined wins last so part-2 shadows nothing
+# against these
 _FAMILY_MODULES = (
     _q_core, _q_relational, _q_training, _q_dedup,
     _q_textstats, _q_registry, _q_extended,
@@ -66,8 +66,13 @@ _FAMILY_MODULES = (
 def __getattr__(name: str):
     """Live delegation for names not re-exported above (underscore helpers,
     module-state like _VIEWS_STATE/_HAS_PROTOBUF): looked up at ACCESS time
-    so rebinding globals in a family module stays visible here."""
-    for _m in _FAMILY_MODULES:
+    so rebinding globals in a family module stays visible here. Resolution
+    walks the modules in REVERSE import order — latest-imported wins — the
+    same winner the star-import chain above picks for public names, so a
+    name collision resolves identically through either path (ADVICE r6;
+    the dup-def test also forbids such collisions outright, for defs AND
+    module-level assignments)."""
+    for _m in reversed(_FAMILY_MODULES):
         if hasattr(_m, name):
             return getattr(_m, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -377,9 +377,21 @@ def test_no_duplicate_toplevel_defs_in_queries():
         names.update(
             n.name for n in tree.body if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
         )
+    # ...and module-level NAME assignments (constants, runner tables): a
+    # same-named assignment in two modules would resolve differently via
+    # the star-import chain vs __getattr__ delegation if the orders ever
+    # diverged (ADVICE r6) — forbid the collision outright. Subscript
+    # assignments (TEMPLATES["x"] = ...) are registrations, not bindings.
+    for path in sorted(glob.glob(os.path.join(qdir, "queries*.py"))):
+        tree = ast.parse(open(path).read())
+        for node in tree.body:
+            if isinstance(node, ast.Assign):
+                names.update(t.id for t in node.targets if isinstance(t, ast.Name))
+            elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+                names.update([node.target.id])
     names.pop("__getattr__", None)  # the assembly module's delegation hook
     dupes = sorted(n for n, c in names.items() if c > 1)
-    assert not dupes, f"duplicate top-level defs across queries modules: {dupes}"
+    assert not dupes, f"duplicate top-level defs/assigns across queries modules: {dupes}"
     # every registered template's underlying function is a module-level def
     # (or a documented closure); its __name__ must not be multiply defined
     for key, fn in Q.TEMPLATES.items():
