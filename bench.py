@@ -631,9 +631,13 @@ def compact_bench_line(full: dict, budget: int = 1900) -> str:
     """
     timings = full.get("queries", {})
     compact = dict(full)
-    # the full calibrated per-query dict lives in BENCH_FULL.json only; the
+    # full-registry-sized per-query dicts live in BENCH_FULL.json only; the
     # stdout line keeps the scalar factor + calibrated total
-    compact.pop("queries_calibrated", None)
+    for sidecar_only in (
+        "queries_calibrated", "query_shuffle_mb",
+        "query_spill_disk_mb", "query_spill_mem_mb",
+    ):
+        compact.pop(sidecar_only, None)
     compact["full_results"] = "BENCH_FULL.json"
     kept: dict[str, float] = {}
     compact["queries"] = kept
@@ -653,6 +657,61 @@ def compact_bench_line(full: dict, budget: int = 1900) -> str:
         compact.pop("recall_adversarial", None)
         line = json.dumps(compact, separators=(",", ":"))
     return line
+
+
+class StageMetricsTracker:
+    """Per-query shuffle-write / spill deltas from the JVM AppStatusStore —
+    the plan-regression ratchet wall-time noise can't hide (r6 proved
+    wall time alone is a weak signal under host contention: a query whose
+    plan grew a new exchange looks identical to one that ran on a busy
+    box; its shuffle BYTES don't). Reads the same v1.StageData the Spark
+    UI REST API serves, but via py4j, so it works with the bench's
+    ``spark.ui.enabled=false`` (no web server, no extra listener — the
+    status store is populated regardless). `stageList` returns stages
+    newest-first, so each snapshot visits ONLY stages newer than the
+    previous call: O(stages-per-query) py4j traffic, not O(total). Between
+    serial queries the deltas attribute cleanly; concurrent suites (the
+    recall harness) get one combined delta. Degrades to a no-op where the
+    py4j internals are unavailable (Spark Connect)."""
+
+    def __init__(self, spark):
+        self._ok = True
+        self._last = -1
+        try:
+            sc = spark.sparkContext
+            self._store = sc._jsc.sc().statusStore()
+            self._gw = sc._gateway
+        except Exception:
+            self._ok = False
+
+    def delta(self):
+        """(shuffle_write_bytes, disk_spill_bytes, mem_spill_bytes) summed
+        over stages that completed since the previous call, or None."""
+        if not self._ok:
+            return None
+        try:
+            gw = self._gw
+            stages = self._store.stageList(
+                gw.jvm.java.util.ArrayList(), False, False,
+                gw.new_array(gw.jvm.double, 0), gw.jvm.java.util.ArrayList(),
+            )
+            sw = sp = mem = 0
+            newest = self._last
+            for i in range(stages.size()):
+                s = stages.apply(i)
+                sid = s.stageId()
+                if sid <= self._last:
+                    break
+                newest = max(newest, sid)
+                sw += s.shuffleWriteBytes()
+                sp += s.diskBytesSpilled()
+                mem += s.memoryBytesSpilled()
+            self._last = newest
+            return sw, sp, mem
+        except Exception as e:  # noqa: BLE001 — metrics must never fail the bench
+            print(f"# BENCH WARN stage metrics unavailable: {_errline(e)}", file=sys.stderr)
+            self._ok = False
+            return None
 
 
 def host_calibration(spark) -> dict:
@@ -725,6 +784,20 @@ def main() -> None:
 
     calibration = host_calibration(spark)
 
+    tracker = StageMetricsTracker(spark)
+    shuffle_mb: dict[str, float] = {}
+    spill_disk_mb: dict[str, float] = {}
+    spill_mem_mb: dict[str, float] = {}
+
+    def record_stage_metrics(name: str) -> None:
+        d = tracker.delta()
+        if d is not None:
+            shuffle_mb[name] = round(d[0] / 1e6, 2)
+            spill_disk_mb[name] = round(d[1] / 1e6, 2)
+            spill_mem_mb[name] = round(d[2] / 1e6, 2)
+
+    tracker.delta()  # drop warmup/calibration stages
+
     # FIXED alphabetical order, decoupled from the registry's certification
     # order: the registry prefix rotates every round (driver window), and
     # benching in registry order made each rotation look like a perf
@@ -741,6 +814,7 @@ def main() -> None:
             print(f"# BENCH ERROR {name}: {_errline(e)}", file=sys.stderr)
             continue
         timings[name] = round(time.time() - t0, 3)
+        record_stage_metrics(name)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     # Re-measure outliers once and keep the faster run: a query that took
@@ -761,6 +835,7 @@ def main() -> None:
                 if retry < t:
                     print(f"# {name}: outlier {t}s -> retry {retry}s (kept min)", file=sys.stderr)
                     timings[name] = retry
+        tracker.delta()  # resync: retries' stages belong to no single query
 
     for comp_name, comp in (
         ("ingest_pipeline", ingest_pipeline),
@@ -772,6 +847,7 @@ def main() -> None:
         try:
             n = comp(spark, sf_dir)
             timings[comp_name] = round(time.time() - t0, 3)
+            record_stage_metrics(comp_name)
             print(f"# {comp_name}: {timings[comp_name]}s ({n})", file=sys.stderr)
         except Exception as e:
             print(f"# BENCH ERROR {comp_name}: {_errline(e)}", file=sys.stderr)
@@ -784,6 +860,7 @@ def main() -> None:
     try:
         recall_blocks = ann_recall_all(spark, sf_dir)
         timings["ann_recall_combined"] = round(time.time() - t0, 3)
+        record_stage_metrics("ann_recall_combined")  # one combined delta
         print(f"# ann_recall_combined: {timings['ann_recall_combined']}s {recall_blocks}", file=sys.stderr)
         # same min-of-retry the query loop applies to outliers: the suite's
         # first run pays ANN-operator warmup (kmeans/PQ codegen paths no
@@ -822,6 +899,12 @@ def main() -> None:
         "value_calibrated": round(total / factor, 3),
         "host_speed_factor": factor,
         "calibration_unstable": unstable,
+        # per-query stage-metric deltas (AppStatusStore): the plan-shape
+        # ratchet — compare round-over-round with tools/bench_ratchet.py;
+        # bytes don't drift with host contention the way seconds do
+        "query_shuffle_mb": shuffle_mb,
+        "query_spill_disk_mb": spill_disk_mb,
+        "query_spill_mem_mb": spill_mem_mb,
         "recall": recall_blocks.get("recall", {}),
         "recall_adversarial": recall_blocks.get("recall_adversarial", {}),
         "recall_realistic": recall_blocks.get("recall_realistic", {}),

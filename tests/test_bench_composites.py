@@ -60,3 +60,23 @@ def test_host_calibration_probes(spark):
             "host_calibration": cal, "sf": 0.1}
     line = bench.compact_bench_line(full)
     assert json.loads(line)["host_calibration"] == cal
+
+
+def test_stage_metrics_tracker_attributes_shuffle(spark):
+    """StageMetricsTracker deltas: a shuffling query shows shuffle-write
+    bytes; a scan-only query shows ~none; the tracker only walks NEW stages
+    (its last-seen id advances)."""
+    from pyspark.sql import functions as F
+
+    import bench
+
+    tracker = bench.StageMetricsTracker(spark)
+    assert tracker.delta() is not None  # baseline snapshot
+    spark.range(1_000_000).withColumn("k", F.col("id") % 97).groupBy("k").count().collect()
+    d_shuffle = tracker.delta()
+    assert d_shuffle is not None and d_shuffle[0] > 0
+    last_after_shuffle = tracker._last
+    spark.range(1000).selectExpr("sum(id)").collect()  # partial-agg only
+    d_scan = tracker.delta()
+    assert d_scan is not None and d_scan[0] <= d_shuffle[0] / 10
+    assert tracker._last > last_after_shuffle

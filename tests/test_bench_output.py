@@ -87,3 +87,27 @@ def test_calibrated_queries_stay_in_sidecar_only():
     assert "queries_calibrated" not in parsed
     assert parsed["host_speed_factor"] == 2.0
     assert parsed["value_calibrated"] == 71.3
+
+
+def test_bench_ratchet_compare():
+    sys_path_tools = __import__("sys").path
+    import os
+    sys_path_tools.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from bench_ratchet import compare
+
+    old = {
+        "queries_calibrated": {"q1": 2.0, "q2": 1.0, "gone": 3.0},
+        "query_shuffle_mb": {"q1": 100.0, "q2": 4.0},
+        "query_spill_disk_mb": {"q1": 0.0, "q2": 0.0},
+    }
+    new = {
+        "queries_calibrated": {"q1": 3.5, "q2": 1.2},   # q1 regressed >1.5x
+        "query_shuffle_mb": {"q1": 150.0, "q2": 4.5},   # q1 shuffle >1.3x; q2 under 5MB floor
+        "query_spill_disk_mb": {"q1": 0.0, "q2": 8.0},  # q2 spills where it didn't
+    }
+    flags = compare(old, new, time_tol=1.5, shuffle_tol=1.3)
+    kinds = sorted(f.split()[0] for f in flags)
+    assert kinds == ["SHUFFLE", "SPILL", "TIME"], flags
+    assert all("q2" in f or "q1" in f for f in flags)
+    # clean run: no flags
+    assert compare(old, old, 1.5, 1.3) == []

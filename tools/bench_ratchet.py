@@ -1,0 +1,74 @@
+"""Round-over-round bench ratchet: compare two BENCH_FULL.json records.
+
+Wall time on a shared host is noisy (same-code totals spanned 147-448 s in
+round 6); the durable regression signals are (1) CALIBRATED seconds — raw
+seconds normalized by the host-speed factor bench.py derives from its
+fixed-work probes — and (2) per-query SHUFFLE BYTES and SPILL, which track
+the plan shape, not the host. This tool flags, per query present in both
+records:
+
+  - calibrated time regression  > --time-tol   (default 1.5x, min 1 s)
+  - shuffle-bytes regression    > --shuffle-tol (default 1.3x, min 5 MB)
+  - NEW disk spill              (> 1 MB where the old record had none)
+
+Exit status 1 when anything is flagged (CI-gateable). Queries only in one
+record are listed informationally (window rotation adds/removes entries).
+
+Usage: python tools/bench_ratchet.py OLD_BENCH_FULL.json NEW_BENCH_FULL.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def compare(old: dict, new: dict, time_tol: float, shuffle_tol: float) -> list[str]:
+    flags: list[str] = []
+    ot = old.get("queries_calibrated") or old.get("queries", {})
+    nt = new.get("queries_calibrated") or new.get("queries", {})
+    for q in sorted(set(ot) & set(nt)):
+        if nt[q] > max(1.0, time_tol * ot[q]):
+            flags.append(f"TIME {q}: {ot[q]}s -> {nt[q]}s calibrated (> {time_tol}x)")
+    osh, nsh = old.get("query_shuffle_mb", {}), new.get("query_shuffle_mb", {})
+    for q in sorted(set(osh) & set(nsh)):
+        if nsh[q] > max(5.0, shuffle_tol * osh[q]):
+            flags.append(f"SHUFFLE {q}: {osh[q]}MB -> {nsh[q]}MB written (> {shuffle_tol}x)")
+    osp, nsp = old.get("query_spill_disk_mb", {}), new.get("query_spill_disk_mb", {})
+    for q in sorted(set(osp) & set(nsp)):
+        if nsp[q] > 1.0 and osp[q] <= 1.0:
+            flags.append(f"SPILL {q}: {osp[q]}MB -> {nsp[q]}MB disk spill (new)")
+    return flags
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--time-tol", type=float, default=1.5)
+    ap.add_argument("--shuffle-tol", type=float, default=1.3)
+    args = ap.parse_args()
+    old = json.load(open(args.old))
+    new = json.load(open(args.new))
+
+    for rec, label in ((old, "old"), (new, "new")):
+        if rec.get("calibration_unstable"):
+            print(f"# WARN {label} record is calibration-unstable — its host "
+                  "speed changed mid-run; time flags below are soft")
+    only_old = sorted(set(old.get("queries", {})) - set(new.get("queries", {})))
+    only_new = sorted(set(new.get("queries", {})) - set(old.get("queries", {})))
+    if only_old:
+        print(f"# queries only in old ({len(only_old)}): {', '.join(only_old[:10])}...")
+    if only_new:
+        print(f"# queries only in new ({len(only_new)}): {', '.join(only_new[:10])}...")
+
+    flags = compare(old, new, args.time_tol, args.shuffle_tol)
+    for f in flags:
+        print(f)
+    print(f"{len(flags)} regression flag(s)")
+    sys.exit(1 if flags else 0)
+
+
+if __name__ == "__main__":
+    main()
