@@ -276,3 +276,72 @@ def sampled_cosine_pairs(
     spark.catalog.dropTempView(src)
     spark.catalog.dropTempView(wname)
     return out
+
+
+def rescore_pairs_sql(dialect: str, w_rel: str = "w", cand_rel: str = "cand",
+                      threshold: float = 0.06) -> str:
+    """Exact cosine over a bounded CANDIDATE pair relation (doc_a, doc_b):
+    join each pair back to the weight relation on both sides and sum the
+    shared-term products — cost is |candidates| x shared-terms, never
+    sum(df^2). The stage-2 verifier for the sampled est branch (the same
+    candidates->exact shape as the LSH band join's re-verification)."""
+    return f"""
+WITH dots AS (
+  SELECT c.doc_a AS doc_a, c.doc_b AS doc_b, SUM(a.w * b.w) AS dot
+  FROM {cand_rel} c
+  JOIN {w_rel} a ON a.doc_id = c.doc_a
+  JOIN {w_rel} b ON b.doc_id = c.doc_b AND b.t = a.t
+  GROUP BY c.doc_a, c.doc_b
+),
+norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM {w_rel} GROUP BY doc_id)
+SELECT CAST(dots.doc_a AS BIGINT) AS doc_a, CAST(dots.doc_b AS BIGINT) AS doc_b,
+       CAST(round(dots.dot / (na.nrm * nb.nrm), 6) AS DOUBLE) AS tfidf_cosine
+FROM dots JOIN norms na ON na.doc_id = dots.doc_a JOIN norms nb ON nb.doc_id = dots.doc_b
+WHERE round(dots.dot / (na.nrm * nb.nrm), 6) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+def sampled_cosine_pairs_rescored(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    C: int = 3,
+    candidate_threshold: float = 0.06,
+    threshold: float = 0.06,
+    ngram: int = 3,
+    max_df_frac: float = 0.05,
+) -> DataFrame:
+    """Two-stage linear-cost tf-idf cosine pairs: the sampled est branch
+    generates candidates (C * n_terms join cost), then EXACT re-scoring of
+    only those pairs removes the importance-correction overshoot — output
+    values equal the exact join's, restricted to surfaced candidates
+    (recall per decile = the certified `tfidf_cosine_sampled` audit's
+    coverage column; set `candidate_threshold` below `threshold` to widen
+    the funnel). Returns (doc_a, doc_b, tfidf_cosine)."""
+    import uuid as _uuid
+
+    from oaim_sandbox_spark.materialize import materialize_relation
+
+    spark = df.sparkSession
+    src = f"scp_src_{_uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(src)
+    w = spark.sql(
+        tfidf_weights_sql("spark", rel=src, text_col=text_col, id_col=id_col,
+                          ngram=ngram, max_df_frac=max_df_frac)
+    )
+    wname = f"scp_w_{_uuid.uuid4().hex[:12]}"
+    materialize_relation(w, "scp_w").createOrReplaceTempView(wname)
+    cand = spark.sql(
+        sampled_cosine_sql("spark", rel=wname, C=C, threshold=candidate_threshold)
+    ).select("doc_a", "doc_b")
+    cname = f"scp_cand_{_uuid.uuid4().hex[:12]}"
+    # candidates are the bounded stage-1 output — materialize so the
+    # sampled join runs once, not once per rescore branch
+    materialize_relation(cand, "scp_cand").createOrReplaceTempView(cname)
+    out = spark.sql(
+        rescore_pairs_sql("spark", w_rel=wname, cand_rel=cname, threshold=threshold)
+    )
+    for v in (src, wname, cname):
+        spark.catalog.dropTempView(v)
+    return out

@@ -127,3 +127,45 @@ def test_sampled_cosine_pairs_sampling_bounds(spark):
     spark.catalog.dropTempView("tscp_docs")
     assert row.kept <= 1.5 * row.expected + 50
     assert row.kept >= 0.5 * row.expected - 50
+
+
+def test_sampled_cosine_rescored_matches_exact_on_candidates(spark):
+    """Stage-2 exact re-scoring: the rescored operator's values must equal
+    the EXACT postings join's cosine for every surfaced pair (no
+    importance-correction overshoot survives), and every output pair must
+    be one the est branch surfaced (candidates bound the work)."""
+    import duckdb
+
+    from oaim_sandbox_spark.operators.text_analysis import (
+        sampled_cosine_pairs,
+        sampled_cosine_pairs_rescored,
+        tfidf_weights_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    rescored = {
+        (r.doc_a, r.doc_b): r.tfidf_cosine
+        for r in sampled_cosine_pairs_rescored(docs, threshold=0.0).collect()
+    }
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in sampled_cosine_pairs(docs).collect()
+    }
+    assert rescored and set(rescored) <= cand
+    # exact cosine per pair from DuckDB over the same weight relation
+    w = tfidf_weights_sql("duck", rel=f"'{sf}/documents.parquet'")
+    exact = {
+        (a, b): v
+        for a, b, v in duckdb.sql(f"""
+            WITH w AS ({w}),
+            norms AS (SELECT doc_id, sqrt(SUM(w*w)) AS nrm FROM w GROUP BY doc_id),
+            dp AS (SELECT a.doc_id da, b.doc_id db, SUM(a.w*b.w) AS dot
+                   FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+            SELECT da, db, round(dp.dot / (na.nrm * nb.nrm), 6)
+            FROM dp JOIN norms na ON na.doc_id = da JOIN norms nb ON nb.doc_id = db
+        """).fetchall()
+    }
+    for pair, v in rescored.items():
+        assert exact[pair] == v, (pair, v, exact[pair])
