@@ -2021,3 +2021,74 @@ def _sampled_cosine_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEMPLATES["sampled_cosine_pairs"] = sampled_cosine_pairs
 SPARK_OVERRIDES["sampled_cosine_pairs"] = _sampled_cosine_spark
+
+
+EMB_DRIFT_PLANES = 3  # 8 LSH buckets: coarse enough that the parity-split
+# null case stays under the 0.1 'stable' band at every test SF (measured
+# PSI 0.084 / 0.088 / 0.009 at sf0.001/0.01/0.1; 4 planes crosses 0.1 on
+# the 500-vector stores), fine enough that a rotated/shifted embedding
+# space moves bucket mass decisively (sign-flip drives PSI past 1)
+
+
+def embedding_drift_psi(d: str) -> str:
+    """EMBEDDING-SPACE drift monitor: PSI between two corpus versions of
+    the vector distribution over deterministic LSH buckets. The
+    value-space twin (`psi_value_drift`) watches scalar features; this one
+    answers the production question neither it nor recall tracking covers
+    — "did the embedding model or the corpus SHIFT in vector space between
+    snapshots?" (re-embedding with a changed model, a domain-mix change,
+    an ingest bug). Buckets come from `hyperplane_expr` — hash-derived
+    hyperplane constants both engines compute identically (the LSH
+    entries' oracle trick), so the monitor is fully oracle-checkable,
+    unlike a k-means codebook. Versions here are the deterministic vec_id
+    parity split (the self-drift NULL check: PSI under the 0.1 band,
+    'stable' — the monitor's calibration point, pinned by a pytest that
+    also injects a sign-flip and sees 'shifted'); production points the
+    two scans at snapshot tables. Shape: ONE scan buckets every vector
+    (n_planes dot products, JVM codegen), grouped count with map-side
+    combine; the all-bucket grid, +0.5 smoothing, and the PSI rollup run
+    on a buckets-sized dim — same scale story as psi_value_drift.
+    Output: one row per bucket (version shares + PSI contribution) with
+    the total PSI and the standard 0.1/0.25-band verdict repeated."""
+    from oaim_sandbox_spark.operators.ann import hyperplane_expr
+    from oaim_sandbox_spark.queries_core import EMBED_DIM as _dim
+
+    nb = 2 ** EMB_DRIFT_PLANES
+    bucket = hyperplane_expr("embedding", EMB_DRIFT_PLANES, _dim, d)
+    ver = "CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END"
+    allb = (
+        f"SELECT explode(sequence(0, {nb - 1})) AS bin"
+        if d == "spark"
+        else f"SELECT unnest(generate_series(0, {nb - 1})) AS bin"
+    )
+    return f"""
+WITH binned AS (
+  SELECT {ver} AS w, CAST({bucket} AS INT) AS bin, CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings GROUP BY {ver}, CAST({bucket} AS INT)
+),
+tot AS (SELECT w, CAST(SUM(n) AS DOUBLE) AS t FROM binned GROUP BY w),
+grid AS (
+  SELECT bins.bin,
+         (COALESCE(r.n, 0) + 0.5) / (COALESCE(tr.t, 0.0) + {0.5 * nb}) AS pr,
+         (COALESCE(c.n, 0) + 0.5) / (COALESCE(tc.t, 0.0) + {0.5 * nb}) AS pc
+  FROM ({allb}) bins
+  LEFT JOIN tot tr ON tr.w = 'ref'
+  LEFT JOIN tot tc ON tc.w = 'cur'
+  LEFT JOIN binned r ON r.bin = bins.bin AND r.w = 'ref'
+  LEFT JOIN binned c ON c.bin = bins.bin AND c.w = 'cur'
+),
+total AS (SELECT SUM((pc - pr) * ln(pc / pr)) AS psi FROM grid)
+SELECT CAST(grid.bin AS INT) AS bin,
+       CAST(round(grid.pr, 6) AS DOUBLE) AS ref_share,
+       CAST(round(grid.pc, 6) AS DOUBLE) AS cur_share,
+       CAST(round((grid.pc - grid.pr) * ln(grid.pc / grid.pr), 6) + 0.0 AS DOUBLE) AS psi_contrib,
+       CAST(round(total.psi, 6) + 0.0 AS DOUBLE) AS psi_total,
+       CASE WHEN total.psi < 0.1 THEN 'stable'
+            WHEN total.psi < 0.25 THEN 'moderate'
+            ELSE 'shifted' END AS verdict
+FROM grid CROSS JOIN total
+ORDER BY bin
+"""
+
+
+TEMPLATES["embedding_drift_psi"] = embedding_drift_psi

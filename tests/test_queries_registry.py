@@ -493,3 +493,38 @@ def test_tfidf_sampled_exact_when_df_under_c(spark):
         spark.catalog.dropTempView("documents")
         if Q._VIEWS_STATE is not None:
             Q._VIEWS_STATE.pop(spark, None)
+
+
+def test_embedding_drift_psi_null_and_injected_shift(spark):
+    """Calibration (null) case: the parity split of one snapshot must read
+    'stable' (total PSI under 0.1) at every bucket row. Positive case:
+    adding a constant bias to every 'cur' vector drives each hyperplane dot
+    product toward the sign of that plane's coefficient sum, collapsing the
+    current mass into few buckets — the verdict must cross to 'shifted'
+    with a much larger total PSI. (A pure negation would NOT register: it
+    permutes buckets to their complements, and PSI is invariant when the
+    bucket distribution is roughly complement-symmetric — the bias is the
+    honest "the embedding model changed" simulation.)"""
+    sf = "/root/testdata/sf0.001"
+    base = Q.spark_queries()["embedding_drift_psi"](spark, sf).collect()
+    assert len(base) == 8
+    assert all(r["verdict"] == "stable" and r["psi_total"] < 0.1 for r in base)
+    # shares are smoothed probabilities over the full bucket grid: sum ~ 1
+    assert abs(sum(r["ref_share"] for r in base) - 1.0) < 1e-4  # 6dp rounding x 8 buckets
+    # override the embeddings view with a bias-shifted 'cur' half and re-run
+    spark.read.parquet(f"{sf}/embeddings.parquet").createOrReplaceTempView("emb_raw")
+    spark.sql(
+        """SELECT vec_id, label,
+                  CASE WHEN vec_id % 2 = 0 THEN embedding
+                       ELSE transform(cast(embedding as array<double>), x -> x + 3.0D) END AS embedding
+           FROM emb_raw"""
+    ).createOrReplaceTempView("embeddings")
+    try:
+        shifted = spark.sql(Q.TEMPLATES["embedding_drift_psi"]("spark")).collect()
+    finally:
+        spark.catalog.dropTempView("embeddings")
+        spark.catalog.dropTempView("emb_raw")
+        if Q._VIEWS_STATE is not None:
+            Q._VIEWS_STATE.pop(spark, None)
+    assert all(r["verdict"] == "shifted" for r in shifted)
+    assert shifted[0]["psi_total"] > 10 * base[0]["psi_total"]
