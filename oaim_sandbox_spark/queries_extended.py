@@ -2092,3 +2092,70 @@ ORDER BY bin
 
 
 TEMPLATES["embedding_drift_psi"] = embedding_drift_psi
+
+
+def weak_label_vote(d: str) -> str:
+    """Snorkel-style weak supervision for corpus curation: combine K noisy
+    binary quality signals into one soft label WITHOUT ground truth, by
+    weighting each signal with its measured agreement against the
+    leave-one-out majority of the others (Ratner et al., Snorkel VLDB'18 —
+    the full generative label model learns source accuracies from
+    agreements/conflicts; this is its closed-form agreement-rate special
+    case, deterministic and dual-dialect). A signal that contradicts the
+    consensus half the time gets weight ~0 (w = 2*max(a-0.5, 0)), so one
+    broken heuristic cannot poison the vote — the property a plain AND/OR
+    of filters (`quality_filter`) lacks. Shape: one projection computes
+    the K signals per doc (JVM codegen, one corpus scan — the signals
+    reuse the quality_metrics/token machinery); the agreement aggregation
+    is ONE global row (K columns, broadcast back); the weighted vote is a
+    second pass over the signal relation. At 100 TB: two scans of a slim
+    (doc_id, s1..sK, source) relation, no shuffle wider than the
+    per-source rollup. Output: per-source audit — doc counts, mean vote,
+    pass rate — with the learned weights carried on every row so the
+    'model' is inspectable (and hash-checked)."""
+    m = TA.quality_metrics_sql("text", d)
+    toks = P.tokens("text", d)
+    if d == "spark":
+        n, nd = f"size({toks})", f"size(array_distinct({toks}))"
+    else:
+        n, nd = f"len({toks})", f"len(list_distinct({toks}))"
+    sigs = {
+        "s_len": f"CASE WHEN {m['n_chars']} >= 80 THEN 1 ELSE 0 END",
+        "s_tok": f"CASE WHEN {m['n_tokens']} >= 12 THEN 1 ELSE 0 END",
+        "s_digit": f"CASE WHEN COALESCE({m['digit_ratio']}, 1.0) <= 0.2 THEN 1 ELSE 0 END",
+        "s_rep": f"CASE WHEN CAST({nd} AS DOUBLE) / nullif({n}, 0) >= 0.3 THEN 1 ELSE 0 END",
+        "s_stop": f"CASE WHEN COALESCE({m['stopword_ratio']}, 0.0) >= 0.05 THEN 1 ELSE 0 END",
+    }
+    names = list(sigs)
+    sig_cols = ",\n         ".join(f"{expr} AS {k}" for k, expr in sigs.items())
+    total = " + ".join(names)
+    # leave-one-out majority: >= 2 of the other 4 signals fire
+    agree_cols = ", ".join(
+        f"CAST(AVG(CASE WHEN {k} = (CASE WHEN ({total}) - {k} >= 2 THEN 1 ELSE 0 END) "
+        f"THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS DOUBLE) AS a_{k}"
+        for k in names
+    )
+    w = {k: f"(2.0 * greatest(a_{k} - 0.5, 0.0))" for k in names}
+    wsum = " + ".join(w.values())
+    vote = "(" + " + ".join(f"{w[k]} * {k}" for k in names) + f") / nullif({wsum}, 0.0)"
+    w_out = ", ".join(f"CAST(round({w[k]}, 6) AS DOUBLE) AS w_{k}" for k in names)
+    return f"""
+WITH sig AS (
+  SELECT doc_id, source,
+         {sig_cols}
+  FROM documents
+),
+agree AS (SELECT {agree_cols} FROM sig)
+SELECT sig.source AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(round(AVG({vote}), 6) AS DOUBLE) AS mean_vote,
+       CAST(round(AVG(CASE WHEN {vote} >= 0.5 THEN CAST(1 AS DOUBLE)
+                           ELSE CAST(0 AS DOUBLE) END), 6) AS DOUBLE) AS pass_rate,
+       {w_out}
+FROM sig CROSS JOIN agree
+GROUP BY sig.source, {", ".join(f"a_{k}" for k in names)}
+ORDER BY source
+"""
+
+
+TEMPLATES["weak_label_vote"] = weak_label_vote

@@ -528,3 +528,25 @@ def test_embedding_drift_psi_null_and_injected_shift(spark):
             Q._VIEWS_STATE.pop(spark, None)
     assert all(r["verdict"] == "shifted" for r in shifted)
     assert shifted[0]["psi_total"] > 10 * base[0]["psi_total"]
+
+
+def test_weak_label_vote_downweights_discordant_signal(spark):
+    """The agreement-weighting property that distinguishes the vote from a
+    plain AND of filters: every weight lies in [0,1], weights are global
+    (identical on every source row), and the signal most discordant with
+    the leave-one-out consensus (s_stop on this corpus — the tiny stopword
+    lists miss many languages) gets a weight far below the concordant
+    signals, so it cannot veto the vote."""
+    rows = Q.spark_queries()["weak_label_vote"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    wcols = [c for c in rows[0].asDict() if c.startswith("w_")]
+    assert len(wcols) == 5
+    for c in wcols:
+        vals = {r[c] for r in rows}
+        assert len(vals) == 1, f"weight {c} differs across sources"
+        assert 0.0 <= vals.pop() <= 1.0
+    w = {c: rows[0][c] for c in wcols}
+    concordant = [v for c, v in w.items() if c != "w_s_stop"]
+    assert w["w_s_stop"] < min(concordant) / 2
+    for r in rows:
+        assert 0.0 <= r["pass_rate"] <= 1.0 and 0.0 <= r["mean_vote"] <= 1.0
