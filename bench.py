@@ -866,7 +866,15 @@ def main() -> None:
         # first run pays ANN-operator warmup (kmeans/PQ codegen paths no
         # other query compiles) plus whatever GC pressure the preceding 160
         # queries left
-        if timings["ann_recall_combined"] > 14.0:
+        # host-speed-aware retry gate: on a 2x-contended host EVERYTHING is
+        # >14s and an unconditional threshold would re-run the suite every
+        # time, paying +15-20s for nothing — scale by the start probes
+        start_factor = max(
+            1.0,
+            sum(calibration[p] / REFERENCE_PROBES[p] for p in REFERENCE_PROBES)
+            / len(REFERENCE_PROBES),
+        )
+        if timings["ann_recall_combined"] > 14.0 * start_factor:
             t0 = time.time()
             recall_blocks = ann_recall_all(spark, sf_dir)
             retry = round(time.time() - t0, 3)
