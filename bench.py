@@ -812,7 +812,8 @@ def main() -> None:
             n = len(df.collect())
         except Exception as e:  # a failed query must not zero the whole bench
             print(f"# BENCH ERROR {name}: {_errline(e)}", file=sys.stderr)
-            continue
+            tracker.delta()  # drain the failed query's stages — otherwise
+            continue         # they'd be attributed to the NEXT query
         timings[name] = round(time.time() - t0, 3)
         record_stage_metrics(name)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
@@ -851,6 +852,7 @@ def main() -> None:
             print(f"# {comp_name}: {timings[comp_name]}s ({n})", file=sys.stderr)
         except Exception as e:
             print(f"# BENCH ERROR {comp_name}: {_errline(e)}", file=sys.stderr)
+            tracker.delta()  # drain the failed composite's stages
 
     # all three recall blocks (planted + adversarial skew + realistic
     # hashed-BoW-over-documents) through the shared harness: stores/baselines

@@ -22,6 +22,12 @@ from __future__ import annotations
 MOD = 1_000_000_007  # prime modulus for hash-space arithmetic (fits int64 headroom)
 
 
+def str_cast(e: str, dialect: str) -> str:
+    """String cast (Spark: STRING, DuckDB: VARCHAR) — the shared dialect
+    helper (queries_core._str and operator modules delegate here)."""
+    return f"CAST({e} AS STRING)" if dialect == "spark" else f"CAST({e} AS VARCHAR)"
+
+
 def hash64(e: str, dialect: str) -> str:
     """Portable 60-bit hash of a string expression."""
     if dialect == "spark":

@@ -171,7 +171,7 @@ def redact_pii(
 
 
 def _sqlstr(e: str, dialect: str) -> str:
-    return f"CAST({e} AS STRING)" if dialect == "spark" else f"CAST({e} AS VARCHAR)"
+    return P.str_cast(e, dialect)
 
 
 def tfidf_weights_sql(
@@ -236,6 +236,30 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _materialized_weights_view(
+    df: DataFrame, text_col: str, id_col: str, ngram: int, max_df_frac: float
+):
+    """Shared stage-0 for the sampled-cosine operators: register the input
+    under a unique temp view, build the pruned weight relation, materialize
+    it ONCE (size-thresholded — materialize.py), and return
+    (spark, src_view, weights_view). Views resolve at analysis time, so
+    callers drop them as soon as their output plans are built."""
+    import uuid as _uuid
+
+    from oaim_sandbox_spark.materialize import materialize_relation
+
+    spark = df.sparkSession
+    src = f"scp_src_{_uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(src)
+    w = spark.sql(
+        tfidf_weights_sql("spark", rel=src, text_col=text_col, id_col=id_col,
+                          ngram=ngram, max_df_frac=max_df_frac)
+    )
+    wname = f"scp_w_{_uuid.uuid4().hex[:12]}"
+    materialize_relation(w, "scp_w").createOrReplaceTempView(wname)
+    return spark, src, wname
+
+
 def sampled_cosine_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -258,19 +282,7 @@ def sampled_cosine_pairs(
     yield more above-threshold pairs than the exact join (50k-doc stress:
     3.64M candidates vs 821k exact) — re-score survivors exactly when the
     consumer needs precision, the way the LSH band join re-verifies."""
-    import uuid as _uuid
-
-    from oaim_sandbox_spark.materialize import materialize_relation
-
-    spark = df.sparkSession
-    src = f"scp_src_{_uuid.uuid4().hex[:12]}"
-    df.createOrReplaceTempView(src)
-    w = spark.sql(
-        tfidf_weights_sql("spark", rel=src, text_col=text_col, id_col=id_col,
-                          ngram=ngram, max_df_frac=max_df_frac)
-    )
-    wname = f"scp_w_{_uuid.uuid4().hex[:12]}"
-    materialize_relation(w, "scp_w").createOrReplaceTempView(wname)
+    spark, src, wname = _materialized_weights_view(df, text_col, id_col, ngram, max_df_frac)
     out = spark.sql(sampled_cosine_sql("spark", rel=wname, C=C, threshold=threshold))
     # views resolve at analysis time; safe to drop immediately
     spark.catalog.dropTempView(src)
@@ -323,15 +335,7 @@ def sampled_cosine_pairs_rescored(
 
     from oaim_sandbox_spark.materialize import materialize_relation
 
-    spark = df.sparkSession
-    src = f"scp_src_{_uuid.uuid4().hex[:12]}"
-    df.createOrReplaceTempView(src)
-    w = spark.sql(
-        tfidf_weights_sql("spark", rel=src, text_col=text_col, id_col=id_col,
-                          ngram=ngram, max_df_frac=max_df_frac)
-    )
-    wname = f"scp_w_{_uuid.uuid4().hex[:12]}"
-    materialize_relation(w, "scp_w").createOrReplaceTempView(wname)
+    spark, src, wname = _materialized_weights_view(df, text_col, id_col, ngram, max_df_frac)
     cand = spark.sql(
         sampled_cosine_sql("spark", rel=wname, C=C, threshold=candidate_threshold)
     ).select("doc_a", "doc_b")

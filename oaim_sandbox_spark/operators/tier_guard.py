@@ -65,9 +65,14 @@ def _thin_store(store: DataFrame, cap: int, id_col: str) -> DataFrame:
 def _probe_frames(
     store: DataFrame, n_queries: int, store_cap: int, id_col: str, vec_col: str
 ):
-    """(sub-store, query frame, queries list, dim): the n_queries smallest
-    ids of the thinned store are the query batch; queries are excluded from
-    the searched store so recall isn't inflated by self-matches."""
+    """(sub-store, query frame, queries list, dim): the query batch is the
+    n_queries smallest ids in HASH order — deterministic yet spread across
+    the whole id range. (The smallest raw ids would be a head-biased
+    sample: on a store where vec_id correlates with ingest time or domain,
+    recall measured only around the earliest region can pass a tier that
+    collapses on the rest — the same partition-order footgun the IVF
+    quantizer fit guards against.) Queries are excluded from the searched
+    store so recall isn't inflated by self-matches."""
     sub = _thin_store(
         store.select(
             F.col(id_col).cast("bigint").alias("vec_id"),
@@ -76,7 +81,11 @@ def _probe_frames(
         store_cap,
         id_col="vec_id",
     )
-    qrows = sub.orderBy("vec_id").limit(n_queries).collect()
+    qrows = (
+        sub.orderBy(F.xxhash64(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_queries)
+        .collect()
+    )
     queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in qrows]
     if not queries:
         raise ValueError("cannot probe an empty store")

@@ -130,7 +130,7 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "repeated_span_stats",
     "data_quality_profile",
     "psi_value_drift",
-    # --- last driver check: round 4 (oldest 32, registry order):
+    # --- last driver check: round 4 (oldest 33, registry order):
     "q3_shipping_priority",
     "q5_local_supplier",
     "anti_join_merge",

@@ -160,8 +160,8 @@ def _elem(arr: str, i: int, dialect: str) -> str:
 
 
 def _str(e: str, dialect: str) -> str:
-    """String cast (Spark: STRING, DuckDB: VARCHAR)."""
-    return f"CAST({e} AS STRING)" if dialect == "spark" else f"CAST({e} AS VARCHAR)"
+    """String cast — delegates to the shared portable.str_cast helper."""
+    return P.str_cast(e, dialect)
 
 
 def _idiv(a: str, b: str, dialect: str) -> str:

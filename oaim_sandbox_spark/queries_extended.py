@@ -2112,7 +2112,10 @@ def weak_label_vote(d: str) -> str:
     (doc_id, s1..sK, source) relation, no shuffle wider than the
     per-source rollup. Output: per-source audit — doc counts, mean vote,
     pass rate — with the learned weights carried on every row so the
-    'model' is inspectable (and hash-checked)."""
+    'model' is inspectable (and hash-checked). Degenerate corpora where
+    EVERY signal's agreement is <= 0.5 (all weights zero) yield NULL for
+    BOTH mean_vote and pass_rate — 'no informative signal' is reported
+    consistently, never as a fake 0.0 pass rate."""
     m = TA.quality_metrics_sql("text", d)
     toks = P.tokens("text", d)
     if d == "spark":
@@ -2150,7 +2153,8 @@ SELECT sig.source AS source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(round(AVG({vote}), 6) AS DOUBLE) AS mean_vote,
        CAST(round(AVG(CASE WHEN {vote} >= 0.5 THEN CAST(1 AS DOUBLE)
-                           ELSE CAST(0 AS DOUBLE) END), 6) AS DOUBLE) AS pass_rate,
+                           WHEN {vote} < 0.5 THEN CAST(0 AS DOUBLE) END), 6)
+            AS DOUBLE) AS pass_rate,
        {w_out}
 FROM sig CROSS JOIN agree
 GROUP BY sig.source, {", ".join(f"a_{k}" for k in names)}

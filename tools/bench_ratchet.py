@@ -26,8 +26,18 @@ import sys
 
 def compare(old: dict, new: dict, time_tol: float, shuffle_tol: float) -> list[str]:
     flags: list[str] = []
-    ot = old.get("queries_calibrated") or old.get("queries", {})
-    nt = new.get("queries_calibrated") or new.get("queries", {})
+    # never mix modes: comparing one record's RAW seconds against the
+    # other's CALIBRATED seconds shifts every ratio by the host factor
+    # (masking real regressions or inventing fake ones) — exactly the
+    # r6-vs-r7 boundary, where r6 predates queries_calibrated
+    ocal, ncal = old.get("queries_calibrated"), new.get("queries_calibrated")
+    if (ocal is None) != (ncal is None):
+        print("# WARN only one record carries queries_calibrated — "
+              "comparing RAW seconds on both sides")
+        ot, nt = old.get("queries", {}), new.get("queries", {})
+    else:
+        ot = ocal if ocal is not None else old.get("queries", {})
+        nt = ncal if ncal is not None else new.get("queries", {})
     for q in sorted(set(ot) & set(nt)):
         if nt[q] > max(1.0, time_tol * ot[q]):
             flags.append(f"TIME {q}: {ot[q]}s -> {nt[q]}s calibrated (> {time_tol}x)")
