@@ -724,32 +724,50 @@ def host_calibration(spark) -> dict:
     plan regression."""
     import numpy as np
 
-    rng = np.random.default_rng(0)
-    a = rng.random((1200, 1200))
-    t0 = time.time()
-    for _ in range(3):
-        a = (a @ a) / 1200.0  # reuse the product so the BLAS calls can't be elided
-    blas_s = round(time.time() - t0, 3)
-    t0 = time.time()
-    spark.range(50_000_000).selectExpr("sum(id * 2 + 1) AS s").collect()
-    jvm_s = round(time.time() - t0, 3)
+    # Two timed passes, keep the MIN of each probe: the first pass of a
+    # fresh process pays one-time costs that are NOT host speed — BLAS
+    # thread-pool spin-up + page faults on the 11 MB buffers, and the
+    # range-agg's whole-stage-codegen JIT (~0.3 s) — which inflated the
+    # START probe ~2-3x on a perfectly idle host and tripped the noise
+    # gate spuriously (observed 0.222/0.543 first call vs 0.068/0.211
+    # steady on the same quiet box). Min-of-3 measures steady-state host
+    # speed; real contention inflates BOTH passes and still reads true.
+    blas_s = jvm_s = float("inf")
+    for _ in range(3):  # 2 was not enough for the JVM JIT's top tier
+        rng = np.random.default_rng(0)
+        a = rng.random((1200, 1200))
+        t0 = time.time()
+        for _ in range(3):
+            a = (a @ a) / 1200.0  # reuse the product so BLAS can't be elided
+        blas_s = min(blas_s, round(time.time() - t0, 3))
+        t0 = time.time()
+        spark.range(50_000_000).selectExpr("sum(id * 2 + 1) AS s").collect()
+        jvm_s = min(jvm_s, round(time.time() - t0, 3))
     return {"blas_matmul_s": blas_s, "jvm_range_agg_s": jvm_s}
 
 
-# Quiet-host steady-state probe times (the r6 end-of-run measurements on an
-# idle box: blas 0.192 s, jvm agg 0.265 s) — the denominator that turns this
-# run's probe times into a host-speed factor. The factor normalizes
+# Quiet-host steady-state probe time under the min-of-3 probe protocol
+# (measured idle, round 7: blas 0.053 s) — the denominator that turns this
+# run's probe time into a host-speed factor. The factor normalizes
 # round-over-round per-query comparisons: r6's +25-35% uniform drift vs r5
-# was measured host contention (start probes 2.8x slower than end probes),
-# which cost a full round of per-query comparability.
-REFERENCE_PROBES = {"blas_matmul_s": 0.192, "jvm_range_agg_s": 0.265}
+# was measured host contention, which cost a full round of per-query
+# comparability. ONLY the BLAS matmul anchors the factor: it is pure host
+# CPU, identical work every call. The JVM range-agg probe is recorded as
+# an informational JVM-state signal but EXCLUDED from the factor and the
+# noise gate — measured on an idle box it sped up 0.198 -> 0.093 across
+# one bench run purely from JIT maturation, which is not host speed.
+# (The r6 single-shot end-probe values 0.192 / 0.265 are NOT comparable
+# to min-of-3 probes — they carried residual warmup; the ratchet tool
+# refuses to mix calibrated and uncalibrated records, so the reference
+# change has no cross-round effect.)
+REFERENCE_PROBES = {"blas_matmul_s": 0.053}
 
 
 def host_speed_factor(start: dict, end: dict) -> tuple[float, bool]:
     """(factor, unstable): factor >1 means this host ran slower than the
     quiet-host reference (calibrated_seconds = raw / factor); ``unstable``
-    is the NOISE GATE — True when the start and end probes disagree by
-    >1.5x on either probe, i.e. the host speed CHANGED during the run and
+    is the NOISE GATE — True when the start and end anchor probes disagree
+    by >1.5x, i.e. the host speed CHANGED during the run and
     one global factor cannot honestly normalize it. Rule: when unstable,
     re-run the bench on a quieter host before drawing round-over-round
     conclusions (the calibrated numbers are still emitted, flagged)."""
