@@ -456,16 +456,16 @@ def ann_recall(
         deq = dequantize_embeddings(quantize_embeddings(store))
         return rec(topk_sets(knn_join(deq, qdf, k=k)), exact_cos)
 
-    dist = distance_expr("embedding", P.to_double_array("query_vec", "spark"), "COSINE")
-    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("neighbor_id").asc())
+    # The re-rank tiers' candidate funnels and the stage-2 exact re-rank are
+    # the CANONICAL shared implementations in operators/tier_guard.py — the
+    # recall-floor guard probes the exact same code the bench measures, so
+    # the guard's accept/widen/refuse thresholds and the bench's ladder
+    # points cannot drift apart (r7 self-review finding). A/B-verified: all
+    # three blocks' recall values bit-identical before/after the extraction.
+    from oaim_sandbox_spark.operators import tier_guard as TG
 
     def _exact_rerank(cand) -> dict[int, set]:
-        rr = (
-            cand.join(store.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id")
-            .join(F.broadcast(qdf), "query_id")
-            .withColumn("distance", F.expr(f"round({dist}, 6)"))
-        )
-        return topk_sets(rr.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k))
+        return topk_sets(TG.exact_rerank(store, qdf, cand, k).select("query_id", "neighbor_id"))
 
     def tier_matryoshka(fetch_mult: int = 5) -> float:
         # matryoshka: 16-dim-prefix candidates (fetch 5x k by default),
@@ -473,63 +473,26 @@ def ann_recall(
         # the benign mixture); the fetch15x tier is the measured 1.0
         # operating point — the 16-dim prefix ranks the true neighborhood
         # into the top 150, it just can't order it into the top 50.
-        store16 = store.withColumn("emb16", F.expr("slice(cast(embedding as array<double>), 1, 16)"))
-        qdf16 = qdf.withColumn("query_vec", F.expr("slice(query_vec, 1, 16)"))
-        cand = knn_join(store16, qdf16, k=fetch_mult * k, item_vec="emb16").select("query_id", "neighbor_id")
-        return rec(_exact_rerank(cand), exact_cos)
+        return rec(_exact_rerank(TG.prefix_candidates(store, qdf, 16, fetch_mult * k)), exact_cos)
 
     def tier_pca16() -> float:
         # PCA16: learned 16-dim subspace (one-pass distributed Gram fit), same
         # candidate->exact-re-rank funnel as matryoshka — the after-the-fact
         # alternative when the embedding model wasn't matryoshka-trained.
-        import numpy as np
-
-        from oaim_sandbox_spark.operators.dim_reduce import fit_pca, project_pca
-
-        pca = fit_pca(store, n_components=16)
-        storep = project_pca(store, pca, out_col="emb16p")
-        qdfp = spark.createDataFrame(
-            [(qid, ((np.asarray(qv) - pca.mean) @ pca.components.T).tolist()) for qid, qv in queries],
-            "query_id BIGINT, query_vec ARRAY<DOUBLE>",
-        )
-        cand = knn_join(storep, qdfp, k=5 * k, item_vec="emb16p").select("query_id", "neighbor_id")
-        return rec(_exact_rerank(cand), exact_cos)
+        return rec(_exact_rerank(TG.pca_candidates(store, queries, 16, 5 * k)), exact_cos)
 
     def tier_binary(fetch_mult: int = 20) -> float:
         # binary (sign) quantization: 16x smaller than float32, candidates by
         # Hamming over two packed int64 words, exact cosine re-rank — the
         # memory tier below int8 (queries.binary_quant_topk is the
-        # full-oracle endpoint; this measures its recall operating point)
-        qrowsb = [
-            (qid,
-             sum(1 << j for j in range(32) if qv[j] > 0),
-             sum(1 << j for j in range(32) if qv[32 + j] > 0))
-            for qid, qv in queries
-        ]
-        qdfb = spark.createDataFrame(qrowsb, "query_id BIGINT, u1 BIGINT, u2 BIGINT")
-        packed = store.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.expr(P.sign_pack("cast(embedding as array<double>)", 1, 32, "spark")).alias("w1"),
-            F.expr(P.sign_pack("cast(embedding as array<double>)", 33, 32, "spark")).alias("w2"),
-        )
-        hb = packed.crossJoin(F.broadcast(qdfb)).withColumn(
-            "hamming", F.expr("bit_count(w1 ^ u1) + bit_count(w2 ^ u2)")
-        )
-        wb = Window.partitionBy("query_id").orderBy(
-            F.col("hamming").asc(), F.col("neighbor_id").asc()
-        )
-        cand = (
-            hb.withColumn("rank", F.row_number().over(wb))
-            # binary is the coarsest tier: 1 bit/dim keeps only the sign, so
-            # the funnel fetches 20x k (vs 5x for 16-dim float tiers) and
-            # lets the exact re-rank recover the order. Under the
-            # adversarial generator's rank-1 correlated noise the sign
-            # pattern degrades and 20x is no longer enough (measured 0.72);
-            # the documented remedy is a wider funnel — the fetch60 tier
-            # shows the recovered operating point.
-            .filter(F.col("rank") <= fetch_mult * k)
-            .select("query_id", "neighbor_id")
-        )
+        # full-oracle endpoint; this measures its recall operating point).
+        # binary is the coarsest tier: 1 bit/dim keeps only the sign, so
+        # the funnel fetches 20x k (vs 5x for 16-dim float tiers) and lets
+        # the exact re-rank recover the order. Under the adversarial
+        # generator's rank-1 correlated noise the sign pattern degrades and
+        # 20x is no longer enough (measured 0.72); the documented remedy is
+        # a wider funnel — the fetch60 tier shows the recovered point.
+        cand = TG.binary_hamming_candidates(store, queries, 64, fetch_mult * k)
         return rec(_exact_rerank(cand), exact_cos)
 
     tiers = {

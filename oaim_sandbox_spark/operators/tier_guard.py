@@ -124,6 +124,89 @@ def _exact_rerank(store: DataFrame, qdf: DataFrame, cand: DataFrame, k: int) -> 
     return rr.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def binary_hamming_candidates(
+    store: DataFrame, queries: list, dim: int, fetch_k: int
+) -> DataFrame:
+    """Stage-1 of the binary (sign-bit) tier: pack signs into int64 words
+    (<=32 dims each), rank by Hamming distance over the packed words, keep
+    the fetch_k nearest per query. Returns (query_id, neighbor_id). The
+    CANONICAL implementation — bench.ann_recall and the guard's probe both
+    call this, so the measured ladder points and the guard's thresholds
+    cannot drift apart (r7 self-review finding)."""
+    spark = store.sparkSession
+    spans = [(s + 1, min(32, dim - s)) for s in range(0, dim, 32)]
+    packed = store.select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[
+            F.expr(P.sign_pack("cast(embedding as array<double>)", s, n, "spark")).alias(f"w{i}")
+            for i, (s, n) in enumerate(spans)
+        ],
+    )
+    qrows = [
+        (qid, *[sum(1 << j for j in range(n) if qv[s - 1 + j] > 0) for s, n in spans])
+        for qid, qv in queries
+    ]
+    qddl = "query_id BIGINT, " + ", ".join(f"u{i} BIGINT" for i in range(len(spans)))
+    qdfb = spark.createDataFrame(qrows, qddl)
+    ham = " + ".join(f"bit_count(w{i} ^ u{i})" for i in range(len(spans)))
+    hb = packed.crossJoin(F.broadcast(qdfb)).withColumn("hamming", F.expr(ham))
+    w = Window.partitionBy("query_id").orderBy(F.col("hamming").asc(), F.col("neighbor_id").asc())
+    return (
+        hb.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= fetch_k)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def prefix_candidates(
+    store: DataFrame, qdf: DataFrame, prefix_dim: int, fetch_k: int
+) -> DataFrame:
+    """Stage-1 of the matryoshka tier: k-NN over the leading prefix_dim
+    dims only. Returns (query_id, neighbor_id). Canonical shared
+    implementation (see binary_hamming_candidates)."""
+    from oaim_sandbox_spark.operators import ann as A
+
+    storep = store.withColumn(
+        "embp", F.expr(f"slice(cast(embedding as array<double>), 1, {prefix_dim})")
+    )
+    qdfp = qdf.withColumn("query_vec", F.expr(f"slice(query_vec, 1, {prefix_dim})"))
+    return A.knn_join(storep, qdfp, k=fetch_k, item_vec="embp").select(
+        "query_id", "neighbor_id"
+    )
+
+
+def pca_candidates(
+    store: DataFrame, queries: list, n_components: int, fetch_k: int
+) -> DataFrame:
+    """Stage-1 of the PCA tier: fit the learned subspace on the store
+    (one-pass distributed Gram), project both sides, k-NN in the subspace.
+    Returns (query_id, neighbor_id). Canonical shared implementation."""
+    import numpy as np
+
+    from oaim_sandbox_spark.operators import ann as A
+    from oaim_sandbox_spark.operators.dim_reduce import fit_pca, project_pca
+
+    spark = store.sparkSession
+    pca = fit_pca(store, n_components=n_components)
+    storep = project_pca(store, pca, out_col="embp")
+    qdfp = spark.createDataFrame(
+        [
+            (qid, ((np.asarray(qv) - pca.mean) @ pca.components.T).tolist())
+            for qid, qv in queries
+        ],
+        "query_id BIGINT, query_vec ARRAY<DOUBLE>",
+    )
+    return A.knn_join(storep, qdfp, k=fetch_k, item_vec="embp").select(
+        "query_id", "neighbor_id"
+    )
+
+
+def exact_rerank(store: DataFrame, qdf: DataFrame, cand: DataFrame, k: int) -> DataFrame:
+    """Public alias of the shared stage-2 exact-cosine re-rank (see
+    _exact_rerank) for callers outside this module (bench.ann_recall)."""
+    return _exact_rerank(store, qdf, cand, k)
+
+
 def _tier_recall(
     tier: str, op: dict, store: DataFrame, qdf: DataFrame, queries, dim: int,
     exact: dict[int, set], k: int,
@@ -166,53 +249,13 @@ def _tier_recall(
         )
         return _recall(_sets(_exact_rerank(store, qdf, cand, k)), exact, k)
     if tier == "binary_hamming_rerank":
-        spans = [(s + 1, min(32, dim - s)) for s in range(0, dim, 32)]
-        packed = store.select(
-            F.col("vec_id").alias("neighbor_id"),
-            *[
-                F.expr(P.sign_pack("cast(embedding as array<double>)", s, n, "spark")).alias(f"w{i}")
-                for i, (s, n) in enumerate(spans)
-            ],
-        )
-        qrows = [
-            (qid, *[sum(1 << j for j in range(n) if qv[s - 1 + j] > 0) for s, n in spans])
-            for qid, qv in queries
-        ]
-        qddl = "query_id BIGINT, " + ", ".join(f"u{i} BIGINT" for i in range(len(spans)))
-        qdfb = spark.createDataFrame(qrows, qddl)
-        ham = " + ".join(f"bit_count(w{i} ^ u{i})" for i in range(len(spans)))
-        hb = packed.crossJoin(F.broadcast(qdfb)).withColumn("hamming", F.expr(ham))
-        w = Window.partitionBy("query_id").orderBy(F.col("hamming").asc(), F.col("neighbor_id").asc())
-        cand = (
-            hb.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= op["fetch_mult"] * k)
-            .select("query_id", "neighbor_id")
-        )
+        cand = binary_hamming_candidates(store, queries, dim, op["fetch_mult"] * k)
         return _recall(_sets(_exact_rerank(store, qdf, cand, k)), exact, k)
     if tier == "matryoshka16_rerank":
-        store16 = store.withColumn("emb16", F.expr("slice(embedding, 1, 16)"))
-        qdf16 = qdf.withColumn("query_vec", F.expr("slice(query_vec, 1, 16)"))
-        cand = A.knn_join(store16, qdf16, k=op["fetch_mult"] * k, item_vec="emb16").select(
-            "query_id", "neighbor_id"
-        )
+        cand = prefix_candidates(store, qdf, 16, op["fetch_mult"] * k)
         return _recall(_sets(_exact_rerank(store, qdf, cand, k)), exact, k)
     if tier == "pca16_rerank":
-        import numpy as np
-
-        from oaim_sandbox_spark.operators.dim_reduce import fit_pca, project_pca
-
-        pca = fit_pca(store, n_components=16)
-        storep = project_pca(store, pca, out_col="emb16p")
-        qdfp = spark.createDataFrame(
-            [
-                (qid, ((np.asarray(qv) - pca.mean) @ pca.components.T).tolist())
-                for qid, qv in queries
-            ],
-            "query_id BIGINT, query_vec ARRAY<DOUBLE>",
-        )
-        cand = A.knn_join(storep, qdfp, k=op["fetch_mult"] * k, item_vec="emb16p").select(
-            "query_id", "neighbor_id"
-        )
+        cand = pca_candidates(store, queries, 16, op["fetch_mult"] * k)
         return _recall(_sets(_exact_rerank(store, qdf, cand, k)), exact, k)
     raise ValueError(f"unknown tier {tier!r}; one of {sorted(TIER_LADDER)}")
 
