@@ -1,6 +1,6 @@
 """Oracle-checked query registry — the driver contract surface (assembly).
 
-The template registry (163 entries at split time, 169 now) grew past
+The template registry (163 entries at split time, 171 now) grew past
 6,400 lines in one module (VERDICT r5 task 5); it now lives in family
 modules, imported here IN ORDER so the
 TEMPLATES insertion order — and therefore the driver's certification-window
@@ -99,7 +99,7 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     # r1-r6, so the window is the 50 STALEST certifications: the NEW
     # entries first (must certify first-time), then the 17 entries whose
     # last driver check was round 3, then the oldest round-4 entries in
-    # registry order (33 listed; the last three sit just past the 50-slot
+    # registry order (33 listed; the last five sit just past the 50-slot
     # window and lead the round-8 rotation with the other 16 r4 ties).
     # transformWithState twin: registered only where protobuf exists, and
     # never yet driver-checkable — keep it in the prefix so it certifies
@@ -108,10 +108,13 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "streaming_user_stats_tws",
     # --- NEW this round (DIMSUM sampled-cosine operator est branch;
     # embedding-space drift monitor over portable LSH buckets;
-    # Snorkel-style agreement-weighted weak-label vote):
+    # Snorkel-style agreement-weighted weak-label vote; hard-negative
+    # mining; UniMax water-filling budget allocation):
     "sampled_cosine_pairs",
     "embedding_drift_psi",
     "weak_label_vote",
+    "hard_negative_mining",
+    "unimax_budget_allocation",
     # --- last driver check: round 3 (17 entries, staleness order):
     "streaming_hourly_counts",
     "streaming_pii_scrub",

@@ -2163,3 +2163,116 @@ ORDER BY source
 
 
 TEMPLATES["weak_label_vote"] = weak_label_vote
+
+
+def hard_negative_mining(d: str) -> str:
+    """Hard-negative mining for metric-learning / embedding-finetune data:
+    for a deterministic batch of query vectors, the top-5 nearest
+    DIFFERENT-LABEL vectors — semantically close but wrong-class, the
+    negatives that actually move a contrastive loss (random negatives are
+    trivially separable). Complements `filtered_topk_label` (single query,
+    same-label pre-filter) with the inverse contract: per-query-batch,
+    label ANTI-filter, rank column carried for curriculum use (rank-1
+    negatives are the hardest). This exact form is the ORACLE baseline;
+    the 100 TB path is the same funnel every tier uses — ANN candidates
+    (IVFIndex.search_batch with a label predicate pushed into the pruned
+    scan) re-ranked exactly — certified against this query's semantics.
+    Plan shape: the query batch broadcasts (|corpus|/97 rows), ONE store
+    scan scores all queries, the rank window shuffles slim
+    (query, vec_id, distance) tuples only."""
+    dist = P.cosine_distance(
+        P.to_double_array("e.embedding", d), P.to_double_array("q.qv", d), d
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+  FROM embeddings WHERE vec_id % 97 = 0
+),
+scored AS (
+  SELECT q.query_id AS query_id, e.vec_id AS negative_id,
+         CAST(e.label AS INT) AS neg_label,
+         round({dist}, 6) AS distance,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY round({dist}, 6) ASC, e.vec_id ASC) AS rnk
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(negative_id AS BIGINT) AS negative_id,
+       neg_label,
+       CAST(rnk AS INT) AS rnk,
+       CAST(distance AS DOUBLE) AS distance
+FROM scored WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
+TEMPLATES["hard_negative_mining"] = hard_negative_mining
+
+
+def unimax_budget_allocation(d: str) -> str:
+    """UniMax-style training-budget allocation across domains (Chung et
+    al., "UniMax: Fairer and More Effective Language Sampling", ICLR 2023
+    — allocate a token budget as uniformly as possible without
+    over-repeating small domains): classic WATER-FILLING with per-domain
+    capacity = available tokens. Closed form on sorted capacities (no
+    iteration): sort domains ascending, a prefix is 'saturated' when
+    filling every remaining domain to that domain's capacity still fits
+    the budget (the saturated set is always a prefix — proved by the
+    exchange inequality in the window expression), saturated domains get
+    all their tokens, the rest split the remainder evenly at the water
+    level. Complements `domain_caps_topn` (hard caps) and
+    `domain_temperature_weights` (power-law reweighting) with the
+    budgeted-fairness allocator. Budget here = 40% of corpus tokens via
+    INTEGER arithmetic ((total*2) div 5 — CAST(double) rounds on DuckDB
+    but truncates on Spark, the classic cross-engine footgun). Shape: one
+    corpus scan-agg to (source, tokens); ranking, cumsums, and the level
+    solve all run on the sources dim. Output carries the water level and
+    epochs (= allocated/available, the UniMax over-repeat guard) per row."""
+    toks = P.tokens("text", d)
+    n_tok = f"size({toks})" if d == "spark" else f"len({toks})"
+    b_expr = _idiv("tot.total * 2", "5", d)
+    return f"""
+WITH tok AS (
+  SELECT source, CAST(SUM({n_tok}) AS BIGINT) AS avail
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(avail) AS BIGINT) AS total, COUNT(*) AS n FROM tok),
+budget AS (SELECT CAST({b_expr} AS BIGINT) AS b, tot.n AS n FROM tot),
+ranked AS (
+  SELECT source, avail,
+         ROW_NUMBER() OVER (ORDER BY avail ASC, source ASC) AS i,
+         SUM(avail) OVER (ORDER BY avail ASC, source ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tok
+),
+lvl AS (
+  SELECT budget.b AS b, budget.n AS n,
+         COALESCE(MAX(CASE WHEN ranked.avail * (budget.n - ranked.i + 1)
+                                + (ranked.cum - ranked.avail) <= budget.b
+                           THEN ranked.i END), 0) AS k,
+         COALESCE(MAX(CASE WHEN ranked.avail * (budget.n - ranked.i + 1)
+                                + (ranked.cum - ranked.avail) <= budget.b
+                           THEN ranked.cum END), 0) AS cumk
+  FROM ranked CROSS JOIN budget
+  GROUP BY budget.b, budget.n
+)
+SELECT ranked.source AS source,
+       CAST(ranked.avail AS BIGINT) AS avail_tokens,
+       CAST(round(CASE WHEN ranked.i <= lvl.k THEN CAST(ranked.avail AS DOUBLE)
+                       ELSE least(CAST(ranked.avail AS DOUBLE),
+                                  (lvl.b - lvl.cumk) / (lvl.n - lvl.k)) END, 6)
+            AS DOUBLE) AS allocated_tokens,
+       CAST(round(CASE WHEN lvl.k >= lvl.n THEN CAST(NULL AS DOUBLE)
+                       ELSE (lvl.b - lvl.cumk) / (lvl.n - lvl.k) END, 6)
+            AS DOUBLE) AS water_level,
+       CAST(round(CASE WHEN ranked.i <= lvl.k THEN 1.0
+                       ELSE least(CAST(ranked.avail AS DOUBLE),
+                                  (lvl.b - lvl.cumk) / (lvl.n - lvl.k))
+                            / ranked.avail END, 6) AS DOUBLE) AS epochs
+FROM ranked CROSS JOIN lvl
+ORDER BY source
+"""
+
+
+TEMPLATES["unimax_budget_allocation"] = unimax_budget_allocation

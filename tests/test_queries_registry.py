@@ -550,3 +550,34 @@ def test_weak_label_vote_downweights_discordant_signal(spark):
     assert w["w_s_stop"] < min(concordant) / 2
     for r in rows:
         assert 0.0 <= r["pass_rate"] <= 1.0 and 0.0 <= r["mean_vote"] <= 1.0
+
+
+def test_unimax_waterfill_saturates_small_domains(spark):
+    """Water-filling property on a skewed corpus the uniform testdata can't
+    exercise: domains smaller than the water level are fully allocated
+    (epochs = 1.0), larger ones sit exactly at one shared level, and the
+    total allocation equals the integer budget (total*2 div 5)."""
+    rows = []
+    did = 0
+    for src, n_docs, words in (("tiny", 2, 5), ("small", 4, 20), ("big", 40, 200), ("huge", 80, 200)):
+        for i in range(n_docs):
+            rows.append((did, " ".join(f"w{j}" for j in range(words)), "en", src, words))
+            did += 1
+    try:
+        spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT") \
+            .createOrReplaceTempView("documents")
+        got = {r["source"]: r for r in
+               spark.sql(Q.TEMPLATES["unimax_budget_allocation"]("spark")).collect()}
+    finally:
+        spark.catalog.dropTempView("documents")
+        if Q._VIEWS_STATE is not None:
+            Q._VIEWS_STATE.pop(spark, None)
+    avail = {s: r["avail_tokens"] for s, r in got.items()}
+    budget = sum(avail.values()) * 2 // 5
+    assert abs(sum(r["allocated_tokens"] for r in got.values()) - budget) < 0.01
+    # tiny + small saturate (their capacity is under the level), big/huge don't
+    assert got["tiny"]["epochs"] == 1.0 and got["small"]["epochs"] == 1.0
+    assert got["tiny"]["allocated_tokens"] == avail["tiny"]
+    level = got["big"]["water_level"]
+    assert got["big"]["allocated_tokens"] == got["huge"]["allocated_tokens"] == level
+    assert got["big"]["epochs"] < 1.0 and got["huge"]["epochs"] < got["big"]["epochs"]
