@@ -2266,7 +2266,7 @@ SELECT ranked.source AS source,
        CAST(round(CASE WHEN lvl.k >= lvl.n THEN CAST(NULL AS DOUBLE)
                        ELSE (lvl.b - lvl.cumk) / (lvl.n - lvl.k) END, 6)
             AS DOUBLE) AS water_level,
-       CAST(round(CASE WHEN ranked.i <= lvl.k THEN 1.0
+       CAST(round(CASE WHEN ranked.i <= lvl.k THEN CAST(1 AS DOUBLE)
                        ELSE least(CAST(ranked.avail AS DOUBLE),
                                   (lvl.b - lvl.cumk) / (lvl.n - lvl.k))
                             / ranked.avail END, 6) AS DOUBLE) AS epochs
