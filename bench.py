@@ -492,7 +492,7 @@ def ann_recall(
         # generator's rank-1 correlated noise the sign pattern degrades and
         # 20x is no longer enough (measured 0.72); the documented remedy is
         # a wider funnel — the fetch60 tier shows the recovered point.
-        cand = TG.binary_hamming_candidates(store, queries, 64, fetch_mult * k)
+        cand = TG.binary_hamming_candidates(store, queries, len(queries[0][1]), fetch_mult * k)
         return rec(_exact_rerank(cand), exact_cos)
 
     tiers = {
@@ -687,25 +687,27 @@ def host_calibration(spark) -> dict:
     plan regression."""
     import numpy as np
 
-    # Two timed passes, keep the MIN of each probe: the first pass of a
-    # fresh process pays one-time costs that are NOT host speed — BLAS
-    # thread-pool spin-up + page faults on the 11 MB buffers, and the
-    # range-agg's whole-stage-codegen JIT (~0.3 s) — which inflated the
-    # START probe ~2-3x on a perfectly idle host and tripped the noise
-    # gate spuriously (observed 0.222/0.543 first call vs 0.068/0.211
-    # steady on the same quiet box). Min-of-3 measures steady-state host
-    # speed; real contention inflates BOTH passes and still reads true.
-    blas_s = jvm_s = float("inf")
-    for _ in range(3):  # 2 was not enough for the JVM JIT's top tier
+    # THREE timed passes of the BLAS anchor, keep the MIN: the first pass
+    # of a fresh process pays one-time costs that are NOT host speed (BLAS
+    # thread-pool spin-up + page faults on the 11 MB buffers), which
+    # inflated an unwarmed START probe ~2-3x on a perfectly idle host and
+    # tripped the noise gate spuriously (observed 0.222 first call vs
+    # 0.068 steady on the same quiet box). Min-of-3 measures steady-state
+    # host speed; real contention inflates ALL passes and still reads
+    # true. The JVM range-agg runs ONCE — it is informational (JIT-state
+    # signal, excluded from the factor and the gate), so stabilizing it
+    # with extra 50M-row passes would be pure overhead.
+    blas_s = float("inf")
+    for _ in range(3):
         rng = np.random.default_rng(0)
         a = rng.random((1200, 1200))
         t0 = time.time()
         for _ in range(3):
             a = (a @ a) / 1200.0  # reuse the product so BLAS can't be elided
         blas_s = min(blas_s, round(time.time() - t0, 3))
-        t0 = time.time()
-        spark.range(50_000_000).selectExpr("sum(id * 2 + 1) AS s").collect()
-        jvm_s = min(jvm_s, round(time.time() - t0, 3))
+    t0 = time.time()
+    spark.range(50_000_000).selectExpr("sum(id * 2 + 1) AS s").collect()
+    jvm_s = round(time.time() - t0, 3)
     return {"blas_matmul_s": blas_s, "jvm_range_agg_s": jvm_s}
 
 
@@ -724,6 +726,7 @@ def host_calibration(spark) -> dict:
 # refuses to mix calibrated and uncalibrated records, so the reference
 # change has no cross-round effect.)
 REFERENCE_PROBES = {"blas_matmul_s": 0.053}
+CALIBRATION_PROTOCOL = "blas-min3-v1"  # bump when probes/reference change
 
 
 def host_speed_factor(start: dict, end: dict) -> tuple[float, bool]:
@@ -890,6 +893,10 @@ def main() -> None:
         "value_calibrated": round(total / factor, 3),
         "host_speed_factor": factor,
         "calibration_unstable": unstable,
+        # protocol version: calibrated seconds are only comparable between
+        # records computed under the SAME probe protocol + reference
+        # (tools/bench_ratchet.py refuses to compare across versions)
+        "calibration_protocol": CALIBRATION_PROTOCOL,
         # per-query stage-metric deltas (AppStatusStore): the plan-shape
         # ratchet — compare round-over-round with tools/bench_ratchet.py;
         # bytes don't drift with host contention the way seconds do

@@ -109,7 +109,7 @@ def _recall(approx: dict[int, set], exact: dict[int, set], k: int) -> float:
     return round(sum(vals) / len(vals), 4)
 
 
-def _exact_rerank(store: DataFrame, qdf: DataFrame, cand: DataFrame, k: int) -> DataFrame:
+def exact_rerank(store: DataFrame, qdf: DataFrame, cand: DataFrame, k: int) -> DataFrame:
     """Exact-cosine re-rank of a (query_id, neighbor_id) candidate frame —
     the funnel's stage 2, shared by every re-rank tier. Candidates are
     bounded (fetch_mult * k * n_queries), so they broadcast."""
@@ -201,12 +201,6 @@ def pca_candidates(
     )
 
 
-def exact_rerank(store: DataFrame, qdf: DataFrame, cand: DataFrame, k: int) -> DataFrame:
-    """Public alias of the shared stage-2 exact-cosine re-rank (see
-    _exact_rerank) for callers outside this module (bench.ann_recall)."""
-    return _exact_rerank(store, qdf, cand, k)
-
-
 def _tier_recall(
     tier: str, op: dict, store: DataFrame, qdf: DataFrame, queries, dim: int,
     exact: dict[int, set], k: int,
@@ -247,16 +241,16 @@ def _tier_recall(
         cand = pq.search_batch(codes, qdf, k=op["fetch_k"]).select(
             "query_id", F.col("vec_id").alias("neighbor_id")
         )
-        return _recall(_sets(_exact_rerank(store, qdf, cand, k)), exact, k)
+        return _recall(_sets(exact_rerank(store, qdf, cand, k)), exact, k)
     if tier == "binary_hamming_rerank":
         cand = binary_hamming_candidates(store, queries, dim, op["fetch_mult"] * k)
-        return _recall(_sets(_exact_rerank(store, qdf, cand, k)), exact, k)
+        return _recall(_sets(exact_rerank(store, qdf, cand, k)), exact, k)
     if tier == "matryoshka16_rerank":
         cand = prefix_candidates(store, qdf, 16, op["fetch_mult"] * k)
-        return _recall(_sets(_exact_rerank(store, qdf, cand, k)), exact, k)
+        return _recall(_sets(exact_rerank(store, qdf, cand, k)), exact, k)
     if tier == "pca16_rerank":
         cand = pca_candidates(store, queries, 16, op["fetch_mult"] * k)
-        return _recall(_sets(_exact_rerank(store, qdf, cand, k)), exact, k)
+        return _recall(_sets(exact_rerank(store, qdf, cand, k)), exact, k)
     raise ValueError(f"unknown tier {tier!r}; one of {sorted(TIER_LADDER)}")
 
 

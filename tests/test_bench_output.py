@@ -111,3 +111,21 @@ def test_bench_ratchet_compare():
     assert all("q2" in f or "q1" in f for f in flags)
     # clean run: no flags
     assert compare(old, old, 1.5, 1.3) == []
+
+
+def test_bench_ratchet_refuses_cross_protocol_calibrated_compare():
+    import os
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from bench_ratchet import compare
+
+    old = {"queries_calibrated": {"q1": 2.0}, "queries": {"q1": 3.0},
+           "calibration_protocol": "old-proto"}
+    new = {"queries_calibrated": {"q1": 3.5}, "queries": {"q1": 3.1},
+           "calibration_protocol": "blas-min3-v1"}
+    # protocols differ -> raw fallback: raw 3.0 -> 3.1 is clean, so the
+    # calibrated 1.75x jump (a protocol artifact) must NOT be flagged
+    assert compare(old, new, time_tol=1.5, shuffle_tol=1.3) == []
+    # same protocol -> calibrated comparison applies and flags
+    new["calibration_protocol"] = "old-proto"
+    assert any(f.startswith("TIME") for f in compare(old, new, 1.5, 1.3))

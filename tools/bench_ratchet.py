@@ -31,9 +31,18 @@ def compare(old: dict, new: dict, time_tol: float, shuffle_tol: float) -> list[s
     # (masking real regressions or inventing fake ones) — exactly the
     # r6-vs-r7 boundary, where r6 predates queries_calibrated
     ocal, ncal = old.get("queries_calibrated"), new.get("queries_calibrated")
+    oproto = old.get("calibration_protocol")
+    nproto = new.get("calibration_protocol")
     if (ocal is None) != (ncal is None):
         print("# WARN only one record carries queries_calibrated — "
               "comparing RAW seconds on both sides")
+        ot, nt = old.get("queries", {}), new.get("queries", {})
+    elif ocal is not None and oproto != nproto:
+        # calibrated seconds under different probe protocols/references
+        # are on different scales — the protocol change alone can cross
+        # the time tolerance
+        print(f"# WARN calibration protocols differ ({oproto} vs {nproto}) "
+              "— comparing RAW seconds on both sides")
         ot, nt = old.get("queries", {}), new.get("queries", {})
     else:
         ot = ocal if ocal is not None else old.get("queries", {})
