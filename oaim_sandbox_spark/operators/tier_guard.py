@@ -20,7 +20,23 @@ even the widened point misses the floor. `assert_tier_usable` is the
 enforcing form (raises). Probe cost is bounded by `store_cap`
 (deterministic hash-mod thinning — no partition-order bias) and
 `n_queries`, independent of store size: at 100 TB the probe costs the
-same as at 1 GB.
+same as at 1 GB (measured: 19s on a 1M-vector store vs ~10-17s on 2k,
+dominated by fixed probe work plus the one thinning scan —
+tools/stress.py tierguard).
+
+Thinning caveat (fail-safe direction): recall is measured on the thinned
+SUB-store. Thinning preserves the bulk distribution the tier assumptions
+depend on (sign balance, dimension order, coarse separability) but
+DILUTES fine-grained neighborhoods — when the store's true neighborhood
+size is below the thinning factor (store_size / store_cap), the
+sub-store's exact top-k spans quasi-random far neighbors that no
+compressed tier can rank, and the guard refuses tiers that might be fine
+on the full store. Conservative refusals fail SAFE (you lose a tier, not
+recall); when that costs a tier you want, raise `store_cap` so surviving
+neighborhoods stay larger than k (measured on 1M planted vectors:
+cluster size 50 with cap 20k -> ~1 survivor/cluster -> everything
+coarse refused; cluster size 1000 -> ~20 survivors -> honest ok/widened
+verdicts).
 
 Reference anchor: the accuracy contract implied by the reference's
 `FETCH APPROX`-style index search plus its testbed correctness gate

@@ -506,6 +506,36 @@ def stress_sampled_cosine(n_docs: int = 50_000) -> dict:
     return {"probe": "sampled_cosine", "n_docs": n, "n_pairs": n_pairs, "wall_s": wall}
 
 
+def stress_tierguard(n_vecs: int = 1_000_000) -> dict:
+    """Probe-cost boundedness of the recall-floor guard at store scale:
+    recommend_tiers on a 1M-vector planted store (500x the test-suite
+    store) — measured 18.9s vs ~10-17s small-store (the only store-sized
+    work is the one thinning scan + count). NOTE the verdicts here are
+    the guard's documented CONSERVATIVE regime, not a bug: cluster size
+    is 50 while the thinning factor is 1M/20k = 50, so ~1 vector per
+    cluster survives and the coarse tiers are (fail-safe) refused; with
+    cluster size 1000 the same probe reads honest ok/widened verdicts in
+    19.6s — see the thinning caveat in tier_guard's module docstring."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.tier_guard import recommend_tiers
+
+    spark = _spark("stress-tierguard")
+    n_clusters = max(32, n_vecs // 50)
+    centroid = f"3.0 * sin((vec_id % {n_clusters}) * 2.399963 + i * 0.712)"
+    noise = "0.35 * (cast(hash(vec_id, i) as double) / 2147483647.0)"
+    store = (
+        spark.range(n_vecs).withColumnRenamed("id", "vec_id")
+        .withColumn("embedding", F.expr(f"transform(sequence(0, 63), i -> {centroid} + {noise})"))
+        .repartition(64).localCheckpoint()
+    )
+    t0 = time.time()
+    v = recommend_tiers(store, tiers=["matryoshka16_rerank", "binary_hamming_rerank", "ivf", "int8"])
+    wall = round(time.time() - t0, 1)
+    return {"probe": "tierguard", "n_vecs": n_vecs, "wall_s": wall,
+            "verdicts": {t: d["status"] for t, d in v.items()}}
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "minhash"
     arg = int(sys.argv[2]) if len(sys.argv) > 2 else None
@@ -525,6 +555,7 @@ def main() -> None:
         "binaryquant": stress_binaryquant,
         "tfidf": stress_tfidf,
         "sampled_cosine": stress_sampled_cosine,
+        "tierguard": stress_tierguard,
     }
     if cmd not in fns:
         raise SystemExit(f"unknown stress {cmd!r}; one of {sorted(fns)}")
