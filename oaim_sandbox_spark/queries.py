@@ -94,79 +94,70 @@ def _make_spark_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # and the LLM-data-pipeline operators — the newest and highest-value entries —
 # followed by everything else in definition order.
 FLAGSHIP_FIRST: tuple[str, ...] = (
-    # --- ROUND-7 WINDOW: rotation by certification staleness
-    # (tools/window_rotation.py). Union coverage is 166/166 green across
-    # r1-r6, so the window is the 50 STALEST certifications: the NEW
-    # entries first (must certify first-time), then the 17 entries whose
-    # last driver check was round 3, then the oldest round-4 entries in
-    # registry order (33 listed; the last five sit just past the 50-slot
-    # window and lead the round-8 rotation with the other 16 r4 ties).
+    # --- ROUND-8 WINDOW: rotation by certification staleness
+    # (tools/window_rotation.py; precomputed in PLANS.md round-8 plan).
+    # Union coverage is 171/171 green across r1-r7, so the window is the
+    # 50 STALEST certifications: any NEW r8 entries first (must certify
+    # first-time), then the 21 entries whose last driver check was round
+    # 4, then the 29 oldest round-5 entries in registry order. The
+    # remaining 21 r5 entries lead the round-9 rotation.
     # transformWithState twin: registered only where protobuf exists, and
     # never yet driver-checkable — keep it in the prefix so it certifies
     # the first time it can; in protobuf-less envs it is filtered out and
     # costs no slot.
     "streaming_user_stats_tws",
-    # --- NEW this round (DIMSUM sampled-cosine operator est branch;
-    # embedding-space drift monitor over portable LSH buckets;
-    # Snorkel-style agreement-weighted weak-label vote; hard-negative
-    # mining; UniMax water-filling budget allocation):
-    "sampled_cosine_pairs",
-    "embedding_drift_psi",
-    "weak_label_vote",
-    "hard_negative_mining",
-    "unimax_budget_allocation",
-    # --- last driver check: round 3 (17 entries, staleness order):
-    "streaming_hourly_counts",
-    "streaming_pii_scrub",
-    "pii_redaction_stats",
-    "winnowing_fingerprints",
-    "domain_temperature_weights",
-    "tokenizer_fertility",
-    "semantic_dedup_clusters",
-    "dsir_importance_weights",
-    "classifier_quality_scores",
-    "retrieval_eval_metrics",
-    "countmin_token_topk",
-    "classifier_calibration_ece",
-    "corpus_version_diff",
-    "colbert_maxsim_topk",
-    "repeated_span_stats",
-    "data_quality_profile",
-    "psi_value_drift",
-    # --- last driver check: round 4 (oldest 33, registry order):
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "anti_join_merge",
-    "catalog_scan_events",
-    "events_json_props",
-    "events_hourly_windows",
-    "user_activity_sessions",
-    "chunk_ids_window",
-    "filtered_topk_label",
-    "minhash_lsh_pairs",
-    "split_leakage_check",
-    "minhash_estimate_quality",
-    "doc_len_percentiles_approx",
-    "mad_outliers_approx",
-    "pack_mix_diversity",
-    "hybrid_rrf_topk",
-    "binary_quant_topk",
-    "ntile_curriculum_buckets",
-    "chunk_reassembly",
-    "domain_caps_topn",
-    "global_shuffle_order",
-    "vocab_coverage_topk",
-    "contamination_rate_by_source",
-    "streaming_sliding_counts",
-    "scd2_purchase_history",
-    "lang_confusion_matrix",
-    "trailing_hour_stats",
-    "tfidf_top_terms",
+    # --- last driver check: round 4 (21 entries, staleness order):
     "kl_divergence_by_source",
     "zipf_alpha_by_lang",
     "source_vocab_overlap",
     "event_markov_transitions",
     "source_lang_entropy",
+    "reachability_bfs",
+    "unpivot_monthly_metrics",
+    "lateral_top_customers",
+    "cusum_changepoint",
+    "dow_seasonality",
+    "bigram_pmi_topk",
+    "user_burstiness",
+    "federated_label_topk",
+    "near_dup_rate_by_source",
+    "k_anonymity_audit",
+    "dp_noisy_counts",
+    "event_pattern_match",
+    "weekly_cohort_retention",
+    "ab_test_zscore",
+    "point_in_time_join",
+    "bigram_logprob_quality",
+    # --- last driver check: round 5 (oldest 29, registry order):
+    "q1_pricing_summary",
+    "split_fixed_chunks",
+    "dedup_exact_first",
+    "vs_merge_content_ids",
+    "mock_embed_dims",
+    "topk_cosine",
+    "topk_euclidean",
+    "topk_dot_product",
+    "topk_score_threshold",
+    "rag_topk_mock_query",
+    "knn_join_batch",
+    "lsh_ann_topk",
+    "minhash_signatures",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+    "lang_id",
+    "quality_scores",
+    "token_counts",
+    "doc_fingerprints",
+    "asof_clicks_before_errors",
+    "range_error_followups",
+    "events_rollup",
+    "ingest_chunks_dedup",
+    "vs_table_names",
+    "docs_union_distinct",
+    "q4_exists_late_lines",
+    "q12_priority_case_agg",
+    "q16_distinct_suppliers",
+    "q17_below_avg_quantity",
 )
 
 
