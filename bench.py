@@ -640,6 +640,7 @@ class StageMetricsTracker:
     def __init__(self, spark):
         self._ok = True
         self._last = -1
+        self._pending: set[int] = set()
         try:
             sc = spark.sparkContext
             self._store = sc._jsc.sc().statusStore()
@@ -649,7 +650,12 @@ class StageMetricsTracker:
 
     def delta(self):
         """(shuffle_write_bytes, disk_spill_bytes, mem_spill_bytes) summed
-        over stages that completed since the previous call, or None."""
+        over stages that reached a TERMINAL status since the previous call,
+        or None. Stages still ACTIVE/PENDING at snapshot time (background or
+        retry jobs straddling the call) are carried in ``self._pending`` and
+        counted once on a later call when they complete — a single high-water
+        mark would freeze their partial bytes into the wrong query's delta
+        and never revisit them."""
         if not self._ok:
             return None
         try:
@@ -659,17 +665,29 @@ class StageMetricsTracker:
                 gw.new_array(gw.jvm.double, 0), gw.jvm.java.util.ArrayList(),
             )
             sw = sp = mem = 0
+            # Re-scan down to the oldest still-pending stage id (bounded:
+            # pending sets are a handful of straddling stages, and the walk
+            # skips already-counted terminal ids in between).
+            cutoff = min(self._pending, default=self._last + 1)
+            cutoff = min(cutoff, self._last + 1)
             newest = self._last
+            still_pending: set[int] = set()
             for i in range(stages.size()):
                 s = stages.apply(i)
                 sid = s.stageId()
-                if sid <= self._last:
+                if sid < cutoff:
                     break
+                if sid <= self._last and sid not in self._pending:
+                    continue  # terminal and counted on an earlier call
                 newest = max(newest, sid)
-                sw += s.shuffleWriteBytes()
-                sp += s.diskBytesSpilled()
-                mem += s.memoryBytesSpilled()
+                if str(s.status()) in ("COMPLETE", "FAILED", "SKIPPED"):
+                    sw += s.shuffleWriteBytes()
+                    sp += s.diskBytesSpilled()
+                    mem += s.memoryBytesSpilled()
+                else:  # ACTIVE / PENDING — revisit next call
+                    still_pending.add(sid)
             self._last = newest
+            self._pending = still_pending
             return sw, sp, mem
         except Exception as e:  # noqa: BLE001 — metrics must never fail the bench
             print(f"# BENCH WARN stage metrics unavailable: {_errline(e)}", file=sys.stderr)

@@ -90,7 +90,10 @@ def cleanup_staging(paths: list[str] | None = None) -> None:
         # warehouse dirs come back as file:/x, file:///x, or bare /x
         local = urlparse(p).path if p.startswith("file:") else p
         shutil.rmtree(local, ignore_errors=True)
-        if paths is None:
+        # Drop from the process ledger however cleanup was invoked, so the
+        # atexit pass never re-attempts removed paths and the module state
+        # always reflects what is actually staged.
+        if p in _STAGED_THIS_PROCESS:
             _STAGED_THIS_PROCESS.remove(p)
 
 

@@ -284,10 +284,17 @@ def sampled_tier_recall(
     {tier: {"recall": r_default, "widened_recall": r_widened|None}}."""
     from oaim_sandbox_spark.operators import ann as A
 
+    # Validate names up front so the public entry points raise the
+    # descriptive error, not a bare KeyError from TIER_LADDER[tier].
+    tier_list = list(TIER_LADDER) if tiers is None else list(tiers)
+    for t in tier_list:
+        if t not in TIER_LADDER:
+            raise ValueError(f"unknown tier {t!r}; one of {sorted(TIER_LADDER)}")
+
     sub, qdf, queries, dim = _probe_frames(store, n_queries, store_cap, id_col, vec_col)
     exact = _sets(A.knn_join(sub, qdf, k=k))
     out: dict[str, dict] = {}
-    for tier in tiers if tiers is not None else list(TIER_LADDER):
+    for tier in tier_list:
         default_op, widened_op = TIER_LADDER[tier]
         r = _tier_recall(tier, default_op, sub, qdf, queries, dim, exact, k)
         rw = (

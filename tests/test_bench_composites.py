@@ -80,3 +80,97 @@ def test_stage_metrics_tracker_attributes_shuffle(spark):
     d_scan = tracker.delta()
     assert d_scan is not None and d_scan[0] <= d_shuffle[0] / 10
     assert tracker._last > last_after_shuffle
+
+
+class _FakeStage:
+    def __init__(self, sid, status, sw):
+        self._sid, self._status, self._sw = sid, status, sw
+
+    def stageId(self):
+        return self._sid
+
+    def status(self):
+        return self._status
+
+    def shuffleWriteBytes(self):
+        return self._sw
+
+    def diskBytesSpilled(self):
+        return 0
+
+    def memoryBytesSpilled(self):
+        return 0
+
+
+class _FakeStore:
+    """Stand-in for the JVM AppStatusStore: stageList newest-first."""
+
+    def __init__(self):
+        self.stages = {}
+
+    def stageList(self, *_args):
+        ordered = [self.stages[k] for k in sorted(self.stages, reverse=True)]
+
+        class _L:
+            def size(self_inner):
+                return len(ordered)
+
+            def apply(self_inner, i):
+                return ordered[i]
+
+        return _L()
+
+
+class _FakeGateway:
+    class jvm:  # noqa: N801 — mimics py4j attribute shape
+        double = float
+
+        class java:  # noqa: N801
+            class util:  # noqa: N801
+                ArrayList = list
+
+    def new_array(self, _t, _n):
+        return []
+
+
+def _fake_tracker(store):
+    import bench
+
+    t = bench.StageMetricsTracker.__new__(bench.StageMetricsTracker)
+    t._ok, t._last, t._pending = True, -1, set()
+    t._store, t._gw = store, _FakeGateway()
+    return t
+
+
+def test_stage_metrics_tracker_revisits_straddling_stage():
+    """A stage still ACTIVE at snapshot time must NOT be counted with its
+    partial bytes and frozen behind the high-water mark; it is carried
+    pending and counted exactly once, with final bytes, when terminal."""
+    store = _FakeStore()
+    tracker = _fake_tracker(store)
+    store.stages[1] = _FakeStage(1, "COMPLETE", 100)
+    store.stages[2] = _FakeStage(2, "ACTIVE", 50)  # mid-run partial bytes
+    d1 = tracker.delta()
+    assert d1[0] == 100  # ACTIVE stage excluded, not partially counted
+    assert tracker._pending == {2}
+    # stage 2 finishes (final bytes 80) while stage 3 also completes
+    store.stages[2] = _FakeStage(2, "COMPLETE", 80)
+    store.stages[3] = _FakeStage(3, "COMPLETE", 10)
+    d2 = tracker.delta()
+    assert d2[0] == 90  # 80 (revisited, final) + 10 — stage 2 once, not twice
+    assert tracker._pending == set()
+    # nothing new: delta is zero and already-counted ids stay counted
+    assert tracker.delta()[0] == 0
+
+
+def test_stage_metrics_tracker_drops_evicted_pending():
+    """A pending stage evicted from the status store before completing is
+    dropped from the pending set rather than pinning the re-scan cutoff."""
+    store = _FakeStore()
+    tracker = _fake_tracker(store)
+    store.stages[5] = _FakeStage(5, "ACTIVE", 7)
+    assert tracker.delta()[0] == 0 and tracker._pending == {5}
+    del store.stages[5]
+    store.stages[6] = _FakeStage(6, "COMPLETE", 3)
+    assert tracker.delta()[0] == 3
+    assert tracker._pending == set()

@@ -48,3 +48,14 @@ def test_env_threshold_respected(spark, monkeypatch):
     out = M.materialize_relation(_src(spark), "tmatenv")
     assert "parquet" not in out._jdf.queryExecution().optimizedPlan().toString().lower()
     assert out.count() == 1000
+
+
+def test_cleanup_with_explicit_paths_prunes_process_ledger(spark):
+    """cleanup_staging(paths=...) must drop cleaned paths from the module
+    ledger too, so the atexit pass never re-attempts removed directories."""
+    before = list(M._STAGED_THIS_PROCESS)
+    M.materialize_relation(_src(spark), "tmatledger", spill_bytes=0)
+    staged = [p for p in M._STAGED_THIS_PROCESS if p not in before]
+    assert len(staged) == 1
+    M.cleanup_staging(staged)  # explicit-paths branch
+    assert staged[0] not in M._STAGED_THIS_PROCESS

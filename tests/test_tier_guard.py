@@ -99,3 +99,16 @@ def test_probe_cost_bounded_by_store_cap(spark):
     assert n <= 2 * 300 and n >= 100  # divisor = round(n/cap) keeps ~cap rows
     got = A.recommend_tiers(store, tiers=["int8"], store_cap=300)
     assert set(got) == {"int8"} and got["int8"]["status"] == "ok"
+
+
+def test_unknown_tier_raises_descriptive_valueerror():
+    """Public entry points validate tier names up front — the descriptive
+    ValueError, not a bare KeyError from TIER_LADDER[tier], and before any
+    probe work touches the store (store=None proves no Spark access)."""
+    from oaim_sandbox_spark.operators import tier_guard as TG
+
+    for fn in (TG.sampled_tier_recall, TG.recommend_tiers):
+        with pytest.raises(ValueError, match="unknown tier 'nope'"):
+            fn(None, tiers=["nope"])
+    with pytest.raises(ValueError, match="unknown tier 'nope'"):
+        TG.assert_tier_usable(None, "nope")
