@@ -352,6 +352,95 @@ class VectorStoreCatalog:
             report["ivf_index"] = index_path
         return report
 
+    # -- tier-guard verdict cache ------------------------------------------
+    def store_fingerprint(self, name: str) -> str:
+        """Content-version fingerprint of a store: hash of the sorted
+        (relative path, size) listing of its parquet files. Any append,
+        overwrite, compaction, or Z-order rewrite changes the listing, so
+        a cached per-store verdict keyed on this fingerprint invalidates
+        exactly when the store's contents could have changed — without
+        requiring every writer (streaming appends included) to bump an
+        explicit version counter."""
+        import hashlib
+
+        path = self._store_path(name)
+        entries = sorted(
+            (os.path.relpath(os.path.join(dp, f), path), os.path.getsize(os.path.join(dp, f)))
+            for dp, _dirs, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        return hashlib.sha256(json.dumps(entries).encode()).hexdigest()[:16]
+
+    def tier_verdicts(
+        self,
+        name: str,
+        tiers: list[str] | None = None,
+        floor: float | None = None,
+        k: int = 10,
+        refresh: bool = False,
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        **probe_kwargs,
+    ) -> dict[str, dict]:
+        """Cached `tier_guard.recommend_tiers` for a catalog store: the
+        10-19s sampled recall probe runs ONCE per (store version, floor, k)
+        and the verdict JSON is persisted in the `_genai.json` sidecar (the
+        K5 comment/properties machinery), so serving paths consult it at
+        sidecar-read cost. Re-probes only when the store fingerprint
+        changes (append/rewrite), the floor/k differ, a requested tier has
+        no cached verdict yet, or `refresh=True`."""
+        from oaim_sandbox_spark.operators import tier_guard as TG
+
+        floor = TG.DEFAULT_FLOOR if floor is None else floor
+        want = list(TG.TIER_LADDER) if tiers is None else list(tiers)
+        for t in want:
+            if t not in TG.TIER_LADDER:
+                raise ValueError(f"unknown tier {t!r}; one of {sorted(TG.TIER_LADDER)}")
+        fp = self.store_fingerprint(name)
+        sidecar_path = os.path.join(self._store_path(name), SIDECAR)
+        meta: dict = {}
+        if os.path.isfile(sidecar_path):
+            with open(sidecar_path) as fh:
+                meta = json.load(fh)
+        cached = meta.get("tier_guard")
+        valid = (
+            cached is not None
+            and cached.get("fingerprint") == fp
+            and cached.get("floor") == floor
+            and cached.get("k") == k
+        )
+        if valid and not refresh and all(t in cached["verdicts"] for t in want):
+            return {t: cached["verdicts"][t] for t in want}
+        probe = [t for t in want if refresh or not (valid and t in cached["verdicts"])]
+        fresh = TG.recommend_tiers(
+            self.read_store(name), tiers=probe, k=k, floor=floor,
+            id_col=id_col, vec_col=vec_col, **probe_kwargs,
+        )
+        merged = dict(cached["verdicts"]) if valid else {}
+        merged.update(fresh)
+        meta["tier_guard"] = {"fingerprint": fp, "floor": floor, "k": k, "verdicts": merged}
+        with open(sidecar_path, "w") as fh:
+            fh.write(json.dumps(meta))
+        return {t: merged[t] for t in want}
+
+    def assert_tier_usable(self, name: str, tier: str, floor: float | None = None, **kw) -> dict:
+        """Enforcing form of the cached verdict — same contract as
+        `tier_guard.assert_tier_usable` (raises on a refused tier) but
+        zero probe cost once the verdict is cached for this store version."""
+        verdict = self.tier_verdicts(name, tiers=[tier], floor=floor, **kw)[tier]
+        if verdict["status"] == "refused":
+            from oaim_sandbox_spark.operators import tier_guard as TG
+
+            floor_v = TG.DEFAULT_FLOOR if floor is None else floor
+            raise ValueError(
+                f"tier {tier!r} refused for store {name!r}: sampled recall@10 "
+                f"{verdict['recall']} (widened: {verdict['widened_recall']}) is below "
+                f"the {floor_v} floor — its distribution assumption does not hold for "
+                f"these embeddings; use int8/pca16_rerank or the exact path"
+            )
+        return verdict
+
     def drop_store(self, name: str) -> None:
         """K3 drop: remove data + catalog entry + any derived IVF index
         (maintain_store(rebuild_ivf=True) writes it beside the store as

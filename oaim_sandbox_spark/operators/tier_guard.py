@@ -140,24 +140,41 @@ def exact_rerank(store: DataFrame, qdf: DataFrame, cand: DataFrame, k: int) -> D
     return rr.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def binary_hamming_candidates(
-    store: DataFrame, queries: list, dim: int, fetch_k: int
-) -> DataFrame:
-    """Stage-1 of the binary (sign-bit) tier: pack signs into int64 words
-    (<=32 dims each), rank by Hamming distance over the packed words, keep
-    the fetch_k nearest per query. Returns (query_id, neighbor_id). The
-    CANONICAL implementation — bench.ann_recall and the guard's probe both
-    call this, so the measured ladder points and the guard's thresholds
-    cannot drift apart (r7 self-review finding)."""
-    spark = store.sparkSession
-    spans = [(s + 1, min(32, dim - s)) for s in range(0, dim, 32)]
-    packed = store.select(
+def sign_spans(dim: int) -> list[tuple[int, int]]:
+    """(1-based start, length) spans packing `dim` sign bits into int64
+    words of <=32 dims each."""
+    return [(s + 1, min(32, dim - s)) for s in range(0, dim, 32)]
+
+
+def pack_signs(store: DataFrame, dim: int) -> DataFrame:
+    """Sign-bit packing of (vec_id, embedding) into (neighbor_id, w0..wN)
+    int64 words — the binary tier's stored representation. Split out so a
+    serving TieredStore can compute it ONCE per store while the probe/bench
+    path packs inline."""
+    spans = sign_spans(dim)
+    return store.select(
         F.col("vec_id").alias("neighbor_id"),
         *[
             F.expr(P.sign_pack("cast(embedding as array<double>)", s, n, "spark")).alias(f"w{i}")
             for i, (s, n) in enumerate(spans)
         ],
     )
+
+
+def binary_hamming_candidates(
+    store: DataFrame, queries: list, dim: int, fetch_k: int, packed: DataFrame | None = None
+) -> DataFrame:
+    """Stage-1 of the binary (sign-bit) tier: pack signs into int64 words
+    (<=32 dims each), rank by Hamming distance over the packed words, keep
+    the fetch_k nearest per query. Returns (query_id, neighbor_id). The
+    CANONICAL implementation — bench.ann_recall, the guard's probe, and the
+    serving TieredStore (which passes its precomputed `packed`) all call
+    this, so the measured ladder points and the guard's thresholds cannot
+    drift apart (r7 self-review finding)."""
+    spark = store.sparkSession
+    spans = sign_spans(dim)
+    if packed is None:
+        packed = pack_signs(store, dim)
     qrows = [
         (qid, *[sum(1 << j for j in range(n) if qv[s - 1 + j] > 0) for s, n in spans])
         for qid, qv in queries
@@ -365,3 +382,123 @@ def assert_tier_usable(
             f"these embeddings; use int8/pca16_rerank or the exact path"
         )
     return verdict
+
+
+# -- serving-side tiered retrieval -------------------------------------------
+
+# Tiers a TieredStore can serve: their compressed representation is a pure
+# column transform (or a bounded one-pass fit, for PCA) prepared once per
+# store, with no index structure to persist. The stateful-index tiers serve
+# through their own classes instead — ivf/pq via ann.IVFIndex / ann.PQIndex
+# (fitted, disk-partitioned), lsh via ann.lsh_knn_join.
+SERVABLE_TIERS = ("int8", "binary_hamming_rerank", "matryoshka16_rerank", "pca16_rerank")
+
+
+class TieredStore:
+    """Per-(store, tier) prepared serving state: the tier's compressed
+    representation is computed ONCE and checkpointed, so each query pays
+    one cheap stage-1 scan over the compressed columns plus a bounded exact
+    re-rank against the full-precision vectors — the same canonical funnels
+    the recall guard probes and the bench measures (pack_signs /
+    knn_join-over-prefix / PCA projection + exact_rerank), reused verbatim.
+
+    This is the 100 TB serving shape: stage-1 bandwidth shrinks 4-16x
+    (int64 words / 16-dim prefixes vs full float arrays) while the exact
+    re-rank touches only fetch_mult*k candidate rows. Pass the operating
+    point from a cached catalog verdict
+    (`VectorStoreCatalog.assert_tier_usable`) so a tier whose recall
+    collapsed on this store is refused BEFORE any query runs.
+
+    Ids must be numeric (cast to bigint), the same contract as the guard's
+    probe and the ann operators."""
+
+    def __init__(
+        self,
+        store: DataFrame,
+        tier: str,
+        operating_point: dict | None = None,
+        id_col: str = "id",
+        vec_col: str = "embedding",
+    ):
+        if tier not in SERVABLE_TIERS:
+            raise ValueError(
+                f"tier {tier!r} is not servable from a TieredStore; one of "
+                f"{list(SERVABLE_TIERS)} (ivf/pq serve via ann.IVFIndex/ann.PQIndex, "
+                "lsh via ann.lsh_knn_join)"
+            )
+        self.tier = tier
+        self.op = dict(TIER_LADDER[tier][0] if operating_point is None else operating_point)
+        self.id_col, self.vec_col = id_col, vec_col
+        self.store = store
+        self._norm = store.select(
+            F.col(id_col).cast("bigint").alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"),
+        )
+        first = self._norm.select(F.size("embedding").alias("d")).first()
+        if first is None:
+            raise ValueError("cannot build a TieredStore over an empty store")
+        self.dim = int(first["d"])
+        self._pca = None
+        if tier == "int8":
+            from oaim_sandbox_spark.operators import ann as A
+
+            rep = A.dequantize_embeddings(A.quantize_embeddings(self._norm))
+        elif tier == "binary_hamming_rerank":
+            rep = pack_signs(self._norm, self.dim)
+        elif tier == "matryoshka16_rerank":
+            rep = self._norm.select(
+                "vec_id", F.expr("slice(embedding, 1, 16)").alias("embp")
+            )
+        else:  # pca16_rerank — bounded one-pass Gram fit, then projection
+            from oaim_sandbox_spark.operators.dim_reduce import fit_pca, project_pca
+
+            self._pca = fit_pca(self._norm, n_components=16)
+            rep = project_pca(self._norm, self._pca, out_col="embp").select("vec_id", "embp")
+        # Prepared representation: computed once, re-readable per query.
+        # (materialize_relation spills corpus-sized reps to durable parquet.)
+        from oaim_sandbox_spark.materialize import materialize_relation
+
+        self._rep = materialize_relation(rep, f"tier_{tier}")
+
+    def topk(self, query_vec: list[float], k: int = 4) -> DataFrame:
+        """Exact-metric top-k through the tier funnel for ONE query vector.
+        Returns the original store columns plus `distance` (round 6),
+        ordered ascending — the same output contract as
+        retrieval.similarity_topk, so serving callers can swap it in."""
+        from oaim_sandbox_spark.operators import ann as A
+
+        spark = self.store.sparkSession
+        qv = [float(x) for x in query_vec]
+        qdf = spark.createDataFrame([(0, qv)], "query_id BIGINT, query_vec ARRAY<DOUBLE>")
+        if self.tier == "int8":
+            res = A.knn_join(self._rep, qdf, k=k)
+        else:
+            fetch_k = int(self.op.get("fetch_mult", 5)) * k
+            if self.tier == "binary_hamming_rerank":
+                cand = binary_hamming_candidates(
+                    self._norm, [(0, qv)], self.dim, fetch_k, packed=self._rep
+                )
+            elif self.tier == "matryoshka16_rerank":
+                qdfp = qdf.withColumn("query_vec", F.expr("slice(query_vec, 1, 16)"))
+                cand = A.knn_join(self._rep, qdfp, k=fetch_k, item_vec="embp").select(
+                    "query_id", "neighbor_id"
+                )
+            else:  # pca16_rerank
+                import numpy as np
+
+                proj = ((np.asarray(qv) - self._pca.mean) @ self._pca.components.T).tolist()
+                qdfp = spark.createDataFrame(
+                    [(0, proj)], "query_id BIGINT, query_vec ARRAY<DOUBLE>"
+                )
+                cand = A.knn_join(self._rep, qdfp, k=fetch_k, item_vec="embp").select(
+                    "query_id", "neighbor_id"
+                )
+            res = exact_rerank(self._norm, qdf, cand, k)
+        hits = res.select(F.col("neighbor_id"), F.col("distance"))
+        return (
+            self.store.join(
+                hits, F.col(self.id_col).cast("bigint") == F.col("neighbor_id")
+            )
+            .drop("neighbor_id")
+            .orderBy(F.col("distance").asc(), F.col(self.id_col).asc())
+        )

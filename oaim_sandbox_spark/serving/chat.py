@@ -41,6 +41,11 @@ class RagSettings:
     lambda_mult: float = 0.5
     grading: bool = True
     distance_metric: str = "COSINE"
+    # Optional compressed ANN tier for retrieval (tier_guard.SERVABLE_TIERS);
+    # None = exact scan. The pipeline consults its tier gate (the cached
+    # catalog verdict) before the first tiered query — a refused tier raises
+    # instead of silently serving near-noise.
+    search_tier: str | None = None
 
 
 @dataclass
@@ -138,6 +143,7 @@ class ChatPipeline:
         sys_prompt: str = DEFAULT_SYS_PROMPT,
         ctx_prompt: str = DEFAULT_CTX_PROMPT,
         model_name: str = "mock-llm",
+        tier_gate=None,  # Callable[[str], dict]: tier -> verdict (raises on refused)
     ):
         self.store = store
         self.embed_query = embed_query
@@ -146,6 +152,13 @@ class ChatPipeline:
         self.sys_prompt = sys_prompt
         self.ctx_prompt = ctx_prompt
         self.model_name = model_name
+        # tier_gate is how serving consults the PERSISTED tier-guard verdict
+        # with zero probe cost: wire it to
+        # ``lambda t: catalog.assert_tier_usable(store_name, t)`` so the
+        # cached sidecar verdict (VectorStoreCatalog.tier_verdicts) gates the
+        # tier and supplies its accepted (possibly widened) operating point.
+        self.tier_gate = tier_gate
+        self._tiered: dict[str, object] = {}
         self._history: dict[str, list[Message]] = {}
 
     # -- nodes ---------------------------------------------------------------
@@ -155,11 +168,27 @@ class ChatPipeline:
         msgs = [Message("system", self.ctx_prompt), *history[:-1], Message("user", question)]
         return self.llm.complete(msgs)
 
+    def _tiered_store(self, tier: str):
+        """Prepared TieredStore for this pipeline's store, built once per
+        tier: the tier gate (cached catalog verdict — zero probe cost) runs
+        first and supplies the accepted operating point, or raises on a
+        refused tier before any compressed representation is built."""
+        if tier not in self._tiered:
+            from oaim_sandbox_spark.operators.tier_guard import TieredStore
+
+            op = None
+            if self.tier_gate is not None:
+                op = self.tier_gate(tier).get("operating_point")
+            self._tiered[tier] = TieredStore(self.store, tier, operating_point=op)
+        return self._tiered[tier]
+
     def retrieve(self, question: str) -> list:
         from oaim_sandbox_spark.operators.retrieval import mmr_rerank, similarity_topk
 
         qv = self.embed_query(question)
         s = self.settings
+        if s.search_tier:
+            return self._tiered_store(s.search_tier).topk(qv, k=s.top_k).collect()
         if s.search_type == "Maximal Marginal Relevance":
             return mmr_rerank(self.store, qv, k=s.top_k, fetch_k=s.fetch_k,
                               lambda_mult=s.lambda_mult, metric=s.distance_metric)

@@ -1,0 +1,141 @@
+"""Persisted tier-guard verdicts (VERDICT r7 task #2): the sampled recall
+probe runs once per (store version, floor, k), the verdict JSON lives in the
+`_genai.json` sidecar, and serving retrieval consults it with zero probe
+cost through ChatPipeline's tier gate."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from oaim_sandbox_spark.catalog import SIDECAR, VectorStorage, VectorStoreCatalog
+
+DIM = 64
+PROBE_KW = dict(n_queries=4, store_cap=2000)
+
+
+def _planted(spark, n=400, start=0):
+    centroid = f"3.0 * sin((id % 20) * 2.399963 + i * 0.712)"
+    noise = "0.35 * (cast(hash(id, i) as double) / 2147483647.0)"
+    return (
+        spark.range(start, start + n)
+        .withColumn("text", F.concat(F.lit("doc "), F.col("id")))
+        .withColumn(
+            "embedding",
+            F.expr(f"transform(sequence(0, {DIM - 1}), i -> {centroid} + {noise})"),
+        )
+    )
+
+
+@pytest.fixture()
+def cat_store(spark, tmp_path):
+    cat = VectorStoreCatalog(spark, root=str(tmp_path))
+    vs = VectorStorage(alias="tg", model="mock", chunk_size=100, chunk_overlap=0)
+    name = cat.write_store(_planted(spark), vs)
+    return cat, name, vs
+
+
+@pytest.fixture()
+def probe_log(monkeypatch):
+    """Wrap tier_guard.recommend_tiers to record each probe's tier list —
+    the zero-probe-cost assertions count entries here."""
+    from oaim_sandbox_spark.operators import tier_guard as TG
+
+    calls: list[list[str]] = []
+    real = TG.recommend_tiers
+
+    def wrapper(store, tiers=None, **kw):
+        calls.append(list(TG.TIER_LADDER) if tiers is None else list(tiers))
+        return real(store, tiers=tiers, **kw)
+
+    monkeypatch.setattr(TG, "recommend_tiers", wrapper)
+    return calls
+
+
+def test_verdict_cached_in_sidecar_and_reused(cat_store, probe_log):
+    cat, name, _vs = cat_store
+    v1 = cat.tier_verdicts(name, tiers=["matryoshka16_rerank"], **PROBE_KW)
+    assert len(probe_log) == 1
+    assert v1["matryoshka16_rerank"]["status"] in ("ok", "widened")
+    sidecar = os.path.join(cat._store_path(name), SIDECAR)
+    with open(sidecar) as fh:
+        meta = json.load(fh)
+    tg = meta["tier_guard"]
+    assert tg["fingerprint"] == cat.store_fingerprint(name)
+    assert "matryoshka16_rerank" in tg["verdicts"]
+    # second call: sidecar-read cost only, identical verdict
+    v2 = cat.tier_verdicts(name, tiers=["matryoshka16_rerank"], **PROBE_KW)
+    assert len(probe_log) == 1
+    assert v2 == v1
+
+
+def test_partial_cache_probes_only_missing_tiers(cat_store, probe_log):
+    cat, name, _vs = cat_store
+    cat.tier_verdicts(name, tiers=["matryoshka16_rerank"], **PROBE_KW)
+    both = cat.tier_verdicts(
+        name, tiers=["matryoshka16_rerank", "binary_hamming_rerank"], **PROBE_KW
+    )
+    assert probe_log[-1] == ["binary_hamming_rerank"]  # cached tier not re-probed
+    assert set(both) == {"matryoshka16_rerank", "binary_hamming_rerank"}
+
+
+def test_cache_invalidates_on_append(cat_store, probe_log):
+    cat, name, vs = cat_store
+    cat.tier_verdicts(name, tiers=["matryoshka16_rerank"], **PROBE_KW)
+    fp_before = cat.store_fingerprint(name)
+    cat.write_store(_planted(cat.spark, n=100, start=1000), vs, mode="append")
+    assert cat.store_fingerprint(name) != fp_before
+    cat.tier_verdicts(name, tiers=["matryoshka16_rerank"], **PROBE_KW)
+    assert len(probe_log) == 2  # fingerprint change forced a re-probe
+
+
+def test_assert_tier_usable_cached_refusal(cat_store, probe_log):
+    cat, name, _vs = cat_store
+    # floor above any achievable recall forces a deterministic refusal;
+    # the refusal itself is cached — the second assert re-raises with no probe
+    for _ in range(2):
+        with pytest.raises(ValueError, match="refused for store"):
+            cat.assert_tier_usable(name, "matryoshka16_rerank", floor=1.01, **PROBE_KW)
+    assert len(probe_log) == 1
+
+
+def test_chat_pipeline_consults_cached_gate_zero_probe(cat_store, probe_log, monkeypatch):
+    from oaim_sandbox_spark.operators import tier_guard as TG
+    from oaim_sandbox_spark.operators.retrieval import similarity_topk
+    from oaim_sandbox_spark.serving.chat import ChatPipeline, MockLLM, RagSettings
+
+    cat, name, _vs = cat_store
+    cat.tier_verdicts(name, tiers=["matryoshka16_rerank"], **PROBE_KW)  # warm cache
+    warm_probes = len(probe_log)
+    store = cat.read_store(name)
+    qv = [float(x) for x in store.filter("id = 7").first()["embedding"]]
+    pipe = ChatPipeline(
+        store=store,
+        embed_query=lambda _q: qv,
+        llm=MockLLM(),
+        settings=RagSettings(search_tier="matryoshka16_rerank", grading=False),
+        tier_gate=lambda t: cat.assert_tier_usable(name, t, **PROBE_KW),
+    )
+    docs = pipe.retrieve("q")
+    # the gate consulted ONLY the cached verdict: zero additional probes
+    assert len(probe_log) == warm_probes
+    assert [d["text"] for d in docs]  # store columns survive the funnel
+    dists = [d["distance"] for d in docs]
+    assert dists == sorted(dists) and len(docs) == 4
+    # funnel output matches the exact scan on this planted store
+    exact_ids = [r["id"] for r in similarity_topk(store, qv, k=4).collect()]
+    assert [d["id"] for d in docs] == exact_ids
+    # second query reuses the prepared TieredStore (no rebuild, still no probe)
+    pipe.retrieve("q")
+    assert len(probe_log) == warm_probes
+    # a refused tier raises BEFORE any retrieval runs
+    pipe2 = ChatPipeline(
+        store=store,
+        embed_query=lambda _q: qv,
+        llm=MockLLM(),
+        settings=RagSettings(search_tier="matryoshka16_rerank", grading=False),
+        tier_gate=lambda t: cat.assert_tier_usable(name, t, floor=1.01, **PROBE_KW),
+    )
+    with pytest.raises(ValueError, match="refused for store"):
+        pipe2.retrieve("q")
