@@ -440,10 +440,22 @@ class IVFIndex:
         query_id: str = "query_id",
         query_vec: str = "query_vec",
         where: str | None = None,
+        query_cols: list[str] | None = None,
+        pair_where: str | None = None,
     ) -> DataFrame:
         """Batched IVF probe: ONE pruned scan answers a whole query batch.
         ``where``: optional metadata predicate, pre-filter semantics (see
         ``search``); applied once to the shared pruned scan.
+
+        ``query_cols``/``pair_where``: PER-QUERY pre-filter semantics —
+        extra columns from the query frame (e.g. the query's own label) are
+        carried through the broadcast, and ``pair_where`` may reference
+        both store and carried query columns (e.g. ``"label <> qlabel AND
+        vec_id <> query_id"`` for hard-negative mining). Applied after the
+        centroid join but BEFORE ranking, so each query's top-k is the
+        top-k of its own matching rows; centroid partition pruning still
+        bounds the scan (a per-query predicate can't reach the parquet
+        scan the way the uniform ``where`` does).
 
         Per-query `search` costs one Spark job each — fine interactively,
         wrong for offline batch retrieval (the reference's testbed shape:
@@ -481,11 +493,13 @@ class IVFIndex:
         store = spark.read.parquet(path).filter(F.col("centroid").isin(all_cents))
         if where is not None:
             store = store.filter(where)
+        if query_cols:
+            qdf = qdf.join(queries.select(query_id, *query_cols), query_id)
         dist = distance_expr(self.vec_col, P.to_double_array(query_vec, "spark"), metric)
-        scored = (
-            store.join(F.broadcast(qdf), "centroid")
-            .withColumn("distance", F.expr(f"round({dist}, 6)"))
-        )
+        scored = store.join(F.broadcast(qdf), "centroid")
+        if pair_where is not None:
+            scored = scored.filter(pair_where)
+        scored = scored.withColumn("distance", F.expr(f"round({dist}, 6)"))
         w = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col(id_col).asc())
         return (
             scored.withColumn("rank", F.row_number().over(w))

@@ -1010,6 +1010,63 @@ def _ivf_full_probe_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hard_negative_funnel_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for hard-negative mining, A/B'd against the
+    `hard_negative_mining` FULL oracle (its twin — same contract, exhaustive
+    scan): IVF candidates with the different-label predicate applied PER
+    QUERY inside the pruned probe (search_batch query_cols/pair_where), so
+    each query's top-5 is the top-5 of its own matching rows in the probed
+    partitions. Distances on scanned rows are exact cosine, so no separate
+    re-rank stage is needed — the funnel reads nprobe/n_centroids of the
+    store instead of the oracle's O(|corpus|^2/97) cross score. Fitted
+    centroids aren't reproducible in DuckDB -> rows-only; recall@5 vs the
+    oracle is pinned in tests/test_ann.py.
+
+    nprobe=6 of 8 here is the WIDENED point the tier-guard ladder would
+    pick for this store: the synthetic embeddings table has weak coarse
+    separability, and the anti-label constraint pulls true negatives from
+    cluster boundaries, so narrow probes miss them (measured recall@5
+    mean/min vs the oracle: nprobe=4 -> 0.67/0.4, nprobe=6 -> 0.90/0.8 at
+    sf0.1). On a store that a `recommend_tiers` probe accepts at ivf's
+    default, nprobe=2-4 gives the same funnel a far better prune ratio."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.ann import IVFIndex
+
+    register_views(spark, sf_dir, tables=("embeddings",))
+    store = spark.table("embeddings")
+    idx = IVFIndex(n_centroids=8, seed=42, max_iter=5).fit(store, sample_fraction=0.25)
+    path = tempfile.mkdtemp(prefix="ivf_hardneg_")
+    idx.write_partitioned(store, path)
+    qdf = store.filter("vec_id % 97 = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("int").alias("qlabel"),
+        F.expr("cast(embedding as array<double>)").alias("query_vec"),
+    )
+    hits = idx.search_batch(
+        spark, path, qdf, k=5, nprobe=6,
+        query_cols=["qlabel"],
+        pair_where="label <> qlabel AND vec_id <> query_id",
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("negative_id"),
+        F.col("rank").cast("int").alias("rnk"),
+        F.col("distance").cast("double").alias("distance"),
+    )
+    labels = store.select(
+        F.col("vec_id").cast("long").alias("negative_id"),
+        F.col("label").cast("int").alias("neg_label"),
+    )
+    # hits is bounded (5 per query): broadcast it against the label scan
+    return (
+        labels.join(F.broadcast(hits), "negative_id")
+        .select("query_id", "negative_id", "neg_label", "rnk", "distance")
+        .orderBy("query_id", "rnk")
+    )
+
+
 def _streaming_pii_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub THROUGH Structured Streaming: the batch augment → detect →
     redact → audit chain (`_pii_stats_sql`) over an availableNow file stream
@@ -1314,6 +1371,7 @@ GROUP BY event_type
 NON_ORACLE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_rerank": _mmr_rerank_spark,
     "ivf_ann_topk": _ivf_ann_spark,
+    "hard_negative_funnel": _hard_negative_funnel_spark,
     "multimodal_features": _multimodal_features_spark,
     "bpe_tokenize": _bpe_tokenize_spark,
     "sketch_profile": _sketch_profile_spark,
@@ -1334,6 +1392,11 @@ NON_ORACLE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_TWINS: dict[str, str] = {
     "mmr_rerank": "mmr_exact",
     "ivf_ann_topk": "ivf_full_probe_topk",
+    # the funnel's semantics (per-query different-label top-5, exact cosine,
+    # same tie-break) are certified exhaustively by the hard_negative_mining
+    # full oracle; the funnel itself differs only in candidate coverage,
+    # pinned by the recall@5 A/B in tests/test_ann.py
+    "hard_negative_funnel": "hard_negative_mining",
 }
 SELF_AUDITED: dict[str, str] = {
     "bpe_tokenize": "audit_chars_conserved",

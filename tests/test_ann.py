@@ -551,3 +551,44 @@ def test_ivf_search_batch_multi_matches_per_width(spark, tmp_path):
         single = idx.search_batch(spark, path, qdf, k=5, nprobe=width)
         want = {(r["query_id"], r["rank"], r["vec_id"], r["distance"]) for r in single.collect()}
         assert got[width] == want, f"multi != single at nprobe={width}"
+
+
+def test_hard_negative_funnel_recall_vs_oracle(spark):
+    """The hard_negative_funnel rows-only entry A/B'd against its full
+    oracle twin hard_negative_mining (VERDICT r7 task #4): same per-query
+    different-label top-5 contract, IVF-pruned candidates vs exhaustive
+    scan. The funnel's per-query anti-label predicate rides search_batch's
+    query_cols/pair_where. Measured at sf0.01: mean recall@5 0.9333,
+    min 0.8 (deterministic: seeded k-means, hash-deterministic sample)."""
+    import oaim_sandbox_spark.queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    funnel = Q.NON_ORACLE["hard_negative_funnel"](spark, sf).collect()
+    Q.register_views(spark, sf)
+    oracle = spark.sql(Q.TEMPLATES["hard_negative_mining"]("spark")).collect()
+
+    def by_query(rows, idc):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r[idc])
+        return out
+
+    got, want = by_query(funnel, "negative_id"), by_query(oracle, "negative_id")
+    assert set(got) == set(want)  # every query answered, none invented
+    recalls = [len(got[q] & want[q]) / len(want[q]) for q in want]
+    assert sum(recalls) / len(recalls) >= 0.9
+    assert min(recalls) >= 0.75
+    # contract checks shared with the oracle: rank is 1..5 per query,
+    # distances ascend with rank, and no same-label or self negatives
+    per_q = {}
+    for r in funnel:
+        per_q.setdefault(r["query_id"], []).append((r["rnk"], r["distance"], r["negative_id"]))
+    qlabels = {r["vec_id"]: r["label"] for r in
+               spark.table("embeddings").select("vec_id", "label").collect()}
+    for q, rows in per_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        dists = [r[1] for r in rows]
+        assert dists == sorted(dists)
+        for _rnk, _d, neg in rows:
+            assert neg != q and qlabels[neg] != qlabels[q]
