@@ -133,7 +133,10 @@ DEFAULT_CURATION = {
     "min_quality": 0.0,  # quality_score_sql threshold; 0 keeps everything
     "classifier_min_score": None,  # e.g. 0.4 → linear-model gate (fastText-style)
     "exact_dedup": True,
-    "near_dedup_jaccard": None,  # e.g. 0.5 → minhash-LSH drop of est-dup docs
+    "near_dup": "minhash",  # | "sampled_cosine" — which near-dup stage runs
+    "near_dedup_jaccard": None,  # minhash: e.g. 0.5 → LSH drop of est-dup docs
+    "near_dedup_cosine": None,  # sampled_cosine: e.g. 0.6 → tf-idf cosine threshold
+    "near_dup_params": None,  # extra kwargs for the pair generator (e.g. max_df_frac)
 }
 
 
@@ -193,23 +196,47 @@ def curate_corpus(
             out = out.localCheckpoint(eager=True)
         counts["after_classifier"] = out.count()
 
+    method = cfg.get("near_dup", "minhash")
+    if method not in ("minhash", "sampled_cosine"):
+        raise ValueError(f"unknown near_dup method {method!r}; 'minhash' or 'sampled_cosine'")
+    thr = cfg["near_dedup_jaccard"] if method == "minhash" else cfg["near_dedup_cosine"]
+
     if cfg["exact_dedup"]:
         out = exact_dedup(out, text_col=text_col, order_col=id_col)
-        if cfg["near_dedup_jaccard"] is not None:
-            # dedup output feeds the LSH pairs AND the anti-join left side
+        if thr is not None:
+            # dedup output feeds the pair generation AND the anti-join left side
             out = out.localCheckpoint(eager=True)
         counts["after_exact_dedup"] = out.count()
 
-    thr = cfg["near_dedup_jaccard"]
     if thr is not None:
         if not cfg["exact_dedup"]:
             out = out.localCheckpoint(eager=True)
-        pairs = minhash_lsh_pairs(out, id_col=id_col, text_col=text_col)
-        drop = (
-            pairs.filter(F.col("est_jaccard") >= thr)
-            .select(F.greatest("doc_a", "doc_b").alias(id_col))
-            .distinct()
-        )
+        extra = cfg.get("near_dup_params") or {}
+        if method == "minhash":
+            pairs = minhash_lsh_pairs(out, id_col=id_col, text_col=text_col, **extra)
+            drop = (
+                pairs.filter(F.col("est_jaccard") >= thr)
+                .select(F.greatest("doc_a", "doc_b").alias(id_col))
+                .distinct()
+            )
+        else:
+            # the linear-cost DIMSUM family as a curation lever (VERDICT r7
+            # task #5): sampled-candidate generation + exact re-score of only
+            # the surfaced pairs, then connected components so transitive
+            # near-dup CHAINS collapse to one canonical doc (min id =
+            # first-occurrence-wins, the same P7 ordering the exact stage
+            # uses) instead of the pairwise greater-id drop
+            from oaim_sandbox_spark.operators.dedup import connected_components
+            from oaim_sandbox_spark.operators.text_analysis import (
+                sampled_cosine_pairs_rescored,
+            )
+
+            pairs = sampled_cosine_pairs_rescored(
+                out, text_col=text_col, id_col=id_col,
+                candidate_threshold=min(0.06, thr), threshold=thr, **extra,
+            )
+            comp = connected_components(pairs, out.select(id_col), node_col=id_col)
+            drop = comp.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
         out = out.join(drop, id_col, "left_anti")
         counts["after_near_dedup"] = out.count()
 

@@ -204,3 +204,61 @@ def test_merge_content_id_null_text_stable(spark):
     # second delivery of the same batch: nothing is 'fresh'
     fresh = merge_new_rows(addressed, addressed.select("id"), id_col="id")
     assert fresh.count() == 0
+
+
+def test_curate_corpus_sampled_cosine_stage_agrees_with_minhash(spark):
+    """VERDICT r7 task #5: the linear-cost sampled-cosine family is a
+    config-selectable near-dup stage. On the planted sf0.001 corpus the two
+    stages agree EXACTLY on duplicate mass (measured: both drop the same 24
+    of 500 docs at jaccard 0.5 / cosine 0.6) — the sampled-candidate +
+    exact-rescore + connected-components chain reproduces the minhash
+    verdict while costing C*n_terms instead of a shingle-band self-join."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    mh, mh_counts = curate_corpus(
+        spark, docs, {"scrub_pii": False, "exact_dedup": True, "near_dedup_jaccard": 0.5}
+    )
+    sc, sc_counts = curate_corpus(
+        spark, docs,
+        {"scrub_pii": False, "exact_dedup": True,
+         "near_dup": "sampled_cosine", "near_dedup_cosine": 0.6},
+    )
+    mh_ids = {r["doc_id"] for r in mh.select("doc_id").collect()}
+    sc_ids = {r["doc_id"] for r in sc.select("doc_id").collect()}
+    assert mh_counts["input"] - mh_counts["output"] >= 20  # real duplicate mass
+    assert mh_ids == sc_ids
+    assert sc_counts["after_near_dedup"] == sc_counts["output"] == len(sc_ids)
+
+
+def test_curate_corpus_sampled_cosine_collapses_transitive_chain(spark):
+    """The cosine stage routes pairs through connected components, so a
+    transitive chain A~B~C keeps ONLY the canonical min-id doc even when
+    the A~C edge itself is below threshold."""
+    s1 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    s2 = "india juliet kilo lima mike november oscar papa"
+    s3 = "quebec romeo sierra tango uniform victor whiskey xray"
+    s4 = "yankee zulu apple banana cherry durian elder fig"
+    rows = [  # overlapping halves: 10~20 share s2, 20~30 share s3, 10~30 ~nothing
+        (10, f"{s1} {s2}"),
+        (20, f"{s2} {s3}"),
+        (30, f"{s3} {s4}"),
+        (40, "completely unrelated document about spark shuffles and parquet readers"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    curated, counts = curate_corpus(
+        spark, df,
+        {"scrub_pii": False, "exact_dedup": False,
+         # measured: the 10~20 and 20~30 overlap edges score 0.2176, the
+         # 10~30 edge doesn't surface at all — 0.2 keeps both chain links
+         "near_dup": "sampled_cosine", "near_dedup_cosine": 0.2,
+         # tiny fixture: disable the df-fraction term drop sized for corpora
+         "near_dup_params": {"max_df_frac": 1.0}},
+    )
+    ids = {r["doc_id"] for r in curated.collect()}
+    assert ids == {10, 40}
+    assert counts["after_near_dedup"] == 2
+
+
+def test_curate_corpus_rejects_unknown_near_dup_method(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id BIGINT, text STRING")
+    with pytest.raises(ValueError, match="unknown near_dup method"):
+        curate_corpus(spark, df, {"near_dup": "nope", "near_dedup_cosine": 0.5})
