@@ -509,12 +509,8 @@ def ann_recall(
         "pca16_rerank@10": tier_pca16,
     }
     if tier_names is None:
-        # the wide-funnel points only earn their job cost where the default
-        # funnels break (the adversarial block requests them)
-        tiers.pop("binary_hamming_fetch60@10")
-        tiers.pop("pq_adc_fetch400@10")
-    else:
-        tiers = {n: fn for n, fn in tiers.items() if n in tier_names}
+        tier_names = PLANTED_TIERS
+    tiers = {n: fn for n, fn in tiers.items() if n in tier_names}
     recalls: dict[str, float] = {}
     with ThreadPoolExecutor(max_workers=len(tiers)) as pool:
         futs = {name: pool.submit(fn) for name, fn in tiers.items()}
@@ -527,9 +523,15 @@ def ann_recall(
     return recalls
 
 
-# tier subsets per flavor: the adversarial block runs the tiers whose funnel
-# assumptions its skew attacks (plus their documented wide-funnel remedies);
-# the realistic block reports the full default table over real-text features
+# tier subsets per flavor: the planted block runs the default table minus the
+# wide-funnel remedy points (those only earn their job cost where the default
+# funnels break — the adversarial block requests them); the realistic block
+# reports the full default table over real-text features
+PLANTED_TIERS = {
+    "lsh4@10", "lsh8_multiprobe@10", "ivf", "pq_adc_rerank@10", "int8@10",
+    "binary_hamming_rerank@10", "matryoshka16_rerank@10",
+    "matryoshka16_fetch15x@10", "pca16_rerank@10",
+}
 ADVERSARIAL_TIERS = {
     "lsh8_multiprobe@10", "ivf", "pq_adc_rerank@10", "pq_adc_fetch400@10",
     "binary_hamming_rerank@10", "binary_hamming_fetch60@10",
@@ -540,6 +542,108 @@ REALISTIC_TIERS = {
     "matryoshka16_fetch15x@10", "pca16_rerank@10",
 }
 
+# -- recall-block staleness rotation (VERDICT r6/r7: ann_recall_combined is
+# the biggest bench line, yet every tier's recall has been BIT-IDENTICAL
+# since it was first measured — the tiers are deterministic computations
+# over deterministic store recipes at a fixed sf. Like the driver's
+# certification window, the bench re-MEASURES each block on a staleness
+# rotation and CARRIES the last measured values for the rest, re-measuring
+# every block at least every RECALL_BLOCK_REFRESH rounds. A block with no
+# usable history at this sf, a changed tier set, or any value drift between
+# its last two measured rounds is forced back in immediately; carried
+# blocks are marked in the output (recall_measured_blocks /
+# recall_carried_from) so a reader can tell measurement from carry.
+# SPARK_GRAFT_RECALL_FULL=1 forces a full measurement — the sweep A/B uses
+# it to confirm carried values equal a fresh run's.
+
+RECALL_BLOCK_REFRESH = 3
+
+
+def _expand_ivf(names: set) -> set:
+    return {
+        n
+        for t in names
+        for n in (("ivf_nprobe2@10", "ivf_nprobe4@10") if t == "ivf" else (t,))
+    }
+
+
+# block -> the result keys a measured run reports (the staleness planner
+# forces a re-measure whenever history doesn't match this exactly, so adding
+# or retiring a tier re-measures its block instead of carrying a stale shape)
+RECALL_EXPECTED = {
+    "recall": _expand_ivf(PLANTED_TIERS),
+    "recall_adversarial": _expand_ivf(ADVERSARIAL_TIERS),
+    "recall_realistic": _expand_ivf(REALISTIC_TIERS),
+}
+
+
+def _recall_history(repo_dir: str, sf) -> list:
+    """[(round, {block: values}, measured_block_set)] from the committed
+    BENCH_r*.json records at THIS sf (recall values are sf-dependent for the
+    realistic block, so history from another sf is not usable)."""
+    import glob
+
+    out = []
+    for p in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
+        try:
+            rnd = int(p.rsplit("_r", 1)[1].split(".")[0])
+            parsed = json.load(open(p)).get("parsed") or {}
+        except Exception:
+            continue
+        if parsed.get("sf") != sf:
+            continue
+        blocks = {b: parsed.get(b) for b in RECALL_EXPECTED if parsed.get(b)}
+        measured = parsed.get("recall_measured_blocks")
+        out.append((rnd, blocks, set(blocks) if measured is None else set(measured)))
+    return out
+
+
+def plan_recall_rotation(history, expected=None, refresh=RECALL_BLOCK_REFRESH):
+    """(run_blocks, carried, why): which recall blocks to measure this run.
+    ``carried`` maps a skipped block to (round_measured, values)."""
+    expected = RECALL_EXPECTED if expected is None else expected
+    if os.environ.get("SPARK_GRAFT_RECALL_FULL") == "1" or not history:
+        reason = "full run (SPARK_GRAFT_RECALL_FULL)" if history else "no history at this sf"
+        return set(expected), {}, {b: reason for b in expected}
+    current = max(rnd for rnd, _, _ in history) + 1
+    measured_vals: dict[str, list] = {b: [] for b in expected}
+    for rnd, blocks, measured in history:
+        for b in expected:
+            if b in measured and blocks.get(b):
+                measured_vals[b].append((rnd, blocks[b]))
+    run, carried, why = set(), {}, {}
+    for b in expected:
+        vals = measured_vals[b]
+        if not vals:
+            run.add(b)
+            why[b] = "never measured at this sf"
+            continue
+        last_rnd, last = vals[-1]
+        if set(last) != expected[b]:
+            run.add(b)
+            why[b] = "tier set changed"
+            continue
+        if len(vals) < 2 or vals[-2][1] != last:
+            run.add(b)
+            why[b] = "insufficient or drifting history"
+            continue
+        if current - last_rnd >= refresh:
+            run.add(b)
+            why[b] = f"refresh (last measured r{last_rnd})"
+            continue
+        carried[b] = (last_rnd, last)
+        why[b] = f"carried from r{last_rnd} ({len(vals)} identical measured rounds)"
+    if not run:
+        # always measure at least the stalest block (deterministic
+        # round-robin: max staleness, alphabetical tie-break)
+        stalest = sorted(
+            expected, key=lambda b: (-(current - measured_vals[b][-1][0]), b)
+        )[0]
+        run.add(stalest)
+        carried.pop(stalest, None)
+        why[stalest] = "rotation (stalest stable block)"
+    return run, carried, why
+
 
 def ann_recall_all(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[str, dict[str, float]]:
     """All three recall blocks through ONE shared harness: the three stores
@@ -548,7 +652,13 @@ def ann_recall_all(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[
     block's (VERDICT r5 task 4: the serial planted+adversarial blocks cost
     15.7 s; shared setup + full overlap targets <=9 s for all THREE).
     Recall values are identical to running each block alone — every tier is
-    a deterministic computation over its own prepared store."""
+    a deterministic computation over its own prepared store.
+
+    Staleness rotation (VERDICT r7 task #3): blocks whose history at this sf
+    is stable are MEASURED on a rotation (every <= RECALL_BLOCK_REFRESH
+    rounds) and carried otherwise — see plan_recall_rotation. The returned
+    dict includes a ``_meta`` entry recording what was measured vs carried;
+    callers that want plain blocks pop it."""
     from concurrent.futures import ThreadPoolExecutor
 
     blocks = {
@@ -556,6 +666,14 @@ def ann_recall_all(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[
         "recall_adversarial": ("adversarial", ADVERSARIAL_TIERS),
         "recall_realistic": ("realistic", REALISTIC_TIERS),
     }
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    run_set, carried, why = plan_recall_rotation(_recall_history(repo_dir, sf))
+    for b, reason in sorted(why.items()):
+        print(f"# RECALL PLAN {b}: {'measure' if b in run_set else 'carry'} — {reason}",
+              file=sys.stderr)
+    blocks = {b: spec for b, spec in blocks.items() if b in run_set}
+
     def run_block(name: str, flavor: str, tiers) -> dict[str, float]:
         # per-block failure domain (the pre-harness layout had one
         # try/except per block): a prepare/tier error in one flavor must
@@ -571,17 +689,26 @@ def ann_recall_all(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[
                   file=sys.stderr)
             return {}
 
-    with ThreadPoolExecutor(max_workers=len(blocks)) as prep_pool:
-        prepared = {
-            name: prep_pool.submit(_prepare_recall, spark, sf_dir, flavor, k, n_queries)
-            for name, (flavor, _) in blocks.items()
-        }
-        with ThreadPoolExecutor(max_workers=len(blocks)) as run_pool:
-            futs = {
-                name: run_pool.submit(run_block, name, flavor, tiers)
-                for name, (flavor, tiers) in blocks.items()
+    out: dict = {}
+    if blocks:
+        with ThreadPoolExecutor(max_workers=len(blocks)) as prep_pool:
+            prepared = {
+                name: prep_pool.submit(_prepare_recall, spark, sf_dir, flavor, k, n_queries)
+                for name, (flavor, _) in blocks.items()
             }
-            return {name: fut.result() for name, fut in futs.items()}
+            with ThreadPoolExecutor(max_workers=len(blocks)) as run_pool:
+                futs = {
+                    name: run_pool.submit(run_block, name, flavor, tiers)
+                    for name, (flavor, tiers) in blocks.items()
+                }
+                out = {name: fut.result() for name, fut in futs.items()}
+    for name, (rnd, vals) in carried.items():
+        out[name] = dict(vals)
+    out["_meta"] = {
+        "measured_blocks": sorted(run_set),
+        "carried_from": {b: rnd for b, (rnd, _) in carried.items()},
+    }
+    return out
 
 
 def compact_bench_line(full: dict, budget: int = 1900) -> str:
@@ -860,9 +987,11 @@ def main() -> None:
     # hashed-BoW-over-documents) through the shared harness: stores/baselines
     # prepared concurrently, tier jobs fully overlapped (VERDICT r5 tasks 4+6)
     recall_blocks: dict[str, dict[str, float]] = {}
+    recall_meta: dict = {}
     t0 = time.time()
     try:
         recall_blocks = ann_recall_all(spark, sf_dir)
+        recall_meta = recall_blocks.pop("_meta", {})
         timings["ann_recall_combined"] = round(time.time() - t0, 3)
         record_stage_metrics("ann_recall_combined")  # one combined delta
         print(f"# ann_recall_combined: {timings['ann_recall_combined']}s {recall_blocks}", file=sys.stderr)
@@ -881,6 +1010,7 @@ def main() -> None:
         if timings["ann_recall_combined"] > 14.0 * start_factor:
             t0 = time.time()
             recall_blocks = ann_recall_all(spark, sf_dir)
+            recall_meta = recall_blocks.pop("_meta", recall_meta)
             retry = round(time.time() - t0, 3)
             if retry < timings["ann_recall_combined"]:
                 print(f"# ann_recall_combined: retry {retry}s (kept min)", file=sys.stderr)
@@ -924,6 +1054,10 @@ def main() -> None:
         "recall": recall_blocks.get("recall", {}),
         "recall_adversarial": recall_blocks.get("recall_adversarial", {}),
         "recall_realistic": recall_blocks.get("recall_realistic", {}),
+        # which blocks were freshly measured vs carried from a stable prior
+        # round (the staleness rotation — plan_recall_rotation)
+        "recall_measured_blocks": recall_meta.get("measured_blocks", []),
+        "recall_carried_from": recall_meta.get("carried_from", {}),
         # start AND end probes: the host speed drifts ~2x minute-to-minute,
         # so one sample can miss the state the queries actually ran under
         "host_calibration": calibration,

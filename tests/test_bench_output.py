@@ -129,3 +129,71 @@ def test_bench_ratchet_refuses_cross_protocol_calibrated_compare():
     # same protocol -> calibrated comparison applies and flags
     new["calibration_protocol"] = "old-proto"
     assert any(f.startswith("TIME") for f in compare(old, new, 1.5, 1.3))
+
+
+def test_plan_recall_rotation_policies(monkeypatch):
+    """Staleness rotation for the recall blocks (VERDICT r7 task #3): stable
+    history carries, drift/tier-set-change/staleness force a re-measure,
+    and at least the stalest block is always measured."""
+    import bench
+
+    exp = {"recall": {"a@10"}, "recall_adversarial": {"b@10"}, "recall_realistic": {"c@10"}}
+    stable = [
+        (6, {"recall": {"a@10": 1.0}, "recall_adversarial": {"b@10": 0.9},
+             "recall_realistic": {"c@10": 0.5}},
+         {"recall", "recall_adversarial", "recall_realistic"}),
+        (7, {"recall": {"a@10": 1.0}, "recall_adversarial": {"b@10": 0.9},
+             "recall_realistic": {"c@10": 0.5}},
+         {"recall", "recall_adversarial", "recall_realistic"}),
+    ]
+    # all stable at staleness 1 -> exactly one block measured (alphabetical
+    # tie-break), others carried with their round-of-record
+    run, carried, why = bench.plan_recall_rotation(stable, expected=exp)
+    assert run == {"recall"}
+    assert carried["recall_adversarial"] == (7, {"b@10": 0.9})
+    assert carried["recall_realistic"] == (7, {"c@10": 0.5})
+    # no history -> full run
+    run, carried, _ = bench.plan_recall_rotation([], expected=exp)
+    assert run == set(exp) and not carried
+    # env override -> full run even on stable history
+    monkeypatch.setenv("SPARK_GRAFT_RECALL_FULL", "1")
+    run, carried, _ = bench.plan_recall_rotation(stable, expected=exp)
+    assert run == set(exp) and not carried
+    monkeypatch.delenv("SPARK_GRAFT_RECALL_FULL")
+    # value drift in the last two measured rounds -> that block re-measures
+    drifted = [stable[0],
+               (7, {"recall": {"a@10": 0.7}, "recall_adversarial": {"b@10": 0.9},
+                    "recall_realistic": {"c@10": 0.5}},
+                {"recall", "recall_adversarial", "recall_realistic"})]
+    run, _, why = bench.plan_recall_rotation(drifted, expected=exp)
+    assert "recall" in run and "drifting" in why["recall"]
+    # tier set changed (a new tier has no history) -> re-measure
+    run, _, why = bench.plan_recall_rotation(
+        stable, expected={**exp, "recall": {"a@10", "new@10"}})
+    assert "recall" in run and why["recall"] == "tier set changed"
+    # staleness >= refresh -> re-measure even if another block was already
+    # selected for other reasons
+    aged = [(4, stable[0][1], stable[0][2]), (5, stable[1][1], stable[1][2]),
+            (7, {"recall": {"a@10": 1.0}}, {"recall"})]
+    run, _, why = bench.plan_recall_rotation(aged, expected=exp)
+    assert {"recall_adversarial", "recall_realistic"} <= run
+    assert "refresh" in why["recall_adversarial"]
+    # carried-only blocks never report a measured flag
+    run, carried, _ = bench.plan_recall_rotation(stable, expected=exp)
+    assert not (run & set(carried))
+
+
+def test_recall_history_filters_by_sf(tmp_path):
+    import json as _json
+
+    import bench
+
+    (tmp_path / "BENCH_r01.json").write_text(_json.dumps(
+        {"parsed": {"sf": 0.1, "recall": {"a@10": 1.0}}}))
+    (tmp_path / "BENCH_r02.json").write_text(_json.dumps(
+        {"parsed": {"sf": 0.01, "recall": {"a@10": 0.9}}}))
+    hist_01 = bench._recall_history(str(tmp_path), 0.1)
+    assert [r for r, _, _ in hist_01] == [1]
+    # pre-rotation records (no recall_measured_blocks) count as measured
+    assert hist_01[0][2] == {"recall"}
+    assert bench._recall_history(str(tmp_path), 0.01)[0][0] == 2
