@@ -873,6 +873,20 @@ def host_calibration(spark) -> dict:
 REFERENCE_PROBES = {"blas_matmul_s": 0.053}
 CALIBRATION_PROTOCOL = "blas-min3-v1"  # bump when probes/reference change
 
+# Validated-regime bound for the factor (VERDICT r7 task #6, measured in
+# BASELINE.md "Calibration validity"): the BLAS anchor was built for — and
+# validated in — the microVM's UNIFORM per-thread speed oscillation
+# (hypervisor steal/frequency), where probes and queries inflate together
+# (observed factors 0.9-1.13 quiet, tracking 10-25% query inflation). A
+# controlled 32-spinner oversubscription run measured probe inflation 4.9x
+# against an actual mixed-workload slowdown of 1.16x — the multi-threaded
+# probe saturates while the bursty driver/executor mix degrades far less,
+# and the start/end stability gate does NOT catch it (steady contention is
+# stable). Factors outside this range therefore EXTRAPOLATE beyond the
+# validated regime: the run is flagged calibration_out_of_range and its
+# calibrated seconds must not feed round-over-round comparisons.
+CALIBRATION_VALID_RANGE = (0.67, 2.0)
+
 
 def host_speed_factor(start: dict, end: dict) -> tuple[float, bool]:
     """(factor, unstable): factor >1 means this host ran slower than the
@@ -1028,6 +1042,18 @@ def main() -> None:
             "re-run on a quieter host before round-over-round comparisons",
             file=sys.stderr,
         )
+    out_of_range = not (
+        CALIBRATION_VALID_RANGE[0] <= factor <= CALIBRATION_VALID_RANGE[1]
+    )
+    if out_of_range:
+        print(
+            f"# BENCH WARN calibration factor {factor} outside the validated "
+            f"range {CALIBRATION_VALID_RANGE} (BASELINE.md 'Calibration "
+            "validity'): the anchor only transfers within the uniform "
+            "per-thread-slowdown regime — calibrated seconds from this run "
+            "are extrapolations; re-run on a quieter host",
+            file=sys.stderr,
+        )
     full = {
         "metric": "total_wall_seconds_all_queries",
         "value": total,
@@ -1041,6 +1067,7 @@ def main() -> None:
         "value_calibrated": round(total / factor, 3),
         "host_speed_factor": factor,
         "calibration_unstable": unstable,
+        "calibration_out_of_range": out_of_range,
         # protocol version: calibrated seconds are only comparable between
         # records computed under the SAME probe protocol + reference
         # (tools/bench_ratchet.py refuses to compare across versions)
