@@ -24,7 +24,8 @@ import json
 import sys
 
 
-def compare(old: dict, new: dict, time_tol: float, shuffle_tol: float) -> list[str]:
+def compare(old: dict, new: dict, time_tol: float, shuffle_tol: float,
+            time_floor: float = 1.0) -> list[str]:
     flags: list[str] = []
     # never mix modes: comparing one record's RAW seconds against the
     # other's CALIBRATED seconds shifts every ratio by the host factor
@@ -48,7 +49,13 @@ def compare(old: dict, new: dict, time_tol: float, shuffle_tol: float) -> list[s
         ot = ocal if ocal is not None else old.get("queries", {})
         nt = ncal if ncal is not None else new.get("queries", {})
     for q in sorted(set(ot) & set(nt)):
-        if nt[q] > max(1.0, time_tol * ot[q]):
+        # time_floor: a single run's per-query seconds at the ~1s scale move
+        # up to ~2x with the box's CPU waves while shuffle bytes stay fixed —
+        # gates that must stay green on one honest run use a higher floor
+        # (the sweep gate uses 2.5s) so only regressions big enough to
+        # outrun the noise flag on wall time; smaller plan regressions are
+        # still caught by the shuffle/spill ratchets below
+        if nt[q] > max(time_floor, time_tol * ot[q]):
             flags.append(f"TIME {q}: {ot[q]}s -> {nt[q]}s calibrated (> {time_tol}x)")
     osh, nsh = old.get("query_shuffle_mb", {}), new.get("query_shuffle_mb", {})
     for q in sorted(set(osh) & set(nsh)):
@@ -67,6 +74,7 @@ def main() -> None:
     ap.add_argument("new")
     ap.add_argument("--time-tol", type=float, default=1.5)
     ap.add_argument("--shuffle-tol", type=float, default=1.3)
+    ap.add_argument("--time-floor", type=float, default=1.0)
     args = ap.parse_args()
     old = json.load(open(args.old))
     new = json.load(open(args.new))
@@ -82,7 +90,7 @@ def main() -> None:
     if only_new:
         print(f"# queries only in new ({len(only_new)}): {', '.join(only_new[:10])}...")
 
-    flags = compare(old, new, args.time_tol, args.shuffle_tol)
+    flags = compare(old, new, args.time_tol, args.shuffle_tol, args.time_floor)
     for f in flags:
         print(f)
     print(f"{len(flags)} regression flag(s)")
