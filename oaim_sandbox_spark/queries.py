@@ -106,6 +106,12 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     # the first time it can; in protobuf-less envs it is filtered out and
     # costs no slot.
     "streaming_user_stats_tws",
+    # --- NEW this round (k-NN label-noise consensus; coreset coverage
+    # audit; per-source dedup accounting; quality-gate fairness parity):
+    "knn_label_consensus",
+    "coreset_coverage_radius",
+    "dedup_degree_profile",
+    "quality_threshold_parity",
     # --- last driver check: round 4 (21 entries, staleness order):
     "kl_divergence_by_source",
     "zipf_alpha_by_lang",

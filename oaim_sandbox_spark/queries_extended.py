@@ -2276,3 +2276,195 @@ ORDER BY source
 
 
 TEMPLATES["unimax_budget_allocation"] = unimax_budget_allocation
+
+
+# -- round-8 additions: label-noise detection, coreset coverage, dedup
+# accounting, cross-source threshold parity ---------------------------------
+
+
+def knn_label_consensus(d: str) -> str:
+    """Label-noise detection by k-NN label agreement (confident-learning
+    lite): for every labeled embedding, the share of its 5 exact-cosine
+    nearest neighbors (self excluded) carrying the SAME label; per label:
+    mean consensus and the count of suspects (consensus < 0.4 — likely
+    mislabeled or boundary examples, the rows a label-cleaning pass routes
+    to review). Complements `weak_label_vote` (programmatic labels) with
+    the geometric check on ASSIGNED labels. This exact all-pairs form is
+    the oracle; the 100 TB path is the hard_negative_funnel shape —
+    IVFIndex.search_batch candidates (no label predicate) re-ranked exactly,
+    with consensus computed over the funnel's top-5. Plan shape: one
+    broadcast-NLJ self-score, rank window over slim (vid, label, distance)
+    tuples, two hash aggs."""
+    dist = P.cosine_distance(
+        P.to_double_array("a.embedding", d), P.to_double_array("b.embedding", d), d
+    )
+    return f"""
+WITH nb AS (
+  SELECT a.vec_id AS vid, a.label AS alab, b.label AS blab,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({dist}, 6) ASC, b.vec_id ASC) AS rnk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+cons AS (
+  SELECT vid, alab,
+         AVG(CASE WHEN blab = alab THEN CAST(1 AS DOUBLE)
+                  ELSE CAST(0 AS DOUBLE) END) AS consensus
+  FROM nb WHERE rnk <= 5 GROUP BY vid, alab
+)
+SELECT CAST(alab AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(round(AVG(consensus), 6) AS DOUBLE) AS mean_consensus,
+       CAST(SUM(CASE WHEN consensus < 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
+FROM cons GROUP BY alab ORDER BY label
+"""
+
+
+TEMPLATES["knn_label_consensus"] = knn_label_consensus
+
+
+def coreset_coverage_radius(d: str) -> str:
+    """Coverage audit for coreset/sample-based training-data selection: take
+    the deterministic sample vec_id % 16 = 0 as the coreset, measure every
+    remaining point's cosine distance to its NEAREST coreset member, and
+    report per label the mean / p90 / max coverage radius. A fat p90-max
+    tail means the sample under-covers that label's region (the k-center
+    objective this audits is max-radius). Exact percentiles interpolate
+    identically on Spark `percentile` and DuckDB `quantile_cont`
+    (doc_len_percentiles pattern). Plan shape: the coreset is sample-sized
+    (broadcast), ONE scan of the store computes all min-distances map-side,
+    then a per-label agg; at 100 TB the coreset side stays bounded by the
+    sampling rate and the scan parallelizes freely — for million-point
+    coresets, route the nearest-center step through IVFIndex over the
+    coreset instead."""
+    dist = P.cosine_distance(
+        P.to_double_array("p.embedding", d), P.to_double_array("c.embedding", d), d
+    )
+    pcts = (
+        "percentile(radius, 0.9D)" if d == "spark" else "quantile_cont(radius, 0.9)"
+    )
+    return f"""
+WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 16 = 0),
+p AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 16 <> 0),
+r AS (
+  SELECT p.vec_id AS vid, p.label AS label, MIN(round({dist}, 6)) AS radius
+  FROM p CROSS JOIN c
+  GROUP BY p.vec_id, p.label
+)
+SELECT CAST(label AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(round(AVG(radius), 6) AS DOUBLE) AS mean_radius,
+       CAST(round({pcts}, 6) AS DOUBLE) AS p90_radius,
+       CAST(round(MAX(radius), 6) AS DOUBLE) AS max_radius
+FROM r GROUP BY label ORDER BY label
+"""
+
+
+TEMPLATES["coreset_coverage_radius"] = coreset_coverage_radius
+
+
+def quality_threshold_parity(d: str) -> str:
+    """Cross-source quality-gate fairness audit: a single GLOBAL quality
+    threshold starves low-resource sources (their whole distribution sits
+    lower), while per-SOURCE thresholds keep each source's best share.
+    This measures the disagreement between the two policies at the mean
+    threshold (means, not interpolated quantiles, so the cut points are
+    exact aggregates on both engines): per source, how many docs pass the
+    global mean cut vs the source-local mean cut, and how many the two
+    policies agree on. Plan shape: one scan computes scores, two tiny aggs
+    (global scalar + per-source dim) broadcast back — no window, no
+    shuffle of text."""
+    qs = TA.quality_score_sql("text", d)
+    return f"""
+WITH q AS (SELECT doc_id, source, {qs} AS qs FROM documents),
+g AS (SELECT AVG(qs) AS gthr FROM q),
+l AS (SELECT source, AVG(qs) AS lthr FROM q GROUP BY source)
+SELECT q.source AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(round(MAX(l.lthr), 6) AS DOUBLE) AS local_thr,
+       CAST(SUM(CASE WHEN q.qs >= g.gthr THEN 1 ELSE 0 END) AS BIGINT) AS global_pass,
+       CAST(SUM(CASE WHEN q.qs >= l.lthr THEN 1 ELSE 0 END) AS BIGINT) AS local_pass,
+       CAST(SUM(CASE WHEN (q.qs >= g.gthr AND q.qs >= l.lthr)
+                       OR (q.qs < g.gthr AND q.qs < l.lthr)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+FROM q JOIN l ON q.source = l.source CROSS JOIN g
+GROUP BY q.source ORDER BY q.source
+"""
+
+
+TEMPLATES["quality_threshold_parity"] = quality_threshold_parity
+
+
+def _dedup_degree_body(d: str, rel: str = "sigs") -> str:
+    """Per-source dedup accounting over the minhash-LSH pair graph read
+    from signature relation `rel` (shared with the Spark override, which
+    materializes the signatures once)."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_pairs_body
+
+    toks = TA.token_counts_sql("text", d)["ws_tokens"]
+    return f"""
+WITH pairs AS ({_minhash_pairs_body(d, rel=rel)}),
+strong AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+deg AS (
+  SELECT doc_id, COUNT(*) AS degree FROM (
+    SELECT doc_a AS doc_id FROM strong
+    UNION ALL
+    SELECT doc_b AS doc_id FROM strong
+  ) u GROUP BY doc_id
+),
+dropped AS (
+  SELECT DISTINCT CASE WHEN doc_a > doc_b THEN doc_a ELSE doc_b END AS doc_id
+  FROM strong
+),
+docs AS (SELECT doc_id, source, {toks} AS toks FROM documents)
+SELECT docs.source AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN deg.degree IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_members,
+       CAST(COALESCE(MAX(deg.degree), 0) AS BIGINT) AS max_degree,
+       CAST(SUM(CASE WHEN dropped.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+       CAST(SUM(CASE WHEN dropped.doc_id IS NOT NULL THEN docs.toks ELSE 0 END)
+            AS BIGINT) AS tokens_saved,
+       CAST(round(SUM(CASE WHEN dropped.doc_id IS NOT NULL THEN docs.toks ELSE 0 END)
+                  * 1.0 / SUM(docs.toks), 6) AS DOUBLE) AS tokens_saved_frac
+FROM docs LEFT JOIN deg ON docs.doc_id = deg.doc_id
+          LEFT JOIN dropped ON docs.doc_id = dropped.doc_id
+GROUP BY docs.source ORDER BY docs.source
+"""
+
+
+def dedup_degree_profile(d: str) -> str:
+    """Dedup ACCOUNTING per source — the report a 100 TB curation job
+    publishes after its near-dup stage: from the minhash-LSH pair graph at
+    est_jaccard >= 0.5 (the exact pair rule `pipeline.curate_corpus`'s
+    minhash stage drops on), per source: docs that are members of any
+    near-dup pair, the max pair degree, docs the greater-id-drop rule
+    removes, and the whitespace-token mass (+fraction) that removal saves.
+    Certifies the pipeline's duplicate-mass bookkeeping end-to-end against
+    an independent engine, not just the kept-row count. Plan shape: the
+    banding self-join is the only quadratic-risk step (bucket-bounded, text
+    never shuffles); degree/drop/docs joins are slim int64 keys; one
+    per-source agg."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_sigs_sql
+
+    body = _dedup_degree_body(d)
+    return body.replace(
+        "WITH pairs AS (", f"WITH sigs AS ({_minhash_sigs_sql(d)}), pairs AS (", 1
+    )
+
+
+TEMPLATES["dedup_degree_profile"] = dedup_degree_profile
+
+
+def _dedup_degree_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for dedup_degree_profile: materialize the minhash
+    signature relation once (the _mhq_spark rationale — CTE inlining would
+    recompute the shingle+minhash pipeline per band branch and join side)."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_sigs_sql
+
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _minhash_sigs_sql("spark"), "ddp_sigs")
+    return _sql_dropping(spark, _dedup_degree_body("spark", rel=name), name)
+
+
+SPARK_OVERRIDES["dedup_degree_profile"] = _dedup_degree_spark
