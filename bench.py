@@ -559,6 +559,16 @@ REALISTIC_TIERS = {
 RECALL_BLOCK_REFRESH = 3
 
 
+def _sf_from_dir(sf_dir: str) -> float:
+    """Scale factor from a testdata dir name ('.../sf0.1' -> 0.1); -1.0 when
+    the suffix isn't numeric — an unknown sf matches no history (the recall
+    rotation then measures everything) and never raises mid-bench."""
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    except ValueError:
+        return -1.0
+
+
 def _expand_ivf(names: set) -> set:
     return {
         n
@@ -666,7 +676,7 @@ def ann_recall_all(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[
         "recall_adversarial": ("adversarial", ADVERSARIAL_TIERS),
         "recall_realistic": ("realistic", REALISTIC_TIERS),
     }
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    sf = _sf_from_dir(sf_dir)
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     run_set, carried, why = plan_recall_rotation(_recall_history(repo_dir, sf))
     for b, reason in sorted(why.items()):
@@ -794,9 +804,9 @@ class StageMetricsTracker:
             sw = sp = mem = 0
             # Re-scan down to the oldest still-pending stage id (bounded:
             # pending sets are a handful of straddling stages, and the walk
-            # skips already-counted terminal ids in between).
+            # skips already-counted terminal ids in between; pending ids are
+            # always <= _last, so this is also the overall scan floor).
             cutoff = min(self._pending, default=self._last + 1)
-            cutoff = min(cutoff, self._last + 1)
             newest = self._last
             still_pending: set[int] = set()
             for i in range(stages.size()):
@@ -907,7 +917,7 @@ def host_speed_factor(start: dict, end: dict) -> tuple[float, bool]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    sf = _sf_from_dir(sf_dir)
     spark = get_spark("oaim-sandbox-bench")
 
     timings: dict[str, float] = {}

@@ -404,22 +404,25 @@ class VectorStoreCatalog:
             with open(sidecar_path) as fh:
                 meta = json.load(fh)
         cached = meta.get("tier_guard")
-        valid = (
-            cached is not None
-            and cached.get("fingerprint") == fp
-            and cached.get("floor") == floor
-            and cached.get("k") == k
-        )
-        if valid and not refresh and all(t in cached["verdicts"] for t in want):
-            return {t: cached["verdicts"][t] for t in want}
-        probe = [t for t in want if refresh or not (valid and t in cached["verdicts"])]
+        # verdicts are cached PER (floor, k) config under one fingerprint:
+        # a serving gate at the default floor and an offline job at a
+        # stricter one must not thrash each other's cache (each probe is
+        # 10-19s) — they occupy separate config slots until the store's
+        # contents change
+        cfg_key = f"{floor}|{k}"
+        fp_valid = cached is not None and cached.get("fingerprint") == fp
+        configs = dict(cached.get("configs", {})) if fp_valid else {}
+        have = configs.get(cfg_key, {})
+        if not refresh and all(t in have for t in want):
+            return {t: have[t] for t in want}
+        probe = [t for t in want if refresh or t not in have]
         fresh = TG.recommend_tiers(
             self.read_store(name), tiers=probe, k=k, floor=floor,
             id_col=id_col, vec_col=vec_col, **probe_kwargs,
         )
-        merged = dict(cached["verdicts"]) if valid else {}
-        merged.update(fresh)
-        meta["tier_guard"] = {"fingerprint": fp, "floor": floor, "k": k, "verdicts": merged}
+        merged = {**have, **fresh}
+        configs[cfg_key] = merged
+        meta["tier_guard"] = {"fingerprint": fp, "configs": configs}
         with open(sidecar_path, "w") as fh:
             fh.write(json.dumps(meta))
         return {t: merged[t] for t in want}

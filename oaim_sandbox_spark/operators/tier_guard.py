@@ -419,12 +419,22 @@ class TieredStore:
         operating_point: dict | None = None,
         id_col: str = "id",
         vec_col: str = "embedding",
+        metric: str = "COSINE",
     ):
         if tier not in SERVABLE_TIERS:
             raise ValueError(
                 f"tier {tier!r} is not servable from a TieredStore; one of "
                 f"{list(SERVABLE_TIERS)} (ivf/pq serve via ann.IVFIndex/ann.PQIndex, "
                 "lsh via ann.lsh_knn_join)"
+            )
+        if metric != "COSINE":
+            # the canonical funnels (sign-pack Hamming, prefix/PCA
+            # candidates, exact_rerank) and every guard-measured recall
+            # ladder point are cosine-calibrated; silently ranking another
+            # metric through them would return plausible-but-wrong order
+            raise ValueError(
+                f"TieredStore serves COSINE only (got {metric!r}); use exact "
+                "retrieval.similarity_topk for other metrics"
             )
         self.tier = tier
         self.op = dict(TIER_LADDER[tier][0] if operating_point is None else operating_point)
@@ -442,7 +452,11 @@ class TieredStore:
         if tier == "int8":
             from oaim_sandbox_spark.operators import ann as A
 
-            rep = A.dequantize_embeddings(A.quantize_embeddings(self._norm))
+            # materialize the QUANTIZED columns only (the tier's 4x storage
+            # win); dequantize is a cheap transform re-applied per query on
+            # the re-read frame — persisting the dequantized doubles would
+            # store MORE bytes than the original floats
+            rep = A.quantize_embeddings(self._norm)
         elif tier == "binary_hamming_rerank":
             rep = pack_signs(self._norm, self.dim)
         elif tier == "matryoshka16_rerank":
@@ -471,7 +485,7 @@ class TieredStore:
         qv = [float(x) for x in query_vec]
         qdf = spark.createDataFrame([(0, qv)], "query_id BIGINT, query_vec ARRAY<DOUBLE>")
         if self.tier == "int8":
-            res = A.knn_join(self._rep, qdf, k=k)
+            res = A.knn_join(A.dequantize_embeddings(self._rep), qdf, k=k)
         else:
             fetch_k = int(self.op.get("fetch_mult", 5)) * k
             if self.tier == "binary_hamming_rerank":

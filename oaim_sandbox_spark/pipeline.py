@@ -211,7 +211,7 @@ def curate_corpus(
     if thr is not None:
         if not cfg["exact_dedup"]:
             out = out.localCheckpoint(eager=True)
-        extra = cfg.get("near_dup_params") or {}
+        extra = dict(cfg.get("near_dup_params") or {})  # copy: never mutate the caller's config
         if method == "minhash":
             pairs = minhash_lsh_pairs(out, id_col=id_col, text_col=text_col, **extra)
             drop = (
@@ -231,9 +231,16 @@ def curate_corpus(
                 sampled_cosine_pairs_rescored,
             )
 
+            if "threshold" in extra:
+                raise ValueError(
+                    "set the cosine drop threshold via near_dedup_cosine, not "
+                    "near_dup_params['threshold']"
+                )
+            # near_dup_params may widen/narrow the candidate funnel; default
+            # keeps candidates at least as wide as the drop threshold
+            extra.setdefault("candidate_threshold", min(0.06, thr))
             pairs = sampled_cosine_pairs_rescored(
-                out, text_col=text_col, id_col=id_col,
-                candidate_threshold=min(0.06, thr), threshold=thr, **extra,
+                out, text_col=text_col, id_col=id_col, threshold=thr, **extra,
             )
             comp = connected_components(pairs, out.select(id_col), node_col=id_col)
             drop = comp.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)

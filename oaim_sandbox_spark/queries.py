@@ -97,10 +97,14 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     # --- ROUND-8 WINDOW: rotation by certification staleness
     # (tools/window_rotation.py; precomputed in PLANS.md round-8 plan).
     # Union coverage is 171/171 green across r1-r7, so the window is the
-    # 50 STALEST certifications: any NEW r8 entries first (must certify
-    # first-time), then the 21 entries whose last driver check was round
-    # 4, then the 29 oldest round-5 entries in registry order. The
-    # remaining 21 r5 entries lead the round-9 rotation.
+    # 4 NEW r8 entries (must certify first-time), then the 21 entries
+    # whose last driver check was round 4, then the oldest round-5
+    # entries in registry order. 4+21 new/r4 entries leave 25 r5 slots in
+    # the 50-entry window, so of the 29 r5 entries listed below the LAST
+    # FOUR (q4_exists_late_lines, q12_priority_case_agg,
+    # q16_distinct_suppliers, q17_below_avg_quantity) sit just past the
+    # boundary and lead the round-9 rotation with the remaining 21 r5
+    # ties.
     # transformWithState twin: registered only where protobuf exists, and
     # never yet driver-checkable — keep it in the prefix so it certifies
     # the first time it can; in protobuf-less envs it is filtered out and

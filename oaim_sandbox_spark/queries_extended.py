@@ -2425,8 +2425,9 @@ SELECT docs.source AS source,
            AS n_dropped,
        CAST(SUM(CASE WHEN dropped.doc_id IS NOT NULL THEN docs.toks ELSE 0 END)
             AS BIGINT) AS tokens_saved,
-       CAST(round(SUM(CASE WHEN dropped.doc_id IS NOT NULL THEN docs.toks ELSE 0 END)
-                  * 1.0 / SUM(docs.toks), 6) AS DOUBLE) AS tokens_saved_frac
+       CAST(round(CAST(SUM(CASE WHEN dropped.doc_id IS NOT NULL THEN docs.toks
+                                ELSE 0 END) AS DOUBLE)
+                  / SUM(docs.toks), 6) AS DOUBLE) AS tokens_saved_frac
 FROM docs LEFT JOIN deg ON docs.doc_id = deg.doc_id
           LEFT JOIN dropped ON docs.doc_id = dropped.doc_id
 GROUP BY docs.source ORDER BY docs.source

@@ -172,14 +172,30 @@ class ChatPipeline:
         """Prepared TieredStore for this pipeline's store, built once per
         tier: the tier gate (cached catalog verdict — zero probe cost) runs
         first and supplies the accepted operating point, or raises on a
-        refused tier before any compressed representation is built."""
+        refused tier before any compressed representation is built.
+
+        A gate is REQUIRED: serving a compressed tier with no recall
+        verdict is exactly the silent-near-noise failure tier_guard exists
+        to stop (matryoshka on non-matryoshka embeddings measures 0.02
+        recall@10 with no error). Wire ``tier_gate=lambda t:
+        catalog.assert_tier_usable(store_name, t)``; a caller that truly
+        wants to bypass the guard must say so explicitly with
+        ``tier_gate=lambda t: {"operating_point": None}``."""
         if tier not in self._tiered:
             from oaim_sandbox_spark.operators.tier_guard import TieredStore
 
-            op = None
-            if self.tier_gate is not None:
-                op = self.tier_gate(tier).get("operating_point")
-            self._tiered[tier] = TieredStore(self.store, tier, operating_point=op)
+            if self.tier_gate is None:
+                raise ValueError(
+                    f"settings.search_tier={tier!r} but this pipeline has no "
+                    "tier_gate — wire tier_gate=lambda t: "
+                    "catalog.assert_tier_usable(store_name, t) so the cached "
+                    "recall verdict gates the tier before it serves"
+                )
+            op = self.tier_gate(tier).get("operating_point")
+            self._tiered[tier] = TieredStore(
+                self.store, tier, operating_point=op,
+                metric=self.settings.distance_metric,
+            )
         return self._tiered[tier]
 
     def retrieve(self, question: str) -> list:

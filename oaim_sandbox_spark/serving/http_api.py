@@ -134,6 +134,11 @@ DEFAULT_SETTINGS: dict = {
     "rag_enabled": True,
     "top_k": 4,
     "search_type": "Similarity",
+    # beyond-reference: compressed ANN retrieval tier (chat.RagSettings
+    # .search_tier; None = exact scan). Settable per client like the rest
+    # of the RAG knobs; the serving pipeline gates it through the cached
+    # catalog tier-guard verdict before first use.
+    "search_tier": None,
     "temperature": 1.0,
     "api_key": "",
 }

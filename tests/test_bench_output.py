@@ -197,3 +197,26 @@ def test_recall_history_filters_by_sf(tmp_path):
     # pre-rotation records (no recall_measured_blocks) count as measured
     assert hist_01[0][2] == {"recall"}
     assert bench._recall_history(str(tmp_path), 0.01)[0][0] == 2
+
+
+def test_bench_ratchet_exempts_recall_line_on_rotation_change():
+    """A refresh round measures all recall blocks (~2-3x the rotated wall
+    time); the ratchet must not flag that as a TIME regression — the
+    exemption applies only when the measured-block sets differ."""
+    import os
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from bench_ratchet import compare
+
+    base = {
+        "queries_calibrated": {"ann_recall_combined": 6.0, "q1": 1.0},
+        "recall_measured_blocks": ["recall"],
+    }
+    refresh = {
+        "queries_calibrated": {"ann_recall_combined": 13.5, "q1": 1.0},
+        "recall_measured_blocks": ["recall", "recall_adversarial", "recall_realistic"],
+    }
+    assert compare(base, refresh, 1.5, 1.3) == []  # rotation change: exempt
+    same_blocks = dict(refresh, recall_measured_blocks=["recall"])
+    flags = compare(base, same_blocks, 1.5, 1.3)
+    assert flags and "ann_recall_combined" in flags[0]  # real regression: flagged

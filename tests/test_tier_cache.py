@@ -63,7 +63,7 @@ def test_verdict_cached_in_sidecar_and_reused(cat_store, probe_log):
         meta = json.load(fh)
     tg = meta["tier_guard"]
     assert tg["fingerprint"] == cat.store_fingerprint(name)
-    assert "matryoshka16_rerank" in tg["verdicts"]
+    assert "matryoshka16_rerank" in tg["configs"]["0.8|10"]
     # second call: sidecar-read cost only, identical verdict
     v2 = cat.tier_verdicts(name, tiers=["matryoshka16_rerank"], **PROBE_KW)
     assert len(probe_log) == 1
@@ -139,3 +139,53 @@ def test_chat_pipeline_consults_cached_gate_zero_probe(cat_store, probe_log, mon
     )
     with pytest.raises(ValueError, match="refused for store"):
         pipe2.retrieve("q")
+
+
+def test_distinct_floor_configs_cache_independently(cat_store, probe_log):
+    """A serving gate at the default floor and an offline job at a stricter
+    floor occupy separate config slots under one fingerprint — alternating
+    callers must not thrash the 10-19s probe (review finding r8)."""
+    cat, name, _vs = cat_store
+    cat.tier_verdicts(name, tiers=["matryoshka16_rerank"], **PROBE_KW)           # 0.8
+    cat.tier_verdicts(name, tiers=["matryoshka16_rerank"], floor=0.95, **PROBE_KW)
+    assert len(probe_log) == 2
+    # alternate again: both configs served from cache
+    cat.tier_verdicts(name, tiers=["matryoshka16_rerank"], **PROBE_KW)
+    cat.tier_verdicts(name, tiers=["matryoshka16_rerank"], floor=0.95, **PROBE_KW)
+    assert len(probe_log) == 2
+
+
+def test_search_tier_without_gate_raises(cat_store):
+    """search_tier with no tier_gate must raise, not silently serve an
+    unguarded compressed tier (review finding r8)."""
+    from oaim_sandbox_spark.serving.chat import ChatPipeline, MockLLM, RagSettings
+
+    cat, name, _vs = cat_store
+    store = cat.read_store(name)
+    pipe = ChatPipeline(
+        store=store, embed_query=lambda _q: [0.0] * DIM, llm=MockLLM(),
+        settings=RagSettings(search_tier="matryoshka16_rerank", grading=False),
+    )
+    with pytest.raises(ValueError, match="no tier_gate"):
+        pipe.retrieve("q")
+
+
+def test_tiered_store_rejects_non_cosine_metric(cat_store):
+    from oaim_sandbox_spark.operators.tier_guard import TieredStore
+
+    cat, name, _vs = cat_store
+    with pytest.raises(ValueError, match="COSINE only"):
+        TieredStore(cat.read_store(name), "int8", metric="EUCLIDEAN_DISTANCE")
+
+
+def test_int8_rep_materializes_quantized_columns_only(cat_store):
+    """The int8 TieredStore must persist the quantized representation (the
+    4x win), not the dequantized doubles (review finding r8)."""
+    from oaim_sandbox_spark.operators.tier_guard import TieredStore
+
+    cat, name, _vs = cat_store
+    ts = TieredStore(cat.read_store(name), "int8")
+    assert set(ts._rep.columns) == {"vec_id", "qvec", "qscale"}
+    qv = [float(x) for x in cat.read_store(name).filter("id = 7").first()["embedding"]]
+    hits = ts.topk(qv, k=3).collect()
+    assert len(hits) == 3 and hits[0]["id"] == 7  # self is nearest

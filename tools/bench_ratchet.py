@@ -48,7 +48,17 @@ def compare(old: dict, new: dict, time_tol: float, shuffle_tol: float,
     else:
         ot = ocal if ocal is not None else old.get("queries", {})
         nt = ncal if ncal is not None else new.get("queries", {})
+    # the recall staleness rotation makes ann_recall_combined's wall time
+    # bimodal by design (one block measured most rounds, all three on a
+    # refresh round) — comparing across different measured-block sets would
+    # flag an honest refresh as a regression, so the TIME check only applies
+    # when both records measured the same blocks
+    measured_differs = (
+        old.get("recall_measured_blocks") != new.get("recall_measured_blocks")
+    )
     for q in sorted(set(ot) & set(nt)):
+        if q == "ann_recall_combined" and measured_differs:
+            continue
         # time_floor: a single run's per-query seconds at the ~1s scale move
         # up to ~2x with the box's CPU waves while shuffle bytes stay fixed —
         # gates that must stay green on one honest run use a higher floor
