@@ -97,12 +97,11 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     # --- ROUND-8 WINDOW: rotation by certification staleness
     # (tools/window_rotation.py; precomputed in PLANS.md round-8 plan).
     # Union coverage is 171/171 green across r1-r7, so the window is the
-    # 4 NEW r8 entries (must certify first-time), then the 21 entries
+    # 8 NEW r8 entries (must certify first-time), then the 21 entries
     # whose last driver check was round 4, then the oldest round-5
-    # entries in registry order. 4+21 new/r4 entries leave 25 r5 slots in
+    # entries in registry order. 8+21 new/r4 entries leave 21 r5 slots in
     # the 50-entry window, so of the 29 r5 entries listed below the LAST
-    # FOUR (q4_exists_late_lines, q12_priority_case_agg,
-    # q16_distinct_suppliers, q17_below_avg_quantity) sit just past the
+    # EIGHT (events_rollup .. q17_below_avg_quantity) sit just past the
     # boundary and lead the round-9 rotation with the remaining 21 r5
     # ties.
     # transformWithState twin: registered only where protobuf exists, and
@@ -111,11 +110,17 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     # costs no slot.
     "streaming_user_stats_tws",
     # --- NEW this round (k-NN label-noise consensus; coreset coverage
-    # audit; per-source dedup accounting; quality-gate fairness parity):
+    # audit; per-source dedup accounting; quality-gate fairness parity;
+    # corpus-saturation curve; pre-ANN store health audit; exact grouped
+    # token-Gini; near-dup threshold trade-off curve):
     "knn_label_consensus",
     "coreset_coverage_radius",
     "dedup_degree_profile",
     "quality_threshold_parity",
+    "ngram_novelty_decay",
+    "embedding_health_audit",
+    "token_gini_by_source",
+    "dedup_threshold_sensitivity",
     # --- last driver check: round 4 (21 entries, staleness order):
     "kl_divergence_by_source",
     "zipf_alpha_by_lang",

@@ -2469,3 +2469,233 @@ def _dedup_degree_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPARK_OVERRIDES["dedup_degree_profile"] = _dedup_degree_spark
+
+
+def ngram_novelty_decay(d: str) -> str:
+    """Corpus-saturation curve per source (the crawl-scheduling signal: when
+    a source's novelty rate flattens, further crawling buys duplication, not
+    data): docs are bucketed into 10 ingest-order deciles by ARITHMETIC
+    doc_id bucketing (min/max per source joined back — deliberately NOT an
+    ntile window, which would sort every doc of a source in one partition at
+    corpus scale), each distinct 3-gram shingle is attributed to the FIRST
+    bucket where its source saw it, and the per-bucket novelty fraction =
+    first-seen shingles / source's distinct shingles. A healthy fresh
+    source decays slowly; a saturated or templated one collapses after
+    bucket 0. Plan shape: shingle explode -> (source, shingle) min-agg ->
+    (source, bucket) agg, all key-hash shuffles; no windows. The bucket
+    index uses INTEGER division — CAST(a/b AS INT) rounds on DuckDB but
+    truncates on Spark, the cross-engine footgun."""
+    bucket_div = _idiv("((ex.doc_id - b.min_id) * 10)", "(b.max_id - b.min_id + 1)", d)
+    sh = P.shingle_hashes("text", 3, d)
+    expl = (
+        f"SELECT doc_id, source, explode(array_distinct({sh})) AS sh FROM documents"
+        if d == "spark"
+        else f"SELECT doc_id, source, unnest(list_distinct({sh})) AS sh FROM documents"
+    )
+    return f"""
+WITH ex AS ({expl}),
+bounds AS (
+  SELECT source AS bsource, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+  FROM documents GROUP BY source
+),
+bucketed AS (
+  SELECT ex.source AS source, ex.sh AS sh,
+         CAST({bucket_div} AS INT) AS bucket
+  FROM ex JOIN bounds b ON ex.source = b.bsource
+),
+first_seen AS (
+  SELECT source, sh, MIN(bucket) AS first_bucket
+  FROM bucketed GROUP BY source, sh
+),
+per_source AS (
+  SELECT source AS tsource, COUNT(*) AS total_shingles
+  FROM first_seen GROUP BY source
+)
+SELECT f.source AS source,
+       CAST(f.first_bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS new_shingles,
+       CAST(round(CAST(COUNT(*) AS DOUBLE) / t.total_shingles, 6) AS DOUBLE)
+           AS novelty_frac
+FROM first_seen f JOIN per_source t ON f.source = t.tsource
+GROUP BY f.source, f.first_bucket, t.total_shingles
+ORDER BY source, bucket
+"""
+
+
+TEMPLATES["ngram_novelty_decay"] = ngram_novelty_decay
+
+
+def embedding_health_audit(d: str) -> str:
+    """Pre-ANN store health check — the audit to run BEFORE fitting indexes
+    or trusting distances (every ANN tier silently degrades on degenerate
+    inputs): per label, vector counts, ragged-dimension detection (min/max
+    array length), zero-norm vectors (cosine is undefined on them — they
+    poison normalized scores), non-finite values (one NaN turns a whole
+    distance NaN and Spark sorts NaN LAST while DuckDB sorts it HIGH —
+    silent rank divergence), constant dimensions (carry no information but
+    still cost scan bandwidth and quantizer codebook mass), and the norm
+    distribution (mean + exact p99 on round-6 norms). Plan shape: one scan
+    for the vector-level stats; the dim-level stats pivot through the fixed
+    1..EMBED_DIM index relation (embedding_centroid_outliers pattern) into
+    a (label, dim) agg — no UDFs, whole-stage codegen end to end; the dim
+    table is k*EMBED_DIM rows, always broadcast-sized."""
+    nrm = P.norm2(P.to_double_array("embedding", d), d)
+    ln = P.list_len("embedding", d)
+    bad = (
+        "size(filter(cast(embedding as array<double>), x -> isnan(x) OR abs(x) > 1e308))"
+        if d == "spark"
+        else "len(list_filter(CAST(embedding AS DOUBLE[]), x -> isnan(x) OR abs(x) > 1e308))"
+    )
+    idx = (
+        f"SELECT explode(sequence(1, {EMBED_DIM})) AS i"
+        if d == "spark"
+        else f"SELECT unnest(generate_series(1, {EMBED_DIM})) AS i"
+    )
+    x = _elem("embedding", "i", d)
+    pcts = "percentile(nrm, 0.99D)" if d == "spark" else "quantile_cont(nrm, 0.99)"
+    return f"""
+WITH v AS (
+  SELECT label, {ln} AS ndim, round({nrm}, 6) AS nrm, {bad} AS bad
+  FROM embeddings
+),
+idx AS ({idx}),
+dims AS (
+  SELECT label, i,
+         CASE WHEN MIN(CAST({x} AS DOUBLE)) = MAX(CAST({x} AS DOUBLE))
+              THEN 1 ELSE 0 END AS is_const
+  FROM embeddings CROSS JOIN idx
+  GROUP BY label, i
+),
+dimsum AS (SELECT label AS dlabel, SUM(is_const) AS n_const FROM dims GROUP BY label)
+SELECT CAST(v.label AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(MIN(v.ndim) AS INT) AS min_dim,
+       CAST(MAX(v.ndim) AS INT) AS max_dim,
+       CAST(SUM(CASE WHEN v.nrm < 0.000001 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+       CAST(SUM(v.bad) AS BIGINT) AS n_nonfinite_vals,
+       CAST(round(AVG(v.nrm), 6) AS DOUBLE) AS mean_norm,
+       CAST(round({pcts}, 6) AS DOUBLE) AS p99_norm,
+       CAST(MAX(ds.n_const) AS INT) AS n_constant_dims
+FROM v JOIN dimsum ds ON v.label = ds.dlabel
+GROUP BY v.label ORDER BY label
+"""
+
+
+TEMPLATES["embedding_health_audit"] = embedding_health_audit
+
+
+def token_gini_by_source(d: str) -> str:
+    """Token-mass inequality per source (curation diagnostic: a source whose
+    token mass concentrates in a few huge docs behaves very differently
+    under doc-level sampling/dedup than its doc count suggests; pair with
+    `domain_caps_topn`/`unimax_budget_allocation` when setting budgets).
+    EXACT Gini from GROUPED frequencies: group docs by their whitespace
+    token count v, then over the distinct values sorted ascending use the
+    trapezoid identity G = 1 - sum_k f_k*(S_(k-1)+S_k) / (N*S_total) with
+    S = cumulative v*f. Every sum is INTEGER until the final division, so
+    both engines agree bit-for-bit (no float-sum order wobble). The window
+    runs over DISTINCT TOKEN-COUNT VALUES per source — cardinality bounded
+    by max doc length, never by doc count — so the per-source partitions
+    stay dim-sized at any corpus scale (the corpus-sized rows are absorbed
+    by the (source, v) pre-agg, a plain key-hash shuffle)."""
+    toks = TA.token_counts_sql("text", d)["ws_tokens"]
+    return f"""
+WITH t AS (SELECT source, CAST({toks} AS BIGINT) AS v FROM documents),
+g AS (SELECT source, v, COUNT(*) AS f FROM t GROUP BY source, v),
+c AS (
+  SELECT source, v, f,
+         SUM(v * f) OVER (PARTITION BY source ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cum
+  FROM g
+),
+tot AS (
+  SELECT source AS tsource, SUM(f) AS n, SUM(v * f) AS s
+  FROM g GROUP BY source
+)
+SELECT c.source AS source,
+       CAST(tot.n AS BIGINT) AS n_docs,
+       CAST(tot.s AS BIGINT) AS total_tokens,
+       CAST(round(1.0 - CAST(SUM(c.f * ((c.s_cum - c.v * c.f) + c.s_cum)) AS DOUBLE)
+                        / (CAST(tot.n AS DOUBLE) * tot.s), 6) AS DOUBLE) AS gini
+FROM c JOIN tot ON c.source = tot.tsource
+GROUP BY c.source, tot.n, tot.s
+ORDER BY source
+"""
+
+
+TEMPLATES["token_gini_by_source"] = token_gini_by_source
+
+
+def _dedup_threshold_body(d: str, rel: str = "sigs") -> str:
+    """Cumulative drop counts at each candidate threshold, reading pairs
+    from signature relation `rel` (shared with the Spark override)."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_pairs_body
+
+    toks = TA.token_counts_sql("text", d)["ws_tokens"]
+    thr = (
+        "SELECT explode(array(CAST(0.5 AS DOUBLE), CAST(0.7 AS DOUBLE), "
+        "CAST(0.9 AS DOUBLE))) AS t"
+        if d == "spark"
+        else "SELECT unnest([0.5::DOUBLE, 0.7::DOUBLE, 0.9::DOUBLE]) AS t"
+    )
+    return f"""
+WITH pairs AS ({_minhash_pairs_body(d, rel=rel)}),
+thr AS ({thr}),
+drops AS (
+  SELECT DISTINCT thr.t AS t,
+         CASE WHEN doc_a > doc_b THEN doc_a ELSE doc_b END AS doc_id
+  FROM pairs CROSS JOIN thr
+  WHERE est_jaccard >= thr.t
+),
+pair_counts AS (
+  SELECT thr.t AS t, COUNT(*) AS n_pairs
+  FROM pairs CROSS JOIN thr
+  WHERE est_jaccard >= thr.t GROUP BY thr.t
+),
+docs AS (SELECT doc_id, CAST({toks} AS BIGINT) AS toks FROM documents)
+SELECT CAST(thr.t AS DOUBLE) AS threshold,
+       CAST(COALESCE(MAX(pc.n_pairs), 0) AS BIGINT) AS n_pairs,
+       CAST(COUNT(dr.doc_id) AS BIGINT) AS n_dropped_docs,
+       CAST(COALESCE(SUM(dk.toks), 0) AS BIGINT) AS tokens_saved
+FROM thr
+LEFT JOIN pair_counts pc ON pc.t = thr.t
+LEFT JOIN drops dr ON dr.t = thr.t
+LEFT JOIN docs dk ON dk.doc_id = dr.doc_id
+GROUP BY thr.t
+ORDER BY threshold
+"""
+
+
+def dedup_threshold_sensitivity(d: str) -> str:
+    """The near-dup threshold TRADE-OFF CURVE a curation run consults before
+    fixing `near_dedup_jaccard`: at each candidate threshold (0.5 / 0.7 /
+    0.9, explicit DOUBLE literals — Spark types bare decimals DECIMAL), the
+    surviving pair count, the docs the first-wins greater-id rule would
+    drop, and the token mass saved — cumulative from the strictest band, so
+    each row IS the outcome of running the pipeline at that threshold.
+    Complements `dedup_degree_profile` (per-source accounting at the fixed
+    0.5 operating point) with the threshold dimension. Plan shape: the pair
+    graph is computed ONCE; the threshold dim is 3 rows (broadcast by
+    construction); everything downstream joins on slim int64 doc ids."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_sigs_sql
+
+    body = _dedup_threshold_body(d)
+    return body.replace(
+        "WITH pairs AS (", f"WITH sigs AS ({_minhash_sigs_sql(d)}), pairs AS (", 1
+    )
+
+
+TEMPLATES["dedup_threshold_sensitivity"] = dedup_threshold_sensitivity
+
+
+def _dedup_threshold_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the signatures once (the _mhq_spark
+    rationale) before the threshold fan-out."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_sigs_sql
+
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _minhash_sigs_sql("spark"), "dts_sigs")
+    return _sql_dropping(spark, _dedup_threshold_body("spark", rel=name), name)
+
+
+SPARK_OVERRIDES["dedup_threshold_sensitivity"] = _dedup_threshold_spark
