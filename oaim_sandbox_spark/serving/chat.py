@@ -168,7 +168,7 @@ class ChatPipeline:
         msgs = [Message("system", self.ctx_prompt), *history[:-1], Message("user", question)]
         return self.llm.complete(msgs)
 
-    def _tiered_store(self, tier: str):
+    def _tiered_store(self, tier: str, metric: str = "COSINE"):
         """Prepared TieredStore for this pipeline's store, built once per
         tier: the tier gate (cached catalog verdict — zero probe cost) runs
         first and supplies the accepted operating point, or raises on a
@@ -193,18 +193,36 @@ class ChatPipeline:
                 )
             op = self.tier_gate(tier).get("operating_point")
             self._tiered[tier] = TieredStore(
-                self.store, tier, operating_point=op,
-                metric=self.settings.distance_metric,
+                self.store, tier, operating_point=op, metric=metric,
             )
         return self._tiered[tier]
 
-    def retrieve(self, question: str) -> list:
+    def _effective(self, overrides: dict | None) -> RagSettings:
+        """Per-request settings: overlay a client's stored settings record
+        (the config-plane dict) onto this pipeline's RagSettings — only
+        recognized RagSettings fields apply; the pipeline's own settings
+        object is never mutated (the pipeline is shared across clients).
+        Reference parity: the sandbox applies the client's settings to the
+        RAG chain per request (endpoints.py settings + chatbot chain)."""
+        import dataclasses
+
+        if not overrides:
+            return self.settings
+        fields = {f.name for f in dataclasses.fields(RagSettings)}
+        kw = {k: v for k, v in overrides.items() if k in fields}
+        return dataclasses.replace(self.settings, **kw) if kw else self.settings
+
+    def retrieve(self, question: str, s: RagSettings | None = None) -> list:
         from oaim_sandbox_spark.operators.retrieval import mmr_rerank, similarity_topk
 
         qv = self.embed_query(question)
-        s = self.settings
+        s = s or self.settings
         if s.search_tier:
-            return self._tiered_store(s.search_tier).topk(qv, k=s.top_k).collect()
+            return (
+                self._tiered_store(s.search_tier, s.distance_metric)
+                .topk(qv, k=s.top_k)
+                .collect()
+            )
         if s.search_type == "Maximal Marginal Relevance":
             return mmr_rerank(self.store, qv, k=s.top_k, fetch_k=s.fetch_k,
                               lambda_mult=s.lambda_mult, metric=s.distance_metric)
@@ -212,10 +230,10 @@ class ChatPipeline:
         return similarity_topk(self.store, qv, k=s.top_k, metric=s.distance_metric,
                                score_threshold=threshold).collect()
 
-    def grade(self, question: str, documents: list) -> bool:
+    def grade(self, question: str, documents: list, s: RagSettings | None = None) -> bool:
         """LLM binary relevance gate (chatbot.py:223-287): one yes/no on the
         joined context; 'yes' routes to grounded generation."""
-        if not self.settings.grading:
+        if not (s or self.settings).grading:
             return True
         context = "\n\n".join(d["text"] for d in documents)
         verdict = self.llm.complete(
@@ -232,7 +250,14 @@ class ChatPipeline:
         return self.llm.complete([Message("system", sys), *history[:-1], Message("user", question)])
 
     # -- entry points ----------------------------------------------------------
-    def chat(self, question: str, client_id: str = "default", use_history: bool = True) -> ChatResponse:
+    def chat(
+        self,
+        question: str,
+        client_id: str = "default",
+        use_history: bool = True,
+        settings_overrides: dict | None = None,
+    ) -> ChatResponse:
+        s = self._effective(settings_overrides)
         history = self._history.setdefault(client_id, [])
         # the user/assistant pair is committed to persistent history only
         # AFTER the turn succeeds (the reference's checkpointer semantics):
@@ -241,10 +266,10 @@ class ChatPipeline:
         # rephrase/generate call with malformed alternation
         msgs = clean_messages(history + [Message("user", question)], use_history)
         documents: list = []
-        if self.settings.rag_enabled and self.store is not None:
+        if s.rag_enabled and self.store is not None:
             q = self.rephrase(question, msgs)
-            documents = self.retrieve(q)
-            if documents and not self.grade(q, documents):
+            documents = self.retrieve(q, s)
+            if documents and not self.grade(q, documents, s):
                 documents = []
         answer = self.generate(question, documents or None, msgs)
         history.append(Message("user", question))
@@ -259,10 +284,16 @@ class ChatPipeline:
             usage=Usage(prompt_toks, _tok(answer), prompt_toks + _tok(answer)),
         )
 
-    def stream(self, question: str, client_id: str = "default", use_history: bool = True) -> Iterator[str]:
+    def stream(
+        self,
+        question: str,
+        client_id: str = "default",
+        use_history: bool = True,
+        settings_overrides: dict | None = None,
+    ) -> Iterator[str]:
         """Token streaming with the reference's end sentinel
         (endpoints.py:669-685)."""
-        resp = self.chat(question, client_id, use_history)
+        resp = self.chat(question, client_id, use_history, settings_overrides)
         for token in resp.choices[0].message.content.split(" "):
             yield token + " "
         yield "[stream_finished]"

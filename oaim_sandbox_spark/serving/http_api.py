@@ -970,7 +970,13 @@ class _ApiHandler(BaseHTTPRequestHandler):
             # endpoints.py:693-704 chat_post
             body = self._body_dict()
             question = body.get("message") or body.get("question") or ""
-            resp = api.pipeline.chat(question, client_id=client)
+            # the client's stored settings record applies to THIS request
+            # (reference parity: per-client RAG knobs incl. rag_enabled,
+            # top_k, search_type, search_tier drive the chain per call)
+            resp = api.pipeline.chat(
+                question, client_id=client,
+                settings_overrides=api.settings.get(client),
+            )
             return self._json(200, asdict(resp))
         if method == "POST" and leaf == "streams":
             # endpoints.py:706-717 chat_stream: chunked token stream ending
@@ -981,7 +987,10 @@ class _ApiHandler(BaseHTTPRequestHandler):
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
-            for token in api.pipeline.stream(question, client_id=client):
+            for token in api.pipeline.stream(
+                question, client_id=client,
+                settings_overrides=api.settings.get(client),
+            ):
                 data = token.encode()
                 self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
             self.wfile.write(b"0\r\n\r\n")

@@ -1057,3 +1057,54 @@ def test_chat_stream_wire_framing_reference_client(server):
             break
         consumed.append(c.decode("utf-8"))
     assert "".join(consumed)  # real content preceded the sentinel
+
+
+def test_chat_applies_client_settings_record(server):
+    """The chat routes pass the client's stored settings record to the
+    pipeline per request (reference parity: client RAG knobs drive the
+    chain per call; beyond-reference search_tier rides the same path)."""
+    from oaim_sandbox_spark.serving.chat import ChatResponse, Choice, Message, Usage
+
+    seen = {}
+    real_chat = server.pipeline.chat
+
+    def recorder(question, client_id="default", use_history=True, settings_overrides=None):
+        seen["overrides"] = settings_overrides
+        return ChatResponse(
+            id="x", object="chat.completion", created=0, model="m",
+            choices=[Choice(0, Message("assistant", "ok"))], usage=Usage(),
+        )
+
+    server.pipeline.chat = recorder
+    try:
+        code, _ = req(server, "POST", "/v1/settings?client=tuned")
+        assert code == 200
+        code, _ = req(server, "PATCH", "/v1/settings?client=tuned",
+                      body={"top_k": 2, "rag_enabled": False})
+        assert code == 200
+        code, _ = req(server, "POST", "/v1/chat/completions",
+                      body={"message": "hi"}, client="tuned")
+        assert code == 200
+        assert seen["overrides"]["top_k"] == 2
+        assert seen["overrides"]["rag_enabled"] is False
+        # a client with no settings record sends None (pipeline defaults)
+        code, _ = req(server, "POST", "/v1/chat/completions",
+                      body={"message": "hi"}, client="fresh-client")
+        assert code == 200
+        assert seen["overrides"] is None
+    finally:
+        server.pipeline.chat = real_chat
+
+
+def test_effective_settings_overlay():
+    """_effective applies only recognized RagSettings fields and never
+    mutates the pipeline's shared settings object."""
+    from oaim_sandbox_spark.serving.chat import ChatPipeline, MockLLM, RagSettings
+
+    pipe = ChatPipeline(store=None, embed_query=None, llm=MockLLM(),
+                        settings=RagSettings(top_k=4))
+    eff = pipe._effective({"top_k": 2, "temperature": 0.1, "api_key": "s3cr3t"})
+    assert eff.top_k == 2 and not hasattr(eff, "temperature")
+    assert pipe.settings.top_k == 4  # untouched
+    assert pipe._effective(None) is pipe.settings
+    assert pipe._effective({"unknown": 1}) is pipe.settings
