@@ -536,6 +536,108 @@ def stress_tierguard(n_vecs: int = 1_000_000) -> dict:
             "verdicts": {t: d["status"] for t, d in v.items()}}
 
 
+def stress_novelty(n_docs: int = 500_000) -> dict:
+    """ngram_novelty_decay at 500k docs (resampled corpus, 8 pseudo-sources):
+    exercises the (source, shingle) min-agg shuffle — the operator's only
+    corpus-sized exchange — at 100x the certification SF. The resampled
+    corpus duplicates texts, so novelty collapses after the first buckets
+    (exactly the saturated-source signal the operator exists to surface)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.queries import TEMPLATES
+
+    spark = _spark("stress-novelty")
+    big = _resampled_docs(spark, n_docs).withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 8).cast("string"))
+    )
+    big.createOrReplaceTempView("documents")
+    t0 = time.time()
+    rows = spark.sql(TEMPLATES["ngram_novelty_decay"]("spark")).collect()
+    secs = round(time.time() - t0, 1)
+    head = {(r["source"], r["bucket"]): r["novelty_frac"] for r in rows
+            if r["source"] == "src0" and r["bucket"] <= 2}
+    return {"n_docs": n_docs, "rows": len(rows), "secs": secs,
+            "src0_first_buckets": {f"b{k[1]}": v for k, v in sorted(head.items())}}
+
+
+def stress_gini(n_docs: int = 2_000_000) -> dict:
+    """token_gini_by_source at 2M docs: validates the design claim that the
+    Gini window runs over distinct token-count VALUES, not docs — reports
+    the grouped cardinality the window actually sorted alongside wall
+    time. At 2M docs the per-source window partitions stay in the
+    hundreds of rows (bounded by max doc length), which is the whole
+    100 TB argument."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.text_analysis import token_counts_sql
+    from oaim_sandbox_spark.queries import TEMPLATES
+
+    spark = _spark("stress-gini")
+    big = _resampled_docs(spark, n_docs).withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 8).cast("string"))
+    )
+    big.createOrReplaceTempView("documents")
+    toks = token_counts_sql("text", "spark")["ws_tokens"]
+    groups = spark.sql(
+        f"SELECT COUNT(*) AS g FROM (SELECT source, {toks} AS v, COUNT(*) AS f "
+        "FROM documents GROUP BY source, v) t"
+    ).first()["g"]
+    t0 = time.time()
+    rows = spark.sql(TEMPLATES["token_gini_by_source"]("spark")).collect()
+    secs = round(time.time() - t0, 1)
+    return {"n_docs": n_docs, "window_groups_total": int(groups),
+            "rows": len(rows), "secs": secs,
+            "gini_src0": next(r["gini"] for r in rows if r["source"] == "src0")}
+
+
+def stress_consensus_funnel(n_vecs: int = 1_000_000, n_queries: int = 512) -> dict:
+    """The 100 TB path for knn_label_consensus: per-batch consensus through
+    the IVF funnel (search_batch over a partitioned store) instead of the
+    oracle's O(n^2) self-join — a 512-query batch against 1M labeled
+    vectors, one pruned scan per batch, linear in batches. Reports batch
+    wall time and the mean same-label consensus of the batch (planted
+    labels = cluster ids, so consensus should be high)."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.ann import IVFIndex
+
+    spark = _spark("stress-consensus")
+    store = _planted_vecs(spark, n_vecs).withColumn(
+        "label", (F.col("vec_id") % 64).cast("int")
+    ).localCheckpoint()
+    idx = IVFIndex(n_centroids=64, seed=42, max_iter=5).fit(store, sample_fraction=0.05)
+    path = tempfile.mkdtemp(prefix="stress_consensus_")
+    idx.write_partitioned(store, path, compact=True)
+    qdf = store.filter(F.col("vec_id") % (n_vecs // n_queries) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.expr("cast(embedding as array<double>)").alias("query_vec"),
+    )
+    t0 = time.time()
+    hits = idx.search_batch(
+        spark, path, qdf, k=6, nprobe=4,
+        query_cols=["qlabel"], pair_where="vec_id <> query_id",
+    )
+    cons = (
+        hits.join(store.select("vec_id", F.col("label").alias("nlabel")), "vec_id")
+        .join(F.broadcast(qdf.select("query_id", "qlabel")), "query_id")
+        .groupBy("query_id", "qlabel")
+        .agg(F.avg((F.col("nlabel") == F.col("qlabel")).cast("double")).alias("consensus"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("consensus"), 4).alias("mean_consensus"))
+        .first()
+    )
+    secs = round(time.time() - t0, 1)
+    return {"n_vecs": n_vecs, "n_queries": int(cons["n"]), "secs": secs,
+            "mean_consensus": float(cons["mean_consensus"])}
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "minhash"
     arg = int(sys.argv[2]) if len(sys.argv) > 2 else None
@@ -556,6 +658,9 @@ def main() -> None:
         "tfidf": stress_tfidf,
         "sampled_cosine": stress_sampled_cosine,
         "tierguard": stress_tierguard,
+        "novelty": stress_novelty,
+        "gini": stress_gini,
+        "consensus_funnel": stress_consensus_funnel,
     }
     if cmd not in fns:
         raise SystemExit(f"unknown stress {cmd!r}; one of {sorted(fns)}")
