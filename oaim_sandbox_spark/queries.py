@@ -97,13 +97,13 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     # --- ROUND-8 WINDOW: rotation by certification staleness
     # (tools/window_rotation.py; precomputed in PLANS.md round-8 plan).
     # Union coverage is 171/171 green across r1-r7, so the window is the
-    # 8 NEW r8 entries (must certify first-time), then the 21 entries
+    # 9 NEW r8 entries (must certify first-time), then the 21 entries
     # whose last driver check was round 4, then the oldest round-5
-    # entries in registry order. 8+21 new/r4 entries leave 21 r5 slots in
+    # entries in registry order. 9+21 new/r4 entries leave 20 r5 slots in
     # the 50-entry window, so of the 29 r5 entries listed below the LAST
-    # EIGHT (events_rollup .. q17_below_avg_quantity) sit just past the
-    # boundary and lead the round-9 rotation with the remaining 21 r5
-    # ties.
+    # NINE (range_error_followups .. q17_below_avg_quantity) sit just
+    # past the boundary and lead the round-9 rotation with the remaining
+    # 21 r5 ties.
     # transformWithState twin: registered only where protobuf exists, and
     # never yet driver-checkable — keep it in the prefix so it certifies
     # the first time it can; in protobuf-less envs it is filtered out and
@@ -121,6 +121,7 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "embedding_health_audit",
     "token_gini_by_source",
     "dedup_threshold_sensitivity",
+    "streaming_drift_psi",
     # --- last driver check: round 4 (21 entries, staleness order):
     "kl_divergence_by_source",
     "zipf_alpha_by_lang",

@@ -2050,23 +2050,37 @@ def embedding_drift_psi(d: str) -> str:
     on a buckets-sized dim — same scale story as psi_value_drift.
     Output: one row per bucket (version shares + PSI contribution) with
     the total PSI and the standard 0.1/0.25-band verdict repeated."""
+    return f"""
+WITH binned AS ({_emb_drift_binned_select(d)}),
+{_emb_drift_psi_tail(d)}"""
+
+
+def _emb_drift_binned_select(d: str, rel: str = "embeddings") -> str:
+    """The streaming-able half of the drift monitor: bucket every vector of
+    `rel` and count per (version, bucket) — the ONLY corpus-sized work."""
     from oaim_sandbox_spark.operators.ann import hyperplane_expr
     from oaim_sandbox_spark.queries_core import EMBED_DIM as _dim
 
-    nb = 2 ** EMB_DRIFT_PLANES
     bucket = hyperplane_expr("embedding", EMB_DRIFT_PLANES, _dim, d)
     ver = "CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END"
+    return (
+        f"SELECT {ver} AS w, CAST({bucket} AS INT) AS bin, "
+        f"CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM {rel} GROUP BY {ver}, CAST({bucket} AS INT)"
+    )
+
+
+def _emb_drift_psi_tail(d: str, binned_rel: str = "binned") -> str:
+    """Grid + smoothing + PSI rollup over an existing (w, bin, n) histogram
+    relation — buckets-dim work, shared by the batch template and the
+    streaming runner (which feeds it the STREAMED histogram)."""
+    nb = 2 ** EMB_DRIFT_PLANES
     allb = (
         f"SELECT explode(sequence(0, {nb - 1})) AS bin"
         if d == "spark"
         else f"SELECT unnest(generate_series(0, {nb - 1})) AS bin"
     )
-    return f"""
-WITH binned AS (
-  SELECT {ver} AS w, CAST({bucket} AS INT) AS bin, CAST(COUNT(*) AS BIGINT) AS n
-  FROM embeddings GROUP BY {ver}, CAST({bucket} AS INT)
-),
-tot AS (SELECT w, CAST(SUM(n) AS DOUBLE) AS t FROM binned GROUP BY w),
+    return f"""tot AS (SELECT w, CAST(SUM(n) AS DOUBLE) AS t FROM {binned_rel} GROUP BY w),
 grid AS (
   SELECT bins.bin,
          (COALESCE(r.n, 0) + 0.5) / (COALESCE(tr.t, 0.0) + {0.5 * nb}) AS pr,
@@ -2074,8 +2088,8 @@ grid AS (
   FROM ({allb}) bins
   LEFT JOIN tot tr ON tr.w = 'ref'
   LEFT JOIN tot tc ON tc.w = 'cur'
-  LEFT JOIN binned r ON r.bin = bins.bin AND r.w = 'ref'
-  LEFT JOIN binned c ON c.bin = bins.bin AND c.w = 'cur'
+  LEFT JOIN {binned_rel} r ON r.bin = bins.bin AND r.w = 'ref'
+  LEFT JOIN {binned_rel} c ON c.bin = bins.bin AND c.w = 'cur'
 ),
 total AS (SELECT SUM((pc - pr) * ln(pc / pr)) AS psi FROM grid)
 SELECT CAST(grid.bin AS INT) AS bin,
@@ -2699,3 +2713,54 @@ def _dedup_threshold_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPARK_OVERRIDES["dedup_threshold_sensitivity"] = _dedup_threshold_spark
+
+
+def streaming_drift_psi(d: str) -> str:
+    """Embedding-drift PSI THROUGH Structured Streaming (Spark override):
+    the corpus-sized work — bucketing every vector and counting per
+    (version, LSH bucket) — runs as an availableNow file stream with a
+    complete-mode aggregation into a memory sink (the continuous-monitor
+    shape: each micro-batch updates the running histograms; streaming
+    state = versions x 2^planes rows, tiny and bounded forever), then the
+    buckets-dim grid/smoothing/PSI rollup runs as one batch query over
+    the streamed histogram. Over a static directory the result equals the
+    batch `embedding_drift_psi` SQL, which is this entry's oracle."""
+    return embedding_drift_psi(d)
+
+
+TEMPLATES["streaming_drift_psi"] = streaming_drift_psi
+
+
+def _streaming_drift_psi_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from oaim_sandbox_spark.queries_registry import _stream_shuffle
+
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    vname = f"emb_stream_{_uuid.uuid4().hex[:8]}"
+    stream.createOrReplaceTempView(vname)
+    agg = spark.sql(_emb_drift_binned_select("spark", rel=vname))
+    out = f"stream_drift_{_uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(out)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    spark.catalog.dropTempView(vname)
+    # snapshot the memory-sink table before the tail's r/c self-join: the
+    # in-memory streaming relation resolves ambiguously when aliased twice
+    hname = f"{out}_hist"
+    spark.table(out).localCheckpoint(eager=True).createOrReplaceTempView(hname)
+    return spark.sql(f"WITH {_emb_drift_psi_tail('spark', binned_rel=hname)}")
+
+
+SPARK_OVERRIDES["streaming_drift_psi"] = _streaming_drift_psi_spark
