@@ -2607,7 +2607,14 @@ def token_gini_by_source(d: str) -> str:
     token count v, then over the distinct values sorted ascending use the
     trapezoid identity G = 1 - sum_k f_k*(S_(k-1)+S_k) / (N*S_total) with
     S = cumulative v*f. Every sum is INTEGER until the final division, so
-    both engines agree bit-for-bit (no float-sum order wobble). The window
+    both engines agree bit-for-bit (no float-sum order wobble) WITHIN the
+    int64 envelope: the weighted sum is bounded by n_docs * 2 *
+    total_tokens per source, exact up to ~9.2e18 (e.g. 1e6 docs x 4.6e12
+    tokens). Beyond that Spark's BIGINT SUM wraps/ANSI-throws while DuckDB
+    silently promotes to HUGEINT — so at extreme per-source scales shard
+    the source key or pre-scale v by a power of two before trusting
+    cross-engine equality; the division-only-at-the-end property is what
+    this form buys, not unbounded range. The window
     runs over DISTINCT TOKEN-COUNT VALUES per source — cardinality bounded
     by max doc length, never by doc count — so the per-source partitions
     stay dim-sized at any corpus scale (the corpus-sized rows are absorbed
@@ -2760,7 +2767,13 @@ def _streaming_drift_psi_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-memory streaming relation resolves ambiguously when aliased twice
     hname = f"{out}_hist"
     spark.table(out).localCheckpoint(eager=True).createOrReplaceTempView(hname)
-    return spark.sql(f"WITH {_emb_drift_psi_tail('spark', binned_rel=hname)}")
+    # views resolve at analysis time: build the plan, then drop BOTH the
+    # histogram view and the memory-sink table so repeated certification
+    # sweeps in one driver session don't accumulate catalog entries
+    df = spark.sql(f"WITH {_emb_drift_psi_tail('spark', binned_rel=hname)}")
+    spark.catalog.dropTempView(hname)
+    spark.catalog.dropTempView(out)
+    return df
 
 
 SPARK_OVERRIDES["streaming_drift_psi"] = _streaming_drift_psi_spark

@@ -129,6 +129,51 @@ def _tok(s: str) -> int:
     return max(1, len(s.split()))
 
 
+def _is_bool(v) -> bool:
+    return isinstance(v, bool)
+
+
+def _is_int(v) -> bool:
+    return isinstance(v, int) and not isinstance(v, bool)
+
+
+def _is_num(v) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def _is_str(v) -> bool:
+    return isinstance(v, str)
+
+
+def _is_opt_str(v) -> bool:
+    return v is None or isinstance(v, str)
+
+
+# RagSettings field -> value-shape check, shared by the per-request overlay
+# (skip invalid) and the settings PATCH route (reject invalid with 422)
+_RAG_FIELD_CHECKS = {
+    "rag_enabled": _is_bool,
+    "search_type": _is_str,
+    "top_k": _is_int,
+    "score_threshold": _is_num,
+    "fetch_k": _is_int,
+    "lambda_mult": _is_num,
+    "grading": _is_bool,
+    "distance_metric": _is_str,
+    "search_tier": _is_opt_str,
+}
+
+
+def invalid_rag_overrides(body: dict) -> list[str]:
+    """Names of recognized RagSettings keys in `body` whose values have the
+    wrong shape — the settings route 422s these at write time so a bad
+    record never reaches the chat path at all."""
+    return [
+        k for k, v in body.items()
+        if k in _RAG_FIELD_CHECKS and not _RAG_FIELD_CHECKS[k](v)
+    ]
+
+
 class ChatPipeline:
     """One pipeline per (store, embedder, llm) triple. Thread history is kept
     in-memory keyed by client id (reference MemorySaver keyed by thread_id,
@@ -181,7 +226,12 @@ class ChatPipeline:
         catalog.assert_tier_usable(store_name, t)``; a caller that truly
         wants to bypass the guard must say so explicitly with
         ``tier_gate=lambda t: {"operating_point": None}``."""
-        if tier not in self._tiered:
+        # cache key includes the metric: a COSINE-prepared store must never
+        # silently serve another client's DOT_PRODUCT request (review r8b) —
+        # a non-cosine metric deterministically raises in the constructor on
+        # EVERY request, independent of which client asked first
+        key = (tier, metric)
+        if key not in self._tiered:
             from oaim_sandbox_spark.operators.tier_guard import TieredStore
 
             if self.tier_gate is None:
@@ -192,15 +242,17 @@ class ChatPipeline:
                     "recall verdict gates the tier before it serves"
                 )
             op = self.tier_gate(tier).get("operating_point")
-            self._tiered[tier] = TieredStore(
+            self._tiered[key] = TieredStore(
                 self.store, tier, operating_point=op, metric=metric,
             )
-        return self._tiered[tier]
+        return self._tiered[key]
 
     def _effective(self, overrides: dict | None) -> RagSettings:
         """Per-request settings: overlay a client's stored settings record
         (the config-plane dict) onto this pipeline's RagSettings — only
-        recognized RagSettings fields apply; the pipeline's own settings
+        recognized RagSettings fields with TYPE-VALID values apply (the
+        record arrives from unvalidated PATCH bodies; a string top_k must
+        not 500 the chat route mid-plan), and the pipeline's own settings
         object is never mutated (the pipeline is shared across clients).
         Reference parity: the sandbox applies the client's settings to the
         RAG chain per request (endpoints.py settings + chatbot chain)."""
@@ -208,8 +260,10 @@ class ChatPipeline:
 
         if not overrides:
             return self.settings
-        fields = {f.name for f in dataclasses.fields(RagSettings)}
-        kw = {k: v for k, v in overrides.items() if k in fields}
+        kw = {
+            k: v for k, v in overrides.items()
+            if k in _RAG_FIELD_CHECKS and _RAG_FIELD_CHECKS[k](v)
+        }
         return dataclasses.replace(self.settings, **kw) if kw else self.settings
 
     def retrieve(self, question: str, s: RagSettings | None = None) -> list:

@@ -304,6 +304,11 @@ class ApiServer:
         self.prompts = prompts if prompts is not None else PromptRegistry("prompt")
         self.api_key = api_key or generate_auth_key()
         self.settings: dict[str, dict] = {}
+        # keys each client has EXPLICITLY set via PATCH: the chat overlay
+        # applies only these, so merely creating a settings record (POST
+        # copies DEFAULT_SETTINGS) cannot override a server-configured
+        # pipeline (e.g. rag_enabled=False by design) with API defaults
+        self.settings_touched: dict[str, set] = {}
         self.spark, self.testbed, self.catalog = spark, testbed, catalog
         self.databases = databases if databases is not None else []
         self.object_store = object_store
@@ -964,19 +969,33 @@ class _ApiHandler(BaseHTTPRequestHandler):
             return self._json(200, staged)
         return self._json(404, {"detail": "Not Found"})
 
+    @staticmethod
+    def _client_overrides(api: ApiServer, client: str) -> dict | None:
+        rec = api.settings.get(client)
+        touched = api.settings_touched.get(client)
+        if not rec or not touched:
+            return None
+        return {k: rec[k] for k in touched if k in rec} or None
+
     def _chat(self, method: str, leaf: str, api: ApiServer) -> None:
         client = self._client()
         if method == "POST" and leaf == "completions":
             # endpoints.py:693-704 chat_post
             body = self._body_dict()
             question = body.get("message") or body.get("question") or ""
-            # the client's stored settings record applies to THIS request
-            # (reference parity: per-client RAG knobs incl. rag_enabled,
-            # top_k, search_type, search_tier drive the chain per call)
-            resp = api.pipeline.chat(
-                question, client_id=client,
-                settings_overrides=api.settings.get(client),
-            )
+            # the client's EXPLICITLY-SET settings keys apply to THIS
+            # request (reference parity: per-client RAG knobs incl.
+            # rag_enabled, top_k, search_type, search_tier drive the chain
+            # per call); configuration errors the pipeline rejects (refused
+            # tier, missing gate, non-cosine tier metric) map to 422, not a
+            # 500 traceback
+            try:
+                resp = api.pipeline.chat(
+                    question, client_id=client,
+                    settings_overrides=self._client_overrides(api, client),
+                )
+            except ValueError as ex:
+                return self._json(422, {"detail": str(ex)})
             return self._json(200, asdict(resp))
         if method == "POST" and leaf == "streams":
             # endpoints.py:706-717 chat_stream: chunked token stream ending
@@ -989,7 +1008,7 @@ class _ApiHandler(BaseHTTPRequestHandler):
             self.end_headers()
             for token in api.pipeline.stream(
                 question, client_id=client,
-                settings_overrides=api.settings.get(client),
+                settings_overrides=self._client_overrides(api, client),
             ):
                 data = token.encode()
                 self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
@@ -1072,13 +1091,26 @@ class _ApiHandler(BaseHTTPRequestHandler):
             if client in api.settings:
                 return self._json(409, {"detail": f"Client: {client} already exists."})
             api.settings[client] = dict(DEFAULT_SETTINGS)
+            api.settings_touched[client] = set()
             return self._json(200, mask_sensitive(api.settings[client]))
         if method == "PATCH":
             if client not in api.settings:
                 return self._json(404, {"detail": f"Client: {client} not found."})
             body = self._body_dict()
+            # RagSettings-shaped keys are validated at WRITE time: these
+            # values feed the chat pipeline per request from this round on,
+            # and a string top_k must fail here with a 422, not 500 a later
+            # chat call mid-plan
+            from oaim_sandbox_spark.serving.chat import invalid_rag_overrides
+
+            bad = invalid_rag_overrides(body)
+            if bad:
+                return self._json(
+                    422, {"detail": f"invalid value type for settings key(s): {sorted(bad)}"}
+                )
             changed = diff_settings(api.settings[client], {**api.settings[client], **body})
             api.settings[client].update(body)
+            api.settings_touched.setdefault(client, set()).update(body.keys())
             return self._json(200, {"settings": mask_sensitive(api.settings[client]),
                                     "changed": changed})
         return self._json(404, {"detail": "Not Found"})

@@ -1085,13 +1085,53 @@ def test_chat_applies_client_settings_record(server):
         code, _ = req(server, "POST", "/v1/chat/completions",
                       body={"message": "hi"}, client="tuned")
         assert code == 200
-        assert seen["overrides"]["top_k"] == 2
-        assert seen["overrides"]["rag_enabled"] is False
+        # ONLY explicitly-PATCHed keys ride along — never the POSTed
+        # DEFAULT_SETTINGS copy, which would override server-configured
+        # pipeline settings (review r8b)
+        assert seen["overrides"] == {"top_k": 2, "rag_enabled": False}
         # a client with no settings record sends None (pipeline defaults)
         code, _ = req(server, "POST", "/v1/chat/completions",
                       body={"message": "hi"}, client="fresh-client")
         assert code == 200
         assert seen["overrides"] is None
+        # a client who only CREATED a record (no PATCH) also sends None
+        code, _ = req(server, "POST", "/v1/settings?client=created-only")
+        assert code == 200
+        code, _ = req(server, "POST", "/v1/chat/completions",
+                      body={"message": "hi"}, client="created-only")
+        assert code == 200
+        assert seen["overrides"] is None
+    finally:
+        server.pipeline.chat = real_chat
+
+
+def test_settings_patch_rejects_mistyped_rag_values(server):
+    """RagSettings-shaped keys are validated at write time: a string top_k
+    would otherwise 500 a later chat call mid-plan (review r8b)."""
+    req(server, "POST", "/v1/settings?client=typed")
+    code, body = req(server, "PATCH", "/v1/settings?client=typed",
+                     body={"top_k": "four"})
+    assert code == 422 and "top_k" in body["detail"]
+    code, _ = req(server, "PATCH", "/v1/settings?client=typed",
+                  body={"rag_enabled": "false"})
+    assert code == 422  # truthy string is NOT a bool
+    code, _ = req(server, "PATCH", "/v1/settings?client=typed",
+                  body={"top_k": 3, "temperature": "warm"})
+    assert code == 200  # non-RagSettings keys stay free-form
+
+
+def test_chat_maps_pipeline_config_errors_to_422(server):
+    """ValueError from the pipeline (refused tier, missing gate, non-cosine
+    tier metric) is a client-configuration error -> 422, not a 500."""
+    real_chat = server.pipeline.chat
+
+    def refuses(*a, **kw):
+        raise ValueError("tier 'matryoshka16_rerank' refused for store 'X'")
+
+    server.pipeline.chat = refuses
+    try:
+        code, body = req(server, "POST", "/v1/chat/completions", body={"message": "hi"})
+        assert code == 422 and "refused" in body["detail"]
     finally:
         server.pipeline.chat = real_chat
 

@@ -178,6 +178,26 @@ def test_tiered_store_rejects_non_cosine_metric(cat_store):
         TieredStore(cat.read_store(name), "int8", metric="EUCLIDEAN_DISTANCE")
 
 
+def test_tier_cache_keyed_by_metric_never_serves_wrong_metric(cat_store):
+    """A COSINE-prepared TieredStore must not satisfy a later DOT_PRODUCT
+    request from the cache: the non-cosine request raises on EVERY call,
+    independent of arrival order (review r8b)."""
+    from oaim_sandbox_spark.serving.chat import ChatPipeline, MockLLM, RagSettings
+
+    cat, name, _vs = cat_store
+    store = cat.read_store(name)
+    qv = [float(x) for x in store.first()["embedding"]]
+    pipe = ChatPipeline(
+        store=store, embed_query=lambda _q: qv, llm=MockLLM(),
+        settings=RagSettings(search_tier="matryoshka16_rerank", grading=False),
+        tier_gate=lambda t: {"operating_point": None},
+    )
+    assert pipe.retrieve("q")  # warms the (tier, COSINE) cache
+    with pytest.raises(ValueError, match="COSINE only"):
+        pipe.retrieve("q", s=RagSettings(search_tier="matryoshka16_rerank",
+                                         distance_metric="DOT_PRODUCT"))
+
+
 def test_int8_rep_materializes_quantized_columns_only(cat_store):
     """The int8 TieredStore must persist the quantized representation (the
     4x win), not the dequantized doubles (review finding r8)."""

@@ -622,8 +622,7 @@ def stress_consensus_funnel(n_vecs: int = 1_000_000, n_queries: int = 512) -> di
     )
     t0 = time.time()
     hits = idx.search_batch(
-        spark, path, qdf, k=6, nprobe=4,
-        query_cols=["qlabel"], pair_where="vec_id <> query_id",
+        spark, path, qdf, k=6, nprobe=4, pair_where="vec_id <> query_id",
     )
     cons = (
         hits.join(store.select("vec_id", F.col("label").alias("nlabel")), "vec_id")
