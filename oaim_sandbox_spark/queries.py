@@ -97,11 +97,11 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     # --- ROUND-8 WINDOW: rotation by certification staleness
     # (tools/window_rotation.py; precomputed in PLANS.md round-8 plan).
     # Union coverage is 171/171 green across r1-r7, so the window is the
-    # 9 NEW r8 entries (must certify first-time), then the 21 entries
+    # 11 NEW r8 entries (must certify first-time), then the 21 entries
     # whose last driver check was round 4, then the oldest round-5
-    # entries in registry order. 9+21 new/r4 entries leave 20 r5 slots in
-    # the 50-entry window, so of the 29 r5 entries listed below the LAST
-    # NINE (range_error_followups .. q17_below_avg_quantity) sit just
+    # entries in registry order. 11+21 new/r4 entries leave 18 r5 slots
+    # in the 50-entry window, so of the 29 r5 entries listed below the
+    # LAST ELEVEN (doc_fingerprints .. q17_below_avg_quantity) sit just
     # past the boundary and lead the round-9 rotation with the remaining
     # 21 r5 ties.
     # transformWithState twin: registered only where protobuf exists, and
@@ -122,6 +122,8 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "token_gini_by_source",
     "dedup_threshold_sensitivity",
     "streaming_drift_psi",
+    "context_fit_stats",
+    "cross_source_duplicate_matrix",
     # --- last driver check: round 4 (21 entries, staleness order):
     "kl_divergence_by_source",
     "zipf_alpha_by_lang",

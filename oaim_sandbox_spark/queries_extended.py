@@ -2777,3 +2777,97 @@ def _streaming_drift_psi_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPARK_OVERRIDES["streaming_drift_psi"] = _streaming_drift_psi_spark
+
+
+def context_fit_stats(d: str) -> str:
+    """Context-window packing audit per source: at each training context
+    length (2048 / 8192 / 32768 whitespace tokens), how many docs fit
+    whole, and what fraction of the source's token mass a truncate-to-fit
+    policy would cut — the numbers that decide between truncation,
+    splitting, and sequence packing (`sequence_packing` implements the
+    packing side; this measures what's at stake). Plan shape: one scan
+    computes per-doc token counts, the 3-row context dim cross-joins
+    (broadcast by construction), one (source, ctx) agg."""
+    toks = TA.token_counts_sql("text", d)["ws_tokens"]
+    ctx = (
+        "SELECT explode(array(2048, 8192, 32768)) AS ctx"
+        if d == "spark"
+        else "SELECT unnest([2048, 8192, 32768]) AS ctx"
+    )
+    return f"""
+WITH t AS (SELECT source, CAST({toks} AS BIGINT) AS v FROM documents),
+c AS ({ctx})
+SELECT t.source AS source,
+       CAST(c.ctx AS INT) AS context_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN t.v <= c.ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+       CAST(SUM(CASE WHEN t.v > c.ctx THEN t.v - c.ctx ELSE 0 END) AS BIGINT)
+           AS truncated_tokens,
+       CAST(round(CAST(SUM(CASE WHEN t.v > c.ctx THEN t.v - c.ctx ELSE 0 END)
+                       AS DOUBLE) / SUM(t.v), 6) AS DOUBLE) AS truncated_frac
+FROM t CROSS JOIN c
+GROUP BY t.source, c.ctx
+ORDER BY source, context_tokens
+"""
+
+
+TEMPLATES["context_fit_stats"] = context_fit_stats
+
+
+def _cross_source_dup_body(d: str, rel: str = "sigs") -> str:
+    """Source-pair rollup of the minhash near-dup pair graph, reading from
+    signature relation `rel` (shared with the Spark override)."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_pairs_body
+
+    lo = "least(da.source, db.source)"
+    hi = "greatest(da.source, db.source)"
+    return f"""
+WITH pairs AS ({_minhash_pairs_body(d, rel=rel)}),
+strong AS (SELECT doc_a, doc_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5),
+labeled AS (
+  SELECT {lo} AS source_a, {hi} AS source_b, s.est_jaccard AS est_jaccard
+  FROM strong s
+  JOIN documents da ON da.doc_id = s.doc_a
+  JOIN documents db ON db.doc_id = s.doc_b
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(round(AVG(est_jaccard), 6) AS DOUBLE) AS mean_est_jaccard
+FROM labeled
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+def cross_source_duplicate_matrix(d: str) -> str:
+    """WHO duplicates WHOM: the near-dup pair graph rolled up to unordered
+    source pairs — the crawl-triage view that `near_dup_rate_by_source`
+    (per-source rate) and `dedup_degree_profile` (per-source accounting)
+    don't give: a hot (A, B) off-diagonal cell means B re-hosts A's
+    content (mirror/scraper/syndication) and one of them can be dropped
+    from the crawl entirely, which is cheaper than deduplicating it
+    forever. Diagonal cells are within-source duplication. Plan shape:
+    pair graph once (banded, text never shuffles), two slim int64 joins
+    to fetch sources, one dim-sized (source, source) agg."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_sigs_sql
+
+    body = _cross_source_dup_body(d)
+    return body.replace(
+        "WITH pairs AS (", f"WITH sigs AS ({_minhash_sigs_sql(d)}), pairs AS (", 1
+    )
+
+
+TEMPLATES["cross_source_duplicate_matrix"] = cross_source_duplicate_matrix
+
+
+def _cross_source_dup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the signatures once (the _mhq_spark
+    rationale) before the pair generation."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_sigs_sql
+
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _minhash_sigs_sql("spark"), "csd_sigs")
+    return _sql_dropping(spark, _cross_source_dup_body("spark", rel=name), name)
+
+
+SPARK_OVERRIDES["cross_source_duplicate_matrix"] = _cross_source_dup_spark
