@@ -832,6 +832,24 @@ class StageMetricsTracker:
             return None
 
 
+def blas_probe_once() -> float:
+    """One warmed-cadence pass of the fixed BLAS anchor workload (the
+    min-of-3 protocol's inner unit). Used for the MID-RUN probe series —
+    recorded informationally so a future protocol can anchor on the
+    median of probes taken WHILE the queries run (BASELINE.md "Min-of-3
+    anchoring under intra-run oscillation": when the host oscillates
+    faster than a bench run, start/end minima lock onto fast crests and
+    the factor under-reports the average speed the queries saw)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((1200, 1200))
+    t0 = time.time()
+    for _ in range(3):
+        a = (a @ a) / 1200.0
+    return round(time.time() - t0, 3)
+
+
 def host_calibration(spark) -> dict:
     """Fixed-work probes recording the host-speed context of this run: a
     pure numpy matmul (CPU/BLAS) and a fixed JVM codegen aggregation.
@@ -957,7 +975,15 @@ def main() -> None:
     # regression — newly-front queries paid the remaining warmup that the
     # previously-front queries used to absorb. Sorted order keeps
     # round-over-round per-query comparisons meaningful.
-    for name in sorted(queries):
+    # MID-RUN probe series (informational, ~0.15s each): one BLAS pass
+    # every 40 queries, recorded alongside the start/end min-of-3 pair so a
+    # future protocol can anchor on the median of probes taken WHILE the
+    # queries ran — the oscillation-robust anchor BASELINE.md's r8 caveat
+    # motivates. NOT used in this run's factor (no protocol change).
+    midrun_probes: list[float] = []
+    for qi, name in enumerate(sorted(queries)):
+        if qi and qi % 40 == 0:
+            midrun_probes.append(blas_probe_once())
         fn = queries[name]
         t0 = time.time()
         try:
@@ -1099,6 +1125,11 @@ def main() -> None:
         # so one sample can miss the state the queries actually ran under
         "host_calibration": calibration,
         "host_calibration_end": calibration_end,
+        # informational mid-run BLAS probe series (one warmed pass every 40
+        # queries) — the paired data a median-anchored protocol needs; the
+        # first sample of the series still carries page-fault warmup where
+        # the process hasn't run the start probes' buffers recently
+        "host_calibration_midrun": midrun_probes,
         "sf": sf,
     }
     # Full per-query detail goes to a sidecar file: the driver records only a
