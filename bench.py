@@ -832,18 +832,25 @@ class StageMetricsTracker:
             return None
 
 
+_PROBE_BUF = {}
+
+
 def blas_probe_once() -> float:
-    """One warmed-cadence pass of the fixed BLAS anchor workload (the
-    min-of-3 protocol's inner unit). Used for the MID-RUN probe series —
-    recorded informationally so a future protocol can anchor on the
-    median of probes taken WHILE the queries run (BASELINE.md "Min-of-3
-    anchoring under intra-run oscillation": when the host oscillates
-    faster than a bench run, start/end minima lock onto fast crests and
-    the factor under-reports the average speed the queries saw)."""
+    """One pass of the fixed BLAS anchor workload over a PERSISTENT buffer
+    (allocated on first call, reused after) — so every call past the first
+    is warmed the way the min-of-3 protocol's steady-state passes are; a
+    fresh-buffer pass pays page-fault/first-touch costs that are not host
+    speed (the 0.222-vs-0.068 idle-host gap the min-of-3 rationale
+    documents). Used for the MID-RUN probe series, recorded
+    informationally so a future protocol can anchor on the median of
+    probes taken WHILE the queries run (BASELINE.md "Min-of-3 anchoring
+    under intra-run oscillation"). The r8 record's series predates the
+    persistent buffer and is biased high by the cold-pass cost."""
     import numpy as np
 
-    rng = np.random.default_rng(0)
-    a = rng.random((1200, 1200))
+    if "a" not in _PROBE_BUF:
+        _PROBE_BUF["a"] = np.random.default_rng(0).random((1200, 1200))
+    a = _PROBE_BUF["a"]
     t0 = time.time()
     for _ in range(3):
         a = (a @ a) / 1200.0
@@ -1125,10 +1132,10 @@ def main() -> None:
         # so one sample can miss the state the queries actually ran under
         "host_calibration": calibration,
         "host_calibration_end": calibration_end,
-        # informational mid-run BLAS probe series (one warmed pass every 40
-        # queries) — the paired data a median-anchored protocol needs; the
-        # first sample of the series still carries page-fault warmup where
-        # the process hasn't run the start probes' buffers recently
+        # informational mid-run BLAS probe series (one pass every 40
+        # queries over a persistent buffer) — the paired data a
+        # median-anchored protocol needs; the FIRST sample still pays the
+        # buffer's first-touch cost, later samples are warmed
         "host_calibration_midrun": midrun_probes,
         "sf": sf,
     }

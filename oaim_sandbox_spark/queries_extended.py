@@ -2804,7 +2804,8 @@ SELECT t.source AS source,
        CAST(SUM(CASE WHEN t.v > c.ctx THEN t.v - c.ctx ELSE 0 END) AS BIGINT)
            AS truncated_tokens,
        CAST(round(CAST(SUM(CASE WHEN t.v > c.ctx THEN t.v - c.ctx ELSE 0 END)
-                       AS DOUBLE) / SUM(t.v), 6) AS DOUBLE) AS truncated_frac
+                       AS DOUBLE) / nullif(SUM(t.v), 0), 6) AS DOUBLE)
+           AS truncated_frac
 FROM t CROSS JOIN c
 GROUP BY t.source, c.ctx
 ORDER BY source, context_tokens
