@@ -303,7 +303,12 @@ class ApiServer:
         self.models = models if models is not None else Registry("model")
         self.prompts = prompts if prompts is not None else PromptRegistry("prompt")
         self.api_key = api_key or generate_auth_key()
-        self.settings: dict[str, dict] = {}
+        # reference bootstrap (bootstrap/settings_def.py main): settings
+        # records for clients 'default' and 'server' exist at startup, each
+        # carrying its own client id (schema.Settings.client)
+        self.settings: dict[str, dict] = {
+            c: {**DEFAULT_SETTINGS, "client": c} for c in ("default", "server")
+        }
         # keys each client has EXPLICITLY set via PATCH: the chat overlay
         # applies only these, so merely creating a settings record (POST
         # copies DEFAULT_SETTINGS) cannot override a server-configured
@@ -1090,7 +1095,7 @@ class _ApiHandler(BaseHTTPRequestHandler):
         if method == "POST":
             if client in api.settings:
                 return self._json(409, {"detail": f"Client: {client} already exists."})
-            api.settings[client] = dict(DEFAULT_SETTINGS)
+            api.settings[client] = {**DEFAULT_SETTINGS, "client": client}
             api.settings_touched[client] = set()
             return self._json(200, mask_sensitive(api.settings[client]))
         if method == "PATCH":

@@ -1148,3 +1148,23 @@ def test_effective_settings_overlay():
     assert pipe.settings.top_k == 4  # untouched
     assert pipe._effective(None) is pipe.settings
     assert pipe._effective({"unknown": 1}) is pipe.settings
+
+
+def test_settings_bootstrap_default_and_server_clients(server):
+    """Reference parity (bootstrap/settings_def.py + test_endpoints_settings
+    test_settings_copy): records for clients 'default' and 'server' exist at
+    startup, each carrying its own client id; the copy flow (GET one, PATCH
+    the other with the full record) works and bootstrapped records do NOT
+    overlay chat requests (nothing explicitly set)."""
+    code, d = req(server, "GET", "/v1/settings?client=default")
+    assert code == 200 and d["client"] == "default"
+    code, sv = req(server, "GET", "/v1/settings?client=server")
+    assert code == 200 and sv["client"] == "server"
+    # copy: patch the client record onto server (reference test shape)
+    code, _ = req(server, "PATCH", "/v1/settings?client=server",
+                  body={k: v for k, v in d.items() if k != "client"})
+    assert code == 200
+    code, sv2 = req(server, "GET", "/v1/settings?client=server")
+    assert code == 200 and sv2["client"] == "server"
+    assert {k: v for k, v in sv2.items() if k != "client"} == \
+           {k: v for k, v in d.items() if k != "client"}
