@@ -311,6 +311,24 @@ class ChatPipeline:
         use_history: bool = True,
         settings_overrides: dict | None = None,
     ) -> ChatResponse:
+        if self.llm is None:
+            # reference parity (endpoints chat_post + test_endpoints_chat
+            # test_chat_completion_model_error): a language model that fails
+            # to initialise returns 200 with the apology as the assistant
+            # content — a config problem, not a request error. History is
+            # untouched (no successful turn happened).
+            apology = (
+                "I'm sorry, I'm unable to initialise the Language Model. "
+                "Please refresh the application."
+            )
+            return ChatResponse(
+                id=f"chatcmpl-{uuid.uuid4().hex[:12]}",
+                object="chat.completion",
+                created=int(time.time()),
+                model=self.model_name,
+                choices=[Choice(0, Message("assistant", apology))],
+                usage=Usage(),
+            )
         s = self._effective(settings_overrides)
         history = self._history.setdefault(client_id, [])
         # the user/assistant pair is committed to persistent history only

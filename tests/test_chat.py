@@ -127,3 +127,17 @@ def test_failed_turn_leaves_history_clean():
     resp = pipe.chat("hello?", client_id="c1")  # retry succeeds
     assert resp.choices[0].message.content == "recovered answer"
     assert [m.role for m in pipe.history("c1")] == ["user", "assistant"]
+
+
+def test_chat_without_llm_returns_apology_not_crash():
+    """Reference parity (test_endpoints_chat test_chat_completion_model_error):
+    an uninitialisable language model yields HTTP-200 semantics with the
+    apology as the assistant content; history stays untouched."""
+    pipe = ChatPipeline(store=None, embed_query=None, llm=None,
+                        settings=RagSettings(rag_enabled=False))
+    resp = pipe.chat("hello?", client_id="c-nollm")
+    assert "unable to initialise the Language Model" in resp.choices[0].message.content
+    assert pipe.history("c-nollm") == []
+    # streaming path shares the fallback and still ends with the sentinel
+    toks = list(pipe.stream("hello?", client_id="c-nollm"))
+    assert toks[-1] == "[stream_finished]"
