@@ -94,77 +94,22 @@ def _make_spark_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # and the LLM-data-pipeline operators — the newest and highest-value entries —
 # followed by everything else in definition order.
 FLAGSHIP_FIRST: tuple[str, ...] = (
-    # --- ROUND-8 WINDOW: rotation by certification staleness
-    # (tools/window_rotation.py; precomputed in PLANS.md round-8 plan).
-    # Union coverage is 171/171 green across r1-r7, so the window is the
-    # 11 NEW r8 entries (must certify first-time), then the 21 entries
-    # whose last driver check was round 4, then the oldest round-5
-    # entries in registry order. 11+21 new/r4 entries leave 18 r5 slots
-    # in the 50-entry window, so of the 29 r5 entries listed below the
-    # LAST ELEVEN (doc_fingerprints .. q17_below_avg_quantity) sit just
-    # past the boundary and lead the round-9 rotation with the remaining
-    # 21 r5 ties.
+    # --- ROUND-9 WINDOW: rotation by certification staleness
+    # (tools/window_rotation.py; precomputed in PLANS.md round-8 plan,
+    # reproduced against the landed CORRECTNESS_r08.json). Union coverage
+    # is 182/182 green across r1-r8, so the window is: any NEW r9 entries
+    # (must certify first-time), then the 32 entries whose last driver
+    # check was round 5 (staleness order), then the oldest round-6
+    # entries in registry order filling the remaining slots.
     # transformWithState twin: registered only where protobuf exists, and
     # never yet driver-checkable — keep it in the prefix so it certifies
     # the first time it can; in protobuf-less envs it is filtered out and
     # costs no slot.
     "streaming_user_stats_tws",
-    # --- NEW this round (k-NN label-noise consensus; coreset coverage
-    # audit; per-source dedup accounting; quality-gate fairness parity;
-    # corpus-saturation curve; pre-ANN store health audit; exact grouped
-    # token-Gini; near-dup threshold trade-off curve):
-    "knn_label_consensus",
-    "coreset_coverage_radius",
-    "dedup_degree_profile",
-    "quality_threshold_parity",
-    "ngram_novelty_decay",
-    "embedding_health_audit",
-    "token_gini_by_source",
-    "dedup_threshold_sensitivity",
-    "streaming_drift_psi",
-    "context_fit_stats",
-    "cross_source_duplicate_matrix",
-    # --- last driver check: round 4 (21 entries, staleness order):
-    "kl_divergence_by_source",
-    "zipf_alpha_by_lang",
-    "source_vocab_overlap",
-    "event_markov_transitions",
-    "source_lang_entropy",
-    "reachability_bfs",
-    "unpivot_monthly_metrics",
-    "lateral_top_customers",
-    "cusum_changepoint",
-    "dow_seasonality",
-    "bigram_pmi_topk",
-    "user_burstiness",
-    "federated_label_topk",
-    "near_dup_rate_by_source",
-    "k_anonymity_audit",
-    "dp_noisy_counts",
-    "event_pattern_match",
-    "weekly_cohort_retention",
-    "ab_test_zscore",
-    "point_in_time_join",
-    "bigram_logprob_quality",
-    # --- last driver check: round 5 (oldest 29, registry order):
-    "q1_pricing_summary",
-    "split_fixed_chunks",
-    "dedup_exact_first",
-    "vs_merge_content_ids",
-    "mock_embed_dims",
-    "topk_cosine",
-    "topk_euclidean",
-    "topk_dot_product",
-    "topk_score_threshold",
-    "rag_topk_mock_query",
-    "knn_join_batch",
-    "lsh_ann_topk",
-    "minhash_signatures",
-    "simhash_fingerprints",
-    "simhash_near_pairs",
-    "lang_id",
-    "quality_scores",
-    "token_counts",
+    # --- NEW this round:
+    # (inserted here as they land; each displaces one r6 tie past the
+    # boundary, which the rotation invariant allows — ties may split.)
+    # --- last driver check: round 5 (all 32, staleness order):
     "doc_fingerprints",
     "asof_clicks_before_errors",
     "range_error_followups",
@@ -176,6 +121,46 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "q12_priority_case_agg",
     "q16_distinct_suppliers",
     "q17_below_avg_quantity",
+    "q18_large_orders",
+    "q22_idle_rich_customers",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "train_test_split",
+    "stratified_sample_counts",
+    "char_entropy",
+    "sequence_packing",
+    "bm25_topk",
+    "streaming_dedup_pairs",
+    "streaming_user_stats",
+    "streaming_click_error_join",
+    "streaming_enrich_nation",
+    "quantized_topk",
+    "pq_adc_topk",
+    "curriculum_buckets_approx",
+    # --- last driver check: round 6 (oldest 18, registry order):
+    "incremental_neardup_probe",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_pairs",
+    "q19_disjunctive_pred_join",
+    "q21_waiting_suppliers",
+    "bigram_topk",
+    "doc_len_percentiles",
+    "mad_outliers",
+    "salted_user_counts",
+    "repetition_ratios",
+    "quality_filter",
+    "latest_event_per_user",
+    "event_value_zscores",
+    "docs_intersect_except",
+    "customer_order_stats_outer",
+    "pivot_event_counts",
+    "cube_doc_counts",
+    "event_moving_stats",
 )
 
 

@@ -24,8 +24,32 @@ import json
 import sys
 
 
+def _plan_signal_changed(q: str, old: dict, new: dict) -> bool:
+    """True when query q's PLAN-SHAPE telemetry moved between records:
+    shuffle bytes grew materially, or disk spill appeared. Wall time with
+    no plan-signal change is overwhelmingly host noise on this box (r8:
+    dedup_degree_profile swung 1.90<->2.85s calibrated across two driver
+    runs with bit-identical 0.29 MB shuffle and zero spill)."""
+    osh = old.get("query_shuffle_mb", {}).get(q)
+    nsh = new.get("query_shuffle_mb", {}).get(q)
+    if osh is not None and nsh is not None and nsh > osh * 1.1 + 0.5:
+        return True
+    osp = old.get("query_spill_disk_mb", {}).get(q, 0.0)
+    nsp = new.get("query_spill_disk_mb", {}).get(q, 0.0)
+    return nsp > 1.0 and osp <= 1.0
+
+
 def compare(old: dict, new: dict, time_tol: float, shuffle_tol: float,
-            time_floor: float = 1.0) -> list[str]:
+            time_floor: float = 1.0, uncorroborated_floor: float | None = None,
+            uncorroborated_tol: float | None = None) -> list[str]:
+    """uncorroborated_floor/_tol: stricter thresholds applied to a TIME
+    regression NOT corroborated by a shuffle/spill delta (VERDICT r8 #2 —
+    the plain floor false-positived on wall noise straddling it). Default
+    None keeps the single-threshold behavior."""
+    if uncorroborated_floor is None:
+        uncorroborated_floor = time_floor
+    if uncorroborated_tol is None:
+        uncorroborated_tol = time_tol
     flags: list[str] = []
     # never mix modes: comparing one record's RAW seconds against the
     # other's CALIBRATED seconds shifts every ratio by the host factor
@@ -65,8 +89,12 @@ def compare(old: dict, new: dict, time_tol: float, shuffle_tol: float,
         # (the sweep gate uses 2.5s) so only regressions big enough to
         # outrun the noise flag on wall time; smaller plan regressions are
         # still caught by the shuffle/spill ratchets below
-        if nt[q] > max(time_floor, time_tol * ot[q]):
-            flags.append(f"TIME {q}: {ot[q]}s -> {nt[q]}s calibrated (> {time_tol}x)")
+        corroborated = _plan_signal_changed(q, old, new)
+        floor = time_floor if corroborated else uncorroborated_floor
+        tol = time_tol if corroborated else uncorroborated_tol
+        if nt[q] > max(floor, tol * ot[q]):
+            tag = "" if corroborated else " [no shuffle/spill delta]"
+            flags.append(f"TIME {q}: {ot[q]}s -> {nt[q]}s calibrated (> {tol}x){tag}")
     osh, nsh = old.get("query_shuffle_mb", {}), new.get("query_shuffle_mb", {})
     for q in sorted(set(osh) & set(nsh)):
         if nsh[q] > max(5.0, shuffle_tol * osh[q]):
@@ -85,6 +113,10 @@ def main() -> None:
     ap.add_argument("--time-tol", type=float, default=1.5)
     ap.add_argument("--shuffle-tol", type=float, default=1.3)
     ap.add_argument("--time-floor", type=float, default=1.0)
+    ap.add_argument("--uncorroborated-floor", type=float, default=None,
+                    help="higher floor for TIME flags with no shuffle/spill delta")
+    ap.add_argument("--uncorroborated-tol", type=float, default=None,
+                    help="higher ratio for TIME flags with no shuffle/spill delta")
     args = ap.parse_args()
     old = json.load(open(args.old))
     new = json.load(open(args.new))
@@ -100,7 +132,8 @@ def main() -> None:
     if only_new:
         print(f"# queries only in new ({len(only_new)}): {', '.join(only_new[:10])}...")
 
-    flags = compare(old, new, args.time_tol, args.shuffle_tol, args.time_floor)
+    flags = compare(old, new, args.time_tol, args.shuffle_tol, args.time_floor,
+                    args.uncorroborated_floor, args.uncorroborated_tol)
     for f in flags:
         print(f)
     print(f"{len(flags)} regression flag(s)")
