@@ -404,12 +404,23 @@ class VectorStoreCatalog:
             with open(sidecar_path) as fh:
                 meta = json.load(fh)
         cached = meta.get("tier_guard")
-        # verdicts are cached PER (floor, k) config under one fingerprint:
-        # a serving gate at the default floor and an offline job at a
-        # stricter one must not thrash each other's cache (each probe is
-        # 10-19s) — they occupy separate config slots until the store's
-        # contents change
+        # verdicts are cached PER full probe configuration under one
+        # fingerprint: a serving gate at the default floor and an offline
+        # job at a stricter one must not thrash each other's cache (each
+        # probe is 10-19s). The key folds in EVERY parameter that changes
+        # what the probe measures — floor/k plus id/vec columns and any
+        # probe_kwargs (n_queries, store_cap, ...) — so a verdict probed
+        # under a small store_cap is never silently served to a request
+        # with a different configuration (ADVICE r8 low). Default-config
+        # keys stay "floor|k" so existing sidecars remain valid.
+        extras = {k2: probe_kwargs[k2] for k2 in sorted(probe_kwargs)}
+        if id_col != "id":
+            extras["id_col"] = id_col
+        if vec_col != "embedding":
+            extras["vec_col"] = vec_col
         cfg_key = f"{floor}|{k}"
+        if extras:
+            cfg_key += "|" + json.dumps(extras, sort_keys=True, default=str)
         fp_valid = cached is not None and cached.get("fingerprint") == fp
         configs = dict(cached.get("configs", {})) if fp_valid else {}
         have = configs.get(cfg_key, {})

@@ -66,6 +66,24 @@ TIER_LADDER: dict[str, tuple[dict, dict | None]] = {
     "pca16_rerank": ({"fetch_mult": 5}, {"fetch_mult": 15}),
 }
 
+# tier -> metrics its funnel actually preserves (VERDICT r8 task #4).
+# int8 keeps full-precision information per dimension, so the quantization
+# algebra carries every metric: cosine (scales cancel), dot product and
+# euclidean (dequantized values are within scale/254 per dim). The re-rank
+# tiers' STAGE-1 candidate generators are cosine-geometry-specific — sign
+# buckets, prefix/PCA subspace distance — and every guard-measured ladder
+# point was calibrated on cosine recall; serving another metric through
+# them would return plausible-but-wrong order, so they stay cosine-only.
+TIER_METRICS: dict[str, tuple[str, ...]] = {
+    "int8": ("COSINE", "DOT_PRODUCT", "EUCLIDEAN_DISTANCE"),
+    "lsh8_multiprobe": ("COSINE",),
+    "ivf": ("COSINE",),
+    "pq_adc_rerank": ("COSINE",),
+    "binary_hamming_rerank": ("COSINE",),
+    "matryoshka16_rerank": ("COSINE",),
+    "pca16_rerank": ("COSINE",),
+}
+
 
 def _thin_store(store: DataFrame, cap: int, id_col: str) -> DataFrame:
     """Deterministic hash-mod thinning to ~cap rows (divisor from
@@ -236,14 +254,14 @@ def pca_candidates(
 
 def _tier_recall(
     tier: str, op: dict, store: DataFrame, qdf: DataFrame, queries, dim: int,
-    exact: dict[int, set], k: int,
+    exact: dict[int, set], k: int, metric: str = "COSINE",
 ) -> float:
     from oaim_sandbox_spark.operators import ann as A
 
     spark = store.sparkSession
     if tier == "int8":
         deq = A.dequantize_embeddings(A.quantize_embeddings(store))
-        return _recall(_sets(A.knn_join(deq, qdf, k=k)), exact, k)
+        return _recall(_sets(A.knn_join(deq, qdf, k=k, metric=metric)), exact, k)
     if tier == "lsh8_multiprobe":
         got = A.lsh_knn_join(store, qdf, k=k, n_planes=op["n_planes"], dim=dim, multiprobe=True)
         return _recall(_sets(got), exact, k)
@@ -295,10 +313,16 @@ def sampled_tier_recall(
     store_cap: int = 20_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "COSINE",
 ) -> dict[str, dict]:
     """Measured recall@k per tier at BOTH ladder points on a deterministic
     sub-sample of the store. Returns
-    {tier: {"recall": r_default, "widened_recall": r_widened|None}}."""
+    {tier: {"recall": r_default, "widened_recall": r_widened|None}}.
+    ``metric``: the serving metric to probe under — the exact oracle and the
+    tier's approximate pass both rank with it. Only tiers whose funnel
+    preserves the metric (TIER_METRICS) may be probed; asking a cosine-only
+    tier for DOT_PRODUCT raises up front rather than measuring a number
+    that means nothing."""
     from oaim_sandbox_spark.operators import ann as A
 
     # Validate names up front so the public entry points raise the
@@ -307,15 +331,20 @@ def sampled_tier_recall(
     for t in tier_list:
         if t not in TIER_LADDER:
             raise ValueError(f"unknown tier {t!r}; one of {sorted(TIER_LADDER)}")
+        if metric not in TIER_METRICS[t]:
+            raise ValueError(
+                f"tier {t!r} serves {TIER_METRICS[t]} only (got {metric!r}); "
+                "its stage-1 candidate generator is cosine-geometry-specific"
+            )
 
     sub, qdf, queries, dim = _probe_frames(store, n_queries, store_cap, id_col, vec_col)
-    exact = _sets(A.knn_join(sub, qdf, k=k))
+    exact = _sets(A.knn_join(sub, qdf, k=k, metric=metric))
     out: dict[str, dict] = {}
     for tier in tier_list:
         default_op, widened_op = TIER_LADDER[tier]
-        r = _tier_recall(tier, default_op, sub, qdf, queries, dim, exact, k)
+        r = _tier_recall(tier, default_op, sub, qdf, queries, dim, exact, k, metric)
         rw = (
-            _tier_recall(tier, widened_op, sub, qdf, queries, dim, exact, k)
+            _tier_recall(tier, widened_op, sub, qdf, queries, dim, exact, k, metric)
             if widened_op is not None
             else None
         )
@@ -332,6 +361,7 @@ def recommend_tiers(
     store_cap: int = 20_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "COSINE",
 ) -> dict[str, dict]:
     """Per-tier verdict for THIS store:
 
@@ -344,7 +374,8 @@ def recommend_tiers(
                     tier that keeps full-precision information (int8,
                     pca16_rerank) or the exact path.
     """
-    measured = sampled_tier_recall(store, tiers, k, n_queries, store_cap, id_col, vec_col)
+    measured = sampled_tier_recall(store, tiers, k, n_queries, store_cap, id_col,
+                                   vec_col, metric)
     out: dict[str, dict] = {}
     for tier, m in measured.items():
         default_op, widened_op = TIER_LADDER[tier]
@@ -427,15 +458,20 @@ class TieredStore:
                 f"{list(SERVABLE_TIERS)} (ivf/pq serve via ann.IVFIndex/ann.PQIndex, "
                 "lsh via ann.lsh_knn_join)"
             )
-        if metric != "COSINE":
-            # the canonical funnels (sign-pack Hamming, prefix/PCA
-            # candidates, exact_rerank) and every guard-measured recall
-            # ladder point are cosine-calibrated; silently ranking another
-            # metric through them would return plausible-but-wrong order
+        if metric not in TIER_METRICS[tier]:
+            # per-metric tier ladder (VERDICT r8 task #4): int8 keeps
+            # full-precision information so it serves every metric; the
+            # re-rank tiers' stage-1 candidate generators (sign-pack
+            # Hamming, prefix/PCA subspace distance) and every
+            # guard-measured recall ladder point are cosine-calibrated —
+            # silently ranking another metric through them would return
+            # plausible-but-wrong order
             raise ValueError(
-                f"TieredStore serves COSINE only (got {metric!r}); use exact "
+                f"tier {tier!r} serves {TIER_METRICS[tier]} only (got "
+                f"{metric!r}); use the int8 tier or exact "
                 "retrieval.similarity_topk for other metrics"
             )
+        self.metric = metric
         self.tier = tier
         self.op = dict(TIER_LADDER[tier][0] if operating_point is None else operating_point)
         self.id_col, self.vec_col = id_col, vec_col
@@ -485,7 +521,8 @@ class TieredStore:
         qv = [float(x) for x in query_vec]
         qdf = spark.createDataFrame([(0, qv)], "query_id BIGINT, query_vec ARRAY<DOUBLE>")
         if self.tier == "int8":
-            res = A.knn_join(A.dequantize_embeddings(self._rep), qdf, k=k)
+            res = A.knn_join(A.dequantize_embeddings(self._rep), qdf, k=k,
+                             metric=self.metric)
         else:
             fetch_k = int(self.op.get("fetch_mult", 5)) * k
             if self.tier == "binary_hamming_rerank":

@@ -188,7 +188,8 @@ class ChatPipeline:
         sys_prompt: str = DEFAULT_SYS_PROMPT,
         ctx_prompt: str = DEFAULT_CTX_PROMPT,
         model_name: str = "mock-llm",
-        tier_gate=None,  # Callable[[str], dict]: tier -> verdict (raises on refused)
+        tier_gate=None,  # Callable[[str], dict] or [(str, str)], dict]:
+        #                  (tier[, metric]) -> verdict (raises on refused)
     ):
         self.store = store
         self.embed_query = embed_query
@@ -199,9 +200,14 @@ class ChatPipeline:
         self.model_name = model_name
         # tier_gate is how serving consults the PERSISTED tier-guard verdict
         # with zero probe cost: wire it to
-        # ``lambda t: catalog.assert_tier_usable(store_name, t)`` so the
-        # cached sidecar verdict (VectorStoreCatalog.tier_verdicts) gates the
-        # tier and supplies its accepted (possibly widened) operating point.
+        # ``lambda t, m="COSINE": catalog.assert_tier_usable(store_name, t,
+        # metric=m)`` so the cached sidecar verdict
+        # (VectorStoreCatalog.tier_verdicts) gates the (tier, metric) pair
+        # and supplies its accepted (possibly widened) operating point.
+        # One-arg gates (the pre-r9 contract) still work — they are called
+        # with the tier only, which is sound because verdicts for them were
+        # only ever probed under cosine and TieredStore rejects non-cosine
+        # metrics on cosine-only tiers regardless.
         self.tier_gate = tier_gate
         self._tiered: dict[str, object] = {}
         self._history: dict[str, list[Message]] = {}
@@ -227,9 +233,11 @@ class ChatPipeline:
         wants to bypass the guard must say so explicitly with
         ``tier_gate=lambda t: {"operating_point": None}``."""
         # cache key includes the metric: a COSINE-prepared store must never
-        # silently serve another client's DOT_PRODUCT request (review r8b) —
-        # a non-cosine metric deterministically raises in the constructor on
-        # EVERY request, independent of which client asked first
+        # silently serve another client's DOT_PRODUCT request (review r8b).
+        # int8 serves every metric through its own per-metric entry; a
+        # non-cosine metric on a cosine-only tier deterministically raises
+        # in the constructor on EVERY request, independent of which client
+        # asked first (TIER_METRICS ladder, VERDICT r8 task #4)
         key = (tier, metric)
         if key not in self._tiered:
             from oaim_sandbox_spark.operators.tier_guard import TieredStore
@@ -241,7 +249,17 @@ class ChatPipeline:
                     "catalog.assert_tier_usable(store_name, t) so the cached "
                     "recall verdict gates the tier before it serves"
                 )
-            op = self.tier_gate(tier).get("operating_point")
+            import inspect
+
+            # two-arg gates receive the metric so the verdict cache keys
+            # per (tier, metric); one-arg gates keep the pre-r9 contract
+            try:
+                gate_arity = len(inspect.signature(self.tier_gate).parameters)
+            except (TypeError, ValueError):
+                gate_arity = 1
+            verdict = (self.tier_gate(tier, metric) if gate_arity >= 2
+                       else self.tier_gate(tier))
+            op = verdict.get("operating_point")
             self._tiered[key] = TieredStore(
                 self.store, tier, operating_point=op, metric=metric,
             )

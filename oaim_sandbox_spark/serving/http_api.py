@@ -1007,14 +1007,31 @@ class _ApiHandler(BaseHTTPRequestHandler):
             # with the [stream_finished] sentinel
             body = self._body_dict()
             question = body.get("message") or body.get("question") or ""
+            # pipeline.stream is a LAZY generator: per-client settings errors
+            # (refused search_tier, missing tier_gate, non-cosine tier
+            # metric) raise on FIRST iteration. Pull the first token BEFORE
+            # committing the 200 + chunked headers so those map to the same
+            # 422 the completions route returns instead of an aborted
+            # chunked body (ADVICE r8 medium).
+            gen = api.pipeline.stream(
+                question, client_id=client,
+                settings_overrides=self._client_overrides(api, client),
+            )
+            try:
+                first = next(gen, None)
+            except ValueError as ex:
+                return self._json(422, {"detail": str(ex)})
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
-            for token in api.pipeline.stream(
-                question, client_id=client,
-                settings_overrides=self._client_overrides(api, client),
-            ):
+
+            def chunks():
+                if first is not None:
+                    yield first
+                yield from gen
+
+            for token in chunks():
                 data = token.encode()
                 self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
             self.wfile.write(b"0\r\n\r\n")

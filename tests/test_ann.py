@@ -592,3 +592,56 @@ def test_hard_negative_funnel_recall_vs_oracle(spark):
         assert dists == sorted(dists)
         for _rnk, _d, neg in rows:
             assert neg != q and qlabels[neg] != qlabels[q]
+
+
+def test_knn_consensus_funnel_agreement_vs_oracle(spark):
+    """The knn_consensus_funnel rows-only entry A/B'd against its full
+    oracle twin knn_label_consensus (VERDICT r8 task #3): same per-label
+    contract — consensus over each vector's exact-cosine 5-NN — with IVF-
+    pruned candidate coverage instead of the all-pairs scan. Measured at
+    sf0.01 (deterministic: seeded k-means, hash-deterministic sample):
+    n_vectors exact per label, |mean_consensus delta| <= 0.012,
+    |n_suspect delta| <= 1."""
+    import oaim_sandbox_spark.queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    funnel = {r["label"]: r for r in Q.NON_ORACLE["knn_consensus_funnel"](spark, sf).collect()}
+    Q.register_views(spark, sf)
+    oracle = {r["label"]: r for r in
+              spark.sql(Q.TEMPLATES["knn_label_consensus"]("spark")).collect()}
+    assert set(funnel) == set(oracle)  # every label audited, none invented
+    for lab, o in oracle.items():
+        f = funnel[lab]
+        # every vector answered: the funnel must not drop queries
+        assert f["n_vectors"] == o["n_vectors"], lab
+        assert abs(f["mean_consensus"] - o["mean_consensus"]) <= 0.03, lab
+        assert abs(f["n_suspect"] - o["n_suspect"]) <= 2, lab
+    # the headline signal agrees globally: total suspects within 2%
+    tot_f = sum(r["n_suspect"] for r in funnel.values())
+    tot_o = sum(r["n_suspect"] for r in oracle.values())
+    assert abs(tot_f - tot_o) <= max(2, 0.02 * tot_o)
+
+
+def test_coreset_coverage_funnel_conservative_vs_oracle(spark):
+    """The coreset_coverage_funnel rows-only entry A/B'd against its full
+    oracle twin coreset_coverage_radius: IVF over the coreset vs the
+    exhaustive point x coreset CROSS JOIN. The pruned probe can only MISS
+    the true nearest coreset member, so every funnel radius statistic must
+    be >= the oracle's (the audit stays conservative — never reports
+    coverage that isn't there) and tight (measured at sf0.01: mean delta
+    <= 0.006, p90 <= 0.01, max <= 0.03)."""
+    import oaim_sandbox_spark.queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    funnel = {r["label"]: r for r in
+              Q.NON_ORACLE["coreset_coverage_funnel"](spark, sf).collect()}
+    Q.register_views(spark, sf)
+    oracle = {r["label"]: r for r in
+              spark.sql(Q.TEMPLATES["coreset_coverage_radius"]("spark")).collect()}
+    assert set(funnel) == set(oracle)
+    for lab, o in oracle.items():
+        f = funnel[lab]
+        assert f["n_points"] == o["n_points"], lab  # no dropped points
+        for col, tol in (("mean_radius", 0.02), ("p90_radius", 0.03), ("max_radius", 0.06)):
+            assert f[col] >= o[col] - 1e-9, (lab, col)  # conservative
+            assert f[col] - o[col] <= tol, (lab, col)   # and tight

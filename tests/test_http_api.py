@@ -1059,6 +1059,39 @@ def test_chat_stream_wire_framing_reference_client(server):
     assert "".join(consumed)  # real content preceded the sentinel
 
 
+def test_chat_streams_settings_error_is_422_not_aborted_chunk(server):
+    """ADVICE r8 medium: pipeline.stream is a lazy generator, so per-client
+    settings errors (here: search_tier with no tier_gate wired) raise on
+    first iteration. The streams route must surface the same 422 JSON the
+    completions route returns — NOT commit 200 + chunked headers and then
+    abort the body."""
+    # the retrieval path must be reachable: give the shared pipeline a
+    # (sentinel) store + query embedder for the duration of this test
+    old_store, old_embed = server.pipeline.store, server.pipeline.embed_query
+    server.pipeline.store = object()
+    server.pipeline.embed_query = lambda q: [0.0, 0.0, 0.0, 1.0]
+    try:
+        code, _ = req(server, "POST", "/v1/settings?client=tiered")
+        assert code == 200
+        code, _ = req(server, "PATCH", "/v1/settings?client=tiered",
+                      body={"rag_enabled": True, "search_tier": "int8"})
+        assert code == 200
+        # completions route: the known-good 422 mapping
+        code, body = req(server, "POST", "/v1/chat/completions",
+                         body={"message": "hi"}, client="tiered")
+        assert code == 422 and "tier_gate" in body["detail"]
+        # streams route must now match it
+        code, body = req(server, "POST", "/v1/chat/streams",
+                         body={"message": "hi"}, client="tiered")
+        assert code == 422 and "tier_gate" in body["detail"]
+        # and a tier-free client still streams fine afterwards
+        code, _ = req(server, "POST", "/v1/chat/completions",
+                      body={"message": "hi"}, client="plain")
+        assert code == 200
+    finally:
+        server.pipeline.store, server.pipeline.embed_query = old_store, old_embed
+
+
 def test_chat_applies_client_settings_record(server):
     """The chat routes pass the client's stored settings record to the
     pipeline per request (reference parity: client RAG knobs drive the

@@ -63,7 +63,12 @@ def test_verdict_cached_in_sidecar_and_reused(cat_store, probe_log):
         meta = json.load(fh)
     tg = meta["tier_guard"]
     assert tg["fingerprint"] == cat.store_fingerprint(name)
-    assert "matryoshka16_rerank" in tg["configs"]["0.8|10"]
+    # the config slot key leads with floor|k and folds in the probe kwargs
+    # (ADVICE r8 low — a small-store_cap verdict must not serve other
+    # configurations)
+    (cfg_key,) = tg["configs"]
+    assert cfg_key.startswith("0.8|10|") and "store_cap" in cfg_key
+    assert "matryoshka16_rerank" in tg["configs"][cfg_key]
     # second call: sidecar-read cost only, identical verdict
     v2 = cat.tier_verdicts(name, tiers=["matryoshka16_rerank"], **PROBE_KW)
     assert len(probe_log) == 1
@@ -155,6 +160,31 @@ def test_distinct_floor_configs_cache_independently(cat_store, probe_log):
     assert len(probe_log) == 2
 
 
+def test_distinct_probe_configs_cache_independently(cat_store, probe_log):
+    """ADVICE r8 low: the cache key folds in EVERY probe parameter — a
+    verdict probed under a small store_cap (or different n_queries /
+    id/vec columns) must never be silently served to a request with a
+    different probe configuration on the same store version."""
+    cat, name, _vs = cat_store
+    cat.tier_verdicts(name, tiers=["matryoshka16_rerank"], **PROBE_KW)
+    assert len(probe_log) == 1
+    # same floor/k but a different store_cap -> separate slot, new probe
+    cat.tier_verdicts(name, tiers=["matryoshka16_rerank"],
+                      n_queries=4, store_cap=500)
+    assert len(probe_log) == 2
+    # different n_queries -> a third slot
+    cat.tier_verdicts(name, tiers=["matryoshka16_rerank"],
+                      n_queries=8, store_cap=2000)
+    assert len(probe_log) == 3
+    # each configuration now serves from its own cached slot
+    cat.tier_verdicts(name, tiers=["matryoshka16_rerank"], **PROBE_KW)
+    cat.tier_verdicts(name, tiers=["matryoshka16_rerank"],
+                      n_queries=4, store_cap=500)
+    cat.tier_verdicts(name, tiers=["matryoshka16_rerank"],
+                      n_queries=8, store_cap=2000)
+    assert len(probe_log) == 3
+
+
 def test_search_tier_without_gate_raises(cat_store):
     """search_tier with no tier_gate must raise, not silently serve an
     unguarded compressed tier (review finding r8)."""
@@ -170,12 +200,19 @@ def test_search_tier_without_gate_raises(cat_store):
         pipe.retrieve("q")
 
 
-def test_tiered_store_rejects_non_cosine_metric(cat_store):
+def test_tiered_store_metric_ladder(cat_store):
+    """Per-metric ladder (VERDICT r8 task #4): int8 accepts every metric —
+    its quantized representation keeps full-precision information — while
+    the cosine-calibrated re-rank tiers reject non-cosine metrics at
+    construction."""
     from oaim_sandbox_spark.operators.tier_guard import TieredStore
 
     cat, name, _vs = cat_store
-    with pytest.raises(ValueError, match="COSINE only"):
-        TieredStore(cat.read_store(name), "int8", metric="EUCLIDEAN_DISTANCE")
+    TieredStore(cat.read_store(name), "int8", metric="EUCLIDEAN_DISTANCE")
+    TieredStore(cat.read_store(name), "int8", metric="DOT_PRODUCT")
+    with pytest.raises(ValueError, match="serves .* only"):
+        TieredStore(cat.read_store(name), "matryoshka16_rerank",
+                    metric="EUCLIDEAN_DISTANCE")
 
 
 def test_tier_cache_keyed_by_metric_never_serves_wrong_metric(cat_store):
@@ -193,7 +230,7 @@ def test_tier_cache_keyed_by_metric_never_serves_wrong_metric(cat_store):
         tier_gate=lambda t: {"operating_point": None},
     )
     assert pipe.retrieve("q")  # warms the (tier, COSINE) cache
-    with pytest.raises(ValueError, match="COSINE only"):
+    with pytest.raises(ValueError, match="serves .* only"):
         pipe.retrieve("q", s=RagSettings(search_tier="matryoshka16_rerank",
                                          distance_metric="DOT_PRODUCT"))
 
@@ -209,3 +246,53 @@ def test_int8_rep_materializes_quantized_columns_only(cat_store):
     qv = [float(x) for x in cat.read_store(name).filter("id = 7").first()["embedding"]]
     hits = ts.topk(qv, k=3).collect()
     assert len(hits) == 3 and hits[0]["id"] == 7  # self is nearest
+
+
+def test_gated_tiered_serving_second_metric(cat_store, probe_log):
+    """VERDICT r8 task #4 end-to-end: TieredStore serves a SECOND metric
+    (int8 under DOT_PRODUCT) behind the same persisted verdict gate. The
+    two-arg tier_gate keys the sidecar verdict per (tier, metric) — the
+    dot-product probe occupies its own config slot — and the funnel output
+    matches the exact dot-product scan on the planted store."""
+    from oaim_sandbox_spark.operators.retrieval import similarity_topk
+    from oaim_sandbox_spark.serving.chat import ChatPipeline, MockLLM, RagSettings
+
+    cat, name, _vs = cat_store
+    store = cat.read_store(name)
+    qv = [float(x) for x in store.filter("id = 7").first()["embedding"]]
+    pipe = ChatPipeline(
+        store=store,
+        embed_query=lambda _q: qv,
+        llm=MockLLM(),
+        settings=RagSettings(search_tier="int8", distance_metric="DOT_PRODUCT",
+                             grading=False),
+        tier_gate=lambda t, m="COSINE": cat.assert_tier_usable(
+            name, t, metric=m, **PROBE_KW),
+    )
+    docs = pipe.retrieve("q")
+    assert len(probe_log) == 1 and probe_log[0] == ["int8"]
+    exact_ids = [r["id"] for r in
+                 similarity_topk(store, qv, k=4, metric="DOT_PRODUCT").collect()]
+    assert [d["id"] for d in docs] == exact_ids
+    # the verdict persisted per (tier, metric): a cosine request on the same
+    # tier probes its OWN slot; re-asking either metric costs zero probes
+    pipe2 = ChatPipeline(
+        store=store, embed_query=lambda _q: qv, llm=MockLLM(),
+        settings=RagSettings(search_tier="int8", grading=False),
+        tier_gate=lambda t, m="COSINE": cat.assert_tier_usable(
+            name, t, metric=m, **PROBE_KW),
+    )
+    pipe2.retrieve("q")
+    assert len(probe_log) == 2
+    pipe.retrieve("q"); pipe2.retrieve("q")
+    assert len(probe_log) == 2
+    # and a cosine-only tier still refuses the metric at the ladder lookup
+    pipe3 = ChatPipeline(
+        store=store, embed_query=lambda _q: qv, llm=MockLLM(),
+        settings=RagSettings(search_tier="matryoshka16_rerank",
+                             distance_metric="DOT_PRODUCT", grading=False),
+        tier_gate=lambda t, m="COSINE": cat.assert_tier_usable(
+            name, t, metric=m, **PROBE_KW),
+    )
+    with pytest.raises(ValueError, match="cosine-geometry-specific"):
+        pipe3.retrieve("q")

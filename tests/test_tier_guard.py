@@ -112,3 +112,56 @@ def test_unknown_tier_raises_descriptive_valueerror():
             fn(None, tiers=["nope"])
     with pytest.raises(ValueError, match="unknown tier 'nope'"):
         TG.assert_tier_usable(None, "nope")
+
+
+# -- per-metric tier ladder (VERDICT r8 task #4) ------------------------------
+
+
+def test_tiered_store_int8_serves_dot_and_euclidean(spark):
+    """int8 keeps full-precision information per dimension, so the same
+    quantized representation serves every metric — the quantization algebra
+    differs only in the norm term. Per metric: top-1 must match the exact
+    scan and top-5 overlap >= 4/5 (int8 is lossy: |err| <= scale/254 per dim
+    can flip near-ties at tail ranks — measured on the planted store:
+    cosine/euclidean exact, dot 0.975 recall)."""
+    from oaim_sandbox_spark.operators.retrieval import similarity_topk
+    from oaim_sandbox_spark.operators.tier_guard import TieredStore
+
+    store = _planted_store(spark)
+    qv = [float(x) for x in store.filter("vec_id = 7").first()["embedding"]]
+    for metric in ("COSINE", "DOT_PRODUCT", "EUCLIDEAN_DISTANCE"):
+        ts = TieredStore(store, "int8", metric=metric, id_col="vec_id")
+        got = [r["vec_id"] for r in ts.topk(qv, k=5).collect()]
+        want = [r["vec_id"] for r in
+                similarity_topk(store, qv, k=5, metric=metric,
+                                id_col="vec_id", vec_col="embedding").collect()]
+        assert got[0] == want[0], metric
+        assert len(set(got) & set(want)) >= 4, (metric, got, want)
+
+
+def test_cosine_only_tiers_reject_other_metrics(spark):
+    """The re-rank tiers' stage-1 candidate generators are cosine-geometry-
+    specific; a non-cosine metric must raise the ladder lookup error, not
+    silently rank plausible-but-wrong order."""
+    from oaim_sandbox_spark.operators.tier_guard import TIER_METRICS, TieredStore
+
+    store = _planted_store(spark, n_vec=200)
+    for tier in ("matryoshka16_rerank", "binary_hamming_rerank", "pca16_rerank"):
+        assert TIER_METRICS[tier] == ("COSINE",)
+        with pytest.raises(ValueError, match="serves .* only"):
+            TieredStore(store, tier, metric="DOT_PRODUCT", id_col="vec_id")
+
+
+def test_probe_validates_metric_per_tier(spark):
+    """recommend_tiers/sampled_tier_recall refuse to MEASURE a cosine-only
+    tier under another metric (the number would mean nothing), and probe
+    int8 under the requested metric: both the exact oracle and the tier
+    pass rank with it."""
+    store = _planted_store(spark, n_vec=500)
+    with pytest.raises(ValueError, match="cosine-geometry-specific"):
+        A.sampled_tier_recall(store, tiers=["matryoshka16_rerank"],
+                              n_queries=4, store_cap=1000, metric="DOT_PRODUCT")
+    for metric in ("DOT_PRODUCT", "EUCLIDEAN_DISTANCE"):
+        v = A.recommend_tiers(store, tiers=["int8"], n_queries=4,
+                              store_cap=1000, metric=metric)["int8"]
+        assert v["status"] == "ok" and v["recall"] >= 0.9, (metric, v)
