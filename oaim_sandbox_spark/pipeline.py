@@ -146,16 +146,30 @@ def curate_corpus(
     config: dict | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> tuple[DataFrame, dict]:
+    report: str | None = None,
+) -> tuple[DataFrame, dict] | tuple[DataFrame, dict, dict]:
     """Config-driven corpus curation: scrub → quality gate → classifier gate
     (optional linear model, fastText-style) → exact dedup → near-dedup
     (minhash-LSH, first-wins). Returns (curated_df, stage_counts).
+
+    ``report="accounting"`` (VERDICT r8 task #5) additionally returns the
+    dedup-accounting family — per-source degree profile, threshold
+    sensitivity curve, and the who-duplicates-whom source-pair matrix — as
+    a third dict of DataFrames, computed from the pipeline's OWN
+    materialized minhash pair relation (no re-shingling) at the run's
+    operating threshold. The rollups are definitionally the standalone
+    `dedup_degree_profile` / `dedup_threshold_sensitivity` /
+    `cross_source_duplicate_matrix` registry entries (shared SQL bodies);
+    requires the minhash near-dup stage with default banding parameters.
+    Docs without a `source` column report under source='corpus'.
 
     The config is plain data so a curation job spec can live in a settings
     store (the reference's config-plane pattern, serving/config_plane.py)
     rather than code. Each stage only ever adds a narrow projection or one
     key-hash shuffle; disabled stages cost nothing.
     """
+    if report not in (None, "accounting"):
+        raise ValueError(f"unknown report {report!r}; None or 'accounting'")
     cfg = {**DEFAULT_CURATION, **(config or {})}
     counts: dict[str, int] = {"input": docs.count()}
     out = docs
@@ -200,6 +214,12 @@ def curate_corpus(
     if method not in ("minhash", "sampled_cosine"):
         raise ValueError(f"unknown near_dup method {method!r}; 'minhash' or 'sampled_cosine'")
     thr = cfg["near_dedup_jaccard"] if method == "minhash" else cfg["near_dedup_cosine"]
+    if report == "accounting" and (method != "minhash" or thr is None):
+        raise ValueError(
+            "report='accounting' needs the minhash near-dup stage "
+            "(near_dup='minhash' with near_dedup_jaccard set) — the "
+            "rollups are defined over its pair graph"
+        )
 
     if cfg["exact_dedup"]:
         out = exact_dedup(out, text_col=text_col, order_col=id_col)
@@ -214,6 +234,11 @@ def curate_corpus(
         extra = dict(cfg.get("near_dup_params") or {})  # copy: never mutate the caller's config
         if method == "minhash":
             pairs = minhash_lsh_pairs(out, id_col=id_col, text_col=text_col, **extra)
+            if report == "accounting":
+                # the reports read the pair graph three more times — pin it
+                # (bounded: banded candidates only, never the corpus)
+                pairs = pairs.localCheckpoint(eager=True)
+                reports = _accounting_reports(spark, out, pairs, thr, text_col, id_col)
             drop = (
                 pairs.filter(F.col("est_jaccard") >= thr)
                 .select(F.greatest("doc_a", "doc_b").alias(id_col))
@@ -254,7 +279,44 @@ def curate_corpus(
     # scrub is a pure projection, so with no counted stage the row count is
     # still the input's
     counts["output"] = last[-1] if last else counts["input"]
+    if report == "accounting":
+        return out, counts, reports
     return out, counts
+
+
+def _accounting_reports(
+    spark: SparkSession, docs: DataFrame, pairs: DataFrame, thr: float,
+    text_col: str, id_col: str,
+) -> dict[str, DataFrame]:
+    """The dedup-accounting family over curate_corpus's own pair relation:
+    shared SQL bodies with the standalone registry entries, so the pipeline
+    report and the certified queries cannot drift apart. `docs` is the
+    frame that FED the pair generation (post earlier gates), so the token
+    accounting matches what the near-dup stage actually saw."""
+    import uuid
+
+    from oaim_sandbox_spark.queries_extended import (
+        _cross_source_dup_body,
+        _dedup_degree_body,
+        _dedup_threshold_body,
+    )
+
+    tag = uuid.uuid4().hex[:8]
+    src = (F.col("source") if "source" in docs.columns else F.lit("corpus")).alias("source")
+    docs_view, pairs_view = f"acct_docs_{tag}", f"acct_pairs_{tag}"
+    docs.select(
+        F.col(id_col).alias("doc_id"), src, F.col(text_col).alias("text")
+    ).createOrReplaceTempView(docs_view)
+    pairs.select("doc_a", "doc_b", "est_jaccard").createOrReplaceTempView(pairs_view)
+    pairs_sql = f"SELECT doc_a, doc_b, est_jaccard FROM {pairs_view}"
+    return {
+        "degree_profile": spark.sql(_dedup_degree_body(
+            "spark", pairs_sql=pairs_sql, docs_rel=docs_view, thr=thr)),
+        "threshold_sensitivity": spark.sql(_dedup_threshold_body(
+            "spark", pairs_sql=pairs_sql, docs_rel=docs_view)),
+        "source_matrix": spark.sql(_cross_source_dup_body(
+            "spark", pairs_sql=pairs_sql, docs_rel=docs_view, thr=thr)),
+    }
 
 
 def curate_incremental(

@@ -2408,16 +2408,23 @@ GROUP BY q.source ORDER BY q.source
 TEMPLATES["quality_threshold_parity"] = quality_threshold_parity
 
 
-def _dedup_degree_body(d: str, rel: str = "sigs") -> str:
+def _dedup_degree_body(d: str, rel: str = "sigs", pairs_sql: str | None = None,
+                       docs_rel: str = "documents", thr: float = 0.5) -> str:
     """Per-source dedup accounting over the minhash-LSH pair graph read
     from signature relation `rel` (shared with the Spark override, which
-    materializes the signatures once)."""
+    materializes the signatures once). ``pairs_sql``/``docs_rel``/``thr``
+    let `pipeline.curate_corpus(report="accounting")` emit the SAME rollup
+    from its own already-materialized pair relation at its own operating
+    threshold instead of re-shingling the corpus."""
     from oaim_sandbox_spark.queries_dedup import _minhash_pairs_body
 
+    if pairs_sql is None:
+        pairs_sql = _minhash_pairs_body(d, rel=rel)
     toks = TA.token_counts_sql("text", d)["ws_tokens"]
     return f"""
-WITH pairs AS ({_minhash_pairs_body(d, rel=rel)}),
-strong AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+WITH pairs AS ({pairs_sql}),
+strong AS (SELECT doc_a, doc_b FROM pairs
+           WHERE est_jaccard >= CAST({thr} AS DOUBLE)),
 deg AS (
   SELECT doc_id, COUNT(*) AS degree FROM (
     SELECT doc_a AS doc_id FROM strong
@@ -2429,7 +2436,7 @@ dropped AS (
   SELECT DISTINCT CASE WHEN doc_a > doc_b THEN doc_a ELSE doc_b END AS doc_id
   FROM strong
 ),
-docs AS (SELECT doc_id, source, {toks} AS toks FROM documents)
+docs AS (SELECT doc_id, source, {toks} AS toks FROM {docs_rel})
 SELECT docs.source AS source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN deg.degree IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -2647,11 +2654,15 @@ ORDER BY source
 TEMPLATES["token_gini_by_source"] = token_gini_by_source
 
 
-def _dedup_threshold_body(d: str, rel: str = "sigs") -> str:
+def _dedup_threshold_body(d: str, rel: str = "sigs", pairs_sql: str | None = None,
+                          docs_rel: str = "documents") -> str:
     """Cumulative drop counts at each candidate threshold, reading pairs
-    from signature relation `rel` (shared with the Spark override)."""
+    from signature relation `rel` (shared with the Spark override and, via
+    ``pairs_sql``/``docs_rel``, with curate_corpus's accounting report)."""
     from oaim_sandbox_spark.queries_dedup import _minhash_pairs_body
 
+    if pairs_sql is None:
+        pairs_sql = _minhash_pairs_body(d, rel=rel)
     toks = TA.token_counts_sql("text", d)["ws_tokens"]
     thr = (
         "SELECT explode(array(CAST(0.5 AS DOUBLE), CAST(0.7 AS DOUBLE), "
@@ -2660,7 +2671,7 @@ def _dedup_threshold_body(d: str, rel: str = "sigs") -> str:
         else "SELECT unnest([0.5::DOUBLE, 0.7::DOUBLE, 0.9::DOUBLE]) AS t"
     )
     return f"""
-WITH pairs AS ({_minhash_pairs_body(d, rel=rel)}),
+WITH pairs AS ({pairs_sql}),
 thr AS ({thr}),
 drops AS (
   SELECT DISTINCT thr.t AS t,
@@ -2673,7 +2684,7 @@ pair_counts AS (
   FROM pairs CROSS JOIN thr
   WHERE est_jaccard >= thr.t GROUP BY thr.t
 ),
-docs AS (SELECT doc_id, CAST({toks} AS BIGINT) AS toks FROM documents)
+docs AS (SELECT doc_id, CAST({toks} AS BIGINT) AS toks FROM {docs_rel})
 SELECT CAST(thr.t AS DOUBLE) AS threshold,
        CAST(COALESCE(MAX(pc.n_pairs), 0) AS BIGINT) AS n_pairs,
        CAST(COUNT(dr.doc_id) AS BIGINT) AS n_dropped_docs,
@@ -2815,21 +2826,27 @@ ORDER BY source, context_tokens
 TEMPLATES["context_fit_stats"] = context_fit_stats
 
 
-def _cross_source_dup_body(d: str, rel: str = "sigs") -> str:
+def _cross_source_dup_body(d: str, rel: str = "sigs", pairs_sql: str | None = None,
+                           docs_rel: str = "documents", thr: float = 0.5) -> str:
     """Source-pair rollup of the minhash near-dup pair graph, reading from
-    signature relation `rel` (shared with the Spark override)."""
+    signature relation `rel` (shared with the Spark override and, via
+    ``pairs_sql``/``docs_rel``/``thr``, with curate_corpus's accounting
+    report)."""
     from oaim_sandbox_spark.queries_dedup import _minhash_pairs_body
 
+    if pairs_sql is None:
+        pairs_sql = _minhash_pairs_body(d, rel=rel)
     lo = "least(da.source, db.source)"
     hi = "greatest(da.source, db.source)"
     return f"""
-WITH pairs AS ({_minhash_pairs_body(d, rel=rel)}),
-strong AS (SELECT doc_a, doc_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5),
+WITH pairs AS ({pairs_sql}),
+strong AS (SELECT doc_a, doc_b, est_jaccard FROM pairs
+           WHERE est_jaccard >= CAST({thr} AS DOUBLE)),
 labeled AS (
   SELECT {lo} AS source_a, {hi} AS source_b, s.est_jaccard AS est_jaccard
   FROM strong s
-  JOIN documents da ON da.doc_id = s.doc_a
-  JOIN documents db ON db.doc_id = s.doc_b
+  JOIN {docs_rel} da ON da.doc_id = s.doc_a
+  JOIN {docs_rel} db ON db.doc_id = s.doc_b
 )
 SELECT source_a, source_b,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,

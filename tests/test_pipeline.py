@@ -262,3 +262,45 @@ def test_curate_corpus_rejects_unknown_near_dup_method(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id BIGINT, text STRING")
     with pytest.raises(ValueError, match="unknown near_dup method"):
         curate_corpus(spark, df, {"near_dup": "nope", "near_dedup_cosine": 0.5})
+
+
+def test_curate_corpus_accounting_report_equals_standalone_entries(spark):
+    """VERDICT r8 task #5: report='accounting' emits the dedup-accounting
+    family from the pipeline's OWN materialized pair relation, and on the
+    raw documents corpus (gates off, threshold 0.5 = the standalone
+    operating point) each report is row-identical to the certified registry
+    entries dedup_degree_profile / dedup_threshold_sensitivity /
+    cross_source_duplicate_matrix."""
+    import oaim_sandbox_spark.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out, counts, reports = curate_corpus(
+        spark, docs,
+        config={"scrub_pii": False, "exact_dedup": False,
+                "near_dedup_jaccard": 0.5},
+        report="accounting",
+    )
+    assert set(reports) == {"degree_profile", "threshold_sensitivity", "source_matrix"}
+    standalone = {
+        "degree_profile": "dedup_degree_profile",
+        "threshold_sensitivity": "dedup_threshold_sensitivity",
+        "source_matrix": "cross_source_duplicate_matrix",
+    }
+    qs = Q.spark_queries()
+    for key, entry in standalone.items():
+        got = [tuple(r) for r in reports[key].collect()]
+        want = [tuple(r) for r in qs[entry](spark, sf).collect()]
+        assert got == want, key
+    # the report is consistent with the pipeline's own drop accounting:
+    # per-source n_dropped sums to the rows the near-dup stage removed
+    dropped = sum(r["n_dropped"] for r in reports["degree_profile"].collect())
+    assert counts["input"] - counts["after_near_dedup"] == dropped
+
+
+def test_curate_corpus_accounting_requires_minhash_stage(spark, docs):
+    with pytest.raises(ValueError, match="minhash near-dup stage"):
+        curate_corpus(spark, docs, config={"near_dedup_jaccard": None},
+                      report="accounting")
+    with pytest.raises(ValueError, match="unknown report"):
+        curate_corpus(spark, docs, report="acct")
