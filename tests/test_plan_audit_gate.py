@@ -1,0 +1,60 @@
+"""Plan-audit gate (VERDICT r8 stretch #8): the working PLAN_AUDIT.json must
+not show a plan-feature diff vs the newest archived round record
+PLAN_AUDIT_r{N}.json for any query whose TEXT (rendered SQL + override
+source fingerprint) is unchanged — that shape of diff is a silent Catalyst/
+engine regression (e.g. a Spark upgrade turning a broadcast join into a
+cartesian product), not an authored change. Archive a round's record with
+`cp PLAN_AUDIT.json PLAN_AUDIT_r{N}.json` at round close, one commit after
+the record lands (the bench-ratchet archive discipline)."""
+
+import glob
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from plan_audit import compare_audits  # noqa: E402
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def test_plan_audit_gate_vs_previous_round_record():
+    prevs = sorted(glob.glob(os.path.join(REPO, "PLAN_AUDIT_r*.json")))
+    if not prevs:
+        pytest.skip("no archived plan-audit record to gate against")
+    working = os.path.join(REPO, "PLAN_AUDIT.json")
+    if not os.path.isfile(working):
+        pytest.skip("no working PLAN_AUDIT.json (run tools/plan_audit.py)")
+    with open(prevs[-1]) as fh:
+        old = json.load(fh)
+    with open(working) as fh:
+        new = json.load(fh)
+    if old == new:
+        pytest.skip("working record IS the archived record (just archived)")
+    if old.get("sf_dir") != new.get("sf_dir"):
+        pytest.skip("records audited at different scale factors")
+    flags = compare_audits(old["queries"], new["queries"])
+    assert not flags, "plan regressions under unchanged queries:\n" + "\n".join(flags)
+
+
+def test_compare_flags_plan_drift_under_unchanged_text():
+    old = {"q": {"features": "BHJ, xchg=2, pushdown", "fp": "abc"}}
+    new = {"q": {"features": "CARTESIAN, xchg=2", "fp": "abc"}}
+    flags = compare_audits(old, new)
+    assert flags and "UNCHANGED query text" in flags[0]
+
+
+def test_compare_ignores_authored_changes_and_rotation():
+    old = {
+        "q": {"features": "BHJ, xchg=2", "fp": "abc"},
+        "gone": {"features": "SMJ", "fp": "x"},
+    }
+    new = {
+        # fp changed -> the author edited the query; feature diff is theirs
+        "q": {"features": "SMJ, xchg=3", "fp": "def"},
+        # new entry -> nothing to compare against
+        "added": {"features": "BNLJ", "fp": "y"},
+    }
+    assert compare_audits(old, new) == []

@@ -69,6 +69,42 @@ def audit(plan: str) -> str:
     return ", ".join(feats)
 
 
+def query_fingerprint(name: str) -> str:
+    """Fingerprint of a query's TEXT: the rendered Spark SQL for template
+    entries (helper changes that alter the rendered SQL change the fp, as
+    they should), plus the override/rows-only runner's source where one
+    exists. The plan-audit GATE (tests/test_plan_audit_gate.py) only flags
+    a plan-feature diff when this fp is UNCHANGED — i.e. the plan moved
+    under an untouched query, which is a silent optimizer/engine regression,
+    not an authored change."""
+    import hashlib
+    import inspect
+
+    parts = []
+    if name in Q.TEMPLATES:
+        parts.append(Q.TEMPLATES[name]("spark"))
+    if name in Q.SPARK_OVERRIDES:
+        parts.append(inspect.getsource(Q.SPARK_OVERRIDES[name]))
+    if name in Q.NON_ORACLE:
+        parts.append(inspect.getsource(Q.NON_ORACLE[name]))
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+
+
+def compare_audits(old: dict, new: dict) -> list[str]:
+    """Gate comparison: queries present in BOTH records whose fingerprint is
+    identical must have identical plan features. Added/removed queries and
+    fp-changed queries are the author's business, not the gate's."""
+    flags = []
+    for name in sorted(set(old) & set(new)):
+        o, n = old[name], new[name]
+        if o.get("fp") == n.get("fp") and o["features"] != n["features"]:
+            flags.append(
+                f"PLAN {name}: {o['features']!r} -> {n['features']!r} "
+                "with UNCHANGED query text"
+            )
+    return flags
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
@@ -109,6 +145,16 @@ def main() -> None:
         )
         for name, feats in rows:
             fh.write(f"| {name} | {feats} |\n")
+    # machine-readable twin for the pytest gate: features + query-text fp
+    import json
+
+    with open("/root/repo/PLAN_AUDIT.json", "w") as fh:
+        json.dump(
+            {"sf_dir": sf_dir,
+             "queries": {name: {"features": feats, "fp": query_fingerprint(name)}
+                         for name, feats in rows}},
+            fh, indent=1, sort_keys=True,
+        )
     bad = [n for n, f in rows if "PY-UDF!" in f or "CARTESIAN" in f or f.startswith("ERROR")]
     print(f"{len(rows)} queries audited; flagged: {bad or 'none'}")
 
