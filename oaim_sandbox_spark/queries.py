@@ -106,9 +106,20 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     # the first time it can; in protobuf-less envs it is filtered out and
     # costs no slot.
     "streaming_user_stats_tws",
-    # --- NEW this round:
-    # (inserted here as they land; each displaces one r6 tie past the
-    # boundary, which the rotation invariant allows — ties may split.)
+    # --- NEW this round (must certify first-time; each displaces one r6
+    # tie past the boundary, which the rotation invariant allows):
+    # dedup survivorship + stage-overlap accounting, quality/length
+    # confound audit, split-balance validator, boilerplate prefixes,
+    # packing fragmentation curve, bigram vocab-loss audit, label
+    # geometry margins.
+    "dedup_survivorship_matrix",
+    "dedup_stage_overlap",
+    "quality_length_confound",
+    "split_balance_audit",
+    "boilerplate_prefix_profile",
+    "packing_fragmentation_curve",
+    "filter_vocab_loss",
+    "label_centroid_margin",
     # --- last driver check: round 5 (all 32, staleness order):
     "doc_fingerprints",
     "asof_clicks_before_errors",

@@ -2889,3 +2889,392 @@ def _cross_source_dup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPARK_OVERRIDES["cross_source_duplicate_matrix"] = _cross_source_dup_spark
+
+
+# -- round-9 additions: dedup survivorship/stage-overlap accounting, gate
+# confound + split-balance + vocab-loss audits, packing fragmentation,
+# boilerplate prefixes, label-geometry margins --------------------------------
+
+
+def _dedup_survivorship_body(d: str, rel: str = "sigs") -> str:
+    """Directional winner/loser rollup of the strong near-dup pair graph,
+    reading from signature relation `rel` (shared with the Spark override).
+    Pair generation emits doc_a < doc_b, and the pipeline's first-wins rule
+    keeps the LESSER id — so doc_a is always the survivor."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_pairs_body
+
+    return f"""
+WITH pairs AS ({_minhash_pairs_body(d, rel=rel)}),
+strong AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= CAST(0.5 AS DOUBLE))
+SELECT dk.source AS winner_source, dl.source AS loser_source,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT s.doc_b) AS BIGINT) AS n_docs_lost
+FROM strong s
+JOIN documents dk ON dk.doc_id = s.doc_a
+JOIN documents dl ON dl.doc_id = s.doc_b
+GROUP BY dk.source, dl.source
+ORDER BY winner_source, loser_source
+"""
+
+
+def dedup_survivorship_matrix(d: str) -> str:
+    """WHO WINS the dedup war: the near-dup pair graph rolled up to
+    DIRECTIONAL (winner_source, loser_source) cells under the pipeline's
+    first-wins (min-id) drop rule. `cross_source_duplicate_matrix` says A
+    and B share content; this says whose COPY survives — the attribution /
+    licensing / crawl-priority question (if B always loses to A, B's crawl
+    contributes nothing the dedup stage keeps). Plan shape: pair graph once
+    (banded, text never shuffles), two slim int64 joins for sources, one
+    dim-sized directional agg. Cites reference parity target: the sandbox's
+    split/embed pipeline dedups chunks by content (src/content/embedding.py
+    drop_duplicates) with the same first-occurrence semantics."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_sigs_sql
+
+    body = _dedup_survivorship_body(d)
+    return body.replace(
+        "WITH pairs AS (", f"WITH sigs AS ({_minhash_sigs_sql(d)}), pairs AS (", 1
+    )
+
+
+TEMPLATES["dedup_survivorship_matrix"] = dedup_survivorship_matrix
+
+
+def _dedup_survivorship_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the signatures once (the _mhq_spark
+    rationale) before the pair generation."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_sigs_sql
+
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _minhash_sigs_sql("spark"), "dsm_sigs")
+    return _sql_dropping(spark, _dedup_survivorship_body("spark", rel=name), name)
+
+
+SPARK_OVERRIDES["dedup_survivorship_matrix"] = _dedup_survivorship_spark
+
+
+def _dedup_stage_overlap_body(d: str, rel: str = "sigs") -> str:
+    """Near-dup pairs split into exact-duplicate vs near-only, per source of
+    the dropped doc, reading from signature relation `rel`."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_pairs_body
+
+    fp = TA.fingerprint_sql("text", d)
+    return f"""
+WITH pairs AS ({_minhash_pairs_body(d, rel=rel)}),
+strong AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= CAST(0.5 AS DOUBLE)),
+fps AS (SELECT doc_id, source, {fp} AS f FROM documents),
+j AS (
+  SELECT s.doc_b AS doc_b, fb.source AS source,
+         CASE WHEN fa.f = fb.f THEN 1 ELSE 0 END AS is_exact
+  FROM strong s
+  JOIN fps fa ON fa.doc_id = s.doc_a
+  JOIN fps fb ON fb.doc_id = s.doc_b
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_near_pairs,
+       CAST(SUM(is_exact) AS BIGINT) AS n_also_exact,
+       CAST(SUM(1 - is_exact) AS BIGINT) AS n_near_only,
+       CAST(COUNT(DISTINCT CASE WHEN is_exact = 0 THEN doc_b END) AS BIGINT)
+           AS n_docs_near_only,
+       CAST(round(CAST(SUM(1 - is_exact) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+           AS near_only_frac
+FROM j GROUP BY source ORDER BY source
+"""
+
+
+def dedup_stage_overlap(d: str) -> str:
+    """The VALUE-ADD audit of the near-dup stage over exact dedup: of the
+    strong near-dup pairs (est_jaccard >= 0.5), how many are byte-identical
+    (the cheap exact stage would have caught them) vs near-ONLY (what
+    minhash actually buys), per source of the dropped doc. A source with
+    near_only_frac ~ 0 doesn't need the LSH pass at all — run it through
+    the hash-groupBy exact stage and skip the banding shuffle. Plan shape:
+    pair graph once, fingerprints are one md5 projection, two slim joins,
+    per-source agg."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_sigs_sql
+
+    body = _dedup_stage_overlap_body(d)
+    return body.replace(
+        "WITH pairs AS (", f"WITH sigs AS ({_minhash_sigs_sql(d)}), pairs AS (", 1
+    )
+
+
+TEMPLATES["dedup_stage_overlap"] = dedup_stage_overlap
+
+
+def _dedup_stage_overlap_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the signatures once before pair generation."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_sigs_sql
+
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _minhash_sigs_sql("spark"), "dso_sigs")
+    return _sql_dropping(spark, _dedup_stage_overlap_body("spark", rel=name), name)
+
+
+SPARK_OVERRIDES["dedup_stage_overlap"] = _dedup_stage_overlap_spark
+
+
+def quality_length_confound(d: str) -> str:
+    """IS THE QUALITY GATE JUST A LENGTH GATE? Per source: the Pearson
+    correlation and OLS slope of the quality score on ln(chars), plus the
+    fraction of docs where the two gates (source-mean quality cut vs
+    source-mean length cut) AGREE. corr ~ 1 with high agreement means the
+    learned/heuristic quality filter is redundant with a length floor —
+    drop the expensive one. Closed-form moment sums (one scan, per-source
+    agg); the dim-sized per-source means broadcast back for the agreement
+    pass. nullif guards zero variance (a constant-quality source yields
+    NULL corr, not a crash)."""
+    qs = TA.quality_score_sql("text", d)
+    return f"""
+WITH q AS (
+  SELECT source, CAST({qs} AS DOUBLE) AS y,
+         ln(CAST(nullif(n_chars, 0) AS DOUBLE)) AS x
+  FROM documents WHERE n_chars > 0
+),
+m AS (
+  SELECT source, COUNT(*) AS n, AVG(x) AS mx, AVG(y) AS my,
+         AVG(x * y) AS mxy, AVG(x * x) AS mxx, AVG(y * y) AS myy
+  FROM q GROUP BY source
+),
+stats AS (
+  SELECT source, n, mx, my,
+         (mxy - mx * my) AS cov,
+         nullif(mxx - mx * mx, 0) AS varx,
+         nullif(sqrt((mxx - mx * mx) * (myy - my * my)), 0) AS sds
+  FROM m
+)
+SELECT q.source AS source,
+       CAST(MAX(s.n) AS BIGINT) AS n_docs,
+       CAST(round(MAX(s.cov / s.sds), 6) AS DOUBLE) AS corr_quality_length,
+       CAST(round(MAX(s.cov / s.varx), 6) AS DOUBLE) AS ols_slope,
+       CAST(round(CAST(SUM(CASE WHEN (q.y >= s.my) = (q.x >= s.mx)
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*), 6) AS DOUBLE) AS gate_agreement
+FROM q JOIN stats s ON q.source = s.source
+GROUP BY q.source ORDER BY q.source
+"""
+
+
+TEMPLATES["quality_length_confound"] = quality_length_confound
+
+
+def split_balance_audit(d: str) -> str:
+    """Stratification validator for the hash train/valid/test split: per
+    (source, split), the doc count, the split's share WITHIN the source,
+    the split's GLOBAL share, and the absolute deviation between them. A
+    deterministic hash split is only unbiased in expectation — small
+    sources can land lopsided (all-test source = useless for training,
+    all-train = uncovered by eval), and this is the audit that catches it
+    before a run. Same salted hash as train_test_split, so it audits the
+    ACTUAL split the pipeline ships. All fractions derive from integer
+    counts — no float-order wobble. One scan, two dim-sized aggs."""
+    key = _str("doc_id", d) + " || '-split-v1'"
+    h = f"({P.hash64(key, d)} % 10)"
+    return f"""
+WITH s AS (
+  SELECT source,
+         CASE WHEN {h} < 8 THEN 'train' WHEN {h} = 8 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+),
+per AS (SELECT source, split, COUNT(*) AS n FROM s GROUP BY source, split),
+tot AS (SELECT source, COUNT(*) AS nt FROM s GROUP BY source),
+g AS (SELECT split, COUNT(*) AS ng FROM s GROUP BY split),
+gt AS (SELECT COUNT(*) AS nn FROM s)
+SELECT per.source AS source, per.split AS split,
+       CAST(per.n AS BIGINT) AS n_docs,
+       CAST(round(CAST(per.n AS DOUBLE) / tot.nt, 6) AS DOUBLE) AS frac_in_source,
+       CAST(round(CAST(g.ng AS DOUBLE) / gt.nn, 6) AS DOUBLE) AS frac_global,
+       CAST(round(abs(CAST(per.n AS DOUBLE) / tot.nt
+                      - CAST(g.ng AS DOUBLE) / gt.nn), 6) AS DOUBLE) AS abs_dev
+FROM per JOIN tot ON per.source = tot.source
+JOIN g ON per.split = g.split CROSS JOIN gt
+ORDER BY source, split
+"""
+
+
+TEMPLATES["split_balance_audit"] = split_balance_audit
+
+
+def packing_fragmentation_curve(d: str) -> str:
+    """Context-length selection curve for concatenative (GPT-style) packing:
+    at each candidate context size, how many docs STRADDLE a pack boundary
+    (get split across attention windows — their long-range structure is
+    lost) and how many boundaries the corpus crosses. Pairs with
+    `context_fit_stats` (truncation cost) to pick the context length: small
+    contexts fragment, huge contexts waste attention. The grid here
+    (256/1024/4096) is sized to the test corpus's per-source token mass so
+    the curve is non-degenerate at every SF; a production run passes its
+    real candidate grid (2k/8k/32k). Packing runs PER SOURCE shard exactly
+    like `sequence_packing` (window partitioned by source — no global
+    sort), the context dim is 3 broadcast rows, and the fragmentation test
+    is pure integer arithmetic on the running sum."""
+    n_tok = f"size({P.tokens('text', d)})" if d == "spark" else f"len({P.tokens('text', d)})"
+    w = "(PARTITION BY source ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    before = f"(SUM(n_tokens) OVER {w} - n_tokens)"
+    ctx = (
+        "SELECT explode(array(256, 1024, 4096)) AS ctx"
+        if d == "spark"
+        else "SELECT unnest([256, 1024, 4096]) AS ctx"
+    )
+    first_pack = _idiv("t.before", "c.ctx", d)
+    last_pack = _idiv("(t.before + t.n_tokens - 1)", "c.ctx", d)
+    return f"""
+WITH toks AS (
+  SELECT source, doc_id, n_tokens, {before} AS before
+  FROM (SELECT source, doc_id, {n_tok} AS n_tokens FROM documents) x
+),
+c AS ({ctx})
+SELECT CAST(c.ctx AS INT) AS context_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN t.n_tokens > 0
+                      AND {first_pack} <> {last_pack}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+       CAST(round(CAST(SUM(CASE WHEN t.n_tokens > 0
+                                 AND {first_pack} <> {last_pack}
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*), 6) AS DOUBLE) AS split_frac,
+       CAST(SUM(CASE WHEN t.n_tokens > 0 THEN {last_pack} - {first_pack}
+                     ELSE 0 END) AS BIGINT) AS n_boundary_crossings
+FROM toks t CROSS JOIN c
+GROUP BY c.ctx
+ORDER BY context_tokens
+"""
+
+
+TEMPLATES["packing_fragmentation_curve"] = packing_fragmentation_curve
+
+
+def boilerplate_prefix_profile(d: str) -> str:
+    """Crawler-boilerplate detection by DOCUMENT PREFIX: per source, the most
+    common first-8-token prefix, how many docs share it, and its share of
+    the source. A dominant prefix (share >> 1/n) is a template header the
+    extractor failed to strip — the fix is an extractor rule, which is
+    cheaper than letting the n-gram suppressor fight it downstream.
+    Complements `boilerplate_gram_fraction` (grams anywhere in the doc) by
+    localizing the repetition to the document HEAD, where templates live.
+    Plan shape: one prefix projection, (source, prefix) count agg, then a
+    rank window over the dim-sized per-source count relation."""
+    toks = P.tokens("text", d)
+    prefix = P.array_slice_concat(toks, "1", 8, d)
+    return f"""
+WITH p AS (SELECT source, {prefix} AS prefix FROM documents),
+counts AS (SELECT source, prefix, COUNT(*) AS n FROM p GROUP BY source, prefix),
+tot AS (SELECT source, COUNT(*) AS nt, COUNT(DISTINCT prefix) AS n_prefixes
+        FROM p GROUP BY source),
+ranked AS (
+  SELECT source, prefix, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, prefix ASC) AS rn
+  FROM counts
+)
+SELECT r.source AS source, r.prefix AS top_prefix,
+       CAST(r.n AS BIGINT) AS n_docs_with_prefix,
+       CAST(round(CAST(r.n AS DOUBLE) / t.nt, 6) AS DOUBLE) AS prefix_share,
+       CAST(t.n_prefixes AS BIGINT) AS n_distinct_prefixes
+FROM ranked r JOIN tot t ON r.source = t.source
+WHERE r.rn = 1
+ORDER BY source
+"""
+
+
+TEMPLATES["boilerplate_prefix_profile"] = boilerplate_prefix_profile
+
+
+def filter_vocab_loss(d: str) -> str:
+    """VOCABULARY COST of a quality gate: per source, the distinct-BIGRAM
+    vocabulary of the full corpus vs the subset passing the source-mean
+    quality cut, and the lost fraction. Aggressive quality filters are
+    known to strip tail vocabulary (rare names, technical terms live in
+    'messy' docs), and the loss shows in n-gram space first — unigram
+    vocabularies are too coarse (every common word survives any plausible
+    gate; measured 0 loss on the test corpus). The cut is a MEAN (exact
+    aggregate — no quantile interpolation wobble). Plan shape: one scan
+    scores docs, the dim-sized per-source means broadcast back, one bigram
+    explode into a (source, gram) agg carrying a max pass flag — the same
+    key-hash shuffle the vocab queries use; text never joins."""
+    qs = TA.quality_score_sql("text", d)
+    toks = P.word_ngrams("lower(text)", 2, d)
+    expl = (
+        f"SELECT source, qs, explode({toks}) AS tok FROM q"
+        if d == "spark"
+        else f"SELECT source, qs, unnest({toks}) AS tok FROM q"
+    )
+    return f"""
+WITH q AS (SELECT source, text, CAST({qs} AS DOUBLE) AS qs FROM documents),
+thr AS (SELECT source AS tsource, AVG(qs) AS cut FROM q GROUP BY source),
+ex AS ({expl.replace("FROM q", "FROM q")}),
+flags AS (
+  SELECT ex.source AS source, ex.tok AS tok,
+         MAX(CASE WHEN ex.qs >= thr.cut THEN 1 ELSE 0 END) AS kept
+  FROM ex JOIN thr ON ex.source = thr.tsource
+  GROUP BY ex.source, ex.tok
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS vocab_total,
+       CAST(SUM(kept) AS BIGINT) AS vocab_kept,
+       CAST(COUNT(*) - SUM(kept) AS BIGINT) AS vocab_lost,
+       CAST(round(CAST(COUNT(*) - SUM(kept) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+           AS vocab_loss_frac
+FROM flags GROUP BY source ORDER BY source
+"""
+
+
+TEMPLATES["filter_vocab_loss"] = filter_vocab_loss
+
+
+def label_centroid_margin(d: str) -> str:
+    """Pre-training separability audit of a labeled embedding store: per
+    label, the mean cosine distance of members to their OWN centroid
+    (intra) vs the distance to the NEAREST other centroid (inter), and the
+    margin ratio inter/intra — the Fisher-style signal for whether a
+    classifier head has anything to learn (margin ~ 1 = labels are
+    geometrically indistinct; relabel or re-embed before burning GPU
+    hours). Dimensions pivot through the fixed 1..64 index relation
+    (embedding_centroid_outliers pattern) so the centroid is a plain
+    (label, dim) AVG; the centroid-to-centroid pass is k^2 x 64 rows —
+    trivially broadcast at any corpus size."""
+    idx = (
+        "SELECT explode(sequence(1, 64)) AS i"
+        if d == "spark"
+        else "SELECT unnest(generate_series(1, 64)) AS i"
+    )
+    x = _elem("embedding", "i", d)
+    return f"""
+WITH idx AS ({idx}),
+expl AS (
+  SELECT label, vec_id, i, CAST({x} AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN idx
+),
+cent AS (SELECT label, i, AVG(x) AS c FROM expl GROUP BY label, i),
+own AS (
+  SELECT e.vec_id AS vec_id, e.label AS label,
+         SUM(e.x * c.c) AS dp, SUM(e.x * e.x) AS nx, SUM(c.c * c.c) AS nc
+  FROM expl e JOIN cent c ON e.label = c.label AND e.i = c.i
+  GROUP BY e.vec_id, e.label
+),
+intra AS (
+  SELECT label, COUNT(*) AS n,
+         AVG(1.0 - dp / nullif(sqrt(nx) * sqrt(nc), 0)) AS intra_dist
+  FROM own GROUP BY label
+),
+cpairs AS (
+  SELECT a.label AS la, b.label AS lb,
+         SUM(a.c * b.c) AS dp, SUM(a.c * a.c) AS na, SUM(b.c * b.c) AS nb
+  FROM cent a JOIN cent b ON a.i = b.i AND a.label <> b.label
+  GROUP BY a.label, b.label
+),
+inter AS (
+  SELECT la AS label,
+         MIN(1.0 - dp / nullif(sqrt(na) * sqrt(nb), 0)) AS inter_dist
+  FROM cpairs GROUP BY la
+)
+SELECT CAST(i.label AS INT) AS label,
+       CAST(i.n AS BIGINT) AS n_vectors,
+       CAST(round(i.intra_dist, 6) AS DOUBLE) AS intra_dist,
+       CAST(round(x.inter_dist, 6) AS DOUBLE) AS nearest_inter_dist,
+       CAST(round(x.inter_dist / nullif(i.intra_dist, 0), 6) AS DOUBLE) AS margin
+FROM intra i JOIN inter x ON i.label = x.label
+ORDER BY label
+"""
+
+
+TEMPLATES["label_centroid_margin"] = label_centroid_margin
