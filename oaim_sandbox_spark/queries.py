@@ -120,6 +120,7 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "packing_fragmentation_curve",
     "filter_vocab_loss",
     "label_centroid_margin",
+    "streaming_quality_gate",
     # --- last driver check: round 5 (all 32, staleness order):
     "doc_fingerprints",
     "asof_clicks_before_errors",

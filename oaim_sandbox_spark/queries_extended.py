@@ -3152,8 +3152,12 @@ def boilerplate_prefix_profile(d: str) -> str:
     cheaper than letting the n-gram suppressor fight it downstream.
     Complements `boilerplate_gram_fraction` (grams anywhere in the doc) by
     localizing the repetition to the document HEAD, where templates live.
-    Plan shape: one prefix projection, (source, prefix) count agg, then a
-    rank window over the dim-sized per-source count relation."""
+    Plan shape: one prefix projection, (source, prefix) count agg, then the
+    argmax via a per-source MAX join + MIN-prefix tie-break — deliberately
+    NOT a rank window: the count relation is corpus-sized in the worst case
+    (every prefix unique), and a per-source window would sort a whole
+    source's prefixes in one partition; two hash aggs shuffle the same keys
+    with no sort."""
     toks = P.tokens("text", d)
     prefix = P.array_slice_concat(toks, "1", 8, d)
     return f"""
@@ -3161,17 +3165,17 @@ WITH p AS (SELECT source, {prefix} AS prefix FROM documents),
 counts AS (SELECT source, prefix, COUNT(*) AS n FROM p GROUP BY source, prefix),
 tot AS (SELECT source, COUNT(*) AS nt, COUNT(DISTINCT prefix) AS n_prefixes
         FROM p GROUP BY source),
-ranked AS (
-  SELECT source, prefix, n,
-         row_number() OVER (PARTITION BY source ORDER BY n DESC, prefix ASC) AS rn
-  FROM counts
+mx AS (SELECT source AS msource, MAX(n) AS mn FROM counts GROUP BY source),
+top AS (
+  SELECT c.source AS source, MIN(c.prefix) AS prefix, MAX(c.n) AS n
+  FROM counts c JOIN mx ON c.source = mx.msource AND c.n = mx.mn
+  GROUP BY c.source
 )
 SELECT r.source AS source, r.prefix AS top_prefix,
        CAST(r.n AS BIGINT) AS n_docs_with_prefix,
        CAST(round(CAST(r.n AS DOUBLE) / t.nt, 6) AS DOUBLE) AS prefix_share,
        CAST(t.n_prefixes AS BIGINT) AS n_distinct_prefixes
-FROM ranked r JOIN tot t ON r.source = t.source
-WHERE r.rn = 1
+FROM top r JOIN tot t ON r.source = t.source
 ORDER BY source
 """
 
@@ -3278,3 +3282,69 @@ ORDER BY label
 
 
 TEMPLATES["label_centroid_margin"] = label_centroid_margin
+
+
+def _quality_gate_sql(d: str, rel: str = "documents") -> str:
+    """Per-source quality-gate monitor body: docs seen, docs passing the
+    FIXED 0.5 score cut, mean score, pass fraction. The threshold is an
+    absolute constant (not a source mean) deliberately: the streaming twin
+    runs it in complete mode where a self-referential mean would need a
+    second pass — a fixed cut keeps state at one agg row per source."""
+    qs = TA.quality_score_sql("text", d)
+    return f"""
+WITH q AS (SELECT source, CAST({qs} AS DOUBLE) AS qs FROM {rel})
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN qs >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass,
+       CAST(round(AVG(qs), 6) AS DOUBLE) AS mean_quality,
+       CAST(round(CAST(SUM(CASE WHEN qs >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END)
+                       AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS pass_frac
+FROM q GROUP BY source ORDER BY source
+"""
+
+
+def streaming_quality_gate(d: str) -> str:
+    """Continuous ingest-quality monitor THROUGH Structured Streaming (the
+    11th streaming entry, Spark override): the per-source quality-gate
+    rollup as an availableNow file stream → complete-mode agg → memory
+    sink — the dashboard a 100 TB crawl feeds so a source whose pass_frac
+    collapses is paused at the crawler, not discovered at training time.
+    Scoring is a stateless per-row projection, so streaming state is ONE
+    row per source forever. Over a static directory the stream equals the
+    batch SQL, which is this entry's oracle."""
+    return _quality_gate_sql(d)
+
+
+TEMPLATES["streaming_quality_gate"] = streaming_quality_gate
+
+
+def _streaming_quality_gate_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from oaim_sandbox_spark.queries_registry import _stream_shuffle
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    vname = f"docs_qstream_{_uuid.uuid4().hex[:8]}"
+    stream.createOrReplaceTempView(vname)
+    agg = spark.sql(_quality_gate_sql("spark", rel=vname))
+    out = f"stream_qgate_{_uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(out)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    spark.catalog.dropTempView(vname)
+    return spark.table(out)
+
+
+SPARK_OVERRIDES["streaming_quality_gate"] = _streaming_quality_gate_spark
