@@ -637,6 +637,45 @@ def stress_consensus_funnel(n_vecs: int = 1_000_000, n_queries: int = 512) -> di
             "mean_consensus": float(cons["mean_consensus"])}
 
 
+def stress_survivorship(n_docs: int = 200_000) -> dict:
+    """The r9 dedup-attribution rollups at the extreme-duplication shape:
+    200k resampled docs (every replica collides in every band) bucketed
+    into 16 pseudo-sources, ONE materialized signature relation feeding
+    the survivorship matrix AND the stage-overlap audit — the shared-sig
+    pattern the registry overrides use, measured at 40x the sf0.1 corpus."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.queries_dedup import _minhash_sigs_sql
+    from oaim_sandbox_spark.queries_extended import (
+        _dedup_stage_overlap_body,
+        _dedup_survivorship_body,
+    )
+
+    spark = _spark("stress-survivorship")
+    big = _resampled_docs(spark, n_docs).withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 16).cast("string"))
+    ).withColumn("n_chars", F.length("text"))
+    big.createOrReplaceTempView("documents")
+    t0 = time.time()
+    sigs = spark.sql(_minhash_sigs_sql("spark")).localCheckpoint()
+    sigs.createOrReplaceTempView("stress_sigs")
+    t_sig = time.time() - t0
+    t0 = time.time()
+    cells = spark.sql(_dedup_survivorship_body("spark", rel="stress_sigs")).collect()
+    t_surv = time.time() - t0
+    t0 = time.time()
+    overlap = spark.sql(_dedup_stage_overlap_body("spark", rel="stress_sigs")).collect()
+    t_ovl = time.time() - t0
+    n_pairs = sum(r["n_pairs"] for r in cells)
+    spark.stop()
+    return {
+        "stress": "survivorship", "docs": n_docs, "matrix_cells": len(cells),
+        "strong_pairs": n_pairs, "overlap_rows": len(overlap),
+        "sig_seconds": round(t_sig, 1), "survivorship_seconds": round(t_surv, 1),
+        "overlap_seconds": round(t_ovl, 1),
+    }
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "minhash"
     arg = int(sys.argv[2]) if len(sys.argv) > 2 else None
@@ -660,6 +699,7 @@ def main() -> None:
         "novelty": stress_novelty,
         "gini": stress_gini,
         "consensus_funnel": stress_consensus_funnel,
+        "survivorship": stress_survivorship,
     }
     if cmd not in fns:
         raise SystemExit(f"unknown stress {cmd!r}; one of {sorted(fns)}")
