@@ -1124,10 +1124,15 @@ def main() -> None:
         "queries_calibrated": {n: round(t / factor, 3) for n, t in timings.items()},
         "value_calibrated": round(total / factor, 3),
         "host_speed_factor": factor,
-        # the oscillation-immune cross-check (median of start/mid-run/end
-        # warmed probes): when this diverges from host_speed_factor while
-        # shuffle bytes match the prior round, the min anchor locked to a
-        # crest — trust the median's story, and consider the v2 protocol
+        # DIAGNOSTIC ONLY — measured r9 (idle box): mid-run samples read
+        # 0.089-0.145s against 0.048-0.049s bracketing min-3 probes, i.e.
+        # in-run samples measure the workload's own background threads/GC,
+        # not host speed, and the median anchor is biased HIGH by ~1.8x.
+        # The r8 "median-anchor migration" idea is therefore DEAD as a
+        # primary factor: a mid-run probe cannot separate host oscillation
+        # from self-contention (the same contention-shape lesson as
+        # CALIBRATION_VALID_RANGE). Kept recorded so future rounds can
+        # check the bias ratio stays in this band.
         "host_speed_factor_median": factor_median,
         "value_calibrated_median": round(total / factor_median, 3),
         "calibration_unstable": unstable,

@@ -45,9 +45,18 @@ def test_bench_ratchet_vs_previous_round_record():
     flags = compare(old, new, time_tol=1.5, shuffle_tol=1.3, time_floor=2.5,
                     uncorroborated_floor=4.0, uncorroborated_tol=2.0)
     assert not flags, "bench ratchet regressions vs previous round:\n" + "\n".join(flags)
-    # aggregate guard: many small sub-floor drifts still must not compound
-    assert new["value_calibrated"] <= 1.15 * old["value_calibrated"], (
-        f"total calibrated regressed: {old['value_calibrated']} -> {new['value_calibrated']}"
+    # aggregate guard: many small sub-floor drifts still must not compound.
+    # Compare the SHARED-query calibrated sums — registry growth adds
+    # legitimate new mass to the raw total every round (r9: +11 entries =
+    # +19.6s pushed the naive total ratio to 1.157 while the like-for-like
+    # ratio was 1.051)
+    ocal = old.get("queries_calibrated") or old.get("queries", {})
+    ncal = new.get("queries_calibrated") or new.get("queries", {})
+    shared = set(ocal) & set(ncal)
+    so, sn = sum(ocal[q] for q in shared), sum(ncal[q] for q in shared)
+    assert sn <= 1.15 * so, (
+        f"shared-query calibrated total regressed: {so:.1f} -> {sn:.1f} "
+        f"({sn / so:.3f}x over {len(shared)} shared queries)"
     )
 
 
