@@ -409,11 +409,24 @@ class VectorStoreCatalog:
         # job at a stricter one must not thrash each other's cache (each
         # probe is 10-19s). The key folds in EVERY parameter that changes
         # what the probe measures — floor/k plus id/vec columns and any
-        # probe_kwargs (n_queries, store_cap, ...) — so a verdict probed
-        # under a small store_cap is never silently served to a request
-        # with a different configuration (ADVICE r8 low). Default-config
-        # keys stay "floor|k" so existing sidecars remain valid.
-        extras = {k2: probe_kwargs[k2] for k2 in sorted(probe_kwargs)}
+        # probe_kwargs (n_queries, store_cap, metric, ...) — so a verdict
+        # probed under a small store_cap is never silently served to a
+        # request with a different configuration (ADVICE r8 low). Kwargs
+        # explicitly passed AT their recommend_tiers default are
+        # NORMALIZED OUT (review r9: the recommended gate wiring always
+        # forwards metric='COSINE', which would otherwise fork a second
+        # slot and re-pay the probe for a semantically identical config),
+        # so default-config keys stay "floor|k" and existing sidecars
+        # remain valid.
+        from oaim_sandbox_spark.operators import tier_guard as _TG
+
+        probe_defaults = _TG.PROBE_DEFAULTS
+        sentinel = object()
+        extras = {
+            k2: probe_kwargs[k2]
+            for k2 in sorted(probe_kwargs)
+            if probe_defaults.get(k2, sentinel) != probe_kwargs[k2]
+        }
         if id_col != "id":
             extras["id_col"] = id_col
         if vec_col != "embedding":

@@ -394,6 +394,20 @@ def recommend_tiers(
     return out
 
 
+# Canonical probe-parameter defaults, captured from the REAL function at
+# module definition (callers must not re-inspect recommend_tiers at call
+# time — test monkeypatching/wrapping would hide the defaults and silently
+# fork semantically identical cache slots). catalog.tier_verdicts keys its
+# sidecar slots against this.
+import inspect as _inspect  # noqa: E402
+
+PROBE_DEFAULTS = {
+    _k: _p.default
+    for _k, _p in _inspect.signature(recommend_tiers).parameters.items()
+    if _p.default is not _inspect.Parameter.empty
+}
+
+
 def assert_tier_usable(
     store: DataFrame,
     tier: str,

@@ -309,14 +309,26 @@ def _accounting_reports(
     ).createOrReplaceTempView(docs_view)
     pairs.select("doc_a", "doc_b", "est_jaccard").createOrReplaceTempView(pairs_view)
     pairs_sql = f"SELECT doc_a, doc_b, est_jaccard FROM {pairs_view}"
-    return {
-        "degree_profile": spark.sql(_dedup_degree_body(
-            "spark", pairs_sql=pairs_sql, docs_rel=docs_view, thr=thr)),
-        "threshold_sensitivity": spark.sql(_dedup_threshold_body(
-            "spark", pairs_sql=pairs_sql, docs_rel=docs_view)),
-        "source_matrix": spark.sql(_cross_source_dup_body(
-            "spark", pairs_sql=pairs_sql, docs_rel=docs_view, thr=thr)),
-    }
+    # materialize each dim-sized report (sources x sources / 3 thresholds)
+    # so the temp views can be dropped HERE instead of leaking one pair per
+    # accounting run into the session catalog (review r9) — the returned
+    # frames are self-contained
+    try:
+        out = {
+            name: spark.createDataFrame(df.collect(), df.schema)
+            for name, df in (
+                ("degree_profile", spark.sql(_dedup_degree_body(
+                    "spark", pairs_sql=pairs_sql, docs_rel=docs_view, thr=thr))),
+                ("threshold_sensitivity", spark.sql(_dedup_threshold_body(
+                    "spark", pairs_sql=pairs_sql, docs_rel=docs_view))),
+                ("source_matrix", spark.sql(_cross_source_dup_body(
+                    "spark", pairs_sql=pairs_sql, docs_rel=docs_view, thr=thr))),
+            )
+        }
+    finally:
+        spark.catalog.dropTempView(docs_view)
+        spark.catalog.dropTempView(pairs_view)
+    return out
 
 
 def curate_incremental(

@@ -2899,19 +2899,42 @@ SPARK_OVERRIDES["cross_source_duplicate_matrix"] = _cross_source_dup_spark
 def _dedup_survivorship_body(d: str, rel: str = "sigs") -> str:
     """Directional winner/loser rollup of the strong near-dup pair graph,
     reading from signature relation `rel` (shared with the Spark override).
-    Pair generation emits doc_a < doc_b, and the pipeline's first-wins rule
-    keeps the LESSER id — so doc_a is always the survivor."""
+
+    Winner semantics (review r9): pair generation emits doc_a < doc_b and
+    the pipeline drops every doc that appears as a GREATER id in any strong
+    pair — so a doc_a is only a true survivor if it is never itself a
+    doc_b (in a chain 1<2<3, doc 2 loses to 1 AND drops 3; crediting 2 as
+    a winner misattributes — measured 4/28 pairs on sf0.001). `surv` keeps
+    only pairs whose lesser side actually survives the run; each lost doc
+    is then attributed to ONE winner (its minimum surviving direct
+    partner), so n_docs_lost sums globally without double counting.
+    Chain-middle docs whose every strong partner was also dropped have no
+    surviving DIRECT partner and are deliberately out of scope here —
+    transitive canonical attribution is `near_dup_clusters`' connected-
+    components job."""
     from oaim_sandbox_spark.queries_dedup import _minhash_pairs_body
 
     return f"""
 WITH pairs AS ({_minhash_pairs_body(d, rel=rel)}),
-strong AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= CAST(0.5 AS DOUBLE))
+strong AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= CAST(0.5 AS DOUBLE)),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM strong),
+surv AS (
+  SELECT s.doc_a AS doc_a, s.doc_b AS doc_b
+  FROM strong s LEFT JOIN dropped dr ON s.doc_a = dr.doc_id
+  WHERE dr.doc_id IS NULL
+),
+attributed AS (SELECT doc_b, MIN(doc_a) AS winner FROM surv GROUP BY doc_b),
+cells AS (
+  SELECT sv.doc_a AS doc_a, sv.doc_b AS doc_b,
+         CASE WHEN at.winner = sv.doc_a THEN 1 ELSE 0 END AS is_attr
+  FROM surv sv JOIN attributed at ON sv.doc_b = at.doc_b
+)
 SELECT dk.source AS winner_source, dl.source AS loser_source,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       CAST(COUNT(DISTINCT s.doc_b) AS BIGINT) AS n_docs_lost
-FROM strong s
-JOIN documents dk ON dk.doc_id = s.doc_a
-JOIN documents dl ON dl.doc_id = s.doc_b
+       CAST(SUM(c.is_attr) AS BIGINT) AS n_docs_lost
+FROM cells c
+JOIN documents dk ON dk.doc_id = c.doc_a
+JOIN documents dl ON dl.doc_id = c.doc_b
 GROUP BY dk.source, dl.source
 ORDER BY winner_source, loser_source
 """
@@ -3205,7 +3228,7 @@ def filter_vocab_loss(d: str) -> str:
     return f"""
 WITH q AS (SELECT source, text, CAST({qs} AS DOUBLE) AS qs FROM documents),
 thr AS (SELECT source AS tsource, AVG(qs) AS cut FROM q GROUP BY source),
-ex AS ({expl.replace("FROM q", "FROM q")}),
+ex AS ({expl}),
 flags AS (
   SELECT ex.source AS source, ex.tok AS tok,
          MAX(CASE WHEN ex.qs >= thr.cut THEN 1 ELSE 0 END) AS kept

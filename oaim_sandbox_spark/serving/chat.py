@@ -204,10 +204,12 @@ class ChatPipeline:
         # metric=m)`` so the cached sidecar verdict
         # (VectorStoreCatalog.tier_verdicts) gates the (tier, metric) pair
         # and supplies its accepted (possibly widened) operating point.
-        # One-arg gates (the pre-r9 contract) still work — they are called
-        # with the tier only, which is sound because verdicts for them were
-        # only ever probed under cosine and TieredStore rejects non-cosine
-        # metrics on cosine-only tiers regardless.
+        # One-arg gates (the pre-r9 contract) still work for COSINE
+        # requests — the only metric their verdicts were ever probed
+        # under. A non-cosine tiered request requires a metric-aware
+        # gate and raises otherwise (_tiered_store's dispatch): serving
+        # int8 dot/euclidean behind a cosine-probed verdict would be the
+        # verdict-config mismatch ADVICE r8 closed.
         self.tier_gate = tier_gate
         self._tiered: dict[str, object] = {}
         self._history: dict[str, list[Message]] = {}
@@ -245,20 +247,38 @@ class ChatPipeline:
             if self.tier_gate is None:
                 raise ValueError(
                     f"settings.search_tier={tier!r} but this pipeline has no "
-                    "tier_gate — wire tier_gate=lambda t: "
-                    "catalog.assert_tier_usable(store_name, t) so the cached "
-                    "recall verdict gates the tier before it serves"
+                    "tier_gate — wire tier_gate=lambda t, m='COSINE': "
+                    "catalog.assert_tier_usable(store_name, t, metric=m) so "
+                    "the cached recall verdict gates the (tier, metric) pair "
+                    "before it serves"
                 )
-            import inspect
-
-            # two-arg gates receive the metric so the verdict cache keys
-            # per (tier, metric); one-arg gates keep the pre-r9 contract
-            try:
-                gate_arity = len(inspect.signature(self.tier_gate).parameters)
-            except (TypeError, ValueError):
-                gate_arity = 1
-            verdict = (self.tier_gate(tier, metric) if gate_arity >= 2
-                       else self.tier_gate(tier))
+            # Gate dispatch by METRIC, not by signature sniffing (review
+            # r9: counting parameters misroutes the metric into a legacy
+            # gate's second non-metric param, e.g. a floor kwarg or a
+            # partial). COSINE requests call the one-arg form first — every
+            # pre-r9 gate and every verdict ever probed is cosine, so that
+            # is sound; a metric-aware gate whose second param has no
+            # default gets the TypeError fallback. A NON-cosine request
+            # REQUIRES a metric-aware gate: falling back to the one-arg
+            # form would serve a cosine-probed verdict to a dot/euclidean
+            # funnel — exactly the verdict-config mismatch ADVICE r8
+            # closed — so that path raises instead.
+            if metric == "COSINE":
+                try:
+                    verdict = self.tier_gate(tier)
+                except TypeError:
+                    verdict = self.tier_gate(tier, metric)
+            else:
+                try:
+                    verdict = self.tier_gate(tier, metric)
+                except TypeError as ex:
+                    raise ValueError(
+                        f"settings.distance_metric={metric!r} with a tiered "
+                        "store needs a metric-aware tier_gate — wire "
+                        "tier_gate=lambda t, m='COSINE': "
+                        "catalog.assert_tier_usable(store_name, t, metric=m) "
+                        f"(gate rejected the (tier, metric) call: {ex})"
+                    ) from ex
             op = verdict.get("operating_point")
             self._tiered[key] = TieredStore(
                 self.store, tier, operating_point=op, metric=metric,

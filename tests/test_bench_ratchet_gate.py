@@ -12,7 +12,7 @@ import sys
 import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-from bench_ratchet import compare  # noqa: E402
+from bench_ratchet import compare, timing_maps  # noqa: E402
 
 REPO = os.path.join(os.path.dirname(__file__), "..")
 
@@ -46,12 +46,12 @@ def test_bench_ratchet_vs_previous_round_record():
                     uncorroborated_floor=4.0, uncorroborated_tol=2.0)
     assert not flags, "bench ratchet regressions vs previous round:\n" + "\n".join(flags)
     # aggregate guard: many small sub-floor drifts still must not compound.
-    # Compare the SHARED-query calibrated sums — registry growth adds
-    # legitimate new mass to the raw total every round (r9: +11 entries =
-    # +19.6s pushed the naive total ratio to 1.157 while the like-for-like
-    # ratio was 1.051)
-    ocal = old.get("queries_calibrated") or old.get("queries", {})
-    ncal = new.get("queries_calibrated") or new.get("queries", {})
+    # Compare the SHARED-query sums — registry growth adds legitimate new
+    # mass to the raw total every round (r9: +11 entries = +19.6s pushed
+    # the naive total ratio to 1.157 while the like-for-like ratio was
+    # 1.051). timing_maps applies compare()'s mode guard so a raw record
+    # is never summed against a calibrated one (review r9).
+    ocal, ncal = timing_maps(old, new)
     shared = set(ocal) & set(ncal)
     so, sn = sum(ocal[q] for q in shared), sum(ncal[q] for q in shared)
     assert sn <= 1.15 * so, (

@@ -227,7 +227,10 @@ def test_tier_cache_keyed_by_metric_never_serves_wrong_metric(cat_store):
     pipe = ChatPipeline(
         store=store, embed_query=lambda _q: qv, llm=MockLLM(),
         settings=RagSettings(search_tier="matryoshka16_rerank", grading=False),
-        tier_gate=lambda t: {"operating_point": None},
+        # two-arg explicit-bypass gate: reaches TieredStore's metric ladder
+        # (a one-arg gate would be stopped earlier by the metric-aware-gate
+        # guard — covered by test_non_cosine_tier_requires_metric_aware_gate)
+        tier_gate=lambda t, m="COSINE": {"operating_point": None},
     )
     assert pipe.retrieve("q")  # warms the (tier, COSINE) cache
     with pytest.raises(ValueError, match="serves .* only"):
@@ -296,3 +299,69 @@ def test_gated_tiered_serving_second_metric(cat_store, probe_log):
     )
     with pytest.raises(ValueError, match="cosine-geometry-specific"):
         pipe3.retrieve("q")
+
+
+def test_legacy_gate_shapes_still_work_for_cosine(cat_store, probe_log):
+    """Review r9: gate dispatch must not signature-sniff. A legacy gate with
+    an extra DEFAULTED param (or a partial) is called with the tier only
+    under COSINE — the metric string must never land in its second
+    parameter — while a metric-aware two-arg gate without a default gets
+    the TypeError fallback."""
+    from oaim_sandbox_spark.serving.chat import ChatPipeline, MockLLM, RagSettings
+
+    cat, name, _vs = cat_store
+    store = cat.read_store(name)
+    qv = [float(x) for x in store.filter("id = 7").first()["embedding"]]
+    seen = []
+
+    def legacy_gate(tier, floor=0.8):  # extra non-metric param w/ default
+        seen.append((tier, floor))
+        return cat.assert_tier_usable(name, tier, floor=floor, **PROBE_KW)
+
+    pipe = ChatPipeline(
+        store=store, embed_query=lambda _q: qv, llm=MockLLM(),
+        settings=RagSettings(search_tier="int8", grading=False),
+        tier_gate=legacy_gate,
+    )
+    assert pipe.retrieve("q")
+    assert seen == [("int8", 0.8)]  # floor untouched — no metric misrouting
+
+    def strict_gate(tier, metric):  # metric-aware, no default
+        return cat.assert_tier_usable(name, tier, metric=metric, **PROBE_KW)
+
+    pipe2 = ChatPipeline(
+        store=store, embed_query=lambda _q: qv, llm=MockLLM(),
+        settings=RagSettings(search_tier="int8", grading=False),
+        tier_gate=strict_gate,
+    )
+    assert pipe2.retrieve("q")  # TypeError fallback reaches the two-arg call
+
+
+def test_non_cosine_tier_requires_metric_aware_gate(cat_store):
+    """Review r9: a one-arg legacy gate must NOT silently gate a non-cosine
+    int8 request with its cosine-probed verdict — the pipeline raises and
+    names the required wiring."""
+    from oaim_sandbox_spark.serving.chat import ChatPipeline, MockLLM, RagSettings
+
+    cat, name, _vs = cat_store
+    store = cat.read_store(name)
+    qv = [float(x) for x in store.filter("id = 7").first()["embedding"]]
+    pipe = ChatPipeline(
+        store=store, embed_query=lambda _q: qv, llm=MockLLM(),
+        settings=RagSettings(search_tier="int8", distance_metric="DOT_PRODUCT",
+                             grading=False),
+        tier_gate=lambda t: cat.assert_tier_usable(name, t, **PROBE_KW),
+    )
+    with pytest.raises(ValueError, match="metric-aware tier_gate"):
+        pipe.retrieve("q")
+
+
+def test_cosine_default_metric_normalized_out_of_cfg_key(cat_store, probe_log):
+    """Review r9: explicitly passing metric='COSINE' (the recommended gate
+    wiring always forwards it) must hit the SAME cache slot as omitting it
+    — not fork a second slot and re-pay the 10-19s probe."""
+    cat, name, _vs = cat_store
+    cat.tier_verdicts(name, tiers=["int8"], **PROBE_KW)
+    assert len(probe_log) == 1
+    cat.tier_verdicts(name, tiers=["int8"], metric="COSINE", **PROBE_KW)
+    assert len(probe_log) == 1  # served from the metric-less slot

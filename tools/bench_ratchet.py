@@ -39,6 +39,31 @@ def _plan_signal_changed(q: str, old: dict, new: dict) -> bool:
     return nsp > 1.0 and osp <= 1.0
 
 
+def timing_maps(old: dict, new: dict) -> tuple[dict, dict]:
+    """The mode-consistent per-query timing maps for a record pair — NEVER
+    mix one record's RAW seconds against the other's CALIBRATED seconds
+    (the host factor shifts every ratio, masking real regressions or
+    inventing fake ones — the r6-vs-r7 boundary, where r6 predates
+    queries_calibrated). Shared by compare() and the pytest aggregate
+    guard so the two can't drift (review r9)."""
+    ocal, ncal = old.get("queries_calibrated"), new.get("queries_calibrated")
+    oproto = old.get("calibration_protocol")
+    nproto = new.get("calibration_protocol")
+    if (ocal is None) != (ncal is None):
+        print("# WARN only one record carries queries_calibrated — "
+              "comparing RAW seconds on both sides")
+        return old.get("queries", {}), new.get("queries", {})
+    if ocal is not None and oproto != nproto:
+        # calibrated seconds under different probe protocols/references
+        # are on different scales — the protocol change alone can cross
+        # the time tolerance
+        print(f"# WARN calibration protocols differ ({oproto} vs {nproto}) "
+              "— comparing RAW seconds on both sides")
+        return old.get("queries", {}), new.get("queries", {})
+    return (ocal if ocal is not None else old.get("queries", {}),
+            ncal if ncal is not None else new.get("queries", {}))
+
+
 def compare(old: dict, new: dict, time_tol: float, shuffle_tol: float,
             time_floor: float = 1.0, uncorroborated_floor: float | None = None,
             uncorroborated_tol: float | None = None) -> list[str]:
@@ -51,27 +76,7 @@ def compare(old: dict, new: dict, time_tol: float, shuffle_tol: float,
     if uncorroborated_tol is None:
         uncorroborated_tol = time_tol
     flags: list[str] = []
-    # never mix modes: comparing one record's RAW seconds against the
-    # other's CALIBRATED seconds shifts every ratio by the host factor
-    # (masking real regressions or inventing fake ones) — exactly the
-    # r6-vs-r7 boundary, where r6 predates queries_calibrated
-    ocal, ncal = old.get("queries_calibrated"), new.get("queries_calibrated")
-    oproto = old.get("calibration_protocol")
-    nproto = new.get("calibration_protocol")
-    if (ocal is None) != (ncal is None):
-        print("# WARN only one record carries queries_calibrated — "
-              "comparing RAW seconds on both sides")
-        ot, nt = old.get("queries", {}), new.get("queries", {})
-    elif ocal is not None and oproto != nproto:
-        # calibrated seconds under different probe protocols/references
-        # are on different scales — the protocol change alone can cross
-        # the time tolerance
-        print(f"# WARN calibration protocols differ ({oproto} vs {nproto}) "
-              "— comparing RAW seconds on both sides")
-        ot, nt = old.get("queries", {}), new.get("queries", {})
-    else:
-        ot = ocal if ocal is not None else old.get("queries", {})
-        nt = ncal if ncal is not None else new.get("queries", {})
+    ot, nt = timing_maps(old, new)
     # the recall staleness rotation makes ann_recall_combined's wall time
     # bimodal by design (one block measured most rounds, all three on a
     # refresh round) — comparing across different measured-block sets would
