@@ -121,6 +121,10 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "filter_vocab_loss",
     "label_centroid_margin",
     "streaming_quality_gate",
+    "dup_cluster_size_histogram",
+    "lsh_banding_tradeoff",
+    "quantization_error_profile",
+    "mixture_ess_curve",
     # --- last driver check: round 5 (all 32, staleness order):
     "doc_fingerprints",
     "asof_clicks_before_errors",

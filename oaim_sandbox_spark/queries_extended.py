@@ -3371,3 +3371,278 @@ def _streaming_quality_gate_spark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 SPARK_OVERRIDES["streaming_quality_gate"] = _streaming_quality_gate_spark
+
+
+# -- round-9 second batch: dup-cluster shape, LSH banding trade-off, int8
+# error profile, temperature-mixture ESS curve --------------------------------
+
+
+def dup_cluster_size_histogram(d: str) -> str:
+    """SHAPE of the duplicate graph: connected components over the simhash
+    near-pair graph (the `near_dup_clusters` relation) rolled up to a
+    cluster-size histogram — clusters per size, docs per size, and the
+    whitespace-token mass the first-wins canonicalization drops from each
+    size class. The diagnostic that separates 'mostly pairs' corpora
+    (mirrors) from deep template chains (one canonical per thousands —
+    fix the extractor, don't dedup). Oracle: the same recursive-CTE
+    reachability as near_dup_clusters + two dim-sized aggs; Spark runner:
+    operators/dedup.connected_components then the identical rollup."""
+    from oaim_sandbox_spark.queries_dedup import _simhash_fps_sql, _simhash_pairs_body
+
+    toks = TA.token_counts_sql("text", d)["ws_tokens"]
+    pairs = _simhash_pairs_body(d).replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+WITH RECURSIVE fps AS ({_simhash_fps_sql(d)}),
+pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(src, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.src
+),
+comp AS (SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY src),
+toks AS (SELECT doc_id, CAST({toks} AS BIGINT) AS t FROM documents),
+sized AS (
+  SELECT c.cluster_id AS cluster_id, COUNT(*) AS cluster_size,
+         SUM(CASE WHEN c.doc_id <> c.cluster_id THEN t.t ELSE 0 END) AS dropped_toks
+  FROM comp c JOIN toks t ON c.doc_id = t.doc_id
+  GROUP BY c.cluster_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+       CAST(SUM(dropped_toks) AS BIGINT) AS dropped_tokens
+FROM sized GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+TEMPLATES["dup_cluster_size_histogram"] = dup_cluster_size_histogram
+
+
+def _dup_cluster_hist_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: the near_dup_clusters CC machinery (materialized
+    fingerprints, banded pair join, min-label propagation) + the identical
+    size/token rollup — shuffles only int64 (node, label) tuples."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.operators.dedup import connected_components
+    from oaim_sandbox_spark.queries_dedup import _simhash_fps_sql, _simhash_pairs_body
+
+    register_views(spark, sf_dir)
+    name = _materialized_view(
+        spark,
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash FROM ({_simhash_fps_sql('spark')}) f",
+        "dch_fps",
+    )
+    pairs = _sql_dropping(
+        spark,
+        _simhash_pairs_body("spark", rel=name).replace("ORDER BY doc_a, doc_b", ""),
+        name,
+    )
+    labels = connected_components(pairs, spark.table("documents"), node_col="doc_id")
+    toks = spark.sql(
+        f"SELECT doc_id, CAST({TA.token_counts_sql('text', 'spark')['ws_tokens']} AS BIGINT) AS t FROM documents"
+    )
+    sized = (
+        labels.join(toks, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.sum(F.when(F.col("doc_id") != F.col("cluster_id"), F.col("t"))
+                   .otherwise(0)).alias("dropped_toks"),
+        )
+    )
+    return (
+        sized.groupBy(F.col("cluster_size").cast("long").alias("cluster_size"))
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+            F.sum("dropped_toks").cast("long").alias("dropped_tokens"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+SPARK_OVERRIDES["dup_cluster_size_histogram"] = _dup_cluster_hist_spark
+
+
+def _banding_pairs_counts(d: str, rel: str, bands: int) -> str:
+    """Candidate + strong pair counts for ONE (bands, rows) configuration
+    over the 16-perm signature relation `rel` — the per-config leg of
+    lsh_banding_tradeoff."""
+    from oaim_sandbox_spark.operators.dedup import _band_concat
+
+    rows = 16 // bands
+    banded = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"{P.hash64(_band_concat('sig', b, rows, d), d)} AS band_hash FROM {rel}"
+        for b in range(bands)
+    )
+    eq = " + ".join(
+        f"CASE WHEN {_elem('a.sig', i + 1, d)} = {_elem('b.sig', i + 1, d)} THEN 1 ELSE 0 END"
+        for i in range(16)
+    )
+    return f"""
+SELECT {bands} AS bands, {rows} AS rows_per_band,
+       COUNT(*) AS n_candidates,
+       SUM(CASE WHEN ({eq}) >= 8 THEN 1 ELSE 0 END) AS n_strong
+FROM (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM ({banded}) l JOIN ({banded}) r
+    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+   AND l.doc_id < r.doc_id
+) p
+JOIN {rel} a ON a.doc_id = p.doc_a
+JOIN {rel} b ON b.doc_id = p.doc_b
+"""
+
+
+def lsh_banding_tradeoff(d: str) -> str:
+    """(b, r) TUNING TABLE for minhash-LSH: at each banding of the same
+    16-perm signatures (2x8, 4x4, 8x2), the candidate-pair count and how
+    many candidates are actually strong (est_jaccard >= 0.5) — the
+    measured precision curve behind the 1-(1-s^r)^b collision formula.
+    Few wide bands = high precision / misses borderline dups; many narrow
+    bands = recall at quadratic candidate cost. This is the query a
+    pipeline runs on a corpus SAMPLE before fixing its banding. Plan
+    shape: signatures computed once (Spark override materializes), three
+    bucket-bounded self-joins over slim (id, band_hash) rows; text never
+    shuffles."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_sigs_sql
+
+    legs = " UNION ALL ".join(_banding_pairs_counts(d, "sigs", b) for b in (2, 4, 8))
+    return f"""
+WITH sigs AS ({_minhash_sigs_sql(d)})
+SELECT CAST(bands AS INT) AS bands, CAST(rows_per_band AS INT) AS rows_per_band,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_strong AS BIGINT) AS n_strong,
+       CAST(round(CAST(n_strong AS DOUBLE) / nullif(n_candidates, 0), 6) AS DOUBLE)
+           AS precision_at_05
+FROM ({legs}) t
+ORDER BY bands
+"""
+
+
+TEMPLATES["lsh_banding_tradeoff"] = lsh_banding_tradeoff
+
+
+def _lsh_banding_tradeoff_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the signatures once — the three banding
+    legs each read them twice for the est join plus twice for banding."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_sigs_sql
+
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _minhash_sigs_sql("spark"), "lbt_sigs")
+    legs = " UNION ALL ".join(
+        _banding_pairs_counts("spark", name, b) for b in (2, 4, 8)
+    )
+    return _sql_dropping(spark, f"""
+SELECT CAST(bands AS INT) AS bands, CAST(rows_per_band AS INT) AS rows_per_band,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_strong AS BIGINT) AS n_strong,
+       CAST(round(CAST(n_strong AS DOUBLE) / nullif(n_candidates, 0), 6) AS DOUBLE)
+           AS precision_at_05
+FROM ({legs}) t
+ORDER BY bands
+""", name)
+
+
+SPARK_OVERRIDES["lsh_banding_tradeoff"] = _lsh_banding_tradeoff_spark
+
+
+def quantization_error_profile(d: str) -> str:
+    """PRE-DEPLOYMENT audit of the int8 tier on THIS store: per label, the
+    mean/max absolute dequantization error and the mean cosine shift
+    between each vector and its int8 round-trip — the numeric companion to
+    the tier-guard's recall probe (recall collapse always shows here
+    first as a fat max_abs_err / cosine_shift tail). Uses the EXACT
+    quantizer the serving tier uses (P.absmax / P.quantize_int8:
+    floor(x/s*127+0.5), engine-independent where round() half-way rules
+    differ). Dimensions pivot through the fixed 1..64 index relation —
+    plain per-vector aggs, no UDFs, one scan."""
+    idx = (
+        "SELECT explode(sequence(1, 64)) AS i"
+        if d == "spark"
+        else "SELECT unnest(generate_series(1, 64)) AS i"
+    )
+    x = f"CAST({_elem('v.embedding', 'i', d)} AS DOUBLE)"
+    return f"""
+WITH idx AS ({idx}),
+v AS (
+  SELECT vec_id, label, embedding,
+         {P.absmax(P.to_double_array('embedding', d), d)} AS s
+  FROM embeddings
+),
+expl AS (
+  SELECT v.vec_id AS vec_id, v.label AS label, {x} AS x,
+         floor({x} / v.s * 127.0 + 0.5) * v.s / 127.0 AS xq
+  FROM v CROSS JOIN idx
+),
+pv AS (
+  SELECT vec_id, label,
+         AVG(abs(x - xq)) AS mean_err, MAX(abs(x - xq)) AS max_err,
+         SUM(x * xq) AS dp, SUM(x * x) AS nx, SUM(xq * xq) AS nq
+  FROM expl GROUP BY vec_id, label
+)
+SELECT CAST(label AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(round(AVG(mean_err), 6) AS DOUBLE) AS mean_abs_err,
+       CAST(round(MAX(max_err), 6) AS DOUBLE) AS max_abs_err,
+       CAST(round(AVG(1.0 - dp / nullif(sqrt(nx) * sqrt(nq), 0)), 6) AS DOUBLE)
+           AS mean_cosine_shift
+FROM pv GROUP BY label ORDER BY label
+"""
+
+
+TEMPLATES["quantization_error_profile"] = quantization_error_profile
+
+
+def mixture_ess_curve(d: str) -> str:
+    """Temperature-mixture DESIGN CURVE: at each sampling temperature tau
+    (0.3 / 0.7 / 1.0), the source weights w_s ~ (n_s/N)^tau (normalized),
+    the effective number of sources 1/sum(w^2) (ESS — how many sources the
+    mixture REALLY draws from), and the max per-source epoch multiplier
+    w_s*N/n_s (how hard the smallest upweighted source is recycled).
+    `domain_temperature_weights` computes the weights at one tau; this is
+    the curve a mixture designer scans before choosing it — low tau
+    maximizes ESS but recycles tail sources hardest (the UniMax
+    motivation). Mass = whitespace-TOKEN mass per source (what a sampler
+    actually draws), not doc count — the test corpus's doc counts are
+    uniform by construction, which would make every tau identical.
+    Closed-form: one scan + two dim-sized aggs and a 3-row broadcast tau
+    dim."""
+    toks = TA.token_counts_sql("text", d)["ws_tokens"]
+    taus = (
+        "SELECT explode(array(CAST(0.3 AS DOUBLE), CAST(0.7 AS DOUBLE), "
+        "CAST(1.0 AS DOUBLE))) AS tau"
+        if d == "spark"
+        else "SELECT unnest([0.3::DOUBLE, 0.7::DOUBLE, 1.0::DOUBLE]) AS tau"
+    )
+    return f"""
+WITH c AS (SELECT source, CAST(SUM({toks}) AS DOUBLE) AS n FROM documents GROUP BY source),
+tot AS (SELECT SUM(n) AS nn FROM c),
+t AS ({taus}),
+w AS (
+  SELECT t.tau AS tau, c.source AS source, c.n AS n, tot.nn AS nn,
+         power(c.n / tot.nn, t.tau) AS raw
+  FROM c CROSS JOIN tot CROSS JOIN t
+),
+z AS (SELECT tau, SUM(raw) AS zsum FROM w GROUP BY tau)
+SELECT CAST(w.tau AS DOUBLE) AS tau,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(round(1.0 / SUM((w.raw / z.zsum) * (w.raw / z.zsum)), 6) AS DOUBLE)
+           AS ess_sources,
+       CAST(round(MAX((w.raw / z.zsum) * w.nn / w.n), 6) AS DOUBLE)
+           AS max_epochs,
+       CAST(round(MIN((w.raw / z.zsum) * w.nn / w.n), 6) AS DOUBLE)
+           AS min_epochs
+FROM w JOIN z ON w.tau = z.tau
+GROUP BY w.tau ORDER BY tau
+"""
+
+
+TEMPLATES["mixture_ess_curve"] = mixture_ess_curve
