@@ -3603,7 +3603,7 @@ TEMPLATES["quantization_error_profile"] = quantization_error_profile
 
 def mixture_ess_curve(d: str) -> str:
     """Temperature-mixture DESIGN CURVE: at each sampling temperature tau
-    (0.3 / 0.7 / 1.0), the source weights w_s ~ (n_s/N)^tau (normalized),
+    (0.3, 0.7, 1.0), the source weights w_s ~ (n_s/N)^tau (normalized),
     the effective number of sources 1/sum(w^2) (ESS — how many sources the
     mixture REALLY draws from), and the max per-source epoch multiplier
     w_s*N/n_s (how hard the smallest upweighted source is recycled).
