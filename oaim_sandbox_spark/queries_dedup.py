@@ -64,27 +64,29 @@ def _minhash_sigs_sql(d: str) -> str:
     return f"SELECT doc_id, {sig} AS sig FROM (SELECT doc_id, {hs} AS hs FROM documents) h"
 
 
-def _lsh_banded_cte(d: str, rel: str, carry: tuple[str, ...] = ()) -> str:
+def _lsh_banded_cte(d: str, rel: str, carry: tuple[str, ...] = (),
+                    bands: int = BANDS, num_perm: int = NUM_PERM) -> str:
     """The shared LSH banding relation: one UNION ALL branch per band over
     the signature relation ``rel``, emitting (doc_id[, carry...], band_idx,
-    band_hash). Single source of truth for the banding scheme — FOUR
-    queries (pairs, incremental probe, split leakage, estimator audit)
-    build on it, and a banding change must hit all of them at once."""
-    rows = NUM_PERM // BANDS
+    band_hash). Single source of truth for the banding scheme — FIVE
+    queries (pairs, incremental probe, split leakage, estimator audit, and
+    the r9 banding trade-off table via its bands override) build on it,
+    and a banding change must hit all of them at once."""
+    rows = num_perm // bands
     carry_sel = "".join(f", {c}" for c in carry)
     return " UNION ALL ".join(
         f"SELECT doc_id{carry_sel}, {b} AS band_idx, "
         f"{P.hash64(_band_concat('sig', b, rows, d), d)} AS band_hash FROM {rel}"
-        for b in range(BANDS)
+        for b in range(bands)
     )
 
 
-def _sig_eq_terms(d: str) -> str:
+def _sig_eq_terms(d: str, num_perm: int = NUM_PERM) -> str:
     """Signature-agreement count between pair sides a/b — the estimated-
-    Jaccard numerator (divide by NUM_PERM). Shared by every pair scorer."""
+    Jaccard numerator (divide by num_perm). Shared by every pair scorer."""
     return " + ".join(
         f"CASE WHEN {_elem('a.sig', i + 1, d)} = {_elem('b.sig', i + 1, d)} THEN 1 ELSE 0 END"
-        for i in range(NUM_PERM)
+        for i in range(num_perm)
     )
 
 

@@ -3260,9 +3260,9 @@ def label_centroid_margin(d: str) -> str:
     (label, dim) AVG; the centroid-to-centroid pass is k^2 x 64 rows —
     trivially broadcast at any corpus size."""
     idx = (
-        "SELECT explode(sequence(1, 64)) AS i"
+        f"SELECT explode(sequence(1, {EMBED_DIM})) AS i"
         if d == "spark"
-        else "SELECT unnest(generate_series(1, 64)) AS i"
+        else f"SELECT unnest(generate_series(1, {EMBED_DIM})) AS i"
     )
     x = _elem("embedding", "i", d)
     return f"""
@@ -3384,26 +3384,15 @@ def dup_cluster_size_histogram(d: str) -> str:
     whitespace-token mass the first-wins canonicalization drops from each
     size class. The diagnostic that separates 'mostly pairs' corpora
     (mirrors) from deep template chains (one canonical per thousands —
-    fix the extractor, don't dedup). Oracle: the same recursive-CTE
-    reachability as near_dup_clusters + two dim-sized aggs; Spark runner:
-    operators/dedup.connected_components then the identical rollup."""
-    from oaim_sandbox_spark.queries_dedup import _simhash_fps_sql, _simhash_pairs_body
+    fix the extractor, don't dedup). Oracle: THE near_dup_clusters
+    reach relation (shared `_cc_reach_prefix` — one definition, review r9)
+    + two dim-sized aggs; Spark runner: the shared CC labels builder then
+    the identical rollup."""
+    from oaim_sandbox_spark.queries_training import _cc_reach_prefix
 
     toks = TA.token_counts_sql("text", d)["ws_tokens"]
-    pairs = _simhash_pairs_body(d).replace("ORDER BY doc_a, doc_b", "")
     return f"""
-WITH RECURSIVE fps AS ({_simhash_fps_sql(d)}),
-pairs AS ({pairs}),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION ALL
-  SELECT doc_b AS a, doc_a AS b FROM pairs
-),
-reach(src, lbl) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.src
-),
+{_cc_reach_prefix(d)},
 comp AS (SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY src),
 toks AS (SELECT doc_id, CAST({toks} AS BIGINT) AS t FROM documents),
 sized AS (
@@ -3424,26 +3413,17 @@ TEMPLATES["dup_cluster_size_histogram"] = dup_cluster_size_histogram
 
 
 def _dup_cluster_hist_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner: the near_dup_clusters CC machinery (materialized
-    fingerprints, banded pair join, min-label propagation) + the identical
+    """Spark runner: THE near_dup_clusters CC labels builder
+    (queries_registry._cc_labels_spark — shared, review r9) + the identical
     size/token rollup — shuffles only int64 (node, label) tuples."""
     from pyspark.sql import functions as F
 
-    from oaim_sandbox_spark.operators.dedup import connected_components
-    from oaim_sandbox_spark.queries_dedup import _simhash_fps_sql, _simhash_pairs_body
+    # lazy: queries_registry star-imports this module — a module-level
+    # import here would be circular
+    from oaim_sandbox_spark.queries_registry import _cc_labels_spark
 
     register_views(spark, sf_dir)
-    name = _materialized_view(
-        spark,
-        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash FROM ({_simhash_fps_sql('spark')}) f",
-        "dch_fps",
-    )
-    pairs = _sql_dropping(
-        spark,
-        _simhash_pairs_body("spark", rel=name).replace("ORDER BY doc_a, doc_b", ""),
-        name,
-    )
-    labels = connected_components(pairs, spark.table("documents"), node_col="doc_id")
+    labels = _cc_labels_spark(spark)
     toks = spark.sql(
         f"SELECT doc_id, CAST({TA.token_counts_sql('text', 'spark')['ws_tokens']} AS BIGINT) AS t FROM documents"
     )
@@ -3472,24 +3452,24 @@ SPARK_OVERRIDES["dup_cluster_size_histogram"] = _dup_cluster_hist_spark
 
 def _banding_pairs_counts(d: str, rel: str, bands: int) -> str:
     """Candidate + strong pair counts for ONE (bands, rows) configuration
-    over the 16-perm signature relation `rel` — the per-config leg of
-    lsh_banding_tradeoff."""
-    from oaim_sandbox_spark.operators.dedup import _band_concat
+    over the NUM_PERM-perm signature relation `rel` — the per-config leg
+    of lsh_banding_tradeoff. Built on queries_dedup's single-source-of-
+    truth banding/agreement helpers (review r9: a local copy would stop
+    tracking a NUM_PERM retune and silently mis-tune the table)."""
+    from oaim_sandbox_spark.queries_dedup import (
+        NUM_PERM,
+        _lsh_banded_cte,
+        _sig_eq_terms,
+    )
 
-    rows = 16 // bands
-    banded = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, "
-        f"{P.hash64(_band_concat('sig', b, rows, d), d)} AS band_hash FROM {rel}"
-        for b in range(bands)
-    )
-    eq = " + ".join(
-        f"CASE WHEN {_elem('a.sig', i + 1, d)} = {_elem('b.sig', i + 1, d)} THEN 1 ELSE 0 END"
-        for i in range(16)
-    )
+    rows = NUM_PERM // bands
+    banded = _lsh_banded_cte(d, rel, bands=bands)
+    eq = _sig_eq_terms(d)
+    # strong = est_jaccard >= 0.5, i.e. at least half the positions agree
     return f"""
 SELECT {bands} AS bands, {rows} AS rows_per_band,
        COUNT(*) AS n_candidates,
-       SUM(CASE WHEN ({eq}) >= 8 THEN 1 ELSE 0 END) AS n_strong
+       SUM(CASE WHEN ({eq}) >= {NUM_PERM // 2} THEN 1 ELSE 0 END) AS n_strong
 FROM (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
   FROM ({banded}) l JOIN ({banded}) r
@@ -3565,9 +3545,9 @@ def quantization_error_profile(d: str) -> str:
     differ). Dimensions pivot through the fixed 1..64 index relation —
     plain per-vector aggs, no UDFs, one scan."""
     idx = (
-        "SELECT explode(sequence(1, 64)) AS i"
+        f"SELECT explode(sequence(1, {EMBED_DIM})) AS i"
         if d == "spark"
-        else "SELECT unnest(generate_series(1, 64)) AS i"
+        else f"SELECT unnest(generate_series(1, {EMBED_DIM})) AS i"
     )
     x = f"CAST({_elem('v.embedding', 'i', d)} AS DOUBLE)"
     return f"""

@@ -737,18 +737,16 @@ def _ngram_jaccard_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_dropping(spark, "WITH " + rest, name)
 
 
-def _near_dup_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark runner for near_dup_clusters: materialize the simhash pair graph
-    once (same banded plan as simhash_near_pairs), then
-    operators/dedup.connected_components min-label propagation — each round
-    shuffles only (node, label) int64 pairs; fixpoint in O(cluster diameter)
-    rounds. The oracle's recursive CTE is the sequential twin."""
-    from pyspark.sql import functions as F
-
+def _cc_labels_spark(spark: SparkSession) -> DataFrame:
+    """The Spark twin of queries_training._cc_reach_prefix: materialize the
+    simhash fingerprints once (the banded join reads them 8x), generate the
+    pair graph, and run operators/dedup.connected_components min-label
+    propagation — each round shuffles only (node, label) int64 pairs;
+    fixpoint in O(cluster diameter) rounds. Shared by near_dup_clusters
+    and dup_cluster_size_histogram so the clustering semantics cannot
+    desynchronize (review r9). Requires register_views to have run."""
     from oaim_sandbox_spark.operators.dedup import connected_components
 
-    register_views(spark, sf_dir)
-    # banded join reads the fingerprints 8x — materialize once, unique name
     name = _materialized_view(
         spark,
         f"SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash FROM ({_simhash_fps_sql('spark')}) f",
@@ -759,7 +757,17 @@ def _near_dup_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         _simhash_pairs_body("spark", rel=name).replace("ORDER BY doc_a, doc_b", ""),
         name,
     )
-    labels = connected_components(pairs, spark.table("documents"), node_col="doc_id")
+    return connected_components(pairs, spark.table("documents"), node_col="doc_id")
+
+
+def _near_dup_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner for near_dup_clusters: the shared CC labels builder +
+    the canonical projection. The oracle's recursive CTE is the sequential
+    twin."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    labels = _cc_labels_spark(spark)
     return labels.select(
         F.col("doc_id").cast("long"),
         F.col("cluster_id").cast("long"),

@@ -403,15 +403,15 @@ ORDER BY doc_id
 """
 
 
-def near_dup_clusters_oracle(d: str) -> str:
-    """Corpus dedup completion: connected components over the simhash
-    near-pair graph, canonical = min doc_id per component (first-occurrence-
-    wins lifted to near-dup classes). Oracle: recursive CTE computing the min
-    reachable label; Spark runner: operators/dedup.connected_components
-    (min-label propagation, one int64 shuffle per round)."""
+def _cc_reach_prefix(d: str) -> str:
+    """The recursive-CTE connected-components prefix over the simhash
+    near-pair graph (fps -> pairs -> edges -> reach): the min-reachable-
+    label relation BOTH near_dup_clusters and dup_cluster_size_histogram
+    roll up. One definition so the clustering semantics (MAX_HAMMING,
+    banding, canonical = min doc_id) cannot silently desynchronize between
+    the clusters query and its histogram (review r9)."""
     pairs = _simhash_pairs_body(d).replace("ORDER BY doc_a, doc_b", "")
-    return f"""
-WITH RECURSIVE fps AS ({_simhash_fps_sql(d)}),
+    return f"""WITH RECURSIVE fps AS ({_simhash_fps_sql(d)}),
 pairs AS ({pairs}),
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -422,7 +422,17 @@ reach(src, lbl) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.src
-)
+)"""
+
+
+def near_dup_clusters_oracle(d: str) -> str:
+    """Corpus dedup completion: connected components over the simhash
+    near-pair graph, canonical = min doc_id per component (first-occurrence-
+    wins lifted to near-dup classes). Oracle: recursive CTE computing the min
+    reachable label; Spark runner: operators/dedup.connected_components
+    (min-label propagation, one int64 shuffle per round)."""
+    return f"""
+{_cc_reach_prefix(d)}
 SELECT CAST(src AS BIGINT) AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id,
        CASE WHEN MIN(lbl) = src THEN 1 ELSE 0 END AS is_canonical
 FROM reach
