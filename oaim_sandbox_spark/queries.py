@@ -125,6 +125,9 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "lsh_banding_tradeoff",
     "quantization_error_profile",
     "mixture_ess_curve",
+    "sign_balance_audit",
+    "norm_anova_by_label",
+    "knn_hubness_histogram",
     # --- last driver check: round 5 (all 32, staleness order):
     "doc_fingerprints",
     "asof_clicks_before_errors",

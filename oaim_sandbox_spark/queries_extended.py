@@ -3626,3 +3626,131 @@ GROUP BY w.tau ORDER BY tau
 
 
 TEMPLATES["mixture_ess_curve"] = mixture_ess_curve
+
+
+# -- round-9 third batch: ANN-assumption audits -------------------------------
+
+
+def sign_balance_audit(d: str) -> str:
+    """DIRECT test of the sign-bit tier's distribution assumption: the
+    binary-Hamming tier packs sign bits, which carries information only
+    where each dimension is roughly sign-BALANCED across the store
+    (tier_guard's header: 'sign-bit Hamming assumes centered/dense
+    values' — on the engine's hashed-BoW features it measured 0.16
+    recall@10, and the failure is visible HERE first: non-negative
+    features are 100% one-signed, so every packed word is constant). Per
+    dimension: fraction positive, the |2p-1| skew, and a dead-bit flag
+    (skew > 0.98 = the bit contributes ~nothing to any Hamming distance).
+    One scan through the fixed 1..EMBED_DIM pivot, one (dim) agg — run it
+    before `recommend_tiers` to know WHY a refusal happened."""
+    idx = (
+        f"SELECT explode(sequence(1, {EMBED_DIM})) AS i"
+        if d == "spark"
+        else f"SELECT unnest(generate_series(1, {EMBED_DIM})) AS i"
+    )
+    x = f"CAST({_elem('embedding', 'i', d)} AS DOUBLE)"
+    return f"""
+WITH idx AS ({idx}),
+s AS (
+  SELECT i, CAST(SUM(CASE WHEN {x} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS pos,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM embeddings CROSS JOIN idx
+  GROUP BY i
+)
+SELECT CAST(i AS INT) AS dim,
+       CAST(round(pos / n, 6) AS DOUBLE) AS frac_positive,
+       CAST(round(abs(2.0 * pos / n - 1.0), 6) AS DOUBLE) AS sign_skew,
+       CAST(CASE WHEN abs(2.0 * pos / n - 1.0) > 0.98 THEN 1 ELSE 0 END AS INT)
+           AS dead_bit
+FROM s ORDER BY dim
+"""
+
+
+TEMPLATES["sign_balance_audit"] = sign_balance_audit
+
+
+def norm_anova_by_label(d: str) -> str:
+    """One-way ANOVA of embedding NORMS across labels — the cheap scalar
+    companion to `label_centroid_margin`: a significant between-label norm
+    difference means magnitude alone leaks the label (dot-product ranking
+    will favor some labels structurally; normalize before cosine tiers or
+    expect per-label recall skew). Per label: n, mean/std of the L2 norm;
+    one summary row contract via the global F-statistic column repeated
+    per label (between-group MS / within-group MS, both from the same
+    moment sums). One scan, two dim-sized aggs, closed form — no window.
+    The moments accumulate over INTEGER micro-norm units (round(nrm*1e6)
+    as BIGINT): the F numerator/denominator are differences of
+    near-cancelling sums where per-engine float summation ORDER would
+    swamp the 6-decimal contract, while integer sums are exact and
+    bit-identical on both engines (u^2 <= 1e13, sums << 2^53)."""
+    nrm = f"sqrt({P.dot(P.to_double_array('embedding', d), P.to_double_array('embedding', d), d)})"
+    return f"""
+WITH v AS (
+  SELECT label, CAST(round({nrm} * CAST(1000000 AS DOUBLE)) AS BIGINT) AS u
+  FROM embeddings
+),
+per AS (
+  SELECT label, COUNT(*) AS n, SUM(u) AS s1, SUM(u * u) AS s2
+  FROM v GROUP BY label
+),
+g AS (SELECT SUM(n) AS nn, COUNT(*) AS k, SUM(s1) AS gs1, SUM(s2) AS gs2 FROM per),
+f AS (
+  SELECT ((SUM(CAST(per.s1 AS DOUBLE) * per.s1 / per.n)
+           - CAST(MAX(g.gs1) AS DOUBLE) * MAX(g.gs1) / MAX(g.nn))
+          / (MAX(g.k) - 1))
+         / nullif((MAX(g.gs2) - SUM(CAST(per.s1 AS DOUBLE) * per.s1 / per.n))
+                  / (MAX(g.nn) - MAX(g.k)), 0)
+         AS fstat
+  FROM per CROSS JOIN g
+)
+SELECT CAST(per.label AS INT) AS label,
+       CAST(per.n AS BIGINT) AS n_vectors,
+       CAST(round(CAST(per.s1 AS DOUBLE) / per.n / 1000000.0, 6) AS DOUBLE)
+           AS mean_norm,
+       CAST(round(sqrt(greatest(
+                (per.s2 - CAST(per.s1 AS DOUBLE) * per.s1 / per.n)
+                / nullif(per.n - 1, 0), 0.0)) / 1000000.0, 6) AS DOUBLE)
+           AS std_norm,
+       CAST(round(f.fstat, 6) AS DOUBLE) AS f_stat
+FROM per CROSS JOIN f
+ORDER BY label
+"""
+
+
+TEMPLATES["norm_anova_by_label"] = norm_anova_by_label
+
+
+def knn_hubness_histogram(d: str) -> str:
+    """HUBNESS audit of the embedding space: how often each vector appears
+    in OTHER vectors' exact-cosine top-5 (its k-occurrence), rolled up to
+    a histogram. High-dimensional stores develop hubs — vectors that are
+    'near' a pathological share of queries — which silently dominate ANN
+    results and poison kNN label consensus; a fat k-occurrence tail is the
+    signature (Radovanovic et al., JMLR 2010). This exact all-pairs form
+    is the oracle (the knn_label_consensus pattern); at 100 TB the same
+    in-degree roll-up runs over IVFIndex.search_batch hit lists — the
+    funnel the consensus twin already demonstrates. Plan shape: one
+    broadcast-NLJ self-score, rank window over slim tuples, two hash
+    aggs."""
+    dist = P.cosine_distance(
+        P.to_double_array("a.embedding", d), P.to_double_array("b.embedding", d), d
+    )
+    return f"""
+WITH nb AS (
+  SELECT b.vec_id AS hit,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({dist}, 6) ASC, b.vec_id ASC) AS rnk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+deg AS (SELECT hit, COUNT(*) AS k_occ FROM nb WHERE rnk <= 5 GROUP BY hit),
+alln AS (
+  SELECT e.vec_id AS vec_id, COALESCE(deg.k_occ, 0) AS k_occ
+  FROM embeddings e LEFT JOIN deg ON e.vec_id = deg.hit
+)
+SELECT CAST(k_occ AS BIGINT) AS k_occurrence,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM alln GROUP BY k_occ ORDER BY k_occurrence
+"""
+
+
+TEMPLATES["knn_hubness_histogram"] = knn_hubness_histogram
