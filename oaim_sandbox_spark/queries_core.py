@@ -159,6 +159,18 @@ def _elem(arr: str, i: int, dialect: str) -> str:
     return f"element_at({arr}, {i})" if dialect == "spark" else f"({arr})[{i}]"
 
 
+def _dim_idx(dialect: str, n: int | None = None) -> str:
+    """The 1..EMBED_DIM embedding-dimension index relation (the fixed pivot
+    every per-dimension embedding audit joins through). One definition —
+    review r9b found four verbatim copies across templates."""
+    n = EMBED_DIM if n is None else n
+    return (
+        f"SELECT explode(sequence(1, {n})) AS i"
+        if dialect == "spark"
+        else f"SELECT unnest(generate_series(1, {n})) AS i"
+    )
+
+
 def _str(e: str, dialect: str) -> str:
     """String cast — delegates to the shared portable.str_cast helper."""
     return P.str_cast(e, dialect)

@@ -17,6 +17,7 @@ from oaim_sandbox_spark.queries_core import (
     ALL_TABLES,
     EMBED_DIM,
     _dec,
+    _dim_idx,
     _elem,
     _idiv,
     _str,
@@ -2567,11 +2568,6 @@ def embedding_health_audit(d: str) -> str:
         if d == "spark"
         else "len(list_filter(CAST(embedding AS DOUBLE[]), x -> isnan(x) OR abs(x) > 1e308))"
     )
-    idx = (
-        f"SELECT explode(sequence(1, {EMBED_DIM})) AS i"
-        if d == "spark"
-        else f"SELECT unnest(generate_series(1, {EMBED_DIM})) AS i"
-    )
     x = _elem("embedding", "i", d)
     pcts = "percentile(nrm, 0.99D)" if d == "spark" else "quantile_cont(nrm, 0.99)"
     return f"""
@@ -2579,7 +2575,7 @@ WITH v AS (
   SELECT label, {ln} AS ndim, round({nrm}, 6) AS nrm, {bad} AS bad
   FROM embeddings
 ),
-idx AS ({idx}),
+idx AS ({_dim_idx(d)}),
 dims AS (
   SELECT label, i,
          CASE WHEN MIN(CAST({x} AS DOUBLE)) = MAX(CAST({x} AS DOUBLE))
@@ -3259,14 +3255,9 @@ def label_centroid_margin(d: str) -> str:
     (embedding_centroid_outliers pattern) so the centroid is a plain
     (label, dim) AVG; the centroid-to-centroid pass is k^2 x 64 rows —
     trivially broadcast at any corpus size."""
-    idx = (
-        f"SELECT explode(sequence(1, {EMBED_DIM})) AS i"
-        if d == "spark"
-        else f"SELECT unnest(generate_series(1, {EMBED_DIM})) AS i"
-    )
     x = _elem("embedding", "i", d)
     return f"""
-WITH idx AS ({idx}),
+WITH idx AS ({_dim_idx(d)}),
 expl AS (
   SELECT label, vec_id, i, CAST({x} AS DOUBLE) AS x
   FROM embeddings CROSS JOIN idx
@@ -3544,14 +3535,9 @@ def quantization_error_profile(d: str) -> str:
     floor(x/s*127+0.5), engine-independent where round() half-way rules
     differ). Dimensions pivot through the fixed 1..64 index relation —
     plain per-vector aggs, no UDFs, one scan."""
-    idx = (
-        f"SELECT explode(sequence(1, {EMBED_DIM})) AS i"
-        if d == "spark"
-        else f"SELECT unnest(generate_series(1, {EMBED_DIM})) AS i"
-    )
     x = f"CAST({_elem('v.embedding', 'i', d)} AS DOUBLE)"
     return f"""
-WITH idx AS ({idx}),
+WITH idx AS ({_dim_idx(d)}),
 v AS (
   SELECT vec_id, label, embedding,
          {P.absmax(P.to_double_array('embedding', d), d)} AS s
@@ -3643,26 +3629,24 @@ def sign_balance_audit(d: str) -> str:
     (skew > 0.98 = the bit contributes ~nothing to any Hamming distance).
     One scan through the fixed 1..EMBED_DIM pivot, one (dim) agg — run it
     before `recommend_tiers` to know WHY a refusal happened."""
-    idx = (
-        f"SELECT explode(sequence(1, {EMBED_DIM})) AS i"
-        if d == "spark"
-        else f"SELECT unnest(generate_series(1, {EMBED_DIM})) AS i"
-    )
     x = f"CAST({_elem('embedding', 'i', d)} AS DOUBLE)"
     return f"""
-WITH idx AS ({idx}),
+WITH idx AS ({_dim_idx(d)}),
 s AS (
   SELECT i, CAST(SUM(CASE WHEN {x} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS pos,
          CAST(COUNT(*) AS DOUBLE) AS n
   FROM embeddings CROSS JOIN idx
   GROUP BY i
+),
+sk AS (
+  SELECT i, round(pos / n, 6) AS fp, round(abs(2.0 * pos / n - 1.0), 6) AS skew
+  FROM s
 )
 SELECT CAST(i AS INT) AS dim,
-       CAST(round(pos / n, 6) AS DOUBLE) AS frac_positive,
-       CAST(round(abs(2.0 * pos / n - 1.0), 6) AS DOUBLE) AS sign_skew,
-       CAST(CASE WHEN abs(2.0 * pos / n - 1.0) > 0.98 THEN 1 ELSE 0 END AS INT)
-           AS dead_bit
-FROM s ORDER BY dim
+       CAST(fp AS DOUBLE) AS frac_positive,
+       CAST(skew AS DOUBLE) AS sign_skew,
+       CAST(CASE WHEN skew > 0.98 THEN 1 ELSE 0 END AS INT) AS dead_bit
+FROM sk ORDER BY dim
 """
 
 
@@ -3678,39 +3662,45 @@ def norm_anova_by_label(d: str) -> str:
     one summary row contract via the global F-statistic column repeated
     per label (between-group MS / within-group MS, both from the same
     moment sums). One scan, two dim-sized aggs, closed form — no window.
-    The moments accumulate over INTEGER micro-norm units (round(nrm*1e6)
-    as BIGINT): the F numerator/denominator are differences of
-    near-cancelling sums where per-engine float summation ORDER would
-    swamp the 6-decimal contract, while integer sums are exact and
-    bit-identical on both engines (u^2 <= 1e13, sums << 2^53)."""
+
+    Numeric design (review r9b — the first integer-micro-unit form
+    quantized every unit-normalized norm to the SAME value, making F NULL
+    on exactly the stores it targets, i.e. the certified oracle never
+    exercised the statistic): moments accumulate over MIN-CENTERED
+    deviations x = nrm - min(nrm). Each nrm is bit-identical across
+    engines (the dot HOF folds the array left-to-right — per-row IEEE
+    ops, no aggregation order), MIN is order-independent, and centering
+    removes the catastrophic cancellation of sum(nrm^2) - n*mean^2 around
+    nrm ~ 1: the residual cross-engine noise is sum-ORDER ulps on sums of
+    ~x-scale values, ~1e-10 relative on the F — far inside the 6-decimal
+    contract. Columns report micro-scale deviations so the fixture's
+    ~1e-7-wide norm distribution is visible: std/spread in MICRO-norm
+    units (1e6 x), F dimensionless."""
     nrm = f"sqrt({P.dot(P.to_double_array('embedding', d), P.to_double_array('embedding', d), d)})"
     return f"""
-WITH v AS (
-  SELECT label, CAST(round({nrm} * CAST(1000000 AS DOUBLE)) AS BIGINT) AS u
-  FROM embeddings
-),
+WITH v AS (SELECT label, {nrm} AS nrm FROM embeddings),
+c AS (SELECT MIN(nrm) AS c0 FROM v),
+w AS (SELECT label, (nrm - c.c0) AS x FROM v CROSS JOIN c),
 per AS (
-  SELECT label, COUNT(*) AS n, SUM(u) AS s1, SUM(u * u) AS s2
-  FROM v GROUP BY label
+  SELECT label, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS s1, SUM(x * x) AS s2
+  FROM w GROUP BY label
 ),
-g AS (SELECT SUM(n) AS nn, COUNT(*) AS k, SUM(s1) AS gs1, SUM(s2) AS gs2 FROM per),
+g AS (SELECT SUM(n) AS nn, COUNT(*) AS k, SUM(s1) AS gs1 FROM per),
 f AS (
-  SELECT ((SUM(CAST(per.s1 AS DOUBLE) * per.s1 / per.n)
-           - CAST(MAX(g.gs1) AS DOUBLE) * MAX(g.gs1) / MAX(g.nn))
-          / (MAX(g.k) - 1))
-         / nullif((MAX(g.gs2) - SUM(CAST(per.s1 AS DOUBLE) * per.s1 / per.n))
+  SELECT ((SUM(per.s1 * per.s1 / per.n)
+           - MAX(g.gs1) * MAX(g.gs1) / MAX(g.nn)) / (MAX(g.k) - 1))
+         / nullif((SUM(per.s2) - SUM(per.s1 * per.s1 / per.n))
                   / (MAX(g.nn) - MAX(g.k)), 0)
          AS fstat
   FROM per CROSS JOIN g
 )
 SELECT CAST(per.label AS INT) AS label,
        CAST(per.n AS BIGINT) AS n_vectors,
-       CAST(round(CAST(per.s1 AS DOUBLE) / per.n / 1000000.0, 6) AS DOUBLE)
-           AS mean_norm,
-       CAST(round(sqrt(greatest(
-                (per.s2 - CAST(per.s1 AS DOUBLE) * per.s1 / per.n)
-                / nullif(per.n - 1, 0), 0.0)) / 1000000.0, 6) AS DOUBLE)
-           AS std_norm,
+       CAST(round(per.s1 / per.n * CAST(1000000 AS DOUBLE), 6) AS DOUBLE)
+           AS mean_dev_micro,
+       CAST(round(sqrt(greatest((per.s2 - per.s1 * per.s1 / per.n)
+                                / nullif(per.n - 1.0, 0), 0.0))
+                  * CAST(1000000 AS DOUBLE), 6) AS DOUBLE) AS std_norm_micro,
        CAST(round(f.fstat, 6) AS DOUBLE) AS f_stat
 FROM per CROSS JOIN f
 ORDER BY label

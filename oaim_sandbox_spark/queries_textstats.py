@@ -11,6 +11,7 @@ from oaim_sandbox_spark.queries_core import (
     ALL_TABLES,
     EMBED_DIM,
     _dec,
+    _dim_idx,
     _elem,
     _idiv,
     _str,
@@ -68,14 +69,9 @@ def embedding_centroid_outliers(d: str) -> str:
     (label, dim) AVG — no vector UDF anywhere, whole-stage codegen end to end.
     At scale the (label, dim) centroid table is k·64 rows — always broadcast;
     the heavy side shuffles once on (vec_id) for the re-aggregation."""
-    idx = (
-        "SELECT explode(sequence(1, 64)) AS i"
-        if d == "spark"
-        else "SELECT unnest(generate_series(1, 64)) AS i"
-    )
     x = _elem("embedding", "i", d)
     return f"""
-WITH idx AS ({idx}),
+WITH idx AS ({_dim_idx(d)}),
 expl AS (
   SELECT label, vec_id, i, CAST({x} AS DOUBLE) AS x
   FROM embeddings CROSS JOIN idx
