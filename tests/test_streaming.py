@@ -531,3 +531,56 @@ def test_tws_processor_simulated_runtime_matches_batch_oracle():
         assert (got["n_events"], got["sum_value"], got["max_value"]) == (
             int(row["count"]), float(row["sum"]), float(row["max"])
         ), uid
+
+
+def test_streaming_quality_gate_multibatch_converges_to_batch(spark, tmp_path):
+    """streaming_quality_gate's complete-mode agg must CONVERGE across
+    micro-batches (maxFilesPerTrigger=1): after batch 1 the monitor shows
+    only source A; after all batches the memory-sink table equals the
+    batch GROUP BY over everything — the continuous-ingest contract the
+    registry entry's one-shot oracle can't see."""
+    import json as _json
+
+    from oaim_sandbox_spark.queries_extended import _quality_gate_sql
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    good = "the quick brown fox jumps over the lazy dog and then some more words " * 20
+    bad = "1234567890 42 0xdeadbeef 777"
+    b1 = [{"doc_id": 1, "text": good, "source": "A"},
+          {"doc_id": 2, "text": bad, "source": "A"}]
+    b2 = [{"doc_id": 3, "text": good, "source": "B"},
+          {"doc_id": 4, "text": good, "source": "A"}]
+    (src / "f1.jsonl").write_text("\n".join(_json.dumps(r) for r in b1))
+    (src / "f2.jsonl").write_text("\n".join(_json.dumps(r) for r in b2))
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING, source STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    stream.createOrReplaceTempView("qgate_stream_docs")
+    agg = spark.sql(_quality_gate_sql("spark", rel="qgate_stream_docs"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("qgate_run")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r["source"]: r for r in spark.sql("SELECT * FROM qgate_run").collect()}
+    # final state == batch GROUP BY over ALL files
+    spark.read.schema("doc_id BIGINT, text STRING, source STRING") \
+        .json(str(src)).createOrReplaceTempView("qgate_batch_docs")
+    want = {r["source"]: r for r in
+            spark.sql(_quality_gate_sql("spark", rel="qgate_batch_docs")).collect()}
+    assert set(got) == set(want) == {"A", "B"}
+    for s in want:
+        assert (got[s]["n_docs"], got[s]["n_pass"]) == (want[s]["n_docs"], want[s]["n_pass"]), s
+        assert got[s]["mean_quality"] == want[s]["mean_quality"], s
+    # the gate actually separates the planted docs: the junk doc fails
+    assert want["A"]["n_docs"] == 3 and want["A"]["n_pass"] == 2
+    assert want["B"]["n_pass"] == 1
+    spark.catalog.dropTempView("qgate_stream_docs")
+    spark.catalog.dropTempView("qgate_batch_docs")
