@@ -128,6 +128,8 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "sign_balance_audit",
     "norm_anova_by_label",
     "knn_hubness_histogram",
+    "hourly_autocorr_by_type",
+    "dedup_method_agreement",
     # --- last driver check: round 5 (all 32, staleness order):
     "doc_fingerprints",
     "asof_clicks_before_errors",

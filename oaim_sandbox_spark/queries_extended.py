@@ -3744,3 +3744,123 @@ FROM alln GROUP BY k_occ ORDER BY k_occurrence
 
 
 TEMPLATES["knn_hubness_histogram"] = knn_hubness_histogram
+
+
+# -- round-9 final pair: hourly autocorrelation, dedup method agreement -------
+
+
+def hourly_autocorr_by_type(d: str) -> str:
+    """Lag-1 autocorrelation of the hourly event-count series per event
+    type — the time-series diagnostic between `dow_seasonality` (weekly
+    structure) and `cusum_changepoint` (level shifts): near-zero autocorr
+    means hourly arrivals are memoryless (Poisson-ish — rate alerts can
+    use simple thresholds), high autocorr means bursts persist across
+    hours (alerts need burst-aware baselines like trailing_hour_stats).
+    Computed over OBSERVED consecutive-hour pairs (h, h+1 both present —
+    the series is dense on the test corpus) from integer count moments;
+    the only floats are the final divisions. One hourly agg, one slim
+    self-join on hour+1, one per-type agg."""
+    hr = _idiv(_ts_us(d), "3600000000", d)
+    return f"""
+WITH hc AS (
+  SELECT event_type, CAST({hr} AS BIGINT) AS h, COUNT(*) AS c
+  FROM events GROUP BY event_type, {hr}
+),
+pairs AS (
+  SELECT a.event_type AS event_type, a.c AS x, b.c AS y
+  FROM hc a JOIN hc b ON a.event_type = b.event_type AND b.h = a.h + 1
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pairs GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_hour_pairs,
+       CAST(round(CAST(sx + sy AS DOUBLE) / (2 * n), 6) AS DOUBLE)
+           AS mean_hourly_count,
+       CAST(round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                  / nullif(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                           0), 6) AS DOUBLE) AS lag1_autocorr
+FROM m ORDER BY event_type
+"""
+
+
+TEMPLATES["hourly_autocorr_by_type"] = hourly_autocorr_by_type
+
+
+def _dedup_method_agreement_body(d: str, sig_rel: str = "sigs",
+                                 fps_rel: str = "fps") -> str:
+    """Pair-set agreement between the two near-dup families, reading from
+    the given signature/fingerprint relations (shared with the Spark
+    override, which materializes each once)."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_pairs_body, _simhash_pairs_body
+
+    mh = _minhash_pairs_body(d, rel=sig_rel)
+    sh = _simhash_pairs_body(d, rel=fps_rel).replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+mh AS (SELECT doc_a, doc_b FROM ({mh}) m WHERE est_jaccard >= CAST(0.5 AS DOUBLE)),
+sh AS ({sh}),
+u AS (
+  SELECT COALESCE(mh.doc_a, sh.doc_a) AS doc_a,
+         CASE WHEN mh.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_mh,
+         CASE WHEN sh.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_sh
+  FROM mh FULL OUTER JOIN sh
+    ON mh.doc_a = sh.doc_a AND mh.doc_b = sh.doc_b
+),
+j AS (SELECT dd.source AS source, u.in_mh AS in_mh, u.in_sh AS in_sh
+      FROM u JOIN documents dd ON dd.doc_id = u.doc_a)
+SELECT source,
+       CAST(SUM(in_mh) AS BIGINT) AS n_minhash,
+       CAST(SUM(in_sh) AS BIGINT) AS n_simhash,
+       CAST(SUM(in_mh * in_sh) AS BIGINT) AS n_both,
+       CAST(round(CAST(SUM(in_mh * in_sh) AS DOUBLE)
+                  / nullif(SUM(CASE WHEN in_mh = 1 OR in_sh = 1 THEN 1 ELSE 0 END), 0),
+                  6) AS DOUBLE) AS jaccard_agreement
+FROM j GROUP BY source ORDER BY source
+"""
+
+
+def dedup_method_agreement(d: str) -> str:
+    """DO THE TWO NEAR-DUP FAMILIES AGREE? Per source (of the pair's lesser
+    doc), the strong minhash pair set (est_jaccard >= 0.5) vs the simhash
+    near-pair set (hamming <= 3), their intersection, and the pair-set
+    Jaccard. High agreement on a source means the cheaper family suffices
+    there; systematic disagreement localizes where the families' blind
+    spots differ (minhash: short docs with few shingles; simhash: long
+    docs where a small edit flips few bits) — the method-selection audit
+    `curate_corpus`'s near_dup= switch needs. Plan shape: both pair graphs
+    are the existing certified banded bodies reading ONE materialized
+    relation each; the FULL OUTER pair join is over slim int64 pairs."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_sigs_sql, _simhash_fps_sql
+
+    return f"""
+WITH sigs AS ({_minhash_sigs_sql(d)}),
+fps AS ({_simhash_fps_sql(d)}),
+{_dedup_method_agreement_body(d)}
+"""
+
+
+TEMPLATES["dedup_method_agreement"] = dedup_method_agreement
+
+
+def _dedup_method_agreement_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize signatures AND fingerprints once each —
+    the banded joins read each relation multiple times."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_sigs_sql, _simhash_fps_sql
+
+    register_views(spark, sf_dir)
+    sig_name = _materialized_view(spark, _minhash_sigs_sql("spark"), "dma_sigs")
+    fps_name = _materialized_view(spark, _simhash_fps_sql("spark"), "dma_fps")
+    out = spark.sql(
+        "WITH " + _dedup_method_agreement_body("spark", sig_rel=sig_name,
+                                               fps_rel=fps_name)
+    )
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sig_name)
+    spark.catalog.dropTempView(fps_name)
+    return out
+
+
+SPARK_OVERRIDES["dedup_method_agreement"] = _dedup_method_agreement_spark
