@@ -3756,19 +3756,33 @@ def hourly_autocorr_by_type(d: str) -> str:
     means hourly arrivals are memoryless (Poisson-ish — rate alerts can
     use simple thresholds), high autocorr means bursts persist across
     hours (alerts need burst-aware baselines like trailing_hour_stats).
-    Computed over OBSERVED consecutive-hour pairs (h, h+1 both present —
-    the series is dense on the test corpus) from integer count moments;
-    the only floats are the final divisions. One hourly agg, one slim
-    self-join on hour+1, one per-type agg."""
+    Computed over a ZERO-FILLED dense hour spine per type (min..max hour —
+    review r9c: joining only observed consecutive hours silently drops
+    sparse types from the output and biases the statistic on exactly the
+    rare types an alert designer needs) from integer count moments; the
+    only floats are the final divisions. The spine is hours x types —
+    trivially bounded at any corpus scale. One hourly agg, the spine
+    LEFT JOIN, one slim self-join on hour+1, one per-type agg."""
     hr = _idiv(_ts_us(d), "3600000000", d)
+    spine = (
+        "SELECT bt AS event_type, explode(sequence(mn, mx)) AS h FROM b"
+        if d == "spark"
+        else "SELECT bt AS event_type, unnest(generate_series(mn, mx)) AS h FROM b"
+    )
     return f"""
 WITH hc AS (
   SELECT event_type, CAST({hr} AS BIGINT) AS h, COUNT(*) AS c
   FROM events GROUP BY event_type, {hr}
 ),
+b AS (SELECT event_type AS bt, MIN(h) AS mn, MAX(h) AS mx FROM hc GROUP BY event_type),
+spine AS ({spine}),
+dense AS (
+  SELECT s.event_type AS event_type, s.h AS h, COALESCE(hc.c, 0) AS c
+  FROM spine s LEFT JOIN hc ON hc.event_type = s.event_type AND hc.h = s.h
+),
 pairs AS (
-  SELECT a.event_type AS event_type, a.c AS x, b.c AS y
-  FROM hc a JOIN hc b ON a.event_type = b.event_type AND b.h = a.h + 1
+  SELECT a.event_type AS event_type, a.c AS x, b2.c AS y
+  FROM dense a JOIN dense b2 ON a.event_type = b2.event_type AND b2.h = a.h + 1
 ),
 m AS (
   SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
@@ -3797,7 +3811,10 @@ def _dedup_method_agreement_body(d: str, sig_rel: str = "sigs",
     override, which materializes each once)."""
     from oaim_sandbox_spark.queries_dedup import _minhash_pairs_body, _simhash_pairs_body
 
-    mh = _minhash_pairs_body(d, rel=sig_rel)
+    # strip BOTH bodies' trailing sorts: the pair relations are filtered
+    # and re-joined immediately — an embedded ORDER BY is wasted work
+    # wherever sort elimination doesn't fire (review r9c)
+    mh = _minhash_pairs_body(d, rel=sig_rel).replace("ORDER BY doc_a, doc_b", "")
     sh = _simhash_pairs_body(d, rel=fps_rel).replace("ORDER BY doc_a, doc_b", "")
     return f"""
 mh AS (SELECT doc_a, doc_b FROM ({mh}) m WHERE est_jaccard >= CAST(0.5 AS DOUBLE)),
@@ -3815,9 +3832,8 @@ SELECT source,
        CAST(SUM(in_mh) AS BIGINT) AS n_minhash,
        CAST(SUM(in_sh) AS BIGINT) AS n_simhash,
        CAST(SUM(in_mh * in_sh) AS BIGINT) AS n_both,
-       CAST(round(CAST(SUM(in_mh * in_sh) AS DOUBLE)
-                  / nullif(SUM(CASE WHEN in_mh = 1 OR in_sh = 1 THEN 1 ELSE 0 END), 0),
-                  6) AS DOUBLE) AS jaccard_agreement
+       CAST(round(CAST(SUM(in_mh * in_sh) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+           AS jaccard_agreement
 FROM j GROUP BY source ORDER BY source
 """
 
@@ -3853,11 +3869,16 @@ def _dedup_method_agreement_spark(spark: SparkSession, sf_dir: str) -> DataFrame
     register_views(spark, sf_dir)
     sig_name = _materialized_view(spark, _minhash_sigs_sql("spark"), "dma_sigs")
     fps_name = _materialized_view(spark, _simhash_fps_sql("spark"), "dma_fps")
+    # resolve LAZILY then drop the views (the _sql_dropping pattern —
+    # resolution binds at spark.sql time): an eager checkpoint here would
+    # both execute the query during the 'pre-execution' plan audit and
+    # blind the plan-audit gate to the real join/exchange shape (review
+    # r9c: the checkpointed form recorded xchg=0 for a query with a FULL
+    # OUTER JOIN and two banded self-joins)
     out = spark.sql(
         "WITH " + _dedup_method_agreement_body("spark", sig_rel=sig_name,
                                                fps_rel=fps_name)
     )
-    out = out.localCheckpoint(eager=True)
     spark.catalog.dropTempView(sig_name)
     spark.catalog.dropTempView(fps_name)
     return out

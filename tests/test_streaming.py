@@ -569,6 +569,10 @@ def test_streaming_quality_gate_multibatch_converges_to_batch(spark, tmp_path):
         .start()
     )
     q.awaitTermination(60)
+    # the multi-batch premise must actually hold (review r9c): if
+    # maxFilesPerTrigger were ignored, a single batch would trivially
+    # equal the batch SQL and prove nothing
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
     got = {r["source"]: r for r in spark.sql("SELECT * FROM qgate_run").collect()}
     # final state == batch GROUP BY over ALL files
     spark.read.schema("doc_id BIGINT, text STRING, source STRING") \
