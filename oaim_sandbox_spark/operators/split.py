@@ -114,57 +114,75 @@ class RecursiveCharSplitter:
         self.separators = separators or DEFAULT_SEPARATORS
         self.strip_whitespace = strip_whitespace
 
-    def _split_recursive(self, text: str, separators: list[str]) -> list[str]:
+    def _split_recursive(
+        self, text: str, separators: list[str], base: int = 0
+    ) -> list[tuple[str, int]]:
+        """Return (fragment, absolute_start) pairs; fragments are contiguous in
+        the original text (each keeps its trailing separator), so positions are
+        exact by construction — never recovered via text.find on repeated text."""
         sep = separators[-1]
         rest: list[str] = []
         for i, s in enumerate(separators):
             if s == "" or s in text:
                 sep, rest = s, separators[i + 1 :]
                 break
-        pieces = list(text) if sep == "" else [p + sep for p in text.split(sep)]
-        if sep != "":
-            # the split above re-appends the separator; fix the tail
-            pieces[-1] = pieces[-1][: -len(sep)]
-            pieces = [p for p in pieces if p]
-        out: list[str] = []
-        for piece in pieces:
-            if len(piece) <= self.chunk_size or not rest:
-                out.append(piece)
+        pieces: list[tuple[str, int]] = []
+        if sep == "":
+            pieces = [(ch, base + i) for i, ch in enumerate(text)]
+        else:
+            parts = text.split(sep)
+            off = 0
+            for j, p in enumerate(parts):
+                frag = p + (sep if j < len(parts) - 1 else "")
+                if frag:
+                    pieces.append((frag, base + off))
+                off += len(p) + len(sep)
+        out: list[tuple[str, int]] = []
+        for frag, pos in pieces:
+            if len(frag) <= self.chunk_size or not rest:
+                out.append((frag, pos))
             else:
-                out.extend(self._split_recursive(piece, rest))
+                out.extend(self._split_recursive(frag, rest, pos))
         return out
 
-    def _merge(self, pieces: list[str]) -> list[str]:
-        chunks: list[str] = []
-        cur: list[str] = []
+    def _merge(self, pieces: list[tuple[str, int]]) -> list[tuple[str, int]]:
+        """Merge contiguous fragments into chunks of at most chunk_size, carrying
+        up to chunk_overlap characters forward (LangChain _merge_splits: pop
+        carried fragments while over the overlap budget OR while the next piece
+        would push the chunk past chunk_size — the second disjunct is what keeps
+        every chunk within budget). Returns (chunk_text, start) pairs."""
+        chunks: list[tuple[str, int]] = []
+        cur: list[tuple[str, int]] = []
         cur_len = 0
-        for piece in pieces:
-            if cur and cur_len + len(piece) > self.chunk_size:
-                chunks.append("".join(cur))
-                # carry overlap: drop from the front until within overlap budget
-                while cur and cur_len > self.chunk_overlap:
-                    cur_len -= len(cur[0])
+        for frag, pos in pieces:
+            if cur and cur_len + len(frag) > self.chunk_size:
+                chunks.append(("".join(f for f, _ in cur), cur[0][1]))
+                # carry overlap, but never let the carry + next piece bust the budget
+                while cur and (
+                    cur_len > self.chunk_overlap
+                    or cur_len + len(frag) > self.chunk_size
+                ):
+                    cur_len -= len(cur[0][0])
                     cur.pop(0)
-            cur.append(piece)
-            cur_len += len(piece)
+            cur.append((frag, pos))
+            cur_len += len(frag)
         if cur:
-            chunks.append("".join(cur))
+            chunks.append(("".join(f for f, _ in cur), cur[0][1]))
         return chunks
 
     def split_text(self, text: str) -> list[tuple[str, int]]:
-        """Return (chunk, start_index) pairs; start_index found by forward scan
-        (mirrors add_start_index=True)."""
+        """Return (chunk, start_index) pairs; start_index is the exact offset
+        threaded through the recursion (add_start_index parity, correct even on
+        repeated text where a forward text.find scan locks onto earlier copies)."""
         merged = self._merge(self._split_recursive(text, self.separators))
         out: list[tuple[str, int]] = []
-        pos = 0
-        for chunk in merged:
-            idx = text.find(chunk, max(0, pos - self.chunk_overlap - len(chunk)))
-            if idx < 0:
-                idx = text.find(chunk)
-            stripped = chunk.strip() if self.strip_whitespace else chunk
-            if stripped:
-                out.append((stripped, idx + (len(chunk) - len(chunk.lstrip()) if self.strip_whitespace else 0)))
-            pos = idx + len(chunk)
+        for chunk, start in merged:
+            if self.strip_whitespace:
+                stripped = chunk.strip()
+                if stripped:
+                    out.append((stripped, start + len(chunk) - len(chunk.lstrip())))
+            elif chunk:
+                out.append((chunk, start))
         return out
 
 

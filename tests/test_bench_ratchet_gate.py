@@ -21,12 +21,20 @@ def test_bench_ratchet_vs_previous_round_record():
     prevs = sorted(glob.glob(os.path.join(REPO, "BENCH_FULL_r*.json")))
     if not prevs:
         pytest.skip("no archived round record to ratchet against")
-    with open(prevs[-1]) as fh:
-        old = json.load(fh)
     with open(os.path.join(REPO, "BENCH_FULL.json")) as fh:
         new = json.load(fh)
-    if old is new or old == new:
-        pytest.skip("working record IS the archived record (just archived)")
+    # At the round-close commit the newest archive IS the working record; a
+    # self-comparison proves nothing (VERDICT r9 "What's wrong #2"), so fall
+    # back to the previous round's archive — HEAD always does a real compare.
+    old = None
+    for prev in reversed(prevs):
+        with open(prev) as fh:
+            cand = json.load(fh)
+        if cand != new:
+            old, prevs = cand, [prev]
+            break
+    if old is None:
+        pytest.skip("every archived record is byte-identical to the working one")
     for rec, name in ((old, prevs[-1]), (new, "BENCH_FULL.json")):
         if rec.get("calibration_unstable") or rec.get("calibration_out_of_range"):
             pytest.skip(f"{name} flagged unstable/out-of-range — not comparable")

@@ -8,7 +8,7 @@ properties run on small generated frames.
 
 import math
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from oaim_sandbox_spark.operators.split import RecursiveCharSplitter
@@ -19,6 +19,11 @@ TEXT = st.text(
 
 
 @given(text=TEXT, size=st.integers(20, 100), overlap_pct=st.integers(0, 40))
+# r9 judge counterexamples, pinned as regressions (VERDICT r9 "What's wrong #1"):
+# over-budget chunk via the missing merge-carry budget condition...
+@example(text="aaa " + "a" * 17, size=20, overlap_pct=20)
+# ...and wrong start_index from text.find on repeated text
+@example(text="a" * 21, size=20, overlap_pct=0)
 @settings(max_examples=60, deadline=None)
 def test_splitter_chunks_bounded_and_cover(text, size, overlap_pct):
     overlap = math.ceil(overlap_pct / 100 * size)  # reference pct->chars (split_embed.py:200)

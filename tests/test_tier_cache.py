@@ -201,24 +201,29 @@ def test_search_tier_without_gate_raises(cat_store):
 
 
 def test_tiered_store_metric_ladder(cat_store):
-    """Per-metric ladder (VERDICT r8 task #4): int8 accepts every metric —
-    its quantized representation keeps full-precision information — while
-    the cosine-calibrated re-rank tiers reject non-cosine metrics at
-    construction."""
+    """Per-metric ladder (VERDICT r8 task #4, completed r9 task #5): every
+    servable tier accepts all three metrics — int8 by quantization algebra,
+    the re-rank tiers by an exact-metric stage 2 — and a metric outside the
+    engine's set raises at construction."""
     from oaim_sandbox_spark.operators.tier_guard import TieredStore
 
     cat, name, _vs = cat_store
     TieredStore(cat.read_store(name), "int8", metric="EUCLIDEAN_DISTANCE")
     TieredStore(cat.read_store(name), "int8", metric="DOT_PRODUCT")
+    TieredStore(cat.read_store(name), "matryoshka16_rerank",
+                metric="EUCLIDEAN_DISTANCE")
     with pytest.raises(ValueError, match="serves .* only"):
         TieredStore(cat.read_store(name), "matryoshka16_rerank",
-                    metric="EUCLIDEAN_DISTANCE")
+                    metric="TANIMOTO")
 
 
 def test_tier_cache_keyed_by_metric_never_serves_wrong_metric(cat_store):
     """A COSINE-prepared TieredStore must not satisfy a later DOT_PRODUCT
-    request from the cache: the non-cosine request raises on EVERY call,
-    independent of arrival order (review r8b)."""
+    request from the cache (review r8b): with the re-rank ladder now
+    carrying dot product (r9 task #5), the second request builds its OWN
+    (tier, DOT_PRODUCT) entry — two cache slots, never a silent reuse —
+    and serves the exact dot-product order."""
+    from oaim_sandbox_spark.operators.retrieval import similarity_topk
     from oaim_sandbox_spark.serving.chat import ChatPipeline, MockLLM, RagSettings
 
     cat, name, _vs = cat_store
@@ -233,9 +238,14 @@ def test_tier_cache_keyed_by_metric_never_serves_wrong_metric(cat_store):
         tier_gate=lambda t, m="COSINE": {"operating_point": None},
     )
     assert pipe.retrieve("q")  # warms the (tier, COSINE) cache
-    with pytest.raises(ValueError, match="serves .* only"):
-        pipe.retrieve("q", s=RagSettings(search_tier="matryoshka16_rerank",
-                                         distance_metric="DOT_PRODUCT"))
+    assert set(pipe._tiered) == {("matryoshka16_rerank", "COSINE")}
+    docs = pipe.retrieve("q", s=RagSettings(search_tier="matryoshka16_rerank",
+                                            distance_metric="DOT_PRODUCT"))
+    assert set(pipe._tiered) == {("matryoshka16_rerank", "COSINE"),
+                                 ("matryoshka16_rerank", "DOT_PRODUCT")}
+    exact_ids = [r["id"] for r in
+                 similarity_topk(store, qv, k=4, metric="DOT_PRODUCT").collect()]
+    assert [d["id"] for d in docs] == exact_ids
 
 
 def test_int8_rep_materializes_quantized_columns_only(cat_store):
@@ -289,16 +299,21 @@ def test_gated_tiered_serving_second_metric(cat_store, probe_log):
     assert len(probe_log) == 2
     pipe.retrieve("q"); pipe2.retrieve("q")
     assert len(probe_log) == 2
-    # and a cosine-only tier still refuses the metric at the ladder lookup
+    # and a RE-RANK tier serves the second metric end-to-end behind its own
+    # per-(tier, metric) persisted verdict (r9 task #5: one more probe for
+    # the new slot, then cached)
     pipe3 = ChatPipeline(
         store=store, embed_query=lambda _q: qv, llm=MockLLM(),
-        settings=RagSettings(search_tier="matryoshka16_rerank",
+        settings=RagSettings(search_tier="binary_hamming_rerank",
                              distance_metric="DOT_PRODUCT", grading=False),
         tier_gate=lambda t, m="COSINE": cat.assert_tier_usable(
             name, t, metric=m, **PROBE_KW),
     )
-    with pytest.raises(ValueError, match="cosine-geometry-specific"):
-        pipe3.retrieve("q")
+    docs3 = pipe3.retrieve("q")
+    assert len(probe_log) == 3 and probe_log[2] == ["binary_hamming_rerank"]
+    assert [d["id"] for d in docs3] == exact_ids
+    pipe3.retrieve("q")
+    assert len(probe_log) == 3  # verdict cached per (tier, metric)
 
 
 def test_legacy_gate_shapes_still_work_for_cosine(cat_store, probe_log):

@@ -139,29 +139,48 @@ def test_tiered_store_int8_serves_dot_and_euclidean(spark):
         assert len(set(got) & set(want)) >= 4, (metric, got, want)
 
 
-def test_cosine_only_tiers_reject_other_metrics(spark):
-    """The re-rank tiers' stage-1 candidate generators are cosine-geometry-
-    specific; a non-cosine metric must raise the ladder lookup error, not
-    silently rank plausible-but-wrong order."""
-    from oaim_sandbox_spark.operators.tier_guard import TIER_METRICS, TieredStore
+def test_rerank_tiers_serve_dot_product_exactly(spark):
+    """Per-metric tier ladder completed (VERDICT r9 task #5): the re-rank
+    tiers' stage 2 computes the requested metric EXACTLY on the fetched
+    full-precision vectors, so a DOT_PRODUCT request through a re-rank
+    TieredStore must match the exact dot-product scan (top-1 exact, top-5
+    overlap >= 4/5 — stage-1 coverage, not algebra, is the only slack).
+    A metric outside the engine's set still raises at construction."""
+    from oaim_sandbox_spark.operators.retrieval import similarity_topk
+    from oaim_sandbox_spark.operators.tier_guard import TieredStore
 
     store = _planted_store(spark, n_vec=200)
+    qv = [float(x) for x in store.filter("vec_id = 7").first()["embedding"]]
+    want = [r["vec_id"] for r in
+            similarity_topk(store, qv, k=5, metric="DOT_PRODUCT",
+                            id_col="vec_id", vec_col="embedding").collect()]
     for tier in ("matryoshka16_rerank", "binary_hamming_rerank", "pca16_rerank"):
-        assert TIER_METRICS[tier] == ("COSINE",)
-        with pytest.raises(ValueError, match="serves .* only"):
-            TieredStore(store, tier, metric="DOT_PRODUCT", id_col="vec_id")
+        ts = TieredStore(store, tier, metric="DOT_PRODUCT", id_col="vec_id")
+        got = [r["vec_id"] for r in ts.topk(qv, k=5).collect()]
+        assert got[0] == want[0], (tier, got, want)
+        assert len(set(got) & set(want)) >= 4, (tier, got, want)
+    with pytest.raises(ValueError, match="serves .* only"):
+        TieredStore(store, "binary_hamming_rerank", metric="TANIMOTO",
+                    id_col="vec_id")
 
 
 def test_probe_validates_metric_per_tier(spark):
-    """recommend_tiers/sampled_tier_recall refuse to MEASURE a cosine-only
-    tier under another metric (the number would mean nothing), and probe
-    int8 under the requested metric: both the exact oracle and the tier
-    pass rank with it."""
+    """recommend_tiers/sampled_tier_recall refuse to MEASURE a single-stage
+    cosine-only tier under another metric (no exact re-rank stage exists to
+    reorder it — the number would mean nothing), and probe int8 AND the
+    re-rank tiers under the requested metric: both the exact oracle and the
+    tier pass rank with it."""
     store = _planted_store(spark, n_vec=500)
-    with pytest.raises(ValueError, match="cosine-geometry-specific"):
-        A.sampled_tier_recall(store, tiers=["matryoshka16_rerank"],
-                              n_queries=4, store_cap=1000, metric="DOT_PRODUCT")
+    for tier in ("lsh8_multiprobe", "ivf"):
+        with pytest.raises(ValueError, match="no exact re-rank"):
+            A.sampled_tier_recall(store, tiers=[tier],
+                                  n_queries=4, store_cap=1000, metric="DOT_PRODUCT")
     for metric in ("DOT_PRODUCT", "EUCLIDEAN_DISTANCE"):
         v = A.recommend_tiers(store, tiers=["int8"], n_queries=4,
                               store_cap=1000, metric=metric)["int8"]
         assert v["status"] == "ok" and v["recall"] >= 0.9, (metric, v)
+    # re-rank tier probed under dot product: measurable, and on the planted
+    # store (near-constant norms) its verdict tracks the cosine one
+    v = A.recommend_tiers(store, tiers=["binary_hamming_rerank"], n_queries=4,
+                          store_cap=1000, metric="DOT_PRODUCT")["binary_hamming_rerank"]
+    assert v["status"] in ("ok", "widened"), v
