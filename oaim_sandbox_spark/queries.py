@@ -94,76 +94,25 @@ def _make_spark_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # and the LLM-data-pipeline operators — the newest and highest-value entries —
 # followed by everything else in definition order.
 FLAGSHIP_FIRST: tuple[str, ...] = (
-    # --- ROUND-9 WINDOW: rotation by certification staleness
-    # (tools/window_rotation.py; precomputed in PLANS.md round-8 plan,
-    # reproduced against the landed CORRECTNESS_r08.json). Union coverage
-    # is 182/182 green across r1-r8, so the window is: any NEW r9 entries
-    # (must certify first-time), then the 32 entries whose last driver
-    # check was round 5 (staleness order), then the oldest round-6
-    # entries in registry order filling the remaining slots.
+    # --- ROUND-10 WINDOW: rotation by certification staleness
+    # (tools/window_rotation.py against the landed CORRECTNESS_r09.json;
+    # precomputed in PLANS.md round-9 plan and mandated by VERDICT r9
+    # task #2). Union coverage is 200/200 green across r1-r9 with
+    # staleness histogram 50xr6/50xr7/50xr8/50xr9, so the window is: any
+    # NEW r10 entries (must certify first-time; each displaces one r6
+    # entry past the boundary, which the rotation invariant allows),
+    # then ALL 50 entries whose last driver check was round 6 — the 18
+    # previously-FLAGSHIP-listed ties first (incremental_neardup_probe ..
+    # event_moving_stats), then the 32 unlisted r6 entries in registry
+    # order — exactly the tool's staleness order.
     # transformWithState twin: registered only where protobuf exists, and
     # never yet driver-checkable — keep it in the prefix so it certifies
     # the first time it can; in protobuf-less envs it is filtered out and
     # costs no slot.
     "streaming_user_stats_tws",
-    # --- NEW this round (must certify first-time; each displaces one r6
-    # tie past the boundary, which the rotation invariant allows):
-    # dedup survivorship + stage-overlap accounting, quality/length
-    # confound audit, split-balance validator, boilerplate prefixes,
-    # packing fragmentation curve, bigram vocab-loss audit, label
-    # geometry margins.
-    "dedup_survivorship_matrix",
-    "dedup_stage_overlap",
-    "quality_length_confound",
-    "split_balance_audit",
-    "boilerplate_prefix_profile",
-    "packing_fragmentation_curve",
-    "filter_vocab_loss",
-    "label_centroid_margin",
-    "streaming_quality_gate",
-    "dup_cluster_size_histogram",
-    "lsh_banding_tradeoff",
-    "quantization_error_profile",
-    "mixture_ess_curve",
-    "sign_balance_audit",
-    "norm_anova_by_label",
-    "knn_hubness_histogram",
-    "hourly_autocorr_by_type",
-    "dedup_method_agreement",
-    # --- last driver check: round 5 (all 32, staleness order):
-    "doc_fingerprints",
-    "asof_clicks_before_errors",
-    "range_error_followups",
-    "events_rollup",
-    "ingest_chunks_dedup",
-    "vs_table_names",
-    "docs_union_distinct",
-    "q4_exists_late_lines",
-    "q12_priority_case_agg",
-    "q16_distinct_suppliers",
-    "q17_below_avg_quantity",
-    "q18_large_orders",
-    "q22_idle_rich_customers",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "train_test_split",
-    "stratified_sample_counts",
-    "char_entropy",
-    "sequence_packing",
-    "bm25_topk",
-    "streaming_dedup_pairs",
-    "streaming_user_stats",
-    "streaming_click_error_join",
-    "streaming_enrich_nation",
-    "quantized_topk",
-    "pq_adc_topk",
-    "curriculum_buckets_approx",
-    # --- last driver check: round 6 (oldest 18, registry order):
+    # --- NEW this round (must certify first-time):
+    # (inserted here as they land)
+    # --- last driver check: round 6 (all 50, staleness order):
     "incremental_neardup_probe",
     "ngram_jaccard_pairs",
     "embedding_cosine_pairs",
@@ -182,6 +131,38 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "pivot_event_counts",
     "cube_doc_counts",
     "event_moving_stats",
+    "topk_docs_per_lang",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q20_dominant_suppliers",
+    "mlm_masking",
+    "matryoshka_topk",
+    "decontamination_8gram",
+    "boilerplate_gram_fraction",
+    "domain_mix_rebalance",
+    "hourly_gapfill",
+    "near_dup_clusters",
+    "embedding_centroid_outliers",
+    "grouping_sets_docs",
+    "levenshtein_near_pairs",
+    "funnel_conversion",
+    "ivf_full_probe_topk",
+    "rerank_crossencoder_topk",
+    "events_variant_histogram",
+    "pagerank_3iter",
+    "weighted_reservoir_sample",
+    "unigram_logprob_quality",
+    "shingle_containment_decontam",
+    "triangle_count",
+    "grouped_split_leakage_safe",
+    "inverted_index_postings",
+    "lsh_multiprobe_topk",
+    "mmr_exact",
+    "streaming_sessions",
+    "tfidf_cosine_pairs",
+    "event_corr_matrix",
+    "tfidf_cosine_sampled",
 )
 
 

@@ -54,6 +54,102 @@ def test_splitter_monotone_in_chunk_size(text, size):
     assert len(small) >= len(large)
 
 
+# --- VERDICT r9 task #7: the P1 find proves Hypothesis reaches shapes the
+# oracle corpora never do — extend the same bounded/coverage/true-offset
+# properties to the other parity-claim splitters.
+
+SENT_TEXT = st.text(
+    alphabet=st.sampled_from("ab. !?\n"), min_size=0, max_size=400
+)  # sentence terminators + words + long runs
+
+
+@given(text=SENT_TEXT, size=st.integers(20, 100), overlap_pct=st.integers(0, 40))
+# the P1 counterexample shapes, re-pinned under sentence separators
+@example(text="aa. " + "a" * 17, size=20, overlap_pct=20)
+@example(text="a" * 21, size=20, overlap_pct=0)
+@settings(max_examples=60, deadline=None)
+def test_sentence_splitter_bounded_and_true_offsets(text, size, overlap_pct):
+    """P5 sentence mode inherits the P1 invariants: budget, stripped,
+    exact start_index, non-space coverage."""
+    from oaim_sandbox_spark.operators.split import sentence_splitter
+
+    overlap = min(math.ceil(overlap_pct / 100 * size), size - 1)
+    sp = sentence_splitter(chunk_size=size, chunk_overlap=overlap)
+    chunks = sp.split_text(text)
+    assert all(len(c) <= size for c, _ in chunks)
+    assert all(c == c.strip() and c for c, _ in chunks)
+    assert all(text[s : s + len(c)] == c for c, s in chunks)
+    covered = set()
+    for c, s in chunks:
+        covered.update(range(s, s + len(c)))
+    missing = [i for i, ch in enumerate(text) if ch not in " \n" and i not in covered]
+    assert not missing
+
+
+TOKEN_PIECE = st.text(alphabet=st.sampled_from("ab cd"), min_size=0, max_size=60)
+
+
+@given(pieces=st.lists(TOKEN_PIECE, min_size=0, max_size=12),
+       size=st.integers(4, 20), overlap_pct=st.integers(0, 40))
+# the P1 merge-carry counterexample translated to token counts: a 4-token
+# carried piece + a 17-token piece must not merge into a 21-token chunk
+@example(pieces=["a b c d", "a " * 17], size=20, overlap_pct=20)
+@settings(max_examples=60, deadline=None)
+def test_token_splitter_budget_and_coverage(pieces, size, overlap_pct):
+    """P2 TokenSplitter: every chunk fits the TOKEN budget unless it is a
+    single over-budget piece (the CharacterTextSplitter contract — an
+    unsplittable piece passes through); every non-blank piece appears in
+    exactly the chunks, in order."""
+    from oaim_sandbox_spark.operators.split import TokenSplitter
+
+    overlap = min(math.ceil(overlap_pct / 100 * size), size - 1)
+    sp = TokenSplitter(chunk_size=size, chunk_overlap=overlap)
+    text = "\n\n".join(pieces)
+    chunks = sp.split_text(text)
+    kept = [p for p in text.split("\n\n") if p.strip()]
+    for c in chunks:
+        n = sp.count_tokens(c)
+        parts = c.split("\n\n")
+        assert n <= size or len(parts) == 1, (c, n)
+    # coverage + order: consuming chunks' pieces left-to-right (overlap
+    # re-emits a suffix) must visit every kept piece in order
+    idx = 0
+    for c in chunks:
+        for part in c.split("\n\n"):
+            if idx < len(kept) and part == kept[idx]:
+                idx += 1
+    assert idx == len(kept), (kept, chunks)
+
+
+HTML_FRAG = st.lists(
+    st.sampled_from(["<h1>", "<h2 class=x>", "</h1>", "text ", "a", "\n", "<p>", "<H3>"]),
+    min_size=0, max_size=30,
+)
+
+
+@given(frags=HTML_FRAG)
+@settings(max_examples=60, deadline=None)
+def test_html_sections_exact_spans_and_coverage(frags):
+    """P3 split_html_sections_with_offsets: sections are EXACT spans of the
+    input (offset correct by construction), strictly increasing, and every
+    non-whitespace char of the input is inside exactly one section."""
+    from oaim_sandbox_spark.operators.split import split_html_sections_with_offsets
+
+    text = "".join(frags)
+    secs = split_html_sections_with_offsets(text)
+    assert all(text[s : s + len(sec)] == sec for sec, s in secs)
+    starts = [s for _, s in secs]
+    assert starts == sorted(set(starts))
+    if text.strip():
+        covered = set()
+        for sec, s in secs:
+            span = set(range(s, s + len(sec)))
+            assert not (covered & span)  # sections never overlap
+            covered |= span
+        missing = [i for i, ch in enumerate(text) if not ch.isspace() and i not in covered]
+        assert not missing
+
+
 @given(
     vals=st.lists(
         st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=40
