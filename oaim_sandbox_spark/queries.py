@@ -110,8 +110,16 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     # the first time it can; in protobuf-less envs it is filtered out and
     # costs no slot.
     "streaming_user_stats_tws",
-    # --- NEW this round (must certify first-time):
-    # (inserted here as they land)
+    # --- NEW this round (must certify first-time): Gopher rule audit,
+    # watermark-lateness profile, Heaps-law vocab growth, incremental-dedup
+    # state curve, join-key skew audit, source CE matrix, weak-labeler kappa.
+    "gopher_quality_rules",
+    "late_arrival_profile",
+    "heaps_law_fit",
+    "dedup_ingest_order_curve",
+    "key_skew_profile",
+    "source_crossentropy_matrix",
+    "label_agreement_kappa",
     # --- last driver check: round 6 (all 50, staleness order):
     "incremental_neardup_probe",
     "ngram_jaccard_pairs",

@@ -3885,3 +3885,400 @@ def _dedup_method_agreement_spark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 SPARK_OVERRIDES["dedup_method_agreement"] = _dedup_method_agreement_spark
+
+
+# -- round-10 additions: pipeline audits (Gopher rules, ingest-state curve,
+# -- Heaps fit, labeler kappa, CE matrix) + engine audits (lateness, skew) ----
+
+
+def gopher_quality_rules(d: str) -> str:
+    """GOPHER RULE AUDIT (Rae et al. 2021 §A1.1 — the published heuristic
+    filter suite for web-scale LLM corpora): per source, how many docs fail
+    each rule — word count in [50, 100k], mean word length in [3, 10],
+    symbol-to-word ratio (#/ellipsis) <= 0.1, >= 80% alphabetic words,
+    >= 2 stopword hits — plus the all-rules pass rate. The per-RULE
+    breakdown is what the existing composite quality_score hides: it tells
+    you WHICH rule would gut a source before you ship the filter (a source
+    failing only the stopword rule is non-English, not junk). One scan,
+    per-doc token-array ops (no explode), one dim-sized agg; empty docs
+    fail the word-count rule by definition, never divide."""
+    toks = P.tokens("text", d)
+    n_words = P.list_len(toks, d)
+    alpha_words = P.regexp_count_portable("text", "[A-Za-z]+", d)
+    symbols = P.regexp_count_portable("text", "[#…]", d)
+    all_stop = sorted({w for ws in TA.STOPWORDS.values() for w in ws})
+    stop_hits = P.stopword_hits(P.tokens("lower(text)", d), all_stop, d)
+    chars_nospace = "length(replace(text, ' ', ''))"
+    return f"""
+WITH sig AS (
+  SELECT source,
+         {n_words} AS nw,
+         {alpha_words} AS aw,
+         {symbols} AS sym,
+         {stop_hits} AS sh,
+         {chars_nospace} AS cns
+  FROM documents
+),
+r AS (
+  SELECT source,
+         CASE WHEN nw < 50 OR nw > 100000 THEN 1 ELSE 0 END AS f_wordcount,
+         CASE WHEN nw = 0 OR cns * 1.0 / nullif(nw, 0) < 3.0
+                   OR cns * 1.0 / nullif(nw, 0) > 10.0 THEN 1 ELSE 0 END AS f_meanlen,
+         CASE WHEN nw > 0 AND sym * 1.0 / nw > 0.1 THEN 1 ELSE 0 END AS f_symbol,
+         CASE WHEN nw = 0 OR aw * 1.0 / nullif(nw, 0) < 0.8 THEN 1 ELSE 0 END AS f_alpha,
+         CASE WHEN sh < 2 THEN 1 ELSE 0 END AS f_stopword
+  FROM sig
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f_wordcount) AS BIGINT) AS fail_wordcount,
+       CAST(SUM(f_meanlen) AS BIGINT) AS fail_mean_word_len,
+       CAST(SUM(f_symbol) AS BIGINT) AS fail_symbol_ratio,
+       CAST(SUM(f_alpha) AS BIGINT) AS fail_alpha_frac,
+       CAST(SUM(f_stopword) AS BIGINT) AS fail_stopword,
+       CAST(SUM(CASE WHEN f_wordcount + f_meanlen + f_symbol + f_alpha
+                          + f_stopword = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all,
+       CAST(round(CAST(SUM(CASE WHEN f_wordcount + f_meanlen + f_symbol + f_alpha
+                                     + f_stopword = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*), 6) AS DOUBLE) AS pass_all_rate
+FROM r GROUP BY source ORDER BY source
+"""
+
+
+TEMPLATES["gopher_quality_rules"] = gopher_quality_rules
+
+
+def late_arrival_profile(d: str) -> str:
+    """WATERMARK-LATENESS AUDIT over the event stream: per event_type, how
+    far events arrive behind the running event-time high-water mark (arrival
+    order = event_id, the ingest sequence). This is the measurement that
+    SIZES a Structured Streaming watermark before a job ships: late_60s /
+    late_600s are the rows a withWatermark('1 minute'/'10 minutes') would
+    drop, and max_lateness_us bounds the state horizon. Integer microsecond
+    arithmetic end to end — zero float wobble. Plan shape: one window over
+    (event_type, event_id) — the same per-key ordering the streaming
+    operator itself needs — then a dim-sized agg."""
+    return f"""
+WITH e AS (SELECT event_type, event_id, {_ts_us(d)} AS ts_us FROM events),
+w AS (
+  SELECT event_type, ts_us,
+         MAX(ts_us) OVER (PARTITION BY event_type ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+  FROM e
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN hwm - ts_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS late_60s,
+       CAST(SUM(CASE WHEN hwm - ts_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS late_600s,
+       CAST(MAX(hwm - ts_us) AS BIGINT) AS max_lateness_us,
+       CAST({_idiv("SUM(hwm - ts_us)", "COUNT(*)", d)} AS BIGINT) AS mean_lateness_us
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+TEMPLATES["late_arrival_profile"] = late_arrival_profile
+
+
+def heaps_law_fit(d: str) -> str:
+    """HEAPS'-LAW FIT per source: vocabulary growth V = K * N^beta over the
+    cumulative token stream (docs in doc_id order), fitted by closed-form
+    OLS on (ln N, ln V) with one point per doc. beta is the canonical
+    vocabulary-growth exponent (~0.4-0.6 for natural language; ~0 for a
+    closed template vocabulary) — the companion to zipf_alpha_by_lang that
+    tells a tokenizer-training budget how much NEW vocab more data buys per
+    source. Shape: one token explode -> first-occurrence doc per (source,
+    token) -> per-source cumulative windows over doc-dim rows -> moment
+    agg. The explode is the same relation kl_divergence_by_source scans;
+    everything after is source x doc dim-sized. The cum relation is read
+    TWICE (moment fit + totals) — the Spark override materializes it once
+    (doc-dim sized), so the corpus is exploded exactly twice (first-
+    occurrence + per-doc counts), never four times."""
+    return f"""
+WITH cum AS ({_heaps_cum_sql(d)}),
+{_heaps_fit_body(d)}
+"""
+
+
+def _heaps_cum_sql(d: str) -> str:
+    """(source, doc_id, cum_toks, cum_types) — cumulative token/vocab curve
+    per source in doc_id order; doc-dim sized."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT source, doc_id, tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
+    else:
+        tok = f"SELECT source, doc_id, unnest({toks}) AS tok FROM documents"
+    return f"""
+WITH tk AS ({tok}),
+first_occ AS (
+  SELECT source, tok, MIN(doc_id) AS first_doc FROM tk GROUP BY source, tok
+),
+new_per_doc AS (
+  SELECT source, first_doc AS doc_id, COUNT(*) AS new_types
+  FROM first_occ GROUP BY source, first_doc
+),
+toks_per_doc AS (
+  SELECT source, doc_id, COUNT(*) AS n_toks FROM tk GROUP BY source, doc_id
+)
+SELECT t.source AS source, t.doc_id AS doc_id,
+       SUM(t.n_toks) OVER (PARTITION BY t.source ORDER BY t.doc_id) AS cum_toks,
+       SUM(COALESCE(n.new_types, 0))
+           OVER (PARTITION BY t.source ORDER BY t.doc_id) AS cum_types
+FROM toks_per_doc t
+LEFT JOIN new_per_doc n ON t.source = n.source AND t.doc_id = n.doc_id
+"""
+
+
+def _heaps_fit_body(d: str, cum_rel: str = "cum") -> str:
+    return f"""pts AS (
+  SELECT source, ln(CAST(cum_toks AS DOUBLE)) AS x, ln(CAST(cum_types AS DOUBLE)) AS y
+  FROM {cum_rel} WHERE cum_toks > 0 AND cum_types > 0
+),
+m AS (
+  SELECT source, COUNT(*) AS n, AVG(x) AS mx, AVG(y) AS my,
+         AVG(x * y) AS mxy, AVG(x * x) AS mxx
+  FROM pts GROUP BY source
+),
+tot AS (
+  SELECT source, MAX(cum_toks) AS total_tokens, MAX(cum_types) AS vocab_size
+  FROM {cum_rel} GROUP BY source
+)
+SELECT m.source AS source,
+       CAST(m.n AS BIGINT) AS n_points,
+       CAST(tot.total_tokens AS BIGINT) AS total_tokens,
+       CAST(tot.vocab_size AS BIGINT) AS vocab_size,
+       CAST(round((m.mxy - m.mx * m.my) / nullif(m.mxx - m.mx * m.mx, 0), 6)
+            + 0.0 AS DOUBLE) AS heaps_beta,
+       CAST(round(exp(m.my - m.mx * (m.mxy - m.mx * m.my)
+                             / nullif(m.mxx - m.mx * m.mx, 0)), 6)
+            AS DOUBLE) AS heaps_k
+FROM m JOIN tot ON m.source = tot.source
+ORDER BY source
+"""
+
+
+TEMPLATES["heaps_law_fit"] = heaps_law_fit
+
+
+def _heaps_law_fit_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the doc-dim cum relation once — the fit
+    and the totals both read it, and the corpus is exploded exactly twice
+    instead of four times (plan hygiene, r10)."""
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _heaps_cum_sql("spark"), "heaps_cum")
+    return _sql_dropping(spark, "WITH " + _heaps_fit_body("spark", cum_rel=name), name)
+
+
+SPARK_OVERRIDES["heaps_law_fit"] = _heaps_law_fit_spark
+
+
+def dedup_ingest_order_curve(d: str) -> str:
+    """INCREMENTAL-DEDUP STATE CURVE: exact-hash dedup processed in ingest
+    order (doc_id), bucketed into ten ingest deciles — per decile the new
+    uniques, the cumulative unique count (the dedup state size an
+    incremental pipeline must hold at that point), and the cumulative
+    duplicate rate. This is the sizing curve for incremental_neardup_probe
+    style state: if cum_uniques flattens, late ingest is mostly duplicates
+    and the state stops growing. Deciles come from the doc_id RANGE (min/max
+    scalars broadcast back), NOT a global NTILE sort — fully parallel at
+    100 TB; the only shuffle is the hash first-occurrence window over slim
+    (hash, doc_id) tuples."""
+    th = P.hash64("text", d)
+    return f"""
+WITH h AS (SELECT doc_id, {th} AS th FROM documents),
+f AS (
+  SELECT doc_id,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY th ORDER BY doc_id) = 1
+              THEN 1 ELSE 0 END AS is_new
+  FROM h
+),
+bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+b AS (
+  SELECT least(1 + {_idiv("(f.doc_id - bounds.lo) * 10", "(bounds.hi - bounds.lo + 1)", d)}, 10) AS decile,
+         f.is_new AS is_new
+  FROM f CROSS JOIN bounds
+),
+g AS (SELECT decile, COUNT(*) AS n_rows, SUM(is_new) AS new_uniques
+      FROM b GROUP BY decile)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(new_uniques AS BIGINT) AS new_uniques,
+       CAST(SUM(new_uniques) OVER (ORDER BY decile) AS BIGINT) AS cum_uniques,
+       CAST(round(1.0 - CAST(SUM(new_uniques) OVER (ORDER BY decile) AS DOUBLE)
+                        / CAST(SUM(n_rows) OVER (ORDER BY decile) AS DOUBLE), 6)
+            AS DOUBLE) AS cum_dup_rate
+FROM g ORDER BY decile
+"""
+
+
+TEMPLATES["dedup_ingest_order_curve"] = dedup_ingest_order_curve
+
+
+def key_skew_profile(d: str) -> str:
+    """JOIN-KEY SKEW AUDIT for the keys the big joins shuffle on: per key
+    column, total rows, distinct keys, the share of the single hottest key,
+    the top-10 share, and the Herfindahl concentration (sum of squared key
+    shares — 1/n_keys means uniform, 1.0 means one key owns everything).
+    This is the measurement that decides salting / AQE skew-join BEFORE a
+    1000-executor shuffle stalls on one reducer: top1_share * rows is the
+    single-task row count a plain hash partition would produce. All
+    concentration sums are INTEGER (sum of c, sum of c*c) with one final
+    division — exact across engines."""
+    return f"""
+WITH k AS (
+  SELECT 'events.user_id' AS key_col, CAST(user_id AS BIGINT) AS k FROM events
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_partkey', CAST(l_partkey AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'orders.o_custkey', CAST(o_custkey AS BIGINT) FROM orders
+),
+c AS (SELECT key_col, k, COUNT(*) AS c FROM k GROUP BY key_col, k),
+r AS (
+  SELECT key_col, c,
+         ROW_NUMBER() OVER (PARTITION BY key_col ORDER BY c DESC, k ASC) AS rnk
+  FROM c
+)
+SELECT key_col,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(round(CAST(MAX(CASE WHEN rnk = 1 THEN c ELSE 0 END) AS DOUBLE)
+                  / SUM(c), 6) AS DOUBLE) AS top1_share,
+       CAST(round(CAST(SUM(CASE WHEN rnk <= 10 THEN c ELSE 0 END) AS DOUBLE)
+                  / SUM(c), 6) AS DOUBLE) AS top10_share,
+       CAST(round(CAST(SUM(c * c) AS DOUBLE) / (SUM(c) * SUM(c)), 6) AS DOUBLE)
+           AS herfindahl
+FROM r GROUP BY key_col ORDER BY key_col
+"""
+
+
+TEMPLATES["key_skew_profile"] = key_skew_profile
+
+
+def source_crossentropy_matrix(d: str) -> str:
+    """PAIRWISE cross-entropy matrix between source unigram LMs: for every
+    (src_a, src_b), H(a, b) = -sum_w p_a(w) ln q_b(w) with q_b
+    Laplace-smoothed over the corpus vocab (kl_divergence_by_source scores
+    each source against the CORPUS; this is the source-to-source matrix a
+    mixture designer reads to find which domains substitute for which —
+    low H(a,b) means b's model predicts a's text). Same no-outer-join
+    algebra as the KL entry: absent terms contribute through one closed
+    form, (1 - overlap_mass) * ln(tot_b + V), so the only join is the
+    token-overlap inner join between the two dim x vocab count relations.
+    Output is |sources|^2 rows; also emits kl_ab = H(a,b) - H(a).
+
+    The sc relation (source x vocab counts) is read FIVE times (entropy,
+    both overlap sides, vocab, totals) — the Spark override materializes it
+    once (dim x vocab sized, small), cutting the plan from ten corpus
+    explodes to one."""
+    return f"""
+WITH sc AS ({_source_token_counts_sql(d)}),
+{_source_crossentropy_body(d)}
+"""
+
+
+def _source_token_counts_sql(d: str) -> str:
+    """(source, tok, c) unigram counts — the one corpus explode."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT source, tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
+    else:
+        tok = f"SELECT source, unnest({toks}) AS tok FROM documents"
+    return f"SELECT source, tok, CAST(COUNT(*) AS DOUBLE) AS c FROM ({tok}) tk GROUP BY source, tok"
+
+
+def _source_crossentropy_body(d: str, sc_rel: str = "sc") -> str:
+    return f"""tot AS (SELECT source, SUM(c) AS tot FROM {sc_rel} GROUP BY source),
+v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS vocab FROM {sc_rel}),
+ent AS (
+  SELECT s0.source AS source,
+         -SUM((s0.c / tot.tot) * ln(s0.c / tot.tot)) AS h_a
+  FROM {sc_rel} s0 JOIN tot ON s0.source = tot.source GROUP BY s0.source
+),
+ov AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         SUM(a.c / ta.tot) AS overlap_mass,
+         -SUM((a.c / ta.tot) * ln((b.c + 1.0) / (tb.tot + v.vocab))) AS h_present
+  FROM {sc_rel} a
+  JOIN {sc_rel} b ON a.tok = b.tok
+  JOIN tot ta ON a.source = ta.source
+  JOIN tot tb ON b.source = tb.source
+  CROSS JOIN v
+  GROUP BY a.source, b.source
+),
+pairs AS (
+  SELECT ta.source AS src_a, tb.source AS src_b, ta.tot AS tot_a, tb.tot AS tot_b
+  FROM tot ta CROSS JOIN tot tb
+)
+SELECT p.src_a AS src_a, p.src_b AS src_b,
+       CAST(round(COALESCE(o.overlap_mass, 0.0), 6) AS DOUBLE) AS overlap_mass,
+       CAST(round(COALESCE(o.h_present, 0.0)
+                  + (1.0 - COALESCE(o.overlap_mass, 0.0))
+                    * ln(p.tot_b + v.vocab), 6) AS DOUBLE) AS cross_entropy,
+       CAST(round(COALESCE(o.h_present, 0.0)
+                  + (1.0 - COALESCE(o.overlap_mass, 0.0)) * ln(p.tot_b + v.vocab)
+                  - e.h_a, 6) + 0.0 AS DOUBLE) AS kl_ab
+FROM pairs p
+CROSS JOIN v
+JOIN ent e ON p.src_a = e.source
+LEFT JOIN ov o ON p.src_a = o.src_a AND p.src_b = o.src_b
+ORDER BY src_a, src_b
+"""
+
+
+TEMPLATES["source_crossentropy_matrix"] = source_crossentropy_matrix
+
+
+def _source_crossentropy_matrix_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the (source, tok, c) count relation once —
+    entropy, both overlap sides, vocab, and totals all read it, cutting the
+    plan from ten corpus explodes to ONE (plan hygiene, r10)."""
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _source_token_counts_sql("spark"), "ce_sc")
+    return _sql_dropping(spark, "WITH " + _source_crossentropy_body("spark", sc_rel=name), name)
+
+
+SPARK_OVERRIDES["source_crossentropy_matrix"] = _source_crossentropy_matrix_spark
+
+
+def label_agreement_kappa(d: str) -> str:
+    """COHEN'S KAPPA between two independent weak labelers, per source: a
+    length rule (n_chars >= 200) vs a stopword-density rule
+    (stopword_ratio >= 0.10). Raw agreement flatters labelers that both
+    say 'yes' to everything; kappa subtracts chance agreement — the
+    standard check before weak_label_vote treats rule votes as independent
+    signal (kappa ~ 1 means the second rule adds nothing; ~ 0 means it is
+    genuinely independent). po/pe derive from INTEGER counts with one
+    final division each — exact across engines. One scan, one dim-sized
+    agg."""
+    stop_ratio = TA.quality_metrics_sql("text", d)["stopword_ratio"]
+    return f"""
+WITH s AS (
+  SELECT source,
+         CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS la,
+         CASE WHEN {stop_ratio} >= 0.10 THEN 1 ELSE 0 END AS lb
+  FROM documents
+),
+g AS (
+  SELECT source, COUNT(*) AS n, SUM(la) AS pa, SUM(lb) AS pb,
+         SUM(la * lb) AS both_pos,
+         SUM((1 - la) * (1 - lb)) AS both_neg
+  FROM s GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(pa AS BIGINT) AS pos_len_rule,
+       CAST(pb AS BIGINT) AS pos_stopword_rule,
+       CAST(both_pos + both_neg AS BIGINT) AS n_agree,
+       CAST(round(
+         (CAST((both_pos + both_neg) AS DOUBLE) / n
+          - CAST(pa * pb + (n - pa) * (n - pb) AS DOUBLE) / (n * n))
+         / nullif(1.0 - CAST(pa * pb + (n - pa) * (n - pb) AS DOUBLE) / (n * n), 0),
+         6) + 0.0 AS DOUBLE) AS kappa
+FROM g ORDER BY source
+"""
+
+
+TEMPLATES["label_agreement_kappa"] = label_agreement_kappa
