@@ -959,6 +959,19 @@ def main() -> None:
         "SELECT r_name, row_number() OVER (PARTITION BY r_regionkey ORDER BY r_name) "
         f"FROM parquet.`{sf_dir}/region.parquet`"
     ).collect()
+    # r10: also warm the BIG-table scan + hash-agg codegen paths (documents /
+    # events / lineitem footers, the nanosAsLong events reader). The tiny
+    # region warmup did not absorb these, so the alphabetically FIRST query
+    # (ab_test_zscore, an events agg) paid 3-9s of one-time warmup and sat
+    # within noise of the outlier-retry threshold (3.713s vs 5*med=3.75 on
+    # one r10 run — whether it got retried was a coin flip).
+    Q.register_views(spark, sf_dir)
+    spark.sql("SELECT event_type, COUNT(*), SUM(value) FROM events "
+              "GROUP BY event_type").collect()
+    spark.sql("SELECT source, COUNT(*), MAX(n_chars) FROM documents "
+              "GROUP BY source").collect()
+    spark.sql("SELECT l_returnflag, SUM(l_quantity) FROM lineitem "
+              "GROUP BY l_returnflag").collect()
 
     calibration = host_calibration(spark)
 

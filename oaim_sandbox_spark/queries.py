@@ -120,6 +120,8 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "key_skew_profile",
     "source_crossentropy_matrix",
     "label_agreement_kappa",
+    "ks_length_by_source",
+    "bigram_entropy_rate",
     # --- last driver check: round 6 (all 50, staleness order):
     "incremental_neardup_probe",
     "ngram_jaccard_pairs",

@@ -4282,3 +4282,94 @@ FROM g ORDER BY source
 
 
 TEMPLATES["label_agreement_kappa"] = label_agreement_kappa
+
+
+def ks_length_by_source(d: str) -> str:
+    """KOLMOGOROV-SMIRNOV distance between each source's doc-length
+    distribution and the corpus's: D = max_v |ECDF_src(v) - ECDF_corpus(v)|
+    plus the length at which the gap peaks. PSI/KL need binning choices; KS
+    is binning-free and exact on the integer n_chars column — the
+    distribution-shift test that catches a source whose docs are
+    systematically truncated or padded even when its MEAN length looks
+    normal. Shape: per-(source, length) integer counts, a source x
+    corpus-lengths grid (bounded: distinct lengths <= max doc length, a few
+    thousand at any corpus size), cumulative windows per source, one max.
+    ECDF values are single divisions of integer cumsums — exact across
+    engines; ties on the argmax break to the smallest length."""
+    return f"""
+WITH sc AS (
+  SELECT source, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY source, n_chars
+),
+corp AS (SELECT v, SUM(c) AS c FROM sc GROUP BY v),
+nsrc AS (SELECT source, SUM(c) AS n FROM sc GROUP BY source),
+ncorp AS (SELECT SUM(c) AS n FROM corp),
+grid AS (
+  SELECT s.source AS source, cv.v AS v, COALESCE(sc.c, 0) AS c_src, cv.c AS c_corp
+  FROM (SELECT DISTINCT source FROM sc) s
+  CROSS JOIN corp cv
+  LEFT JOIN sc ON sc.source = s.source AND sc.v = cv.v
+),
+cdf AS (
+  SELECT g.source AS source, g.v AS v,
+         CAST(SUM(g.c_src) OVER (PARTITION BY g.source ORDER BY g.v) AS DOUBLE)
+           / ns.n AS f_src,
+         CAST(SUM(g.c_corp) OVER (PARTITION BY g.source ORDER BY g.v) AS DOUBLE)
+           / nc.n AS f_corp
+  FROM grid g JOIN nsrc ns ON g.source = ns.source CROSS JOIN ncorp nc
+),
+dist AS (
+  SELECT source, v, abs(f_src - f_corp) AS dgap,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY abs(f_src - f_corp) DESC, v ASC) AS rnk
+  FROM cdf
+)
+SELECT d0.source AS source,
+       CAST(ns.n AS BIGINT) AS n_docs,
+       CAST(round(d0.dgap, 6) AS DOUBLE) AS ks_distance,
+       CAST(d0.v AS BIGINT) AS ks_at_length
+FROM dist d0 JOIN nsrc ns ON d0.source = ns.source
+WHERE d0.rnk = 1
+ORDER BY source
+"""
+
+
+TEMPLATES["ks_length_by_source"] = ks_length_by_source
+
+
+def bigram_entropy_rate(d: str) -> str:
+    """BIGRAM ENTROPY RATE per source: H(w2 | w1) = -sum p(w1,w2)
+    ln(c12 / c1) — the first-order predictability of each source's text.
+    zipf_alpha and char_entropy measure the MARGINAL distribution; the
+    conditional entropy is what actually bounds a (bigram) language model's
+    loss on the source, and a near-zero rate flags templated/boilerplate
+    sources that unigram stats miss (every word frequent, every NEXT word
+    deterministic). c1 is the count of w1 AS A BIGRAM PREFIX (not the raw
+    unigram count), so probabilities normalize exactly. One bigram explode
+    -> (source, w1, w2) counts -> broadcast-sized prefix join -> dim agg."""
+    bg = P.word_ngrams("text", 2, d)
+    if d == "spark":
+        ex = (f"SELECT source, g FROM documents LATERAL VIEW explode({bg}) t AS g "
+              f"WHERE size({P.tokens('text', d)}) >= 2")
+    else:
+        ex = (f"SELECT source, unnest({bg}) AS g FROM documents "
+              f"WHERE len({P.tokens('text', d)}) >= 2")
+    w1 = P.split_part1("g", d)
+    return f"""
+WITH bg AS ({ex}),
+c12 AS (SELECT source, {w1} AS w1, g, COUNT(*) AS c FROM bg GROUP BY source, {w1}, g),
+c1 AS (SELECT source, w1, SUM(c) AS c FROM c12 GROUP BY source, w1),
+n AS (SELECT source, SUM(c) AS n FROM c12 GROUP BY source)
+SELECT c12.source AS source,
+       CAST(MAX(n.n) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+       CAST(round(-SUM((c12.c * 1.0 / n.n)
+                       * ln(c12.c * 1.0 / c1.c)), 6) + 0.0 AS DOUBLE)
+           AS entropy_rate
+FROM c12
+JOIN c1 ON c12.source = c1.source AND c12.w1 = c1.w1
+JOIN n ON c12.source = n.source
+GROUP BY c12.source ORDER BY c12.source
+"""
+
+
+TEMPLATES["bigram_entropy_rate"] = bigram_entropy_rate

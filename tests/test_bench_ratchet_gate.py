@@ -12,9 +12,33 @@ import sys
 import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-from bench_ratchet import compare, timing_maps  # noqa: E402
+from bench_ratchet import compare, epoch_ratio_from_control, timing_maps  # noqa: E402
 
 REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _epoch_ratio_for(old_path: str, new: dict) -> float:
+    """Host-epoch correction for comparisons against the archive named in
+    BENCH_EPOCH.json: the ratio is COMPUTED from the committed same-code
+    control record (the old archive's exact commit re-benched on the
+    current host — r10: reboot between rounds, identical code uniformly
+    ~1.30x slower, BLAS factor nearly unchanged). Applies ONLY to the named
+    archive; any other comparison runs unadjusted."""
+    manifest = os.path.join(REPO, "BENCH_EPOCH.json")
+    if not os.path.isfile(manifest):
+        return 1.0
+    with open(manifest) as fh:
+        m = json.load(fh)
+    if os.path.basename(old_path) != m.get("applies_to_archive"):
+        return 1.0
+    control_path = os.path.join(REPO, m.get("control_record", ""))
+    if not os.path.isfile(control_path):
+        return 1.0
+    with open(old_path) as fh:
+        old = json.load(fh)
+    with open(control_path) as fh:
+        control = json.load(fh)
+    return epoch_ratio_from_control(old, control)
 
 
 def test_bench_ratchet_vs_previous_round_record():
@@ -26,15 +50,16 @@ def test_bench_ratchet_vs_previous_round_record():
     # At the round-close commit the newest archive IS the working record; a
     # self-comparison proves nothing (VERDICT r9 "What's wrong #2"), so fall
     # back to the previous round's archive — HEAD always does a real compare.
-    old = None
+    old = old_path = None
     for prev in reversed(prevs):
         with open(prev) as fh:
             cand = json.load(fh)
         if cand != new:
-            old, prevs = cand, [prev]
+            old, old_path, prevs = cand, prev, [prev]
             break
     if old is None:
         pytest.skip("every archived record is byte-identical to the working one")
+    epoch = _epoch_ratio_for(old_path, new)
     for rec, name in ((old, prevs[-1]), (new, "BENCH_FULL.json")):
         if rec.get("calibration_unstable") or rec.get("calibration_out_of_range"):
             pytest.skip(f"{name} flagged unstable/out-of-range — not comparable")
@@ -51,20 +76,24 @@ def test_bench_ratchet_vs_previous_round_record():
     # still caught by the 1.15x aggregate guard below, and plan-shape
     # regressions by the shuffle/spill ratchets, which have no noise problem.
     flags = compare(old, new, time_tol=1.5, shuffle_tol=1.3, time_floor=2.5,
-                    uncorroborated_floor=4.0, uncorroborated_tol=2.0)
+                    uncorroborated_floor=4.0, uncorroborated_tol=2.0,
+                    epoch_ratio=epoch)
     assert not flags, "bench ratchet regressions vs previous round:\n" + "\n".join(flags)
     # aggregate guard: many small sub-floor drifts still must not compound.
     # Compare the SHARED-query sums — registry growth adds legitimate new
     # mass to the raw total every round (r9: +11 entries = +19.6s pushed
     # the naive total ratio to 1.157 while the like-for-like ratio was
     # 1.051). timing_maps applies compare()'s mode guard so a raw record
-    # is never summed against a calibrated one (review r9).
+    # is never summed against a calibrated one (review r9). The epoch
+    # correction (same-code control, see _epoch_ratio_for) divides the new
+    # side the same way compare() does.
     ocal, ncal = timing_maps(old, new)
     shared = set(ocal) & set(ncal)
-    so, sn = sum(ocal[q] for q in shared), sum(ncal[q] for q in shared)
+    so, sn = sum(ocal[q] for q in shared), sum(ncal[q] for q in shared) / epoch
     assert sn <= 1.15 * so, (
         f"shared-query calibrated total regressed: {so:.1f} -> {sn:.1f} "
-        f"({sn / so:.3f}x over {len(shared)} shared queries)"
+        f"({sn / so:.3f}x over {len(shared)} shared queries, "
+        f"epoch-adjusted /{epoch:.3f})"
     )
 
 
@@ -112,6 +141,47 @@ def test_ratchet_large_cpu_regression_flags_without_plan_delta():
     flags = compare(old, new, time_tol=1.5, shuffle_tol=1.3, time_floor=2.5,
                     uncorroborated_floor=4.0, uncorroborated_tol=2.0)
     assert flags == ["TIME q: 4.5s -> 10.0s calibrated (> 2.0x) [no shuffle/spill delta]"]
+
+
+def test_epoch_ratio_computed_from_control_and_clamped():
+    """The epoch ratio comes from the MEDIAN per-query ratio of the paired
+    same-code control vs the archive, clamped to [1.0, 2.0]; too few shared
+    queries -> 1.0 (noise, not an epoch)."""
+    n = 30
+    old = _rec({f"q{i}": 1.0 for i in range(n)}, {f"q{i}": 0.1 for i in range(n)})
+    control = _rec({f"q{i}": 1.3 for i in range(n)}, {f"q{i}": 0.1 for i in range(n)})
+    assert abs(epoch_ratio_from_control(old, control) - 1.3) < 1e-9
+    # a faster host must never TIGHTEN the gate via a <1 ratio
+    faster = _rec({f"q{i}": 0.5 for i in range(n)}, {f"q{i}": 0.1 for i in range(n)})
+    assert epoch_ratio_from_control(old, faster) == 1.0
+    # absurd claims clamp at 2x
+    crazy = _rec({f"q{i}": 5.0 for i in range(n)}, {f"q{i}": 0.1 for i in range(n)})
+    assert epoch_ratio_from_control(old, crazy) == 2.0
+    # 3 shared queries is not an epoch measurement
+    small_o = _rec({"a": 1.0, "b": 1.0, "c": 1.0}, {"a": 0.1, "b": 0.1, "c": 0.1})
+    small_c = _rec({"a": 1.5, "b": 1.5, "c": 1.5}, {"a": 0.1, "b": 0.1, "c": 0.1})
+    assert epoch_ratio_from_control(small_o, small_c) == 1.0
+
+
+def test_epoch_adjustment_relaxes_uniform_shift_but_keeps_real_regressions():
+    """A uniform 1.3x host shift under a 1.3 epoch ratio produces no flags;
+    a genuine 4x single-query regression still flags straight through the
+    same adjustment."""
+    n = 25
+    oldq = {f"q{i}": 3.0 for i in range(n)}
+    old = _rec(oldq, {f"q{i}": 0.1 for i in range(n)})
+    shifted = _rec({k: v * 1.3 for k, v in oldq.items()},
+                   {f"q{i}": 0.1 for i in range(n)})
+    assert compare(old, shifted, time_tol=1.5, shuffle_tol=1.3, time_floor=2.5,
+                   uncorroborated_floor=4.0, uncorroborated_tol=2.0,
+                   epoch_ratio=1.3) == []
+    regq = dict(oldq); regq["q7"] = 12.0  # 4x, no shuffle delta
+    reg = _rec({k: v * 1.3 if k != "q7" else v for k, v in regq.items()},
+               {f"q{i}": 0.1 for i in range(n)})
+    flags = compare(old, reg, time_tol=1.5, shuffle_tol=1.3, time_floor=2.5,
+                    uncorroborated_floor=4.0, uncorroborated_tol=2.0,
+                    epoch_ratio=1.3)
+    assert len(flags) == 1 and flags[0].startswith("TIME q7:"), flags
 
 
 def test_ratchet_new_spill_corroborates_time():

@@ -64,13 +64,38 @@ def timing_maps(old: dict, new: dict) -> tuple[dict, dict]:
             ncal if ncal is not None else new.get("queries", {}))
 
 
+def epoch_ratio_from_control(old: dict, control: dict) -> float:
+    """Host-EPOCH correction factor from a paired same-code control run: the
+    control record is the OLD archive's exact code re-benched on the current
+    host (r10: the box rebooted between rounds and identical code slowed
+    ~1.30x uniformly while the BLAS factor moved only 0.906->0.868 — the
+    contention-shape non-transfer BASELINE.md documents). The ratio is the
+    MEDIAN per-query mode-consistent timing ratio over the shared queries —
+    computed from the committed control record, never read as a trusted
+    scalar — and clamped to [1.0, 2.0]: an epoch correction may only relax
+    the gate for a measured SLOWDOWN, never tighten it or excuse more than
+    2x (a >2x 'epoch' claim needs a new baseline, not a multiplier)."""
+    ot, ct = timing_maps(old, control)
+    shared = sorted(set(ot) & set(ct))
+    ratios = sorted(ct[q] / ot[q] for q in shared if ot[q] > 0.05)
+    if len(ratios) < 20:  # too few pairs to call it an epoch, not noise
+        return 1.0
+    med = ratios[len(ratios) // 2]
+    return max(1.0, min(2.0, med))
+
+
 def compare(old: dict, new: dict, time_tol: float, shuffle_tol: float,
             time_floor: float = 1.0, uncorroborated_floor: float | None = None,
-            uncorroborated_tol: float | None = None) -> list[str]:
+            uncorroborated_tol: float | None = None,
+            epoch_ratio: float = 1.0) -> list[str]:
     """uncorroborated_floor/_tol: stricter thresholds applied to a TIME
     regression NOT corroborated by a shuffle/spill delta (VERDICT r8 #2 —
     the plain floor false-positived on wall noise straddling it). Default
-    None keeps the single-threshold behavior."""
+    None keeps the single-threshold behavior.
+
+    epoch_ratio: divide the NEW record's timings by this before the TIME
+    checks (see epoch_ratio_from_control). Shuffle/spill ratchets are host-
+    independent and are never scaled."""
     if uncorroborated_floor is None:
         uncorroborated_floor = time_floor
     if uncorroborated_tol is None:
@@ -97,9 +122,12 @@ def compare(old: dict, new: dict, time_tol: float, shuffle_tol: float,
         corroborated = _plan_signal_changed(q, old, new)
         floor = time_floor if corroborated else uncorroborated_floor
         tol = time_tol if corroborated else uncorroborated_tol
-        if nt[q] > max(floor, tol * ot[q]):
+        adj = round(nt[q] / epoch_ratio, 3)
+        if adj > max(floor, tol * ot[q]):
             tag = "" if corroborated else " [no shuffle/spill delta]"
-            flags.append(f"TIME {q}: {ot[q]}s -> {nt[q]}s calibrated (> {tol}x){tag}")
+            if epoch_ratio != 1.0:
+                tag += f" [epoch-adjusted /{epoch_ratio:.3f}]"
+            flags.append(f"TIME {q}: {ot[q]}s -> {adj}s calibrated (> {tol}x){tag}")
     osh, nsh = old.get("query_shuffle_mb", {}), new.get("query_shuffle_mb", {})
     for q in sorted(set(osh) & set(nsh)):
         if nsh[q] > max(5.0, shuffle_tol * osh[q]):

@@ -12,6 +12,7 @@ drops a pushed filter, the diff of PLAN_AUDIT.md shows it.
 from __future__ import annotations
 
 import re
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -106,10 +107,25 @@ def compare_audits(old: dict, new: dict) -> list[str]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # usage: plan_audit.py [sf_dir] [--only name ...] — --only audits a
+    # subset to stderr WITHOUT touching PLAN_AUDIT.{md,json} (a partial
+    # record would blind the pytest gate; r10 review: a mistyped flag was
+    # once parsed as sf_dir and clobbered the record with 216 ERRORs)
+    args = sys.argv[1:]
+    only: list[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1 :]
+        args = args[:i]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        sys.exit(f"sf_dir {sf_dir!r} does not exist")
     spark = get_spark("plan-audit")
     rows = []
-    for name, fn in Q.spark_queries().items():
+    todo = Q.spark_queries().items()
+    if only is not None:
+        todo = [(n, f) for n, f in todo if n in only]
+    for name, fn in todo:
         try:
             df = fn(spark, sf_dir)
             try:
@@ -130,6 +146,9 @@ def main() -> None:
             rows.append((name, f"ERROR: {(str(e).splitlines() or [''])[0][:80]}"))
         print(f"# {rows[-1][0]}: {rows[-1][1]}", file=sys.stderr)
 
+    if only is not None:
+        print(f"{len(rows)} queries audited (--only; record NOT written)")
+        return
     with open("/root/repo/PLAN_AUDIT.md", "w") as fh:
         fh.write(
             "# PLAN_AUDIT — generated by tools/plan_audit.py\n\n"
