@@ -401,3 +401,14 @@ def sign_pack(arr: str, start_1based: int, n: int, dialect: str) -> str:
         f"CASE WHEN ({arr})[{start_1based} + j] > 0 "
         f"THEN (2**j)::BIGINT ELSE 0::BIGINT END)), (s, x) -> s + x)"
     )
+
+
+def list_count_matching(arr: str, pattern: str, dialect: str) -> str:
+    """Count of array elements matching a regex (element-level, not a scan
+    over the joined text — counting matches over raw text counts RUNS, which
+    overcounts words that mix classes; r10 review on the Gopher alpha
+    rule)."""
+    if dialect == "spark":
+        spark_pat = pattern.replace("\\", "\\\\")
+        return f"size(filter({arr}, t -> t RLIKE '{spark_pat}'))"
+    return f"len(list_filter({arr}, t -> regexp_matches(t, '{pattern}')))"

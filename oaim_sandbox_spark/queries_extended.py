@@ -3901,11 +3901,17 @@ def gopher_quality_rules(d: str) -> str:
     you WHICH rule would gut a source before you ship the filter (a source
     failing only the stopword rule is non-English, not junk). One scan,
     per-doc token-array ops (no explode), one dim-sized agg; empty docs
-    fail the word-count rule by definition, never divide."""
+    fail the word-count rule by definition, never divide.
+
+    Rule fidelity (r10 review): alpha counts WORDS containing an alphabetic
+    character (element-level list filter — a raw-text regexp_count counts
+    RUNS and overcounts words that mix classes, letting a failing source
+    pass); the symbol pattern covers '#', the one-char ellipsis AND the
+    three-dot form."""
     toks = P.tokens("text", d)
     n_words = P.list_len(toks, d)
-    alpha_words = P.regexp_count_portable("text", "[A-Za-z]+", d)
-    symbols = P.regexp_count_portable("text", "[#…]", d)
+    alpha_words = P.list_count_matching(toks, "[A-Za-z]", d)
+    symbols = P.regexp_count_portable("text", "#|…|\\.\\.\\.", d)
     all_stop = sorted({w for ws in TA.STOPWORDS.values() for w in ws})
     stop_hits = P.stopword_hits(P.tokens("lower(text)", d), all_stop, d)
     chars_nospace = "length(replace(text, ' ', ''))"
@@ -3922,10 +3928,10 @@ WITH sig AS (
 r AS (
   SELECT source,
          CASE WHEN nw < 50 OR nw > 100000 THEN 1 ELSE 0 END AS f_wordcount,
-         CASE WHEN nw = 0 OR cns * 1.0 / nullif(nw, 0) < 3.0
-                   OR cns * 1.0 / nullif(nw, 0) > 10.0 THEN 1 ELSE 0 END AS f_meanlen,
-         CASE WHEN nw > 0 AND sym * 1.0 / nw > 0.1 THEN 1 ELSE 0 END AS f_symbol,
-         CASE WHEN nw = 0 OR aw * 1.0 / nullif(nw, 0) < 0.8 THEN 1 ELSE 0 END AS f_alpha,
+         CASE WHEN nw = 0 OR CAST(cns AS DOUBLE) / nullif(nw, 0) < 3.0
+                   OR CAST(cns AS DOUBLE) / nullif(nw, 0) > 10.0 THEN 1 ELSE 0 END AS f_meanlen,
+         CASE WHEN nw > 0 AND CAST(sym AS DOUBLE) / nw > 0.1 THEN 1 ELSE 0 END AS f_symbol,
+         CASE WHEN nw = 0 OR CAST(aw AS DOUBLE) / nullif(nw, 0) < 0.8 THEN 1 ELSE 0 END AS f_alpha,
          CASE WHEN sh < 2 THEN 1 ELSE 0 END AS f_stopword
   FROM sig
 )
@@ -3957,9 +3963,21 @@ def late_arrival_profile(d: str) -> str:
     drop, and max_lateness_us bounds the state horizon. Integer microsecond
     arithmetic end to end — zero float wobble. Plan shape: one window over
     (event_type, event_id) — the same per-key ordering the streaming
-    operator itself needs — then a dim-sized agg."""
+    operator itself needs — then a dim-sized agg.
+
+    The generated corpora are globally ts-ordered by event_id, so the
+    oracle certification exercises the all-zeros path only (r10 review: a
+    sign flip or swapped thresholds would certify green on such data). The
+    NONZERO path is pinned by tests/test_extended_queries.py::
+    test_late_arrival_profile_nonzero_path, which runs this same body
+    (via rel=) over a synthetic out-of-order stream on BOTH engines and
+    checks hand-computed lateness counts."""
+    return "\n" + _late_arrival_body(d)
+
+
+def _late_arrival_body(d: str, rel: str = "events") -> str:
     return f"""
-WITH e AS (SELECT event_type, event_id, {_ts_us(d)} AS ts_us FROM events),
+WITH e AS (SELECT event_type, event_id, {_ts_us(d)} AS ts_us FROM {rel}),
 w AS (
   SELECT event_type, ts_us,
          MAX(ts_us) OVER (PARTITION BY event_type ORDER BY event_id
@@ -4122,9 +4140,10 @@ def key_skew_profile(d: str) -> str:
     shares — 1/n_keys means uniform, 1.0 means one key owns everything).
     This is the measurement that decides salting / AQE skew-join BEFORE a
     1000-executor shuffle stalls on one reducer: top1_share * rows is the
-    single-task row count a plain hash partition would produce. All
-    concentration sums are INTEGER (sum of c, sum of c*c) with one final
-    division — exact across engines."""
+    single-task row count a plain hash partition would produce. Count sums
+    are integer; the squared terms are accumulated in DOUBLE (SUM(c*c) and
+    SUM(c)*SUM(c) overflow int64 beyond ~3e9 rows — r10 review), with one
+    final division — deterministic across engines."""
     return f"""
 WITH k AS (
   SELECT 'events.user_id' AS key_col, CAST(user_id AS BIGINT) AS k FROM events
@@ -4148,7 +4167,8 @@ SELECT key_col,
                   / SUM(c), 6) AS DOUBLE) AS top1_share,
        CAST(round(CAST(SUM(CASE WHEN rnk <= 10 THEN c ELSE 0 END) AS DOUBLE)
                   / SUM(c), 6) AS DOUBLE) AS top10_share,
-       CAST(round(CAST(SUM(c * c) AS DOUBLE) / (SUM(c) * SUM(c)), 6) AS DOUBLE)
+       CAST(round(SUM(CAST(c AS DOUBLE) * c)
+                  / (CAST(SUM(c) AS DOUBLE) * SUM(c)), 6) AS DOUBLE)
            AS herfindahl
 FROM r GROUP BY key_col ORDER BY key_col
 """
@@ -4250,9 +4270,10 @@ def label_agreement_kappa(d: str) -> str:
     say 'yes' to everything; kappa subtracts chance agreement — the
     standard check before weak_label_vote treats rule votes as independent
     signal (kappa ~ 1 means the second rule adds nothing; ~ 0 means it is
-    genuinely independent). po/pe derive from INTEGER counts with one
-    final division each — exact across engines. One scan, one dim-sized
-    agg."""
+    genuinely independent). po/pe derive from integer counts; the pe
+    products are taken in DOUBLE (pa*pb overflows int64 beyond ~3e9 docs
+    per source — r10 review) with one final division each — deterministic
+    across engines. One scan, one dim-sized agg."""
     stop_ratio = TA.quality_metrics_sql("text", d)["stopword_ratio"]
     return f"""
 WITH s AS (
@@ -4274,8 +4295,10 @@ SELECT source,
        CAST(both_pos + both_neg AS BIGINT) AS n_agree,
        CAST(round(
          (CAST((both_pos + both_neg) AS DOUBLE) / n
-          - CAST(pa * pb + (n - pa) * (n - pb) AS DOUBLE) / (n * n))
-         / nullif(1.0 - CAST(pa * pb + (n - pa) * (n - pb) AS DOUBLE) / (n * n), 0),
+          - (CAST(pa AS DOUBLE) * pb + CAST(n - pa AS DOUBLE) * (n - pb))
+            / (CAST(n AS DOUBLE) * n))
+         / nullif(1.0 - (CAST(pa AS DOUBLE) * pb + CAST(n - pa AS DOUBLE) * (n - pb))
+                        / (CAST(n AS DOUBLE) * n), 0),
          6) + 0.0 AS DOUBLE) AS kappa
 FROM g ORDER BY source
 """
@@ -4362,8 +4385,8 @@ n AS (SELECT source, SUM(c) AS n FROM c12 GROUP BY source)
 SELECT c12.source AS source,
        CAST(MAX(n.n) AS BIGINT) AS n_bigrams,
        CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
-       CAST(round(-SUM((c12.c * 1.0 / n.n)
-                       * ln(c12.c * 1.0 / c1.c)), 6) + 0.0 AS DOUBLE)
+       CAST(round(-SUM((CAST(c12.c AS DOUBLE) / n.n)
+                       * ln(CAST(c12.c AS DOUBLE) / c1.c)), 6) + 0.0 AS DOUBLE)
            AS entropy_rate
 FROM c12
 JOIN c1 ON c12.source = c1.source AND c12.w1 = c1.w1

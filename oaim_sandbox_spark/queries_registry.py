@@ -1198,9 +1198,10 @@ def _knn_hubness_funnel_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     `IVFIndex.search_batch` hit relation the consensus funnel builds
     (k=5, nprobe=6, `vec_id <> query_id`), i.e. one groupBy away from a
     relation already demonstrated scale-correct. A vector's k-occurrence
-    is how many OTHER vectors' top-5 lists it appears in; zeros are kept
-    via a left join against the slim vec_id scan so the histogram's head
-    (the anti-hub mass hubness theory cares about) is faithful. The funnel
+    is how many OTHER vectors' top-5 lists it appears in; the zero bucket
+    (the anti-hub mass hubness theory cares about) is synthesized as
+    |store| - |deg| from two lazy scalar aggregates — no store-sized join
+    or broadcast anywhere (r10 review). The funnel
     reads nprobe/n_centroids of the store per query instead of the
     oracle's all-pairs cross score. Pruning can swap individual
     attributions (a missed true neighbor is replaced by the best scanned
@@ -1236,18 +1237,26 @@ def _knn_hubness_funnel_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = hits.groupBy(F.col("vec_id").alias("hit")).agg(
         F.count("*").cast("long").alias("k_occ")
     )
-    # deg is bounded (<= |store| rows of two longs): broadcast against the
-    # slim id scan to keep zero-occurrence vectors in the histogram
-    alln = (
-        store.select(F.col("vec_id").alias("hit"))
-        .join(F.broadcast(deg), "hit", "left")
-        .select(F.coalesce(F.col("k_occ"), F.lit(0).cast("long")).alias("k_occ"))
+    # zero-occurrence vectors enter the histogram WITHOUT joining deg back
+    # against the store (deg approaches |store| rows — broadcasting or even
+    # shuffling it against the id scan is needless at 100 TB; r10 review):
+    # the 0-bucket count is |store| - |deg|, two scalar aggregates cross-
+    # joined lazily (no driver-side action at build time), emitted only
+    # when positive — matching the oracle, whose GROUP BY yields no 0 row
+    # when every vector is someone's neighbor.
+    hist = deg.groupBy(F.col("k_occ").alias("k_occurrence")).agg(
+        F.count("*").cast("long").alias("n_vectors")
     )
-    return (
-        alln.groupBy(F.col("k_occ").alias("k_occurrence"))
-        .agg(F.count("*").cast("long").alias("n_vectors"))
-        .orderBy("k_occurrence")
+    zero_bucket = (
+        store.agg(F.count("*").alias("n_total"))
+        .crossJoin(deg.agg(F.count("*").alias("n_nonzero")))
+        .select(
+            F.lit(0).cast("long").alias("k_occurrence"),
+            (F.col("n_total") - F.col("n_nonzero")).cast("long").alias("n_vectors"),
+        )
+        .filter(F.col("n_vectors") > 0)
     )
+    return hist.unionByName(zero_bucket).orderBy("k_occurrence")
 
 
 def _streaming_pii_spark(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -150,9 +150,37 @@ def main() -> None:
                     help="higher floor for TIME flags with no shuffle/spill delta")
     ap.add_argument("--uncorroborated-tol", type=float, default=None,
                     help="higher ratio for TIME flags with no shuffle/spill delta")
+    ap.add_argument("--epoch-control", default=None,
+                    help="paired same-code control record for a host-epoch "
+                         "correction (see epoch_ratio_from_control); by default "
+                         "BENCH_EPOCH.json next to OLD is auto-discovered when "
+                         "its applies_to_archive names OLD")
     args = ap.parse_args()
     old = json.load(open(args.old))
     new = json.load(open(args.new))
+
+    # CLI/pytest-gate parity (r10 review: the gate applied the epoch
+    # correction while this CLI printed 21 false TIME flags on the same
+    # record pair): resolve the control record the same way the gate does.
+    epoch = 1.0
+    control_path = args.epoch_control
+    if control_path is None:
+        import os
+
+        old_dir = os.path.dirname(os.path.abspath(args.old))
+        manifest = os.path.join(old_dir, "BENCH_EPOCH.json")
+        if os.path.isfile(manifest):
+            with open(manifest) as fh:
+                m = json.load(fh)
+            if os.path.basename(args.old) == m.get("applies_to_archive"):
+                cand = os.path.join(old_dir, m.get("control_record", ""))
+                if os.path.isfile(cand):
+                    control_path = cand
+    if control_path:
+        epoch = epoch_ratio_from_control(old, json.load(open(control_path)))
+        if epoch != 1.0:
+            print(f"# epoch correction /{epoch:.3f} from same-code control "
+                  f"{control_path}")
 
     for rec, label in ((old, "old"), (new, "new")):
         if rec.get("calibration_unstable"):
@@ -166,7 +194,8 @@ def main() -> None:
         print(f"# queries only in new ({len(only_new)}): {', '.join(only_new[:10])}...")
 
     flags = compare(old, new, args.time_tol, args.shuffle_tol, args.time_floor,
-                    args.uncorroborated_floor, args.uncorroborated_tol)
+                    args.uncorroborated_floor, args.uncorroborated_tol,
+                    epoch_ratio=epoch)
     for f in flags:
         print(f)
     print(f"{len(flags)} regression flag(s)")
