@@ -4143,7 +4143,12 @@ def key_skew_profile(d: str) -> str:
     single-task row count a plain hash partition would produce. Count sums
     are integer; the squared terms are accumulated in DOUBLE (SUM(c*c) and
     SUM(c)*SUM(c) overflow int64 beyond ~3e9 rows — r10 review), with one
-    final division — deterministic across engines."""
+    final division — deterministic across engines. The ranking window is
+    PARTITION BY key_col over the COUNTED key relation (one row per
+    distinct key, int64 pair) — 50k keys rank in 0.9s over 3M rows
+    (tools/stress.py r10audits); at billion-key cardinality, pre-aggregate
+    a coarse count floor before ranking (only the top-10 matter) — the
+    aggregates themselves are single-pass partial-combine either way."""
     return f"""
 WITH k AS (
   SELECT 'events.user_id' AS key_col, CAST(user_id AS BIGINT) AS k FROM events

@@ -676,6 +676,72 @@ def stress_survivorship(n_docs: int = 200_000) -> dict:
     }
 
 
+def stress_r10audits(n_docs: int = 500_000) -> dict:
+    """The round-10 audit family at 100x the sf0.1 corpus: 500k docs in 16
+    pseudo-sources through (a) the Heaps cumulative vocab curve (token
+    explode -> first-occurrence -> per-source windows -> moment fit), (b)
+    the source cross-entropy matrix (ONE materialized count relation, token
+    self-join, 256 pairs), (c) the dedup ingest-order state curve (hash
+    first-occurrence window + range deciles), and (d) the key-skew audit
+    over a 3M-row synthetic hot-key column (top1 ~ 25%) — the shapes whose
+    cost grows with the corpus, timed individually."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.queries_extended import (
+        _heaps_cum_sql,
+        _heaps_fit_body,
+        _source_crossentropy_body,
+        _source_token_counts_sql,
+        dedup_ingest_order_curve,
+    )
+
+    spark = _spark("stress-r10audits")
+    big = _resampled_docs(spark, n_docs).withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 16).cast("string"))
+    )
+    big.createOrReplaceTempView("documents")
+    t0 = time.time()
+    cum = spark.sql(_heaps_cum_sql("spark")).localCheckpoint()
+    cum.createOrReplaceTempView("stress_heaps_cum")
+    heaps = spark.sql("WITH " + _heaps_fit_body("spark", cum_rel="stress_heaps_cum")).collect()
+    t_heaps = time.time() - t0
+    t0 = time.time()
+    sc = spark.sql(_source_token_counts_sql("spark")).localCheckpoint()
+    sc.createOrReplaceTempView("stress_ce_sc")
+    ce = spark.sql("WITH " + _source_crossentropy_body("spark", sc_rel="stress_ce_sc")).collect()
+    t_ce = time.time() - t0
+    t0 = time.time()
+    curve = spark.sql(dedup_ingest_order_curve("spark")).collect()
+    t_curve = time.time() - t0
+    # synthetic skewed key: 25% of rows on one key, the rest uniform
+    skew = spark.range(3_000_000).select(
+        F.when(F.col("id") % 4 == 0, F.lit(7)).otherwise(F.col("id") % 50_000)
+        .cast("bigint").alias("k")
+    )
+    skew.createOrReplaceTempView("stress_skew")
+    t0 = time.time()
+    prof = spark.sql("""
+WITH c AS (SELECT k, COUNT(*) AS c FROM stress_skew GROUP BY k),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, k ASC) AS rnk FROM c)
+SELECT CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(round(CAST(MAX(CASE WHEN rnk = 1 THEN c ELSE 0 END) AS DOUBLE)
+                  / SUM(c), 6) AS DOUBLE) AS top1_share,
+       CAST(round(SUM(CAST(c AS DOUBLE) * c)
+                  / (CAST(SUM(c) AS DOUBLE) * SUM(c)), 6) AS DOUBLE) AS herfindahl
+FROM r""").collect()[0]
+    t_skew = time.time() - t0
+    spark.stop()
+    return {
+        "stress": "r10audits", "docs": n_docs,
+        "heaps_rows": len(heaps), "heaps_seconds": round(t_heaps, 1),
+        "ce_pairs": len(ce), "ce_seconds": round(t_ce, 1),
+        "curve_rows": len(curve), "curve_seconds": round(t_curve, 1),
+        "skew_rows": int(prof["n_rows"]), "skew_top1": float(prof["top1_share"]),
+        "skew_herfindahl": float(prof["herfindahl"]),
+        "skew_seconds": round(t_skew, 1),
+    }
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "minhash"
     arg = int(sys.argv[2]) if len(sys.argv) > 2 else None
@@ -698,6 +764,7 @@ def main() -> None:
         "tierguard": stress_tierguard,
         "novelty": stress_novelty,
         "gini": stress_gini,
+        "r10audits": stress_r10audits,
         "consensus_funnel": stress_consensus_funnel,
         "survivorship": stress_survivorship,
     }
