@@ -122,6 +122,7 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "label_agreement_kappa",
     "ks_length_by_source",
     "bigram_entropy_rate",
+    "session_concurrency_sweepline",
     # --- last driver check: round 6 (all 50, staleness order):
     "incremental_neardup_probe",
     "ngram_jaccard_pairs",

@@ -4401,3 +4401,94 @@ GROUP BY c12.source ORDER BY c12.source
 
 
 TEMPLATES["bigram_entropy_rate"] = bigram_entropy_rate
+
+
+def session_concurrency_sweepline(d: str) -> str:
+    """PEAK-CONCURRENCY sweep line over user sessions: sessionize events
+    (30-min inactivity gap), turn each session into +1/-1 boundary deltas,
+    and compute the running concurrent-session count WITHOUT a global
+    sort — per-hour partial sums feed an hour-dim cumulative offset
+    (broadcast-sized), and the within-hour running sum is a window
+    PARTITIONED BY hour, so the sweep parallelizes by time bucket (the
+    same two-pass trick the round-4 NTILE fix used). The classic interval
+    operator the engine lacked: capacity planning reads max_concurrent per
+    hour; hours with no boundary carry the previous level (densify with
+    the hourly_gapfill pattern if needed). Integer microseconds and counts
+    end to end. Sessions that touch (end == next start) do not overlap:
+    the end delta fires at e + 1. The session relation is read three times
+    (both delta branches + the per-hour starts), so the Spark override
+    materializes it once — the sessionization windows over the raw event
+    stream are the dominant cost at scale and must not re-run per read."""
+    return f"""
+WITH sess AS ({_sessions_sql(d)}),
+{_sweepline_body(d)}
+"""
+
+
+def _sessions_sql(d: str) -> str:
+    """(user_id, sid, s, e) gap-sessionized intervals from the event
+    stream (30-min inactivity break), epoch-micros bounds."""
+    lag = "LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)"
+    return f"""
+WITH e AS (SELECT user_id, event_id, {_ts_us(d)} AS ts_us FROM events),
+brk AS (
+  SELECT user_id, ts_us,
+         CASE WHEN {lag} IS NULL OR ts_us - {lag} > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+)
+SELECT user_id, sid, MIN(ts_us) AS s, MAX(ts_us) AS e
+FROM (
+  SELECT user_id, ts_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us) AS sid
+  FROM brk
+) sess0
+GROUP BY user_id, sid
+"""
+
+
+def _sweepline_body(d: str, sess_rel: str = "sess") -> str:
+    hour = _idiv("t", "3600000000", d)
+    return f"""pts AS (
+  SELECT s AS t, 1 AS d FROM {sess_rel}
+  UNION ALL
+  SELECT e + 1 AS t, -1 AS d FROM {sess_rel}
+),
+tp AS (SELECT t, SUM(d) AS d FROM pts GROUP BY t),
+tph AS (SELECT t, d, {hour} AS hour_id FROM tp),
+hsum AS (SELECT hour_id, SUM(d) AS hd FROM tph GROUP BY hour_id),
+hoff AS (
+  SELECT hour_id, SUM(hd) OVER (ORDER BY hour_id) - hd AS off FROM hsum
+),
+run AS (
+  SELECT tph.hour_id AS hour_id,
+         hoff.off + SUM(tph.d) OVER (PARTITION BY tph.hour_id ORDER BY tph.t)
+             AS conc
+  FROM tph JOIN hoff ON tph.hour_id = hoff.hour_id
+),
+starts AS (
+  SELECT {_idiv("s", "3600000000", d)} AS hour_id, COUNT(*) AS n_started
+  FROM {sess_rel} GROUP BY {_idiv("s", "3600000000", d)}
+)
+SELECT r.hour_id AS hour_id,
+       CAST(COUNT(*) AS BIGINT) AS n_boundaries,
+       CAST(MAX(r.conc) AS BIGINT) AS max_concurrent,
+       CAST(COALESCE(MAX(st.n_started), 0) AS BIGINT) AS sessions_started
+FROM run r LEFT JOIN starts st ON r.hour_id = st.hour_id
+GROUP BY r.hour_id ORDER BY hour_id
+"""
+
+
+TEMPLATES["session_concurrency_sweepline"] = session_concurrency_sweepline
+
+
+def _session_sweepline_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the sessionized intervals once — both
+    delta branches and the starts agg read them, so the expensive per-user
+    windows over the raw event stream run exactly once."""
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _sessions_sql("spark"), "sweep_sess")
+    return _sql_dropping(spark, "WITH " + _sweepline_body("spark", sess_rel=name), name)
+
+
+SPARK_OVERRIDES["session_concurrency_sweepline"] = _session_sweepline_spark
