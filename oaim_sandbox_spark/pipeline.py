@@ -152,6 +152,11 @@ def curate_corpus(
     (optional linear model, fastText-style) → exact dedup → near-dedup
     (minhash-LSH, first-wins). Returns (curated_df, stage_counts).
 
+    ``report="quality_rules"`` additionally returns the Gopher rule
+    fail-count matrix (the certified gopher_quality_rules body) over the
+    INPUT frame — the audit that says which gates a source would survive,
+    before any gate runs.
+
     ``report="accounting"`` (VERDICT r8 task #5) additionally returns the
     dedup-accounting family — per-source degree profile, threshold
     sensitivity curve, and the who-duplicates-whom source-pair matrix — as
@@ -168,11 +173,18 @@ def curate_corpus(
     rather than code. Each stage only ever adds a narrow projection or one
     key-hash shuffle; disabled stages cost nothing.
     """
-    if report not in (None, "accounting"):
-        raise ValueError(f"unknown report {report!r}; None or 'accounting'")
+    if report not in (None, "accounting", "quality_rules"):
+        raise ValueError(
+            f"unknown report {report!r}; None, 'accounting' or 'quality_rules'"
+        )
     cfg = {**DEFAULT_CURATION, **(config or {})}
     counts: dict[str, int] = {"input": docs.count()}
     out = docs
+    if report == "quality_rules":
+        # audit the INPUT frame — the rule matrix informs which gates to
+        # enable, so it must describe what the pipeline was fed, not what
+        # survived the gates it is meant to justify
+        reports = {"gopher_quality_rules": _quality_rules_report(spark, docs, text_col)}
 
     if cfg["scrub_pii"]:
         before = set(out.columns)
@@ -279,9 +291,31 @@ def curate_corpus(
     # scrub is a pure projection, so with no counted stage the row count is
     # still the input's
     counts["output"] = last[-1] if last else counts["input"]
-    if report == "accounting":
+    if report in ("accounting", "quality_rules"):
         return out, counts, reports
     return out, counts
+
+
+def _quality_rules_report(spark: SparkSession, docs: DataFrame, text_col: str) -> DataFrame:
+    """The Gopher rule fail-count matrix over the pipeline's own input
+    frame: the SAME SQL body as the certified gopher_quality_rules entry
+    (queries_extended._gopher_rules_body), so the report and the oracle
+    entry cannot drift apart. Docs without a `source` column report under
+    source='corpus'; a non-'text' text_col is aliased in."""
+    import uuid
+
+    from oaim_sandbox_spark.queries_extended import _gopher_rules_body
+
+    rel = docs
+    if "source" not in rel.columns:
+        rel = rel.withColumn("source", F.lit("corpus"))
+    if text_col != "text":
+        rel = rel.withColumnRenamed(text_col, "text")
+    name = f"qrules_{uuid.uuid4().hex[:12]}"
+    rel.createOrReplaceTempView(name)
+    out = spark.sql(_gopher_rules_body("spark", rel=name))
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def _accounting_reports(

@@ -3907,7 +3907,14 @@ def gopher_quality_rules(d: str) -> str:
     character (element-level list filter — a raw-text regexp_count counts
     RUNS and overcounts words that mix classes, letting a failing source
     pass); the symbol pattern covers '#', the one-char ellipsis AND the
-    three-dot form."""
+    three-dot form. The body is relation-parameterized so
+    curate_corpus(report="quality_rules") emits the SAME rows over the
+    pipeline's own input frame (shared SQL — the report and the certified
+    entry cannot drift apart)."""
+    return _gopher_rules_body(d)
+
+
+def _gopher_rules_body(d: str, rel: str = "documents") -> str:
     toks = P.tokens("text", d)
     n_words = P.list_len(toks, d)
     alpha_words = P.list_count_matching(toks, "[A-Za-z]", d)
@@ -3923,7 +3930,7 @@ WITH sig AS (
          {symbols} AS sym,
          {stop_hits} AS sh,
          {chars_nospace} AS cns
-  FROM documents
+  FROM {rel}
 ),
 r AS (
   SELECT source,

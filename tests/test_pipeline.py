@@ -304,3 +304,27 @@ def test_curate_corpus_accounting_requires_minhash_stage(spark, docs):
                       report="accounting")
     with pytest.raises(ValueError, match="unknown report"):
         curate_corpus(spark, docs, report="acct")
+
+
+def test_curate_corpus_quality_rules_report_equals_standalone_entry(spark):
+    """report='quality_rules' emits the Gopher rule matrix over the
+    pipeline's INPUT frame via the SAME SQL body as the certified
+    gopher_quality_rules entry — row-identical on the raw documents corpus,
+    and source-less frames report under source='corpus'."""
+    import oaim_sandbox_spark.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    _out, counts, reports = curate_corpus(spark, docs, report="quality_rules")
+    assert set(reports) == {"gopher_quality_rules"}
+    got = [tuple(r) for r in reports["gopher_quality_rules"].collect()]
+    want = [tuple(r) for r in
+            Q.spark_queries()["gopher_quality_rules"](spark, sf).collect()]
+    assert got == want
+    assert counts["input"] == docs.count()
+    # source-less frame: one 'corpus' row, counts over the whole frame
+    nosrc = docs.select("doc_id", "text")
+    _o, _c, rep2 = curate_corpus(spark, nosrc, report="quality_rules")
+    rows = rep2["gopher_quality_rules"].collect()
+    assert len(rows) == 1 and rows[0]["source"] == "corpus"
+    assert rows[0]["n_docs"] == nosrc.count()
