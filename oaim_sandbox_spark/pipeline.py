@@ -301,21 +301,20 @@ def _quality_rules_report(spark: SparkSession, docs: DataFrame, text_col: str) -
     frame: the SAME SQL body as the certified gopher_quality_rules entry
     (queries_extended._gopher_rules_body), so the report and the oracle
     entry cannot drift apart. Docs without a `source` column report under
-    source='corpus'; a non-'text' text_col is aliased in."""
+    source='corpus'. The frame is PROJECTED to exactly (source, text) —
+    the _accounting_reports pattern — so a non-'text' text_col never
+    collides with an unrelated column literally named 'text' (r10 review:
+    withColumnRenamed produced an AMBIGUOUS_REFERENCE there)."""
     import uuid
 
+    from oaim_sandbox_spark.queries_core import _sql_dropping
     from oaim_sandbox_spark.queries_extended import _gopher_rules_body
 
-    rel = docs
-    if "source" not in rel.columns:
-        rel = rel.withColumn("source", F.lit("corpus"))
-    if text_col != "text":
-        rel = rel.withColumnRenamed(text_col, "text")
+    src = F.col("source") if "source" in docs.columns else F.lit("corpus")
+    rel = docs.select(src.alias("source"), F.col(text_col).alias("text"))
     name = f"qrules_{uuid.uuid4().hex[:12]}"
     rel.createOrReplaceTempView(name)
-    out = spark.sql(_gopher_rules_body("spark", rel=name))
-    spark.catalog.dropTempView(name)
-    return out
+    return _sql_dropping(spark, _gopher_rules_body("spark", rel=name), name)
 
 
 def _accounting_reports(

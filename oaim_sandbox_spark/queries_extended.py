@@ -4420,9 +4420,14 @@ def session_concurrency_sweepline(d: str) -> str:
     same two-pass trick the round-4 NTILE fix used). The classic interval
     operator the engine lacked: capacity planning reads max_concurrent per
     hour; hours with no boundary carry the previous level (densify with
-    the hourly_gapfill pattern if needed). Integer microseconds and counts
-    end to end. Sessions that touch (end == next start) do not overlap:
-    the end delta fires at e + 1. The session relation is read three times
+    the hourly_gapfill pattern if needed). An hour's peak is the max of
+    its post-delta levels AND the level CARRIED INTO the hour (r10 review:
+    an hour whose first boundaries are session ends would otherwise
+    under-report — e.g. one session spanning 10:30-12:30 peaks at 1 in
+    hour 12 before its only boundary, a -1). Integer microseconds and
+    counts end to end. Sessions that touch (end == next start) do not
+    overlap: the end delta fires at e + 1. The session relation is read
+    three times
     (both delta branches + the per-hour starts), so the Spark override
     materializes it once — the sessionization windows over the raw event
     stream are the dominant cost at scale and must not re-run per read."""
@@ -4432,12 +4437,12 @@ WITH sess AS ({_sessions_sql(d)}),
 """
 
 
-def _sessions_sql(d: str) -> str:
+def _sessions_sql(d: str, events_rel: str = "events") -> str:
     """(user_id, sid, s, e) gap-sessionized intervals from the event
     stream (30-min inactivity break), epoch-micros bounds."""
     lag = "LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)"
     return f"""
-WITH e AS (SELECT user_id, event_id, {_ts_us(d)} AS ts_us FROM events),
+WITH e AS (SELECT user_id, event_id, {_ts_us(d)} AS ts_us FROM {events_rel}),
 brk AS (
   SELECT user_id, ts_us,
          CASE WHEN {lag} IS NULL OR ts_us - {lag} > 1800000000
@@ -4469,6 +4474,7 @@ hoff AS (
 ),
 run AS (
   SELECT tph.hour_id AS hour_id,
+         hoff.off AS carry_in,
          hoff.off + SUM(tph.d) OVER (PARTITION BY tph.hour_id ORDER BY tph.t)
              AS conc
   FROM tph JOIN hoff ON tph.hour_id = hoff.hour_id
@@ -4479,7 +4485,7 @@ starts AS (
 )
 SELECT r.hour_id AS hour_id,
        CAST(COUNT(*) AS BIGINT) AS n_boundaries,
-       CAST(MAX(r.conc) AS BIGINT) AS max_concurrent,
+       CAST(GREATEST(MAX(r.conc), MAX(r.carry_in)) AS BIGINT) AS max_concurrent,
        CAST(COALESCE(MAX(st.n_started), 0) AS BIGINT) AS sessions_started
 FROM run r LEFT JOIN starts st ON r.hour_id = st.hour_id
 GROUP BY r.hour_id ORDER BY hour_id
