@@ -103,6 +103,124 @@ def test_sweepline_carry_in_duckdb():
     _check_sweep(out)
 
 
+def _naive_hourly_peaks(sessions):
+    """Reference sweep in plain Python: per hour WITH at least one
+    boundary, the max concurrency over [hour_start, hour_end) — including
+    the level carried into the hour."""
+    pts = {}
+    for s, e in sessions:
+        pts[s] = pts.get(s, 0) + 1
+        pts[e + 1] = pts.get(e + 1, 0) - 1
+    level, levels = 0, []  # (t, level AFTER applying t's deltas)
+    for t in sorted(pts):
+        level += pts[t]
+        levels.append((t, level))
+    out = {}
+    for i, (t, lv) in enumerate(levels):
+        h = t // HOUR
+        carry = levels[i - 1][1] if i else 0
+        cur = out.get(h)
+        best = max(lv, carry if (cur is None) else max(cur, lv, carry))
+        out[h] = best
+    return out
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+SESSIONS = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 5 * 3600), st.integers(0, 7200)),
+    min_size=1, max_size=25,
+)  # (user, start_sec, duration_sec) over a 5-hour span
+
+
+@given(raw=SESSIONS)
+@settings(max_examples=40, deadline=None)
+def test_sweepline_matches_naive_python(raw):
+    """The hour-partitioned two-pass sweep equals the obvious sequential
+    sweep for arbitrary interval sets — the property that would have caught
+    the carry-in bug (r10 review) on the first run. DuckDB executes the
+    shared SQL; the naive model consumes the SESSIONS the SQL itself
+    derives (random intervals may split/merge under the 30-min gap rule),
+    so the property isolates the SWEEP algebra from sessionization."""
+    from oaim_sandbox_spark.queries_extended import _sessions_sql, _sweepline_body
+
+    con = duckdb.connect()
+    rows, eid = [], 0
+    for u, start, dur in raw:
+        for t in (start, start + dur):
+            eid += 1
+            rows.append(f"({eid}, {u}, make_timestamp({t * 1_000_000}))")
+    con.execute(
+        "CREATE TABLE sweep_ev AS SELECT * FROM (VALUES "
+        + ", ".join(rows) + ") AS v(event_id, user_id, ts)"
+    )
+    sess = con.execute(
+        _sessions_sql("duck", events_rel="sweep_ev")
+    ).fetchall()
+    got = {int(r[0]): int(r[2]) for r in con.execute(
+        "WITH sess AS (" + _sessions_sql("duck", events_rel="sweep_ev") + "),\n"
+        + _sweepline_body("duck")
+    ).fetchall()}
+    want = _naive_hourly_peaks([(int(s), int(e)) for _u, _sid, s, e in sess])
+    assert got == want, (got, want, sess)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 3),
+                  st.lists(st.sampled_from("abcdef"), min_size=1, max_size=8)),
+        min_size=1, max_size=20,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_crossentropy_matrix_matches_direct_python(docs):
+    """The no-outer-join absent-mass closed form equals the direct
+    H(a,b) = -sum_w p_a(w) ln((c_b(w)+1)/(tot_b+V)) computed in plain
+    Python over the full corpus vocab — the algebra that makes the CE
+    matrix join-free for absent terms must not drift from the textbook
+    definition."""
+    import math as m
+
+    from oaim_sandbox_spark.queries_extended import (
+        _source_crossentropy_body,
+        _source_token_counts_sql,
+    )
+
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, 'src{s}', '{' '.join(words)}', 'en', {len(' '.join(words))})"
+        for i, (s, words) in enumerate(docs)
+    )
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + vals + ") AS v(doc_id, source, text, lang, n_chars)"
+    )
+    got = {(r[0], r[1]): (r[2], r[3]) for r in con.execute(
+        "WITH sc AS (" + _source_token_counts_sql("duck") + "),\n"
+        + _source_crossentropy_body("duck")
+    ).fetchall()}
+    # direct computation
+    counts: dict = {}
+    for s, words in docs:
+        src = f"src{s}"
+        for w in words:
+            counts.setdefault(src, {})
+            counts[src][w] = counts[src].get(w, 0) + 1
+    vocab = len({w for c in counts.values() for w in c})
+    tots = {s: sum(c.values()) for s, c in counts.items()}
+    for sa in counts:
+        for sb in counts:
+            pa = {w: c / tots[sa] for w, c in counts[sa].items()}
+            ce = -sum(
+                p * m.log((counts[sb].get(w, 0) + 1.0) / (tots[sb] + vocab))
+                for w, p in pa.items()
+            )
+            g_ov, g_ce = got[(sa, sb)]
+            assert abs(g_ce - ce) < 2e-6, (sa, sb, g_ce, ce)
+            assert abs(g_ov - sum(pa[w] for w in pa if w in counts[sb])) < 2e-6
+
+
 def test_late_arrival_profile_nonzero_path_duckdb():
     con = duckdb.connect()
     con.execute(

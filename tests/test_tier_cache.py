@@ -261,6 +261,25 @@ def test_int8_rep_materializes_quantized_columns_only(cat_store):
     assert len(hits) == 3 and hits[0]["id"] == 7  # self is nearest
 
 
+def test_rerank_tier_serves_euclidean_exact_order(cat_store):
+    """Third metric through a re-rank tier (the ladder's remaining leg):
+    a EUCLIDEAN_DISTANCE TieredStore over pca16_rerank returns the exact
+    euclidean top-k order on the planted store (stage 2 computes the
+    requested metric exactly; stage-1 coverage is the only slack and the
+    planted clusters give it margin)."""
+    from oaim_sandbox_spark.operators.retrieval import similarity_topk
+    from oaim_sandbox_spark.operators.tier_guard import TieredStore
+
+    cat, name, _vs = cat_store
+    store = cat.read_store(name)
+    qv = [float(x) for x in store.filter("id = 7").first()["embedding"]]
+    ts = TieredStore(store, "pca16_rerank", metric="EUCLIDEAN_DISTANCE")
+    got = [r["id"] for r in ts.topk(qv, k=4).collect()]
+    want = [r["id"] for r in
+            similarity_topk(store, qv, k=4, metric="EUCLIDEAN_DISTANCE").collect()]
+    assert got == want
+
+
 def test_gated_tiered_serving_second_metric(cat_store, probe_log):
     """VERDICT r8 task #4 end-to-end: TieredStore serves a SECOND metric
     (int8 under DOT_PRODUCT) behind the same persisted verdict gate. The
