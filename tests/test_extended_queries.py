@@ -230,3 +230,130 @@ def test_late_arrival_profile_nonzero_path_duckdb():
     )
     out = con.execute(_late_arrival_body("duck", rel="late_ev")).fetchall()
     _check(out)
+
+
+def _mk_docs(con, docs):
+    vals = ", ".join(
+        f"({i}, 'src{s}', '{' '.join(words)}', 'en', {len(' '.join(words))})"
+        for i, (s, words) in enumerate(docs)
+    )
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + vals + ") AS v(doc_id, source, text, lang, n_chars)"
+    )
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 2),
+                  st.lists(st.sampled_from("abcd"), min_size=1, max_size=10)),
+        min_size=2, max_size=25,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_ks_length_matches_direct_python(docs):
+    """The grid/cumsum KS SQL equals the direct max |ECDF_src - ECDF_corpus|
+    over the corpus length support, with the argmax tie broken to the
+    smallest length."""
+    from oaim_sandbox_spark.queries_extended import ks_length_by_source
+
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = {r[0]: (r[2], r[3]) for r in con.execute(ks_length_by_source("duck")).fetchall()}
+    lengths = {}
+    for s, words in docs:
+        lengths.setdefault(f"src{s}", []).append(len(" ".join(words)))
+    allv = sorted({v for ls in lengths.values() for v in ls})
+    n_corp = sum(len(ls) for ls in lengths.values())
+    for src, ls in lengths.items():
+        best, best_v = -1.0, None
+        for v in allv:
+            f_src = sum(1 for x in ls if x <= v) / len(ls)
+            f_corp = sum(1 for xs in lengths.values() for x in xs if x <= v) / n_corp
+            d = abs(f_src - f_corp)
+            # STRICT comparison, no epsilon: the SQL's argmax is decided by
+            # exact IEEE doubles (e.g. 1 - 2/3 is one ULP above 1/3, so
+            # those gaps are NOT tied) — both engines round divisions
+            # identically, so mirroring exact floats is the correct model
+            if d > best:
+                best, best_v = d, v
+        g_d, g_v = got[src]
+        assert abs(g_d - best) < 2e-6, (src, g_d, best)
+        assert g_v == best_v, (src, g_v, best_v)
+
+
+@given(
+    texts=st.lists(st.sampled_from(["a b", "c d e", "x", "a b c"]),
+                   min_size=1, max_size=30)
+)
+@settings(max_examples=40, deadline=None)
+def test_ingest_order_curve_matches_direct_python(texts):
+    """Range-bucket deciles + hash first-occurrence == the obvious
+    sequential scan with a seen-set, for duplicate-heavy ingest streams."""
+    from oaim_sandbox_spark.queries_extended import dedup_ingest_order_curve
+
+    con = duckdb.connect()
+    _mk_docs(con, [(0, t.split()) for t in texts])
+    got = {r[0]: (r[1], r[2], r[3]) for r in
+           con.execute(dedup_ingest_order_curve("duck")).fetchall()}
+    n = len(texts)
+    seen, naive = set(), {}
+    for i, t in enumerate(texts):
+        dec = min(1 + (i * 10) // n, 10)
+        rows, new = naive.get(dec, (0, 0))
+        is_new = t not in seen
+        seen.add(t)
+        naive[dec] = (rows + 1, new + (1 if is_new else 0))
+    cum = 0
+    for dec in sorted(naive):
+        rows, new = naive[dec]
+        cum += new
+        assert got[dec] == (rows, new, cum), (dec, got[dec], (rows, new, cum))
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 2),
+                  st.lists(st.sampled_from(["the", "of", "a1", "12", "#", "…", "..."]),
+                           min_size=0, max_size=60)),
+        min_size=1, max_size=15,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_gopher_rules_match_direct_python(docs):
+    """Each Gopher rule's fail count equals the direct per-doc evaluation —
+    word-level alpha membership, the three-symbol pattern (counting the
+    one-char ellipsis and the three-dot form), stopword hits."""
+    import re
+
+    from oaim_sandbox_spark.queries_extended import gopher_quality_rules
+    from oaim_sandbox_spark.operators.text_analysis import STOPWORDS
+
+    all_stop = {w for ws in STOPWORDS.values() for w in ws}
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = {r[0]: r[1:] for r in con.execute(gopher_quality_rules("duck")).fetchall()}
+    naive = {}
+    for s, words in docs:
+        src = f"src{s}"
+        text = " ".join(words)
+        toks = [t for t in text.split(" ") if t]
+        nw = len(toks)
+        aw = sum(1 for t in toks if re.search("[A-Za-z]", t))
+        sym = len(re.findall(r"#|…|\.\.\.", text))
+        sh = sum(1 for t in text.lower().split(" ") if t in all_stop)
+        cns = len(text.replace(" ", ""))
+        f1 = 1 if (nw < 50 or nw > 100000) else 0
+        f2 = 1 if (nw == 0 or cns / nw < 3.0 or cns / nw > 10.0) else 0
+        f3 = 1 if (nw > 0 and sym / nw > 0.1) else 0
+        f4 = 1 if (nw == 0 or aw / nw < 0.8) else 0
+        f5 = 1 if sh < 2 else 0
+        agg = naive.setdefault(src, [0, 0, 0, 0, 0, 0, 0])
+        agg[0] += 1
+        for j, f in enumerate((f1, f2, f3, f4, f5)):
+            agg[1 + j] += f
+        agg[6] += 1 if (f1 + f2 + f3 + f4 + f5) == 0 else 0
+    for src, agg in naive.items():
+        g = got[src]
+        assert list(g[:7]) == agg, (src, g, agg)
+        assert abs(g[7] - agg[6] / agg[0]) < 2e-6
