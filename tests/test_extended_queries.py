@@ -357,3 +357,124 @@ def test_gopher_rules_match_direct_python(docs):
         g = got[src]
         assert list(g[:7]) == agg, (src, g, agg)
         assert abs(g[7] - agg[6] / agg[0]) < 2e-6
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 1),
+                  st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12)),
+        min_size=2, max_size=25,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_heaps_fit_matches_direct_python(docs):
+    """The moment-form OLS on the cumulative (ln tokens, ln vocab) curve
+    equals the direct least-squares slope/intercept computed in Python."""
+    import math as m
+
+    from oaim_sandbox_spark.queries_extended import heaps_law_fit
+
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = {r[0]: (r[1], r[2], r[3], r[4], r[5]) for r in
+           con.execute(heaps_law_fit("duck")).fetchall()}
+    per = {}
+    for i, (s, words) in enumerate(docs):
+        per.setdefault(f"src{s}", []).append((i, words))
+    for src, items in per.items():
+        seen, cum_t, pts = set(), 0, []
+        for _i, words in items:  # doc_id order == insertion order here
+            cum_t += len(words)
+            seen |= set(words)
+            pts.append((m.log(cum_t), m.log(len(seen))))
+        n = len(pts)
+        mx = sum(x for x, _ in pts) / n
+        my = sum(y for _, y in pts) / n
+        varx = sum(x * x for x, _ in pts) / n - mx * mx
+        cov = sum(x * y for x, y in pts) / n - mx * my
+        g_n, g_tot, g_vocab, g_beta, g_k = got[src]
+        assert g_n == n and g_tot == cum_t and g_vocab == len(seen)
+        if abs(varx) < 1e-15:
+            assert g_beta is None  # zero-variance x -> NULL slope
+        else:
+            beta = cov / varx
+            assert abs(g_beta - beta) < 5e-6, (src, g_beta, beta)
+            assert abs(g_k - m.exp(my - mx * beta)) < max(5e-6, 5e-6 * g_k)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 400),
+                  st.lists(st.sampled_from(["the", "of", "zz"]), min_size=0, max_size=6)),
+        min_size=1, max_size=30,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_kappa_matches_direct_python(docs):
+    """Cohen's kappa per source equals the direct po/pe computation; NULL
+    exactly when pe == 1 (both labelers constant in the same direction)."""
+    from oaim_sandbox_spark.operators.text_analysis import STOPWORDS
+    from oaim_sandbox_spark.queries_extended import label_agreement_kappa
+
+    all_stop = {w for ws in STOPWORDS.values() for w in ws}
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, 'src{s}', '{' '.join(words)}', 'en', {nchars})"
+        for i, (s, nchars, words) in enumerate(docs)
+    )
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + vals + ") AS v(doc_id, source, text, lang, n_chars)"
+    )
+    got = {r[0]: r[5] for r in con.execute(label_agreement_kappa("duck")).fetchall()}
+    per = {}
+    for s, nchars, words in docs:
+        toks = [t for t in " ".join(words).lower().split(" ") if t]
+        la = 1 if nchars >= 200 else 0
+        ratio = round(sum(1 for t in toks if t in all_stop) / len(toks), 6) if toks else None
+        lb = 1 if (ratio is not None and ratio >= 0.10) else 0
+        per.setdefault(f"src{s}", []).append((la, lb))
+    for src, pairs in per.items():
+        n = len(pairs)
+        pa, pb = sum(a for a, _ in pairs), sum(b for _, b in pairs)
+        po = sum(1 for a, b in pairs if a == b) / n
+        pe = (pa * pb + (n - pa) * (n - pb)) / (n * n)
+        if abs(1 - pe) < 1e-15:
+            assert got[src] is None, (src, got[src])
+        else:
+            assert abs(got[src] - (po - pe) / (1 - pe)) < 2e-6, (src, got[src])
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 1),
+                  st.lists(st.sampled_from("abc"), min_size=2, max_size=10)),
+        min_size=1, max_size=20,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_bigram_entropy_matches_direct_python(docs):
+    """H(w2|w1) per source equals the direct conditional-entropy sum over
+    (prefix, bigram) counts."""
+    import math as m
+
+    from oaim_sandbox_spark.queries_extended import bigram_entropy_rate
+
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = {r[0]: (r[1], r[2], r[3]) for r in
+           con.execute(bigram_entropy_rate("duck")).fetchall()}
+    per = {}
+    for s, words in docs:
+        bgs = [(words[i], (words[i], words[i + 1])) for i in range(len(words) - 1)]
+        per.setdefault(f"src{s}", []).extend(bgs)
+    for src, bgs in per.items():
+        c12, c1 = {}, {}
+        for w1, bg in bgs:
+            c12[bg] = c12.get(bg, 0) + 1
+            c1[w1] = c1.get(w1, 0) + 1
+        n = len(bgs)
+        h = -sum((c / n) * m.log(c / c1[bg[0]]) for bg, c in c12.items())
+        g_n, g_distinct, g_h = got[src]
+        assert g_n == n and g_distinct == len(c12)
+        assert abs(g_h - h) < 2e-6, (src, g_h, h)
