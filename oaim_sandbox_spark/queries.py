@@ -101,10 +101,13 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     # staleness histogram 50xr6/50xr7/50xr8/50xr9, so the window is: any
     # NEW r10 entries (must certify first-time; each displaces one r6
     # entry past the boundary, which the rotation invariant allows),
-    # then ALL 50 entries whose last driver check was round 6 — the 18
+    # then the r6-stale entries in the tool's staleness order — the 18
     # previously-FLAGSHIP-listed ties first (incremental_neardup_probe ..
-    # event_moving_stats), then the 32 unlisted r6 entries in registry
-    # order — exactly the tool's staleness order.
+    # event_moving_stats), then the 32 unlisted in registry order. With
+    # 10 new entries the 50-slot window reaches 40 deep into this block;
+    # the last 10 r6 names (shingle_containment_decontam ..
+    # tfidf_cosine_sampled) fall past the boundary and lead the r11 head
+    # (PLANS.md round-11 rotation plan).
     # transformWithState twin: registered only where protobuf exists, and
     # never yet driver-checkable — keep it in the prefix so it certifies
     # the first time it can; in protobuf-less envs it is filtered out and

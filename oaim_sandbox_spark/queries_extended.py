@@ -4439,13 +4439,18 @@ WITH sess AS ({_sessions_sql(d)}),
 
 def _sessions_sql(d: str, events_rel: str = "events") -> str:
     """(user_id, sid, s, e) gap-sessionized intervals from the event
-    stream (30-min inactivity break), epoch-micros bounds."""
+    stream (30-min inactivity break), epoch-micros bounds. The break fires
+    at gap >= 30min — Structured Streaming session_window semantics and
+    the SAME boundary as the certified streaming_sessions entry (r10
+    review: a strict > here made the two sessionizers disagree on events
+    spaced exactly 30min apart, so the capacity numbers would contradict
+    the session_window deployment this audit sizes)."""
     lag = "LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)"
     return f"""
 WITH e AS (SELECT user_id, event_id, {_ts_us(d)} AS ts_us FROM {events_rel}),
 brk AS (
   SELECT user_id, ts_us,
-         CASE WHEN {lag} IS NULL OR ts_us - {lag} > 1800000000
+         CASE WHEN {lag} IS NULL OR ts_us - {lag} >= 1800000000
               THEN 1 ELSE 0 END AS is_new
   FROM e
 )

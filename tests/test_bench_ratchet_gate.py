@@ -17,7 +17,7 @@ from bench_ratchet import compare, epoch_ratio_from_control, timing_maps  # noqa
 REPO = os.path.join(os.path.dirname(__file__), "..")
 
 
-def _epoch_ratio_for(old_path: str, new: dict) -> float:
+def _epoch_ratio_for(old_path: str) -> float:
     """Host-epoch correction for comparisons against the archive named in
     BENCH_EPOCH.json: the ratio is COMPUTED from the committed same-code
     control record (the old archive's exact commit re-benched on the
@@ -59,7 +59,7 @@ def test_bench_ratchet_vs_previous_round_record():
             break
     if old is None:
         pytest.skip("every archived record is byte-identical to the working one")
-    epoch = _epoch_ratio_for(old_path, new)
+    epoch = _epoch_ratio_for(old_path)
     for rec, name in ((old, prevs[-1]), (new, "BENCH_FULL.json")):
         if rec.get("calibration_unstable") or rec.get("calibration_out_of_range"):
             pytest.skip(f"{name} flagged unstable/out-of-range — not comparable")

@@ -43,20 +43,21 @@ def test_late_arrival_profile_nonzero_path_spark(spark):
 
 
 HOUR = 3_600_000_000
-# Two users: u1 has one session spanning 10:30-12:30 (events at 10:30,
-# 11:00, ..., 12:30 — 30-min gaps, exactly at the break threshold so they
+# Two users: u1 has one session spanning 10:30-12:26 (five events at 29-min
+# gaps — UNDER the >= 30min break, session_window semantics, so they
 # chain); u2 a second session 10:45-10:50. Hand-computed per-hour peaks:
 #   hour 10: u1 starts (conc 1), u2 starts (2), u2 ends (1)      -> max 2
 #   hour 11: no boundaries (level 1 carried)                     -> absent
 #   hour 12: carry-in 1, u1's end is the only boundary (-> 0)    -> max 1
 # Hour 12 is exactly the r10 review counterexample: without the carry-in
-# the row read max_concurrent=0 while one session was live until 12:30.
+# the row read max_concurrent=0 while one session was live until 12:26.
+GAP29 = 1_740_000_000
 SWEEP_EVENTS = [
     (1, 1, 10 * HOUR + 1_800_000_000),
-    (2, 1, 11 * HOUR),
-    (3, 1, 11 * HOUR + 1_800_000_000),
-    (4, 1, 12 * HOUR),
-    (5, 1, 12 * HOUR + 1_800_000_000),
+    (2, 1, 10 * HOUR + 1_800_000_000 + GAP29),
+    (3, 1, 10 * HOUR + 1_800_000_000 + 2 * GAP29),
+    (4, 1, 10 * HOUR + 1_800_000_000 + 3 * GAP29),
+    (5, 1, 10 * HOUR + 1_800_000_000 + 4 * GAP29),
     (6, 2, 10 * HOUR + 2_700_000_000),
     (7, 2, 10 * HOUR + 3_000_000_000),
 ]

@@ -75,6 +75,11 @@ def epoch_ratio_from_control(old: dict, control: dict) -> float:
     scalar — and clamped to [1.0, 2.0]: an epoch correction may only relax
     the gate for a measured SLOWDOWN, never tighten it or excuse more than
     2x (a >2x 'epoch' claim needs a new baseline, not a multiplier)."""
+    if control.get("calibration_unstable") or control.get("calibration_out_of_range"):
+        # an unstable control (host speed changed mid-run) measures its own
+        # wobble, not the epoch — applying it could ratchet a genuine
+        # uniform regression through green (r10 review)
+        return 1.0
     ot, ct = timing_maps(old, control)
     shared = sorted(set(ot) & set(ct))
     ratios = sorted(ct[q] / ot[q] for q in shared if ot[q] > 0.05)
