@@ -2350,7 +2350,13 @@ def coreset_coverage_radius(d: str) -> str:
     then a per-label agg; at 100 TB the coreset side stays bounded by the
     sampling rate and the scan parallelizes freely — for million-point
     coresets, route the nearest-center step through IVFIndex over the
-    coreset instead."""
+    coreset instead.
+
+    mean_radius accumulates EXACT integer micro-radii (each radius is
+    already round(x, 6), so radius*1e6 recovers an integer) — a plain
+    AVG over doubles is partial-merge-order dependent and flipped the 6th
+    decimal across runs when a label's mean sat on a rounding boundary
+    (caught by the r10 close re-sweep: 0.759819 vs 0.759818)."""
     dist = P.cosine_distance(
         P.to_double_array("p.embedding", d), P.to_double_array("c.embedding", d), d
     )
@@ -2367,7 +2373,9 @@ r AS (
 )
 SELECT CAST(label AS INT) AS label,
        CAST(COUNT(*) AS BIGINT) AS n_points,
-       CAST(round(AVG(radius), 6) AS DOUBLE) AS mean_radius,
+       CAST(round(SUM(CAST(round(radius * CAST(1000000 AS DOUBLE)) AS BIGINT))
+                  / (COUNT(*) * CAST(1000000 AS DOUBLE)), 6) AS DOUBLE)
+           AS mean_radius,
        CAST(round({pcts}, 6) AS DOUBLE) AS p90_radius,
        CAST(round(MAX(radius), 6) AS DOUBLE) AS max_radius
 FROM r GROUP BY label ORDER BY label
