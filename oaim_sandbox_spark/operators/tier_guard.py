@@ -539,16 +539,21 @@ class TieredStore:
 
         self._rep = materialize_relation(rep, f"tier_{tier}")
 
-    def topk(self, query_vec: list[float], k: int = 4) -> DataFrame:
-        """Exact-metric top-k through the tier funnel for ONE query vector.
-        Returns the original store columns plus `distance` (round 6),
-        ordered ascending — the same output contract as
-        retrieval.similarity_topk, so serving callers can swap it in."""
+    def topk_batch(self, queries: list[tuple[int, list[float]]], k: int = 4) -> DataFrame:
+        """Exact-metric top-k for MANY query vectors through ONE stage-1
+        scan over the compressed representation — the 100 TB serving shape
+        (per-query scans would re-read the representation |queries| times;
+        every canonical candidate generator is already batched, so the
+        batch form is the natural one and `topk` is its 1-query wrapper).
+        `queries` is [(query_id, vector)] with unique int ids; returns
+        (query_id, <store columns>, distance, rank), ascending per query."""
         from oaim_sandbox_spark.operators import ann as A
 
         spark = self.store.sparkSession
-        qv = [float(x) for x in query_vec]
-        qdf = spark.createDataFrame([(0, qv)], "query_id BIGINT, query_vec ARRAY<DOUBLE>")
+        qrows = [(int(qid), [float(x) for x in qv]) for qid, qv in queries]
+        if len({q for q, _ in qrows}) != len(qrows):
+            raise ValueError("query ids must be unique")
+        qdf = spark.createDataFrame(qrows, "query_id BIGINT, query_vec ARRAY<DOUBLE>")
         if self.tier == "int8":
             res = A.knn_join(A.dequantize_embeddings(self._rep), qdf, k=k,
                              metric=self.metric)
@@ -556,7 +561,7 @@ class TieredStore:
             fetch_k = int(self.op.get("fetch_mult", 5)) * k
             if self.tier == "binary_hamming_rerank":
                 cand = binary_hamming_candidates(
-                    self._norm, [(0, qv)], self.dim, fetch_k, packed=self._rep
+                    self._norm, qrows, self.dim, fetch_k, packed=self._rep
                 )
             elif self.tier == "matryoshka16_rerank":
                 qdfp = qdf.withColumn("query_vec", F.expr("slice(query_vec, 1, 16)"))
@@ -566,19 +571,34 @@ class TieredStore:
             else:  # pca16_rerank
                 import numpy as np
 
-                proj = ((np.asarray(qv) - self._pca.mean) @ self._pca.components.T).tolist()
+                proj = [
+                    (qid, ((np.asarray(qv) - self._pca.mean) @ self._pca.components.T).tolist())
+                    for qid, qv in qrows
+                ]
                 qdfp = spark.createDataFrame(
-                    [(0, proj)], "query_id BIGINT, query_vec ARRAY<DOUBLE>"
+                    proj, "query_id BIGINT, query_vec ARRAY<DOUBLE>"
                 )
                 cand = A.knn_join(self._rep, qdfp, k=fetch_k, item_vec="embp").select(
                     "query_id", "neighbor_id"
                 )
             res = exact_rerank(self._norm, qdf, cand, k, self.metric)
-        hits = res.select(F.col("neighbor_id"), F.col("distance"))
+        hits = res.select("query_id", "neighbor_id", "distance", "rank")
         return (
             self.store.join(
                 hits, F.col(self.id_col).cast("bigint") == F.col("neighbor_id")
             )
             .drop("neighbor_id")
+            .orderBy(F.col("query_id").asc(), F.col("distance").asc(),
+                     F.col(self.id_col).asc())
+        )
+
+    def topk(self, query_vec: list[float], k: int = 4) -> DataFrame:
+        """Exact-metric top-k through the tier funnel for ONE query vector.
+        Returns the original store columns plus `distance` (round 6),
+        ordered ascending — the same output contract as
+        retrieval.similarity_topk, so serving callers can swap it in."""
+        return (
+            self.topk_batch([(0, query_vec)], k=k)
+            .drop("query_id", "rank")
             .orderBy(F.col("distance").asc(), F.col(self.id_col).asc())
         )

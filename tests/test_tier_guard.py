@@ -184,3 +184,32 @@ def test_probe_validates_metric_per_tier(spark):
     v = A.recommend_tiers(store, tiers=["binary_hamming_rerank"], n_queries=4,
                           store_cap=1000, metric="DOT_PRODUCT")["binary_hamming_rerank"]
     assert v["status"] in ("ok", "widened"), v
+
+
+def test_topk_batch_equals_per_query_topk(spark):
+    """topk_batch through one stage-1 scan returns, per query, exactly the
+    rows the single-query topk returns — for a re-rank tier AND int8, and
+    under a non-cosine metric."""
+    from oaim_sandbox_spark.operators.tier_guard import TieredStore
+
+    store = _planted_store(spark, n_vec=300)
+    qids = [3, 41, 77]
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in store.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    for tier, metric in (("binary_hamming_rerank", "COSINE"),
+                         ("int8", "DOT_PRODUCT")):
+        ts = TieredStore(store, tier, metric=metric, id_col="vec_id")
+        batch = ts.topk_batch([(q, qvecs[q]) for q in qids], k=4).collect()
+        got = {}
+        for r in batch:
+            got.setdefault(r["query_id"], []).append((r["vec_id"], r["distance"]))
+        for q in qids:
+            single = [(r["vec_id"], r["distance"]) for r in ts.topk(qvecs[q], k=4).collect()]
+            assert got[q] == single, (tier, metric, q)
+    # duplicate query ids refuse up front
+    ts = TieredStore(store, "int8", id_col="vec_id")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unique"):
+        ts.topk_batch([(1, qvecs[3]), (1, qvecs[41])])
