@@ -225,16 +225,22 @@ def binary_hamming_candidates(
 
 
 def prefix_candidates(
-    store: DataFrame, qdf: DataFrame, prefix_dim: int, fetch_k: int
+    store: DataFrame, qdf: DataFrame, prefix_dim: int, fetch_k: int,
+    storep: DataFrame | None = None,
 ) -> DataFrame:
     """Stage-1 of the matryoshka tier: k-NN over the leading prefix_dim
     dims only. Returns (query_id, neighbor_id). Canonical shared
-    implementation (see binary_hamming_candidates)."""
+    implementation (see binary_hamming_candidates); a serving TieredStore
+    passes its precomputed (vec_id, embp) representation via ``storep`` —
+    the same single-implementation contract as ``packed=`` (r10 review:
+    an inline copy in topk_batch would let the probed funnel and the
+    served one drift apart)."""
     from oaim_sandbox_spark.operators import ann as A
 
-    storep = store.withColumn(
-        "embp", F.expr(f"slice(cast(embedding as array<double>), 1, {prefix_dim})")
-    )
+    if storep is None:
+        storep = store.withColumn(
+            "embp", F.expr(f"slice(cast(embedding as array<double>), 1, {prefix_dim})")
+        )
     qdfp = qdf.withColumn("query_vec", F.expr(f"slice(query_vec, 1, {prefix_dim})"))
     return A.knn_join(storep, qdfp, k=fetch_k, item_vec="embp").select(
         "query_id", "neighbor_id"
@@ -242,19 +248,24 @@ def prefix_candidates(
 
 
 def pca_candidates(
-    store: DataFrame, queries: list, n_components: int, fetch_k: int
+    store: DataFrame, queries: list, n_components: int, fetch_k: int,
+    pca=None, storep: DataFrame | None = None,
 ) -> DataFrame:
     """Stage-1 of the PCA tier: fit the learned subspace on the store
     (one-pass distributed Gram), project both sides, k-NN in the subspace.
-    Returns (query_id, neighbor_id). Canonical shared implementation."""
+    Returns (query_id, neighbor_id). Canonical shared implementation; a
+    serving TieredStore passes its fitted ``pca`` and precomputed
+    ``storep`` (vec_id, embp) so probe and serving share one funnel."""
     import numpy as np
 
     from oaim_sandbox_spark.operators import ann as A
     from oaim_sandbox_spark.operators.dim_reduce import fit_pca, project_pca
 
     spark = store.sparkSession
-    pca = fit_pca(store, n_components=n_components)
-    storep = project_pca(store, pca, out_col="embp")
+    if pca is None:
+        pca = fit_pca(store, n_components=n_components)
+    if storep is None:
+        storep = project_pca(store, pca, out_col="embp")
     qdfp = spark.createDataFrame(
         [
             (qid, ((np.asarray(qv) - pca.mean) @ pca.components.T).tolist())
@@ -546,9 +557,21 @@ class TieredStore:
         every canonical candidate generator is already batched, so the
         batch form is the natural one and `topk` is its 1-query wrapper).
         `queries` is [(query_id, vector)] with unique int ids; returns
-        (query_id, <store columns>, distance, rank), ascending per query."""
+        (<store columns>, query_id, distance, rank) — store columns FIRST
+        (the store is the join's left side) — ascending per query. The
+        three output names are reserved: a store that already carries a
+        query_id/distance/rank column would make the join ambiguous (and
+        drop() would silently eat the caller's column), so the call refuses
+        up front with a rename hint (r10 review)."""
         from oaim_sandbox_spark.operators import ann as A
 
+        clash = {"query_id", "distance", "rank"} & set(self.store.columns)
+        if clash:
+            raise ValueError(
+                f"store columns {sorted(clash)} collide with topk output "
+                "columns (query_id/distance/rank are reserved); rename them "
+                "before building the TieredStore"
+            )
         spark = self.store.sparkSession
         qrows = [(int(qid), [float(x) for x in qv]) for qid, qv in queries]
         if len({q for q, _ in qrows}) != len(qrows):
@@ -564,22 +587,12 @@ class TieredStore:
                     self._norm, qrows, self.dim, fetch_k, packed=self._rep
                 )
             elif self.tier == "matryoshka16_rerank":
-                qdfp = qdf.withColumn("query_vec", F.expr("slice(query_vec, 1, 16)"))
-                cand = A.knn_join(self._rep, qdfp, k=fetch_k, item_vec="embp").select(
-                    "query_id", "neighbor_id"
+                cand = prefix_candidates(
+                    self._norm, qdf, 16, fetch_k, storep=self._rep
                 )
             else:  # pca16_rerank
-                import numpy as np
-
-                proj = [
-                    (qid, ((np.asarray(qv) - self._pca.mean) @ self._pca.components.T).tolist())
-                    for qid, qv in qrows
-                ]
-                qdfp = spark.createDataFrame(
-                    proj, "query_id BIGINT, query_vec ARRAY<DOUBLE>"
-                )
-                cand = A.knn_join(self._rep, qdfp, k=fetch_k, item_vec="embp").select(
-                    "query_id", "neighbor_id"
+                cand = pca_candidates(
+                    self._norm, qrows, 16, fetch_k, pca=self._pca, storep=self._rep
                 )
             res = exact_rerank(self._norm, qdf, cand, k, self.metric)
         hits = res.select("query_id", "neighbor_id", "distance", "rank")

@@ -210,6 +210,10 @@ def test_topk_batch_equals_per_query_topk(spark):
             assert got[q] == single, (tier, metric, q)
     # duplicate query ids refuse up front
     ts = TieredStore(store, "int8", id_col="vec_id")
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="unique"):
+    with pytest.raises(ValueError, match="unique"):
         ts.topk_batch([(1, qvecs[3]), (1, qvecs[41])])
+    # reserved output names refuse with a rename hint, never an ambiguous
+    # join or a silent drop of the caller's column
+    ts2 = TieredStore(store.withColumn("rank", F.lit(1)), "int8", id_col="vec_id")
+    with pytest.raises(ValueError, match="reserved"):
+        ts2.topk_batch([(1, qvecs[3])])
