@@ -94,79 +94,25 @@ def _make_spark_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # and the LLM-data-pipeline operators — the newest and highest-value entries —
 # followed by everything else in definition order.
 FLAGSHIP_FIRST: tuple[str, ...] = (
-    # --- ROUND-10 WINDOW: rotation by certification staleness
-    # (tools/window_rotation.py against the landed CORRECTNESS_r09.json;
-    # precomputed in PLANS.md round-9 plan and mandated by VERDICT r9
-    # task #2). Union coverage is 200/200 green across r1-r9 with
-    # staleness histogram 50xr6/50xr7/50xr8/50xr9, so the window is: any
-    # NEW r10 entries (must certify first-time; each displaces one r6
-    # entry past the boundary, which the rotation invariant allows),
-    # then the r6-stale entries in the tool's staleness order — the 18
-    # previously-FLAGSHIP-listed ties first (incremental_neardup_probe ..
-    # event_moving_stats), then the 32 unlisted in registry order. With
-    # 10 new entries the 50-slot window reaches 40 deep into this block;
-    # the last 10 r6 names (shingle_containment_decontam ..
-    # tfidf_cosine_sampled) fall past the boundary and lead the r11 head
-    # (PLANS.md round-11 rotation plan).
+    # --- ROUND-11 WINDOW: rotation by certification staleness
+    # (tools/window_rotation.py against the landed CORRECTNESS_r10.json;
+    # precomputed in PLANS.md round-11 rotation plan and mandated by
+    # VERDICT r10 task #1). Union coverage is 210/210 green across r1-r10
+    # with staleness histogram 10xr6/50xr7/50xr8/50xr9/50xr10, so the
+    # window is: any NEW r11 entries (must certify first-time; each
+    # displaces one r7 entry past the boundary, which the rotation
+    # invariant allows), then the 10 r6-stale entries, then the 50
+    # r7-stale entries in the tool's staleness order — the 50-slot window
+    # reaches as deep into the r7 block as the new-entry count permits;
+    # displaced r7 names lead the r12 head.
     # transformWithState twin: registered only where protobuf exists, and
     # never yet driver-checkable — keep it in the prefix so it certifies
     # the first time it can; in protobuf-less envs it is filtered out and
     # costs no slot.
     "streaming_user_stats_tws",
-    # --- NEW this round (must certify first-time): Gopher rule audit,
-    # watermark-lateness profile, Heaps-law vocab growth, incremental-dedup
-    # state curve, join-key skew audit, source CE matrix, weak-labeler kappa.
-    "gopher_quality_rules",
-    "late_arrival_profile",
-    "heaps_law_fit",
-    "dedup_ingest_order_curve",
-    "key_skew_profile",
-    "source_crossentropy_matrix",
-    "label_agreement_kappa",
-    "ks_length_by_source",
-    "bigram_entropy_rate",
-    "session_concurrency_sweepline",
-    # --- last driver check: round 6 (all 50, staleness order):
-    "incremental_neardup_probe",
-    "ngram_jaccard_pairs",
-    "embedding_cosine_pairs",
-    "q19_disjunctive_pred_join",
-    "q21_waiting_suppliers",
-    "bigram_topk",
-    "doc_len_percentiles",
-    "mad_outliers",
-    "salted_user_counts",
-    "repetition_ratios",
-    "quality_filter",
-    "latest_event_per_user",
-    "event_value_zscores",
-    "docs_intersect_except",
-    "customer_order_stats_outer",
-    "pivot_event_counts",
-    "cube_doc_counts",
-    "event_moving_stats",
-    "topk_docs_per_lang",
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q20_dominant_suppliers",
-    "mlm_masking",
-    "matryoshka_topk",
-    "decontamination_8gram",
-    "boilerplate_gram_fraction",
-    "domain_mix_rebalance",
-    "hourly_gapfill",
-    "near_dup_clusters",
-    "embedding_centroid_outliers",
-    "grouping_sets_docs",
-    "levenshtein_near_pairs",
-    "funnel_conversion",
-    "ivf_full_probe_topk",
-    "rerank_crossencoder_topk",
-    "events_variant_histogram",
-    "pagerank_3iter",
-    "weighted_reservoir_sample",
-    "unigram_logprob_quality",
+    # --- NEW this round (must certify first-time): inserted here as they
+    # land; see the r11 section of PLANS.md.
+    # --- last driver check: round 6 (all 10 remaining, staleness order):
     "shingle_containment_decontam",
     "triangle_count",
     "grouped_split_leakage_safe",
@@ -177,6 +123,60 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "tfidf_cosine_pairs",
     "event_corr_matrix",
     "tfidf_cosine_sampled",
+    # --- last driver check: round 7 (all 50, staleness order; the
+    # driver certifies only the first 50 FLAGSHIP_FIRST names, so the
+    # tail of this block past slot 50 falls out of the window as new
+    # r11 entries land above, and leads the r12 head):
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "anti_join_merge",
+    "catalog_scan_events",
+    "events_json_props",
+    "events_hourly_windows",
+    "user_activity_sessions",
+    "chunk_ids_window",
+    "filtered_topk_label",
+    "minhash_lsh_pairs",
+    "split_leakage_check",
+    "minhash_estimate_quality",
+    "doc_len_percentiles_approx",
+    "mad_outliers_approx",
+    "pack_mix_diversity",
+    "hybrid_rrf_topk",
+    "binary_quant_topk",
+    "ntile_curriculum_buckets",
+    "chunk_reassembly",
+    "domain_caps_topn",
+    "global_shuffle_order",
+    "vocab_coverage_topk",
+    "contamination_rate_by_source",
+    "streaming_sliding_counts",
+    "streaming_hourly_counts",
+    "streaming_pii_scrub",
+    "pii_redaction_stats",
+    "winnowing_fingerprints",
+    "scd2_purchase_history",
+    "lang_confusion_matrix",
+    "trailing_hour_stats",
+    "tfidf_top_terms",
+    "domain_temperature_weights",
+    "tokenizer_fertility",
+    "semantic_dedup_clusters",
+    "dsir_importance_weights",
+    "classifier_quality_scores",
+    "retrieval_eval_metrics",
+    "countmin_token_topk",
+    "classifier_calibration_ece",
+    "corpus_version_diff",
+    "colbert_maxsim_topk",
+    "repeated_span_stats",
+    "data_quality_profile",
+    "psi_value_drift",
+    "sampled_cosine_pairs",
+    "embedding_drift_psi",
+    "weak_label_vote",
+    "hard_negative_mining",
+    "unimax_budget_allocation",
 )
 
 
