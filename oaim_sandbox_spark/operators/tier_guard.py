@@ -476,10 +476,17 @@ class TieredStore:
 
     This is the 100 TB serving shape: stage-1 bandwidth shrinks 4-16x
     (int64 words / 16-dim prefixes vs full float arrays) while the exact
-    re-rank touches only fetch_mult*k candidate rows. Pass the operating
+    re-rank touches only fetch_mult*k candidate rows.
+
+    Recall gating is OPT-IN at this layer (ADVICE r10): pass the operating
     point from a cached catalog verdict
-    (`VectorStoreCatalog.assert_tier_usable`) so a tier whose recall
-    collapsed on this store is refused BEFORE any query runs.
+    (`VectorStoreCatalog.assert_tier_usable(..., metric=...)`) so a tier
+    whose recall collapsed on this store is refused BEFORE any query runs —
+    the serving path (`ChatPipeline._tiered_store`) always does this via
+    `tier_gate` and refuses to construct without one. Direct construction
+    with no operating point (any metric) uses the TIER_LADDER default
+    point UNMEASURED on this store — an expert path for tests and
+    offline probes, not serving.
 
     Ids must be numeric (cast to bigint), the same contract as the guard's
     probe and the ann operators."""
@@ -565,12 +572,16 @@ class TieredStore:
         up front with a rename hint (r10 review)."""
         from oaim_sandbox_spark.operators import ann as A
 
-        clash = {"query_id", "distance", "rank"} & set(self.store.columns)
+        # neighbor_id is joined then dropped on the output path, so it is
+        # reserved too — without this check a store carrying its own
+        # neighbor_id column fails later with AMBIGUOUS_REFERENCE instead
+        # of this rename hint (ADVICE r10).
+        clash = {"query_id", "distance", "rank", "neighbor_id"} & set(self.store.columns)
         if clash:
             raise ValueError(
                 f"store columns {sorted(clash)} collide with topk output "
-                "columns (query_id/distance/rank are reserved); rename them "
-                "before building the TieredStore"
+                "columns (query_id/neighbor_id/distance/rank are reserved); "
+                "rename them before building the TieredStore"
             )
         spark = self.store.sparkSession
         qrows = [(int(qid), [float(x) for x in qv]) for qid, qv in queries]

@@ -64,3 +64,39 @@ def test_split_documents_by_ext_unknown_ext(spark):
 
     with pytest.raises(Exception, match="unsupported file extension"):
         split_documents_by_ext(df).collect()
+
+
+def test_token_sentence_splitter_budgets_tokens_with_overlap():
+    """ADVICE r10: llama-index SentenceSplitter budgets TOKENS with
+    default overlap 200; TokenSentenceSplitter matches that contract —
+    sentence-boundary pieces merged under a token budget, overlap carried
+    as whole sentences, every chunk a verbatim join of input sentences."""
+    from oaim_sandbox_spark.operators.split import (
+        TokenSentenceSplitter,
+        token_sentence_splitter,
+    )
+
+    sentences = [f"Sentence number {i} has exactly seven tokens. " for i in range(40)]
+    text = "".join(sentences)
+    sp = TokenSentenceSplitter(chunk_size=50, chunk_overlap=10)
+    chunks = sp.split_text(text)
+    assert len(chunks) > 1
+    for c in chunks:
+        # budget holds (no single sentence exceeds it here)
+        assert sp.count_tokens(c) <= 50
+        # chunks are whole-sentence joins: each chunk is a contiguous
+        # verbatim span of the input
+        assert c in text
+    # consecutive chunks overlap by at least one carried sentence (each
+    # sentence is unique, so containment is an exact check)
+    for a, b in zip(chunks, chunks[1:]):
+        first_sentence_of_b = b[: b.index(". ") + 2]
+        assert first_sentence_of_b in a, (a, b)
+    # defaults match the reference SentenceSplitter defaults
+    d = token_sentence_splitter()
+    assert (d.chunk_size, d.chunk_overlap) == (2048, 200)
+    # an over-budget single sentence still becomes its own chunk (the
+    # r9/r10 merge-guard contract, inherited from TokenSplitter._merge)
+    big = "word " * 80 + ". Short one. Another short one. "
+    got = TokenSentenceSplitter(chunk_size=20, chunk_overlap=4).split_text(big)
+    assert any(TokenSentenceSplitter(20, 4).count_tokens(c) > 20 for c in got)

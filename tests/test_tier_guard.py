@@ -217,3 +217,9 @@ def test_topk_batch_equals_per_query_topk(spark):
     ts2 = TieredStore(store.withColumn("rank", F.lit(1)), "int8", id_col="vec_id")
     with pytest.raises(ValueError, match="reserved"):
         ts2.topk_batch([(1, qvecs[3])])
+    # neighbor_id is joined-then-dropped internally, so it is reserved too
+    # (ADVICE r10: previously failed later with AMBIGUOUS_REFERENCE)
+    ts3 = TieredStore(store.withColumn("neighbor_id", F.lit(1)), "int8",
+                      id_col="vec_id")
+    with pytest.raises(ValueError, match="reserved"):
+        ts3.topk_batch([(1, qvecs[3])])
