@@ -383,6 +383,37 @@ def round6(e: str, dialect: str) -> str:
     return f"round({e}, 6)"
 
 
+def exact_sum(e: str, dialect: str, scale: int = 9) -> str:
+    """ORDER-INDEPENDENT sum of a DOUBLE term: each per-row value is rounded
+    to ``10^-scale`` units, accumulated as an exact BIGINT, and divided back
+    once. Plain SUM/AVG over doubles is partial-merge-order dependent in
+    Spark, and a result sitting on a round-6 output boundary flips its last
+    digit across runs (the coreset_coverage_radius incident, r10 close;
+    VERDICT r10 task #2 mandates this recipe for every large-N float
+    aggregate). The scaled term must satisfy |e|*10^scale < 2^53 (so the
+    double represents the integer exactly) and SUM |e|*10^scale < 2^63 per
+    group (BIGINT capacity) — callers pick ``scale`` from the term's
+    magnitude bound and the group cardinality; the default 9 handles |e|<=2
+    over up to ~2e9 rows/group. Deterministic per-row rounding introduces at
+    most 0.5*10^-scale per term (random-sign cancellation keeps the realized
+    drift ~sqrt(N) smaller), far below the 1e-6 output rounding at the
+    chosen scales. Identical SQL on both dialects, so the oracle agrees by
+    construction."""
+    s = f"CAST(1e{scale} AS DOUBLE)"
+    return f"(SUM(CAST(round(({e}) * {s}) AS BIGINT)) / {s})"
+
+
+def exact_avg(e: str, dialect: str, scale: int = 9) -> str:
+    """ORDER-INDEPENDENT mean of a DOUBLE term — `exact_sum` divided by the
+    non-NULL term count (COUNT(e), matching AVG's NULL semantics). Same
+    scale bounds as exact_sum."""
+    s = f"CAST(1e{scale} AS DOUBLE)"
+    return (
+        f"(SUM(CAST(round(({e}) * {s}) AS BIGINT)) "
+        f"/ (COUNT({e}) * {s}))"
+    )
+
+
 def sign_pack(arr: str, start_1based: int, n: int, dialect: str) -> str:
     """Pack the SIGNS of ``n`` consecutive elements (1-based ``start``) into
     one int64: bit j set iff arr[start+j] > 0. The binary-quantization

@@ -578,7 +578,8 @@ WITH tk AS ({tok}),
 sc AS (SELECT source, tok, CAST(COUNT(*) AS DOUBLE) AS c FROM tk GROUP BY source, tok),
 corp AS (SELECT tok, CAST(SUM(c) AS DOUBLE) AS c FROM sc GROUP BY tok),
 v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vocab, CAST(SUM(c) AS DOUBLE) AS total FROM corp),
-lq AS (SELECT CAST(SUM(ln((corp.c + 1.0) / (v.total + v.vocab))) AS DOUBLE) AS l
+lq AS (SELECT CAST({P.exact_sum('ln((corp.c + 1.0) / (v.total + v.vocab))', d, 11)}
+              AS DOUBLE) AS l
        FROM corp CROSS JOIN v),
 st AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS tot FROM sc GROUP BY source),
 terms AS (
@@ -592,8 +593,8 @@ terms AS (
 ),
 agg AS (
   SELECT source,
-         SUM(p * ln(p / q)) AS present_kl,
-         SUM(ln(q)) AS present_lnq,
+         {P.exact_sum('p * ln(p / q)', d, 11)} AS present_kl,
+         {P.exact_sum('ln(q)', d, 11)} AS present_lnq,
          CAST(COUNT(*) AS DOUBLE) AS n_present,
          MAX(tot) AS tot
   FROM terms
@@ -615,7 +616,9 @@ def zipf_alpha_by_lang(d: str) -> str:
     data (natural text sits near alpha ~= 1; far-off values flag boilerplate
     floods or synthetic/templated text). OLS fit of ln(freq) on ln(rank)
     over each language's top-500 tokens, closed-form slope from the five
-    classic sums — deterministic on both engines, no regr_* dependency.
+    classic sums — accumulated via P.exact_sum (scale 12; <=500 bounded
+    terms of |t| <= ~290, well inside BIGINT), so the moments are
+    merge-order independent on both engines, no regr_* dependency.
     Shape: token explode -> (lang, token) counts (map-side combinable);
     ranking window is PARTITIONED by lang over the vocab-sized count
     relation; the fit aggregates 500 rows per lang. r2 reports fit quality
@@ -642,8 +645,10 @@ pts AS (
 ),
 fit AS (
   SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
-         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
-         SUM(x * x) AS sxx, SUM(y * y) AS syy
+         {P.exact_sum('x', d, 12)} AS sx, {P.exact_sum('y', d, 12)} AS sy,
+         {P.exact_sum('x * y', d, 12)} AS sxy,
+         {P.exact_sum('x * x', d, 12)} AS sxx,
+         {P.exact_sum('y * y', d, 12)} AS syy
   FROM pts GROUP BY lang
 )
 SELECT lang, CAST(n AS BIGINT) AS n_terms,
@@ -1484,7 +1489,7 @@ def unpivot_monthly_metrics(d: str) -> str:
 WITH wide AS (
   SELECT {mon} AS month,
          CAST(COUNT(*) AS DOUBLE) AS n_orders,
-         CAST(round(AVG(o_totalprice), 6) AS DOUBLE) AS avg_price,
+         CAST(round({P.exact_avg('o_totalprice', d, 2)}, 6) AS DOUBLE) AS avg_price,
          CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
   FROM orders GROUP BY {mon}
 )
@@ -1953,9 +1958,9 @@ pairs AS (
 )
 SELECT CAST(least(9, CAST(floor(exact_cos * 10) AS INT)) AS INT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       CAST(round(AVG(exact_cos), 6) AS DOUBLE) AS mean_exact,
-       CAST(round(AVG(est_cos), 6) AS DOUBLE) AS mean_est,
-       CAST(round(AVG(abs(est_cos - exact_cos)), 6) AS DOUBLE) AS mae,
+       CAST(round({P.exact_avg('exact_cos', d, 9)}, 6) AS DOUBLE) AS mean_exact,
+       CAST(round({P.exact_avg('est_cos', d, 9)}, 6) AS DOUBLE) AS mean_est,
+       CAST(round({P.exact_avg('abs(est_cos - exact_cos)', d, 9)}, 6) AS DOUBLE) AS mae,
        CAST(round(AVG(CASE WHEN est_cos > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6)
             AS DOUBLE) AS coverage
 FROM pairs
@@ -2166,7 +2171,7 @@ WITH sig AS (
 agree AS (SELECT {agree_cols} FROM sig)
 SELECT sig.source AS source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(round(AVG({vote}), 6) AS DOUBLE) AS mean_vote,
+       CAST(round({P.exact_avg(vote, d, 9)}, 6) AS DOUBLE) AS mean_vote,
        CAST(round(AVG(CASE WHEN {vote} >= 0.5 THEN CAST(1 AS DOUBLE)
                            WHEN {vote} < 0.5 THEN CAST(0 AS DOUBLE) END), 6)
             AS DOUBLE) AS pass_rate,
@@ -2328,7 +2333,7 @@ cons AS (
 )
 SELECT CAST(alab AS INT) AS label,
        CAST(COUNT(*) AS BIGINT) AS n_vectors,
-       CAST(round(AVG(consensus), 6) AS DOUBLE) AS mean_consensus,
+       CAST(round({P.exact_avg('consensus', d, 9)}, 6) AS DOUBLE) AS mean_consensus,
        CAST(SUM(CASE WHEN consensus < 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
 FROM cons GROUP BY alab ORDER BY label
 """
@@ -2598,7 +2603,7 @@ SELECT CAST(v.label AS INT) AS label,
        CAST(MAX(v.ndim) AS INT) AS max_dim,
        CAST(SUM(CASE WHEN v.nrm < 0.000001 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
        CAST(SUM(v.bad) AS BIGINT) AS n_nonfinite_vals,
-       CAST(round(AVG(v.nrm), 6) AS DOUBLE) AS mean_norm,
+       CAST(round({P.exact_avg('v.nrm', d, 9)}, 6) AS DOUBLE) AS mean_norm,
        CAST(round({pcts}, 6) AS DOUBLE) AS p99_norm,
        CAST(MAX(ds.n_const) AS INT) AS n_constant_dims
 FROM v JOIN dimsum ds ON v.label = ds.dlabel
@@ -2854,7 +2859,7 @@ labeled AS (
 )
 SELECT source_a, source_b,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       CAST(round(AVG(est_jaccard), 6) AS DOUBLE) AS mean_est_jaccard
+       CAST(round({P.exact_avg('est_jaccard', d, 9)}, 6) AS DOUBLE) AS mean_est_jaccard
 FROM labeled
 GROUP BY source_a, source_b
 ORDER BY source_a, source_b
@@ -3319,7 +3324,7 @@ SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN qs >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT)
            AS n_pass,
-       CAST(round(AVG(qs), 6) AS DOUBLE) AS mean_quality,
+       CAST(round({P.exact_avg('qs', d, 9)}, 6) AS DOUBLE) AS mean_quality,
        CAST(round(CAST(SUM(CASE WHEN qs >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END)
                        AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS pass_frac
 FROM q GROUP BY source ORDER BY source
@@ -3564,10 +3569,10 @@ pv AS (
 )
 SELECT CAST(label AS INT) AS label,
        CAST(COUNT(*) AS BIGINT) AS n_vectors,
-       CAST(round(AVG(mean_err), 6) AS DOUBLE) AS mean_abs_err,
+       CAST(round({P.exact_avg('mean_err', d, 9)}, 6) AS DOUBLE) AS mean_abs_err,
        CAST(round(MAX(max_err), 6) AS DOUBLE) AS max_abs_err,
-       CAST(round(AVG(1.0 - dp / nullif(sqrt(nx) * sqrt(nq), 0)), 6) AS DOUBLE)
-           AS mean_cosine_shift
+       CAST(round({P.exact_avg('1.0 - dp / nullif(sqrt(nx) * sqrt(nq), 0)', d, 9)}, 6)
+            AS DOUBLE) AS mean_cosine_shift
 FROM pv GROUP BY label ORDER BY label
 """
 
@@ -4027,7 +4032,12 @@ def heaps_law_fit(d: str) -> str:
     everything after is source x doc dim-sized. The cum relation is read
     TWICE (moment fit + totals) — the Spark override materializes it once
     (doc-dim sized), so the corpus is exploded exactly twice (first-
-    occurrence + per-doc counts), never four times."""
+    occurrence + per-doc counts), never four times.
+
+    The OLS moments accumulate via P.exact_avg (scale 9: |x|,|y| <= ~17,
+    |x*y| <= ~290, so BIGINT holds ~3e7 points/source) — plain AVG over
+    doubles is partial-merge-order dependent and can flip a 6th-decimal
+    output boundary across runs (the coreset incident; VERDICT r10 #2)."""
     return f"""
 WITH cum AS ({_heaps_cum_sql(d)}),
 {_heaps_fit_body(d)}
@@ -4069,8 +4079,9 @@ def _heaps_fit_body(d: str, cum_rel: str = "cum") -> str:
   FROM {cum_rel} WHERE cum_toks > 0 AND cum_types > 0
 ),
 m AS (
-  SELECT source, COUNT(*) AS n, AVG(x) AS mx, AVG(y) AS my,
-         AVG(x * y) AS mxy, AVG(x * x) AS mxx
+  SELECT source, COUNT(*) AS n,
+         {P.exact_avg('x', d, 9)} AS mx, {P.exact_avg('y', d, 9)} AS my,
+         {P.exact_avg('x * y', d, 9)} AS mxy, {P.exact_avg('x * x', d, 9)} AS mxx
   FROM pts GROUP BY source
 ),
 tot AS (
@@ -4234,13 +4245,13 @@ def _source_crossentropy_body(d: str, sc_rel: str = "sc") -> str:
 v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS vocab FROM {sc_rel}),
 ent AS (
   SELECT s0.source AS source,
-         -SUM((s0.c / tot.tot) * ln(s0.c / tot.tot)) AS h_a
+         -{P.exact_sum('(s0.c / tot.tot) * ln(s0.c / tot.tot)', d, 11)} AS h_a
   FROM {sc_rel} s0 JOIN tot ON s0.source = tot.source GROUP BY s0.source
 ),
 ov AS (
   SELECT a.source AS src_a, b.source AS src_b,
-         SUM(a.c / ta.tot) AS overlap_mass,
-         -SUM((a.c / ta.tot) * ln((b.c + 1.0) / (tb.tot + v.vocab))) AS h_present
+         {P.exact_sum('a.c / ta.tot', d, 12)} AS overlap_mass,
+         -{P.exact_sum('(a.c / ta.tot) * ln((b.c + 1.0) / (tb.tot + v.vocab))', d, 11)} AS h_present
   FROM {sc_rel} a
   JOIN {sc_rel} b ON a.tok = b.tok
   JOIN tot ta ON a.source = ta.source
@@ -4405,8 +4416,9 @@ n AS (SELECT source, SUM(c) AS n FROM c12 GROUP BY source)
 SELECT c12.source AS source,
        CAST(MAX(n.n) AS BIGINT) AS n_bigrams,
        CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
-       CAST(round(-SUM((CAST(c12.c AS DOUBLE) / n.n)
-                       * ln(CAST(c12.c AS DOUBLE) / c1.c)), 6) + 0.0 AS DOUBLE)
+       CAST(round(-{P.exact_sum(
+           '(CAST(c12.c AS DOUBLE) / n.n) * ln(CAST(c12.c AS DOUBLE) / c1.c)',
+           d, 11)}, 6) + 0.0 AS DOUBLE)
            AS entropy_rate
 FROM c12
 JOIN c1 ON c12.source = c1.source AND c12.w1 = c1.w1
