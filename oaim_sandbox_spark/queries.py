@@ -110,8 +110,19 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     # the first time it can; in protobuf-less envs it is filtered out and
     # costs no slot.
     "streaming_user_stats_tws",
-    # --- NEW this round (must certify first-time): inserted here as they
-    # land; see the r11 section of PLANS.md.
+    # --- NEW this round (must certify first-time; 9 entries): n-gram
+    # diversity, hapax/TTR, Hill tail index, int8 saturation, embedding
+    # effective rank, top-vocab turnover, Burrows' Delta stylometry,
+    # Markov stationarity drift, length-stratified dup rate.
+    "distinct_ngram_diversity",
+    "hapax_ttr_by_source",
+    "doc_length_tail_index",
+    "int8_saturation_profile",
+    "embedding_effective_rank",
+    "vocab_turnover_by_decile",
+    "source_stylometry_delta",
+    "markov_drift_halves",
+    "dup_rate_by_length",
     # --- last driver check: round 6 (all 10 remaining, staleness order):
     "shingle_containment_decontam",
     "triangle_count",

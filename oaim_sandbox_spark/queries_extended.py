@@ -33,6 +33,8 @@ from oaim_sandbox_spark.queries_training import *  # noqa: F401,F403
 from oaim_sandbox_spark.queries_dedup import *  # noqa: F401,F403
 from oaim_sandbox_spark.queries_textstats import *  # noqa: F401,F403
 from oaim_sandbox_spark.queries_dedup import (  # noqa: F401
+    _lsh_banded_cte,
+    _minhash_sigs_sql,
     _simhash_fps_sql,
     _simhash_pairs_parts,
 )
@@ -4530,3 +4532,469 @@ def _session_sweepline_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPARK_OVERRIDES["session_concurrency_sweepline"] = _session_sweepline_spark
+
+
+# ---------------------------------------------------------------------------
+# Round-11 corpus/embedding audit family. Conventions as everywhere: dual
+# dialect, round(x, 6) floats, exact integer accumulation (P.exact_sum /
+# P.exact_avg) for every large-N or boundary-sensitive float aggregate,
+# deterministic ORDER BY. Reference anchor: these extend the SURVEY §2
+# beyond-reference training-data suite; none have a reference counterpart.
+
+
+def distinct_ngram_diversity(d: str) -> str:
+    """N-GRAM DIVERSITY per source: distinct-bigram and distinct-trigram
+    ratios (the corpus-level self-BLEU-lite detector for templated or
+    model-generated text — natural corpora sit near d2 ~0.5-0.9 at small
+    scale while boilerplate floods and greedy-decoded synthetic text
+    collapse toward 0). Complements ngram_novelty_decay (NEW n-grams by
+    ingest decile) with the per-source stationary ratio. Shape: one
+    explode per n (2, 3) -> two-level distinct agg (COUNT DISTINCT is
+    map-side partial-distinct, no pair joins), dim-sized join. Docs with
+    fewer than n tokens are excluded from the n-gram branch (word_ngrams
+    degenerates to a whole-text pseudo-gram there). Ratios are single
+    divisions of exact integers — merge-order independent by construction;
+    sources with no trigram-capable docs keep their row with NULL d3
+    (LEFT JOIN) identically on both engines."""
+    toks = P.tokens("text", d)
+    g2 = P.word_ngrams("text", 2, d)
+    g3 = P.word_ngrams("text", 3, d)
+    if d == "spark":
+        b2 = (f"SELECT source, g FROM documents LATERAL VIEW explode({g2}) t AS g "
+              f"WHERE size({toks}) >= 2")
+        b3 = (f"SELECT source, g FROM documents LATERAL VIEW explode({g3}) t AS g "
+              f"WHERE size({toks}) >= 3")
+    else:
+        b2 = f"SELECT source, unnest({g2}) AS g FROM documents WHERE len({toks}) >= 2"
+        b3 = f"SELECT source, unnest({g3}) AS g FROM documents WHERE len({toks}) >= 3"
+    return f"""
+WITH a2 AS (SELECT source, COUNT(*) AS n2, COUNT(DISTINCT g) AS u2 FROM ({b2}) x GROUP BY source),
+a3 AS (SELECT source, COUNT(*) AS n3, COUNT(DISTINCT g) AS u3 FROM ({b3}) y GROUP BY source)
+SELECT a2.source AS source,
+       CAST(a2.n2 AS BIGINT) AS n_bigrams,
+       CAST(a2.u2 AS BIGINT) AS distinct_bigrams,
+       CAST(round(CAST(a2.u2 AS DOUBLE) / a2.n2, 6) AS DOUBLE) AS d2,
+       CAST(COALESCE(a3.n3, 0) AS BIGINT) AS n_trigrams,
+       CAST(COALESCE(a3.u3, 0) AS BIGINT) AS distinct_trigrams,
+       CAST(round(CAST(a3.u3 AS DOUBLE) / nullif(a3.n3, 0), 6) AS DOUBLE) AS d3
+FROM a2 LEFT JOIN a3 ON a2.source = a3.source
+ORDER BY source
+"""
+
+
+TEMPLATES["distinct_ngram_diversity"] = distinct_ngram_diversity
+
+
+def hapax_ttr_by_source(d: str) -> str:
+    """HAPAX RATE + TYPE-TOKEN RATIO per source: vocabulary size, tokens
+    appearing exactly once (hapax legomena), TTR = vocab/tokens and
+    hapax share of the vocabulary — the classic lexical-richness pair
+    (natural text keeps a fat hapax tail, ~40-60% of vocab; a collapsed
+    hapax share flags templated/deduplicated-to-death sources, and a
+    near-1 share flags OCR noise/gibberish). heaps_law_fit measures vocab
+    GROWTH; this is the stationary per-source summary a mixture designer
+    scans first. Shape: one explode -> (source, tok) counts (map-side
+    combinable) -> dim-sized agg of exact integers; every ratio is a
+    single division."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT source, tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
+    else:
+        tok = f"SELECT source, unnest({toks}) AS tok FROM documents"
+    return f"""
+WITH tk AS ({tok}),
+c AS (SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY source, tok)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(round(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS DOUBLE) AS ttr,
+       CAST(round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*), 6) AS DOUBLE) AS hapax_rate
+FROM c GROUP BY source ORDER BY source
+"""
+
+
+TEMPLATES["hapax_ttr_by_source"] = hapax_ttr_by_source
+
+
+def doc_length_tail_index(d: str) -> str:
+    """HEAVY-TAIL INDEX of the doc-length distribution per source (Hill
+    estimator over the top-k order statistics): alpha_hill =
+    k / sum_{i<=k} ln(L_(i) / L_(k+1)). doc_len_percentiles reads the
+    body of the distribution; the TAIL index is what sequence-packing and
+    batch-shaping actually depend on (alpha <= 1 means the longest docs
+    dominate total token mass and a packer needs a split-long-docs rule;
+    alpha >> 2 means truncation waste is negligible). k adapts to small
+    sources: k_used = min(100, n_docs - 1), the reference length is the
+    (k_used+1)-th largest, and sources with fewer than 2 positive-length
+    docs (or an all-equal top: sum = 0) yield no row / NULL alpha
+    identically on both engines. Shape: per-source top-(k+1) via a rank
+    window over (source, n_chars) — at 100 TB this is the classic top-k
+    pattern (partial per-partition top-101 before the shuffle); the Hill
+    sum is <= 100 bounded terms via P.exact_sum scale 12."""
+    return f"""
+WITH r AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rnk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents WHERE n_chars > 0
+),
+kk AS (SELECT source, LEAST(101, MAX(n)) AS kref FROM r GROUP BY source),
+ref AS (
+  SELECT r.source AS source, r.n_chars AS xref, kk.kref AS kref
+  FROM r JOIN kk ON r.source = kk.source AND r.rnk = kk.kref
+)
+SELECT r.source AS source,
+       CAST(COUNT(*) AS BIGINT) AS k_used,
+       CAST(MAX(ref.xref) AS BIGINT) AS ref_length,
+       CAST(round(COUNT(*) / nullif({P.exact_sum(
+           'ln(CAST(r.n_chars AS DOUBLE) / ref.xref)', d, 12)}, 0), 6)
+            AS DOUBLE) AS hill_alpha
+FROM r
+JOIN ref ON r.source = ref.source
+WHERE r.rnk < ref.kref
+GROUP BY r.source
+ORDER BY source
+"""
+
+
+TEMPLATES["doc_length_tail_index"] = doc_length_tail_index
+
+
+def int8_saturation_profile(d: str) -> str:
+    """INT8 QUANTIZER SATURATION audit per label: the fraction of vector
+    elements that quantize to the +/-127 rail and the mean code-range
+    utilization |q|/127 — the quantizer-health companion to
+    quantization_error_profile (which measures round-trip ERROR): with
+    per-vector absmax scaling a healthy store uses most of the code range
+    (utilization ~0.3-0.6 for gaussian-ish dims) while a single outlier
+    dimension per vector shows up as near-zero utilization everywhere
+    else, the signal to switch to per-dimension or clipped scaling BEFORE
+    shipping the int8 tier. Uses the EXACT serving quantizer algebra
+    (P.absmax + floor(x/s*127+0.5), operators/ann.quantize_embeddings
+    parity). Every aggregate is over exact integers — no float
+    accumulation at all."""
+    x = f"CAST({_elem('v.embedding', 'i', d)} AS DOUBLE)"
+    return f"""
+WITH idx AS ({_dim_idx(d)}),
+v AS (
+  SELECT vec_id, label, embedding,
+         {P.absmax(P.to_double_array('embedding', d), d)} AS s
+  FROM embeddings
+),
+q AS (
+  SELECT v.label AS label,
+         abs(CAST(floor({x} / v.s * 127.0 + 0.5) AS BIGINT)) AS aq
+  FROM v CROSS JOIN idx
+)
+SELECT CAST(label AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vals,
+       CAST(SUM(CASE WHEN aq >= 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated,
+       CAST(round(CAST(SUM(CASE WHEN aq >= 127 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*), 6) AS DOUBLE) AS sat_frac,
+       CAST(round(CAST(SUM(aq) AS DOUBLE) / (127.0 * COUNT(*)), 6) AS DOUBLE)
+           AS mean_code_util
+FROM q GROUP BY label ORDER BY label
+"""
+
+
+TEMPLATES["int8_saturation_profile"] = int8_saturation_profile
+
+
+def embedding_effective_rank(d: str) -> str:
+    """EFFECTIVE RANK (participation ratio) of the embedding space per
+    label: (tr C)^2 / tr(C^2) over the per-label covariance matrix C —
+    the anisotropy/collapse audit for an embedding column (a healthy
+    64-dim space scores tens; a rank-collapsed or cone-shaped space — the
+    classic representation-collapse failure — scores near 1-3, and every
+    cosine-based dedup/ANN/centroid operator above it silently degrades).
+    No eigensolver needed: tr C = sum of dim variances, tr(C^2) = sum of
+    squared covariances, both closed-form from first/second moments.
+    Shape: ONE corpus scan exploded to (label, dim-pair) cells via the
+    fixed 64x64 index cross join (dim^2 = 4096 rows/vector, linear in
+    store size, map-side combinable agg over label x 4096 groups; moments
+    via P.exact_avg scale 9, trace sums over dim^2 <= 4096 bounded terms
+    via P.exact_sum scale 12)."""
+    xa = f"CAST({_elem('v.embedding', 'a.i', d)} AS DOUBLE)"
+    xb = f"CAST({_elem('v.embedding', 'b.i', d)} AS DOUBLE)"
+    x1 = f"CAST({_elem('v.embedding', 'a.i', d)} AS DOUBLE)"
+    return f"""
+WITH idx AS ({_dim_idx(d)}),
+m2 AS (
+  SELECT v.label AS label, a.i AS da, b.i AS db,
+         {P.exact_avg(f'({xa}) * ({xb})', d, 9)} AS mab
+  FROM embeddings v CROSS JOIN idx a CROSS JOIN idx b
+  GROUP BY v.label, a.i, b.i
+),
+m1 AS (
+  SELECT v.label AS label, a.i AS i, {P.exact_avg(x1, d, 9)} AS mi
+  FROM embeddings v CROSS JOIN idx a
+  GROUP BY v.label, a.i
+),
+cov AS (
+  SELECT m2.label AS label, m2.da AS da, m2.db AS db,
+         m2.mab - ma.mi * mb.mi AS cv
+  FROM m2
+  JOIN m1 ma ON m2.label = ma.label AND m2.da = ma.i
+  JOIN m1 mb ON m2.label = mb.label AND m2.db = mb.i
+),
+tr AS (
+  SELECT label,
+         {P.exact_sum('CASE WHEN da = db THEN cv END', d, 12)} AS trc,
+         {P.exact_sum('cv * cv', d, 12)} AS trc2
+  FROM cov GROUP BY label
+),
+nv AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
+SELECT CAST(tr.label AS INT) AS label,
+       CAST(nv.n AS BIGINT) AS n_vectors,
+       CAST(round(tr.trc, 6) AS DOUBLE) AS trace_cov,
+       CAST(round(tr.trc * tr.trc / nullif(tr.trc2, 0), 6) AS DOUBLE)
+           AS effective_rank
+FROM tr JOIN nv ON tr.label = nv.label
+ORDER BY label
+"""
+
+
+TEMPLATES["embedding_effective_rank"] = embedding_effective_rank
+
+
+def vocab_turnover_by_decile(d: str) -> str:
+    """TOP-VOCABULARY TURNOVER across the ingest stream: the corpus in
+    doc_id order is cut into ten range deciles (min/max scalars, never a
+    global NTILE sort — the dedup_ingest_order_curve pattern); per decile
+    the top-100 tokens by count are ranked, and consecutive deciles are
+    scored by Jaccard overlap of their top-100 sets. A crawl whose
+    top-vocab Jaccard sags mid-stream changed domain mix mid-crawl —
+    the drift diagnostic that catches what per-source stats can't (the
+    SOURCE label may not encode crawl time). ngram_novelty_decay counts
+    NEW n-grams; this tracks the HEAD of the distribution, which is what
+    tokenizer coverage and mixture weights actually see. Shape: one
+    explode -> (decile, tok) counts -> per-decile rank window (top-100:
+    partial per-partition top-k before the shuffle at scale) -> a
+    100-row-per-decile self-join on consecutive deciles; all integers
+    until the final division."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT doc_id, tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
+    else:
+        tok = f"SELECT doc_id, unnest({toks}) AS tok FROM documents"
+    dec = f"least(1 + {_idiv('(tk.doc_id - bounds.lo) * 10', '(bounds.hi - bounds.lo + 1)', d)}, 10)"
+    return f"""
+WITH tk AS ({tok}),
+bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+c AS (
+  SELECT {dec} AS decile, tk.tok AS tok, COUNT(*) AS c
+  FROM tk CROSS JOIN bounds
+  GROUP BY {dec}, tk.tok
+),
+ranked AS (
+  SELECT decile, tok,
+         ROW_NUMBER() OVER (PARTITION BY decile ORDER BY c DESC, tok ASC) AS rnk
+  FROM c
+),
+top AS (SELECT decile, tok FROM ranked WHERE rnk <= 100),
+sz AS (SELECT decile, COUNT(*) AS n FROM top GROUP BY decile),
+inter AS (
+  SELECT a.decile AS da, COUNT(*) AS m
+  FROM top a JOIN top b ON b.tok = a.tok AND b.decile = a.decile + 1
+  GROUP BY a.decile
+)
+SELECT CAST(sa.decile AS INT) AS decile_from,
+       CAST(sb.decile AS INT) AS decile_to,
+       CAST(sa.n AS BIGINT) AS topk_from,
+       CAST(sb.n AS BIGINT) AS topk_to,
+       CAST(COALESCE(i.m, 0) AS BIGINT) AS n_shared,
+       CAST(round(CAST(COALESCE(i.m, 0) AS DOUBLE)
+                  / (sa.n + sb.n - COALESCE(i.m, 0)), 6) AS DOUBLE) AS jaccard
+FROM sz sa
+JOIN sz sb ON sb.decile = sa.decile + 1
+LEFT JOIN inter i ON i.da = sa.decile
+ORDER BY decile_from
+"""
+
+
+TEMPLATES["vocab_turnover_by_decile"] = vocab_turnover_by_decile
+
+
+def source_stylometry_delta(d: str) -> str:
+    """BURROWS' DELTA between sources over the corpus's top-50 function
+    words: each source's per-word rate (count / total source tokens) is
+    z-scored across sources per word (population mean/sd over the source
+    dimension), and Delta(a, b) = mean_w |z_a(w) - z_b(w)| over words
+    with positive variance — the classical stylometric distance (Burrows
+    2002 uses the most-frequent-word profile, which is
+    corpus-adaptive), here repurposed as a "same upstream generator?"
+    detector: two crawl sources with near-zero Delta are stylistic
+    mirrors even when their CONTENT n-grams differ — the complement of
+    cross_source_duplicate_matrix, which needs shared shingles. Shape:
+    one explode -> global counts -> top-50 rank (dim-sized) ->
+    zero-densified source x word grid -> per-word moments across sources
+    -> pairwise dim-sized join; every float aggregate is dim-bounded
+    (<= 50 words x |sources|) and goes through P.exact_sum/exact_avg
+    scale 12."""
+    toks = P.tokens("lower(text)", d)
+    if d == "spark":
+        tok = f"SELECT source, tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
+    else:
+        tok = f"SELECT source, unnest({toks}) AS tok FROM documents"
+    return f"""
+WITH tk AS ({tok}),
+gc AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+w AS (
+  SELECT tok AS w FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS rnk FROM gc
+  ) r WHERE rnk <= 50
+),
+tot AS (SELECT source, COUNT(*) AS n FROM tk GROUP BY source),
+sw AS (
+  SELECT tk.source AS source, tk.tok AS w, COUNT(*) AS c
+  FROM tk JOIN w ON tk.tok = w.w GROUP BY tk.source, tk.tok
+),
+grid AS (
+  SELECT t.source AS source, w.w AS w,
+         CAST(COALESCE(sw.c, 0) AS DOUBLE) / t.n AS r
+  FROM tot t CROSS JOIN w
+  LEFT JOIN sw ON sw.source = t.source AND sw.w = w.w
+),
+mom AS (
+  SELECT w, {P.exact_avg('r', d, 12)} AS mu,
+         sqrt(greatest({P.exact_avg('r * r', d, 12)}
+                       - {P.exact_avg('r', d, 12)} * {P.exact_avg('r', d, 12)},
+                       CAST(0 AS DOUBLE))) AS sd
+  FROM grid GROUP BY w
+),
+z AS (
+  SELECT g.source AS source, g.w AS w, (g.r - m.mu) / m.sd AS z
+  FROM grid g JOIN mom m ON g.w = m.w
+  WHERE m.sd > 0
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(round({P.exact_avg('abs(a.z - b.z)', d, 12)}, 6) AS DOUBLE) AS delta
+FROM z a
+JOIN z b ON a.w = b.w AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+"""
+
+
+TEMPLATES["source_stylometry_delta"] = source_stylometry_delta
+
+
+def markov_drift_halves(d: str) -> str:
+    """MARKOV-CHAIN STATIONARITY CHECK on the event stream: per-user
+    event-type transitions are counted separately for the first and
+    second half of the observation window (global time midpoint from
+    min/max scalars — broadcast, never a sort), each half's transition
+    matrix is row-normalized, and the per-row L1 drift
+    sum_b |P1(a->b) - P2(a->b)| is reported per source state. This is
+    the audit event_markov_transitions needs before anyone treats its
+    matrix as THE user model — high drift on a state means the chain is
+    nonstationary there and downstream session simulators / anomaly
+    scores trained on the pooled matrix are wrong on half the data.
+    A transition belongs to the half of its FROM event; states absent
+    from either half are excluded (their conditional is undefined).
+    Shape: one scan -> LEAD window per user -> (half, a, b) counts ->
+    zero-densified full outer join of the two dim x dim matrices; the
+    L1 sum is <= |event types| bounded terms via P.exact_sum scale 12."""
+    lead = "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)"
+    return f"""
+WITH e AS (SELECT user_id, event_id, event_type, {_ts_us(d)} AS ts_us FROM events),
+bounds AS (SELECT MIN(ts_us) AS lo, MAX(ts_us) AS hi FROM e),
+tr AS (
+  SELECT e.event_type AS a, {lead} AS b,
+         CASE WHEN e.ts_us * 2 <= bounds.lo + bounds.hi THEN 1 ELSE 2 END AS half
+  FROM e CROSS JOIN bounds
+),
+c AS (SELECT half, a, b, COUNT(*) AS c FROM tr WHERE b IS NOT NULL GROUP BY half, a, b),
+c1 AS (SELECT a, b, c FROM c WHERE half = 1),
+c2 AS (SELECT a, b, c FROM c WHERE half = 2),
+j AS (
+  SELECT COALESCE(c1.a, c2.a) AS a, COALESCE(c1.b, c2.b) AS b,
+         COALESCE(c1.c, 0) AS x1, COALESCE(c2.c, 0) AS x2
+  FROM c1 FULL OUTER JOIN c2 ON c1.a = c2.a AND c1.b = c2.b
+),
+t AS (SELECT a, SUM(x1) AS t1, SUM(x2) AS t2 FROM j GROUP BY a)
+SELECT j.a AS event_type,
+       CAST(t.t1 AS BIGINT) AS n_trans_h1,
+       CAST(t.t2 AS BIGINT) AS n_trans_h2,
+       CAST(round({P.exact_sum(
+           'abs(CAST(j.x1 AS DOUBLE) / t.t1 - CAST(j.x2 AS DOUBLE) / t.t2)',
+           d, 12)}, 6) AS DOUBLE) AS l1_drift
+FROM j JOIN t ON j.a = t.a
+WHERE t.t1 > 0 AND t.t2 > 0
+GROUP BY j.a, t.t1, t.t2
+ORDER BY event_type
+"""
+
+
+TEMPLATES["markov_drift_halves"] = markov_drift_halves
+
+
+def _dup_rate_body(d: str, rel: str = "sigs") -> str:
+    """Length-bucket rollup of the banded-LSH candidate pairs, reading the
+    signature relation ``rel`` (CTE on the oracle; materialized temp view
+    on Spark — the dedup-family plan-hygiene pattern)."""
+    qb = f"least(1 + {_idiv('(n_chars - bounds.lo) * 4', '(bounds.hi - bounds.lo + 1)', d)}, 4)"
+    return f"""
+WITH bounds AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents),
+dl AS (SELECT doc_id, {qb} AS bucket FROM documents CROSS JOIN bounds),
+banded AS ({_lsh_banded_cte(d, rel)}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+),
+pb AS (
+  SELECT LEAST(la.bucket, lb.bucket) AS bucket, COUNT(*) AS n_pairs
+  FROM pairs p
+  JOIN dl la ON la.doc_id = p.doc_a
+  JOIN dl lb ON lb.doc_id = p.doc_b
+  GROUP BY LEAST(la.bucket, lb.bucket)
+),
+db AS (SELECT bucket, COUNT(*) AS n_docs FROM dl GROUP BY bucket)
+SELECT CAST(db.bucket AS INT) AS length_bucket,
+       CAST(db.n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(pb.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(round(CAST(COALESCE(pb.n_pairs, 0) AS DOUBLE) / db.n_docs, 6)
+            AS DOUBLE) AS pairs_per_doc
+FROM db LEFT JOIN pb ON db.bucket = pb.bucket
+ORDER BY length_bucket
+"""
+
+
+def dup_rate_by_length(d: str) -> str:
+    """NEAR-DUP RATE BY LENGTH BUCKET: the banded-LSH candidate pairs
+    (the SAME signature + banding relations every dedup entry shares)
+    rolled up by the SHORTER side's length quartile (n_chars range
+    quartiles from min/max scalars — broadcast, no sort), with the
+    per-bucket doc population as the denominator. Short documents share
+    shingles far more easily (fewer shingles each), so a one-threshold
+    dedup config over-merges the short tail and under-merges long docs —
+    this table is the evidence for a length-stratified threshold, the
+    knob dedup_threshold_sensitivity sweeps globally. pairs_per_doc > ~1
+    on a bucket means the candidate graph is denser than the corpus
+    there — the over-merge warning. Shape: signatures once, banding
+    join (never all-pairs), a slim (doc_id, n_chars) join to label pair
+    sides, integer rollups; ratios are single divisions."""
+    body = _dup_rate_body(d).lstrip()
+    assert body.startswith("WITH ")
+    return f"WITH sigs AS ({_minhash_sigs_sql(d)}),\n{body[len('WITH '):]}"
+
+
+TEMPLATES["dup_rate_by_length"] = dup_rate_by_length
+
+
+def _dup_rate_by_length_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the signature relation once — the banding
+    CTE reads it once per band branch (BANDS corpus-sized HOF-heavy scans
+    without this), the dedup-family plan-hygiene pattern every sibling
+    entry uses."""
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _minhash_sigs_sql("spark"), "durl_sigs")
+    return _sql_dropping(spark, _dup_rate_body("spark", rel=name), name)
+
+
+SPARK_OVERRIDES["dup_rate_by_length"] = _dup_rate_by_length_spark
