@@ -4760,21 +4760,10 @@ ORDER BY label
 TEMPLATES["embedding_effective_rank"] = embedding_effective_rank
 
 
-def vocab_turnover_by_decile(d: str) -> str:
-    """TOP-VOCABULARY TURNOVER across the ingest stream: the corpus in
-    doc_id order is cut into ten range deciles (min/max scalars, never a
-    global NTILE sort — the dedup_ingest_order_curve pattern); per decile
-    the top-100 tokens by count are ranked, and consecutive deciles are
-    scored by Jaccard overlap of their top-100 sets. A crawl whose
-    top-vocab Jaccard sags mid-stream changed domain mix mid-crawl —
-    the drift diagnostic that catches what per-source stats can't (the
-    SOURCE label may not encode crawl time). ngram_novelty_decay counts
-    NEW n-grams; this tracks the HEAD of the distribution, which is what
-    tokenizer coverage and mixture weights actually see. Shape: one
-    explode -> (decile, tok) counts -> per-decile rank window (top-100:
-    partial per-partition top-k before the shuffle at scale) -> a
-    100-row-per-decile self-join on consecutive deciles; all integers
-    until the final division."""
+def _vocab_top_sql(d: str) -> str:
+    """(decile, tok) top-100 tokens per ingest-range decile — the corpus
+    explode + per-decile rank, materialized once by the Spark override
+    (everything downstream is <= 1000 rows)."""
     toks = P.tokens("text", d)
     if d == "spark":
         tok = f"SELECT doc_id, tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
@@ -4793,12 +4782,16 @@ ranked AS (
   SELECT decile, tok,
          ROW_NUMBER() OVER (PARTITION BY decile ORDER BY c DESC, tok ASC) AS rnk
   FROM c
-),
-top AS (SELECT decile, tok FROM ranked WHERE rnk <= 100),
-sz AS (SELECT decile, COUNT(*) AS n FROM top GROUP BY decile),
+)
+SELECT decile, tok FROM ranked WHERE rnk <= 100
+"""
+
+
+def _vocab_turnover_body(d: str, top_rel: str = "top") -> str:
+    return f"""sz AS (SELECT decile, COUNT(*) AS n FROM {top_rel} GROUP BY decile),
 inter AS (
   SELECT a.decile AS da, COUNT(*) AS m
-  FROM top a JOIN top b ON b.tok = a.tok AND b.decile = a.decile + 1
+  FROM {top_rel} a JOIN {top_rel} b ON b.tok = a.tok AND b.decile = a.decile + 1
   GROUP BY a.decile
 )
 SELECT CAST(sa.decile AS INT) AS decile_from,
@@ -4815,42 +4808,64 @@ ORDER BY decile_from
 """
 
 
+def vocab_turnover_by_decile(d: str) -> str:
+    """TOP-VOCABULARY TURNOVER across the ingest stream: the corpus in
+    doc_id order is cut into ten range deciles (min/max scalars, never a
+    global NTILE sort — the dedup_ingest_order_curve pattern); per decile
+    the top-100 tokens by count are ranked, and consecutive deciles are
+    scored by Jaccard overlap of their top-100 sets. A crawl whose
+    top-vocab Jaccard sags mid-stream changed domain mix mid-crawl —
+    the drift diagnostic that catches what per-source stats can't (the
+    SOURCE label may not encode crawl time). ngram_novelty_decay counts
+    NEW n-grams; this tracks the HEAD of the distribution, which is what
+    tokenizer coverage and mixture weights actually see. Shape: one
+    explode -> (decile, tok) counts -> per-decile rank window (top-100:
+    partial per-partition top-k before the 10-partition shuffle at
+    scale) -> a <=100-row-per-decile self-join on consecutive deciles;
+    the Spark override materializes the top relation so the corpus
+    explode runs once (sz + both inter sides read it); all integers
+    until the final division."""
+    body = _vocab_top_sql(d).lstrip()
+    assert body.startswith("WITH ")
+    return (f"WITH top AS (WITH {body[len('WITH '):].rstrip()}),\n"
+            + _vocab_turnover_body(d))
+
+
 TEMPLATES["vocab_turnover_by_decile"] = vocab_turnover_by_decile
 
 
-def source_stylometry_delta(d: str) -> str:
-    """BURROWS' DELTA between sources over the corpus's top-50 function
-    words: each source's per-word rate (count / total source tokens) is
-    z-scored across sources per word (population mean/sd over the source
-    dimension), and Delta(a, b) = mean_w |z_a(w) - z_b(w)| over words
-    with positive variance — the classical stylometric distance (Burrows
-    2002 uses the most-frequent-word profile, which is
-    corpus-adaptive), here repurposed as a "same upstream generator?"
-    detector: two crawl sources with near-zero Delta are stylistic
-    mirrors even when their CONTENT n-grams differ — the complement of
-    cross_source_duplicate_matrix, which needs shared shingles. Shape:
-    one explode -> global counts -> top-50 rank (dim-sized) ->
-    zero-densified source x word grid -> per-word moments across sources
-    -> pairwise dim-sized join; every float aggregate is dim-bounded
-    (<= 50 words x |sources|) and goes through P.exact_sum/exact_avg
-    scale 12."""
+def _vocab_turnover_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the (decile, tok) top-100 relation once —
+    sz and both self-join sides read it, so the corpus explode + rank runs
+    exactly once."""
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _vocab_top_sql("spark"), "vturn_top")
+    return _sql_dropping(spark, "WITH " + _vocab_turnover_body("spark", top_rel=name), name)
+
+
+SPARK_OVERRIDES["vocab_turnover_by_decile"] = _vocab_turnover_spark
+
+
+def _stylometry_sc_sql(d: str) -> str:
+    """(source, tok, c) lowercased unigram counts — the one corpus explode
+    (the same relation shape source_crossentropy_matrix materializes)."""
     toks = P.tokens("lower(text)", d)
     if d == "spark":
         tok = f"SELECT source, tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
     else:
         tok = f"SELECT source, unnest({toks}) AS tok FROM documents"
-    return f"""
-WITH tk AS ({tok}),
-gc AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
-w AS (
-  SELECT tok AS w FROM (
-    SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS rnk FROM gc
-  ) r WHERE rnk <= 50
+    return f"SELECT source, tok, COUNT(*) AS c FROM ({tok}) tk GROUP BY source, tok"
+
+
+def _stylometry_body(d: str, sc_rel: str = "sc") -> str:
+    return f"""w AS (
+  SELECT tok AS w FROM (SELECT tok, SUM(c) AS c FROM {sc_rel} GROUP BY tok) gc
+  ORDER BY c DESC, tok ASC LIMIT 50
 ),
-tot AS (SELECT source, COUNT(*) AS n FROM tk GROUP BY source),
+tot AS (SELECT source, SUM(c) AS n FROM {sc_rel} GROUP BY source),
 sw AS (
-  SELECT tk.source AS source, tk.tok AS w, COUNT(*) AS c
-  FROM tk JOIN w ON tk.tok = w.w GROUP BY tk.source, tk.tok
+  SELECT s.source AS source, s.tok AS w, s.c AS c
+  FROM {sc_rel} s JOIN w ON s.tok = w.w
 ),
 grid AS (
   SELECT t.source AS source, w.w AS w,
@@ -4880,25 +4895,49 @@ ORDER BY source_a, source_b
 """
 
 
+def source_stylometry_delta(d: str) -> str:
+    """BURROWS' DELTA between sources over the corpus's top-50 function
+    words: each source's per-word rate (count / total source tokens) is
+    z-scored across sources per word (population mean/sd over the source
+    dimension), and Delta(a, b) = mean_w |z_a(w) - z_b(w)| over words
+    with positive variance — the classical stylometric distance (Burrows
+    2002 uses the most-frequent-word profile, which is corpus-adaptive),
+    here repurposed as a "same upstream generator?" detector: two crawl
+    sources with near-zero Delta are stylistic mirrors even when their
+    CONTENT n-grams differ — the complement of
+    cross_source_duplicate_matrix, which needs shared shingles. Shape:
+    ONE corpus explode pre-aggregated to (source, tok, c) — the Spark
+    override materializes it, crossentropy-style — then everything is
+    vocab/dim-sized: top-50 via ORDER BY/LIMIT (TakeOrderedAndProject on
+    Spark — partial per-partition top-k, never a global rank window),
+    zero-densified source x word grid, per-word moments across sources,
+    pairwise dim-sized join; every float aggregate is dim-bounded
+    (<= 50 words x |sources|) and goes through P.exact_avg scale 12."""
+    return f"""
+WITH sc AS ({_stylometry_sc_sql(d)}),
+{_stylometry_body(d)}
+"""
+
+
 TEMPLATES["source_stylometry_delta"] = source_stylometry_delta
 
 
-def markov_drift_halves(d: str) -> str:
-    """MARKOV-CHAIN STATIONARITY CHECK on the event stream: per-user
-    event-type transitions are counted separately for the first and
-    second half of the observation window (global time midpoint from
-    min/max scalars — broadcast, never a sort), each half's transition
-    matrix is row-normalized, and the per-row L1 drift
-    sum_b |P1(a->b) - P2(a->b)| is reported per source state. This is
-    the audit event_markov_transitions needs before anyone treats its
-    matrix as THE user model — high drift on a state means the chain is
-    nonstationary there and downstream session simulators / anomaly
-    scores trained on the pooled matrix are wrong on half the data.
-    A transition belongs to the half of its FROM event; states absent
-    from either half are excluded (their conditional is undefined).
-    Shape: one scan -> LEAD window per user -> (half, a, b) counts ->
-    zero-densified full outer join of the two dim x dim matrices; the
-    L1 sum is <= |event types| bounded terms via P.exact_sum scale 12."""
+def _source_stylometry_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the (source, tok, c) count relation once —
+    the top-50 rank, totals, and the stopword-rate join all read it, so
+    the corpus is exploded exactly once."""
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _stylometry_sc_sql("spark"), "stylo_sc")
+    return _sql_dropping(spark, "WITH " + _stylometry_body("spark", sc_rel=name), name)
+
+
+SPARK_OVERRIDES["source_stylometry_delta"] = _source_stylometry_spark
+
+
+def _markov_counts_sql(d: str) -> str:
+    """(half, a, b) transition counts split at the global time midpoint —
+    the event-stream scan + LEAD window, materialized once by the Spark
+    override (downstream is |event types|^2 sized)."""
     lead = "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)"
     return f"""
 WITH e AS (SELECT user_id, event_id, event_type, {_ts_us(d)} AS ts_us FROM events),
@@ -4907,10 +4946,14 @@ tr AS (
   SELECT e.event_type AS a, {lead} AS b,
          CASE WHEN e.ts_us * 2 <= bounds.lo + bounds.hi THEN 1 ELSE 2 END AS half
   FROM e CROSS JOIN bounds
-),
-c AS (SELECT half, a, b, COUNT(*) AS c FROM tr WHERE b IS NOT NULL GROUP BY half, a, b),
-c1 AS (SELECT a, b, c FROM c WHERE half = 1),
-c2 AS (SELECT a, b, c FROM c WHERE half = 2),
+)
+SELECT half, a, b, COUNT(*) AS c FROM tr WHERE b IS NOT NULL GROUP BY half, a, b
+"""
+
+
+def _markov_drift_body(d: str, c_rel: str = "c") -> str:
+    return f"""c1 AS (SELECT a, b, c FROM {c_rel} WHERE half = 1),
+c2 AS (SELECT a, b, c FROM {c_rel} WHERE half = 2),
 j AS (
   SELECT COALESCE(c1.a, c2.a) AS a, COALESCE(c1.b, c2.b) AS b,
          COALESCE(c1.c, 0) AS x1, COALESCE(c2.c, 0) AS x2
@@ -4930,7 +4973,43 @@ ORDER BY event_type
 """
 
 
+def markov_drift_halves(d: str) -> str:
+    """MARKOV-CHAIN STATIONARITY CHECK on the event stream: per-user
+    event-type transitions are counted separately for the first and
+    second half of the observation window (global time midpoint from
+    min/max scalars — broadcast, never a sort), each half's transition
+    matrix is row-normalized, and the per-row L1 drift
+    sum_b |P1(a->b) - P2(a->b)| is reported per source state. This is
+    the audit event_markov_transitions needs before anyone treats its
+    matrix as THE user model — high drift on a state means the chain is
+    nonstationary there and downstream session simulators / anomaly
+    scores trained on the pooled matrix are wrong on half the data.
+    A transition belongs to the half of its FROM event; states absent
+    from either half are excluded (their conditional is undefined).
+    Shape: one scan -> LEAD window per user -> (half, a, b) counts
+    (materialized once by the Spark override — both half branches read
+    it) -> zero-densified full outer join of the two dim x dim matrices;
+    the L1 sum is <= |event types| bounded terms via P.exact_sum
+    scale 12."""
+    body = _markov_counts_sql(d).lstrip()
+    assert body.startswith("WITH ")
+    return (f"WITH c AS (WITH {body[len('WITH '):].rstrip()}),\n"
+            + _markov_drift_body(d))
+
+
 TEMPLATES["markov_drift_halves"] = markov_drift_halves
+
+
+def _markov_drift_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the (half, a, b) count relation once —
+    the event scan + per-user LEAD window runs exactly once instead of
+    once per half branch."""
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _markov_counts_sql("spark"), "mkv_c")
+    return _sql_dropping(spark, "WITH " + _markov_drift_body("spark", c_rel=name), name)
+
+
+SPARK_OVERRIDES["markov_drift_halves"] = _markov_drift_spark
 
 
 def _dup_rate_body(d: str, rel: str = "sigs") -> str:
