@@ -361,3 +361,48 @@ def evaluate_testset(
         failures=failures,
         settings=settings or {},
     )
+
+
+def evaluate_testset_batched(
+    spark: SparkSession,
+    qa: DataFrame,
+    pipe,  # serving.chat.ChatPipeline with settings.search_tier + tier_gate
+    judge_factory: Callable[[], Callable[[str, str, str], bool]],
+    tid: str = "",
+    settings: dict | None = None,
+    max_failures: int = 1000,
+) -> EvaluationReport:
+    """evaluate_testset with the RETRIEVAL stage batched: every question's
+    context comes from ONE TieredStore.topk_batch call — one stage-1 scan
+    over the tier's compressed representation for the whole testset,
+    instead of one scan per question (the consensus-funnel pattern applied
+    to serving; VERDICT r10 task #4). The tier gate runs once, before any
+    query, exactly as in the per-question path.
+
+    Testsets are bounded (upsert_testset's wire caps), so collecting the
+    question column and broadcasting the context texts into the answer
+    closure is driver-safe; the answer/judge fan-out stays data-parallel
+    through evaluate_testset. Only the llm + sys_prompt are captured (the
+    pipeline holds DataFrames and must not be pickled into the UDF)."""
+    from oaim_sandbox_spark.serving.chat import Message
+
+    questions = [r["question"] for r in qa.select("question").collect()]
+    contexts = pipe.retrieve_batch(questions)
+    texts = {
+        q: "\n\n".join(r["text"] for r in rows)
+        for q, rows in zip(questions, contexts)
+    }
+    llm, sys_prompt = pipe.llm, pipe.sys_prompt
+
+    def answer_factory():
+        def answer(question: str) -> str:
+            ctx = texts.get(question)
+            sys = f"{sys_prompt}\n\nCONTEXT:\n{ctx}" if ctx else sys_prompt
+            return llm.complete([Message("system", sys), Message("user", question)])
+
+        return answer
+
+    return evaluate_testset(
+        spark, qa, answer_factory, judge_factory,
+        tid=tid, settings=settings, max_failures=max_failures,
+    )

@@ -322,6 +322,31 @@ class ChatPipeline:
         return similarity_topk(self.store, qv, k=s.top_k, metric=s.distance_metric,
                                score_threshold=threshold).collect()
 
+    def retrieve_batch(self, questions: list[str], s: RagSettings | None = None) -> list[list]:
+        """Batched retrieval for MANY questions through ONE stage-1 scan
+        over the tier's compressed representation
+        (TieredStore.topk_batch — the 100 TB serving shape; per-question
+        retrieve() would re-scan the representation len(questions) times).
+        Requires settings.search_tier: the batch funnel IS the tiered
+        store's, and it runs behind the same tier_gate verdict as the
+        per-question path. Returns one row list per question, each
+        row-identical to retrieve(question) for that question (pinned in
+        tests/test_tier_cache.py)."""
+        s = s or self.settings
+        if not s.search_tier:
+            raise ValueError(
+                "retrieve_batch requires settings.search_tier — the batch "
+                "funnel is TieredStore.topk_batch; for exact untiered "
+                "retrieval call retrieve() per question"
+            )
+        ts = self._tiered_store(s.search_tier, s.distance_metric)
+        qrows = [(i, self.embed_query(q)) for i, q in enumerate(questions)]
+        out: dict[int, list] = {i: [] for i in range(len(questions))}
+        # one job: len(questions) * top_k rows, grouped client-side
+        for r in ts.topk_batch(qrows, k=s.top_k).collect():
+            out[r["query_id"]].append(r)
+        return [out[i] for i in range(len(questions))]
+
     def grade(self, question: str, documents: list, s: RagSettings | None = None) -> bool:
         """LLM binary relevance gate (chatbot.py:223-287): one yes/no on the
         joined context; 'yes' routes to grounded generation."""

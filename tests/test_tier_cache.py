@@ -399,3 +399,107 @@ def test_cosine_default_metric_normalized_out_of_cfg_key(cat_store, probe_log):
     assert len(probe_log) == 1
     cat.tier_verdicts(name, tiers=["int8"], metric="COSINE", **PROBE_KW)
     assert len(probe_log) == 1  # served from the metric-less slot
+
+
+def test_retrieve_batch_row_identity_and_one_scan(cat_store):
+    """VERDICT r10 task #4: the serving surface consumes
+    TieredStore.topk_batch — ChatPipeline.retrieve_batch answers MANY
+    questions through ONE stage-1 scan over the tier representation, rows
+    identical to the per-question retrieve() path, behind the same
+    tier_gate."""
+    from oaim_sandbox_spark.serving.chat import ChatPipeline, MockLLM, RagSettings
+
+    cat, name, _vs = cat_store
+    store = cat.read_store(name)
+    vecs = {
+        f"question {i}": [float(x) for x in
+                          store.filter(f"id = {7 + 5 * i}").first()["embedding"]]
+        for i in range(3)
+    }
+    pipe = ChatPipeline(
+        store=store,
+        embed_query=lambda q: vecs[q],
+        llm=MockLLM(),
+        settings=RagSettings(search_tier="matryoshka16_rerank", grading=False),
+        tier_gate=lambda t: cat.assert_tier_usable(name, t, **PROBE_KW),
+    )
+    qs = list(vecs)
+    batch = pipe.retrieve_batch(qs)
+    for q, rows in zip(qs, batch):
+        single = pipe.retrieve(q)
+        assert [(r["id"], r["distance"]) for r in rows] == \
+               [(r["id"], r["distance"]) for r in single], q
+    # ONE stage-1 scan: the batch plan reads the prepared (checkpointed)
+    # tier representation exactly once for all three queries — the
+    # per-question path would scan it len(qs) times across jobs
+    ts = pipe._tiered[("matryoshka16_rerank", "COSINE")]
+    df = ts.topk_batch([(i, vecs[q]) for i, q in enumerate(qs)],
+                       k=pipe.settings.top_k)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the rep's checkpoint scan carries the prefix column (embp); the tiny
+    # query batch is also an ExistingRDD but has its own schema
+    rep_scans = [ln for ln in plan.splitlines()
+                 if "ExistingRDD" in ln and "embp" in ln]
+    assert len(rep_scans) == 1, plan
+    # an ungated batch request refuses exactly like the per-question path
+    with pytest.raises(ValueError, match="search_tier"):
+        ChatPipeline(
+            store=store, embed_query=lambda q: vecs[q], llm=MockLLM(),
+            settings=RagSettings(grading=False),
+            tier_gate=lambda t: cat.assert_tier_usable(name, t, **PROBE_KW),
+        ).retrieve_batch(qs)
+
+
+def test_evaluate_testset_batched_matches_per_question(cat_store, spark):
+    """End-to-end consumer: evaluate_testset_batched (one topk_batch for
+    the whole testset) produces the IDENTICAL report to evaluate_testset
+    driven by the per-question retrieve() + the same prompt assembly."""
+    from oaim_sandbox_spark.operators.testbed import (
+        evaluate_testset,
+        evaluate_testset_batched,
+    )
+    from oaim_sandbox_spark.serving.chat import (
+        ChatPipeline,
+        Message,
+        MockLLM,
+        RagSettings,
+    )
+
+    cat, name, _vs = cat_store
+    store = cat.read_store(name)
+    vecs = {
+        f"question {i}": [float(x) for x in
+                          store.filter(f"id = {3 + 7 * i}").first()["embedding"]]
+        for i in range(4)
+    }
+    pipe = ChatPipeline(
+        store=store,
+        embed_query=lambda q: vecs[q],
+        llm=MockLLM(),
+        settings=RagSettings(search_tier="matryoshka16_rerank", grading=False),
+        tier_gate=lambda t: cat.assert_tier_usable(name, t, **PROBE_KW),
+    )
+    qa = spark.createDataFrame(
+        [(q, "doc", "general") for q in vecs],
+        "question STRING, reference_answer STRING, topic STRING",
+    )
+    judge_factory = lambda: (lambda q, ref, ans: ref in ans.lower())  # noqa: E731
+
+    got = evaluate_testset_batched(spark, qa, pipe, judge_factory, tid="t1")
+
+    llm, sys_prompt = pipe.llm, pipe.sys_prompt
+    per_q_texts = {
+        q: "\n\n".join(r["text"] for r in pipe.retrieve(q)) for q in vecs
+    }
+
+    def per_question_factory():
+        def answer(question: str) -> str:
+            sys = f"{sys_prompt}\n\nCONTEXT:\n{per_q_texts[question]}"
+            return llm.complete([Message("system", sys), Message("user", question)])
+        return answer
+
+    want = evaluate_testset(spark, qa, per_question_factory, judge_factory, tid="t1")
+    assert got.correctness == want.correctness
+    assert got.by_topic == want.by_topic
+    assert sorted(f["question"] for f in got.failures) == \
+           sorted(f["question"] for f in want.failures)
