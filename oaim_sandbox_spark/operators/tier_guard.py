@@ -78,14 +78,19 @@ TIER_LADDER: dict[str, tuple[dict, dict | None]] = {
 # per-(store, tier, metric) measured recall verdict answers it before any
 # query is served (measured on the test store, recall@10 default/widened
 # identical to cosine under both metrics: binary 0.95/1.0, pq 0.86/0.99,
-# pca16 0.71/0.94, matryoshka 0.54/0.76). The single-stage tiers rank BY
-# their approximation (LSH cosine buckets, IVF's inline cosine scoring)
-# with no exact re-rank to reorder another metric, so they stay
-# cosine-only.
+# pca16 0.71/0.94, matryoshka 0.54/0.76). IVF is two-stage by the same
+# criterion (VERDICT r10 task #5): stage 1 is L2 CENTROID PRUNING — a
+# geometry approximation, not a ranking — and IVFIndex.search/search_batch
+# already compute the requested metric EXACTLY on the pruned full-precision
+# rows, so ivf serves all three metrics behind per-metric verdicts too
+# (the probe below ranks the pruned candidates with the requested metric;
+# measured on the planted test store: recall@10 = 1.0 for all three
+# metrics at BOTH nprobe points). Only LSH stays cosine-only: its buckets
+# ARE the cosine ranking with no exact stage to reorder another metric.
 TIER_METRICS: dict[str, tuple[str, ...]] = {
     "int8": ("COSINE", "DOT_PRODUCT", "EUCLIDEAN_DISTANCE"),
     "lsh8_multiprobe": ("COSINE",),
-    "ivf": ("COSINE",),
+    "ivf": ("COSINE", "DOT_PRODUCT", "EUCLIDEAN_DISTANCE"),
     "pq_adc_rerank": ("COSINE", "DOT_PRODUCT", "EUCLIDEAN_DISTANCE"),
     "binary_hamming_rerank": ("COSINE", "DOT_PRODUCT", "EUCLIDEAN_DISTANCE"),
     "matryoshka16_rerank": ("COSINE", "DOT_PRODUCT", "EUCLIDEAN_DISTANCE"),
@@ -296,7 +301,10 @@ def _tier_recall(
         assigned = idx.assign(store)
         probes = [(qid, idx.probe_centroids(qv, op["nprobe"])) for qid, qv in queries]
         pdf = spark.createDataFrame(probes, "query_id BIGINT, probes ARRAY<INT>")
-        dist = distance_expr("embedding", P.to_double_array("query_vec", "spark"), "COSINE")
+        # stage 2 is the REQUESTED metric, exactly as IVFIndex.search/
+        # search_batch serve it — centroid pruning is the only
+        # approximation, so the probe measures the metric the user gets
+        dist = distance_expr("embedding", P.to_double_array("query_vec", "spark"), metric)
         scored = (
             assigned.alias("i")
             .join(
