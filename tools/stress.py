@@ -742,6 +742,75 @@ FROM r""").collect()[0]
     }
 
 
+def stress_r11audits(n_docs: int = 500_000, n_vecs: int = 30_000) -> dict:
+    """The round-11 audit family at ~100x the sf0.1 corpus: 500k docs in 16
+    pseudo-sources through (a) distinct-n-gram diversity (two explodes +
+    two-level distinct agg), (b) hapax/TTR (one explode + counts), (c) the
+    Burrows-Delta stylometry matrix (ONE materialized count relation, 120
+    pairs), (d) top-vocab turnover by decile (materialized top-100
+    relation); plus (e) the embedding effective-rank moments at 30k
+    synthetic 64-dim vectors (dim^2 explode = 123M cells, the entry's
+    actual scale shape). Timed individually."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.queries_extended import (
+        _stylometry_body,
+        _stylometry_sc_sql,
+        _vocab_top_sql,
+        _vocab_turnover_body,
+        distinct_ngram_diversity,
+        embedding_effective_rank,
+        hapax_ttr_by_source,
+    )
+
+    spark = _spark("stress-r11audits")
+    big = _resampled_docs(spark, n_docs).withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 16).cast("string"))
+    )
+    big.createOrReplaceTempView("documents")
+    t0 = time.time()
+    div = spark.sql(distinct_ngram_diversity("spark")).collect()
+    t_div = time.time() - t0
+    t0 = time.time()
+    hap = spark.sql(hapax_ttr_by_source("spark")).collect()
+    t_hap = time.time() - t0
+    t0 = time.time()
+    sc = spark.sql(_stylometry_sc_sql("spark")).localCheckpoint()
+    sc.createOrReplaceTempView("stress_stylo_sc")
+    sty = spark.sql("WITH " + _stylometry_body("spark", sc_rel="stress_stylo_sc")).collect()
+    t_sty = time.time() - t0
+    t0 = time.time()
+    top = spark.sql(_vocab_top_sql("spark")).localCheckpoint()
+    top.createOrReplaceTempView("stress_vturn_top")
+    vt = spark.sql("WITH " + _vocab_turnover_body("spark", top_rel="stress_vturn_top")).collect()
+    t_vt = time.time() - t0
+    # synthetic anisotropic embeddings: label-striped, dim-0 dominant
+    emb = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), i -> CASE WHEN i = 0 THEN "
+            "3.0 * sin(cast(id as double) * 0.37) ELSE "
+            "0.1 * (cast(hash(id, i) as double) / 2147483647.0) END)"
+        ).alias("embedding"),
+        (F.col("id") % 10).cast("int").alias("label"),
+    ).localCheckpoint()
+    emb.createOrReplaceTempView("embeddings")
+    t0 = time.time()
+    er = spark.sql(embedding_effective_rank("spark")).collect()
+    t_er = time.time() - t0
+    spark.stop()
+    return {
+        "stress": "r11audits", "docs": n_docs, "vecs": n_vecs,
+        "diversity_rows": len(div), "diversity_seconds": round(t_div, 1),
+        "hapax_rows": len(hap), "hapax_seconds": round(t_hap, 1),
+        "stylometry_pairs": len(sty), "stylometry_seconds": round(t_sty, 1),
+        "turnover_rows": len(vt), "turnover_seconds": round(t_vt, 1),
+        "effrank_rows": len(er),
+        "effrank_min": min(float(r["effective_rank"]) for r in er),
+        "effrank_seconds": round(t_er, 1),
+    }
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "minhash"
     arg = int(sys.argv[2]) if len(sys.argv) > 2 else None
@@ -765,6 +834,7 @@ def main() -> None:
         "novelty": stress_novelty,
         "gini": stress_gini,
         "r10audits": stress_r10audits,
+        "r11audits": stress_r11audits,
         "consensus_funnel": stress_consensus_funnel,
         "survivorship": stress_survivorship,
     }
