@@ -110,10 +110,12 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     # the first time it can; in protobuf-less envs it is filtered out and
     # costs no slot.
     "streaming_user_stats_tws",
-    # --- NEW this round (must certify first-time; 9 entries): n-gram
+    # --- NEW this round (must certify first-time; 10 entries): n-gram
     # diversity, hapax/TTR, Hill tail index, int8 saturation, embedding
     # effective rank, top-vocab turnover, Burrows' Delta stylometry,
-    # Markov stationarity drift, length-stratified dup rate.
+    # Markov stationarity drift, length-stratified dup rate,
+    # order-to-ship latency percentiles.
+    "order_to_ship_latency",
     "distinct_ngram_diversity",
     "hapax_ttr_by_source",
     "doc_length_tail_index",

@@ -650,14 +650,22 @@ fit AS (
          {P.exact_sum('x', d, 12)} AS sx, {P.exact_sum('y', d, 12)} AS sy,
          {P.exact_sum('x * y', d, 12)} AS sxy,
          {P.exact_sum('x * x', d, 12)} AS sxx,
-         {P.exact_sum('y * y', d, 12)} AS syy
+         {P.exact_sum('y * y', d, 12)} AS syy,
+         MIN(x) AS xlo, MAX(x) AS xhi, MIN(y) AS ylo, MAX(y) AS yhi
   FROM pts GROUP BY lang
 )
 SELECT lang, CAST(n AS BIGINT) AS n_terms,
-       CAST(round(CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+       -- degenerate guards are the exact MIN=MAX tests: with grid-rounded
+       -- sums (exact_sum) the moment determinant is no longer EXACTLY
+       -- zero for a zero-variance column (the r11 heaps hypothesis pin
+       -- caught this class), and the literal-zero comparison would stop
+       -- firing while the true variance is zero
+       CAST(round(CASE WHEN xlo = xhi OR (n * sxx - sx * sx) = 0 THEN NULL
                        ELSE -(n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) + 0.0
             AS DOUBLE) AS zipf_alpha,
-       CAST(round(CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN NULL
+       CAST(round(CASE WHEN xlo = xhi OR ylo = yhi
+                            OR (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                       THEN NULL
                        ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy))
                             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
             AS DOUBLE) AS r2
@@ -4083,7 +4091,8 @@ def _heaps_fit_body(d: str, cum_rel: str = "cum") -> str:
 m AS (
   SELECT source, COUNT(*) AS n,
          {P.exact_avg('x', d, 9)} AS mx, {P.exact_avg('y', d, 9)} AS my,
-         {P.exact_avg('x * y', d, 9)} AS mxy, {P.exact_avg('x * x', d, 9)} AS mxx
+         {P.exact_avg('x * y', d, 9)} AS mxy, {P.exact_avg('x * x', d, 9)} AS mxx,
+         MIN(x) AS xlo, MAX(x) AS xhi
   FROM pts GROUP BY source
 ),
 tot AS (
@@ -4094,11 +4103,17 @@ SELECT m.source AS source,
        CAST(m.n AS BIGINT) AS n_points,
        CAST(tot.total_tokens AS BIGINT) AS total_tokens,
        CAST(tot.vocab_size AS BIGINT) AS vocab_size,
-       CAST(round((m.mxy - m.mx * m.my) / nullif(m.mxx - m.mx * m.mx, 0), 6)
-            + 0.0 AS DOUBLE) AS heaps_beta,
-       CAST(round(exp(m.my - m.mx * (m.mxy - m.mx * m.my)
+       -- degenerate x (single point / all-equal cum curve) must yield
+       -- NULL on both engines: with grid-rounded moments (exact_avg),
+       -- mxx - mx*mx is no longer EXACTLY zero there (r11 hypothesis pin
+       -- caught the junk slope), so the guard is the exact MIN(x)=MAX(x)
+       CAST(CASE WHEN m.xlo = m.xhi THEN NULL ELSE
+            round((m.mxy - m.mx * m.my) / nullif(m.mxx - m.mx * m.mx, 0), 6)
+            END + 0.0 AS DOUBLE) AS heaps_beta,
+       CAST(CASE WHEN m.xlo = m.xhi THEN NULL ELSE
+            round(exp(m.my - m.mx * (m.mxy - m.mx * m.my)
                              / nullif(m.mxx - m.mx * m.mx, 0)), 6)
-            AS DOUBLE) AS heaps_k
+            END AS DOUBLE) AS heaps_k
 FROM m JOIN tot ON m.source = tot.source
 ORDER BY source
 """
@@ -4877,13 +4892,18 @@ mom AS (
   SELECT w, {P.exact_avg('r', d, 12)} AS mu,
          sqrt(greatest({P.exact_avg('r * r', d, 12)}
                        - {P.exact_avg('r', d, 12)} * {P.exact_avg('r', d, 12)},
-                       CAST(0 AS DOUBLE))) AS sd
+                       CAST(0 AS DOUBLE))) AS sd,
+         MIN(r) AS rlo, MAX(r) AS rhi
   FROM grid GROUP BY w
 ),
 z AS (
+  -- positive-variance filter is the exact MIN<MAX test, not sd > 0: with
+  -- grid-rounded moments a constant-rate word's computed sd is rounding
+  -- noise (tiny positive half the time), and dividing by it would inject
+  -- junk z into every Delta (the r11 heaps-pin fragility class)
   SELECT g.source AS source, g.w AS w, (g.r - m.mu) / m.sd AS z
   FROM grid g JOIN mom m ON g.w = m.w
-  WHERE m.sd > 0
+  WHERE m.rhi > m.rlo AND m.sd > 0
 )
 SELECT a.source AS source_a, b.source AS source_b,
        CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -5077,3 +5097,53 @@ def _dup_rate_by_length_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPARK_OVERRIDES["dup_rate_by_length"] = _dup_rate_by_length_spark
+
+
+def order_to_ship_latency(d: str) -> str:
+    """ORDER-TO-SHIP LATENCY percentiles per customer nation: exact
+    interpolated p50/p90/p99 and max of (l_shipdate - o_orderdate) in
+    whole days — the fulfillment-SLA profile read per geography (the
+    operational twin of q3/q5's revenue views; latency tails, not sums,
+    are what capacity planning consumes). Day deltas are exact integers
+    (both engines floor-divide the epoch-微us difference by 86400e6 —
+    calendar datediff() functions disagree on DST-less timestamp
+    semantics, integer math cannot), so the only float op is the shared
+    linear interpolation (Spark `percentile` == DuckDB `quantile_cont`,
+    the doc_len_percentiles pattern; at 100 TB swap to approx_percentile
+    with this exact form as its oracle). One lineitem-orders join keyed
+    on orderkey + two broadcast dim joins, then a nation-dim agg."""
+    # parquet date-ish columns surface as TIMESTAMP_NTZ on Spark;
+    # unix_micros needs TIMESTAMP, and under the UTC session tz the cast
+    # is the identity DuckDB's epoch_us already applies to naive stamps
+    day = lambda col: (  # noqa: E731
+        f"CAST(unix_micros(CAST({col} AS TIMESTAMP)) div 86400000000 AS BIGINT)"
+        if d == "spark"
+        else f"(epoch_us({col}) // 86400000000)"
+    )
+    if d == "spark":
+        pcts = "percentile(lat_days, array(0.5D, 0.9D, 0.99D))"
+    else:
+        pcts = "quantile_cont(lat_days, [0.5, 0.9, 0.99])"
+    e = lambda i: _elem("p", i, d)  # noqa: E731
+    return f"""
+WITH lt AS (
+  SELECT n.n_name AS nation,
+         {day('l.l_shipdate')} - {day('o.o_orderdate')} AS lat_days
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT nation,
+       CAST(n AS BIGINT) AS n_lineitems,
+       CAST(round({e(1)}, 6) + 0.0 AS DOUBLE) AS p50_days,
+       CAST(round({e(2)}, 6) + 0.0 AS DOUBLE) AS p90_days,
+       CAST(round({e(3)}, 6) + 0.0 AS DOUBLE) AS p99_days,
+       CAST(mx AS BIGINT) AS max_days
+FROM (SELECT nation, COUNT(*) AS n, {pcts} AS p, MAX(lat_days) AS mx
+      FROM lt GROUP BY nation) t
+ORDER BY nation
+"""
+
+
+TEMPLATES["order_to_ship_latency"] = order_to_ship_latency

@@ -357,3 +357,22 @@ def test_minhash_estimate_quality_matches_direct_python():
         assert abs(r[1] - mean_est) < 2e-6
         assert abs(r[2] - mean_exact) < 2e-6
         assert abs(r[3] - mae) < 2e-6
+
+
+def test_zipf_degenerate_languages_yield_null():
+    """r11 regression pin (the heaps-pin fragility class): with
+    grid-rounded exact sums the moment determinant is no longer exactly
+    zero on zero-variance columns, so the degenerate guards are the exact
+    MIN=MAX tests — one distinct token => NULL alpha AND r2; all counts
+    equal (y-variance zero, x fine) => alpha computed, r2 NULL."""
+    from oaim_sandbox_spark.queries_extended import zipf_alpha_by_lang
+
+    docs = [(0, ["only"] * 7), (1, ["a", "b", "c"])]
+    langs = {0: "xx", 1: "yy"}
+    con = duckdb.connect()
+    _mk_docs(con, docs, langs)
+    got = {r[0]: (r[1], r[2], r[3]) for r in
+           con.execute(zipf_alpha_by_lang("duck")).fetchall()}
+    assert got["xx"] == (1, None, None)          # single point: both NULL
+    n, alpha, r2 = got["yy"]                     # equal counts: y constant
+    assert n == 3 and alpha == 0.0 and r2 is None

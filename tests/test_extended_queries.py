@@ -126,7 +126,7 @@ def _naive_hourly_peaks(sessions):
     return out
 
 
-from hypothesis import given, settings  # noqa: E402
+from hypothesis import example, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 SESSIONS = st.lists(
@@ -367,6 +367,11 @@ def test_gopher_rules_match_direct_python(docs):
         min_size=2, max_size=25,
     )
 )
+# r11 regression pin: a single-point source (zero x-variance) must yield
+# NULL beta — the exact_avg conversion's grid-rounded moments made
+# mxx - mx*mx tiny-nonzero and emitted beta=0.0 until the MIN(x)=MAX(x)
+# guard landed (hypothesis found it; keep it pinned)
+@example(docs=[(1, ["a"]), (0, ["a", "a"])])
 @settings(max_examples=40, deadline=None)
 def test_heaps_fit_matches_direct_python(docs):
     """The moment-form OLS on the cumulative (ln tokens, ln vocab) curve

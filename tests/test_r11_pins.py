@@ -338,3 +338,69 @@ def test_dup_rate_by_length_pins_bucketing():
         assert r[0] == nd, (b, r)
         assert r[1] == expect_pairs.get(b, 0), (b, r)
         assert abs(r[2] - expect_pairs.get(b, 0) / nd) < 2e-6
+
+
+def test_stylometry_excludes_constant_rate_words_exactly():
+    """r11 regression pin: a word whose rate is IDENTICAL across all
+    sources must be excluded by the exact MIN<MAX variance test — the
+    grid-rounded sd is rounding noise there and sd>0 alone would inject
+    junk z half the time (the heaps-pin fragility class)."""
+    from oaim_sandbox_spark.queries_extended import source_stylometry_delta
+
+    # 'same' appears exactly once per 4 tokens in BOTH sources (rate 1/4);
+    # the other words differ
+    docs = [
+        (0, ["same", "aa", "aa", "bb"]),
+        (1, ["same", "bb", "bb", "cc"]),
+    ]
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    rows = con.execute(source_stylometry_delta("duck")).fetchall()
+    assert len(rows) == 1
+    (a, b, n_words, delta) = rows[0]
+    # 'same' (constant rate) excluded; aa/bb/cc all vary -> 3 words
+    assert n_words == 3, rows
+    assert delta is not None and delta > 0
+
+
+def test_order_to_ship_latency_matches_direct_python():
+    """Interpolated percentiles of integer day deltas against a direct
+    numpy-free implementation of the shared linear-interpolation rule
+    (quantile_cont / Spark percentile both use pos = q*(n-1))."""
+    from oaim_sandbox_spark.queries_extended import order_to_ship_latency
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE nation AS SELECT * FROM (VALUES "
+                "(0, 'ALPHA', 0), (1, 'BETA', 1)) v(n_nationkey, n_name, n_regionkey)")
+    con.execute("CREATE TABLE customer AS SELECT * FROM (VALUES "
+                "(1, 'c1', 0, 0.0, 'm'), (2, 'c2', 1, 0.0, 'm')"
+                ") v(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)")
+    day = 86400_000_000
+    # orders on day 0; customers 1/2 split the lineitems across nations
+    con.execute("CREATE TABLE orders AS SELECT * FROM (VALUES "
+                "(10, 1, 'O', 1.0, make_timestamp(0), 'p'),"
+                "(11, 2, 'O', 1.0, make_timestamp(0), 'p')"
+                ") v(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)")
+    lats_a, lats_b = [1, 3, 5, 100], [2, 4]
+    rows = [f"(10, 1, 1, {i}, 1.0, 1.0, 0.0, 0.0, 'N', 'O', make_timestamp({d * day}))"
+            for i, d in enumerate(lats_a)]
+    rows += [f"(11, 1, 1, {i}, 1.0, 1.0, 0.0, 0.0, 'N', 'O', make_timestamp({d * day}))"
+             for i, d in enumerate(lats_b)]
+    con.execute("CREATE TABLE lineitem AS SELECT * FROM (VALUES " + ", ".join(rows) +
+                ") v(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+                "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)")
+    got = {r[0]: r[1:] for r in con.execute(order_to_ship_latency("duck")).fetchall()}
+
+    def interp(vals, q):
+        vals = sorted(vals)
+        pos = q * (len(vals) - 1)
+        lo = int(math.floor(pos))
+        hi = min(lo + 1, len(vals) - 1)
+        return vals[lo] + (pos - lo) * (vals[hi] - vals[lo])
+
+    for nat, lats in (("ALPHA", lats_a), ("BETA", lats_b)):
+        r = got[nat]
+        assert r[0] == len(lats)
+        for col, q in ((1, 0.5), (2, 0.9), (3, 0.99)):
+            assert abs(r[col] - interp(lats, q)) < 2e-6, (nat, q, r[col], interp(lats, q))
+        assert r[4] == max(lats)
