@@ -397,10 +397,16 @@ def exact_sum(e: str, dialect: str, scale: int = 9) -> str:
     over up to ~2e9 rows/group. Deterministic per-row rounding introduces at
     most 0.5*10^-scale per term (random-sign cancellation keeps the realized
     drift ~sqrt(N) smaller), far below the 1e-6 output rounding at the
-    chosen scales. Identical SQL on both dialects, so the oracle agrees by
-    construction."""
+    chosen scales. Quantization uses floor(x + 0.5), the file's
+    engine-independent idiom (see quantize_int8: round() half-way rules
+    can differ between engines, and a half-way disagreement on one term
+    is exactly the 1-unit flip these helpers exist to eliminate).
+    Identical SQL on both dialects, so the oracle agrees by
+    construction. Overflow at a violated capacity bound THROWS under
+    Spark's default ANSI mode rather than wrapping (DuckDB widens) — a
+    loud failure, never silent divergence."""
     s = f"CAST(1e{scale} AS DOUBLE)"
-    return f"(SUM(CAST(round(({e}) * {s}) AS BIGINT)) / {s})"
+    return f"(SUM(CAST(floor(({e}) * {s} + 0.5) AS BIGINT)) / {s})"
 
 
 def exact_avg(e: str, dialect: str, scale: int = 9) -> str:
@@ -409,7 +415,7 @@ def exact_avg(e: str, dialect: str, scale: int = 9) -> str:
     scale bounds as exact_sum."""
     s = f"CAST(1e{scale} AS DOUBLE)"
     return (
-        f"(SUM(CAST(round(({e}) * {s}) AS BIGINT)) "
+        f"(SUM(CAST(floor(({e}) * {s} + 0.5) AS BIGINT)) "
         f"/ (COUNT({e}) * {s}))"
     )
 

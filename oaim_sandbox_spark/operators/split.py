@@ -294,6 +294,12 @@ class TokenSplitter:
 # so chunks end at sentence boundaries whenever the budget allows.
 SENTENCE_SEPARATORS = ["\n\n", "\n", ". ", "? ", "! ", " ", ""]
 
+# split AFTER terminator+space or newline; the zero-width lookbehind keeps
+# each terminator attached to its sentence (TokenSentenceSplitter)
+import re as _re
+
+_SENTENCE_RE = _re.compile(r"(?<=[.!?] )|(?<=\n)")
+
 
 def sentence_splitter(
     chunk_size: int = 2048, chunk_overlap: int = 0, strip_whitespace: bool = True
@@ -328,26 +334,23 @@ class TokenSentenceSplitter(TokenSplitter):
     env-gated, SURVEY §4 P2). Inherits the over-budget merge guard the r9
     judge falsified and r10 fixed."""
 
-    # split AFTER terminator+space or newline; the zero-width lookbehind
-    # keeps each terminator attached to its sentence, so "".join of a run
-    # of KEPT pieces reconstructs that span of the input (whitespace-only
-    # pieces are dropped, matching the other splitters' strip behavior)
-    _SENTENCE_RE = None
-
     def __init__(self, chunk_size: int = 2048, chunk_overlap: int = 200,
                  count_tokens=None):
         super().__init__(chunk_size, chunk_overlap, separator="\n\n",
                          count_tokens=count_tokens)
-        import re
-
-        if TokenSentenceSplitter._SENTENCE_RE is None:
-            TokenSentenceSplitter._SENTENCE_RE = re.compile(
-                r"(?<=[.!?] )|(?<=\n)"
-            )
 
     def split_text(self, text: str) -> list[str]:
-        pieces = [p for p in self._SENTENCE_RE.split(text) if p.strip()]
-        return self._merge(pieces, "")
+        # every piece is kept (zero-width splits never yield empty
+        # strings), so "".join of a run of pieces reconstructs that exact
+        # span of the input — chunks are verbatim substrings even across
+        # blank lines (r11 review: dropping whitespace-only pieces made
+        # 'Para.\n\nNext.' chunks non-substrings). Whitespace-only
+        # pieces carry zero tokens, so they never affect the budget; a
+        # chunk that is ENTIRELY whitespace (possible only from
+        # whitespace-only input) is dropped at the end, matching the
+        # other splitters' strip behavior.
+        pieces = _SENTENCE_RE.split(text)
+        return [c for c in self._merge(pieces, "") if c.strip()]
 
 
 def token_sentence_splitter(

@@ -371,33 +371,52 @@ def evaluate_testset_batched(
     tid: str = "",
     settings: dict | None = None,
     max_failures: int = 1000,
+    max_batch_questions: int = 10_000,
 ) -> EvaluationReport:
     """evaluate_testset with the RETRIEVAL stage batched: every question's
     context comes from ONE TieredStore.topk_batch call — one stage-1 scan
     over the tier's compressed representation for the whole testset,
     instead of one scan per question (the consensus-funnel pattern applied
     to serving; VERDICT r10 task #4). The tier gate runs once, before any
-    query, exactly as in the per-question path.
+    query, exactly as in the per-question path, the grounded prompt is
+    assembled by the SAME ChatPipeline.assemble_system_prompt serving
+    uses, and a pipeline with grading enabled applies its grade() gate
+    per question (driver-side, one LLM call each — identical to chat()).
 
-    Testsets are bounded (upsert_testset's wire caps), so collecting the
-    question column and broadcasting the context texts into the answer
-    closure is driver-safe; the answer/judge fan-out stays data-parallel
-    through evaluate_testset. Only the llm + sys_prompt are captured (the
-    pipeline holds DataFrames and must not be pickled into the UDF)."""
+    The question column and its joined context texts are collected to the
+    driver and captured in the answer closure, so the testset must be
+    BOUNDED: ``max_batch_questions`` (default 10k) refuses larger sets up
+    front — evaluate_testset's per-question path handles 10M-row sets
+    without driver state (r11 review: 'wire caps' do not exist on
+    upsert_testset), this batched variant intentionally trades a bounded
+    driver dict for the single stage-1 scan. Only the llm + sys_prompt
+    are captured (the pipeline holds DataFrames and must not be pickled
+    into the UDF)."""
     from oaim_sandbox_spark.serving.chat import Message
 
+    n_q = qa.count()
+    if n_q > max_batch_questions:
+        raise ValueError(
+            f"testset has {n_q} questions > max_batch_questions="
+            f"{max_batch_questions}; the batched evaluator keeps all "
+            "contexts in a driver dict — use evaluate_testset (per-"
+            "question retrieval, no driver state) for sets this large, "
+            "or raise the cap explicitly"
+        )
     questions = [r["question"] for r in qa.select("question").collect()]
     contexts = pipe.retrieve_batch(questions)
-    texts = {
-        q: "\n\n".join(r["text"] for r in rows)
-        for q, rows in zip(questions, contexts)
-    }
-    llm, sys_prompt = pipe.llm, pipe.sys_prompt
+    texts = {}
+    for q, rows in zip(questions, contexts):
+        docs = [{"text": r["text"]} for r in rows]
+        if docs and not pipe.grade(q, docs):
+            docs = []  # failed relevance gate -> ungrounded generation,
+            #            exactly chat()'s routing
+        texts[q] = pipe.assemble_system_prompt(pipe.sys_prompt, docs)
+    llm = pipe.llm
 
     def answer_factory():
         def answer(question: str) -> str:
-            ctx = texts.get(question)
-            sys = f"{sys_prompt}\n\nCONTEXT:\n{ctx}" if ctx else sys_prompt
+            sys = texts[question]
             return llm.complete([Message("system", sys), Message("user", question)])
 
         return answer

@@ -580,7 +580,14 @@ WITH tk AS ({tok}),
 sc AS (SELECT source, tok, CAST(COUNT(*) AS DOUBLE) AS c FROM tk GROUP BY source, tok),
 corp AS (SELECT tok, CAST(SUM(c) AS DOUBLE) AS c FROM sc GROUP BY tok),
 v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vocab, CAST(SUM(c) AS DOUBLE) AS total FROM corp),
-lq AS (SELECT CAST({P.exact_sum('ln((corp.c + 1.0) / (v.total + v.vocab))', d, 11)}
+-- lq / present_lnq are the registry's only UNWEIGHTED ln sums — they grow
+-- linearly with vocab (|term| <= ~30), so scale 9 keeps the BIGINT
+-- capacity at ~3e8 vocab terms per group (ANSI-throws loudly beyond,
+-- never wraps); the 1e-9-per-term grid error enters the output only
+-- after division by (tot + V), far below round-6. The WEIGHTED entropy
+-- sums elsewhere are bounded by the entropy value itself (sum p = 1) and
+-- keep the finer scale.
+lq AS (SELECT CAST({P.exact_sum('ln((corp.c + 1.0) / (v.total + v.vocab))', d, 9)}
               AS DOUBLE) AS l
        FROM corp CROSS JOIN v),
 st AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS tot FROM sc GROUP BY source),
@@ -596,7 +603,7 @@ terms AS (
 agg AS (
   SELECT source,
          {P.exact_sum('p * ln(p / q)', d, 11)} AS present_kl,
-         {P.exact_sum('ln(q)', d, 11)} AS present_lnq,
+         {P.exact_sum('ln(q)', d, 9)} AS present_lnq,
          CAST(COUNT(*) AS DOUBLE) AS n_present,
          MAX(tot) AS tot
   FROM terms
@@ -4738,9 +4745,14 @@ def embedding_effective_rank(d: str) -> str:
     return f"""
 WITH idx AS ({_dim_idx(d)}),
 m2 AS (
+  -- covariance is symmetric, so only the upper triangle (a.i <= b.i,
+  -- 2080 of 4096 cells) is materialized — the explode is this entry's
+  -- dominant cost and the lower triangle is the same number (r11 review);
+  -- trc2 below doubles the off-diagonal squares back
   SELECT v.label AS label, a.i AS da, b.i AS db,
          {P.exact_avg(f'({xa}) * ({xb})', d, 9)} AS mab
   FROM embeddings v CROSS JOIN idx a CROSS JOIN idx b
+  WHERE a.i <= b.i
   GROUP BY v.label, a.i, b.i
 ),
 m1 AS (
@@ -4758,13 +4770,15 @@ cov AS (
 tr AS (
   SELECT label,
          {P.exact_sum('CASE WHEN da = db THEN cv END', d, 12)} AS trc,
-         {P.exact_sum('cv * cv', d, 12)} AS trc2
+         {P.exact_sum(
+             'cv * cv * (CASE WHEN da = db THEN 1.0 ELSE 2.0 END)', d, 12)}
+             AS trc2
   FROM cov GROUP BY label
 ),
 nv AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
 SELECT CAST(tr.label AS INT) AS label,
        CAST(nv.n AS BIGINT) AS n_vectors,
-       CAST(round(tr.trc, 6) AS DOUBLE) AS trace_cov,
+       CAST(round(tr.trc, 6) + 0.0 AS DOUBLE) AS trace_cov,
        CAST(round(tr.trc * tr.trc / nullif(tr.trc2, 0), 6) AS DOUBLE)
            AS effective_rank
 FROM tr JOIN nv ON tr.label = nv.label

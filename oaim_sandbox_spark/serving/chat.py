@@ -329,9 +329,11 @@ class ChatPipeline:
         retrieve() would re-scan the representation len(questions) times).
         Requires settings.search_tier: the batch funnel IS the tiered
         store's, and it runs behind the same tier_gate verdict as the
-        per-question path. Returns one row list per question, each
-        row-identical to retrieve(question) for that question (pinned in
-        tests/test_tier_cache.py)."""
+        per-question path. Returns one row list per question, the SAME
+        store rows in the SAME order as retrieve(question) — batch rows
+        additionally carry the query_id/rank columns topk() drops, so
+        compare on the store columns + distance, not whole-row equality
+        (pinned in tests/test_tier_cache.py)."""
         s = s or self.settings
         if not s.search_tier:
             raise ValueError(
@@ -358,12 +360,21 @@ class ChatPipeline:
         )
         return verdict.strip().lower().startswith("yes")
 
-    def generate(self, question: str, documents: list | None, history: list[Message]) -> str:
+    @staticmethod
+    def assemble_system_prompt(sys_prompt: str, documents: list | None) -> str:
+        """THE grounded-generation system prompt: sys prompt + joined
+        context. One definition — generate() and the batched testbed
+        evaluator (testbed.evaluate_testset_batched) both call it, so the
+        batched evaluation cannot silently measure a different prompt
+        than serving (r11 review). Static (no self) so UDF closures can
+        capture it without pickling the pipeline's DataFrames."""
         if documents:
             context = "\n\n".join(d["text"] for d in documents)
-            sys = f"{self.sys_prompt}\n\nCONTEXT:\n{context}"
-        else:
-            sys = self.sys_prompt
+            return f"{sys_prompt}\n\nCONTEXT:\n{context}"
+        return sys_prompt
+
+    def generate(self, question: str, documents: list | None, history: list[Message]) -> str:
+        sys = self.assemble_system_prompt(self.sys_prompt, documents)
         return self.llm.complete([Message("system", sys), *history[:-1], Message("user", question)])
 
     # -- entry points ----------------------------------------------------------

@@ -84,11 +84,24 @@ def _parse_multipart_files(raw: bytes, content_type: str) -> list[tuple[str, byt
         return []
     if not msg.is_multipart():
         return []
+    import re
+
     out: list[tuple[str, bytes]] = []
     for part in msg.iter_parts():
         fname = part.get_filename()
         if fname is None:
             continue
+        # email's header machinery mangles some legal plain-quoted
+        # filenames (e.g. "<>" parses as an RFC 2822 angle-addr and
+        # collapses to ''; "<0>" loses its brackets — r11 hypothesis
+        # find); python-multipart (the reference's FastAPI path) returns
+        # the quoted string verbatim, so PREFER the raw
+        # Content-Disposition value and keep get_filename() only for
+        # encoded forms (RFC 2231, unquoted tokens) the regex misses
+        m = re.search(r'filename="([^"]*)"',
+                      str(part.get("Content-Disposition", "")))
+        if m:
+            fname = m.group(1)
         payload = part.get_payload(decode=True)
         out.append((fname, payload if payload is not None else b""))
     return out

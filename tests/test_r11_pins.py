@@ -186,10 +186,11 @@ def test_embedding_effective_rank_matches_numpy():
     con = duckdb.connect()
     _mk_embeddings(con, [(i, l, list(v)) for i, l, v in vecs])
     (lab, nv, trace, eff) = con.execute(embedding_effective_rank("duck")).fetchone()
-    # mirror the template's 1e-9 moment grid before covariance
+    # mirror the template's 1e-9 moment grid (floor(x+0.5) quantization,
+    # the engine-independent idiom) before covariance
     xf = np.asarray([[float(np.float32(v)) for v in row] for row in x])
-    m1 = np.round(xf * 1e9).sum(axis=0) / (n * 1e9)
-    m2 = np.round(np.einsum("ni,nj->nij", xf, xf) * 1e9).sum(axis=0) / (n * 1e9)
+    m1 = np.floor(xf * 1e9 + 0.5).sum(axis=0) / (n * 1e9)
+    m2 = np.floor(np.einsum("ni,nj->nij", xf, xf) * 1e9 + 0.5).sum(axis=0) / (n * 1e9)
     cov = m2 - np.outer(m1, m1)
     trc, trc2 = np.trace(cov), (cov * cov).sum()
     assert (lab, nv) == (0, n)

@@ -487,15 +487,21 @@ def test_evaluate_testset_batched_matches_per_question(cat_store, spark):
 
     got = evaluate_testset_batched(spark, qa, pipe, judge_factory, tid="t1")
 
-    llm, sys_prompt = pipe.llm, pipe.sys_prompt
-    per_q_texts = {
-        q: "\n\n".join(r["text"] for r in pipe.retrieve(q)) for q in vecs
+    llm = pipe.llm
+    # the per-question expectation uses the SAME shared prompt assembly
+    # serving uses (r11 review: a hand-copied f-string here would let the
+    # two paths drift apart unnoticed)
+    per_q_sys = {
+        q: pipe.assemble_system_prompt(
+            pipe.sys_prompt, [{"text": r["text"]} for r in pipe.retrieve(q)]
+        )
+        for q in vecs
     }
 
     def per_question_factory():
         def answer(question: str) -> str:
-            sys = f"{sys_prompt}\n\nCONTEXT:\n{per_q_texts[question]}"
-            return llm.complete([Message("system", sys), Message("user", question)])
+            return llm.complete([Message("system", per_q_sys[question]),
+                                 Message("user", question)])
         return answer
 
     want = evaluate_testset(spark, qa, per_question_factory, judge_factory, tid="t1")
