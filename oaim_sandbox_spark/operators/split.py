@@ -340,11 +340,12 @@ class TokenSentenceSplitter(TokenSplitter):
                          count_tokens=count_tokens)
 
     def split_text(self, text: str) -> list[str]:
-        # every piece is kept (zero-width splits never yield empty
-        # strings), so "".join of a run of pieces reconstructs that exact
-        # span of the input — chunks are verbatim substrings even across
-        # blank lines (r11 review: dropping whitespace-only pieces made
-        # 'Para.\n\nNext.' chunks non-substrings). Whitespace-only
+        # every piece is kept, so "".join of a run of pieces reconstructs
+        # that exact span of the input — chunks are verbatim substrings
+        # even across blank lines (r11 review: dropping whitespace-only
+        # pieces made 'Para.\n\nNext.' chunks non-substrings). A text
+        # ending exactly at a boundary yields one trailing EMPTY piece —
+        # harmless (zero tokens, contributes nothing). Whitespace-only
         # pieces carry zero tokens, so they never affect the budget; a
         # chunk that is ENTIRELY whitespace (possible only from
         # whitespace-only input) is dropped at the end, matching the

@@ -391,37 +391,53 @@ def evaluate_testset_batched(
     upsert_testset), this batched variant intentionally trades a bounded
     driver dict for the single stage-1 scan. Only the llm + sys_prompt
     are captured (the pipeline holds DataFrames and must not be pickled
-    into the UDF)."""
+    into the UDF). ``qa`` is checkpointed once so the cap check, the
+    question collect, and the evaluation fan-out all see ONE evaluation
+    of its lineage — a nondeterministic qa source (unseeded sample())
+    would otherwise hand the UDF questions the driver never retrieved
+    for (r11 second-pass review)."""
     from oaim_sandbox_spark.serving.chat import Message
 
-    n_q = qa.count()
-    if n_q > max_batch_questions:
-        raise ValueError(
-            f"testset has {n_q} questions > max_batch_questions="
-            f"{max_batch_questions}; the batched evaluator keeps all "
-            "contexts in a driver dict — use evaluate_testset (per-"
-            "question retrieval, no driver state) for sets this large, "
-            "or raise the cap explicitly"
+    qa = qa.localCheckpoint(eager=True)
+    try:
+        # single bounded job: cap+1 rows decide the refusal AND, when under
+        # the cap, ARE the full question list (no separate count() scan)
+        qrows = qa.select("question").limit(max_batch_questions + 1).collect()
+        if len(qrows) > max_batch_questions:
+            raise ValueError(
+                f"testset exceeds max_batch_questions={max_batch_questions}; "
+                "the batched evaluator keeps all contexts in a driver dict — "
+                "use evaluate_testset (per-question retrieval, no driver "
+                "state) for sets this large, or raise the cap explicitly"
+            )
+        questions = [r["question"] for r in qrows]
+        s = pipe.settings
+        if s.rag_enabled and pipe.store is not None:
+            contexts = pipe.retrieve_batch(questions)
+        else:
+            # chat()'s routing: RAG off (or no store) answers ungrounded —
+            # the eval must measure the pipeline AS CONFIGURED (r11
+            # second-pass review)
+            contexts = [[] for _ in questions]
+        texts = {}
+        for q, rows in zip(questions, contexts):
+            docs = [{"text": r["text"]} for r in rows]
+            if docs and not pipe.grade(q, docs):
+                docs = []  # failed relevance gate -> ungrounded generation,
+                #            exactly chat()'s routing
+            texts[q] = pipe.assemble_system_prompt(pipe.sys_prompt, docs)
+        llm = pipe.llm
+
+        def answer_factory():
+            def answer(question: str) -> str:
+                sys = texts[question]
+                return llm.complete([Message("system", sys), Message("user", question)])
+
+            return answer
+
+        return evaluate_testset(
+            spark, qa, answer_factory, judge_factory,
+            tid=tid, settings=settings, max_failures=max_failures,
         )
-    questions = [r["question"] for r in qa.select("question").collect()]
-    contexts = pipe.retrieve_batch(questions)
-    texts = {}
-    for q, rows in zip(questions, contexts):
-        docs = [{"text": r["text"]} for r in rows]
-        if docs and not pipe.grade(q, docs):
-            docs = []  # failed relevance gate -> ungrounded generation,
-            #            exactly chat()'s routing
-        texts[q] = pipe.assemble_system_prompt(pipe.sys_prompt, docs)
-    llm = pipe.llm
-
-    def answer_factory():
-        def answer(question: str) -> str:
-            sys = texts[question]
-            return llm.complete([Message("system", sys), Message("user", question)])
-
-        return answer
-
-    return evaluate_testset(
-        spark, qa, answer_factory, judge_factory,
-        tid=tid, settings=settings, max_failures=max_failures,
-    )
+    finally:
+        qa.unpersist()

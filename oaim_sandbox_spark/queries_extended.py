@@ -4734,11 +4734,12 @@ def embedding_effective_rank(d: str) -> str:
     cosine-based dedup/ANN/centroid operator above it silently degrades).
     No eigensolver needed: tr C = sum of dim variances, tr(C^2) = sum of
     squared covariances, both closed-form from first/second moments.
-    Shape: ONE corpus scan exploded to (label, dim-pair) cells via the
-    fixed 64x64 index cross join (dim^2 = 4096 rows/vector, linear in
-    store size, map-side combinable agg over label x 4096 groups; moments
-    via P.exact_avg scale 9, trace sums over dim^2 <= 4096 bounded terms
-    via P.exact_sum scale 12)."""
+    Shape: ONE corpus scan exploded to (label, dim-pair) cells — the
+    UPPER TRIANGLE only, a.i <= b.i, 2080 of the 4096 cells (covariance
+    is symmetric; trc2 doubles the off-diagonal squares back) — linear in
+    store size, map-side combinable agg over label x 2080 groups; moments
+    via P.exact_avg scale 9, trace sums over <= 2080 bounded terms via
+    P.exact_sum scale 12."""
     xa = f"CAST({_elem('v.embedding', 'a.i', d)} AS DOUBLE)"
     xb = f"CAST({_elem('v.embedding', 'b.i', d)} AS DOUBLE)"
     x1 = f"CAST({_elem('v.embedding', 'a.i', d)} AS DOUBLE)"

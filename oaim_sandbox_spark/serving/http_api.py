@@ -96,11 +96,14 @@ def _parse_multipart_files(raw: bytes, content_type: str) -> list[tuple[str, byt
         # collapses to ''; "<0>" loses its brackets — r11 hypothesis
         # find); python-multipart (the reference's FastAPI path) returns
         # the quoted string verbatim, so PREFER the raw
-        # Content-Disposition value and keep get_filename() only for
-        # encoded forms (RFC 2231, unquoted tokens) the regex misses
+        # Content-Disposition value. Values containing a backslash may be
+        # RFC quoted-pairs ('a\"b'), where the naive first-quote regex
+        # truncates — there get_filename()'s unquoting is the correct
+        # reader (r11 second-pass review), as it is for encoded forms
+        # (RFC 2231) the regex misses entirely.
         m = re.search(r'filename="([^"]*)"',
                       str(part.get("Content-Disposition", "")))
-        if m:
+        if m and "\\" not in m.group(1):
             fname = m.group(1)
         payload = part.get_payload(decode=True)
         out.append((fname, payload if payload is not None else b""))

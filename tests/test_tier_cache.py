@@ -509,3 +509,61 @@ def test_evaluate_testset_batched_matches_per_question(cat_store, spark):
     assert got.by_topic == want.by_topic
     assert sorted(f["question"] for f in got.failures) == \
            sorted(f["question"] for f in want.failures)
+
+    # grading=True path (r11 second-pass review: previously untested):
+    # MockLLM's grader rejects these contexts ('doc N' shares no >3-char
+    # word with 'question i'), so BOTH paths must route every question to
+    # UNGROUNDED generation — and the gate demonstrably fires
+    pipe_graded = ChatPipeline(
+        store=store,
+        embed_query=lambda q: vecs[q],
+        llm=MockLLM(),
+        settings=RagSettings(search_tier="matryoshka16_rerank", grading=True),
+        tier_gate=lambda t: cat.assert_tier_usable(name, t, **PROBE_KW),
+    )
+    q0 = next(iter(vecs))
+    assert not pipe_graded.grade(q0, [{"text": r["text"]}
+                                      for r in pipe_graded.retrieve(q0)])
+    got_g = evaluate_testset_batched(spark, qa, pipe_graded, judge_factory, tid="t2")
+    per_q_sys_g = {}
+    for q in vecs:
+        docs = [{"text": r["text"]} for r in pipe_graded.retrieve(q)]
+        if docs and not pipe_graded.grade(q, docs):
+            docs = []
+        per_q_sys_g[q] = pipe_graded.assemble_system_prompt(
+            pipe_graded.sys_prompt, docs)
+    # every question failed the gate -> ungrounded prompt == bare sys
+    assert all(s == pipe_graded.sys_prompt for s in per_q_sys_g.values())
+    llm_g = pipe_graded.llm
+
+    def per_question_graded_factory():
+        def answer(question: str) -> str:
+            return llm_g.complete([Message("system", per_q_sys_g[question]),
+                                   Message("user", question)])
+        return answer
+
+    want_g = evaluate_testset(spark, qa, per_question_graded_factory,
+                              judge_factory, tid="t2")
+    assert got_g.correctness == want_g.correctness
+    assert sorted(f["question"] for f in got_g.failures) == \
+           sorted(f["question"] for f in want_g.failures)
+
+    # rag_enabled=False routing: the batched eval must answer ungrounded
+    # exactly like chat(), not retrieve anyway
+    pipe_norag = ChatPipeline(
+        store=store, embed_query=lambda q: vecs[q], llm=MockLLM(),
+        settings=RagSettings(rag_enabled=False,
+                             search_tier="matryoshka16_rerank", grading=False),
+        tier_gate=lambda t: cat.assert_tier_usable(name, t, **PROBE_KW),
+    )
+    got_n = evaluate_testset_batched(spark, qa, pipe_norag, judge_factory, tid="t3")
+    llm_n, sys_n = pipe_norag.llm, pipe_norag.sys_prompt  # no pipe in closure
+
+    def ungrounded_factory():
+        def answer(question: str) -> str:
+            return llm_n.complete(
+                [Message("system", sys_n), Message("user", question)])
+        return answer
+
+    want_n = evaluate_testset(spark, qa, ungrounded_factory, judge_factory, tid="t3")
+    assert got_n.correctness == want_n.correctness
