@@ -118,3 +118,43 @@ def test_sign_pack_bit_identical(spark, duck, a):
     d = duck.sql(f"SELECT {P.sign_pack(ald, 1, n, 'duck')} AS w").fetchone()[0]
     expected = sum(1 << j for j in range(n) if a[j] > 0)
     assert s == d == expected
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=-30.0, max_value=30.0, allow_nan=False,
+                  allow_infinity=False),
+        min_size=1, max_size=12,
+    ),
+    scale=st.sampled_from([2, 9, 11, 12]),
+)
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_exact_sum_avg_bit_identical(spark, duck, xs, scale):
+    """P.exact_sum / P.exact_avg must be BIT-identical across engines on
+    arbitrary doubles — that is their entire reason to exist (the r10
+    coreset merge-order incident). floor(x*s + 0.5) quantization is the
+    engine-independent idiom; the BIGINT sum is exact; the one division is
+    IEEE-deterministic. The literal string->double cast mirrors the other
+    fold tests (engine fragments always read parquet doubles)."""
+    vals_s = " UNION ALL ".join(
+        f"SELECT cast('{x!r}' as double) AS x" for x in xs)
+    vals_d = " UNION ALL ".join(f"SELECT '{x!r}'::DOUBLE AS x" for x in xs)
+    srow = spark.sql(
+        f"SELECT {P.exact_sum('x', 'spark', scale)} AS s, "
+        f"{P.exact_avg('x', 'spark', scale)} AS a FROM ({vals_s})"
+    ).collect()[0]
+    drow = duck.sql(
+        f"SELECT {P.exact_sum('x', 'duck', scale)} AS s, "
+        f"{P.exact_avg('x', 'duck', scale)} AS a FROM ({vals_d})"
+    ).fetchone()
+    assert srow["s"] == drow[0], (xs, scale, srow["s"], drow[0])
+    assert srow["a"] == drow[1], (xs, scale, srow["a"], drow[1])
+    # and against a direct python model of the same quantization
+    import math as m
+
+    s = 10 ** scale
+    units = [m.floor(x * float(s) + 0.5) for x in xs]
+    assert srow["s"] == sum(units) / float(s)
+    assert srow["a"] == sum(units) / (len(xs) * float(s))
