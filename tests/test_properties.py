@@ -121,6 +121,50 @@ def test_token_splitter_budget_and_coverage(pieces, size, overlap_pct):
     assert idx == len(kept), (kept, chunks)
 
 
+@given(
+    sentences=st.lists(
+        st.sampled_from(["Alpha beta. ", "Gamma? ", "Delta epsilon zeta! ",
+                         "eta\n", "\n", "Theta iota kappa lambda mu. "]),
+        min_size=0, max_size=14,
+    ),
+    size=st.integers(3, 15), overlap_pct=st.integers(0, 40),
+)
+@settings(max_examples=60, deadline=None)
+def test_token_sentence_splitter_verbatim_budget_coverage(sentences, size, overlap_pct):
+    """P5-token TokenSentenceSplitter (ADVICE r10): every chunk is a
+    VERBATIM substring of the input (whitespace pieces kept — the r11
+    review's blank-line counterexample is in the sample set), the token
+    budget holds unless a single sentence is itself over budget, and every
+    non-whitespace char of the input appears in at least one chunk."""
+    from oaim_sandbox_spark.operators.split import (
+        TokenSentenceSplitter,
+        _SENTENCE_RE,
+    )
+
+    overlap = min(math.ceil(overlap_pct / 100 * size), size - 1)
+    sp = TokenSentenceSplitter(chunk_size=size, chunk_overlap=overlap)
+    text = "".join(sentences)
+    chunks = sp.split_text(text)
+    piece_max = max(
+        (sp.count_tokens(p) for p in _SENTENCE_RE.split(text)), default=0
+    )
+    for c in chunks:
+        assert c in text, (c, text)
+        assert c.strip(), c
+        n = sp.count_tokens(c)
+        assert n <= size or piece_max > size, (c, n, piece_max)
+    # coverage: chunks are merges of ALL pieces in order, so concatenating
+    # the deduplicated character mass must contain every non-ws char count
+    import collections
+
+    want = collections.Counter(ch for ch in text if not ch.isspace())
+    got = collections.Counter()
+    for c in chunks:
+        got.update(ch for ch in c if not ch.isspace())
+    for ch, n in want.items():
+        assert got[ch] >= n, (ch, n, got[ch])
+
+
 HTML_FRAG = st.lists(
     st.sampled_from(["<h1>", "<h2 class=x>", "</h1>", "text ", "a", "\n", "<p>", "<H3>"]),
     min_size=0, max_size=30,
