@@ -4772,7 +4772,8 @@ tr AS (
   SELECT label,
          {P.exact_sum('CASE WHEN da = db THEN cv END', d, 12)} AS trc,
          {P.exact_sum(
-             'cv * cv * (CASE WHEN da = db THEN 1.0 ELSE 2.0 END)', d, 12)}
+             'cv * cv * (CASE WHEN da = db THEN CAST(1 AS DOUBLE) '
+             'ELSE CAST(2 AS DOUBLE) END)', d, 12)}
              AS trc2
   FROM cov GROUP BY label
 ),
