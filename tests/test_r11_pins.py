@@ -405,3 +405,27 @@ def test_order_to_ship_latency_matches_direct_python():
         for col, q in ((1, 0.5), (2, 0.9), (3, 0.99)):
             assert abs(r[col] - interp(lats, q)) < 2e-6, (nat, q, r[col], interp(lats, q))
         assert r[4] == max(lats)
+
+
+def test_approx_ngram_diversity_tracks_exact(spark):
+    """The registered HLL scale path agrees with the certified exact twin:
+    every source's within_bound audit holds and the approx diversity
+    ratios track the exact entry's d2/d3 within the sketch envelope."""
+    from oaim_sandbox_spark.queries_registry import NON_ORACLE, SPARK_OVERRIDES
+    from oaim_sandbox_spark.queries_extended import distinct_ngram_diversity
+    from oaim_sandbox_spark.queries_core import register_views
+
+    sf_dir = "/root/testdata/sf0.001"
+    approx = {r["source"]: r for r in
+              NON_ORACLE["approx_ngram_diversity"](spark, sf_dir).collect()}
+    register_views(spark, sf_dir)
+    exact = {r["source"]: r for r in
+             spark.sql(distinct_ngram_diversity("spark")).collect()}
+    assert set(approx) == set(exact)
+    for src, a in approx.items():
+        e = exact[src]
+        assert a["within_bound"], (src, a)
+        assert (a["n2"], a["n3"]) == (e["n_bigrams"], e["n_trigrams"]), src
+        assert abs(a["approx_d2"] - e["d2"]) <= 0.07 * max(e["d2"], 0.01), src
+        if e["d3"] is not None:
+            assert abs(a["approx_d3"] - e["d3"]) <= 0.07 * max(e["d3"], 0.01), src
