@@ -376,3 +376,138 @@ def test_zipf_degenerate_languages_yield_null():
     assert got["xx"] == (1, None, None)          # single point: both NULL
     n, alpha, r2 = got["yy"]                     # equal counts: y constant
     assert n == 3 and alpha == 0.0 and r2 is None
+
+
+def test_char_entropy_matches_direct_python():
+    from oaim_sandbox_spark.queries_training import char_entropy_q
+
+    # only doc_id % 20 == 0 is scored; include a skipped doc to pin that
+    docs = [(0, ["aab", "cc"]), (1, ["zz"])]  # doc 0 scored, doc 1..19 not
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    rows = con.execute(char_entropy_q("duck")).fetchall()
+    assert [r[0] for r in rows] == [0]
+    text = "aab cc"
+    c = Counter(text)  # every char incl. the space
+    n = len(text)
+    ent = -sum((v / n) * math.log2(v / n) for v in c.values())
+    assert rows[0][2] == len(c)
+    assert abs(rows[0][1] - ent) < 2e-6
+
+
+def test_unigram_logprob_matches_direct_python():
+    from oaim_sandbox_spark.queries_training import unigram_logprob_quality
+
+    # only doc_id % 4 == 0 scored; the corpus model is built from the
+    # SCORED subset's tokens (the template's tok CTE filters first)
+    docs = [(0, ["a", "a", "b"]), (0, ["x"]), (0, ["q"]), (0, ["w"]),
+            (0, ["a", "b", "c"])]
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = {r[0]: (r[1], r[2], r[3]) for r in
+           con.execute(unigram_logprob_quality("duck")).fetchall()}
+    scored = {i: ws for i, (_, ws) in enumerate(docs) if i % 4 == 0}
+    freq = Counter(w for ws in scored.values() for w in ws)
+    t = sum(freq.values())
+    for did, ws in scored.items():
+        lp = sum(math.log(freq[w] / t) for w in ws) / len(ws)
+        g_lp, g_n, g_v = got[did]
+        assert g_n == len(ws)
+        assert abs(g_lp - lp) < 2e-6, (did, g_lp, lp)
+        assert g_v == ("keep" if lp >= -7.5 else "filter")
+    assert set(got) == set(scored)
+
+
+def test_dsir_importance_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import dsir_importance_weights
+
+    docs = [(0, ["cat", "dog", "cat"]), (1, ["dog", "fish"]),
+            (0, ["bird", "cat"])]
+    langs = {0: "en", 1: "de", 2: "de"}
+    con = duckdb.connect()
+    _mk_docs(con, docs, langs)
+    got = {r[0]: (r[1], r[2], r[3]) for r in
+           con.execute(dsir_importance_weights("duck")).fetchall()}
+    toks = {i: ws for i, (_, ws) in enumerate(docs)}
+    cs = Counter(w for ws in toks.values() for w in ws)
+    ct = Counter(w for i, ws in toks.items() if langs[i] == "en" for w in ws)
+    ns, nt, vsz = sum(cs.values()), sum(ct.values()), len(cs)
+    for did, ws in toks.items():
+        lr = sum(math.log(((ct[w] + 1) / (nt + vsz)) / ((cs[w] + 1) / (ns + vsz)))
+                 for w in ws)
+        g_n, g_avg, g_v = got[did]
+        assert g_n == len(ws)
+        assert abs(g_avg - lr / len(ws)) < 2e-6, (did, g_avg, lr / len(ws))
+        assert g_v == ("target-like" if lr > 0 else "generic")
+
+
+def _shingle_hashes_py(words, ngram):
+    grams = ([" ".join(words[i:i + ngram]) for i in range(len(words) - ngram + 1)]
+             if len(words) >= ngram else [" ".join(words)])
+    return [_h64(g) % MOD for g in grams]
+
+
+def test_winnowing_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import (
+        WINNOW_NGRAM,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    base = [f"w{i}" for i in range(9)]
+    docs = [(0, base), (0, base[2:] + ["zz", "qq"]), (1, ["a", "b", "c", "d"])]
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = {r[0]: r[1:] for r in
+           con.execute(winnowing_fingerprints("duck")).fetchall()}
+    fps = {}
+    for did, (_, ws) in enumerate(docs):
+        hs = _shingle_hashes_py(ws, WINNOW_NGRAM)
+        n_win = max(1, len(hs) - (WINNOW_W - 1))
+        sel = [min(hs[i:i + WINNOW_W]) for i in range(n_win)]
+        # list_distinct preserves first-seen order; set suffices for counts
+        fps[did] = (len(hs), list(dict.fromkeys(sel)))
+    all_fp = Counter(f for _, (_, fp) in fps.items() for f in set(fp))
+    for did, (n_grams, fp) in fps.items():
+        shared = sum(1 for f in fp if all_fp[f] > 1)
+        r = got[did]
+        assert (r[0], r[1]) == (n_grams, len(fp)), (did, r)
+        assert abs(r[2] - len(fp) / n_grams) < 2e-6
+        assert r[3] == shared, (did, r[3], shared)
+
+
+def test_shingle_containment_matches_direct_python():
+    from oaim_sandbox_spark.queries_training import (
+        CONTAINMENT_MIN,
+        DECONTAM_NGRAM,
+        shingle_containment_decontam,
+    )
+
+    leak = [f"t{i}" for i in range(8)]
+    docs = {
+        3: leak,                     # test doc (doc_id % 10 == 3)
+        0: leak[:6] + ["x", "y"],    # train, shares a prefix run
+        1: [f"u{i}" for i in range(8)],  # train, disjoint
+        13: [f"v{i}" for i in range(7)],  # second test doc, disjoint
+    }
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, 'src0', '{' '.join(ws)}', 'en', {len(' '.join(ws))})"
+        for i, ws in sorted(docs.items())
+    )
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES " + vals +
+                ") AS v(doc_id, source, text, lang, n_chars)")
+    got = {(r[0], r[1]): r[2] for r in
+           con.execute(shingle_containment_decontam("duck")).fetchall()}
+    sh = {i: set(_shingle_hashes_py(ws, DECONTAM_NGRAM)) for i, ws in docs.items()}
+    expect = {}
+    for t in (3, 13):
+        for tr in (0, 1):
+            cont = len(sh[t] & sh[tr]) / len(sh[t])
+            if cont >= CONTAINMENT_MIN:
+                expect[(t, tr)] = cont
+    assert set(got) == set(expect), (got, expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 2e-6
+    # the planted prefix leak must actually fire
+    assert (3, 0) in got
