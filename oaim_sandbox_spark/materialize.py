@@ -98,3 +98,22 @@ def cleanup_staging(paths: list[str] | None = None) -> None:
 
 
 atexit.register(cleanup_staging)
+
+
+def free_local_checkpoint(df) -> None:
+    """Actually release a localCheckpoint's storage blocks. DataFrame
+    .unpersist() is a NO-OP for checkpointed plans (it only clears
+    CacheManager entries; verified on Spark 4: getRDDStorageInfo still
+    shows the blocks after unpersist — r11 review), so reach the
+    checkpointed RDD through the analyzed LogicalRDD and unpersist THAT.
+    Only call after every read of the DataFrame is complete: the lineage
+    is truncated, so the data is unrecoverable afterwards. Best-effort —
+    internal-API shape changes degrade to the (harmless) DataFrame
+    unpersist, and the ContextCleaner still frees blocks on GC."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        try:
+            df.unpersist()
+        except Exception:
+            pass

@@ -339,8 +339,8 @@ def evaluate_testset(
     # answer/judge UDF — cached partitions can be EVICTED and silently
     # recomputed, re-paying real LLM calls and producing a failures list
     # inconsistent with the reported correctness. Checkpointed blocks are
-    # not evictable; the explicit unpersist stops long-lived sessions from
-    # accumulating them.
+    # not evictable; free_local_checkpoint releases the blocks when done
+    # (plain DataFrame.unpersist does NOT touch checkpoint storage).
     per_row = qa.mapInPandas(run, EVAL_ROW_FIELDS).localCheckpoint(eager=True)
     try:
         overall = per_row.agg(F.avg(F.col("correct").cast("double")).alias("c")).collect()[0]["c"]
@@ -353,7 +353,9 @@ def evaluate_testset(
             for r in per_row.filter(~F.col("correct")).limit(max_failures).collect()
         ]
     finally:
-        per_row.unpersist()
+        from oaim_sandbox_spark.materialize import free_local_checkpoint
+
+        free_local_checkpoint(per_row)
     return EvaluationReport(
         tid=tid,
         correctness=round(overall or 0.0, 4),
@@ -440,4 +442,8 @@ def evaluate_testset_batched(
             tid=tid, settings=settings, max_failures=max_failures,
         )
     finally:
-        qa.unpersist()
+        # DataFrame.unpersist is a no-op for checkpointed plans; this
+        # frees the actual blocks (r11 review)
+        from oaim_sandbox_spark.materialize import free_local_checkpoint
+
+        free_local_checkpoint(qa)

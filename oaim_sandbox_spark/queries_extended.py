@@ -4564,6 +4564,20 @@ SPARK_OVERRIDES["session_concurrency_sweepline"] = _session_sweepline_spark
 # beyond-reference training-data suite; none have a reference counterpart.
 
 
+def _ngram_explode_sql(d: str, n: int) -> str:
+    """(source, g) explode of word n-grams, docs shorter than n excluded
+    (word_ngrams degenerates to a whole-text pseudo-gram there). ONE
+    definition shared by distinct_ngram_diversity and its registered HLL
+    scale path (queries_registry._approx_ngram_diversity_spark) so the
+    tokenization/filter semantics cannot drift apart (r11 review)."""
+    toks = P.tokens("text", d)
+    g = P.word_ngrams("text", n, d)
+    if d == "spark":
+        return (f"SELECT source, g FROM documents LATERAL VIEW explode({g}) t AS g "
+                f"WHERE size({toks}) >= {n}")
+    return f"SELECT source, unnest({g}) AS g FROM documents WHERE len({toks}) >= {n}"
+
+
 def distinct_ngram_diversity(d: str) -> str:
     """N-GRAM DIVERSITY per source: distinct-bigram and distinct-trigram
     ratios (the corpus-level self-BLEU-lite detector for templated or
@@ -4578,17 +4592,8 @@ def distinct_ngram_diversity(d: str) -> str:
     divisions of exact integers — merge-order independent by construction;
     sources with no trigram-capable docs keep their row with NULL d3
     (LEFT JOIN) identically on both engines."""
-    toks = P.tokens("text", d)
-    g2 = P.word_ngrams("text", 2, d)
-    g3 = P.word_ngrams("text", 3, d)
-    if d == "spark":
-        b2 = (f"SELECT source, g FROM documents LATERAL VIEW explode({g2}) t AS g "
-              f"WHERE size({toks}) >= 2")
-        b3 = (f"SELECT source, g FROM documents LATERAL VIEW explode({g3}) t AS g "
-              f"WHERE size({toks}) >= 3")
-    else:
-        b2 = f"SELECT source, unnest({g2}) AS g FROM documents WHERE len({toks}) >= 2"
-        b3 = f"SELECT source, unnest({g3}) AS g FROM documents WHERE len({toks}) >= 3"
+    b2 = _ngram_explode_sql(d, 2)
+    b3 = _ngram_explode_sql(d, 3)
     return f"""
 WITH a2 AS (SELECT source, COUNT(*) AS n2, COUNT(DISTINCT g) AS u2 FROM ({b2}) x GROUP BY source),
 a3 AS (SELECT source, COUNT(*) AS n3, COUNT(DISTINCT g) AS u3 FROM ({b3}) y GROUP BY source)

@@ -96,14 +96,20 @@ def _parse_multipart_files(raw: bytes, content_type: str) -> list[tuple[str, byt
         # collapses to ''; "<0>" loses its brackets — r11 hypothesis
         # find); python-multipart (the reference's FastAPI path) returns
         # the quoted string verbatim, so PREFER the raw
-        # Content-Disposition value. Values containing a backslash may be
-        # RFC quoted-pairs ('a\"b'), where the naive first-quote regex
-        # truncates — there get_filename()'s unquoting is the correct
-        # reader (r11 second-pass review), as it is for encoded forms
-        # (RFC 2231) the regex misses entirely.
+        # Content-Disposition value. The regex stops at the first quote,
+        # so an RFC quoted-pair escaped quote (filename="a\"b") leaves
+        # the group ending in the lone backslash — exactly and only then
+        # defer to get_filename()'s unquoting (a TRAILING backslash is
+        # the truncation signature; interior backslashes are legal
+        # literals, e.g. Windows paths, which get_filename would eat —
+        # r11 third-pass review), as for encoded forms (RFC 2231) the
+        # regex misses entirely. Unescaped interior backslashes (Windows
+        # paths) are consumed as quoted-pairs by the email policy BEFORE
+        # this regex ever sees the value, so both readers agree there —
+        # identical to the pre-regex stdlib behavior, no regression.
         m = re.search(r'filename="([^"]*)"',
                       str(part.get("Content-Disposition", "")))
-        if m and "\\" not in m.group(1):
+        if m and not m.group(1).endswith("\\"):
             fname = m.group(1)
         payload = part.get_payload(decode=True)
         out.append((fname, payload if payload is not None else b""))

@@ -411,7 +411,7 @@ def test_approx_ngram_diversity_tracks_exact(spark):
     """The registered HLL scale path agrees with the certified exact twin:
     every source's within_bound audit holds and the approx diversity
     ratios track the exact entry's d2/d3 within the sketch envelope."""
-    from oaim_sandbox_spark.queries_registry import NON_ORACLE, SPARK_OVERRIDES
+    from oaim_sandbox_spark.queries_registry import NON_ORACLE
     from oaim_sandbox_spark.queries_extended import distinct_ngram_diversity
     from oaim_sandbox_spark.queries_core import register_views
 
