@@ -94,82 +94,24 @@ def _make_spark_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # and the LLM-data-pipeline operators — the newest and highest-value entries —
 # followed by everything else in definition order.
 FLAGSHIP_FIRST: tuple[str, ...] = (
-    # --- ROUND-11 WINDOW: rotation by certification staleness
-    # (tools/window_rotation.py against the landed CORRECTNESS_r10.json;
-    # precomputed in PLANS.md round-11 rotation plan and mandated by
-    # VERDICT r10 task #1). Union coverage is 210/210 green across r1-r10
-    # with staleness histogram 10xr6/50xr7/50xr8/50xr9/50xr10, so the
-    # window is: any NEW r11 entries (must certify first-time; each
-    # displaces one r7 entry past the boundary, which the rotation
-    # invariant allows), then the 10 r6-stale entries, then the 50
-    # r7-stale entries in the tool's staleness order — the 50-slot window
-    # reaches as deep into the r7 block as the new-entry count permits;
-    # displaced r7 names lead the r12 head.
+    # --- ROUND-12 WINDOW: rotation by certification staleness
+    # (tools/window_rotation.py against the landed CORRECTNESS_r11.json;
+    # mandated by VERDICT r11 task #1). Union coverage is 220/220 green
+    # across r1-r11 with staleness histogram 20xr7/50xr8/50xr9/50xr10/
+    # 50xr11, so the window is: any NEW r12 entries (must certify
+    # first-time; each displaces one r8 entry past the boundary, which
+    # the rotation invariant allows — r8 is the boundary tier and ties
+    # may split), then the 20 r7-stale entries, then the stalest r8
+    # entries in the tool's order up to the 50-slot boundary; displaced
+    # r8 names lead the r13 head.
     # transformWithState twin: registered only where protobuf exists, and
     # never yet driver-checkable — keep it in the prefix so it certifies
     # the first time it can; in protobuf-less envs it is filtered out and
     # costs no slot.
     "streaming_user_stats_tws",
-    # --- NEW this round (must certify first-time; 10 entries): n-gram
-    # diversity, hapax/TTR, Hill tail index, int8 saturation, embedding
-    # effective rank, top-vocab turnover, Burrows' Delta stylometry,
-    # Markov stationarity drift, length-stratified dup rate,
-    # order-to-ship latency percentiles.
-    "order_to_ship_latency",
-    "distinct_ngram_diversity",
-    "hapax_ttr_by_source",
-    "doc_length_tail_index",
-    "int8_saturation_profile",
-    "embedding_effective_rank",
-    "vocab_turnover_by_decile",
-    "source_stylometry_delta",
-    "markov_drift_halves",
-    "dup_rate_by_length",
-    # --- last driver check: round 6 (all 10 remaining, staleness order):
-    "shingle_containment_decontam",
-    "triangle_count",
-    "grouped_split_leakage_safe",
-    "inverted_index_postings",
-    "lsh_multiprobe_topk",
-    "mmr_exact",
-    "streaming_sessions",
-    "tfidf_cosine_pairs",
-    "event_corr_matrix",
-    "tfidf_cosine_sampled",
-    # --- last driver check: round 7 (all 50, staleness order; the
-    # driver certifies only the first 50 FLAGSHIP_FIRST names, so the
-    # tail of this block past slot 50 falls out of the window as new
-    # r11 entries land above, and leads the r12 head):
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "anti_join_merge",
-    "catalog_scan_events",
-    "events_json_props",
-    "events_hourly_windows",
-    "user_activity_sessions",
-    "chunk_ids_window",
-    "filtered_topk_label",
-    "minhash_lsh_pairs",
-    "split_leakage_check",
-    "minhash_estimate_quality",
-    "doc_len_percentiles_approx",
-    "mad_outliers_approx",
-    "pack_mix_diversity",
-    "hybrid_rrf_topk",
-    "binary_quant_topk",
-    "ntile_curriculum_buckets",
-    "chunk_reassembly",
-    "domain_caps_topn",
-    "global_shuffle_order",
-    "vocab_coverage_topk",
-    "contamination_rate_by_source",
-    "streaming_sliding_counts",
-    "streaming_hourly_counts",
-    "streaming_pii_scrub",
-    "pii_redaction_stats",
-    "winnowing_fingerprints",
-    "scd2_purchase_history",
-    "lang_confusion_matrix",
+    # --- NEW this round (must certify first-time) land here, above the
+    # r7 block.
+    # --- last driver check: round 7 (all 20 remaining, staleness order):
     "trailing_hour_stats",
     "tfidf_top_terms",
     "domain_temperature_weights",
@@ -190,6 +132,41 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "weak_label_vote",
     "hard_negative_mining",
     "unimax_budget_allocation",
+    # --- last driver check: round 8 (the 30 stalest in the tool's
+    # staleness order; the driver certifies only the first 50
+    # FLAGSHIP_FIRST names, so the tail of this block past slot 50
+    # falls out of the window as new r12 entries land above, and leads
+    # the r13 head):
+    "q1_pricing_summary",
+    "split_fixed_chunks",
+    "dedup_exact_first",
+    "vs_merge_content_ids",
+    "mock_embed_dims",
+    "topk_cosine",
+    "topk_euclidean",
+    "topk_dot_product",
+    "topk_score_threshold",
+    "rag_topk_mock_query",
+    "knn_join_batch",
+    "lsh_ann_topk",
+    "minhash_signatures",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+    "lang_id",
+    "quality_scores",
+    "token_counts",
+    "kl_divergence_by_source",
+    "zipf_alpha_by_lang",
+    "source_vocab_overlap",
+    "event_markov_transitions",
+    "source_lang_entropy",
+    "reachability_bfs",
+    "unpivot_monthly_metrics",
+    "lateral_top_customers",
+    "cusum_changepoint",
+    "dow_seasonality",
+    "bigram_pmi_topk",
+    "user_burstiness",
 )
 
 
