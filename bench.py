@@ -767,64 +767,137 @@ class StageMetricsTracker:
     box; its shuffle BYTES don't). Reads the same v1.StageData the Spark
     UI REST API serves, but via py4j, so it works with the bench's
     ``spark.ui.enabled=false`` (no web server, no extra listener — the
-    status store is populated regardless). `stageList` returns stages
-    newest-first, so each snapshot visits ONLY stages newer than the
-    previous call: O(stages-per-query) py4j traffic, not O(total). Between
-    serial queries the deltas attribute cleanly; concurrent suites (the
-    recall harness) get one combined delta. Degrades to a no-op where the
-    py4j internals are unavailable (Spark Connect)."""
+    status store is populated regardless).
+
+    Attribution is JOB-GROUP-SCOPED (r12, VERDICT r11 #2): the r11 close
+    caught a time-windowed delta attributing an async straggler stage of
+    one query to the NEXT query's delta (sweepline read 8.33 MB on one run
+    vs 5.39 MB on every isolated re-measurement — a false shuffle-ratchet
+    flag on the designated noise-free signal). Each bench query now runs
+    under ``sc.setJobGroup(<query name>)`` and ``delta(group=name)`` sums
+    ONLY stages whose owning job carries that group — a stage completing
+    late can only ever be counted for the query that submitted it, never
+    for whichever query's snapshot happened to see it first.
+    ``delta(group=None)`` keeps the old combined semantics for concurrent
+    suites (the recall harness spawns worker threads whose pinned JVM
+    threads don't inherit the main thread's group) and for drains. A short
+    settle loop waits for the target jobs/stages to leave RUNNING/ACTIVE
+    before summing, so stragglers land in their own query, not nowhere.
+    Scans stay O(per-query): jobs below ``_job_floor`` and stages below the
+    target jobs' min stage id are never revisited (both lists arrive
+    newest-first). Degrades to a no-op where the py4j internals are
+    unavailable (Spark Connect)."""
+
+    SETTLE_S = 3.0
 
     def __init__(self, spark):
         self._ok = True
-        self._last = -1
-        self._pending: set[int] = set()
+        self._job_floor = -1
+        # jobs summed by some call but not yet below the floor (a slower
+        # concurrent group's unclaimed job holds the floor back)
+        self._claimed: set[int] = set()
+        # (stageId, attemptId) already summed into some query — a shuffle
+        # stage reused (SKIPPED) by a later job's group must not double in
+        # that group's delta
+        self._counted: set[tuple[int, int]] = set()
         try:
             sc = spark.sparkContext
             self._store = sc._jsc.sc().statusStore()
             self._gw = sc._gateway
+            self._store.jobsList(None)  # probe the job path up front
         except Exception:
             self._ok = False
 
-    def delta(self):
+    def _jobs_above_floor(self):
+        """[(jobId, group_or_None, [stageIds], status)] for every job newer
+        than the floor; jobsList arrives newest-first so the walk breaks at
+        the floor."""
+        jobs = self._store.jobsList(None)
+        out = []
+        for i in range(jobs.size()):
+            j = jobs.apply(i)
+            jid = j.jobId()
+            if jid <= self._job_floor:
+                break
+            grp = j.jobGroup()
+            sids = j.stageIds()
+            out.append((
+                jid,
+                grp.get() if grp.isDefined() else None,
+                [sids.apply(k) for k in range(sids.size())],
+                str(j.status()),
+            ))
+        return out
+
+    def _stage_rows(self, min_sid: int):
+        """[(stageId, attemptId, status, shuffle, disk_spill, mem_spill)]
+        for stages >= min_sid (stageList arrives newest-first)."""
+        gw = self._gw
+        stages = self._store.stageList(
+            gw.jvm.java.util.ArrayList(), False, False,
+            gw.new_array(gw.jvm.double, 0), gw.jvm.java.util.ArrayList(),
+        )
+        rows = []
+        for i in range(stages.size()):
+            s = stages.apply(i)
+            sid = s.stageId()
+            if sid < min_sid:
+                break
+            rows.append((sid, s.attemptId(), str(s.status()),
+                         s.shuffleWriteBytes(), s.diskBytesSpilled(),
+                         s.memoryBytesSpilled()))
+        return rows
+
+    def delta(self, group: str | None = None, settle_s: float = SETTLE_S):
         """(shuffle_write_bytes, disk_spill_bytes, mem_spill_bytes) summed
-        over stages that reached a TERMINAL status since the previous call,
-        or None. Stages still ACTIVE/PENDING at snapshot time (background or
-        retry jobs straddling the call) are carried in ``self._pending`` and
-        counted once on a later call when they complete — a single high-water
-        mark would freeze their partial bytes into the wrong query's delta
-        and never revisit them."""
+        over the stages of UNCLAIMED jobs newer than the floor — restricted
+        to jobs whose jobGroup == ``group`` when given, ALL unclaimed jobs
+        when None — or None when the store is unavailable. A job is CLAIMED
+        exactly once, by the call that sums it; the floor advances only
+        through the contiguous claimed prefix, so a job of a DIFFERENT
+        group still running when this snapshot is taken stays above the
+        floor for its own group's later call instead of being silently
+        abandoned (or worse, bled into this query's delta). Group-less
+        stray jobs pin the floor until the next ``delta(None)`` drain
+        claims them — the bench drains at every suite boundary."""
         if not self._ok:
             return None
         try:
-            gw = self._gw
-            stages = self._store.stageList(
-                gw.jvm.java.util.ArrayList(), False, False,
-                gw.new_array(gw.jvm.double, 0), gw.jvm.java.util.ArrayList(),
-            )
-            sw = sp = mem = 0
-            # Re-scan down to the oldest still-pending stage id (bounded:
-            # pending sets are a handful of straddling stages, and the walk
-            # skips already-counted terminal ids in between; pending ids are
-            # always <= _last, so this is also the overall scan floor).
-            cutoff = min(self._pending, default=self._last + 1)
-            newest = self._last
-            still_pending: set[int] = set()
-            for i in range(stages.size()):
-                s = stages.apply(i)
-                sid = s.stageId()
-                if sid < cutoff:
+            deadline = time.time() + settle_s
+            while True:
+                jobs = [j for j in self._jobs_above_floor()
+                        if j[0] not in self._claimed]
+                mine = [j for j in jobs if group is None or j[1] == group]
+                if all(st not in ("RUNNING", "UNKNOWN") for _, _, _, st in mine) \
+                        or time.time() >= deadline:
                     break
-                if sid <= self._last and sid not in self._pending:
-                    continue  # terminal and counted on an earlier call
-                newest = max(newest, sid)
-                if str(s.status()) in ("COMPLETE", "FAILED", "SKIPPED"):
-                    sw += s.shuffleWriteBytes()
-                    sp += s.diskBytesSpilled()
-                    mem += s.memoryBytesSpilled()
-                else:  # ACTIVE / PENDING — revisit next call
-                    still_pending.add(sid)
-            self._last = newest
-            self._pending = still_pending
+                time.sleep(0.05)
+            sw = sp = mem = 0
+            want: set[int] = set()
+            for jid, _, sids, _ in mine:
+                self._claimed.add(jid)
+                want.update(sids)
+            if want:
+                floor_sid = min(want)
+                while True:  # settle straggler stages of OUR jobs
+                    rows = self._stage_rows(floor_sid)
+                    if not any(sid in want and st in ("ACTIVE", "PENDING")
+                               for sid, _, st, _, _, _ in rows) \
+                            or time.time() >= deadline:
+                        break
+                    time.sleep(0.05)
+                for sid, att, st, a, b, c in rows:
+                    if sid in want and (sid, att) not in self._counted \
+                            and st in ("COMPLETE", "FAILED", "SKIPPED"):
+                        self._counted.add((sid, att))
+                        sw += a
+                        sp += b
+                        mem += c
+            # advance the floor through the contiguous claimed prefix (job
+            # ids are globally consecutive) and prune bookkeeping below it
+            while (self._job_floor + 1) in self._claimed:
+                self._job_floor += 1
+            self._claimed = {j for j in self._claimed if j > self._job_floor}
             return sw, sp, mem
         except Exception as e:  # noqa: BLE001 — metrics must never fail the bench
             print(f"# BENCH WARN stage metrics unavailable: {_errline(e)}", file=sys.stderr)
@@ -980,13 +1053,17 @@ def main() -> None:
     spill_disk_mb: dict[str, float] = {}
     spill_mem_mb: dict[str, float] = {}
 
-    def record_stage_metrics(name: str) -> None:
-        d = tracker.delta()
+    def record_stage_metrics(name: str, group: str | None = None) -> None:
+        # group-scoped attribution (VERDICT r11 #2): sum only the stages of
+        # jobs tagged with this query's job group, so an async straggler
+        # from the previous query can't bleed into this delta
+        d = tracker.delta(group=group)
         if d is not None:
             shuffle_mb[name] = round(d[0] / 1e6, 2)
             spill_disk_mb[name] = round(d[1] / 1e6, 2)
             spill_mem_mb[name] = round(d[2] / 1e6, 2)
 
+    sc = spark.sparkContext
     tracker.delta()  # drop warmup/calibration stages
 
     # FIXED alphabetical order, decoupled from the registry's certification
@@ -1005,16 +1082,17 @@ def main() -> None:
         if qi and qi % 40 == 0:
             midrun_probes.append(blas_probe_once())
         fn = queries[name]
+        sc.setJobGroup(name, f"bench:{name}")
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
             n = len(df.collect())
         except Exception as e:  # a failed query must not zero the whole bench
             print(f"# BENCH ERROR {name}: {_errline(e)}", file=sys.stderr)
-            tracker.delta()  # drain the failed query's stages — otherwise
-            continue         # they'd be attributed to the NEXT query
+            tracker.delta()  # advance the floor past the failed query's jobs
+            continue
         timings[name] = round(time.time() - t0, 3)
-        record_stage_metrics(name)
+        record_stage_metrics(name, group=name)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     # Re-measure outliers once and keep the faster run: a query that took
@@ -1026,6 +1104,7 @@ def main() -> None:
         med = sorted(timings.values())[len(timings) // 2]
         for name, t in list(timings.items()):
             if t > max(3.0, 5 * med):
+                sc.setJobGroup(f"retry:{name}", f"bench retry:{name}")
                 t0 = time.time()
                 try:
                     queries[name](spark, sf_dir).collect()
@@ -1043,21 +1122,26 @@ def main() -> None:
         ("curation_pipeline", curation_pipeline),
         ("classifier_train", classifier_train),
     ):
+        sc.setJobGroup(comp_name, f"bench:{comp_name}")
         t0 = time.time()
         try:
             n = comp(spark, sf_dir)
             timings[comp_name] = round(time.time() - t0, 3)
-            record_stage_metrics(comp_name)
+            record_stage_metrics(comp_name, group=comp_name)
             print(f"# {comp_name}: {timings[comp_name]}s ({n})", file=sys.stderr)
         except Exception as e:
             print(f"# BENCH ERROR {comp_name}: {_errline(e)}", file=sys.stderr)
-            tracker.delta()  # drain the failed composite's stages
+            tracker.delta()  # advance the floor past the failed composite's jobs
 
     # all three recall blocks (planted + adversarial skew + realistic
     # hashed-BoW-over-documents) through the shared harness: stores/baselines
     # prepared concurrently, tier jobs fully overlapped (VERDICT r5 tasks 4+6)
     recall_blocks: dict[str, dict[str, float]] = {}
     recall_meta: dict = {}
+    # main-thread jobs get this group; the harness's worker threads run on
+    # their own pinned JVM threads with NO group — delta(group=None) sums
+    # both as one combined delta, same semantics as before
+    sc.setJobGroup("ann_recall_combined", "bench:ann_recall_combined")
     t0 = time.time()
     try:
         recall_blocks = ann_recall_all(spark, sf_dir)
@@ -1130,10 +1214,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        # host-speed-normalized seconds (raw / host_speed_factor): the
-        # round-over-round comparable numbers (BASELINE.md uses these from
-        # r7 on). Raw stays the headline metric — it is what the driver's
-        # wall clock actually saw.
+        # host-speed-normalized seconds (raw / host_speed_factor).
+        # INFORMATIONAL ONLY from r12 (VERDICT r11 #6): the BLAS factor
+        # diverged from measured reality across the r10 reboot AND within
+        # one r11 uptime; round-over-round comparisons use RAW wall plus
+        # the committed same-code epoch-control ratio (BENCH_EPOCH.json).
+        # Kept emitted for the historical series' continuity.
+        "calibration_informational_only": True,
         "queries_calibrated": {n: round(t / factor, 3) for n, t in timings.items()},
         "value_calibrated": round(total / factor, 3),
         "host_speed_factor": factor,

@@ -109,11 +109,30 @@ def free_local_checkpoint(df) -> None:
     Only call after every read of the DataFrame is complete: the lineage
     is truncated, so the data is unrecoverable afterwards. Best-effort —
     internal-API shape changes degrade to the (harmless) DataFrame
-    unpersist, and the ContextCleaner still frees blocks on GC."""
+    unpersist, and the ContextCleaner still frees blocks on GC — but the
+    degradation is LOGGED (ADVICE r11): silently reverting to the no-op
+    unpersist lets checkpoint blocks quietly re-accumulate in long-lived
+    sessions. The analyzed plan is verified to be a LogicalRDD before
+    calling rdd() — any other node type means the caller didn't pass a
+    localCheckpoint result and the internal path would free the wrong
+    thing (or nothing)."""
+    import logging
+
+    log = logging.getLogger(__name__)
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
+        plan = df._jdf.queryExecution().analyzed()
+        cls = plan.getClass().getSimpleName()
+        if cls != "LogicalRDD":
+            raise TypeError(
+                f"analyzed plan is {cls}, not LogicalRDD — not a "
+                "localCheckpoint result")
+        plan.rdd().unpersist(False)
+    except Exception as e:  # noqa: BLE001 — release must never fail callers
+        log.warning(
+            "free_local_checkpoint: internal release path failed (%s); "
+            "falling back to DataFrame.unpersist — checkpoint blocks will "
+            "only be freed by the ContextCleaner on GC", e)
         try:
             df.unpersist()
-        except Exception:
-            pass
+        except Exception as e2:  # noqa: BLE001
+            log.warning("free_local_checkpoint: fallback unpersist failed: %s", e2)

@@ -65,52 +65,125 @@ from oaim_sandbox_spark.serving.config_plane import (
     mask_sensitive,
 )
 
+def _cd_params(value: str) -> dict[str, str]:
+    """Parse the parameter list of a raw Content-Disposition header value
+    (RFC 6266 grammar, pragmatically): ;-separated key=value pairs where
+    values are tokens or quoted-strings. Inside a quoted-string a backslash
+    unescapes ONLY a following quote or backslash (``\\"`` → ``"``,
+    ``\\\\`` → ``\\``); any other backslash is kept literal — strict RFC
+    quoted-pair handling would eat Windows-path separators
+    (``filename="C:\\foo\\bar"``) that real clients send unescaped, which is
+    also what python-multipart (the reference's FastAPI parser) preserves.
+    An unterminated quoted-string (truncated header) drops that parameter
+    so callers fall back to the stdlib's best-effort reading. First
+    occurrence of a key wins; keys are lower-cased."""
+    params: dict[str, str] = {}
+    i, n = 0, len(value)
+    while i < n and value[i] != ";":
+        i += 1  # skip the disposition type token
+    while i < n:
+        i += 1  # skip ';'
+        while i < n and value[i] in " \t":
+            i += 1
+        k0 = i
+        while i < n and value[i] not in "=;":
+            i += 1
+        key = value[k0:i].strip().lower()
+        if i >= n or value[i] == ";":
+            continue  # parameter without a value
+        i += 1  # skip '='
+        while i < n and value[i] in " \t":
+            i += 1
+        if i < n and value[i] == '"':
+            i += 1
+            buf: list[str] = []
+            closed = False
+            while i < n:
+                c = value[i]
+                if c == "\\" and i + 1 < n and value[i + 1] in '"\\':
+                    buf.append(value[i + 1])
+                    i += 2
+                    continue
+                if c == '"':
+                    closed = True
+                    i += 1
+                    break
+                buf.append(c)
+                i += 1
+            if not closed:
+                continue  # truncated header — leave to the fallback reader
+            val = "".join(buf)
+        else:
+            v0 = i
+            while i < n and value[i] != ";":
+                i += 1
+            val = value[v0:i].strip()
+        if key:
+            params.setdefault(key, val)
+    return params
+
+
+def _cd_filename(raw_cd: str) -> str | None:
+    """Filename from a raw Content-Disposition value per RFC 6266 §4.3:
+    the RFC 5987 ext-value ``filename*=charset''pct-encoded`` takes
+    precedence over plain ``filename=`` when both are present and
+    well-formed; a malformed ext-value falls back to the plain form. None
+    when neither parameter survives parsing (bare form field, or a
+    truncated quoted-string — the caller's stdlib fallback handles it)."""
+    params = _cd_params(raw_cd)
+    ext = params.get("filename*")
+    if ext is not None:
+        try:
+            charset, _, rest = ext.partition("'")
+            lang_sep, _, enc = rest.partition("'")
+            del lang_sep
+            if _ == "" and "'" not in rest:
+                raise ValueError("not an RFC 5987 ext-value")
+            return unquote(enc, encoding=charset or "utf-8", errors="strict")
+        except (ValueError, LookupError):
+            pass
+    return params.get("filename")
+
+
 def _parse_multipart_files(raw: bytes, content_type: str) -> list[tuple[str, bytes]]:
     """Parse a ``multipart/form-data`` body into (filename, payload) pairs
     using the stdlib email parser (``cgi`` is gone in modern Python; FastAPI
     does this via python-multipart, absent here). Only parts carrying a
-    filename= disposition are file uploads — bare form fields are skipped,
-    matching the reference route's List[UploadFile] signature
-    (endpoints.py:230-245). Returns [] on a malformed body or boundary."""
+    filename disposition parameter are file uploads — bare form fields are
+    skipped, matching the reference route's List[UploadFile] signature
+    (endpoints.py:230-245). Returns [] on a malformed body or boundary.
+
+    Parsed with the ``compat32`` policy, which hands back header values
+    VERBATIM — the structured HTTP policy re-serializes them, eating
+    interior backslashes and pre-decoding RFC 2231 forms before any
+    fidelity-preserving reader can run (ADVICE r11: the first-match regex
+    over the re-serialized value could not restore trailing backslashes or
+    handle ``filename*=``; ``_cd_filename`` over the raw value does both,
+    and natively fixes the ``"<0>"``-style mangling the r11 hypothesis
+    sweep found in get_filename's RFC 2822 re-parse)."""
     from email.parser import BytesParser
-    from email.policy import HTTP
+    from email.policy import compat32
 
     if "boundary=" not in content_type:
         return []
     head = f"Content-Type: {content_type}\r\nMIME-Version: 1.0\r\n\r\n".encode("latin-1")
     try:
-        msg = BytesParser(policy=HTTP).parsebytes(head + raw)
+        msg = BytesParser(policy=compat32).parsebytes(head + raw)
     except Exception:
         return []
     if not msg.is_multipart():
         return []
-    import re
-
     out: list[tuple[str, bytes]] = []
-    for part in msg.iter_parts():
-        fname = part.get_filename()
-        if fname is None:
-            continue
-        # email's header machinery mangles some legal plain-quoted
-        # filenames (e.g. "<>" parses as an RFC 2822 angle-addr and
-        # collapses to ''; "<0>" loses its brackets — r11 hypothesis
-        # find); python-multipart (the reference's FastAPI path) returns
-        # the quoted string verbatim, so PREFER the raw
-        # Content-Disposition value. The regex stops at the first quote,
-        # so an RFC quoted-pair escaped quote (filename="a\"b") leaves
-        # the group ending in the lone backslash — exactly and only then
-        # defer to get_filename()'s unquoting (a TRAILING backslash is
-        # the truncation signature; interior backslashes are legal
-        # literals, e.g. Windows paths, which get_filename would eat —
-        # r11 third-pass review), as for encoded forms (RFC 2231) the
-        # regex misses entirely. Unescaped interior backslashes (Windows
-        # paths) are consumed as quoted-pairs by the email policy BEFORE
-        # this regex ever sees the value, so both readers agree there —
-        # identical to the pre-regex stdlib behavior, no regression.
-        m = re.search(r'filename="([^"]*)"',
-                      str(part.get("Content-Disposition", "")))
-        if m and not m.group(1).endswith("\\"):
-            fname = m.group(1)
+    for part in msg.get_payload():
+        raw_cd = str(part.get("Content-Disposition", ""))
+        params = _cd_params(raw_cd)
+        has_filename = "filename" in params or "filename*" in params \
+            or (part.get_filename() is not None)
+        if not has_filename:
+            continue  # bare form field, not a file upload
+        fname = _cd_filename(raw_cd)
+        if fname is None:  # truncated/exotic header — stdlib best effort
+            fname = part.get_filename() or ""
         payload = part.get_payload(decode=True)
         out.append((fname, payload if payload is not None else b""))
     return out

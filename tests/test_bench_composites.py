@@ -63,31 +63,91 @@ def test_host_calibration_probes(spark):
 
 
 def test_stage_metrics_tracker_attributes_shuffle(spark):
-    """StageMetricsTracker deltas: a shuffling query shows shuffle-write
-    bytes; a scan-only query shows ~none; the tracker only walks NEW stages
-    (its last-seen id advances)."""
+    """StageMetricsTracker group-scoped deltas: a shuffling query run under
+    a job group shows shuffle-write bytes for THAT group; a scan-only query
+    under another group shows ~none; the job floor advances."""
     from pyspark.sql import functions as F
 
     import bench
 
+    sc = spark.sparkContext
     tracker = bench.StageMetricsTracker(spark)
-    assert tracker.delta() is not None  # baseline snapshot
+    assert tracker.delta() is not None  # baseline drain
+    sc.setJobGroup("shufq", "test shuffle query")
     spark.range(1_000_000).withColumn("k", F.col("id") % 97).groupBy("k").count().collect()
-    d_shuffle = tracker.delta()
+    d_shuffle = tracker.delta(group="shufq")
     assert d_shuffle is not None and d_shuffle[0] > 0
-    last_after_shuffle = tracker._last
+    floor_after_shuffle = tracker._job_floor
+    sc.setJobGroup("scanq", "test scan query")
     spark.range(1000).selectExpr("sum(id)").collect()  # partial-agg only
-    d_scan = tracker.delta()
+    d_scan = tracker.delta(group="scanq")
     assert d_scan is not None and d_scan[0] <= d_shuffle[0] / 10
-    assert tracker._last > last_after_shuffle
+    assert tracker._job_floor > floor_after_shuffle
+    sc.setLocalProperty("spark.jobGroup.id", None)
+
+
+def test_stage_metrics_tracker_no_cross_attribution_live(spark):
+    """PINNED regression for the r11 sweepline false flag (VERDICT r11 #2):
+    a slow shuffling query of job group A, still running when query B's
+    delta is read, must contribute ZERO bytes to B's group-scoped delta —
+    and its bytes must land in A's own delta once A completes. The old
+    time-windowed tracker attributed A's late-completing stages to
+    whichever query's snapshot saw them first (8.33 MB vs 5.39 MB on the
+    driver's r11 record)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    import bench
+
+    sc = spark.sparkContext
+    tracker = bench.StageMetricsTracker(spark)
+    tracker.delta()  # drain
+
+    def fast_query():
+        return (spark.range(200_000).withColumn("k", F.col("id") % 53)
+                .groupBy("k").agg(F.count("*").alias("n")).collect())
+
+    # solo baseline for B's shuffle bytes (deterministic plan)
+    sc.setJobGroup("soloB", "baseline")
+    fast_query()
+    solo = tracker.delta(group="soloB")
+    assert solo is not None and solo[0] > 0
+
+    def slow_shuffler():
+        # ~2s of map work (java_method sleep per row) feeding a shuffle —
+        # the thread sets its OWN job group on its pinned JVM thread
+        spark.sparkContext.setJobGroup("slowA", "overlapping slow query")
+        (spark.range(0, 32, 1, 8)
+         .withColumn("z", F.expr("java_method('java.lang.Thread','sleep',500L)"))
+         .withColumn("k", F.col("id") % 4)
+         .groupBy("k").agg(F.count("*").alias("n")).collect())
+
+    t = threading.Thread(target=slow_shuffler, daemon=True)
+    t.start()
+    import time as _time
+    _time.sleep(0.8)  # A is mid-flight (32 rows x 0.5s / 8 threads ~ 2s)
+    sc.setJobGroup("fastB", "measured query")
+    fast_query()
+    overlapped = tracker.delta(group="fastB", settle_s=1.0)
+    t.join()
+    # B's bytes are exactly its solo bytes — nothing of A bled in
+    assert overlapped is not None and overlapped[0] == solo[0]
+    # A's bytes are claimable by A's own group afterwards (not abandoned)
+    d_a = tracker.delta(group="slowA")
+    assert d_a is not None and d_a[0] > 0
+    sc.setLocalProperty("spark.jobGroup.id", None)
 
 
 class _FakeStage:
-    def __init__(self, sid, status, sw):
-        self._sid, self._status, self._sw = sid, status, sw
+    def __init__(self, sid, status, sw, att=0):
+        self._sid, self._status, self._sw, self._att = sid, status, sw, att
 
     def stageId(self):
         return self._sid
+
+    def attemptId(self):
+        return self._att
 
     def status(self):
         return self._status
@@ -102,23 +162,54 @@ class _FakeStage:
         return 0
 
 
+class _FakeOption:
+    def __init__(self, v):
+        self._v = v
+
+    def isDefined(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+
+class _FakeSeq(list):
+    def size(self):
+        return len(self)
+
+    def apply(self, i):
+        return self[i]
+
+
+class _FakeJob:
+    def __init__(self, jid, group, stage_ids, status="SUCCEEDED"):
+        self._jid, self._group, self._sids, self._status = jid, group, stage_ids, status
+
+    def jobId(self):
+        return self._jid
+
+    def jobGroup(self):
+        return _FakeOption(self._group)
+
+    def stageIds(self):
+        return _FakeSeq(self._sids)
+
+    def status(self):
+        return self._status
+
+
 class _FakeStore:
-    """Stand-in for the JVM AppStatusStore: stageList newest-first."""
+    """Stand-in for the JVM AppStatusStore: stageList/jobsList newest-first."""
 
     def __init__(self):
         self.stages = {}
+        self.jobs = {}
 
     def stageList(self, *_args):
-        ordered = [self.stages[k] for k in sorted(self.stages, reverse=True)]
+        return _FakeSeq(self.stages[k] for k in sorted(self.stages, reverse=True))
 
-        class _L:
-            def size(self_inner):
-                return len(ordered)
-
-            def apply(self_inner, i):
-                return ordered[i]
-
-        return _L()
+    def jobsList(self, *_args):
+        return _FakeSeq(self.jobs[k] for k in sorted(self.jobs, reverse=True))
 
 
 class _FakeGateway:
@@ -137,40 +228,67 @@ def _fake_tracker(store):
     import bench
 
     t = bench.StageMetricsTracker.__new__(bench.StageMetricsTracker)
-    t._ok, t._last, t._pending = True, -1, set()
+    t._ok, t._job_floor = True, -1
+    t._claimed, t._counted = set(), set()
     t._store, t._gw = store, _FakeGateway()
     return t
 
 
-def test_stage_metrics_tracker_revisits_straddling_stage():
-    """A stage still ACTIVE at snapshot time must NOT be counted with its
-    partial bytes and frozen behind the high-water mark; it is carried
-    pending and counted exactly once, with final bytes, when terminal."""
+def test_stage_metrics_tracker_straggler_stays_with_its_job():
+    """The exact r11 bleed, replayed: query A's job has a stage still
+    ACTIVE when A's delta is read (settle skipped); the stage completes
+    before query B's delta. B must NOT absorb it — attribution follows the
+    owning JOB's group, never snapshot timing."""
     store = _FakeStore()
     tracker = _fake_tracker(store)
+    store.jobs[0] = _FakeJob(0, "A", [1], status="RUNNING")
+    store.stages[1] = _FakeStage(1, "ACTIVE", 8_330_000)
+    d_a = tracker.delta(group="A", settle_s=0.0)
+    assert d_a == (0, 0, 0)  # ACTIVE stage excluded, not partially counted
+    # A's straggler completes; B runs and completes its own small stage
+    store.jobs[0] = _FakeJob(0, "A", [1], status="SUCCEEDED")
+    store.stages[1] = _FakeStage(1, "COMPLETE", 8_330_000)
+    store.jobs[1] = _FakeJob(1, "B", [2], status="SUCCEEDED")
+    store.stages[2] = _FakeStage(2, "COMPLETE", 5_390_000)
+    d_b = tracker.delta(group="B", settle_s=0.0)
+    assert d_b[0] == 5_390_000  # the old tracker read 8.33 MB here
+
+
+def test_stage_metrics_tracker_skipped_shared_stage_counted_once():
+    """A shuffle stage reused (SKIPPED) by a later job's group must not be
+    double-counted into that group's delta — the (stageId, attemptId)
+    counted set guards it."""
+    store = _FakeStore()
+    tracker = _fake_tracker(store)
+    store.jobs[0] = _FakeJob(0, "A", [1])
     store.stages[1] = _FakeStage(1, "COMPLETE", 100)
-    store.stages[2] = _FakeStage(2, "ACTIVE", 50)  # mid-run partial bytes
-    d1 = tracker.delta()
-    assert d1[0] == 100  # ACTIVE stage excluded, not partially counted
-    assert tracker._pending == {2}
-    # stage 2 finishes (final bytes 80) while stage 3 also completes
-    store.stages[2] = _FakeStage(2, "COMPLETE", 80)
-    store.stages[3] = _FakeStage(3, "COMPLETE", 10)
-    d2 = tracker.delta()
-    assert d2[0] == 90  # 80 (revisited, final) + 10 — stage 2 once, not twice
-    assert tracker._pending == set()
-    # nothing new: delta is zero and already-counted ids stay counted
-    assert tracker.delta()[0] == 0
+    assert tracker.delta(group="A", settle_s=0.0)[0] == 100
+    store.jobs[1] = _FakeJob(1, "B", [1, 2])  # job B reuses stage 1's shuffle
+    store.stages[2] = _FakeStage(2, "COMPLETE", 10)
+    assert tracker.delta(group="B", settle_s=0.0)[0] == 10
 
 
-def test_stage_metrics_tracker_drops_evicted_pending():
-    """A pending stage evicted from the status store before completing is
-    dropped from the pending set rather than pinning the re-scan cutoff."""
+def test_stage_metrics_tracker_combined_and_floor():
+    """delta(None) claims every unclaimed job (group-less worker threads,
+    drains); the floor advances only through the contiguous claimed prefix
+    so an unclaimed concurrent job is never floored past."""
     store = _FakeStore()
     tracker = _fake_tracker(store)
-    store.stages[5] = _FakeStage(5, "ACTIVE", 7)
-    assert tracker.delta()[0] == 0 and tracker._pending == {5}
-    del store.stages[5]
-    store.stages[6] = _FakeStage(6, "COMPLETE", 3)
-    assert tracker.delta()[0] == 3
-    assert tracker._pending == set()
+    store.jobs[0] = _FakeJob(0, "x", [1])
+    store.stages[1] = _FakeStage(1, "COMPLETE", 5)
+    store.jobs[1] = _FakeJob(1, None, [2])
+    store.stages[2] = _FakeStage(2, "COMPLETE", 7)
+    assert tracker.delta(settle_s=0.0)[0] == 12  # combined
+    assert tracker._job_floor == 1
+    # out-of-order claiming: job 3's group is read before job 2 finishes
+    store.jobs[2] = _FakeJob(2, "slow", [3], status="RUNNING")
+    store.stages[3] = _FakeStage(3, "ACTIVE", 50)
+    store.jobs[3] = _FakeJob(3, "fast", [4])
+    store.stages[4] = _FakeStage(4, "COMPLETE", 9)
+    assert tracker.delta(group="fast", settle_s=0.0)[0] == 9
+    assert tracker._job_floor == 1  # job 2 unclaimed — floor held back
+    store.jobs[2] = _FakeJob(2, "slow", [3], status="SUCCEEDED")
+    store.stages[3] = _FakeStage(3, "COMPLETE", 50)
+    assert tracker.delta(group="slow", settle_s=0.0)[0] == 50
+    assert tracker._job_floor == 3  # contiguous prefix fully claimed
+    assert tracker._claimed == set()

@@ -1201,3 +1201,43 @@ def test_settings_bootstrap_default_and_server_clients(server):
     assert code == 200 and sv2["client"] == "server"
     assert {k: v for k, v in sv2.items() if k != "client"} == \
            {k: v for k, v in d.items() if k != "client"}
+
+
+def test_multipart_filename_rfc6266_fidelity():
+    """ADVICE r11: the raw-value RFC 6266 parameter parser restores the
+    residual fidelity gaps the first-match regex deferred to
+    get_filename(): trailing legitimate backslash (escaped quoted-pair),
+    RFC 5987 ``filename*=`` ext-values (with §4.3 precedence over plain
+    filename), Windows-path interior backslashes kept literal, and the
+    ``"<0>"`` angle-addr mangling fixed natively."""
+    from oaim_sandbox_spark.serving.http_api import _parse_multipart_files
+
+    def one(cd: str) -> str:
+        body = (
+            b"--bb1\r\n" + cd.encode("utf-8") +
+            b"\r\nContent-Type: application/octet-stream\r\n\r\nXY\r\n--bb1--\r\n"
+        )
+        got = _parse_multipart_files(body, "multipart/form-data; boundary=bb1")
+        assert len(got) == 1 and got[0][1] == b"XY"
+        return got[0][0]
+
+    cd = 'Content-Disposition: form-data; name="files"; filename='
+    # escaped trailing backslash survives (the regex-era truncation defer)
+    assert one(cd + '"trail\\\\"') == "trail\\"
+    # escaped interior quote
+    assert one(cd + '"a\\"b.txt"') == 'a"b.txt'
+    # Windows path: unescaped interior backslashes stay literal
+    assert one(cd + '"C:\\foo\\bar.txt"') == "C:\\foo\\bar.txt"
+    # RFC 5987 ext-value decodes charset + pct-encoding
+    assert one(cd[: -len("filename=")] + "filename*=UTF-8''%E2%82%AC%20rates.txt") \
+        == "\u20ac rates.txt"
+    # RFC 6266 §4.3: filename* wins over plain filename
+    assert one(cd + '"fallback.txt"; filename*=UTF-8\'\'%E2%82%AC.txt') == "\u20ac.txt"
+    # malformed ext-value falls back to the plain form
+    assert one(cd + '"plan-b.txt"; filename*=not-pct-encoded') == "plan-b.txt"
+    # the r11 hypothesis find: RFC 2822 angle-addr mangling ("<0>" -> "0")
+    assert one(cd + '"<0>"') == "<0>"
+    # bare form fields (no filename parameter) are still skipped
+    body = (b"--bb1\r\nContent-Disposition: form-data; name=\"field\"\r\n\r\n"
+            b"v\r\n--bb1--\r\n")
+    assert _parse_multipart_files(body, "multipart/form-data; boundary=bb1") == []

@@ -59,3 +59,34 @@ def test_cleanup_with_explicit_paths_prunes_process_ledger(spark):
     assert len(staged) == 1
     M.cleanup_staging(staged)  # explicit-paths branch
     assert staged[0] not in M._STAGED_THIS_PROCESS
+
+
+def test_free_local_checkpoint_releases_blocks(spark):
+    """The internal release path must actually drop the checkpoint's
+    storage blocks (DataFrame.unpersist is a documented no-op for
+    checkpointed plans — r11 review), visible via getRDDStorageInfo."""
+    sc = spark.sparkContext
+
+    def n_cached():
+        return len([i for i in sc._jsc.sc().getRDDStorageInfo()
+                    if i.numCachedPartitions() > 0])
+
+    base = n_cached()
+    ck = spark.range(10_000).localCheckpoint(eager=True)
+    assert ck.count() == 10_000
+    assert n_cached() == base + 1
+    M.free_local_checkpoint(ck)
+    assert n_cached() == base
+
+
+def test_free_local_checkpoint_logs_degradation(spark, caplog):
+    """ADVICE r11: a non-LogicalRDD input (i.e. not a localCheckpoint
+    result) must take the fallback WITH a warning — never a silent no-op
+    revert that lets blocks re-accumulate unobserved."""
+    import logging
+
+    df = spark.range(100).selectExpr("id * 2 AS x")  # analyzed plan: Project
+    with caplog.at_level(logging.WARNING, logger="oaim_sandbox_spark.materialize"):
+        M.free_local_checkpoint(df)  # must not raise
+    assert any("not LogicalRDD" in r.message and "falling back" in r.message
+               for r in caplog.records)

@@ -1,0 +1,471 @@
+"""Independent naive-Python pins BACK-FILLED for pre-r9 certified entries,
+round 12 (VERDICT r11 task #3): the DuckDB oracle certifies Spark-vs-DuckDB
+agreement on the SAME SQL, so a wrong shared query certifies green — only a
+direct recomputation catches it (the r10 sweepline/Gopher and r11 MIN=MAX
+degenerate-guard precedents). These eleven cover the math-heavy retrieval /
+corpus-hygiene / sketch entries the r12 verdict named."""
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+import numpy as np
+
+MOD = 1_000_000_007
+
+
+def _h64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _r6(x: float) -> float:
+    """round-half-away-from-zero at 6 decimals (DuckDB/Spark round())."""
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
+def _mk_docs(con, docs, langs=None):
+    vals = ", ".join(
+        f"({i}, 'src{s}', '{' '.join(words)}', "
+        f"'{(langs or {}).get(i, 'en')}', {len(' '.join(words))})"
+        for i, (s, words) in enumerate(docs)
+    )
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + vals + ") AS v(doc_id, source, text, lang, n_chars)"
+    )
+
+
+def _mk_docs_ids(con, rows, langs=None):
+    """rows: (doc_id, source_idx, words) — explicit ids (gaps allowed)."""
+    vals = ", ".join(
+        f"({i}, 'src{s}', '{' '.join(words)}', "
+        f"'{(langs or {}).get(i, 'en')}', {len(' '.join(words))})"
+        for i, s, words in rows
+    )
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + vals + ") AS v(doc_id, source, text, lang, n_chars)"
+    )
+
+
+def _mk_events(con, rows):
+    """rows: (event_id, user_id, event_type, ts_us, value)."""
+    vals = ", ".join(
+        f"({eid}, make_timestamp({ts}), {uid}, '{et}', "
+        f"CAST({val} AS DOUBLE), '{{}}')"
+        for eid, uid, et, ts, val in rows
+    )
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + vals + ") AS v(event_id, ts, user_id, event_type, value, props)"
+    )
+
+
+def _mk_embeddings(con, vecs):
+    """vecs: (vec_id, label, [floats])."""
+    vals = ", ".join(
+        f"({i}, [{', '.join(f'{x!r}' for x in v)}]::DOUBLE[], {lab})"
+        for i, lab, v in vecs
+    )
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+        + vals + ") AS v(vec_id, embedding, label)"
+    )
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in text.split(" ") if t]
+
+
+def _word_ngrams(text: str, n: int) -> list[str]:
+    t = _toks(text)
+    if len(t) >= n:
+        return [" ".join(t[j:j + n]) for j in range(len(t) - n + 1)]
+    return [" ".join(t)]  # the <n-token fallback both engines share
+
+
+def _mock_embed(text: str, dim: int = 64) -> np.ndarray:
+    """functions/portable.py mock_embed replica: H(text ':' i) grid."""
+    return np.array([(_h64(f"{text}:{i}") % 2000001) / 1e6 - 1.0
+                     for i in range(dim)])
+
+
+def _cos_dist(a: np.ndarray, b: np.ndarray) -> float:
+    den = float(np.linalg.norm(a) * np.linalg.norm(b))
+    if den == 0.0:
+        return 1.0
+    return 1.0 - float(a @ b) / den
+
+
+# --- BM25 --------------------------------------------------------------
+
+BM25_DOCS = [
+    (0, ["vector", "search", "is", "fast", "and", "scalable"]),
+    (1, ["join", "strategies", "for", "distributed", "query", "engines"]),
+    (2, ["vector", "join", "fast", "vector", "join", "fast", "vector"]),
+    (3, ["nothing", "relevant", "in", "this", "one", "at", "all"]),
+    (4, ["fast", "fast", "fast", "iteration", "loops"]),
+    (5, ["a", "vector", "database", "with", "fast", "approximate", "join"]),
+    (6, ["join", "the", "club"]),
+]
+
+
+def _bm25_scores():
+    """Naive BM25 (k1=1.2, b=0.75, idf=ln((N-df+.5)/(df+.5)+1)) over
+    BM25_DOCS for the fixed query tokens."""
+    from oaim_sandbox_spark.queries_training import (
+        BM25_B, BM25_K1, BM25_QUERY_TOKENS)
+
+    dl = {i: len(w) for i, (_, w) in enumerate(BM25_DOCS)}
+    n = len(BM25_DOCS)
+    avgdl = sum(dl.values()) / n
+    tf: dict[tuple[int, str], int] = Counter()
+    for i, (_, words) in enumerate(BM25_DOCS):
+        for w in words:
+            if w in BM25_QUERY_TOKENS:
+                tf[(i, w)] += 1
+    df = Counter(tok for (_, tok) in tf)
+    scores: dict[int, float] = defaultdict(float)
+    for (i, tok), f in tf.items():
+        idf = math.log((n - df[tok] + 0.5) / (df[tok] + 0.5) + 1.0)
+        scores[i] += idf * f * (BM25_K1 + 1.0) / (
+            f + BM25_K1 * (1.0 - BM25_B + BM25_B * dl[i] / avgdl))
+    return scores
+
+
+def test_bm25_topk_matches_direct_python():
+    from oaim_sandbox_spark.queries_training import bm25_topk
+
+    con = duckdb.connect()
+    _mk_docs(con, [(i % 3, w) for i, (_, w) in enumerate(BM25_DOCS)])
+    got = con.execute(bm25_topk("duck")).fetchall()
+    exp = sorted(_bm25_scores().items(), key=lambda kv: (-_r6(kv[1]), kv[0]))[:10]
+    assert [r[0] for r in got] == [i for i, _ in exp]
+    for (_, bm), (_, ebm) in zip(got, exp):
+        assert abs(bm - ebm) < 2e-6
+
+
+def test_hybrid_rrf_topk_matches_direct_python():
+    """Full replication: BM25 sparse ranks + md5 mock-embed dense cosine
+    ranks fused by 1/(60+r) — covers mock_embed, the cosine guard, both
+    rank windows, and the outer-join fusion in one pin."""
+    from oaim_sandbox_spark.queries_training import hybrid_rrf_topk
+
+    con = duckdb.connect()
+    _mk_docs(con, [(i % 3, w) for i, (_, w) in enumerate(BM25_DOCS)])
+    got = con.execute(hybrid_rrf_topk("duck")).fetchall()
+
+    qv = _mock_embed("spark vector search")
+    dense_keys = sorted(
+        (( _r6(_cos_dist(_mock_embed(" ".join(w)), qv)), i)
+         for i, (_, w) in enumerate(BM25_DOCS)),
+    )
+    dense_rank = {i: r + 1 for r, (_, i) in enumerate(dense_keys) if r < 20}
+    sp = _bm25_scores()
+    sparse_keys = sorted(sp.items(), key=lambda kv: (-_r6(kv[1]), kv[0]))
+    sparse_rank = {i: r + 1 for r, (i, _) in enumerate(sparse_keys) if r < 20}
+    rrf = {
+        i: (1.0 / (60 + dense_rank[i]) if i in dense_rank else 0.0)
+        + (1.0 / (60 + sparse_rank[i]) if i in sparse_rank else 0.0)
+        for i in set(dense_rank) | set(sparse_rank)
+    }
+    exp = sorted(rrf.items(), key=lambda kv: (-_r6(kv[1]), kv[0]))[:10]
+    assert [r[0] for r in got] == [i for i, _ in exp]
+    for (_, v), (_, ev) in zip(got, exp):
+        assert abs(v - ev) < 2e-6
+
+
+# --- corpus hygiene ----------------------------------------------------
+
+def test_ngram_novelty_decay_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import ngram_novelty_decay
+
+    rows = []
+    # src0: ids 0..19 (gappy: x3), half repeating the same text (saturates),
+    # half fresh; src1: ids 100..109, all fresh
+    for j in range(10):
+        words = (["tmpl", "tmpl2", "tmpl3", "again", "again2"] if j % 2
+                 else [f"w{j}a", f"w{j}b", f"w{j}c", f"w{j}d"])
+        rows.append((3 * j, 0, words))
+    for j in range(10):
+        rows.append((100 + j, 1, [f"u{j}a", f"u{j}b", f"u{j}c", f"u{j}d"]))
+    con = duckdb.connect()
+    _mk_docs_ids(con, rows)
+    got = con.execute(ngram_novelty_decay("duck")).fetchall()
+
+    bounds: dict[str, tuple[int, int]] = {}
+    for i, s, _ in rows:
+        src = f"src{s}"
+        lo, hi = bounds.get(src, (i, i))
+        bounds[src] = (min(lo, i), max(hi, i))
+    first: dict[tuple[str, int], int] = {}
+    for i, s, words in rows:
+        src = f"src{s}"
+        lo, hi = bounds[src]
+        bucket = ((i - lo) * 10) // (hi - lo + 1)
+        for g in set(_word_ngrams(" ".join(words), 3)):
+            sh = _h64(g) % MOD
+            k = (src, sh)
+            first[k] = min(first.get(k, bucket), bucket)
+    per_src = Counter(src for src, _ in first)
+    agg = Counter((src, b) for (src, _), b in first.items())
+    exp = sorted(
+        (src, b, n, n / per_src[src]) for (src, b), n in agg.items())
+    assert [(r[0], r[1], r[2]) for r in got] == [(s, b, n) for s, b, n, _ in exp]
+    for r, (_, _, _, frac) in zip(got, exp):
+        assert abs(r[3] - frac) < 2e-6
+
+
+def test_boilerplate_gram_fraction_matches_direct_python():
+    from oaim_sandbox_spark.queries_training import boilerplate_gram_fraction
+
+    docs = []
+    # 25 docs share the template 5-gram (df=25 > 20) plus one unique gram
+    for j in range(25):
+        docs.append((j % 2, ["the", "same", "footer", "text", "here",
+                             f"unique{j}"]))
+    docs.append((0, ["entirely", "fresh", "document", "no", "template"]))
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(boilerplate_gram_fraction("duck")).fetchall()
+
+    dg = {i: set(_word_ngrams(" ".join(w), 5)) for i, (_, w) in enumerate(docs)}
+    df = Counter(g for gs in dg.values() for g in gs)
+    exp = []
+    for i in sorted(dg):
+        n = len(dg[i])
+        nb = sum(1 for g in dg[i] if df[g] > 20)
+        exp.append((i, n, nb, nb / n))
+    assert [(r[0], r[1], r[2]) for r in got] == [(i, n, nb) for i, n, nb, _ in exp]
+    for r, (_, _, _, frac) in zip(got, exp):
+        assert abs(r[3] - frac) < 2e-6
+    # the construction actually exercised the threshold on both sides
+    assert any(r[2] > 0 for r in got) and any(r[2] == 0 for r in got)
+
+
+def test_decontamination_8gram_matches_direct_python():
+    from oaim_sandbox_spark.queries_training import decontamination_8gram
+
+    bench_words = ["b1", "b2", "b3", "b4", "b5", "b6", "b7", "b8", "b9"]
+    docs = [
+        (0, bench_words),                        # src0: benchmark
+        (1, ["c1"] + bench_words[:8]),           # src1: benchmark too
+        (2, ["x0"] + bench_words[:8] + ["x1"]),  # candidate, contaminated
+        (2, [f"y{k}" for k in range(12)]),       # candidate, clean
+        (3, bench_words[1:9] + ["z1", "z2"]),    # candidate, contaminated
+        (3, ["short", "doc"]),                   # <8 tokens: fallback gram
+    ]
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(decontamination_8gram("duck")).fetchall()
+
+    bench_g = set()
+    for i, (s, w) in enumerate(docs):
+        if s in (0, 1):
+            bench_g |= set(_word_ngrams(" ".join(w), 8))
+    exp = []
+    for i, (s, w) in enumerate(docs):
+        if s in (0, 1):
+            continue
+        gs = set(_word_ngrams(" ".join(w), 8))
+        shared = len(gs & bench_g)
+        exp.append((i, shared, 1 if shared else 0))
+    assert got == exp
+    assert any(r[2] == 1 for r in got) and any(r[2] == 0 for r in got)
+
+
+def test_quality_filter_matches_direct_python():
+    from oaim_sandbox_spark.operators.text_analysis import STOPWORDS
+    from oaim_sandbox_spark.queries_training import quality_filter
+
+    all_stop = {w for ws in STOPWORDS.values() for w in ws}
+    long_doc = ["the", "quick", "brown", "fox", "jumps", "over", "a",
+                "lazy", "dog", "with", "plenty", "of", "meaningful",
+                "content", "to", "read"] * 2
+    docs = [
+        (0, ["tiny"]),                                   # too_short
+        (0, ["characters"] * 10),                        # >=80 chars, <12 toks
+        (1, ["n12345678"] * 13),                         # digit_heavy
+        (1, ["repeat"] * 16),                            # repetitive
+        (2, [f"qz{c}x" for c in "abcdefghijklmnopqrst"]),  # low_quality_score
+        (2, long_doc),                                   # keep
+    ]
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(quality_filter("duck")).fetchall()
+
+    exp = []
+    for i, (_, w) in enumerate(docs):
+        text = " ".join(w)
+        toks = _toks(text)
+        n_chars, n_tok = len(text), len(toks)
+        digit = _r6(sum(c.isdigit() for c in text) / n_chars)
+        stop = _r6(sum(t in all_stop for t in
+                       _toks(text.lower())) / n_tok)
+        distinct_ratio = len(set(toks)) / n_tok
+        score = _r6(0.4 * min(n_chars / 1000.0, 1.0)
+                    + 0.4 * min(stop * 5.0, 1.0)
+                    + 0.2 * (1.0 - min(digit * 10.0, 1.0)))
+        if n_chars < 80:
+            v = "too_short"
+        elif n_tok < 12:
+            v = "too_few_tokens"
+        elif digit > 0.2:
+            v = "digit_heavy"
+        elif distinct_ratio < 0.3:
+            v = "repetitive"
+        elif score < 0.35:
+            v = "low_quality_score"
+        else:
+            v = "keep"
+        exp.append((i, v, score))
+    assert [(r[0], r[1]) for r in got] == [(i, v) for i, v, _ in exp]
+    for r, (_, _, s) in zip(got, exp):
+        assert abs(r[2] - s) < 2e-6
+    assert sorted({v for _, v, _ in exp}) == sorted(
+        ["too_short", "too_few_tokens", "digit_heavy", "repetitive",
+         "low_quality_score", "keep"])  # every branch exercised
+
+
+# --- sketch / percentile contracts --------------------------------------
+
+def test_doc_len_percentiles_exact_landmarks_match_numpy():
+    from oaim_sandbox_spark.queries_training import doc_len_percentiles_approx
+
+    rng = np.random.default_rng(7)
+    langs, rows = {}, []
+    for i in range(120):
+        lang = ["en", "de"][i % 2]
+        langs[i] = lang
+        rows.append((i % 4, [f"w{j}" for j in range(int(rng.integers(2, 30)))]))
+    con = duckdb.connect()
+    _mk_docs(con, rows, langs=langs)
+    got = con.execute(doc_len_percentiles_approx("duck")).fetchall()
+
+    by_lang: dict[str, list[int]] = defaultdict(list)
+    for i, (_, w) in enumerate(rows):
+        by_lang[langs[i]].append(len(" ".join(w)))
+    assert [r[0] for r in got] == sorted(by_lang)
+    for r in got:
+        vals = np.array(by_lang[r[0]], dtype=float)
+        exp = np.percentile(vals, [45, 55, 85, 95, 98.5, 100],
+                            method="linear")
+        for v, e in zip(r[1:7], exp):
+            assert abs(v - e) < 2e-6
+        assert r[7] and r[8] and r[9]  # duck states the contract as TRUE
+
+
+def test_mad_outliers_exact_payload_matches_numpy():
+    from oaim_sandbox_spark.queries_training import mad_outliers_approx
+
+    rng = np.random.default_rng(11)
+    rows, eid = [], 0
+    vals = {"click": list(rng.normal(10, 2, 80)) + [300.0, -250.0],
+            "purchase": list(rng.normal(50, 5, 60))}
+    for et, vs in vals.items():
+        for v in vs:
+            rows.append((eid, eid % 7, et, 1_000_000 * eid, round(v, 3)))
+            eid += 1
+    con = duckdb.connect()
+    _mk_events(con, rows)
+    got = con.execute(mad_outliers_approx("duck")).fetchall()
+
+    assert [r[0] for r in got] == sorted(vals)
+    for r in got:
+        v = np.array([round(x, 3) for x in vals[r[0]]])
+        med48, med, med52 = np.percentile(v, [48, 50, 52], method="linear")
+        dev = np.abs(v - med)
+        d48, dmed, d52 = np.percentile(dev, [48, 50, 52], method="linear")
+        n_out = int((dev > 4.4478 * dmed).sum())
+        assert abs(r[1] - med48) < 2e-6 and abs(r[2] - med52) < 2e-6
+        assert abs(r[3] - d48) < 2e-6 and abs(r[4] - d52) < 2e-6
+        assert r[5] == n_out
+        assert r[6] and r[7]
+    assert any(r[5] > 0 for r in got) and any(r[5] == 0 for r in got)
+
+
+def test_countmin_token_topk_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import (
+        CMS_ROWS, CMS_WIDTH, countmin_token_topk)
+
+    rng = np.random.default_rng(3)
+    # zipf-ish corpus over ~700 distinct tokens (> CMS_WIDTH=512, so some
+    # buckets MUST collide and the overestimate path is really exercised)
+    vocab = [f"t{j}" for j in range(700)]
+    docs = []
+    for i in range(40):
+        k = int(rng.integers(5, 25))
+        words = [vocab[min(int(rng.zipf(1.3)) - 1, 699)] for _ in range(k)]
+        docs.append((i % 3, words))
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(countmin_token_topk("duck")).fetchall()
+
+    toks = [t for _, w in docs for t in w]
+    exact = Counter(toks)
+    sketch: Counter = Counter()
+    for t, n in exact.items():
+        for r in range(CMS_ROWS):
+            sketch[(r, (_h64(f"cms{r}:{t}") % MOD) % CMS_WIDTH)] += n
+    est = {t: min(sketch[(r, (_h64(f"cms{r}:{t}") % MOD) % CMS_WIDTH)]
+                  for r in range(CMS_ROWS)) for t in exact}
+    exp = sorted(est.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r[0], r[1]) for r in got] == exp
+    for tok, e, n, over in got:
+        assert n == exact[tok] and over == e - n and over >= 0
+    assert any(r[3] > 0 for r in got)  # collisions actually happened
+
+
+# --- geometry / skew ----------------------------------------------------
+
+def test_embedding_centroid_outliers_matches_numpy():
+    from oaim_sandbox_spark.queries_textstats import embedding_centroid_outliers
+
+    rng = np.random.default_rng(19)
+    vecs = []
+    for lab in (0, 1):
+        base = rng.normal(1.0 + lab, 0.05, 64)
+        for j in range(6):
+            vecs.append((lab * 10 + j, lab,
+                         [round(float(x), 4) for x in base + rng.normal(0, 0.02, 64)]))
+        # one planted outlier per label, pointing away
+        vecs.append((lab * 10 + 9, lab,
+                     [round(float(x), 4) for x in -base]))
+    con = duckdb.connect()
+    _mk_embeddings(con, vecs)
+    got = con.execute(embedding_centroid_outliers("duck")).fetchall()
+
+    exp_rows = []
+    for lab in (0, 1):
+        mine = [(i, np.array(v)) for i, l, v in vecs if l == lab]
+        cent = np.mean([v for _, v in mine], axis=0)
+        sims = sorted(
+            ((float(v @ cent / (np.linalg.norm(v) * np.linalg.norm(cent))), i)
+             for i, v in mine),
+        )[:3]
+        rows = [(lab, i, 1.0 - s) for s, i in sims]
+        rows.sort(key=lambda r: (-r[2], r[1]))
+        exp_rows.extend(rows)
+    assert [(r[0], r[1]) for r in got] == [(l, i) for l, i, _ in exp_rows]
+    for r, (_, _, dist) in zip(got, exp_rows):
+        assert abs(r[2] - dist) < 2e-6
+    # the planted outliers are flagged worst in both labels
+    assert got[0][1] == 9 and got[3][1] == 19
+
+
+def test_salted_user_counts_spark_matches_direct_python(spark):
+    """The Spark side is a custom two-phase SALTED aggregation (not the
+    oracle's plain GROUP BY) — pin IT directly against a naive recount of
+    the same parquet."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    got = [(r["user_id"], r["n_events"])
+           for r in E.queries()["salted_user_counts"](spark, sf).collect()]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id FROM read_parquet('{sf}/events.parquet')").fetchall()
+    counts = Counter(u for (u,) in rows)
+    exp = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert got == exp
