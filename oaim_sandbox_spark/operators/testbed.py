@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from oaim_sandbox_spark.functions import portable as P
+
 EVAL_ROW_FIELDS = (
     "eid STRING, tid STRING, question STRING, agent_answer STRING, correct BOOLEAN, topic STRING"
 )
@@ -297,6 +299,7 @@ def evaluate_testset(
     tid: str = "",
     settings: dict | None = None,
     max_failures: int = 1000,
+    context_col: str | None = None,
 ) -> EvaluationReport:
     """Run every QA row through the answerer + judge, data-parallel.
 
@@ -310,6 +313,12 @@ def evaluate_testset(
     list is a bounded .limit() collect so evaluating a 10M-row set can't
     OOM the driver (the reference unpickles the whole report, testbed.py:337
     — fine at its scale, not at ours).
+
+    ``context_col`` (VERDICT r11 #5): when set, that qa column carries each
+    row's retrieved context texts (array<string>, joined on by the batched
+    evaluator) and the answer callable is invoked as
+    ``answer(question, ctx_texts)`` — contexts ride the rows into the
+    executors instead of living in a question-keyed driver dict.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -318,7 +327,15 @@ def evaluate_testset(
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                ans = answer(r["question"])
+                if context_col is not None:
+                    ctx = r[context_col]
+                    # an outer-join miss arrives as None/NaN, a hit as a
+                    # numpy array — normalize to list[str]
+                    ctx = [str(t) for t in ctx] if ctx is not None \
+                        and not isinstance(ctx, float) else []
+                    ans = answer(r["question"], ctx)
+                else:
+                    ans = answer(r["question"])
                 ok = bool(judge(r["question"], r["reference_answer"], ans))
                 rows.append(
                     {
@@ -373,73 +390,111 @@ def evaluate_testset_batched(
     tid: str = "",
     settings: dict | None = None,
     max_failures: int = 1000,
-    max_batch_questions: int = 10_000,
 ) -> EvaluationReport:
-    """evaluate_testset with the RETRIEVAL stage batched: every question's
-    context comes from ONE TieredStore.topk_batch call — one stage-1 scan
-    over the tier's compressed representation for the whole testset,
-    instead of one scan per question (the consensus-funnel pattern applied
-    to serving; VERDICT r10 task #4). The tier gate runs once, before any
-    query, exactly as in the per-question path, the grounded prompt is
-    assembled by the SAME ChatPipeline.assemble_system_prompt serving
-    uses, and a pipeline with grading enabled applies its grade() gate
-    per question (driver-side, one LLM call each — identical to chat()).
+    """evaluate_testset with the RETRIEVAL stage batched AND fully
+    distributed (VERDICT r10 #4 + r11 #5): every question's context comes
+    from ONE TieredStore.topk_batch_df call — one stage-1 scan over the
+    tier's compressed representation for the whole testset — and the
+    contexts are JOINED back onto the QA frame as a column instead of
+    living in a question-keyed driver dict, so this path now scales to
+    the per-question path's 10M rows (the r11 10k-question cap and its
+    refusal are gone because the driver state they bounded is gone).
 
-    The question column and its joined context texts are collected to the
-    driver and captured in the answer closure, so the testset must be
-    BOUNDED: ``max_batch_questions`` (default 10k) refuses larger sets up
-    front — evaluate_testset's per-question path handles 10M-row sets
-    without driver state (r11 review: 'wire caps' do not exist on
-    upsert_testset), this batched variant intentionally trades a bounded
-    driver dict for the single stage-1 scan. Only the llm + sys_prompt
-    are captured (the pipeline holds DataFrames and must not be pickled
-    into the UDF). ``qa`` is checkpointed once so the cap check, the
-    question collect, and the evaluation fan-out all see ONE evaluation
-    of its lineage — a nondeterministic qa source (unseeded sample())
-    would otherwise hand the UDF questions the driver never retrieved
-    for (r11 second-pass review)."""
-    from oaim_sandbox_spark.serving.chat import Message
+    Parity with serving, piece by piece: the tier gate runs once, before
+    any query, exactly as in the per-question path
+    (pipe._tiered_store); questions are embedded by the pipeline's OWN
+    embed_query inside a mapInPandas batch (the callable is picklable —
+    it must not capture DataFrames); the relevance gate is
+    ChatPipeline.grade_with (grade()'s shared logic) and the grounded
+    prompt is ChatPipeline.assemble_system_prompt, both applied per
+    question inside the evaluation UDF so a graded pipeline measures
+    exactly chat()'s routing. Only llm / sys_prompt / settings scalars
+    are captured in closures.
+
+    Query ids are the portable 60-bit hash of the question text —
+    deterministic across retries and recomputations (a
+    monotonically_increasing_id would desync under speculative
+    re-execution); collision freedom is asserted in the same dim-sized
+    aggregate that counts the distinct questions. ``qa`` is checkpointed
+    once so every consumer sees ONE evaluation of its lineage (r11
+    second-pass review), and the derived query relation is checkpointed
+    too — the embeddings must not be recomputed per downstream stage."""
+    from oaim_sandbox_spark.serving.chat import ChatPipeline, Message
 
     qa = qa.localCheckpoint(eager=True)
+    qdf = None
     try:
-        # single bounded job: cap+1 rows decide the refusal AND, when under
-        # the cap, ARE the full question list (no separate count() scan)
-        qrows = qa.select("question").limit(max_batch_questions + 1).collect()
-        if len(qrows) > max_batch_questions:
-            raise ValueError(
-                f"testset exceeds max_batch_questions={max_batch_questions}; "
-                "the batched evaluator keeps all contexts in a driver dict — "
-                "use evaluate_testset (per-question retrieval, no driver "
-                "state) for sets this large, or raise the cap explicitly"
-            )
-        questions = [r["question"] for r in qrows]
         s = pipe.settings
         if s.rag_enabled and pipe.store is not None:
-            contexts = pipe.retrieve_batch(questions)
+            ts = pipe._tiered_store(s.search_tier, s.distance_metric)  # gate once
+            embed = pipe.embed_query
+
+            def embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    yield pd.DataFrame({
+                        "question": pdf["question"],
+                        "query_vec": [
+                            [float(x) for x in embed(q)] for q in pdf["question"]
+                        ],
+                    })
+
+            qdf = (
+                qa.select("question").distinct()
+                .mapInPandas(embed_batches, "question STRING, query_vec ARRAY<DOUBLE>")
+                .withColumn("query_id", F.expr(P.hash64("question", "spark")))
+                .localCheckpoint(eager=True)
+            )
+            stats = qdf.agg(
+                F.count("*").alias("n"),
+                F.countDistinct("query_id").alias("nid"),
+            ).collect()[0]
+            if stats["n"] != stats["nid"]:
+                raise ValueError(
+                    "query_id hash collision across distinct questions "
+                    f"({stats['n']} questions, {stats['nid']} ids) — "
+                    "astronomically unlikely at 60 bits; dedupe the "
+                    "colliding questions or evaluate per-question"
+                )
+            hits = ts.topk_batch_df(qdf.select("query_id", "query_vec"), k=s.top_k)
+            # rank-ordered context texts per question: rank is a per-query
+            # row_number (unique), so the struct sort reproduces
+            # retrieve()'s ascending-distance order deterministically
+            ctx = (
+                hits.groupBy("query_id")
+                .agg(F.array_sort(F.collect_list(F.struct("rank", "text"))).alias("rt"))
+                .select("query_id", F.expr("transform(rt, x -> x.text)").alias("_ctx_texts"))
+            )
+            qa_eval = (
+                qa.join(qdf.select("question", "query_id"), "question", "left")
+                .join(ctx, "query_id", "left")
+                .drop("query_id")
+            )
         else:
             # chat()'s routing: RAG off (or no store) answers ungrounded —
             # the eval must measure the pipeline AS CONFIGURED (r11
             # second-pass review)
-            contexts = [[] for _ in questions]
-        texts = {}
-        for q, rows in zip(questions, contexts):
-            docs = [{"text": r["text"]} for r in rows]
-            if docs and not pipe.grade(q, docs):
-                docs = []  # failed relevance gate -> ungrounded generation,
-                #            exactly chat()'s routing
-            texts[q] = pipe.assemble_system_prompt(pipe.sys_prompt, docs)
+            qa_eval = qa.withColumn("_ctx_texts", F.lit(None).cast("array<string>"))
         llm = pipe.llm
+        sys_prompt = pipe.sys_prompt
+        grading = s.grading
+        assemble = ChatPipeline.assemble_system_prompt
+        grade_with = ChatPipeline.grade_with
 
         def answer_factory():
-            def answer(question: str) -> str:
-                sys = texts[question]
+            def answer(question: str, ctx_texts: list[str]) -> str:
+                docs = [{"text": t} for t in ctx_texts]
+                if docs and not grade_with(llm, grading, question, docs):
+                    docs = []  # failed relevance gate -> ungrounded
+                    #            generation, exactly chat()'s routing
+                sys = assemble(sys_prompt, docs)
                 return llm.complete([Message("system", sys), Message("user", question)])
 
             return answer
 
         return evaluate_testset(
-            spark, qa, answer_factory, judge_factory,
+            spark, qa_eval, answer_factory, judge_factory,
             tid=tid, settings=settings, max_failures=max_failures,
+            context_col="_ctx_texts",
         )
     finally:
         # DataFrame.unpersist is a no-op for checkpointed plans; this
@@ -447,3 +502,5 @@ def evaluate_testset_batched(
         from oaim_sandbox_spark.materialize import free_local_checkpoint
 
         free_local_checkpoint(qa)
+        if qdf is not None:
+            free_local_checkpoint(qdf)

@@ -200,7 +200,7 @@ def pack_signs(store: DataFrame, dim: int) -> DataFrame:
 
 
 def binary_hamming_candidates(
-    store: DataFrame, queries: list, dim: int, fetch_k: int, packed: DataFrame | None = None
+    store: DataFrame, queries, dim: int, fetch_k: int, packed: DataFrame | None = None
 ) -> DataFrame:
     """Stage-1 of the binary (sign-bit) tier: pack signs into int64 words
     (<=32 dims each), rank by Hamming distance over the packed words, keep
@@ -208,17 +208,31 @@ def binary_hamming_candidates(
     CANONICAL implementation — bench.ann_recall, the guard's probe, and the
     serving TieredStore (which passes its precomputed `packed`) all call
     this, so the measured ladder points and the guard's thresholds cannot
-    drift apart (r7 self-review finding)."""
+    drift apart (r7 self-review finding). ``queries`` is either the probe
+    harness's [(query_id, vector)] list or a (query_id, query_vec)
+    DataFrame (the distributed serving path, VERDICT r11 #5) — the
+    DataFrame branch packs the query side with the SAME P.sign_pack
+    expression pack_signs uses on the store, so both branches share one
+    bit-packing definition (> 0 ⇒ bit set)."""
     spark = store.sparkSession
     spans = sign_spans(dim)
     if packed is None:
         packed = pack_signs(store, dim)
-    qrows = [
-        (qid, *[sum(1 << j for j in range(n) if qv[s - 1 + j] > 0) for s, n in spans])
-        for qid, qv in queries
-    ]
-    qddl = "query_id BIGINT, " + ", ".join(f"u{i} BIGINT" for i in range(len(spans)))
-    qdfb = spark.createDataFrame(qrows, qddl)
+    if isinstance(queries, DataFrame):
+        qdfb = queries.select(
+            "query_id",
+            *[
+                F.expr(P.sign_pack("query_vec", s, n, "spark")).alias(f"u{i}")
+                for i, (s, n) in enumerate(spans)
+            ],
+        )
+    else:
+        qrows = [
+            (qid, *[sum(1 << j for j in range(n) if qv[s - 1 + j] > 0) for s, n in spans])
+            for qid, qv in queries
+        ]
+        qddl = "query_id BIGINT, " + ", ".join(f"u{i} BIGINT" for i in range(len(spans)))
+        qdfb = spark.createDataFrame(qrows, qddl)
     ham = " + ".join(f"bit_count(w{i} ^ u{i})" for i in range(len(spans)))
     hb = packed.crossJoin(F.broadcast(qdfb)).withColumn("hamming", F.expr(ham))
     w = Window.partitionBy("query_id").orderBy(F.col("hamming").asc(), F.col("neighbor_id").asc())
@@ -253,14 +267,18 @@ def prefix_candidates(
 
 
 def pca_candidates(
-    store: DataFrame, queries: list, n_components: int, fetch_k: int,
+    store: DataFrame, queries, n_components: int, fetch_k: int,
     pca=None, storep: DataFrame | None = None,
 ) -> DataFrame:
     """Stage-1 of the PCA tier: fit the learned subspace on the store
     (one-pass distributed Gram), project both sides, k-NN in the subspace.
     Returns (query_id, neighbor_id). Canonical shared implementation; a
     serving TieredStore passes its fitted ``pca`` and precomputed
-    ``storep`` (vec_id, embp) so probe and serving share one funnel."""
+    ``storep`` (vec_id, embp) so probe and serving share one funnel.
+    ``queries`` is [(query_id, vector)] (probe harness) or a
+    (query_id, query_vec) DataFrame (distributed serving, VERDICT r11 #5)
+    — the DataFrame branch projects the query side through the SAME
+    project_pca the store representation uses."""
     import numpy as np
 
     from oaim_sandbox_spark.operators import ann as A
@@ -271,13 +289,19 @@ def pca_candidates(
         pca = fit_pca(store, n_components=n_components)
     if storep is None:
         storep = project_pca(store, pca, out_col="embp")
-    qdfp = spark.createDataFrame(
-        [
-            (qid, ((np.asarray(qv) - pca.mean) @ pca.components.T).tolist())
-            for qid, qv in queries
-        ],
-        "query_id BIGINT, query_vec ARRAY<DOUBLE>",
-    )
+    if isinstance(queries, DataFrame):
+        qdfp = (
+            project_pca(queries, pca, vec_col="query_vec", out_col="_qp")
+            .select("query_id", F.col("_qp").alias("query_vec"))
+        )
+    else:
+        qdfp = spark.createDataFrame(
+            [
+                (qid, ((np.asarray(qv) - pca.mean) @ pca.components.T).tolist())
+                for qid, qv in queries
+            ],
+            "query_id BIGINT, query_vec ARRAY<DOUBLE>",
+        )
     return A.knn_join(storep, qdfp, k=fetch_k, item_vec="embp").select(
         "query_id", "neighbor_id"
     )
@@ -596,6 +620,24 @@ class TieredStore:
         if len({q for q, _ in qrows}) != len(qrows):
             raise ValueError("query ids must be unique")
         qdf = spark.createDataFrame(qrows, "query_id BIGINT, query_vec ARRAY<DOUBLE>")
+        return self.topk_batch_df(qdf, k=k)
+
+    def topk_batch_df(self, qdf: DataFrame, k: int = 4) -> DataFrame:
+        """``topk_batch`` with a DataFrame query side — the FULLY
+        distributed serving shape (VERDICT r11 #5): the query relation
+        never materializes on the driver, so a 10M-question evaluation
+        keeps one stage-1 scan AND no driver state. ``qdf`` must be
+        (query_id BIGINT, query_vec ARRAY<DOUBLE>) with UNIQUE ids — the
+        uniqueness contract is the CALLER's here (a driver list can be
+        checked for free; a distributed relation cannot without an extra
+        aggregate, and the evaluator derives ids from a 60-bit hash whose
+        collision freedom it asserts in its own dim-sized agg). Every
+        stage-1 candidate generator transforms the query side with the
+        SAME expressions it applies to the store (sign_pack /
+        project_pca / prefix slice), so the df path and the probed list
+        path cannot drift."""
+        from oaim_sandbox_spark.operators import ann as A
+
         if self.tier == "int8":
             res = A.knn_join(A.dequantize_embeddings(self._rep), qdf, k=k,
                              metric=self.metric)
@@ -603,7 +645,7 @@ class TieredStore:
             fetch_k = int(self.op.get("fetch_mult", 5)) * k
             if self.tier == "binary_hamming_rerank":
                 cand = binary_hamming_candidates(
-                    self._norm, qrows, self.dim, fetch_k, packed=self._rep
+                    self._norm, qdf, self.dim, fetch_k, packed=self._rep
                 )
             elif self.tier == "matryoshka16_rerank":
                 cand = prefix_candidates(
@@ -611,7 +653,7 @@ class TieredStore:
                 )
             else:  # pca16_rerank
                 cand = pca_candidates(
-                    self._norm, qrows, 16, fetch_k, pca=self._pca, storep=self._rep
+                    self._norm, qdf, 16, fetch_k, pca=self._pca, storep=self._rep
                 )
             res = exact_rerank(self._norm, qdf, cand, k, self.metric)
         hits = res.select("query_id", "neighbor_id", "distance", "rank")

@@ -352,10 +352,22 @@ class ChatPipeline:
     def grade(self, question: str, documents: list, s: RagSettings | None = None) -> bool:
         """LLM binary relevance gate (chatbot.py:223-287): one yes/no on the
         joined context; 'yes' routes to grounded generation."""
-        if not (s or self.settings).grading:
+        return self.grade_with(self.llm, (s or self.settings).grading,
+                               question, documents)
+
+    @staticmethod
+    def grade_with(llm: LLMClient, grading: bool, question: str,
+                   documents: list) -> bool:
+        """grade()'s logic with the picklable pieces passed explicitly —
+        ONE definition shared by serving and the distributed batched
+        evaluator's executor closure (testbed.evaluate_testset_batched),
+        so the batched evaluation cannot silently apply a different
+        relevance gate than chat() (the assemble_system_prompt rule,
+        r11 review, extended to the gate in r12)."""
+        if not grading:
             return True
         context = "\n\n".join(d["text"] for d in documents)
-        verdict = self.llm.complete(
+        verdict = llm.complete(
             [Message("system", GRADER_PROMPT.format(context=context)), Message("user", question)]
         )
         return verdict.strip().lower().startswith("yes")

@@ -567,3 +567,96 @@ def test_evaluate_testset_batched_matches_per_question(cat_store, spark):
 
     want_n = evaluate_testset(spark, qa, ungrounded_factory, judge_factory, tid="t3")
     assert got_n.correctness == want_n.correctness
+
+
+def test_topk_batch_df_matches_list_path_all_tiers(spark):
+    """VERDICT r11 #5 plumbing: topk_batch_df (DataFrame query side — the
+    distributed evaluator's path) returns row-identical results to
+    topk_batch (the probe harness's list path) on EVERY servable tier —
+    the df branches of the binary packer and the PCA projector share the
+    store-side expressions, and this pins that they also agree with the
+    driver-side packing/projection byte for byte."""
+    from oaim_sandbox_spark.operators.tier_guard import TieredStore
+
+    store = _planted(spark, n=300)
+    queries = [
+        (i, [float(x) for x in store.filter(f"id = {11 + 13 * i}").first()["embedding"]])
+        for i in range(3)
+    ]
+    qdf = spark.createDataFrame(queries, "query_id BIGINT, query_vec ARRAY<DOUBLE>")
+    for tier in ("int8", "binary_hamming_rerank", "matryoshka16_rerank",
+                 "pca16_rerank"):
+        ts = TieredStore(store, tier)
+        via_list = [(r["query_id"], r["id"], r["distance"], r["rank"])
+                    for r in ts.topk_batch(queries, k=4).collect()]
+        via_df = [(r["query_id"], r["id"], r["distance"], r["rank"])
+                  for r in ts.topk_batch_df(qdf, k=4).collect()]
+        assert via_list == via_df, tier
+        assert len(via_df) == 3 * 4, tier
+
+
+def test_evaluate_testset_batched_no_driver_dict_and_duplicates(cat_store, spark):
+    """The r12 rewrite removed the question-keyed driver dict and the 10k
+    cap: duplicate question rows evaluate per-row (join fans contexts back
+    out), and the answer UDF receives rank-ordered contexts identical to
+    retrieve()'s — asserted through the report produced by a judge that
+    inspects the grounded answer."""
+    import inspect
+
+    from oaim_sandbox_spark.operators.testbed import (
+        evaluate_testset,
+        evaluate_testset_batched,
+    )
+    from oaim_sandbox_spark.serving.chat import (
+        ChatPipeline,
+        Message,
+        MockLLM,
+        RagSettings,
+    )
+
+    # structural: the cap parameter (the bounded-driver-dict contract) is gone
+    assert "max_batch_questions" not in inspect.signature(
+        evaluate_testset_batched).parameters
+
+    cat, name, _vs = cat_store
+    store = cat.read_store(name)
+    vecs = {
+        f"question {i}": [float(x) for x in
+                          store.filter(f"id = {2 + 9 * i}").first()["embedding"]]
+        for i in range(3)
+    }
+    pipe = ChatPipeline(
+        store=store,
+        embed_query=lambda q: vecs[q],
+        llm=MockLLM(),
+        settings=RagSettings(search_tier="matryoshka16_rerank", grading=False),
+        tier_gate=lambda t: cat.assert_tier_usable(name, t, **PROBE_KW),
+    )
+    # duplicate rows for question 0 (different topics so the report shows
+    # both were evaluated)
+    rows = [(q, "doc", "general") for q in vecs]
+    rows.append(("question 0", "doc", "dup_topic"))
+    qa = spark.createDataFrame(
+        rows, "question STRING, reference_answer STRING, topic STRING")
+    judge_factory = lambda: (lambda q, ref, ans: ref in ans.lower())  # noqa: E731
+
+    got = evaluate_testset_batched(spark, qa, pipe, judge_factory, tid="tdup")
+    assert "dup_topic" in got.by_topic  # the duplicate row WAS evaluated
+
+    llm = pipe.llm
+    per_q_sys = {
+        q: pipe.assemble_system_prompt(
+            pipe.sys_prompt, [{"text": r["text"]} for r in pipe.retrieve(q)])
+        for q in vecs
+    }
+
+    def per_question_factory():
+        def answer(question: str) -> str:
+            return llm.complete([Message("system", per_q_sys[question]),
+                                 Message("user", question)])
+        return answer
+
+    want = evaluate_testset(spark, qa, per_question_factory, judge_factory,
+                            tid="tdup")
+    assert got.correctness == want.correctness
+    assert got.by_topic == want.by_topic
