@@ -429,15 +429,21 @@ ORDER BY user_id, ts_us, event_id
 
 
 TEMPLATES["lang_confusion_matrix"] = lang_confusion_matrix
+def _source_vocab_tok_sql(d: str) -> str:
+    """(source, g) token explode — the ONE corpus fragment both the exact
+    overlap matrix and its registered MinHash scale twin
+    (queries_registry.approx_vocab_overlap) consume, so the two cannot
+    drift (the _ngram_explode_sql rule)."""
+    grams = P.word_ngrams("text", 1, d)
+    if d == "spark":
+        return f"SELECT source, g FROM documents LATERAL VIEW explode({grams}) t0 AS g"
+    return f"SELECT source, unnest({grams}) AS g FROM documents"
+
+
 def _source_vocab_sg_sql(d: str) -> str:
     """Distinct (source, token) relation — the vocab-sized core the overlap
     matrix joins over."""
-    grams = P.word_ngrams("text", 1, d)
-    if d == "spark":
-        tok = f"SELECT source, g FROM documents LATERAL VIEW explode({grams}) t0 AS g"
-    else:
-        tok = f"SELECT source, unnest({grams}) AS g FROM documents"
-    return f"SELECT DISTINCT source, g FROM ({tok}) t"
+    return f"SELECT DISTINCT source, g FROM ({_source_vocab_tok_sql(d)}) t"
 
 
 def _source_vocab_final_sql(d: str, rel: str = "sg") -> str:

@@ -136,3 +136,44 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     # and the answer is the hot-partition sum
     expect = sum(v for v in range(50_000) if v % 10 in (2, 7))
     assert q.collect()[0][0] == expect
+
+
+def test_approx_vocab_overlap_tracks_exact_and_scales(spark, monkeypatch):
+    """VERDICT r11 #4: the registered MinHash scale twin of
+    source_vocab_overlap. (a) audit config: every pair's estimate sits in
+    the 3-sigma envelope of the exact jaccard computed by the certified
+    entry's own SQL; (b) production config (audit=False): the exact
+    entry's vocab-sized distinct self-join is NEVER built — per-source
+    state is num_perm grouped MINs over the shared token explode, nothing
+    vocabulary-sized."""
+    from oaim_sandbox_spark.queries_extended import source_vocab_overlap
+    from oaim_sandbox_spark.queries_registry import approx_vocab_overlap
+    from oaim_sandbox_spark.queries_core import register_views
+
+    sf = "/root/testdata/sf0.001"
+    audited = approx_vocab_overlap(spark, sf, audit=True).collect()
+    assert audited and all(r["within_bound"] for r in audited)
+
+    register_views(spark, sf, tables=("documents",))
+    exact = {(r["source_a"], r["source_b"]): r["vocab_jaccard"]
+             for r in spark.sql(source_vocab_overlap("spark")).collect()}
+    # same pair set as the exact entry (empty-vocab sources aside — none
+    # in the testdata) and the audit's exact column IS the exact entry's
+    assert {(r["source_a"], r["source_b"]) for r in audited} == set(exact)
+    for r in audited:
+        assert abs(r["exact_jaccard"] - exact[(r["source_a"], r["source_b"])]) < 1e-9
+
+    # production config must never build the exact entry's SQL (the only
+    # vocab-sized piece): poison it and confirm audit=False doesn't touch it
+    import oaim_sandbox_spark.queries_extended as QE
+
+    def _poisoned(_d):
+        raise AssertionError("audit=False must not run the exact self-join")
+
+    monkeypatch.setattr(QE, "source_vocab_overlap", _poisoned)
+    prod = approx_vocab_overlap(spark, sf, audit=False)
+    assert prod.columns == ["source_a", "source_b", "n_matches", "approx_jaccard"]
+    # the production numbers are the audited run's numbers (determinism:
+    # fixed permutation constants, no RNG anywhere)
+    assert [(r["source_a"], r["source_b"], r["n_matches"]) for r in prod.collect()] \
+        == [(r["source_a"], r["source_b"], r["n_matches"]) for r in audited]
