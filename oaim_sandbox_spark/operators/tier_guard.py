@@ -85,8 +85,16 @@ TIER_LADDER: dict[str, tuple[dict, dict | None]] = {
 # rows, so ivf serves all three metrics behind per-metric verdicts too
 # (the probe below ranks the pruned candidates with the requested metric;
 # measured on the planted test store: recall@10 = 1.0 for all three
-# metrics at BOTH nprobe points). Only LSH stays cosine-only: its buckets
-# ARE the cosine ranking with no exact stage to reorder another metric.
+# metrics at BOTH nprobe points). The per-STORE verdict is what carries
+# this promotion, not store-independent algebra: on an adversarial MIPS
+# store (high-norm vectors far from every query centroid — ADVICE r11)
+# L2 centroid pruning prunes the inner-product winners and the
+# DOT_PRODUCT probe measures the collapse and REFUSES (0.22/0.25 vs the
+# same store's cosine 0.87/1.0; pinned in tests/test_tier_guard.py::
+# test_ivf_dot_product_verdict_catches_mips_norm_outliers — int8 is the
+# refusal path's alternative and passes on that store). Only LSH stays
+# cosine-only: its buckets ARE the cosine ranking with no exact stage to
+# reorder another metric.
 TIER_METRICS: dict[str, tuple[str, ...]] = {
     "int8": ("COSINE", "DOT_PRODUCT", "EUCLIDEAN_DISTANCE"),
     "lsh8_multiprobe": ("COSINE",),

@@ -230,3 +230,43 @@ def test_topk_batch_equals_per_query_topk(spark):
                       id_col="vec_id")
     with pytest.raises(ValueError, match="reserved"):
         ts3.topk_batch([(1, qvecs[3])])
+
+
+def test_ivf_dot_product_verdict_catches_mips_norm_outliers(spark):
+    """ADVICE r11: IVF's promotion to DOT_PRODUCT was measured on a
+    near-constant-norm store where inner-product ranking trivially tracks
+    cosine. This fixture plants the adversarial MIPS shape — high-norm
+    vectors FAR (in L2) from every query centroid but with positive
+    projection on all of them, so they win every inner-product top-k while
+    L2 centroid pruning assigns them to a distant cell that nprobe=2/4
+    never opens. The per-store verdict must MEASURE that mismatch and
+    refuse, while the same store under COSINE (where the outliers rank
+    below in-cluster neighbors) passes — and int8, which keeps
+    full-precision information with no pruning, serves DOT_PRODUCT on the
+    exact same store (the refusal message's recommended alternative)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(300):
+        v = np.zeros(8)
+        v[i % 5] = 1.0
+        v += 0.05 * rng.normal(0, 1, 8)
+        rows.append((i, [float(x) for x in v]))
+    u = np.array([1, 1, 1, 1, 1, 0.8, 0, 0], dtype=float)
+    u /= np.linalg.norm(u)  # positive dot with every cluster direction
+    for j in range(10):
+        v = 10.0 * u + 0.05 * rng.normal(0, 1, 8)  # the MIPS winners
+        rows.append((300 + j, [float(x) for x in v]))
+    store = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+    dot = A.recommend_tiers(store, tiers=["ivf"], n_queries=6,
+                            store_cap=1000, metric="DOT_PRODUCT")["ivf"]
+    assert dot["status"] == "refused", dot
+    assert dot["effective_recall"] < 0.5, dot  # the collapse is real, not marginal
+    cos = A.recommend_tiers(store, tiers=["ivf"], n_queries=6,
+                            store_cap=1000, metric="COSINE")["ivf"]
+    assert cos["status"] in ("ok", "widened"), cos
+    int8 = A.recommend_tiers(store, tiers=["int8"], n_queries=6,
+                             store_cap=1000, metric="DOT_PRODUCT")["int8"]
+    assert int8["status"] == "ok" and int8["recall"] >= 0.9, int8
