@@ -109,8 +109,22 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     # the first time it can; in protobuf-less envs it is filtered out and
     # costs no slot.
     "streaming_user_stats_tws",
-    # --- NEW this round (must certify first-time) land here, above the
-    # r7 block.
+    # --- NEW this round (must certify first-time; 10 entries): order/
+    # lineitem DECIMAL reconciliation, filter-rule Venn attribution,
+    # ingest-order template streaks, per-source OOV under a global vocab,
+    # Benford first-digit audit, Simpson's-paradox screen, exponential
+    # inter-arrival fit, event debounce rate, graded NDCG@5, rare-token
+    # gibberish share.
+    "order_total_reconciliation",
+    "filter_venn_attribution",
+    "adjacent_dup_streaks",
+    "oov_rate_by_source",
+    "benford_first_digit",
+    "simpson_sign_flip",
+    "interarrival_exp_fit",
+    "event_debounce_rate",
+    "ndcg_graded_retrieval",
+    "rare_token_share",
     # --- last driver check: round 7 (all 20 remaining, staleness order):
     "trailing_hour_stats",
     "tfidf_top_terms",

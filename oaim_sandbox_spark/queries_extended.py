@@ -5174,3 +5174,446 @@ ORDER BY nation
 
 
 TEMPLATES["order_to_ship_latency"] = order_to_ship_latency
+
+
+# ---------------------------------------------------------------------------
+# Round-12 data-quality / retrieval-eval / mixture-audit family. Conventions
+# as everywhere: dual dialect, round(x, 6) floats (+ 0.0 on sign-crossing
+# outputs), exact integer accumulation (P.exact_sum / P.exact_avg) for every
+# merge-order-sensitive float aggregate, exact MIN=MAX degenerate guards,
+# libm-free literal constants (ln/log2/Benford probabilities inlined as
+# literals so no engine's libm is in the value path), deterministic ORDER BY
+# with unique tie-breaks. Beyond-reference training-data suite; no reference
+# counterpart.
+
+
+def order_total_reconciliation(d: str) -> str:
+    """Cross-table data-quality reconciliation (the classic warehouse FK
+    audit): o_totalprice vs the recomputed SUM(extendedprice * (1-disc) *
+    (1+tax)) over the order's lineitems, bucketed by mismatch size. The
+    whole comparison runs in DECIMAL — exact on both engines, no float in
+    the bucket decision; only the reported relative-gap stats cast to
+    DOUBLE (identically, from identical decimals). Plan: lineitem
+    pre-aggregates map-side on l_orderkey, one key-hash join to orders
+    (bucket both by orderkey at scale and the shuffle disappears), output
+    is <=4 rows. Orders with no lineitems are out of scope of the
+    invariant (inner join). On the synthetic testdata the invariant
+    deliberately does NOT hold — the audit's job is to measure that."""
+    term = f"{_dec('l.l_extendedprice', 12, 2)} * (1 - {_dec('l.l_discount', 4, 2)}) * (1 + {_dec('l.l_tax', 4, 2)})"
+    return f"""
+WITH lt AS (
+  SELECT l.l_orderkey AS okey, SUM({term}) AS recomputed
+  FROM lineitem l GROUP BY l.l_orderkey
+),
+cmp AS (
+  SELECT {_dec('o.o_totalprice', 12, 2)} - lt.recomputed AS diff,
+         CAST({_dec('o.o_totalprice', 12, 2)} - lt.recomputed AS DOUBLE)
+           / CAST({_dec('o.o_totalprice', 12, 2)} AS DOUBLE) AS rel
+  FROM orders o JOIN lt ON o.o_orderkey = lt.okey
+)
+SELECT CASE WHEN diff = 0 THEN 'exact'
+            WHEN abs(diff) <= 0.01 THEN 'within_cent'
+            WHEN abs(rel) <= 0.01 THEN 'minor'
+            ELSE 'major' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(round({P.exact_avg('rel', d, 9)}, 6) + 0.0 AS DOUBLE) AS mean_rel_gap,
+       CAST(round(MIN(rel), 6) + 0.0 AS DOUBLE) AS min_rel_gap,
+       CAST(round(MAX(rel), 6) + 0.0 AS DOUBLE) AS max_rel_gap
+FROM cmp
+GROUP BY CASE WHEN diff = 0 THEN 'exact'
+              WHEN abs(diff) <= 0.01 THEN 'within_cent'
+              WHEN abs(rel) <= 0.01 THEN 'minor'
+              ELSE 'major' END
+ORDER BY bucket
+"""
+
+
+def filter_venn_attribution(d: str) -> str:
+    """Filter-combination attribution (the ablation bookkeeping behind
+    quality_filter's first-match verdicts): every document is scored
+    against ALL five C4/Gopher-style rules INDEPENDENTLY and counted into
+    its 2^5 rule-combination bitmask bucket — which rule combinations
+    co-fire decides whether a rule is redundant (its bit only ever appears
+    alongside another) or load-bearing, the question a first-failing-rule
+    histogram cannot answer. One corpus scan, one 32-bucket hash agg;
+    per-rule thresholds identical to quality_filter's so the two entries
+    describe the same gate."""
+    m = TA.quality_metrics_sql("text", d)
+    toks = P.tokens("text", d)
+    if d == "spark":
+        n, nd = f"size({toks})", f"size(array_distinct({toks}))"
+    else:
+        n, nd = f"len({toks})", f"len(list_distinct({toks}))"
+    distinct_ratio = f"(CAST({nd} AS DOUBLE) / {n})"
+    score = TA.quality_score_sql("text", d)
+    return f"""
+WITH flags AS (
+  SELECT doc_id,
+         CASE WHEN {m['n_chars']} < 80 THEN 1 ELSE 0 END AS f_short,
+         CASE WHEN {m['n_tokens']} < 12 THEN 1 ELSE 0 END AS f_tokens,
+         CASE WHEN {m['digit_ratio']} > 0.2 THEN 1 ELSE 0 END AS f_digit,
+         CASE WHEN {distinct_ratio} < 0.3 THEN 1 ELSE 0 END AS f_rep,
+         CASE WHEN {score} < 0.35 THEN 1 ELSE 0 END AS f_quality
+  FROM documents
+)
+SELECT CAST(16 * f_short + 8 * f_tokens + 4 * f_digit + 2 * f_rep + f_quality AS INT) AS bitmask,
+       CASE WHEN 16 * f_short + 8 * f_tokens + 4 * f_digit + 2 * f_rep + f_quality = 0
+            THEN 'keep'
+            ELSE concat_ws('+',
+                 CASE WHEN f_short = 1 THEN 'short' END,
+                 CASE WHEN f_tokens = 1 THEN 'few_tokens' END,
+                 CASE WHEN f_digit = 1 THEN 'digit_heavy' END,
+                 CASE WHEN f_rep = 1 THEN 'repetitive' END,
+                 CASE WHEN f_quality = 1 THEN 'low_score' END) END AS rules,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM flags
+GROUP BY f_short, f_tokens, f_digit, f_rep, f_quality
+ORDER BY bitmask
+"""
+
+
+def adjacent_dup_streaks(d: str) -> str:
+    """Ingest-order template-streak detector: 3-gram-shingle Jaccard
+    between each document and its ingest-order PREDECESSOR within the same
+    source, plus the longest consecutive run of high-similarity (>= 0.2)
+    adjacencies — a crawler stuck in a templated site produces long
+    streaks that corpus-level dup rates smear out. Windows are
+    key-partitioned per source (the user_activity_sessions precedent: a
+    single source's stream flows through one partition — sources are the
+    parallelism unit); the shingle arrays are per-row bounded and never
+    shuffle as text. Gaps-and-islands via the ROW_NUMBER difference — no
+    global sort anywhere."""
+    sh = P.shingle_hashes("text", 3, d)
+    if d == "spark":
+        cur = f"array_distinct({sh})"
+        inter = "CAST(size(array_intersect(cur, prev)) AS DOUBLE)"
+        uni = "nullif(size(cur) + size(prev) - size(array_intersect(cur, prev)), 0)"
+    else:
+        cur = f"list_distinct({sh})"
+        inter = "CAST(len(list_intersect(cur, prev)) AS DOUBLE)"
+        uni = "nullif(len(cur) + len(prev) - len(list_intersect(cur, prev)), 0)"
+    return f"""
+WITH s AS (SELECT source, doc_id, {cur} AS cur FROM documents),
+w AS (
+  SELECT source, doc_id, cur,
+         LAG(cur) OVER (PARTITION BY source ORDER BY doc_id ASC) AS prev
+  FROM s
+),
+pairs AS (
+  SELECT source, doc_id, {inter} / {uni} AS j
+  FROM w WHERE prev IS NOT NULL
+),
+r AS (
+  SELECT source, doc_id, j,
+         CASE WHEN j >= 0.2 THEN 1 ELSE 0 END AS hi,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+  FROM pairs
+),
+streaks AS (
+  SELECT source, grp, CAST(COUNT(*) AS BIGINT) AS len
+  FROM (
+    SELECT source, rn - ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id ASC) AS grp
+    FROM r WHERE hi = 1
+  ) g GROUP BY source, grp
+),
+mx AS (SELECT source, MAX(len) AS max_streak FROM streaks GROUP BY source),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(round({P.exact_avg('j', d, 9)}, 6) AS DOUBLE) AS mean_jaccard,
+         CAST(SUM(hi) AS BIGINT) AS n_high
+  FROM r GROUP BY source
+)
+SELECT agg.source AS source, agg.n_pairs, agg.mean_jaccard, agg.n_high,
+       CAST(COALESCE(mx.max_streak, 0) AS BIGINT) AS max_streak
+FROM agg LEFT JOIN mx ON agg.source = mx.source
+ORDER BY agg.source
+"""
+
+
+VOCAB_TOP_N = 100
+
+
+def oov_rate_by_source(d: str) -> str:
+    """Per-source out-of-vocabulary rate under a GLOBAL top-N (100) token
+    vocabulary — the tokenizer-design complement to vocab_coverage_topk's
+    global curve: which sources would suffer most under a frequency-
+    truncated vocab. The (source, token) counts pre-aggregate map-side;
+    the vocabulary is top-N-sized and broadcasts at any corpus scale; all
+    rates are single divisions of exact integers."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT source, tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
+    else:
+        tok = f"SELECT source, unnest({toks}) AS tok FROM documents"
+    return f"""
+WITH stok AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM ({tok}) x GROUP BY source, tok),
+gf AS (SELECT tok, SUM(c) AS n FROM stok GROUP BY tok),
+vocab AS (SELECT tok FROM gf ORDER BY n DESC, tok ASC LIMIT {VOCAB_TOP_N})
+SELECT s.source AS source,
+       CAST(SUM(s.c) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN s.c ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_types,
+       CAST(round(SUM(CASE WHEN v.tok IS NULL THEN s.c ELSE 0 END) * 1.0 / SUM(s.c), 6) AS DOUBLE) AS oov_rate
+FROM stok s LEFT JOIN vocab v ON s.tok = v.tok
+GROUP BY s.source
+ORDER BY s.source
+"""
+
+
+def benford_first_digit(d: str) -> str:
+    """Benford's-law first-significant-digit audit per event type — the
+    fabricated-or-truncated-numbers detector for ingested metrics. The
+    digit is extracted ARITHMETICALLY: floor(value·10^6 + 0.5) as BIGINT,
+    then the integer's first character — no log10 in the digit path (libm
+    floor(log10(x)) can disagree across engines within an ulp of a power
+    of ten; integer-to-string cannot). Benford probabilities are inlined
+    literals. chi2 is the 9-term windowed sum per type; every per-digit
+    term is (obs-exp)^2/exp over identical doubles."""
+    first = f"CAST(substr({_str('n6', d)}, 1, 1) AS INT)"
+    return f"""
+WITH ints AS (
+  SELECT event_type, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS n6
+  FROM events WHERE value > 0
+),
+digs AS (SELECT event_type, {first} AS dgt FROM ints WHERE n6 > 0),
+counts AS (SELECT event_type, dgt, CAST(COUNT(*) AS BIGINT) AS obs FROM digs GROUP BY event_type, dgt),
+tot AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n FROM digs GROUP BY event_type),
+benford(dgt, p) AS (VALUES
+  (1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829992),
+  (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322),
+  (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514)
+),
+grid AS (
+  SELECT t.event_type AS event_type, b.dgt AS digit, t.n * b.p AS expected,
+         CAST(COALESCE(c.obs, 0) AS BIGINT) AS observed
+  FROM tot t CROSS JOIN benford b
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.dgt = b.dgt
+)
+SELECT event_type, CAST(digit AS INT) AS digit, observed,
+       CAST(round(expected, 6) AS DOUBLE) AS expected,
+       CAST(round((observed - expected) * (observed - expected) / expected, 6) AS DOUBLE) AS chi2_term,
+       CAST(round(SUM((observed - expected) * (observed - expected) / expected)
+                  OVER (PARTITION BY event_type), 6) AS DOUBLE) AS chi2_total
+FROM grid
+ORDER BY event_type, digit
+"""
+
+
+def simpson_sign_flip(d: str) -> str:
+    """Simpson's-paradox screen: Pearson correlation of (hour-of-day,
+    value) POOLED across all events vs within each event type, flagging
+    types whose within-group correlation sign contradicts the pooled sign
+    — the aggregation-bias trap every metrics rollup should test for. All
+    five moments accumulate as exact integers (P.exact_sum, scale 4 —
+    |x·y| <= ~1.2e4 at the data's value bound, safe past 10^14 rows), so
+    both engines derive bit-identical correlations; zero-variance guards
+    are the exact MIN=MAX tests (the r11 rule). The sign comparison uses
+    the UNROUNDED identical doubles; output rounds + 0.0."""
+    hour = _idiv(f"({_ts_us(d)} % 86400000000)", "3600000000", d)
+    mom = f"""CAST(COUNT(*) AS DOUBLE) AS n,
+         {P.exact_sum('x', d, 6)} AS sx, {P.exact_sum('y', d, 4)} AS sy,
+         {P.exact_sum('x * y', d, 4)} AS sxy,
+         {P.exact_sum('x * x', d, 6)} AS sxx, {P.exact_sum('y * y', d, 4)} AS syy,
+         MIN(x) AS xlo, MAX(x) AS xhi, MIN(y) AS ylo, MAX(y) AS yhi"""
+    corr = ("CASE WHEN xlo = xhi OR ylo = yhi THEN NULL ELSE "
+            "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END")
+    return f"""
+WITH pts AS (
+  SELECT event_type, CAST({hour} AS DOUBLE) AS x, value AS y FROM events
+),
+g AS (SELECT event_type AS grp, {mom} FROM pts GROUP BY event_type),
+a AS (SELECT 'ALL' AS grp, {mom} FROM pts),
+gc AS (SELECT grp, n, {corr} AS corr FROM g),
+ac AS (SELECT n AS n_all, {corr} AS corr_pooled FROM a)
+SELECT gc.grp AS event_type,
+       CAST(gc.n AS BIGINT) AS n_events,
+       CAST(round(gc.corr, 6) + 0.0 AS DOUBLE) AS corr_group,
+       CAST(round(ac.corr_pooled, 6) + 0.0 AS DOUBLE) AS corr_pooled,
+       CAST(CASE WHEN gc.corr IS NULL OR ac.corr_pooled IS NULL THEN NULL
+                 WHEN gc.corr * ac.corr_pooled < 0 THEN 1 ELSE 0 END AS INT) AS sign_flip
+FROM gc CROSS JOIN ac
+ORDER BY gc.grp
+"""
+
+
+def interarrival_exp_fit(d: str) -> str:
+    """Exponential-arrival fit per event type: MLE rate from the exact
+    mean inter-arrival time, with the OBSERVED p50/p90 inter-arrivals
+    compared against the fitted model's quantiles (mean·ln2, mean·ln10) —
+    the burstiness-vs-Poisson diagnostic for event streams (a bursty
+    stream's observed p50 sits far below the model's). ln constants are
+    literals, not libm calls. Inter-arrivals come from one key-partitioned
+    LAG per type; the quantile agg buffers one type's deltas per group —
+    at larger scale swap percentile for the approx sketch (the
+    doc_len_percentiles_approx recipe). Degenerate guard: all-equal
+    deltas (MIN=MAX) or zero mean -> NULL gaps."""
+    ts = _ts_us(d)
+    if d == "spark":
+        pct = "percentile(dt, array(0.5D, 0.9D))"
+        e = lambda i: f"element_at(p, {i})"  # noqa: E731
+    else:
+        pct = "quantile_cont(dt, [0.5, 0.9])"
+        e = lambda i: f"(p)[{i}]"  # noqa: E731
+    return f"""
+WITH seq AS (
+  SELECT event_type,
+         ({ts} - LAG({ts}) OVER (PARTITION BY event_type ORDER BY {ts} ASC, event_id ASC)) / 1000000.0 AS dt
+  FROM events
+),
+d2 AS (SELECT event_type, dt FROM seq WHERE dt IS NOT NULL),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         {P.exact_avg('dt', d, 3)} AS mean_dt,
+         MIN(dt) AS dlo, MAX(dt) AS dhi,
+         {pct} AS p
+  FROM d2 GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(round(mean_dt, 6) AS DOUBLE) AS mean_dt_s,
+       CAST(round({e(1)}, 6) AS DOUBLE) AS p50_obs_s,
+       CAST(round({e(2)}, 6) AS DOUBLE) AS p90_obs_s,
+       CAST(round(CASE WHEN dlo = dhi OR mean_dt = 0 THEN NULL
+                       ELSE ({e(1)} - mean_dt * 0.6931471805599453)
+                            / (mean_dt * 0.6931471805599453) END, 6) + 0.0
+            AS DOUBLE) AS p50_rel_gap,
+       CAST(round(CASE WHEN dlo = dhi OR mean_dt = 0 THEN NULL
+                       ELSE ({e(2)} - mean_dt * 2.302585092994046)
+                            / (mean_dt * 2.302585092994046) END, 6) + 0.0
+            AS DOUBLE) AS p90_rel_gap
+FROM agg
+ORDER BY event_type
+"""
+
+
+def event_debounce_rate(d: str) -> str:
+    """Debounce audit: share of events arriving within 5 s of the SAME
+    user's previous event of the SAME type — the double-fire rate a
+    training-log deduplication pass would remove (complement of exact
+    dedup, which needs identical payloads; debounce is time-keyed). One
+    key-partitioned LAG per (user, type), one grouped agg; rates are
+    divisions of exact integers."""
+    ts = _ts_us(d)
+    return f"""
+WITH seq AS (
+  SELECT event_type,
+         {ts} - LAG({ts}) OVER (PARTITION BY user_id, event_type ORDER BY {ts} ASC, event_id ASC) AS dt_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN dt_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN dt_us <= 5000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced,
+       CAST(round(SUM(CASE WHEN dt_us <= 5000000 THEN 1 ELSE 0 END) * 1.0
+                  / nullif(SUM(CASE WHEN dt_us IS NOT NULL THEN 1 ELSE 0 END), 0), 6)
+            AS DOUBLE) AS debounce_rate
+FROM seq
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+NDCG_K = 5
+NDCG_QUERY_STRIDE = 37
+NDCG_QUERY_CAP = 3700  # stride x cap -> <= 100 queries at ANY corpus size
+
+
+def ndcg_graded_retrieval(d: str) -> str:
+    """Graded-relevance NDCG@5 for the deterministic mock-embedding
+    retriever — the ranking-quality audit retrieval_eval_metrics (binary
+    planted pairs) cannot express: gain 2 for same-source candidates,
+    1 for same-language, 0 otherwise. The query set is FIXED and bounded
+    (doc_id % 37 = 0 AND doc_id < 3700 -> <= 100 queries at any corpus
+    size), so the query side broadcasts and candidate scoring is one
+    corpus scan; the per-query window ranks ~corpus rows partitioned by
+    query. DCG accumulates via exact_sum over literal 1/log2(pos+1)
+    denominators (libm-free); IDCG is closed-form from the exact gain
+    counts — the ideal ranking needs no sort. IDCG = 0 (no relevant
+    candidates) -> NULL ndcg."""
+    emb = P.mock_embed("text", EMBED_DIM, d)
+    dist = P.cosine_distance("c.e", "q.qe", d)
+    l2 = {1: "1.0", 2: "1.584962500721156", 3: "2.0",
+          4: "2.321928094887362", 5: "2.584962500721156"}
+    dcg_term = " ".join(
+        f"WHEN {p} THEN gain / {l2[p]}" for p in range(1, NDCG_K + 1))
+    idcg_expr = " + ".join(
+        f"(CASE WHEN {p} <= n2 THEN 2.0 WHEN {p} <= n2 + n1 THEN 1.0 ELSE 0.0 END) / {l2[p]}"
+        for p in range(1, NDCG_K + 1))
+    return f"""
+WITH docs AS (SELECT doc_id, source, lang, {emb} AS e FROM documents),
+q AS (
+  SELECT doc_id AS qid, source AS qsrc, lang AS qlang, e AS qe
+  FROM docs WHERE doc_id % {NDCG_QUERY_STRIDE} = 0 AND doc_id < {NDCG_QUERY_CAP}
+),
+scored AS (
+  SELECT q.qid AS qid, c.doc_id AS doc_id,
+         round({dist}, 6) AS dist,
+         CASE WHEN c.source = q.qsrc THEN 2
+              WHEN c.lang = q.qlang THEN 1 ELSE 0 END AS gain
+  FROM q JOIN docs c ON c.doc_id <> q.qid
+),
+ranked AS (
+  SELECT qid, gain,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, doc_id ASC) AS rnk
+  FROM scored
+),
+dcg AS (
+  SELECT qid, {P.exact_sum(f'CASE rnk {dcg_term} ELSE 0.0 END', d, 12)} AS dcg
+  FROM ranked WHERE rnk <= {NDCG_K} GROUP BY qid
+),
+counts AS (
+  SELECT qid,
+         SUM(CASE WHEN gain = 2 THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN gain = 1 THEN 1 ELSE 0 END) AS n1
+  FROM scored GROUP BY qid
+)
+SELECT c.qid AS qid,
+       CAST(c.n2 AS BIGINT) AS n_same_source,
+       CAST(c.n1 AS BIGINT) AS n_same_lang,
+       CAST(round(dcg.dcg, 6) AS DOUBLE) AS dcg,
+       CAST(round({idcg_expr}, 6) AS DOUBLE) AS idcg,
+       CAST(round(CASE WHEN c.n2 + c.n1 = 0 THEN NULL
+                       ELSE dcg.dcg / ({idcg_expr}) END, 6) AS DOUBLE) AS ndcg
+FROM counts c JOIN dcg ON c.qid = dcg.qid
+ORDER BY c.qid
+"""
+
+
+def rare_token_share(d: str) -> str:
+    """Gibberish / OCR-noise detector: each document's share of token
+    occurrences whose GLOBAL corpus frequency is <= 2 — random strings,
+    hash fragments and OCR garble are dominated by such near-hapax tokens
+    while natural text is not; flag documents past 30%. The global
+    frequency relation is the unigram-model family's inherent vocab-sized
+    (token, count) map-side pre-aggregation (see COVERAGE.md inventory);
+    the per-doc join ships counts, never text. Rates are divisions of
+    exact integers."""
+    toks = P.tokens("text", d)
+    if d == "spark":
+        tok = f"SELECT doc_id, tok FROM documents LATERAL VIEW explode({toks}) t AS tok"
+    else:
+        tok = f"SELECT doc_id, unnest({toks}) AS tok FROM documents"
+    return f"""
+WITH tok AS ({tok}),
+gf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tok)
+SELECT tok.doc_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN gf.n <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(round(SUM(CASE WHEN gf.n <= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS DOUBLE) AS rare_share,
+       CAST(CASE WHEN SUM(CASE WHEN gf.n <= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) > 0.3
+                 THEN 1 ELSE 0 END AS INT) AS gibberish_flag
+FROM tok JOIN gf ON tok.tok = gf.tok
+GROUP BY tok.doc_id
+ORDER BY tok.doc_id
+"""
+
+
+TEMPLATES["order_total_reconciliation"] = order_total_reconciliation
+TEMPLATES["filter_venn_attribution"] = filter_venn_attribution
+TEMPLATES["adjacent_dup_streaks"] = adjacent_dup_streaks
+TEMPLATES["oov_rate_by_source"] = oov_rate_by_source
+TEMPLATES["benford_first_digit"] = benford_first_digit
+TEMPLATES["simpson_sign_flip"] = simpson_sign_flip
+TEMPLATES["interarrival_exp_fit"] = interarrival_exp_fit
+TEMPLATES["event_debounce_rate"] = event_debounce_rate
+TEMPLATES["ndcg_graded_retrieval"] = ndcg_graded_retrieval
+TEMPLATES["rare_token_share"] = rare_token_share
