@@ -469,3 +469,217 @@ def test_salted_user_counts_spark_matches_direct_python(spark):
     counts = Counter(u for (u,) in rows)
     exp = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
     assert got == exp
+
+
+# --- round-12 window re-certification pins (the r8-stale entries being
+# re-certified this round that still rested on the shared oracle alone) ---
+
+
+def test_bigram_pmi_topk_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import bigram_pmi_topk
+
+    docs = []
+    # "data lake" collocation x6 (>= 5 floor), "data base" x5, fillers, and
+    # a 1-token doc exercising the LIKE '% %' short-doc fallback guard
+    for j in range(6):
+        docs.append((j % 2, ["data", "lake", f"w{j}", "data", "lake"]))
+    for j in range(5):
+        docs.append((j % 2, ["data", "base", f"z{j}"]))
+    docs.append((0, ["solo"]))
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(bigram_pmi_topk("duck")).fetchall()
+
+    bg, ug = Counter(), Counter()
+    for _, w in docs:
+        toks = list(w)
+        ug.update(toks)
+        if len(toks) >= 2:
+            bg.update(" ".join(toks[j:j + 2]) for j in range(len(toks) - 1))
+        # <2-token docs fall back to a space-free pseudo-bigram; the LIKE
+        # guard drops it from the pair table but NOT from... (it never
+        # enters ba at all: no space). Unigrams still count the token.
+    nb, nu = sum(bg.values()), sum(ug.values())
+    exp = []
+    for g, c in bg.items():
+        if c >= 5:
+            w1, w2 = g.split(" ")
+            pmi = math.log((c / nb) / ((ug[w1] / nu) * (ug[w2] / nu)))
+            exp.append((g, c, pmi))
+    exp.sort(key=lambda t: (-_r6(t[2]), t[0]))
+    assert [(r[0], r[1]) for r in got] == [(g, c) for g, c, _ in exp[:20]]
+    for r, (_, _, pmi) in zip(got, exp):
+        assert abs(r[2] - pmi) < 2e-6
+
+
+def test_dow_seasonality_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import dow_seasonality
+
+    day_us = 86400 * 1_000_000
+    rows, eid = [], 0
+    counts = {0: [3, 5], 1: [2], 2: [7, 1, 4]}  # dow -> per-day counts
+    for dow, days in counts.items():
+        for k, n in enumerate(days):
+            day = dow + 7 * (k + 1)
+            for _ in range(n):
+                rows.append((eid, 1, "click", day * day_us + eid, 1.0)); eid += 1
+    con = duckdb.connect()
+    _mk_events(con, rows)
+    got = con.execute(dow_seasonality("duck")).fetchall()
+
+    means = {dw % 7: sum(ds) / len(ds) for dw, ds in counts.items()}
+    wk = sum(means.values())
+    exp = [(dw, means[dw], len(counts[dw]), means[dw] / wk,
+            means[dw] / (wk / 7.0) - 1.0) for dw in sorted(counts)]
+    assert [(r[0], r[2]) for r in got] == [(dw, nd) for dw, _, nd, _, _ in exp]
+    for r, (_, m, _, share, vs) in zip(got, exp):
+        assert abs(r[1] - m) < 2e-6 and abs(r[3] - share) < 2e-6 \
+            and abs(r[4] - vs) < 2e-6
+
+
+def test_event_markov_transitions_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import event_markov_transitions
+
+    seqs = {1: ["a", "b", "a", "b", "c"], 2: ["b", "b", "a"], 3: ["c"]}
+    rows, eid = [], 0
+    for uid, seq in seqs.items():
+        for k, et in enumerate(seq):
+            rows.append((eid, uid, et, 1_000_000 * (10 * uid + k), 1.0)); eid += 1
+    con = duckdb.connect()
+    _mk_events(con, rows)
+    got = con.execute(event_markov_transitions("duck")).fetchall()
+
+    trans = Counter()
+    for seq in seqs.values():
+        trans.update(zip(seq, seq[1:]))
+    froms = Counter()
+    for (f, _), n in trans.items():
+        froms[f] += n
+    exp = sorted((f, t, n, n / froms[f]) for (f, t), n in trans.items())
+    assert [(r[0], r[1], r[2]) for r in got] == [(f, t, n) for f, t, n, _ in exp]
+    for r, (_, _, _, p) in zip(got, exp):
+        assert abs(r[3] - p) < 2e-6
+
+
+def test_source_lang_entropy_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import source_lang_entropy
+
+    langs = {}
+    docs = []
+    plan = {0: ["en"] * 4, 1: ["en", "de", "de", "fr"], 2: ["zh"]}
+    i = 0
+    for s, ls in plan.items():
+        for lg in ls:
+            langs[i] = lg
+            docs.append((s, [f"w{i}", "text"])); i += 1
+    con = duckdb.connect()
+    _mk_docs(con, docs, langs=langs)
+    got = con.execute(source_lang_entropy("duck")).fetchall()
+
+    exp = []
+    for s, ls in sorted(plan.items()):
+        c = Counter(ls)
+        tot = len(ls)
+        h = -sum((n / tot) * math.log(n / tot) for n in c.values())
+        exp.append((f"src{s}", len(c), h))
+    assert [(r[0], r[1]) for r in got] == [(s, nl) for s, nl, _ in exp]
+    for r, (_, _, h) in zip(got, exp):
+        assert abs(r[2] - h) < 2e-6
+    assert got[0][2] == 0.0  # monolingual source: exactly zero (the +0.0 pin)
+
+
+def _perm_ab(i: int) -> tuple[int, int]:
+    ha = int(hashlib.md5(f"minhash:a:{i}".encode()).hexdigest()[:15], 16)
+    hb = int(hashlib.md5(f"minhash:b:{i}".encode()).hexdigest()[:15], 16)
+    return (ha % (MOD - 1)) + 1, hb % MOD
+
+
+def test_minhash_signatures_matches_direct_python():
+    """Full pipeline replication: word 3-gram shingles -> md5 60-bit hashes
+    mod MOD -> 16 (a_i*h+b_i) % MOD permutation mins — the certified
+    signature every LSH entry builds on."""
+    from oaim_sandbox_spark.queries_dedup import NGRAM, NUM_PERM, minhash_signatures_q
+
+    docs = [
+        (0, ["the", "quick", "brown", "fox", "jumps", "over", "dogs"]),
+        (0, ["the", "quick", "brown", "fox", "leaps", "over", "dogs"]),
+        (1, ["an", "entirely", "different", "document", "body", "here"]),
+        (1, ["tiny", "doc"]),  # <3 tokens: whole-text fallback shingle
+    ]
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(minhash_signatures_q("duck")).fetchall()
+
+    exp = []
+    for i, (_, w) in enumerate(docs):
+        hs = [_h64(g) % MOD for g in _word_ngrams(" ".join(w), NGRAM)]
+        for p in range(NUM_PERM):
+            a, b = _perm_ab(p)
+            exp.append((i, p, min((a * h + b) % MOD for h in hs)))
+    assert sorted(got) == sorted(exp)
+
+
+def test_simhash_near_pairs_matches_direct_python():
+    """Fingerprint (tf-weighted 60-bit votes) + 4x15-bit banded candidate
+    join + hamming<=20 verify, pairs reported once — the full simhash
+    near-dup pipeline replicated bit for bit."""
+    from oaim_sandbox_spark.queries_dedup import (
+        MAX_HAMMING, SIMHASH_BANDS, SIMHASH_BITS, simhash_near_pairs_q)
+
+    base = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = [
+        (0, base),
+        (0, base + ["extra"]),          # near-dup of doc 0
+        (1, base[:-1] + ["changed"]),   # near-ish
+        (1, ["completely", "unrelated", "terms", "list", "now"]),
+    ]
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(simhash_near_pairs_q("duck")).fetchall()
+
+    def simhash(words):
+        votes = [0] * SIMHASH_BITS
+        for tk, w in Counter(words).items():
+            h = _h64(tk)
+            for j in range(SIMHASH_BITS):
+                votes[j] += w if (h >> j) & 1 else -w
+        return sum(1 << j for j in range(SIMHASH_BITS) if votes[j] > 0)
+
+    fps = {i: simhash(w) for i, (_, w) in enumerate(docs)}
+    slice_bits = SIMHASH_BITS // SIMHASH_BANDS
+    exp = []
+    for a in sorted(fps):
+        for b in sorted(fps):
+            if a >= b:
+                continue
+            shares_band = any(
+                (fps[a] >> (k * slice_bits)) % (1 << slice_bits)
+                == (fps[b] >> (k * slice_bits)) % (1 << slice_bits)
+                for k in range(SIMHASH_BANDS))
+            ham = bin(fps[a] ^ fps[b]).count("1")
+            if shares_band and ham <= MAX_HAMMING:
+                exp.append((a, b, ham))
+    assert got == exp
+    assert (0, 1) in {(a, b) for a, b, _ in exp}  # planted near-dup surfaced
+
+
+def test_topk_cosine_matches_numpy():
+    from oaim_sandbox_spark.queries_relational import topk_cosine
+
+    rng = np.random.default_rng(23)
+    vecs = [(i, i % 3, [round(float(x), 4) for x in rng.normal(0, 1, 64)])
+            for i in range(40)]
+    con = duckdb.connect()
+    _mk_embeddings(con, vecs)
+    got = con.execute(topk_cosine("duck")).fetchall()
+
+    q = np.array(vecs[0][2])
+    scored = []
+    for i, _, v in vecs[1:]:
+        v = np.array(v)
+        dist = 1.0 - float(q @ v) / float(np.linalg.norm(q) * np.linalg.norm(v))
+        scored.append((_r6(dist), i))
+    scored.sort()
+    assert [(r[0],) for r in got] == [(i,) for _, i in scored[:10]]
+    for r, (dist, _) in zip(got, scored):
+        assert abs(r[1] - dist) < 2e-6
