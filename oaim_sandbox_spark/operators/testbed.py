@@ -426,6 +426,15 @@ def evaluate_testset_batched(
     try:
         s = pipe.settings
         if s.rag_enabled and pipe.store is not None:
+            if not s.search_tier:
+                # same contract as ChatPipeline.retrieve_batch: the batch
+                # funnel IS the tiered store's — refuse clearly up front
+                # instead of letting TieredStore(None) raise obscurely
+                raise ValueError(
+                    "evaluate_testset_batched requires settings.search_tier "
+                    "— batched retrieval runs through TieredStore."
+                    "topk_batch_df; for exact untiered retrieval use "
+                    "evaluate_testset with a per-question retrieve()")
             ts = pipe._tiered_store(s.search_tier, s.distance_metric)  # gate once
             embed = pipe.embed_query
 

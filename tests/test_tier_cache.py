@@ -660,3 +660,23 @@ def test_evaluate_testset_batched_no_driver_dict_and_duplicates(cat_store, spark
                             tid="tdup")
     assert got.correctness == want.correctness
     assert got.by_topic == want.by_topic
+
+
+def test_evaluate_testset_batched_refuses_untiered(cat_store, spark):
+    """Review r12: with RAG on but no search_tier the batched evaluator
+    must refuse with the retrieve_batch contract message, not let
+    TieredStore(None) raise obscurely."""
+    from oaim_sandbox_spark.operators.testbed import evaluate_testset_batched
+    from oaim_sandbox_spark.serving.chat import ChatPipeline, MockLLM, RagSettings
+
+    cat, name, _vs = cat_store
+    store = cat.read_store(name)
+    pipe = ChatPipeline(
+        store=store, embed_query=lambda q: [0.0], llm=MockLLM(),
+        settings=RagSettings(grading=False),  # rag on, NO tier
+        tier_gate=lambda t: cat.assert_tier_usable(name, t, **PROBE_KW),
+    )
+    qa = spark.createDataFrame([("q", "a", "t")],
+                               "question STRING, reference_answer STRING, topic STRING")
+    with pytest.raises(ValueError, match="search_tier"):
+        evaluate_testset_batched(spark, qa, pipe, lambda: (lambda q, r, a: True))
