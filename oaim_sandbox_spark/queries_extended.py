@@ -5353,7 +5353,7 @@ SELECT s.source AS source,
        CAST(SUM(s.c) AS BIGINT) AS n_tokens,
        CAST(SUM(CASE WHEN v.tok IS NULL THEN s.c ELSE 0 END) AS BIGINT) AS n_oov,
        CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_types,
-       CAST(round(SUM(CASE WHEN v.tok IS NULL THEN s.c ELSE 0 END) * 1.0 / SUM(s.c), 6) AS DOUBLE) AS oov_rate
+       CAST(round(CAST(SUM(CASE WHEN v.tok IS NULL THEN s.c ELSE 0 END) AS DOUBLE) / SUM(s.c), 6) AS DOUBLE) AS oov_rate
 FROM stok s LEFT JOIN vocab v ON s.tok = v.tok
 GROUP BY s.source
 ORDER BY s.source
@@ -5372,7 +5372,7 @@ def benford_first_digit(d: str) -> str:
     first = f"CAST(substr({_str('n6', d)}, 1, 1) AS INT)"
     return f"""
 WITH ints AS (
-  SELECT event_type, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS n6
+  SELECT event_type, CAST(floor(value * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS n6
   FROM events WHERE value > 0
 ),
 digs AS (SELECT event_type, {first} AS dgt FROM ints WHERE n6 > 0),
@@ -5503,7 +5503,7 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CASE WHEN dt_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
        CAST(SUM(CASE WHEN dt_us <= 5000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced,
-       CAST(round(SUM(CASE WHEN dt_us <= 5000000 THEN 1 ELSE 0 END) * 1.0
+       CAST(round(CAST(SUM(CASE WHEN dt_us <= 5000000 THEN 1 ELSE 0 END) AS DOUBLE)
                   / nullif(SUM(CASE WHEN dt_us IS NOT NULL THEN 1 ELSE 0 END), 0), 6)
             AS DOUBLE) AS debounce_rate
 FROM seq
@@ -5534,9 +5534,12 @@ def ndcg_graded_retrieval(d: str) -> str:
     l2 = {1: "1.0", 2: "1.584962500721156", 3: "2.0",
           4: "2.321928094887362", 5: "2.584962500721156"}
     dcg_term = " ".join(
-        f"WHEN {p} THEN gain / {l2[p]}" for p in range(1, NDCG_K + 1))
+        f"WHEN {p} THEN CAST(gain AS DOUBLE)"
+        + ("" if p == 1 else f" / {l2[p]}")
+        for p in range(1, NDCG_K + 1))
     idcg_expr = " + ".join(
-        f"(CASE WHEN {p} <= n2 THEN 2.0 WHEN {p} <= n2 + n1 THEN 1.0 ELSE 0.0 END) / {l2[p]}"
+        f"CAST(CASE WHEN {p} <= n2 THEN 2 WHEN {p} <= n2 + n1 THEN 1 ELSE 0 END AS DOUBLE)"
+        + ("" if p == 1 else f" / {l2[p]}")
         for p in range(1, NDCG_K + 1))
     return f"""
 WITH docs AS (SELECT doc_id, source, lang, {emb} AS e FROM documents),
@@ -5557,7 +5560,7 @@ ranked AS (
   FROM scored
 ),
 dcg AS (
-  SELECT qid, {P.exact_sum(f'CASE rnk {dcg_term} ELSE 0.0 END', d, 12)} AS dcg
+  SELECT qid, {P.exact_sum(f'CASE rnk {dcg_term} ELSE CAST(0 AS DOUBLE) END', d, 12)} AS dcg
   FROM ranked WHERE rnk <= {NDCG_K} GROUP BY qid
 ),
 counts AS (
@@ -5598,8 +5601,8 @@ gf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tok)
 SELECT tok.doc_id AS doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(CASE WHEN gf.n <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
-       CAST(round(SUM(CASE WHEN gf.n <= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS DOUBLE) AS rare_share,
-       CAST(CASE WHEN SUM(CASE WHEN gf.n <= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) > 0.3
+       CAST(round(CAST(SUM(CASE WHEN gf.n <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS rare_share,
+       CAST(CASE WHEN CAST(SUM(CASE WHEN gf.n <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) > 0.3
                  THEN 1 ELSE 0 END AS INT) AS gibberish_flag
 FROM tok JOIN gf ON tok.tok = gf.tok
 GROUP BY tok.doc_id
