@@ -421,6 +421,14 @@ def evaluate_testset_batched(
     too — the embeddings must not be recomputed per downstream stage."""
     from oaim_sandbox_spark.serving.chat import ChatPipeline, Message
 
+    clash = {"query_id", "_ctx_texts"} & set(qa.columns)
+    if clash:
+        # the topk_batch reserved-columns rule, applied to the join keys
+        # this evaluator adds: a qa frame already carrying them would make
+        # the context joins ambiguous (or silently drop the caller's data)
+        raise ValueError(
+            f"qa columns {sorted(clash)} collide with the batched "
+            "evaluator's context-join columns; rename them first")
     qa = qa.localCheckpoint(eager=True)
     qdf = None
     try:
@@ -447,6 +455,17 @@ def evaluate_testset_batched(
                         ],
                     })
 
+            # a NULL question is an invalid eval row everywhere downstream
+            # (embed_query(None) / llm.complete(None) throw in both eval
+    	    # paths) — but here it would ALSO trip the hash-collision
+            # check with a misleading message (md5(NULL) is NULL, which
+            # countDistinct skips), so refuse it by name up front
+            n_null = qa.where(F.col("question").isNull()).limit(1).count()
+            if n_null:
+                raise ValueError(
+                    "qa contains NULL question rows — drop or fix them "
+                    "before evaluating (a NULL question cannot be embedded, "
+                    "retrieved for, or answered)")
             qdf = (
                 qa.select("question").distinct()
                 .mapInPandas(embed_batches, "question STRING, query_vec ARRAY<DOUBLE>")

@@ -680,3 +680,33 @@ def test_evaluate_testset_batched_refuses_untiered(cat_store, spark):
                                "question STRING, reference_answer STRING, topic STRING")
     with pytest.raises(ValueError, match="search_tier"):
         evaluate_testset_batched(spark, qa, pipe, lambda: (lambda q, r, a: True))
+
+
+def test_evaluate_testset_batched_null_question_and_reserved_columns(cat_store, spark):
+    """Review r12 pass 3: a NULL question is refused BY NAME (previously it
+    tripped the hash-collision assertion with a misleading message — and
+    crashes the LLM call in either eval path anyway), and a qa frame
+    already carrying the evaluator's context-join columns is refused with
+    a rename hint."""
+    from oaim_sandbox_spark.operators.testbed import evaluate_testset_batched
+    from oaim_sandbox_spark.serving.chat import ChatPipeline, MockLLM, RagSettings
+
+    cat, name, _vs = cat_store
+    store = cat.read_store(name)
+    qv = [float(x) for x in store.filter("id = 3").first()["embedding"]]
+    pipe = ChatPipeline(
+        store=store, embed_query=lambda q: qv, llm=MockLLM(),
+        settings=RagSettings(search_tier="matryoshka16_rerank", grading=False),
+        tier_gate=lambda t: cat.assert_tier_usable(name, t, **PROBE_KW),
+    )
+    qa = spark.createDataFrame(
+        [("question 0", "doc", "general"), (None, "doc", "nulltopic")],
+        "question STRING, reference_answer STRING, topic STRING")
+    with pytest.raises(ValueError, match="NULL question"):
+        evaluate_testset_batched(spark, qa, pipe,
+                                 lambda: (lambda q, r, a: True), tid="tnull")
+
+    good = qa.where(F.col("question").isNotNull())
+    bad = good.withColumn("_ctx_texts", F.lit("x"))
+    with pytest.raises(ValueError, match="_ctx_texts"):
+        evaluate_testset_batched(spark, bad, pipe, lambda: (lambda q, r, a: True))
