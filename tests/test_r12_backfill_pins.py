@@ -683,3 +683,152 @@ def test_topk_cosine_matches_numpy():
     assert [(r[0],) for r in got] == [(i,) for _, i in scored[:10]]
     for r, (dist, _) in zip(got, scored):
         assert abs(r[1] - dist) < 2e-6
+
+
+# --- r9-certified math-heavy entries (standing back-fill continues) ------
+
+
+def test_bigram_entropy_rate_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import bigram_entropy_rate
+
+    docs = [
+        (0, ["a", "b", "a", "b", "a", "c"]),    # varied continuations
+        (0, ["a", "b", "c", "a", "b"]),
+        (1, ["x", "y", "x", "y", "x", "y"]),    # deterministic next-word
+        (1, ["solo"]),                          # <2 tokens: excluded
+    ]
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(bigram_entropy_rate("duck")).fetchall()
+
+    per_src = defaultdict(Counter)
+    for _, (s, w) in enumerate(docs):
+        if len(w) >= 2:
+            per_src[f"src{s}"].update(_word_ngrams(" ".join(w), 2))
+    exp = []
+    for src in sorted(per_src):
+        c12 = per_src[src]
+        c1 = Counter()
+        for g, c in c12.items():
+            c1[g.split(" ")[0]] += c
+        n = sum(c12.values())
+        h = -sum((c / n) * math.log(c / c1[g.split(" ")[0]])
+                 for g, c in c12.items())
+        exp.append((src, n, len(c12), h))
+    assert [(r[0], r[1], r[2]) for r in got] == [(s, n, dc) for s, n, dc, _ in exp]
+    for r, (_, _, _, h) in zip(got, exp):
+        assert abs(r[3] - h) < 2e-6
+    # deterministic source: conditional entropy exactly 0 (the +0.0 pin)
+    assert got[1][3] == 0.0
+
+
+def test_char_entropy_matches_direct_python():
+    from oaim_sandbox_spark.queries_training import char_entropy_q
+
+    docs = [(i % 2, [f"w{i}", "some", "text", "here"]) for i in range(25)]
+    docs[0] = (0, ["aaaa", "aaaa"])   # low entropy (a + space only)
+    docs[20] = (0, ["abcdefg", "hij"])  # higher entropy
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(char_entropy_q("duck")).fetchall()
+
+    exp = []
+    for i, (_, w) in enumerate(docs):
+        if i % 20 != 0:
+            continue  # the deterministic bench-slice subset
+        text = " ".join(w)
+        c = Counter(text)  # spaces count: split(text,'') keeps them
+        n = len(text)
+        h = -sum((k / n) * math.log2(k / n) for k in c.values())
+        exp.append((i, h, len(c)))
+    assert [(r[0], r[2]) for r in got] == [(i, dc) for i, _, dc in exp]
+    for r, (_, h, _) in zip(got, exp):
+        assert abs(r[1] - h) < 2e-6
+    assert {r[0] for r in got} == {0, 20}
+
+
+def test_mixture_ess_curve_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import mixture_ess_curve
+
+    # token masses 8 / 4 / 2 across three sources (doc words = ws tokens)
+    docs = [(0, [f"a{k}" for k in range(8)]),
+            (1, [f"b{k}" for k in range(4)]),
+            (2, [f"c{k}" for k in range(2)])]
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(mixture_ess_curve("duck")).fetchall()
+
+    masses = {s: len(w) for s, w in docs}
+    nn = sum(masses.values())
+    exp = []
+    for tau in (0.3, 0.7, 1.0):
+        raw = {s: (n / nn) ** tau for s, n in masses.items()}
+        z = sum(raw.values())
+        w = {s: r / z for s, r in raw.items()}
+        ess = 1.0 / sum(v * v for v in w.values())
+        epochs = {s: w[s] * nn / masses[s] for s in masses}
+        exp.append((tau, len(masses), ess, max(epochs.values()),
+                    min(epochs.values())))
+    assert [(r[0], r[1]) for r in got] == [(t, k) for t, k, _, _, _ in exp]
+    for r, (_, _, ess, mx, mn) in zip(got, exp):
+        assert abs(r[2] - ess) < 2e-6 and abs(r[3] - mx) < 2e-6 \
+            and abs(r[4] - mn) < 2e-6
+    # tau=1.0 is proportional sampling: every source runs exactly 1 epoch
+    assert got[2][3] == 1.0 and got[2][4] == 1.0
+
+
+def test_lsh_banding_tradeoff_matches_direct_python():
+    """Full pipeline replication at all three bandings: 16-perm MinHash
+    signatures -> per-band concat-hash buckets -> distinct candidate pairs
+    -> signature-agreement 'strong' counts (est_jaccard >= 0.5)."""
+    from oaim_sandbox_spark.queries_dedup import NGRAM, NUM_PERM
+    from oaim_sandbox_spark.queries_extended import lsh_banding_tradeoff
+
+    base = ["the", "quick", "brown", "fox", "jumps", "over", "a", "dog"]
+    docs = [
+        (0, base),
+        (0, base[:-1] + ["cat"]),           # near-dup of doc 0
+        (1, base),                          # exact dup of doc 0
+        (1, ["other", "unrelated", "words", "entirely", "here", "now"]),
+        (2, ["fifth", "doc", "with", "its", "own", "content"]),
+    ]
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(lsh_banding_tradeoff("duck")).fetchall()
+
+    sigs = {}
+    for i, (_, w) in enumerate(docs):
+        hs = [_h64(g) % MOD for g in _word_ngrams(" ".join(w), NGRAM)]
+        sigs[i] = [min((a * h + b) % MOD for h in hs)
+                   for a, b in (_perm_ab(p) for p in range(NUM_PERM))]
+    exp = []
+    for bands in (2, 4, 8):
+        rows = NUM_PERM // bands
+        cands = set()
+        for bidx in range(bands):
+            buckets = defaultdict(list)
+            for i, sig in sigs.items():
+                key = _h64(",".join(str(v) for v in
+                                    sig[bidx * rows:(bidx + 1) * rows]))
+                buckets[key].append(i)
+            for ids in buckets.values():
+                for x in ids:
+                    for y in ids:
+                        if x < y:
+                            cands.add((x, y))
+        strong = sum(
+            1 for a, b in cands
+            if sum(u == v for u, v in zip(sigs[a], sigs[b])) >= NUM_PERM // 2)
+        exp.append((bands, rows, len(cands), strong,
+                    None if not cands else strong / len(cands)))
+    assert [(r[0], r[1], r[2], r[3]) for r in got] == \
+           [(b, rws, nc, ns) for b, rws, nc, ns, _ in exp]
+    for r, (_, _, _, _, prec) in zip(got, exp):
+        if prec is None:
+            assert r[4] is None
+        else:
+            assert abs(r[4] - prec) < 2e-6
+    # the planted exact dup is strong at EVERY banding; candidates grow
+    # (or hold) as bands narrow
+    assert all(r[3] >= 1 for r in got)
+    assert got[0][2] <= got[1][2] <= got[2][2]
