@@ -125,6 +125,13 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "event_debounce_rate",
     "ndcg_graded_retrieval",
     "rare_token_share",
+    # --- wave 2 (also new this round): privacy, survival, monitoring,
+    # dedup-aware mixture mass.
+    "l_diversity_audit",
+    "conversion_survival_curve",
+    "daily_volume_anomalies",
+    "dedup_weighted_mass",
+    "type_mix_drift_daily",
     # --- last driver check: round 7 (all 20 remaining, staleness order):
     "trailing_hour_stats",
     "tfidf_top_terms",

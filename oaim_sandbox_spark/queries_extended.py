@@ -5620,3 +5620,190 @@ TEMPLATES["interarrival_exp_fit"] = interarrival_exp_fit
 TEMPLATES["event_debounce_rate"] = event_debounce_rate
 TEMPLATES["ndcg_graded_retrieval"] = ndcg_graded_retrieval
 TEMPLATES["rare_token_share"] = rare_token_share
+
+
+# ---------------------------------------------------------------------------
+# Round-12 wave 2: privacy / survival / monitoring / dedup-aware-mixture.
+# Same conventions as wave 1 (literal constants, exact integers, MIN=MAX
+# guards, round+0.0 on sign-crossing outputs).
+
+
+def l_diversity_audit(d: str) -> str:
+    """l-diversity audit — k_anonymity_audit's sensitive-attribute
+    complement for an event-log release: group events by the
+    quasi-identifier tuple (user-id bucket, day-of-week) and measure each
+    class's diversity l = distinct event types (the sensitive attribute).
+    A class with l = 1 leaks its members' activity even when k-anonymous
+    (everyone in it did the SAME thing). Output is the l histogram with
+    the event mass at risk; one grouped agg over a narrow projection, l
+    is bounded by the type dimension, everything after is dim-sized."""
+    dow = f"CAST(({_idiv(_ts_us(d), str(86400 * 1_000_000), d)}) % 7 AS INT)"
+    return f"""
+WITH g AS (
+  SELECT user_id % 50 AS ubucket, {dow} AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT event_type) AS INT) AS l
+  FROM events GROUP BY user_id % 50, {dow}
+),
+tot AS (SELECT SUM(n_events) AS t FROM g)
+SELECT g.l AS l,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(g.n_events) AS BIGINT) AS n_events,
+       CAST(round(CAST(SUM(g.n_events) AS DOUBLE) / tot.t, 6) AS DOUBLE) AS event_share,
+       CAST(CASE WHEN g.l < 2 THEN 1 ELSE 0 END AS INT) AS leaky
+FROM g CROSS JOIN tot
+GROUP BY g.l, tot.t
+ORDER BY g.l
+"""
+
+
+SURVIVAL_HORIZONS = (1, 3, 7, 14)
+
+
+def conversion_survival_curve(d: str) -> str:
+    """Kaplan-Meier-lite conversion survival: per horizon (1/3/7/14 days),
+    the share of users who reached their first 'purchase' within the
+    horizon of their FIRST observed event, among users whose observation
+    window (first event -> corpus end) covers the horizon — right-censored
+    users (window shorter than the horizon) drop out of that horizon's
+    at-risk set instead of deflating the rate, the censoring mistake naive
+    funnel math makes. One per-user agg, a global-max scalar, a 4-row
+    horizon dim; exact integer day arithmetic (epoch-microsecond
+    differences against literal day lengths)."""
+    ts = _ts_us(d)
+    if d == "spark":
+        horizons = ("SELECT explode(array(" +
+                    ", ".join(str(h) for h in SURVIVAL_HORIZONS) + ")) AS h")
+    else:
+        horizons = ("SELECT unnest([" +
+                    ", ".join(str(h) for h in SURVIVAL_HORIZONS) + "]) AS h")
+    return f"""
+WITH u AS (
+  SELECT user_id, MIN({ts}) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN {ts} END) AS tp
+  FROM events GROUP BY user_id
+),
+endt AS (SELECT MAX({ts}) AS tmax FROM events),
+h AS ({horizons})
+SELECT CAST(h.h AS INT) AS horizon_days,
+       CAST(SUM(CASE WHEN endt.tmax - u.t0 >= h.h * 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk,
+       CAST(SUM(CASE WHEN endt.tmax - u.t0 >= h.h * 86400000000
+                      AND u.tp IS NOT NULL
+                      AND u.tp - u.t0 <= h.h * 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       CAST(round(CAST(SUM(CASE WHEN endt.tmax - u.t0 >= h.h * 86400000000
+                                 AND u.tp IS NOT NULL
+                                 AND u.tp - u.t0 <= h.h * 86400000000 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / nullif(SUM(CASE WHEN endt.tmax - u.t0 >= h.h * 86400000000 THEN 1 ELSE 0 END), 0), 6)
+            AS DOUBLE) AS conversion_rate
+FROM u CROSS JOIN endt CROSS JOIN h
+GROUP BY h.h
+ORDER BY horizon_days
+"""
+
+
+def daily_volume_anomalies(d: str) -> str:
+    """Seasonally-adjusted daily volume anomalies — dow_seasonality turned
+    into a monitor: each day's event count is z-scored against ITS
+    day-of-week's mean/sd (population form from exact integer count
+    moments — both engines derive identical doubles), and |z| > 3 flags
+    the day. The MIN=MAX degenerate guard (all same-dow days identical)
+    yields NULL z, never a division blow-up (the r11 rule: variance-like
+    guards must be the exact MIN=MAX test). Two dim-sized aggs over the
+    daily-count relation; output is one row per observed day."""
+    day = f"CAST({_idiv(_ts_us(d), str(86400 * 1_000_000), d)} AS BIGINT)"
+    return f"""
+WITH daily AS (
+  SELECT {day} AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY {day}
+),
+bydow AS (
+  SELECT CAST(day % 7 AS INT) AS dow,
+         CAST(SUM(n) AS DOUBLE) AS s1, CAST(SUM(n * n) AS DOUBLE) AS s2,
+         CAST(COUNT(*) AS DOUBLE) AS k,
+         MIN(n) AS nlo, MAX(n) AS nhi
+  FROM daily GROUP BY CAST(day % 7 AS INT)
+)
+SELECT daily.day AS day, bydow.dow AS dow, daily.n AS n_events,
+       CAST(round(CASE WHEN bydow.nlo = bydow.nhi THEN NULL
+                       ELSE (daily.n - bydow.s1 / bydow.k)
+                            / sqrt(bydow.s2 / bydow.k - (bydow.s1 / bydow.k) * (bydow.s1 / bydow.k)) END, 6) + 0.0
+            AS DOUBLE) AS z,
+       CAST(CASE WHEN bydow.nlo = bydow.nhi THEN 0
+                 WHEN abs((daily.n - bydow.s1 / bydow.k)
+                          / sqrt(bydow.s2 / bydow.k - (bydow.s1 / bydow.k) * (bydow.s1 / bydow.k))) > 3.0
+                 THEN 1 ELSE 0 END AS INT) AS anomaly
+FROM daily JOIN bydow ON CAST(daily.day % 7 AS INT) = bydow.dow
+ORDER BY day
+"""
+
+
+def dedup_weighted_mass(d: str) -> str:
+    """Dedup-aware mixture mass: every document weighted 1/|its exact-dup
+    cluster| (whitespace-normalized fingerprint), rolled up per source —
+    the token mass a dedup-aware sampler would ACTUALLY draw from each
+    source vs the raw mass (a source that is 90% mirror copies contributes
+    far less unique signal than its row count suggests; feeding raw masses
+    to the mixture designer over-weights it). Weighted sums accumulate via
+    exact_sum (scale 4: |t/csize| <= doc token count, safe past 10^11
+    rows/source); everything is (fingerprint)- or source-keyed hash aggs,
+    text never shuffles twice."""
+    toks = P.tokens("text", d)
+    n_tok = f"size({toks})" if d == "spark" else f"len({toks})"
+    fp = TA.fingerprint_sql("text", d)
+    return f"""
+WITH f AS (
+  SELECT doc_id, source, CAST({n_tok} AS BIGINT) AS t, {fp} AS fp
+  FROM documents
+),
+cs AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS csize FROM f GROUP BY fp)
+SELECT f.source AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f.t) AS BIGINT) AS raw_tokens,
+       CAST(round({P.exact_sum('CAST(f.t AS DOUBLE) / cs.csize', d, 4)}, 6) AS DOUBLE)
+           AS dedup_weighted_tokens,
+       CAST(round({P.exact_sum('CAST(f.t AS DOUBLE) / cs.csize', d, 4)}
+                  / nullif(CAST(SUM(f.t) AS DOUBLE), 0), 6) AS DOUBLE) AS unique_mass_ratio
+FROM f JOIN cs ON f.fp = cs.fp
+GROUP BY f.source
+ORDER BY f.source
+"""
+
+
+def type_mix_drift_daily(d: str) -> str:
+    """Event-type mixture drift monitor: each day's event-type distribution
+    vs the global mixture, as total-variation distance (0.5 * L1) — the
+    composition alarm next to the volume alarm (daily_volume_anomalies
+    fires on HOW MUCH, this fires on WHAT: a day with normal volume but
+    all errors). The per-day sum runs over the bounded type dimension via
+    exact_sum (terms <= 1), so the statistic is merge-order independent;
+    the global mixture is a 5-row broadcast."""
+    day = f"CAST({_idiv(_ts_us(d), str(86400 * 1_000_000), d)} AS BIGINT)"
+    return f"""
+WITH dtc AS (
+  SELECT {day} AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY {day}, event_type
+),
+dt AS (SELECT day, SUM(n) AS n_day FROM dtc GROUP BY day),
+g AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_g FROM dtc GROUP BY event_type),
+tot AS (SELECT SUM(n_g) AS t FROM g),
+terms AS (
+  SELECT dt.day AS day, dt.n_day AS n_day,
+         abs(CAST(COALESCE(dtc.n, 0) AS DOUBLE) / dt.n_day
+             - CAST(g.n_g AS DOUBLE) / tot.t) AS term
+  FROM dt CROSS JOIN g CROSS JOIN tot
+  LEFT JOIN dtc ON dtc.day = dt.day AND dtc.event_type = g.event_type
+)
+SELECT day, CAST(MAX(n_day) AS BIGINT) AS n_events,
+       CAST(round(0.5 * {P.exact_sum('term', d, 9)}, 6) AS DOUBLE) AS tv_distance,
+       CAST(CASE WHEN 0.5 * {P.exact_sum('term', d, 9)} > 0.2 THEN 1 ELSE 0 END AS INT) AS drifted
+FROM terms
+GROUP BY day
+ORDER BY day
+"""
+
+
+TEMPLATES["l_diversity_audit"] = l_diversity_audit
+TEMPLATES["conversion_survival_curve"] = conversion_survival_curve
+TEMPLATES["daily_volume_anomalies"] = daily_volume_anomalies
+TEMPLATES["dedup_weighted_mass"] = dedup_weighted_mass
+TEMPLATES["type_mix_drift_daily"] = type_mix_drift_daily

@@ -462,3 +462,200 @@ def test_rare_token_share_matches_direct_python():
     for r, (_, _, _, share, _) in zip(got, exp):
         assert abs(r[3] - share) < 2e-6
     assert got[2][4] == 1 and got[3][4] == 0  # flag fires and abstains
+
+
+# --- wave 2 pins ---------------------------------------------------------
+
+
+def test_l_diversity_audit_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import l_diversity_audit
+
+    day_us = 86400 * 1_000_000
+    rows, eid = [], 0
+    # user 1, day 0 (dow 0): clicks only -> its (bucket 1, dow 0) class l=1
+    for _ in range(4):
+        rows.append((eid, 1, "click", 0 * day_us + eid, 1.0)); eid += 1
+    # users 2 & 52 share bucket 2 (52 % 50 == 2), day 1: click+view -> l=2
+    for uid in (2, 52):
+        rows.append((eid, uid, "click", 1 * day_us + eid, 1.0)); eid += 1
+        rows.append((eid, uid, "view", 1 * day_us + eid, 1.0)); eid += 1
+    # user 3, day 2: three types -> l=3
+    for et in ("click", "view", "error"):
+        rows.append((eid, 3, et, 2 * day_us + eid, 1.0)); eid += 1
+    con = duckdb.connect()
+    _mk_events(con, rows)
+    got = con.execute(l_diversity_audit("duck")).fetchall()
+
+    groups = defaultdict(set)
+    counts = Counter()
+    for _, uid, et, ts, _ in rows:
+        k = (uid % 50, (ts // day_us) % 7)
+        groups[k].add(et)
+        counts[k] += 1
+    hist = defaultdict(lambda: [0, 0])
+    for k, ets in groups.items():
+        hist[len(ets)][0] += 1
+        hist[len(ets)][1] += counts[k]
+    tot = sum(counts.values())
+    exp = [(l, g, n, n / tot, int(l < 2)) for l, (g, n) in sorted(hist.items())]
+    assert [(r[0], r[1], r[2], r[4]) for r in got] == \
+           [(l, g, n, f) for l, g, n, _, f in exp]
+    for r, (_, _, _, share, _) in zip(got, exp):
+        assert abs(r[3] - share) < 2e-6
+    assert got[0][0] == 1 and got[0][4] == 1  # the leaky class surfaced
+
+
+def test_conversion_survival_curve_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import (
+        SURVIVAL_HORIZONS, conversion_survival_curve)
+
+    day_us = 86400 * 1_000_000
+    rows, eid = [], 0
+    # corpus spans day 0 .. day 20 (user 9's last event pins tmax)
+    # user 1: first event day 0, purchase day 2 -> converted at h>=3
+    rows.append((eid, 1, "signup", 0, 1.0)); eid += 1
+    rows.append((eid, 1, "purchase", 2 * day_us, 1.0)); eid += 1
+    # user 2: first event day 0, never converts, fully observed
+    rows.append((eid, 2, "click", 0, 1.0)); eid += 1
+    # user 3: first event day 19 (window 1 day), purchase 12h later ->
+    # at-risk ONLY for h=1 (censored beyond), converted within 1
+    rows.append((eid, 3, "signup", 19 * day_us, 1.0)); eid += 1
+    rows.append((eid, 3, "purchase", 19 * day_us + day_us // 2, 1.0)); eid += 1
+    # user 9: the observation-end anchor
+    rows.append((eid, 9, "view", 20 * day_us, 1.0)); eid += 1
+    con = duckdb.connect()
+    _mk_events(con, rows)
+    got = con.execute(conversion_survival_curve("duck")).fetchall()
+
+    users = defaultdict(lambda: [None, None])  # uid -> [t0, tp]
+    tmax = max(ts for _, _, _, ts, _ in rows)
+    for _, uid, et, ts, _ in rows:
+        u = users[uid]
+        u[0] = ts if u[0] is None else min(u[0], ts)
+        if et == "purchase":
+            u[1] = ts if u[1] is None else min(u[1], ts)
+    exp = []
+    for h in SURVIVAL_HORIZONS:
+        at_risk = [u for u in users.values() if tmax - u[0] >= h * day_us]
+        conv = [u for u in at_risk
+                if u[1] is not None and u[1] - u[0] <= h * day_us]
+        exp.append((h, len(at_risk), len(conv),
+                    None if not at_risk else len(conv) / len(at_risk)))
+    assert [(r[0], r[1], r[2]) for r in got] == \
+           [(h, ar, c) for h, ar, c, _ in exp]
+    for r, (_, _, _, rate) in zip(got, exp):
+        assert (r[3] is None) == (rate is None)
+        if rate is not None:
+            assert abs(r[3] - rate) < 2e-6
+    # censoring pinned: user 3 counts at h=1 (converted) but leaves the
+    # at-risk set for h>=3; user 9 (window 0) is never at risk
+    assert got[0][1] == 3 and got[1][1] == 2
+
+
+def test_daily_volume_anomalies_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import daily_volume_anomalies
+
+    day_us = 86400 * 1_000_000
+    # dow 0 across 4 weeks: 10, 10, 10, 40 (the last is the anomaly);
+    # dow 1 across 2 weeks: 5, 5 (identical -> MIN=MAX guard, z NULL)
+    plan = {0: 10, 7: 10, 14: 10, 21: 40, 1: 5, 8: 5}
+    rows, eid = [], 0
+    for day, n in plan.items():
+        for _ in range(n):
+            rows.append((eid, 1, "click", day * day_us + eid, 1.0)); eid += 1
+    con = duckdb.connect()
+    _mk_events(con, rows)
+    got = con.execute(daily_volume_anomalies("duck")).fetchall()
+
+    by_dow = defaultdict(list)
+    for day, n in plan.items():
+        by_dow[day % 7].append(n)
+    exp = []
+    for day in sorted(plan):
+        ns = by_dow[day % 7]
+        mu = sum(ns) / len(ns)
+        var = sum(x * x for x in ns) / len(ns) - mu * mu
+        if min(ns) == max(ns):
+            z, flag = None, 0
+        else:
+            z = (plan[day] - mu) / math.sqrt(var)
+            flag = int(abs(z) > 3.0)
+        exp.append((day, day % 7, plan[day], z, flag))
+    assert [(r[0], r[1], r[2], r[4]) for r in got] == \
+           [(d, dw, n, f) for d, dw, n, _, f in exp]
+    for r, (_, _, _, z, _) in zip(got, exp):
+        assert (r[3] is None) == (z is None)
+        if z is not None:
+            assert abs(r[3] - z) < 2e-6
+    assert [r[3] for r in got if r[1] == 1] == [None, None]  # guard fires
+
+
+def test_dedup_weighted_mass_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import dedup_weighted_mass
+
+    docs = [
+        (0, ["mirror", "copy", "of", "page"]),      # cluster of 3 (2 in src0)
+        (0, ["mirror", "copy", "of", "page"]),
+        (1, ["mirror", "copy", "of", "page"]),
+        (0, ["unique", "content", "one"]),
+        (1, ["unique", "content", "two", "words"]),
+    ]
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(dedup_weighted_mass("duck")).fetchall()
+
+    def norm(text):
+        return " ".join(text.lower().split())
+
+    csize = Counter(norm(" ".join(w)) for _, w in docs)
+    per_src = defaultdict(lambda: [0, 0, 0.0])
+    for s, w in docs:
+        key = f"src{s}"
+        t = len(w)
+        per_src[key][0] += 1
+        per_src[key][1] += t
+        per_src[key][2] += t / csize[norm(" ".join(w))]
+    exp = [(k, n, raw, wt, wt / raw) for k, (n, raw, wt) in sorted(per_src.items())]
+    assert [(r[0], r[1], r[2]) for r in got] == [(k, n, raw) for k, n, raw, _, _ in exp]
+    for r, (_, _, _, wt, ratio) in zip(got, exp):
+        assert abs(r[3] - wt) < 1e-3  # exact_sum quantizes at 1e-4
+        assert abs(r[4] - ratio) < 1e-3
+    # the mirror cluster actually discounts: src0 ratio strictly below 1
+    assert got[0][4] < 1.0
+
+
+def test_type_mix_drift_daily_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import type_mix_drift_daily
+
+    day_us = 86400 * 1_000_000
+    rows, eid = [], 0
+    # days 0/1: 5 click + 5 view; day 2: 6/4 (mild); day 3: 3 errors only —
+    # small enough not to drag the GLOBAL mixture past the 0.2 threshold
+    # for the normal days, extreme enough to flag itself
+    for day, mix in ((0, {"click": 5, "view": 5}), (1, {"click": 5, "view": 5}),
+                     (2, {"click": 6, "view": 4}), (3, {"error": 3})):
+        for et, n in mix.items():
+            for _ in range(n):
+                rows.append((eid, 1, et, day * day_us + eid, 1.0)); eid += 1
+    con = duckdb.connect()
+    _mk_events(con, rows)
+    got = con.execute(type_mix_drift_daily("duck")).fetchall()
+
+    daily = defaultdict(Counter)
+    for _, _, et, ts, _ in rows:
+        daily[ts // day_us][et] += 1
+    glob = Counter()
+    for c in daily.values():
+        glob.update(c)
+    tot = sum(glob.values())
+    exp = []
+    for day in sorted(daily):
+        n_day = sum(daily[day].values())
+        tv = 0.5 * sum(abs(daily[day].get(et, 0) / n_day - g / tot)
+                       for et, g in glob.items())
+        exp.append((day, n_day, tv, int(tv > 0.2)))
+    assert [(r[0], r[1], r[3]) for r in got] == \
+           [(d, n, f) for d, n, _, f in exp]
+    for r, (_, _, tv, _) in zip(got, exp):
+        assert abs(r[2] - tv) < 2e-6
+    assert [r[3] for r in got] == [0, 0, 0, 1]  # only the all-error day fires
