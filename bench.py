@@ -786,9 +786,18 @@ class StageMetricsTracker:
     Scans stay O(per-query): jobs below ``_job_floor`` and stages below the
     target jobs' min stage id are never revisited (both lists arrive
     newest-first). Degrades to a no-op where the py4j internals are
-    unavailable (Spark Connect)."""
+    unavailable (Spark Connect).
 
-    SETTLE_S = 3.0
+    SETTLE_S is 10s (r12 close find): group attribution revealed the r11
+    'bleed' was actually the OLD tracker UNDERCOUNTING — sweepline's own
+    async straggler stage (~2.9 MB) was being lost or misattributed; with
+    correct attribution the query reads 8.33 MB on every isolated run,
+    but a 3s settle sometimes expired before the straggler finished and
+    reproduced the 5.39 undercount. The loop exits as soon as nothing of
+    the target group is running, so the budget only pays while a straggler
+    is actually in flight."""
+
+    SETTLE_S = 10.0
 
     def __init__(self, spark):
         self._ok = True

@@ -193,3 +193,25 @@ def test_ratchet_new_spill_corroborates_time():
                     uncorroborated_floor=4.0, uncorroborated_tol=2.0)
     assert any(f.startswith("SPILL q:") for f in flags), flags
     assert any(f.startswith("TIME q:") and "[no shuffle" not in f for f in flags), flags
+
+
+def test_ratchet_remeasured_shuffle_baseline():
+    """r12 close find: the pre-r12 tracker UNDERCOUNTED sweepline's shuffle
+    (an async straggler stage of its own jobs was lost) — 5.39 MB archived
+    vs 8.33 MB on every correctly-attributed isolated run. The corrected
+    baseline must not flag against the archived undercount, while growth
+    PAST the corrected value still must, and the correction never papers
+    over an old record that already read >= the corrected value."""
+    q = "session_concurrency_sweepline"
+    old = _rec({q: 2.0}, {q: 5.39})
+    good = _rec({q: 2.0}, {q: 8.33})
+    assert compare(old, good, time_tol=1.5, shuffle_tol=1.3) == []
+    grown = _rec({q: 2.0}, {q: 12.0})
+    assert any("SHUFFLE" in f for f in
+               compare(old, grown, time_tol=1.5, shuffle_tol=1.3))
+    # once the archive itself carries the corrected value, the plain
+    # ratchet applies unmodified
+    old_corrected = _rec({q: 2.0}, {q: 8.33})
+    assert any("SHUFFLE" in f for f in
+               compare(old_corrected, grown, time_tol=1.5, shuffle_tol=1.3))
+    assert compare(old_corrected, good, time_tol=1.5, shuffle_tol=1.3) == []
