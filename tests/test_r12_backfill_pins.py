@@ -832,3 +832,102 @@ def test_lsh_banding_tradeoff_matches_direct_python():
     # (or hold) as bands narrow
     assert all(r[3] >= 1 for r in got)
     assert got[0][2] <= got[1][2] <= got[2][2]
+
+
+def test_quantization_error_profile_matches_numpy():
+    from oaim_sandbox_spark.queries_extended import quantization_error_profile
+
+    rng = np.random.default_rng(31)
+    vecs = [(i, i % 2, [round(float(x), 4) for x in rng.normal(0, 1, 64)])
+            for i in range(12)]
+    con = duckdb.connect()
+    _mk_embeddings(con, vecs)
+    got = con.execute(quantization_error_profile("duck")).fetchall()
+
+    per_label = defaultdict(list)
+    for i, lab, v in vecs:
+        x = np.array(v)
+        s = max(np.abs(x).max(), 1e-30)
+        xq = np.floor(x / s * 127.0 + 0.5) * s / 127.0
+        err = np.abs(x - xq)
+        den = np.linalg.norm(x) * np.linalg.norm(xq)
+        shift = 1.0 - float(x @ xq) / den if den else None
+        per_label[lab].append((err.mean(), err.max(), shift))
+    exp = []
+    for lab in sorted(per_label):
+        rows = per_label[lab]
+        exp.append((lab, len(rows),
+                    sum(r[0] for r in rows) / len(rows),
+                    max(r[1] for r in rows),
+                    sum(r[2] for r in rows) / len(rows)))
+    assert [(r[0], r[1]) for r in got] == [(l, n) for l, n, _, _, _ in exp]
+    for r, (_, _, me, mx, cs) in zip(got, exp):
+        assert abs(r[2] - me) < 2e-6 and abs(r[3] - mx) < 2e-6 \
+            and abs(r[4] - cs) < 2e-6
+    # int8 round-trip is tight on well-scaled vectors but never exactly 0
+    assert all(0 < r[2] < 0.02 for r in got)
+
+
+def test_split_balance_audit_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import split_balance_audit
+
+    docs = [(i % 3, [f"w{i}", "text"]) for i in range(60)]
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(split_balance_audit("duck")).fetchall()
+
+    assign = {}
+    for i in range(60):
+        h = _h64(f"{i}-split-v1") % 10
+        assign[i] = "train" if h < 8 else ("valid" if h == 8 else "test")
+    per = Counter((f"src{i % 3}", assign[i]) for i in range(60))
+    tot = Counter(f"src{i % 3}" for i in range(60))
+    g = Counter(assign.values())
+    exp = []
+    for (src, split), n in sorted(per.items()):
+        fi = n / tot[src]
+        fg = g[split] / 60
+        exp.append((src, split, n, fi, fg, abs(fi - fg)))
+    assert [(r[0], r[1], r[2]) for r in got] == [(s, sp, n) for s, sp, n, _, _, _ in exp]
+    for r, (_, _, _, fi, fg, dev) in zip(got, exp):
+        assert abs(r[3] - fi) < 2e-6 and abs(r[4] - fg) < 2e-6 \
+            and abs(r[5] - dev) < 2e-6
+    assert {r[1] for r in got} <= {"train", "valid", "test"}
+
+
+def test_packing_fragmentation_curve_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import packing_fragmentation_curve
+
+    rng = np.random.default_rng(37)
+    docs = []
+    for i in range(40):
+        k = int(rng.integers(20, 400))
+        docs.append((i % 2, [f"t{i}x{j}" for j in range(k)]))
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(packing_fragmentation_curve("duck")).fetchall()
+
+    by_src = defaultdict(list)
+    for i, (s, w) in enumerate(docs):
+        by_src[f"src{s}"].append((i, len(w)))
+    exp = []
+    for ctx in (256, 1024, 4096):
+        n_split = crossings = n_docs = 0
+        for src in by_src:
+            run = 0
+            for _, n in sorted(by_src[src]):
+                first, last = run // ctx, (run + n - 1) // ctx
+                n_docs += 1
+                if n > 0 and first != last:
+                    n_split += 1
+                if n > 0:
+                    crossings += last - first
+                run += n
+        exp.append((ctx, n_docs, n_split, n_split / n_docs, crossings))
+    assert [(r[0], r[1], r[2], r[4]) for r in got] == \
+           [(c, nd, ns, cr) for c, nd, ns, _, cr in exp]
+    for r, (_, _, _, frac, _) in zip(got, exp):
+        assert abs(r[3] - frac) < 2e-6
+    # the curve is monotone: bigger contexts fragment fewer docs
+    splits = [r[2] for r in got]
+    assert splits[0] >= splits[1] >= splits[2]
