@@ -931,3 +931,123 @@ def test_packing_fragmentation_curve_matches_direct_python():
     # the curve is monotone: bigger contexts fragment fewer docs
     splits = [r[2] for r in got]
     assert splits[0] >= splits[1] >= splits[2]
+
+
+def test_k_anonymity_audit_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import K_ANON, k_anonymity_audit
+
+    langs, docs = {}, []
+    # src0/en: 6 docs of ~same decile (safe); src1/de: 2 docs (violates);
+    # src2/fr: 1 long doc in decile 9 (violates)
+    for i in range(6):
+        langs[i] = "en"
+        docs.append((0, ["w"] * 10))          # n_chars 19 -> decile 0
+    for i in (6, 7):
+        langs[i] = "de"
+        docs.append((1, ["x"] * 10))
+    langs[8] = "fr"
+    docs.append((2, ["y" * 30] * 40))         # n_chars > 900 -> decile 9
+    con = duckdb.connect()
+    _mk_docs(con, docs, langs=langs)
+    got = con.execute(k_anonymity_audit("duck")).fetchall()
+
+    classes = Counter()
+    for i, (s, w) in enumerate(docs):
+        dec = min(9, len(" ".join(w)) // 100)
+        classes[(langs[i], f"src{s}", dec)] += 1
+    exp = sorted((lg, sr, dec, n, 1) for (lg, sr, dec), n in classes.items()
+                 if n < K_ANON)
+    assert got == exp
+    assert ("de", "src1", 0, 2, 1) in got and len(got) == 2  # safe class absent
+
+
+def test_dp_noisy_counts_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import DP_EPSILON, dp_noisy_counts
+
+    langs, docs = {}, []
+    i = 0
+    for s, lg, n in ((0, "en", 7), (0, "de", 3), (1, "en", 12)):
+        for _ in range(n):
+            langs[i] = lg
+            docs.append((s, [f"w{i}", "text"])); i += 1
+    con = duckdb.connect()
+    _mk_docs(con, docs, langs=langs)
+    got = con.execute(dp_noisy_counts("duck")).fetchall()
+
+    counts = Counter((f"src{s}", langs[j]) for j, (s, _) in enumerate(docs))
+    exp = []
+    for (src, lg), n in sorted(counts.items()):
+        u = ((_h64(f"dp:{src}:{lg}") % 1_000_000) + 0.5) / 1_000_000.0
+        noise = (1.0 if u < 0.5 else -1.0) * math.log(1.0 - 2.0 * abs(u - 0.5)) / DP_EPSILON
+        noisy = max(0, int(math.copysign(math.floor(abs(n + noise) + 0.5), n + noise)))
+        exp.append((src, lg, noisy,
+                    "laplace-seeded-hash-demo (NOT differentially private)"))
+    assert got == exp
+    # the mechanism actually perturbed at least one count
+    raw = {(s, lg): n for (s, lg), n in counts.items()}
+    assert any(r[2] != raw[(r[0], r[1])] for r in got)
+
+
+def test_event_pattern_match_matches_direct_python():
+    import re
+
+    from oaim_sandbox_spark.queries_extended import event_pattern_match
+
+    rows, eid = [], 0
+    seqs = {
+        0: ["click", "view", "error", "purchase", "click", "purchase"],  # 2 matches
+        5: ["click", "view", "view", "signup", "purchase"],  # s breaks: 0 matches
+        10: ["view", "click", "purchase"],                    # 1 match
+        3: ["click", "purchase"],                             # uid % 5 != 0: excluded
+    }
+    for uid, ets in seqs.items():
+        for k, et in enumerate(ets):
+            rows.append((eid, uid, et, 1_000_000 * (100 * uid + k), 1.0)); eid += 1
+    con = duckdb.connect()
+    _mk_events(con, rows)
+    got = con.execute(event_pattern_match("duck")).fetchall()
+
+    sym = {"click": "c", "view": "v", "error": "e", "signup": "s",
+           "purchase": "p"}
+    exp = []
+    for uid in sorted(seqs):
+        if uid % 5 != 0:
+            continue
+        s = "".join(sym[e] for e in seqs[uid])
+        n = len(re.findall(r"c[ve]*p", s))
+        if n > 0:
+            exp.append((uid, len(s), n))
+    assert got == exp
+    assert (0, 6, 2) in got and all(r[0] != 5 for r in got)
+
+
+def test_weekly_cohort_retention_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import weekly_cohort_retention
+
+    wk_us = 7 * 86400 * 1_000_000
+    rows, eid = [], 0
+    plan = {  # uid -> active weeks
+        1: [0, 1, 3], 2: [0], 3: [1, 2], 4: [1],
+    }
+    for uid, wks in plan.items():
+        for w in wks:
+            rows.append((eid, uid, "click", w * wk_us + eid, 1.0)); eid += 1
+    con = duckdb.connect()
+    _mk_events(con, rows)
+    got = con.execute(weekly_cohort_retention("duck")).fetchall()
+
+    first = {u: min(w) for u, w in plan.items()}
+    cohort_size = Counter(first.values())
+    active = defaultdict(set)
+    for u, wks in plan.items():
+        for w in wks:
+            active[(first[u], w)].add(u)
+    exp = sorted(
+        (cw, w - cw, cohort_size[cw], len(us), len(us) / cohort_size[cw])
+        for (cw, w), us in active.items())
+    assert [(r[0], r[1], r[2], r[3]) for r in got] == \
+           [(cw, off, cu, na) for cw, off, cu, na, _ in exp]
+    for r, (_, _, _, _, ret) in zip(got, exp):
+        assert abs(r[4] - ret) < 2e-6
+    # week-0 retention is definitionally 1.0 for every cohort
+    assert all(r[4] == 1.0 for r in got if r[1] == 0)
