@@ -1051,3 +1051,68 @@ def test_weekly_cohort_retention_matches_direct_python():
         assert abs(r[4] - ret) < 2e-6
     # week-0 retention is definitionally 1.0 for every cohort
     assert all(r[4] == 1.0 for r in got if r[1] == 0)
+
+
+def test_federated_label_topk_matches_numpy():
+    """Two-stage local-k/global-k merge pinned lossless: numpy computes the
+    flat global top-5 over all labels AND the per-label top-3 merge — both
+    must equal the SQL output on a store where every label contributes."""
+    from oaim_sandbox_spark.queries_extended import federated_label_topk
+
+    rng = np.random.default_rng(41)
+    vecs = [(i, i % 3, [round(float(x), 4) for x in rng.normal(0, 1, 64)])
+            for i in range(30)]
+    con = duckdb.connect()
+    _mk_embeddings(con, vecs)
+    got = con.execute(federated_label_topk("duck")).fetchall()
+
+    q = np.array(vecs[0][2])
+    scored = []
+    for i, lab, v in vecs[1:]:
+        v = np.array(v)
+        dist = _r6(1.0 - float(q @ v) / float(np.linalg.norm(q) * np.linalg.norm(v)))
+        scored.append((dist, lab, i))
+    # local top-3 per label, then global top-5 (distance, label, id order)
+    local = []
+    for lab in (0, 1, 2):
+        mine = sorted((d, i) for d, l, i in scored if l == lab)[:3]
+        local += [(d, lab, i) for d, i in mine]
+    merged = sorted(local)[:5]
+    flat = sorted(scored)[:5]
+    assert merged == flat  # the cut is lossless with k_local >= k_global
+    assert [(r[1], r[0]) for r in got] == [(i, lab) for _, lab, i in merged]
+    for r, (d, _, _) in zip(got, merged):
+        assert abs(r[2] - d) < 2e-6
+
+
+def test_point_in_time_join_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import point_in_time_join
+
+    rows, eid = [], 0
+    # user 0 (uid % 9 == 0): purchases at t=100s (v=10) and t=300s (v=20);
+    # clicks BEFORE first purchase (cold start), between (sees 10 — never
+    # the later 20), exactly AT a boundary (100s -> sees 10; 300s -> 20)
+    for ts, et, v in ((50, "click", 0.0), (100, "purchase", 10.0),
+                      (100, "click", 0.0), (200, "click", 0.0),
+                      (300, "purchase", 20.0), (300, "click", 0.0),
+                      (400, "click", 0.0)):
+        rows.append((eid, 0, et, ts * 1_000_000, v)); eid += 1
+    # user 9: clicks, never purchases -> all cold start
+    rows.append((eid, 9, "click", 1_000_000, 1.0)); eid += 1
+    # user 2 (uid % 9 != 0): excluded from the click side
+    rows.append((eid, 2, "click", 1_000_000, 1.0)); eid += 1
+    con = duckdb.connect()
+    _mk_events(con, rows)
+    got = con.execute(point_in_time_join("duck")).fetchall()
+
+    exp = []
+    for e, (ts, state, cold) in zip(
+        [r for r in rows if r[2] == "click" and r[1] % 9 == 0],
+        [(50, None, 1), (100, 10.0, 0), (200, 10.0, 0), (300, 20.0, 0),
+         (400, 20.0, 0), (1, None, 1)],
+    ):
+        exp.append((e[0], e[1], ts * 1_000_000, state, cold))
+    assert got == exp
+    # the leakage cases pinned: pre-purchase click is NULL (never the
+    # future 10), boundary click sees the state that became valid AT its ts
+    assert got[0][3] is None and got[1][3] == 10.0 and got[3][3] == 20.0
