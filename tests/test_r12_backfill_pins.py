@@ -1116,3 +1116,117 @@ def test_point_in_time_join_matches_direct_python():
     # the leakage cases pinned: pre-purchase click is NULL (never the
     # future 10), boundary click sees the state that became valid AT its ts
     assert got[0][3] is None and got[1][3] == 10.0 and got[3][3] == 20.0
+
+
+def test_context_fit_stats_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import context_fit_stats
+
+    rng = np.random.default_rng(43)
+    docs = []
+    for i in range(12):
+        k = int(rng.choice([50, 3000, 10000, 40000]))
+        docs.append((i % 2, ["w"] * k))
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(context_fit_stats("duck")).fetchall()
+
+    by_src = defaultdict(list)
+    for s, w in docs:
+        by_src[f"src{s}"].append(len(w))
+    exp = []
+    for src in sorted(by_src):
+        for ctx in (2048, 8192, 32768):
+            vs = by_src[src]
+            trunc = sum(max(0, v - ctx) for v in vs)
+            exp.append((src, ctx, len(vs), sum(1 for v in vs if v <= ctx),
+                        trunc, trunc / sum(vs)))
+    assert [(r[0], r[1], r[2], r[3], r[4]) for r in got] == \
+           [(s, c, n, f, t) for s, c, n, f, t, _ in exp]
+    for r, (_, _, _, _, _, frac) in zip(got, exp):
+        assert abs(r[5] - frac) < 2e-6
+    # the curve moves: larger contexts truncate strictly less (fixture has
+    # docs straddling every boundary)
+    for src in sorted(by_src):
+        tr = [r[4] for r in got if r[0] == src]
+        assert tr[0] > tr[1] > tr[2] >= 0
+
+
+def test_label_agreement_kappa_matches_direct_python():
+    from oaim_sandbox_spark.operators.text_analysis import STOPWORDS
+    from oaim_sandbox_spark.queries_extended import label_agreement_kappa
+
+    all_stop = {w for ws in STOPWORDS.values() for w in ws}
+    stop_rich = ["the", "a", "of", "to", "in"]
+    docs = [
+        (0, (stop_rich + ["filler"]) * 10),   # long + stoppy: both yes
+        (0, ["短"] * 3),                       # short + no stopwords: both no
+        (0, (["unique" + str(j) for j in range(60)])),  # long, not stoppy
+        (1, stop_rich * 3),                    # short but stoppy
+        (1, (stop_rich + ["pad"]) * 12),
+    ]
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(label_agreement_kappa("duck")).fetchall()
+
+    per = defaultdict(list)
+    for s, w in docs:
+        text = " ".join(w)
+        la = int(len(text) >= 200)
+        toks = _toks(text.lower())
+        stop = _r6(sum(t in all_stop for t in toks) / len(toks))
+        lb = int(stop >= 0.10)
+        per[f"src{s}"].append((la, lb))
+    exp = []
+    for src in sorted(per):
+        rows = per[src]
+        n = len(rows)
+        pa = sum(a for a, _ in rows)
+        pb = sum(b for _, b in rows)
+        agree = sum(1 for a, b in rows if a == b)
+        po = agree / n
+        pe = (pa * pb + (n - pa) * (n - pb)) / (n * n)
+        kappa = None if 1.0 - pe == 0 else (po - pe) / (1.0 - pe)
+        exp.append((src, n, pa, pb, agree, kappa))
+    assert [(r[0], r[1], r[2], r[3], r[4]) for r in got] == \
+           [(s, n, pa, pb, ag) for s, n, pa, pb, ag, _ in exp]
+    for r, (_, _, _, _, _, k) in zip(got, exp):
+        if k is None:
+            assert r[5] is None
+        else:
+            assert abs(r[5] - k) < 2e-6
+
+
+def test_ks_length_by_source_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import ks_length_by_source
+
+    rng = np.random.default_rng(47)
+    docs = []
+    for i in range(40):
+        # src0 short-ish, src1 long-ish -> a real KS gap with known argmax
+        base = 3 if i % 2 == 0 else 9
+        docs.append((i % 2, ["w"] * int(base + rng.integers(0, 4))))
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(ks_length_by_source("duck")).fetchall()
+
+    lens = defaultdict(list)
+    for s, w in docs:
+        lens[f"src{s}"].append(len(" ".join(w)))
+    all_lens = [v for vs in lens.values() for v in vs]
+    grid = sorted(set(all_lens))
+    exp = []
+    for src in sorted(lens):
+        best = None
+        for v in grid:
+            fs = sum(1 for x in lens[src] if x <= v) / len(lens[src])
+            fc = sum(1 for x in all_lens if x <= v) / len(all_lens)
+            gap = abs(fs - fc)
+            if best is None or gap > best[0] + 1e-12:
+                best = (gap, v)
+        exp.append((src, len(lens[src]), best[0], best[1]))
+    assert [(r[0], r[1], r[3]) for r in got] == \
+           [(s, n, v) for s, n, _, v in exp]
+    for r, (_, _, gap, _) in zip(got, exp):
+        assert abs(r[2] - gap) < 2e-6
+    # the two planted distributions genuinely diverge
+    assert all(r[2] > 0.3 for r in got)
