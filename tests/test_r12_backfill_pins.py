@@ -1230,3 +1230,123 @@ def test_ks_length_by_source_matches_direct_python():
         assert abs(r[2] - gap) < 2e-6
     # the two planted distributions genuinely diverge
     assert all(r[2] > 0.3 for r in got)
+
+
+def test_token_gini_by_source_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import token_gini_by_source
+
+    docs = [
+        (0, ["w"] * 5), (0, ["w"] * 5), (0, ["w"] * 5),   # uniform: gini low
+        (1, ["w"] * 1), (1, ["w"] * 1), (1, ["w"] * 98),  # concentrated
+    ]
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(token_gini_by_source("duck")).fetchall()
+
+    per = defaultdict(list)
+    for s, w in docs:
+        per[f"src{s}"].append(len(w))
+    exp = []
+    for src in sorted(per):
+        vs = sorted(per[src])
+        freq = Counter(vs)
+        n, stot = len(vs), sum(vs)
+        s_cum, acc = 0, 0
+        for v in sorted(freq):
+            f = freq[v]
+            prev = s_cum
+            s_cum += v * f
+            acc += f * (prev + s_cum)
+        gini = 1.0 - acc / (n * stot)
+        exp.append((src, n, stot, gini))
+    assert [(r[0], r[1], r[2]) for r in got] == [(s, n, t) for s, n, t, _ in exp]
+    for r, (_, _, _, g) in zip(got, exp):
+        assert abs(r[3] - g) < 2e-6
+    assert got[0][3] < 0.05 < got[1][3]  # uniform vs concentrated separated
+
+
+def test_key_skew_profile_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import key_skew_profile
+
+    con = duckdb.connect()
+    ev = [(i, 1 if i < 12 else i, "click", 1_000_000 * i, 1.0)
+          for i in range(20)]  # user 1 owns 12/20 rows — hot key
+    _mk_events(con, ev)
+    li = [(k % 3, k % 5) for k in range(30)]
+    con.execute("CREATE TABLE lineitem AS SELECT * FROM (VALUES "
+                + ", ".join(f"({a}, {b})" for a, b in li)
+                + ") AS v(l_orderkey, l_partkey)")
+    orders = [(k % 4,) for k in range(16)]
+    con.execute("CREATE TABLE orders AS SELECT * FROM (VALUES "
+                + ", ".join(f"({a})" for a, in orders)
+                + ") AS v(o_custkey)")
+    got = con.execute(key_skew_profile("duck")).fetchall()
+
+    keysets = {
+        "events.user_id": [r[1] for r in ev],
+        "lineitem.l_orderkey": [a for a, _ in li],
+        "lineitem.l_partkey": [b for _, b in li],
+        "orders.o_custkey": [a for a, in orders],
+    }
+    exp = []
+    for col in sorted(keysets):
+        c = Counter(keysets[col])
+        rows = sum(c.values())
+        top = sorted(c.values(), reverse=True)
+        exp.append((col, rows, len(c), top[0] / rows,
+                    sum(top[:10]) / rows,
+                    sum(v * v for v in c.values()) / (rows * rows)))
+    assert [(r[0], r[1], r[2]) for r in got] == [(c, n, k) for c, n, k, _, _, _ in exp]
+    for r, (_, _, _, t1, t10, hf) in zip(got, exp):
+        assert abs(r[3] - t1) < 2e-6 and abs(r[4] - t10) < 2e-6 \
+            and abs(r[5] - hf) < 2e-6
+    # the planted hot key reads 0.6 top1 share
+    assert abs(got[0][3] - 0.6) < 1e-9
+
+
+def test_dedup_threshold_sensitivity_matches_direct_python():
+    """Full pipeline: 16-perm signatures -> 4-band LSH candidates ->
+    est_jaccard >= t cuts at 0.5/0.7/0.9 -> first-wins greater-id drops
+    + token mass saved, cumulative per threshold."""
+    from oaim_sandbox_spark.queries_dedup import BANDS, NGRAM, NUM_PERM
+    from oaim_sandbox_spark.queries_extended import dedup_threshold_sensitivity
+
+    base = ["the", "quick", "brown", "fox", "jumps", "over", "a", "dog"]
+    docs = [
+        (0, base),
+        (0, base),                          # exact dup (est 1.0)
+        (1, base[:-1] + ["cat"]),           # near (est somewhere in (0,1))
+        (1, ["other", "unrelated", "words", "entirely", "here", "now"]),
+    ]
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(dedup_threshold_sensitivity("duck")).fetchall()
+
+    sigs, toks = {}, {}
+    for i, (_, w) in enumerate(docs):
+        hs = [_h64(g) % MOD for g in _word_ngrams(" ".join(w), NGRAM)]
+        sigs[i] = [min((a * h + b) % MOD for h in hs)
+                   for a, b in (_perm_ab(p) for p in range(NUM_PERM))]
+        toks[i] = len(w)
+    rows = NUM_PERM // BANDS
+    cands = set()
+    for bidx in range(BANDS):
+        buckets = defaultdict(list)
+        for i, sig in sigs.items():
+            key = _h64(",".join(str(v) for v in sig[bidx * rows:(bidx + 1) * rows]))
+            buckets[key].append(i)
+        for ids in buckets.values():
+            for x in ids:
+                for y in ids:
+                    if x < y:
+                        cands.add((x, y))
+    est = {(a, b): sum(u == v for u, v in zip(sigs[a], sigs[b])) / NUM_PERM
+           for a, b in cands}
+    exp = []
+    for t in (0.5, 0.7, 0.9):
+        surv = [(a, b) for (a, b), e in est.items() if e >= t]
+        dropped = {max(a, b) for a, b in surv}
+        exp.append((t, len(surv), len(dropped),
+                    sum(toks[i] for i in dropped)))
+    assert got == exp
+    assert got[2][1] >= 1  # the exact dup survives even the 0.9 cut
