@@ -1350,3 +1350,132 @@ def test_dedup_threshold_sensitivity_matches_direct_python():
                     sum(toks[i] for i in dropped)))
     assert got == exp
     assert got[2][1] >= 1  # the exact dup survives even the 0.9 cut
+
+
+def test_reachability_bfs_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import BFS_MAX_HOPS, reachability_bfs
+
+    docs = [(i % 3, [f"w{i}", "text"]) for i in range(12)]  # ids 0..11 < 100
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(reachability_bfs("duck")).fetchall()
+
+    nn = len(docs)
+    edges = defaultdict(list)
+    for i in range(nn):
+        for k in (1, 2, 3):
+            edges[i].append(_h64(f"{i}#{k}") % nn)
+    dist = {0: 0}
+    frontier = [0]
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = []
+        for u in frontier:
+            for v in edges[u]:
+                if v not in dist:
+                    dist[v] = hop
+                    nxt.append(v)
+        frontier = nxt
+    exp = sorted(dist.items(), key=lambda kv: (kv[1], kv[0]))
+    assert got == exp
+    assert max(d for _, d in exp) >= 2  # the walk actually went multi-hop
+
+
+def test_quality_threshold_parity_matches_direct_python():
+    from oaim_sandbox_spark.operators.text_analysis import STOPWORDS
+    from oaim_sandbox_spark.queries_extended import quality_threshold_parity
+
+    all_stop = {w for ws in STOPWORDS.values() for w in ws}
+    rich = ["the", "a", "of", "to", "in", "quality", "content", "here"]
+    docs = [
+        (0, rich * 8), (0, rich * 4), (0, ["qx"] * 5),        # src0 high-ish
+        # src1: three uniformly LOW docs whose scores straddle only the
+        # LOCAL mean — the fairness gap by construction
+        (1, ["zz"] * 4), (1, ["yy"] * 6), (1, ["yy"] * 8),
+    ]
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(quality_threshold_parity("duck")).fetchall()
+
+    def score(text):
+        toks = _toks(text)
+        stop = _r6(sum(t in all_stop for t in _toks(text.lower())) / len(toks))
+        digit = _r6(sum(c.isdigit() for c in text) / len(text))
+        return _r6(0.4 * min(len(text) / 1000.0, 1.0)
+                   + 0.4 * min(stop * 5.0, 1.0)
+                   + 0.2 * (1.0 - min(digit * 10.0, 1.0)))
+
+    per = defaultdict(list)
+    for s, w in docs:
+        per[f"src{s}"].append(score(" ".join(w)))
+    allq = [q for qs in per.values() for q in qs]
+    gthr = sum(allq) / len(allq)
+    exp = []
+    for src in sorted(per):
+        qs = per[src]
+        lthr = sum(qs) / len(qs)
+        gp = sum(1 for q in qs if q >= gthr)
+        lp = sum(1 for q in qs if q >= lthr)
+        ag = sum(1 for q in qs if (q >= gthr) == (q >= lthr))
+        exp.append((src, len(qs), lthr, gp, lp, ag))
+    assert [(r[0], r[1], r[3], r[4], r[5]) for r in got] == \
+           [(s, n, gp, lp, ag) for s, n, _, gp, lp, ag in exp]
+    for r, (_, _, lthr, _, _, _) in zip(got, exp):
+        assert abs(r[2] - lthr) < 2e-6
+    # the fairness gap is real on this fixture: the low source passes more
+    # under its local threshold than the global one
+    src1 = [r for r in got if r[0] == "src1"][0]
+    assert src1[4] > src1[3]
+
+
+def test_near_dup_rate_by_source_matches_direct_python():
+    """simhash pair graph rolled up to (source_a, source_b) with pair
+    rates — reuses the full fingerprint/banding replica and adds the
+    attribution joins."""
+    from oaim_sandbox_spark.queries_dedup import (
+        MAX_HAMMING, SIMHASH_BANDS, SIMHASH_BITS)
+    from oaim_sandbox_spark.queries_extended import near_dup_rate_by_source
+
+    base = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = [
+        (0, base),
+        (0, base + ["extra"]),
+        (1, base[:-1] + ["changed"]),
+        (1, ["completely", "unrelated", "terms", "list", "now"]),
+        (2, base + ["another"]),
+    ]
+    con = duckdb.connect()
+    _mk_docs(con, docs)
+    got = con.execute(near_dup_rate_by_source("duck")).fetchall()
+
+    def simhash(words):
+        votes = [0] * SIMHASH_BITS
+        for tk, w in Counter(words).items():
+            h = _h64(tk)
+            for j in range(SIMHASH_BITS):
+                votes[j] += w if (h >> j) & 1 else -w
+        return sum(1 << j for j in range(SIMHASH_BITS) if votes[j] > 0)
+
+    fps = {i: simhash(w) for i, (_, w) in enumerate(docs)}
+    src = {i: f"src{s}" for i, (s, _) in enumerate(docs)}
+    n_docs = Counter(src.values())
+    sb = SIMHASH_BITS // SIMHASH_BANDS
+    pairs = []
+    for a in fps:
+        for b in fps:
+            if a >= b:
+                continue
+            shares = any((fps[a] >> (k * sb)) % (1 << sb)
+                         == (fps[b] >> (k * sb)) % (1 << sb)
+                         for k in range(SIMHASH_BANDS))
+            if shares and bin(fps[a] ^ fps[b]).count("1") <= MAX_HAMMING:
+                pairs.append((min(src[a], src[b]), max(src[a], src[b])))
+    attributed = Counter(pairs)
+    exp = sorted(
+        ((sa, sb_, n, int(sa == sb_), n / (n_docs[sa] * n_docs[sb_]))
+         for (sa, sb_), n in attributed.items()),
+        key=lambda t: (-t[2], t[0], t[1]))[:30]
+    assert [(r[0], r[1], r[2], r[3]) for r in got] == \
+           [(a, b, n, i) for a, b, n, i, _ in exp]
+    for r, (_, _, _, _, rate) in zip(got, exp):
+        assert abs(r[4] - rate) < 2e-6
+    assert any(r[3] == 0 for r in got)  # a cross-source pair surfaced
