@@ -89,25 +89,96 @@ def _make_spark_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 # Registry iteration order. External correctness harnesses may only sample a
-# PREFIX of the registry, so the first ~50 names are the flagship suite: the
-# event-time family, the dedup/ANN/retrieval tiers, the full streaming suite,
-# and the LLM-data-pipeline operators — the newest and highest-value entries —
-# followed by everything else in definition order.
-FLAGSHIP_FIRST: tuple[str, ...] = (
-    # --- ROUND-12 WINDOW: rotation by certification staleness
-    # (tools/window_rotation.py against the landed CORRECTNESS_r11.json;
-    # mandated by VERDICT r11 task #1). Union coverage is 220/220 green
-    # across r1-r11 with staleness histogram 20xr7/50xr8/50xr9/50xr10/
-    # 50xr11, so the window is: any NEW r12 entries (must certify
-    # first-time; each displaces one r8 entry past the boundary, which
-    # the rotation invariant allows — r8 is the boundary tier and ties
-    # may split), then the 20 r7-stale entries, then the stalest r8
-    # entries in the tool's order up to the 50-slot boundary; displaced
-    # r8 names lead the r13 head.
+# PREFIX of the registry, so the prefix must always hold the entries whose
+# driver certification is most at risk: never-checked first (new entries),
+# then last-check failures, then everything else by ascending last-certified
+# round. Since round 13 this ordering is DERIVED AT IMPORT TIME from the
+# committed CORRECTNESS_r*.json union (VERDICT r12 task #2 — the committed
+# tuple went stale at every round boundary the moment the driver dropped a
+# fresh record, failing the staleness pytest at three consecutive judge
+# HEADs). `flagship_order()` below is the same pure function
+# tools/window_rotation.py applies; `_ROTATION_TIEBREAK` is the committed
+# r12-close snapshot, kept ONLY to break ties within one staleness tier so
+# the derived order is stable and reproducible.
+
+
+def _correctness_union(root: str = "/root/repo") -> dict[str, tuple[int, bool]]:
+    """name -> (last driver-checked round, passed) from CORRECTNESS_r*.json.
+
+    Later rounds override earlier ones (sorted glob = ascending round for
+    the zero-padded r01..r99 naming the driver uses). Unreadable files are
+    skipped — a half-written record must never crash registry import."""
+    import glob as _glob
+    import json as _json
+
+    status: dict[str, tuple[int, bool]] = {}
+    for path in sorted(_glob.glob(f"{root}/CORRECTNESS_r*.json")):
+        try:
+            rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+            with open(path) as fh:
+                data = _json.load(fh)
+        except (ValueError, OSError, _json.JSONDecodeError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            ok = bool(
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match")
+                and not rec.get("err")
+            )
+            status[name] = (rnd, ok)
+    return status
+
+
+def flagship_order(
+    names: "list[str] | None" = None,
+    union: "dict[str, tuple[int, bool]] | None" = None,
+) -> tuple[str, ...]:
+    """The self-rotating certification window: registry names sorted by
+    driver-certification urgency.
+
+    Tiers (ascending): never driver-checked (new entries — never-certified
+    is worse than stale), then last-check FAILING (must re-certify
+    immediately), then previously-green entries by ascending last-checked
+    round. Ties within a tier break on the committed `_ROTATION_TIEBREAK`
+    snapshot position (names absent from the snapshot follow, in registry
+    definition order), so the ordering is a pure deterministic function of
+    (registry names, CORRECTNESS union, committed snapshot) — when the
+    driver drops a fresh CORRECTNESS_r{N}.json the next import re-derives
+    the window with the just-certified names demoted and the stalest tier
+    promoted, with no hand-edited list."""
+    if names is None:
+        names = list(TEMPLATES)
+    if union is None:
+        union = _correctness_union()
+    snap = {n: i for i, n in enumerate(_ROTATION_TIEBREAK)}
+    defidx = {n: i for i, n in enumerate(names)}
+
+    def sort_key(n: str) -> tuple[int, int, int]:
+        tie = (0, snap[n]) if n in snap else (1, defidx.get(n, 1 << 30))
+        rec = union.get(n)
+        if rec is None:
+            return (-2, *tie)
+        rnd, ok = rec
+        if not ok:
+            return (-1, *tie)
+        return (rnd, *tie)
+
+    return tuple(sorted(names, key=sort_key))
+
+
+# Committed r12-close snapshot — TIE-BREAK ONLY (see flagship_order). The
+# historical window comments are preserved in git; this tuple is no longer
+# the window itself.
+_ROTATION_TIEBREAK: tuple[str, ...] = (
     # transformWithState twin: registered only where protobuf exists, and
-    # never yet driver-checkable — keep it in the prefix so it certifies
-    # the first time it can; in protobuf-less envs it is filtered out and
-    # costs no slot.
+    # never yet driver-checkable — keep it first among never-checked so it
+    # certifies the first time it can; in protobuf-less envs it is filtered
+    # out and costs no slot.
     "streaming_user_stats_tws",
     # --- NEW this round (must certify first-time; 10 entries): order/
     # lineitem DECIMAL reconciliation, filter-rule Venn attribution,
@@ -189,6 +260,10 @@ FLAGSHIP_FIRST: tuple[str, ...] = (
     "bigram_pmi_topk",
     "user_burstiness",
 )
+
+
+# Derived at import: the live staleness-ordered window (see flagship_order).
+FLAGSHIP_FIRST: tuple[str, ...] = flagship_order()
 
 
 def _ordered_names() -> list[str]:

@@ -122,6 +122,71 @@ def test_driver_window_targets_stalest_certifications():
     )
 
 
+def _assert_window_invariant(ordered: "list[str]", last: "dict[str, int]") -> None:
+    window = set(ordered[:50])
+    never = {n for n in ordered if n not in last}
+    assert not (never - window), f"never-checked entries not in window: {sorted(never - window)}"
+    boundary = sorted(last.get(n, 0) for n in ordered)[49]
+    too_stale_outside = {n for n in ordered[50:] if last.get(n, 0) < boundary}
+    assert not too_stale_outside, sorted(too_stale_outside)
+
+
+def test_window_self_rotates_when_driver_drops_fresh_record():
+    """VERDICT r12 task #2: the window ordering is derived AT RUNTIME from
+    the CORRECTNESS_r*.json union (flagship_order), so the staleness
+    invariant must hold BOTH before and after a synthetic fresh
+    CORRECTNESS_r{N+1}.json lands in the repo root — the exact event that
+    made the committed-tuple window fail at three consecutive judge HEADs.
+    The synthetic record certifies the CURRENT window's 50 names; the
+    re-derived order must demote all of them past slot 50 and promote the
+    union's stalest tier, with no hand-edited list."""
+    import glob
+    import json
+    import os
+
+    rounds = [
+        int(p.rsplit("_r", 1)[1].split(".")[0])
+        for p in glob.glob("/root/repo/CORRECTNESS_r*.json")
+    ]
+    assert rounds, "no CORRECTNESS records committed — nothing to rotate on"
+    nxt = max(rounds) + 1
+
+    # BEFORE: the live import-time ordering satisfies the invariant and
+    # matches a fresh derivation (import-time snapshot is not stale).
+    live = [n for n in Q.FLAGSHIP_FIRST if n in Q.TEMPLATES]
+    assert tuple(Q.FLAGSHIP_FIRST) == Q.flagship_order()
+    union0 = Q._correctness_union()
+    _assert_window_invariant(live, {n: r for n, (r, _ok) in union0.items()})
+
+    # AFTER: drop a synthetic fresh record certifying the current window.
+    green = {
+        "rows_match": True, "schema_match": True, "hash_match": True,
+        "spark_rows": 1, "oracle_rows": 1, "err": None,
+    }
+    path = f"/root/repo/CORRECTNESS_r{nxt}.json"
+    assert not os.path.exists(path)
+    try:
+        with open(path, "w") as fh:
+            json.dump({n: green for n in live[:50]}, fh)
+        rotated = [n for n in Q.flagship_order() if n in Q.TEMPLATES]
+        union1 = Q._correctness_union()
+        _assert_window_invariant(rotated, {n: r for n, (r, _ok) in union1.items()})
+        # the just-certified 50 are demoted out of the window...
+        assert not (set(live[:50]) & set(rotated[:50]))
+        # ...and the previously-next-stalest names are promoted into it.
+        assert rotated[:50] == live[50:100]
+        # a FAILING record forces the name back in front of stale entries
+        bad = dict(green, hash_match=False)
+        with open(path, "w") as fh:
+            json.dump({**{n: green for n in live[:50]}, live[0]: bad}, fh)
+        refail = [n for n in Q.flagship_order() if n in Q.TEMPLATES]
+        assert refail[0] == live[0]
+    finally:
+        os.unlink(path)
+    # cleanup restored the original derivation
+    assert Q.flagship_order() == tuple(Q.FLAGSHIP_FIRST)
+
+
 def test_bigram_logprob_short_doc_guard(spark):
     """Regression (ADVICE r3 medium): a doc with <2 tokens makes word_ngrams
     fall back to a single-element space-free 'bigram', whose second-word
