@@ -809,6 +809,15 @@ class StageMetricsTracker:
         # stage reused (SKIPPED) by a later job's group must not double in
         # that group's delta
         self._counted: set[tuple[int, int]] = set()
+        # stages of CLAIMED jobs that were still ACTIVE/PENDING when the
+        # settle deadline expired (ADVICE r12): stageId -> owning group.
+        # Without this, a straggler outlasting the settle budget was
+        # permanently lost (its job is claimed, so no later call revisits
+        # it) — a silent shuffle undercount. Later delta() calls fold the
+        # now-terminal bytes into late_by_group, which the bench adds back
+        # to the owning query's record at finalize.
+        self._pending: dict[int, str] = {}
+        self.late_by_group: dict[str, list[float]] = {}
         try:
             sc = spark.sparkContext
             self._store = sc._jsc.sc().statusStore()
@@ -872,6 +881,7 @@ class StageMetricsTracker:
         if not self._ok:
             return None
         try:
+            self._collect_pending()
             deadline = time.time() + settle_s
             while True:
                 jobs = [j for j in self._jobs_above_floor()
@@ -902,6 +912,22 @@ class StageMetricsTracker:
                         sw += a
                         sp += b
                         mem += c
+                # deadline expired with some of OUR stages still running:
+                # carry them so their bytes fold in late instead of being
+                # silently lost (ADVICE r12). Drain calls (group=None) have
+                # no query to credit — warn only.
+                leftover = {sid for sid, _, st, _, _, _ in rows
+                            if sid in want and st in ("ACTIVE", "PENDING")}
+                if leftover:
+                    if group is not None:
+                        for sid in leftover:
+                            self._pending[sid] = group
+                    print(
+                        f"# BENCH WARN settle deadline expired with "
+                        f"{len(leftover)} stage(s) of group {group!r} still "
+                        "running — bytes fold into late_by_group when they "
+                        "finish", file=sys.stderr,
+                    )
             # advance the floor through the contiguous claimed prefix (job
             # ids are globally consecutive) and prune bookkeeping below it
             while (self._job_floor + 1) in self._claimed:
@@ -912,6 +938,49 @@ class StageMetricsTracker:
             print(f"# BENCH WARN stage metrics unavailable: {_errline(e)}", file=sys.stderr)
             self._ok = False
             return None
+
+    def _collect_pending(self) -> None:
+        """Fold now-terminal deadline-leftover stages (see delta) into
+        ``late_by_group``, attributed to the query that OWNED them — never
+        to whichever delta call happens to run next."""
+        if not self._pending:
+            return
+        rows = self._stage_rows(min(self._pending))
+        still_live = {sid for sid, _, st, _, _, _ in rows
+                      if sid in self._pending and st in ("ACTIVE", "PENDING")}
+        for sid, att, st, a, b, c in rows:
+            if sid in self._pending and (sid, att) not in self._counted \
+                    and st in ("COMPLETE", "FAILED", "SKIPPED"):
+                self._counted.add((sid, att))
+                acc = self.late_by_group.setdefault(self._pending[sid], [0, 0, 0])
+                acc[0] += a
+                acc[1] += b
+                acc[2] += c
+        seen = {sid for sid, _, _, _, _, _ in rows}
+        for sid in list(self._pending):
+            if sid in seen and sid not in still_live:
+                del self._pending[sid]
+
+    def collect_late(self, settle_s: float = SETTLE_S) -> dict[str, list[float]]:
+        """End-of-run sweep: wait (bounded) for any deadline-leftover stages
+        to finish, fold their bytes, and return ``late_by_group`` so the
+        bench can add them back to the owning queries' records."""
+        if not self._ok:
+            return self.late_by_group
+        try:
+            deadline = time.time() + settle_s
+            while True:  # at least one sweep even with settle_s=0
+                self._collect_pending()
+                if not self._pending or time.time() >= deadline:
+                    break
+                time.sleep(0.1)
+            if self._pending:
+                print(f"# BENCH WARN {len(self._pending)} leftover stage(s) "
+                      "never finished — their bytes stay uncounted",
+                      file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# BENCH WARN late-stage sweep failed: {_errline(e)}", file=sys.stderr)
+        return self.late_by_group
 
 
 _PROBE_BUF = {}
@@ -1022,9 +1091,69 @@ def host_speed_factor(start: dict, end: dict) -> tuple[float, bool]:
     return round(sum(factors) / len(factors), 3), unstable
 
 
+def detect_concurrent_activity() -> dict:
+    """Record-of-round discipline gate (VERDICT r12 What's-wrong #3): a
+    bench run sharing the box with another Spark JVM / pytest / bench comes
+    out calibration_unstable, and two r12 record attempts were wasted
+    before anyone noticed the cause. Scan /proc for live processes whose
+    cmdline looks like concurrent Spark/pytest/bench work (excluding this
+    process and its ancestors — the driver's own wrapper chain must not
+    flag), plus the 1-minute loadavg. Call BEFORE building the
+    SparkSession, so the bench's own JVM child doesn't exist yet."""
+    me = os.getpid()
+    ancestors, pid = set(), me
+    while pid > 1 and pid not in ancestors:
+        ancestors.add(pid)
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                pid = int(fh.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, ValueError, IndexError):
+            break
+    offenders = []
+    import glob as _glob
+
+    for p in _glob.glob("/proc/[0-9]*/cmdline"):
+        try:
+            opid = int(p.split("/")[2])
+            if opid in ancestors:
+                continue
+            with open(p, "rb") as fh:
+                cmd = fh.read().replace(b"\0", b" ").decode("utf-8", "replace").strip()
+        except (OSError, ValueError):
+            continue
+        low = cmd.lower()
+        if "pytest" in low or "bench.py" in low \
+                or ("java" in low and "spark" in low):
+            offenders.append({"pid": opid, "cmd": cmd[:160]})
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    return {"loadavg_1m": load1, "processes": offenders}
+
+
+def activity_is_contended(activity: dict) -> bool:
+    """True when the record should carry the concurrent_activity flag —
+    any offending process, or a pre-bench 1m loadavg above 8 on this
+    32-CPU box (an idle host reads <1 before the JVM starts)."""
+    return bool(activity.get("processes")) or (activity.get("loadavg_1m") or 0.0) > 8.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_from_dir(sf_dir)
+    activity = detect_concurrent_activity()
+    if activity_is_contended(activity):
+        print(
+            "# BENCH WARN concurrent activity detected — the record-of-round "
+            f"bench must run ALONE (loadavg {activity['loadavg_1m']}, "
+            f"{len(activity['processes'])} live Spark/pytest/bench "
+            "process(es)); this record will carry concurrent_activity "
+            "metadata and should not be archived",
+            file=sys.stderr,
+        )
+        for o in activity["processes"][:8]:
+            print(f"#   pid {o['pid']}: {o['cmd']}", file=sys.stderr)
     spark = get_spark("oaim-sandbox-bench")
 
     timings: dict[str, float] = {}
@@ -1218,6 +1347,16 @@ def main() -> None:
             "are extrapolations; re-run on a quieter host",
             file=sys.stderr,
         )
+    # fold deadline-leftover stage bytes back into their OWNING query's
+    # record (ADVICE r12: a straggler outlasting the settle budget was
+    # silently lost once its job was claimed)
+    for g, (lsw, lsp, lmem) in tracker.collect_late().items():
+        if lsw or lsp or lmem:
+            print(f"# BENCH NOTE late stage bytes folded into {g}: "
+                  f"shuffle {lsw / 1e6:.2f} MB", file=sys.stderr)
+            shuffle_mb[g] = round(shuffle_mb.get(g, 0.0) + lsw / 1e6, 2)
+            spill_disk_mb[g] = round(spill_disk_mb.get(g, 0.0) + lsp / 1e6, 2)
+            spill_mem_mb[g] = round(spill_mem_mb.get(g, 0.0) + lmem / 1e6, 2)
     full = {
         "metric": "total_wall_seconds_all_queries",
         "value": total,
@@ -1274,6 +1413,11 @@ def main() -> None:
         "host_calibration_midrun": midrun_probes,
         "sf": sf,
     }
+    # present ONLY when the pre-bench scan found contention, so an unstable
+    # record explains itself (VERDICT r12 What's-wrong #3) — absent on a
+    # quiet run
+    if activity_is_contended(activity):
+        full["concurrent_activity"] = activity
     # Full per-query detail goes to a sidecar file: the driver records only a
     # 2000-char tail of stdout, and a ~5 KB single line gets its head cut off
     # there, so its JSON parse failed every round (BENCH_r1..r4 "parsed":

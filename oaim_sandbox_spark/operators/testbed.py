@@ -492,6 +492,38 @@ def evaluate_testset_batched(
                 .agg(F.array_sort(F.collect_list(F.struct("rank", "text"))).alias("rt"))
                 .select("query_id", F.expr("transform(rt, x -> x.text)").alias("_ctx_texts"))
             )
+            if s.grading:
+                # relevance gate per DISTINCT question (ADVICE r12): grading
+                # inside the evaluation UDF paid one gate LLM call per QA
+                # ROW, and a nondeterministic grader could route identical
+                # duplicate questions differently within one evaluation —
+                # the per-question path grades each distinct question once.
+                # The verdict applies at the dim-sized ctx relation: a
+                # failed gate empties that question's context array, which
+                # routes every duplicate row to ungrounded generation
+                # exactly as chat() would.
+                gate_llm = pipe.llm
+                gate_with = ChatPipeline.grade_with
+
+                def grade_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                    for pdf in batches:
+                        verdicts = []
+                        for q, texts in zip(pdf["question"], pdf["_ctx_texts"]):
+                            docs = [{"text": str(t)} for t in texts] \
+                                if texts is not None and not isinstance(texts, float) else []
+                            verdicts.append(bool(gate_with(gate_llm, True, q, docs)) if docs else True)
+                        yield pd.DataFrame({"query_id": pdf["query_id"], "_ctx_pass": verdicts})
+
+                gate = (
+                    qdf.select("query_id", "question").join(ctx, "query_id", "left")
+                    .mapInPandas(grade_batches, "query_id BIGINT, _ctx_pass BOOLEAN")
+                )
+                ctx = ctx.join(gate, "query_id").select(
+                    "query_id",
+                    F.when(F.col("_ctx_pass"), F.col("_ctx_texts"))
+                    .otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+                    .alias("_ctx_texts"),
+                )
             qa_eval = (
                 qa.join(qdf.select("question", "query_id"), "question", "left")
                 .join(ctx, "query_id", "left")
@@ -504,16 +536,14 @@ def evaluate_testset_batched(
             qa_eval = qa.withColumn("_ctx_texts", F.lit(None).cast("array<string>"))
         llm = pipe.llm
         sys_prompt = pipe.sys_prompt
-        grading = s.grading
         assemble = ChatPipeline.assemble_system_prompt
-        grade_with = ChatPipeline.grade_with
 
         def answer_factory():
             def answer(question: str, ctx_texts: list[str]) -> str:
+                # the relevance gate already ran per DISTINCT question (the
+                # grade_batches stage above empties gate-failed contexts),
+                # so a row with contexts here is a gate-passed row
                 docs = [{"text": t} for t in ctx_texts]
-                if docs and not grade_with(llm, grading, question, docs):
-                    docs = []  # failed relevance gate -> ungrounded
-                    #            generation, exactly chat()'s routing
                 sys = assemble(sys_prompt, docs)
                 return llm.complete([Message("system", sys), Message("user", question)])
 

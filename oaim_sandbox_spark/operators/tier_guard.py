@@ -610,19 +610,6 @@ class TieredStore:
         query_id/distance/rank column would make the join ambiguous (and
         drop() would silently eat the caller's column), so the call refuses
         up front with a rename hint (r10 review)."""
-        from oaim_sandbox_spark.operators import ann as A
-
-        # neighbor_id is joined then dropped on the output path, so it is
-        # reserved too — without this check a store carrying its own
-        # neighbor_id column fails later with AMBIGUOUS_REFERENCE instead
-        # of this rename hint (ADVICE r10).
-        clash = {"query_id", "distance", "rank", "neighbor_id"} & set(self.store.columns)
-        if clash:
-            raise ValueError(
-                f"store columns {sorted(clash)} collide with topk output "
-                "columns (query_id/neighbor_id/distance/rank are reserved); "
-                "rename them before building the TieredStore"
-            )
         spark = self.store.sparkSession
         qrows = [(int(qid), [float(x) for x in qv]) for qid, qv in queries]
         if len({q for q, _ in qrows}) != len(qrows):
@@ -646,6 +633,20 @@ class TieredStore:
         path cannot drift."""
         from oaim_sandbox_spark.operators import ann as A
 
+        # neighbor_id is joined then dropped on the output path, so it is
+        # reserved too — without this check a store carrying its own
+        # neighbor_id column fails later with AMBIGUOUS_REFERENCE instead
+        # of this rename hint (ADVICE r10). The check lives HERE, not in
+        # topk_batch, because topk_batch_df became a public entry point
+        # (evaluate_testset_batched calls it directly) and both entry
+        # points must refuse up front (ADVICE r12).
+        clash = {"query_id", "distance", "rank", "neighbor_id"} & set(self.store.columns)
+        if clash:
+            raise ValueError(
+                f"store columns {sorted(clash)} collide with topk output "
+                "columns (query_id/neighbor_id/distance/rank are reserved); "
+                "rename them before building the TieredStore"
+            )
         if self.tier == "int8":
             res = A.knn_join(A.dequantize_embeddings(self._rep), qdf, k=k,
                              metric=self.metric)

@@ -230,6 +230,7 @@ def _fake_tracker(store):
     t = bench.StageMetricsTracker.__new__(bench.StageMetricsTracker)
     t._ok, t._job_floor = True, -1
     t._claimed, t._counted = set(), set()
+    t._pending, t.late_by_group = {}, {}
     t._store, t._gw = store, _FakeGateway()
     return t
 
@@ -252,6 +253,71 @@ def test_stage_metrics_tracker_straggler_stays_with_its_job():
     store.stages[2] = _FakeStage(2, "COMPLETE", 5_390_000)
     d_b = tracker.delta(group="B", settle_s=0.0)
     assert d_b[0] == 5_390_000  # the old tracker read 8.33 MB here
+    # ADVICE r12: A's deadline-leftover stage is not LOST once its job is
+    # claimed — it folds into late_by_group under A's own name, never B's
+    assert tracker.late_by_group == {"A": [8_330_000, 0, 0]}
+    assert tracker._pending == {}
+
+
+def test_stage_metrics_tracker_collect_late_sweep():
+    """ADVICE r12, end-of-run path: a straggler still ACTIVE at its query's
+    deadline AND never revisited by a later delta is swept up by
+    collect_late() once terminal, attributed to the owning group, and a
+    never-finishing stage stays uncounted (with the pending entry kept)."""
+    store = _FakeStore()
+    tracker = _fake_tracker(store)
+    store.jobs[0] = _FakeJob(0, "Q", [1, 2], status="RUNNING")
+    store.stages[1] = _FakeStage(1, "COMPLETE", 100)
+    store.stages[2] = _FakeStage(2, "ACTIVE", 900)
+    assert tracker.delta(group="Q", settle_s=0.0) == (100, 0, 0)
+    assert tracker._pending == {2: "Q"}
+    # the straggler finishes; no further per-query delta happens — the
+    # bench's finalize sweep must still credit Q
+    store.stages[2] = _FakeStage(2, "COMPLETE", 900)
+    late = tracker.collect_late(settle_s=0.0)
+    assert late == {"Q": [900, 0, 0]}
+    assert tracker._pending == {}
+    # a stage that NEVER terminates: bounded wait, stays pending, no credit
+    store.jobs[1] = _FakeJob(1, "R", [3], status="RUNNING")
+    store.stages[3] = _FakeStage(3, "ACTIVE", 77)
+    assert tracker.delta(group="R", settle_s=0.0) == (0, 0, 0)
+    assert tracker.collect_late(settle_s=0.0) == {"Q": [900, 0, 0]}
+    assert tracker._pending == {3: "R"}
+
+
+def test_bench_concurrent_activity_detection():
+    """VERDICT r12 task #4: the 'run the record bench alone' discipline is
+    now code — a process with pytest/spark/bench.py in its cmdline (other
+    than this process and its ancestors) is detected and flips the
+    contended flag; once it exits, it no longer appears. The record carries
+    concurrent_activity ONLY when contended."""
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    import bench
+
+    base = {o["pid"] for o in bench.detect_concurrent_activity()["processes"]}
+    fake = subprocess.Popen(
+        [_sys.executable, "-c", "import time; time.sleep(30)", "fake-pytest-probe"]
+    )
+    try:
+        for _ in range(50):  # settle: /proc entry appears immediately, but be safe
+            got = bench.detect_concurrent_activity()
+            if fake.pid in {o["pid"] for o in got["processes"]}:
+                break
+            _time.sleep(0.05)
+        new = {o["pid"] for o in got["processes"]} - base
+        assert fake.pid in new, got
+        assert bench.activity_is_contended(got)
+    finally:
+        fake.kill()
+        fake.wait()
+    after = {o["pid"] for o in bench.detect_concurrent_activity()["processes"]}
+    assert fake.pid not in after
+    # flag logic: absent offenders + low load = quiet; high load alone flags
+    assert not bench.activity_is_contended({"loadavg_1m": 0.4, "processes": []})
+    assert bench.activity_is_contended({"loadavg_1m": 31.0, "processes": []})
 
 
 def test_stage_metrics_tracker_skipped_shared_stage_counted_once():

@@ -662,6 +662,63 @@ def test_evaluate_testset_batched_no_driver_dict_and_duplicates(cat_store, spark
     assert got.by_topic == want.by_topic
 
 
+def test_evaluate_testset_batched_grades_once_per_distinct_question(
+        cat_store, spark, tmp_path):
+    """ADVICE r12: the relevance gate runs once per DISTINCT question (in
+    the dim-sized ctx stage), not once per qa row — duplicate questions
+    must not pay duplicate gate LLM calls, and a nondeterministic grader
+    can no longer route identical questions differently within one
+    evaluation. Counted through a file-logging grader LLM."""
+    from oaim_sandbox_spark.operators.testbed import evaluate_testset_batched
+    from oaim_sandbox_spark.serving.chat import (
+        ChatPipeline,
+        LLMClient,
+        MockLLM,
+        RagSettings,
+    )
+
+    log = str(tmp_path / "gate_calls.log")
+
+    class CountingLLM(LLMClient):
+        """MockLLM that appends one line per GRADE call (the executor-side
+        python workers share the local FS, so the line count is the true
+        cross-process gate-call total)."""
+
+        def complete(self, messages):
+            sys = next((m.content for m in messages if m.role == "system"), "")
+            user = next((m.content for m in messages if m.role == "user"), "")
+            if "relevance grader" in sys.lower():
+                with open(log, "a") as fh:
+                    fh.write(user.replace("\n", " ") + "\n")
+            return MockLLM().complete(messages)
+
+    cat, name, _vs = cat_store
+    store = cat.read_store(name)
+    vecs = {
+        f"question {i}": [float(x) for x in
+                          store.filter(f"id = {2 + 9 * i}").first()["embedding"]]
+        for i in range(3)
+    }
+    pipe = ChatPipeline(
+        store=store,
+        embed_query=lambda q: vecs[q],
+        llm=CountingLLM(),
+        settings=RagSettings(search_tier="matryoshka16_rerank", grading=True),
+        tier_gate=lambda t: cat.assert_tier_usable(name, t, **PROBE_KW),
+    )
+    # question 0 appears THREE times (5 rows, 3 distinct questions)
+    rows = [(q, "doc", "general") for q in vecs]
+    rows += [("question 0", "doc", "dup_a"), ("question 0", "doc", "dup_b")]
+    qa = spark.createDataFrame(
+        rows, "question STRING, reference_answer STRING, topic STRING")
+    report = evaluate_testset_batched(
+        spark, qa, pipe, lambda: (lambda q, ref, ans: True), tid="tgate")
+    assert len(report.by_topic) == 3  # general + dup_a + dup_b all evaluated
+    with open(log) as fh:
+        graded = sorted(line.strip() for line in fh)
+    assert graded == sorted(vecs), graded  # exactly one gate call per distinct question
+
+
 def test_evaluate_testset_batched_refuses_untiered(cat_store, spark):
     """Review r12: with RAG on but no search_tier the batched evaluator
     must refuse with the retrieve_batch contract message, not let

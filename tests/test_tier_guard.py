@@ -230,6 +230,13 @@ def test_topk_batch_equals_per_query_topk(spark):
                       id_col="vec_id")
     with pytest.raises(ValueError, match="reserved"):
         ts3.topk_batch([(1, qvecs[3])])
+    # the DataFrame entry point is public (evaluate_testset_batched calls
+    # it directly) and must refuse the same clash up front with the same
+    # rename hint — not a later AMBIGUOUS_REFERENCE (ADVICE r12)
+    qdf = spark.createDataFrame([(1, qvecs[3])],
+                                "query_id BIGINT, query_vec ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="reserved"):
+        ts3.topk_batch_df(qdf)
 
 
 def test_ivf_dot_product_verdict_catches_mips_norm_outliers(spark):
