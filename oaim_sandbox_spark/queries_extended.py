@@ -5807,3 +5807,524 @@ TEMPLATES["conversion_survival_curve"] = conversion_survival_curve
 TEMPLATES["daily_volume_anomalies"] = daily_volume_anomalies
 TEMPLATES["dedup_weighted_mass"] = dedup_weighted_mass
 TEMPLATES["type_mix_drift_daily"] = type_mix_drift_daily
+
+# ---------------------------------------------------------------------------
+# Round-13 additions: retail/mixture analytics (association lift, RFM,
+# concentration, cohort LTV, discount elasticity), embedding cohesion,
+# near-dup graph transitivity, metadata-lang noise, event path/concentration
+# audits. Same conventions: exact-integer accumulation (P.exact_sum at
+# grids that are EXACT for the column's decimal step where possible),
+# MIN=MAX degenerate guards, round+0.0 on sign-crossing outputs, literal
+# constants, deterministic ORDER BY with unique tiebreaks.
+# ---------------------------------------------------------------------------
+
+
+def _basket_ob_sql(d: str) -> str:
+    """(order, brand) incidence relation — the basket rows. DISTINCT is
+    per-order bounded (TPC-H orders carry <= 7 lines), so the relation is
+    at most lines-sized and the downstream self-join fans out <= C(7,2)
+    pairs per order."""
+    return (
+        "SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
+    )
+
+
+def _basket_body(d: str, rel: str = "ob") -> str:
+    return f"""
+no AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n FROM {rel}),
+bc AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n FROM {rel} GROUP BY brand),
+pr AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM {rel} a JOIN {rel} b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+)
+SELECT p.brand_a AS brand_a, p.brand_b AS brand_b, p.n_ab AS n_ab,
+       ca.n AS n_a, cb.n AS n_b,
+       CAST(round(CAST(p.n_ab AS DOUBLE) / no.n, 6) AS DOUBLE) AS support,
+       CAST(round(CAST(p.n_ab AS DOUBLE) / ca.n, 6) AS DOUBLE) AS confidence_ab,
+       CAST(round(CAST(p.n_ab AS DOUBLE) * CAST(no.n AS DOUBLE)
+                  / (CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)), 6) AS DOUBLE) AS lift
+FROM pr p
+JOIN bc ca ON p.brand_a = ca.brand
+JOIN bc cb ON p.brand_b = cb.brand
+CROSS JOIN no
+WHERE p.n_ab >= 3
+ORDER BY lift DESC, brand_a ASC, brand_b ASC
+LIMIT 40
+"""
+
+
+def basket_lift_pairs(d: str) -> str:
+    """Market-basket association rules over order contents: support /
+    confidence / lift for unordered brand pairs co-occurring in one order —
+    the classic co-purchase screen (lift > 1 = bought together more than
+    chance). All counts are exact integers; lift divides exactly
+    representable integer products (< 2^53), so both engines compute the
+    identical double. Candidate pairs come from a per-order self-join whose
+    fan-out is bounded by the per-order line count, aggregated to the
+    brand-pair dim (<= 300 cells at any corpus size) with map-side combine;
+    the LIMIT sorts ROUNDED lift with a unique (brand_a, brand_b) tiebreak
+    so the cut is deterministic cross-engine."""
+    return f"WITH ob AS ({_basket_ob_sql(d)}),{_basket_body(d)}"
+
+
+TEMPLATES["basket_lift_pairs"] = basket_lift_pairs
+
+
+def _basket_lift_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the (order, brand) incidence once — it
+    feeds the order count, the brand counts, and BOTH self-join sides
+    (Spark's CTE inlining would re-run the lineitem-part join 4x)."""
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _basket_ob_sql("spark"), "basket_ob")
+    return _sql_dropping(spark, "WITH " + _basket_body("spark", rel=name).lstrip(), name)
+
+
+SPARK_OVERRIDES["basket_lift_pairs"] = _basket_lift_spark
+
+
+def _rfm_cust_sql(d: str) -> str:
+    """Per-customer RFM raw features from orders: last-order day (exact
+    integer epoch-day), order count, lifetime cents (o_totalprice is a 2dp
+    double, so floor(x*100+0.5) per row is the exact integer)."""
+    day = (
+        "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS BIGINT)"
+        if d == "spark"
+        else "(epoch_us(o_orderdate) // 86400000000)"
+    )
+    return f"""SELECT o_custkey AS ckey,
+       MAX({day}) AS last_day,
+       CAST(COUNT(*) AS BIGINT) AS f,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m_cents
+FROM orders GROUP BY o_custkey"""
+
+
+def _rfm_body(d: str, rel: str = "cust") -> str:
+    if d == "spark":
+        pct = lambda col: f"percentile({col}, array(0.25D, 0.5D, 0.75D))"  # noqa: E731
+    else:
+        pct = lambda col: f"quantile_cont({col}, [0.25, 0.5, 0.75])"  # noqa: E731
+    rc = lambda i: _elem("cuts.rc", i, d)  # noqa: E731
+    fc = lambda i: _elem("cuts.fc", i, d)  # noqa: E731
+    mc = lambda i: _elem("cuts.mc", i, d)  # noqa: E731
+    return f"""
+gm AS (SELECT MAX(last_day) AS maxd FROM {rel}),
+r AS (SELECT ckey, gm.maxd - last_day AS r_days, f, m_cents
+      FROM {rel} CROSS JOIN gm),
+cuts AS (SELECT {pct('r_days')} AS rc, {pct('f')} AS fc, {pct('m_cents')} AS mc FROM r),
+scored AS (
+  SELECT CASE WHEN r_days <= {rc(1)} THEN 4 WHEN r_days <= {rc(2)} THEN 3
+              WHEN r_days <= {rc(3)} THEN 2 ELSE 1 END AS r_score,
+         CASE WHEN f >= {fc(3)} THEN 4 WHEN f >= {fc(2)} THEN 3
+              WHEN f >= {fc(1)} THEN 2 ELSE 1 END AS f_score,
+         CASE WHEN m_cents >= {mc(3)} THEN 4 WHEN m_cents >= {mc(2)} THEN 3
+              WHEN m_cents >= {mc(1)} THEN 2 ELSE 1 END AS m_score,
+         f, m_cents
+  FROM r CROSS JOIN cuts
+)
+SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(round(CAST(SUM(f) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS avg_frequency,
+       CAST(round(CAST(SUM(m_cents) AS DOUBLE) / (COUNT(*) * 100), 6) AS DOUBLE) AS avg_monetary
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
+def rfm_segments(d: str) -> str:
+    """RFM (recency / frequency / monetary) customer segmentation: quartile
+    scores per dimension from exact interpolated percentiles over INTEGER
+    features (epoch-day recency, order count, lifetime cents — integer
+    inputs make the interpolation the same exact rational on both engines,
+    the doc_len_percentiles rule), classified against the 3-cut broadcast
+    scalars, rolled up to the <= 64 RFM cells. No corpus-sized window: the
+    cuts are one sketchable aggregate (swap percentile for approx_percentile
+    at 100 TB — the cell assignment and rollup are unchanged) and
+    classification is a broadcast-scalar CASE chain."""
+    return f"WITH cust AS ({_rfm_cust_sql(d)}),{_rfm_body(d)}"
+
+
+TEMPLATES["rfm_segments"] = rfm_segments
+
+
+def _rfm_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the per-customer feature dim once — it
+    feeds the global-max scalar, the percentile cuts, and the
+    classification (3 consumers; inlining would scan orders 3x)."""
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _rfm_cust_sql("spark"), "rfm_cust")
+    return _sql_dropping(spark, "WITH " + _rfm_body("spark", rel=name).lstrip(), name)
+
+
+SPARK_OVERRIDES["rfm_segments"] = _rfm_spark
+
+
+def discount_lift_by_brand(d: str) -> str:
+    """Discount elasticity screen: per brand, the OLS slope and correlation
+    of line quantity against discount — does discounting move volume, and
+    for which brands. Moments accumulate on grids that are EXACT for the
+    columns' value steps (discount is a 2dp grid -> scale 2/4; quantity is
+    integer-valued -> scale 0), so every sum is an exact integer at any
+    row count below ~9e16 per brand and both engines derive bit-identical
+    statistics; degenerate guards are the exact MIN=MAX tests. One scan,
+    one brand-dim agg."""
+    mom = f"""CAST(COUNT(*) AS DOUBLE) AS n,
+         {P.exact_sum('x', d, 2)} AS sx, {P.exact_sum('y', d, 0)} AS sy,
+         {P.exact_sum('x * y', d, 2)} AS sxy,
+         {P.exact_sum('x * x', d, 4)} AS sxx, {P.exact_sum('y * y', d, 0)} AS syy,
+         MIN(x) AS xlo, MAX(x) AS xhi, MIN(y) AS ylo, MAX(y) AS yhi"""
+    return f"""
+WITH pts AS (
+  SELECT p.p_brand AS brand, l.l_discount AS x, l.l_quantity AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+m AS (SELECT brand, {mom} FROM pts GROUP BY brand)
+SELECT brand,
+       CAST(n AS BIGINT) AS n_lines,
+       CAST(round(sx / n, 6) AS DOUBLE) AS mean_discount,
+       CAST(round(sy / n, 6) AS DOUBLE) AS mean_quantity,
+       CAST(round(CASE WHEN xlo = xhi THEN NULL
+                       ELSE (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) END, 6) + 0.0
+            AS DOUBLE) AS qty_per_discount_slope,
+       CAST(round(CASE WHEN xlo = xhi OR ylo = yhi THEN NULL
+                       ELSE (n * sxy - sx * sy)
+                            / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) + 0.0
+            AS DOUBLE) AS corr
+FROM m
+ORDER BY brand
+"""
+
+
+TEMPLATES["discount_lift_by_brand"] = discount_lift_by_brand
+
+
+def supplier_share_hhi(d: str) -> str:
+    """Supply-concentration audit: Herfindahl–Hirschman index of supplier
+    revenue share per nation, plus the single largest supplier's share —
+    the sourcing-risk readout (HHI > 0.25 = concentrated). Revenue
+    accumulates as exact integer cents per (nation, supplier) via
+    P.exact_sum scale 2 (floor-quantized per row — this is an internal
+    weight, not a money output, so the cents grid is plenty and holds
+    ~9e16 rows/group); shares and the share-squared sum divide exact
+    integers, so both engines agree bit for bit. Plan: one lineitem scan
+    with two broadcast dim joins, a (nation, supplier) agg, then
+    nation-dim rollups."""
+    return f"""
+WITH sr AS (
+  SELECT n.n_name AS nation, l.l_suppkey AS skey,
+         {P.exact_sum('l_extendedprice * (1 - l_discount)', d, 2)} AS rev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, l.l_suppkey
+),
+nt AS (SELECT nation, {P.exact_sum('rev', d, 2)} AS tot,
+              CAST(COUNT(*) AS BIGINT) AS n_sup, MAX(rev) AS mx
+       FROM sr GROUP BY nation)
+SELECT sr.nation AS nation,
+       MAX(nt.n_sup) AS n_suppliers,
+       CAST(round({P.exact_sum('(sr.rev / nt.tot) * (sr.rev / nt.tot)', d, 12)}, 6)
+            AS DOUBLE) AS hhi,
+       CAST(round(MAX(nt.mx) / MAX(nt.tot), 6) AS DOUBLE) AS top_share
+FROM sr JOIN nt ON sr.nation = nt.nation
+GROUP BY sr.nation
+ORDER BY sr.nation
+"""
+
+
+TEMPLATES["supplier_share_hhi"] = supplier_share_hhi
+
+
+def cohort_ltv_curve(d: str) -> str:
+    """Cohort lifetime-value curve: customers cohorted by first-order month,
+    cumulative revenue per customer tracked by month offset — the
+    money-side companion to weekly_cohort_retention (events). Month index
+    is exact integer year*12+month arithmetic; revenue is exact integer
+    cents (2dp totalprice); the cumulative window runs over the
+    (cohort, offset) dim, never the corpus. Two orders scans (first-order
+    dim + the offset rollup) are the de-correlation floor, q17-style."""
+    mi = "CAST(EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate) AS BIGINT)"
+    return f"""
+WITH o AS (
+  SELECT o_custkey AS ckey, {mi} AS mi,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+firsts AS (SELECT ckey, MIN(mi) AS m0 FROM o GROUP BY ckey),
+sz AS (SELECT m0, CAST(COUNT(*) AS BIGINT) AS cohort_n FROM firsts GROUP BY m0),
+rev AS (
+  SELECT f.m0 AS m0, o.mi - f.m0 AS offset_m,
+         CAST(SUM(o.cents) AS BIGINT) AS cents,
+         CAST(COUNT(DISTINCT o.ckey) AS BIGINT) AS n_active
+  FROM o JOIN firsts f ON o.ckey = f.ckey
+  GROUP BY f.m0, o.mi - f.m0
+)
+SELECT CAST(r.m0 AS BIGINT) AS cohort_month_idx,
+       CAST(r.offset_m AS INT) AS month_offset,
+       sz.cohort_n AS cohort_size,
+       r.n_active AS n_active,
+       CAST(round(CAST(r.cents AS DOUBLE) / 100, 6) AS DOUBLE) AS revenue,
+       CAST(round(CAST(SUM(r.cents) OVER (PARTITION BY r.m0 ORDER BY r.offset_m ASC) AS DOUBLE)
+                  / (CAST(sz.cohort_n AS DOUBLE) * 100), 6) AS DOUBLE) AS cum_ltv_per_customer
+FROM rev r JOIN sz ON r.m0 = sz.m0
+ORDER BY cohort_month_idx, month_offset
+"""
+
+
+TEMPLATES["cohort_ltv_curve"] = cohort_ltv_curve
+
+
+def _cohesion_u_sql(d: str) -> str:
+    """Unit-normalized embedding relation (zero-norm vectors excluded —
+    they carry no direction). The per-row normalization fold is
+    deterministic IEEE arithmetic, identical on both engines."""
+    arr = P.to_double_array("embedding", d)
+    nrm = P.norm2("v", d)
+    tx = "transform" if d == "spark" else "list_transform"
+    return f"""SELECT vec_id, label, {tx}(v, x -> x / nv) AS u
+FROM (SELECT vec_id, label, v, {nrm} AS nv
+      FROM (SELECT vec_id, label, {arr} AS v FROM embeddings) b0) b1
+WHERE nv > 0"""
+
+
+def _cohesion_body(d: str, rel: str = "u") -> str:
+    comp = f"element_at(r.u, i.i)" if d == "spark" else "(r.u)[i.i]"
+    sd = P.dot("u", "u", d)
+    return f"""
+idx AS ({_dim_idx(d)}),
+sums AS (
+  SELECT r.label AS label, i.i AS i, {P.exact_avg(comp, d, 9)} AS sbar
+  FROM {rel} r CROSS JOIN idx i
+  GROUP BY r.label, i.i
+),
+c2 AS (SELECT label, {P.exact_sum('sbar * sbar', d, 12)} AS c2 FROM sums GROUP BY label),
+g AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n, {P.exact_sum('sd', d, 12)} AS selfsum
+  FROM (SELECT label, {sd} AS sd FROM {rel}) t GROUP BY label
+)
+SELECT g.label AS label, g.n AS n_vectors,
+       CAST(round(sqrt(c2.c2), 6) AS DOUBLE) AS centroid_norm,
+       CAST(round(CASE WHEN g.n < 2 THEN NULL
+                       ELSE (CAST(g.n AS DOUBLE) * g.n * c2.c2 - g.selfsum)
+                            / (CAST(g.n AS DOUBLE) * (g.n - 1)) END, 6) + 0.0
+            AS DOUBLE) AS mean_pairwise_cosine
+FROM g JOIN c2 ON g.label = c2.label
+ORDER BY g.label
+"""
+
+
+def label_cohesion_pairwise(d: str) -> str:
+    """EXACT mean pairwise cosine within each label, without any pair join:
+    for unit vectors, sum_(i<>j) u_i.u_j = ||sum u||^2 - sum ||u_i||^2, so
+    the O(n^2) statistic collapses to per-dimension sums — the SemDeDup-
+    style cluster-coherence readout at one-scan cost, scale-exact at any
+    store size (per-dim means via exact_avg make ||sum u||^2 = n^2*sum
+    mean_d^2 without a magnitude-growing integer). centroid_norm (||mean
+    vector||) reads dispersion directly: 1 = all identical, ~0 =
+    directionally uniform. The dim pivot is the fixed 1..64 index
+    relation (embedding_centroid_outliers plan shape); the self-dot sum
+    is per-row deterministic folds."""
+    return f"WITH u AS ({_cohesion_u_sql(d)}),{_cohesion_body(d)}"
+
+
+TEMPLATES["label_cohesion_pairwise"] = label_cohesion_pairwise
+
+
+def _label_cohesion_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the normalized relation once — the dim
+    pivot and the self-dot agg both read it (inlining would recompute the
+    normalization fold under the 64x pivot blow-up)."""
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _cohesion_u_sql("spark"), "cohesion_u")
+    return _sql_dropping(spark, "WITH " + _cohesion_body("spark", rel=name).lstrip(), name)
+
+
+SPARK_OVERRIDES["label_cohesion_pairwise"] = _label_cohesion_spark
+
+
+def _transitivity_body(d: str, rel: str = "pairs") -> str:
+    return f"""
+e2 AS (SELECT doc_a AS a, doc_b AS b FROM {rel}
+       UNION ALL
+       SELECT doc_b AS a, doc_a AS b FROM {rel}),
+wedges AS (
+  SELECT x.a AS c, x.b AS l, y.b AS r
+  FROM e2 x JOIN e2 y ON x.a = y.a AND x.b < y.b
+),
+closed AS (
+  SELECT w.c AS c, CASE WHEN p.doc_a IS NULL THEN 0 ELSE 1 END AS is_closed
+  FROM wedges w LEFT JOIN {rel} p ON p.doc_a = w.l AND p.doc_b = w.r
+)
+SELECT dd.source AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_wedges,
+       CAST(SUM(is_closed) AS BIGINT) AS n_closed,
+       CAST(round(CAST(SUM(is_closed) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS transitivity
+FROM closed JOIN documents dd ON closed.c = dd.doc_id
+GROUP BY dd.source
+ORDER BY source
+"""
+
+
+def dedup_chain_transitivity(d: str) -> str:
+    """Chaining-risk audit for connected-component dedup: of all wedges
+    (A~B, B~C) in the simhash near-dup graph, what fraction close into a
+    triangle (A~C also a pair)? Low transitivity means CC canonicalization
+    merges documents that are NOT mutually similar — exactly the
+    over-merge near_dup_clusters' pointer jumping commits to — so this is
+    the go/no-go dial between transitive dedup (drop whole components) and
+    conservative pairwise dedup. Wedge volume is sum-of-degree^2 of the
+    near-dup graph (pairs-sized, not corpus-sized); the pair graph itself
+    is the established banded single-explode plan. Attribution groups by
+    the wedge CENTER's source."""
+    bands_sql, select_sql = _simhash_pairs_parts(d)
+    return (
+        f"WITH fps AS ({_simhash_fps_sql(d)}),\n"
+        f"banded AS ({bands_sql}),\n"
+        f"pairs AS ({select_sql}),"
+        f"{_transitivity_body(d)}"
+    )
+
+
+TEMPLATES["dedup_chain_transitivity"] = dedup_chain_transitivity
+
+
+def _transitivity_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the PAIR relation once — it feeds both
+    symmetrized edge copies and the triangle-closure probe (3 consumers;
+    inlining would re-run the banded self-join three times)."""
+    register_views(spark, sf_dir)
+    bands_sql, select_sql = _simhash_pairs_parts("spark")
+    pairs_sql = (
+        f"WITH fps AS ({_simhash_fps_sql('spark')}),\n"
+        f"banded AS ({bands_sql})\n{select_sql}"
+    )
+    name = _materialized_view(spark, pairs_sql, "trans_pairs")
+    return _sql_dropping(spark, "WITH " + _transitivity_body("spark", rel=name).lstrip(), name)
+
+
+SPARK_OVERRIDES["dedup_chain_transitivity"] = _transitivity_spark
+
+
+def metadata_lang_mismatch(d: str) -> str:
+    """Label-noise audit for the lang METADATA column: per source, how many
+    documents' stopword-argmax detected language (the lang_id heuristic)
+    contradicts the labeled lang — mislabeled metadata poisons every
+    lang-conditioned pipeline stage (per-lang tokenizers, temperature
+    mixing, lang-stratified splits). 'und' detections (no stopword hit)
+    are reported separately, not counted as mismatches. One scan, one
+    source-dim agg; rates divide exact integers."""
+    det = TA.lang_id_sql("text", d)
+    return f"""
+WITH t AS (SELECT source, lang, {det} AS det FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN det = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_undetermined,
+       CAST(SUM(CASE WHEN det <> 'und' AND det <> lang THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       CAST(round(CAST(SUM(CASE WHEN det <> 'und' AND det <> lang THEN 1 ELSE 0 END) AS DOUBLE)
+                  / nullif(SUM(CASE WHEN det <> 'und' THEN 1 ELSE 0 END), 0), 6)
+            AS DOUBLE) AS mismatch_share
+FROM t
+GROUP BY source
+ORDER BY source
+"""
+
+
+TEMPLATES["metadata_lang_mismatch"] = metadata_lang_mismatch
+
+
+def session_trigram_paths(d: str) -> str:
+    """Top behavioral trigram paths: the most frequent 3-step event-type
+    sequences within a user's ordered stream — the sequence-pattern depth
+    event_markov_transitions (first-order) cannot express (a Markov chain
+    with identical bigram stats can have wildly different trigram mass).
+    Two key-partitioned LAGs, one path-dim agg (<= |types|^3 cells), a
+    dim-sized share window, TakeOrdered top-20 on (count desc, path asc)."""
+    ts = _ts_us(d)
+    return f"""
+WITH seq AS (
+  SELECT LAG(event_type, 2) OVER w AS e1,
+         LAG(event_type, 1) OVER w AS e2,
+         event_type AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY {ts} ASC, event_id ASC)
+),
+g AS (
+  SELECT concat(e1, '>', e2, '>', e3) AS path, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE e1 IS NOT NULL
+  GROUP BY concat(e1, '>', e2, '>', e3)
+)
+SELECT path, n,
+       CAST(round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS DOUBLE) AS share
+FROM g
+ORDER BY n DESC, path ASC
+LIMIT 20
+"""
+
+
+TEMPLATES["session_trigram_paths"] = session_trigram_paths
+
+
+LORENZ_CUTS = (1, 5, 10, 50)
+
+
+def _lorenz_uc_sql(d: str) -> str:
+    return "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id"
+
+
+def _lorenz_body(d: str, rel: str = "uc") -> str:
+    if d == "spark":
+        cuts = "SELECT explode(array(" + ", ".join(str(p) for p in LORENZ_CUTS) + ")) AS p"
+    else:
+        cuts = "SELECT unnest([" + ", ".join(str(p) for p in LORENZ_CUTS) + "]) AS p"
+    kk = _idiv("(tot.users * cd.p + 99)", "100", d)
+    return f"""
+vc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nu FROM {rel} GROUP BY c),
+cum AS (
+  SELECT c, nu,
+         SUM(nu) OVER (ORDER BY c DESC) AS cu,
+         SUM(nu * c) OVER (ORDER BY c DESC) AS ce
+  FROM vc
+),
+tot AS (SELECT CAST(SUM(nu) AS BIGINT) AS users, CAST(SUM(nu * c) AS BIGINT) AS events FROM vc),
+k AS (SELECT cd.p AS p, CAST({kk} AS BIGINT) AS kk FROM ({cuts}) cd CROSS JOIN tot)
+SELECT CAST(k.p AS INT) AS top_pct,
+       k.kk AS k_users,
+       CAST(cum.ce - (cum.cu - k.kk) * cum.c AS BIGINT) AS events_top,
+       CAST(round(CAST(cum.ce - (cum.cu - k.kk) * cum.c AS DOUBLE) / tot.events, 6)
+            AS DOUBLE) AS event_share
+FROM k
+JOIN cum ON cum.cu >= k.kk AND cum.cu - cum.nu < k.kk
+CROSS JOIN tot
+ORDER BY top_pct
+"""
+
+
+def user_concentration_lorenz(d: str) -> str:
+    """Activity-concentration Lorenz points: the share of all events
+    produced by the top 1/5/10/50% most active users — the skew readout
+    that sizes salting/partition strategy (a 1%-of-users-half-the-events
+    stream needs hot-key handling everywhere user_id keys a shuffle).
+    EXACT at any scale with no corpus window: per-user counts collapse to
+    the distinct-count-VALUE dim (the token_gini rule), the cumulative
+    window runs over those values, and each cut resolves via integer
+    bracketing arithmetic (ceil via integer division; partial users at
+    the bracket value contribute exactly (k - cu_prev) * c events)."""
+    return f"WITH uc AS ({_lorenz_uc_sql(d)}),{_lorenz_body(d)}"
+
+
+TEMPLATES["user_concentration_lorenz"] = user_concentration_lorenz
+
+
+def _lorenz_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the per-user count dim once — the
+    value-dim rollup and the totals both read it (inlining would scan
+    events twice)."""
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _lorenz_uc_sql("spark"), "lorenz_uc")
+    return _sql_dropping(spark, "WITH " + _lorenz_body("spark", rel=name).lstrip(), name)
+
+
+SPARK_OVERRIDES["user_concentration_lorenz"] = _lorenz_spark
