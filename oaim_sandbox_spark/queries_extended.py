@@ -6302,6 +6302,282 @@ ORDER BY top_pct
 """
 
 
+def return_rate_anomaly_by_brand(d: str) -> str:
+    """Return-rate QC screen: per brand, the share of lineitems returned
+    (l_returnflag = 'R') with a two-proportion z-score against the global
+    rate — the defect-attribution readout (|z| > 3 = brand's return rate
+    is not sampling noise). All counts exact integers; the z divides
+    identically-derived doubles; degenerate global rates (0 or 1) yield
+    NULL z via the exact guard. One scan + brand-dim agg + 1-row global."""
+    return """
+WITH b AS (
+  SELECT p.p_brand AS brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+),
+g AS (SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS r FROM b)
+SELECT b.brand AS brand, b.n AS n_lines, b.r AS n_returned,
+       CAST(round(CAST(b.r AS DOUBLE) / b.n, 6) AS DOUBLE) AS return_rate,
+       CAST(round(CAST(g.r AS DOUBLE) / g.n, 6) AS DOUBLE) AS global_rate,
+       CAST(round(CASE WHEN g.r = 0 OR g.r = g.n THEN NULL
+                       ELSE (CAST(b.r AS DOUBLE) / b.n - CAST(g.r AS DOUBLE) / g.n)
+                            / sqrt((CAST(g.r AS DOUBLE) / g.n)
+                                   * (CAST(1 AS DOUBLE) - CAST(g.r AS DOUBLE) / g.n) / b.n)
+                  END, 6) + 0.0 AS DOUBLE) AS z_score
+FROM b CROSS JOIN g
+ORDER BY brand
+"""
+
+
+TEMPLATES["return_rate_anomaly_by_brand"] = return_rate_anomaly_by_brand
+
+
+def unit_price_dispersion(d: str) -> str:
+    """Pricing-consistency audit: per brand, the dispersion of the realized
+    UNIT price (extendedprice / quantity) — coefficient of variation and
+    max/min ratio. A brand whose identical parts sell at wildly different
+    unit prices signals data-entry noise or uncontrolled discounting
+    upstream of any revenue model. Moments accumulate via exact_sum
+    (scale 4 for the price, 0 for its square — unit prices reach ~1e5, so
+    the squared term holds ~9e8 rows/brand before BIGINT pressure; at a
+    larger SF drop the scales one notch). The zero-dispersion guard is
+    the exact MIN=MAX test (grid-rounded moments make the naive variance
+    tiny-nonzero there — the r11 rule)."""
+    mom = f"""CAST(COUNT(*) AS DOUBLE) AS n,
+         {P.exact_sum('up', d, 4)} AS s, {P.exact_sum('up * up', d, 0)} AS s2,
+         MIN(up) AS lo, MAX(up) AS hi"""
+    return f"""
+WITH u AS (
+  SELECT p.p_brand AS brand, l.l_extendedprice / l.l_quantity AS up
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_quantity > 0
+),
+m AS (SELECT brand, {mom} FROM u GROUP BY brand)
+SELECT brand,
+       CAST(n AS BIGINT) AS n_lines,
+       CAST(round(s / n, 6) AS DOUBLE) AS mean_unit_price,
+       CAST(round(CASE WHEN lo = hi THEN CAST(0 AS DOUBLE)
+                       ELSE sqrt(greatest(s2 / n - (s / n) * (s / n), CAST(0 AS DOUBLE)))
+                            / (s / n) END, 6) AS DOUBLE) AS cv,
+       CAST(round(hi / lo, 6) AS DOUBLE) AS max_min_ratio
+FROM m
+ORDER BY brand
+"""
+
+
+TEMPLATES["unit_price_dispersion"] = unit_price_dispersion
+
+
+def _centroid_comp_sql(d: str) -> str:
+    """(vec_id, label, dim index, component) — the pivoted embedding
+    relation the centroid fit and the distance scoring both read."""
+    arr = P.to_double_array("embedding", d)
+    comp = "element_at(v.u, i.i)" if d == "spark" else "(v.u)[i.i]"
+    return f"""SELECT v.vec_id AS vec_id, v.label AS label, i.i AS i, {comp} AS x
+FROM (SELECT vec_id, label, {arr} AS u FROM embeddings) v
+CROSS JOIN ({_dim_idx(d)}) i"""
+
+
+def _centroid_classifier_body(d: str, rel: str = "comp") -> str:
+    return f"""
+cent AS (SELECT label AS clabel, i, {P.exact_avg('x', d, 9)} AS c
+         FROM {rel} GROUP BY label, i),
+d2 AS (
+  SELECT t.vec_id AS vec_id, t.label AS label, cent.clabel AS clabel,
+         {P.exact_sum('(t.x - cent.c) * (t.x - cent.c)', d, 9)} AS dist2
+  FROM {rel} t JOIN cent ON t.i = cent.i
+  GROUP BY t.vec_id, t.label, cent.clabel
+),
+best AS (
+  SELECT vec_id, label, clabel,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY round(dist2, 9) ASC, clabel ASC) AS rnk
+  FROM d2
+),
+conf AS (
+  SELECT label, clabel, CAST(COUNT(*) AS BIGINT) AS n
+  FROM best WHERE rnk = 1 GROUP BY label, clabel
+)
+SELECT CAST(conf.label AS INT) AS true_label,
+       CAST(conf.clabel AS INT) AS predicted_label,
+       conf.n AS n,
+       CAST(round(CAST(conf.n AS DOUBLE)
+                  / SUM(conf.n) OVER (PARTITION BY conf.label), 6) AS DOUBLE) AS row_share
+FROM conf
+ORDER BY true_label, predicted_label
+"""
+
+
+def centroid_classifier_accuracy(d: str) -> str:
+    """Nearest-centroid confusion matrix over the embedding store — the
+    separability eval label_centroid_margin (margins) and
+    knn_label_consensus (kNN votes) don't give: train the one-pass
+    centroid classifier and read WHICH labels it confuses with which.
+    Centroids are per-(label, dim) exact means; each vector's k distances
+    are exact_sum'd squared diffs, so the argmin (rank by the grid-rounded
+    dist2, label tiebreak) is engine-identical. Plan: the 64x dim pivot
+    feeds the centroid fit and the scoring join (Spark override
+    materializes it once); distances shuffle (vec, label) slim tuples,
+    the confusion rollup is labels^2-sized."""
+    return f"WITH comp AS ({_centroid_comp_sql(d)}),{_centroid_classifier_body(d)}"
+
+
+TEMPLATES["centroid_classifier_accuracy"] = centroid_classifier_accuracy
+
+
+def _centroid_classifier_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the pivoted component relation once — the
+    centroid fit and the distance join both read it (inlining would
+    re-explode the store per consumer)."""
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _centroid_comp_sql("spark"), "cc_comp")
+    return _sql_dropping(spark, "WITH " + _centroid_classifier_body("spark", rel=name).lstrip(), name)
+
+
+SPARK_OVERRIDES["centroid_classifier_accuracy"] = _centroid_classifier_spark
+
+
+def _rollup_g_sql(d: str) -> str:
+    """The ROLLUP(region, nation) revenue relation (<= |nations| +
+    |regions| + 1 rows) — the dim every share-of-parent level reads."""
+    return f"""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         {P.exact_sum('l_extendedprice * (1 - l_discount)', d, 2)} AS rev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT region, nation, {P.exact_sum('rev', d, 2)} AS rev,
+       CAST(GROUPING(region) AS INT) AS gr, CAST(GROUPING(nation) AS INT) AS gn
+FROM rev GROUP BY ROLLUP(region, nation)"""
+
+
+def _rollup_share_body(d: str, rel: str = "g") -> str:
+    return f"""
+total AS (SELECT rev FROM {rel} WHERE gr = 1 AND gn = 1),
+lvl0 AS (
+  SELECT 'ALL' AS region, 'ALL' AS nation, rev, rev AS prev, 0 AS level FROM total
+),
+lvl1 AS (
+  SELECT c.region AS region, 'ALL' AS nation, c.rev AS rev, t.rev AS prev, 1 AS level
+  FROM {rel} c CROSS JOIN total t WHERE c.gr = 0 AND c.gn = 1
+),
+lvl2 AS (
+  SELECT c.region AS region, c.nation AS nation, c.rev AS rev, p.rev AS prev, 2 AS level
+  FROM {rel} c JOIN {rel} p ON p.region = c.region
+  WHERE c.gr = 0 AND c.gn = 0 AND p.gr = 0 AND p.gn = 1
+)
+SELECT region, nation,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       CAST(round(rev / prev, 6) AS DOUBLE) AS share_of_parent,
+       CAST(level AS INT) AS level
+FROM (SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1 UNION ALL SELECT * FROM lvl2) u
+ORDER BY level, region, nation
+"""
+
+
+def rollup_share_of_parent(d: str) -> str:
+    """Hierarchical revenue rollup with share-of-parent: region -> nation
+    ROLLUP where every nation row carries its share of its region and
+    every region row its share of the grand total — the treemap/drilldown
+    readout flat GROUP BYs don't give. Revenue is exact integer cents
+    (P.exact_sum scale 2); the rollup runs over the nation-dim relation
+    (25 rows), and parents resolve per level — nation rows equi-join
+    their region subtotal, region rows cross-join the 1-row grand total.
+    The rollup relation feeds FOUR consumers, so the Spark runner
+    materializes it once (inlining re-ran the lineitem scan per branch
+    and the unknown-stats 1-row cross join planned a CartesianProduct;
+    materialized, it broadcasts). GROUPING() is evaluated identically on
+    both engines; output keys are COALESCE'd to 'ALL' so the hash compare
+    never sees engine NULL-ordering differences."""
+    return f"WITH g AS ({_rollup_g_sql(d)}),{_rollup_share_body(d)}"
+
+
+TEMPLATES["rollup_share_of_parent"] = rollup_share_of_parent
+
+
+def _rollup_share_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _rollup_g_sql("spark"), "rollup_g")
+    return _sql_dropping(spark, "WITH " + _rollup_share_body("spark", rel=name).lstrip(), name)
+
+
+SPARK_OVERRIDES["rollup_share_of_parent"] = _rollup_share_spark
+
+
+CONTAINMENT_MIN = 0.5
+CONTAINMENT_DIR = 0.8
+
+
+def _containment_shingled_sql(d: str) -> str:
+    """Distinct trigram-shingle hashes per doc (the ngram_jaccard blocking
+    shape: quadratic only within a source)."""
+    from oaim_sandbox_spark.queries_dedup import NGRAM
+
+    sh = f"transform({P.word_ngrams('text', NGRAM, 'spark')}, s -> {P.hash64('s', 'spark')})"
+    if d == "spark":
+        return f"SELECT doc_id, source, explode(array_distinct({sh})) AS sh FROM documents"
+    sh_d = f"list_distinct(list_transform({P.word_ngrams('text', NGRAM, 'duck')}, s -> {P.hash64('s', 'duck')}))"
+    return f"SELECT doc_id, source, unnest({sh_d}) AS sh FROM documents"
+
+
+def _containment_body(d: str, rel: str = "shingled") -> str:
+    ca = "CAST(i.n_inter AS DOUBLE) / a.n_sh"
+    cb = "CAST(i.n_inter AS DOUBLE) / b.n_sh"
+    return f"""
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM {rel} GROUP BY doc_id),
+i AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM {rel} l JOIN {rel} r
+    ON l.source = r.source AND l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+)
+SELECT i.doc_a AS doc_a, i.doc_b AS doc_b, i.n_inter AS n_shared,
+       a.n_sh AS n_a, b.n_sh AS n_b,
+       CAST(round({ca}, 6) AS DOUBLE) AS containment_a,
+       CAST(round({cb}, 6) AS DOUBLE) AS containment_b,
+       CASE WHEN {ca} >= {CONTAINMENT_DIR} AND {cb} >= {CONTAINMENT_DIR} THEN 'mutual'
+            WHEN {ca} >= {CONTAINMENT_DIR} THEN 'a_in_b'
+            WHEN {cb} >= {CONTAINMENT_DIR} THEN 'b_in_a'
+            ELSE 'partial' END AS direction
+FROM i
+JOIN sizes a ON a.doc_id = i.doc_a
+JOIN sizes b ON b.doc_id = i.doc_b
+WHERE GREATEST({ca}, {cb}) >= {CONTAINMENT_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+
+def containment_direction_pairs(d: str) -> str:
+    """ASYMMETRIC containment for near-dup pairs: Jaccard treats a quote
+    and its container as weakly similar, but containment |A∩B|/|A| reads
+    1.0 when A is fully embedded in B — the quote/expansion detector that
+    decides WHICH side of a near-dup pair to keep (drop the contained
+    fragment, keep the superset document). Same source-blocked shingle
+    join as ngram_jaccard_pairs; adds the two directed ratios and a
+    direction verdict at the 0.8 threshold. Ratios divide exact integers;
+    the shingle relation feeds three consumers, so the Spark runner
+    materializes it once."""
+    return f"WITH shingled AS ({_containment_shingled_sql(d)}),{_containment_body(d)}"
+
+
+TEMPLATES["containment_direction_pairs"] = containment_direction_pairs
+
+
+def _containment_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _containment_shingled_sql("spark"), "cont_sh")
+    return _sql_dropping(spark, "WITH " + _containment_body("spark", rel=name).lstrip(), name)
+
+
+SPARK_OVERRIDES["containment_direction_pairs"] = _containment_spark
+
+
 def user_concentration_lorenz(d: str) -> str:
     """Activity-concentration Lorenz points: the share of all events
     produced by the top 1/5/10/50% most active users — the skew readout

@@ -381,3 +381,182 @@ def test_user_concentration_lorenz_matches_direct_python():
         exp.append((p, k, top, _r6(top / total)))
     assert [tuple(r) for r in got] == exp
     assert got[3] == (50, 4, 17, 0.85)
+
+
+# --- wave 2 ---------------------------------------------------------------
+
+
+def test_return_rate_anomaly_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import return_rate_anomaly_by_brand
+
+    plan = {"A": ("R" * 8 + "N" * 2), "B": ("R" * 1 + "N" * 9),
+            "C": ("R" * 3 + "A" * 7)}  # 'A' flag is NOT a return
+    parts, lines, pk = [], [], 0
+    for b, flags in plan.items():
+        for fl in flags:
+            pk += 1
+            parts.append((pk, b))
+            lines.append((pk, fl))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE part AS SELECT * FROM (VALUES "
+                + ", ".join(f"({k}, 'Brand#{b}')" for k, b in parts)
+                + ") AS v(p_partkey, p_brand)")
+    con.execute("CREATE TABLE lineitem AS SELECT * FROM (VALUES "
+                + ", ".join(f"({k}, '{fl}')" for k, fl in lines)
+                + ") AS v(l_partkey, l_returnflag)")
+    got = con.execute(return_rate_anomaly_by_brand("duck")).fetchall()
+
+    tot_n = sum(len(f) for f in plan.values())
+    tot_r = sum(f.count("R") for f in plan.values())
+    p0 = tot_r / tot_n
+    exp = []
+    for b in sorted(plan):
+        n, r = len(plan[b]), plan[b].count("R")
+        z = (r / n - p0) / math.sqrt(p0 * (1 - p0) / n)
+        exp.append((f"Brand#{b}", n, r, _r6(r / n), _r6(p0), _r6(z)))
+    assert [tuple(r) for r in got] == exp
+    assert got[0][5] > 0 > got[1][5]  # A anomalously high, B low
+
+
+def test_unit_price_dispersion_matches_numpy():
+    from oaim_sandbox_spark.queries_extended import unit_price_dispersion
+
+    plan = {"V": [(100.0, 1), (300.0, 2), (80.0, 4)],   # varied unit prices
+            "C": [(50.0, 1), (100.0, 2), (200.0, 4)]}   # constant 50 -> cv 0
+    parts, lines, pk = [], [], 0
+    for b, ps in plan.items():
+        for ext, qty in ps:
+            pk += 1
+            parts.append((pk, b))
+            lines.append((pk, ext, qty))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE part AS SELECT * FROM (VALUES "
+                + ", ".join(f"({k}, 'Brand#{b}')" for k, b in parts)
+                + ") AS v(p_partkey, p_brand)")
+    con.execute("CREATE TABLE lineitem AS SELECT * FROM (VALUES "
+                + ", ".join(f"({k}, CAST({e} AS DOUBLE), CAST({q} AS DOUBLE))"
+                            for k, e, q in lines)
+                + ") AS v(l_partkey, l_extendedprice, l_quantity)")
+    got = {r[0]: r for r in con.execute(unit_price_dispersion("duck")).fetchall()}
+
+    for b, ps in plan.items():
+        up = np.array([e / q for e, q in ps])
+        r = got[f"Brand#{b}"]
+        assert r[1] == len(ps)
+        assert abs(r[2] - up.mean()) < 1e-3
+        cv = math.sqrt((up * up).mean() - up.mean() ** 2) / up.mean()
+        if up.min() == up.max():
+            assert r[3] == 0.0  # exact MIN=MAX guard, not quantization junk
+        else:
+            assert abs(r[3] - cv) < 1e-3
+        assert abs(r[4] - up.max() / up.min()) < 2e-6
+    assert got["Brand#C"][3] == 0.0
+
+
+def test_centroid_classifier_accuracy_matches_numpy():
+    from oaim_sandbox_spark.queries_extended import centroid_classifier_accuracy
+
+    dim = 64
+    rng = np.random.default_rng(5)
+    centers = {0: rng.normal(0, 1, dim), 1: rng.normal(3, 1, dim),
+               2: rng.normal(-3, 1, dim)}
+    vecs, vid = [], 0
+    for lbl, c in centers.items():
+        for _ in range(6):
+            vecs.append((vid, lbl, [float(x) for x in c + rng.normal(0, 0.5, dim)]))
+            vid += 1
+    # one deliberate outlier: labeled 0 but sitting on center 1
+    vecs.append((vid, 0, [float(x) for x in centers[1]]))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+                + ", ".join(f"({v}, [{', '.join(repr(x) for x in e)}]::FLOAT[], {l})"
+                            for v, l, e in vecs)
+                + ") AS v(vec_id, embedding, label)")
+    got = con.execute(centroid_classifier_accuracy("duck")).fetchall()
+
+    f32 = [(v, l, np.array(np.array(e, dtype=np.float32), dtype=float))
+           for v, l, e in vecs]
+    cent = {}
+    for lbl in centers:
+        pts = [e for _, l, e in f32 if l == lbl]
+        cent[lbl] = np.mean(pts, axis=0)
+    conf = Counter()
+    for _, l, e in f32:
+        pred = min(cent, key=lambda c: (float(((e - cent[c]) ** 2).sum()), c))
+        conf[(l, pred)] += 1
+    totals = Counter()
+    for (l, _), n in conf.items():
+        totals[l] += n
+    exp = [(l, p, n, _r6(n / totals[l])) for (l, p), n in sorted(conf.items())]
+    assert [tuple(r) for r in got] == exp
+    assert (0, 1, 1, _r6(1 / 7)) in exp  # the planted outlier misclassifies
+
+
+def test_rollup_share_of_parent_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import rollup_share_of_parent
+
+    # region X: nations n1 (100), n2 (300); region Y: n3 (600)
+    rev = {("X", "n1"): "100.00", ("X", "n2"): "300.00", ("Y", "n3"): "600.00"}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE region AS SELECT * FROM (VALUES "
+                "(0, 'X'), (1, 'Y')) AS v(r_regionkey, r_name)")
+    con.execute("CREATE TABLE nation AS SELECT * FROM (VALUES "
+                "(0, 'n1', 0), (1, 'n2', 0), (2, 'n3', 1)"
+                ") AS v(n_nationkey, n_name, n_regionkey)")
+    con.execute("CREATE TABLE supplier AS SELECT * FROM (VALUES "
+                "(1, 0), (2, 1), (3, 2)) AS v(s_suppkey, s_nationkey)")
+    con.execute("CREATE TABLE lineitem AS SELECT * FROM (VALUES "
+                "(1, 100.00, 0.00), (2, 600.00, 0.50), (3, 600.00, 0.00)"
+                ") AS v(l_suppkey, l_extendedprice, l_discount)")
+    got = con.execute(rollup_share_of_parent("duck")).fetchall()
+    assert got == [
+        ("ALL", "ALL", 1000.0, 1.0, 0),
+        ("X", "ALL", 400.0, 0.4, 1),
+        ("Y", "ALL", 600.0, 0.6, 1),
+        ("X", "n1", 100.0, 0.25, 2),
+        ("X", "n2", 300.0, 0.75, 2),
+        ("Y", "n3", 600.0, 1.0, 2),
+    ]
+
+
+def test_containment_direction_pairs_matches_direct_python():
+    from oaim_sandbox_spark.queries_extended import containment_direction_pairs
+
+    container = "one two three four five six seven eight nine ten"
+    quote = "three four five six"            # fully contained in container
+    rows = [
+        (0, "srcA", container),
+        (1, "srcA", quote),                  # b_in_a? a<b: doc0=container
+        (2, "srcA", "one two three four x y z w"),  # partial overlap
+        (3, "srcA", "p q r s t u"),          # disjoint: no pair
+        (4, "srcB", quote),                  # other source: blocked
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{s}', '{t}')" for i, s, t in rows)
+                + ") AS v(doc_id, source, text)")
+    got = con.execute(containment_direction_pairs("duck")).fetchall()
+
+    def tri(t):
+        w = t.split()
+        return {" ".join(w[j:j + 3]) for j in range(len(w) - 2)}
+
+    exp = []
+    srcA = [(i, tri(t)) for i, s, t in rows if s == "srcA"]
+    for x in range(len(srcA)):
+        for y in range(x + 1, len(srcA)):
+            (ia, sa), (ib, sb) = srcA[x], srcA[y]
+            inter = len(sa & sb)
+            if not inter:
+                continue
+            ca, cb = inter / len(sa), inter / len(sb)
+            if max(ca, cb) < 0.5:
+                continue
+            direction = ("mutual" if ca >= 0.8 and cb >= 0.8
+                         else "a_in_b" if ca >= 0.8
+                         else "b_in_a" if cb >= 0.8 else "partial")
+            exp.append((ia, ib, inter, len(sa), len(sb),
+                        _r6(ca), _r6(cb), direction))
+    assert [tuple(r) for r in got] == exp
+    assert ("b_in_a" in {r[7] for r in got})  # the quote was detected
+    assert not any(4 in (r[0], r[1]) for r in got)  # source blocking held
