@@ -922,11 +922,15 @@ class StageMetricsTracker:
                     if group is not None:
                         for sid in leftover:
                             self._pending[sid] = group
+                        note = "bytes fold into late_by_group when they finish"
+                    else:
+                        # a drain has no owning query to credit — say so
+                        # instead of promising a fold that never happens
+                        note = "drain has no owning query; bytes stay uncounted"
                     print(
                         f"# BENCH WARN settle deadline expired with "
                         f"{len(leftover)} stage(s) of group {group!r} still "
-                        "running — bytes fold into late_by_group when they "
-                        "finish", file=sys.stderr,
+                        f"running — {note}", file=sys.stderr,
                     )
             # advance the floor through the contiguous claimed prefix (job
             # ids are globally consecutive) and prune bookkeeping below it
@@ -1122,8 +1126,19 @@ def detect_concurrent_activity() -> dict:
         except (OSError, ValueError):
             continue
         low = cmd.lower()
-        if "pytest" in low or "bench.py" in low \
-                or ("java" in low and "spark" in low):
+        parts = low.split()
+        if not parts:
+            continue
+        exe = parts[0].rsplit("/", 1)[-1]
+        rest = " ".join(parts[1:])
+        # match EXECUTION, not mention (r13 review: `vim bench.py` or
+        # `tail -f pytest.log` must not contaminate the gate) — the
+        # offender must be a java/python/pytest interpreter actually
+        # running Spark, pytest, or another bench
+        if (exe.startswith("java") and "spark" in low) \
+                or exe.startswith("pytest") \
+                or (exe.startswith("python")
+                    and ("pytest" in rest or "bench.py" in rest)):
             offenders.append({"pid": opid, "cmd": cmd[:160]})
     try:
         load1 = round(os.getloadavg()[0], 2)

@@ -431,6 +431,7 @@ def evaluate_testset_batched(
             "evaluator's context-join columns; rename them first")
     qa = qa.localCheckpoint(eager=True)
     qdf = None
+    ctx_ckpt = None
     try:
         s = pipe.settings
         if s.rag_enabled and pipe.store is not None:
@@ -502,6 +503,12 @@ def evaluate_testset_batched(
                 # failed gate empties that question's context array, which
                 # routes every duplicate row to ungrounded generation
                 # exactly as chat() would.
+                # ctx is checkpointed FIRST (r13 review): it feeds both the
+                # gate mapInPandas and the verdict join, and an inlined
+                # plan would run the whole topk_batch_df subtree — the one
+                # stage-1 scan this function exists to guarantee — twice.
+                ctx = ctx.localCheckpoint(eager=True)
+                ctx_ckpt = ctx
                 gate_llm = pipe.llm
                 gate_with = ChatPipeline.grade_with
 
@@ -562,3 +569,5 @@ def evaluate_testset_batched(
         free_local_checkpoint(qa)
         if qdf is not None:
             free_local_checkpoint(qdf)
+        if ctx_ckpt is not None:
+            free_local_checkpoint(ctx_ckpt)

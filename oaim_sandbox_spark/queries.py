@@ -102,15 +102,21 @@ def _make_spark_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # the derived order is stable and reproducible.
 
 
-def _correctness_union(root: str = "/root/repo") -> dict[str, tuple[int, bool]]:
+def _correctness_union(root: "str | None" = None) -> dict[str, tuple[int, bool]]:
     """name -> (last driver-checked round, passed) from CORRECTNESS_r*.json.
 
     Later rounds override earlier ones (sorted glob = ascending round for
     the zero-padded r01..r99 naming the driver uses). Unreadable files are
-    skipped — a half-written record must never crash registry import."""
+    skipped — a half-written record must never crash registry import.
+    ``root`` defaults to the repo root derived from THIS file (r13 review:
+    a hardcoded absolute path would silently yield an empty union — and a
+    frozen, never-rotating window — on any checkout at another path)."""
     import glob as _glob
     import json as _json
+    import os as _os
 
+    if root is None:
+        root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     status: dict[str, tuple[int, bool]] = {}
     for path in sorted(_glob.glob(f"{root}/CORRECTNESS_r*.json")):
         try:

@@ -6102,7 +6102,7 @@ sums AS (
 ),
 c2 AS (SELECT label, {P.exact_sum('sbar * sbar', d, 12)} AS c2 FROM sums GROUP BY label),
 g AS (
-  SELECT label, CAST(COUNT(*) AS BIGINT) AS n, {P.exact_sum('sd', d, 12)} AS selfsum
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n, {P.exact_sum('sd', d, 6)} AS selfsum
   FROM (SELECT label, {sd} AS sd FROM {rel}) t GROUP BY label
 )
 SELECT g.label AS label, g.n AS n_vectors,
@@ -6120,9 +6120,12 @@ def label_cohesion_pairwise(d: str) -> str:
     """EXACT mean pairwise cosine within each label, without any pair join:
     for unit vectors, sum_(i<>j) u_i.u_j = ||sum u||^2 - sum ||u_i||^2, so
     the O(n^2) statistic collapses to per-dimension sums — the SemDeDup-
-    style cluster-coherence readout at one-scan cost, scale-exact at any
-    store size (per-dim means via exact_avg make ||sum u||^2 = n^2*sum
-    mean_d^2 without a magnitude-growing integer). centroid_norm (||mean
+    style cluster-coherence readout at one-scan cost. Capacity: per-dim
+    means via exact_avg scale 9 hold ~2e9 vectors/label, and selfsum
+    (each row's ||u||^2 ~ 1) accumulates at scale 6 — ~9e12 rows/label
+    before BIGINT pressure (r13 review: scale 12 overflowed at ~9e6; the
+    1e-6 grid costs <1e-6/(n-1) on the cohesion, far inside round-6);
+    drop scales a notch past those bounds. centroid_norm (||mean
     vector||) reads dispersion directly: 1 = all identical, ~0 =
     directionally uniform. The dim pivot is the fixed 1..64 index
     relation (embedding_centroid_outliers plan shape); the self-dot sum

@@ -131,31 +131,36 @@ def _assert_window_invariant(ordered: "list[str]", last: "dict[str, int]") -> No
     assert not too_stale_outside, sorted(too_stale_outside)
 
 
-def test_window_self_rotates_when_driver_drops_fresh_record():
+def test_window_self_rotates_when_driver_drops_fresh_record(tmp_path):
     """VERDICT r12 task #2: the window ordering is derived AT RUNTIME from
     the CORRECTNESS_r*.json union (flagship_order), so the staleness
     invariant must hold BOTH before and after a synthetic fresh
     CORRECTNESS_r{N+1}.json lands in the repo root — the exact event that
     made the committed-tuple window fail at three consecutive judge HEADs.
-    The synthetic record certifies the CURRENT window's 50 names; the
-    re-derived order must demote all of them past slot 50 and promote the
-    union's stalest tier, with no hand-edited list."""
+    The drop is simulated against a tmp COPY of the repo root's records
+    (r13 review: writing a synthetic all-green record into the LIVE root
+    would leave a forged certification artifact behind if the run were
+    SIGKILLed mid-test — the root=/union= injection exists for exactly
+    this). The synthetic record certifies the CURRENT window's 50 names;
+    the re-derived order must demote all of them past slot 50 and promote
+    the union's stalest tier, with no hand-edited list."""
     import glob
     import json
-    import os
+    import shutil
 
-    rounds = [
-        int(p.rsplit("_r", 1)[1].split(".")[0])
-        for p in glob.glob("/root/repo/CORRECTNESS_r*.json")
-    ]
-    assert rounds, "no CORRECTNESS records committed — nothing to rotate on"
-    nxt = max(rounds) + 1
+    paths = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    assert paths, "no CORRECTNESS records committed — nothing to rotate on"
+    for src_p in paths:
+        shutil.copy(src_p, tmp_path / src_p.rsplit("/", 1)[1])
+    nxt = max(int(src_p.rsplit("_r", 1)[1].split(".")[0]) for src_p in paths) + 1
 
-    # BEFORE: the live import-time ordering satisfies the invariant and
-    # matches a fresh derivation (import-time snapshot is not stale).
+    # BEFORE: the live import-time ordering satisfies the invariant, the
+    # tmp copy derives the identical order, and both match a fresh
+    # derivation (import-time snapshot is not stale).
     live = [n for n in Q.FLAGSHIP_FIRST if n in Q.TEMPLATES]
     assert tuple(Q.FLAGSHIP_FIRST) == Q.flagship_order()
-    union0 = Q._correctness_union()
+    union0 = Q._correctness_union(root=str(tmp_path))
+    assert Q.flagship_order(union=union0) == tuple(Q.FLAGSHIP_FIRST)
     _assert_window_invariant(live, {n: r for n, (r, _ok) in union0.items()})
 
     # AFTER: drop a synthetic fresh record certifying the current window.
@@ -163,28 +168,23 @@ def test_window_self_rotates_when_driver_drops_fresh_record():
         "rows_match": True, "schema_match": True, "hash_match": True,
         "spark_rows": 1, "oracle_rows": 1, "err": None,
     }
-    path = f"/root/repo/CORRECTNESS_r{nxt}.json"
-    assert not os.path.exists(path)
-    try:
-        with open(path, "w") as fh:
-            json.dump({n: green for n in live[:50]}, fh)
-        rotated = [n for n in Q.flagship_order() if n in Q.TEMPLATES]
-        union1 = Q._correctness_union()
-        _assert_window_invariant(rotated, {n: r for n, (r, _ok) in union1.items()})
-        # the just-certified 50 are demoted out of the window...
-        assert not (set(live[:50]) & set(rotated[:50]))
-        # ...and the previously-next-stalest names are promoted into it.
-        assert rotated[:50] == live[50:100]
-        # a FAILING record forces the name back in front of stale entries
-        bad = dict(green, hash_match=False)
-        with open(path, "w") as fh:
-            json.dump({**{n: green for n in live[:50]}, live[0]: bad}, fh)
-        refail = [n for n in Q.flagship_order() if n in Q.TEMPLATES]
-        assert refail[0] == live[0]
-    finally:
-        os.unlink(path)
-    # cleanup restored the original derivation
-    assert Q.flagship_order() == tuple(Q.FLAGSHIP_FIRST)
+    path = tmp_path / f"CORRECTNESS_r{nxt}.json"
+    path.write_text(json.dumps({n: green for n in live[:50]}))
+    union1 = Q._correctness_union(root=str(tmp_path))
+    rotated = [n for n in Q.flagship_order(union=union1) if n in Q.TEMPLATES]
+    _assert_window_invariant(rotated, {n: r for n, (r, _ok) in union1.items()})
+    # the just-certified 50 are demoted out of the window...
+    assert not (set(live[:50]) & set(rotated[:50]))
+    # ...and the previously-next-stalest names are promoted into it.
+    assert rotated[:50] == live[50:100]
+    # a FAILING record forces the name back in front of stale entries
+    bad = dict(green, hash_match=False)
+    path.write_text(json.dumps({**{n: green for n in live[:50]}, live[0]: bad}))
+    union2 = Q._correctness_union(root=str(tmp_path))
+    refail = [n for n in Q.flagship_order(union=union2) if n in Q.TEMPLATES]
+    assert refail[0] == live[0]
+    # the live root was never touched
+    assert sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")) == paths
 
 
 def test_bigram_logprob_short_doc_guard(spark):

@@ -29,18 +29,31 @@ def main() -> None:
     import __spark_entry__ as E
 
     oracles = list(E.oracle_sql())
-    derived = [n for n in flagship_order() if n in set(oracles)]
+    oset = set(oracles)
+    derived = [n for n in flagship_order() if n in oset]
     assert oracles == derived, (
         "registry order no longer matches flagship_order() — the self-"
         "rotating derivation has been bypassed somewhere"
     )
     window = oracles[:50]
+    wset = set(window)
 
     status = _correctness_union()
-    ever_checked = set(status) & set(oracles)
+    ever_checked = set(status) & oset
     never = [n for n in oracles if n not in status]
     failing = sorted(n for n in ever_checked if not status[n][1])
     certified = sorted(n for n in ever_checked if status[n][1])
+
+    def tier_key(union):
+        # FAILING entries get their own tier label so a failing r5 and a
+        # failing r9 don't fragment the round-tier groupby output
+        def key(n):
+            rec = union.get(n)
+            if rec is None:
+                return "never-checked"
+            rnd, ok = rec
+            return f"FAILING (last r{rnd})" if not ok else f"last checked r{rnd}"
+        return key
 
     print(f"registry oracle entries : {len(oracles)}")
     print(f"current window (50)     : certifies {sum(1 for n in window if n not in status)} first-timers")
@@ -48,13 +61,12 @@ def main() -> None:
     print(f"last-check FAILING      : {failing or 'none'}")
     print(f"never driver-checked    : {len(never)}")
     for n in never:
-        mark = " <- IN current window" if n in set(window) else " <- BUG: ordering must front never-checked"
+        mark = " <- IN current window" if n in wset else " <- BUG: ordering must front never-checked"
         print(f"  {n}{mark}")
 
     print("\ncurrent window staleness tiers:")
-    for rnd, grp in groupby(window, key=lambda n: status.get(n, (None,))[0]):
+    for tier, grp in groupby(window, key=tier_key(status)):
         names = list(grp)
-        tier = "never-checked" if rnd is None else f"last checked r{rnd}"
         print(f"  {tier} ({len(names)}): {', '.join(names)}")
 
     # Projection: assume the current window all passes this round, then the
@@ -64,11 +76,10 @@ def main() -> None:
     projected_union = dict(status)
     for n in window:
         projected_union[n] = (latest_round + 1, True)
-    nxt = [n for n in flagship_order(union=projected_union) if n in set(oracles)]
+    nxt = [n for n in flagship_order(union=projected_union) if n in oset]
     print("\nprojected NEXT window (assuming the current 50 certify):")
-    for rnd, grp in groupby(nxt[:50], key=lambda n: projected_union.get(n, (None,))[0]):
+    for tier, grp in groupby(nxt[:50], key=tier_key(projected_union)):
         names = list(grp)
-        tier = "never-checked" if rnd is None else f"last checked r{rnd}"
         print(f"  {tier} ({len(names)}): {', '.join(names)}")
 
 
