@@ -6148,6 +6148,9 @@ def _label_cohesion_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPARK_OVERRIDES["label_cohesion_pairwise"] = _label_cohesion_spark
 
 
+TRANSITIVITY_CENTER_MOD = 8  # wedge-center sampling divisor (see docstring)
+
+
 def _transitivity_body(d: str, rel: str = "pairs") -> str:
     return f"""
 e2 AS (SELECT doc_a AS a, doc_b AS b FROM {rel}
@@ -6156,6 +6159,7 @@ e2 AS (SELECT doc_a AS a, doc_b AS b FROM {rel}
 wedges AS (
   SELECT x.a AS c, x.b AS l, y.b AS r
   FROM e2 x JOIN e2 y ON x.a = y.a AND x.b < y.b
+  WHERE x.a % {TRANSITIVITY_CENTER_MOD} = 0
 ),
 closed AS (
   SELECT w.c AS c, CASE WHEN p.doc_a IS NULL THEN 0 ELSE 1 END AS is_closed
@@ -6179,9 +6183,16 @@ def dedup_chain_transitivity(d: str) -> str:
     over-merge near_dup_clusters' pointer jumping commits to — so this is
     the go/no-go dial between transitive dedup (drop whole components) and
     conservative pairwise dedup. Wedge volume is sum-of-degree^2 of the
-    near-dup graph (pairs-sized, not corpus-sized); the pair graph itself
-    is the established banded single-explode plan. Attribution groups by
-    the wedge CENTER's source."""
+    near-dup graph, which grows SUPERLINEARLY with duplication density
+    (268k pairs -> 54.6M wedges at sf0.1), so wedges are generated only at
+    a deterministic 1-in-TRANSITIVITY_CENTER_MOD sample of CENTER nodes:
+    each sampled center's wedges and closures are computed EXACTLY (the
+    closure probe keeps the FULL pair relation), making the per-source
+    ratio an unbiased center-sample estimate that both engines compute
+    bit-identically — production sizes the divisor from the graph's
+    degree histogram. The pair graph itself is the established banded
+    single-explode plan. Attribution groups by the wedge CENTER's
+    source."""
     bands_sql, select_sql = _simhash_pairs_parts(d)
     return (
         f"WITH fps AS ({_simhash_fps_sql(d)}),\n"

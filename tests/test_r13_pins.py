@@ -276,12 +276,21 @@ def test_label_cohesion_pairwise_matches_direct_python():
 def test_dedup_chain_transitivity_body_matches_direct_python():
     """The pair machinery is pinned elsewhere (simhash_near_pairs, r12);
     this pins the wedge/closure logic on a hand-built pair graph: a 3-node
-    chain (1 open wedge at its center) vs a triangle (3 closed wedges)."""
-    from oaim_sandbox_spark.queries_extended import _transitivity_body
+    chain (1 open wedge at its center) vs a triangle (3 closed wedges),
+    with the deterministic center sample (c % MOD == 0) exercised — a
+    hub center OFF the sample grid contributes nothing."""
+    from oaim_sandbox_spark.queries_extended import (
+        TRANSITIVITY_CENTER_MOD as MOD,
+        _transitivity_body,
+    )
 
-    pairs = [(1, 2), (2, 3),            # chain centered at doc 2 (src0)
-             (4, 5), (4, 6), (5, 6)]    # triangle (src1)
-    docs = {1: "src0", 2: "src0", 3: "src0", 4: "src1", 5: "src1", 6: "src1"}
+    pairs = [(7, 8), (8, 9),               # chain centered at 8 (src0)
+             (16, 24), (16, 32), (24, 32),  # triangle, all centers on-grid (src1)
+             (5, 6), (5, 10)]               # wedge centered at 5: OFF-grid
+    docs = {5: "src2", 6: "src2", 7: "src0", 8: "src0", 9: "src0",
+            10: "src2", 16: "src1", 24: "src1", 32: "src1"}
+    assert 8 % MOD == 0 and 16 % MOD == 0 and 24 % MOD == 0 and 32 % MOD == 0
+    assert 5 % MOD != 0
     con = duckdb.connect()
     con.execute("CREATE TABLE p AS SELECT * FROM (VALUES "
                 + ", ".join(f"({a}, {b})" for a, b in pairs)
@@ -299,6 +308,8 @@ def test_dedup_chain_transitivity_body_matches_direct_python():
         adj[b].add(a)
     per_src = defaultdict(lambda: [0, 0])
     for c, nbrs in adj.items():
+        if c % MOD != 0:
+            continue
         for l in nbrs:
             for r in nbrs:
                 if l < r:
@@ -307,6 +318,7 @@ def test_dedup_chain_transitivity_body_matches_direct_python():
     exp = [(s, w, cl, _r6(cl / w)) for s, (w, cl) in sorted(per_src.items())]
     assert [tuple(r) for r in got] == exp
     assert dict((r[0], r[3]) for r in got) == {"src0": 0.0, "src1": 1.0}
+    assert "src2" not in {r[0] for r in got}  # off-grid center excluded
 
 
 def test_metadata_lang_mismatch_matches_construction():
