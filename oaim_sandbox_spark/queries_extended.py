@@ -6618,3 +6618,669 @@ def _lorenz_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPARK_OVERRIDES["user_concentration_lorenz"] = _lorenz_spark
+
+
+# ---------------------------------------------------------------------------
+# Round-13 wave 2: privacy distribution-distance (t-closeness), ranking
+# quality (tie-corrected AUC), marketing attribution (first touch), ops
+# trend (latency OLS drift), Pareto inventory classes, embedding-geometry
+# calibration (pair-cosine histogram), near-dup graph assortativity, event
+# timing (transition dwell), session entry/exit matrix, and categorical
+# independence (chi-squared). Same conventions as wave 1: exact integer
+# accumulation wherever the data allows, P.exact_sum for small-dim double
+# sums, MIN=MAX degenerate guards, round+0.0 on sign-crossing outputs,
+# CAST(... AS DOUBLE) never bare decimal literals, deterministic ORDER BY
+# with unique tiebreaks.
+# ---------------------------------------------------------------------------
+
+from oaim_sandbox_spark.queries_dedup import _sig_eq_terms  # noqa: E402
+
+
+def _tclose_cls_sql(d: str) -> str:
+    """(lang, source, length-bucket) class histogram — the t-closeness
+    input relation. Buckets reuse k_anonymity_audit's exact integer
+    bucketing (LEAST(9, n_chars div 100)) so the two privacy audits read
+    the same equivalence-class geometry."""
+    lb = f"CAST(LEAST(9, {_idiv('n_chars', '100', d)}) AS INT)"
+    return (
+        f"SELECT lang, source, {lb} AS lb, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM documents GROUP BY lang, source, {lb}"
+    )
+
+
+def _tclose_body(d: str, rel: str = "cls") -> str:
+    if d == "spark":
+        buckets = "SELECT explode(sequence(0, 9)) AS lb"
+    else:
+        buckets = "SELECT unnest(generate_series(0, 9)) AS lb"
+    emd = P.exact_sum(
+        "ABS(CAST(cum_c AS DOUBLE) / ct - CAST(cum_g AS DOUBLE) / gt)", d, 12
+    )
+    return f"""
+gb AS (SELECT lb, CAST(SUM(n) AS BIGINT) AS n FROM {rel} GROUP BY lb),
+keys AS (SELECT DISTINCT lang, source FROM {rel}),
+grid AS (SELECT k.lang, k.source, b.lb FROM keys k CROSS JOIN ({buckets}) b),
+f AS (
+  SELECT g.lang, g.source, g.lb,
+         COALESCE(c.n, 0) AS n_c, COALESCE(gb.n, 0) AS n_g
+  FROM grid g
+  LEFT JOIN {rel} c ON c.lang = g.lang AND c.source = g.source AND c.lb = g.lb
+  LEFT JOIN gb ON gb.lb = g.lb
+),
+w AS (
+  SELECT lang, source, lb,
+         SUM(n_c) OVER (PARTITION BY lang, source ORDER BY lb) AS cum_c,
+         SUM(n_g) OVER (PARTITION BY lang, source ORDER BY lb) AS cum_g,
+         SUM(n_c) OVER (PARTITION BY lang, source) AS ct,
+         SUM(n_g) OVER (PARTITION BY lang, source) AS gt
+  FROM f
+),
+t AS (
+  SELECT lang, source, CAST(MAX(ct) AS BIGINT) AS n_docs,
+         CAST(round({emd} / 9, 6) AS DOUBLE) AS t_closeness
+  FROM w GROUP BY lang, source
+)
+SELECT lang, source, n_docs, t_closeness,
+       CAST(CASE WHEN t_closeness > 0.2 THEN 1 ELSE 0 END AS INT) AS violates_t
+FROM t
+ORDER BY t_closeness DESC, lang, source
+"""
+
+
+def t_closeness_audit(d: str) -> str:
+    """t-closeness audit — the distribution-distance member of the privacy
+    family (k_anonymity_audit counts class sizes, l_diversity_audit counts
+    distinct sensitive values; neither catches a class whose sensitive
+    DISTRIBUTION is skewed). Sensitive attribute: the document length
+    bucket (ordered, 10 cells); per quasi-identifier class (lang, source),
+    t = normalized EMD between the class's bucket CDF and the corpus CDF
+    (for equal-spaced ordered buckets, EMD = mean |CDF delta| over the 9
+    interior prefixes). All counts exact integers; each CDF value divides
+    exact integers; the 9-term sum goes through P.exact_sum (scale 12,
+    |term| <= 1) so the tiny-group merge order can't flip the 6th decimal.
+    Shape: one corpus scan to the (class, bucket) histogram, then
+    everything is classes x 10 dim-sized; windows partition per class.
+    The class at the top of the report leaks its members' length profile
+    even when it is k-anonymous and l-diverse."""
+    return f"WITH cls AS ({_tclose_cls_sql(d)}),{_tclose_body(d)}"
+
+
+TEMPLATES["t_closeness_audit"] = t_closeness_audit
+
+
+def _tclose_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the class histogram once — it feeds the
+    global-bucket rollup, the key dim, and the grid join (3 consumers;
+    inlining would re-run the corpus scan per branch)."""
+    register_views(spark, sf_dir, tables=("documents",))
+    name = _materialized_view(spark, _tclose_cls_sql("spark"), "tclose_cls")
+    return _sql_dropping(spark, "WITH " + _tclose_body("spark", rel=name).lstrip(), name)
+
+
+SPARK_OVERRIDES["t_closeness_audit"] = _tclose_spark
+
+
+def quality_auc_by_source(d: str) -> str:
+    """Tie-corrected ROC AUC of the composite quality score as a predictor
+    of lang='en', per source — "does the quality heuristic encode language
+    identity?" (an AUC far from 0.5 means the gate is a covert language
+    filter; the fairness complement to quality_threshold_parity's
+    pass-rate view). The score is quantized to a 1e-3 grid FIRST (the
+    binned score IS the estimator, exactly computable on both engines and
+    bounding the rank relation at <= 1001 cells per source), then AUC uses
+    the midrank/trapezoid identity: AUC = sum_v pos_v*(2*neg_below_v +
+    neg_v) / (2*P*N) — every term an exact BIGINT, one division at the
+    end. Degenerate sources (no positives or no negatives) yield NULL via
+    nullif on both engines. Shape: corpus scan -> (source, score-cell)
+    counts with map-side combine; the cumulative window runs over the
+    score-cell dim, never corpus rows."""
+    qs = TA.quality_score_sql("text", d)
+    return f"""
+WITH s0 AS (
+  SELECT source, CAST({qs} AS DOUBLE) AS q,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+s AS (
+  -- NULL scores (empty/whitespace-only docs: the guarded ratios inside
+  -- the composite go NULL) are EXCLUDED before ranking — the engines
+  -- disagree on NULL sort position (Spark NULLS FIRST, DuckDB NULLS
+  -- LAST), and an unrankable doc has no place in a ranking metric
+  SELECT source, CAST(floor(q * 1000 + 0.5) AS BIGINT) AS qm, pos
+  FROM s0 WHERE q IS NOT NULL
+),
+g AS (
+  SELECT source, qm,
+         CAST(SUM(pos) AS BIGINT) AS np,
+         CAST(COUNT(*) - SUM(pos) AS BIGINT) AS nn
+  FROM s GROUP BY source, qm
+),
+c AS (
+  SELECT source, qm, np, nn,
+         SUM(nn) OVER (PARTITION BY source ORDER BY qm) - nn AS nn_below,
+         SUM(np) OVER (PARTITION BY source) AS tp,
+         SUM(nn) OVER (PARTITION BY source) AS tn
+  FROM g
+)
+SELECT source,
+       CAST(MAX(tp) AS BIGINT) AS n_pos,
+       CAST(MAX(tn) AS BIGINT) AS n_neg,
+       CAST(round(CAST(SUM(np * (2 * nn_below + nn)) AS DOUBLE)
+                  / nullif(CAST(2 * MAX(tp) * MAX(tn) AS DOUBLE), 0), 6)
+            AS DOUBLE) AS auc_en
+FROM c
+GROUP BY source
+ORDER BY source
+"""
+
+
+TEMPLATES["quality_auc_by_source"] = quality_auc_by_source
+
+
+def first_touch_attribution(d: str) -> str:
+    """First-touch conversion attribution: each user's FIRST observed event
+    type is the acquisition channel; conversion = the user ever fires
+    'purchase'. Per channel: users acquired, converters, conversion rate,
+    and the channel's share of ALL conversions — the marketing readout a
+    funnel (funnel_conversion: fixed stage order) and survival curve
+    (conversion_survival_curve: time-to-convert) don't give. First touch
+    is rank-1 of a user-partitioned window with the (ts, event_id) unique
+    tiebreak; the conversion flag is a per-user grouped MAX; the join is
+    user-keyed, the rollup channel-dim-sized. Counts exact integers; the
+    two rates are single divisions."""
+    ts = _ts_us(d)
+    return f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY {ts} ASC, event_id ASC) AS rn
+  FROM events
+),
+ft AS (SELECT user_id, event_type AS first_touch FROM r WHERE rn = 1),
+cv AS (
+  SELECT user_id, MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+tot AS (SELECT CAST(SUM(converted) AS BIGINT) AS conv FROM cv)
+SELECT ft.first_touch,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(cv.converted) AS BIGINT) AS n_converted,
+       CAST(round(CAST(SUM(cv.converted) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS conversion_rate,
+       CAST(round(CAST(SUM(cv.converted) AS DOUBLE) / nullif(CAST(tot.conv AS DOUBLE), 0), 6)
+            AS DOUBLE) AS conversion_share
+FROM ft JOIN cv ON ft.user_id = cv.user_id CROSS JOIN tot
+GROUP BY ft.first_touch, tot.conv
+ORDER BY ft.first_touch
+"""
+
+
+TEMPLATES["first_touch_attribution"] = first_touch_attribution
+
+
+def ship_latency_trend(d: str) -> str:
+    """Fulfillment-latency DRIFT per order priority: OLS slope of the
+    order-to-ship latency (whole days, exact integers) against the order
+    date (epoch day, exact integer) — "is fulfillment getting slower over
+    time, and for whom?" (order_to_ship_latency reads the static tail;
+    this reads the trend). The five classic sums accumulate as exact
+    BIGINTs (every term a product of day-scale integers, far inside 2^63
+    at certified SFs; at 100 TB center x on the per-group MIN first or
+    widen to DECIMAL(38) — the sums, not the algorithm, are the bound).
+    The closed-form slope combines the sums as DOUBLEs — each sum is
+    < 2^53 so the casts are exact and both engines round the identical
+    IEEE products identically. Slope is reported per 1000 days (day-scale
+    slopes vanish at 6 dp); degenerate groups (single order date, or
+    constant latency for r2) yield NULL via exact MIN=MAX guards. Shape:
+    one orderkey join, then a 5-row priority dim carries everything."""
+    day = lambda col: (  # noqa: E731
+        f"CAST(unix_micros(CAST({col} AS TIMESTAMP)) div 86400000000 AS BIGINT)"
+        if d == "spark"
+        else f"(epoch_us({col}) // 86400000000)"
+    )
+    return f"""
+WITH lt AS (
+  SELECT o.o_orderpriority AS priority,
+         {day('o.o_orderdate')} AS x,
+         {day('l.l_shipdate')} - {day('o.o_orderdate')} AS y
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+fit AS (
+  SELECT priority,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy,
+         MIN(x) AS xlo, MAX(x) AS xhi, MIN(y) AS ylo, MAX(y) AS yhi
+  FROM lt GROUP BY priority
+)
+SELECT priority,
+       CAST(n AS BIGINT) AS n_lineitems,
+       CAST(round(sy / n, 6) + 0.0 AS DOUBLE) AS mean_latency_days,
+       CAST(round(CASE WHEN xlo = xhi OR (n * sxx - sx * sx) = 0 THEN NULL
+                       ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END * 1000, 6) + 0.0
+            AS DOUBLE) AS slope_days_per_1k_days,
+       CAST(round(CASE WHEN xlo = xhi OR ylo = yhi
+                            OR (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                       THEN NULL
+                       ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                            / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+            AS DOUBLE) AS r2
+FROM fit
+ORDER BY priority
+"""
+
+
+TEMPLATES["ship_latency_trend"] = ship_latency_trend
+
+
+def _abc_pr_sql(d: str) -> str:
+    """Per-part revenue in exact 1e-4-dollar units: the DECIMAL product
+    l_extendedprice * (1 - l_discount) has scale 4, so scaling by 10^4
+    lands on an exact BIGINT — all downstream arithmetic is integer."""
+    return (
+        f"SELECT l_partkey AS pk, "
+        f"CAST(SUM({_dec('l_extendedprice')} * (1 - {_dec('l_discount')})) * 10000 AS BIGINT) AS rev "
+        f"FROM lineitem GROUP BY l_partkey"
+    )
+
+
+def _abc_body(d: str, rel: str = "pr") -> str:
+    bkt = _idiv("(pr.rev - mm.lo) * 1024", "nullif(mm.hi - mm.lo + 1, 0)", d)
+    return f"""
+mm AS (SELECT MIN(rev) AS lo, MAX(rev) AS hi, CAST(SUM(rev) AS BIGINT) AS trev FROM {rel}),
+b AS (
+  SELECT pr.pk, pr.rev, COALESCE(CAST({bkt} AS INT), 0) AS bkt
+  FROM {rel} pr CROSS JOIN mm
+),
+w AS (
+  SELECT pk, rev, bkt,
+         SUM(rev) OVER (PARTITION BY bkt ORDER BY rev DESC, pk ASC) AS cum_in
+  FROM b
+),
+bt AS (SELECT bkt, CAST(SUM(rev) AS BIGINT) AS brev FROM b GROUP BY bkt),
+bp AS (SELECT bkt, SUM(brev) OVER (ORDER BY bkt DESC) - brev AS prefix FROM bt),
+c AS (
+  SELECT w.pk, w.rev, bp.prefix + w.cum_in AS cum
+  FROM w JOIN bp ON w.bkt = bp.bkt
+),
+cls AS (
+  SELECT c.pk, c.rev,
+         CASE WHEN c.cum * 100 <= mm.trev * 80 THEN 'A'
+              WHEN c.cum * 100 <= mm.trev * 95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM c CROSS JOIN mm
+)
+SELECT cls.abc AS abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(cls.rev) AS BIGINT) AS revenue_1e4,
+       CAST(round(CAST(SUM(cls.rev) AS DOUBLE) / CAST(mm.trev AS DOUBLE), 6) AS DOUBLE) AS revenue_share,
+       CAST(MIN(cls.rev) AS BIGINT) AS min_part_rev_1e4,
+       CAST(MAX(cls.rev) AS BIGINT) AS max_part_rev_1e4
+FROM cls CROSS JOIN mm
+GROUP BY cls.abc, mm.trev
+ORDER BY abc_class
+"""
+
+
+def abc_revenue_classes(d: str) -> str:
+    """ABC (Pareto) inventory classification: parts ranked by exact revenue,
+    class A = parts within the leading 80% of cumulative revenue, B to 95%,
+    C the tail (a part crossing a boundary goes to the NEXT class — the
+    integer cross-multiplication cum*100 <= total*k makes the cut exact
+    and engine-identical, no float shares anywhere near the decision).
+    The global descending cumulative sum is computed WITHOUT a global
+    sort: parts land in 1024 value-range buckets by integer arithmetic
+    (the ntile_curriculum two-pass pattern), the within-bucket window is
+    bucket-partitioned, and only the 1024-row bucket dim takes an
+    unpartitioned prefix window — at 100x the data the per-bucket
+    partitions grow, the single-partition work does not. Revenue is exact
+    to 1e-4 dollars end-to-end (DECIMAL product, BIGINT units)."""
+    return f"WITH pr AS ({_abc_pr_sql(d)}),{_abc_body(d)}"
+
+
+TEMPLATES["abc_revenue_classes"] = abc_revenue_classes
+
+
+def _abc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the per-part revenue dim once — it feeds
+    the min/max/total scalar, the bucket assignment, and (through b) the
+    two window branches; inlining would re-run the lineitem agg 4x."""
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _abc_pr_sql("spark"), "abc_pr")
+    return _sql_dropping(spark, "WITH " + _abc_body("spark", rel=name).lstrip(), name)
+
+
+SPARK_OVERRIDES["abc_revenue_classes"] = _abc_spark
+
+
+COS_PAIR_DIV = 61  # deterministic 1/61 vector thinning — the scale dial
+
+
+def _cospair_s_sql(d: str) -> str:
+    """Hash-thinned vector sample with hoisted norms: the Knuth-multiplier
+    residue keeps 1/61 of vectors deterministically on both engines (pure
+    BIGINT arithmetic — exact while vec_id < ~3.4e9; re-derive the
+    multiplier width past that). Norms are hoisted here so the pair join
+    multiplies scalars instead of re-folding 64-element arrays per pair."""
+    v = P.to_double_array("embedding", d)
+    return (
+        f"SELECT vec_id, {v} AS v, {P.norm2(P.to_double_array('embedding', d), d)} AS nrm "
+        f"FROM embeddings WHERE (vec_id * 2654435761) % {COS_PAIR_DIV} = 0"
+    )
+
+
+def _cospair_body(d: str, rel: str = "s") -> str:
+    cos = (
+        f"coalesce({P.dot('a.v', 'b.v', d)} / nullif(a.nrm * b.nrm, 0.0), 0.0)"
+    )
+    mean_cos = P.exact_avg("cosv", d, 9)
+    return f"""
+p AS (
+  SELECT {cos} AS cosv
+  FROM {rel} a JOIN {rel} b ON a.vec_id < b.vec_id
+),
+h AS (SELECT CAST(floor(cosv * 32) AS INT) AS bin, cosv FROM p)
+SELECT bin,
+       CAST(CAST(bin AS DOUBLE) / 32 AS DOUBLE) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(round(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS DOUBLE) AS share,
+       CAST(round({mean_cos}, 6) + 0.0 AS DOUBLE) AS mean_cos
+FROM h
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+def cosine_pair_histogram(d: str) -> str:
+    """Pairwise-cosine calibration histogram over a deterministic 1/61
+    vector sample: the distribution every similarity threshold (semantic
+    dedup, ANN acceptance, near-dup cosine) should be calibrated against —
+    a corpus whose random-pair cosine mass sits near a chosen threshold
+    will flood it. Bins are dyadic (floor(cos*32): the x32 product and
+    floor are exact IEEE ops on the bit-identical left-fold cosine, so no
+    boundary flicker — the ECE-bin rule); per-bin mean cosine goes through
+    P.exact_sum. The sampled pair count is (n/61)^2/2 — quadratic in the
+    sample, so the DIVISOR is the scale dial: size it as ~n/sqrt(2*budget)
+    to hold a fixed pair budget at any corpus size (documented next to the
+    constant). Zero-norm vectors contribute cosine 0 (the guarded-divide
+    convention of P.cosine_distance)."""
+    return f"WITH s AS ({_cospair_s_sql(d)}),{_cospair_body(d)}"
+
+
+TEMPLATES["cosine_pair_histogram"] = cosine_pair_histogram
+
+
+def _cospair_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the thinned sample once — it feeds both
+    self-join sides (inlining would scan + re-normalize embeddings twice)."""
+    register_views(spark, sf_dir, tables=("embeddings",))
+    name = _materialized_view(spark, _cospair_s_sql("spark"), "cospair_s")
+    return _sql_dropping(spark, "WITH " + _cospair_body("spark", rel=name).lstrip(), name)
+
+
+SPARK_OVERRIDES["cosine_pair_histogram"] = _cospair_spark
+
+
+def _assort_edges_sql(d: str, rel: str) -> str:
+    """Near-dup edges: LSH-banded candidate pairs whose signature agreement
+    clears est-Jaccard 0.5 — the integer comparison (agreements >= NUM_PERM/2)
+    avoids the division entirely."""
+    return f"""
+SELECT c.doc_a, c.doc_b
+FROM (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM ({_lsh_banded_cte(d, rel)}) l
+  JOIN ({_lsh_banded_cte(d, rel)}) r
+    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+) c
+JOIN {rel} a ON a.doc_id = c.doc_a
+JOIN {rel} b ON b.doc_id = c.doc_b
+WHERE ({_sig_eq_terms(d)}) >= {NUM_PERM // 2}
+"""
+
+
+def _assort_body(d: str, rel: str = "e") -> str:
+    return f"""
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS dg
+  FROM (SELECT doc_a AS node FROM {rel} UNION ALL SELECT doc_b AS node FROM {rel}) u
+  GROUP BY node
+),
+de AS (
+  SELECT da.dg AS dx, db.dg AS dy
+  FROM {rel} e JOIN deg da ON da.node = e.doc_a JOIN deg db ON db.node = e.doc_b
+  UNION ALL
+  SELECT db.dg AS dx, da.dg AS dy
+  FROM {rel} e JOIN deg da ON da.node = e.doc_a JOIN deg db ON db.node = e.doc_b
+),
+fit AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(dx) AS DOUBLE) AS sx,
+         CAST(SUM(dx * dx) AS DOUBLE) AS sxx,
+         CAST(SUM(dx * dy) AS DOUBLE) AS sxy,
+         MIN(dx) AS lo, MAX(dx) AS hi
+  FROM de
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, CAST(MAX(dg) AS BIGINT) AS max_deg,
+              CAST(SUM(dg) AS BIGINT) AS sum_deg
+       FROM deg)
+SELECT nn.n_nodes,
+       CAST(fit.n AS BIGINT) AS n_endpoints,
+       nn.max_deg,
+       CAST(round(CAST(nn.sum_deg AS DOUBLE) / nn.n_nodes, 6) AS DOUBLE) AS mean_deg,
+       CAST(round(CASE WHEN fit.lo = fit.hi OR (fit.n * fit.sxx - fit.sx * fit.sx) = 0 THEN NULL
+                       ELSE (fit.n * fit.sxy - fit.sx * fit.sx)
+                            / (fit.n * fit.sxx - fit.sx * fit.sx) END, 6) + 0.0
+            AS DOUBLE) AS assortativity
+FROM fit CROSS JOIN nn
+"""
+
+
+def dup_graph_assortativity(d: str) -> str:
+    """Degree assortativity of the near-duplicate graph: Pearson correlation
+    between the degrees at the two ends of every edge (both orientations —
+    the standard symmetric estimator, so sum(x)=sum(y) and the formula
+    collapses to one pair of moments). Positive r = duplication is
+    clustered in dense template families; negative r = hub-and-spoke (one
+    canonical page many others copy) — two regimes needing different dedup
+    strategies (drop-cluster vs keep-canonical). Degrees are exact
+    integers; the moment sums are exact BIGINTs cast to DOUBLE (< 2^53,
+    so the combination is bit-identical cross-engine); all-equal-degree
+    graphs (cliques, perfect matchings) yield NULL via the MIN=MAX guard.
+    Edges come from the shared LSH banding (never all-pairs); the eq>=8
+    integer test IS est-Jaccard >= 0.5 without the division."""
+    body = _assort_body(d).lstrip()
+    assert body.startswith("deg AS")
+    return (
+        f"WITH sigs AS ({_minhash_sigs_sql(d)}),\n"
+        f"e AS ({_assort_edges_sql(d, 'sigs')}),\n{body}"
+    )
+
+
+TEMPLATES["dup_graph_assortativity"] = dup_graph_assortativity
+
+
+def _assort_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize signatures once (the banding reads them
+    per band branch), then the edge relation once (it feeds the degree
+    agg and both orientation joins — 3 consumers)."""
+    register_views(spark, sf_dir, tables=("documents",))
+    sigs = _materialized_view(spark, _minhash_sigs_sql("spark"), "assort_sigs")
+    edges = _materialized_view(spark, _assort_edges_sql("spark", sigs), "assort_edges")
+    spark.catalog.dropTempView(sigs)
+    return _sql_dropping(spark, "WITH " + _assort_body("spark", rel=edges).lstrip(), edges)
+
+
+SPARK_OVERRIDES["dup_graph_assortativity"] = _assort_spark
+
+
+def transition_dwell_stats(d: str) -> str:
+    """Dwell-time profile per event-type transition: for each (from, to)
+    pair in a user's ordered stream, the count plus mean / p50 / p90 gap in
+    seconds — the TIMING layer event_markov_transitions' probability kernel
+    drops (two chains with identical transition probabilities can have
+    wildly different pacing; session timeout and debounce windows should be
+    read off this table). Gaps are exact integer microseconds from the
+    same user-partitioned LAG window as the Markov entry; the mean divides
+    an exact BIGINT sum; percentiles interpolate over integers (exact on
+    both engines, the doc_len_percentiles rule). Transition cells below 5
+    observations are cut (their tails are noise). One key-partitioned
+    window, one |types|^2-dim agg."""
+    ts = _ts_us(d)
+    if d == "spark":
+        pcts = "percentile(gap_us, array(0.5D, 0.9D))"
+    else:
+        pcts = "quantile_cont(gap_us, [0.5, 0.9])"
+    e = lambda i: _elem("p", i, d)  # noqa: E731
+    return f"""
+WITH seq AS (
+  SELECT event_type AS to_state,
+         LAG(event_type) OVER w AS from_state,
+         {ts} - LAG({ts}) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY {ts} ASC, event_id ASC)
+),
+g AS (
+  SELECT from_state, to_state,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(gap_us) AS BIGINT) AS sum_us,
+         {pcts} AS p
+  FROM seq WHERE from_state IS NOT NULL
+  GROUP BY from_state, to_state
+)
+SELECT from_state, to_state, n,
+       CAST(round(CAST(sum_us AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000), 6) AS DOUBLE) AS mean_gap_s,
+       CAST(round({e(1)} / 1000000, 6) AS DOUBLE) AS p50_gap_s,
+       CAST(round({e(2)} / 1000000, 6) AS DOUBLE) AS p90_gap_s
+FROM g
+WHERE n >= 5
+ORDER BY from_state, to_state
+"""
+
+
+TEMPLATES["transition_dwell_stats"] = transition_dwell_stats
+
+
+def session_entry_exit_profile(d: str) -> str:
+    """Session ENTRY/EXIT matrix: sessions cut at 30-minute inactivity gaps
+    (the user_activity_sessions rule), each session contributing its first
+    and last event type — the landing/bounce readout (which entry points
+    lead to which terminal actions) that per-event analytics can't see.
+    Per (entry, exit) cell: session count, share, mean events per session,
+    mean duration seconds — the last two from exact integer sums. Every
+    window is (user [, session])-partitioned: the gap flag, the running
+    session id, the entry/exit values, and the per-session rollup all stay
+    inside their key partitions; only the (types x types)-dim share window
+    is unpartitioned. rn=1 picks one row per session deterministically
+    ((ts, event_id) unique tiebreak)."""
+    ts = _ts_us(d)
+    return f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type, {ts} AS t,
+         CASE WHEN LAG({ts}) OVER w IS NULL
+                   OR {ts} - LAG({ts}) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY {ts} ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, event_id, event_type, t,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t ASC, event_id ASC) AS sid
+  FROM base
+),
+per AS (
+  SELECT user_id, sid,
+         FIRST_VALUE(event_type) OVER ws AS entry_type,
+         LAST_VALUE(event_type) OVER (PARTITION BY user_id, sid ORDER BY t ASC, event_id ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS exit_type,
+         COUNT(*) OVER wp AS n_events,
+         MAX(t) OVER wp - MIN(t) OVER wp AS dur_us,
+         ROW_NUMBER() OVER ws AS rn
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY t ASC, event_id ASC),
+         wp AS (PARTITION BY user_id, sid)
+)
+SELECT entry_type, exit_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(round(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS DOUBLE) AS session_share,
+       CAST(round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS mean_events,
+       CAST(round(CAST(SUM(dur_us) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000), 6)
+            AS DOUBLE) AS mean_duration_s
+FROM per
+WHERE rn = 1
+GROUP BY entry_type, exit_type
+ORDER BY n_sessions DESC, entry_type, exit_type
+"""
+
+
+TEMPLATES["session_entry_exit_profile"] = session_entry_exit_profile
+
+
+def _chi2_ct_sql(d: str) -> str:
+    """(market segment, brand) contingency counts through the
+    lineitem-orders-customer / lineitem-part join chains."""
+    return """
+SELECT c.c_mktsegment AS seg, p.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY c.c_mktsegment, p.p_brand
+"""
+
+
+def _chi2_body(d: str, rel: str = "ct") -> str:
+    chi2 = P.exact_sum("(CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e", d, 6)
+    return f"""
+rt AS (SELECT seg, CAST(SUM(n) AS BIGINT) AS rn FROM {rel} GROUP BY seg),
+cl AS (SELECT brand, CAST(SUM(n) AS BIGINT) AS cn FROM {rel} GROUP BY brand),
+tt AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM {rel}),
+dims AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS r,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM cl) AS c),
+f AS (
+  SELECT COALESCE(x.n, 0) AS o,
+         CAST(g.rn AS DOUBLE) * g.cn / tt.t AS e
+  FROM (SELECT rt.seg, cl.brand, rt.rn, cl.cn FROM rt CROSS JOIN cl) g
+  LEFT JOIN {rel} x ON x.seg = g.seg AND x.brand = g.brand
+  CROSS JOIN tt
+),
+agg AS (SELECT {chi2} AS chi2 FROM f)
+SELECT tt.t AS n_lineitems,
+       CAST(dims.r AS INT) AS n_segments,
+       CAST(dims.c AS INT) AS n_brands,
+       CAST((dims.r - 1) * (dims.c - 1) AS BIGINT) AS dof,
+       CAST(round(agg.chi2, 6) AS DOUBLE) AS chi2,
+       CAST(round(sqrt(agg.chi2 / nullif(CAST(tt.t AS DOUBLE)
+                                         * CAST(LEAST(dims.r - 1, dims.c - 1) AS DOUBLE), 0)), 6)
+            AS DOUBLE) AS cramers_v
+FROM agg CROSS JOIN tt CROSS JOIN dims
+"""
+
+
+def segment_brand_chi2(d: str) -> str:
+    """Chi-squared independence screen between customer market segment and
+    purchased part brand (with Cramer's V effect size) — "does segment
+    predict brand affinity, or is the cross-sell matrix noise?" The
+    categorical-independence member of the correlation family
+    (event_corr_matrix: numeric Pearson; basket_lift_pairs: within-basket
+    lift). Observed counts are exact integers; expected cells divide exact
+    integers as DOUBLEs (bit-identical cross-engine); the cell terms sum
+    through P.exact_sum over the r x c grid INCLUDING zero-observed cells
+    (the grid cross join — dropping empty cells understates chi2).
+    Everything after the first grouped count is (segments x brands)
+    dim-sized; degenerate 1-row/1-column tables yield NULL V via nullif."""
+    return f"WITH ct AS ({_chi2_ct_sql(d)}),{_chi2_body(d)}"
+
+
+TEMPLATES["segment_brand_chi2"] = segment_brand_chi2
+
+
+def _chi2_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runner: materialize the contingency counts once — they feed
+    the row/column/total rollups and the grid join (4 consumers; inlining
+    would re-run the 4-table join chain per branch)."""
+    register_views(spark, sf_dir)
+    name = _materialized_view(spark, _chi2_ct_sql("spark"), "chi2_ct")
+    return _sql_dropping(spark, "WITH " + _chi2_body("spark", rel=name).lstrip(), name)
+
+
+SPARK_OVERRIDES["segment_brand_chi2"] = _chi2_spark
