@@ -2608,7 +2608,15 @@ def embedding_health_audit(d: str) -> str:
     pcts = "percentile(nrm, 0.99D)" if d == "spark" else "quantile_cont(nrm, 0.99)"
     return f"""
 WITH v AS (
-  SELECT label, {ln} AS ndim, round({nrm}, 6) AS nrm, {bad} AS bad
+  -- non-finite vectors get a NULL norm: their NaN would otherwise reach
+  -- exact_avg's BIGINT quantization and ABORT the audit on exactly the
+  -- stores it exists to flag (CAST(NaN AS BIGINT) throws on both
+  -- engines). NULL flows through COUNT/SUM/AVG/percentile as "absent",
+  -- and on a clean store (bad = 0 everywhere) the output is
+  -- bit-identical to the pre-guard form.
+  SELECT label, {ln} AS ndim,
+         CASE WHEN {bad} > 0 THEN NULL ELSE round({nrm}, 6) END AS nrm,
+         {bad} AS bad
   FROM embeddings
 ),
 idx AS ({_dim_idx(d)}),
