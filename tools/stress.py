@@ -811,6 +811,119 @@ def stress_r11audits(n_docs: int = 500_000, n_vecs: int = 30_000) -> dict:
     }
 
 
+def stress_assort(n_docs: int = 200_000) -> dict:
+    """dup_graph_assortativity at the extreme-duplication shape: 200k
+    resampled docs (every replica collides in every band) through the
+    shared minhash signatures -> banded edges -> both-orientation degree
+    moments. The edge relation is the heavy intermediate; the moment fit is
+    one scalar agg. Timed per stage like the survivorship probe."""
+    from oaim_sandbox_spark.queries_dedup import _minhash_sigs_sql
+    from oaim_sandbox_spark.queries_extended import (_assort_body,
+                                                     _assort_edges_sql)
+
+    spark = _spark("stress-assort")
+    big = _resampled_docs(spark, n_docs)
+    big.createOrReplaceTempView("documents")
+    t0 = time.time()
+    sigs = spark.sql(_minhash_sigs_sql("spark")).localCheckpoint()
+    sigs.createOrReplaceTempView("stress_assort_sigs")
+    t_sig = time.time() - t0
+    t0 = time.time()
+    edges = spark.sql(_assort_edges_sql("spark", "stress_assort_sigs")).localCheckpoint()
+    edges.createOrReplaceTempView("stress_assort_edges")
+    n_edges = edges.count()
+    t_edges = time.time() - t0
+    t0 = time.time()
+    row = spark.sql(
+        "WITH " + _assort_body("spark", rel="stress_assort_edges").lstrip()
+    ).collect()[0]
+    t_fit = time.time() - t0
+    spark.stop()
+    return {
+        "stress": "assortativity", "docs": n_docs, "edges": n_edges,
+        "n_nodes": int(row["n_nodes"]), "assortativity": row["assortativity"],
+        "sig_seconds": round(t_sig, 1), "edge_seconds": round(t_edges, 1),
+        "fit_seconds": round(t_fit, 1),
+    }
+
+
+def stress_abc(factor: int = 20) -> dict:
+    """abc_revenue_classes at ~factor x the sf0.1 lineitem (partkeys
+    remapped so the per-part dim scales too): the bucketed Pareto
+    cumulative must hold its no-global-sort property — the only
+    unpartitioned window stays the 1024-row bucket dim regardless of
+    corpus size."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.queries_extended import _abc_body, _abc_pr_sql
+
+    spark = _spark("stress-abc")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_partkey", "l_extendedprice", "l_discount")
+    big = (
+        li.crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
+        .select(
+            (F.col("l_partkey") * factor + F.col("rep")).alias("l_partkey"),
+            "l_extendedprice", "l_discount")
+        .repartition(64).localCheckpoint()
+    )
+    n = big.count()
+    big.createOrReplaceTempView("lineitem")
+    t0 = time.time()
+    pr = spark.sql(_abc_pr_sql("spark")).localCheckpoint()
+    pr.createOrReplaceTempView("stress_abc_pr")
+    n_parts = pr.count()
+    t_pr = time.time() - t0
+    t0 = time.time()
+    rows = spark.sql(
+        "WITH " + _abc_body("spark", rel="stress_abc_pr").lstrip()
+    ).collect()
+    t_abc = time.time() - t0
+    spark.stop()
+    share_a = next(float(r["revenue_share"]) for r in rows if r["abc_class"] == "A")
+    return {
+        "stress": "abc_classes", "lineitems": n, "parts": n_parts,
+        "class_rows": len(rows), "share_A": round(share_a, 4),
+        "rev_seconds": round(t_pr, 1), "classify_seconds": round(t_abc, 1),
+    }
+
+
+def stress_cospair(n_vecs: int = 500_000) -> dict:
+    """cosine_pair_histogram's scale dial exercised as documented: at 500k
+    vectors the committed 1/61 divisor would yield ~34M pairs, so the
+    probe re-derives div ~ n/sqrt(2*budget) for a 2M-pair budget (=250)
+    and runs the identical SQL — the 100 TB recipe next to the constant."""
+    import math as _math
+
+    from oaim_sandbox_spark import queries_extended as QE
+
+    spark = _spark("stress-cospair")
+    vecs = _planted_vecs(spark, n_vecs).withColumnRenamed("id", "vec_id")
+    vecs.createOrReplaceTempView("embeddings")
+    budget = 2_000_000
+    div = max(1, int(_math.ceil(n_vecs / _math.sqrt(2 * budget))))
+    old_div = QE.COS_PAIR_DIV
+    QE.COS_PAIR_DIV = div
+    try:
+        t0 = time.time()
+        s = spark.sql(QE._cospair_s_sql("spark")).localCheckpoint()
+        s.createOrReplaceTempView("stress_cospair_s")
+        n_sample = s.count()
+        rows = spark.sql(
+            "WITH " + QE._cospair_body("spark", rel="stress_cospair_s").lstrip()
+        ).collect()
+        dt = time.time() - t0
+    finally:
+        QE.COS_PAIR_DIV = old_div
+    n_pairs = sum(int(r["n_pairs"]) for r in rows)
+    spark.stop()
+    return {
+        "stress": "cosine_pair_histogram", "vectors": n_vecs, "divisor": div,
+        "sampled": n_sample, "pairs": n_pairs, "bins": len(rows),
+        "seconds": round(dt, 1),
+    }
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "minhash"
     arg = int(sys.argv[2]) if len(sys.argv) > 2 else None
@@ -837,6 +950,9 @@ def main() -> None:
         "r11audits": stress_r11audits,
         "consensus_funnel": stress_consensus_funnel,
         "survivorship": stress_survivorship,
+        "assort": stress_assort,
+        "abc": stress_abc,
+        "cospair": stress_cospair,
     }
     if cmd not in fns:
         raise SystemExit(f"unknown stress {cmd!r}; one of {sorted(fns)}")
