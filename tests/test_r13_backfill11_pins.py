@@ -258,3 +258,86 @@ def test_semantic_dedup_clusters_matches_python():
     assert 9 in dropped and 8 not in dropped   # lowest-id wins
     assert 10 not in dropped and 11 not in dropped   # cross-cluster kept
     assert _r6(cos(store[10], store[11])) >= SEMDEDUP_SIM   # ...despite cos
+
+
+def _strong_pairs(rows):
+    sigs = {did: _sig(t) for did, t, _, _ in rows}
+    return {p for p, ej in _mh_pairs(sigs).items() if ej >= 0.5}
+
+
+def test_dedup_survivorship_matrix_matches_python():
+    from oaim_sandbox_spark.queries_extended import dedup_survivorship_matrix
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"aa{i}" for i in range(25))
+    rows = [
+        (1, base, "en", "crawlA"),     # chain 1<2<3: 1 survives,
+        (2, base, "en", "crawlB"),     # 2 is dropped AND may not be
+        (3, base, "en", "crawlB"),     # credited as 3's winner
+        (4, other, "en", "crawlA"),
+        (5, other, "en", "crawlA"),    # intra-source twin
+        (6, " ".join(f"zz{i} qq{i}" for i in range(12)), "en", "crawlB"),
+    ]
+    con = duckdb.connect()
+    _mk_documents(con, rows)
+    got = con.execute(dedup_survivorship_matrix("duck")).fetchall()
+
+    src = {did: s for did, t, _, s in rows}
+    strong = _strong_pairs(rows)
+    dropped = {b for _, b in strong}
+    surv = {(a, b) for a, b in strong if a not in dropped}
+    winner = {}
+    for a, b in surv:
+        winner[b] = min(winner.get(b, a), a)
+    cells = {}
+    for a, b in surv:
+        c = cells.setdefault((src[a], src[b]), [0, 0])
+        c[0] += 1
+        if winner[b] == a:
+            c[1] += 1
+    exp = sorted((wa, lb, n, at) for (wa, lb), (n, at) in cells.items())
+    assert [tuple(r) for r in got] == exp
+    winners = {a for a, _ in surv}
+    assert 2 not in winners                 # chain-middle never credited
+    assert ("crawlA", "crawlB") in cells    # directional cell exists
+
+
+def test_dedup_stage_overlap_matches_python():
+    import re as _re
+
+    from oaim_sandbox_spark.queries_extended import dedup_stage_overlap
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    near = " ".join(f"tok{i}" for i in range(29)) + " extra"
+    rows = [
+        (1, base, "en", "sa"),
+        (2, base, "en", "sa"),          # byte-identical -> exact stage catches
+        (3, near, "en", "sb"),          # near-ONLY (if est_j >= 0.5)
+        (4, " ".join(f"qq{i}" for i in range(20)), "en", "sb"),
+    ]
+    con = duckdb.connect()
+    _mk_documents(con, rows)
+    got = con.execute(dedup_stage_overlap("duck")).fetchall()
+
+    src = {did: s for did, t, _, s in rows}
+    txt = {did: t for did, t, _, _ in rows}
+
+    def fp(t):
+        return _h64(_re.sub(r"\s+", " ", t.lower()).strip())
+
+    strong = _strong_pairs(rows)
+    cells = {}
+    for a, b in strong:
+        exact = 1 if fp(txt[a]) == fp(txt[b]) else 0
+        c = cells.setdefault(src[b], [0, 0, set()])
+        c[0] += 1
+        c[1] += exact
+        if not exact:
+            c[2].add(b)
+    exp = sorted((s, n, e, n - e, len(docs), _r6((n - e) / n))
+                 for s, (n, e, docs) in cells.items())
+    assert [tuple(r) for r in got] == exp
+    by_src = dict((r[0], r) for r in got)
+    assert by_src["sa"][2] == 1             # the byte twin is exact-overlap
+    if "sb" in by_src:                      # near pair strength is hash-luck;
+        assert by_src["sb"][3] >= 1         # if strong, it must be near-ONLY
