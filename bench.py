@@ -717,6 +717,10 @@ def ann_recall_all(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[
     out["_meta"] = {
         "measured_blocks": sorted(run_set),
         "carried_from": {b: rnd for b, (rnd, _) in carried.items()},
+        # the per-block measure/carry reasons, persisted so the NEXT
+        # round's rotation plan can be audited from the committed record
+        # alone (previously they only went to stderr and were lost)
+        "rotation_reasons": dict(sorted(why.items())),
     }
     return out
 
@@ -1417,6 +1421,7 @@ def main() -> None:
         # round (the staleness rotation — plan_recall_rotation)
         "recall_measured_blocks": recall_meta.get("measured_blocks", []),
         "recall_carried_from": recall_meta.get("carried_from", {}),
+        "recall_rotation_reasons": recall_meta.get("rotation_reasons", {}),
         # start AND end probes: the host speed drifts ~2x minute-to-minute,
         # so one sample can miss the state the queries actually ran under
         "host_calibration": calibration,
