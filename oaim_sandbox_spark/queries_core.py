@@ -154,6 +154,19 @@ def _dec(e: str, p: int = 18, s: int = 2) -> str:
     return f"CAST({e} AS DECIMAL({p},{s}))"
 
 
+def _epoch_day(col: str, dialect: str) -> str:
+    """Exact integer epoch-day of a date/timestamp column. Parquet date-ish
+    columns surface as TIMESTAMP_NTZ on Spark; unix_micros needs TIMESTAMP,
+    and under the UTC session tz the cast is the identity DuckDB's epoch_us
+    already applies to naive stamps. ONE definition — review r13c found
+    three verbatim copies (order_to_ship_latency, _rfm_cust_sql,
+    ship_latency_trend); the emitted string is unchanged so certified
+    query text is identical."""
+    if dialect == "spark":
+        return f"CAST(unix_micros(CAST({col} AS TIMESTAMP)) div 86400000000 AS BIGINT)"
+    return f"(epoch_us({col}) // 86400000000)"
+
+
 def _elem(arr: str, i: int, dialect: str) -> str:
     """1-based array element access."""
     return f"element_at({arr}, {i})" if dialect == "spark" else f"({arr})[{i}]"

@@ -19,6 +19,7 @@ from oaim_sandbox_spark.queries_core import (
     _dec,
     _dim_idx,
     _elem,
+    _epoch_day,
     _idiv,
     _str,
     _ts_us,
@@ -35,6 +36,7 @@ from oaim_sandbox_spark.queries_textstats import *  # noqa: F401,F403
 from oaim_sandbox_spark.queries_dedup import (  # noqa: F401
     _lsh_banded_cte,
     _minhash_sigs_sql,
+    _sig_eq_terms,
     _simhash_fps_sql,
     _simhash_pairs_parts,
 )
@@ -5150,11 +5152,7 @@ def order_to_ship_latency(d: str) -> str:
     # parquet date-ish columns surface as TIMESTAMP_NTZ on Spark;
     # unix_micros needs TIMESTAMP, and under the UTC session tz the cast
     # is the identity DuckDB's epoch_us already applies to naive stamps
-    day = lambda col: (  # noqa: E731
-        f"CAST(unix_micros(CAST({col} AS TIMESTAMP)) div 86400000000 AS BIGINT)"
-        if d == "spark"
-        else f"(epoch_us({col}) // 86400000000)"
-    )
+    day = lambda col: _epoch_day(col, d)  # noqa: E731
     if d == "spark":
         pcts = "percentile(lat_days, array(0.5D, 0.9D, 0.99D))"
     else:
@@ -5896,11 +5894,7 @@ def _rfm_cust_sql(d: str) -> str:
     """Per-customer RFM raw features from orders: last-order day (exact
     integer epoch-day), order count, lifetime cents (o_totalprice is a 2dp
     double, so floor(x*100+0.5) per row is the exact integer)."""
-    day = (
-        "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS BIGINT)"
-        if d == "spark"
-        else "(epoch_us(o_orderdate) // 86400000000)"
-    )
+    day = _epoch_day("o_orderdate", d)
     return f"""SELECT o_custkey AS ckey,
        MAX({day}) AS last_day,
        CAST(COUNT(*) AS BIGINT) AS f,
@@ -6641,18 +6635,23 @@ SPARK_OVERRIDES["user_concentration_lorenz"] = _lorenz_spark
 # with unique tiebreaks.
 # ---------------------------------------------------------------------------
 
-from oaim_sandbox_spark.queries_dedup import _sig_eq_terms  # noqa: E402
-
-
 def _tclose_cls_sql(d: str) -> str:
     """(lang, source, length-bucket) class histogram — the t-closeness
     input relation. Buckets reuse k_anonymity_audit's exact integer
     bucketing (LEAST(9, n_chars div 100)) so the two privacy audits read
-    the same equivalence-class geometry."""
+    the same equivalence-class geometry. NULL quasi-identifiers coalesce
+    to a sentinel BEFORE grouping (review r13c): the downstream grid
+    equality joins never match NULL keys, so a NULL-lang class would
+    silently report n_docs=0 / t NULL — a real equivalence class the
+    audit exists to flag (the k-anon/l-div siblings group directly and
+    keep NULL classes; the sentinel keeps this audit consistent)."""
     lb = f"CAST(LEAST(9, {_idiv('n_chars', '100', d)}) AS INT)"
+    lang = "COALESCE(lang, '(null)')"
+    src = "COALESCE(source, '(null)')"
     return (
-        f"SELECT lang, source, {lb} AS lb, CAST(COUNT(*) AS BIGINT) AS n "
-        f"FROM documents GROUP BY lang, source, {lb}"
+        f"SELECT {lang} AS lang, {src} AS source, {lb} AS lb, "
+        f"CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM documents GROUP BY {lang}, {src}, {lb}"
     )
 
 
@@ -6839,11 +6838,7 @@ def ship_latency_trend(d: str) -> str:
     slopes vanish at 6 dp); degenerate groups (single order date, or
     constant latency for r2) yield NULL via exact MIN=MAX guards. Shape:
     one orderkey join, then a 5-row priority dim carries everything."""
-    day = lambda col: (  # noqa: E731
-        f"CAST(unix_micros(CAST({col} AS TIMESTAMP)) div 86400000000 AS BIGINT)"
-        if d == "spark"
-        else f"(epoch_us({col}) // 86400000000)"
-    )
+    day = lambda col: _epoch_day(col, d)  # noqa: E731
     return f"""
 WITH lt AS (
   SELECT o.o_orderpriority AS priority,
@@ -6912,9 +6907,19 @@ c AS (
   FROM w JOIN bp ON w.bkt = bp.bkt
 ),
 cls AS (
+  -- DECIMAL(38,0) cross-multiplication (review r13c): cum*100 and trev*95
+  -- as BIGINTs cross 2^63 around sf~40 (trev ~2.2e15 1e-4-dollar units at
+  -- sf1) — Spark-ANSI would abort while DuckDB silently widens to
+  -- HUGEINT, a loud/silent engine divergence. 38-digit decimal integer
+  -- arithmetic is exact on both engines to ~1e36, far past any real
+  -- corpus; the remaining envelope is SUM(rev) itself (BIGINT, bound
+  -- ~9.2e14 dollars total — widen trev to DECIMAL(38,0) too if a corpus
+  -- ever approaches it).
   SELECT c.pk, c.rev,
-         CASE WHEN c.cum * 100 <= mm.trev * 80 THEN 'A'
-              WHEN c.cum * 100 <= mm.trev * 95 THEN 'B'
+         CASE WHEN CAST(c.cum AS DECIMAL(38,0)) * 100
+                   <= CAST(mm.trev AS DECIMAL(38,0)) * 80 THEN 'A'
+              WHEN CAST(c.cum AS DECIMAL(38,0)) * 100
+                   <= CAST(mm.trev AS DECIMAL(38,0)) * 95 THEN 'B'
               ELSE 'C' END AS abc
   FROM c CROSS JOIN mm
 )
@@ -6965,15 +6970,28 @@ COS_PAIR_DIV = 61  # deterministic 1/61 vector thinning — the scale dial
 
 
 def _cospair_s_sql(d: str) -> str:
-    """Hash-thinned vector sample with hoisted norms: the Knuth-multiplier
-    residue keeps 1/61 of vectors deterministically on both engines (pure
-    BIGINT arithmetic — exact while vec_id < ~3.4e9; re-derive the
-    multiplier width past that). Norms are hoisted here so the pair join
-    multiplies scalars instead of re-folding 64-element arrays per pair."""
+    """Deterministically thinned vector sample with hoisted norms: keep
+    vec_id % DIV = 0 (review r13c: the earlier 'Knuth-multiplier residue'
+    (vec_id * 2654435761) % 61 selected the IDENTICAL set — the multiplier
+    is coprime to the divisor, so it permutes residues without mixing the
+    zero class — while adding an int64-overflow abort past vec_id ~3.4e9;
+    the plain modulus is the same sample with no overflow and no caveat).
+    Non-finite vectors are EXCLUDED here (the embedding_health_audit NaN
+    lesson, caught by this same review): a NaN component would ride
+    through the guarded cosine into CAST(floor(cosv*32)) and exact_avg's
+    BIGINT quantization, aborting the whole histogram on exactly the
+    stores the health audit exists to flag. Norms are hoisted so the pair
+    join multiplies scalars instead of re-folding 64-element arrays."""
     v = P.to_double_array("embedding", d)
+    if d == "spark":
+        finite = ("size(filter(cast(embedding as array<double>), "
+                  "x -> isnan(x) OR abs(x) > 1e308)) = 0")
+    else:
+        finite = ("len(list_filter(CAST(embedding AS DOUBLE[]), "
+                  "x -> isnan(x) OR abs(x) > 1e308)) = 0")
     return (
         f"SELECT vec_id, {v} AS v, {P.norm2(P.to_double_array('embedding', d), d)} AS nrm "
-        f"FROM embeddings WHERE (vec_id * 2654435761) % {COS_PAIR_DIV} = 0"
+        f"FROM embeddings WHERE vec_id % {COS_PAIR_DIV} = 0 AND {finite}"
     )
 
 
@@ -7032,13 +7050,17 @@ SPARK_OVERRIDES["cosine_pair_histogram"] = _cospair_spark
 def _assort_edges_sql(d: str, rel: str) -> str:
     """Near-dup edges: LSH-banded candidate pairs whose signature agreement
     clears est-Jaccard 0.5 — the integer comparison (agreements >= NUM_PERM/2)
-    avoids the division entirely."""
+    avoids the division entirely. The banding relation is defined ONCE as a
+    CTE feeding both join sides (review r13c: the earlier form inlined the
+    4-branch banding subquery twice, deviating from _minhash_pairs_body's
+    single-definition convention and making the DuckDB oracle evaluate the
+    signature scan 8x)."""
     return f"""
 SELECT c.doc_a, c.doc_b
 FROM (
+  WITH banded AS ({_lsh_banded_cte(d, rel)})
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM ({_lsh_banded_cte(d, rel)}) l
-  JOIN ({_lsh_banded_cte(d, rel)}) r
+  FROM banded l JOIN banded r
     ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
 ) c
 JOIN {rel} a ON a.doc_id = c.doc_a
@@ -7048,6 +7070,12 @@ WHERE ({_sig_eq_terms(d)}) >= {NUM_PERM // 2}
 
 
 def _assort_body(d: str, rel: str = "e") -> str:
+    # ONE pass over the edges-x-degrees join (review r13c): the earlier
+    # form ran the 3-way join twice (one UNION ALL branch per orientation)
+    # — the symmetric estimator's moments collapse instead to per-edge
+    # terms (dx+dy, dx^2+dy^2, 2*dx*dy) with n = 2*edges, halving the
+    # heaviest stage; every sum stays an exact BIGINT, so the emitted
+    # values are bit-identical to the two-branch form.
     return f"""
 deg AS (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS dg
@@ -7057,16 +7085,13 @@ deg AS (
 de AS (
   SELECT da.dg AS dx, db.dg AS dy
   FROM {rel} e JOIN deg da ON da.node = e.doc_a JOIN deg db ON db.node = e.doc_b
-  UNION ALL
-  SELECT db.dg AS dx, da.dg AS dy
-  FROM {rel} e JOIN deg da ON da.node = e.doc_a JOIN deg db ON db.node = e.doc_b
 ),
 fit AS (
-  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(dx) AS DOUBLE) AS sx,
-         CAST(SUM(dx * dx) AS DOUBLE) AS sxx,
-         CAST(SUM(dx * dy) AS DOUBLE) AS sxy,
-         MIN(dx) AS lo, MAX(dx) AS hi
+  SELECT CAST(2 * COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(dx + dy) AS DOUBLE) AS sx,
+         CAST(SUM(dx * dx + dy * dy) AS DOUBLE) AS sxx,
+         CAST(SUM(2 * dx * dy) AS DOUBLE) AS sxy,
+         MIN(LEAST(dx, dy)) AS lo, MAX(GREATEST(dx, dy)) AS hi
   FROM de
 ),
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, CAST(MAX(dg) AS BIGINT) AS max_deg,

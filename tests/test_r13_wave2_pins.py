@@ -288,8 +288,10 @@ def test_abc_revenue_classes_matches_direct_python():
 def test_cosine_pair_histogram_matches_direct_python():
     from oaim_sandbox_spark.queries_extended import cosine_pair_histogram
 
-    # ids divisible by 61 survive the residue filter (multiplier coprime
-    # to 61); id 7 is planted to verify the filter drops it.
+    # ids divisible by 61 survive the vec_id % 61 = 0 thinning; id 7 is
+    # planted to verify the filter drops it. (The original "Knuth
+    # multiplier" form selected the identical set — coprime multiplier,
+    # review r13c — so this fixture pinned both forms unchanged.)
     vecs = {
         61: [1.0, 0.0, 0.0],
         122: [1.0, 0.0, 0.0],     # cos +1 with 61 -> bin 32
