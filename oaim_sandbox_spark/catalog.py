@@ -347,7 +347,7 @@ class VectorStoreCatalog:
             store = self.read_store(name)
             index_path = self._store_path(name) + "_ivf"
             IVFIndex(n_centroids=n_centroids, seed=42).fit(store).write_partitioned(
-                store, index_path
+                store, index_path, compact=True
             )
             report["ivf_index"] = index_path
         return report

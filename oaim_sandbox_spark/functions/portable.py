@@ -100,6 +100,19 @@ def cosine_distance(a: str, b: str, dialect: str) -> str:
     return f"(1.0 - coalesce({dot(a, b, dialect)} / {denom}, 0.0))"
 
 
+def cosine_distance_prenorm(a: str, b: str, na: str, nb: str, dialect: str) -> str:
+    """``cosine_distance`` with the two L2 norms already materialized as
+    columns/expressions (``na``, ``nb``) — bit-identical arithmetic and the
+    same nullif/coalesce zero-vector guard, but ONE dot-product fold per pair
+    instead of dot + two norm folds. The batch pair-join lever (optimization
+    guide §1.2 "per-task work"): norms are per-ROW quantities, so an O(n·m)
+    pair relation recomputing them per PAIR does 3x the arithmetic of this
+    factored form. Callers must compute ``na``/``nb`` with ``norm2`` over the
+    identical array expression so the factored value is the same double."""
+    denom = f"nullif({na} * {nb}, 0.0)"
+    return f"(1.0 - coalesce({dot(a, b, dialect)} / {denom}, 0.0))"
+
+
 def euclidean_distance(a: str, b: str, dialect: str) -> str:
     if dialect == "spark":
         return f"sqrt(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), cast(0 as double), (s, x) -> s + x))"

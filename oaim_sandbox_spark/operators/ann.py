@@ -37,6 +37,19 @@ def _qid_ddl(queries: DataFrame, query_id: str) -> str:
     )
 
 
+def _pairs_df(spark: SparkSession, pairs: list, ddl: str) -> DataFrame:
+    """createDataFrame for a driver-built (query_id, centroid, …, vec) probe
+    batch via pandas so the rows cross to the JVM as Arrow batches instead of
+    pickled Python tuples (guide §6; measured ~0.5s per 12k-pair batch on the
+    bench stores). Values and schema are identical to
+    ``spark.createDataFrame(pairs, ddl)``."""
+    import pandas as pd
+
+    names = [field.strip().split()[0] for field in ddl.split(",")]
+    pdf = pd.DataFrame(pairs, columns=names)
+    return spark.createDataFrame(pdf, schema=ddl)
+
+
 def knn_join(
     items: DataFrame,
     queries: DataFrame,
@@ -53,8 +66,23 @@ def knn_join(
     scores all queries (batch amortization is the whole point on 100 TB);
     per-query top-k via a rank window partitioned by query_id. The window
     shuffles (item_id, query_id, dist) tuples only — never embeddings.
+
+    COSINE norms are materialized per ROW before the pair join (r13 opt:
+    ``cosine_distance_prenorm``) — same fold, same guard, same double, one
+    dot per pair instead of dot + two norms on the O(n·m) relation.
     """
-    dist = distance_expr(f"i.{item_vec}", f"{P.to_double_array(f'q.{query_vec}', 'spark')}", metric)
+    if metric == "COSINE":
+        ia = P.to_double_array(item_vec, "spark")
+        qa = P.to_double_array(query_vec, "spark")
+        items = items.withColumn("__knn_inorm", F.expr(P.norm2(ia, "spark")))
+        queries = queries.withColumn("__knn_qnorm", F.expr(P.norm2(qa, "spark")))
+        dist = P.cosine_distance_prenorm(
+            P.to_double_array(f"i.{item_vec}", "spark"),
+            P.to_double_array(f"q.{query_vec}", "spark"),
+            "i.__knn_inorm", "q.__knn_qnorm", "spark",
+        )
+    else:
+        dist = distance_expr(f"i.{item_vec}", f"{P.to_double_array(f'q.{query_vec}', 'spark')}", metric)
     scored = (
         items.alias("i")
         .join(F.broadcast(queries.alias("q")))
@@ -140,7 +168,20 @@ def lsh_knn_join(
             f"h -> cast(bucket as bigint) ^ shiftleft(1L, h))))"
         )
         bq = bq.withColumn("bucket", F.explode(F.expr(probes)))
-    dist = distance_expr(f"i.{item_vec}", f"{P.to_double_array(f'q.{query_vec}', 'spark')}", metric)
+    if metric == "COSINE":
+        bi = bi.withColumn(
+            "__knn_inorm", F.expr(P.norm2(P.to_double_array(item_vec, "spark"), "spark"))
+        )
+        bq = bq.withColumn(
+            "__knn_qnorm", F.expr(P.norm2(P.to_double_array(query_vec, "spark"), "spark"))
+        )
+        dist = P.cosine_distance_prenorm(
+            P.to_double_array(f"i.{item_vec}", "spark"),
+            P.to_double_array(f"q.{query_vec}", "spark"),
+            "i.__knn_inorm", "q.__knn_qnorm", "spark",
+        )
+    else:
+        dist = distance_expr(f"i.{item_vec}", f"{P.to_double_array(f'q.{query_vec}', 'spark')}", metric)
     scored = (
         bi.alias("i")
         .join(F.broadcast(bq.alias("q")), F.col("i.bucket") == F.col("q.bucket"))
@@ -464,8 +505,18 @@ class IVFIndex:
         argsort — centroids are driver-resident by construction), the scan
         reads the UNION of probed partitions once (partition pruning still
         applies), and a broadcast (query, centroid) join + per-query rank
-        window yields all top-k lists in one job. Returns
+        window yields all top-k lists in one job (WindowGroupLimit computes
+        each task's local top-k below the rank shuffle). Returns
         (query_id, vec_id..., distance, rank).
+
+        r13 optimization notes: the query batch crosses driver boundaries as
+        Arrow both ways (toPandas in, ``_pairs_df`` out); COSINE norms are
+        materialized per ROW on both sides of the pair join
+        (``cosine_distance_prenorm`` — bit-identical, one dot fold per pair
+        instead of dot + two norm folds). A NumPy ``mapInPandas`` scorer
+        (per-dim fold, bit-identical) was prototyped and MEASURED SLOWER
+        than this codegen path warm (0.9s vs 0.2s on a 3M-pair probe) —
+        the JVM expression path is the keeper (guide §1: measure first).
         """
         import numpy as np
 
@@ -473,11 +524,14 @@ class IVFIndex:
 
         if self.centroids is None:
             raise ValueError("fit() or load() the index before searching")
-        qrows = queries.select(query_id, query_vec).collect()
-        if not qrows:
+        # Arrow toPandas (r13 opt): same rows/order as collect() — partition
+        # order either way — but batches cross as Arrow instead of pickled
+        # Rows (guide §6 "Arrow for driver transfers").
+        qpdf = queries.select(query_id, query_vec).toPandas()
+        if len(qpdf) == 0:
             raise ValueError("empty query batch")
-        qids = [r[0] for r in qrows]
-        qmat = np.asarray([list(map(float, r[1])) for r in qrows])
+        qids = qpdf[query_id].tolist()
+        qmat = np.asarray([list(map(float, v)) for v in qpdf[query_vec]])
         d2 = ((qmat[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
         probes = d2.argsort(axis=1)[:, :nprobe]
         pairs = [
@@ -486,16 +540,30 @@ class IVFIndex:
             for c in row
         ]
         qid_t = _qid_ddl(queries, query_id)
-        qdf = spark.createDataFrame(
-            pairs, f"{query_id} {qid_t}, centroid INT, {query_vec} ARRAY<DOUBLE>"
-        )
+        qdf = _pairs_df(spark, pairs, f"{query_id} {qid_t}, centroid INT, {query_vec} ARRAY<DOUBLE>")
         all_cents = sorted({int(c) for row in probes for c in row})
         store = spark.read.parquet(path).filter(F.col("centroid").isin(all_cents))
         if where is not None:
             store = store.filter(where)
         if query_cols:
             qdf = qdf.join(queries.select(query_id, *query_cols), query_id)
-        dist = distance_expr(self.vec_col, P.to_double_array(query_vec, "spark"), metric)
+        if metric == "COSINE":
+            # per-ROW norms before the pair join (cosine_distance_prenorm)
+            store = store.withColumn(
+                "__ivf_inorm",
+                F.expr(P.norm2(P.to_double_array(self.vec_col, "spark"), "spark")),
+            )
+            qdf = qdf.withColumn(
+                "__ivf_qnorm",
+                F.expr(P.norm2(P.to_double_array(query_vec, "spark"), "spark")),
+            )
+            dist = P.cosine_distance_prenorm(
+                P.to_double_array(self.vec_col, "spark"),
+                P.to_double_array(query_vec, "spark"),
+                "__ivf_inorm", "__ivf_qnorm", "spark",
+            )
+        else:
+            dist = distance_expr(self.vec_col, P.to_double_array(query_vec, "spark"), metric)
         scored = store.join(F.broadcast(qdf), "centroid")
         if pair_where is not None:
             scored = scored.filter(pair_where)
@@ -541,11 +609,11 @@ class IVFIndex:
         if not widths or widths[0] < 1:
             raise ValueError(f"nprobes must be positive ints, got {nprobes!r}")
         nmax = widths[-1]
-        qrows = queries.select(query_id, query_vec).collect()
-        if not qrows:
+        qpdf = queries.select(query_id, query_vec).toPandas()
+        if len(qpdf) == 0:
             raise ValueError("empty query batch")
-        qids = [r[0] for r in qrows]
-        qmat = np.asarray([list(map(float, r[1])) for r in qrows])
+        qids = qpdf[query_id].tolist()
+        qmat = np.asarray([list(map(float, v)) for v in qpdf[query_vec]])
         d2 = ((qmat[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
         probes = d2.argsort(axis=1)[:, :nmax]
         pairs = [
@@ -554,7 +622,8 @@ class IVFIndex:
             for j, c in enumerate(row)
         ]
         qid_t = _qid_ddl(queries, query_id)
-        qdf = spark.createDataFrame(
+        qdf = _pairs_df(
+            spark,
             pairs,
             f"{query_id} {qid_t}, centroid INT, probe_rank INT, {query_vec} ARRAY<DOUBLE>",
         )
@@ -562,7 +631,22 @@ class IVFIndex:
         store = spark.read.parquet(path).filter(F.col("centroid").isin(all_cents))
         if where is not None:
             store = store.filter(where)
-        dist = distance_expr(self.vec_col, P.to_double_array(query_vec, "spark"), metric)
+        if metric == "COSINE":
+            store = store.withColumn(
+                "__ivf_inorm",
+                F.expr(P.norm2(P.to_double_array(self.vec_col, "spark"), "spark")),
+            )
+            qdf = qdf.withColumn(
+                "__ivf_qnorm",
+                F.expr(P.norm2(P.to_double_array(query_vec, "spark"), "spark")),
+            )
+            dist = P.cosine_distance_prenorm(
+                P.to_double_array(self.vec_col, "spark"),
+                P.to_double_array(query_vec, "spark"),
+                "__ivf_inorm", "__ivf_qnorm", "spark",
+            )
+        else:
+            dist = distance_expr(self.vec_col, P.to_double_array(query_vec, "spark"), metric)
         scored = (
             store.join(F.broadcast(qdf), "centroid")
             .withColumn("distance", F.expr(f"round({dist}, 6)"))

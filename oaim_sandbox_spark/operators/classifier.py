@@ -137,9 +137,23 @@ def fit_logistic(
     {0,1}. Each iteration runs entirely in the engine: sigmoid(margin) - y
     per doc, then the gradient grouped by feature index — the collect is dim
     rows, so driver traffic is model-sized regardless of corpus size. The
-    iteration count is the scan count; persist the feature relation."""
-    feat = feat.persist()
-    labels = labels.select("id", F.col("y").cast("double").alias("y")).persist()
+    iteration count is the scan count; persist the feature relation.
+
+    r13 opt (guide §2.4 "two operations keyed the same way share one
+    exchange"): both invariant relations are hash-partitioned by doc id
+    BEFORE the persist, so every iteration's margins groupBy(id), the
+    labels⋈margins join and the feat⋈err gradient join all reuse the cached
+    HashPartitioning instead of re-shuffling the corpus-sized feature
+    relation twice per iteration — per iteration only the dim-bounded
+    gradient groupBy(idx) exchanges. Same floats per partition layout, so
+    results stay deterministic run to run."""
+    n_parts = spark.sparkContext.defaultParallelism
+    feat = feat.repartition(n_parts, "id").persist()
+    labels = (
+        labels.select("id", F.col("y").cast("double").alias("y"))
+        .repartition(n_parts, "id")
+        .persist()
+    )
     n = labels.count()
     if n == 0:
         feat.unpersist()

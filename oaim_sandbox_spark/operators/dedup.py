@@ -352,6 +352,18 @@ def connected_components(
     plans otherwise grow exponentially in Catalyst). For adversarial
     long-chain graphs swap in large-star/small-star (same shuffle shape,
     O(log n) rounds).
+
+    r13 opt (size-thresholded strategy, the materialize.py philosophy): when
+    the symmetrized edge set is BOUNDED (<= DRIVER_CC_MAX_EDGES, a few MB of
+    int64 pairs — known exactly from the count the partition sizing already
+    pays), the component labels come from one driver-side union-find over
+    the collected pairs instead of the iterative loop: ~15 scheduling-bound
+    jobs (2 checkpoints + a convergence collect per round) collapse into one
+    bounded collect + one broadcast-mapped projection. The output is
+    IDENTICAL BY DEFINITION — both algorithms label every node with the
+    minimum node id of its component (pinned by tests/test_cc_redact.py's
+    A/B). Above the threshold the distributed loop runs unchanged, so the
+    driver never holds more than DRIVER_CC_MAX_EDGES pairs.
     """
     # localCheckpoint (not cache): materializes AND truncates lineage, so the
     # per-round task binaries don't drag the upstream pair-generation plan
@@ -366,6 +378,11 @@ def connected_components(
     # test graphs collapse to 1 task/stage (iterations are scheduling-bound);
     # a 10^10-edge graph fans out to thousands of tasks.
     n_edges = sym.count()
+    if n_edges <= DRIVER_CC_MAX_EDGES:
+        try:
+            return _cc_driver_union_find(sym, nodes, node_col)
+        finally:
+            sym.unpersist()
     parts = max(1, min(n_edges // 2_000_000 + 1, 20_000))
     spark = edges.sparkSession
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -383,6 +400,61 @@ def connected_components(
     finally:
         sym_ckpt.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+
+
+# bounded-collect ceiling for the driver union-find CC path: 200k symmetric
+# int64 pairs ~= 3 MB on the driver, and CPython union-find at this size runs
+# in well under a second — far below the crossover where the distributed
+# loop's per-round shuffles start paying for themselves
+DRIVER_CC_MAX_EDGES = 200_000
+
+
+def _cc_driver_union_find(sym, nodes, node_col: str):
+    """Exact CC labels for a bounded edge set: collect the symmetrized pairs
+    (<= DRIVER_CC_MAX_EDGES, enforced by the caller), path-compressed
+    union-find on the driver, label every touched node with its component's
+    MIN node id, and project the labels back over the full node universe with
+    one broadcast-sized map join (nodes absent from every edge label
+    themselves — same semantics as the propagation loop's left join)."""
+    spark = sym.sparkSession
+    rows = sym.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    touched = set()
+    for r in rows:
+        touched.add(r[0])
+        touched.add(r[1])
+    minrep: dict = {}
+    for x in touched:
+        root = find(x)
+        cur = minrep.get(root)
+        if cur is None or x < cur:
+            minrep[root] = x
+    node_t = nodes.schema[node_col].dataType.simpleString()
+    labels = [(x, minrep[find(x)]) for x in touched]
+    lmap = spark.createDataFrame(labels or [], f"__cc_node {node_t}, __cc_label {node_t}")
+    out = (
+        nodes.select(F.col(node_col))
+        .join(F.broadcast(lmap), F.col(node_col) == F.col("__cc_node"), "left")
+        .select(
+            F.col(node_col),
+            F.coalesce(F.col("__cc_label"), F.col(node_col)).alias("cluster_id"),
+        )
+    )
+    return out
 
 
 def _cc_iterate(spark, sym, nodes, node_col, parts, max_iter):

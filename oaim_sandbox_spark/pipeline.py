@@ -121,7 +121,9 @@ def populate_vs(
 
         store = catalog.read_store(name)
         index_path = catalog._store_path(name) + "_ivf"
-        IVFIndex(n_centroids=n_centroids, seed=42).fit(store).write_partitioned(store, index_path)
+        IVFIndex(n_centroids=n_centroids, seed=42).fit(store).write_partitioned(
+            store, index_path, compact=True
+        )
     return IngestReport(
         vs_name=name, n_chunks=n_chunks, n_deduped=n_deduped, n_new=n_new,
         index_path=index_path,

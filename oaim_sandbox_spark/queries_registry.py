@@ -705,7 +705,7 @@ def _ivf_ann_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()]
     idx = IVFIndex(n_centroids=8, seed=42, max_iter=5).fit(store, sample_fraction=0.25)
     path = tempfile.mkdtemp(prefix="ivf_store_")
-    idx.write_partitioned(store, path)
+    idx.write_partitioned(store, path, compact=True)
     return idx.search(spark, path, qv, k=5, nprobe=2, id_col="vec_id").select(
         "vec_id", "distance"
     )
@@ -1008,7 +1008,7 @@ def _ivf_full_probe_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     idx = IVFIndex(n_centroids=8, seed=42, max_iter=5).fit(store, sample_fraction=0.25)
     path = tempfile.mkdtemp(prefix="ivf_full_")
-    idx.write_partitioned(store, path)
+    idx.write_partitioned(store, path, compact=True)
     hits = idx.search(spark, path, qv, k=11, nprobe=idx.n_centroids, id_col="vec_id")
     return (
         hits.filter(F.col("vec_id") != 0)
@@ -1047,7 +1047,7 @@ def _hard_negative_funnel_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = spark.table("embeddings")
     idx = IVFIndex(n_centroids=8, seed=42, max_iter=5).fit(store, sample_fraction=0.25)
     path = tempfile.mkdtemp(prefix="ivf_hardneg_")
-    idx.write_partitioned(store, path)
+    idx.write_partitioned(store, path, compact=True)
     qdf = store.filter("vec_id % 97 = 0").select(
         F.col("vec_id").alias("query_id"),
         F.col("label").cast("int").alias("qlabel"),
@@ -1100,7 +1100,7 @@ def _knn_consensus_funnel_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = spark.table("embeddings")
     idx = IVFIndex(n_centroids=8, seed=42, max_iter=5).fit(store, sample_fraction=0.25)
     path = tempfile.mkdtemp(prefix="ivf_consensus_")
-    idx.write_partitioned(store, path)
+    idx.write_partitioned(store, path, compact=True)
     qdf = store.select(
         F.col("vec_id").alias("query_id"),
         F.expr("cast(embedding as array<double>)").alias("query_vec"),
@@ -1167,7 +1167,7 @@ def _coreset_coverage_funnel_spark(spark: SparkSession, sf_dir: str) -> DataFram
     # cell populated at the smallest SF while still exercising pruning
     idx = IVFIndex(n_centroids=4, seed=42, max_iter=5).fit(coreset, sample_fraction=1.0)
     path = tempfile.mkdtemp(prefix="ivf_coreset_")
-    idx.write_partitioned(coreset, path)
+    idx.write_partitioned(coreset, path, compact=True)
     qdf = rest.select(
         F.col("vec_id").alias("query_id"),
         F.expr("cast(embedding as array<double>)").alias("query_vec"),
@@ -1223,7 +1223,7 @@ def _knn_hubness_funnel_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = spark.table("embeddings")
     idx = IVFIndex(n_centroids=8, seed=42, max_iter=5).fit(store, sample_fraction=0.25)
     path = tempfile.mkdtemp(prefix="ivf_hubness_")
-    idx.write_partitioned(store, path)
+    idx.write_partitioned(store, path, compact=True)
     qdf = store.select(
         F.col("vec_id").alias("query_id"),
         F.expr("cast(embedding as array<double>)").alias("query_vec"),

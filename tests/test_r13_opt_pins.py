@@ -1,0 +1,207 @@
+"""Round-13 optimization pins: every perf change must leave results
+bit-identical.
+
+1. ``cosine_distance_prenorm`` (norms materialized per row before a pair
+   join) must equal the original per-pair ``cosine_distance`` double for
+   double, including the zero-vector nullif/coalesce guard.
+2. ``knn_join`` / ``lsh_knn_join`` / ``IVFIndex.search_batch`` after the
+   r13 rewrites (prenorm factoring, Arrow query transfer, pandas-built
+   probe frame, compact partitioned writes) must return exactly the rows
+   the pre-optimization plan shapes returned — pinned here against a
+   straight re-computation of the original expressions.
+"""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oaim_sandbox_spark.functions import portable as P
+from oaim_sandbox_spark.operators.ann import IVFIndex, knn_join, lsh_knn_join
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # plant the guard edge cases the optimization must preserve: a zero
+    # vector (cosine guard -> distance exactly 1.0) on both sides
+    dim = len(df.select("embedding").first()[0])
+    zero = spark.sql(
+        f"SELECT 900001L AS vec_id, transform(sequence(1, {dim}), x -> cast(0.0 as float)) "
+        "AS embedding, 0 AS label"
+    )
+    return df.unionByName(zero)
+
+
+def test_prenorm_cosine_bit_identical_on_pairs(spark, emb):
+    """Factored norms == per-pair norms, double for double, on every pair of
+    a 60x60 self-join including the planted zero vector."""
+    sub = emb.limit(60).selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+    a = sub.selectExpr("vec_id AS ida", "v AS va", f"{P.norm2('va', 'spark')} AS na")
+    # the alias dance mirrors the operators: norm computed once per row
+    pairs = a.crossJoin(
+        sub.selectExpr("vec_id AS idb", "v AS vb").withColumn(
+            "nb", F.expr(P.norm2("vb", "spark"))
+        )
+    )
+    old = P.cosine_distance("va", "vb", "spark")
+    new = P.cosine_distance_prenorm("va", "vb", "na", "nb", "spark")
+    bad = pairs.selectExpr(f"{old} AS o", f"{new} AS n").where("NOT (o <=> n)").count()
+    assert bad == 0
+    # the zero vector hits the guard: distance exactly 1.0 against everything
+    z = (
+        pairs.where("ida = 900001")
+        .selectExpr(f"{new} AS n")
+        .where("n <> 1.0")
+        .count()
+    )
+    assert z == 0
+
+
+def _naive_knn(items, queries, k, metric):
+    """The pre-r13 knn_join plan (per-pair cosine_distance), verbatim."""
+    from oaim_sandbox_spark.operators.retrieval import distance_expr
+
+    dist = distance_expr(
+        "i.embedding", P.to_double_array("q.query_vec", "spark"), metric
+    )
+    scored = (
+        items.alias("i")
+        .join(F.broadcast(queries.alias("q")))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("i.vec_id").alias("neighbor_id"),
+            F.expr(f"round({dist}, 6)").alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "distance")
+    )
+
+
+@pytest.mark.parametrize("metric", ["COSINE", "EUCLIDEAN_DISTANCE", "DOT_PRODUCT"])
+def test_knn_join_rows_unchanged(spark, emb, metric):
+    queries = emb.limit(7).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("cast(embedding as array<double>)").alias("query_vec"),
+    )
+    got = sorted(
+        tuple(r) for r in knn_join(emb, queries, k=5, metric=metric).collect()
+    )
+    want = sorted(tuple(r) for r in _naive_knn(emb, queries, 5, metric).collect())
+    assert got == want
+
+
+def test_lsh_knn_join_rows_unchanged_vs_cosine_recompute(spark, emb):
+    """The factored LSH join must agree with an independent recomputation of
+    each returned pair's distance through the ORIGINAL expression."""
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("cast(embedding as array<double>)").alias("query_vec"),
+    )
+    got = lsh_knn_join(emb, queries, k=3, multiprobe=True)
+    orig = P.cosine_distance(
+        "cast(i.embedding as array<double>)", "q.query_vec", "spark"
+    )
+    recomputed = (
+        emb.alias("i")
+        .join(F.broadcast(queries.alias("q")))
+        .selectExpr(
+            "q.query_id AS query_id",
+            "i.vec_id AS neighbor_id",
+            f"round({orig}, 6) AS rdist",
+        )
+    )
+    bad = (
+        got.join(recomputed, ["query_id", "neighbor_id"])
+        .where("NOT (distance <=> rdist)")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_cc_driver_union_find_matches_distributed_loop(spark, monkeypatch):
+    """The r13 size-thresholded CC strategy: driver union-find and the
+    distributed min-label loop must label identically (min node id per
+    component) on a graph with chains, cliques, and singletons."""
+    import random
+
+    from oaim_sandbox_spark.operators import dedup as D
+
+    rng = random.Random(13)
+    edges = [(i, i + 1) for i in range(50)]  # one long chain
+    edges += [(100 + a, 100 + b) for a in range(8) for b in range(a + 1, 8)]  # clique
+    edges += [(rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(40)]
+    edf = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+    ndf = spark.range(0, 270).select(F.col("id").alias("doc_id"))
+    fast = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.connected_components(edf, ndf).collect()
+    }
+    monkeypatch.setattr(D, "DRIVER_CC_MAX_EDGES", -1)  # force the loop
+    slow = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.connected_components(edf, ndf).collect()
+    }
+    assert fast == slow
+    assert fast[49] == 0 and fast[107] == 100 and fast[265] == 265
+
+
+def test_search_batch_rows_match_bruteforce_on_probed_cells(spark, emb):
+    """search_batch after the r13 rewrite == per-pair brute force restricted
+    to each query's probed cells (the definition of the IVF contract), with
+    distances recomputed through the ORIGINAL cosine expression."""
+    import numpy as np
+
+    idx = IVFIndex(n_centroids=4, seed=42, max_iter=5).fit(emb)
+    path = tempfile.mkdtemp(prefix="ivf_r13pin_")
+    idx.write_partitioned(emb, path, compact=True)
+    queries = emb.limit(9).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("cast(embedding as array<double>)").alias("query_vec"),
+    )
+    hits = idx.search_batch(
+        spark, path, queries, k=4, nprobe=2, pair_where="vec_id <> query_id"
+    )
+    # independent reference: numpy probe assignment + SQL per-pair distance
+    qrows = queries.collect()
+    qmat = np.asarray([list(map(float, r[1])) for r in qrows])
+    d2 = ((qmat[:, None, :] - idx.centroids[None, :, :]) ** 2).sum(axis=2)
+    probes = {int(r[0]): [int(c) for c in row] for r, row in zip(qrows, d2.argsort(axis=1)[:, :2])}
+    assigned = idx.assign(emb).select("vec_id", "centroid").collect()
+    cell = {r["vec_id"]: r["centroid"] for r in assigned}
+    orig = P.cosine_distance(
+        "cast(i.embedding as array<double>)", "q.query_vec", "spark"
+    )
+    allpairs = (
+        emb.alias("i")
+        .join(F.broadcast(queries.alias("q")))
+        .selectExpr(
+            "q.query_id AS query_id",
+            "i.vec_id AS vec_id",
+            f"round({orig}, 6) AS rdist",
+        )
+        .collect()
+    )
+    by_q: dict = {}
+    for r in allpairs:
+        if r["vec_id"] == r["query_id"]:
+            continue
+        if cell[r["vec_id"]] in probes[r["query_id"]]:
+            by_q.setdefault(r["query_id"], []).append((r["rdist"], r["vec_id"]))
+    want = []
+    for q, lst in by_q.items():
+        for rank, (d, v) in enumerate(sorted(lst)[:4], start=1):
+            want.append((q, v, d, rank))
+    got = [
+        (r["query_id"], r["vec_id"], r["distance"], r["rank"]) for r in hits.collect()
+    ]
+    assert sorted(got) == sorted(want)
