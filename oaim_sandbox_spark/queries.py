@@ -81,8 +81,13 @@ def __getattr__(name: str):
 
 def _make_spark_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # r13 opt: multi-referenced corpus-scanning CTEs are computed once
+        # (size-thresholded — a no-op at test SFs, single-computation at
+        # corpus scale; see cte_materialize.run_sql_materialized)
+        from oaim_sandbox_spark.cte_materialize import run_sql_materialized
+
         register_views(spark, sf_dir)
-        return spark.sql(TEMPLATES[name]("spark"))
+        return run_sql_materialized(spark, TEMPLATES[name]("spark"))
 
     run.__name__ = f"query_{name}"
     return run

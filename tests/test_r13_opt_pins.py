@@ -128,6 +128,86 @@ def test_lsh_knn_join_rows_unchanged_vs_cosine_recompute(spark, emb):
     assert bad == 0
 
 
+def _plan_text(df):
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_cte_materialization_rows_identical_and_fewer_scans(spark):
+    """run_sql_materialized with the size floor at 0 must return exactly the
+    rows of plain spark.sql for every template it rewrites, with fewer base
+    scans in the plan; at the default floor it must be a byte-level no-op on
+    test-scale data (same plan as plain)."""
+    from oaim_sandbox_spark import queries as Q
+    from oaim_sandbox_spark.cte_materialize import (
+        MIN_INPUT_BYTES_CONF,
+        run_sql_materialized,
+        split_with_clause,
+    )
+
+    Q.register_views(spark, SF)
+    names = [
+        "pagerank_3iter",
+        "data_quality_profile",
+        "funnel_conversion",
+        "countmin_token_topk",
+        "weekly_cohort_retention",
+        "tfidf_top_terms",
+    ]
+    for name in names:
+        sql = Q.TEMPLATES[name]("spark")
+        assert split_with_clause(sql) is not None, f"{name}: parser regressed"
+        import re as _re
+
+        plain = spark.sql(sql)
+        # default floor: no-op at test scale — identical plan shape (ids
+        # normalized: expression #ids are allocation-order artifacts)
+        norm = lambda t: _re.sub(r"#\d+|plan_id=\d+|, \d+\)\) AS #x", "N", t)  # noqa: E731
+        noop = run_sql_materialized(spark, sql)
+        assert norm(_plan_text(noop)) == norm(_plan_text(plain)), name
+        spark.conf.set(MIN_INPUT_BYTES_CONF, "0")
+        try:
+            mat = run_sql_materialized(spark, sql)
+        finally:
+            spark.conf.unset(MIN_INPUT_BYTES_CONF)
+        got = [tuple(r) for r in mat.collect()]
+        want = [tuple(r) for r in plain.collect()]
+        assert got == want, name
+        # the whole point: fewer base-table scans in the materialized plan
+        assert _plan_text(mat).count("Scan parquet") < _plan_text(plain).count(
+            "Scan parquet"
+        ) or _plan_text(plain).count("Scan parquet") <= 2, name
+
+
+def test_cte_materialization_never_clobbers_views(spark):
+    """A CTE whose name collides with a registered view must not be turned
+    into a temp view (it would shadow the real one for later queries)."""
+    from oaim_sandbox_spark.cte_materialize import (
+        MIN_INPUT_BYTES_CONF,
+        run_sql_materialized,
+    )
+
+    spark.range(3).createOrReplaceTempView("collide_me")
+    spark.conf.set(MIN_INPUT_BYTES_CONF, "0")
+    try:
+        out = run_sql_materialized(
+            spark,
+            "WITH collide_me AS (SELECT doc_id FROM documents WHERE doc_id < 5) "
+            "SELECT a.doc_id FROM collide_me a JOIN collide_me b ON a.doc_id = b.doc_id",
+        )
+        assert out.count() <= 5
+    finally:
+        spark.conf.unset(MIN_INPUT_BYTES_CONF)
+    # the pre-existing view is untouched
+    assert spark.table("collide_me").count() == 3
+    spark.catalog.dropTempView("collide_me")
+
+
 def test_cc_driver_union_find_matches_distributed_loop(spark, monkeypatch):
     """The r13 size-thresholded CC strategy: driver union-find and the
     distributed min-label loop must label identically (min node id per
