@@ -2223,15 +2223,16 @@ def hard_negative_mining(d: str) -> str:
     (IVFIndex.search_batch with a label predicate pushed into the pruned
     scan) re-ranked exactly — certified against this query's semantics.
     Plan shape: the query batch broadcasts (|corpus|/97 rows), ONE store
-    scan scores all queries, the rank window shuffles slim
+    scan scores all queries over PRE-NORMED rows (r13 opt: cast + norm
+    factored per row, one dot fold per pair-side evaluation —
+    bit-identical, see `_emb_prenorm_sql`), the rank window shuffles slim
     (query, vec_id, distance) tuples only."""
-    dist = P.cosine_distance(
-        P.to_double_array("e.embedding", d), P.to_double_array("q.qv", d), d
-    )
+    dist = P.cosine_distance_prenorm("e.av", "q.qav", "e.nrm", "q.qnrm", d)
     return f"""
-WITH q AS (
-  SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
-  FROM embeddings WHERE vec_id % 97 = 0
+WITH en AS ({_emb_prenorm_sql(d)}),
+q AS (
+  SELECT vec_id AS query_id, label AS qlabel, av AS qav, nrm AS qnrm
+  FROM en WHERE vec_id % 97 = 0
 ),
 scored AS (
   SELECT q.query_id AS query_id, e.vec_id AS negative_id,
@@ -2239,7 +2240,7 @@ scored AS (
          round({dist}, 6) AS distance,
          ROW_NUMBER() OVER (PARTITION BY q.query_id
                             ORDER BY round({dist}, 6) ASC, e.vec_id ASC) AS rnk
-  FROM embeddings e CROSS JOIN q
+  FROM en e CROSS JOIN q
   WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
 )
 SELECT CAST(query_id AS BIGINT) AS query_id,
@@ -2327,6 +2328,23 @@ TEMPLATES["unimax_budget_allocation"] = unimax_budget_allocation
 # accounting, cross-source threshold parity ---------------------------------
 
 
+def _emb_prenorm_sql(d: str, cols: str = "vec_id, label") -> str:
+    """(…cols, av, nrm): embeddings with the double-array cast AND the L2
+    norm factored out per ROW — the pair-join prenorm lever (r13 opt,
+    guide §1.2 "per-task work"): an O(n·m) pair relation evaluating
+    `P.cosine_distance` recomputes both norms (two HOF folds) per PAIR,
+    though they are per-row quantities. Consumers join this relation and
+    score with `P.cosine_distance_prenorm("a.av", "b.av", "a.nrm",
+    "b.nrm", d)` — ONE dot fold per pair, bit-identical by construction
+    (same fold order, same nullif/coalesce zero-vector guard; pinned in
+    tests/test_r13_opt_pins.py)."""
+    av = P.to_double_array("embedding", d)
+    return (
+        f"SELECT {cols}, av, {P.norm2('av', d)} AS nrm "
+        f"FROM (SELECT {cols}, {av} AS av FROM embeddings) _e"
+    )
+
+
 def knn_label_consensus(d: str) -> str:
     """Label-noise detection by k-NN label agreement (confident-learning
     lite): for every labeled embedding, the share of its 5 exact-cosine
@@ -2338,17 +2356,18 @@ def knn_label_consensus(d: str) -> str:
     the oracle; the 100 TB path is the hard_negative_funnel shape —
     IVFIndex.search_batch candidates (no label predicate) re-ranked exactly,
     with consensus computed over the funnel's top-5. Plan shape: one
-    broadcast-NLJ self-score, rank window over slim (vid, label, distance)
+    broadcast-NLJ self-score over PRE-NORMED rows (r13 opt: cast + norm
+    factored per row, one dot fold per pair — bit-identical, see
+    `_emb_prenorm_sql`), rank window over slim (vid, label, distance)
     tuples, two hash aggs."""
-    dist = P.cosine_distance(
-        P.to_double_array("a.embedding", d), P.to_double_array("b.embedding", d), d
-    )
+    dist = P.cosine_distance_prenorm("a.av", "b.av", "a.nrm", "b.nrm", d)
     return f"""
-WITH nb AS (
+WITH en AS ({_emb_prenorm_sql(d)}),
+nb AS (
   SELECT a.vec_id AS vid, a.label AS alab, b.label AS blab,
          ROW_NUMBER() OVER (PARTITION BY a.vec_id
                             ORDER BY round({dist}, 6) ASC, b.vec_id ASC) AS rnk
-  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  FROM en a JOIN en b ON a.vec_id <> b.vec_id
 ),
 cons AS (
   SELECT vid, alab,
@@ -2387,15 +2406,14 @@ def coreset_coverage_radius(d: str) -> str:
     AVG over doubles is partial-merge-order dependent and flipped the 6th
     decimal across runs when a label's mean sat on a rounding boundary
     (caught by the r10 close re-sweep: 0.759819 vs 0.759818)."""
-    dist = P.cosine_distance(
-        P.to_double_array("p.embedding", d), P.to_double_array("c.embedding", d), d
-    )
+    dist = P.cosine_distance_prenorm("p.av", "c.av", "p.nrm", "c.nrm", d)
     pcts = (
         "percentile(radius, 0.9D)" if d == "spark" else "quantile_cont(radius, 0.9)"
     )
     return f"""
-WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 16 = 0),
-p AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 16 <> 0),
+WITH en AS ({_emb_prenorm_sql(d)}),
+c AS (SELECT vec_id, av, nrm FROM en WHERE vec_id % 16 = 0),
+p AS (SELECT vec_id, label, av, nrm FROM en WHERE vec_id % 16 <> 0),
 r AS (
   SELECT p.vec_id AS vid, p.label AS label, MIN(round({dist}, 6)) AS radius
   FROM p CROSS JOIN c
@@ -3766,17 +3784,17 @@ def knn_hubness_histogram(d: str) -> str:
     is the oracle (the knn_label_consensus pattern); at 100 TB the same
     in-degree roll-up runs over IVFIndex.search_batch hit lists — the
     funnel the consensus twin already demonstrates. Plan shape: one
-    broadcast-NLJ self-score, rank window over slim tuples, two hash
-    aggs."""
-    dist = P.cosine_distance(
-        P.to_double_array("a.embedding", d), P.to_double_array("b.embedding", d), d
-    )
+    broadcast-NLJ self-score over PRE-NORMED rows (r13 opt: cast + norm
+    factored per row, one dot fold per pair — bit-identical, see
+    `_emb_prenorm_sql`), rank window over slim tuples, two hash aggs."""
+    dist = P.cosine_distance_prenorm("a.av", "b.av", "a.nrm", "b.nrm", d)
     return f"""
-WITH nb AS (
+WITH en AS ({_emb_prenorm_sql(d, cols="vec_id")}),
+nb AS (
   SELECT b.vec_id AS hit,
          ROW_NUMBER() OVER (PARTITION BY a.vec_id
                             ORDER BY round({dist}, 6) ASC, b.vec_id ASC) AS rnk
-  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  FROM en a JOIN en b ON a.vec_id <> b.vec_id
 ),
 deg AS (SELECT hit, COUNT(*) AS k_occ FROM nb WHERE rnk <= 5 GROUP BY hit),
 alln AS (
@@ -5536,7 +5554,7 @@ def ndcg_graded_retrieval(d: str) -> str:
     counts — the ideal ranking needs no sort. IDCG = 0 (no relevant
     candidates) -> NULL ndcg."""
     emb = P.mock_embed("text", EMBED_DIM, d)
-    dist = P.cosine_distance("c.e", "q.qe", d)
+    dist = P.cosine_distance_prenorm("c.e", "q.qe", "c.nrm", "q.nrm", d)
     l2 = {1: "1.0", 2: "1.584962500721156", 3: "2.0",
           4: "2.321928094887362", 5: "2.584962500721156"}
     dcg_term = " ".join(
@@ -5548,9 +5566,12 @@ def ndcg_graded_retrieval(d: str) -> str:
         + ("" if p == 1 else f" / {l2[p]}")
         for p in range(1, NDCG_K + 1))
     return f"""
-WITH docs AS (SELECT doc_id, source, lang, {emb} AS e FROM documents),
+WITH docs AS (
+  SELECT doc_id, source, lang, e, {P.norm2('e', d)} AS nrm
+  FROM (SELECT doc_id, source, lang, {emb} AS e FROM documents) _d
+),
 q AS (
-  SELECT doc_id AS qid, source AS qsrc, lang AS qlang, e AS qe
+  SELECT doc_id AS qid, source AS qsrc, lang AS qlang, e AS qe, nrm
   FROM docs WHERE doc_id % {NDCG_QUERY_STRIDE} = 0 AND doc_id < {NDCG_QUERY_CAP}
 ),
 scored AS (

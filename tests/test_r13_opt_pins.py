@@ -285,3 +285,45 @@ def test_search_batch_rows_match_bruteforce_on_probed_cells(spark, emb):
         (r["query_id"], r["vec_id"], r["distance"], r["rank"]) for r in hits.collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+R13_PRENORM_TEMPLATES = [
+    "knn_label_consensus",
+    "knn_hubness_histogram",
+    "coreset_coverage_radius",
+    "hard_negative_mining",
+    "ndcg_graded_retrieval",
+]
+
+
+def test_prenorm_templates_match_frozen_oracle(spark):
+    """The r13 prenorm rewrite of the five all-pairs cosine templates (norms
+    + double cast factored per ROW instead of per PAIR) must leave every
+    query's results exactly as certified: the NEW Spark output is compared
+    against the FROZEN pre-change DuckDB oracle SQL (captured from the last
+    certified tree into tests/fixtures/r13_prenorm_old_oracle.json), using
+    the driver-strict cell canonicalization of tools/check_correctness."""
+    import json
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    root = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(root / "tools"))
+    from check_correctness import canonical
+
+    from oaim_sandbox_spark import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    old = json.loads((root / "tests/fixtures/r13_prenorm_old_oracle.json").read_text())
+    duck = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        duck.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    runners = Q.spark_queries()
+    for name in R13_PRENORM_TEMPLATES:
+        sdf = runners[name](spark, sf)
+        got = canonical([tuple(r) for r in sdf.collect()], sdf.columns)
+        rel = duck.sql(old[name])
+        want = canonical(rel.fetchall(), rel.columns)
+        assert got == want, name
