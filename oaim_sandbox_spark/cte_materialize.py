@@ -176,12 +176,19 @@ def run_sql_materialized(spark: SparkSession, sql: str) -> DataFrame:
                 input_bytes.get(n2, 0) for n2 in upstream if n2 not in to_materialize
             )
             big_enough = input_bytes[name] >= floor
-            refs = _ref_count(name, later_texts[name])
             # never register a view under a name that already resolves in the
             # session (a CTE legally shadows a table/view; a temp view of the
-            # same name would CLOBBER it for every later query)
-            collides = name in _BASE_TABLES or spark.catalog.tableExists(name)
-            if corpus_work[name] and big_enough and refs >= 2 and not collides:
+            # same name would CLOBBER it for every later query). The catalog
+            # lookup is a py4j round-trip, so it runs ONLY once the cheap
+            # gates pass (at the default floor that is never at bench scale —
+            # zero catalog chatter on the hot path).
+            if (
+                corpus_work[name]
+                and big_enough
+                and _ref_count(name, later_texts[name]) >= 2
+                and name not in _BASE_TABLES
+                and not spark.catalog.tableExists(name)
+            ):
                 # compute the body once: earlier non-materialized defs are
                 # re-attached; earlier materialized names resolve to their
                 # temp views (same name)
