@@ -66,3 +66,29 @@ def test_compare_ignores_authored_changes_and_rotation():
         "added": {"features": "BNLJ", "fp": "y"},
     }
     assert compare_audits(old, new) == []
+
+
+def test_expected_transition_suppressed_but_only_that_transition():
+    """The r13 CC runner change is whitelisted as an exact (old, new)
+    transition (plan_audit.EXPECTED_PLAN_TRANSITIONS): that transition must
+    not flag, while any OTHER feature drift on the same entry — from either
+    side of the transition — still must."""
+    from plan_audit import EXPECTED_PLAN_TRANSITIONS
+
+    name = "near_dup_clusters"
+    old_f, new_f = EXPECTED_PLAN_TRANSITIONS[name]
+    # the documented transition: suppressed
+    assert compare_audits(
+        {name: {"features": old_f, "fp": "abc"}},
+        {name: {"features": new_f, "fp": "abc"}},
+    ) == []
+    # drift PAST the new shape: flags
+    assert compare_audits(
+        {name: {"features": new_f, "fp": "abc"}},
+        {name: {"features": new_f + ", CARTESIAN", "fp": "abc"}},
+    )
+    # a different transition from the old shape: flags
+    assert compare_audits(
+        {name: {"features": old_f, "fp": "abc"}},
+        {name: {"features": "CARTESIAN", "fp": "abc"}},
+    )
