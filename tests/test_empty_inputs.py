@@ -72,20 +72,28 @@ def test_sketch_profile_on_empty_events(spark):
     import weakref
 
     from oaim_sandbox_spark import queries as Q
+    from oaim_sandbox_spark import queries_core as QC
 
     sf = "/root/testdata/sf0.001"
     try:
         spark.createDataFrame(
             [], "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ts_us BIGINT"
         ).createOrReplaceTempView("events")
-        if Q._VIEWS_STATE is None:
-            Q._VIEWS_STATE = weakref.WeakKeyDictionary()
+        # Patch the state in queries_core — the module register_views READS.
+        # Assigning through the `queries` facade sets a shadow attribute on
+        # the facade module (its __getattr__ delegation only covers reads),
+        # so when queries_core._VIEWS_STATE was still None the runner
+        # re-registered the REAL events parquet over the empty view — the
+        # order-dependence this file used to carry (failed standalone,
+        # passed after any suite test had populated the real state).
+        if QC._VIEWS_STATE is None:
+            QC._VIEWS_STATE = weakref.WeakKeyDictionary()
         # mark everything registered so the runner's register_views no-ops
         # and the empty view stays in place
-        Q._VIEWS_STATE[spark] = (sf, frozenset(Q.ALL_TABLES))
+        QC._VIEWS_STATE[spark] = (sf, frozenset(Q.ALL_TABLES))
         out = Q.NON_ORACLE["sketch_profile"](spark, sf)
         assert out.count() == 0
         assert "users_within_bound" in out.columns
     finally:
         spark.catalog.dropTempView("events")
-        Q._VIEWS_STATE.pop(spark, None)
+        QC._VIEWS_STATE.pop(spark, None)
