@@ -327,3 +327,49 @@ def test_prenorm_templates_match_frozen_oracle(spark):
         rel = duck.sql(old[name])
         want = canonical(rel.fetchall(), rel.columns)
         assert got == want, name
+
+
+R13_SIMHASH_TEMPLATES = [
+    "dedup_chain_transitivity",
+    "dedup_method_agreement",
+    "dup_cluster_size_histogram",
+    "near_dup_clusters",
+    "near_dup_rate_by_source",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+]
+
+
+def test_simhash_single_agg_matches_frozen_oracle(spark):
+    """The r13 single-aggregation simhash rewrite (SUM(±1) over raw token
+    instances in one groupBy(doc_id) instead of SUM(±w) over the
+    COUNT-per-(doc_id, tk) intermediate — integer sums, bit-identical
+    fingerprints by associativity) must leave every consumer's results
+    exactly as certified: the NEW Spark output is compared against the
+    FROZEN pre-change DuckDB oracle SQL (captured into
+    tests/fixtures/r13_simhash_old_oracle.json), using the driver-strict
+    cell canonicalization of tools/check_correctness."""
+    import json
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    root = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(root / "tools"))
+    from check_correctness import canonical
+
+    from oaim_sandbox_spark import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    old = json.loads((root / "tests/fixtures/r13_simhash_old_oracle.json").read_text())
+    assert set(old) == set(R13_SIMHASH_TEMPLATES)
+    duck = duckdb.connect()
+    duck.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    runners = Q.spark_queries()
+    for name in R13_SIMHASH_TEMPLATES:
+        sdf = runners[name](spark, sf)
+        got = canonical([tuple(r) for r in sdf.collect()], sdf.columns)
+        rel = duck.sql(old[name])
+        want = canonical(rel.fetchall(), rel.columns)
+        assert got == want, name
