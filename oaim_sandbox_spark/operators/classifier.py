@@ -179,14 +179,18 @@ def fit_logistic(
             .select("id", "y", "p", (F.col("p") - F.col("y")).alias("e"))
             .persist()
         )
-        # dim-bounded gradient + scalar loss in two small aggregates
-        grad_rows = (
+        # dim-bounded gradient + scalar loss in ONE action (r13 opt: the
+        # loss/bias stats ride along as two sentinel-idx rows stacked under
+        # the gradient union, halving the per-iteration job count; both
+        # subtrees read the persisted err relation, and each aggregate's
+        # partial-merge structure is unchanged, so every float matches the
+        # former two-action form — pinned by the bit-determinism rerun test)
+        gcol = (
             feat.join(err.select("id", "e"), "id")
             .groupBy("idx")
             .agg(F.sum(F.col("cnt") * F.col("e")).alias("g"))
-            .collect()
         )
-        loss_row = err.agg(
+        stats = err.agg(
             F.avg(
                 -(
                     F.col("y") * F.log(F.greatest(F.col("p"), F.lit(1e-12)))
@@ -194,14 +198,21 @@ def fit_logistic(
                 )
             ).alias("loss"),
             F.avg("e").alias("ge"),
-        ).collect()[0]
+        ).selectExpr("stack(2, -1, loss, -2, ge) AS (idx, g)")
+        rows = gcol.unionByName(stats).collect()
         err.unpersist()
         g = np.zeros(dim, dtype=np.float64)
-        for r in grad_rows:
-            g[r["idx"]] = r["g"] / n
+        loss_v = ge_v = None
+        for r in rows:
+            if r["idx"] == -1:
+                loss_v = r["g"]
+            elif r["idx"] == -2:
+                ge_v = r["g"]
+            else:
+                g[r["idx"]] = r["g"] / n
         w -= lr * (g + l2 * w)
-        b -= lr * float(loss_row["ge"])
-        history.append(float(loss_row["loss"]))
+        b -= lr * float(ge_v)
+        history.append(float(loss_v))
     feat.unpersist()
     labels.unpersist()
     return LinearTextModel(weights=w, bias=b, dim=dim, loss_history=history)
