@@ -103,6 +103,21 @@ def query_fingerprint(name: str) -> str:
 EXPECTED_PLAN_TRANSITIONS: dict[str, tuple[str, str]] = {
     "dup_cluster_size_histogram": ("BHJ, xchg=2", "BHJx2, xchg=2"),
     "near_dup_clusters": ("xchg=0", "BHJ, xchg=0"),
+    # r13 opt: IVFIndex.search_batch/_multi score through the NumPy cell
+    # scorer (mapInPandas over the pruned store scan; the query batch rides
+    # in the task closure) — the scoring broadcast join leaves the plan and
+    # the probe-frame scan branch (whose pushed filter supplied the old
+    # 'pushdown' tag) is now collected during the runner, outside the final
+    # plan. Partition pruning on the store scan is unchanged (see
+    # plans/r13/knn_consensus_funnel_after.txt PartitionFilters).
+    "coreset_coverage_funnel": (
+        "BHJx2, windowx3, xchg=2", "BHJ, windowx3, mapInPandas, xchg=2"),
+    "hard_negative_funnel": (
+        "BHJx4, windowx3, xchg=1, pushdown", "BHJx2, windowx3, mapInPandas, xchg=1"),
+    "knn_consensus_funnel": (
+        "BHJx3, windowx3, xchg=3, pushdown", "BHJx2, windowx3, mapInPandas, xchg=3"),
+    "knn_hubness_funnel": (
+        "BHJx2, BNLJ, windowx6, xchg=5, pushdown", "BNLJ, windowx6, mapInPandasx2, xchg=5"),
 }
 
 
