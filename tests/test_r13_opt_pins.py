@@ -373,3 +373,71 @@ def test_simhash_single_agg_matches_frozen_oracle(spark):
         rel = duck.sql(old[name])
         want = canonical(rel.fetchall(), rel.columns)
         assert got == want, name
+
+
+def test_np_cell_scorer_matches_jvm_join_path(spark):
+    """The NumPy cell scorer (r13 continuation #9) must stay row-identical —
+    distances included — to the broadcast-join JVM expression path it
+    replaced, which remains in search_batch/_multi as the fallback. Forces
+    the fallback by clearing _NP_SCORE_METRICS and compares all three
+    metrics plus the multi-width API on a small planted store."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import oaim_sandbox_spark.operators.ann as ann
+
+    store = spark.range(120).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), i -> "
+            "cast(hash(id, i) % 1000 as double) / 250.0)"
+        ).alias("embedding"),
+        (F.col("id") % 3).cast("int").alias("label"),
+    )
+    idx = ann.IVFIndex(n_centroids=4, seed=7, max_iter=4).fit(store)
+    path = tempfile.mkdtemp(prefix="ivf_pin_")
+    idx.write_partitioned(store, path, compact=True)
+    qdf = store.filter("vec_id % 11 = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.expr("cast(embedding as array<double>)").alias("query_vec"),
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for metric in ("COSINE", "EUCLIDEAN_DISTANCE", "DOT_PRODUCT"):
+        got = rows(idx.search_batch(spark, path, qdf, k=4, nprobe=2, metric=metric,
+                                    pair_where="vec_id <> query_id"))
+        saved = ann._NP_SCORE_METRICS
+        ann._NP_SCORE_METRICS = ()
+        try:
+            want = rows(idx.search_batch(spark, path, qdf, k=4, nprobe=2, metric=metric,
+                                         pair_where="vec_id <> query_id"))
+        finally:
+            ann._NP_SCORE_METRICS = saved
+        assert got == want and got, metric
+
+    got = rows(idx.search_batch_multi(spark, path, qdf, k=4, nprobes=(1, 3)))
+    saved = ann._NP_SCORE_METRICS
+    ann._NP_SCORE_METRICS = ()
+    try:
+        want = rows(idx.search_batch_multi(spark, path, qdf, k=4, nprobes=(1, 3)))
+    finally:
+        ann._NP_SCORE_METRICS = saved
+    assert got == want and got
+
+    # carried query columns + pair predicate on them
+    got = rows(idx.search_batch(spark, path, qdf, k=4, nprobe=3,
+                                query_cols=["qlabel"],
+                                pair_where="label <> qlabel AND vec_id <> query_id"))
+    saved = ann._NP_SCORE_METRICS
+    ann._NP_SCORE_METRICS = ()
+    try:
+        want = rows(idx.search_batch(spark, path, qdf, k=4, nprobe=3,
+                                     query_cols=["qlabel"],
+                                     pair_where="label <> qlabel AND vec_id <> query_id"))
+    finally:
+        ann._NP_SCORE_METRICS = saved
+    assert got == want and got
