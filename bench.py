@@ -1202,6 +1202,22 @@ def main() -> None:
               "GROUP BY source").collect()
     spark.sql("SELECT l_returnflag, SUM(l_quantity) FROM lineitem "
               "GROUP BY l_returnflag").collect()
+    # r13 continuation: also warm the Python-worker/Arrow boundary (worker
+    # fork + numpy/pandas import + Arrow serde init) — the same one-time-
+    # session-cost class the r10 warmup absorbs for JVM scan/agg codegen.
+    # Without it the alphabetically FIRST mapInPandas entry pays ~1-3s of
+    # worker spin-up that is session startup, not query cost (measured as
+    # the embedding_cosine_pairs 18.8s-cold / 3.2s-warm spread this round).
+    # Workers are reused across queries (spark.python.worker.reuse default),
+    # so one tiny pass warms every later Python-path query.
+
+    def _py_warm(batches):
+        import numpy as _np  # noqa: F401  (import cost is the point)
+
+        for b in batches:
+            yield b
+
+    spark.range(8).toDF("id").mapInPandas(_py_warm, "id bigint").collect()
 
     calibration = host_calibration(spark)
 
