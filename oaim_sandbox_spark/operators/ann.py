@@ -53,6 +53,23 @@ def _pairs_df(spark: SparkSession, pairs: list, ddl: str) -> DataFrame:
 _NP_SCORE_METRICS = ("COSINE", "EUCLIDEAN_DISTANCE", "DOT_PRODUCT")
 
 
+def _np_path_ok(store: DataFrame, vec_col: str, metric: str, query_id: str) -> bool:
+    """Gate for the NumPy scoring path: supported metric, no collision with
+    the reserved output names, and every carried store column is an atomic
+    type (the vector column is consumed, other array/map/struct columns
+    would round-trip through pandas object cells — the broadcast-join JVM
+    fallback handles those stores instead, with identical semantics)."""
+    if metric not in _NP_SCORE_METRICS:
+        return False
+    if {"query_id", "probe_rank", "__ivf_rawdist", query_id} & set(store.columns):
+        return False
+    return not any(
+        f.dataType.simpleString().startswith(("array", "map", "struct"))
+        for f in store.schema.fields
+        if f.name != vec_col
+    )
+
+
 def _np_query_cells(qids, qmat, probes, qid_ddl: str, carry_rank: bool) -> dict:
     """Per-centroid query blocks for ``_np_cell_scores``: (qid array,
     query-matrix slice, query norms, probe ranks). Query norms accumulate
@@ -702,8 +719,7 @@ class IVFIndex:
         store = spark.read.parquet(path).filter(F.col("centroid").isin(all_cents))
         if where is not None:
             store = store.filter(where)
-        reserved = {"query_id", "probe_rank", "__ivf_rawdist", query_id}
-        use_np = metric in _NP_SCORE_METRICS and not (reserved & set(store.columns))
+        use_np = _np_path_ok(store, self.vec_col, metric, query_id)
         if use_np:
             cells = _np_query_cells(qids, qmat, probes, qid_t, carry_rank=False)
             scored = _np_cell_scores(store, self.vec_col, cells, metric, qid_t)
@@ -799,8 +815,7 @@ class IVFIndex:
         store = spark.read.parquet(path).filter(F.col("centroid").isin(all_cents))
         if where is not None:
             store = store.filter(where)
-        reserved = {"query_id", "probe_rank", "__ivf_rawdist", query_id}
-        use_np = metric in _NP_SCORE_METRICS and not (reserved & set(store.columns))
+        use_np = _np_path_ok(store, self.vec_col, metric, query_id)
         if use_np:
             # vectorized scorer (see search_batch): queries travel in the
             # task closure, probe_rank rides along per (query, centroid)
