@@ -170,7 +170,8 @@ def _np_cell_scores(
                 m, d = qmat.shape
                 vecs = grp[vec_col].values
                 ok = np.fromiter(
-                    (v is not None and len(v) == d for v in vecs),
+                    (v is not None and hasattr(v, "__len__") and len(v) == d
+                     for v in vecs),
                     dtype=bool, count=len(vecs),
                 )
                 out_parts = []
