@@ -684,10 +684,13 @@ def ann_recall_all(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[
               file=sys.stderr)
     blocks = {b: spec for b, spec in blocks.items() if b in run_set}
 
+    block_seconds: dict[str, float] = {}
+
     def run_block(name: str, flavor: str, tiers) -> dict[str, float]:
         # per-block failure domain (the pre-harness layout had one
         # try/except per block): a prepare/tier error in one flavor must
         # report that block empty, not discard the other two blocks' numbers
+        t0 = time.time()
         try:
             prep = prepared[name].result()
             return ann_recall(
@@ -698,6 +701,15 @@ def ann_recall_all(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[
             print(f"# RECALL BLOCK ERROR {name}: {_errline(e)}",
                   file=sys.stderr)
             return {}
+        finally:
+            # per-block wall seconds (VERDICT r13 #2): the rotation measures
+            # different blocks in different rounds, so the combined
+            # ann_recall_combined timing is only comparable round-over-round
+            # when the record says how long EACH measured block took. NOTE
+            # the blocks run overlapped in one pool — these walls overlap
+            # and include waiting on the shared prepare — so their sum
+            # exceeds the combined timing; compare like blocks, not sums.
+            block_seconds[name] = round(time.time() - t0, 3)
 
     out: dict = {}
     if blocks:
@@ -716,6 +728,7 @@ def ann_recall_all(spark, sf_dir: str, k: int = 10, n_queries: int = 5) -> dict[
         out[name] = dict(vals)
     out["_meta"] = {
         "measured_blocks": sorted(run_set),
+        "block_seconds": dict(sorted(block_seconds.items())),
         "carried_from": {b: rnd for b, (rnd, _) in carried.items()},
         # the per-block measure/carry reasons, persisted so the NEXT
         # round's rotation plan can be audited from the committed record
@@ -1436,6 +1449,11 @@ def main() -> None:
         # which blocks were freshly measured vs carried from a stable prior
         # round (the staleness rotation — plan_recall_rotation)
         "recall_measured_blocks": recall_meta.get("measured_blocks", []),
+        # wall seconds per MEASURED block (VERDICT r13 #2): lets the next
+        # round's PERF comparison be like-for-like under the block rotation.
+        # Blocks run overlapped, so these walls overlap; carried blocks are
+        # absent (they cost ~0)
+        "recall_block_seconds": recall_meta.get("block_seconds", {}),
         "recall_carried_from": recall_meta.get("carried_from", {}),
         "recall_rotation_reasons": recall_meta.get("rotation_reasons", {}),
         # start AND end probes: the host speed drifts ~2x minute-to-minute,

@@ -54,12 +54,27 @@ _BASE_TABLES = (
 _WITH_RE = re.compile(r"^\s*WITH\s", re.IGNORECASE)
 _NAME_AS_RE = re.compile(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(", re.IGNORECASE)
 
+# nondeterminism guard (VERDICT r13 #6): a nondeterministic CTE referenced k
+# times computes k INDEPENDENT samples when inlined but ONE shared sample
+# when materialized — never materialize such a body. (All current templates
+# are hash-deterministic by repo convention, and DuckDB materializes CTEs
+# natively so the oracle already has single-evaluation semantics; the guard
+# makes the rewriter safe by construction for future templates.)
+_NONDET_RE = re.compile(
+    r"\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id|now|"
+    r"current_timestamp|current_date|unix_timestamp)\s*\(",
+    re.IGNORECASE,
+)
+
 
 def split_with_clause(sql: str):
     """Parse `WITH a AS (...), b AS (...) <final>` into ([(name, body)...],
     final_sql). Returns None when the statement has no top-level WITH or the
     shape is anything unexpected (nested WITH at top level, quoting the
-    scanner can't track, ...) — callers fall back to plain execution."""
+    scanner can't track, ...) — callers fall back to plain execution. The
+    body scanner tracks single-quoted literals, double-quoted identifiers,
+    and `--` line comments (ADVICE r13: an unbalanced paren/quote inside a
+    comment or quoted identifier must not mis-split the statement)."""
     m = _WITH_RE.match(sql)
     if not m:
         return None
@@ -72,7 +87,8 @@ def split_with_clause(sql: str):
         name = nm.group(1)
         i = nm.end()  # just past the opening paren
         depth = 1
-        in_str = False
+        in_str = False  # inside '...'
+        in_dq = False  # inside "..."
         while i < len(sql) and depth:
             ch = sql[i]
             if in_str:
@@ -82,8 +98,20 @@ def split_with_clause(sql: str):
                         i += 1
                     else:
                         in_str = False
+            elif in_dq:
+                if ch == '"':
+                    if i + 1 < len(sql) and sql[i + 1] == '"':
+                        i += 1
+                    else:
+                        in_dq = False
+            elif ch == "-" and i + 1 < len(sql) and sql[i + 1] == "-":
+                # line comment: skip to end of line (or end of text)
+                nl = sql.find("\n", i)
+                i = (nl if nl != -1 else len(sql) - 1)
             elif ch == "'":
                 in_str = True
+            elif ch == '"':
+                in_dq = True
             elif ch == "(":
                 depth += 1
             elif ch == ")":
@@ -101,8 +129,20 @@ def split_with_clause(sql: str):
         return ctes, rest
 
 
+def _ref_pat(name: str) -> re.Pattern:
+    """References to a CTE in relation position: FROM/JOIN, or a comma-join
+    list item (`FROM a, name`). The comma alternative can over-match (a
+    SELECT-list column sharing the CTE's name), which only ever OVER-counts —
+    worst case a single-reference CTE is materialized once, same rows, one
+    extra bounded job; an under-count would silently skip the optimization.
+    A following `(` is excluded so function calls never count."""
+    return re.compile(
+        rf"(?:\bFROM|\bJOIN|,)\s*{re.escape(name)}\b(?!\s*\()", re.IGNORECASE
+    )
+
+
 def _ref_count(name: str, texts: list[str]) -> int:
-    pat = re.compile(rf"(?:\bFROM|\bJOIN)\s+{re.escape(name)}\b", re.IGNORECASE)
+    pat = _ref_pat(name)
     return sum(len(pat.findall(t)) for t in texts)
 
 
@@ -157,16 +197,11 @@ def run_sql_materialized(spark: SparkSession, sql: str) -> DataFrame:
         kept_defs: list[str] = []
         input_bytes: dict[str, int] = {}
         for name, body in ctes:
-            scanned = [
-                t
-                for t in _BASE_TABLES
-                if re.search(rf"(?:\bFROM|\bJOIN)\s+{t}\b", body, re.IGNORECASE)
-            ]
+            scanned = [t for t in _BASE_TABLES if _ref_pat(t).search(body)]
             upstream = [
                 n2
                 for n2, _ in ctes
-                if corpus_work.get(n2, False)
-                and re.search(rf"(?:\bFROM|\bJOIN)\s+{n2}\b", body, re.IGNORECASE)
+                if corpus_work.get(n2, False) and _ref_pat(n2).search(body)
             ]
             inherits = any(n2 not in to_materialize for n2 in upstream)
             corpus_work[name] = bool(scanned) or inherits
@@ -187,6 +222,7 @@ def run_sql_materialized(spark: SparkSession, sql: str) -> DataFrame:
                 and big_enough
                 and _ref_count(name, later_texts[name]) >= 2
                 and name not in _BASE_TABLES
+                and not _NONDET_RE.search(body)
                 and not spark.catalog.tableExists(name)
             ):
                 # compute the body once: earlier non-materialized defs are
@@ -199,6 +235,11 @@ def run_sql_materialized(spark: SparkSession, sql: str) -> DataFrame:
                 to_materialize.append(name)
             else:
                 kept_defs.append(f"{name} AS ({body})")
+        if not registered:
+            # nothing was materialized: run the ORIGINAL statement text, not
+            # a reconstruction (ADVICE r13: the default path for every WITH
+            # query must not depend on the scanner's round-trip fidelity)
+            return spark.sql(sql)
         out_sql = (f"WITH {', '.join(kept_defs)}\n" if kept_defs else "") + final
         return spark.sql(out_sql)
     finally:

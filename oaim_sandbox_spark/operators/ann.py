@@ -15,6 +15,8 @@ embedding.py:348-368; Spark has no vector index, so):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -52,6 +54,13 @@ def _pairs_df(spark: SparkSession, pairs: list, ddl: str) -> DataFrame:
 
 _NP_SCORE_METRICS = ("COSINE", "EUCLIDEAN_DISTANCE", "DOT_PRODUCT")
 
+# reconstitute NaN distances flagged by the scorer (pandas->Arrow cannot
+# carry a NaN double — it becomes NULL): round(NaN, 6) is NaN, so ranking
+# sees exactly what the JVM fold path would have produced
+_NP_DIST_EXPR = (
+    "round(CASE WHEN __ivf_dnan THEN double('NaN') ELSE __ivf_rawdist END, 6)"
+)
+
 
 def _np_path_ok(store: DataFrame, vec_col: str, metric: str, query_id: str) -> bool:
     """Gate for the NumPy scoring path: supported metric, no collision with
@@ -61,13 +70,25 @@ def _np_path_ok(store: DataFrame, vec_col: str, metric: str, query_id: str) -> b
     fallback handles those stores instead, with identical semantics)."""
     if metric not in _NP_SCORE_METRICS:
         return False
-    if {"query_id", "probe_rank", "__ivf_rawdist", query_id} & set(store.columns):
+    reserved = {"query_id", "probe_rank", "__ivf_rawdist", "__ivf_nullelem",
+                "__ivf_dnan", query_id}
+    if reserved & set(store.columns):
         return False
     return not any(
         f.dataType.simpleString().startswith(("array", "map", "struct"))
         for f in store.schema.fields
         if f.name != vec_col
     )
+
+
+def _pred_refs_cols(pred: str | None, cols) -> bool:
+    """True when the free-text predicate ``pred`` references any of ``cols``
+    as a whole word — the ADVICE r13 gate: the NumPy-scored relation drops
+    the store vector and the query vector, so a ``pair_where`` naming them
+    must take the JVM join path (which still carries both)."""
+    if not pred:
+        return False
+    return any(re.search(rf"\b{re.escape(c)}\b", pred) for c in cols)
 
 
 def _np_query_cells(qids, qmat, probes, qid_ddl: str, carry_rank: bool) -> dict:
@@ -130,22 +151,41 @@ def _np_cell_scores(
     and no reassociation), COSINE divides the dot by the product of the
     per-row norms with the same nullif/coalesce zero guard, and the final
     round(.., 6) is left to the caller's Spark expression. Rows whose vector
-    is NULL or of a different length than the query dimension reproduce the
-    SQL padding semantics (COSINE -> coalesce path -> distance 1.0;
-    EUCLIDEAN/DOT -> NULL).
+    is NULL, of a different length than the query dimension, or containing a
+    NULL ELEMENT reproduce the SQL padding semantics (COSINE -> coalesce
+    path -> distance 1.0; EUCLIDEAN/DOT -> NULL). Element nulls are detected
+    JVM-side (``exists(vec, x -> x IS NULL)``, attached only when the store
+    schema says elements are nullable): Arrow surfaces element nulls as NaN,
+    indistinguishable from a true NaN double once in pandas — but their SQL
+    semantics differ (null element => dot NULL => 1.0/NULL; true NaN
+    propagates to a NaN distance, which both paths produce identically).
+
+    The query blocks ride an ``sc.broadcast`` (r14, VERDICT r13 #5) instead
+    of the task closure, so a large query batch ships to each executor once
+    rather than per task; the broadcast is torn down by Spark's
+    ContextCleaner when the returned plan is garbage-collected.
 
     ``cells``: {centroid: (qid_list, qmat float64 [m, d], qnorm float64 [m],
     probe_ranks or None)}.
     """
     import numpy as np
     from pyspark.sql.types import (
-        DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+        BooleanType, DoubleType, IntegerType, LongType, StringType, StructField,
+        StructType,
     )
 
     scalar_fields = [
         f for f in store.schema.fields
         if f.name != vec_col and not f.dataType.simpleString().startswith("array")
     ]
+    vec_type = store.schema[vec_col].dataType
+    elem_nullable = bool(getattr(vec_type, "containsNull", True))
+    if elem_nullable:
+        store = store.withColumn(
+            "__ivf_nullelem",
+            F.expr(f"coalesce(exists({vec_col}, x -> x IS NULL), false)"),
+        )
+    bcells = store.sparkSession.sparkContext.broadcast(cells)
     out_fields = list(scalar_fields)
     out_fields.append(
         StructField("query_id", StringType() if qid_ddl == "STRING" else LongType(), False)
@@ -153,6 +193,13 @@ def _np_cell_scores(
     if carry_probe_rank:
         out_fields.append(StructField("probe_rank", IntegerType(), False))
     out_fields.append(StructField("__ivf_rawdist", DoubleType(), True))
+    # NaN marker: pandas->Arrow turns a NaN double into NULL on the way back
+    # (pandas uses NaN as its null sentinel), so a NaN distance — a true NaN
+    # element in a store/query vector, exactly what the SQL folds propagate —
+    # cannot cross the boundary as a value. The worker flags it instead and
+    # the caller reconstitutes double('NaN') in SQL, keeping Spark's
+    # NaN-sorts-last ranking semantics identical to the JVM fold path.
+    out_fields.append(StructField("__ivf_dnan", BooleanType(), False))
     schema = StructType(out_fields)
     scalar_names = [f.name for f in scalar_fields]
     cosine = metric == "COSINE"
@@ -163,15 +210,19 @@ def _np_cell_scores(
 
         for pdf in iterator:
             for cent, grp in pdf.groupby("centroid", sort=False):
-                block = cells.get(int(cent))
+                block = bcells.value.get(int(cent))
                 if block is None:
                     continue
                 qids, qmat, qnorm, pranks = block
                 m, d = qmat.shape
                 vecs = grp[vec_col].values
+                if elem_nullable:
+                    nullelem = grp["__ivf_nullelem"].values
+                else:
+                    nullelem = np.zeros(len(vecs), dtype=bool)
                 ok = np.fromiter(
-                    (v is not None and hasattr(v, "__len__") and len(v) == d
-                     for v in vecs),
+                    (not ne and v is not None and hasattr(v, "__len__") and len(v) == d
+                     for ne, v in zip(nullelem, vecs)),
                     dtype=bool, count=len(vecs),
                 )
                 out_parts = []
@@ -205,12 +256,14 @@ def _np_cell_scores(
                     part["query_id"] = np.tile(qids, n)
                     if carry_probe_rank:
                         part["probe_rank"] = np.tile(pranks, n)
-                    part["__ivf_rawdist"] = dist.reshape(-1)
+                    flat = dist.reshape(-1)
+                    part["__ivf_rawdist"] = flat
+                    part["__ivf_dnan"] = np.isnan(flat)
                     out_parts.append(pd.DataFrame(part))
                 if (~ok).any():
-                    # NULL / ragged vectors: SQL's zip_with padding turns the
-                    # dot NULL — COSINE's coalesce maps that to distance 1.0,
-                    # the other metrics stay NULL
+                    # NULL-array / null-element / ragged vectors: SQL's
+                    # zip_with padding turns the dot NULL — COSINE's coalesce
+                    # maps that to distance 1.0, the other metrics stay NULL
                     sub = grp[~ok]
                     n = len(sub)
                     part = {c: np.repeat(sub[c].values, m) for c in scalar_names}
@@ -220,6 +273,7 @@ def _np_cell_scores(
                     part["__ivf_rawdist"] = (
                         np.full(n * m, 1.0) if cosine else pd.array([None] * (n * m), dtype="Float64")
                     )
+                    part["__ivf_dnan"] = np.zeros(n * m, dtype=bool)
                     out_parts.append(pd.DataFrame(part))
                 for p in out_parts:
                     yield p
@@ -697,7 +751,10 @@ class IVFIndex:
         as the fallback for exotic metrics or store-schema collisions, and
         ``pair_where``/``query_cols`` keep identical semantics: the
         predicate is applied to the scored relation (store scalar columns +
-        carried query columns) BEFORE ranking.
+        carried query columns) BEFORE ranking. A ``pair_where`` that
+        references the store vector column or the (un-carried) query vector
+        routes to the JVM join path automatically (r14, ADVICE r13) — the
+        NumPy-scored relation does not expose those columns.
         """
         import numpy as np
 
@@ -720,7 +777,14 @@ class IVFIndex:
         store = spark.read.parquet(path).filter(F.col("centroid").isin(all_cents))
         if where is not None:
             store = store.filter(where)
-        use_np = _np_path_ok(store, self.vec_col, metric, query_id)
+        # ADVICE r13: the NumPy-scored relation carries neither the store
+        # vector nor the query vector (unless the caller carries the latter
+        # through query_cols), so a pair_where naming them must take the JVM
+        # join path — which still exposes both — for identical semantics.
+        dropped_vecs = [self.vec_col] + ([query_vec] if query_vec not in (query_cols or []) else [])
+        use_np = _np_path_ok(store, self.vec_col, metric, query_id) and not _pred_refs_cols(
+            pair_where, dropped_vecs
+        )
         if use_np:
             cells = _np_query_cells(qids, qmat, probes, qid_t, carry_rank=False)
             scored = _np_cell_scores(store, self.vec_col, cells, metric, qid_t)
@@ -732,7 +796,7 @@ class IVFIndex:
                 )
             if pair_where is not None:
                 scored = scored.filter(pair_where)
-            scored = scored.withColumn("distance", F.expr("round(__ivf_rawdist, 6)"))
+            scored = scored.withColumn("distance", F.expr(_NP_DIST_EXPR))
         else:
             pairs = [
                 (int(qid) if not isinstance(qid, str) else qid, int(c), [float(x) for x in qv])
@@ -827,7 +891,7 @@ class IVFIndex:
             if query_id != "query_id":
                 scored = scored.withColumnRenamed("query_id", query_id)
             scored = (
-                scored.withColumn("distance", F.expr("round(__ivf_rawdist, 6)"))
+                scored.withColumn("distance", F.expr(_NP_DIST_EXPR))
                 .select(query_id, id_col, "probe_rank", "distance")
                 .localCheckpoint(eager=True)
             )

@@ -118,6 +118,11 @@ def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
     if cur is not None and cur[0] == sf_dir and want <= cur[1]:
         return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if cur is not None and cur[0] != sf_dir and getattr(spark, "_oaim_cte_sizes", None):
+        # the CTE materializer's Catalyst size-estimate cache is per TABLE
+        # NAME; re-pointing the views at another sf_dir would leave stale
+        # sizes driving its threshold (ADVICE r13 — perf-only, but silent)
+        spark._oaim_cte_sizes = {}
     if cur is not None and cur[0] != sf_dir:
         # sf_dir changed: every view tracked for the OLD dir must be
         # re-pointed, not just the ones in `want` — otherwise SQL that

@@ -2226,7 +2226,13 @@ def hard_negative_mining(d: str) -> str:
     scan scores all queries over PRE-NORMED rows (r13 opt: cast + norm
     factored per row, one dot fold per pair-side evaluation —
     bit-identical, see `_emb_prenorm_sql`), the rank window shuffles slim
-    (query, vec_id, distance) tuples only."""
+    (query, vec_id, distance) tuples only. The distance is computed in a
+    projection BELOW the rank window and the window orders by the COLUMN
+    (r14 opt, guide §7.2 "duplicated subtrees": keying the window on the
+    round({{dist}}, 6) EXPRESSION made Spark project the dot fold twice per
+    pair — once as `distance`, once as the `_w1` sort key; ordering by the
+    projected column is the same ordering over the same doubles, one fold
+    per pair — frozen-oracle pinned in tests/test_r14_opt_pins.py)."""
     dist = P.cosine_distance_prenorm("e.av", "q.qav", "e.nrm", "q.qnrm", d)
     return f"""
 WITH en AS ({_emb_prenorm_sql(d)}),
@@ -2234,14 +2240,18 @@ q AS (
   SELECT vec_id AS query_id, label AS qlabel, av AS qav, nrm AS qnrm
   FROM en WHERE vec_id % 97 = 0
 ),
-scored AS (
+pairdist AS (
   SELECT q.query_id AS query_id, e.vec_id AS negative_id,
          CAST(e.label AS INT) AS neg_label,
-         round({dist}, 6) AS distance,
-         ROW_NUMBER() OVER (PARTITION BY q.query_id
-                            ORDER BY round({dist}, 6) ASC, e.vec_id ASC) AS rnk
+         round({dist}, 6) AS distance
   FROM en e CROSS JOIN q
   WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+),
+scored AS (
+  SELECT query_id, negative_id, neg_label, distance,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY distance ASC, negative_id ASC) AS rnk
+  FROM pairdist
 )
 SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(negative_id AS BIGINT) AS negative_id,

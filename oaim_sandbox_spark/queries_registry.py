@@ -312,19 +312,27 @@ def _embedding_pairs_core(
     )
     # exact-fold re-score of the (few) survivors — bit-identical to the
     # oracle's sequential fold, so the prefilter margin never shows; the
-    # fold expressions evaluate only on the survivor joins' stream side
+    # fold expressions evaluate only on the survivor joins' stream side.
+    # r14 opt (guide §7.2 "duplicated subtrees", VERDICT r13 #4): Spark
+    # pushes the threshold filter back through the projection — into the
+    # vnorm join condition — so every candidate paid the dot fold TWICE
+    # (join condition + projected cosine_sim). The eager localCheckpoint is
+    # a pushdown barrier: the scored relation (bounded by the prefilter's
+    # margin band, i.e. ~the query's own output size) computes ONE fold per
+    # pair, and the filter above reads the materialized column. Same rows:
+    # double evaluation of a deterministic expression equals single.
     ve = P.to_double_array("embedding", "spark")
     vnorm = emb_raw.select(
         "vec_id", F.expr(ve).alias("v"), F.expr(P.norm2(ve, "spark")).alias("n")
     )
     sim = f"round({P.dot('a.v', 'b.v', 'spark')} / (a.n * b.n), 6)"
-    return (
+    scored = (
         cand.join(vnorm.alias("a"), cand.id_a == F.col("a.vec_id"))
         .join(vnorm.alias("b"), cand.id_b == F.col("b.vec_id"))
         .select("id_a", "id_b", F.expr(sim).alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
-        .orderBy("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
+    return scored.filter(F.col("cosine_sim") >= threshold).orderBy("id_a", "id_b")
 
 
 def _minhash_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
