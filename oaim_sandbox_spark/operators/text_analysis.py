@@ -206,26 +206,48 @@ WHERE df.df <= greatest(5.0, n.n_docs * {max_df_frac})
 """
 
 
-def sampled_cosine_sql(dialect: str, rel: str = "w", C: int = 3, threshold: float = 0.06) -> str:
+def sampled_postings_sql(dialect: str, rel: str = "w", C: int = 3) -> str:
+    """The standalone sampled-postings relation (`samp` of
+    ``sampled_cosine_sql`` with its `wj` parent inlined). The Spark
+    operators materialize it once (r14 opt): inlined into both est-join
+    sides, the md5-based ``hash_unit`` sampling filter runs over every
+    df>1 posting TWICE; DuckDB materializes CTEs natively and never paid
+    this. The kept-term set is a deterministic function of (t, df), so the
+    materialized relation is value-identical to the inline CTE."""
+    u = P.hash_unit(_sqlstr("a.t", dialect), dialect)
+    p = f"least(1.0, CAST({C} AS DOUBLE) / a.df)"
+    return (
+        f"SELECT a.doc_id AS doc_id, a.t AS t, a.w AS w, {p} AS p "
+        f"FROM (SELECT doc_id, t, df, w FROM {rel} WHERE df > 1) a WHERE {u} < {p}"
+    )
+
+
+def sampled_cosine_sql(dialect: str, rel: str = "w", C: int = 3, threshold: float = 0.06,
+                       samp_rel: str | None = None) -> str:
     """Est-branch-only sampled cosine over a weight relation `rel`
     (doc_id, t, df, w): term-sampled self-join with importance-corrected
     dot products, EXACT norms (norms are a linear aggregate — no reason to
     estimate them), threshold on the rounded estimate. Expected join cost
     is C * n_terms; a pair whose every shared term was sampled out is
     simply absent (the audit's `coverage` column quantifies that rate per
-    exact-cosine decile)."""
+    exact-cosine decile). ``samp_rel``: a pre-materialized
+    ``sampled_postings_sql`` relation — when given, the samp CTE is
+    omitted and the est join reads it by name (single evaluation of the
+    sampling hash; with the default None the emitted text is unchanged)."""
     u = P.hash_unit(_sqlstr("a.t", dialect), dialect)
     p = f"least(1.0, CAST({C} AS DOUBLE) / a.df)"
-    return f"""
-WITH wj AS (SELECT doc_id, t, df, w FROM {rel} WHERE df > 1),
-norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM {rel} GROUP BY doc_id),
-samp AS (
+    samp_def = f"""samp AS (
   SELECT a.doc_id AS doc_id, a.t AS t, a.w AS w, {p} AS p
   FROM wj a WHERE {u} < {p}
 ),
-est AS (
+""" if samp_rel is None else ""
+    samp = samp_rel or "samp"
+    return f"""
+WITH wj AS (SELECT doc_id, t, df, w FROM {rel} WHERE df > 1),
+norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM {rel} GROUP BY doc_id),
+{samp_def}est AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w / a.p) AS est_dot
-  FROM samp a JOIN samp b ON a.t = b.t AND a.doc_id < b.doc_id
+  FROM {samp} a JOIN {samp} b ON a.t = b.t AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT CAST(est.doc_a AS BIGINT) AS doc_a, CAST(est.doc_b AS BIGINT) AS doc_b,
@@ -260,6 +282,19 @@ def _materialized_weights_view(
     return spark, src, wname
 
 
+def _materialized_samp_view(spark, wname: str, C: int) -> str:
+    """Materialize the sampled-postings relation once under a unique view
+    (see sampled_postings_sql docstring for why)."""
+    import uuid as _uuid
+
+    from oaim_sandbox_spark.materialize import materialize_relation
+
+    sname = f"scp_samp_{_uuid.uuid4().hex[:12]}"
+    samp = spark.sql(sampled_postings_sql("spark", rel=wname, C=C))
+    materialize_relation(samp, "scp_samp").createOrReplaceTempView(sname)
+    return sname
+
+
 def sampled_cosine_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -281,12 +316,20 @@ def sampled_cosine_pairs(
     individual surviving products overshoot, so high-duplication corpora
     yield more above-threshold pairs than the exact join (50k-doc stress:
     3.64M candidates vs 821k exact) — re-score survivors exactly when the
-    consumer needs precision, the way the LSH band join re-verifies."""
+    consumer needs precision, the way the LSH band join re-verifies.
+
+    The sampled-postings relation is materialized once (r14 opt): inlined
+    it would evaluate the md5 sampling hash over every df>1 posting per
+    est-join SIDE; materialized (bounded by ~C·n_terms rows) the hash runs
+    once and both sides read the checkpoint."""
     spark, src, wname = _materialized_weights_view(df, text_col, id_col, ngram, max_df_frac)
-    out = spark.sql(sampled_cosine_sql("spark", rel=wname, C=C, threshold=threshold))
+    sname = _materialized_samp_view(spark, wname, C)
+    out = spark.sql(
+        sampled_cosine_sql("spark", rel=wname, C=C, threshold=threshold, samp_rel=sname)
+    )
     # views resolve at analysis time; safe to drop immediately
-    spark.catalog.dropTempView(src)
-    spark.catalog.dropTempView(wname)
+    for v in (src, wname, sname):
+        spark.catalog.dropTempView(v)
     return out
 
 
@@ -336,8 +379,10 @@ def sampled_cosine_pairs_rescored(
     from oaim_sandbox_spark.materialize import materialize_relation
 
     spark, src, wname = _materialized_weights_view(df, text_col, id_col, ngram, max_df_frac)
+    sname = _materialized_samp_view(spark, wname, C)
     cand = spark.sql(
-        sampled_cosine_sql("spark", rel=wname, C=C, threshold=candidate_threshold)
+        sampled_cosine_sql("spark", rel=wname, C=C, threshold=candidate_threshold,
+                           samp_rel=sname)
     ).select("doc_a", "doc_b")
     cname = f"scp_cand_{_uuid.uuid4().hex[:12]}"
     # candidates are the bounded stage-1 output — materialize so the
@@ -346,6 +391,6 @@ def sampled_cosine_pairs_rescored(
     out = spark.sql(
         rescore_pairs_sql("spark", w_rel=wname, cand_rel=cname, threshold=threshold)
     )
-    for v in (src, wname, cname):
+    for v in (src, wname, sname, cname):
         spark.catalog.dropTempView(v)
     return out
