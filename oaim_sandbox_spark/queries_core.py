@@ -63,13 +63,32 @@ def events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts_us", _ts_us_col(df))
 
 
+_EVENTS_SCHEMA_CACHE: "weakref.WeakKeyDictionary[SparkSession, tuple[str, object]]" = None  # type: ignore[assignment]
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming twin of events_batch: availableNow file source
     over sf_dir (pathGlobFilter=events.parquet), schema taken from the
-    parquet footer, with the same normalized `ts_us` column."""
+    parquet footer, with the same normalized `ts_us` column.
+
+    The footer-derived schema is cached per (session, sf_dir) — r14 opt:
+    each of the ten streaming entries paid a ~0.2s driver-side
+    `spark.read.parquet().schema` round-trip for the SAME file's footer
+    (the same redundant-footer-read class _VIEWS_STATE already removes for
+    batch views). A schema is metadata, not data — results are untouched."""
+    global _EVENTS_SCHEMA_CACHE
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    if _EVENTS_SCHEMA_CACHE is None:
+        import weakref
+
+        _EVENTS_SCHEMA_CACHE = weakref.WeakKeyDictionary()
+    cached = _EVENTS_SCHEMA_CACHE.get(spark)
+    if cached is not None and cached[0] == sf_dir:
+        schema = cached[1]
+    else:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        _EVENTS_SCHEMA_CACHE[spark] = (sf_dir, schema)
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
