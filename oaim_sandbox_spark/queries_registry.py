@@ -1671,12 +1671,29 @@ def approx_vocab_overlap(
     vocabulary-sized in the plan (pinned by a pytest that poisons the
     exact SQL and confirms the production config never builds it).
     Sources with an empty vocabulary have all-NULL signatures and are
-    excluded, exactly like the exact entry's inner joins drop them."""
+    excluded, exactly like the exact entry's inner joins drop them.
+
+    r14 opt (guide §1.2 — one corpus pass instead of four): under
+    ``audit=True`` the exact matrix's `sg` CTE is referenced THREE times
+    (size dim + both self-join sides) and Spark plans the
+    tokenize+explode+DISTINCT subtree per reference; the signature pass
+    scanned the corpus a fourth time. The audit path now materializes the
+    distinct (source, g) relation ONCE and feeds both consumers: MIN over
+    the distinct vocabulary equals MIN over the token multiset (min
+    ignores multiplicity and the permuted hash depends only on g), so the
+    signatures are bit-identical, and the exact matrix aggregates the
+    same relation it always did (pinned: frozen pre-change output,
+    tests/fixtures/r14_avocab_old_output.json). Production
+    (``audit=False``) keeps the direct multiset aggregation — map-side
+    combinable, nothing vocabulary-sized materialized anywhere, exactly
+    as the production-config pytest pins."""
     import math as _math
 
+    from oaim_sandbox_spark.queries_core import _materialized_view
     from oaim_sandbox_spark.queries_extended import (
+        _source_vocab_final_sql,
+        _source_vocab_sg_sql,
         _source_vocab_tok_sql,
-        source_vocab_overlap,
     )
 
     register_views(spark, sf_dir, tables=("documents",))
@@ -1685,9 +1702,11 @@ def approx_vocab_overlap(
         f"MIN(({a}L * h + {b}L) % {P.MOD}) AS m{i}"
         for i, (a, b) in ((i, P._perm_constants(i)) for i in range(num_perm))
     )
+    sg = _materialized_view(spark, _source_vocab_sg_sql("spark"), "avocab_sg") if audit else None
+    src_rel = sg if sg is not None else f"({_source_vocab_tok_sql('spark')}) t0"
     sig_rows = spark.sql(
         f"SELECT source, {mins} FROM (SELECT source, {h} AS h FROM "
-        f"({_source_vocab_tok_sql('spark')}) t0) t GROUP BY source"
+        f"{src_rel}) t GROUP BY source"
     ).collect()
     sigs = {
         r["source"]: [r[f"m{i}"] for i in range(num_perm)]
@@ -1706,8 +1725,9 @@ def approx_vocab_overlap(
         return spark.createDataFrame(pairs, base_schema)
     exact = {
         (r["source_a"], r["source_b"]): float(r["vocab_jaccard"])
-        for r in spark.sql(source_vocab_overlap("spark")).collect()
+        for r in spark.sql(_source_vocab_final_sql("spark", rel=sg)).collect()
     }
+    spark.catalog.dropTempView(sg)
     audited = []
     for sa, sb, m, est in pairs:
         ex = exact.get((sa, sb), 0.0)

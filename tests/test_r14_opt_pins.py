@@ -295,3 +295,48 @@ def test_search_batch_pair_where_on_vector_cols_falls_back(spark):
     finally:
         ann._NP_SCORE_METRICS = saved
     assert got == want and got
+
+
+def test_approx_vocab_overlap_matches_frozen_output(spark):
+    """The r14 single-pass audit runner (distinct (source,g) materialized
+    once, feeding BOTH the MinHash signatures and the exact matrix) returns
+    the exact pre-change output: the frozen fixture was collected from the
+    multiset-signature + inline-template tree at 9913ed1. MIN over the
+    distinct vocabulary == MIN over the token multiset, so signatures are
+    bit-identical by construction; this pins the whole audited frame."""
+    from oaim_sandbox_spark.queries_registry import _approx_vocab_overlap_spark
+
+    root = Path(__file__).resolve().parents[1]
+    old = json.loads((root / "tests/fixtures/r14_avocab_old_output.json").read_text())
+    for sf, sfd in (("sf0.001", "/root/testdata/sf0.001"),):
+        got = [list(r) for r in _approx_vocab_overlap_spark(spark, sfd).collect()]
+        assert got == old[sf], (sf, got[:3], old[sf][:3])
+
+
+def test_approx_vocab_overlap_sigs_multiset_equals_distinct(spark):
+    """The identity the single-pass rewrite rests on: per-source MinHash
+    MINs over the raw token multiset equal MINs over the DISTINCT (source,
+    token) vocabulary (min ignores multiplicity; the permuted hash depends
+    only on the token)."""
+    from oaim_sandbox_spark.functions import portable as P
+    from oaim_sandbox_spark.queries_core import register_views
+    from oaim_sandbox_spark.queries_extended import (
+        _source_vocab_sg_sql,
+        _source_vocab_tok_sql,
+    )
+
+    register_views(spark, "/root/testdata/sf0.001", tables=("documents",))
+    h = P.hash_mod("g", "spark")
+    mins = ", ".join(
+        f"MIN(({a}L * h + {b}L) % {P.MOD}) AS m{i}"
+        for i, (a, b) in ((i, P._perm_constants(i)) for i in range(16))
+    )
+    multiset = spark.sql(
+        f"SELECT source, {mins} FROM (SELECT source, {h} AS h FROM "
+        f"({_source_vocab_tok_sql('spark')}) t0) t GROUP BY source ORDER BY source"
+    ).collect()
+    distinct = spark.sql(
+        f"SELECT source, {mins} FROM (SELECT source, {h} AS h FROM "
+        f"({_source_vocab_sg_sql('spark')}) t0) t GROUP BY source ORDER BY source"
+    ).collect()
+    assert [tuple(r) for r in multiset] == [tuple(r) for r in distinct]

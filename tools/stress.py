@@ -888,6 +888,86 @@ def stress_abc(factor: int = 20) -> dict:
     }
 
 
+def stress_allpairs(n_vecs: int = 20_000) -> dict:
+    """knn_label_consensus's exact all-pairs self-join at 10x the sf0.1
+    embeddings rows — which is 100x the PAIR count (~400M ordered pairs),
+    the scale where the per-pair dot fold (r13 prenorm: ONE fold per pair)
+    rather than the per-query fixed floor is the cost. The r14 scaling
+    lane's probe for the all-pairs template family: at sf0.1 the driver's
+    8-vs-32-core ratio on this family reads ~1 (floor-bound); here the
+    join is genuinely compute-bound, so the ratio shows whether the
+    distributed shape actually scales with cores."""
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.queries import TEMPLATES
+
+    spark = _spark("stress-allpairs")
+    vecs = _planted_vecs(spark, n_vecs).withColumn(
+        "label", (F.col("vec_id") % 10).cast("int")
+    ).localCheckpoint()
+    vecs.createOrReplaceTempView("embeddings")
+    t0 = time.time()
+    rows = spark.sql(TEMPLATES["knn_label_consensus"]("spark")).collect()
+    dt = time.time() - t0
+    spark.catalog.dropTempView("embeddings")
+    return {
+        "stress": "allpairs_label_consensus", "vectors": n_vecs,
+        "ordered_pairs": n_vecs * (n_vecs - 1), "labels": len(rows),
+        "seconds": round(dt, 1),
+    }
+
+
+def stress_streaming(factor: int = 50) -> dict:
+    """Two streaming entries (stateful running totals + stream-stream
+    time-range join) over a factor-x events source (5M rows at 50x): at
+    sf0.1 the availableNow floor is query-start machinery (measured r13/
+    r14 — state-store and source knobs all inside noise); here the state
+    and shuffle work dominates, so the 8-vs-32-core ratio is meaningful.
+    The replica events keep the original timestamps (watermark semantics
+    unchanged) with user_id/event_id remapped so state cardinality scales
+    too."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from oaim_sandbox_spark.queries_registry import (
+        _streaming_ss_join_spark,
+        _streaming_user_stats_spark,
+    )
+
+    spark = _spark("stress-streaming")
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    big = (
+        src.crossJoin(spark.range(factor).withColumnRenamed("id", "rep"))
+        .withColumn("event_id", F.col("event_id") * factor + F.col("rep"))
+        .withColumn("user_id", F.col("user_id") * factor + F.col("rep"))
+        .drop("rep")
+    )
+    tmp = _tempfile.mkdtemp(prefix="stress_stream_")
+    staged = f"{tmp}/_staged"
+    big.coalesce(1).write.mode("overwrite").parquet(staged)
+    part = _glob.glob(f"{staged}/part-*.parquet")[0]
+    _shutil.move(part, f"{tmp}/events.parquet")  # the testdata layout: ONE file
+    _shutil.rmtree(staged)
+    n = spark.read.parquet(f"{tmp}/events.parquet").count()
+    t0 = time.time()
+    n_stats = _streaming_user_stats_spark(spark, tmp).count()
+    t_stats = time.time() - t0
+    t0 = time.time()
+    n_join = _streaming_ss_join_spark(spark, tmp).count()
+    t_join = time.time() - t0
+    _shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "stress": "streaming", "events": n,
+        "user_stats_rows": n_stats, "user_stats_seconds": round(t_stats, 1),
+        "ss_join_rows": n_join, "ss_join_seconds": round(t_join, 1),
+        "seconds": round(t_stats + t_join, 1),
+    }
+
+
 def stress_cospair(n_vecs: int = 500_000) -> dict:
     """cosine_pair_histogram's scale dial exercised as documented: at 500k
     vectors the committed 1/61 divisor would yield ~34M pairs, so the
@@ -949,6 +1029,8 @@ def main() -> None:
         "r10audits": stress_r10audits,
         "r11audits": stress_r11audits,
         "consensus_funnel": stress_consensus_funnel,
+        "allpairs": stress_allpairs,
+        "streaming": stress_streaming,
         "survivorship": stress_survivorship,
         "assort": stress_assort,
         "abc": stress_abc,
