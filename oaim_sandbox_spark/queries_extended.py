@@ -1687,16 +1687,28 @@ def federated_label_topk(d: str) -> str:
     5 with provenance. Proves the two-stage local-k/global-k cut is
     lossless: the global winner set matches a flat top-5 whenever every
     store returned >= its contribution (k_local >= k_global guarantees
-    it)."""
+    it).
+
+    r14 opt (the hard_negative_mining window-key pattern): the rank window
+    orders by the PROJECTED distance column from a subquery instead of
+    re-keying on the round(dist) expression — the old shape evaluated the
+    cosine fold twice per store row (projection + window sort key; plan
+    showed 2 aggregate(zip_with) sites, now 1). Ordering by the identical
+    rounded value, both dialects; pinned against the frozen pre-change
+    DuckDB oracle (tests/fixtures/r14_federated_old_oracle.json)."""
     dist = distance_expr("e.embedding", P.to_double_array("q.qv", d), "COSINE", d)
     return f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.label AS label, e.vec_id AS vec_id, round({dist}, 6) AS distance
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+),
 local_k AS (
   SELECT label, vec_id, distance FROM (
-    SELECT e.label AS label, e.vec_id AS vec_id, round({dist}, 6) AS distance,
-           row_number() OVER (PARTITION BY e.label ORDER BY round({dist}, 6) ASC, e.vec_id ASC) AS r
-    FROM embeddings e CROSS JOIN q
-    WHERE e.vec_id <> 0
+    SELECT label, vec_id, distance,
+           row_number() OVER (PARTITION BY label ORDER BY distance ASC, vec_id ASC) AS r
+    FROM scored
   ) s WHERE r <= 3
 )
 SELECT CAST(label AS INT) AS store_label, vec_id, CAST(distance AS DOUBLE) AS distance

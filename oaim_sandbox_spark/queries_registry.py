@@ -424,9 +424,13 @@ SELECT e.vec_id AS vid, cast(e.embedding as array<double>) AS v,
        {P.dot(ev, 'q.v', 'spark')} / ({P.norm2(ev, 'spark')} * q.n) AS sim_q
 FROM embeddings e CROSS JOIN qv q
 WHERE e.vec_id <> 0
-ORDER BY round(1.0 - ({P.dot(ev, 'q.v', 'spark')} / ({P.norm2(ev, 'spark')} * q.n)), 6) ASC, e.vec_id ASC
+ORDER BY round(1.0 - sim_q, 6) ASC, vid ASC
 LIMIT {MMR_FETCH_K}
 """).collect()
+    # ^ r14 opt: ORDER BY reads the projected sim_q alias — the old
+    # expression re-key evaluated the dot+norm folds twice per store row
+    # (TakeOrdered sort key + projection; plan 2 -> 1 folds, rows
+    # identical: same rounded value, same vid tiebreak).
 
     def dot(a: list, b: list) -> float:
         s = 0.0

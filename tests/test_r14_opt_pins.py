@@ -340,3 +340,31 @@ def test_approx_vocab_overlap_sigs_multiset_equals_distinct(spark):
         f"({_source_vocab_sg_sql('spark')}) t0) t GROUP BY source ORDER BY source"
     ).collect()
     assert [tuple(r) for r in multiset] == [tuple(r) for r in distinct]
+
+
+def test_federated_label_topk_matches_frozen_oracle_single_fold(spark):
+    """The r14 window-key restructure (rank window orders by the PROJECTED
+    distance column, not the round(dist) expression — the
+    hard_negative_mining pattern): new Spark output == frozen pre-change
+    DuckDB oracle, and the executed plan evaluates exactly ONE cosine fold
+    per store row (the old shape carried two)."""
+    import duckdb
+
+    root = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(root / "tools"))
+    from check_correctness import canonical
+
+    from oaim_sandbox_spark import queries as Q
+
+    old = json.loads(
+        (root / "tests/fixtures/r14_federated_old_oracle.json").read_text()
+    )
+    duck = duckdb.connect()
+    duck.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{SF01}/embeddings.parquet'")
+    sdf = Q.spark_queries()["federated_label_topk"](spark, SF01)
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("aggregate(zip_with") == 1
+    got = canonical([tuple(r) for r in sdf.collect()], sdf.columns)
+    rel = duck.sql(old["federated_label_topk"])
+    want = canonical(rel.fetchall(), rel.columns)
+    assert got and got == want

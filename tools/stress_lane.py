@@ -71,6 +71,21 @@ def run_probe(probe: str, arg: int | None, cpus: str) -> dict:
     return out
 
 
+# every timing field a probe may report; ratios are computed per field so
+# multi-stage probes (cc: pair graph vs label propagation; streaming: two
+# entries) read separately — a blended ratio would hide which stage scales
+TIMING_KEYS = ("seconds", "secs", "wall_s", "pair_seconds", "cc_seconds",
+               "user_stats_seconds", "ss_join_seconds")
+
+
+def compute_ratios(hi: dict, lo: dict) -> dict:
+    out = {}
+    for k in TIMING_KEYS:
+        if isinstance(hi.get(k), (int, float)) and isinstance(lo.get(k), (int, float)) and hi[k]:
+            out[k] = round(lo[k] / hi[k], 2)
+    return out
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "STRESS_LANE_r14.json")
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
@@ -84,8 +99,7 @@ def main() -> None:
             rec[f"c{cpus}"] = r
             print(f"[lane]   -> {json.dumps(r)[:200]}", flush=True)
         hi, lo = rec.get(f"c{CPU_POINTS[0]}", {}), rec.get(f"c{CPU_POINTS[1]}", {})
-        if "seconds" in hi and "seconds" in lo and hi["seconds"]:
-            rec["low_over_high_ratio"] = round(lo["seconds"] / hi["seconds"], 2)
+        rec["low_over_high_ratio"] = compute_ratios(hi, lo)
         results[probe] = rec
     payload = {
         "lane": "r14_scaling",
